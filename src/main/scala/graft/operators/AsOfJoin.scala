@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for every left row, attach the latest right row whose
+  * time is <= the left row's time, per key.
+  *
+  * Implemented as union + last-value window rather than the naive
+  * join-then-filter-then-rank plan: the naive plan materializes
+  * |left| x |right-per-key| intermediate rows before pruning — at the
+  * 100 TB design point that intermediate blowup is the bottleneck. The
+  * union form costs exactly ONE shuffle (by key) and a per-partition
+  * sort; state per key is O(1) during the scan. This mirrors how
+  * streaming engines do temporal joins (sorted merge with a
+  * last-seen-value register).
+  *
+  * Tie semantics: a right row at exactly t == left.t IS visible
+  * (<=, right-before-left within a timestamp), and among right rows
+  * with identical (key, time) the one with the greatest tiebreak column
+  * wins — callers pass a unique `rightTiebreak` so results are
+  * deterministic.
+  */
+object AsOfJoin {
+
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightTiebreak: String): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val sideCol = "__asof_side"
+    val timeCol = "__asof_t"
+    val tbCol = "__asof_tb"
+
+    // right side sorts before left at equal timestamps => right row at
+    // the same instant is visible to the left row.
+    val taggedRight = right.select(
+      (col(key) +:
+        col(rightTime).as(timeCol) +:
+        lit(0).as(sideCol) +:
+        col(rightTiebreak).as(tbCol) +:
+        leftCols.filterNot(_ == key)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+        rightValues.map(col): _*)
+
+    val taggedLeft = left.select(
+      (col(key) +:
+        col(leftTime).as(timeCol) +:
+        lit(1).as(sideCol) +:
+        lit(null).cast(taggedRight.schema(tbCol).dataType).as(tbCol) +:
+        leftCols.filterNot(_ == key).map(col)) ++
+        rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+
+    val unioned = taggedRight.unionByName(taggedLeft)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(timeCol), col(sideCol), col(tbCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val filled = rightValues.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col(sideCol) === 1)
+      .select(leftCols.map(col) ++ rightValues.map(col): _*)
+  }
+}

@@ -79,6 +79,7 @@ object Analytics {
         $"l_discount" > 0.05 && $"l_quantity" < 24.0)
       .select($"l_orderkey", $"l_linenumber",
         ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"l_orderkey", $"l_linenumber")
   }
 
   private val q02Sql =
@@ -87,7 +88,8 @@ object Analytics {
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-      |  AND l_discount > 0.05 AND l_quantity < 24.0""".stripMargin
+      |  AND l_discount > 0.05 AND l_quantity < 24.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   // ---------------------------------------------------------------- q03
   /** 3-way join -> aggregate -> top-k, TPC-H Q3 shape. Exercises: join
@@ -219,13 +221,15 @@ object Analytics {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
       .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
   }
 
   private val q07Sql =
     """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice, rn FROM (
       |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
-      |  FROM orders) WHERE rn <= 3""".stripMargin
+      |  FROM orders) WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
 
   // ---------------------------------------------------------------- q08
   /** Running-total window over the event stream (exact decimal running
@@ -238,6 +242,7 @@ object Analytics {
     t(s, dir, "events")
       .withColumn("running_value", asDouble(sum(dec($"value")).over(w)))
       .select($"user_id", $"event_id", $"ts", $"event_type", $"running_value")
+      .orderBy($"user_id", $"event_id")
   }
 
   private val q08Sql =
@@ -245,7 +250,354 @@ object Analytics {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
       |    PARTITION BY user_id ORDER BY ts, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
-      |FROM events""".stripMargin
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Exact distinct aggregation per group (count-distinct expands to a
+    * two-phase aggregate; partial aggregation still applies).
+    */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        countDistinct($"o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        asDouble(max(dec($"o_totalprice"))).as("max_price"),
+        asDouble(min(dec($"o_totalprice"))).as("min_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q09Sql =
+    """SELECT c_mktsegment,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders,
+      |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+      |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  /** ROLLUP hierarchy (region -> nation) — grouping-set aggregation with
+    * the standard null-filled super-aggregate rows.
+    */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(s, dir, "region")), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        asDouble(sum(dec($"c_acctbal"))).as("total_acctbal"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  private val q10Sql =
+    """SELECT r_name, n_name, count(*) AS n_customers,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Set operations: customers active in 1996 INTERSECT 1997, minus the
+    * EXCEPT of a high-value cohort. Exercises distinct-based set ops.
+    */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+    def activeIn(year: Int) = ord
+      .filter($"o_orderdate" >= lit(s"$year-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit(s"${year + 1}-01-01").cast(TimestampType))
+      .select($"o_custkey")
+    val bigSpenders = ord.filter($"o_totalprice" > 400000.0).select($"o_custkey")
+    activeIn(1996).intersect(activeIn(1997)).except(bigSpenders)
+      .orderBy($"o_custkey")
+  }
+
+  private val q11Sql =
+    """SELECT o_custkey FROM (
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+      |) ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Time-bucketed event aggregation (tumbling daily windows as
+    * date_trunc — the batch analog of the streaming windowed agg).
+    */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"ts".cast(DateType).as("day"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        asDouble(sum(dec($"value"))).as("total_value"))
+      .orderBy($"day", $"event_type")
+  }
+
+  private val q12Sql =
+    """SELECT CAST(ts AS DATE) AS day, event_type,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  /** Scalar string-function pipeline over documents (pure codegen'd
+    * row expressions; no shuffle besides the final sort).
+    */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter($"text".like("%spark%"))
+      .select(
+        $"doc_id",
+        upper($"lang").as("lang_uc"),
+        length($"text").as("text_len"),
+        substring($"text", 1, 20).as("head20"),
+        concat($"source", lit(":"), $"lang").as("src_lang"))
+      .orderBy($"doc_id")
+  }
+
+  private val q13Sql =
+    """SELECT doc_id, upper(lang) AS lang_uc, length(text) AS text_len,
+      |  substring(text, 1, 20) AS head20,
+      |  source || ':' || lang AS src_lang
+      |FROM documents
+      |WHERE text LIKE '%spark%'
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Conditional aggregation (TPC-H Q14 shape): CASE inside SUM, share
+    * computed as one double division of two exact decimals.
+    */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val one = lit(1).cast(DecimalType(18, 2))
+    val revenue = dec($"l_extendedprice") * (one - dec($"l_discount"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .agg(
+        (asDouble(sum(when($"p_type".startsWith("PROMO"), revenue)
+          .otherwise(lit(0).cast(DecimalType(18, 2))))) /
+          asDouble(sum(revenue))).as("promo_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val q14Sql =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |  AS promo_share,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Top-1-per-group via window over a broadcast-joined dimension:
+    * richest supplier per nation.
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"n_name").orderBy($"s_acctbal".desc, $"s_suppkey")
+    t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"n_name", $"s_suppkey", $"s_name", $"s_acctbal")
+      .orderBy($"n_name")
+  }
+
+  private val q15Sql =
+    """SELECT n_name, s_suppkey, s_name, s_acctbal FROM (
+      |  SELECT n_name, s_suppkey, s_name, s_acctbal,
+      |    row_number() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rk
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      |WHERE rk = 1 ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** NOT EXISTS as left-anti join: customers with no 1995 orders
+    * (the date filter keeps the result non-trivial at every sf).
+    */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord95 = t(s, dir, "orders")
+      .filter($"o_orderdate" < lit("1996-01-01").cast(TimestampType))
+    t(s, dir, "customer")
+      .join(ord95, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  private val q16Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Banded range join (interval/attribution): first purchase within
+    * 10 minutes after each click, per user. Equi-join on user_id keeps
+    * the shuffle keyed; the band predicate prunes inside the join;
+    * min() picks the earliest qualifying purchase.
+    */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user_id"), $"ts".as("purchase_ts"))
+    clicks.join(purchases,
+        $"user_id" === $"p_user_id" &&
+          $"purchase_ts" >= $"click_ts" &&
+          $"purchase_ts" <= $"click_ts" + expr("INTERVAL 10 MINUTES"))
+      .groupBy($"user_id", $"click_id", $"click_ts")
+      .agg(min($"purchase_ts").as("first_purchase_ts"),
+        count(lit(1)).as("n_purchases_10m"))
+      .orderBy($"user_id", $"click_id")
+  }
+
+  private val q17Sql =
+    """SELECT c.user_id AS user_id, c.event_id AS click_id, c.ts AS click_ts,
+      |  min(p.ts) AS first_purchase_ts,
+      |  count(*) AS n_purchases_10m
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** As-of join via graft.operators.AsOfJoin (single-shuffle union +
+    * last-value window): each purchase gets the latest signup at or
+    * before it, per user. Oracle uses DuckDB's native ASOF JOIN — an
+    * independent implementation of the same semantics.
+    */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"event_id".as("signup_id"), $"ts".as("signup_ts"))
+    graft.operators.AsOfJoin(
+        left = purchases, right = signups,
+        key = "user_id", leftTime = "ts", rightTime = "signup_ts",
+        rightValues = Seq("signup_ts"), rightTiebreak = "signup_id")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q18Sql =
+    """SELECT p.user_id, p.event_id, p.ts, s.ts AS signup_ts
+      |FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND s.ts <= p.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** GROUPING SETS via cube + grouping_id over two independent
+    * dimensions of orders.
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec($"o_totalprice"))).as("total_price"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val q19Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Correlated scalar-subquery shape: parts priced above their type's
+    * average (decorrelates into a join against the per-type aggregate).
+    */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = t(s, dir, "part")
+    val avgByType = part.groupBy($"p_type")
+      .agg((asDouble(sum(dec($"p_retailprice"))) / count(lit(1))).as("avg_price"))
+    part.join(broadcast(avgByType), Seq("p_type"))
+      .filter($"p_retailprice" > $"avg_price")
+      .select($"p_partkey", $"p_type", $"p_retailprice", $"avg_price")
+      .orderBy($"p_partkey")
+  }
+
+  private val q20Sql =
+    """SELECT p_partkey, p_type, p_retailprice, avg_price FROM (
+      |  SELECT p_partkey, p_type, p_retailprice,
+      |    CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_type) AS DOUBLE)
+      |      / count(*) OVER (PARTITION BY p_type) AS avg_price
+      |  FROM part)
+      |WHERE p_retailprice > avg_price
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** JSON extraction from the events props column (string JSON ->
+    * typed value), aggregated.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"k").as("sum_k"),
+        max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  private val q21Sql =
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Offset window functions: per-user event gaps (lag) and
+    * next-event lookahead (lead) over the stream.
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .select(
+        $"user_id", $"event_id", $"event_type",
+        (unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w))).as("micros_since_prev"),
+        lead($"event_type", 1).over(w).as("next_type"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q22Sql =
+    """SELECT user_id, event_id, event_type,
+      |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS micros_since_prev,
+      |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
 
   // ----------------------------------------------------------------
 
@@ -257,7 +609,21 @@ object Analytics {
     "q05_star_join" -> (q05 _),
     "q06_global_agg" -> (q06 _),
     "q07_window_rank" -> (q07 _),
-    "q08_running_total" -> (q08 _))
+    "q08_running_total" -> (q08 _),
+    "q09_distinct_agg" -> (q09 _),
+    "q10_rollup" -> (q10 _),
+    "q11_set_ops" -> (q11 _),
+    "q12_time_buckets" -> (q12 _),
+    "q13_string_funcs" -> (q13 _),
+    "q14_conditional_agg" -> (q14 _),
+    "q15_top_per_group" -> (q15 _),
+    "q16_anti_join" -> (q16 _),
+    "q17_range_join" -> (q17 _),
+    "q18_asof_join" -> (q18 _),
+    "q19_cube" -> (q19 _),
+    "q20_above_group_avg" -> (q20 _),
+    "q21_json_extract" -> (q21 _),
+    "q22_lag_lead" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -267,5 +633,19 @@ object Analytics {
     "q05_star_join" -> q05Sql,
     "q06_global_agg" -> q06Sql,
     "q07_window_rank" -> q07Sql,
-    "q08_running_total" -> q08Sql)
+    "q08_running_total" -> q08Sql,
+    "q09_distinct_agg" -> q09Sql,
+    "q10_rollup" -> q10Sql,
+    "q11_set_ops" -> q11Sql,
+    "q12_time_buckets" -> q12Sql,
+    "q13_string_funcs" -> q13Sql,
+    "q14_conditional_agg" -> q14Sql,
+    "q15_top_per_group" -> q15Sql,
+    "q16_anti_join" -> q16Sql,
+    "q17_range_join" -> q17Sql,
+    "q18_asof_join" -> q18Sql,
+    "q19_cube" -> q19Sql,
+    "q20_above_group_avg" -> q20Sql,
+    "q21_json_extract" -> q21Sql,
+    "q22_lag_lead" -> q22Sql)
 }
