@@ -26,6 +26,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # list/array cells (e.g. dedup member_ids) are unhashable — compare
+    # them through a canonical string form
+    for col in df.columns:
+        if df[col].map(lambda v: isinstance(v, (list, tuple))
+                       or type(v).__name__ == "ndarray").any():
+            df[col] = df[col].map(
+                lambda v: "[" + ",".join(str(x) for x in v) + "]"
+                if v is not None and not (isinstance(v, float) and math.isnan(v))
+                else None)
     if len(df) and len(df.columns):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)

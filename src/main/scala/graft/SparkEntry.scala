@@ -15,10 +15,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Analytics.queries
+    graft.queries.Analytics.queries ++
+      graft.queries.TextAnalytics.queries ++
+      graft.queries.CorpusOps.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.Analytics.oracle
+    graft.queries.Analytics.oracle ++
+      graft.queries.TextAnalytics.oracle ++
+      graft.queries.CorpusOps.oracle
 }

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline building blocks for the training-data extensions
+  * (SURVEY.md §7 phase 4). Every function here is built strictly from
+  * codegen'd Catalyst expressions (no UDFs) and — deliberately — from
+  * primitives that DuckDB evaluates bit-identically, so each operator
+  * can carry an exact SQL oracle:
+  *
+  *   - md5 → identical hex in both engines;
+  *   - `conv(hex,16,10)` / `CAST('0x…' AS BIGINT)` → identical 60-bit ints;
+  *   - higher-order `transform`/`aggregate` fold left-to-right exactly
+  *     like DuckDB's `list_transform`/`list_sum` (verified empirically
+  *     on the testdata; see scripts/check_correctness.py gate).
+  *
+  * At 100 TB these are all narrow per-row transformations: no shuffle,
+  * whole-stage codegen, parquet column pruning intact (each reads only
+  * `text`).
+  */
+object TextFunctions {
+
+  /** Lowercased alphanumeric word tokens, empties removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Deterministic 60-bit positive hash of a string: first 15 hex chars
+    * of md5 parsed base-16. DuckDB mirror:
+    * `CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)`.
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for minhash families: hash of "<seed>|<s>". */
+  def hash60(s: Column, seed: Int): Column =
+    hash60(concat(lit(s"$seed|"), s))
+
+  // ------------------------------------------------------------ lang id
+  /** Tiny stopword inventories; scoring is count-of-matching-tokens
+    * (with multiplicity). Heuristic n-gram-free language ID — the
+    * standard cheap first pass of a corpus pipeline.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se", "del", "las"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "auf", "ein"),
+    "fr" -> Seq("le", "les", "et", "un", "une", "est", "dans", "pour", "au", "ce"))
+
+  /** Language priority for deterministic tie-breaks (strictly-greater
+    * chain: earlier language wins ties).
+    */
+  val langOrder: Seq[String] = Seq("en", "es", "de", "fr")
+
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(lit(stopwords(lang).toArray), t)))
+
+  /** Best-scoring language, "und" (undetermined) when no stopword hits.
+    * Evaluated as a strictly-greater chain in `langOrder` order so the
+    * result is deterministic and mirrors the oracle SQL CASE chain.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langOrder.map(l => l -> stopwordHits(toks, l))
+    // greatest score wins; earlier language wins ties
+    val best = scores.tail.foldLeft(scores.head._2)((acc, s) => greatest(acc, s._2))
+    scores.foldRight(lit("und"): Column) { case ((l, sc), els) =>
+      when(sc === best && best > 0, lit(l)).otherwise(els)
+    }
+  }
+
+  // ------------------------------------------------------- quality score
+  /** Ratio of [a-z] chars after lowering — crude "is this prose" probe. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val en = stopwords("en")
+    size(filter(toks, t => array_contains(lit(en.toArray), t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite document-quality heuristic in [0,1]: length saturation,
+    * English stopword density, alphabetic density. Fixed weights; the
+    * expression tree (and therefore IEEE evaluation order) matches the
+    * oracle SQL exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    lit(0.4) * least(nTok / lit(100.0), lit(1.0)) +
+      lit(0.3) * stopwordRatio(text) +
+      lit(0.3) * alphaRatio(text)
+  }
+
+  // ------------------------------------------------------ token counting
+  /** Whitespace-split token count (the cheap estimator). */
+  def whitespaceTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= lit("")))
+
+  /** BPE-ish subword proxy: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — the shape a byte-pair
+    * tokenizer's pre-tokenizer uses.
+    */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  // ------------------------------------------------------- fingerprints
+  /** Order-insensitive content fingerprint: md5 over the sorted distinct
+    * token set (the classic "bag fingerprint" for exact-after-
+    * normalization dedup).
+    */
+  def contentFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Order-sensitive positional rolling fingerprint: sum over tokens of
+    * `(hash60(token) * (i+1)) mod 2^31-1`. Each term < 2^31 and docs are
+    * ≪ 2^32 tokens, so the sum stays well inside BIGINT under ANSI
+    * arithmetic in both engines.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val M = 2147483647L // 2^31 - 1
+    val terms = transform(tokens(text), (t, i) => pmod(hash60(t) % M * (i + lit(1)), lit(M)))
+    aggregate(terms, lit(0L), (acc, x) => acc + x)
+  }
+}

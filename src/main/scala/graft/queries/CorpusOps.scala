@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Dedup + similarity-search operators registered as oracle-gated
+  * queries over the `documents` and `embeddings` tables. Each oracle is
+  * an independent DuckDB re-expression of the SAME algorithm (same
+  * hash family, same blocking, same IEEE fold order), so the gate pins
+  * algorithm semantics, not just row counts.
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Shared oracle fragments (mirrors of TextFunctions/Dedup). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  private val shinglesSql =
+    s"""CASE WHEN len(toks) >= 3
+       |  THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))
+       |  ELSE [array_to_string(toks, ' ')] END""".stripMargin
+  private val hash60Sql = "CAST(concat('0x', substring(md5(%s), 1, 15)) AS BIGINT)"
+
+  // ---------------------------------------------------------------- q27
+  /** Exact dedup groups on the normalized content fingerprint. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("content_fp"))
+
+  private val q27Sql =
+    s"""SELECT content_fp, canonical_id, n_copies, member_ids FROM (
+       |  SELECT content_fp, min(doc_id) AS canonical_id, count(*) AS n_copies,
+       |    list_sort(list(doc_id)) AS member_ids
+       |  FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS content_fp
+       |        FROM documents)
+       |  GROUP BY content_fp)
+       |WHERE n_copies > 1
+       |ORDER BY content_fp""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** MinHash (32 hashes) + LSH (8 bands x 4 rows) near-dup pairs,
+    * verified at Jaccard >= 0.5 over distinct word 3-shingles.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q28Sql = {
+    val sig = (0 until 32).map(k =>
+      s"list_min(list_transform(sh, x -> substring(md5(concat('$k|', x)), 1, 15)))")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+       |sig AS (SELECT doc_id, sh, $sig AS sig FROM sh),
+       |bands AS (
+       |  SELECT doc_id, sh, b.b AS band,
+       |    md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS bh
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS b) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 6) AS jaccard
+       |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+       |            JOIN sh sb ON cand.doc_b = sb.doc_id)
+       |WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q29
+  /** SimHash(60-bit) near-dup pairs at hamming <= 3 via 4-chunk
+    * blocking (lossless by pigeonhole). The oracle computes the
+    * UNblocked pairwise answer — equality proves the blocking exact.
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        chunks = 4, maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q29Sql = {
+    val h60 = hash60Sql.format("t2")
+    s"""WITH sim AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j -> CASE WHEN
+       |      coalesce(list_sum(list_transform(toks, t2 -> CASE WHEN ($h60 >> j) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS sh
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** Char-trigram Jaccard near-dup pairs blocked by language. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        blockCol = "lang", threshold = 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q30Sql =
+    s"""WITH g AS (
+       |  SELECT lang, doc_id,
+       |    CASE WHEN length(text) >= 3
+       |      THEN list_distinct(list_transform(range(1, length(text) - 1),
+       |        i -> substring(lower(text), CAST(i AS INTEGER), 3)))
+       |      ELSE [lower(text)] END AS g
+       |  FROM documents)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+       |WHERE jaccard >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** Embedding near-dup audit: global top-20 most-similar vector pairs
+    * by exact cosine.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Similarity.topPairs(t(s, dir, "embeddings"), "vec_id", "embedding", n = 20)
+
+  private val cosSql =
+    """(list_dot_product(%s, %s)
+      | / sqrt(list_dot_product(%s, %s) * list_dot_product(%s, %s)))""".stripMargin
+
+  private val q31Sql = {
+    val cos = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 9) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY $cos DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q32
+  /** Brute-force cosine top-5 for query vectors vec_id < 10. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q32Sql = {
+    val cos = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cos AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** Sign-LSH bucketed ANN: 6-bit bucket from component signs, top-3
+    * within bucket for query vectors vec_id < 50.
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 3, bits = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q33Sql = {
+    val cos = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+    val bucket = (0 until 6).map(d =>
+      s"(CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket
+       |           FROM embeddings)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cos AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 50)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_dedup_exact" -> (q27 _),
+    "q28_minhash_lsh" -> (q28 _),
+    "q29_simhash" -> (q29 _),
+    "q30_ngram_jaccard" -> (q30 _),
+    "q31_embedding_near_dup" -> (q31 _),
+    "q32_cosine_topk" -> (q32 _),
+    "q33_ann_lsh" -> (q33 _))
+
+  val oracle: Map[String, String] = Map(
+    "q27_dedup_exact" -> q27Sql,
+    "q28_minhash_lsh" -> q28Sql,
+    "q29_simhash" -> q29Sql,
+    "q30_ngram_jaccard" -> q30Sql,
+    "q31_embedding_near_dup" -> q31Sql,
+    "q32_cosine_topk" -> q32Sql,
+    "q33_ann_lsh" -> q33Sql)
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table — language ID,
+  * quality scoring, token counting, fingerprinting (the first-pass
+  * filters of a training-data pipeline). Pure narrow per-row Catalyst
+  * expressions + one aggregation; at 100 TB each runs as a single
+  * codegen'd scan stage with only `text` (+ grouping keys) read from
+  * parquet.
+  *
+  * Oracle discipline: every Spark expression here has a DuckDB mirror
+  * built from the same md5/regex/list primitives evaluated in the same
+  * order (see TextFunctions scaladoc).
+  */
+object TextAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Shared DuckDB SQL fragments mirroring TextFunctions. */
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+  private def stopSql(lang: String): String =
+    stopwords(lang).mkString("['", "', '", "']")
+  private def hitsSql(lang: String): String =
+    s"len(list_filter(toks, t -> list_contains(${stopSql(lang)}, t)))"
+
+  // ---------------------------------------------------------------- q23
+  /** Language ID distribution: detected language per doc, aggregated
+    * with the declared lang column for a confusion-style breakdown.
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .withColumn("lang_detected", langId($"text"))
+      .groupBy($"lang", $"lang_detected")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"lang_detected")
+  }
+
+  private val q23Sql = {
+    val best = langOrder.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val chain = langOrder.foldRight("'und'") { (l, els) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $els END"
+    }
+    s"""SELECT lang, lang_detected, count(*) AS n_docs FROM (
+       |  SELECT lang, $chain AS lang_detected FROM (
+       |    SELECT lang, ${langOrder.map(l => s"${hitsSql(l)} AS s_$l").mkString(", ")},
+       |      $best AS best
+       |    FROM (SELECT lang, $tokensSql AS toks FROM documents)))
+       |GROUP BY lang, lang_detected
+       |ORDER BY lang, lang_detected""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** Per-document quality score + the filter a pipeline would apply
+    * (keep score >= 0.5), returning the kept docs.
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id", round(qualityScore($"text"), 6).as("quality"))
+      .filter($"quality" >= 0.5)
+      .orderBy($"doc_id")
+  }
+
+  private val q24Sql =
+    s"""SELECT doc_id, quality FROM (
+       |  SELECT doc_id, round(
+       |    0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |    + 0.3 * (CAST(len(list_filter(toks, t -> list_contains(${stopSql("en")}, t))) AS DOUBLE)
+       |             / CAST(greatest(len(toks), 1) AS DOUBLE))
+       |    + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |             / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+       |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents))
+       |WHERE quality >= 0.5
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Token statistics per source: whitespace tokens, BPE-ish subword
+    * tokens, chars — the budget numbers for a training-data corpus.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"source",
+        whitespaceTokenCount($"text").as("ws"),
+        bpeTokenCount($"text").as("bpe"),
+        length($"text").as("chars"))
+      .groupBy($"source")
+      .agg(
+        sum($"ws").as("ws_tokens"),
+        sum($"bpe").as("bpe_tokens"),
+        sum($"chars").as("n_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"source")
+  }
+
+  private val q25Sql =
+    s"""SELECT source,
+       |  sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS ws_tokens,
+       |  sum(len(regexp_extract_all(text, '$bpePattern'))) AS bpe_tokens,
+       |  sum(length(text)) AS n_chars,
+       |  count(*) AS n_docs
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** Both fingerprints per document: the order-insensitive content
+    * fingerprint and the positional rolling fingerprint (detects
+    * reordered vs verbatim duplication when compared).
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        contentFingerprint($"text").as("content_fp"),
+        rollingFingerprint($"text").as("rolling_fp"))
+      .orderBy($"doc_id")
+  }
+
+  private val q26Sql =
+    s"""SELECT doc_id,
+       |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS content_fp,
+       |  CAST(list_sum(list_transform(toks, (x, i) ->
+       |    (CAST(concat('0x', substring(md5(x), 1, 15)) AS BIGINT) % 2147483647 * i) % 2147483647))
+       |    AS BIGINT) AS rolling_fp
+       |FROM (SELECT doc_id, $tokensSql AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_lang_id" -> (q23 _),
+    "q24_quality_score" -> (q24 _),
+    "q25_token_stats" -> (q25 _),
+    "q26_fingerprint" -> (q26 _))
+
+  val oracle: Map[String, String] = Map(
+    "q23_lang_id" -> q23Sql,
+    "q24_quality_score" -> q24Sql,
+    "q25_token_stats" -> q25Sql,
+    "q26_fingerprint" -> q26Sql)
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // 0 and 1: verbatim duplicates after normalization (case/punct differ)
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "The quick, brown FOX jumps over the lazy dog!"),
+    // 2: near-dup of 0 (one word changed)
+    (2L, "the quick brown fox leaps over the lazy dog"),
+    // 3: unrelated
+    (3L, "completely different content about spark query engines and joins"),
+    // 4: reordered tokens of 0 (same bag, different order)
+    (4L, "lazy dog the quick brown fox jumps over the"))
+    .toDF("doc_id", "text")
+
+  test("exactGroups finds normalized verbatim + reordered duplicates") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    val g = groups.head
+    assert(g.getAs[Long]("canonical_id") === 0L)
+    // 0, 1 and 4 share the sorted-distinct token set
+    assert(g.getAs[Seq[Long]]("member_ids") === Seq(0L, 1L, 4L))
+  }
+
+  test("contentFingerprint is order-insensitive, rollingFingerprint is not") {
+    val fps = docs.select($"doc_id",
+      TextFunctions.contentFingerprint($"text").as("c"),
+      TextFunctions.rollingFingerprint($"text").as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fps(0L)._1 === fps(4L)._1) // same bag
+    assert(fps(0L)._2 !== fps(4L)._2) // different order
+    assert(fps(0L)._1 !== fps(3L)._1)
+  }
+
+  test("minhashLshPairs surfaces the verbatim pair and skips unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical shingle sets => identical signatures => every band matches
+    assert(pairs.contains((0L, 1L)))
+    // (0,2) sits at jaccard ~0.4 where this band config catches with
+    // p~0.2 — deliberately NOT asserted (LSH is probabilistic by design;
+    // the oracle gate q28 pins the exact band behavior instead)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated never passes verify
+  }
+
+  test("simhashPairs: verbatim dups at hamming 0; blocking keeps result exact") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", chunks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val verbatim = pairs.find(p => p._1 == 0L && p._2 == 1L)
+    assert(verbatim.exists(_._3 === 0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs with single block matches hand-computed jaccard") {
+    val one = Seq((0L, "abcdef", "x"), (1L, "abcdef", "x")).toDF("doc_id", "text", "blk")
+    val got = Dedup.ngramJaccardPairs(one, "doc_id", "text", "blk", threshold = 0.5).collect()
+    assert(got.length === 1)
+    assert(got.head.getDouble(2) === 1.0)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)))  // opposite of 0
+    .toDF("vec_id", "embedding")
+
+  test("cosineTopK ranks by exact cosine with deterministic ties") {
+    val res = Similarity.cosineTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 3)
+      .orderBy($"rank").collect()
+    assert(res.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(math.abs(res.head.getAs[Double]("cosine") - 0.993884) < 1e-5)
+  }
+
+  test("lshTopK only pairs vectors in the same sign bucket") {
+    val res = Similarity.lshTopK(vecs, vecs, "vec_id", "embedding", k = 3, bits = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // buckets (bits=2, dims 1-2 signs): v0=1, v1=3, v2=2, v3=0 — all
+    // distinct buckets => no candidates anywhere
+    assert(res.isEmpty)
+  }
+
+  test("topPairs returns the global most-similar pair first") {
+    val res = Similarity.topPairs(vecs, "vec_id", "embedding", n = 2).collect()
+    assert((res.head.getLong(0), res.head.getLong(1)) === (0L, 1L))
+  }
+
+  test("langId picks stopword-matching language, und when no hits") {
+    val df = Seq(
+      "the cat is on the mat and it is happy",
+      "el gato y la casa de los perros",
+      "zzz qqq xxx").toDF("text")
+      .select(TextFunctions.langId($"text").as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "es", "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("Hello, world! 42 tokens").toDF("text").select(
+      TextFunctions.whitespaceTokenCount($"text").as("ws"),
+      TextFunctions.bpeTokenCount($"text").as("bpe"))
+    val r = df.collect().head
+    assert(r.getInt(0) === 4)
+    // Hello , world ! 42 tokens => 6
+    assert(r.getInt(1) === 6)
+  }
+}
