@@ -35,6 +35,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 lambda v: "[" + ",".join(str(x) for x in v) + "]"
                 if v is not None and not (isinstance(v, float) and math.isnan(v))
                 else None)
+        elif df[col].map(lambda v: isinstance(v, (bytes, bytearray))).any():
+            # binary cells (blob frames): canonical hex form
+            df[col] = df[col].map(
+                lambda v: bytes(v).hex() if isinstance(v, (bytes, bytearray)) else v)
     if len(df) and len(df.columns):
         df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)

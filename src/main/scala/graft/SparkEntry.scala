@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
       graft.queries.TextAnalytics.queries ++
-      graft.queries.CorpusOps.queries
+      graft.queries.CorpusOps.queries ++
+      graft.queries.MediaStream.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracle ++
       graft.queries.TextAnalytics.oracle ++
-      graft.queries.CorpusOps.oracle
+      graft.queries.CorpusOps.oracle ++
+      graft.queries.MediaStream.oracle
 }

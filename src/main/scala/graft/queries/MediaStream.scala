@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Media
+import graft.streaming.EventStreams
+
+/** Oracle-gated queries for the multimodal plumbing and the batch side
+  * of the streaming surface (streaming-only paths are pinned by
+  * ScalaTest batch/stream equivalence instead — not SQL-expressible).
+  */
+object MediaStream {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---------------------------------------------------------------- q34
+  /** Media ingest metadata profile: documents reinterpreted as opaque
+    * binary payloads, aggregated per kind/format. Exercises the binary
+    * column path end-to-end in SQL (encode -> byte length -> agg).
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Media.fromDocuments(t(s, dir, "documents"))
+      .groupBy(col("kind"), col("format"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(length(col("data"))).as("total_bytes"),
+        max(length(col("data"))).as("max_bytes"))
+      .orderBy(col("kind"))
+
+  private val q34Sql =
+    """SELECT kind, format, count(*) AS n_media,
+      |  sum(octet_length(data)) AS total_bytes,
+      |  max(octet_length(data)) AS max_bytes
+      |FROM (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |    ['png','wav','mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS format,
+      |    encode(text) AS data
+      |  FROM documents)
+      |GROUP BY kind, format
+      |ORDER BY kind""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  /** Frame sampling audit: 4 evenly-spaced 16-byte slices per video
+    * payload; checks offsets and the binary frame content byte-for-byte.
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val media = Media.fromDocuments(t(s, dir, "documents"))
+      .filter(col("kind") === "video")
+    Media.sampleFrames(media, n = 4, frameBytes = 16)
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  // NB: DuckDB 1.0 cannot substring a BLOB, so the oracle slices the
+  // (all-ASCII — byte==char) text and encodes the slice; the Spark plan
+  // slices true bytes. ASCII-ness is asserted by the hash compare
+  // itself (any multibyte doc would diverge).
+  private val q35Sql =
+    """SELECT media_id, kind, frame_no, "offset", frame FROM (
+      |  SELECT media_id, kind, f AS frame_no,
+      |    CAST(floor(f * greatest(length(text) - 16, 0) / 3.0) AS INTEGER) AS "offset",
+      |    encode(substring(text, CAST(floor(f * greatest(length(text) - 16, 0) / 3.0) AS INTEGER) + 1, 16)) AS frame
+      |  FROM (
+      |    SELECT doc_id AS media_id, 'video' AS kind, text
+      |    FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
+      |    (SELECT unnest(range(0, 4)) AS f))
+      |ORDER BY media_id, frame_no""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  /** Batch sessionization (30-min inactivity gap) — the batch twin of
+    * EventStreams.sessionizeStream; oracle rebuilds it from lag +
+    * running-sum window functions.
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    EventStreams.sessionizeBatch(t(s, dir, "events"), gapMin = 30)
+      .orderBy(col("user_id"), col("session_no"))
+
+  private val q36Sql =
+    """SELECT user_id, session_no,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN prev_ts IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000 THEN 1
+      |           ELSE 0 END AS is_new
+      |    FROM (
+      |      SELECT user_id, event_id, ts,
+      |        lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |      FROM events)))
+      |GROUP BY user_id, session_no
+      |ORDER BY user_id, session_no""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_media_meta" -> (q34 _),
+    "q35_frame_sample" -> (q35 _),
+    "q36_sessionize" -> (q36 _))
+
+  val oracle: Map[String, String] = Map(
+    "q34_media_meta" -> q34Sql,
+    "q35_frame_sample" -> q35Sql,
+    "q36_sessionize" -> q36Sql)
+}

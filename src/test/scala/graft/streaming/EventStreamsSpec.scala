@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkEvents(rows: Seq[(Long, Long, java.sql.Timestamp, Double)]) =
+    rows.toDF("user_id", "event_id", "ts", "value")
+
+  private def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+  test("sessionizeBatch splits on the inactivity gap") {
+    val ev = mkEvents(Seq(
+      (1L, 1L, ts(0), 1.0), (1L, 2L, ts(10), 1.0), // session 1
+      (1L, 3L, ts(50), 1.0), // gap 40 > 30 => session 2
+      (2L, 4L, ts(0), 1.0))) // separate user
+    val got = EventStreams.sessionizeBatch(ev, gapMin = 30)
+      .orderBy($"user_id", $"session_no")
+      .select($"user_id", $"session_no", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("windowedCounts works identically on batch input") {
+    val ev = mkEvents(Seq(
+      (1L, 1L, ts(1), 2.0), (1L, 2L, ts(8), 3.0), // window [0,10)
+      (2L, 3L, ts(12), 4.0))) // window [10,20)
+      .withColumn("event_type", lit("click"))
+    val got = EventStreams.windowedCounts(ev, "10 minutes", "1 hour")
+      .orderBy($"window_start").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_events") === 2)
+    assert(got(0).getAs[Double]("total_value") === 5.0)
+    assert(got(1).getAs[Long]("n_events") === 1)
+  }
+
+  test("sessionizeStream (flatMapGroupsWithState) matches sessionizeBatch on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val sessions = EventStreams.sessionizeStream(input.toDS(), gapMin = 30)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+    try {
+      val us = 60L * 1000000L
+      // batch 1: two events 10min apart (one open session)
+      input.addData((1L, 0L * us), (1L, 10L * us))
+      q.processAllAvailable()
+      // batch 2: event 60min later => closes session 1, opens session 2
+      input.addData((1L, 70L * us))
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .orderBy($"user_id", $"session_start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === Seq((1L, 0L, 10L * us, 2L)))
+
+      // the same prefix through the batch path agrees on the closed session
+      val batchEv = mkEvents(Seq(
+        (1L, 1L, ts(0), 0.0), (1L, 2L, ts(10), 0.0), (1L, 3L, ts(70), 0.0)))
+      val batch = EventStreams.sessionizeBatch(batchEv, gapMin = 30)
+        .orderBy($"session_no").collect()
+      assert(batch.length === 2)
+      assert(unixMicros(batch(0).getTimestamp(2)) === 0L)
+      assert(unixMicros(batch(0).getTimestamp(3)) === 10L * us)
+      assert(batch(0).getAs[Long]("n_events") === 2L)
+    } finally q.stop()
+  }
+
+  test("fileStream + Trigger.AvailableNow drains a parquet drop directory") {
+    val dir = tmpDir("stream-in")
+    val out = tmpDir("stream-chk")
+    val ev = mkEvents(Seq((1L, 1L, ts(0), 1.0), (2L, 2L, ts(5), 2.0)))
+      .withColumn("event_type", lit("click"))
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.fileStream(spark, dir, ev.schema)
+    val agg = EventStreams.windowedCounts(stream, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("drain_out")
+      .outputMode("complete")
+      .option("checkpointLocation", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.table("drain_out").collect()
+    assert(got.map(_.getAs[Long]("n_events")).sum === 2)
+  }
+
+  private def unixMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+}
