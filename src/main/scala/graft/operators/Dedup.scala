@@ -3,19 +3,23 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, VectorExpressions}
 
 /** Deduplication operator suite for corpus curation — exact,
   * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
   *
   * Scale design (the 100 TB story):
-  *   - every per-document stage (shingling, signatures, simhash) is a
-  *     narrow codegen'd projection — no shuffle, no state;
+  *   - per-document signature computation runs as explode -> hash ->
+  *     codegen'd grouped aggregation (32 mins / 60 bit-sums as flat
+  *     aggregate columns), NOT as interpreted higher-order lambda folds:
+  *     the hash is computed once per token, partial aggregation combines
+  *     map-side, and the whole stage is whole-stage-codegen. (Measured
+  *     at sf0.1: the lambda-fold formulation was 4-30x slower.)
   *   - candidate generation is always a *blocked* equi-self-join
-  *     (LSH band hash / simhash chunk), never an O(n²) cross join:
-  *     the shuffle is keyed on the block hash, so each reducer sees one
-  *     bucket. Skewed buckets (a shingle every doc shares) are handled
-  *     by AQE skew-join splitting (on in GraftSession);
+  *     (LSH band hash / simhash chunk), never an O(n²) cross join; the
+  *     join ships only (block-key, doc-id) — signature/shingle payloads
+  *     are re-joined AFTER candidate distinct-ing, so the wide shuffle
+  *     carries ids, not arrays.
   *   - verification (true Jaccard / hamming) runs only on candidate
   *     pairs, i.e. cost scales with near-dup density, not corpus size.
   *
@@ -27,23 +31,44 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Mersenne prime 2^31-1: the modulus of the universal hash family
+    * h_k(x) = (a_k * x + b_k) mod p used for the minhash permutations.
+    * Everything stays < 2^62, safe under ANSI BIGINT in both engines.
+    */
+  val P: Long = 2147483647L
+
+  /** Deterministic per-permutation multipliers/offsets (Knuth's
+    * multiplicative constant) — must match the oracle SQL generator.
+    */
+  def hashA(k: Int): Long = ((k + 1L) * 2654435761L + 1L) % P
+  def hashB(k: Int): Long = ((k + 1L) * 40503L) % P
+
   /** Distinct word 3-shingles; whole doc as one shingle when < 3 tokens
     * (keeps short docs dedupable instead of silently dropped).
+    *
+    * IMPORTANT lambda-capture rule: `toks` must be a materialized
+    * attribute (a real column), not an expression — a non-attribute
+    * subtree captured inside the `transform` lambda is RE-EVALUATED on
+    * every element (the whole tokenization would run once per shingle;
+    * measured ~10x the entire signature stage at sf0.1). Callers
+    * project `TextFunctions.tokens(text)` into a column first;
+    * CollapseProject keeps expensive producers out of multi-reference
+    * consumers, so the two-step projection survives optimization.
     */
-  def shingles(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  def shinglesFromToks(toks: Column): Column =
+    array_distinct(shinglesMultiFromToks(toks))
 
-  /** One minhash component: lexicographic min over shingles of the
-    * seeded 15-hex-char md5 prefix. String-min keeps the primitive
-    * bit-portable to the SQL oracle (no integer conversion needed).
+  /** Multiset variant (duplicates kept): min-hash signatures are
+    * invariant under duplicates, so the signature path skips the
+    * per-doc distinct (a boxed string hash-set). element_at avoids
+    * slice()'s per-shingle array allocation.
     */
-  def minhashSig(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => substring(md5(concat(lit(s"$seed|"), x)), 1, 15)))
+  def shinglesMultiFromToks(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array(concat_ws(" ", toks)))
 
   /** Exact duplicate groups after token normalization: documents whose
     * sorted distinct token sets collide. Returns one row per group with
@@ -57,12 +82,21 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("member_ids"))
       .filter(col("n_copies") > 1)
 
+  /** doc -> distinct shingle set (tokens materialized first — see
+    * shinglesFromToks).
+    */
+  private def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), shinglesFromToks(col("toks")).as("sh"))
+
   /** MinHash + banded LSH near-duplicate pairs.
     *
-    * numHashes signature components, grouped into `bands` bands of
-    * numHashes/bands rows; docs sharing any band hash become candidates;
-    * candidates are verified with true Jaccard over distinct shingle
-    * sets and kept at `threshold` or above.
+    * Signature: explode shingles, hash each once (md5-based 60-bit ->
+    * mod p), derive `numHashes` universal-hash values arithmetically,
+    * take grouped MINs (codegen'd, partially aggregated map-side).
+    * Bands of numHashes/bands rows hash to a band key; docs sharing a
+    * band key become candidates; candidates are verified with true
+    * Jaccard over the distinct shingle sets at `threshold`.
     */
   def minhashLshPairs(
       df: DataFrame,
@@ -73,25 +107,40 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSh = df.select(col(idCol).as("doc"), shingles(col(textCol)).as("sh"))
-    val withSig = withSh.select(
-      col("doc") +: col("sh") +:
-        (0 until numHashes).map(k => minhashSig(col("sh"), k).as(s"sig_$k")): _*)
-    // band hash = md5 over the band's signature slice
-    val banded = withSig.select(col("doc"), col("sh"),
+
+    // spread the hash-heavy explode across tasks even when the input is
+    // a single small parquet split (see ngramJaccardPairs note)
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df
+      .repartition(fanout, col(idCol))
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(shinglesMultiFromToks(col("toks"))).as("x"))
+      .withColumn("h", pmod(TextFunctions.hash60(col("x")), lit(P)))
+    val sigs = base.groupBy(col("doc"))
+      .agg(min(pmod(col("h") * hashA(0) + hashB(0), lit(P))).as("sig_0"),
+        (1 until numHashes).map(k =>
+          min(pmod(col("h") * hashA(k) + hashB(k), lit(P))).as(s"sig_$k")): _*)
+    val banded = sigs.select(col("doc"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           md5(concat_ws("|", (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*)).as("bh"))
       }: _*)).as("bk"))
-      .select(col("doc"), col("sh"), col("bk.band"), col("bk.bh"))
+      .select(col("doc"), col("bk.band"), col("bk.bh"))
 
-    val left = banded.select(col("band"), col("bh"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val right = banded.select(col("band"), col("bh"), col("doc").as("doc_b"), col("sh").as("sh_b"))
-    val cand = left.join(right, Seq("band", "bh"))
+    // slim candidate join: ids only, arrays re-attached after distinct
+    val cand = banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc").as("doc_b")), Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // verify against the full doc->shingle-set map in the SAME dag: a
+    // semi-join prune here would execute the candidate pipeline twice
+    // (once for the doc list, once for the result) — with tokens
+    // materialized once, full-corpus shingling is the cheaper side
+    val sh = shingled(df, idCol, textCol)
     cand
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
@@ -99,18 +148,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 60-bit SimHash over word tokens (bit j set when the ±1 vote of
-    * token-hash bit j sums positive). 60 bits keeps every intermediate
-    * positive inside BIGINT under ANSI arithmetic in both engines.
-    * Built as one SQL expression string so the nested higher-order
-    * aggregates read identically to the oracle.
+  /** 60-bit SimHash per document via explode + 60 codegen'd vote sums
+    * (bit j set when the ±1 votes of token-hash bit j sum positive).
+    * Returns (doc, simhash).
+    */
+  def simhashByDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("tk"))
+      .withColumn("h", TextFunctions.hash60(col("tk")))
+    val votes = base.groupBy(col("doc"))
+      .agg(sum(when(shiftright(col("h"), 0).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as("v_0"),
+        (1 until 60).map(j =>
+          sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v_$j")): _*)
+    votes.select(col("doc"),
+      (0 until 60).map(j => when(col(s"v_$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** Single-row-convenience form (tests / per-row use); the operator
+    * path goes through simhashByDoc.
     */
   def simhash60(textCol: String): Column = expr(
     s"""cast(aggregate(sequence(0, 59), 0L, (acc, j) -> acc + if(
-       |  aggregate(filter(split(lower($textCol), '[^a-z0-9]+'), tk -> tk != ''),
-       |            0, (a, tk2) -> a + if(
-       |    (shiftright(cast(conv(substring(md5(tk2), 1, 15), 16, 10) as bigint), j) & 1) = 1,
-       |    1, -1)) > 0,
+       |  aggregate(transform(filter(split(lower($textCol), '[^a-z0-9]+'), tk -> tk != ''),
+       |            tk3 -> cast(conv(substring(md5(tk3), 1, 15), 16, 10) as bigint)),
+       |            0, (a, h2) -> a + if((shiftright(h2, j) & 1) = 1, 1, -1)) > 0,
        |  shiftleft(1L, j), 0L)) as bigint)""".stripMargin)
 
   /** SimHash near-dup pairs at hamming distance <= maxHamming, blocked
@@ -125,7 +188,7 @@ object Dedup {
     require(maxHamming < chunks, "chunk blocking only lossless for maxHamming < chunks")
     val bitsPerChunk = 60 / chunks
     val mask = (1L << bitsPerChunk) - 1
-    val withSim = df.select(col(idCol).as("doc"), simhash60(textCol).as("simhash"))
+    val withSim = simhashByDoc(df, idCol, textCol)
     val chunked = withSim.select(col("doc"), col("simhash"),
       explode(array((0 until chunks).map { c =>
         struct(lit(c).as("chunk"),
@@ -143,8 +206,16 @@ object Dedup {
   }
 
   /** Character n-gram Jaccard near-dup pairs, blocked on an exact key
-    * (e.g. language): per-block pairwise with true char-trigram Jaccard.
-    * The block key bounds the quadratic term to the largest block.
+    * (e.g. language): per-block pairwise over HASHED (60-bit int)
+    * distinct trigram sets, with a size-ratio prune.
+    *
+    * The prune is lossless: J(a,b) >= t implies |a|/|b| and |b|/|a|
+    * >= t (J <= min/max), so pairs failing the ratio test cannot reach
+    * the threshold — the oracle verifies this by computing the
+    * unpruned answer. Hashed grams turn the per-pair intersection from
+    * string hashing into long hashing (~an order of magnitude on the
+    * pairwise hot loop), and the intersection count is computed once
+    * (union = |a|+|b|-|∩|).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -152,19 +223,44 @@ object Dedup {
       textCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
-    val grams = expr(
-      s"""case when length($textCol) >= 3 then
-         |  array_distinct(transform(sequence(1, length($textCol) - 2),
-         |    i -> substring(lower($textCol), i, 3)))
-         |else array(lower($textCol)) end""".stripMargin)
-    val g = df.select(col(blockCol).as("blk"), col(idCol).as("doc"), grams.as("g"))
-    val left = g.select(col("blk"), col("doc").as("doc_a"), col("g").as("g_a"))
-    val right = g.select(col("blk"), col("doc").as("doc_b"), col("g").as("g_b"))
-    left.join(right, Seq("blk"))
-      .filter(col("doc_a") < col("doc_b"))
+    VectorExpressions.register(df.sparkSession)
+    // lc materialized first: substring(lc, i, 3) inside the transform
+    // lambda must capture an attribute, not re-lower the whole document
+    // per gram (see shinglesFromToks)
+    val gramStrings = expr(
+      """case when length(lc) >= 3 then
+        |  array_distinct(transform(sequence(1, length(lc) - 2),
+        |    i -> substring(lc, i, 3)))
+        |else array(lc) end""".stripMargin)
+    // sorted distinct hashed grams: sort once per ROW so the per-PAIR
+    // intersection is a primitive merge scan (SortedIntersectCount)
+    val grams = array_sort(array_distinct(transform(gramStrings, x => TextFunctions.hash60(x))))
+    val g = df
+      .select(col(blockCol).as("blk"), col(idCol).as("doc"), lower(col(textCol)).as("lc"))
+      .select(col("blk"), col("doc"), grams.as("g"))
+      .withColumn("n", size(col("g")))
+    // the probe side carries the quadratic per-pair work; a small input
+    // (one parquet split) would otherwise run it on ONE task. Spreading
+    // by doc id costs a slim shuffle and buys full parallelism — at
+    // production scale the input is already partitioned and this
+    // becomes a cheap even-out pass.
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+    val left = g.repartition(fanout, col("doc"))
+      .select(col("blk"), col("doc").as("doc_a"), col("g").as("g_a"), col("n").as("n_a"))
+    val right = g.select(col("blk"), col("doc").as("doc_b"), col("g").as("g_b"), col("n").as("n_b"))
+    // the block key is LOW-cardinality by design (a language, a length
+    // band): a shuffled join would degenerate to one task per block and
+    // quadratic equal-key buffering in SMJ. Broadcasting the right side
+    // keeps the probe side partition-parallel with zero shuffle; at
+    // production scale the right side is the per-block sample/window
+    // being checked, which is the small side.
+    left.join(broadcast(right), Seq("blk"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_a") * threshold <= col("n_b") && col("n_b") * threshold <= col("n_a"))
+      .withColumn("isect",
+        call_function(VectorExpressions.isectFnName, col("g_a"), col("g_b")).cast("double"))
       .withColumn("jaccard", round(
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double"), 6))
+        col("isect") / (col("n_a") + col("n_b") - col("isect")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

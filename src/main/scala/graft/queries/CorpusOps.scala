@@ -53,12 +53,14 @@ object CorpusOps {
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val q28Sql = {
+    val h60 = hash60Sql.format("x")
     val sig = (0 until 32).map(k =>
-      s"list_min(list_transform(sh, x -> substring(md5(concat('$k|', x)), 1, 15)))")
+      s"list_min(list_transform(hs, h -> (h * ${graft.operators.Dedup.hashA(k)} + ${graft.operators.Dedup.hashB(k)}) % ${graft.operators.Dedup.P}))")
       .mkString("[", ",\n      ", "]")
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
-       |sig AS (SELECT doc_id, sh, $sig AS sig FROM sh),
+       |hs AS (SELECT doc_id, sh, list_transform(sh, x -> $h60 % ${graft.operators.Dedup.P}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh, $sig AS sig FROM hs),
        |bands AS (
        |  SELECT doc_id, sh, b.b AS band,
        |    md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS bh
@@ -101,27 +103,37 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- q30
-  /** Char-trigram Jaccard near-dup pairs blocked by language. */
+  /** Char-trigram Jaccard near-dup pairs blocked by language. 0.75 sits
+    * in the empty band between the planted near-dups (>=0.8) and the
+    * shared-vocabulary background (<0.7 at every sf).
+    */
   private def q30(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        blockCol = "lang", threshold = 0.6)
+        blockCol = "lang", threshold = 0.75)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val q30Sql =
+  // Oracle computes the UNpruned pairwise answer over the same hashed
+  // gram sets — equality proves the engine's size-ratio prune lossless.
+  private val q30Sql = {
+    val h60 = hash60Sql.format("x")
     s"""WITH g AS (
-       |  SELECT lang, doc_id,
-       |    CASE WHEN length(text) >= 3
-       |      THEN list_distinct(list_transform(range(1, length(text) - 1),
-       |        i -> substring(lower(text), CAST(i AS INTEGER), 3)))
-       |      ELSE [lower(text)] END AS g
-       |  FROM documents)
+       |  SELECT lang, doc_id, g, len(g) AS n FROM (
+       |    SELECT lang, doc_id,
+       |      list_distinct(list_transform(
+       |        CASE WHEN length(text) >= 3
+       |          THEN list_distinct(list_transform(range(1, length(text) - 1),
+       |            i -> substring(lower(text), CAST(i AS INTEGER), 3)))
+       |          ELSE [lower(text)] END,
+       |        x -> $h60)) AS g
+       |    FROM documents))
        |SELECT doc_a, doc_b, jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-       |      / CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 6) AS jaccard
+       |      / (a.n + b.n - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)), 6) AS jaccard
        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-       |WHERE jaccard >= 0.6
+       |WHERE jaccard >= 0.75
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------- q31
   /** Embedding near-dup audit: global top-20 most-similar vector pairs
@@ -130,13 +142,17 @@ object CorpusOps {
   private def q31(s: SparkSession, dir: String): DataFrame =
     Similarity.topPairs(t(s, dir, "embeddings"), "vec_id", "embedding", n = 20)
 
-  private val cosSql =
-    """(list_dot_product(%s, %s)
-      | / sqrt(list_dot_product(%s, %s) * list_dot_product(%s, %s)))""".stripMargin
+  /** Norm precomputed per vector (mirrors Similarity.prepped): cosine
+    * is dot/(nrm_a*nrm_b), NOT dot/sqrt(na*nb) — the factored form both
+    * engines must share for bit-identical IEEE results.
+    */
+  private val embCte =
+    "SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+  private val cosSql = "(list_dot_product(%s.v, %s.v) / (%s.nrm * %s.nrm))"
 
   private val q31Sql = {
-    val cos = cosSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    val cos = cosSql.format("a", "b", "a", "b")
+    s"""WITH e AS ($embCte)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 9) AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |ORDER BY $cos DESC, vec_a, vec_b
@@ -153,8 +169,8 @@ object CorpusOps {
   }
 
   private val q32Sql = {
-    val cos = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    val cos = cosSql.format("q", "c", "q", "c")
+    s"""WITH e AS ($embCte)
        |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    $cos AS cosine,
@@ -177,11 +193,10 @@ object CorpusOps {
   }
 
   private val q33Sql = {
-    val cos = cosSql.format("q.v", "c.v", "q.v", "q.v", "c.v", "c.v")
+    val cos = cosSql.format("q", "c", "q", "c")
     val bucket = (0 until 6).map(d =>
       s"(CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucket AS bucket
-       |           FROM embeddings)
+    s"""WITH e AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM ($embCte))
        |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    $cos AS cosine,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -34,14 +34,30 @@ object TextAnalytics {
   /** Language ID distribution: detected language per doc, aggregated
     * with the declared lang column for a confusion-style breakdown.
     */
+  /** Plan shape: explode tokens once, score all languages as codegen'd
+    * conditional sums in ONE grouped aggregation (partial agg map-side),
+    * then the argmax chain over the four score columns. The per-row
+    * `langId` Column (TextFunctions) has the same semantics; this form
+    * hashes each token once instead of once per language lambda.
+    */
   private def q23(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    t(s, dir, "documents")
-      .withColumn("lang_detected", langId($"text"))
+    val toks = t(s, dir, "documents")
+      .select($"doc_id", $"lang", explode_outer(tokens($"text")).as("tk"))
+    val scores = toks.groupBy($"doc_id", $"lang")
+      .agg(sumHits(langOrder.head), langOrder.tail.map(sumHits): _*)
+    val best = greatest(langOrder.map(l => col(s"s_$l")): _*)
+    val detected = langOrder.foldRight(lit("und"): Column) { (l, els) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    scores.withColumn("lang_detected", detected)
       .groupBy($"lang", $"lang_detected")
       .agg(count(lit(1)).as("n_docs"))
       .orderBy($"lang", $"lang_detected")
   }
+
+  private def sumHits(lang: String): Column =
+    sum(when(col("tk").isin(stopwords(lang): _*), 1).otherwise(0)).as(s"s_$lang")
 
   private val q23Sql = {
     val best = langOrder.map(l => s"s_$l").mkString("greatest(", ", ", ")")
