@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the properties that decide whether a plan
+  * survives a 100x scale-up, pinned as tests so a refactor that
+  * silently drops a pushdown or broadcasts the wrong side fails CI —
+  * not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02 filter+project: predicates and column prune reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters:"), "no pushed filters section")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_discount.*"),
+      "l_discount predicate not pushed to scan")
+    // scan must not read money columns the query never touches
+    assert(!p.contains("l_tax"), "scan reads l_tax — column pruning lost")
+    assert(!p.contains("l_comment"), "scan reads l_comment — column pruning lost")
+  }
+
+  test("q01 aggregation runs partial (map-side combine) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), "no hash aggregate")
+    // partial + final pair: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "aggregation is single-phase — partial aggregation lost")
+  }
+
+  test("q03 broadcasts the filtered dimension side, not the fact table") {
+    val p = plan("q03_topk_revenue")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "customer dimension is not broadcast")
+  }
+
+  test("q06 collapses into whole-stage codegen") {
+    // AQE finalizes codegen spans only at execution: run, then inspect
+    val df = SparkEntry.queries("q06_global_agg")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in plan toString;
+    // scan->filter->project->partial agg must share one codegen stage
+    assert(p.contains("*(1) HashAggregate"), "partial agg not in codegen stage 1")
+    assert(p.contains("*(1) Filter"), "filter not fused into the same codegen stage")
+  }
+
+  test("q30 block join broadcasts the build side (degenerate-key guard)") {
+    val p = plan("q30_ngram_jaccard")
+    assert(p.contains("BroadcastHashJoin"),
+      "low-cardinality block join fell back to a shuffled join")
+  }
+
+  test("q32 native vec_dot appears in the plan (no interpreted fold on the hot path)") {
+    val p = plan("q32_cosine_topk")
+    assert(p.contains("vec_dot"), "custom VecDot expression not used")
+    assert(!p.contains("aggregate(zip_with"),
+      "interpreted higher-order fold still on the similarity hot path")
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or a documented rows-only reason") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+}
