@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{SortedIntersectCount, VecDot, VectorExpressions}
+
+/** SparkSessionExtensions entry point: lets ANY session pick up the
+  * native graft expressions declaratively —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * — which is how a cluster rollout ships them (no code change in user
+  * jobs; `vec_dot` / `sorted_intersect_count` become session functions
+  * everywhere, including pure-SQL users). Programmatic callers can use
+  * VectorExpressions.register instead; both paths are idempotent.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(VectorExpressions.fnName),
+      new ExpressionInfo(classOf[VecDot].getName, VectorExpressions.fnName),
+      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(VectorExpressions.isectFnName),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, VectorExpressions.isectFnName),
+      (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))))
+  }
+}

@@ -27,6 +27,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // native graft expressions (vec_dot, sorted_intersect_count)
+      // available to every consumer of this session, incl. pure SQL
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read as epoch-nanos long and normalize in Tables.

@@ -1,0 +1,119 @@
+package graft.changesets
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's scheduled pipeline (EP2, SURVEY.md §3) as a
+  * driver-side runner: file-level change detection → full reconvert →
+  * overwrite publish → catalog metadata → retention. The reference
+  * implements this as a GitHub workflow
+  * (.github/workflows/process-changesets-r2.yml:35-234); here it is
+  * library code so it can run under any scheduler, with the same
+  * state contract (a committed last-modified marker, an overwritten
+  * latest artifact, a metadata index, keep-newest-N retention —
+  * manage-r2.sh:83-105).
+  *
+  * Scale note: "incremental" in the reference is file-level — detect
+  * change, reprocess everything, overwrite. That contract is kept
+  * (it is what the published artifact promises); row-level
+  * incrementality is the streaming module's job
+  * (EventStreams.fileStream + checkpoint).
+  */
+object Pipeline {
+
+  final case class Result(
+      ran: Boolean,
+      rows: Long,
+      published: Option[String],
+      reason: String)
+
+  /** The committed `.last-modified` marker (reference
+    * process-changesets-r2.yml:44-50,224-234).
+    */
+  def readMarker(stateDir: String): Option[String] = {
+    val p = Paths.get(stateDir, ".last-modified")
+    if (Files.exists(p)) Some(Files.readString(p).trim) else None
+  }
+
+  def writeMarker(stateDir: String, value: String): Unit = {
+    Files.createDirectories(Paths.get(stateDir))
+    Files.writeString(Paths.get(stateDir, ".last-modified"), value + "\n")
+  }
+
+  /** One pipeline run.
+    *
+    * @param sourceVersion the upstream change token (the reference uses
+    *                      the HTTP Last-Modified header; any
+    *                      monotonically-changing string works)
+    * @param force         reprocess even when unchanged
+    *                      (workflow_dispatch force, yml:53-58)
+    */
+  def run(
+      spark: SparkSession,
+      inputXml: String,
+      publishDir: String,
+      stateDir: String,
+      sourceVersion: String,
+      force: Boolean = false,
+      keepHistory: Int = 5,
+      opts: ChangesetConverter.Options = ChangesetConverter.Options()): Result = {
+
+    if (!force && readMarker(stateDir).contains(sourceVersion))
+      return Result(ran = false, rows = 0L, published = None,
+        reason = s"unchanged (version $sourceVersion)")
+
+    // convert to a timestamped artifact, then overwrite-publish the
+    // stable name (yml:145-162 publishes changesets.parquet + keeps a
+    // versioned copy; retention below mirrors manage-r2.sh:94-102)
+    val versioned = s"$publishDir/changesets-$sourceVersion.parquet"
+    ChangesetConverter.convert(spark, inputXml, versioned, opts)
+    val rows = spark.read.parquet(versioned).count()
+
+    val latest = s"$publishDir/changesets.parquet"
+    val df = spark.read.parquet(versioned)
+    df.write.mode("overwrite").parquet(latest)
+
+    writeIndex(publishDir, latest, rows, sourceVersion)
+    applyRetention(publishDir, keepHistory)
+    writeMarker(stateDir, sourceVersion)
+    Result(ran = true, rows = rows, published = Some(latest),
+      reason = if (force) "forced" else "source changed")
+  }
+
+  /** The catalog the reference publishes as index.json
+    * (yml:176-222): size, update time token, row count, usage snippet.
+    */
+  def writeIndex(publishDir: String, latest: String, rows: Long, version: String): Unit = {
+    val json =
+      s"""{
+         |  "file": "changesets.parquet",
+         |  "rows": $rows,
+         |  "source_version": "$version",
+         |  "usage": "SELECT COUNT(*) FROM 'changesets.parquet'"
+         |}""".stripMargin
+    Files.writeString(Paths.get(publishDir, "index.json"), json)
+  }
+
+  /** Keep the newest N versioned artifacts (lexicographic on the
+    * version token, mirroring `sort -r | tail -n +N+1` in
+    * manage-r2.sh:94-102).
+    */
+  def applyRetention(publishDir: String, keep: Int): Unit = {
+    val dir = Paths.get(publishDir)
+    if (!Files.exists(dir)) return
+    val versioned = Files.list(dir).toArray.map(_.toString)
+      .filter(p => p.matches(".*/changesets-.*\\.parquet$"))
+      .sorted.reverse
+    versioned.drop(keep).foreach { stale =>
+      deleteRecursively(Paths.get(stale))
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).toArray.foreach(c => deleteRecursively(c.asInstanceOf[java.nio.file.Path]))
+    Files.deleteIfExists(p)
+  }
+}

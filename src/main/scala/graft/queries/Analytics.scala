@@ -599,9 +599,29 @@ object Analytics {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Approximate aggregation (HLL++ distinct, GK quantiles) — the
+    * sketch operators a 100 TB profile pass uses instead of exact
+    * distinct/percentile. No DuckDB oracle on purpose: sketch values
+    * are implementation-defined, so the driver records the rows-only
+    * check; the ScalaTest spec bounds the estimates against exact
+    * values instead.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        approx_count_distinct($"o_custkey", 0.02).as("approx_customers"),
+        percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("approx_median_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_approx_stats" -> (q37 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_topk_revenue" -> (q03 _),

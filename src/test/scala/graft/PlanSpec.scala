@@ -70,7 +70,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("every query has an oracle or a documented rows-only reason") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // sketches are implementation-defined -> rows-only by design,
+    // bounded against exact answers in ApproxSpec instead
+    val rowsOnlyByDesign = Set("q37_approx_stats")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
 }

@@ -1,0 +1,59 @@
+package graft.changesets
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+
+  private def writeXml(ids: Seq[Int]): String = {
+    val body = ids.map(i =>
+      s"""<changeset id="$i" created_at="2024-01-0${i % 9 + 1}T00:00:00Z" open="false" user="u$i" uid="$i" num_changes="1" comments_count="0"/>""")
+      .mkString("\n")
+    val f = Files.createTempFile("pipe", ".osm")
+    Files.writeString(f,
+      s"""<?xml version="1.0" encoding="UTF-8"?>\n<osm version="0.6">\n$body\n</osm>""")
+    f.toString
+  }
+
+  test("change detection: first run processes, unchanged skips, force reruns") {
+    val pub = tmpDir("pipe-pub")
+    val state = tmpDir("pipe-state")
+    val xml = writeXml(Seq(1, 2, 3))
+
+    val r1 = Pipeline.run(spark, xml, pub, state, sourceVersion = "v1")
+    assert(r1.ran && r1.rows === 3L)
+    assert(Files.exists(Paths.get(pub, "index.json")))
+    assert(Pipeline.readMarker(state).contains("v1"))
+    assert(spark.read.parquet(s"$pub/changesets.parquet").count() === 3L)
+
+    val r2 = Pipeline.run(spark, xml, pub, state, sourceVersion = "v1")
+    assert(!r2.ran && r2.reason.contains("unchanged"))
+
+    val r3 = Pipeline.run(spark, xml, pub, state, sourceVersion = "v1", force = true)
+    assert(r3.ran && r3.reason === "forced")
+  }
+
+  test("new source version overwrites the published artifact") {
+    val pub = tmpDir("pipe-pub2")
+    val state = tmpDir("pipe-state2")
+    Pipeline.run(spark, writeXml(Seq(1, 2)), pub, state, sourceVersion = "v1")
+    Pipeline.run(spark, writeXml(Seq(1, 2, 3, 4)), pub, state, sourceVersion = "v2")
+    assert(spark.read.parquet(s"$pub/changesets.parquet").count() === 4L)
+    assert(Pipeline.readMarker(state).contains("v2"))
+    val idx = Files.readString(Paths.get(pub, "index.json"))
+    assert(idx.contains("\"rows\": 4"))
+  }
+
+  test("retention keeps the newest N versioned artifacts") {
+    val pub = tmpDir("pipe-pub3")
+    val state = tmpDir("pipe-state3")
+    val xml = writeXml(Seq(1))
+    (1 to 7).foreach(v =>
+      Pipeline.run(spark, xml, pub, state, sourceVersion = s"v$v", keepHistory = 3))
+    val versioned = Files.list(Paths.get(pub)).toArray.map(_.toString)
+      .filter(_.matches(".*/changesets-v\\d+\\.parquet$")).sorted
+    assert(versioned.length === 3)
+    assert(versioned.last.endsWith("changesets-v7.parquet"))
+  }
+}
