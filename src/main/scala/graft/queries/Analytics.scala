@@ -618,10 +618,95 @@ object Analytics {
       .orderBy($"o_orderpriority")
   }
 
+  // ---------------------------------------------------------------- q38
+  /** Pivot: order counts per priority, one column per order status.
+    * Values enumerated so the plan is one pass (no distinct-scan) —
+    * the only pivot shape that works at 100 TB.
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q38Sql =
+    """SELECT o_orderpriority,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Custom typed Aggregator (TopKAggregator): 3 highest-value orders
+    * per market segment as a bounded O(k) accumulator — partial
+    * aggregation applies, unlike the window-sort formulation (q07/q15)
+    * which shuffles every row. Oracle mirrors with ordered list aggs.
+    */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val top3 = graft.functions.TopKAggregator.topK(3)
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(top3($"o_totalprice", $"o_orderkey").as("top"))
+      .select($"c_mktsegment", $"top.top_values".as("top_values"), $"top.top_ids".as("top_ids"))
+      .orderBy($"c_mktsegment")
+  }
+
+  private val q39Sql =
+    """SELECT c_mktsegment,
+      |  (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_values,
+      |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_ids
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q40
+  /** Ordered collection + array functions: per-user event-type journey
+    * (first 5 steps), distinct-type count, purchase flag. Exercises
+    * collect_list with a deterministic sort, slice, array_distinct,
+    * array_contains.
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // deterministic ordered collect: gather (ts, event_id, type)
+    // structs, array_sort on the leading fields, project the type —
+    // collect_list alone has no order guarantee under parallel agg
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(transform(
+        array_sort(collect_list(struct($"ts", $"event_id", $"event_type"))),
+        x => x("event_type")).as("seq"))
+      .select(
+        $"user_id",
+        slice($"seq", 1, 5).as("first5"),
+        size(array_distinct($"seq")).as("n_types"),
+        array_contains($"seq", "purchase").as("has_purchase"))
+      .orderBy($"user_id")
+  }
+
+  private val q40Sql =
+    """SELECT user_id,
+      |  (list(event_type ORDER BY ts, event_id))[1:5] AS first5,
+      |  len(list_distinct(list(event_type ORDER BY ts, event_id))) AS n_types,
+      |  list_contains(list(event_type ORDER BY ts, event_id), 'purchase') AS has_purchase
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_approx_stats" -> (q37 _),
+    "q38_pivot" -> (q38 _),
+    "q39_topk_udaf" -> (q39 _),
+    "q40_array_journey" -> (q40 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_filter_project" -> (q02 _),
     "q03_topk_revenue" -> (q03 _),
@@ -646,6 +731,9 @@ object Analytics {
     "q22_lag_lead" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
+    "q38_pivot" -> q38Sql,
+    "q39_topk_udaf" -> q39Sql,
+    "q40_array_journey" -> q40Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_topk_revenue" -> q03Sql,
