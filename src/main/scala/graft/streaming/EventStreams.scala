@@ -90,6 +90,43 @@ object EventStreams {
       .toDF("user_id", "session_start_us", "session_end_us", "n_events")
   }
 
+  /** Exactly-once event dedup for at-least-once sources: drops repeats
+    * of (user_id, event_id) arriving within the watermark horizon.
+    * State is bounded by the watermark (the unbounded-state footgun of
+    * plain dropDuplicates on a stream). Batch behavior: plain distinct
+    * on the keys.
+    */
+  def dedupEvents(events: DataFrame, watermarkDur: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDur)
+      .dropDuplicatesWithinWatermark("user_id", "event_id")
+
+  /** Stream-stream interval join: purchases attributed to the click
+    * that preceded them by at most `windowDur` per user (the streaming
+    * twin of q17's banded range join). Both sides carry watermarks so
+    * join state evicts; the time-bound predicate is what makes the
+    * state finite.
+    */
+  def clickPurchaseJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      watermarkDur: String,
+      windowDur: String): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDur)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDur)
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowDur"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
+
   /** File-source stream over a directory of parquet drops — the
     * Spark-native version of the reference's poll-and-reprocess loop
     * (checkpointed, exactly-once, Trigger.AvailableNow for batch-like

@@ -11,7 +11,11 @@ class EventStreamsSpec extends SparkSpec {
   private def mkEvents(rows: Seq[(Long, Long, java.sql.Timestamp, Double)]) =
     rows.toDF("user_id", "event_id", "ts", "value")
 
-  private def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+  // realistic base: event times at/near epoch 0 sit below Spark's
+  // INITIAL stream watermark (0) and interval-join state math drops
+  // them — a real pipeline never has 1970 event times, tests shouldn't
+  private val baseMs = 1700000400000L // multiple of 10 min: window-aligned
+  private def ts(min: Int) = new java.sql.Timestamp(baseMs + min * 60000L)
 
   test("sessionizeBatch splits on the inactivity gap") {
     val ev = mkEvents(Seq(
@@ -63,8 +67,8 @@ class EventStreamsSpec extends SparkSpec {
       val batch = EventStreams.sessionizeBatch(batchEv, gapMin = 30)
         .orderBy($"session_no").collect()
       assert(batch.length === 2)
-      assert(unixMicros(batch(0).getTimestamp(2)) === 0L)
-      assert(unixMicros(batch(0).getTimestamp(3)) === 10L * us)
+      assert(unixMicros(batch(0).getTimestamp(2)) === baseMs * 1000L)
+      assert(unixMicros(batch(0).getTimestamp(3)) === baseMs * 1000L + 10L * us)
       assert(batch(0).getAs[Long]("n_events") === 2L)
     } finally q.stop()
   }
@@ -89,4 +93,44 @@ class EventStreamsSpec extends SparkSpec {
 
   private def unixMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+
+  test("dedupEvents drops within-watermark repeats on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val deduped = EventStreams.dedupEvents(
+      input.toDF().toDF("user_id", "event_id", "ts"), "1 hour")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, 100L, ts(0)), (1L, 100L, ts(1)), (1L, 101L, ts(2)))
+      q.processAllAvailable()
+      input.addData((1L, 100L, ts(3))) // still a dup within horizon
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 100L), (1L, 101L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = EventStreams.clickPurchaseJoin(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      watermarkDur = "1 hour", windowDur = "10 MINUTES")
+    val q = joined.writeStream.format("memory")
+      .queryName("attr_out").outputMode("append").start()
+    try {
+      clicks.addData((1L, 1L, ts(0)), (2L, 2L, ts(0)))
+      purchases.addData((1L, 10L, ts(5)),  // within 10 min of click 1
+        (1L, 11L, ts(30)),                 // too late
+        (2L, 12L, ts(9)))                  // within, other user
+      q.processAllAvailable()
+      val got = spark.table("attr_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id")))
+      assert(got.toSet === Set((1L, 1L, 10L), (2L, 2L, 12L)))
+    } finally q.stop()
+  }
 }
