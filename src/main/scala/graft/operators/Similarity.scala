@@ -99,6 +99,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 9).as("cosine"))
   }
 
+  /** IVF-lite approximate top-k: a coarse quantizer (the `centroids`
+    * frame — in production a k-means model; any deterministic small
+    * vector set works) assigns every vector to its nearest centroid
+    * (inverted list); queries search only their own list (nprobe=1).
+    *
+    * Plan shape: centroids broadcast for assignment (|C| cosines per
+    * row, embarrassingly parallel), then a keyed equi-join on
+    * cluster id — the corpus shuffles once by cluster, which is the
+    * IVF promise: probe cost |C| + |cluster|, not |corpus|.
+    * Assignment tie-breaks on centroid id, rankings on neighbor id.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val cent = prepped(centroids, idCol, vecCol, "centroid_id", "centv", "centn")
+
+    def assigned(df: DataFrame, idAs: String, vecAs: String, nrmAs: String): DataFrame = {
+      val p = prepped(df, idCol, vecCol, idAs, vecAs, nrmAs)
+      val scored = p.join(broadcast(cent), lit(true))
+        .withColumn("c_cos", dot(col(vecAs), col("centv")) / (col(nrmAs) * col("centn")))
+      val w = Window.partitionBy(col(idAs))
+        .orderBy(col("c_cos").desc, col("centroid_id"))
+      scored.withColumn("c_rank", row_number().over(w))
+        .filter(col("c_rank") === 1)
+        .select(col(idAs), col(vecAs), col(nrmAs), col("centroid_id").as("cluster"))
+    }
+
+    val q = assigned(queries, "query_id", "qv", "qn")
+    val c = assigned(corpus, "neighbor_id", "cv", "cn")
+    val scored = c.join(broadcast(q), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 9).as("cosine"))
+  }
+
   /** Most-similar pairs across the corpus (embedding near-dup
     * detection): exact pairwise cosine, global top-n pairs. At scale the
     * same verification runs behind an LSH candidate filter (lshTopK);

@@ -207,7 +207,45 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q41
+  /** IVF-lite ANN: 16 coarse centroids (the first 16 corpus vectors —
+    * a deterministic stand-in for a trained k-means codebook), nearest-
+    * centroid inverted lists, nprobe=1, top-3 within list for queries
+    * vec_id < 50.
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 50), emb, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q41Sql = {
+    val cosQC = cosSql.format("q", "c", "q", "c")
+    s"""WITH e AS ($embCte),
+       |cent AS (SELECT vec_id AS centroid_id, v AS centv, nrm AS centn FROM e WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, centroid_id AS cluster FROM (
+       |    SELECT e.vec_id, e.v, e.nrm, cent.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        (list_dot_product(e.v, cent.centv) / (e.nrm * cent.centn)) DESC,
+       |        cent.centroid_id) AS c_rank
+       |    FROM e, cent)
+       |  WHERE c_rank = 1)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cosQC AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosQC DESC, c.vec_id) AS rank
+       |  FROM assigned q JOIN assigned c
+       |    ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 50)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
     "q28_minhash_lsh" -> (q28 _),
     "q29_simhash" -> (q29 _),
@@ -217,6 +255,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q29_simhash" -> q29Sql,

@@ -88,6 +88,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(res.isEmpty)
   }
 
+  test("ivfTopK searches only the query's inverted list") {
+    // centroids: v0 (x-axis) and v2 (y-axis). v1 assigns to v0's list,
+    // v3 (opposite of x) to v2's list (cos -1 vs 0 => y wins).
+    val cents = vecs.filter($"vec_id" === 0L || $"vec_id" === 2L)
+    val res = Similarity.ivfTopK(vecs, vecs, cents, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(res.contains((0L, 1L)) && res.contains((1L, 0L))) // same list
+    assert(!res.contains((0L, 2L))) // different list, never compared
+    assert(res.contains((2L, 3L))) // v3 lands in y-list with v2
+  }
+
   test("topPairs returns the global most-similar pair first") {
     val res = Similarity.topPairs(vecs, "vec_id", "embedding", n = 2).collect()
     assert((res.head.getLong(0), res.head.getLong(1)) === (0L, 1L))
