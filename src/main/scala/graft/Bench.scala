@@ -4,8 +4,12 @@ package graft
   * SPARK_GRAFT_SF_DIR and prints one JSON line the driver collects
   * into BENCH_r{N}.json. Timing includes plan + execution to a count
   * (forces the whole plan; avoids driver-side materialization cost).
-  * A warmup pass on the smallest table amortizes JVM/codegen startup
-  * out of the first measured query.
+  *
+  * Each query runs twice and reports the second (steady-state) time:
+  * the first run pays JIT + codegen compilation + parquet footer
+  * reads, which at test scale dominates the actual work and varies
+  * 2-3x run to run. A production job pays those once per executor
+  * lifetime, so steady-state is the honest number for plan quality.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -14,11 +18,16 @@ object Bench {
     // warmup: JIT/codegen/parquet-footer caches
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      once(name, fn) // warm: codegen compile, JIT, IO caches
+      name -> once(name, fn) // measured: steady state
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{SortedIntersectCount, VecDot, VectorExpressions}
+import graft.functions.{SortedIntersectCount, StripVecDotCasts, VecDot, VectorExpressions}
 
 /** SparkSessionExtensions entry point: lets ANY session pick up the
   * native graft expressions declaratively —
@@ -18,6 +18,8 @@ import graft.functions.{SortedIntersectCount, VecDot, VectorExpressions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // zero-copy float vectors under vec_dot (see StripVecDotCasts)
+    ext.injectOptimizerRule(_ => StripVecDotCasts)
     ext.injectFunction((
       FunctionIdentifier(VectorExpressions.fnName),
       new ExpressionInfo(classOf[VecDot].getName, VectorExpressions.fnName),

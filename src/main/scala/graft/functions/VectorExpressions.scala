@@ -6,7 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Cast, LambdaFunction, NamedLambdaVariable}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst expression for the vector hot path.
   *
@@ -25,30 +28,48 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case _ => None
+  }
+
+  /** Accepts array<double> OR array<float> per side — float components
+    * widen to double exactly (IEEE), so mixing sides is loss-free and
+    * StripVecDotCasts can remove upstream per-row double copies.
+    */
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })
+    val ok = Seq(left, right).forall(e => elemType(e).isDefined)
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<double> arguments, " +
+      s"$prettyName requires array<double>/array<float> arguments, " +
         s"got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  private def get(x: ArrayData, i: Int, t: DataType): Double = t match {
+    case DoubleType => x.getDouble(i)
+    case _ => x.getFloat(i).toDouble
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += x.getDouble(i) * y.getDouble(i)
+      s += get(x, i, lt) * get(y, i, rt)
       i += 1
     }
     s
+  }
+
+  private def genGet(arr: String, i: String, t: DataType): String = t match {
+    case DoubleType => s"$arr.getDouble($i)"
+    case _ => s"((double) $arr.getFloat($i))"
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,7 +81,7 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  $s += ${genGet(a, i, elemType(left).get)} * ${genGet(b, i, elemType(right).get)};
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -135,6 +156,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule: `vec_dot(transform(v, x -> cast(x as double)), …)`
+  * over an `array<float>` source drops the transform — VecDot reads
+  * floats directly (exact widening), so the per-row double-array copy
+  * (allocation + write of every vector on every scan) is pure waste.
+  * Callers can therefore write the natural `asDoubleVec` form and the
+  * plan still runs zero-copy. Injected via GraftExtensions.
+  */
+object StripVecDotCasts extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case VecDot(l, r) => VecDot(strip(l), strip(r))
+    }
+
+  private def strip(e: Expression): Expression = e match {
+    case ArrayTransform(child,
+        LambdaFunction(c: Cast, Seq(v: NamedLambdaVariable), _))
+        if c.dataType == DoubleType && c.child.semanticEquals(v) &&
+          child.dataType.isInstanceOf[ArrayType] &&
+          child.dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+      child
+    case _ => e
+  }
 }
 
 object VectorExpressions {

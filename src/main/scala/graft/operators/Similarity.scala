@@ -45,15 +45,25 @@ object Similarity {
       when(element_at(v, d + 1) > 0d, lit(1 << d)).otherwise(lit(0)))
       .reduce(_ + _)
 
-  /** id + double vector + precomputed norm, the pre-join projection all
+  /** id + RAW vector + precomputed norm, the pre-join projection all
     * plans share (norms must never be computed inside the pair loop).
+    * The vector stays in its source type: `dotWide` casts inline, and
+    * with GraftExtensions active StripVecDotCasts removes even that —
+    * float payloads shuffle at half the width and VecDot reads them
+    * zero-copy (widening is IEEE-exact, results unchanged).
     */
   private def prepped(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String, nrmAs: String): DataFrame = {
     VectorExpressions.register(df.sparkSession)
-    df.select(col(idCol).as(idAs), asDoubleVec(col(vecCol)).as(vecAs))
-      .withColumn(nrmAs, sqrt(dot(col(vecAs), col(vecAs))))
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs))
+      .withColumn(nrmAs, sqrt(dotWide(col(vecAs), col(vecAs))))
   }
+
+  /** dot over vectors of any float width (cast folded away for float
+    * sources by StripVecDotCasts).
+    */
+  private def dotWide(a: Column, b: Column): Column =
+    dot(asDoubleVec(a), asDoubleVec(b))
 
   /** Exact top-k neighbors for each query vector (self-match excluded).
     * Output: query_id, neighbor_id, rank, cosine.
@@ -67,7 +77,7 @@ object Similarity {
     val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
     val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dotWide(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -91,7 +101,7 @@ object Similarity {
       .withColumn("bucket", signBucket(col("cv"), bits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dotWide(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -122,7 +132,7 @@ object Similarity {
     def assigned(df: DataFrame, idAs: String, vecAs: String, nrmAs: String): DataFrame = {
       val p = prepped(df, idCol, vecCol, idAs, vecAs, nrmAs)
       val scored = p.join(broadcast(cent), lit(true))
-        .withColumn("c_cos", dot(col(vecAs), col("centv")) / (col(nrmAs) * col("centn")))
+        .withColumn("c_cos", dotWide(col(vecAs), col("centv")) / (col(nrmAs) * col("centn")))
       val w = Window.partitionBy(col(idAs))
         .orderBy(col("c_cos").desc, col("centroid_id"))
       scored.withColumn("c_rank", row_number().over(w))
@@ -134,7 +144,7 @@ object Similarity {
     val c = assigned(corpus, "neighbor_id", "cv", "cn")
     val scored = c.join(broadcast(q), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dotWide(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -155,7 +165,7 @@ object Similarity {
     val a = prepped(corpus, idCol, vecCol, "vec_a", "va", "na_")
     val b = prepped(corpus, idCol, vecCol, "vec_b", "vb", "nb_")
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na_") * col("nb_")))
+      .withColumn("cosine", dotWide(col("va"), col("vb")) / (col("na_") * col("nb_")))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(n)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 9).as("cosine"))

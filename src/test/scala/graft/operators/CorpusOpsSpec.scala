@@ -104,6 +104,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert((res.head.getLong(0), res.head.getLong(1)) === (0L, 1L))
   }
 
+  test("StripVecDotCasts removes the double-copy transform over float arrays") {
+    val df = Similarity.cosineTopK(
+      vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 1)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // vec_dot must consume the float attributes directly — no
+    // transform(..., cast(double)) left anywhere under it
+    assert(optimized.contains("vec_dot"), "vec_dot missing from plan")
+    assert(!optimized.matches("(?s).*vec_dot\\(transform.*"),
+      s"cast-transform survived under vec_dot:\n$optimized")
+    // and results are unchanged (widening is exact)
+    val r = df.collect().head
+    assert(r.getAs[Long]("neighbor_id") === 1L)
+    assert(math.abs(r.getAs[Double]("cosine") - 0.993884) < 1e-5)
+  }
+
   test("langId picks stopword-matching language, und when no hits") {
     val df = Seq(
       "the cat is on the mat and it is happy",
