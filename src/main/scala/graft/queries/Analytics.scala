@@ -700,10 +700,68 @@ object Analytics {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Outer-join aggregation distribution (TPC-H Q13 shape): orders per
+    * customer including zero-order customers (LEFT join + count(col)
+    * null semantics), re-aggregated into a histogram.
+    */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCustomer = t(s, dir, "customer")
+      .join(t(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_outer")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("n_orders"))
+    perCustomer.groupBy($"n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_customers".desc, $"n_orders")
+  }
+
+  private val q42Sql =
+    """SELECT n_orders, count(*) AS n_customers FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY n_orders
+      |ORDER BY n_customers DESC, n_orders""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  /** Unpivot (wide -> long): the three lineitem money measures melted
+    * to (measure, value) rows and aggregated per measure.
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount", $"l_tax")
+      .unpivot(
+        ids = Array($"l_orderkey"),
+        values = Array($"l_extendedprice", $"l_discount", $"l_tax"),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy($"measure")
+      .agg(asDouble(sum(dec($"value"))).as("total"),
+        count(lit(1)).as("n_values"))
+      .orderBy($"measure")
+  }
+
+  private val q43Sql =
+    """SELECT measure,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  count(*) AS n_values
+      |FROM (
+      |  SELECT l_orderkey, 'l_extendedprice' AS measure, l_extendedprice AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+      |GROUP BY measure
+      |ORDER BY measure""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_approx_stats" -> (q37 _),
+    "q42_order_distribution" -> (q42 _),
+    "q43_unpivot" -> (q43 _),
     "q38_pivot" -> (q38 _),
     "q39_topk_udaf" -> (q39 _),
     "q40_array_journey" -> (q40 _),
@@ -731,6 +789,8 @@ object Analytics {
     "q22_lag_lead" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
+    "q42_order_distribution" -> q42Sql,
+    "q43_unpivot" -> q43Sql,
     "q38_pivot" -> q38Sql,
     "q39_topk_udaf" -> q39Sql,
     "q40_array_journey" -> q40Sql,
