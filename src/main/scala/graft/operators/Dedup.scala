@@ -154,6 +154,7 @@ object Dedup {
     */
   def simhashByDoc(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol))
       .select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("tk"))
       .withColumn("h", TextFunctions.hash60(col("tk")))

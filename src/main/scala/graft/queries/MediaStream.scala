@@ -97,12 +97,44 @@ object MediaStream {
       |GROUP BY user_id, session_no
       |ORDER BY user_id, session_no""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** The mapPartitions decode path end-to-end: documents -> opaque
+    * media -> typed Dataset -> stub feature extraction. The stub's
+    * features are deterministic byte arithmetic, so even this
+    * JVM-side path carries an exact SQL oracle (byte values recovered
+    * in DuckDB as ASCII codepoints — all-ASCII corpus, see q35 note).
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.fromDocuments(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"), col("duration_ms"),
+        round(col("byte_mean"), 6).as("byte_mean"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q44Sql =
+    """SELECT doc_id AS media_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+      |  CAST(length(text) AS BIGINT) AS n_bytes,
+      |  CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+      |  CAST(length(text) % 480 + 1 AS INTEGER) AS height,
+      |  CAST(length(text) * 10 AS BIGINT) AS duration_ms,
+      |  round(CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |    i -> unicode(text[CAST(i AS INTEGER):CAST(i AS INTEGER)]))) AS DOUBLE)
+      |    / length(text), 6) AS byte_mean
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_media_decode" -> (q44 _),
     "q34_media_meta" -> (q34 _),
     "q35_frame_sample" -> (q35 _),
     "q36_sessionize" -> (q36 _))
 
   val oracle: Map[String, String] = Map(
+    "q44_media_decode" -> q44Sql,
     "q34_media_meta" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
     "q36_sessionize" -> q36Sql)
