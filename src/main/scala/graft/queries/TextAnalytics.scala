@@ -150,13 +150,62 @@ object TextAnalytics {
        |FROM (SELECT doc_id, $tokensSql AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** Deterministic stratified sampling — the reproducible corpus-
+    * downsampling operator (rand()-based sampleBy is not replayable
+    * across retries/engines): keep ~20% of documents per language by
+    * thresholding the md5-derived hash of the doc id. Rates are exact
+    * functions of the data, so reruns and the oracle agree bit-wise.
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter(pmod(graft.functions.TextFunctions.hash60(concat(lit("sample|"), $"doc_id")), lit(100)) < 20)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length($"text")).as("sampled_chars"))
+      .orderBy($"lang")
+  }
+
+  private val q45Sql =
+    """SELECT lang, count(*) AS n_sampled, sum(length(text)) AS sampled_chars
+      |FROM documents
+      |WHERE CAST(concat('0x', substring(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 20
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  /** Histogram binning: document lengths in fixed 50-char buckets
+    * (floor-division binning — the portable form of width_bucket).
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy(floor($"n_chars" / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+      .orderBy($"bucket")
+  }
+
+  private val q46Sql =
+    """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+      |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_stratified_sample" -> (q45 _),
+    "q46_histogram" -> (q46 _),
     "q23_lang_id" -> (q23 _),
     "q24_quality_score" -> (q24 _),
     "q25_token_stats" -> (q25 _),
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q45_stratified_sample" -> q45Sql,
+    "q46_histogram" -> q46Sql,
     "q23_lang_id" -> q23Sql,
     "q24_quality_score" -> q24Sql,
     "q25_token_stats" -> q25Sql,
