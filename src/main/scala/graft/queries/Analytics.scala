@@ -756,10 +756,78 @@ object Analytics {
       |GROUP BY measure
       |ORDER BY measure""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Exact interpolated quantiles per group (verified bit-identical to
+    * DuckDB's quantile_cont — both use linear interpolation over the
+    * sorted group). The exact counterpart of q37's sketches.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("q50"),
+        expr("percentile(o_totalprice, 0.9)").as("q90"),
+        expr("percentile(o_totalprice, 0.99)").as("q99"))
+      .orderBy($"o_orderpriority")
+  }
+
+  private val q47Sql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(o_totalprice, 0.5) AS q50,
+      |  quantile_cont(o_totalprice, 0.9) AS q90,
+      |  quantile_cont(o_totalprice, 0.99) AS q99
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  /** Statistical moments computed the determinism-safe way: raw sums in
+    * exact DECIMAL (order-independent), moments assembled with one
+    * fixed double-expression at the end. Built-in corr/stddev
+    * accumulate doubles in partition order — nondeterministic under
+    * parallel aggregation — so they can never be hash-gated; this
+    * formulation can, and is how a 100 TB profile should compute them.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_extendedprice")
+    val g = t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(x)).as("sx"), asDouble(sum(y)).as("sy"),
+        asDouble(sum(x * x)).as("sxx"), asDouble(sum(x * y)).as("sxy"),
+        asDouble(sum(y * y)).as("syy"))
+    g.select($"l_returnflag", $"n",
+        round(sqrt(($"n" * $"sxx" - $"sx" * $"sx") / ($"n" * ($"n" - 1))), 6).as("stddev_qty"),
+        round((($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy"))), 6)
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q48Sql =
+    """SELECT l_returnflag, n,
+      |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS stddev_qty,
+      |  round((n * sxy - sx * sy)
+      |    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      |  FROM lineitem
+      |  GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_approx_stats" -> (q37 _),
+    "q47_exact_quantiles" -> (q47 _),
+    "q48_exact_moments" -> (q48 _),
     "q42_order_distribution" -> (q42 _),
     "q43_unpivot" -> (q43 _),
     "q38_pivot" -> (q38 _),
@@ -789,6 +857,8 @@ object Analytics {
     "q22_lag_lead" -> (q22 _))
 
   val oracle: Map[String, String] = Map(
+    "q47_exact_quantiles" -> q47Sql,
+    "q48_exact_moments" -> q48Sql,
     "q42_order_distribution" -> q42Sql,
     "q43_unpivot" -> q43Sql,
     "q38_pivot" -> q38Sql,
