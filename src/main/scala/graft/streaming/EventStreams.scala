@@ -127,6 +127,26 @@ object EventStreams {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** foreachBatch publish sink: lands each micro-batch as date-
+    * partitioned parquet (append), giving the lakehouse layout
+    * downstream batch queries prune on — the streaming half of the
+    * Pipeline publish contract. Batch id is recorded per row so
+    * replayed batches are idempotently identifiable.
+    */
+  def publishByDay(stream: DataFrame, outDir: String, checkpoint: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch
+          .withColumn("day", to_date(col("ts")))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append")
+          .partitionBy("day")
+          .parquet(outDir)
+      }
+      .start()
+
   /** File-source stream over a directory of parquet drops — the
     * Spark-native version of the reference's poll-and-reprocess loop
     * (checkpointed, exactly-once, Trigger.AvailableNow for batch-like

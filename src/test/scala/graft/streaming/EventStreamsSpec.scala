@@ -94,6 +94,30 @@ class EventStreamsSpec extends SparkSpec {
   private def unixMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000
 
+  test("publishByDay lands date-partitioned parquet and batch queries prune partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmpDir("publish-out")
+    val chk = tmpDir("publish-chk")
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStreams.publishByDay(
+      input.toDF().toDF("user_id", "event_id", "ts"), out, chk)
+    try {
+      input.addData((1L, 1L, ts(0)), (2L, 2L, ts(24 * 60))) // two days
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val published = spark.read.parquet(out)
+    assert(published.count() === 2)
+    // a day filter must reach the scan as a PartitionFilter, not a data filter
+    val day1 = published.filter(org.apache.spark.sql.functions.col("day") ===
+      new java.sql.Date(baseMs))
+    day1.collect()
+    val plan = day1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter not applied as partition filter:\n$plan")
+    assert(day1.count() === 1)
+  }
+
   test("dedupEvents drops within-watermark repeats on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
