@@ -206,6 +206,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation (each node adopts the smallest label among itself and
+    * its neighbors until fixpoint) — the step that turns pairwise
+    * near-dup DETECTION into dedup GROUPS. Returns (doc, cluster) where
+    * cluster is the component's minimum doc id.
+    *
+    * Scale: each iteration is one join + one aggregate keyed on the
+    * node id; iterations needed = component diameter (near-dup
+    * clusters are shallow — single digits). Lineage is truncated per
+    * iteration with an eager localCheckpoint, the local[*] stand-in
+    * for checkpointing to reliable storage on a cluster.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("dst"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node").as("doc"), col("label").as("cluster"))
+  }
+
   /** Character n-gram Jaccard near-dup pairs, blocked on an exact key
     * (e.g. language): per-block pairwise over HASHED (60-bit int)
     * distinct trigram sets, with a size-ratio prune.

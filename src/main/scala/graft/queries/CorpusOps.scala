@@ -244,7 +244,41 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q49
+  /** Near-dup pairs -> dedup clusters: connected components over the
+    * q28 MinHash pair graph, one row per multi-member cluster with the
+    * canonical (minimum) doc id and sorted members. Oracle rebuilds the
+    * transitive closure with a recursive CTE — an independent
+    * fixpoint formulation of the same components.
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("doc"))).as("member_ids"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q49Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach AS (
+       |  SELECT n, n AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS n, reach.r FROM reach JOIN edges e ON reach.n = e.a)
+       |SELECT cluster, count(*) AS n_members,
+       |  list_sort(list(doc)) AS member_ids
+       |FROM (SELECT n AS doc, min(r) AS cluster FROM reach GROUP BY n)
+       |GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
     "q28_minhash_lsh" -> (q28 _),
@@ -255,6 +289,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,

@@ -104,6 +104,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert((res.head.getLong(0), res.head.getLong(1)) === (0L, 1L))
   }
 
+  test("connectedComponents merges chains transitively, keeps islands apart") {
+    // chain 1-2-3 (no direct 1-3 edge) + island 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+  }
+
   test("StripVecDotCasts removes the double-copy transform over float arrays") {
     val df = Similarity.cosineTopK(
       vecs.filter($"vec_id" === 0L), vecs, "vec_id", "embedding", k = 1)
