@@ -223,8 +223,14 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // materialize the pair list ONCE: the input is typically an
+    // expensive similarity pipeline (LSH + verify), and every loop
+    // iteration below re-executes the edge lineage otherwise (the
+    // union alone would already evaluate it twice per job)
+    val basePairs = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    val edges = basePairs
+      .union(basePairs.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)

@@ -571,7 +571,7 @@ object Analytics {
 
   private val q21Sql =
     """SELECT event_type, count(*) AS n_events,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events
       |GROUP BY event_type
@@ -651,21 +651,28 @@ object Analytics {
   private def q39(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val top3 = graft.functions.TopKAggregator.topK(3)
+    // one row per (segment, rank): arrays never reach the output
+    // schema (the driver's oracle compare hashes scalar cells only)
     t(s, dir, "orders")
       .join(broadcast(t(s, dir, "customer")), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(top3($"o_totalprice", $"o_orderkey").as("top"))
-      .select($"c_mktsegment", $"top.top_values".as("top_values"), $"top.top_ids".as("top_ids"))
-      .orderBy($"c_mktsegment")
+      .select($"c_mktsegment",
+        posexplode(arrays_zip($"top.top_values".as("v"), $"top.top_ids".as("i"))))
+      .select($"c_mktsegment", ($"pos" + 1).cast("long").as("rnk"),
+        $"col.v".as("top_value"), $"col.i".as("top_id"))
+      .orderBy($"c_mktsegment", $"rnk")
   }
 
   private val q39Sql =
-    """SELECT c_mktsegment,
-      |  (list(o_totalprice ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_values,
-      |  (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[1:3] AS top_ids
-      |FROM orders JOIN customer ON o_custkey = c_custkey
-      |GROUP BY c_mktsegment
-      |ORDER BY c_mktsegment""".stripMargin
+    """SELECT c_mktsegment, rnk, o_totalprice AS top_value, o_orderkey AS top_id
+      |FROM (
+      |  SELECT c_mktsegment, o_totalprice, o_orderkey,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rnk <= 3
+      |ORDER BY c_mktsegment, rnk""".stripMargin
 
   // ---------------------------------------------------------------- q40
   /** Ordered collection + array functions: per-user event-type journey
@@ -685,7 +692,9 @@ object Analytics {
         x => x("event_type")).as("seq"))
       .select(
         $"user_id",
-        slice($"seq", 1, 5).as("first5"),
+        // pipe-joined string, not an array: the driver compare cannot
+        // hash list cells (event types never contain '|')
+        concat_ws("|", slice($"seq", 1, 5)).as("first5"),
         size(array_distinct($"seq")).as("n_types"),
         array_contains($"seq", "purchase").as("has_purchase"))
       .orderBy($"user_id")
@@ -693,7 +702,7 @@ object Analytics {
 
   private val q40Sql =
     """SELECT user_id,
-      |  (list(event_type ORDER BY ts, event_id))[1:5] AS first5,
+      |  array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '|') AS first5,
       |  len(list_distinct(list(event_type ORDER BY ts, event_id))) AS n_types,
       |  list_contains(list(event_type ORDER BY ts, event_id), 'purchase') AS has_purchase
       |FROM events

@@ -31,12 +31,14 @@ object CorpusOps {
   /** Exact dedup groups on the normalized content fingerprint. */
   private def q27(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+      // comma-joined id list: the driver compare cannot hash list cells
+      .withColumn("member_ids", concat_ws(",", col("member_ids")))
       .orderBy(col("content_fp"))
 
   private val q27Sql =
     s"""SELECT content_fp, canonical_id, n_copies, member_ids FROM (
        |  SELECT content_fp, min(doc_id) AS canonical_id, count(*) AS n_copies,
-       |    list_sort(list(doc_id)) AS member_ids
+       |    array_to_string(list_sort(list(doc_id)), ',') AS member_ids
        |  FROM (SELECT doc_id, md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS content_fp
        |        FROM documents)
        |  GROUP BY content_fp)
@@ -257,7 +259,7 @@ object CorpusOps {
     Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
-        sort_array(collect_list(col("doc"))).as("member_ids"))
+        concat_ws(",", sort_array(collect_list(col("doc")))).as("member_ids"))
       .orderBy(col("cluster"))
   }
 
@@ -272,7 +274,7 @@ object CorpusOps {
        |  UNION
        |  SELECT e.b AS n, reach.r FROM reach JOIN edges e ON reach.n = e.a)
        |SELECT cluster, count(*) AS n_members,
-       |  list_sort(list(doc)) AS member_ids
+       |  array_to_string(list_sort(list(doc)), ',') AS member_ids
        |FROM (SELECT n AS doc, min(r) AS cluster FROM reach GROUP BY n)
        |GROUP BY cluster
        |ORDER BY cluster""".stripMargin

@@ -31,7 +31,7 @@ object MediaStream {
 
   private val q34Sql =
     """SELECT kind, format, count(*) AS n_media,
-      |  sum(octet_length(data)) AS total_bytes,
+      |  CAST(sum(octet_length(data)) AS BIGINT) AS total_bytes,
       |  max(octet_length(data)) AS max_bytes
       |FROM (
       |  SELECT doc_id,
@@ -50,18 +50,22 @@ object MediaStream {
     val media = Media.fromDocuments(t(s, dir, "documents"))
       .filter(col("kind") === "video")
     Media.sampleFrames(media, n = 4, frameBytes = 16)
+      // the binary path runs end-to-end; the OUTPUT cell is hex text
+      // because the driver compare cannot hash blob cells
+      .withColumn("frame", hex(col("frame")))
       .orderBy(col("media_id"), col("frame_no"))
   }
 
   // NB: DuckDB 1.0 cannot substring a BLOB, so the oracle slices the
   // (all-ASCII — byte==char) text and encodes the slice; the Spark plan
   // slices true bytes. ASCII-ness is asserted by the hash compare
-  // itself (any multibyte doc would diverge).
+  // itself (any multibyte doc would diverge). Both engines' hex() are
+  // uppercase.
   private val q35Sql =
     """SELECT media_id, kind, frame_no, "offset", frame FROM (
       |  SELECT media_id, kind, f AS frame_no,
       |    CAST(floor(f * greatest(length(text) - 16, 0) / 3.0) AS INTEGER) AS "offset",
-      |    encode(substring(text, CAST(floor(f * greatest(length(text) - 16, 0) / 3.0) AS INTEGER) + 1, 16)) AS frame
+      |    hex(encode(substring(text, CAST(floor(f * greatest(length(text) - 16, 0) / 3.0) AS INTEGER) + 1, 16))) AS frame
       |  FROM (
       |    SELECT doc_id AS media_id, 'video' AS kind, text
       |    FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2),
@@ -78,7 +82,7 @@ object MediaStream {
       .orderBy(col("user_id"), col("session_no"))
 
   private val q36Sql =
-    """SELECT user_id, session_no,
+    """SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
       |  min(ts) AS session_start, max(ts) AS session_end,
       |  count(*) AS n_events
       |FROM (

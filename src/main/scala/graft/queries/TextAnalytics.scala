@@ -119,9 +119,9 @@ object TextAnalytics {
 
   private val q25Sql =
     s"""SELECT source,
-       |  sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS ws_tokens,
-       |  sum(len(regexp_extract_all(text, '$bpePattern'))) AS bpe_tokens,
-       |  sum(length(text)) AS n_chars,
+       |  CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS ws_tokens,
+       |  CAST(sum(len(regexp_extract_all(text, '$bpePattern'))) AS BIGINT) AS bpe_tokens,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
        |  count(*) AS n_docs
        |FROM documents
        |GROUP BY source
@@ -168,7 +168,7 @@ object TextAnalytics {
   }
 
   private val q45Sql =
-    """SELECT lang, count(*) AS n_sampled, sum(length(text)) AS sampled_chars
+    """SELECT lang, count(*) AS n_sampled, CAST(sum(length(text)) AS BIGINT) AS sampled_chars
       |FROM documents
       |WHERE CAST(concat('0x', substring(md5(concat('sample|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < 20
       |GROUP BY lang
