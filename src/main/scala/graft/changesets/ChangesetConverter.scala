@@ -50,14 +50,37 @@ object ChangesetConverter {
         lit(s"value parse failed for $what: '"), raw, lit("'"))))
       .otherwise(cast)
 
+  /** Shape gate in front of the cast: try_cast alone is far more
+    * lenient than the reference's parsers (Rust str::parse rejects
+    * padded/decimal ints; chrono's parse_from_rfc3339 rejects
+    * date-only and offset-free strings that Spark's cast would accept
+    * in session TZ). A present value failing the shape aborts.
+    */
+  private def shaped(c: Column, pattern: String, what: String): Column =
+    when(c.isNull || c.rlike(pattern), c)
+      .otherwise(raise_error(concat(
+        lit(s"value parse failed for $what: '"), c, lit("'"))))
+
+  /** Rust i64/u32 str::parse: optional sign, digits only
+    * (reference src/main.rs:333,337 via `?` propagation).
+    */
+  private val intShape = "^[+-]?[0-9]+$"
+
+  /** RFC3339 as chrono parse_from_rfc3339 accepts it: full date-time
+    * with mandatory offset ('Z' or +-hh:mm), optional fractional
+    * seconds (reference src/main.rs:193-197).
+    */
+  private val rfc3339Shape =
+    "^[0-9]{4}-[0-9]{2}-[0-9]{2}[Tt ][0-9]{2}:[0-9]{2}:[0-9]{2}([.][0-9]+)?([Zz]|[+-][0-9]{2}:[0-9]{2})$"
+
   private def strictLong(c: Column, what: String): Column =
-    strict(c, c.try_cast(LongType), what)
+    strict(c, shaped(c, intShape, what).try_cast(LongType), what)
 
   /** u32 range check standing in for the reference's parquet UINT_32
     * (no unsigned types in Spark; SURVEY.md §1.2).
     */
   private def strictU32(c: Column, what: String): Column = {
-    val v = strict(c, c.try_cast(LongType), what)
+    val v = strict(c, shaped(c, intShape, what).try_cast(LongType), what)
     when(v.isNotNull && (v < 0L || v > 4294967295L),
       raise_error(concat(lit(s"$what out of u32 range: '"), c, lit("'"))))
       .otherwise(v)
@@ -70,7 +93,8 @@ object ChangesetConverter {
     * (reference src/main.rs:193-197 stores epoch millis).
     */
   private def strictTs(c: Column, what: String): Column =
-    strict(c, date_trunc("millisecond", c.try_cast(TimestampType)), what)
+    strict(c, date_trunc("millisecond",
+      shaped(c, rfc3339Shape, what).try_cast(TimestampType)), what)
 
   /** The 13-column projection over the raw XML struct — the Spark form
     * of parse_changeset_element + parse_changeset_body
@@ -102,6 +126,10 @@ object ChangesetConverter {
     spark.read.format("xml")
       .option("rowTag", "changeset")
       .option("attributePrefix", "_")
+      // quick_xml hands attribute values through verbatim; the default
+      // trim would hide shape violations like ' 42' from the strict
+      // parsers (reference aborts on those)
+      .option("ignoreSurroundingSpaces", "false")
       .option("mode", if (continueOnError) "PERMISSIVE" else "FAILFAST")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(ChangesetSchema.raw)

@@ -96,24 +96,32 @@ object Pipeline {
     Files.writeString(Paths.get(publishDir, "index.json"), json)
   }
 
-  /** Keep the newest N versioned artifacts (lexicographic on the
-    * version token, mirroring `sort -r | tail -n +N+1` in
-    * manage-r2.sh:94-102).
+  /** Keep the newest N versioned artifacts. Newness is filesystem
+    * mtime, not the version token: the documented sourceVersion is any
+    * opaque changing string (e.g. an HTTP Last-Modified header), which
+    * is NOT lexicographically monotonic — 'Wed, 21 Oct ...' tokens
+    * sort by weekday and a token sort could delete the newest artifact
+    * (the reference's `sort -r` in manage-r2.sh:94-102 works only
+    * because its tokens are zero-padded epoch-like names).
     */
   def applyRetention(publishDir: String, keep: Int): Unit = {
     val dir = Paths.get(publishDir)
     if (!Files.exists(dir)) return
-    val versioned = Files.list(dir).toArray.map(_.toString)
-      .filter(p => p.matches(".*/changesets-.*\\.parquet$"))
-      .sorted.reverse
-    versioned.drop(keep).foreach { stale =>
-      deleteRecursively(Paths.get(stale))
-    }
+    val versioned = listChildren(dir)
+      .filter(p => p.toString.matches(".*/changesets-.*\\.parquet$"))
+      .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.toString))
+      .reverse
+    versioned.drop(keep).foreach(deleteRecursively)
+  }
+
+  private def listChildren(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val s = Files.list(p)
+    try s.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+    finally s.close()
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).toArray.foreach(c => deleteRecursively(c.asInstanceOf[java.nio.file.Path]))
+    if (Files.isDirectory(p)) listChildren(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -53,11 +53,18 @@ case class VecDot(left: Expression, right: Expression)
     case _ => x.getFloat(i).toDouble
   }
 
+  // Length mismatch => NULL, matching the aggregate(zip_with(a,b,*))
+  // fold this expression claims bit-identity with (zip_with pads the
+  // shorter side with nulls, which poison the sum). A silent truncated
+  // partial dot product would mask bad inputs.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val (lt, rt) = (elemType(left).get, elemType(right).get)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -78,12 +85,16 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${genGet(a, i, elemType(left).get)} * ${genGet(b, i, elemType(right).get)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${genGet(a, i, elemType(left).get)} * ${genGet(b, i, elemType(right).get)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

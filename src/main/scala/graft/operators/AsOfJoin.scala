@@ -37,35 +37,40 @@ object AsOfJoin {
     val sideCol = "__asof_side"
     val timeCol = "__asof_t"
     val tbCol = "__asof_tb"
+    val rvCol = "__asof_rv"
 
     // right side sorts before left at equal timestamps => right row at
-    // the same instant is visible to the left row.
+    // the same instant is visible to the left row. The right value
+    // columns travel as ONE struct so the fill below attaches a whole
+    // right row atomically — per-column last(ignoreNulls) would mix
+    // columns from different right rows when a value is legitimately
+    // NULL (an older row's non-null cell would survive).
     val taggedRight = right.select(
       (col(key) +:
         col(rightTime).as(timeCol) +:
         lit(0).as(sideCol) +:
         col(rightTiebreak).as(tbCol) +:
+        struct(rightValues.map(col): _*).as(rvCol) +:
         leftCols.filterNot(_ == key)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
-        rightValues.map(col): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     val taggedLeft = left.select(
       (col(key) +:
         col(leftTime).as(timeCol) +:
         lit(1).as(sideCol) +:
         lit(null).cast(taggedRight.schema(tbCol).dataType).as(tbCol) +:
-        leftCols.filterNot(_ == key).map(col)) ++
-        rightValues.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lit(null).cast(taggedRight.schema(rvCol).dataType).as(rvCol) +:
+        leftCols.filterNot(_ == key).map(col)): _*)
 
     val unioned = taggedRight.unionByName(taggedLeft)
     val w = Window.partitionBy(col(key))
       .orderBy(col(timeCol), col(sideCol), col(tbCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rightValues.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col(sideCol) === 1)
-      .select(leftCols.map(col) ++ rightValues.map(col): _*)
+    unioned
+      .withColumn(rvCol, last(col(rvCol), ignoreNulls = true).over(w))
+      .filter(col(sideCol) === 1)
+      .select(leftCols.map(col) ++
+        rightValues.map(c => col(rvCol).getField(c).as(c)): _*)
   }
 }

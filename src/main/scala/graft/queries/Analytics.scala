@@ -602,12 +602,11 @@ object Analytics {
   // ---------------------------------------------------------------- q37
   /** Approximate aggregation (HLL++ distinct, GK quantiles) — the
     * sketch operators a 100 TB profile pass uses instead of exact
-    * distinct/percentile. No DuckDB oracle on purpose: sketch values
-    * are implementation-defined, so the driver records the rows-only
-    * check; the ScalaTest spec bounds the estimates against exact
-    * values instead.
+    * distinct/percentile. Raw sketch values are implementation-
+    * defined, so they can never hash-match a DuckDB oracle; ApproxSpec
+    * bounds them against exact answers.
     */
-  private def q37(s: SparkSession, dir: String): DataFrame = {
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "orders")
       .groupBy($"o_orderpriority")
@@ -615,8 +614,46 @@ object Analytics {
         approx_count_distinct($"o_custkey", 0.02).as("approx_customers"),
         percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("approx_median_price"),
         count(lit(1)).as("n_orders"))
+  }
+
+  /** The oracle-gated form pins the sketches' ACCURACY CONTRACT
+    * instead of their values: each group carries exact anchors plus
+    * within-bounds booleans (HLL estimate vs exact distinct; GK median
+    * vs its true rank). The oracle asserts the same anchors and
+    * literal TRUE — so the hash gate fails exactly when a sketch
+    * breaks its published error bound. The second pass joining the
+    * 5-row sketch output back to orders is a broadcast.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+    val sk = approxStats(s, dir)
+      .join(t(s, dir, "orders").groupBy($"o_orderpriority")
+          .agg(countDistinct($"o_custkey").as("exact_customers")),
+        "o_orderpriority")
+    orders.join(broadcast(sk), "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(
+        first($"n_orders").as("n_orders"),
+        first($"approx_customers").as("ac"),
+        first($"exact_customers").as("ec"),
+        // true rank of the approx median within the group
+        (sum(when($"o_totalprice" <= $"approx_median_price", 1L).otherwise(0L))
+          / count(lit(1))).as("mrank"))
+      .select($"o_orderpriority", $"n_orders",
+        // rsd 0.02 => 2.5 sigma margin
+        (abs($"ac" - $"ec") <= $"ec" * 0.05).as("customers_ok"),
+        // GK accuracy 1000 => rank error <= 1/1000; 10x margin
+        ($"mrank" >= 0.49 && $"mrank" <= 0.51).as("median_ok"))
       .orderBy($"o_orderpriority")
   }
+
+  private val q37Sql =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  TRUE AS customers_ok, TRUE AS median_ok
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q38
   /** Pivot: order counts per priority, one column per order status.
@@ -894,5 +931,6 @@ object Analytics {
     "q19_cube" -> q19Sql,
     "q20_above_group_avg" -> q20Sql,
     "q21_json_extract" -> q21Sql,
-    "q22_lag_lead" -> q22Sql)
+    "q22_lag_lead" -> q22Sql,
+    "q37_approx_stats" -> q37Sql)
 }

@@ -67,25 +67,43 @@ object EventStreams {
     */
   def sessionizeStream(
       events: Dataset[(Long, Long)], // (user_id, ts_us), pre-sorted per micro-batch
-      gapMin: Int): DataFrame = {
+      gapMin: Int): DataFrame =
+    sessionizeStreamMs(events, gapMin.toLong * 60L * 1000L)
+
+  /** Millisecond-gap form (the minute form delegates here; ms
+    * granularity keeps the processing-time timeout testable).
+    */
+  def sessionizeStreamMs(
+      events: Dataset[(Long, Long)],
+      gapMs: Long): DataFrame = {
     import events.sparkSession.implicits._
-    val gapUs = gapMin.toLong * 60L * 1000000L
+    val gapUs = gapMs * 1000L
     events.groupByKey(_._1)
       .flatMapGroupsWithState[List[SessionState], (Long, Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         case (user, rows, state: GroupState[List[SessionState]]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          val init = state.getOption.getOrElse(Nil)
-          // fold events into the open session; close on gap
-          val (closed, open) = sorted.foldLeft((List.empty[SessionState], init.headOption)) {
-            case ((done, None), t) => (done, Some(SessionState(t, t, 1)))
-            case ((done, Some(s)), t) if t - s.end > gapUs =>
-              (s :: done, Some(SessionState(t, t, 1)))
-            case ((done, Some(s)), t) =>
-              (done, Some(s.copy(end = t, n = s.n + 1)))
+          if (state.hasTimedOut) {
+            // inactivity gap elapsed in processing time: flush the
+            // open session (otherwise a user's final session would
+            // only ever surface on their next event)
+            val open = state.getOption.getOrElse(Nil)
+            state.remove()
+            open.iterator.map(s => (user, s.start, s.end, s.n))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            val init = state.getOption.getOrElse(Nil)
+            // fold events into the open session; close on gap
+            val (closed, open) = sorted.foldLeft((List.empty[SessionState], init.headOption)) {
+              case ((done, None), t) => (done, Some(SessionState(t, t, 1)))
+              case ((done, Some(s)), t) if t - s.end > gapUs =>
+                (s :: done, Some(SessionState(t, t, 1)))
+              case ((done, Some(s)), t) =>
+                (done, Some(s.copy(end = t, n = s.n + 1)))
+            }
+            state.update(open.toList)
+            state.setTimeoutDuration(gapUs / 1000L)
+            closed.reverseIterator.map(s => (user, s.start, s.end, s.n))
           }
-          state.update(open.toList)
-          closed.reverseIterator.map(s => (user, s.start, s.end, s.n))
       }
       .toDF("user_id", "session_start_us", "session_end_us", "n_events")
   }

@@ -154,6 +154,37 @@ class ChangesetConverterSpec extends SparkSpec {
     assert(rows.map(_.id).toSeq == Seq(1L))
   }
 
+  test("F11: timestamp shape is RFC3339-strict — no-offset and date-only forms abort") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // chrono parse_from_rfc3339 rejects these; a lenient cast would
+    // silently read them in session TZ (reference src/main.rs:193-197)
+    for (bad <- Seq("2020-01-01", "2020-01-01 12:00:00", "2020-01-01T12:00:00")) {
+      val e = intercept[Exception] {
+        parseRows(writeXml(s"""<changeset id="1" created_at="$bad"/>"""))
+      }
+      assert(msgs(e).exists(_.contains("value parse failed for created_at")), bad)
+    }
+    // offset + fractional forms chrono accepts still parse
+    val ok = parseRows(writeXml(
+      """<changeset id="1" created_at="2020-01-01T12:00:00.250+01:00"/>"""))
+    assert(ok.head.created_at.contains(ts("2020-01-01T11:00:00.250Z")))
+  }
+
+  test("F12: integer shape is digits-strict — padded and decimal forms abort") {
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // Rust i64/u32 str::parse rejects these; try_cast would trim or
+    // truncate (reference src/main.rs:333,337)
+    for (bad <- Seq(" 42", "42 ", "4.0", "1e3")) {
+      val e = intercept[Exception] {
+        parseRows(writeXml(s"""<changeset id="1" uid="$bad"/>"""))
+      }
+      assert(msgs(e).exists(_.contains("value parse failed for uid")), bad)
+    }
+    assert(parseRows(writeXml("""<changeset id="1" uid="+42"/>""")).head.uid.contains(42L))
+  }
+
   test("end-to-end convert writes snappy parquet with the 13-column schema") {
     val out = tmpDir("conv-out")
     val n = ChangesetConverter.convert(spark,

@@ -56,4 +56,24 @@ class PipelineSpec extends SparkSpec {
     assert(versioned.length === 3)
     assert(versioned.last.endsWith("changesets-v7.parquet"))
   }
+
+  test("retention is mtime-ordered, not token-ordered (Last-Modified-style tokens)") {
+    val pub = tmpDir("pipe-pub4")
+    // tokens whose lexicographic order INVERTS arrival order — like
+    // HTTP Last-Modified weekday-first strings
+    val tokens = Seq("Wed-21-Oct", "Mon-26-Oct", "Fri-30-Oct")
+    tokens.zipWithIndex.foreach { case (tok, i) =>
+      val d = Paths.get(pub, s"changesets-$tok.parquet")
+      Files.createDirectories(d)
+      Files.writeString(d.resolve("part-0.parquet"), s"stub$i")
+      Files.setLastModifiedTime(d,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    Pipeline.applyRetention(pub, keep = 1)
+    val left = Files.list(Paths.get(pub)).toArray.map(_.toString)
+      .filter(_.matches(".*/changesets-.*\\.parquet$"))
+    // newest by mtime survives even though its token sorts first
+    assert(left.toSeq.map(p => p.substring(p.lastIndexOf('/') + 1)) ==
+      Seq("changesets-Fri-30-Oct.parquet"))
+  }
 }

@@ -128,6 +128,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("cosine") - 0.993884) < 1e-5)
   }
 
+  test("vec_dot is NULL on length-mismatched vectors (both eval paths)") {
+    import spark.implicits._
+    graft.functions.VectorExpressions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0), Array(3.0, 4.0, 5.0)),
+      (Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    // codegen path
+    val gen = df.selectExpr("vec_dot(a, b) AS d").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(gen.toSeq == Seq(None, Some(11.0)))
+    // interpreted path (codegen off forces nullSafeEval)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.selectExpr("vec_dot(a, b) AS d").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(interp.toSeq == Seq(None, Some(11.0)))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("langId picks stopword-matching language, und when no hits") {
     val df = Seq(
       "the cat is on the mat and it is happy",

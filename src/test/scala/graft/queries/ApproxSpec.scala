@@ -2,17 +2,18 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.{SparkSpec, SparkEntry}
+import graft.SparkSpec
 
-/** q37 has no DuckDB oracle (sketches are implementation-defined);
-  * bound the estimates against exact answers here instead.
+/** Raw sketch values are implementation-defined, so Analytics
+  * .approxStats is bounded against exact answers here; the registered
+  * q37 wraps the same sketches in oracle-gated accuracy booleans.
   */
 class ApproxSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
   test("approx_count_distinct within 5% of exact per group") {
-    val approx = SparkEntry.queries("q37_approx_stats")(spark, sf)
+    val approx = Analytics.approxStats(spark, sf)
       .select(col("o_orderpriority"), col("approx_customers")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.Tables(spark, sf, "orders")
@@ -27,7 +28,7 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("approx median between group min and max, near exact median") {
-    val rows = SparkEntry.queries("q37_approx_stats")(spark, sf).collect()
+    val rows = Analytics.approxStats(spark, sf).collect()
     val exact = graft.Tables(spark, sf, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(expr("percentile(o_totalprice, 0.5)").as("m")).collect()

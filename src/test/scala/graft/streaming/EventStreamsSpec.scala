@@ -42,20 +42,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_events") === 1)
   }
 
+  /** With ProcessingTimeTimeout the engine always schedules another
+    * micro-batch (any group could time out), so noNewData is never
+    * set and processAllAvailable would hang — poll the sink instead.
+    */
+  private def awaitRows(table: String, n: Long, timeoutMs: Long = 30000L): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (spark.table(table).count() < n) {
+      assert(System.currentTimeMillis() < deadline,
+        s"$table did not reach $n rows in ${timeoutMs}ms")
+      Thread.sleep(100L)
+    }
+  }
+
   test("sessionizeStream (flatMapGroupsWithState) matches sessionizeBatch on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
     val sessions = EventStreams.sessionizeStream(input.toDS(), gapMin = 30)
     val q = sessions.writeStream.format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
       .queryName("sessions_out").outputMode("append").start()
     try {
       val us = 60L * 1000000L
       // batch 1: two events 10min apart (one open session)
       input.addData((1L, 0L * us), (1L, 10L * us))
-      q.processAllAvailable()
       // batch 2: event 60min later => closes session 1, opens session 2
       input.addData((1L, 70L * us))
-      q.processAllAvailable()
+      awaitRows("sessions_out", 1L)
       val got = spark.table("sessions_out")
         .orderBy($"user_id", $"session_start_us")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
@@ -70,6 +83,25 @@ class EventStreamsSpec extends SparkSpec {
       assert(unixMicros(batch(0).getTimestamp(2)) === baseMs * 1000L)
       assert(unixMicros(batch(0).getTimestamp(3)) === baseMs * 1000L + 10L * us)
       assert(batch(0).getAs[Long]("n_events") === 2L)
+    } finally q.stop()
+  }
+
+  test("sessionizeStream flushes the open session on processing-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val sessions = EventStreams.sessionizeStreamMs(input.toDS(), gapMs = 300L)
+    val q = sessions.writeStream.format("memory")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .queryName("sessions_timeout_out").outputMode("append").start()
+    try {
+      // the session stays open after its events arrive; once the gap
+      // elapses in processing time, the timeout alone must flush it —
+      // no further event for ANY user is fed
+      input.addData((1L, 1000L), (1L, 2000L))
+      awaitRows("sessions_timeout_out", 1L)
+      val got = spark.table("sessions_timeout_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === Seq((1L, 1000L, 2000L, 2L)))
     } finally q.stop()
   }
 
