@@ -5,11 +5,12 @@ package graft
   * into BENCH_r{N}.json. Timing includes plan + execution to a count
   * (forces the whole plan; avoids driver-side materialization cost).
   *
-  * Each query runs twice and reports the second (steady-state) time:
-  * the first run pays JIT + codegen compilation + parquet footer
-  * reads, which at test scale dominates the actual work and varies
-  * 2-3x run to run. A production job pays those once per executor
-  * lifetime, so steady-state is the honest number for plan quality.
+  * Each query runs once as warmup (JIT + codegen compilation +
+  * parquet footer reads — paid once per executor lifetime in
+  * production), then twice measured, reporting the MIN: single warm
+  * runs of the heavy similarity queries still vary 2-6x with GC/AQE
+  * noise in a shared JVM, and the minimum is the standard estimator
+  * for the actual plan cost under one-way noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,7 +28,7 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       once(name, fn) // warm: codegen compile, JIT, IO caches
-      name -> once(name, fn) // measured: steady state
+      name -> math.min(once(name, fn), once(name, fn)) // steady state, noise-robust
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

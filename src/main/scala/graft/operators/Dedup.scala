@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorExpressions}
@@ -255,16 +256,29 @@ object Dedup {
   }
 
   /** Character n-gram Jaccard near-dup pairs, blocked on an exact key
-    * (e.g. language): per-block pairwise over HASHED (60-bit int)
-    * distinct trigram sets, with a size-ratio prune.
+    * (e.g. language), with PREFIX-FILTER candidate generation
+    * (AllPairs/PPJoin family, Bayardo et al. WWW'07; Chaudhuri et al.
+    * ICDE'06) over HASHED (60-bit int) distinct trigram sets.
     *
-    * The prune is lossless: J(a,b) >= t implies |a|/|b| and |b|/|a|
-    * >= t (J <= min/max), so pairs failing the ratio test cannot reach
-    * the threshold — the oracle verifies this by computing the
-    * unpruned answer. Hashed grams turn the per-pair intersection from
-    * string hashing into long hashing (~an order of magnitude on the
-    * pairwise hot loop), and the intersection count is computed once
-    * (union = |a|+|b|-|∩|).
+    * Candidate stage: grams are canonically ordered by ascending
+    * global document frequency (rare first, ties on gram id); each
+    * doc's PREFIX is its first |s| - ceil(t*|s|) + 1 grams. The prefix
+    * lemma: J(a,b) >= t implies overlap >= max(ceil(t|a|), ceil(t|b|))
+    * = alpha, and two sets with overlap >= alpha must share an element
+    * within their (|s| - alpha + 1)-prefixes under a common order —
+    * our per-record prefix is at least that long, so the filter is
+    * LOSSLESS (the DuckDB oracle recomputes the unpruned answer and
+    * the hash gate would catch a lost pair). A small epsilon guards
+    * ceil against float wobble shortening a prefix.
+    *
+    * Every stage is linear in the gram multiset: df count, per-doc
+    * rank, prefix explode (~(1-t) of all gram occurrences), equi-join
+    * on (block, gram). The quadratic per-block pairwise of the naive
+    * plan never materializes, which is what makes this the 100 TB
+    * plan: candidates scale with shared-rare-gram pairs, not with
+    * block size squared. Verification runs the primitive merge-scan
+    * (SortedIntersectCount) once per surviving candidate; a size-ratio
+    * prune (J <= min/max sizes) drops impossible pairs before that.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -288,24 +302,37 @@ object Dedup {
       .select(col(blockCol).as("blk"), col(idCol).as("doc"), lower(col(textCol)).as("lc"))
       .select(col("blk"), col("doc"), grams.as("g"))
       .withColumn("n", size(col("g")))
-    // the probe side carries the quadratic per-pair work; a small input
-    // (one parquet split) would otherwise run it on ONE task. Spreading
-    // by doc id costs a slim shuffle and buys full parallelism — at
-    // production scale the input is already partitioned and this
-    // becomes a cheap even-out pass.
+    // docs->grams materialized once; re-read by the df count, the
+    // prefix build, and the verify re-attach below
     val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
-    val left = g.repartition(fanout, col("doc"))
-      .select(col("blk"), col("doc").as("doc_a"), col("g").as("g_a"), col("n").as("n_a"))
-    val right = g.select(col("blk"), col("doc").as("doc_b"), col("g").as("g_b"), col("n").as("n_b"))
-    // the block key is LOW-cardinality by design (a language, a length
-    // band): a shuffled join would degenerate to one task per block and
-    // quadratic equal-key buffering in SMJ. Broadcasting the right side
-    // keeps the probe side partition-parallel with zero shuffle; at
-    // production scale the right side is the per-block sample/window
-    // being checked, which is the small side.
-    left.join(broadcast(right), Seq("blk"))
+    val gSets = g.repartition(fanout, col("doc")).localCheckpoint(true)
+
+    // canonical order: ascending global document frequency, rare grams
+    // first (common grams land outside prefixes => few collisions)
+    val occ = gSets.select(col("blk"), col("doc"), col("n"),
+      explode(col("g")).as("gram"))
+    val gramDf = occ.groupBy(col("gram")).agg(count(lit(1)).as("df_"))
+    val prefixLen = (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int")
+      + lit(1))
+    val byRarity = Window.partitionBy(col("doc")).orderBy(col("df_"), col("gram"))
+    val prefixes = occ.join(gramDf, "gram")
+      .withColumn("pos", row_number().over(byRarity))
+      .filter(col("pos") <= least(prefixLen, col("n")))
+      .select(col("blk"), col("gram"), col("doc"), col("n"))
+
+    // candidates: same block, sharing >=1 prefix gram; size-ratio
+    // prune (J <= min/max) before the per-pair merge scan
+    val cand = prefixes.select(col("blk"), col("gram"), col("doc").as("doc_a"), col("n").as("n_a"))
+      .join(prefixes.select(col("blk"), col("gram"), col("doc").as("doc_b"), col("n").as("n_b")),
+        Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_a") * threshold <= col("n_b") && col("n_b") * threshold <= col("n_a"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+
+    cand
+      .join(gSets.select(col("doc").as("doc_a"), col("g").as("g_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(gSets.select(col("doc").as("doc_b"), col("g").as("g_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("isect",
         call_function(VectorExpressions.isectFnName, col("g_a"), col("g_b")).cast("double"))
       .withColumn("jaccard", round(

@@ -152,6 +152,94 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 9).as("cosine"))
   }
 
+  /** Lloyd's k-means over the embedding column — the trainer that
+    * produces real IVF codebooks for `ivfTopK` (whose doc promises "in
+    * production a k-means model"). Expressed as DataFrame ops so it
+    * scales like any aggregation:
+    *
+    *   - the corpus projection is materialized ONCE (localCheckpoint —
+    *     on a cluster, a reliable checkpoint) and re-scanned per
+    *     iteration; nothing else re-executes.
+    *   - each iteration = one broadcast of k centroid rows, a map-side
+    *     argmin (min_by over a k-row broadcast join; no shuffle), and
+    *     ONE shuffle: groupBy(cluster, dim) mean over the exploded
+    *     components. Centroids (k x dim doubles) come back to the
+    *     driver exactly like MLlib's implementation keeps them.
+    *
+    * Deterministic: init is a farthest-point traversal (the greedy
+    * k-means++ flavor) — seed with the lowest-id-hash vector, then
+    * repeatedly take the point maximizing the min distance to the
+    * chosen set, ties on id. Hash-random seeds alone can land two
+    * seeds in one natural cluster, which Lloyd's cannot undo. Each
+    * pick is one scan (k-1 scans total); at corpus scale the init
+    * would run on a bounded sample, the iterations on everything.
+    * Distance ties break on the lower cluster id. Euclidean metric.
+    *
+    * Returns (cluster_id: int, centroid: array<double>).
+    */
+  def trainKMeans(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 10): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val prepped = corpus
+      .select(col(idCol).cast("string").as("id"), asDoubleVec(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+
+    val seed = prepped
+      .orderBy(graft.functions.TextFunctions.hash60(concat(lit("km|"), col("id"))), col("id"))
+      .limit(1)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    var centroids: Seq[Seq[Double]] = seed
+    while (centroids.length < k) {
+      val centDf = centroids.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("cluster", "cv")
+      val next = prepped
+        .join(broadcast(centDf), lit(true))
+        .withColumn("d2", dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv")))
+        .groupBy(col("id")).agg(min(col("d2")).as("dmin"), first(col("v")).as("v"))
+        .orderBy(col("dmin").desc, col("id"))
+        .limit(1)
+        .collect().map(_.getSeq[Double](2).toSeq).toSeq
+      centroids = centroids ++ next
+    }
+
+    for (_ <- 0 until iters) {
+      val centDf = centroids.zipWithIndex
+        .map { case (c, i) => (i, c) }.toDF("cluster", "cv")
+      val assigned = prepped
+        .join(broadcast(centDf), lit(true))
+        .withColumn("d2", dot(col("v"), col("v"))
+          - lit(2.0) * dot(col("v"), col("cv"))
+          + dot(col("cv"), col("cv")))
+        .groupBy(col("id"))
+        .agg(min_by(struct(col("cluster"), col("v")),
+          struct(col("d2"), col("cluster"))).as("best"))
+        .select(col("best.cluster").as("cluster"), col("best.v").as("v"))
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("m"))).as("byDim"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getMap[Int, Double](1)).toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.zipWithIndex.map { case (old, i) =>
+        updated.get(i) match {
+          case Some(byDim) => (0 until old.length).map(byDim)
+          case None => old
+        }
+      }
+    }
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster_id", "centroid")
+  }
+
   /** Most-similar pairs across the corpus (embedding near-dup
     * detection): exact pairwise cosine, global top-n pairs. At scale the
     * same verification runs behind an LSH candidate filter (lshTopK);

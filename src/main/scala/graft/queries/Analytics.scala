@@ -679,6 +679,63 @@ object Analytics {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** Explicit GROUPING SETS (not derivable from rollup/cube): the
+    * (status) and (priority) marginals only — no grand total, no
+    * cross cells. Spark's groupingSets API + grouping_id, single
+    * Expand pass (one scan at any scale).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupingSets(Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  private val q50Sql =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  /** The remaining analytic-window family in one pass per customer
+    * order history: ntile, percent_rank, cume_dist, first/nth value
+    * over a running frame. One shuffle (partition by custkey), every
+    * function shares the same window definition.
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 9).as("pct_rank"),
+        round(cume_dist().over(w), 9).as("cdist"),
+        first($"o_orderkey").over(run).as("first_key"),
+        nth_value($"o_orderkey", 2).over(run).as("second_key"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  private val q51Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 9) AS pct_rank,
+      |  round(cume_dist() OVER w, 9) AS cdist,
+      |  first_value(o_orderkey) OVER wrun AS first_key,
+      |  nth_value(o_orderkey, 2) OVER wrun AS second_key
+      |FROM orders
+      |WINDOW
+      |  w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wrun AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Custom typed Aggregator (TopKAggregator): 3 highest-value orders
     * per market segment as a bounded O(k) accumulator — partial
@@ -872,6 +929,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q37_approx_stats" -> (q37 _),
+    "q50_grouping_sets" -> (q50 _),
+    "q51_window_suite" -> (q51 _),
     "q47_exact_quantiles" -> (q47 _),
     "q48_exact_moments" -> (q48 _),
     "q42_order_distribution" -> (q42 _),
@@ -932,5 +991,7 @@ object Analytics {
     "q20_above_group_avg" -> q20Sql,
     "q21_json_extract" -> q21Sql,
     "q22_lag_lead" -> q22Sql,
-    "q37_approx_stats" -> q37Sql)
+    "q37_approx_stats" -> q37Sql,
+    "q50_grouping_sets" -> q50Sql,
+    "q51_window_suite" -> q51Sql)
 }

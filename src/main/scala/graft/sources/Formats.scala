@@ -62,6 +62,17 @@ object Formats {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
       .json(path)
 
+  /** ORC: self-describing columnar like parquet (no corrupt-record
+    * mode to configure — malformed files fail the read). Schema is
+    * still passed explicitly and ENFORCED: a silent evolution in the
+    * files surfaces as an analysis error, not as drifting columns.
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
   private def withCorrupt(schema: StructType): StructType =
     if (schema.fieldNames.contains(CorruptCol)) schema
     else schema.add(CorruptCol, org.apache.spark.sql.types.StringType, nullable = true)

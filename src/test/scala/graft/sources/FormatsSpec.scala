@@ -43,6 +43,17 @@ class FormatsSpec extends SparkSpec {
     assert(rows(0).getTimestamp(3).getTime === 1700000000123L)
   }
 
+  test("orc round trip preserves values incl. nulls and timestamps") {
+    val dir = tmpDir("fmt-orc")
+    Formats.writeOrc(sample, dir)
+    val back = Formats.readOrc(spark, dir, schema).orderBy($"id")
+    assert(back.schema === schema)
+    val rows = back.collect()
+    assert(rows.length === 3)
+    assert(rows(0).getTimestamp(3).getTime === 1700000000123L)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
+  }
+
   test("FAILFAST surfaces malformed rows; permissive captures them") {
     val dir = tmpDir("fmt-bad")
     java.nio.file.Files.writeString(
