@@ -736,6 +736,144 @@ object Analytics {
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  /** Regression/correlation aggregates from EXACT decimal co-moment
+    * sums (n, Σx, Σy, Σxx, Σxy, Σyy), with slope/intercept/corr
+    * derived in identically-shaped double expressions — the built-in
+    * corr/regr_* run streaming co-moment updates whose float error
+    * differs per engine, so the oracle could never hash-match them.
+    * One aggregation pass either way.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_extendedprice")
+    val n = asDouble($"n_")
+    val (sx, sy, sxx, sxy, syy) = (asDouble($"sx"), asDouble($"sy"),
+      asDouble($"sxx"), asDouble($"sxy"), asDouble($"syy"))
+    val num = n * sxy - sx * sy
+    val denx = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+      .select($"l_returnflag", $"n_".as("n_rows"),
+        round(num / denx, 9).as("slope"),
+        round((sy - (num / denx) * sx) / n, 9).as("intercept"),
+        round(num / (sqrt(denx) * sqrt(deny)), 9).as("corr_xy"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q52Sql =
+    """SELECT l_returnflag, n_rows,
+      |  round((n_*sxy - sx*sy) / (n_*sxx - sx*sx), 9) AS slope,
+      |  round((sy - (n_*sxy - sx*sy) / (n_*sxx - sx*sx) * sx) / n_, 9) AS intercept,
+      |  round((n_*sxy - sx*sy) / (sqrt(n_*sxx - sx*sx) * sqrt(n_*syy - sy*sy)), 9) AS corr_xy
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n_rows, CAST(count(*) AS DOUBLE) AS n_,
+      |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+      |    CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(x*y) AS DOUBLE) AS sxy,
+      |    CAST(sum(y*y) AS DOUBLE) AS syy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(l_quantity AS DECIMAL(18,2)) AS x,
+      |          CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+      |        FROM lineitem)
+      |  GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  /** Bitwise and boolean aggregates (order-independent, so safely
+    * partial-aggregated map-side at any scale).
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        bit_and($"l_linenumber").as("lines_and"),
+        bit_or($"l_linenumber").as("lines_or"),
+        bit_xor($"l_linenumber").as("lines_xor"),
+        bool_and($"l_discount" < 0.09).as("all_low_discount"),
+        bool_or($"l_tax" > 0.07).as("any_high_tax"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q53Sql =
+    """SELECT l_returnflag,
+      |  bit_and(l_linenumber) AS lines_and,
+      |  bit_or(l_linenumber) AS lines_or,
+      |  bit_xor(l_linenumber) AS lines_xor,
+      |  bool_and(l_discount < 0.09) AS all_low_discount,
+      |  bool_or(l_tax > 0.07) AS any_high_tax
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  /** Fuzzy string matching: near-identical part names by edit
+    * distance within (brand, size) blocks. The block key is an
+    * equi-join — Catalyst shuffles both sides once on it — and
+    * levenshtein only runs inside blocks (~|block|² pairs, not |T|²).
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = t(s, dir, "part").select($"p_partkey", $"p_name", $"p_brand", $"p_size")
+    val a = p.select($"p_brand", $"p_size", $"p_partkey".as("key_a"), $"p_name".as("name_a"))
+    val b = p.select($"p_brand", $"p_size", $"p_partkey".as("key_b"), $"p_name".as("name_b"))
+    a.join(b, Seq("p_brand", "p_size"))
+      .filter($"key_a" < $"key_b")
+      .withColumn("edit_dist", levenshtein($"name_a", $"name_b"))
+      .filter($"edit_dist" <= 2)
+      .select($"key_a", $"key_b", $"name_a", $"name_b", $"edit_dist")
+      .orderBy($"key_a", $"key_b")
+  }
+
+  private val q54Sql =
+    """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |  a.p_name AS name_a, b.p_name AS name_b,
+      |  levenshtein(a.p_name, b.p_name) AS edit_dist
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      | AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY key_a, key_b""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  /** Calendar/date function family over the order dates (extract
+    * parts, ISO week, last-of-month, offsets, day arithmetic) — pure
+    * codegen'd row expressions, no shuffle but the final sort.
+    * Engine deltas pinned explicitly: Spark dayofweek is 1-based
+    * Sunday-first, DuckDB's 0-based.
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey", to_date($"o_orderdate").as("d"))
+      .select($"o_orderkey",
+        year($"d").as("y"), quarter($"d").as("q"), month($"d").as("m"),
+        dayofmonth($"d").as("dom"), dayofyear($"d").as("doy"),
+        dayofweek($"d").as("dow"), weekofyear($"d").as("iso_week"),
+        last_day($"d").as("eom"),
+        date_add($"d", 30).as("plus30"),
+        datediff($"d", lit(java.sql.Date.valueOf("1995-01-01"))).as("days_since_95"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q55Sql =
+    """SELECT o_orderkey,
+      |  year(d) AS y, quarter(d) AS q, month(d) AS m,
+      |  day(d) AS dom, dayofyear(d) AS doy,
+      |  dayofweek(d) + 1 AS dow, week(d) AS iso_week,
+      |  last_day(d) AS eom,
+      |  d + 30 AS plus30,
+      |  date_diff('day', DATE '1995-01-01', d) AS days_since_95
+      |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders
+      |      WHERE o_orderkey % 100 = 0)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Custom typed Aggregator (TopKAggregator): 3 highest-value orders
     * per market segment as a bounded O(k) accumulator — partial
@@ -931,6 +1069,10 @@ object Analytics {
     "q37_approx_stats" -> (q37 _),
     "q50_grouping_sets" -> (q50 _),
     "q51_window_suite" -> (q51 _),
+    "q52_regression" -> (q52 _),
+    "q53_bit_bool_aggs" -> (q53 _),
+    "q54_fuzzy_match" -> (q54 _),
+    "q55_datetime_suite" -> (q55 _),
     "q47_exact_quantiles" -> (q47 _),
     "q48_exact_moments" -> (q48 _),
     "q42_order_distribution" -> (q42 _),
@@ -993,5 +1135,9 @@ object Analytics {
     "q22_lag_lead" -> q22Sql,
     "q37_approx_stats" -> q37Sql,
     "q50_grouping_sets" -> q50Sql,
-    "q51_window_suite" -> q51Sql)
+    "q51_window_suite" -> q51Sql,
+    "q52_regression" -> q52Sql,
+    "q53_bit_bool_aggs" -> q53Sql,
+    "q54_fuzzy_match" -> q54Sql,
+    "q55_datetime_suite" -> q55Sql)
 }
