@@ -52,10 +52,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1) Filter"), "filter not fused into the same codegen stage")
   }
 
-  test("q30 block join broadcasts the build side (degenerate-key guard)") {
+  test("q30 prefix-filter candidates come from an equi-join, never a cross/NL join") {
     val p = plan("q30_ngram_jaccard")
-    assert(p.contains("BroadcastHashJoin"),
-      "low-cardinality block join fell back to a shuffled join")
+    // the prefix-collision join keys on (blk, gram) — high-cardinality
+    // equi keys; a cartesian/NL plan would mean the lossless prefix
+    // stage silently degraded to all-pairs
+    assert(!p.contains("CartesianProduct"), "candidate join degenerated to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate join degenerated to NL")
+    // per-pair verification stays on the primitive merge-scan
+    assert(p.contains("sorted_intersect_count"), "merge-scan verify expression missing")
+  }
+
+  test("q50 grouping sets expands once (single Expand node, one scan)") {
+    // simple mode prints each node exactly once (formatted repeats
+    // nodes in the details section)
+    val df: DataFrame = SparkEntry.queries("q50_grouping_sets")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert("Expand".r.findAllIn(p).size == 1, "expected exactly one Expand node")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "grouping sets reads the table more than once")
+  }
+
+  test("q54 fuzzy match joins on the block key (no cross product)") {
+    val p = plan("q54_fuzzy_match")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy match fell back to an unblocked cross product")
+  }
+
+  test("q51 window suite shares one Window sort (no per-function re-sort)") {
+    val df = SparkEntry.queries("q51_window_suite")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both frames share the same partition/order key, so they fold
+    // into at most two Window nodes over ONE exchange+sort of orders
+    assert("ShuffleExchange|Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"window suite re-shuffles per function:\n$p")
   }
 
   test("q32 native vec_dot appears in the plan (no interpreted fold on the hot path)") {
