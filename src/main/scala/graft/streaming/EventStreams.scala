@@ -145,6 +145,18 @@ object EventStreams {
         col("purchase_id"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment: attach dimension attributes to a
+    * stream by key. STATELESS — the static side is broadcast to every
+    * task, so no join state accumulates and no watermark is needed
+    * (unlike stream-stream joins). Left outer keeps events whose key
+    * is missing from the dimension (nulls, not drops): an enrichment
+    * gap must not silently lose fact rows. At scale the dimension is
+    * re-broadcast per micro-batch, picking up slowly-changing updates
+    * batch-granularly.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left_outer")
+
   /** foreachBatch publish sink: lands each micro-batch as date-
     * partitioned parquet (append), giving the lakehouse layout
     * downstream batch queries prune on — the streaming half of the

@@ -105,6 +105,23 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream attaches dimension attrs; unmatched keys survive with nulls") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val enriched = EventStreams.enrichStream(
+      input.toDS().toDF("user_id", "event_type"), dim, "user_id")
+    val q = enriched.writeStream.format("memory")
+      .queryName("enriched_out").outputMode("append").start()
+    try {
+      input.addData((1L, "click"), (3L, "click"))
+      q.processAllAvailable()
+      val got = spark.table("enriched_out").orderBy($"user_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      assert(got.toSeq === Seq((1L, "click", Some("gold")), (3L, "click", None)))
+    } finally q.stop()
+  }
+
   test("fileStream + Trigger.AvailableNow drains a parquet drop directory") {
     val dir = tmpDir("stream-in")
     val out = tmpDir("stream-chk")
