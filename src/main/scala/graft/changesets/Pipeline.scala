@@ -104,6 +104,32 @@ object Pipeline {
     * (the reference's `sort -r` in manage-r2.sh:94-102 works only
     * because its tokens are zero-padded epoch-like names).
     */
+  /** Row-level incremental merge — the upgrade path past the
+    * reference's reprocess-everything contract: union the published
+    * snapshot with an incoming (partial) snapshot and keep ONE row per
+    * id, preferring the incoming side (changesets mutate after
+    * creation: closed_at/open/num_changes change on close). One
+    * shuffle on id; at fleet scale both sides are id-partitioned
+    * parquet so AQE keeps the exchange lean. Deterministic for
+    * duplicate ids WITHIN a side too (newest created_at, then the
+    * side tag, wins).
+    */
+  def mergeSnapshots(
+      published: org.apache.spark.sql.DataFrame,
+      incoming: org.apache.spark.sql.DataFrame,
+      idCol: String = "id"): org.apache.spark.sql.DataFrame = {
+    val srcCol = "__merge_src"
+    val tagged = published.withColumn(srcCol, lit(0))
+      .unionByName(incoming.withColumn(srcCol, lit(1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col(srcCol).desc, col("created_at").desc_nulls_last)
+    tagged
+      .withColumn("__merge_rn", row_number().over(w))
+      .filter(col("__merge_rn") === 1)
+      .drop(srcCol, "__merge_rn")
+  }
+
   def applyRetention(publishDir: String, keep: Int): Unit = {
     val dir = Paths.get(publishDir)
     if (!Files.exists(dir)) return

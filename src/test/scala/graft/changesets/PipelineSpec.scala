@@ -2,6 +2,8 @@ package graft.changesets
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class PipelineSpec extends SparkSpec {
@@ -55,6 +57,24 @@ class PipelineSpec extends SparkSpec {
       .filter(_.matches(".*/changesets-v\\d+\\.parquet$")).sorted
     assert(versioned.length === 3)
     assert(versioned.last.endsWith("changesets-v7.parquet"))
+  }
+
+  test("mergeSnapshots keeps incoming rows on id conflict, unions the rest") {
+    import spark.implicits._
+    val published = Seq(
+      (1L, "2024-01-01T00:00:00Z", true, 0L),   // will close in incoming
+      (2L, "2024-01-02T00:00:00Z", false, 5L))
+      .toDF("id", "created_at", "open", "num_changes")
+      .withColumn("created_at", to_timestamp(col("created_at")))
+    val incoming = Seq(
+      (1L, "2024-01-01T00:00:00Z", false, 9L),  // closed, counts final
+      (3L, "2024-01-03T00:00:00Z", true, 1L))   // brand new
+      .toDF("id", "created_at", "open", "num_changes")
+      .withColumn("created_at", to_timestamp(col("created_at")))
+    val merged = Pipeline.mergeSnapshots(published, incoming)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3)))
+    assert(merged.toSeq === Seq((1L, false, 9L), (2L, false, 5L), (3L, true, 1L)))
   }
 
   test("retention is mtime-ordered, not token-ordered (Last-Modified-style tokens)") {
