@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // zero-copy float vectors under vec_dot (see StripVecDotCasts)
     ext.injectOptimizerRule(_ => StripVecDotCasts)
+    // native sorted-merge as-of join (graft.plans.AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier(VectorExpressions.fnName),
       new ExpressionInfo(classOf[VecDot].getName, VectorExpressions.fnName),

@@ -24,6 +24,42 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
+  /** Native sorted-merge form: plans graft.plans.AsOfJoinExec via the
+    * injected strategy (spark.sql.extensions=graft.GraftExtensions
+    * required). Same semantics as apply() — differential-tested in
+    * AsOfJoinSpec — but executes as one linear merge per co-partition
+    * with a single-row register instead of union + window state over
+    * |L|+|R| null-padded rows.
+    */
+  def native(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightTiebreak: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    val lPlan = left.queryExecution.analyzed
+    // both sides often derive from one lineage (self-as-of), sharing
+    // exprIds; the analyzer's DeduplicateRelations does not know this
+    // node, so re-alias the right side with fresh ids unconditionally
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan: LogicalPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    val rOut = rPlan.asInstanceOf[Project].projectList.map(_.toAttribute)
+    def attrIn(out: Seq[org.apache.spark.sql.catalyst.expressions.Attribute], name: String) =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${out.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(
+      attrIn(lPlan.output, key), attrIn(rOut, key),
+      attrIn(lPlan.output, leftTime), attrIn(rOut, rightTime),
+      attrIn(rOut, rightTiebreak), rightValues.map(attrIn(rOut, _)),
+      lPlan, rPlan)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(left.sparkSession, node)
+  }
+
   def apply(
       left: DataFrame,
       right: DataFrame,
@@ -45,7 +81,11 @@ object AsOfJoin {
     // right row atomically — per-column last(ignoreNulls) would mix
     // columns from different right rows when a value is legitimately
     // NULL (an older row's non-null cell would survive).
-    val taggedRight = right.select(
+    // NULL keys never match (SQL join semantics, as DuckDB ASOF JOIN
+    // and pandas merge_asof behave): drop null-key right rows — they
+    // could attach nowhere — and null the attach for null-key left
+    // rows below. Window.partitionBy alone would group NULLs as equal.
+    val taggedRight = right.filter(col(key).isNotNull).select(
       (col(key) +:
         col(rightTime).as(timeCol) +:
         lit(0).as(sideCol) +:
@@ -68,7 +108,8 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned
-      .withColumn(rvCol, last(col(rvCol), ignoreNulls = true).over(w))
+      .withColumn(rvCol, when(col(key).isNull, lit(null))
+        .otherwise(last(col(rvCol), ignoreNulls = true).over(w)))
       .filter(col(sideCol) === 1)
       .select(leftCols.map(col) ++
         rightValues.map(c => col(rvCol).getField(c).as(c)): _*)

@@ -484,10 +484,13 @@ object Analytics {
       |ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- q18
-  /** As-of join via graft.operators.AsOfJoin (single-shuffle union +
-    * last-value window): each purchase gets the latest signup at or
-    * before it, per user. Oracle uses DuckDB's native ASOF JOIN — an
-    * independent implementation of the same semantics.
+  /** As-of join via the NATIVE sorted-merge exec (graft.plans
+    * .AsOfJoinExec, strategy-injected): each purchase gets the latest
+    * signup at or before it, per user. Oracle uses DuckDB's native
+    * ASOF JOIN — an independent implementation of the same semantics
+    * — so the custom physical operator is hash-gated every round. The
+    * compositional union+window form (AsOfJoin.apply) stays
+    * differential-tested against this one in AsOfJoinSpec.
     */
   private def q18(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -496,7 +499,7 @@ object Analytics {
       .select($"user_id", $"event_id", $"ts")
     val signups = ev.filter($"event_type" === "signup")
       .select($"user_id", $"event_id".as("signup_id"), $"ts".as("signup_ts"))
-    graft.operators.AsOfJoin(
+    graft.operators.AsOfJoin.native(
         left = purchases, right = signups,
         key = "user_id", leftTime = "ts", rightTime = "signup_ts",
         rightValues = Seq("signup_ts"), rightTiebreak = "signup_id")

@@ -96,6 +96,13 @@ class PlanSpec extends SparkSpec {
       "interpreted higher-order fold still on the similarity hot path")
   }
 
+  test("q18 plans the native sorted-merge as-of exec (no union, no window)") {
+    val p = plan("q18_asof_join")
+    assert(p.contains("AsOfJoin"), "native AsOfJoinExec not planned")
+    assert(!p.contains("Window"), "as-of still executes as a window")
+    assert(!p.contains("Union"), "as-of still executes as a union")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -50,4 +50,41 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy("key").collect()
     assert(out.toSeq == Seq(Row("a", 10L, "va"), Row("b", 10L, "vb")))
   }
+
+  // ------------------------------------------------ native merge exec
+
+  test("native exec plans AsOfJoinExec — no union, no window, exactly |L| rows") {
+    import spark.implicits._
+    val left = Seq(("k1", 5L), ("k2", 1L)).toDF("key", "t")
+    val right = Seq(("k1", 1L, 10.0), ("k1", 4L, 20.0)).toDF("key", "rt", "price")
+    val df = AsOfJoin.native(left, right, "key", "t", "rt", Seq("price"), "rt")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native exec not planned:\n$p")
+    assert(!p.contains("Window"), "native plan still contains a Window")
+    assert(!p.contains("Union"), "native plan still contains a Union")
+    val rows = df.orderBy("key").collect()
+    assert(rows.toSeq == Seq(Row("k1", 5L, 20.0), Row("k2", 1L, null)))
+  }
+
+  test("native matches the compositional form on randomized data (nulls included)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val keys = Seq("a", "b", "c", "d", null)
+    val left = (1 to 300).map { i =>
+      (keys(rnd.nextInt(keys.length)), rnd.nextInt(50).toLong, i.toLong)
+    }.toDF("key", "t", "lid")
+    val right = (1 to 200).map { i =>
+      (keys(rnd.nextInt(keys.length)), rnd.nextInt(50).toLong, i.toLong,
+        if (rnd.nextBoolean()) Some(rnd.nextInt(1000).toDouble) else None,
+        s"tag${rnd.nextInt(5)}")
+    }.toDF("key", "rt", "rid", "price", "tag")
+    val viaUnion = AsOfJoin(left, right, "key", "t", "rt", Seq("price", "tag"), "rid")
+      .orderBy("lid").collect()
+    val viaNative = AsOfJoin.native(left, right, "key", "t", "rt", Seq("price", "tag"), "rid")
+      .orderBy("lid").collect()
+    assert(viaNative.length == 300 && viaUnion.length == 300)
+    viaUnion.zip(viaNative).foreach { case (u, n) =>
+      assert(u == n, s"union form $u != native form $n")
+    }
+  }
 }
