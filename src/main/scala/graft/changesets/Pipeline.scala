@@ -71,9 +71,22 @@ object Pipeline {
     ChangesetConverter.convert(spark, inputXml, versioned, opts)
     val rows = spark.read.parquet(versioned).count()
 
+    // publish the stable name as a byte-identical COPY of the
+    // versioned artifact (no second Spark job re-encoding the same
+    // data), staged + renamed so readers race a rename, not a
+    // multi-second overwrite-in-place (the reference's `aws s3 cp`
+    // overwrite has the same race; object-store copies are per-object
+    // atomic there)
     val latest = s"$publishDir/changesets.parquet"
-    val df = spark.read.parquet(versioned)
-    df.write.mode("overwrite").parquet(latest)
+    val staging = Paths.get(publishDir, ".changesets.parquet.staging")
+    val retired = Paths.get(publishDir, ".changesets.parquet.retired")
+    deleteRecursively(staging)
+    deleteRecursively(retired)
+    copyRecursively(Paths.get(versioned), staging)
+    val latestPath = Paths.get(latest)
+    if (Files.exists(latestPath)) Files.move(latestPath, retired)
+    Files.move(staging, latestPath)
+    deleteRecursively(retired)
 
     writeIndex(publishDir, latest, rows, sourceVersion)
     applyRetention(publishDir, keepHistory)
@@ -149,5 +162,14 @@ object Pipeline {
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (Files.isDirectory(p)) listChildren(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
+  }
+
+  private def copyRecursively(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(from)) {
+      Files.createDirectories(to)
+      listChildren(from).foreach(c => copyRecursively(c, to.resolve(c.getFileName)))
+    } else {
+      Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 }
