@@ -28,6 +28,7 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       once(name, fn) // warm: codegen compile, JIT, IO caches
+      System.gc() // don't bill this query for its predecessor's garbage
       name -> math.min(once(name, fn), once(name, fn)) // steady state, noise-robust
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Property test for the prefix-filter candidate stage: the LOSSLESS
+  * claim (no pair above threshold is ever dropped) must hold on
+  * arbitrary corpora, not just the planted fixtures — tiny docs,
+  * verbatim duplicates, near-threshold pairs, single-gram docs.
+  * Brute-force reference is computed driver-side over the same
+  * normalization (lowercase, distinct char trigrams). Seeded samples
+  * (the repo's scalacheck idiom, see ChangesetRoundTripSpec) keep
+  * failures replayable.
+  */
+class DedupPropertySpec extends SparkSpec {
+
+  private def trigrams(text: String): Set[String] = {
+    val lc = text.toLowerCase
+    if (lc.length >= 3) (0 to lc.length - 3).map(i => lc.substring(i, i + 3)).toSet
+    else Set(lc)
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    if (a.isEmpty && b.isEmpty) 1.0
+    else (a intersect b).size.toDouble / (a union b).size.toDouble
+
+  // words drawn from a small vocabulary => realistic shared-gram rates,
+  // plus occasional verbatim repeats of an earlier doc
+  private val word = Gen.oneOf("spark", "duck", "graft", "join", "scan",
+    "shuffle", "codegen", "vector", "near", "dup")
+  private val doc = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, word)
+  } yield ws.mkString(" ")
+  private val corpus = for {
+    base <- Gen.listOfN(12, doc)
+    dupIdx <- Gen.choose(0, 11)
+  } yield base :+ base(dupIdx) // always at least one exact dup pair
+
+  test("ngramJaccardPairs finds EXACTLY the brute-force pairs at t=0.75 (40 seeded corpora)") {
+    import spark.implicits._
+    (1 to 40).foreach { i =>
+      val docs = corpus(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = docs.zipWithIndex
+        .map { case (text, idx) => (idx.toLong, text, "xx") }
+        .toDF("doc_id", "text", "lang")
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", "lang", threshold = 0.75)
+        .collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)), math.max(r.getLong(0), r.getLong(1))))
+        .toSet
+      val sets = docs.map(trigrams)
+      val want = (for {
+        a <- docs.indices; b <- docs.indices if a < b
+        if jaccard(sets(a), sets(b)) >= 0.75
+      } yield (a.toLong, b.toLong)).toSet
+      assert(got === want, s"seed=$i docs=$docs")
+    }
+  }
+}
