@@ -223,13 +223,24 @@ object Dedup {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20,
+      driverEdgeThreshold: Long = 1L << 20): DataFrame = {
     // materialize the pair list ONCE: the input is typically an
     // expensive similarity pipeline (LSH + verify), and every loop
     // iteration below re-executes the edge lineage otherwise (the
     // union alone would already evaluate it twice per job)
     val basePairs = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(true)
+
+    // hybrid fast path: near-dup graphs are a tiny fraction of the
+    // corpus — when the edge list fits a driver bound, a union-find
+    // beats ~5 scheduled jobs PER min-label iteration. Same result
+    // (component minimum as label), deterministic regardless of union
+    // order; the distributed loop below remains the unbounded path.
+    val nEdges = basePairs.count() // checkpointed: a metadata count
+    if (nEdges <= driverEdgeThreshold)
+      return driverComponents(basePairs)
+
     val edges = basePairs
       .union(basePairs.select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("node")).distinct()
@@ -253,6 +264,44 @@ object Dedup {
       iter += 1
     }
     labels.select(col("node").as("doc"), col("label").as("cluster"))
+  }
+
+  /** Driver-side union-find over a collected (bounded) edge list.
+    * Roots are always the component MINIMUM (union attaches the larger
+    * root under the smaller), so labels match the distributed
+    * min-label fixpoint exactly and do not depend on edge order.
+    */
+  private def driverComponents(basePairs: DataFrame): DataFrame = {
+    val spark = basePairs.sparkSession
+    val keyType = basePairs.schema.head.dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    @inline def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    basePairs.collect().foreach { row =>
+      val (a, b) = (row.get(0), row.get(1))
+      if (a != null && b != null) {
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+    }
+    val rows = parent.keys.toSeq
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc", keyType),
+      org.apache.spark.sql.types.StructField("cluster", keyType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Character n-gram Jaccard near-dup pairs, blocked on an exact key

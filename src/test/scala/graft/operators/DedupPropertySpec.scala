@@ -39,6 +39,22 @@ class DedupPropertySpec extends SparkSpec {
     dupIdx <- Gen.choose(0, 11)
   } yield base :+ base(dupIdx) // always at least one exact dup pair
 
+  test("connectedComponents: driver union-find == distributed min-label on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { trial =>
+      val n = 30
+      val edges = (1 to 25).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("doc_a", "doc_b")
+      val fast = Dedup.connectedComponents(df, "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val dist = Dedup.connectedComponents(df, "doc_a", "doc_b", driverEdgeThreshold = -1L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(fast === dist, s"trial=$trial edges=$edges")
+    }
+  }
+
   test("ngramJaccardPairs finds EXACTLY the brute-force pairs at t=0.75 (40 seeded corpora)") {
     import spark.implicits._
     (1 to 40).foreach { i =>
