@@ -344,48 +344,36 @@ object Dedup {
         |  array_distinct(transform(sequence(1, length(lc) - 2),
         |    i -> substring(lc, i, 3)))
         |else array(lc) end""".stripMargin)
-    // one row per DISTINCT (doc, gram string); every downstream stage
-    // derives from this checkpoint (df counts, hashes, prefixes, the
-    // per-doc arrays for verification)
-    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
-    val occ = df
+    // sorted distinct hashed grams: sort once per ROW so the per-PAIR
+    // intersection is a primitive merge scan (SortedIntersectCount)
+    val grams = array_sort(array_distinct(transform(gramStrings, x => TextFunctions.hash60(x))))
+    val g = df
       .select(col(blockCol).as("blk"), col(idCol).as("doc"), lower(col(textCol)).as("lc"))
-      .select(col("blk"), col("doc"), explode(gramStrings).as("gram"))
-      .repartition(fanout, col("doc"))
-      .localCheckpoint(true)
+      .select(col("blk"), col("doc"), grams.as("g"))
+      .withColumn("n", size(col("g")))
+    // docs->grams materialized once; re-read by the df count, the
+    // prefix build, and the verify re-attach below
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+    val gSets = g.repartition(fanout, col("doc")).localCheckpoint(true)
 
-    // DICTIONARY-ENCODE the grams: the vocabulary (distinct trigrams,
-    // bounded by charset^3) is orders of magnitude smaller than the
-    // occurrence list, so the md5-derived 60-bit hash runs once per
-    // distinct gram, not once per occurrence — and the same pass
-    // yields the document frequency that orders prefixes (rare grams
-    // first => few prefix collisions). AQE broadcasts the table when
-    // it is small; at planet scale it falls back to a shuffle join.
-    val gramTable = occ.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df_"))
-      .withColumn("h", TextFunctions.hash60(col("gram")))
-    val byDoc = Window.partitionBy(col("doc"))
-    val byRarity = byDoc.orderBy(col("df_"), col("h"))
-    val occH = occ.join(gramTable, "gram")
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .withColumn("pos", row_number().over(byRarity))
-
-    // per-doc sorted hashed arrays for the merge-scan verification
-    val gSets = occH.groupBy(col("doc"))
-      .agg(array_sort(collect_list(col("h"))).as("g"), count(lit(1)).as("n"))
-      .localCheckpoint(true)
-
+    // canonical order: ascending global document frequency, rare grams
+    // first (common grams land outside prefixes => few collisions)
+    val occ = gSets.select(col("blk"), col("doc"), col("n"),
+      explode(col("g")).as("gram"))
+    val gramDf = occ.groupBy(col("gram")).agg(count(lit(1)).as("df_"))
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)).cast("int")
       + lit(1))
-    val prefixes = occH
+    val byRarity = Window.partitionBy(col("doc")).orderBy(col("df_"), col("gram"))
+    val prefixes = occ.join(gramDf, "gram")
+      .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= least(prefixLen, col("n")))
-      .select(col("blk"), col("h"), col("doc"), col("n"))
+      .select(col("blk"), col("gram"), col("doc"), col("n"))
 
     // candidates: same block, sharing >=1 prefix gram; size-ratio
     // prune (J <= min/max) before the per-pair merge scan
-    val cand = prefixes.select(col("blk"), col("h"), col("doc").as("doc_a"), col("n").as("n_a"))
-      .join(prefixes.select(col("blk"), col("h"), col("doc").as("doc_b"), col("n").as("n_b")),
-        Seq("blk", "h"))
+    val cand = prefixes.select(col("blk"), col("gram"), col("doc").as("doc_a"), col("n").as("n_a"))
+      .join(prefixes.select(col("blk"), col("gram"), col("doc").as("doc_b"), col("n").as("n_b")),
+        Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_a") * threshold <= col("n_b") && col("n_b") * threshold <= col("n_a"))
       .select(col("doc_a"), col("doc_b"))
