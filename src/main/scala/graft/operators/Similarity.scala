@@ -126,22 +126,27 @@ object Similarity {
       centroids: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      nprobe: Int = 1): DataFrame = {
     val cent = prepped(centroids, idCol, vecCol, "centroid_id", "centv", "centn")
 
-    def assigned(df: DataFrame, idAs: String, vecAs: String, nrmAs: String): DataFrame = {
+    // corpus rows live in exactly ONE inverted list; queries probe
+    // their `nprobe` nearest lists (the standard IVF recall knob —
+    // probing multiplies only the query-side rows, never the corpus)
+    def assigned(df: DataFrame, idAs: String, vecAs: String, nrmAs: String,
+        lists: Int): DataFrame = {
       val p = prepped(df, idCol, vecCol, idAs, vecAs, nrmAs)
       val scored = p.join(broadcast(cent), lit(true))
         .withColumn("c_cos", dotWide(col(vecAs), col("centv")) / (col(nrmAs) * col("centn")))
       val w = Window.partitionBy(col(idAs))
         .orderBy(col("c_cos").desc, col("centroid_id"))
       scored.withColumn("c_rank", row_number().over(w))
-        .filter(col("c_rank") === 1)
+        .filter(col("c_rank") <= lists)
         .select(col(idAs), col(vecAs), col(nrmAs), col("centroid_id").as("cluster"))
     }
 
-    val q = assigned(queries, "query_id", "qv", "qn")
-    val c = assigned(corpus, "neighbor_id", "cv", "cn")
+    val q = assigned(queries, "query_id", "qv", "qn", lists = math.max(1, nprobe))
+    val c = assigned(corpus, "neighbor_id", "cv", "cn", lists = 1)
     val scored = c.join(broadcast(q), Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dotWide(col("qv"), col("cv")) / (col("qn") * col("cn")))

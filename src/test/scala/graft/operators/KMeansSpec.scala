@@ -40,6 +40,23 @@ class KMeansSpec extends SparkSpec {
     assert(cents.count() === 5L) // never collapses below k
   }
 
+  test("nprobe=2 recovers a cross-boundary neighbor that nprobe=1 misses") {
+    import spark.implicits._
+    // two lists: c0 along x, c1 along y. The query leans to c1 but its
+    // true nearest neighbor sits just over the boundary in c0's list.
+    val cents = Seq((0L, Seq(10.0, 0.0)), (1L, Seq(0.0, 10.0))).toDF("id", "vec")
+    val corpus = Seq(
+      ("boundary", Seq(6.2, 6.0)), // assigned c0; the true best match
+      ("inlist", Seq(0.0, 9.0))) // assigned c1
+      .toDF("id", "vec")
+    val query = Seq(("q", Seq(6.0, 6.2))).toDF("id", "vec") // assigned c1
+    def top1(nprobe: Int) =
+      Similarity.ivfTopK(query, corpus, cents, "id", "vec", k = 1, nprobe = nprobe)
+        .collect().map(_.getAs[String]("neighbor_id")).toSeq
+    assert(top1(1) === Seq("inlist"), "nprobe=1 should stay in the probed list")
+    assert(top1(2) === Seq("boundary"), "nprobe=2 should reach the second list")
+  }
+
   test("trained codebook drives ivfTopK with full recall on blob data") {
     val cents = Similarity.trainKMeans(blobs, "id", "vec", k = 3, iters = 5)
       .select(col("cluster_id").as("id"), col("centroid").as("vec"))
