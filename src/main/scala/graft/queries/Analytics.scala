@@ -877,6 +877,56 @@ object Analytics {
       |      WHERE o_orderkey % 100 = 0)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  /** UNION (distinct) — the remaining set operation (q11 covers
+    * INTERSECT/EXCEPT): customers active in either window, once.
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = t(s, dir, "orders")
+    def activeIn(year: Int) = ord
+      .filter($"o_orderdate" >= lit(s"$year-01-01").cast(TimestampType) &&
+        $"o_orderdate" < lit(s"${year + 1}-01-01").cast(TimestampType))
+      .select($"o_custkey")
+    activeIn(1992).union(activeIn(1998)).distinct()
+      .orderBy($"o_custkey")
+  }
+
+  private val q56Sql =
+    """SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1992-01-01' AND o_orderdate < TIMESTAMP '1993-01-01'
+      |UNION
+      |SELECT o_custkey FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  /** The SQL front end itself: the engine registered as temp views and
+    * queried with LITERAL SQL (SparkSqlParser -> Catalyst), not the
+    * DataFrame DSL — what "be the query layer" means for users who
+    * bring SQL (the reference's delegated surface, SURVEY §2.3). Same
+    * text runs in DuckDB as the oracle.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val q57Sql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Custom typed Aggregator (TopKAggregator): 3 highest-value orders
     * per market segment as a bounded O(k) accumulator — partial
@@ -1076,6 +1126,8 @@ object Analytics {
     "q53_bit_bool_aggs" -> (q53 _),
     "q54_fuzzy_match" -> (q54 _),
     "q55_datetime_suite" -> (q55 _),
+    "q56_union" -> (q56 _),
+    "q57_sql_surface" -> (q57 _),
     "q47_exact_quantiles" -> (q47 _),
     "q48_exact_moments" -> (q48 _),
     "q42_order_distribution" -> (q42 _),
@@ -1142,5 +1194,7 @@ object Analytics {
     "q52_regression" -> q52Sql,
     "q53_bit_bool_aggs" -> q53Sql,
     "q54_fuzzy_match" -> q54Sql,
-    "q55_datetime_suite" -> q55Sql)
+    "q55_datetime_suite" -> q55Sql,
+    "q56_union" -> q56Sql,
+    "q57_sql_surface" -> q57Sql)
 }
