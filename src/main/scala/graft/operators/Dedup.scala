@@ -142,9 +142,13 @@ object Dedup {
     cand
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("jaccard", round(
+      // floor-truncated, not rounded: i/u is a small-integer ratio, and
+      // power-of-two unions land the double EXACTLY on a .5 at the cut
+      // digit, where Spark's and DuckDB's round() tie-break differently
+      // (see q24 scaladoc). floor has no tie.
+      .withColumn("jaccard", floor(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6))
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") * lit(1e6)) / lit(1e6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
@@ -384,8 +388,9 @@ object Dedup {
       .join(gSets.select(col("doc").as("doc_b"), col("g").as("g_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("isect",
         call_function(VectorExpressions.isectFnName, col("g_a"), col("g_b")).cast("double"))
-      .withColumn("jaccard", round(
-        col("isect") / (col("n_a") + col("n_b") - col("isect")), 6))
+      // floor-truncated for the same tie-free reason as minhashLshPairs
+      .withColumn("jaccard", floor(
+        col("isect") / (col("n_a") + col("n_b") - col("isect")) * lit(1e6)) / lit(1e6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -114,7 +114,9 @@ object MediaStream {
     Media.decodeFeatures(media).toDF()
       .select(col("media_id"), col("kind"), col("n_bytes"),
         col("width"), col("height"), col("duration_ms"),
-        round(col("byte_mean"), 6).as("byte_mean"))
+        // floor-truncated: sum/len integer ratios can tie at the cut
+        // digit where the engines' round() disagree (see q24)
+        (floor(col("byte_mean") * lit(1e6)) / lit(1e6)).as("byte_mean"))
       .orderBy(col("media_id"))
   }
 
@@ -125,9 +127,9 @@ object MediaStream {
       |  CAST(length(text) % 640 + 1 AS INTEGER) AS width,
       |  CAST(length(text) % 480 + 1 AS INTEGER) AS height,
       |  CAST(length(text) * 10 AS BIGINT) AS duration_ms,
-      |  round(CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |  floor(CAST(list_sum(list_transform(range(1, length(text) + 1),
       |    i -> unicode(text[CAST(i AS INTEGER):CAST(i AS INTEGER)]))) AS DOUBLE)
-      |    / length(text), 6) AS byte_mean
+      |    / length(text) * 1e6) / 1e6 AS byte_mean
       |FROM documents
       |ORDER BY media_id""".stripMargin
 

@@ -76,23 +76,31 @@ object TextAnalytics {
   // ---------------------------------------------------------------- q24
   /** Per-document quality score + the filter a pipeline would apply
     * (keep score >= 0.5), returning the kept docs.
+    *
+    * Truncated (floor), not rounded, to 6 digits: the score is a sum
+    * of small-integer ratios, so its double expansion regularly lands
+    * EXACTLY on a .5 at the cut digit — where Spark (BigDecimal
+    * HALF_UP on the exact expansion) and DuckDB (double-multiply
+    * rounding) disagree by 1e-6 (first seen at sf0.1, doc with score
+    * 0.5046875). floor(x*1e6)/1e6 is identical double arithmetic on
+    * both engines: no tie to break.
     */
   private def q24(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
-      .select($"doc_id", round(qualityScore($"text"), 6).as("quality"))
+      .select($"doc_id", (floor(qualityScore($"text") * 1e6) / 1e6).as("quality"))
       .filter($"quality" >= 0.5)
       .orderBy($"doc_id")
   }
 
   private val q24Sql =
     s"""SELECT doc_id, quality FROM (
-       |  SELECT doc_id, round(
+       |  SELECT doc_id, floor((
        |    0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
        |    + 0.3 * (CAST(len(list_filter(toks, t -> list_contains(${stopSql("en")}, t))) AS DOUBLE)
        |             / CAST(greatest(len(toks), 1) AS DOUBLE))
        |    + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-       |             / CAST(greatest(length(text), 1) AS DOUBLE)), 6) AS quality
+       |             / CAST(greatest(length(text), 1) AS DOUBLE))) * 1e6) / 1e6 AS quality
        |  FROM (SELECT doc_id, text, $tokensSql AS toks FROM documents))
        |WHERE quality >= 0.5
        |ORDER BY doc_id""".stripMargin
