@@ -270,6 +270,17 @@ object Dedup {
     labels.select(col("node").as("doc"), col("label").as("cluster"))
   }
 
+  /** Apply a dedup decision: drop every non-canonical cluster member
+    * (doc != cluster label), keeping canonicals and all untouched
+    * documents. left_anti on the (small) drop list — the corpus never
+    * shuffles on anything but the id equi-key, and with AQE the drop
+    * side broadcasts.
+    */
+  def removeDuplicates(df: DataFrame, idCol: String, clusters: DataFrame): DataFrame =
+    df.join(
+      clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Driver-side union-find over a collected (bounded) edge list.
     * Roots are always the component MINIMUM (union attaches the larger
     * root under the smaller), so labels match the distributed

@@ -279,7 +279,44 @@ object CorpusOps {
        |GROUP BY cluster
        |ORDER BY cluster""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  /** The dedup END TO END: pairs -> components -> remove non-canonical
+    * members -> per-language corpus budget of what remains. This is
+    * the operation a curation pipeline actually ships; q28/q49 gate
+    * its stages, this gates the application.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    Dedup.removeDuplicates(docs, "doc_id", clusters)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q58Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach AS (
+       |  SELECT n, n AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS n, reach.r FROM reach JOIN edges e ON reach.n = e.a),
+       |drops AS (SELECT doc FROM (SELECT n AS doc, min(r) AS cluster FROM reach GROUP BY n)
+       |          WHERE doc <> cluster)
+       |SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS n_chars
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc FROM drops)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_dedup_apply" -> (q58 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
@@ -291,6 +328,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q58_dedup_apply" -> q58Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
