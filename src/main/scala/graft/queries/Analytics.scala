@@ -927,6 +927,76 @@ object Analytics {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  /** Time-series gap fill + forward fill: build the complete per-user
+    * day calendar (sequence/generate_series between the user's first
+    * and last active day), left-join the daily aggregate, zero-fill
+    * counts and forward-fill the last seen event type. The standard
+    * resample-and-ffill operator; the calendar explode is linear in
+    * user-days, never a cross join.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .filter($"user_id" < 20)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), max($"event_type").as("day_type"))
+    val cal = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    cal.join(daily, Seq("user_id", "day"), "left_outer")
+      .select($"user_id", $"day",
+        coalesce($"n", lit(0L)).as("n_events"),
+        last($"day_type", ignoreNulls = true).over(w).as("last_seen_type"))
+      .orderBy($"user_id", $"day")
+  }
+
+  private val q59Sql =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n,
+      |    max(event_type) AS day_type
+      |  FROM events WHERE user_id < 20
+      |  GROUP BY user_id, CAST(ts AS DATE)),
+      |cal AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(CAST(min(day) AS TIMESTAMP),
+      |                                CAST(max(day) AS TIMESTAMP),
+      |                                INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id)
+      |SELECT cal.user_id, cal.day,
+      |  CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events,
+      |  last_value(daily.day_type IGNORE NULLS)
+      |    OVER (PARTITION BY cal.user_id ORDER BY cal.day) AS last_seen_type
+      |FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.day = daily.day
+      |ORDER BY cal.user_id, cal.day""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  /** Time-RANGE window frames (not ROWS): per event, activity within
+    * the trailing hour for the same user — the rolling-rate primitive.
+    * Ordered on integer epoch-micros so the frame bound arithmetic is
+    * identical in both engines.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    t(s, dir, "events")
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_1h"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).over(w).as("purchases_1h"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q60Sql =
+    """SELECT user_id, event_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS purchases_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Custom typed Aggregator (TopKAggregator): 3 highest-value orders
     * per market segment as a bounded O(k) accumulator — partial
@@ -1128,6 +1198,8 @@ object Analytics {
     "q55_datetime_suite" -> (q55 _),
     "q56_union" -> (q56 _),
     "q57_sql_surface" -> (q57 _),
+    "q59_gap_fill" -> (q59 _),
+    "q60_rolling_time_window" -> (q60 _),
     "q47_exact_quantiles" -> (q47 _),
     "q48_exact_moments" -> (q48 _),
     "q42_order_distribution" -> (q42 _),
@@ -1196,5 +1268,7 @@ object Analytics {
     "q54_fuzzy_match" -> q54Sql,
     "q55_datetime_suite" -> q55Sql,
     "q56_union" -> q56Sql,
-    "q57_sql_surface" -> q57Sql)
+    "q57_sql_surface" -> q57Sql,
+    "q59_gap_fill" -> q59Sql,
+    "q60_rolling_time_window" -> q60Sql)
 }
