@@ -997,6 +997,68 @@ object Analytics {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  /** Correlated scalar subquery, as SQL text: Catalyst must
+    * DECORRELATE it into an aggregate+join (check the plan — no
+    * per-row re-execution survives). Same analytical shape as q20,
+    * but q20 hand-writes the window; this exercises the rewrite.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("part_v")
+    // the subquery's mean is derived from the EXACT decimal sum (a
+    // double avg folds in partition order — a row within 1 ulp of the
+    // 1.5x boundary could flip between engines)
+    s.sql(
+      """SELECT p_partkey, p_type, p_retailprice
+        |FROM part_v p
+        |WHERE p_retailprice > 1.5 * (
+        |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM part_v p2 WHERE p2.p_type = p.p_type)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  private val q61Sql =
+    """SELECT p_partkey, p_type, p_retailprice
+      |FROM part p
+      |WHERE p_retailprice > 1.5 * (
+      |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM part p2 WHERE p2.p_type = p.p_type)
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  /** LATERAL correlated subquery: for each region, the 2 nations with
+    * the most customers — the per-row dependent-subquery shape that
+    * plans as a LateralJoin.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "region").createOrReplaceTempView("region_v")
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT r.r_name, t.n_name, t.n_customers
+        |FROM region_v r,
+        |LATERAL (
+        |  SELECT n.n_name, count(*) AS n_customers
+        |  FROM nation_v n JOIN customer_v c ON c.c_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n.n_name
+        |  ORDER BY n_customers DESC, n.n_name
+        |  LIMIT 2) t
+        |ORDER BY r.r_name, t.n_customers DESC, t.n_name""".stripMargin)
+  }
+
+  private val q62Sql =
+    """SELECT r.r_name, t.n_name, t.n_customers
+      |FROM region r,
+      |LATERAL (
+      |  SELECT n.n_name, count(*) AS n_customers
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY n_customers DESC, n.n_name
+      |  LIMIT 2) t
+      |ORDER BY r.r_name, t.n_customers DESC, t.n_name""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Custom typed Aggregator (TopKAggregator): 3 highest-value orders
     * per market segment as a bounded O(k) accumulator — partial
@@ -1200,6 +1262,8 @@ object Analytics {
     "q57_sql_surface" -> (q57 _),
     "q59_gap_fill" -> (q59 _),
     "q60_rolling_time_window" -> (q60 _),
+    "q61_correlated_subquery" -> (q61 _),
+    "q62_lateral_topk" -> (q62 _),
     "q47_exact_quantiles" -> (q47 _),
     "q48_exact_moments" -> (q48 _),
     "q42_order_distribution" -> (q42 _),
@@ -1270,5 +1334,7 @@ object Analytics {
     "q56_union" -> q56Sql,
     "q57_sql_surface" -> q57Sql,
     "q59_gap_fill" -> q59Sql,
-    "q60_rolling_time_window" -> q60Sql)
+    "q60_rolling_time_window" -> q60Sql,
+    "q61_correlated_subquery" -> q61Sql,
+    "q62_lateral_topk" -> q62Sql)
 }
