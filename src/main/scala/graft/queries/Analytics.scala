@@ -1059,6 +1059,30 @@ object Analytics {
       |  LIMIT 2) t
       |ORDER BY r.r_name, t.n_customers DESC, t.n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q63
+  /** JSON construction (the q21 counterpart: typed -> JSON text):
+    * to_json over a struct, int + string fields only — double
+    * formatting is engine-specific, so numeric payloads ship as
+    * exact types, not embedded in strings.
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderkey" % 1000 === 0)
+      .select($"o_orderkey",
+        to_json(struct($"o_orderkey".as("k"), $"o_orderstatus".as("s"),
+          $"o_orderpriority".as("p"))).as("payload"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val q63Sql =
+    """SELECT o_orderkey,
+      |  CAST(to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+      |                           p := o_orderpriority)) AS VARCHAR) AS payload
+      |FROM orders
+      |WHERE o_orderkey % 1000 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Custom typed Aggregator (TopKAggregator): 3 highest-value orders
     * per market segment as a bounded O(k) accumulator — partial
@@ -1264,6 +1288,7 @@ object Analytics {
     "q60_rolling_time_window" -> (q60 _),
     "q61_correlated_subquery" -> (q61 _),
     "q62_lateral_topk" -> (q62 _),
+    "q63_json_build" -> (q63 _),
     "q47_exact_quantiles" -> (q47 _),
     "q48_exact_moments" -> (q48 _),
     "q42_order_distribution" -> (q42 _),
@@ -1336,5 +1361,6 @@ object Analytics {
     "q59_gap_fill" -> q59Sql,
     "q60_rolling_time_window" -> q60Sql,
     "q61_correlated_subquery" -> q61Sql,
-    "q62_lateral_topk" -> q62Sql)
+    "q62_lateral_topk" -> q62Sql,
+    "q63_json_build" -> q63Sql)
 }

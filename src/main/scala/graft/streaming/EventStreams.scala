@@ -129,7 +129,8 @@ object EventStreams {
       clicks: DataFrame,
       purchases: DataFrame,
       watermarkDur: String,
-      windowDur: String): DataFrame = {
+      windowDur: String,
+      joinType: String = "inner"): DataFrame = {
     val c = clicks
       .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", watermarkDur)
@@ -137,10 +138,14 @@ object EventStreams {
       .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", watermarkDur)
+    // left_outer: a click with no purchase in its window EMITS with
+    // nulls — but only once the watermark proves no match can still
+    // arrive (correct abandonment semantics, not a timeout guess)
     c.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowDur"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowDur"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"))
   }

@@ -206,4 +206,37 @@ class EventStreamsSpec extends SparkSpec {
       assert(got.toSet === Set((1L, 1L, 10L), (2L, 2L, 12L)))
     } finally q.stop()
   }
+
+  test("left-outer interval join emits abandoned clicks with nulls after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = EventStreams.clickPurchaseJoin(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      purchases.toDF().toDF("user_id", "event_id", "ts"),
+      watermarkDur = "10 minutes", windowDur = "10 MINUTES", joinType = "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("outer_attr_out").outputMode("append").start()
+    try {
+      clicks.addData((1L, 1L, ts(0)), (2L, 2L, ts(0)))
+      purchases.addData((1L, 10L, ts(5))) // user 1 converts; user 2 never does
+      q.processAllAvailable()
+      // advance both watermarks far past click+window so the engine can
+      // PROVE click 2 is unmatched (outer rows only emit then)
+      clicks.addData((9L, 99L, ts(120)))
+      purchases.addData((9L, 98L, ts(120)))
+      q.processAllAvailable()
+      clicks.addData((9L, 97L, ts(180))) // one more batch to flush state
+      purchases.addData((9L, 96L, ts(180)))
+      q.processAllAvailable()
+      val got = spark.table("outer_attr_out").collect()
+        .map(r => (r.getAs[Long]("click_id"),
+          if (r.isNullAt(r.fieldIndex("purchase_id"))) None
+          else Some(r.getAs[Long]("purchase_id"))))
+        .toMap
+      assert(got(1L) === Some(10L))
+      assert(got.contains(2L) && got(2L) === None,
+        s"abandoned click should have emitted with null purchase: $got")
+    } finally q.stop()
+  }
 }
