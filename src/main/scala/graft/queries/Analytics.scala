@@ -1083,6 +1083,36 @@ object Analytics {
       |WHERE o_orderkey % 1000 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q64
+  /** Ordered-set aggregates via ANSI WITHIN GROUP syntax (SQL text on
+    * both engines): interpolated + discrete percentiles and an
+    * order-specified listagg. Sort-based, so fold order cannot
+    * perturb the doubles (q47 established cont==quantile_cont
+    * bit-exactness).
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+        |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_disc,
+        |  listagg(DISTINCT l_linestatus, '|') WITHIN GROUP (ORDER BY l_linestatus) AS statuses
+        |FROM lineitem_v
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val q64Sql =
+    """SELECT l_returnflag,
+      |  percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q1,
+      |  percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q3,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_disc,
+      |  string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus) AS statuses
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q39
   /** Custom typed Aggregator (TopKAggregator): 3 highest-value orders
     * per market segment as a bounded O(k) accumulator — partial
@@ -1289,6 +1319,7 @@ object Analytics {
     "q61_correlated_subquery" -> (q61 _),
     "q62_lateral_topk" -> (q62 _),
     "q63_json_build" -> (q63 _),
+    "q64_ordered_set_aggs" -> (q64 _),
     "q47_exact_quantiles" -> (q47 _),
     "q48_exact_moments" -> (q48 _),
     "q42_order_distribution" -> (q42 _),
@@ -1362,5 +1393,6 @@ object Analytics {
     "q60_rolling_time_window" -> q60Sql,
     "q61_correlated_subquery" -> q61Sql,
     "q62_lateral_topk" -> q62Sql,
-    "q63_json_build" -> q63Sql)
+    "q63_json_build" -> q63Sql,
+    "q64_ordered_set_aggs" -> q64Sql)
 }
