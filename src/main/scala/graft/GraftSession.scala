@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // 64m (default 10m): lets AQE broadcast mid-size build sides it
+      // MEASURES as small — e.g. per-doc signature arrays under a
+      // similarity verify join, where the shuffled alternative ships
+      // GBs of array-laden intermediate rows. Executors sized for the
+      // workload (48g driver-mem local; real clusters: set per fleet).
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       // native graft expressions (vec_dot, sorted_intersect_count)
       // available to every consumer of this session, incl. pure SQL
