@@ -34,7 +34,44 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // converter throughput - the surface BASELINE.md actually
+    // measures (the reference is a single-threaded XML->parquet
+    // converter; its implied bound is "full planet inside one CI
+    // job"). Synthetic but shape-faithful input: all 12 attributes
+    // + a comment tag per element.
+    // sharded like any real dump directory (a single uncompressed .osm
+    // is one XML input split; the production planet bz2 splits via the
+    // codec instead) — 16 chunks let the parse fan out across cores
+    val convRows = 500000
+    val chunks = 16
+    val xmlDir = java.nio.file.Files.createTempDirectory("bench-changesets")
+    (0 until chunks).foreach { c =>
+      val xml = new StringBuilder(1 << 22)
+      xml.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n")
+      var i = c * (convRows / chunks)
+      val end = (c + 1) * (convRows / chunks)
+      while (i < end) {
+        val d = 1 + i % 28
+        xml.append(s"""<changeset id="$i" created_at="2024-01-${f"$d%02d"}T10:30:00Z" """ +
+          s"""closed_at="2024-01-${f"$d%02d"}T11:00:00Z" open="false" user="u${i % 997}" """ +
+          s"""uid="${i % 997}" min_lat="${-89 + i % 178}.5" min_lon="${-179 + i % 358}.5" """ +
+          s"""max_lat="${-88 + i % 178}.5" max_lon="${-178 + i % 358}.5" """ +
+          s"""num_changes="${i % 500}" comments_count="${i % 7}">""" +
+          s"""<tag k="comment" v="edit number $i"/></changeset>\n""")
+        i += 1
+      }
+      xml.append("</osm>\n")
+      java.nio.file.Files.writeString(xmlDir.resolve(f"chunk-$c%02d.osm"), xml.toString)
+    }
+    val convOut = java.nio.file.Files.createTempDirectory("bench-conv").toString + "/out.parquet"
+    val t0 = System.nanoTime()
+    val written = graft.changesets.ChangesetConverter.convert(
+      spark, xmlDir.toString, convOut, graft.changesets.ChangesetConverter.Options())
+    val convSec = (System.nanoTime() - t0) / 1e9
+    val conv = s"""{"rows":$written,"sec":$convSec,"rows_per_sec":${written / convSec}}"""
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"converter":$conv,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
