@@ -70,6 +70,16 @@ object Bench {
       spark, xmlDir.toString, convOut, graft.changesets.ChangesetConverter.Options())
     val convSec = (System.nanoTime() - t0) / 1e9
     val conv = s"""{"rows":$written,"sec":$convSec,"rows_per_sec":${written / convSec}}"""
+    // ~150 MB of temp input per run — don't leak it across rounds
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(c => rmTree(c)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rmTree(xmlDir)
+    rmTree(java.nio.file.Paths.get(convOut).getParent)
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"converter":$conv,"sf":"$sfDir"}""")
     spark.stop()

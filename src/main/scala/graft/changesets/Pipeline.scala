@@ -123,9 +123,10 @@ object Pipeline {
     * id, preferring the incoming side (changesets mutate after
     * creation: closed_at/open/num_changes change on close). One
     * shuffle on id; at fleet scale both sides are id-partitioned
-    * parquet so AQE keeps the exchange lean. Deterministic for
-    * duplicate ids WITHIN a side too (newest created_at, then the
-    * side tag, wins).
+    * parquet so AQE keeps the exchange lean. Within a side, duplicate
+    * ids resolve to the newest created_at; rows identical in (side,
+    * created_at) have no further tiebreak — callers needing one
+    * should dedup a side first.
     */
   def mergeSnapshots(
       published: org.apache.spark.sql.DataFrame,
