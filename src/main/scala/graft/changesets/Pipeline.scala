@@ -78,12 +78,13 @@ object Pipeline {
     // overwrite has the same race; object-store copies are per-object
     // atomic there)
     val latest = s"$publishDir/changesets.parquet"
+    val latestPath = Paths.get(latest)
     val staging = Paths.get(publishDir, ".changesets.parquet.staging")
     val retired = Paths.get(publishDir, ".changesets.parquet.retired")
+    recoverPublish(publishDir)
     deleteRecursively(staging)
     deleteRecursively(retired)
     copyRecursively(Paths.get(versioned), staging)
-    val latestPath = Paths.get(latest)
     if (Files.exists(latestPath)) Files.move(latestPath, retired)
     Files.move(staging, latestPath)
     deleteRecursively(retired)
@@ -93,6 +94,26 @@ object Pipeline {
     writeMarker(stateDir, sourceVersion)
     Result(ran = true, rows = rows, published = Some(latest),
       reason = if (force) "forced" else "source changed")
+  }
+
+  /** Crash recovery for the publish swap. The swap is two renames
+    * (latest→retired, staging→latest); a crash between them leaves the
+    * ONLY copy of the previous publish under the hidden `.retired`
+    * name, which a blind next run would delete before republishing —
+    * losing every stable artifact if it crashed again. Restoring
+    * `.retired` back to the stable name whenever the stable name is
+    * missing closes that window: at every point outside a single
+    * rename, some run of `recoverPublish` + readers sees a complete
+    * `changesets.parquet`. Called automatically at the start of each
+    * `run`; safe (no-op) when the previous publish completed. Public
+    * so long-lived readers can also invoke it before opening the
+    * artifact.
+    */
+  def recoverPublish(publishDir: String): Unit = {
+    val latestPath = Paths.get(publishDir, "changesets.parquet")
+    val retired = Paths.get(publishDir, ".changesets.parquet.retired")
+    if (!Files.exists(latestPath) && Files.exists(retired))
+      Files.move(retired, latestPath)
   }
 
   /** The catalog the reference publishes as index.json

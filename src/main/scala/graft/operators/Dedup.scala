@@ -142,15 +142,19 @@ object Dedup {
     cand
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      // floor-truncated, not rounded: i/u is a small-integer ratio, and
-      // power-of-two unions land the double EXACTLY on a .5 at the cut
+      // threshold test on the EXACT IEEE ratio (correctly-rounded double
+      // division is engine-portable), so an at-threshold pair survives
+      // for ANY threshold value; the OUTPUT column is floor-truncated —
+      // not rounded — because i/u is a small-integer ratio and
+      // power-of-two unions land the double exactly on a .5 at the cut
       // digit, where Spark's and DuckDB's round() tie-break differently
       // (see q24 scaladoc). floor has no tie.
-      .withColumn("jaccard", floor(
+      .withColumn("jr",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double") * lit(1e6)) / lit(1e6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jr") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("jr") * lit(1e6)) / lit(1e6)).as("jaccard"))
   }
 
   /** 60-bit SimHash per document via explode + 60 codegen'd vote sums
@@ -222,6 +226,15 @@ object Dedup {
     * clusters are shallow — single digits). Lineage is truncated per
     * iteration with an eager localCheckpoint, the local[*] stand-in
     * for checkpointing to reliable storage on a cluster.
+    *
+    * CONTRACT — eager at call time: although a DataFrame is returned,
+    * calling this method runs Spark jobs immediately (the pair input
+    * is checkpoint-materialized once, then the fixpoint loop runs to
+    * convergence). This is deliberate: an iterative algorithm left
+    * lazy would re-execute the typically-expensive pair lineage
+    * (LSH + verify) on every downstream action AND once per loop
+    * iteration. Callers composing large plans should invoke it once
+    * and reuse the (cheap, checkpoint-backed) result.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -285,10 +298,26 @@ object Dedup {
     * Roots are always the component MINIMUM (union attaches the larger
     * root under the smaller), so labels match the distributed
     * min-label fixpoint exactly and do not depend on edge order.
+    *
+    * "Minimum" must mean the SAME thing on both paths: the distributed
+    * loop's `min(label)` orders by Spark's ordering for the key type
+    * (binary UTF-8 for strings), which differs from Java's UTF-16
+    * `String.compareTo` for supplementary-plane code points. The
+    * union-find therefore runs over the CATALYST representation of the
+    * keys with Spark's own interpreted ordering — labels cannot depend
+    * on which side of `driverEdgeThreshold` the edge count lands, and
+    * key types with no `Comparable` (arrays, structs) order correctly
+    * instead of throwing.
     */
   private def driverComponents(basePairs: DataFrame): DataFrame = {
     val spark = basePairs.sparkSession
     val keyType = basePairs.schema.head.dataType
+    val toCatalyst =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(keyType)
+    val toScala =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(keyType)
+    val ord =
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(keyType)
     val parent = scala.collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -297,21 +326,20 @@ object Dedup {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    @inline def lt(a: Any, b: Any): Boolean =
-      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     basePairs.collect().foreach { row =>
-      val (a, b) = (row.get(0), row.get(1))
-      if (a != null && b != null) {
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val a = toCatalyst(row.get(0))
+        val b = toCatalyst(row.get(1))
         parent.getOrElseUpdate(a, a)
         parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) {
-          if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          if (ord.compare(ra, rb) < 0) parent(rb) = ra else parent(ra) = rb
         }
       }
     }
     val rows = parent.keys.toSeq
-      .map(n => org.apache.spark.sql.Row(n, find(n)))
+      .map(n => org.apache.spark.sql.Row(toScala(n), toScala(find(n))))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc", keyType),
       org.apache.spark.sql.types.StructField("cluster", keyType)))
@@ -399,10 +427,11 @@ object Dedup {
       .join(gSets.select(col("doc").as("doc_b"), col("g").as("g_b"), col("n").as("n_b")), Seq("doc_b"))
       .withColumn("isect",
         call_function(VectorExpressions.isectFnName, col("g_a"), col("g_b")).cast("double"))
-      // floor-truncated for the same tie-free reason as minhashLshPairs
-      .withColumn("jaccard", floor(
-        col("isect") / (col("n_a") + col("n_b") - col("isect")) * lit(1e6)) / lit(1e6))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // exact-ratio threshold test + floor-truncated output, for the
+      // same at-threshold/tie-free reasons as minhashLshPairs
+      .withColumn("jr", col("isect") / (col("n_a") + col("n_b") - col("isect")))
+      .filter(col("jr") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(col("jr") * lit(1e6)) / lit(1e6)).as("jaccard"))
   }
 }

@@ -70,13 +70,13 @@ object CorpusOps {
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, jaccard FROM (
+       |SELECT doc_a, doc_b, floor(jr * 1e6) / 1e6 AS jaccard FROM (
        |  SELECT doc_a, doc_b,
-       |    floor(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-       |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) * 1e6) / 1e6 AS jaccard
+       |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jr
        |  FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
        |            JOIN sh sb ON cand.doc_b = sb.doc_id)
-       |WHERE jaccard >= 0.5
+       |WHERE jr >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
@@ -128,12 +128,12 @@ object CorpusOps {
        |          ELSE [lower(text)] END,
        |        x -> $h60)) AS g
        |    FROM documents))
-       |SELECT doc_a, doc_b, jaccard FROM (
+       |SELECT doc_a, doc_b, floor(jr * 1e6) / 1e6 AS jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    floor(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-       |      / (a.n + b.n - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)) * 1e6) / 1e6 AS jaccard
+       |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |      / (a.n + b.n - CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)) AS jr
        |  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-       |WHERE jaccard >= 0.75
+       |WHERE jr >= 0.75
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

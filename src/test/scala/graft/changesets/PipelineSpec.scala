@@ -77,6 +77,33 @@ class PipelineSpec extends SparkSpec {
     assert(merged.toSeq === Seq((1L, false, 9L), (2L, false, 5L), (3L, true, 1L)))
   }
 
+  test("publish swap recovers from a crash between the two renames") {
+    val pub = tmpDir("pipe-pub5")
+    val state = tmpDir("pipe-state5")
+    Pipeline.run(spark, writeXml(Seq(1, 2, 3)), pub, state, sourceVersion = "v1")
+
+    // simulate a crash after move(latest -> retired) but before
+    // move(staging -> latest): the stable name is gone, the only copy
+    // of the previous publish sits under the hidden .retired name
+    Files.move(
+      Paths.get(pub, "changesets.parquet"),
+      Paths.get(pub, ".changesets.parquet.retired"))
+    assert(!Files.exists(Paths.get(pub, "changesets.parquet")))
+
+    // a reader-side recovery restores the stable artifact as-is
+    Pipeline.recoverPublish(pub)
+    assert(spark.read.parquet(s"$pub/changesets.parquet").count() === 3L)
+
+    // and the next run after the same crash state must NOT destroy the
+    // only surviving copy before its own publish lands
+    Files.move(
+      Paths.get(pub, "changesets.parquet"),
+      Paths.get(pub, ".changesets.parquet.retired"))
+    Pipeline.run(spark, writeXml(Seq(1, 2, 3, 4)), pub, state, sourceVersion = "v2")
+    assert(spark.read.parquet(s"$pub/changesets.parquet").count() === 4L)
+    assert(!Files.exists(Paths.get(pub, ".changesets.parquet.retired")))
+  }
+
   test("retention is mtime-ordered, not token-ordered (Last-Modified-style tokens)") {
     val pub = tmpDir("pipe-pub4")
     // tokens whose lexicographic order INVERTS arrival order — like

@@ -55,6 +55,28 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents: driver and distributed paths agree on supplementary-plane ids") {
+    import spark.implicits._
+    // U+FFFF sorts BELOW U+10000 in UTF-8 binary order (Spark/UTF8String)
+    // but ABOVE it in Java's UTF-16 String.compareTo (surrogate 0xD800 <
+    // 0xFFFF) — the exact divergence between the two component labelers
+    // min candidate by UTF-8:  uFFFF  (EF BF BF .. < F0 90 80 80 ..)
+    // min candidate by UTF-16: u10000 (surrogate 0xD800 < 0xFFFF)
+    // third node sits above BOTH candidates in both orders
+    val uFFFF = "\uFFFF-doc"
+    val u10000 = "\uD800\uDC00-doc" // U+10000
+    val third = "\uD800\uDC00\uFFFF-doc"
+    val edges = Seq((uFFFF, u10000), (u10000, third))
+    val df = edges.toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(df, "doc_a", "doc_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val dist = Dedup.connectedComponents(df, "doc_a", "doc_b", driverEdgeThreshold = -1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(fast === dist)
+    // and the shared label is Spark's binary-order minimum, not Java's
+    assert(fast.map(_._2).distinct === Seq(uFFFF))
+  }
+
   test("ngramJaccardPairs finds EXACTLY the brute-force pairs at t=0.75 (40 seeded corpora)") {
     import spark.implicits._
     (1 to 40).foreach { i =>
