@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.Analytics.queries ++
       graft.queries.TextAnalytics.queries ++
       graft.queries.CorpusOps.queries ++
-      graft.queries.MediaStream.queries
+      graft.queries.MediaStream.queries ++
+      graft.queries.Curation.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.Analytics.oracle ++
       graft.queries.TextAnalytics.oracle ++
       graft.queries.CorpusOps.oracle ++
-      graft.queries.MediaStream.oracle
+      graft.queries.MediaStream.oracle ++
+      graft.queries.Curation.oracle
 }

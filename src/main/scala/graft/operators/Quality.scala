@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation quality operators beyond the per-doc scalar score
+  * (TextFunctions.qualityScore): repetition signals in the style of the
+  * Gopher/MassiveText filtering rules (duplicate-token fraction,
+  * most-frequent-n-gram mass), PII detection/redaction, and train-vs-
+  * benchmark decontamination — the filters a training-data pipeline
+  * runs corpus-wide before anything is tokenized.
+  *
+  * Scale design: every operator here is explode -> codegen'd grouped
+  * aggregation (or a blocked equi-join for decontaminate) — no
+  * quadratic stage, no driver collection; all arithmetic on the output
+  * surface is integer-rational (exact IEEE division), so results are
+  * engine-portable for the DuckDB hash gate.
+  */
+object Quality {
+
+  /** Per-document repetition signals over word tokens:
+    *
+    *   - `n_tok`, `n_uniq`: token multiset size / distinct size
+    *   - `dup_frac`  = (n_tok - n_uniq) / n_tok — the fraction of token
+    *     occurrences that repeat an earlier token (0 for n_tok = 0..1
+    *     docs in effect; docs with no tokens are kept with n_tok = 0
+    *     and dup_frac NULL-safe 0)
+    *   - `top_bigram_cnt`, `n_bigrams`: the count of the single most
+    *     frequent word bigram and the bigram total (n_tok - 1); docs
+    *     with < 2 tokens carry 0/0
+    *
+    * The caller derives flags/fractions; this returns the raw integer
+    * counters so aggregates can stay EXACT (micro-average = ratio of
+    * summed integers — a single IEEE division at the end — instead of
+    * a partition-order-dependent sum of per-doc doubles).
+    *
+    * One shuffle on the doc id for the bigram mode; the token stats are
+    * per-row expressions.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toksed = df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+    val stats = toksed.select(col("doc"), col("toks"),
+      size(col("toks")).as("n_tok"),
+      size(array_distinct(col("toks"))).as("n_uniq"))
+    // bigram mode via explode + two-level aggregate: count per (doc,
+    // bigram) then max per doc — both stages partial-aggregate map-side
+    // and stay in whole-stage codegen (a per-row higher-order-function
+    // histogram would re-scan the array per distinct bigram instead)
+    val bg = stats.filter(col("n_tok") >= 2)
+      .select(col("doc"),
+        explode(transform(sequence(lit(1), col("n_tok") - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc")).agg(max(col("cnt")).as("top_bigram_cnt"))
+    stats.join(bg, Seq("doc"), "left_outer")
+      .select(col("doc"),
+        col("n_tok"), col("n_uniq"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        greatest(col("n_tok") - 1, lit(0)).cast("long").as("n_bigrams"))
+  }
+
+  /** Default PII patterns — deliberately in the common subset of Java
+    * regex and RE2 (no backreferences, no lookaround), so the same
+    * pattern text runs identically in Spark and the DuckDB oracle.
+    */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\b555-[0-9]{4}\\b"
+
+  /** PII detection + redaction: appends `n_emails`, `n_phones` (match
+    * counts) and `redacted` (emails replaced by [EMAIL], then phones by
+    * [PHONE]) for `textCol`. Pure per-row expressions — no shuffle; at
+    * 100 TB this is a map-only pass that pipelines into whatever scan
+    * feeds it.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame =
+    // patterns passed as VALUES (lit), never through SQL text — a
+    // single-quoted SQL literal would eat regex escapes (\b -> 0x08)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), emailPattern, "[EMAIL]"),
+          phonePattern, "[PHONE]"))
+
+  /** Benchmark decontamination: find training documents sharing at
+    * least one word `n`-gram with any benchmark document — the overlap
+    * check run against eval sets before training. Documents shorter
+    * than `n` tokens contribute their whole token sequence as a single
+    * gram (kept checkable instead of silently exempt).
+    *
+    * Returns one row per contaminated training doc:
+    * (train_id, n_shared_grams  — distinct overlapping grams,
+    *  n_bench_docs — distinct benchmark docs hit, min_bench_id).
+    *
+    * Plan shape: both sides explode to DISTINCT grams (linear in
+    * corpus token count), then a broadcast equi-join on the gram —
+    * the benchmark side is small by definition, so the training corpus
+    * NEVER shuffles; contamination cost scales with the benchmark, not
+    * the corpus. That is the property that makes this runnable inline
+    * in a 100 TB curation pass.
+    */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    def grams(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), TextFunctions.tokens(col(textCol)).as("toks"))
+        .select(col(idAs), explode(array_distinct(
+          when(size(col("toks")) >= n,
+            transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+              i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+            .otherwise(array(concat_ws(" ", col("toks")))))).as("gram"))
+    val t = grams(train, "train_id")
+    val b = grams(bench, "bench_id")
+    t.join(broadcast(b), Seq("gram"))
+      .groupBy(col("train_id"))
+      .agg(count_distinct(col("gram")).as("n_shared_grams"),
+        count_distinct(col("bench_id")).as("n_bench_docs"),
+        min(col("bench_id")).as("min_bench_id"))
+  }
+}

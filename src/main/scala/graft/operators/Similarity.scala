@@ -157,6 +157,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 9).as("cosine"))
   }
 
+  /** Semantic (embedding-space) near-duplicate pairs, cluster-blocked:
+    * every vector is assigned to its nearest centroid (same coarse
+    * quantizer as ivfTopK — in production a trainKMeans codebook), and
+    * only same-cluster pairs are scored; pairs at cosine >= threshold
+    * survive. This is SemDeDup-style semantic dedup: the cluster
+    * blocking turns the O(n²) pair scan into per-cluster scans, so
+    * cost follows sum(|cluster|²) — bounded by the codebook size the
+    * operator is run with, not the corpus.
+    *
+    * Approximate by construction (a true near-dup pair split across
+    * two clusters is missed — the standard SemDeDup trade); the oracle
+    * replicates the same blocking, so the gate pins the algorithm.
+    *
+    * Threshold tests the raw IEEE cosine (portable — correctly-rounded
+    * double ops); the output column is round-9 like the other cosine
+    * surfaces. Returns (vec_a, vec_b, cluster, cosine).
+    */
+  def semanticNearDupPairs(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val cent = prepped(centroids, idCol, vecCol, "centroid_id", "centv", "centn")
+    val scored = prepped(corpus, idCol, vecCol, "vid", "v", "nrm")
+      .join(broadcast(cent), lit(true))
+      .withColumn("c_cos", dotWide(col("v"), col("centv")) / (col("nrm") * col("centn")))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("c_cos").desc, col("centroid_id"))
+    val assigned = scored.withColumn("c_rank", row_number().over(w))
+      .filter(col("c_rank") === 1)
+      .select(col("vid"), col("v"), col("nrm"), col("centroid_id").as("cluster"))
+    assigned.select(col("cluster"), col("vid").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(assigned.select(col("cluster"), col("vid").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dotWide(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cluster"), round(col("cos"), 9).as("cosine"))
+  }
+
   /** Lloyd's k-means over the embedding column — the trainer that
     * produces real IVF codebooks for `ivfTopK` (whose doc promises "in
     * production a k-means model"). Expressed as DataFrame ops so it

@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Behavior, Quality, Similarity}
+
+/** Round-3 curation + behavior surface: Gopher-style repetition
+  * quality signals, PII redaction, benchmark decontamination,
+  * recursive SQL, SemDeDup-style semantic dedup, funnels, cohort
+  * retention. Every oracle is an independent DuckDB re-expression of
+  * the same algorithm (same patterns, same blocking, same IEEE
+  * arithmetic shapes), so the hash gate pins semantics.
+  */
+object Curation {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Mirror of TextFunctions.tokens (see CorpusOps.toksSql). */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+  // ---------------------------------------------------------------- q65
+  /** Repetition-quality report per language: how many docs exceed the
+    * duplicate-token and top-bigram-mass thresholds (the
+    * Gopher/MassiveText repetition rules), plus the exact micro-average
+    * duplicate fraction (ratio of summed integer counters — one IEEE
+    * division at the end, partition-order independent). Flag
+    * comparisons use the multiplication form (n-u) > thr*n: no
+    * division, no zero-guard, same shape in both engines.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Quality.repetitionSignals(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("doc"), col("lang")), Seq("doc"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when((col("n_tok") - col("n_uniq")).cast("double") > lit(0.6) * col("n_tok"), 1L)
+          .otherwise(0L)).as("n_rep_flagged"),
+        sum(when(col("top_bigram_cnt").cast("double") > lit(0.1) * col("n_bigrams"), 1L)
+          .otherwise(0L)).as("n_bg_flagged"),
+        (floor(sum(col("n_tok") - col("n_uniq")).cast("double")
+          / sum(col("n_tok")).cast("double") * lit(1e6)) / lit(1e6)).as("micro_dup_frac"))
+      .orderBy(col("lang"))
+  }
+
+  private val q65Sql =
+    s"""WITH tk AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+       |st AS (SELECT doc_id, lang, len(toks) AS n, len(list_distinct(toks)) AS u FROM tk),
+       |bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |          i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+       |        FROM tk WHERE len(toks) >= 2),
+       |bgc AS (SELECT doc_id, bg, count(*) AS cnt FROM bgx GROUP BY 1, 2),
+       |bgm AS (SELECT doc_id, max(cnt) AS topc FROM bgc GROUP BY 1)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN CAST(n - u AS DOUBLE) > 0.6 * n THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_flagged,
+       |  CAST(sum(CASE WHEN CAST(coalesce(topc, 0) AS DOUBLE) > 0.1 * (n - 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_bg_flagged,
+       |  floor(CAST(sum(n - u) AS DOUBLE) / CAST(sum(n) AS DOUBLE) * 1e6) / 1e6 AS micro_dup_frac
+       |FROM st LEFT JOIN bgm USING (doc_id)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q66
+  /** PII detection + redaction over synthesized contact cards (name,
+    * derived e-mail, 555 phone — built in-query from `customer` with
+    * integer-only interpolation, so both engines render identical
+    * text). Gates the match counts AND the redacted text itself
+    * (min(redacted) per segment hash-checks the rewrite).
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      col("c_name"), lit(" <"),
+      lower(expr("replace(c_name, '#', '')")), lit("@example.com> call 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" segment "), col("c_mktsegment"))
+    Quality.piiRedact(t(s, dir, "customer").withColumn("contact", contact), "contact")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        min(col("redacted")).as("sample_redacted"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q66Sql = {
+    val email = Quality.emailPattern
+    val phone = Quality.phonePattern
+    s"""WITH c AS (
+       |  SELECT c_mktsegment,
+       |    concat(c_name, ' <', lower(replace(c_name, '#', '')), '@example.com> call 555-',
+       |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'), ' segment ', c_mktsegment) AS contact
+       |  FROM customer),
+       |r AS (
+       |  SELECT c_mktsegment,
+       |    len(regexp_extract_all(contact, '$email')) AS ne,
+       |    len(regexp_extract_all(contact, '$phone')) AS np,
+       |    regexp_replace(regexp_replace(contact, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g') AS redacted
+       |  FROM c)
+       |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(np) AS BIGINT) AS n_phones,
+       |  min(redacted) AS sample_redacted
+       |FROM r GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q67
+  /** Benchmark decontamination: training docs (doc_id % 19 <> 0)
+    * sharing any word 5-gram with the benchmark split (doc_id % 19 =
+    * 0). The oracle recomputes the full overlap without the broadcast
+    * blocking, proving the slim-join plan exact.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Quality.decontaminate(
+        docs.filter(col("doc_id") % 19 =!= 0),
+        docs.filter(col("doc_id") % 19 === 0),
+        "doc_id", "text", n = 5)
+      .orderBy(col("train_id"))
+  }
+
+  private val q67Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |        CASE WHEN len(toks) >= 5
+       |          THEN list_transform(range(1, len(toks) - 3),
+       |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))
+       |          ELSE [array_to_string(toks, ' ')] END)) AS gram
+       |      FROM tk),
+       |b AS (SELECT doc_id, gram FROM g WHERE doc_id % 19 = 0),
+       |tr AS (SELECT doc_id, gram FROM g WHERE doc_id % 19 <> 0)
+       |SELECT tr.doc_id AS train_id,
+       |  CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams,
+       |  CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs,
+       |  min(b.doc_id) AS min_bench_id
+       |FROM tr JOIN b ON tr.gram = b.gram
+       |GROUP BY tr.doc_id
+       |ORDER BY train_id""".stripMargin
+
+  // ---------------------------------------------------------------- q68
+  /** Recursive SQL (WITH RECURSIVE — Catalyst UnionLoop): every nation
+    * key walks the implicit binary-heap parent chain k -> k div 2 down
+    * to 0, accumulating depth and the full path string. Pins the
+    * recursive-CTE surface itself: seed + recursive step + termination
+    * predicate, matching DuckDB's recursive CTE on the same walk.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    s.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT n_nationkey AS node, CAST(n_nationkey AS BIGINT) AS cur, 0 AS depth,
+        |    CAST(n_nationkey AS STRING) AS path
+        |  FROM nation_v
+        |  UNION ALL
+        |  SELECT node, cur div 2, depth + 1,
+        |    concat(path, '->', CAST(cur div 2 AS STRING))
+        |  FROM anc WHERE cur > 0)
+        |SELECT node, depth, path FROM anc WHERE cur = 0
+        |ORDER BY node""".stripMargin)
+  }
+
+  private val q68Sql =
+    """WITH RECURSIVE anc AS (
+      |  SELECT n_nationkey AS node, n_nationkey AS cur, 0 AS depth,
+      |    CAST(n_nationkey AS VARCHAR) AS path
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT node, cur // 2, depth + 1,
+      |    concat(path, '->', CAST(cur // 2 AS VARCHAR))
+      |  FROM anc WHERE cur > 0)
+      |SELECT node, depth, path FROM anc WHERE cur = 0
+      |ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------- q69
+  /** SemDeDup-style semantic dedup: cluster-blocked embedding pairs at
+    * cosine >= 0.35, with the first 16 corpus vectors as the coarse
+    * codebook (deterministic stand-in for trainKMeans, as in q41). The
+    * oracle replicates the same assignment + blocking.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.semanticNearDupPairs(emb, emb.filter(col("vec_id") < 16),
+        "vec_id", "embedding", threshold = 0.35)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val q69Sql =
+    """WITH e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      |           FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+      |cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e WHERE vec_id < 16),
+      |a AS (SELECT vec_id, v, nrm, cid AS cluster FROM (
+      |  SELECT e.vec_id, e.v, e.nrm, cent.cid,
+      |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |      (list_dot_product(e.v, cent.cv) / (e.nrm * cent.cn)) DESC, cent.cid) AS rk
+      |  FROM e, cent) WHERE rk = 1)
+      |SELECT vec_a, vec_b, cluster, round(cos, 9) AS cosine FROM (
+      |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cluster AS cluster,
+      |    list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS cos
+      |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+      |WHERE cos >= 0.35
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- q70
+  /** Ordered conversion funnel view -> click -> purchase with a 24 h
+    * per-step deadline, first-touch semantics (Behavior.funnel).
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    Behavior.funnel(t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), stepWindowHours = 24)
+      .orderBy(col("stage_idx"))
+
+  private val q70Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |      JOIN v ON e.user_id = v.user_id AND e.ts > v.t AND e.ts <= v.t + INTERVAL 24 HOUR
+      |      WHERE e.event_type = 'click' GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+      |      JOIN c ON e.user_id = c.user_id AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOUR
+      |      WHERE e.event_type = 'purchase' GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_idx, 'view' AS stage, CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+      |  UNION ALL
+      |  SELECT 1, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 2, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT))
+      |ORDER BY stage_idx""".stripMargin
+
+  // ---------------------------------------------------------------- q71
+  /** Cohort retention: first-event-day cohorts x active day offsets
+    * (Behavior.cohortRetention).
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    Behavior.cohortRetention(t(s, dir, "events"), "user_id", "ts")
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  private val q71Sql =
+    """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+      |        date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      |      FROM events e JOIN f ON e.user_id = f.user_id)
+      |SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+      |FROM a GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_repetition_signals" -> (q65 _),
+    "q66_pii_redact" -> (q66 _),
+    "q67_decontaminate" -> (q67 _),
+    "q68_recursive_sql" -> (q68 _),
+    "q69_semantic_dedup" -> (q69 _),
+    "q70_funnel" -> (q70 _),
+    "q71_cohort_retention" -> (q71 _))
+
+  val oracle: Map[String, String] = Map(
+    "q65_repetition_signals" -> q65Sql,
+    "q66_pii_redact" -> q66Sql,
+    "q67_decontaminate" -> q67Sql,
+    "q68_recursive_sql" -> q68Sql,
+    "q69_semantic_dedup" -> q69Sql,
+    "q70_funnel" -> q70Sql,
+    "q71_cohort_retention" -> q71Sql)
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+
+  test("repetitionSignals: token/bigram counters on hand-checked docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),            // 4 tok, 1 uniq; bigram "a a" x3 of 3
+      (2L, "a b c d"),            // no repetition; each bigram once
+      (3L, "go"),                 // single token: no bigrams
+      (4L, ""),                   // empty: zero tokens
+      (5L, "x y x y x"))          // 5 tok 2 uniq; "x y" x2, "y x" x2 of 4
+      .toDF("doc_id", "text")
+    val got = Quality.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got === Seq(
+      (1L, 4, 1, 3L, 3L),
+      (2L, 4, 4, 1L, 3L),
+      (3L, 1, 1, 0L, 0L),
+      (4L, 0, 0, 0L, 0L),
+      (5L, 5, 2, 2L, 4L)))
+  }
+
+  test("piiRedact counts and rewrites emails/phones, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "reach me at jo.doe@mail.example.org or call 555-1234 now"),
+      (2L, "two mails a@b.io c.d@e.co and 555-0000 555-9999"),
+      (3L, "no pii here, 555-12345 is too long for the strict pattern"))
+      .toDF("id", "txt")
+    val got = Quality.piiRedact(rows, "txt").orderBy("id")
+      .select("n_emails", "n_phones", "redacted").collect()
+    assert(got(0).getLong(0) === 1L && got(0).getLong(1) === 1L)
+    assert(got(0).getString(2) === "reach me at [EMAIL] or call [PHONE] now")
+    assert(got(1).getLong(0) === 2L && got(1).getLong(1) === 2L)
+    assert(got(1).getString(2) === "two mails [EMAIL] [EMAIL] and [PHONE] [PHONE]")
+    // \b guard: 555-12345 must NOT match (no boundary after 4th digit)
+    assert(got(2).getLong(0) === 0L && got(2).getLong(1) === 0L)
+    assert(got(2).getString(2).contains("555-12345"))
+  }
+
+  test("decontaminate: 5-gram overlap, short docs fall back to whole-doc grams") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "one two three four five six"),   // shares 5-gram with bench 1
+      (11L, "totally different words here now friend"),
+      (12L, "tiny doc"))                      // < 5 tokens -> whole-doc gram
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "zero one two three four five"),   // "one two three four five"
+      (2L, "tiny doc"))                       // exact short-doc collision
+      .toDF("doc_id", "text")
+    val got = Quality.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .orderBy("train_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((10L, 1L, 1L, 1L), (12L, 1L, 1L, 2L)))
+  }
+
+  test("decontaminate never shuffles the training side (broadcast gram join)") {
+    import spark.implicits._
+    val train = (0L to 50L).map(i => (i, s"w$i x$i y$i z$i q$i r$i")).toDF("doc_id", "text")
+    val bench = Seq((100L, "w1 x1 y1 z1 q1 r1")).toDF("doc_id", "text")
+    val plan = Quality.decontaminate(train, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast gram join, got:\n$plan")
+  }
+}
