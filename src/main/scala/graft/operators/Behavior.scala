@@ -49,6 +49,36 @@ object Behavior {
       .reduce(_ union _)
   }
 
+  /** First-order Markov transition counts over each user's
+    * time-ordered event sequence: one row per (src, dst) event-type
+    * pair with the transition count and its probability given src
+    * (floor-truncated rational — engine-portable). `tieCol` breaks
+    * equal timestamps deterministically.
+    *
+    * One window pass (lead over user-partitioned, time-ordered events)
+    * + one aggregate; per-source totals come from a second small
+    * window over the aggregated pairs, not the raw log.
+    */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("dst", lead(col(typeCol), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    pairs
+      .withColumn("src_total", sum(col("n")).over(bySrc))
+      .select(col("src"), col("dst"), col("n"),
+        (floor(col("n").cast("double") / col("src_total").cast("double") * lit(1e6)) / lit(1e6)).as("p"))
+  }
+
   /** Cohort retention matrix: users bucketed by the calendar day of
     * their first event (the cohort), counted on each later day-offset
     * they were active. Returns (cohort_day: date, day_offset: int,

@@ -244,6 +244,94 @@ object Curation {
       |FROM a GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q72
+  /** Corpus-wide vocabulary head: top-30 word bigrams by occurrence
+    * (ties on the bigram), with document frequency — the counting pass
+    * a tokenizer/vocab trainer runs over the corpus. Explode + one
+    * partial-aggregated groupBy; the top-k is a single reduction, never
+    * a global sort of the vocabulary.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("bigram"))
+      .limit(30)
+
+  private val q72Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |         i -> concat(toks[i], ' ', toks[i+1]))) AS bigram
+       |       FROM tk WHERE len(toks) >= 2)
+       |SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM bg GROUP BY bigram
+       |ORDER BY n_occurrences DESC, bigram
+       |LIMIT 30""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  /** Distinctive terms per document (docs 0-29): top-3 tokens by
+    * term frequency, rarer-corpus-wide first on ties (ascending global
+    * document frequency, then the token) — TF-IDF ranking semantics
+    * with integer-only arithmetic. The global DF side is a broadcast
+    * (vocabulary-sized, corpus-independent).
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val occ = t(s, dir, "documents")
+      .select(col("doc_id"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+    val df_ = occ.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val tf = occ.filter(col("doc_id") < 30)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    tf.join(broadcast(df_), Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val q73Sql =
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+       |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tk GROUP BY token),
+       |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tk WHERE doc_id < 30 GROUP BY 1, 2)
+       |SELECT doc_id, rank, token, tf, df FROM (
+       |  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf DESC, dfreq.df, tf.token) AS rank
+       |  FROM tf JOIN dfreq ON tf.token = dfreq.token)
+       |WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q74
+  /** Event-type Markov transitions per user session stream
+    * (Behavior.transitionMatrix): counts + floor-truncated conditional
+    * probabilities, event_id as the equal-timestamp tiebreak.
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    Behavior.transitionMatrix(t(s, dir, "events"), "user_id", "ts", "event_type", "event_id")
+      .orderBy(col("src"), col("dst"))
+
+  private val q74Sql =
+    """WITH nx AS (
+      |  SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |pairs AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      |          FROM nx WHERE dst IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  floor(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) * 1e6) / 1e6 AS p
+      |FROM pairs
+      |ORDER BY src, dst""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
@@ -251,7 +339,10 @@ object Curation {
     "q68_recursive_sql" -> (q68 _),
     "q69_semantic_dedup" -> (q69 _),
     "q70_funnel" -> (q70 _),
-    "q71_cohort_retention" -> (q71 _))
+    "q71_cohort_retention" -> (q71 _),
+    "q72_vocab_topk" -> (q72 _),
+    "q73_distinctive_terms" -> (q73 _),
+    "q74_transition_matrix" -> (q74 _))
 
   val oracle: Map[String, String] = Map(
     "q65_repetition_signals" -> q65Sql,
@@ -260,5 +351,8 @@ object Curation {
     "q68_recursive_sql" -> q68Sql,
     "q69_semantic_dedup" -> q69Sql,
     "q70_funnel" -> q70Sql,
-    "q71_cohort_retention" -> q71Sql)
+    "q71_cohort_retention" -> q71Sql,
+    "q72_vocab_topk" -> q72Sql,
+    "q73_distinctive_terms" -> q73Sql,
+    "q74_transition_matrix" -> q74Sql)
 }

@@ -58,6 +58,24 @@ class BehaviorSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)))
   }
 
+  test("transitionMatrix: per-user ordered lead pairs, conditional p by source") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: a -> b -> a   u2: a -> b (cross-user pairs must not appear)
+      (1L, 1L, "2024-01-01T00:00:00Z", "a"),
+      (1L, 2L, "2024-01-01T00:01:00Z", "b"),
+      (1L, 3L, "2024-01-01T00:02:00Z", "a"),
+      (2L, 4L, "2024-01-01T00:00:00Z", "a"),
+      (2L, 5L, "2024-01-01T00:05:00Z", "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val got = Behavior.transitionMatrix(events, "user_id", "ts", "event_type", "event_id")
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // a->b twice (p=1 given a), b->a once (p=1 given b)
+    assert(got === Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+  }
+
   test("semanticNearDupPairs only reports same-cluster pairs above threshold") {
     import spark.implicits._
     // two tight clusters around orthogonal axes + one lone vector
