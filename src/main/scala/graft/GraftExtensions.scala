@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExpressions.isectFnName),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, VectorExpressions.isectFnName),
       (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(VectorExpressions.ngramsFnName),
+      new ExpressionInfo(classOf[graft.functions.ExplodeNGrams].getName, VectorExpressions.ngramsFnName),
+      (children: Seq[Expression]) => graft.functions.ExplodeNGrams(children.head, children(1))))
   }
 }

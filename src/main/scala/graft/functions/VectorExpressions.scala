@@ -196,10 +196,13 @@ object StripVecDotCasts extends Rule[LogicalPlan] {
 object VectorExpressions {
   val fnName = "vec_dot"
   val isectFnName = "sorted_intersect_count"
+  val ngramsFnName = "explode_ngrams"
 
   private val info = new ExpressionInfo(classOf[VecDot].getName, fnName)
   private val isectInfo =
     new ExpressionInfo(classOf[SortedIntersectCount].getName, isectFnName)
+  private val ngramsInfo =
+    new ExpressionInfo(classOf[ExplodeNGrams].getName, ngramsFnName)
 
   /** Idempotent session registration; callers that only have a
     * DataFrame can self-register through its sparkSession.
@@ -211,5 +214,8 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(isectFnName), isectInfo,
       (children: Seq[Expression]) => SortedIntersectCount(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(ngramsFnName), ngramsInfo,
+      (children: Seq[Expression]) => ExplodeNGrams(children.head, children(1)))
   }
 }

@@ -40,18 +40,20 @@ object Quality {
     * per-row expressions.
     */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
     val toksed = df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
     val stats = toksed.select(col("doc"), col("toks"),
       size(col("toks")).as("n_tok"),
       size(array_distinct(col("toks"))).as("n_uniq"))
-    // bigram mode via explode + two-level aggregate: count per (doc,
-    // bigram) then max per doc — both stages partial-aggregate map-side
-    // and stay in whole-stage codegen (a per-row higher-order-function
+    // bigram mode via the native explode_ngrams Generator (streams
+    // grams, no per-row intermediate array) + two-level aggregate:
+    // count per (doc, bigram) then max per doc — both stages
+    // partial-aggregate map-side (a per-row higher-order-function
     // histogram would re-scan the array per distinct bigram instead)
     val bg = stats.filter(col("n_tok") >= 2)
       .select(col("doc"),
-        explode(transform(sequence(lit(1), col("n_tok") - 1),
-          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+        call_function(graft.functions.VectorExpressions.ngramsFnName,
+          col("toks"), lit(2)).as("bg"))
       .groupBy(col("doc"), col("bg")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc")).agg(max(col("cnt")).as("top_bigram_cnt"))
     stats.join(bg, Seq("doc"), "left_outer")

@@ -255,9 +255,11 @@ object Curation {
     t(s, dir, "documents")
       .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 2)
+      // native Generator: streams grams with O(1) state instead of
+      // materializing the per-row bigram array before explode
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("toks")) - 1),
-          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bigram"))
+        call_function(graft.functions.VectorExpressions.ngramsFnName,
+          col("toks"), lit(2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("doc_id")).as("n_docs"))
