@@ -103,6 +103,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union"), "as-of still executes as a union")
   }
 
+  test("q73 top-k window gets the rank-limit pushdown and a broadcast DF side") {
+    val p = plan("q73_distinctive_terms")
+    assert(p.contains("WindowGroupLimit"),
+      "row_number <= 3 not pushed as a group limit (full sort per doc instead)")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocabulary DF side not broadcast — corpus would shuffle on token")
+    assert(p.contains("LessThan(doc_id,30)"),
+      "doc filter not pushed into the parquet scan")
+  }
+
+  test("q65/q72 n-gram stages run the native Generator, not an array explode") {
+    assert(plan("q65_repetition_signals").contains("explode_ngrams"),
+      "q65 bigram stage lost the streaming generator")
+    assert(plan("q72_vocab_topk").contains("explode_ngrams"),
+      "q72 vocab stage lost the streaming generator")
+  }
+
+  test("q67 decontamination broadcasts the benchmark side; train never shuffles pre-join") {
+    val p = plan("q67_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "gram join not broadcast")
+    // the training-side scan must feed the join directly (no exchange
+    // between its Generate and the join)
+    assert(!p.split("BroadcastHashJoin").head.contains("Exchange hashpartitioning"),
+      s"training side shuffles before the gram join:\n$p")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
