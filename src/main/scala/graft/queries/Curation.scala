@@ -334,6 +334,102 @@ object Curation {
       |FROM pairs
       |ORDER BY src, dst""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  /** Exact 3-sigma outlier detection without float accumulation: the
+    * per-group co-moments (n, S=Σx, SS=Σx²) are EXACT decimal sums —
+    * partition-order independent — and the flag evaluates the
+    * scale-free inequality (n·x − S)² > 9·(n·SS − S²) through
+    * identically-shaped double arithmetic in both engines (q48/q52
+    * precedent). No mean/variance division ever happens, so there is
+    * no rounding to diverge on. One aggregate + one broadcast join
+    * back to the rows.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("x"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val nd = col("n").cast("double"); val xd = col("x").cast("double")
+    val sd = col("s").cast("double"); val ssd = col("ss").cast("double")
+    val dev = nd * xd - sd
+    ev.join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(dev * dev > lit(9.0) * (nd * ssd - sd * sd), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q75Sql =
+    """WITH x AS (SELECT event_type, CAST(value AS DECIMAL(18,6)) AS x FROM events),
+      |st AS (SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+      |       FROM x GROUP BY 1)
+      |SELECT x.event_type,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN
+      |      (CAST(n AS DOUBLE) * CAST(x.x AS DOUBLE) - CAST(s AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(x.x AS DOUBLE) - CAST(s AS DOUBLE))
+      |      > 9.0 * (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM x JOIN st ON x.event_type = st.event_type
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q76
+  /** Funnel latency: conversion-delay quantiles per stage transition
+    * (first view -> first qualifying click -> first qualifying
+    * purchase, 24 h deadlines as in q70). Delays measured in exact
+    * epoch-microsecond differences; quantile interpolation is the
+    * q64-gated percentile_cont.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events_v")
+    s.sql(
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events_v WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t, min(unix_micros(e.ts) - unix_micros(v.t)) AS d
+        |      FROM events_v e JOIN v ON e.user_id = v.user_id
+        |        AND e.ts > v.t AND e.ts <= v.t + INTERVAL 24 HOURS
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(unix_micros(e.ts) - unix_micros(c.t)) AS d
+        |      FROM events_v e JOIN c ON e.user_id = c.user_id
+        |        AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOURS
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT stage, n_users, p50_us, p90_us FROM (
+        |  SELECT 'click' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS p50_us,
+        |    percentile_cont(0.9) WITHIN GROUP (ORDER BY d) AS p90_us
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'purchase', CAST(count(*) AS BIGINT),
+        |    percentile_cont(0.5) WITHIN GROUP (ORDER BY d),
+        |    percentile_cont(0.9) WITHIN GROUP (ORDER BY d)
+        |  FROM p)
+        |ORDER BY stage""".stripMargin)
+  }
+
+  private val q76Sql =
+    """WITH v AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(e.ts) AS t, min(epoch_us(e.ts) - epoch_us(v.t)) AS d
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |        AND e.ts > v.t AND e.ts <= v.t + INTERVAL 24 HOUR
+      |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(epoch_us(e.ts) - epoch_us(c.t)) AS d
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |        AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOUR
+      |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT stage, n_users, p50_us, p90_us FROM (
+      |  SELECT 'click' AS stage, CAST(count(*) AS BIGINT) AS n_users,
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY d) AS p50_us,
+      |    percentile_cont(0.9) WITHIN GROUP (ORDER BY d) AS p90_us
+      |  FROM c
+      |  UNION ALL
+      |  SELECT 'purchase', CAST(count(*) AS BIGINT),
+      |    percentile_cont(0.5) WITHIN GROUP (ORDER BY d),
+      |    percentile_cont(0.9) WITHIN GROUP (ORDER BY d)
+      |  FROM p)
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
@@ -344,7 +440,9 @@ object Curation {
     "q71_cohort_retention" -> (q71 _),
     "q72_vocab_topk" -> (q72 _),
     "q73_distinctive_terms" -> (q73 _),
-    "q74_transition_matrix" -> (q74 _))
+    "q74_transition_matrix" -> (q74 _),
+    "q75_exact_outliers" -> (q75 _),
+    "q76_funnel_latency" -> (q76 _))
 
   val oracle: Map[String, String] = Map(
     "q65_repetition_signals" -> q65Sql,
@@ -356,5 +454,7 @@ object Curation {
     "q71_cohort_retention" -> q71Sql,
     "q72_vocab_topk" -> q72Sql,
     "q73_distinctive_terms" -> q73Sql,
-    "q74_transition_matrix" -> q74Sql)
+    "q74_transition_matrix" -> q74Sql,
+    "q75_exact_outliers" -> q75Sql,
+    "q76_funnel_latency" -> q76Sql)
 }
