@@ -108,6 +108,25 @@ object EventStreams {
       .toDF("user_id", "session_start_us", "session_end_us", "n_events")
   }
 
+  /** Running per-user event counter on the transformWithState API —
+    * Spark 4's arbitrary-state evolution of mapGroupsWithState (typed
+    * state handles, TTL support, timers decoupled from output mode).
+    * Emits (user_id, running_count) on every update. Requires the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass` =
+    * `...state.RocksDBStateStoreProvider`), which is also the provider
+    * a production deployment wants: state spills to disk instead of
+    * executor heap, so per-key state survives 100 TB-scale key
+    * cardinalities.
+    */
+  def runningCounts(events: Dataset[(Long, Long)]): DataFrame = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "running_count")
+  }
+
   /** Exactly-once event dedup for at-least-once sources: drops repeats
     * of (user_id, event_id) arriving within the watermark horizon.
     * State is bounded by the watermark (the unbounded-state footgun of
@@ -191,4 +210,30 @@ object EventStreams {
       dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+}
+
+/** Typed state processor for EventStreams.runningCounts: one
+  * ValueState[Long] per user key, no TTL (counts are cumulative for
+  * the stream's lifetime; pass a TTLConfig to age keys out in
+  * deployments where the key space churns).
+  */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long)] {
+  @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    count = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long)] = {
+    val n = (if (count.exists()) count.get() else 0L) + rows.size
+    count.update(n)
+    Iterator.single((key, n))
+  }
 }

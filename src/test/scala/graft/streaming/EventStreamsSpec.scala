@@ -239,4 +239,33 @@ class EventStreamsSpec extends SparkSpec {
         s"abandoned click should have emitted with null purchase: $got")
     } finally q.stop()
   }
+
+  test("runningCounts (transformWithState + RocksDB state store) accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long)]
+      val counts = EventStreams.runningCounts(input.toDS())
+      val q = counts.writeStream.format("memory")
+        .queryName("running_counts_out").outputMode("update").start()
+      try {
+        input.addData((1L, 10L), (1L, 11L), (2L, 20L))
+        q.processAllAvailable()
+        input.addData((1L, 12L), (3L, 30L))
+        q.processAllAvailable()
+        // per-key LATEST emitted count must equal the total seen
+        val got = spark.table("running_counts_out")
+          .groupBy($"user_id").agg(org.apache.spark.sql.functions.max($"running_count"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
