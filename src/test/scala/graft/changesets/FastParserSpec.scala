@@ -141,6 +141,42 @@ class FastParserSpec extends SparkSpec {
     }
   }
 
+  test("bz2 input (incl. multistream, the planet format): both paths agree") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val batch = RoundTripXml.genChangesets
+      .apply(Gen.Parameters.default, Seed(77L)).get
+    val xml = RoundTripXml.render(batch)
+    // single-stream bz2
+    val single = Files.createTempFile("fastp", ".osm.bz2")
+    writeBz2(single, Seq(xml))
+    // multistream: two independently-compressed members concatenated —
+    // exactly what planet dumps ship (reference uses MultiBzDecoder,
+    // src/main.rs:431-433); Hadoop's Bzip2Codec reads members through
+    val half = xml.length / 2
+    val multi = Files.createTempFile("fastp-multi", ".osm.bz2")
+    writeBz2(multi, Seq(xml.substring(0, half), xml.substring(half)))
+    for (p <- Seq(single, multi)) {
+      val slow = rows(p.toString, ChangesetConverter.Options())
+      val fast = rows(p.toString, ChangesetConverter.Options(fastParser = true))
+      assert(fast === slow, s"bz2 fast/slow divergence for $p")
+      assert(slow.size === batch.size)
+    }
+  }
+
+  /** Each element of `parts` becomes its own bz2 stream member. */
+  private def writeBz2(path: java.nio.file.Path, parts: Seq[String]): Unit = {
+    val out = new java.io.FileOutputStream(path.toFile)
+    try parts.foreach { part =>
+      val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+      codec.setConf(new org.apache.hadoop.conf.Configuration())
+      val cos = codec.createOutputStream(out)
+      cos.write(part.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      cos.finish()
+      cos.flush()
+    } finally out.close()
+  }
+
   test("fast path parallelizes a single uncompressed file across splits") {
     val n = 5000
     val sb = new StringBuilder("<osm>\n")
