@@ -141,6 +141,17 @@ class FastParserSpec extends SparkSpec {
     }
   }
 
+  test("duplicate attributes: fast path keeps the LAST like the reference's match arms") {
+    // quick-xml with check_* disabled passes duplicate attributes
+    // through and the reference's match arms overwrite
+    // (src/main.rs:207-221, last assignment wins). A validating XML
+    // parser calls this malformed — the StAX path drops the record
+    // under PERMISSIVE — so the lenient tier is fast-path parity only.
+    val p = write("""<osm><changeset id="1" user="first" user="second" open="true"/></osm>""")
+    val fast = rows(p, ChangesetConverter.Options(fastParser = true))
+    assert(fast.size === 1 && fast.head.getString(4) === "second")
+  }
+
   test("bz2 input (incl. multistream, the planet format): both paths agree") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
