@@ -410,15 +410,34 @@ object Dedup {
     val prefixes = occ.join(gramDf, "gram")
       .withColumn("pos", row_number().over(byRarity))
       .filter(col("pos") <= least(prefixLen, col("n")))
-      .select(col("blk"), col("gram"), col("doc"), col("n"))
+      .select(col("blk"), col("gram"), col("doc"), col("n"), col("pos"))
 
-    // candidates: same block, sharing >=1 prefix gram; size-ratio
-    // prune (J <= min/max) before the per-pair merge scan
-    val cand = prefixes.select(col("blk"), col("gram"), col("doc").as("doc_a"), col("n").as("n_a"))
-      .join(prefixes.select(col("blk"), col("gram"), col("doc").as("doc_b"), col("n").as("n_b")),
+    // candidates: same block, sharing >=1 prefix gram; two codegen'd
+    // prunes run inside the join before the expensive distinct+verify:
+    //   - size ratio: J <= min/max sizes
+    //   - PPJoin POSITIONAL filter: at a shared gram ranked pos_a/pos_b
+    //     in the canonical order, overlap <= earlier-shared + 1 +
+    //     min(n_a-pos_a, n_b-pos_b); at the pair's FIRST shared gram
+    //     "earlier-shared" is 0 and the bound must still reach
+    //     alpha = ceil(t/(1+t)*(n_a+n_b)) (the Jaccard overlap
+    //     requirement). Keeping a pair when ANY occurrence passes is
+    //     LOSSLESS: a true pair's first-match occurrence always
+    //     passes (bound >= overlap >= alpha there). The unpruned
+    //     DuckDB oracle would catch a lost pair.
+    //     (Measured neutral on the sf0.1 testdata — its tiny synthetic
+    //     vocabulary keeps prefixes ~10 grams so few occurrences land
+    //     past the positional bound; on real corpora with long
+    //     documents and heavy-tailed gram frequencies this prune is
+    //     where PPJoin beats AllPairs.)
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("n_a") + col("n_b")) - lit(1e-9))
+    val cand = prefixes.select(col("blk"), col("gram"), col("doc").as("doc_a"),
+        col("n").as("n_a"), col("pos").as("pos_a"))
+      .join(prefixes.select(col("blk"), col("gram"), col("doc").as("doc_b"),
+        col("n").as("n_b"), col("pos").as("pos_b")),
         Seq("blk", "gram"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("n_a") * threshold <= col("n_b") && col("n_b") * threshold <= col("n_a"))
+        col("n_a") * threshold <= col("n_b") && col("n_b") * threshold <= col("n_a") &&
+        lit(1) + least(col("n_a") - col("pos_a"), col("n_b") - col("pos_b")) >= alpha)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
