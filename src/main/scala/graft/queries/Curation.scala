@@ -430,6 +430,32 @@ object Curation {
       |  FROM p)
       |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------- q77
+  /** The Z-order (Morton) clustering key itself, oracle-gated: the 20
+    * lowest z-values over (o_custkey mod 1024, o_orderkey mod 1024).
+    * Layout.writeZOrdered's locality guarantee is only as good as this
+    * expression, so the bit interleave is pinned value-exactly against
+    * an independently generated shift/mask formulation in DuckDB.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        graft.sources.Layout.zorder2(
+          col("o_custkey") % 1024, col("o_orderkey") % 1024, bits = 10).as("zval"))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .limit(20)
+
+  private val q77Sql = {
+    val terms = (0 until 10).flatMap { j =>
+      Seq(s"((((o_custkey % 1024) >> $j) & 1) << ${2 * j})",
+        s"((((o_orderkey % 1024) >> $j) & 1) << ${2 * j + 1})")
+    }.mkString(" | ")
+    s"""SELECT o_orderkey, CAST($terms AS BIGINT) AS zval
+       |FROM orders
+       |ORDER BY zval, o_orderkey
+       |LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
@@ -442,7 +468,8 @@ object Curation {
     "q73_distinctive_terms" -> (q73 _),
     "q74_transition_matrix" -> (q74 _),
     "q75_exact_outliers" -> (q75 _),
-    "q76_funnel_latency" -> (q76 _))
+    "q76_funnel_latency" -> (q76 _),
+    "q77_zorder_key" -> (q77 _))
 
   val oracle: Map[String, String] = Map(
     "q65_repetition_signals" -> q65Sql,
@@ -456,5 +483,6 @@ object Curation {
     "q73_distinctive_terms" -> q73Sql,
     "q74_transition_matrix" -> q74Sql,
     "q75_exact_outliers" -> q75Sql,
-    "q76_funnel_latency" -> q76Sql)
+    "q76_funnel_latency" -> q76Sql,
+    "q77_zorder_key" -> q77Sql)
 }
