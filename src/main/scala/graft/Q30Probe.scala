@@ -39,6 +39,10 @@ object Q30Probe {
       .filter(col("pos") <= least(prefixLen, col("n")))
       .select(col("blk"), col("gram"), col("doc"), col("n"))
     time("prefixes") { prefixes.count() }
+    // NOTE: approximate mirror of Dedup.ngramJaccardPairs' candidate
+    // stage WITHOUT the PPJoin positional filter (the real stage also
+    // prunes on prefix positions); "full" below times the actual
+    // operator and is the number that matters.
     val cand = prefixes.select(col("blk"), col("gram"), col("doc").as("doc_a"), col("n").as("n_a"))
       .join(prefixes.select(col("blk"), col("gram"), col("doc").as("doc_b"), col("n").as("n_b")),
         Seq("blk", "gram"))
