@@ -286,10 +286,14 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster_id", "centroid")
   }
 
-  /** Most-similar pairs across the corpus (embedding near-dup
-    * detection): exact pairwise cosine, global top-n pairs. At scale the
-    * same verification runs behind an LSH candidate filter (lshTopK);
-    * the exact form is the audit tool / baseline.
+  /** Most-similar pairs by exact pairwise cosine, global top-n.
+    *
+    * TEST/AUDIT ONLY — the `vec_a < vec_b` join is non-equi, so Spark
+    * plans a nested-loop over corpus x corpus: O(n^2) compute that dies
+    * at scale. It exists as the ground-truth differential oracle for
+    * [[blockedTopPairs]] (CorpusOpsSpec pins their agreement on
+    * candidate pairs); the registered query surface (q31) runs the
+    * blocked form. Do not call this on a real corpus.
     */
   def topPairs(
       corpus: DataFrame,
@@ -299,6 +303,64 @@ object Similarity {
     val a = prepped(corpus, idCol, vecCol, "vec_a", "va", "na_")
     val b = prepped(corpus, idCol, vecCol, "vec_b", "vb", "nb_")
     a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dotWide(col("va"), col("vb")) / (col("na_") * col("nb_")))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(n)
+      .select(col("vec_a"), col("vec_b"), round(col("cosine"), 9).as("cosine"))
+  }
+
+  /** Most-similar pairs at scale: banded sign-LSH candidate generation
+    * + exact cosine verification, global top-n among candidates.
+    *
+    * The scale-safe replacement for [[topPairs]] — the SAME verification
+    * (raw-vector cosine, factored norms) but candidates come from
+    * `bands` independent hash tables instead of all pairs:
+    *
+    *   1. signature: each vector emits `bands` (band, key) rows, key =
+    *      the sign pattern of components [band*bitsPerBand,
+    *      (band+1)*bitsPerBand). ID-ONLY — vectors never fan out.
+    *   2. candidates: self equi-join on (band, key), `vid_a < vid_b`,
+    *      distinct. Per-bucket cost Σ|bucket|², bounded by
+    *      2^bitsPerBand buckets per band — the standard LSH knob.
+    *   3. verify: candidate ids equi-join back to the (id, vec, norm)
+    *      projection; exact cosine; global top-n via TakeOrdered.
+    *
+    * Every stage is linear or bucket-bounded; no cartesian, no
+    * nested-loop (plan-asserted in PlanSpec). Recall for a pair at
+    * angle θ is 1-(1-p^r)^b with p = P(component signs agree) —
+    * approximate by construction, like every LSH surface here (q33,
+    * q69); the q31 oracle mirrors the identical blocking so the gate
+    * pins the algorithm, and CorpusOpsSpec differentials every returned
+    * pair against the brute-force [[topPairs]] cosine.
+    *
+    * Requires vector dims >= bands * bitsPerBand (components beyond the
+    * vector would need try-semantics under ANSI).
+    */
+  def blockedTopPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      n: Int,
+      bands: Int = 8,
+      bitsPerBand: Int = 8): DataFrame = {
+    val p = prepped(corpus, idCol, vecCol, "vid", "v", "nrm")
+    // sign widening float->double is exact, so the float source and the
+    // oracle's DOUBLE[] compute identical band keys
+    val bandKeys = array((0 until bands).map { b =>
+      (0 until bitsPerBand).map(d =>
+        when(element_at(col("v"), b * bitsPerBand + d + 1) > 0d, lit(1 << d))
+          .otherwise(lit(0)))
+        .reduce(_ + _)
+    }: _*)
+    val sig = p.select(col("vid"), posexplode(bandKeys).as(Seq("band", "bkey")))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vid") < col("y.vid"))
+      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"))
+      .distinct()
+    val a = p.select(col("vid").as("vec_a"), col("v").as("va"), col("nrm").as("na_"))
+    val b = p.select(col("vid").as("vec_b"), col("v").as("vb"), col("nrm").as("nb_"))
+    cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
       .withColumn("cosine", dotWide(col("va"), col("vb")) / (col("na_") * col("nb_")))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(n)

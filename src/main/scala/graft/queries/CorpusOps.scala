@@ -138,11 +138,14 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- q31
-  /** Embedding near-dup audit: global top-20 most-similar vector pairs
-    * by exact cosine.
+  /** Embedding near-dup: top-20 most-similar vector pairs among banded
+    * sign-LSH candidates (8 bands x 8 sign bits), exact cosine verify.
+    * The oracle mirrors the identical blocking (q33/q69 precedent), so
+    * equality pins band keys, candidate set, and the IEEE cosine fold.
     */
   private def q31(s: SparkSession, dir: String): DataFrame =
-    Similarity.topPairs(t(s, dir, "embeddings"), "vec_id", "embedding", n = 20)
+    Similarity.blockedTopPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      n = 20, bands = 8, bitsPerBand = 8)
 
   /** Norm precomputed per vector (mirrors Similarity.prepped): cosine
     * is dot/(nrm_a*nrm_b), NOT dot/sqrt(na*nb) — the factored form both
@@ -153,11 +156,24 @@ object CorpusOps {
   private val cosSql = "(list_dot_product(%s.v, %s.v) / (%s.nrm * %s.nrm))"
 
   private val q31Sql = {
-    val cos = cosSql.format("a", "b", "a", "b")
-    s"""WITH e AS ($embCte)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 9) AS cosine
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |ORDER BY $cos DESC, vec_a, vec_b
+    // band key: sign bits of components [band*8, band*8+8) — DuckDB
+    // lists are 1-indexed, matching Spark's element_at
+    val bkey = (0 until 8).map(d =>
+      s"(CASE WHEN v[bb.band*8 + ${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS ($embCte),
+       |sig AS (
+       |  SELECT vec_id, bb.band AS band, $bkey AS bkey
+       |  FROM e, (SELECT unnest(range(0, 8)) AS band) bb),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM sig x JOIN sig y
+       |    ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 9) AS cosine FROM (
+       |  SELECT vec_a, vec_b,
+       |    (list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS cos
+       |  FROM cand JOIN e a ON cand.vec_a = a.vec_id
+       |            JOIN e b ON cand.vec_b = b.vec_id)
+       |ORDER BY cos DESC, vec_a, vec_b
        |LIMIT 20""".stripMargin
   }
 

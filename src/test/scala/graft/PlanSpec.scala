@@ -89,6 +89,19 @@ class PlanSpec extends SparkSpec {
       s"window suite re-shuffles per function:\n$p")
   }
 
+  test("q31 blocked near-dup: candidates from a banded equi-join, never cross/NL") {
+    val p = plan("q31_embedding_near_dup")
+    // the r3 verdict's one scale-killer: topPairs planned a
+    // BroadcastNestedLoopJoin over corpus x corpus. The blocked form
+    // must key every join (band/bkey, then candidate ids).
+    assert(!p.contains("CartesianProduct"), "candidate join degenerated to cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "candidate join degenerated to NL")
+    // exact verify stays on the native codegen'd dot
+    assert(p.contains("vec_dot"), "exact verify lost the native VecDot expression")
+    // global top-n must be a TakeOrdered, not a full sort
+    assert(p.contains("TakeOrderedAndProject"), "top-n runs a full global sort")
+  }
+
   test("q32 native vec_dot appears in the plan (no interpreted fold on the hot path)") {
     val p = plan("q32_cosine_topk")
     assert(p.contains("vec_dot"), "custom VecDot expression not used")

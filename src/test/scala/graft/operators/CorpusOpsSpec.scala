@@ -104,6 +104,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert((res.head.getLong(0), res.head.getLong(1)) === (0L, 1L))
   }
 
+  test("blockedTopPairs: candidates only from shared sign buckets; cosines differential-exact vs brute force") {
+    // one band over the 3 sign bits: v0 (+,0,0)->key 1, v1 (+,+,0)->key 3,
+    // v2 (0,+,0)->key 2, v3 (-,0,0)->key 0 — all distinct => no candidates
+    val none = Similarity.blockedTopPairs(vecs, "vec_id", "embedding",
+      n = 10, bands = 1, bitsPerBand = 3).collect()
+    assert(none.isEmpty)
+
+    // add a near-copy of v1 sharing its bucket; only that pair surfaces,
+    // and its cosine must equal the brute-force (topPairs) value exactly
+    val withDup = vecs.union(Seq((4L, Array(0.89f, 0.11f, 0.0f))).toDF("vec_id", "embedding"))
+    val blocked = Similarity.blockedTopPairs(withDup, "vec_id", "embedding",
+      n = 10, bands = 1, bitsPerBand = 3).collect()
+    assert(blocked.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 4L)))
+    val brute = Similarity.topPairs(withDup, "vec_id", "embedding", n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(blocked.head.getDouble(2) === brute((1L, 4L)))
+  }
+
   test("connectedComponents merges chains transitively, keeps islands apart") {
     // chain 1-2-3 (no direct 1-3 edge) + island 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
