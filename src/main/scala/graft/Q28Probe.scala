@@ -19,8 +19,12 @@ object Q28Probe {
     def time(name: String)(f: => Long): Unit = {
       System.gc()
       val t0 = System.nanoTime(); val n = f
-      val t1 = System.nanoTime(); val m = f
-      println(f"[probe] $name%-24s min ${math.min(t1 - t0, System.nanoTime() - t1) / 1e9}%6.2f s  rows=$n")
+      val t1 = System.nanoTime()
+      System.gc()
+      val t2 = System.nanoTime(); val m = f
+      val t3 = System.nanoTime()
+      assert(n == m, s"$name unstable rowcount: $n vs $m")
+      println(f"[probe] $name%-24s min ${math.min(t1 - t0, t3 - t2) / 1e9}%6.2f s  rows=$n")
     }
 
     val docs = Tables(spark, dir, "documents")
