@@ -347,6 +347,145 @@ object Dedup {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Substring-level exact dedup, part 1 — repeated-span DETECTION
+    * (the suffix-array dedup family of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22): find every
+    * maximal token span covered by k-token windows that occur more
+    * than once ANYWHERE in the corpus (across documents or repeated
+    * inside one). Returns (doc_id, span_start, span_end, n_tokens),
+    * token positions 1-based inclusive.
+    *
+    * Plan (all stages linear in total token count — the 100 TB shape
+    * of the suffix-array algorithm, which needs a global sort the
+    * cluster would pay for in one shuffle anyway):
+    *   1. explode one row per window START (not per window CONTENT —
+    *      each row carries a fixed-width md5 of the k tokens, so the
+    *      shuffle width is independent of k);
+    *   2. groupBy window-hash count — map-side partial aggregation
+    *      collapses each document's repeats before the shuffle;
+    *   3. semi-join window starts against the duplicated-hash set
+    *      (dup density is corpus-dependent but the set only carries
+    *      hashes; with AQE it broadcasts when small);
+    *   4. per-document interval merge of overlapping/adjacent windows
+    *      via the gaps-and-islands pattern — two window functions over
+    *      ONE shuffle on doc_id (Catalyst reuses the sort).
+    * No pairwise join ever forms: duplication is detected on the
+    * window-hash group, so cost scales with corpus size, not dup²
+    * (contrast minhashLshPairs, which must materialize candidate
+    * PAIRS — span dedup only needs the per-doc flag set).
+    *
+    * Windows are hashed (md5 of the space-joined k tokens), not
+    * compared literally: a collision would flag a false span in BOTH
+    * engines identically (the DuckDB oracle shares the hash), and at
+    * 128 bits the corpus-level collision odds are negligible.
+    */
+  def repeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "window length k must be >= 2")
+    val w = windowHashes(df, idCol, textCol, k)
+    val dup = w.groupBy(col("wh")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("wh"))
+    val flagged = w.join(dup, Seq("wh"), "left_semi")
+      .select(col("doc"), col("pos").as("s"), (col("pos") + lit(k - 1L)).as("e"))
+    mergeSpans(flagged)
+      .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1L)).as("n_tokens"))
+  }
+
+  /** Substring-level exact dedup, part 2 — repeated-span REMOVAL:
+    * drop every token covered by a repeated >=k-token window and
+    * report, per affected document, the before/removed token counts
+    * and an md5 fingerprint of the surviving text (tokens re-joined
+    * in original order). Documents made empty (exact full-doc dups)
+    * surface with n_tokens_removed == n_tokens_before and the
+    * fingerprint of the empty string.
+    *
+    * Semantics: ALL occurrences of a repeated span are removed (the
+    * conservative decontamination form). The keep-one-canonical-copy
+    * variant is a post-filter on the window-hash group (keep the
+    * occurrence at min (doc_id, pos)) — same plan shape, omitted here
+    * because remove-all is what the oracle pins.
+    *
+    * Scale: adds to repeatedSpans one explode of covered positions
+    * (bounded by total token count) and one anti-join on
+    * (doc, position) — both linear; the final per-doc rebuild
+    * aggregates on the same doc_id partitioning.
+    */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k)
+    val removedPerDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("n_tokens")).as("n_tokens_removed"))
+    val covered = spans.select(col("doc_id"),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val tokPos = df
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens_before"),
+        posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), col("n_tokens_before"),
+        (col("pos0") + 1L).as("pos"), col("tok"))
+    // survivors rebuilt in original token order: sort_array on
+    // (pos, tok) structs makes the fold shuffle-order-independent
+    val surviving = tokPos
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(md5(concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok")))).as("fp"))
+    removedPerDoc
+      .join(tokPos.select(col("doc_id"), col("n_tokens_before")).distinct(), Seq("doc_id"))
+      .join(surviving, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens_before"), col("n_tokens_removed"),
+        coalesce(col("fp"), md5(lit(""))).as("cleaned_fp"))
+  }
+
+  /** One row per k-token window start: (doc, pos, wh) with pos
+    * 1-based and wh the md5 of the space-joined window. Window CONTENT
+    * never leaves the projection — only the fixed-width hash is
+    * exploded, so row width is independent of k.
+    */
+  private def windowHashes(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+    // toks materialized as an attribute first — the lambda-capture rule
+    // (see shinglesFromToks): a captured non-attribute subtree would
+    // re-tokenize the document once per window
+    val toks = df.repartition(fanout, col(idCol))
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+    toks.select(col("doc"),
+        explode(transform(sequence(lit(1L), size(col("toks")).cast("long") - lit(k - 1L)),
+          i => struct(i.as("pos"),
+            md5(concat_ws(" ",
+              (0 until k).map(j => element_at(col("toks"), (i + lit(j.toLong)).cast("int"))): _*))
+              .as("wh")))).as("w"))
+      .select(col("doc"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+  }
+
+  /** Gaps-and-islands interval union: merge overlapping or adjacent
+    * [s, e] token intervals per doc into maximal spans. Two window
+    * passes over one doc-keyed sort (Catalyst reuses the exchange+sort
+    * between them).
+    */
+  private def mergeSpans(intervals: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("s"))
+    intervals
+      .withColumn("newIsland",
+        when(col("s") > coalesce(
+          max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)) + 1L, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("newIsland")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("grp"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+  }
+
   /** Character n-gram Jaccard near-dup pairs, blocked on an exact key
     * (e.g. language), with PREFIX-FILTER candidate generation
     * (AllPairs/PPJoin family, Bayardo et al. WWW'07; Chaudhuri et al.

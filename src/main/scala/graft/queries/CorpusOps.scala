@@ -331,7 +331,83 @@ object CorpusOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  /** Substring-level exact dedup, detection half: maximal token spans
+    * covered by 8-token windows occurring more than once corpus-wide
+    * (Lee et al. ACL'22 suffix-array dedup, re-expressed as hash-
+    * grouped windows — see Dedup.repeatedSpans). The oracle rebuilds
+    * the same windows, duplicate set, and interval merge independently
+    * in SQL, so the gate pins window hashing, the >=2 occurrence rule,
+    * and the gaps-and-islands span union.
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    Dedup.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val spanCtes =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS wh
+       |  FROM tk, unnest(range(1, len(toks) - 6)) AS u(i)
+       |  WHERE len(toks) >= 8),
+       |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(*) >= 2),
+       |f AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM w
+       |      WHERE wh IN (SELECT wh FROM dup)),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |    THEN 1 ELSE 0 END AS ni
+       |  FROM f),
+       |g AS (SELECT doc_id, s, e,
+       |        sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM isl),
+       |spans AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+       |          FROM g GROUP BY doc_id, grp)""".stripMargin
+
+  private val q78Sql =
+    s"""WITH $spanCtes
+       |SELECT doc_id, span_start, span_end,
+       |  span_end - span_start + 1 AS n_tokens
+       |FROM spans
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  /** Substring-level exact dedup, removal half: per affected document,
+    * tokens before, tokens removed, and the md5 fingerprint of the
+    * surviving text (original token order). Gates the actual
+    * token-level edit, not just span detection.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
+  private val q79Sql =
+    s"""WITH $spanCtes,
+       |removed AS (SELECT doc_id, sum(span_end - span_start + 1) AS n_tokens_removed
+       |            FROM spans GROUP BY doc_id),
+       |covered AS (SELECT DISTINCT doc_id, p AS pos
+       |            FROM spans, unnest(range(span_start, span_end + 1)) AS c(p)),
+       |tokpos AS (SELECT doc_id, i AS pos, toks[i] AS tok, len(toks) AS n_before
+       |           FROM tk, unnest(range(1, len(toks) + 1)) AS u(i)),
+       |surviving AS (
+       |  SELECT tp.doc_id, md5(string_agg(tp.tok, ' ' ORDER BY tp.pos)) AS fp
+       |  FROM tokpos tp LEFT JOIN covered c
+       |    ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+       |  WHERE c.doc_id IS NULL
+       |  GROUP BY tp.doc_id)
+       |SELECT r.doc_id,
+       |  CAST(nb.n_before AS BIGINT) AS n_tokens_before,
+       |  r.n_tokens_removed,
+       |  coalesce(s.fp, md5('')) AS cleaned_fp
+       |FROM removed r
+       |JOIN (SELECT doc_id, min(n_before) AS n_before FROM tokpos GROUP BY doc_id) nb
+       |  ON r.doc_id = nb.doc_id
+       |LEFT JOIN surviving s ON r.doc_id = s.doc_id
+       |ORDER BY r.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_repeated_spans" -> (q78 _),
+    "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
@@ -344,6 +420,8 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q78_repeated_spans" -> q78Sql,
+    "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,

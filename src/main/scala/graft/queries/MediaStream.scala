@@ -133,15 +133,53 @@ object MediaStream {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  /** Batch twin of EventStreams.runningCounts (the transformWithState
+    * processor): cumulative per-user event count in (ts, event_id)
+    * order. The streaming path is pinned to this by the batch/stream
+    * equivalence spec; this row gates the batch shape exactly.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    EventStreams.runningCountsBatch(t(s, dir, "events"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val q80Sql =
+    """SELECT user_id, event_id, ts,
+      |  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_count
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q81
+  /** Batch twin of EventStreams.dedupEvents (watermarked exactly-once
+    * dedup): in batch the watermark is a no-op and
+    * dropDuplicatesWithinWatermark degenerates to distinct-on-keys.
+    * Keys only in the output — the non-key columns of a kept row are
+    * implementation-chosen on true duplicates, so gating them would
+    * gate noise, not semantics.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    EventStreams.dedupEvents(t(s, dir, "events"), "1 hour")
+      .select(col("user_id"), col("event_id"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val q81Sql =
+    """SELECT DISTINCT user_id, event_id FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_media_decode" -> (q44 _),
     "q34_media_meta" -> (q34 _),
     "q35_frame_sample" -> (q35 _),
-    "q36_sessionize" -> (q36 _))
+    "q36_sessionize" -> (q36 _),
+    "q80_running_counts" -> (q80 _),
+    "q81_event_dedup" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
     "q44_media_decode" -> q44Sql,
     "q34_media_meta" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
-    "q36_sessionize" -> q36Sql)
+    "q36_sessionize" -> q36Sql,
+    "q80_running_counts" -> q80Sql,
+    "q81_event_dedup" -> q81Sql)
 }

@@ -127,16 +127,37 @@ object EventStreams {
       .toDF("user_id", "running_count")
   }
 
+  /** Batch twin of runningCounts: the cumulative per-user event count
+    * each event would observe if it arrived alone, in event-time order
+    * (ties broken on event_id — the order a single-event-per-batch
+    * stream delivers). One shuffle on user_id; the running count is a
+    * frame-bounded window aggregate, no state store needed in batch.
+    * The batch/stream equivalence spec pins this against the
+    * transformWithState processor; the SQL oracle gates it exactly.
+    */
+  def runningCountsBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("running_count", count(lit(1)).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** Exactly-once event dedup for at-least-once sources: drops repeats
     * of (user_id, event_id) arriving within the watermark horizon.
     * State is bounded by the watermark (the unbounded-state footgun of
-    * plain dropDuplicates on a stream). Batch behavior: plain distinct
-    * on the keys.
+    * plain dropDuplicates on a stream). Batch behavior: plain
+    * distinct-on-keys — Spark rejects dropDuplicatesWithinWatermark on
+    * batch plans outright, so the batch twin branches explicitly (the
+    * horizon is vacuous when the whole input is present at once; a
+    * backfill and the live stream agree on any input the stream
+    * dedups, which is what the q81 oracle row pins).
     */
   def dedupEvents(events: DataFrame, watermarkDur: String): DataFrame =
-    events
-      .withWatermark("ts", watermarkDur)
-      .dropDuplicatesWithinWatermark("user_id", "event_id")
+    if (events.isStreaming)
+      events
+        .withWatermark("ts", watermarkDur)
+        .dropDuplicatesWithinWatermark("user_id", "event_id")
+    else events.dropDuplicates("user_id", "event_id")
 
   /** Stream-stream interval join: purchases attributed to the click
     * that preceded them by at most `windowDur` per user (the streaming

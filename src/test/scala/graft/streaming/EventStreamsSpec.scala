@@ -240,6 +240,63 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningCountsBatch: cumulative per-user counts in (ts, event_id) order") {
+    val ev = mkEvents(Seq(
+      (1L, 3L, ts(2), 1.0), (1L, 1L, ts(0), 1.0), (1L, 2L, ts(1), 1.0),
+      (2L, 4L, ts(0), 1.0),
+      // same-timestamp tie: event_id must break it deterministically
+      (3L, 6L, ts(5), 1.0), (3L, 5L, ts(5), 1.0)))
+    val got = EventStreams.runningCountsBatch(ev)
+      .orderBy($"user_id", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),
+      (2L, 4L, 1L),
+      (3L, 5L, 1L), (3L, 6L, 2L)))
+  }
+
+  test("runningCountsBatch final count per user matches the streaming processor's latest emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Seq((1L, 10L), (1L, 11L), (2L, 20L), (1L, 12L), (3L, 30L))
+      val input = MemoryStream[(Long, Long)]
+      val q = EventStreams.runningCounts(input.toDS()).writeStream.format("memory")
+        .queryName("rc_equiv_out").outputMode("update").start()
+      try {
+        input.addData(rows: _*)
+        q.processAllAvailable()
+        val streamFinal = spark.table("rc_equiv_out")
+          .groupBy($"user_id").agg(max($"running_count").as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        // batch twin over the same rows (synthetic distinct ts/event ids)
+        val ev = mkEvents(rows.zipWithIndex.map { case ((u, e), i) => (u, e, ts(i), 1.0) })
+        val batchFinal = EventStreams.runningCountsBatch(ev)
+          .groupBy($"user_id").agg(max($"running_count").as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(batchFinal === streamFinal)
+      } finally q.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("dedupEvents on batch input collapses key repeats to distinct-on-keys") {
+    val ev = mkEvents(Seq(
+      (1L, 100L, ts(0), 1.0), (1L, 100L, ts(1), 2.0), // repeat delivery
+      (1L, 101L, ts(2), 3.0),
+      (2L, 100L, ts(0), 4.0))) // same event_id, other user: kept
+    val got = EventStreams.dedupEvents(ev, "1 hour")
+      .select($"user_id", $"event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === Seq((1L, 100L), (1L, 101L), (2L, 100L)))
+  }
+
   test("runningCounts (transformWithState + RocksDB state store) accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
