@@ -31,6 +31,14 @@ object Main {
     val spark = GraftSession.build("graft-changesets")
     try {
       val n = ChangesetConverter.convert(spark, input, output, opts)
+      // reference parity: --continue-on-error runs dump the structural
+      // error block (position / last id / context) to stderr
+      // (reference src/main.rs:344-363) instead of skipping silently
+      if (opts.continueOnError) {
+        val damaged = ConverterDiagnostics.printReport(spark, input)
+        if (damaged > 0)
+          System.err.println(s"Continuing with $n successfully parsed changesets...")
+      }
       println(s"Total changesets processed: $n")
     } finally spark.stop()
   }
