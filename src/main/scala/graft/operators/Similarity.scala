@@ -45,6 +45,48 @@ object Similarity {
       when(element_at(v, d + 1) > 0d, lit(1 << d)).otherwise(lit(0)))
       .reduce(_ + _)
 
+  /** Sign-LSH SIZING RULE — how many total sign bits a corpus needs.
+    *
+    * Bucket count is 2^bits; under roughly-balanced sign hashing the
+    * expected occupancy is |C| / 2^bits, and the per-band candidate
+    * join does Σ_bucket |b|² ≈ |C| · occupancy work — so occupancy is
+    * the knob that keeps the blocked join linear-ish in the corpus:
+    *
+    *     2^bits ≈ corpusSize / targetPerBucket
+    *
+    * | corpus | target/bucket | bits |
+    * |--------|---------------|------|
+    * | 100k   | 1024          | 7    |
+    * | 10M    | 1024          | 14   |
+    * | 1B     | 1024          | 20   |
+    * | 1B     | 256           | 22   |
+    *
+    * Recall is then tuned with `bands` (more bands = more chances to
+    * collide), and `bitsPerBand = bits` from this rule per band. The
+    * vector must carry `bands * bitsPerBand` components — enforced
+    * fail-fast by the dim guard in [[blockedTopPairs]]/[[lshTopK]].
+    * Clamped to [4, 30] (2^30 buckets ≈ the int band-key space).
+    */
+  def signBitsFor(corpusSize: Long, targetPerBucket: Int = 1024): Int = {
+    require(corpusSize > 0 && targetPerBucket > 0)
+    val raw = math.ceil(
+      math.log(corpusSize.toDouble / targetPerBucket) / math.log(2.0)).toInt
+    math.min(30, math.max(4, raw))
+  }
+
+  /** Fail-fast dimensionality guard: sign-LSH reads component
+    * `bands * bitsPerBand`; on a too-narrow vector ANSI mode would
+    * surface an opaque INVALID_ARRAY_INDEX mid-job. This wraps the
+    * vector so the first row fails with the actual contract instead.
+    * O(1) per row (array length check), codegen'd, no extra pass over
+    * the data.
+    */
+  private def requireDims(v: Column, needed: Int, op: String): Column =
+    when(size(v) >= needed, v)
+      .otherwise(raise_error(concat(
+        lit(s"$op requires vectors with >= $needed components (bands * bitsPerBand); got "),
+        size(v).cast("string"))))
+
   /** id + RAW vector + precomputed norm, the pre-join projection all
     * plans share (norms must never be computed inside the pair loop).
     * The vector stays in its source type: `dotWide` casts inline, and
@@ -95,10 +137,11 @@ object Similarity {
       vecCol: String,
       k: Int,
       bits: Int = 6): DataFrame = {
+    require(bits > 0 && bits <= 30, "bits must be in [1, 30]")
     val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
-      .withColumn("bucket", signBucket(col("qv"), bits))
+      .withColumn("bucket", signBucket(requireDims(col("qv"), bits, "lshTopK"), bits))
     val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-      .withColumn("bucket", signBucket(col("cv"), bits))
+      .withColumn("bucket", signBucket(requireDims(col("cv"), bits, "lshTopK"), bits))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dotWide(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -333,8 +376,11 @@ object Similarity {
     * pins the algorithm, and CorpusOpsSpec differentials every returned
     * pair against the brute-force [[topPairs]] cosine.
     *
-    * Requires vector dims >= bands * bitsPerBand (components beyond the
-    * vector would need try-semantics under ANSI).
+    * Requires vector dims >= bands * bitsPerBand, enforced fail-fast by
+    * the dim guard (a clear contract error on the first row instead of
+    * an opaque ANSI INVALID_ARRAY_INDEX mid-job). Pick bitsPerBand with
+    * [[signBitsFor]] — the occupancy rule that keeps the banded join
+    * linear-ish at corpus scale.
     */
   def blockedTopPairs(
       corpus: DataFrame,
@@ -343,7 +389,11 @@ object Similarity {
       n: Int,
       bands: Int = 8,
       bitsPerBand: Int = 8): DataFrame = {
-    val p = prepped(corpus, idCol, vecCol, "vid", "v", "nrm")
+    require(bands > 0, "bands must be positive")
+    require(bitsPerBand > 0 && bitsPerBand <= 30, "bitsPerBand must be in [1, 30]")
+    val p0 = prepped(corpus, idCol, vecCol, "vid", "v", "nrm")
+    val p = p0.withColumn("v",
+      requireDims(col("v"), bands * bitsPerBand, "blockedTopPairs"))
     // sign widening float->double is exact, so the float source and the
     // oracle's DOUBLE[] compute identical band keys
     val bandKeys = array((0 until bands).map { b =>

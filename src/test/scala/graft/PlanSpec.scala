@@ -142,6 +142,41 @@ class PlanSpec extends SparkSpec {
       s"training side shuffles before the gram join:\n$p")
   }
 
+  test("q58 dedup-apply: drop list broadcast into a left-anti; corpus never cross-joins") {
+    // connectedComponents inside q58 is eager and AQE finalizes join
+    // strategies at runtime: run, then audit the executed plan
+    val df = SparkEntry.queries("q58_dedup_apply")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "dedup apply planned a cartesian")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"drop list not broadcast into the anti-join — corpus would shuffle on doc_id:\n$p")
+  }
+
+  test("q69 semantic dedup: pair scan is cluster-keyed; only the k-row centroid broadcast may NL") {
+    val df = SparkEntry.queries("q69_semantic_dedup")(spark, sf)
+    df.collect()
+    // AQE toString appends the pre-adaptive "Initial Plan" section,
+    // double-counting nodes — audit the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), "semantic dedup planned a cartesian")
+    // the centroid-assignment scan is a DELIBERATE broadcast NL join
+    // against k centroid rows (bounded by the codebook, not the
+    // corpus); the same-cluster pair join must be hash-keyed
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"corpus-to-corpus pair join degenerated to NL:\n$p")
+    assert(p.contains("vec_dot"), "exact verify lost the native VecDot expression")
+  }
+
+  test("q78 repeated spans: dup detection via grouped count (map-side partial), no pair join") {
+    val p = plan("q78_repeated_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span detection formed an unkeyed join")
+    // window-hash duplication is a groupBy-count: partial+final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "window-hash count is single-phase — map-side combine lost")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -122,6 +122,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(blocked.head.getDouble(2) === brute((1L, 4L)))
   }
 
+  test("dim guard: too-narrow vectors fail fast with the sizing contract, not an index error") {
+    // 4-dim vectors, bands*bitsPerBand = 64: the first evaluated row
+    // must raise the contract message
+    val narrow = Seq((1L, Array(1f, -1f, 1f, -1f)), (2L, Array(1f, 1f, 1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.blockedTopPairs(narrow, "vec_id", "embedding",
+        n = 5, bands = 8, bitsPerBand = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("blockedTopPairs requires vectors with >= 64 components")))
+    val e2 = intercept[Exception] {
+      Similarity.lshTopK(narrow, narrow, "vec_id", "embedding", k = 2, bits = 6).collect()
+    }
+    assert(msgs(e2).exists(_.contains("lshTopK requires vectors with >= 6 components")))
+    // parameter-level nonsense rejected before any job
+    intercept[IllegalArgumentException] {
+      Similarity.blockedTopPairs(narrow, "vec_id", "embedding", n = 5, bitsPerBand = 31)
+    }
+  }
+
+  test("signBitsFor follows the occupancy rule and clamps to [4, 30]") {
+    assert(Similarity.signBitsFor(100000L) === 7) // 100k/1024 -> 2^7
+    assert(Similarity.signBitsFor(10000000L) === 14)
+    assert(Similarity.signBitsFor(1000000000L) === 20)
+    assert(Similarity.signBitsFor(1000000000L, targetPerBucket = 256) === 22)
+    assert(Similarity.signBitsFor(100L) === 4) // clamp low
+    assert(Similarity.signBitsFor(Long.MaxValue) === 30) // clamp high
+  }
+
   test("connectedComponents merges chains transitively, keeps islands apart") {
     // chain 1-2-3 (no direct 1-3 edge) + island 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
