@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// dev-only stage-timing probes (Q28Probe etc.) live outside src/main so
+// the production LoC count and the published jar stay probe-free; they
+// still compile against main classes on the Test classpath. Run with
+// `sbt "Test/runMain graft.Q28Probe"`.
+Test / unmanagedSourceDirectories += baseDirectory.value / "devtools"
 // forked run output passes through UNWRAPPED: the bench/verify driver
 // parses the one-line JSON contract from stdout, and sbt's default
 // logger prefix ("[info] ...") breaks json parsing of that line

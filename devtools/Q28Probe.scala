@@ -7,9 +7,15 @@ import graft.functions.TextFunctions
 import graft.operators.Dedup
 
 /** Scratch stage-timing probe for the minhash-LSH pipeline (dev tool,
-  * not part of the library surface). Times each sub-stage of q28 at
-  * the given SF plus fanout variants, to localize the r3/r4 bench
-  * regression (VERDICT r4 item #1).
+  * not part of the library surface; lives under devtools/, compiled on
+  * the Test classpath only). Times each sub-stage of q28 at the given
+  * SF plus fanout variants. The sub-stages are the REAL ones —
+  * `Dedup.minhashSigs/minhashBands/minhashCandidates`, the same
+  * package-private helpers `minhashLshPairs` composes — so the probe
+  * cannot drift from the production pipeline.
+  *
+  * Run: `sbt "Test/runMain graft.Q28Probe"` (SPARK_GRAFT_SF_DIR to
+  * pick the scale factor). Findings: docs/q28-perf-note.md.
   */
 object Q28Probe {
   def main(args: Array[String]): Unit = {
@@ -28,33 +34,15 @@ object Q28Probe {
     }
 
     val docs = Tables(spark, dir, "documents")
-    val numHashes = 32; val bands = 8; val rows = numHashes / bands
+    val numHashes = 32; val bands = 8
     val fanout = spark.sessionState.conf.numShufflePartitions
 
     def sigsOf(base: DataFrame): DataFrame =
-      base
-        .select(col("doc_id").as("doc"), TextFunctions.tokens(col("text")).as("toks"))
-        .select(col("doc"), explode(Dedup.shinglesMultiFromToks(col("toks"))).as("x"))
-        .withColumn("h", pmod(TextFunctions.hash60(col("x")), lit(Dedup.P)))
-        .groupBy(col("doc"))
-        .agg(min(pmod(col("h") * Dedup.hashA(0) + Dedup.hashB(0), lit(Dedup.P))).as("sig_0"),
-          (1 until numHashes).map(k =>
-            min(pmod(col("h") * Dedup.hashA(k) + Dedup.hashB(k), lit(Dedup.P))).as(s"sig_$k")): _*)
-
+      Dedup.minhashSigs(base, "doc_id", "text", numHashes)
     def bandedOf(sigs: DataFrame): DataFrame =
-      sigs.select(col("doc"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            md5(concat_ws("|", (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*)).as("bh"))
-        }: _*)).as("bk"))
-        .select(col("doc"), col("bk.band"), col("bk.bh"))
-
+      Dedup.minhashBands(sigs, numHashes, bands)
     def candOf(banded: DataFrame): DataFrame =
-      banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
-        .join(banded.select(col("band"), col("bh"), col("doc").as("doc_b")), Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-        .distinct()
+      Dedup.minhashCandidates(banded)
 
     // warm up IO + codegen once
     docs.count()

@@ -107,33 +107,13 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
 
     // spread the hash-heavy explode across tasks even when the input is
     // a single small parquet split (see ngramJaccardPairs note)
     val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
-    val base = df
-      .repartition(fanout, col(idCol))
-      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc"), explode(shinglesMultiFromToks(col("toks"))).as("x"))
-      .withColumn("h", pmod(TextFunctions.hash60(col("x")), lit(P)))
-    val sigs = base.groupBy(col("doc"))
-      .agg(min(pmod(col("h") * hashA(0) + hashB(0), lit(P))).as("sig_0"),
-        (1 until numHashes).map(k =>
-          min(pmod(col("h") * hashA(k) + hashB(k), lit(P))).as(s"sig_$k")): _*)
-    val banded = sigs.select(col("doc"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat_ws("|", (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*)).as("bh"))
-      }: _*)).as("bk"))
-      .select(col("doc"), col("bk.band"), col("bk.bh"))
-
-    // slim candidate join: ids only, arrays re-attached after distinct
-    val cand = banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
-      .join(banded.select(col("band"), col("bh"), col("doc").as("doc_b")), Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
+    val sigs = minhashSigs(df.repartition(fanout, col(idCol)), idCol, textCol, numHashes)
+    val banded = minhashBands(sigs, numHashes, bands)
+    val cand = minhashCandidates(banded)
     // verify against the full doc->shingle-set map in the SAME dag: a
     // semi-join prune here would execute the candidate pipeline twice
     // (once for the doc list, once for the result) — with tokens
@@ -156,6 +136,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (floor(col("jr") * lit(1e6)) / lit(1e6)).as("jaccard"))
   }
+
+  /** Sub-stage 1 of [[minhashLshPairs]]: (doc, sig_0..sig_{n-1}) minhash
+    * signature table. Package-private so the stage-timing probe
+    * (devtools/Q28Probe.scala) times the REAL stages instead of an
+    * inline mirror that could drift.
+    */
+  private[graft] def minhashSigs(
+      base: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame =
+    base
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(shinglesMultiFromToks(col("toks"))).as("x"))
+      .withColumn("h", pmod(TextFunctions.hash60(col("x")), lit(P)))
+      .groupBy(col("doc"))
+      .agg(min(pmod(col("h") * hashA(0) + hashB(0), lit(P))).as("sig_0"),
+        (1 until numHashes).map(k =>
+          min(pmod(col("h") * hashA(k) + hashB(k), lit(P))).as(s"sig_$k")): _*)
+
+  /** Sub-stage 2: band each signature into (doc, band, bh) keys. */
+  private[graft] def minhashBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sigs.select(col("doc"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc"), col("bk.band"), col("bk.bh"))
+  }
+
+  /** Sub-stage 3: slim candidate join — ids only, distinct (doc_a, doc_b)
+    * pairs sharing a band key; shingle arrays re-attach in the verify.
+    */
+  private[graft] def minhashCandidates(banded: DataFrame): DataFrame =
+    banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc").as("doc_b")), Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
 
   /** 60-bit SimHash per document via explode + 60 codegen'd vote sums
     * (bit j set when the ±1 votes of token-hash bit j sum positive).
