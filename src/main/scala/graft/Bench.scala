@@ -1,9 +1,10 @@
 package graft
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints one JSON line the driver collects
-  * into BENCH_r{N}.json. Timing includes plan + execution to a count
-  * (forces the whole plan; avoids driver-side materialization cost).
+  * SPARK_GRAFT_SF_DIR (and a second, smaller scale point) and prints
+  * one COMPACT JSON line the driver collects into BENCH_r{N}.json.
+  * Timing includes plan + execution to a count (forces the whole
+  * plan; avoids driver-side materialization cost).
   *
   * Each query runs once as warmup (JIT + codegen compilation +
   * parquet footer reads — paid once per executor lifetime in
@@ -11,29 +12,51 @@ package graft
   * runs of the heavy similarity queries still vary 2-6x with GC/AQE
   * noise in a shared JVM, and the minimum is the standard estimator
   * for the actual plan cost under one-way noise.
+  *
+  * Output contract: the driver keeps only the last ~2000 chars of
+  * stdout, and with 80+ registered queries the full per-query map no
+  * longer fits (BENCH_r4..r6 all recorded `parsed: null` because the
+  * line was truncated mid-JSON). So the final stdout line is a compact
+  * summary — totals, converter throughput, and the slowest queries
+  * (time-descending) up to a strict char budget — and the COMPLETE
+  * two-scale-point per-query detail goes to `bench_detail.json` in the
+  * working directory (committed to the repo; see SURVEY §8.6).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // second scale point: exposes fixed per-query overheads (planning,
+    // shuffle setup) that dominate at small inputs but amortize at
+    // scale — a query whose time does NOT drop from sf0.1 to sf0.01 is
+    // all fixed cost.
+    val sfDir2 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR2", "/root/testdata/sf0.01")
     val spark = GraftSession.build("graft-bench")
     // warmup: JIT/codegen/parquet-footer caches
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
-    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String, dir: String,
+             fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { fn(spark, dir).count() }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      once(name, fn) // warm: codegen compile, JIT, IO caches
-      System.gc() // don't bill this query for its predecessor's garbage
-      name -> math.min(once(name, fn), once(name, fn)) // steady state, noise-robust
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def sweep(dir: String): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        once(name, dir, fn) // warm: codegen compile, JIT, IO caches
+        System.gc() // don't bill this query for its predecessor's garbage
+        name -> math.min(once(name, dir, fn), once(name, dir, fn)) // steady state, noise-robust
+      }
+
+    val results = sweep(sfDir)
+    val results2 =
+      if (new java.io.File(sfDir2).isDirectory && sfDir2 != sfDir) sweep(sfDir2)
+      else Seq.empty
     val total = results.map(_._2).sum
+    val total2 = results2.map(_._2).sum
+
+    def r3(v: Double): String = f"$v%.3f"
 
     // converter throughput - the surface BASELINE.md actually
     // measures (the reference is a single-threaded XML->parquet
@@ -80,7 +103,7 @@ object Bench {
       val (rows, s1) = convOnce(opts)
       val (_, s2) = convOnce(opts)
       val sec = math.min(s1, s2)
-      s"""{"rows":$rows,"sec":$sec,"rows_per_sec":${rows / sec}}"""
+      s"""{"rows":$rows,"sec":${r3(sec)},"rows_per_sec":${(rows / sec).toLong}}"""
     }
     val conv = convMetric(graft.changesets.ChangesetConverter.Options())
     // the opt-in hand-rolled scanner (Options(fastParser=true)): same
@@ -99,7 +122,37 @@ object Bench {
     rmTree(xmlDir)
     rmTree(java.nio.file.Paths.get(convOut).getParent)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"converter":$conv,"converter_fast":$convFast,"sf":"$sfDir"}""")
+    // full two-scale-point detail -> bench_detail.json (complete map;
+    // the stdout line below is budgeted to survive tail-capture)
+    val m2 = results2.toMap
+    val detailQs = results.map { case (k, v) =>
+      val second = m2.get(k).map(v2 => s""","sf2_sec":${r3(v2)}""").getOrElse("")
+      s""""$k":{"sec":${r3(v)}$second}"""
+    }.mkString("{", ",", "}")
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","sf2":"$sfDir2",""" +
+        s""""total_sf2":${r3(total2)},"queries":$detailQs,"converter":$conv,"converter_fast":$convFast}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
+
+    // compact final line: totals + converter + slowest queries first,
+    // hard-capped so the whole JSON fits inside the driver's ~2000-char
+    // stdout tail (see scaladoc). Remaining queries are in the detail
+    // file; "queries_elided" says how many.
+    val budget = 1400
+    val ordered = results.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var elided = 0
+    ordered.foreach { case (k, v) =>
+      val e = s""""$k":${r3(v)}"""
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else elided += 1
+    }
+    val qsCompact = entries.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,""" +
+        s""""queries_elided":$elided,"total_sf2":${r3(total2)},"n_queries":${results.size},""" +
+        s""""converter":$conv,"converter_fast":$convFast,"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
