@@ -116,6 +116,91 @@ object Pipeline {
       Files.move(retired, latestPath)
   }
 
+  // ------------------------------------------------------------------
+  // Pointer-flip publish — the object-store variant of the swap.
+  //
+  // The rename-swap above assumes an atomic POSIX rename. Object
+  // stores (S3-class) have no rename: "rename" is copy+delete, and a
+  // reader can observe the stable name mid-copy. What they DO have is
+  // an atomic single-object PUT with read-after-write consistency. So
+  // the object-store-safe publish is: write each snapshot as an
+  // IMMUTABLE versioned artifact (never renamed, never overwritten),
+  // then flip ONE small pointer object naming the current version.
+  // Readers resolve the pointer, then open the (complete, immutable)
+  // artifact it names — there is no observable intermediate state,
+  // and a crash between artifact write and pointer flip simply leaves
+  // the pointer at the previous (still complete) version: no recovery
+  // step needed, unlike recoverPublish's retired-name window.
+  //
+  // Locally the pointer write is modeled the same way: write the new
+  // pointer content to a temp name, then one Files.move — the
+  // single-small-object flip that maps to one PUT on a store.
+  // ------------------------------------------------------------------
+
+  private val PointerName = "current.json"
+
+  /** Atomically point `current.json` at an already-written versioned
+    * artifact. Call ONLY after the artifact is fully written (the
+    * caller's Spark write has committed).
+    */
+  def flipPointer(publishDir: String, versionedFile: String, rows: Long, version: String): Unit = {
+    val json =
+      s"""{
+         |  "file": "$versionedFile",
+         |  "rows": $rows,
+         |  "source_version": "$version"
+         |}""".stripMargin
+    val tmp = Paths.get(publishDir, s".$PointerName.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(publishDir, PointerName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Resolve the current pointer to the artifact path it names (None
+    * before the first publish). This is the whole reader protocol:
+    * one small read, then open the immutable artifact.
+    */
+  def readCurrent(publishDir: String): Option[String] = {
+    val p = Paths.get(publishDir, PointerName)
+    if (!Files.exists(p)) return None
+    val json = Files.readString(p)
+    "\"file\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json)
+      .map(m => s"$publishDir/${m.group(1)}")
+  }
+
+  /** Pointer-flip pipeline run: convert to a versioned immutable
+    * artifact, flip the pointer, retain newest N (never deleting the
+    * pointed-at version). Same change-detection/marker contract as
+    * [[run]]; no stable-name copy exists in this mode — consumers use
+    * `readCurrent`.
+    */
+  def runPointer(
+      spark: SparkSession,
+      inputXml: String,
+      publishDir: String,
+      stateDir: String,
+      sourceVersion: String,
+      force: Boolean = false,
+      keepHistory: Int = 5,
+      opts: ChangesetConverter.Options = ChangesetConverter.Options()): Result = {
+
+    if (!force && readMarker(stateDir).contains(sourceVersion))
+      return Result(ran = false, rows = 0L, published = None,
+        reason = s"unchanged (version $sourceVersion)")
+
+    Files.createDirectories(Paths.get(publishDir))
+    val versionedFile = s"changesets-$sourceVersion.parquet"
+    val versioned = s"$publishDir/$versionedFile"
+    ChangesetConverter.convert(spark, inputXml, versioned, opts)
+    val rows = spark.read.parquet(versioned).count()
+
+    flipPointer(publishDir, versionedFile, rows, sourceVersion)
+    applyRetention(publishDir, keepHistory, protect = readCurrent(publishDir))
+    writeMarker(stateDir, sourceVersion)
+    Result(ran = true, rows = rows, published = Some(versioned),
+      reason = if (force) "forced" else "source changed")
+  }
+
   /** The catalog the reference publishes as index.json
     * (yml:176-222): size, update time token, row count, usage snippet.
     */
@@ -165,14 +250,20 @@ object Pipeline {
       .drop(srcCol, "__merge_rn")
   }
 
-  def applyRetention(publishDir: String, keep: Int): Unit = {
+  def applyRetention(publishDir: String, keep: Int, protect: Option[String] = None): Unit = {
     val dir = Paths.get(publishDir)
     if (!Files.exists(dir)) return
+    // `protect`: never delete the artifact the current pointer names,
+    // even if mtime-ordering would age it out (e.g. a rollback flip
+    // back to an old version followed by N new publishes)
+    val keepAlways = protect.map(p => Paths.get(p).toAbsolutePath.normalize)
     val versioned = listChildren(dir)
       .filter(p => p.toString.matches(".*/changesets-.*\\.parquet$"))
       .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.toString))
       .reverse
-    versioned.drop(keep).foreach(deleteRecursively)
+    versioned.drop(keep)
+      .filterNot(p => keepAlways.contains(p.toAbsolutePath.normalize))
+      .foreach(deleteRecursively)
   }
 
   private def listChildren(p: java.nio.file.Path): Seq[java.nio.file.Path] = {

@@ -104,6 +104,70 @@ class PipelineSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(pub, ".changesets.parquet.retired")))
   }
 
+  test("pointer-flip publish: a reader sees a complete artifact at every step of the swap") {
+    val pub = tmpDir("pipe-ptr1")
+    val state = tmpDir("pipe-ptr1-state")
+
+    // the reader protocol under test: resolve the pointer, open what it
+    // names. Run it at every interleaving point of the v2 publish.
+    def readerSees(): Long = {
+      val cur = Pipeline.readCurrent(pub)
+      assert(cur.isDefined, "pointer must resolve once the first publish landed")
+      spark.read.parquet(cur.get).count()
+    }
+
+    // publish v1 end-to-end
+    val r1 = Pipeline.runPointer(spark, writeXml(Seq(1, 2, 3)), pub, state, sourceVersion = "v1")
+    assert(r1.ran && r1.rows === 3L)
+    assert(readerSees() === 3L)
+
+    // --- begin the v2 publish, step by step, probing the reader at
+    // each point an object-store reader could land ---
+
+    // step 1: the v2 artifact is PARTIALLY written (simulated: a
+    // directory with a stray non-parquet temp file, as mid-upload).
+    // The pointer still names v1 — the reader must still see 3 rows.
+    val v2dir = Paths.get(pub, "changesets-v2.parquet")
+    Files.createDirectories(v2dir)
+    Files.writeString(v2dir.resolve("_temporary-upload"), "partial bytes")
+    assert(readerSees() === 3L)
+
+    // step 2: artifact fully written (real convert), pointer not yet
+    // flipped — reader still on v1. A crash here needs NO recovery.
+    Files.delete(v2dir.resolve("_temporary-upload"))
+    Files.delete(v2dir)
+    ChangesetConverter.convert(spark, writeXml(Seq(1, 2, 3, 4)), v2dir.toString,
+      ChangesetConverter.Options())
+    assert(readerSees() === 3L)
+
+    // step 3: the flip — one atomic small-object write. Reader now
+    // sees v2, immediately and completely.
+    Pipeline.flipPointer(pub, "changesets-v2.parquet", 4L, "v2")
+    assert(readerSees() === 4L)
+
+    // the v1 artifact is still intact (immutable history): a reader
+    // that resolved the pointer BEFORE the flip and is still scanning
+    // v1 mid-query finishes correctly.
+    assert(spark.read.parquet(s"$pub/changesets-v1.parquet").count() === 3L)
+  }
+
+  test("pointer-flip publish: retention never deletes the pointed-at artifact") {
+    val pub = tmpDir("pipe-ptr2")
+    val state = tmpDir("pipe-ptr2-state")
+    (1 to 5).foreach(v =>
+      Pipeline.runPointer(spark, writeXml(1 to v), pub, state,
+        sourceVersion = s"v$v", keepHistory = 2))
+    // pointer names v5; v5 + one more survive
+    assert(Pipeline.readCurrent(pub).get.endsWith("changesets-v5.parquet"))
+    assert(spark.read.parquet(Pipeline.readCurrent(pub).get).count() === 5L)
+
+    // rollback: flip the pointer BACK to v4, then age it out by
+    // retention — the protected artifact must survive
+    Pipeline.flipPointer(pub, "changesets-v4.parquet", 4L, "v4")
+    Pipeline.applyRetention(pub, keep = 1, protect = Pipeline.readCurrent(pub))
+    assert(spark.read.parquet(Pipeline.readCurrent(pub).get).count() === 4L)
+  }
+
   test("retention is mtime-ordered, not token-ordered (Last-Modified-style tokens)") {
     val pub = tmpDir("pipe-pub4")
     // tokens whose lexicographic order INVERTS arrival order — like
