@@ -416,4 +416,174 @@ object Similarity {
       .limit(n)
       .select(col("vec_a"), col("vec_b"), round(col("cosine"), 9).as("cosine"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the compressed-scan ANN path.
+  //
+  // IVF (ivfTopK) prunes WHICH vectors a query scans; PQ shrinks WHAT
+  // a scan reads: each vector is encoded as `numSubspaces` small codes
+  // (one per dim-slice, each the id of the nearest per-subspace
+  // centroid), so the corpus representation drops from dims*4 bytes of
+  // float to numSubspaces bytes — 64x for 64-dim floats at m=4 — and
+  // the distance kernel becomes table lookups (ADC: asymmetric
+  // distance computation) instead of float dot products. At 100 TB the
+  // codes table is the only thing the query scan touches; the raw
+  // vectors stay in cold storage for optional exact re-ranking.
+  // ------------------------------------------------------------------
+
+  /** Squared L2 distance between a sub-vector column and a literal
+    * centroid, in the expanded form x·x − 2·x·c + c·c (all three via
+    * the codegen'd VecDot; c·c folds to a constant).
+    */
+  private def d2ToCentroid(sv: Column, cent: Array[Double]): Column = {
+    val cl = array(cent.map(lit): _*)
+    dotWide(sv, sv) - lit(2.0) * dotWide(sv, cl) + lit(cent.map(x => x * x).sum)
+  }
+
+  /** Train PQ codebooks: k-means per dim-subspace.
+    * `codebooks(m)(c)` = centroid c of subspace m (dims/numSubspaces
+    * components each).
+    *
+    * ALL subspaces train together: sub-vectors carry a `sub` key, the
+    * assignment step is ONE equi-join against the broadcast (sub,
+    * cluster) codebook table, and the recompute step is one
+    * aggregation — a single distributed pass per Lloyd iteration
+    * regardless of numSubspaces (a per-subspace loop would run m
+    * sequential jobs per iteration). Driver state is the codebook
+    * itself: numSubspaces * codebookSize * (dims/numSubspaces) doubles
+    * = dims * codebookSize — KBs at any corpus size.
+    *
+    * Deterministic: seeding takes the `codebookSize` hash-min rows
+    * (hash60 of "pq|"+id, id tiebreak), not rand(); empty clusters
+    * keep their previous centroid.
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numSubspaces: Int = 4,
+      codebookSize: Int = 16,
+      iters: Int = 5): Array[Array[Array[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    VectorExpressions.register(spark)
+
+    val prepped = corpus
+      .select(col(idCol).cast("string").as("id"), asDoubleVec(col(vecCol)).as("v"))
+      .localCheckpoint(true)
+    val dims = prepped.select(size(col("v"))).head().getInt(0)
+    require(dims % numSubspaces == 0,
+      s"pqTrain: dims ($dims) must divide evenly into numSubspaces ($numSubspaces)")
+    val subDim = dims / numSubspaces
+
+    // (id, sub, sv): every sub-vector of every vector, one exploded row
+    val subRows = prepped.select(col("id"),
+      posexplode(array((0 until numSubspaces).map(m =>
+        slice(col("v"), m * subDim + 1, subDim)): _*)).as(Seq("sub", "sv")))
+
+    // seed: k deterministic sample vectors, sliced per subspace
+    val sample = prepped
+      .orderBy(graft.functions.TextFunctions.hash60(concat(lit("pq|"), col("id"))), col("id"))
+      .limit(codebookSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(numSubspaces) { m =>
+        Array.tabulate(math.min(codebookSize, sample.length)) { c =>
+          sample(c).slice(m * subDim, (m + 1) * subDim)
+        }
+      }
+
+    for (_ <- 0 until iters) {
+      val centDf = codebooks.zipWithIndex.flatMap { case (cents, m) =>
+        cents.zipWithIndex.map { case (cv, c) => (m, c, cv.toSeq) }
+      }.toSeq.toDF("sub", "cluster", "cv")
+      val updated = subRows
+        .join(broadcast(centDf), Seq("sub"))
+        .withColumn("d2", dot(col("sv"), col("sv"))
+          - lit(2.0) * dot(col("sv"), col("cv"))
+          + dot(col("cv"), col("cv")))
+        .groupBy(col("id"), col("sub"))
+        .agg(min_by(struct(col("cluster"), col("sv")),
+          struct(col("d2"), col("cluster"))).as("best"))
+        .select(col("sub"), col("best.cluster").as("cluster"),
+          posexplode(col("best.sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cluster"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      codebooks = codebooks.zipWithIndex.map { case (cents, m) =>
+        cents.zipWithIndex.map { case (old, c) =>
+          if (updated.contains((m, c, 0))) Array.tabulate(subDim)(d => updated((m, c, d)))
+          else old
+        }
+      }
+    }
+    codebooks
+  }
+
+  /** The PQ code column: array of `numSubspaces` ints, element m = id
+    * of the nearest subspace-m centroid (first-min tiebreak → lowest
+    * cluster id). Pure per-row expression — encoding a corpus is a
+    * map-only scan, no shuffle.
+    */
+  def pqEncodeCol(vecCol: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val subDim = codebooks(0)(0).length
+    array(codebooks.zipWithIndex.map { case (cents, m) =>
+      val sv = slice(asDoubleVec(vecCol), m * subDim + 1, subDim)
+      val dists = array(cents.map(c => d2ToCentroid(sv, c)): _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** Approximate top-k by PQ/ADC: train codebooks on the corpus,
+    * encode the corpus to codes, build each query's distance lookup
+    * table (numSubspaces x codebookSize squared-L2s to every centroid
+    * — a pure expression on the broadcast query side), then scan the
+    * codes with approx_d2 = Σ_m lut[m][code_m].
+    *
+    * Plan shape: corpus encodes and scans map-only (never shuffles);
+    * the per-query top-k runs on the TopKAggregator UDAF, so partial
+    * aggregation keeps k rows per query per partition and the only
+    * shuffle is |Q|·k combiner rows. Output: query_id, neighbor_id,
+    * rank, approx_d2 (ascending — smaller is closer).
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numSubspaces: Int = 4,
+      codebookSize: Int = 16,
+      iters: Int = 5): DataFrame = {
+    val codebooks = pqTrain(corpus, idCol, vecCol, numSubspaces, codebookSize, iters)
+    val subDim = codebooks(0)(0).length
+
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      pqEncodeCol(col(vecCol), codebooks).as("codes"))
+
+    val lut = array(codebooks.zipWithIndex.map { case (cents, m) =>
+      val qv = slice(asDoubleVec(col(vecCol)), m * subDim + 1, subDim)
+      array(cents.map(c => d2ToCentroid(qv, c)): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), lut.as("lut")))
+
+    val scored = codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2",
+        (0 until numSubspaces).map(m =>
+          element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
+          .reduce(_ + _))
+
+    val topk = graft.functions.TopKAggregator.topK(k)
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(-col("approx_d2"), col("neighbor_id").cast("long")).as("top"))
+      .select(col("query_id"), col("top.top_values").as("tv"), col("top.top_ids").as("ti"))
+      .select(col("query_id"), posexplode(arrays_zip(col("tv"), col("ti"))).as(Seq("pos", "z")))
+      .select(col("query_id"),
+        col("z.ti").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        round(-col("z.tv"), 9).as("approx_d2"))
+  }
 }

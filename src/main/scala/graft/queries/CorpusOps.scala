@@ -405,7 +405,79 @@ object CorpusOps {
        |LEFT JOIN surviving s ON r.doc_id = s.doc_id
        |ORDER BY r.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q84
+  /** Bigram familiarity/novelty scoring — LM-style document quality
+    * from corpus-level n-gram statistics, kept in EXACT integer
+    * arithmetic so the oracle gate is bit-tight (a log-prob variant
+    * would sum doubles in partition order): per document, over its
+    * bigram occurrences, the total corpus frequency of those bigrams
+    * (`sum_cnt`), the hapax count (`n_hapax` = occurrences whose bigram
+    * appears exactly once corpus-wide — pure novelty), and the
+    * familiarity ratio sum_cnt/n_bg (floor-truncated; one IEEE division
+    * of exact integers). Top 20 most-familiar docs (ties → doc_id).
+    *
+    * Plan: one bigram explode (native explode_ngrams Generator), one
+    * groupBy(bigram) count — map-side combined, so the shuffle carries
+    * distinct bigrams, not occurrences — one equi-join back on bigram
+    * (skew-safe: the count side is tiny after combine and AQE handles
+    * hot bigrams), one groupBy(doc). All stages linear in corpus size.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val bg = t(s, dir, "documents")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        call_function(graft.functions.VectorExpressions.ngramsFnName,
+          col("toks"), lit(2)).as("bg"))
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("gcnt"))
+    bg.join(counts, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bg"),
+        count_distinct(col("bg")).as("n_distinct_bg"),
+        sum(col("gcnt")).as("sum_cnt"),
+        sum(when(col("gcnt") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("fam",
+        floor(col("sum_cnt").cast("double") / col("n_bg").cast("double") * lit(1e6)) / lit(1e6))
+      .orderBy(col("fam").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q84Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |bgx AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |          i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+       |        FROM tk WHERE len(toks) >= 2),
+       |gc AS (SELECT bg, count(*) AS gcnt FROM bgx GROUP BY bg)
+       |SELECT doc_id,
+       |  count(*) AS n_bg,
+       |  count(DISTINCT bg) AS n_distinct_bg,
+       |  CAST(sum(gcnt) AS BIGINT) AS sum_cnt,
+       |  CAST(sum(CASE WHEN gcnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       |  floor(CAST(sum(gcnt) AS DOUBLE) / count(*) * 1e6) / 1e6 AS fam
+       |FROM bgx JOIN gc USING (bg)
+       |GROUP BY doc_id
+       |ORDER BY fam DESC, doc_id
+       |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  /** Product-quantization ANN (no SQL oracle — k-means training is not
+    * SQL-expressible; the driver records the rows-only check and
+    * PQSpec gates recall/encoding against the exact scan). 64-dim
+    * embeddings, 4 subspaces x 16 centroids: the corpus scan reads
+    * 4-byte codes instead of 256-byte vectors. See Similarity.pqTopK.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 10, numSubspaces = 4, codebookSize = 16, iters = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_bigram_familiarity" -> (q84 _),
+    "q85_pq_ann" -> (q85 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -420,6 +492,8 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q84_bigram_familiarity" -> q84Sql,
+    // q85_pq_ann intentionally absent: not SQL-expressible (k-means)
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,

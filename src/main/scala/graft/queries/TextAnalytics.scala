@@ -203,7 +203,85 @@ object TextAnalytics {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q82
+  /** Weighted corpus mixture — the training-mix construction operator:
+    * a per-source target rate dim (web-ish sources downsampled hard,
+    * curated ones kept high) broadcast-joined onto the corpus, rows
+    * kept by the same deterministic md5-threshold rule as q45 but with
+    * the PER-STRATUM rate. The reproducible equivalent of
+    * `df.stat.sampleBy` (whose rand() draw is not replayable across
+    * retries, engines, or task re-executions — at 100 TB a re-run
+    * speculative task would emit a DIFFERENT sample).
+    *
+    * Plan: weights dim is broadcast (20 rows), corpus never shuffles
+    * until the final per-source aggregate — map-side combined, so the
+    * shuffle carries one row per (source) per partition.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val weights = mixtureWeights.toDF("source", "pct")
+    t(s, dir, "documents")
+      .join(broadcast(weights), Seq("source"))
+      .filter(pmod(graft.functions.TextFunctions.hash60(concat(lit("mix|"), $"doc_id")),
+        lit(100)) < $"pct")
+      .groupBy($"source", $"pct")
+      .agg(count(lit(1)).as("n_selected"), sum($"n_chars").as("sel_chars"))
+      .orderBy($"source")
+  }
+
+  /** The mixture spec: src0..src19 cycle through 80/50/25/10 percent
+    * target rates (same literal table in the SQL oracle).
+    */
+  private val mixtureWeights: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", Seq(80, 50, 25, 10)(i % 4)))
+
+  private val q82Sql = {
+    val values = mixtureWeights.map { case (src, pct) => s"('$src', $pct)" }.mkString(", ")
+    s"""WITH w(source, pct) AS (VALUES $values)
+       |SELECT source, pct, count(*) AS n_selected, CAST(sum(n_chars) AS BIGINT) AS sel_chars
+       |FROM documents JOIN w USING (source)
+       |WHERE CAST(concat('0x', substring(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < pct
+       |GROUP BY source, pct
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q83
+  /** Per-group quantile-threshold filter: how many documents sit
+    * strictly above their language's median length. The
+    * quantile-as-threshold pattern (exact `percentile`, interpolated)
+    * with the per-group cut broadcast back onto the rows — the shape
+    * behind "keep the top half by quality per language" curation
+    * rules. The metric is integer (n_chars) so the interpolated median
+    * is exactly x or x.5 in IEEE double and the Spark/DuckDB halves
+    * agree bit-wise.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val med = docs.groupBy($"lang")
+      .agg(percentile($"n_chars", lit(0.5)).as("median_chars"))
+    docs.join(broadcast(med), Seq("lang"))
+      .groupBy($"lang", $"median_chars")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"n_chars" > $"median_chars", 1L).otherwise(0L)).as("n_above"))
+      .select($"lang", $"n_docs", $"n_above", $"median_chars")
+      .orderBy($"lang")
+  }
+
+  private val q83Sql =
+    """WITH med AS (
+      |  SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars
+      |  FROM documents GROUP BY lang)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_chars > median_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |  median_chars
+      |FROM documents JOIN med USING (lang)
+      |GROUP BY lang, median_chars
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_corpus_mixture" -> (q82 _),
+    "q83_quantile_filter" -> (q83 _),
     "q45_stratified_sample" -> (q45 _),
     "q46_histogram" -> (q46 _),
     "q23_lang_id" -> (q23 _),
@@ -212,6 +290,8 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q82_corpus_mixture" -> q82Sql,
+    "q83_quantile_filter" -> q83Sql,
     "q45_stratified_sample" -> q45Sql,
     "q46_histogram" -> q46Sql,
     "q23_lang_id" -> q23Sql,
