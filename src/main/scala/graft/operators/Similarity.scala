@@ -471,7 +471,9 @@ object Similarity {
     val prepped = corpus
       .select(col(idCol).cast("string").as("id"), asDoubleVec(col(vecCol)).as("v"))
       .localCheckpoint(true)
-    val dims = prepped.select(size(col("v"))).head().getInt(0)
+    val firstDims = prepped.select(size(col("v"))).take(1)
+    require(firstDims.nonEmpty, "pqTrain: empty corpus")
+    val dims = firstDims(0).getInt(0)
     require(dims % numSubspaces == 0,
       s"pqTrain: dims ($dims) must divide evenly into numSubspaces ($numSubspaces)")
     val subDim = dims / numSubspaces
@@ -557,6 +559,7 @@ object Similarity {
       numSubspaces: Int = 4,
       codebookSize: Int = 16,
       iters: Int = 5): DataFrame = {
+    if (corpus.limit(1).isEmpty) return emptyAnnResult(queries, idCol)
     val codebooks = pqTrain(corpus, idCol, vecCol, numSubspaces, codebookSize, iters)
     val subDim = codebooks(0)(0).length
 
@@ -576,6 +579,23 @@ object Similarity {
           .reduce(_ + _))
 
     val topk = graft.functions.TopKAggregator.topK(k)
+    adcTopK(scored, k)
+  }
+
+  /** Empty-corpus result for the ANN paths: zero rows, full output
+    * schema, no jobs (training on nothing is not an error for a
+    * pipeline stage — it is an empty stage).
+    */
+  private def emptyAnnResult(queries: DataFrame, idCol: String): DataFrame =
+    queries.limit(0).select(col(idCol).as("query_id"),
+      lit(0L).as("neighbor_id"), lit(0).as("rank"), lit(0d).as("approx_d2"))
+
+  /** Shared ADC top-k tail: per-query k smallest approx_d2 through the
+    * TopKAggregator UDAF (map-side combined; the only shuffle is the
+    * |Q|*k combiner rows), exploded to ranked rows.
+    */
+  private def adcTopK(scored: DataFrame, k: Int): DataFrame = {
+    val topk = graft.functions.TopKAggregator.topK(k)
     scored
       .groupBy(col("query_id"))
       .agg(topk(-col("approx_d2"), col("neighbor_id").cast("long")).as("top"))
@@ -585,5 +605,82 @@ object Similarity {
         col("z.ti").as("neighbor_id"),
         (col("pos") + 1).as("rank"),
         round(-col("z.tv"), 9).as("approx_d2"))
+  }
+
+  /** IVF-PQ (the FAISS IVFADC architecture, Jégou et al. TPAMI'11,
+    * composed from this file's two halves): a coarse k-means quantizer
+    * prunes WHICH inverted lists a query scans (as ivfTopK), PQ codes
+    * shrink WHAT the scan reads (as pqTopK). This is the shape that
+    * holds at 100 TB: the index table is (neighbor_id, cluster, codes)
+    * — a few bytes per vector, partitioned/bucketed by `cluster` in
+    * production so a query's nprobe list probes are partition-pruned
+    * scans — and the per-query work is nprobe/nlist of the corpus at
+    * numSubspaces table lookups per candidate. Codebooks are plain
+    * (non-residual) PQ: one global code space keeps encoding map-only;
+    * residual encoding would couple codes to the coarse assignment.
+    *
+    * Plan shape: coarse centroids + PQ codebooks are driver state
+    * (nlist*dims + dims*codebookSize doubles — KBs); the corpus
+    * encodes map-only; the probe join is an EQUI-join on `cluster`
+    * with the (|Q|*nprobe)-row query side broadcast; the only shuffle
+    * is the top-k combiner rows.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      numSubspaces: Int = 4,
+      codebookSize: Int = 16,
+      iters: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, nlist]")
+    if (corpus.limit(1).isEmpty) return emptyAnnResult(queries, idCol)
+    val coarse: Array[Array[Double]] = trainKMeans(corpus, idCol, vecCol, nlist, iters)
+      .orderBy(col("cluster_id"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    val codebooks = pqTrain(corpus, idCol, vecCol, numSubspaces, codebookSize, iters)
+    val subDim = codebooks(0)(0).length
+
+    // coarse selection needs only the ORDERING of distances, and the
+    // ||v||^2 term is constant per row — drop it (one VecDot per
+    // centroid saved): rel(c) = c.c - 2 v.c = d2(v,c) - ||v||^2.
+    def coarseRel(vec: Column): Column = {
+      val v = asDoubleVec(vec)
+      array(coarse.map(c =>
+        lit(c.map(x => x * x).sum) - lit(2.0) * dotWide(v, array(c.map(lit): _*))): _*)
+    }
+    // nearest coarse cluster: first-min tiebreak, same rule as pqEncodeCol
+    val index = corpus.select(col(idCol).as("neighbor_id"),
+      (array_position(coarseRel(col(vecCol)), array_min(coarseRel(col(vecCol)))) - 1)
+        .cast("int").as("cluster"),
+      pqEncodeCol(col(vecCol), codebooks).as("codes"))
+
+    // per query: the nprobe nearest lists (lexicographic struct sort =
+    // by distance, then cluster id — deterministic) + the ADC LUT
+    val lut = array(codebooks.zipWithIndex.map { case (cents, m) =>
+      val qv = slice(asDoubleVec(col(vecCol)), m * subDim + 1, subDim)
+      array(cents.map(c => d2ToCentroid(qv, c)): _*)
+    }: _*)
+    val probes = slice(
+      array_sort(zip_with(
+        coarseRel(col(vecCol)),
+        sequence(lit(0), lit(nlist - 1)),
+        (d, i) => struct(d.as("d"), i.as("cl")))),
+      1, nprobe)
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), lut.as("lut"),
+          explode(probes).as("probe"))
+        .select(col("query_id"), col("lut"), col("probe.cl").as("cluster")))
+
+    val scored = index.join(q, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_d2",
+        (0 until numSubspaces).map(m =>
+          element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
+          .reduce(_ + _))
+    adcTopK(scored, k)
   }
 }

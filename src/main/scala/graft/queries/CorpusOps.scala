@@ -475,9 +475,22 @@ object CorpusOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q86
+  /** IVF-PQ composed ANN (FAISS IVFADC shape; rows-only check like
+    * q85 — k-means). nlist=8 coarse lists, 2 probed: the scan touches
+    * ~1/4 of the corpus at 4 bytes/vector. See Similarity.ivfPqTopK.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 2, numSubspaces = 4, codebookSize = 16, iters = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bigram_familiarity" -> (q84 _),
     "q85_pq_ann" -> (q85 _),
+    "q86_ann_ivfpq" -> (q86 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -493,7 +506,8 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "q84_bigram_familiarity" -> q84Sql,
-    // q85_pq_ann intentionally absent: not SQL-expressible (k-means)
+    // q85_pq_ann / q86_ann_ivfpq intentionally absent: not
+    // SQL-expressible (k-means training); driver records rows-only
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,

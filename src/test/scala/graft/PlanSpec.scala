@@ -177,14 +177,27 @@ class PlanSpec extends SparkSpec {
       "window-hash count is single-phase — map-side combine lost")
   }
 
+  test("q86 IVF-PQ: the probe join is a broadcast EQUI-join on cluster, never cartesian") {
+    val p = plan("q86_ann_ivfpq")
+    // the index side (corpus codes) must meet the probed queries on the
+    // `cluster` key: hash-joinable, partition-prunable in production.
+    // A CartesianProduct here would mean coarse pruning silently
+    // degraded to scanning every list for every query.
+    assert(!p.contains("CartesianProduct"), "probe join degenerated to cartesian")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join is not a broadcast equi-join on cluster")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
   test("every query has an oracle or a documented rows-only reason") {
     // sketches are implementation-defined -> rows-only by design,
-    // bounded against exact answers in ApproxSpec instead
-    val rowsOnlyByDesign = Set("q37_approx_stats")
+    // bounded against exact answers in ApproxSpec instead; PQ/IVF-PQ
+    // ANN require k-means training (not SQL-expressible) -> rows-only,
+    // recall/exactness bounded against exact scans in PQSpec
+    val rowsOnlyByDesign = Set("q37_approx_stats", "q85_pq_ann", "q86_ann_ivfpq")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }

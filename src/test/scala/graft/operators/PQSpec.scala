@@ -86,6 +86,45 @@ class PQSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean same-cluster recall@7 $mean below 0.9 (${recalls.toSeq})")
   }
 
+  test("ivfPqTopK with nprobe = nlist is exactly the full PQ scan") {
+    // coarse pruning disabled (all lists probed) must reproduce
+    // pqTopK bit-for-bit: same deterministic codebooks, same ADC
+    // distances, same top-k tie-breaks.
+    val full = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 5, numSubspaces = 4, codebookSize = 8, iters = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val ivf = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 5, nlist = 4, nprobe = 4,
+        numSubspaces = 4, codebookSize = 8, iters = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(ivf === full)
+  }
+
+  test("ivfPqTopK: pruned probes still recover same-cluster neighbors on clustered data") {
+    import spark.implicits._
+    val pts = for {
+      c <- 0 until 8
+      j <- 0 until 8
+    } yield {
+      val v = Array.tabulate(64)(d => if (d % 8 == c) 10.0 else 0.0)
+      v(j % 64) += 0.2 * ((c + j) % 3)
+      ((c * 8 + j).toLong, v.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(df.filter($"vec_id" % 8 === 0), df, "vec_id", "embedding",
+        k = 7, nlist = 8, nprobe = 2, numSubspaces = 4, codebookSize = 8, iters = 5)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recalls = got.map { case (q, ns) =>
+      val cluster = (q / 8) * 8
+      val sameCluster = (cluster until cluster + 8).filter(_ != q).toSet
+      (sameCluster & ns).size / 7.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean same-cluster recall@7 $mean below 0.9 (${recalls.toSeq})")
+  }
+
   test("real embeddings: ADC recall@10 beats the random baseline by >= 5x") {
     // the sf0.001 embeddings are near-random (pairwise d2 concentrates
     // at 2.0 +- 0.4; a numpy reference PQ gets ~0.17@m=4, ~0.26@m=8),
