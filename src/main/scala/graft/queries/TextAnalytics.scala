@@ -279,9 +279,113 @@ object TextAnalytics {
       |GROUP BY lang, median_chars
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q87
+  /** Sequence packing (GPT-style concat-and-chunk): documents in
+    * doc_id order are laid head-to-tail into a token stream; a
+    * document is assigned to the bin where it STARTS
+    * (floor(start_offset / budget)). Per bin: docs, token mass, and
+    * the doc-id range — the batch-construction op of every LLM
+    * trainer.
+    *
+    * The global running offset is NOT a single-partition window (the
+    * naive `Window.orderBy(doc_id)` serializes the whole corpus
+    * through one task): it is a two-level prefix sum over data-derived
+    * blocks — block = doc_id div blockSize, a partition-local cumsum
+    * WITHIN each block (parallel window, hash-shuffled on the block
+    * key), then a cumsum over per-block totals (corpus/blockSize rows
+    * — the only serial window) broadcast back as exclusive offsets.
+    * Partitioning-independent by construction (blocks are data values,
+    * not spark_partition_id), so the result is deterministic under any
+    * executor layout. At 100 TB: blockSize sized so block count stays
+    * driver-friendly (1e6 blocks of 1e5 docs), every heavy stage stays
+    * parallel.
+    *
+    * All arithmetic is integer-exact; the oracle recomputes the same
+    * packing with a plain window cumsum (fine at oracle scale).
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 256L // tokens per packed sequence
+    val blockSize = 100L
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("blk", ($"doc_id" / blockSize).cast("long"))
+    // level 1: cumsum within each block (parallel across blocks)
+    val local = toks.withColumn("local_cum",
+      sum($"n_tok").over(W.partitionBy($"blk").orderBy($"doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)))
+    // level 2: exclusive running offset over per-block totals (tiny)
+    val offsets = local.groupBy($"blk").agg(sum($"n_tok").as("btotal"))
+      .withColumn("offset",
+        coalesce(sum($"btotal").over(W.orderBy($"blk")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select($"blk", $"offset")
+    local.join(broadcast(offsets), Seq("blk"))
+      .withColumn("start_off", $"offset" + $"local_cum" - $"n_tok")
+      .withColumn("bin", floor($"start_off" / budget).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("bin_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"bin")
+  }
+
+  private val q87Sql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_tok,
+       |    sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+       |  FROM tk)
+       |SELECT CAST(floor(start_off / 256) AS BIGINT) AS bin,
+       |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------- q88
+  /** Epoch upsampling: per-source repeat factors (curated sources see
+    * more epochs than web crawl), materialized as an explode over
+    * `sequence(1, reps)` — each epoch of each document is a row with
+    * its epoch index, the shape a packing/shuffling stage consumes.
+    * Broadcast dim join + map-only explode: the corpus shuffles only
+    * for the final report aggregate.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reps = epochReps.toDF("source", "reps")
+    t(s, dir, "documents")
+      .join(broadcast(reps), Seq("source"))
+      .select($"source", $"doc_id", $"n_chars",
+        explode(sequence(lit(1), $"reps")).as("epoch"))
+      .groupBy($"source", $"epoch")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("epoch_chars"))
+      .orderBy($"source", $"epoch")
+  }
+
+  /** src0..src19 cycle through 3/1/2/1 epochs (mirrored in the SQL). */
+  private val epochReps: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", Seq(3, 1, 2, 1)(i % 4)))
+
+  private val q88Sql = {
+    val values = epochReps.map { case (src, r) => s"('$src', $r)" }.mkString(", ")
+    s"""WITH w(source, reps) AS (VALUES $values)
+       |SELECT source, CAST(epoch AS INTEGER) AS epoch, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS epoch_chars
+       |FROM documents JOIN w USING (source), unnest(range(1, reps + 1)) AS e(epoch)
+       |GROUP BY source, epoch
+       |ORDER BY source, epoch""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_corpus_mixture" -> (q82 _),
     "q83_quantile_filter" -> (q83 _),
+    "q87_pack_sequences" -> (q87 _),
+    "q88_epoch_upsample" -> (q88 _),
     "q45_stratified_sample" -> (q45 _),
     "q46_histogram" -> (q46 _),
     "q23_lang_id" -> (q23 _),
@@ -292,6 +396,8 @@ object TextAnalytics {
   val oracle: Map[String, String] = Map(
     "q82_corpus_mixture" -> q82Sql,
     "q83_quantile_filter" -> q83Sql,
+    "q87_pack_sequences" -> q87Sql,
+    "q88_epoch_upsample" -> q88Sql,
     "q45_stratified_sample" -> q45Sql,
     "q46_histogram" -> q46Sql,
     "q23_lang_id" -> q23Sql,

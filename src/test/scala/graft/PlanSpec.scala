@@ -177,6 +177,21 @@ class PlanSpec extends SparkSpec {
       "window-hash count is single-phase — map-side combine lost")
   }
 
+  test("q82 mixture: the weights dim is broadcast — the corpus never shuffles for the join") {
+    val p = plan("q82_corpus_mixture")
+    assert(p.contains("BroadcastHashJoin"), "weights dim not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for a 20-row dim join")
+  }
+
+  test("q87 packing: the heavy cumsum window is block-partitioned, not single-partition") {
+    val p = plan("q87_pack_sequences")
+    // level-1 prefix sum must hash-partition on the block key (parallel
+    // across blocks); a missing blk partitioning means the whole corpus
+    // serializes through one window task
+    assert(p.contains("hashpartitioning(blk"),
+      "local cumsum window lost its block partitioning")
+  }
+
   test("q86 IVF-PQ: the probe join is a broadcast EQUI-join on cluster, never cartesian") {
     val p = plan("q86_ann_ivfpq")
     // the index side (corpus codes) must meet the probed queries on the
