@@ -487,10 +487,24 @@ object CorpusOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- q89
+  /** BPE tokenizer training (rows-only check — iterative argmax is not
+    * SQL-expressible; BpeSpec differentially gates the algorithm
+    * against a single-machine reference). 10 merges learned from the
+    * documents word-frequency table; one distributed aggregate per
+    * merge, driver state = the merge list. See operators.Bpe.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text", numMerges = 10)
+      .toDF().orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bigram_familiarity" -> (q84 _),
     "q85_pq_ann" -> (q85 _),
     "q86_ann_ivfpq" -> (q86 _),
+    "q89_bpe_merges" -> (q89 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),

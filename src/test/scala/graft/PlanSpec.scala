@@ -212,7 +212,10 @@ class PlanSpec extends SparkSpec {
     // bounded against exact answers in ApproxSpec instead; PQ/IVF-PQ
     // ANN require k-means training (not SQL-expressible) -> rows-only,
     // recall/exactness bounded against exact scans in PQSpec
-    val rowsOnlyByDesign = Set("q37_approx_stats", "q85_pq_ann", "q86_ann_ivfpq")
+    // q89: iterative BPE argmax is not SQL-expressible; BpeSpec gates
+    // it differentially against a single-machine reference
+    val rowsOnlyByDesign =
+      Set("q37_approx_stats", "q85_pq_ann", "q86_ann_ivfpq", "q89_bpe_merges")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
