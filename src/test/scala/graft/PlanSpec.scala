@@ -208,14 +208,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("every query has an oracle or a documented rows-only reason") {
-    // sketches are implementation-defined -> rows-only by design,
-    // bounded against exact answers in ApproxSpec instead; PQ/IVF-PQ
-    // ANN require k-means training (not SQL-expressible) -> rows-only,
-    // recall/exactness bounded against exact scans in PQSpec
-    // q89: iterative BPE argmax is not SQL-expressible; BpeSpec gates
-    // it differentially against a single-machine reference
-    val rowsOnlyByDesign =
-      Set("q37_approx_stats", "q85_pq_ann", "q86_ann_ivfpq", "q89_bpe_merges")
+    // PQ/IVF-PQ ANN require k-means training and q89's BPE loop an
+    // iterative argmax — neither SQL-expressible -> rows-only, bounded
+    // against exact answers / a single-machine reference in
+    // PQSpec/BpeSpec. (q37's sketches DO carry an oracle: DuckDB's
+    // approx functions are seeded identically there.)
+    val rowsOnlyByDesign = Set("q85_pq_ann", "q86_ann_ivfpq", "q89_bpe_merges")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
