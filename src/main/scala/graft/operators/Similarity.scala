@@ -590,21 +590,54 @@ object Similarity {
     queries.limit(0).select(col(idCol).as("query_id"),
       lit(0L).as("neighbor_id"), lit(0).as("rank"), lit(0d).as("approx_d2"))
 
-  /** Shared ADC top-k tail: per-query k smallest approx_d2 through the
+  /** Shared ADC top-k tail: per-query k smallest `distCol` through the
     * TopKAggregator UDAF (map-side combined; the only shuffle is the
     * |Q|*k combiner rows), exploded to ranked rows.
     */
-  private def adcTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def adcTopK(scored: DataFrame, k: Int, distCol: String = "approx_d2"): DataFrame = {
     val topk = graft.functions.TopKAggregator.topK(k)
     scored
       .groupBy(col("query_id"))
-      .agg(topk(-col("approx_d2"), col("neighbor_id").cast("long")).as("top"))
+      .agg(topk(-col(distCol), col("neighbor_id").cast("long")).as("top"))
       .select(col("query_id"), col("top.top_values").as("tv"), col("top.top_ids").as("ti"))
       .select(col("query_id"), posexplode(arrays_zip(col("tv"), col("ti"))).as(Seq("pos", "z")))
       .select(col("query_id"),
         col("z.ti").as("neighbor_id"),
         (col("pos") + 1).as("rank"),
-        round(-col("z.tv"), 9).as("approx_d2"))
+        round(-col("z.tv"), 9).as(distCol))
+  }
+
+  /** Stage two of two-stage retrieval: EXACT re-ranking of ANN
+    * candidates. Takes any candidate table with (query_id,
+    * neighbor_id) — the output of [[pqTopK]]/[[ivfPqTopK]]/[[lshTopK]]
+    * run with an over-fetched k — re-attaches the RAW vectors and
+    * keeps the k exactly-nearest per query by squared L2.
+    *
+    * This is where the raw vectors earn their cold-storage keep: the
+    * ANN stage scans codes (bytes/vector), and only |Q| * k_candidates
+    * rows ever touch the raw floats — the candidate->corpus join is an
+    * equi-join on neighbor_id (shuffles candidates, never the corpus
+    * scan) and the query side is broadcast. Output: query_id,
+    * neighbor_id, rank, d2 (exact).
+    */
+  def exactRerank(
+      candidates: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      asDoubleVec(col(vecCol)).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = candidates.select(col("query_id"), col("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .join(c, Seq("neighbor_id"))
+      .withColumn("d2",
+        dotWide(col("qv"), col("qv")) - lit(2.0) * dotWide(col("qv"), col("nv"))
+          + dotWide(col("nv"), col("nv")))
+    adcTopK(scored, k, distCol = "d2")
   }
 
   /** IVF-PQ (the FAISS IVFADC architecture, Jégou et al. TPAMI'11,

@@ -505,11 +505,27 @@ object CorpusOps {
       .toDF().orderBy(col("rank"))
   }
 
+  // ---------------------------------------------------------------- q90
+  /** Two-stage retrieval (rows-only like q85/q86): IVF-PQ over-fetches
+    * 3x candidates from compressed codes, then exactRerank re-scores
+    * ONLY those |Q|*30 candidate rows against the raw vectors — the
+    * production ANN shape (compressed first pass, exact second pass).
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val cand = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
+      k = 30, nlist = 8, nprobe = 2, numSubspaces = 4, codebookSize = 16, iters = 3)
+    Similarity.exactRerank(cand, queries, emb, "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_bigram_familiarity" -> (q84 _),
     "q85_pq_ann" -> (q85 _),
     "q86_ann_ivfpq" -> (q86 _),
     "q89_bpe_merges" -> (q89 _),
+    "q90_ann_rerank" -> (q90 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),

@@ -213,7 +213,8 @@ class PlanSpec extends SparkSpec {
     // against exact answers / a single-machine reference in
     // PQSpec/BpeSpec. (q37's sketches DO carry an oracle: DuckDB's
     // approx functions are seeded identically there.)
-    val rowsOnlyByDesign = Set("q85_pq_ann", "q86_ann_ivfpq", "q89_bpe_merges")
+    val rowsOnlyByDesign =
+      Set("q85_pq_ann", "q86_ann_ivfpq", "q89_bpe_merges", "q90_ann_rerank")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }

@@ -125,6 +125,34 @@ class PQSpec extends SparkSpec {
     assert(mean >= 0.9, s"mean same-cluster recall@7 $mean below 0.9 (${recalls.toSeq})")
   }
 
+  test("exactRerank: over-fetched ADC candidates re-rank to the exact order within the set") {
+    val cand = Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
+      "vec_id", "embedding", k = 30, numSubspaces = 4, codebookSize = 8, iters = 2)
+    val got = Similarity.exactRerank(cand, emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("d2"))).toList).toMap
+
+    // reference: exact L2 over the SAME candidate sets, driver-side
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val candSets = cand.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    candSets.foreach { case (q, ns) =>
+      val want = ns.toSeq.map { id =>
+        val d2 = vecs(id).zip(vecs(q)).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, id)
+      }.sortBy(identity).take(10).map(_._2).toList
+      assert(got(q).map(_._1) === want, s"query $q re-rank order")
+      // exact distances are monotone non-decreasing down the ranking
+      val ds = got(q).map(_._2)
+      assert(ds === ds.sorted, s"query $q distances not sorted: $ds")
+    }
+  }
+
   test("real embeddings: ADC recall@10 beats the random baseline by >= 5x") {
     // the sf0.001 embeddings are near-random (pairwise d2 concentrates
     // at 2.0 +- 0.4; a numpy reference PQ gets ~0.17@m=4, ~0.26@m=8),
