@@ -42,16 +42,23 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def sweep(dir: String): Seq[(String, Double)] =
+    def sweep(dir: String, measureTwice: Boolean): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         once(name, dir, fn) // warm: codegen compile, JIT, IO caches
         System.gc() // don't bill this query for its predecessor's garbage
-        name -> math.min(once(name, dir, fn), once(name, dir, fn)) // steady state, noise-robust
+        val t1 = once(name, dir, fn)
+        name -> (if (measureTwice) math.min(t1, once(name, dir, fn)) else t1)
       }
 
-    val results = sweep(sfDir)
+    // primary SF: warm + min-of-2 (steady state, noise-robust).
+    // second scale point: warm + single measurement — it exists to
+    // separate fixed overhead from data-proportional cost across the
+    // 10x step, which a single warm run resolves; min-of-2 here would
+    // grow the bench job ~25% for precision nothing consumes.
+    val results = sweep(sfDir, measureTwice = true)
     val results2 =
-      if (new java.io.File(sfDir2).isDirectory && sfDir2 != sfDir) sweep(sfDir2)
+      if (new java.io.File(sfDir2).isDirectory && sfDir2 != sfDir)
+        sweep(sfDir2, measureTwice = false)
       else Seq.empty
     val total = results.map(_._2).sum
     val total2 = results2.map(_._2).sum
