@@ -203,6 +203,15 @@ class PlanSpec extends SparkSpec {
       "probe join is not a broadcast equi-join on cluster")
   }
 
+  test("q90 re-rank: candidate and corpus meet on equi-joins only, queries broadcast") {
+    val p = plan("q90_ann_rerank")
+    // the exact re-score must touch only candidate rows: corpus joins
+    // on neighbor_id (hash), queries broadcast on query_id — a
+    // cartesian here would re-score |Q| x |corpus| raw vectors
+    assert(!p.contains("CartesianProduct"), "re-rank degenerated to cartesian")
+    assert(p.contains("BroadcastHashJoin"), "query side not broadcast in re-rank")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
