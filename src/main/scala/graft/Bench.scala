@@ -20,7 +20,17 @@ package graft
   * summary — totals, converter throughput, and the slowest queries
   * (time-descending) up to a strict char budget — and the COMPLETE
   * two-scale-point per-query detail goes to `bench_detail.json` in the
-  * working directory (committed to the repo; see SURVEY §8.6).
+  * working directory (a generated, gitignored per-run artifact; see
+  * SURVEY §8.6).
+  *
+  * Measurement isolation: BENCH_r07 collapsed 3x because eagerly
+  * checkpointed frames from the iterative operators accumulated in
+  * the block manager across the 90-query sweep (fresh-JVM q28 ran
+  * 3.1 s vs 17.5 s in-bench). Every query run now RELEASES its
+  * checkpoint-backed result (Checkpoints.release) and clears the SQL
+  * cache, and the residual persisted-block footprint is recorded per
+  * query in bench_detail (`storage_mb` — a growing series means an
+  * operator is leaking again).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,17 +47,27 @@ object Bench {
     def once(name: String, dir: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, dir).count() }
+      try {
+        val df = fn(spark, dir)
+        df.count()
+        // release the query's own checkpoint-backed blocks inside its
+        // timed window — cleanup is part of the operator's honest cost
+        Checkpoints.release(df)
+      }
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
 
-    def sweep(dir: String, measureTwice: Boolean): Seq[(String, Double)] =
+    // per-query result: (seconds, residual persisted bytes AFTER the
+    // query's runs + cleanup — the leak detector series)
+    def sweep(dir: String, measureTwice: Boolean): Seq[(String, (Double, Long))] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         once(name, dir, fn) // warm: codegen compile, JIT, IO caches
         System.gc() // don't bill this query for its predecessor's garbage
         val t1 = once(name, dir, fn)
-        name -> (if (measureTwice) math.min(t1, once(name, dir, fn)) else t1)
+        val sec = if (measureTwice) math.min(t1, once(name, dir, fn)) else t1
+        spark.catalog.clearCache() // defense: drop anything cache-registered
+        name -> (sec, Checkpoints.storageBytes(spark))
       }
 
     // primary SF: warm + min-of-2 (steady state, noise-robust).
@@ -60,10 +80,12 @@ object Bench {
       if (new java.io.File(sfDir2).isDirectory && sfDir2 != sfDir)
         sweep(sfDir2, measureTwice = false)
       else Seq.empty
-    val total = results.map(_._2).sum
-    val total2 = results2.map(_._2).sum
+    val total = results.map(_._2._1).sum
+    val total2 = results2.map(_._2._1).sum
 
-    def r3(v: Double): String = f"$v%.3f"
+    // explicit locale: f"%.3f" under a comma-decimal locale emits
+    // "0,123" and the JSON stops parsing
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
     // converter throughput - the surface BASELINE.md actually
     // measures (the reference is a single-threaded XML->parquet
@@ -132,9 +154,9 @@ object Bench {
     // full two-scale-point detail -> bench_detail.json (complete map;
     // the stdout line below is budgeted to survive tail-capture)
     val m2 = results2.toMap
-    val detailQs = results.map { case (k, v) =>
-      val second = m2.get(k).map(v2 => s""","sf2_sec":${r3(v2)}""").getOrElse("")
-      s""""$k":{"sec":${r3(v)}$second}"""
+    val detailQs = results.map { case (k, (v, bytes)) =>
+      val second = m2.get(k).map(v2 => s""","sf2_sec":${r3(v2._1)}""").getOrElse("")
+      s""""$k":{"sec":${r3(v)}$second,"storage_mb":${r3(bytes / 1e6)}}"""
     }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","sf2":"$sfDir2",""" +
@@ -146,7 +168,7 @@ object Bench {
     // stdout tail (see scaladoc). Remaining queries are in the detail
     // file; "queries_elided" says how many.
     val budget = 1400
-    val ordered = results.sortBy(-_._2)
+    val ordered = results.map { case (k, (v, _)) => (k, v) }.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     var elided = 0

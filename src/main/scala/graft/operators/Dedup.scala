@@ -252,6 +252,13 @@ object Dedup {
     * (LSH + verify) on every downstream action AND once per loop
     * iteration. Callers composing large plans should invoke it once
     * and reuse the (cheap, checkpoint-backed) result.
+    *
+    * RELEASE contract: every internal checkpoint (the pair input, each
+    * superseded label iteration) is unpersisted before return; only
+    * the blocks backing the RESULT remain. When the result has been
+    * consumed, call [[graft.Checkpoints.release]] on it — in a
+    * long-lived session un-released checkpoints accumulate in the
+    * block manager until memory pressure throttles every later job.
     */
   def connectedComponents(
       pairs: DataFrame,
@@ -272,8 +279,11 @@ object Dedup {
     // (component minimum as label), deterministic regardless of union
     // order; the distributed loop below remains the unbounded path.
     val nEdges = basePairs.count() // checkpointed: a metadata count
-    if (nEdges <= driverEdgeThreshold)
-      return driverComponents(basePairs)
+    if (nEdges <= driverEdgeThreshold) {
+      val out = driverComponents(basePairs) // collects eagerly
+      graft.Checkpoints.release(basePairs)
+      return out
+    }
 
     val edges = basePairs
       .union(basePairs.select(col("dst").as("src"), col("src").as("dst")))
@@ -293,10 +303,15 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") < col("old")).count()
+      // `next` is checkpoint-materialized and `changed` consumed the
+      // old labels — release the superseded iteration's blocks NOW
+      // (leaving them leaks one labels table per iteration)
+      graft.Checkpoints.release(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    graft.Checkpoints.release(basePairs) // edges no longer re-read
     labels.select(col("node").as("doc"), col("label").as("cluster"))
   }
 
@@ -527,6 +542,11 @@ object Dedup {
     * block size squared. Verification runs the primitive merge-scan
     * (SortedIntersectCount) once per surviving candidate; a size-ratio
     * prune (J <= min/max sizes) drops impossible pairs before that.
+    *
+    * RELEASE contract: the returned frame is backed by an eager
+    * checkpoint of the doc->gram-set table (read three times by the
+    * plan). After consuming the result, call
+    * [[graft.Checkpoints.release]] on it to free those blocks.
     */
   def ngramJaccardPairs(
       df: DataFrame,

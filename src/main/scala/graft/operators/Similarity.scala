@@ -326,6 +326,9 @@ object Similarity {
         }
       }
     }
+    // all state is now the driver-side centroid list — free the
+    // checkpointed corpus projection before returning
+    graft.Checkpoints.release(prepped)
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cluster_id", "centroid")
   }
 
@@ -521,6 +524,8 @@ object Similarity {
         }
       }
     }
+    // codebooks are driver arrays — free the checkpointed projection
+    graft.Checkpoints.release(prepped)
     codebooks
   }
 
@@ -578,7 +583,6 @@ object Similarity {
           element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
           .reduce(_ + _))
 
-    val topk = graft.functions.TopKAggregator.topK(k)
     adcTopK(scored, k)
   }
 
@@ -686,8 +690,9 @@ object Similarity {
         lit(c.map(x => x * x).sum) - lit(2.0) * dotWide(v, array(c.map(lit): _*))): _*)
     }
     // nearest coarse cluster: first-min tiebreak, same rule as pqEncodeCol
+    val corpusRel = coarseRel(col(vecCol))
     val index = corpus.select(col(idCol).as("neighbor_id"),
-      (array_position(coarseRel(col(vecCol)), array_min(coarseRel(col(vecCol)))) - 1)
+      (array_position(corpusRel, array_min(corpusRel)) - 1)
         .cast("int").as("cluster"),
       pqEncodeCol(col(vecCol), codebooks).as("codes"))
 

@@ -383,7 +383,8 @@ object CorpusOps {
 
   private val q79Sql =
     s"""WITH $spanCtes,
-       |removed AS (SELECT doc_id, sum(span_end - span_start + 1) AS n_tokens_removed
+       |removed AS (SELECT doc_id,
+       |              CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_tokens_removed
        |            FROM spans GROUP BY doc_id),
        |covered AS (SELECT DISTINCT doc_id, p AS pos
        |            FROM spans, unnest(range(span_start, span_end + 1)) AS c(p)),
