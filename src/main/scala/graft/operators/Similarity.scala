@@ -679,6 +679,31 @@ object Similarity {
       .orderBy(col("cluster_id"))
       .collect().map(_.getSeq[Double](1).toArray)
     val codebooks = pqTrain(corpus, idCol, vecCol, numSubspaces, codebookSize, iters)
+    ivfPqScan(queries, corpus, idCol, vecCol, k, coarse, codebooks, nprobe)
+  }
+
+  /** The query-time half of [[ivfPqTopK]] over EXPLICIT coarse
+    * centroids and PQ codebooks (driver-state arrays): encode, probe
+    * selection, ADC scan, top-k. Split from the trainer so a FIXED
+    * deterministic codebook can be oracle-gated end-to-end (q92 — the
+    * q41 first-k-vectors precedent) while the trained path (q86)
+    * reuses exactly this code; it also lets production amortize one
+    * trained codebook across query batches.
+    */
+  def ivfPqScan(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int): DataFrame = {
+    val nlist = coarse.length
+    val numSubspaces = codebooks.length
+    require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, nlist]")
+    if (corpus.limit(1).isEmpty) return emptyAnnResult(queries, idCol)
+    VectorExpressions.register(corpus.sparkSession)
     val subDim = codebooks(0)(0).length
 
     // coarse selection needs only the ORDERING of distances, and the

@@ -406,6 +406,143 @@ object CorpusOps {
        |LEFT JOIN surviving s ON r.doc_id = s.doc_id
        |ORDER BY r.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q91
+  /** Two-stage retrieval with a FULL DuckDB oracle: stage one is the
+    * sign-LSH bucketed ANN (q33's operator) over-fetching 3x
+    * candidates, stage two is exactRerank — the same second stage q90
+    * runs behind IVF-PQ — keeping the 3 exactly-nearest by squared L2.
+    * Both stages are SQL-expressible, so unlike q90 (whose candidates
+    * come from k-means training) the hash gate pins the ENTIRE
+    * pipeline: candidate generation, the candidates->corpus re-attach
+    * join, the exact d2 arithmetic (same expanded x·x − 2x·c + c·c
+    * fold both engines), and the top-k tail's (d2, neighbor_id)
+    * ordering. q90 stays as the production-shape twin (compressed
+    * first pass); this row is the proof the re-rank stage is exact.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val cand = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      k = 9, bits = 6) // 3x over-fetch of the final k
+    Similarity.exactRerank(cand, queries, emb, "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q91Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    val bucket = (0 until 6).map(d =>
+      s"(CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM ($embCte)),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS lsh_rank
+       |    FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 50)
+       |  WHERE lsh_rank <= 9),
+       |exact AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_dot_product(q.v, q.v) - 2.0 * list_dot_product(q.v, c.v)
+       |      + list_dot_product(c.v, c.v) AS dist
+       |  FROM cand JOIN e q ON cand.query_id = q.vec_id
+       |            JOIN e c ON cand.neighbor_id = c.vec_id)
+       |SELECT query_id, neighbor_id, rank, round(dist, 9) AS d2 FROM (
+       |  SELECT query_id, neighbor_id, dist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM exact)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q92
+  /** IVF-PQ probe + ADC scan with a FIXED deterministic codebook, so
+    * the entire query-time path gets a DuckDB hash gate (q86's trained
+    * twin is rows-only because k-means training is not
+    * SQL-expressible; the q41 precedent makes the index a first-k-
+    * vectors stand-in instead). Coarse centroids = the first 8 corpus
+    * vectors; PQ codebooks = the first 16 corpus vectors sliced into
+    * 4 x 16-dim subspaces. The gate pins: coarse assignment (rel =
+    * c·c − 2 v·c, first-min tiebreak), PQ encoding (full d2, first-min
+    * tiebreak), probe selection ((rel, cluster) lexicographic, nprobe
+    * = 2), the ADC lookup sum in subspace order, and the (approx_d2,
+    * neighbor_id) top-10 tail — every piece of [[Similarity.ivfPqScan]]
+    * except the trainer that q86 exercises.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    def firstVecs(n: Int): Array[Array[Double]] =
+      emb.filter(col("vec_id") < n).orderBy(col("vec_id"))
+        .select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val sample = firstVecs(16)
+    val subDim = sample(0).length / 4
+    val codebooks = Array.tabulate(4)(m =>
+      sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    Similarity.ivfPqScan(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 10, coarse = coarse, codebooks = codebooks, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q92Sql = {
+    // d2 between a 16-dim slice of vector %1$s and codebook entry cv,
+    // in the engine's exact association: (sv·sv − 2 sv·cv) + cv·cv
+    def d2(v: String): String =
+      s"list_dot_product($v[pqc.sub*16+1 : pqc.sub*16+16], $v[pqc.sub*16+1 : pqc.sub*16+16])" +
+        s" - 2.0 * list_dot_product($v[pqc.sub*16+1 : pqc.sub*16+16], pqc.cv)" +
+        s" + list_dot_product(pqc.cv, pqc.cv)"
+    s"""WITH e AS ($embCte),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |rel AS (
+       |  SELECT e.vec_id, cent.cid,
+       |    list_dot_product(cent.cv, cent.cv) - 2.0 * list_dot_product(e.v, cent.cv) AS rel
+       |  FROM e, cent),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY rel, cid) AS r
+       |    FROM rel) WHERE r = 1),
+       |pqc AS (
+       |  SELECT m.m AS sub, e.vec_id AS code, e.v[m.m*16+1 : m.m*16+16] AS cv
+       |  FROM e, (SELECT unnest(range(0, 4)) AS m) m
+       |  WHERE e.vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT e.vec_id, pqc.sub, pqc.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, pqc.sub
+       |        ORDER BY ${d2("e.v")}, pqc.code) AS r
+       |    FROM e, pqc) WHERE r = 1),
+       |encp AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN sub = 0 THEN code END) AS c0,
+       |    max(CASE WHEN sub = 1 THEN code END) AS c1,
+       |    max(CASE WHEN sub = 2 THEN code END) AS c2,
+       |    max(CASE WHEN sub = 3 THEN code END) AS c3
+       |  FROM enc GROUP BY vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY rel, cid) AS r
+       |    FROM rel WHERE vec_id < 5) WHERE r <= 2),
+       |lutv AS (
+       |  SELECT q.vec_id AS query_id, pqc.sub, pqc.code, ${d2("q.v")} AS d2
+       |  FROM e q, pqc WHERE q.vec_id < 5),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS approx
+       |  FROM probes p
+       |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+       |  JOIN encp ON encp.vec_id = a.vec_id
+       |  JOIN lutv l0 ON l0.query_id = p.query_id AND l0.sub = 0 AND l0.code = encp.c0
+       |  JOIN lutv l1 ON l1.query_id = p.query_id AND l1.sub = 1 AND l1.code = encp.c1
+       |  JOIN lutv l2 ON l2.query_id = p.query_id AND l2.sub = 2 AND l2.code = encp.c2
+       |  JOIN lutv l3 ON l3.query_id = p.query_id AND l3.sub = 3 AND l3.code = encp.c3)
+       |SELECT query_id, neighbor_id, rank, round(approx, 9) AS approx_d2 FROM (
+       |  SELECT query_id, neighbor_id, approx,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q84
   /** Bigram familiarity/novelty scoring — LM-style document quality
     * from corpus-level n-gram statistics, kept in EXACT integer
@@ -527,6 +664,8 @@ object CorpusOps {
     "q86_ann_ivfpq" -> (q86 _),
     "q89_bpe_merges" -> (q89 _),
     "q90_ann_rerank" -> (q90 _),
+    "q91_rerank_exact" -> (q91 _),
+    "q92_ivfpq_fixed" -> (q92 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -544,6 +683,8 @@ object CorpusOps {
     "q84_bigram_familiarity" -> q84Sql,
     // q85_pq_ann / q86_ann_ivfpq intentionally absent: not
     // SQL-expressible (k-means training); driver records rows-only
+    "q91_rerank_exact" -> q91Sql,
+    "q92_ivfpq_fixed" -> q92Sql,
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,
