@@ -64,7 +64,7 @@ object Bpe {
     var words = wordCounts(df, textCol)
       .select(initialSymbols(col("word")).as("sym"), col("freq"))
       .localCheckpoint(true)
-    if (words.isEmpty) return Seq.empty
+    if (words.isEmpty) { graft.Checkpoints.release(words); return Seq.empty }
 
     val merges = Seq.newBuilder[Merge]
     var rank = 0
@@ -88,12 +88,17 @@ object Bpe {
           best(0).getAs[Long]("cnt"))
         merges += Merge(rank, a, b, a + b, cnt)
         // map-only rewrite; eager checkpoint keeps the plan flat across
-        // iterations (the table is distinct words, not the corpus)
-        words = words.select(applyMergeOn(col("sym"), a, b).as("sym"), col("freq"))
+        // iterations (the table is distinct words, not the corpus);
+        // the superseded iteration's blocks are released immediately
+        val next = words.select(applyMergeOn(col("sym"), a, b).as("sym"), col("freq"))
           .localCheckpoint(true)
+        graft.Checkpoints.release(words)
+        words = next
         rank += 1
       }
     }
+    // driver state (the merge list) is all that survives training
+    graft.Checkpoints.release(words)
     merges.result()
   }
 

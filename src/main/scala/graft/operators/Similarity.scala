@@ -259,10 +259,20 @@ object Similarity {
     * k-means++ flavor) — seed with the lowest-id-hash vector, then
     * repeatedly take the point maximizing the min distance to the
     * chosen set, ties on id. Hash-random seeds alone can land two
-    * seeds in one natural cluster, which Lloyd's cannot undo. Each
-    * pick is one scan (k-1 scans total); at corpus scale the init
-    * would run on a bounded sample, the iterations on everything.
+    * seeds in one natural cluster, which Lloyd's cannot undo.
     * Distance ties break on the lower cluster id. Euclidean metric.
+    *
+    * Init cost knob: the exact traversal is one scan PER pick — k-1
+    * scheduled jobs, fine at nlist <= 16 but 4095 jobs at nlist=4096.
+    * `initSampleSize > 0` switches init to a BOUNDED deterministic
+    * sample (the same hash order, `limit(initSampleSize)`) collected
+    * once, with the k-1 farthest-point picks run driver-side over it —
+    * zero extra jobs, O(sampleSize * k * dims) driver work (64 MB-ish
+    * flops at 8192x4096x64, not a cluster's problem). Same seed row,
+    * same d2 arithmetic (expanded form, left-to-right folds), same
+    * tie rules — with initSampleSize >= |corpus| it picks exactly the
+    * centroids the exact path picks (KMeansSpec pins this). Lloyd
+    * iterations always run on the FULL corpus either way.
     *
     * Returns (cluster_id: int, centroid: array<double>).
     */
@@ -271,32 +281,59 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int = 10): DataFrame = {
+      iters: Int = 10,
+      initSampleSize: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val prepped = corpus
       .select(col(idCol).cast("string").as("id"), asDoubleVec(col(vecCol)).as("v"))
       .localCheckpoint(true)
 
-    val seed = prepped
+    val hashOrdered = prepped
       .orderBy(graft.functions.TextFunctions.hash60(concat(lit("km|"), col("id"))), col("id"))
-      .limit(1)
-      .collect().map(_.getSeq[Double](1).toSeq).toSeq
-    var centroids: Seq[Seq[Double]] = seed
-    while (centroids.length < k) {
-      val centDf = centroids.zipWithIndex
-        .map { case (c, i) => (i, c) }.toDF("cluster", "cv")
-      val next = prepped
-        .join(broadcast(centDf), lit(true))
-        .withColumn("d2", dot(col("v"), col("v"))
-          - lit(2.0) * dot(col("v"), col("cv"))
-          + dot(col("cv"), col("cv")))
-        .groupBy(col("id")).agg(min(col("d2")).as("dmin"), first(col("v")).as("v"))
-        .orderBy(col("dmin").desc, col("id"))
-        .limit(1)
-        .collect().map(_.getSeq[Double](2).toSeq).toSeq
-      centroids = centroids ++ next
-    }
+    var centroids: Seq[Seq[Double]] =
+      if (initSampleSize > 0) {
+        val sample = hashOrdered.limit(initSampleSize)
+          .collect().map(r => (r.getString(0), r.getSeq[Double](1).toArray)).toSeq
+        require(sample.nonEmpty, "trainKMeans: empty corpus")
+        // same expanded form/fold order as the distributed path, so
+        // the sampled init agrees bit-for-bit where both see the row
+        def d2(x: Array[Double], y: Array[Double]): Double = {
+          var xx = 0.0; var xy = 0.0; var yy = 0.0
+          var i = 0
+          while (i < x.length) { xx += x(i) * x(i); xy += x(i) * y(i); yy += y(i) * y(i); i += 1 }
+          xx - 2.0 * xy + yy
+        }
+        val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2)
+        while (chosen.length < k) {
+          // argmax of min-d2 to the chosen set, ties on id ascending —
+          // minBy on (-dmin, id) is that total order
+          val next = sample.minBy { case (id, v) =>
+            (-chosen.map(c => d2(v, c)).min, id)
+          }
+          chosen += next._2
+        }
+        chosen.map(_.toSeq).toSeq
+      } else {
+        val seed = hashOrdered.limit(1)
+          .collect().map(_.getSeq[Double](1).toSeq).toSeq
+        var cents: Seq[Seq[Double]] = seed
+        while (cents.length < k) {
+          val centDf = cents.zipWithIndex
+            .map { case (c, i) => (i, c) }.toDF("cluster", "cv")
+          val next = prepped
+            .join(broadcast(centDf), lit(true))
+            .withColumn("d2", dot(col("v"), col("v"))
+              - lit(2.0) * dot(col("v"), col("cv"))
+              + dot(col("cv"), col("cv")))
+            .groupBy(col("id")).agg(min(col("d2")).as("dmin"), first(col("v")).as("v"))
+            .orderBy(col("dmin").desc, col("id"))
+            .limit(1)
+            .collect().map(_.getSeq[Double](2).toSeq).toSeq
+          cents = cents ++ next
+        }
+        cents
+      }
 
     for (_ <- 0 until iters) {
       val centDf = centroids.zipWithIndex

@@ -543,6 +543,70 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q93
+  /** BPE SEGMENTATION with a FIXED merge list, oracle-gated (q89's
+    * trained twin stays rows-only — iterative argmax training is not
+    * SQL-expressible, but APPLYING a merge list is a deterministic
+    * per-row fold). Segments every distinct corpus word with 8 pinned
+    * merges applied in rank order.
+    *
+    * The oracle re-expresses [[graft.operators.Bpe.segment]]'s greedy
+    * non-overlapping left-to-right fold as STRING REPLACE on a framed
+    * double-delimiter encoding: symbols joined with `||` and the whole
+    * string framed by `||`, so every symbol reads `|sym|` with one pipe
+    * of slack per boundary. One merge pass (a,b)->ab is then exactly
+    * `replace(s, '|a||b|', '|ab|')`: the pipe anchors stop cross-symbol
+    * suffix/prefix false matches, each match consumes one pipe from
+    * each side (leaving neighbors matchable — [x,a,b,a,b,x] merges
+    * both pairs in one pass), and leftmost-continuing-after-replacement
+    * replace semantics equal the fold's cleared-carry greedy rule
+    * ("aaa" under (a,a) -> ["aa","a"] in both). The hash gate pins the
+    * fold semantics themselves, not just row shape.
+    */
+  private val q93Merges: Seq[graft.operators.Bpe.Merge] = {
+    import graft.operators.Bpe.Merge
+    // pinned (not trained) list exercising: end-of-word merge, chained
+    // merge of a merged symbol ("th"+"e</w>"), infix pairs, and a merge
+    // whose left side is itself a merge product
+    Seq(
+      Merge(0, "e", "</w>", "e</w>", 0L),
+      Merge(1, "t", "h", "th", 0L),
+      Merge(2, "th", "e</w>", "the</w>", 0L),
+      Merge(3, "i", "n", "in", 0L),
+      Merge(4, "a", "n", "an", 0L),
+      Merge(5, "o", "n", "on", 0L),
+      Merge(6, "e", "r", "er", 0L),
+      Merge(7, "in", "g", "ing", 0L))
+  }
+
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+      .distinct()
+    graft.operators.Bpe.segment(words, "word", q93Merges, "seg")
+      .select(col("word"), concat_ws(" ", col("seg")).as("segments"),
+        size(col("seg")).cast("long").as("n_symbols"))
+      .orderBy(col("word"))
+  }
+
+  private val q93Sql = {
+    val framed =
+      "'||' || array_to_string(list_append(list_transform(range(1, length(word) + 1), " +
+        "i -> word[CAST(i AS INTEGER)]), '</w>'), '||') || '||'"
+    val replaced = q93Merges.foldLeft(framed) { (acc, m) =>
+      s"replace($acc, '|${m.left}||${m.right}|', '|${m.merged}|')"
+    }
+    s"""WITH w AS (SELECT DISTINCT unnest($toksSql) AS word FROM documents),
+       |seg AS (
+       |  SELECT word,
+       |    string_split(substring(s, 3, length(s) - 4), '||') AS syms
+       |  FROM (SELECT word, $replaced AS s FROM w))
+       |SELECT word, array_to_string(syms, ' ') AS segments,
+       |  CAST(len(syms) AS BIGINT) AS n_symbols
+       |FROM seg
+       |ORDER BY word""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q84
   /** Bigram familiarity/novelty scoring — LM-style document quality
     * from corpus-level n-gram statistics, kept in EXACT integer
@@ -666,6 +730,7 @@ object CorpusOps {
     "q90_ann_rerank" -> (q90 _),
     "q91_rerank_exact" -> (q91 _),
     "q92_ivfpq_fixed" -> (q92 _),
+    "q93_bpe_segment" -> (q93 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -685,6 +750,7 @@ object CorpusOps {
     // SQL-expressible (k-means training); driver records rows-only
     "q91_rerank_exact" -> q91Sql,
     "q92_ivfpq_fixed" -> q92Sql,
+    "q93_bpe_segment" -> q93Sql,
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,

@@ -35,6 +35,27 @@ class KMeansSpec extends SparkSpec {
     rows.foreach(c => assert(c.max > 9.0 && c.max < 11.0))
   }
 
+  test("bounded-sample init: covers-the-corpus sample equals the exact path; deterministic") {
+    // sample >= corpus: the driver-side farthest-point traversal sees
+    // every row the distributed traversal sees, same seed/d2/ties —
+    // identical centroids bit-for-bit
+    val exact = Similarity.trainKMeans(blobs, "id", "vec", k = 3, iters = 5)
+    val sampled = Similarity.trainKMeans(blobs, "id", "vec", k = 3, iters = 5,
+      initSampleSize = 1000)
+    assert(sampled.collect().map(_.toString).sorted.toSeq ===
+      exact.collect().map(_.toString).sorted.toSeq)
+    // bounded sample (smaller than the corpus): still deterministic,
+    // still k centroids, still recovers the blobs after Lloyd runs on
+    // the FULL corpus
+    val small1 = Similarity.trainKMeans(blobs, "id", "vec", k = 3, iters = 5,
+      initSampleSize = 6)
+    val small2 = Similarity.trainKMeans(blobs, "id", "vec", k = 3, iters = 5,
+      initSampleSize = 6)
+    assert(small1.collect().map(_.toString).sorted.toSeq ===
+      small2.collect().map(_.toString).sorted.toSeq)
+    assert(small1.count() === 3L)
+  }
+
   test("empty clusters keep their previous centroid (k > natural clusters)") {
     val cents = Similarity.trainKMeans(blobs, "id", "vec", k = 5, iters = 3)
     assert(cents.count() === 5L) // never collapses below k
