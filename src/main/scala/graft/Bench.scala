@@ -151,6 +151,52 @@ object Bench {
     rmTree(xmlDir)
     rmTree(java.nio.file.Paths.get(convOut).getParent)
 
+    // ANN build-vs-probe split: q85/q86/q90 sweep times are dominated
+    // by index BUILD (k-means + PQ training + encode) — a fixed cost
+    // production pays once and amortizes over every query batch. This
+    // measures the recurring PROBE cost as its own number, over a
+    // prebuilt checkpoint-materialized index, with the same
+    // warm+min-of-2 discipline as the query sweep.
+    val annSplit: String = {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 5)
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      // q85 shape (PQ/ADC): build = train + encode-materialize
+      val (cb85, tTrain85) = timed(Similarity.pqTrain(emb, "vec_id", "embedding", 4, 16, 4))
+      val (codes85, tEnc85) = timed(
+        Similarity.pqIndex(emb, "vec_id", "embedding", cb85).localCheckpoint(true))
+      def probe85(): Unit = { val _ =
+        Similarity.pqProbe(queries, codes85, "vec_id", "embedding", 10, cb85).count() }
+      probe85() // warm
+      val p85 = math.min(timed(probe85())._2, timed(probe85())._2)
+      // q86 shape (IVF-PQ): build = coarse k-means + PQ train + index
+      val (coarse86, tKm) = timed(
+        Similarity.trainKMeans(emb, "vec_id", "embedding", 8, 3)
+          .orderBy(col("cluster_id"))
+          .collect().map(_.getSeq[Double](1).toArray))
+      val (cb86, tPq) = timed(Similarity.pqTrain(emb, "vec_id", "embedding", 4, 16, 3))
+      val (idx86, tIdx) = timed(
+        Similarity.ivfPqIndex(emb, "vec_id", "embedding", coarse86, cb86).localCheckpoint(true))
+      def probe86(k: Int) = Similarity.ivfPqProbe(
+        queries, idx86, "vec_id", "embedding", k, coarse86, cb86, 2)
+      probe86(10).count() // warm
+      val p86 = math.min(timed(probe86(10).count())._2, timed(probe86(10).count())._2)
+      // q90 shape (two-stage): probe = 3x over-fetch probe + exact re-rank
+      def probe90(): Unit = { val _ = Similarity.exactRerank(
+        probe86(30), queries, emb, "vec_id", "embedding", 10).count() }
+      probe90() // warm
+      val p90 = math.min(timed(probe90())._2, timed(probe90())._2)
+      Checkpoints.release(codes85)
+      Checkpoints.release(idx86)
+      s"""{"q85_pq":{"build_sec":${r3(tTrain85 + tEnc85)},"probe_sec":${r3(p85)}},""" +
+        s""""q86_ivfpq":{"build_sec":${r3(tKm + tPq + tIdx)},"probe_sec":${r3(p86)}},""" +
+        s""""q90_rerank":{"build_sec":${r3(tKm + tPq + tIdx)},"probe_sec":${r3(p90)}}}"""
+    }
+
     // full two-scale-point detail -> bench_detail.json (complete map;
     // the stdout line below is budgeted to survive tail-capture)
     val m2 = results2.toMap
@@ -160,14 +206,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","sf2":"$sfDir2",""" +
-        s""""total_sf2":${r3(total2)},"queries":$detailQs,"converter":$conv,"converter_fast":$convFast}"""
+        s""""total_sf2":${r3(total2)},"queries":$detailQs,"converter":$conv,""" +
+        s""""converter_fast":$convFast,"ann_split":$annSplit}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
 
     // compact final line: totals + converter + slowest queries first,
     // hard-capped so the whole JSON fits inside the driver's ~2000-char
     // stdout tail (see scaladoc). Remaining queries are in the detail
     // file; "queries_elided" says how many.
-    val budget = 1400
+    // (was 1400; ann_split now takes ~230 chars of the ~2000-char tail)
+    val budget = 1150
     val ordered = results.map { case (k, (v, _)) => (k, v) }.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -181,7 +229,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""queries_elided":$elided,"total_sf2":${r3(total2)},"n_queries":${results.size},""" +
-        s""""converter":$conv,"converter_fast":$convFast,"detail":"bench_detail.json","sf":"$sfDir"}""")
+        s""""converter":$conv,"converter_fast":$convFast,"ann_split":$annSplit,""" +
+        s""""detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

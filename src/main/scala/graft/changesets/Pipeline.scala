@@ -29,6 +29,32 @@ object Pipeline {
       published: Option[String],
       reason: String)
 
+  /** JSON string escape for the tiny pointer/index writers — an
+    * unescaped quote or backslash in the opaque version token would
+    * emit an invalid pointer object.
+    */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Filesystem-safe form of the opaque sourceVersion token before it
+    * is embedded in an artifact name: path separators would misplace
+    * the artifact, control chars confuse tooling, and a quote would
+    * defeat readCurrent's pointer parse. The MARKER keeps the raw
+    * token (change detection compares the upstream value verbatim).
+    */
+  private[changesets] def safeVersion(v: String): String = {
+    val s = v.map(c => if (c == '/' || c == '\\' || c == '"' || c < ' ') '_' else c)
+    require(s.nonEmpty && s != "." && s != "..", s"unusable sourceVersion: '$v'")
+    s
+  }
+
   /** The committed `.last-modified` marker (reference
     * process-changesets-r2.yml:44-50,224-234).
     */
@@ -67,7 +93,7 @@ object Pipeline {
     // convert to a timestamped artifact, then overwrite-publish the
     // stable name (yml:145-162 publishes changesets.parquet + keeps a
     // versioned copy; retention below mirrors manage-r2.sh:94-102)
-    val versioned = s"$publishDir/changesets-$sourceVersion.parquet"
+    val versioned = s"$publishDir/changesets-${safeVersion(sourceVersion)}.parquet"
     ChangesetConverter.convert(spark, inputXml, versioned, opts)
     val rows = spark.read.parquet(versioned).count()
 
@@ -146,9 +172,9 @@ object Pipeline {
   def flipPointer(publishDir: String, versionedFile: String, rows: Long, version: String): Unit = {
     val json =
       s"""{
-         |  "file": "$versionedFile",
+         |  "file": ${jsonStr(versionedFile)},
          |  "rows": $rows,
-         |  "source_version": "$version"
+         |  "source_version": ${jsonStr(version)}
          |}""".stripMargin
     val tmp = Paths.get(publishDir, s".$PointerName.tmp")
     Files.writeString(tmp, json)
@@ -189,7 +215,7 @@ object Pipeline {
         reason = s"unchanged (version $sourceVersion)")
 
     Files.createDirectories(Paths.get(publishDir))
-    val versionedFile = s"changesets-$sourceVersion.parquet"
+    val versionedFile = s"changesets-${safeVersion(sourceVersion)}.parquet"
     val versioned = s"$publishDir/$versionedFile"
     ChangesetConverter.convert(spark, inputXml, versioned, opts)
     val rows = spark.read.parquet(versioned).count()
@@ -209,7 +235,7 @@ object Pipeline {
       s"""{
          |  "file": "changesets.parquet",
          |  "rows": $rows,
-         |  "source_version": "$version",
+         |  "source_version": ${jsonStr(version)},
          |  "usage": "SELECT COUNT(*) FROM 'changesets.parquet'"
          |}""".stripMargin
     Files.writeString(Paths.get(publishDir, "index.json"), json)

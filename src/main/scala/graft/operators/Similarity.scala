@@ -603,11 +603,37 @@ object Similarity {
       iters: Int = 5): DataFrame = {
     if (corpus.limit(1).isEmpty) return emptyAnnResult(queries, idCol)
     val codebooks = pqTrain(corpus, idCol, vecCol, numSubspaces, codebookSize, iters)
-    val subDim = codebooks(0)(0).length
+    pqProbe(queries, pqIndex(corpus, idCol, vecCol, codebooks), idCol, vecCol, k, codebooks)
+  }
 
-    val codes = corpus.select(col(idCol).as("neighbor_id"),
+  /** The PQ codes table (neighbor_id, codes): map-only encode — the
+    * INDEX-BUILD half of [[pqTopK]]. In production this is built once,
+    * persisted (bytes per vector), and probed by every query batch.
+    */
+  def pqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("neighbor_id"),
       pqEncodeCol(col(vecCol), codebooks).as("codes"))
+  }
 
+  /** The ADC scan over a prebuilt codes table — the QUERY-TIME half of
+    * [[pqTopK]]: per-query LUT (broadcast), table-lookup distances,
+    * top-k UDAF tail. Cost per query batch: one pass over the codes.
+    */
+  def pqProbe(
+      queries: DataFrame,
+      codes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    VectorExpressions.register(queries.sparkSession)
+    val numSubspaces = codebooks.length
+    val subDim = codebooks(0)(0).length
     val lut = array(codebooks.zipWithIndex.map { case (cents, m) =>
       val qv = slice(asDoubleVec(col(vecCol)), m * subDim + 1, subDim)
       array(cents.map(c => d2ToCentroid(qv, c)): _*)
@@ -736,27 +762,63 @@ object Similarity {
       coarse: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
       nprobe: Int): DataFrame = {
-    val nlist = coarse.length
-    val numSubspaces = codebooks.length
-    require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, nlist]")
     if (corpus.limit(1).isEmpty) return emptyAnnResult(queries, idCol)
-    VectorExpressions.register(corpus.sparkSession)
-    val subDim = codebooks(0)(0).length
+    ivfPqProbe(queries, ivfPqIndex(corpus, idCol, vecCol, coarse, codebooks),
+      idCol, vecCol, k, coarse, codebooks, nprobe)
+  }
 
-    // coarse selection needs only the ORDERING of distances, and the
-    // ||v||^2 term is constant per row — drop it (one VecDot per
-    // centroid saved): rel(c) = c.c - 2 v.c = d2(v,c) - ||v||^2.
-    def coarseRel(vec: Column): Column = {
-      val v = asDoubleVec(vec)
-      array(coarse.map(c =>
-        lit(c.map(x => x * x).sum) - lit(2.0) * dotWide(v, array(c.map(lit): _*))): _*)
-    }
+  /** Per-centroid coarse-selection key. Selection needs only the
+    * ORDERING of distances, and the ||v||^2 term is constant per row —
+    * drop it (one VecDot per centroid saved):
+    * rel(c) = c.c - 2 v.c = d2(v,c) - ||v||^2.
+    */
+  private def coarseRelCol(vec: Column, coarse: Array[Array[Double]]): Column = {
+    val v = asDoubleVec(vec)
+    array(coarse.map(c =>
+      lit(c.map(x => x * x).sum) - lit(2.0) * dotWide(v, array(c.map(lit): _*))): _*)
+  }
+
+  /** The IVF-PQ index table (neighbor_id, cluster, codes) — the
+    * INDEX-BUILD half of [[ivfPqScan]]: map-only coarse assignment +
+    * PQ encode, a few bytes per vector. In production it is built
+    * once, written partitioned/bucketed by `cluster` (so probes are
+    * partition-pruned scans), and amortized over every query batch.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    VectorExpressions.register(corpus.sparkSession)
     // nearest coarse cluster: first-min tiebreak, same rule as pqEncodeCol
-    val corpusRel = coarseRel(col(vecCol))
-    val index = corpus.select(col(idCol).as("neighbor_id"),
+    val corpusRel = coarseRelCol(col(vecCol), coarse)
+    corpus.select(col(idCol).as("neighbor_id"),
       (array_position(corpusRel, array_min(corpusRel)) - 1)
         .cast("int").as("cluster"),
       pqEncodeCol(col(vecCol), codebooks).as("codes"))
+  }
+
+  /** The probe + ADC scan over a prebuilt index table — the QUERY-TIME
+    * half of [[ivfPqScan]]: per query the nprobe nearest lists and the
+    * LUT (broadcast), an equi-join on `cluster`, table-lookup
+    * distances, top-k UDAF tail. Per-query cost: ~nprobe/nlist of the
+    * codes table at numSubspaces lookups per candidate.
+    */
+  def ivfPqProbe(
+      queries: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int): DataFrame = {
+    val nlist = coarse.length
+    val numSubspaces = codebooks.length
+    require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, nlist]")
+    VectorExpressions.register(queries.sparkSession)
+    val subDim = codebooks(0)(0).length
 
     // per query: the nprobe nearest lists (lexicographic struct sort =
     // by distance, then cluster id — deterministic) + the ADC LUT
@@ -766,7 +828,7 @@ object Similarity {
     }: _*)
     val probes = slice(
       array_sort(zip_with(
-        coarseRel(col(vecCol)),
+        coarseRelCol(col(vecCol), coarse),
         sequence(lit(0), lit(nlist - 1)),
         (d, i) => struct(d.as("d"), i.as("cl")))),
       1, nprobe)

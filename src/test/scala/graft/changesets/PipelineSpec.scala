@@ -47,6 +47,31 @@ class PipelineSpec extends SparkSpec {
     assert(idx.contains("\"rows\": 4"))
   }
 
+  test("hostile version token: pointer JSON stays parseable, artifact stays in publishDir") {
+    val pub = tmpDir("pipe-pub-hostile")
+    val state = tmpDir("pipe-state-hostile")
+    // path separators, a quote, a backslash, and a control char — each
+    // would misplace the artifact or corrupt the pointer unescaped
+    val nasty = "v1/../esc\"ape\\to\tkens"
+    val r = Pipeline.runPointer(spark, writeXml(Seq(1, 2)), pub, state,
+      sourceVersion = nasty)
+    assert(r.ran && r.rows === 2L)
+    // the artifact landed INSIDE publishDir (separators neutralized)
+    val resolved = Pipeline.readCurrent(pub)
+    assert(resolved.isDefined)
+    assert(Paths.get(resolved.get).toAbsolutePath.normalize
+      .startsWith(Paths.get(pub).toAbsolutePath.normalize))
+    assert(spark.read.parquet(resolved.get).count() === 2L)
+    // the pointer file is valid JSON despite the raw token's quote
+    // and control char (the raw token round-trips through the escape)
+    val ptr = Files.readString(Paths.get(pub, "current.json"))
+    assert(ptr.contains("\\\"") && ptr.contains("\\t"))
+    // change detection still compares the RAW token
+    val r2 = Pipeline.runPointer(spark, writeXml(Seq(1, 2)), pub, state,
+      sourceVersion = nasty)
+    assert(!r2.ran && r2.reason.contains("unchanged"))
+  }
+
   test("retention keeps the newest N versioned artifacts") {
     val pub = tmpDir("pipe-pub3")
     val state = tmpDir("pipe-state3")
