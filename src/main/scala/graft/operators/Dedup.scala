@@ -427,6 +427,41 @@ object Dedup {
         (col("span_end") - col("span_start") + lit(1L)).as("n_tokens"))
   }
 
+  /** Keep-one-canonical-copy variant of repeated-span detection: for
+    * each duplicated k-token window, the occurrence at the MINIMUM
+    * (doc, pos) — lexicographic, deterministic — is canonical and
+    * kept; every OTHER occurrence is flagged. This is the form a
+    * training-data dedup actually ships (Lee et al. keep one copy of
+    * each duplicated substring; remove-all is the decontamination
+    * form [[repeatedSpans]] pins).
+    *
+    * Same linear plan as repeatedSpans with the dup-detection
+    * groupBy extended to also carry the min-(doc,pos) struct — still
+    * one window-hash shuffle, still no pairwise join; the canonical
+    * set re-attaches by the same hash equi-join as the dup flag.
+    * A canonical occurrence survives unless covered by some OTHER
+    * flagged window (overlap semantics fall out of the span merge).
+    */
+  def repeatedSpansKeepFirst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "window length k must be >= 2")
+    val w = windowHashes(df, idCol, textCol, k)
+    val canon = w.groupBy(col("wh"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc"), col("pos"))).as("c"))
+      .filter(col("cnt") >= 2)
+      .select(col("wh"), col("c.doc").as("cdoc"), col("c.pos").as("cpos"))
+    val flagged = w.join(canon, Seq("wh"))
+      .filter(!(col("doc") === col("cdoc") && col("pos") === col("cpos")))
+      .select(col("doc"), col("pos").as("s"), (col("pos") + lit(k - 1L)).as("e"))
+    mergeSpans(flagged)
+      .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1L)).as("n_tokens"))
+  }
+
   /** Substring-level exact dedup, part 2 — repeated-span REMOVAL:
     * drop every token covered by a repeated >=k-token window and
     * report, per affected document, the before/removed token counts
@@ -450,8 +485,29 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int = 8): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, k)
+      k: Int = 8): DataFrame =
+    removeSpansSummary(df, idCol, textCol, repeatedSpans(df, idCol, textCol, k))
+
+  /** Keep-one-canonical-copy removal: [[repeatedSpansKeepFirst]]'s
+    * flagged spans through the same token-level edit — the canonical
+    * occurrence of every duplicated window survives, every other copy
+    * is dropped. Same output shape as [[removeRepeatedSpans]].
+    */
+  def removeRepeatedSpansKeepFirst(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8): DataFrame =
+    removeSpansSummary(df, idCol, textCol, repeatedSpansKeepFirst(df, idCol, textCol, k))
+
+  /** Shared removal tail: drop tokens covered by `spans`, report
+    * per affected doc (n_tokens_before, n_tokens_removed, cleaned_fp).
+    */
+  private def removeSpansSummary(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame): DataFrame = {
     val removedPerDoc = spans.groupBy(col("doc_id"))
       .agg(sum(col("n_tokens")).as("n_tokens_removed"))
     val covered = spans.select(col("doc_id"),

@@ -653,7 +653,7 @@ object Similarity {
     * schema, no jobs (training on nothing is not an error for a
     * pipeline stage — it is an empty stage).
     */
-  private def emptyAnnResult(queries: DataFrame, idCol: String): DataFrame =
+  private[graft] def emptyAnnResult(queries: DataFrame, idCol: String): DataFrame =
     queries.limit(0).select(col(idCol).as("query_id"),
       lit(0L).as("neighbor_id"), lit(0).as("rank"), lit(0d).as("approx_d2"))
 

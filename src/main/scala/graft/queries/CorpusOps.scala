@@ -381,8 +381,11 @@ object CorpusOps {
     Dedup.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", k = 8)
       .orderBy(col("doc_id"))
 
-  private val q79Sql =
-    s"""WITH $spanCtes,
+  /** Shared removal tail over any `spans` CTE set (q79 remove-all,
+    * q94 keep-canonical): token-level edit + surviving fingerprint.
+    */
+  private def removalTailSql(ctes: String): String =
+    s"""WITH $ctes,
        |removed AS (SELECT doc_id,
        |              CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_tokens_removed
        |            FROM spans GROUP BY doc_id),
@@ -405,6 +408,51 @@ object CorpusOps {
        |  ON r.doc_id = nb.doc_id
        |LEFT JOIN surviving s ON r.doc_id = s.doc_id
        |ORDER BY r.doc_id""".stripMargin
+
+  private val q79Sql = removalTailSql(spanCtes)
+
+  // ---------------------------------------------------------------- q94
+  /** Substring dedup, keep-one-canonical-copy form (the variant a
+    * TRAINING-data dedup ships — Lee et al. keep one occurrence of
+    * each duplicated substring; q79's remove-all is the
+    * decontamination form): the min-(doc, pos) occurrence of every
+    * duplicated 8-token window is canonical and kept, all other
+    * copies are removed. The oracle mirrors the canonical-selection
+    * rule (row_number over (doc_id, pos) per window hash) and the
+    * same removal tail, so the hash gate pins the tie-break, the
+    * flag set, and the token-level edit.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeRepeatedSpansKeepFirst(t(s, dir, "documents"), "doc_id", "text", k = 8)
+      .orderBy(col("doc_id"))
+
+  private val spanCtesCanon =
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+7], ' ')) AS wh
+       |  FROM tk, unnest(range(1, len(toks) - 6)) AS u(i)
+       |  WHERE len(toks) >= 8),
+       |canon AS (
+       |  SELECT wh, doc_id AS cdoc, pos AS cpos FROM (
+       |    SELECT wh, doc_id, pos,
+       |      row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS r,
+       |      count(*) OVER (PARTITION BY wh) AS cnt
+       |    FROM w) WHERE r = 1 AND cnt >= 2),
+       |f AS (SELECT w.doc_id, w.pos AS s, w.pos + 7 AS e
+       |      FROM w JOIN canon ON w.wh = canon.wh
+       |      WHERE NOT (w.doc_id = canon.cdoc AND w.pos = canon.cpos)),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |    THEN 1 ELSE 0 END AS ni
+       |  FROM f),
+       |g AS (SELECT doc_id, s, e,
+       |        sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS grp FROM isl),
+       |spans AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+       |          FROM g GROUP BY doc_id, grp)""".stripMargin
+
+  private val q94Sql = removalTailSql(spanCtesCanon)
 
   // ---------------------------------------------------------------- q91
   /** Two-stage retrieval with a FULL DuckDB oracle: stage one is the
@@ -470,6 +518,9 @@ object CorpusOps {
     */
   private def q92(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // empty corpus: no codebook to collect — empty result, ANN schema
+    if (emb.limit(1).isEmpty)
+      return Similarity.emptyAnnResult(emb, "vec_id")
     def firstVecs(n: Int): Array[Array[Double]] =
       emb.filter(col("vec_id") < n).orderBy(col("vec_id"))
         .select(Similarity.asDoubleVec(col("embedding")))
@@ -731,6 +782,7 @@ object CorpusOps {
     "q91_rerank_exact" -> (q91 _),
     "q92_ivfpq_fixed" -> (q92 _),
     "q93_bpe_segment" -> (q93 _),
+    "q94_substring_dedup_canon" -> (q94 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -751,6 +803,7 @@ object CorpusOps {
     "q91_rerank_exact" -> q91Sql,
     "q92_ivfpq_fixed" -> q92Sql,
     "q93_bpe_segment" -> q93Sql,
+    "q94_substring_dedup_canon" -> q94Sql,
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,

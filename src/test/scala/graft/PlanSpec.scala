@@ -212,6 +212,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "query side not broadcast in re-rank")
   }
 
+  test("q91 two-stage: LSH candidates and re-rank both stay equi-join + broadcast") {
+    val p = plan("q91_rerank_exact")
+    // stage one joins on the sign-LSH bucket, stage two re-attaches
+    // candidates to the corpus on neighbor_id with queries broadcast —
+    // every join keyed, nothing quadratic anywhere in the pipeline
+    assert(!p.contains("CartesianProduct"), "two-stage retrieval planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "two-stage retrieval planned an NL join")
+    assert(p.contains("BroadcastHashJoin"), "query side not broadcast")
+    assert(p.contains("vec_dot"), "exact re-score lost the native VecDot expression")
+  }
+
+  test("q92 fixed-codebook IVF-PQ: map-only encode feeds a broadcast equi-join probe") {
+    val p = plan("q92_ivfpq_fixed")
+    assert(!p.contains("CartesianProduct"), "probe join degenerated to cartesian")
+    assert(p.contains("BroadcastHashJoin"),
+      "probe join is not a broadcast equi-join on cluster")
+    // the corpus-side index (assign + encode) must be a single scan
+    // with no shuffle before the probe join: encoding is map-only
+    assert(!p.split("BroadcastHashJoin").head.contains("Exchange hashpartitioning"),
+      s"index side shuffles before the probe join:\n$p")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -82,6 +82,28 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("keep-first: canonical (min doc,pos) occurrence survives, every other copy flagged") {
+    // cross-doc dup: doc 1 holds the canonical copy, doc 2 loses it;
+    // within-doc repeat in doc 3: first occurrence kept, second flagged
+    val docs = Seq(
+      1L -> "one two three four five six seven eight",
+      2L -> "one two three four five six seven eight",
+      3L -> "alpha beta gamma delta fillerx fillery alpha beta gamma delta")
+    val got = Dedup.repeatedSpansKeepFirst(docs.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .orderBy($"doc_id", $"span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Seq((2L, 1L, 8L), (3L, 7L, 10L)),
+      s"expected only the non-canonical copies flagged, got ${got.mkString(",")}")
+    // and the removal keeps doc 1 whole, empties doc 2, trims doc 3
+    val removed = Dedup.removeRepeatedSpansKeepFirst(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k = 4)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(removed === Seq((2L, 8L, 8L), (3L, 10L, 4L)))
+    assert(!removed.exists(_._1 == 1L), "canonical doc must be untouched")
+  }
+
   test("tokenization is the shared normalization: case and punctuation do not defeat the match") {
     val docs = Seq(
       1L -> "Alpha, Beta; GAMMA delta! epsilon zeta",
