@@ -65,7 +65,10 @@ object Bench {
         once(name, dir, fn) // warm: codegen compile, JIT, IO caches
         System.gc() // don't bill this query for its predecessor's garbage
         val t1 = once(name, dir, fn)
-        val sec = if (measureTwice) math.min(t1, once(name, dir, fn)) else t1
+        val sec = if (measureTwice) {
+          System.gc() // nor the second measurement for the first's
+          math.min(t1, once(name, dir, fn))
+        } else t1
         spark.catalog.clearCache() // defense: drop anything cache-registered
         name -> (sec, Checkpoints.storageBytes(spark))
       }

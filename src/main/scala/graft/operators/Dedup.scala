@@ -174,6 +174,86 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
 
+  /** The persistable LSH band index of a corpus: (doc, band, bh).
+    * The incremental-dedup companion table — in production it is built
+    * once, stored (partitioned by band), and APPENDED with each
+    * accepted batch's bands, so deduping a daily drop never
+    * re-signatures the corpus.
+    */
+  def minhashBandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+    minhashBands(
+      minhashSigs(df.repartition(fanout, col(idCol)), idCol, textCol, numHashes),
+      numHashes, bands)
+  }
+
+  /** INCREMENTAL dedup — the production shape for a curation pipeline:
+    * dedup an `incoming` batch against an existing corpus WITHOUT
+    * re-processing the corpus. Returns the incoming rows that SURVIVE
+    * (the appendable increment).
+    *
+    * Drop rule (greedy pairwise, deterministic): an incoming doc is
+    * dropped iff it verifies at `threshold` Jaccard against ANY
+    * existing doc, or against an incoming doc with a SMALLER id. This
+    * is the same decision a streaming dedup makes per arrival — NOT
+    * transitive-canonical clustering (a chain a-b-c where only
+    * adjacent pairs match keeps a and may keep c); batch jobs wanting
+    * canonical clusters run [[connectedComponents]] +
+    * [[removeDuplicates]] instead.
+    *
+    * Scale shape: only the BATCH is signatured (one pass over
+    * incoming); candidates come from the batch's bands equi-joined to
+    * the prebuilt `existingIndex` (ids only — the corpus never
+    * shuffles, and with AQE the batch side broadcasts); only the
+    * candidate EXISTING docs are re-shingled for verification
+    * (left-semi prune on candidate ids) — so per-batch cost scales
+    * with batch size + near-dup density, never corpus size. The
+    * candidate stage is intentionally lazy/composable; callers doing
+    * repeated actions over the result should cache or checkpoint it.
+    */
+  def dedupIncrement(
+      existingDocs: DataFrame,
+      existingIndex: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val bandsN = minhashBandIndex(incoming, idCol, textCol, numHashes, bands)
+    val candE = bandsN.select(col("band"), col("bh"), col("doc").as("new_doc"))
+      .join(existingIndex.select(col("band"), col("bh"), col("doc").as("old_doc")),
+        Seq("band", "bh"))
+      .select(col("new_doc"), col("old_doc")).distinct()
+    val candN = bandsN.select(col("band"), col("bh"), col("doc").as("new_doc"))
+      .join(bandsN.select(col("band"), col("bh"), col("doc").as("old_doc")),
+        Seq("band", "bh"))
+      .filter(col("old_doc") < col("new_doc"))
+      .select(col("new_doc"), col("old_doc")).distinct()
+    val shN = shingled(incoming, idCol, textCol)
+    // re-shingle ONLY the existing docs that are candidates
+    val oldIds = candE.select(col("old_doc").as(idCol)).distinct()
+    val shE = shingled(
+      existingDocs.join(oldIds, Seq(idCol), "left_semi"), idCol, textCol)
+    // exact-ratio threshold test, same IEEE form as minhashLshPairs
+    def dropsFrom(cand: DataFrame, shOld: DataFrame): DataFrame =
+      cand.join(shN.select(col("doc").as("new_doc"), col("sh").as("sh_n")), Seq("new_doc"))
+        .join(shOld.select(col("doc").as("old_doc"), col("sh").as("sh_o")), Seq("old_doc"))
+        .filter(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= threshold)
+        .select(col("new_doc"))
+    val drops = dropsFrom(candE, shE).union(dropsFrom(candN, shN))
+      .distinct().withColumnRenamed("new_doc", idCol)
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit SimHash per document via explode + 60 codegen'd vote sums
     * (bit j set when the ±1 votes of token-hash bit j sum positive).
     * Returns (doc, simhash).

@@ -658,6 +658,38 @@ object CorpusOps {
        |ORDER BY word""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Incremental dedup — the daily-drop production shape: docs with
+    * id < 400 are the EXISTING corpus (with a prebuilt LSH band
+    * index), ids >= 400 the incoming batch; survivors = batch docs
+    * that do not verify at J >= 0.5 against the corpus or a
+    * smaller-id batch doc (the greedy per-arrival rule — see
+    * Dedup.dedupIncrement; transitive clustering is q49/q58's job).
+    * The oracle derives the same drop set from the full q28 pair
+    * list: a pair (a < b) drops b iff b is a batch doc — a is then
+    * either corpus or a smaller batch id, exactly the rule.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val existing = docs.filter(col("doc_id") < 400)
+    val incoming = docs.filter(col("doc_id") >= 400)
+    val index = Dedup.minhashBandIndex(existing, "doc_id", "text",
+      numHashes = 32, bands = 8)
+    Dedup.dedupIncrement(existing, index, incoming, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q95Sql =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |drops AS (SELECT DISTINCT doc_b AS d FROM pairs WHERE doc_b >= 400)
+       |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents
+       |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT d FROM drops)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q84
   /** Bigram familiarity/novelty scoring — LM-style document quality
     * from corpus-level n-gram statistics, kept in EXACT integer
@@ -783,6 +815,7 @@ object CorpusOps {
     "q92_ivfpq_fixed" -> (q92 _),
     "q93_bpe_segment" -> (q93 _),
     "q94_substring_dedup_canon" -> (q94 _),
+    "q95_dedup_increment" -> (q95 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -804,6 +837,7 @@ object CorpusOps {
     "q92_ivfpq_fixed" -> q92Sql,
     "q93_bpe_segment" -> q93Sql,
     "q94_substring_dedup_canon" -> q94Sql,
+    "q95_dedup_increment" -> q95Sql,
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,

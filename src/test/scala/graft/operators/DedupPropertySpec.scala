@@ -77,6 +77,30 @@ class DedupPropertySpec extends SparkSpec {
     assert(fast.map(_._2).distinct === Seq(uFFFF))
   }
 
+  test("dedupIncrement: corpus matches and smaller-id batch matches drop; greedy is NOT transitive") {
+    import spark.implicits._
+    // corpus doc 1 == batch doc 10 (drop 10); batch 11 == batch 12
+    // (drop 12, keep 11); chain: batch 20 matches corpus 2, batch 21
+    // matches batch 20 ONLY -> greedy drops 20 (corpus match) but
+    // KEEPS 21 (its only smaller match is 20, dropped or not — the
+    // per-arrival rule doesn't chase chains; q49/q58 do clustering)
+    val corpusDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "totally unrelated corpus content sits here quietly")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // == corpus 1
+      (11L, "red orange yellow green blue indigo violet ultraviolet"),
+      (12L, "red orange yellow green blue indigo violet ultraviolet"), // == 11
+      (20L, "one two three four five six seven eight"), // == corpus 2
+      (21L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (30L, "fresh novel text that matches nothing at all anywhere")).toDF("doc_id", "text")
+    val index = Dedup.minhashBandIndex(corpusDocs, "doc_id", "text")
+    val survivors = Dedup.dedupIncrement(corpusDocs, index, batch, "doc_id", "text")
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(survivors === Seq(11L, 21L, 30L))
+  }
+
   test("ngramJaccardPairs finds EXACTLY the brute-force pairs at t=0.75 (40 seeded corpora)") {
     import spark.implicits._
     (1 to 40).foreach { i =>
