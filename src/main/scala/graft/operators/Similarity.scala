@@ -735,10 +735,14 @@ object Similarity {
       nprobe: Int = 4,
       numSubspaces: Int = 4,
       codebookSize: Int = 16,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4,
+      initSampleSize: Int = 0): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, nlist]")
     if (corpus.limit(1).isEmpty) return emptyAnnResult(queries, idCol)
-    val coarse: Array[Array[Double]] = trainKMeans(corpus, idCol, vecCol, nlist, iters)
+    // initSampleSize: pass the bounded-sample init through for large
+    // nlist (exact k-1-scan init is fine at the defaults)
+    val coarse: Array[Array[Double]] =
+      trainKMeans(corpus, idCol, vecCol, nlist, iters, initSampleSize)
       .orderBy(col("cluster_id"))
       .collect().map(_.getSeq[Double](1).toArray)
     val codebooks = pqTrain(corpus, idCol, vecCol, numSubspaces, codebookSize, iters)

@@ -347,6 +347,55 @@ object TextAnalytics {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q96
+  /** Overlapping fixed-size token chunking — the RAG / long-context
+    * prep sibling of q87's packing: each document yields windows of
+    * `chunk`=32 tokens starting every `stride`=24 (8-token overlap);
+    * the last window truncates at the document end, and a document
+    * shorter than one chunk yields exactly one window.
+    * numChunks = 1 + ceil(max(0, n - chunk) / stride), all integer
+    * arithmetic mirrored exactly in the oracle (`div` / `//`).
+    *
+    * Map-only plan: computed start sequence exploded per row + array
+    * slices — no shuffle before the output sort, so chunking a 100 TB
+    * corpus is one embarrassingly parallel scan. Chunk content is
+    * pinned via md5 of the space-joined window, so the gate verifies
+    * the actual token content of every chunk, not just counts.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunk = 32
+    val stride = 24
+    t(s, dir, "documents")
+      .select($"doc_id", graft.functions.TextFunctions.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .withColumn("n", size($"toks").cast("long"))
+      .withColumn("nc",
+        expr(s"if(n <= $chunk, 1L, 1L + ((n - $chunk + $stride - 1) div $stride))"))
+      .select($"doc_id", $"toks",
+        explode(sequence(lit(0L), $"nc" - 1)).as("chunk_id"))
+      .withColumn("start_tok", $"chunk_id" * stride + 1)
+      .withColumn("ctoks", slice($"toks", $"start_tok".cast("int"), lit(chunk)))
+      .select($"doc_id", $"chunk_id", $"start_tok",
+        size($"ctoks").cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", $"ctoks")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private val q96Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tn AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+       |       FROM tk WHERE len(toks) > 0),
+       |ch AS (
+       |  SELECT doc_id, toks, i AS chunk_id, i * 24 + 1 AS start_tok
+       |  FROM tn, unnest(range(0,
+       |    CASE WHEN n <= 32 THEN 1 ELSE 1 + ((n - 32 + 24 - 1) // 24) END)) AS u(i))
+       |SELECT doc_id, chunk_id, start_tok,
+       |  CAST(len(toks[start_tok : start_tok + 31]) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(toks[start_tok : start_tok + 31], ' ')) AS chunk_fp
+       |FROM ch
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------------------------------------------------------------- q88
   /** Epoch upsampling: per-source repeat factors (curated sources see
     * more epochs than web crawl), materialized as an explode over
@@ -386,6 +435,7 @@ object TextAnalytics {
     "q83_quantile_filter" -> (q83 _),
     "q87_pack_sequences" -> (q87 _),
     "q88_epoch_upsample" -> (q88 _),
+    "q96_chunk_documents" -> (q96 _),
     "q45_stratified_sample" -> (q45 _),
     "q46_histogram" -> (q46 _),
     "q23_lang_id" -> (q23 _),
@@ -398,6 +448,7 @@ object TextAnalytics {
     "q83_quantile_filter" -> q83Sql,
     "q87_pack_sequences" -> q87Sql,
     "q88_epoch_upsample" -> q88Sql,
+    "q96_chunk_documents" -> q96Sql,
     "q45_stratified_sample" -> q45Sql,
     "q46_histogram" -> q46Sql,
     "q23_lang_id" -> q23Sql,

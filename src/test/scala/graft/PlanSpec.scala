@@ -234,6 +234,24 @@ class PlanSpec extends SparkSpec {
       s"index side shuffles before the probe join:\n$p")
   }
 
+  test("q95 incremental dedup: every stage keyed — no cartesian, no NL join anywhere") {
+    val p = plan("q95_dedup_increment")
+    // batch bands vs corpus index, batch self-join, and both verify
+    // re-attaches are all equi-joins; an NL/cartesian would mean the
+    // batch rescans the corpus unkeyed
+    assert(!p.contains("CartesianProduct"), "incremental dedup planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "incremental dedup planned an NL join")
+  }
+
+  test("q96 chunking is map-only: no exchange before the output sort") {
+    val p = plan("q96_chunk_documents")
+    // explode + slices are per-row; the ONLY exchange allowed is the
+    // final orderBy's range partitioning — a hash exchange would mean
+    // chunking itself shuffles the corpus
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking shuffles before the sort:\n$p")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
