@@ -241,6 +241,42 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("cluster"), round(col("cos"), 9).as("cosine"))
   }
 
+  /** Cross-table SEMANTIC decontamination: drop corpus vectors whose
+    * cosine to ANY benchmark vector reaches `threshold`, candidates
+    * blocked by the shared sign-LSH bucket. The n-gram form
+    * (Quality.decontaminate, q67) catches verbatim leakage; this
+    * catches paraphrased / near-duplicate leakage through the
+    * embedding space — the eval-set hygiene step of an LLM data
+    * pipeline. Approximate by construction like every LSH surface
+    * here (a leak pair split across buckets is missed; raise recall
+    * by unioning over rotated/banded buckets); the oracle mirrors the
+    * blocking, so the gate pins the algorithm.
+    *
+    * Plan: benchmark side broadcast (eval sets are small), corpus
+    * never shuffles — candidates are same-bucket only, one exact
+    * cosine per candidate, then a left-anti on the (small, AQE-
+    * broadcast) hit list. Returns surviving corpus rows.
+    */
+  def semanticDecontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bits: Int = 6): DataFrame = {
+    require(bits > 0 && bits <= 30, "bits must be in [1, 30]")
+    val c = prepped(corpus, idCol, vecCol, "cid_", "cv", "cn")
+      .withColumn("bucket",
+        signBucket(requireDims(col("cv"), bits, "semanticDecontaminate"), bits))
+    val b = prepped(benchmark, idCol, vecCol, "bid_", "bv", "bn")
+      .withColumn("bucket",
+        signBucket(requireDims(col("bv"), bits, "semanticDecontaminate"), bits))
+    val hits = c.join(broadcast(b), Seq("bucket"))
+      .filter(dotWide(col("cv"), col("bv")) / (col("cn") * col("bn")) >= threshold)
+      .select(col("cid_").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** Lloyd's k-means over the embedding column — the trainer that
     * produces real IVF codebooks for `ivfTopK` (whose doc promises "in
     * production a k-means model"). Expressed as DataFrame ops so it

@@ -690,6 +690,42 @@ object CorpusOps {
        |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT d FROM drops)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q97
+  /** Semantic decontamination — vectors with id < 30 are the BENCHMARK
+    * (eval set), the rest the training corpus; corpus vectors within
+    * cosine 0.4 of any benchmark vector (same 6-bit sign bucket, q33's
+    * blocking) are dropped. (0.4 sits just under this testdata's max
+    * cross-boundary same-bucket cosine of ~0.414, so the gate
+    * exercises REAL drop decisions — a threshold nothing reaches
+    * would gate only the no-op.) The embedding-space complement of q67's
+    * verbatim n-gram decontamination: catches paraphrased leakage.
+    * Output = surviving corpus ids; the hash gate pins the bucket
+    * keys, the candidate set, the factored IEEE cosine, and the drop
+    * decisions.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") >= 30), emb.filter(col("vec_id") < 30),
+        "vec_id", "embedding", threshold = 0.4, bits = 6)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q97Sql = {
+    val bucket = (0 until 6).map(d =>
+      s"(CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM ($embCte)),
+       |hits AS (
+       |  SELECT DISTINCT c.vec_id
+       |  FROM e c JOIN e b ON c.bucket = b.bucket
+       |  WHERE c.vec_id >= 30 AND b.vec_id < 30
+       |    AND (list_dot_product(c.v, b.v) / (c.nrm * b.nrm)) >= 0.4)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id >= 30 AND vec_id NOT IN (SELECT vec_id FROM hits)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q84
   /** Bigram familiarity/novelty scoring — LM-style document quality
     * from corpus-level n-gram statistics, kept in EXACT integer
@@ -816,6 +852,7 @@ object CorpusOps {
     "q93_bpe_segment" -> (q93 _),
     "q94_substring_dedup_canon" -> (q94 _),
     "q95_dedup_increment" -> (q95 _),
+    "q97_semantic_decontaminate" -> (q97 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -838,6 +875,7 @@ object CorpusOps {
     "q93_bpe_segment" -> q93Sql,
     "q94_substring_dedup_canon" -> q94Sql,
     "q95_dedup_increment" -> q95Sql,
+    "q97_semantic_decontaminate" -> q97Sql,
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,

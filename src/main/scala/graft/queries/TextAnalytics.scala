@@ -347,6 +347,40 @@ object TextAnalytics {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  // ---------------------------------------------------------------- q98
+  /** Deterministic train/val/test split — 90/5/5 by a salted content
+    * hash of the document id (`split|` salt keeps it independent of
+    * q82's `mix|` sampling hash, so the two decisions never
+    * correlate). The assignment is a pure per-row expression:
+    * replayable across task retries, stable across reruns and
+    * engines (the md5-prefix hash is the q82 idiom), and map-only —
+    * the corpus shuffles only for the report aggregate. Output: per
+    * (split, lang) doc count and char mass, the balance sheet a
+    * training run records.
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("split|"), $"doc_id")), lit(100))
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(h < 90, "train").when(h < 95, "val").otherwise("test"))
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("split_chars"))
+      .orderBy($"split", $"lang")
+  }
+
+  private val q98Sql =
+    """WITH h AS (
+      |  SELECT lang, n_chars,
+      |    CAST(concat('0x', substring(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS hv
+      |  FROM documents)
+      |SELECT CASE WHEN hv < 90 THEN 'train' WHEN hv < 95 THEN 'val' ELSE 'test' END AS split,
+      |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS split_chars
+      |FROM h
+      |GROUP BY 1, 2
+      |ORDER BY split, lang""".stripMargin
+
   // ---------------------------------------------------------------- q96
   /** Overlapping fixed-size token chunking — the RAG / long-context
     * prep sibling of q87's packing: each document yields windows of
@@ -436,6 +470,7 @@ object TextAnalytics {
     "q87_pack_sequences" -> (q87 _),
     "q88_epoch_upsample" -> (q88 _),
     "q96_chunk_documents" -> (q96 _),
+    "q98_split_assign" -> (q98 _),
     "q45_stratified_sample" -> (q45 _),
     "q46_histogram" -> (q46 _),
     "q23_lang_id" -> (q23 _),
@@ -449,6 +484,7 @@ object TextAnalytics {
     "q87_pack_sequences" -> q87Sql,
     "q88_epoch_upsample" -> q88Sql,
     "q96_chunk_documents" -> q96Sql,
+    "q98_split_assign" -> q98Sql,
     "q45_stratified_sample" -> q45Sql,
     "q46_histogram" -> q46Sql,
     "q23_lang_id" -> q23Sql,
