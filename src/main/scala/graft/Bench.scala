@@ -44,6 +44,23 @@ object Bench {
     // warmup: JIT/codegen/parquet-footer caches
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // machine-speed calibration: a fixed deterministic single-core
+    // integer workload (67M multiply-xor steps). Cross-ROUND query
+    // comparisons should normalize by this — the same plans on a
+    // slower or neighbor-loaded box scale with it, and without it a
+    // ratio of two rounds' seconds confounds plan changes with
+    // machine variance (the r6-vs-r8 lesson, SURVEY §8.7).
+    def calibrate(): Double = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < (1 << 26)) { h = (h ^ (h >>> 33)) * 0xFF51AFD7ED558CCDL + i; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (h == 42L) System.err.println("") // keep the loop live
+      dt
+    }
+    val calib = { calibrate(); math.min(calibrate(), calibrate()) }
+
     def once(name: String, dir: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -210,7 +227,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","sf2":"$sfDir2",""" +
         s""""total_sf2":${r3(total2)},"queries":$detailQs,"converter":$conv,""" +
-        s""""converter_fast":$convFast,"ann_split":$annSplit}"""
+        s""""converter_fast":$convFast,"ann_split":$annSplit,"calib_sec":${r3(calib)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
 
     // compact final line: totals + converter + slowest queries first,
@@ -233,7 +250,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""queries_elided":$elided,"total_sf2":${r3(total2)},"n_queries":${results.size},""" +
         s""""converter":$conv,"converter_fast":$convFast,"ann_split":$annSplit,""" +
-        s""""detail":"bench_detail.json","sf":"$sfDir"}""")
+        s""""calib_sec":${r3(calib)},"detail":"bench_detail.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,4 +35,40 @@ class BucketingSpec extends SparkSpec {
     unbucketed.collect()
     assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("IVF-PQ index written partitioned by cluster gives partition-pruned probe scans") {
+    // the production claim behind ivfPqIndex's scaladoc: store the
+    // (neighbor_id, cluster, codes) table partitioned by cluster and a
+    // query's nprobe list probes become partition-pruned scans — the
+    // scan touches nprobe/nlist of the FILES, not just of the rows
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def firstVecs(n: Int): Array[Array[Double]] =
+      emb.filter(col("vec_id") < n).orderBy(col("vec_id"))
+        .select(graft.operators.Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val codebooks = {
+      val sample = firstVecs(16)
+      val subDim = sample(0).length / 4
+      Array.tabulate(4)(m => sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    }
+    val dir = tmpDir("ivfpq-index") + "/index.parquet"
+    graft.operators.Similarity.ivfPqIndex(emb, "vec_id", "embedding", coarse, codebooks)
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    val idx = spark.read.parquet(dir)
+    assert(idx.inputFiles.length >= 8, "expected one file set per cluster")
+    val probed = idx.filter(col("cluster").isin(2, 5)) // nprobe=2 of nlist=8
+    probed.collect()
+    // pruning is physical: the executed scan's numFiles metric counts
+    // the files actually selected after partition pruning
+    // (Dataset.inputFiles is pre-pruning and would always show all 8)
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves()
+        .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    val probedFiles = scanFiles(probed)
+    assert(probedFiles > 0 && probedFiles < idx.inputFiles.length,
+      s"probe scanned $probedFiles of ${idx.inputFiles.length} files — partition pruning lost")
+    // and the pruned scan still returns exactly the probed lists
+    assert(probed.select(countDistinct(col("cluster"))).collect()(0).getLong(0) <= 2L)
+  }
 }
