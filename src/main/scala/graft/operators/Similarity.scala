@@ -152,6 +152,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 9).as("cosine"))
   }
 
+  /** Multi-probe sign-LSH top-k (Lv et al., "Multi-Probe LSH",
+    * VLDB'07, for the sign-hyperplane family): each query searches its
+    * own bucket PLUS every bucket at Hamming distance 1 in the b-bit
+    * sign code — the standard recall lever that needs NO extra corpus
+    * hashing or index space (contrast adding bands, which multiplies
+    * the index). A near neighbor differing in one sign bit — the
+    * dominant miss mode of single-bucket LSH — is recovered.
+    *
+    * Plan shape: the corpus still hashes ONCE into one bucket; only
+    * the (small, broadcast) query side fans out b+1 probe rows per
+    * query. The probe join stays a keyed equi-join; per-query cost is
+    * (b+1) bucket scans. Deterministic probe set => SQL-mirrorable,
+    * so the oracle pins bucket keys, the probe expansion, candidate
+    * set, and ranking. Output shape matches [[lshTopK]].
+    */
+  def lshMultiProbeTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      bits: Int = 6): DataFrame = {
+    require(bits > 0 && bits <= 30, "bits must be in [1, 30]")
+    val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("home", signBucket(requireDims(col("qv"), bits, "lshMultiProbeTopK"), bits))
+      // home bucket + each 1-bit flip: b+1 probe rows per query
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(array(
+          col("home") +: (0 until bits).map(d =>
+            col("home").bitwiseXOR(lit(1 << d))): _*)).as("bucket"))
+    val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .withColumn("bucket", signBucket(requireDims(col("cv"), bits, "lshMultiProbeTopK"), bits))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // a candidate can surface via several probes — dedup before rank
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", dotWide(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 9).as("cosine"))
+  }
+
   /** IVF-lite approximate top-k: a coarse quantizer (the `centroids`
     * frame — in production a k-means model; any deterministic small
     * vector set works) assigns every vector to its nearest centroid

@@ -225,6 +225,43 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q99
+  /** Multi-probe sign-LSH ANN: q33's bucketed search plus every
+    * 1-bit-flip neighbor bucket (7 probes at 6 bits) — the standard
+    * recall lever that re-hashes nothing (only the broadcast query
+    * side fans out). Same query set and k as q33 so the two rows gate
+    * the single- vs multi-probe candidate sets side by side.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshMultiProbeTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 3, bits = 6)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q99Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    val bucket = (0 until 6).map(d =>
+      s"(CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
+    val probes = ("bucket" +: (0 until 6).map(d => s"xor(bucket, ${1 << d})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM ($embCte)),
+       |qp AS (
+       |  SELECT vec_id, v, nrm, unnest([$probes]) AS probe
+       |  FROM e WHERE vec_id < 50),
+       |cand AS (
+       |  SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qp JOIN e c ON qp.probe = c.bucket AND qp.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    $cos AS cosine,
+       |    row_number() OVER (PARTITION BY cand.query_id
+       |      ORDER BY $cos DESC, cand.neighbor_id) AS rank
+       |  FROM cand JOIN e q ON cand.query_id = q.vec_id
+       |            JOIN e c ON cand.neighbor_id = c.vec_id)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q41
   /** IVF-lite ANN: 16 coarse centroids (the first 16 corpus vectors —
     * a deterministic stand-in for a trained k-means codebook), nearest-
@@ -853,6 +890,7 @@ object CorpusOps {
     "q94_substring_dedup_canon" -> (q94 _),
     "q95_dedup_increment" -> (q95 _),
     "q97_semantic_decontaminate" -> (q97 _),
+    "q99_ann_multiprobe" -> (q99 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -876,6 +914,7 @@ object CorpusOps {
     "q94_substring_dedup_canon" -> q94Sql,
     "q95_dedup_increment" -> q95Sql,
     "q97_semantic_decontaminate" -> q97Sql,
+    "q99_ann_multiprobe" -> q99Sql,
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,

@@ -88,6 +88,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(res.isEmpty)
   }
 
+  test("lshMultiProbeTopK recovers 1-bit-away neighbors that single-bucket misses; dominates its candidate set") {
+    // with bits=2, all four vecs land in DISTINCT buckets so single-
+    // bucket lshTopK finds nothing (test above); every pair of buckets
+    // here differs in <= 2 bits, and 1-bit flips recover exactly the
+    // hamming-1 neighbors
+    val multi = Similarity.lshMultiProbeTopK(vecs, vecs, "vec_id", "embedding", k = 3, bits = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(multi.nonEmpty, "multi-probe found no candidates where 1-bit neighbors exist")
+    // buckets: v0=1, v1=3, v2=2, v3=0 — hamming-1 pairs: (0,1),(0,3),(1,2),(2,3)
+    assert(multi.contains((0L, 1L)) && multi.contains((1L, 0L)))
+    assert(!multi.contains((0L, 2L)), "hamming-2 bucket must stay unprobed at 1-bit flips")
+    // dominance on the real embeddings: every single-bucket candidate
+    // pair is also a multi-probe candidate pair (probe set superset)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val single = pairs(Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 1000, bits = 6))
+    val multiBig = pairs(Similarity.lshMultiProbeTopK(q, emb, "vec_id", "embedding", k = 1000, bits = 6))
+    assert(single.subsetOf(multiBig),
+      s"single-bucket pairs missing from multi-probe: ${(single -- multiBig).take(5)}")
+    assert(multiBig.size > single.size, "multi-probe should widen the candidate set on real data")
+  }
+
   test("ivfTopK searches only the query's inverted list") {
     // centroids: v0 (x-axis) and v2 (y-axis). v1 assigns to v0's list,
     // v3 (opposite of x) to v2's list (cos -1 vs 0 => y wins).
