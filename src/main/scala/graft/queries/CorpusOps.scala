@@ -262,6 +262,106 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q100
+  /** ANN recall report — the evaluation surface a production pipeline
+    * runs to monitor index quality: recall@3 of three ANN methods
+    * (single-bucket LSH, multi-probe LSH, IVF on the fixed 16-vector
+    * quantizer) against the exact cosine scan, for queries vec_id <
+    * 20. Everything is composed from already-gated operators, so the
+    * row gates the COMPOSITION: the exact baseline, each method's
+    * candidate semantics, and the hit-counting join. Counts are exact
+    * integers; the one derived ratio is floor-truncated (the q24/q28
+    * tie-free idiom).
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    def recallRow(method: String, ann: DataFrame): DataFrame =
+      ann.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_hits"),
+          lit(60L).as("n_expected")) // 20 queries x k=3
+    recallRow("ivf_16",
+        Similarity.ivfTopK(q, emb, emb.filter(col("vec_id") < 16),
+          "vec_id", "embedding", k = 3))
+      .union(recallRow("lsh_multiprobe",
+        Similarity.lshMultiProbeTopK(q, emb, "vec_id", "embedding", k = 3, bits = 6)))
+      .union(recallRow("lsh_single",
+        Similarity.lshTopK(q, emb, "vec_id", "embedding", k = 3, bits = 6)))
+      .withColumn("recall",
+        floor(col("n_hits").cast("double") / col("n_expected") * lit(1e6)) / lit(1e6))
+      .orderBy(col("method"))
+  }
+
+  private val q100Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    val cosQC = cosSql.format("q", "c", "q", "c")
+    val bucket = (0 until 6).map(d =>
+      s"(CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
+    val probes = ("bucket" +: (0 until 6).map(d => s"xor(bucket, ${1 << d})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM ($embCte)),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS r
+       |    FROM e q JOIN e c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20)
+       |  WHERE r <= 3),
+       |single AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS r
+       |    FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE r <= 3),
+       |qp AS (
+       |  SELECT vec_id, v, nrm, unnest([$probes]) AS probe
+       |  FROM e WHERE vec_id < 20),
+       |mcand AS (
+       |  SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM qp JOIN e c ON qp.probe = c.bucket AND qp.vec_id <> c.vec_id),
+       |multi AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT mcand.query_id, mcand.neighbor_id,
+       |      row_number() OVER (PARTITION BY mcand.query_id ORDER BY $cos DESC, mcand.neighbor_id) AS r
+       |    FROM mcand JOIN e q ON mcand.query_id = q.vec_id
+       |               JOIN e c ON mcand.neighbor_id = c.vec_id)
+       |  WHERE r <= 3),
+       |cent AS (SELECT vec_id AS centroid_id, v AS centv, nrm AS centn FROM e WHERE vec_id < 16),
+       |assigned AS (
+       |  SELECT vec_id, v, nrm, centroid_id AS cluster FROM (
+       |    SELECT e.vec_id, e.v, e.nrm, cent.centroid_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        (list_dot_product(e.v, cent.centv) / (e.nrm * cent.centn)) DESC,
+       |        cent.centroid_id) AS c_rank
+       |    FROM e, cent)
+       |  WHERE c_rank = 1),
+       |ivf AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cosQC DESC, c.vec_id) AS r
+       |    FROM assigned q JOIN assigned c
+       |      ON q.cluster = c.cluster AND q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 20)
+       |  WHERE r <= 3),
+       |u AS (
+       |  SELECT 'ivf_16' AS method, count(*) AS n_hits
+       |  FROM ivf JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh_multiprobe', count(*)
+       |  FROM multi JOIN exact USING (query_id, neighbor_id)
+       |  UNION ALL
+       |  SELECT 'lsh_single', count(*)
+       |  FROM single JOIN exact USING (query_id, neighbor_id))
+       |SELECT method, CAST(n_hits AS BIGINT) AS n_hits,
+       |  CAST(60 AS BIGINT) AS n_expected,
+       |  floor(CAST(n_hits AS DOUBLE) / 60 * 1e6) / 1e6 AS recall
+       |FROM u
+       |ORDER BY method""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q41
   /** IVF-lite ANN: 16 coarse centroids (the first 16 corpus vectors —
     * a deterministic stand-in for a trained k-means codebook), nearest-
@@ -891,6 +991,7 @@ object CorpusOps {
     "q95_dedup_increment" -> (q95 _),
     "q97_semantic_decontaminate" -> (q97 _),
     "q99_ann_multiprobe" -> (q99 _),
+    "q100_ann_recall" -> (q100 _),
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
@@ -915,6 +1016,7 @@ object CorpusOps {
     "q95_dedup_increment" -> q95Sql,
     "q97_semantic_decontaminate" -> q97Sql,
     "q99_ann_multiprobe" -> q99Sql,
+    "q100_ann_recall" -> q100Sql,
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,
