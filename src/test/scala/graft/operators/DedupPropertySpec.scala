@@ -101,6 +101,32 @@ class DedupPropertySpec extends SparkSpec {
     assert(survivors === Seq(11L, 21L, 30L))
   }
 
+  test("dedupIncrement differential: greedy survivors match the full-batch pair list (20 seeded corpora)") {
+    import spark.implicits._
+    // The q95 oracle pins this on the real testdata; here the same
+    // equivalence must hold on arbitrary corpora: survivors computed
+    // incrementally (prebuilt corpus index + batch) == survivors
+    // derived from minhashLshPairs over the UNION with the greedy rule
+    // (drop b of any pair a<b where b is a batch id).
+    (1 to 20).foreach { i =>
+      val docs = corpus(Gen.Parameters.default, Seed(1000L + i)).get
+      val n = docs.length
+      val split = n / 2
+      val df = docs.zipWithIndex.map { case (text, idx) => (idx.toLong, text) }
+        .toDF("doc_id", "text")
+      val existing = df.filter($"doc_id" < split)
+      val batch = df.filter($"doc_id" >= split)
+      val index = Dedup.minhashBandIndex(existing, "doc_id", "text")
+      val got = Dedup.dedupIncrement(existing, index, batch, "doc_id", "text")
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+      val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dropped = pairs.collect { case (a, b) if math.max(a, b) >= split => math.max(a, b) }.toSet
+      val want = (split.toLong until n.toLong).toSet -- dropped
+      assert(got === want, s"seed=${1000 + i} docs=$docs")
+    }
+  }
+
   test("ngramJaccardPairs finds EXACTLY the brute-force pairs at t=0.75 (40 seeded corpora)") {
     import spark.implicits._
     (1 to 40).foreach { i =>
