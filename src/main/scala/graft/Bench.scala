@@ -177,7 +177,7 @@ object Bench {
     // measures the recurring PROBE cost as its own number, over a
     // prebuilt checkpoint-materialized index, with the same
     // warm+min-of-2 discipline as the query sweep.
-    val annSplit: String = {
+    val annSplit: String = try {
       import org.apache.spark.sql.functions.col
       import graft.operators.Similarity
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -215,6 +215,13 @@ object Bench {
       s"""{"q85_pq":{"build_sec":${r3(tTrain85 + tEnc85)},"probe_sec":${r3(p85)}},""" +
         s""""q86_ivfpq":{"build_sec":${r3(tKm + tPq + tIdx)},"probe_sec":${r3(p86)}},""" +
         s""""q90_rerank":{"build_sec":${r3(tKm + tPq + tIdx)},"probe_sec":${r3(p90)}}}"""
+    } catch {
+      // the ~100-query sweep above already ran — a missing embeddings
+      // table or an ANN failure must not abort Bench before
+      // bench_detail.json and the stdout line are written
+      case e: Exception =>
+        val msg = e.toString.take(200).replaceAll("[\\\\\"\\p{Cntrl}]", " ")
+        s"""{"err":"$msg"}"""
     }
 
     // full two-scale-point detail -> bench_detail.json (complete map;

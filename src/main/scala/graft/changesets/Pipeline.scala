@@ -48,11 +48,23 @@ object Pipeline {
     * the artifact, control chars confuse tooling, and a quote would
     * defeat readCurrent's pointer parse. The MARKER keeps the raw
     * token (change detection compares the upstream value verbatim).
+    *
+    * Sanitization alone is lossy ('a/b' and 'a_b' both map to "a_b",
+    * so a later version could silently overwrite an earlier retained
+    * artifact); whenever any char was replaced, a short SHA-256 prefix
+    * of the RAW token is appended so sanitized names stay injective.
+    * Clean tokens (the common case) keep their exact name.
     */
   private[changesets] def safeVersion(v: String): String = {
     val s = v.map(c => if (c == '/' || c == '\\' || c == '"' || c < ' ') '_' else c)
     require(s.nonEmpty && s != "." && s != "..", s"unusable sourceVersion: '$v'")
-    s
+    if (s == v) s
+    else {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
+      s"$s-$h"
+    }
   }
 
   /** The committed `.last-modified` marker (reference

@@ -198,14 +198,16 @@ object Dedup {
     * re-processing the corpus. Returns the incoming rows that SURVIVE
     * (the appendable increment).
     *
-    * Drop rule (greedy pairwise, deterministic): an incoming doc is
+    * Drop rule (pair-list greedy, deterministic): an incoming doc is
     * dropped iff it verifies at `threshold` Jaccard against ANY
-    * existing doc, or against an incoming doc with a SMALLER id. This
-    * is the same decision a streaming dedup makes per arrival — NOT
-    * transitive-canonical clustering (a chain a-b-c where only
-    * adjacent pairs match keeps a and may keep c); batch jobs wanting
-    * canonical clusters run [[connectedComponents]] +
-    * [[removeDuplicates]] instead.
+    * existing doc, or against an incoming doc with a SMALLER id —
+    * REGARDLESS of whether that smaller doc itself survives. In a
+    * chain a-b-c (only adjacent pairs match, a existing, b and c
+    * incoming) this drops BOTH b and c; a survivor-index streaming
+    * dedup would keep chain-tail c, and batch jobs wanting
+    * transitive-canonical clusters run [[connectedComponents]] +
+    * [[removeDuplicates]] instead. The pair-list rule is what the
+    * q95 oracle and the full-batch differential pin.
     *
     * Scale shape: only the BATCH is signatured (one pass over
     * incoming); candidates come from the batch's bands equi-joined to

@@ -193,6 +193,19 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(Pipeline.readCurrent(pub).get).count() === 4L)
   }
 
+  test("safeVersion: sanitized names are injective (distinct raw tokens never collide)") {
+    // clean tokens keep their exact name (artifact names stay stable)
+    assert(Pipeline.safeVersion("v7") === "v7")
+    // 'a/b' sanitizes to 'a_b' — without the hash suffix it would
+    // overwrite the artifact of the DISTINCT raw token 'a_b'
+    val slashed = Pipeline.safeVersion("a/b")
+    assert(slashed !== Pipeline.safeVersion("a_b"))
+    assert(Pipeline.safeVersion("a_b") === "a_b")
+    assert(!slashed.contains("/") && slashed.startsWith("a_b-"))
+    // two different raws with the SAME sanitized form also differ
+    assert(Pipeline.safeVersion("a\\b") !== slashed)
+  }
+
   test("retention is mtime-ordered, not token-ordered (Last-Modified-style tokens)") {
     val pub = tmpDir("pipe-pub4")
     // tokens whose lexicographic order INVERTS arrival order — like

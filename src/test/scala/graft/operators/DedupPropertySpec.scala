@@ -77,28 +77,40 @@ class DedupPropertySpec extends SparkSpec {
     assert(fast.map(_._2).distinct === Seq(uFFFF))
   }
 
-  test("dedupIncrement: corpus matches and smaller-id batch matches drop; greedy is NOT transitive") {
+  test("dedupIncrement: corpus matches and smaller-id batch matches drop; chain a-b-c drops BOTH b and c") {
     import spark.implicits._
     // corpus doc 1 == batch doc 10 (drop 10); batch 11 == batch 12
-    // (drop 12, keep 11); chain: batch 20 matches corpus 2, batch 21
-    // matches batch 20 ONLY -> greedy drops 20 (corpus match) but
-    // KEEPS 21 (its only smaller match is 20, dropped or not — the
-    // per-arrival rule doesn't chase chains; q49/q58 do clustering)
+    // (drop 12, keep 11); REAL chain: batch 20 near-dups corpus 2,
+    // batch 21 near-dups batch 20 but NOT corpus 2 — the pair-list
+    // greedy rule drops 21 because it matched smaller-id 20, even
+    // though 20 itself was dropped (a survivor-index streaming dedup
+    // would keep 21; q49/q58 do transitive clustering)
+    val chainA = "one two three four five six seven eight nine ten eleven twelve"
+    val chainB = "four five six seven eight nine ten eleven twelve alpha beta gamma"
+    val chainC = "seven eight nine ten eleven twelve alpha beta gamma delta epsilon zeta"
+    // pin the chain premises with the SAME shingle normalization the
+    // operator uses, so the fixture can't silently degenerate again
+    assert(jaccard(trigrams(chainA), trigrams(chainB)) >= 0.5, "premise: 20 matches corpus 2")
+    assert(jaccard(trigrams(chainB), trigrams(chainC)) >= 0.5, "premise: 21 matches 20")
+    assert(jaccard(trigrams(chainA), trigrams(chainC)) < 0.5, "premise: 21 does NOT match corpus 2")
     val corpusDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
-      (2L, "one two three four five six seven eight"),
+      (2L, chainA),
       (3L, "totally unrelated corpus content sits here quietly")).toDF("doc_id", "text")
     val batch = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta"), // == corpus 1
       (11L, "red orange yellow green blue indigo violet ultraviolet"),
       (12L, "red orange yellow green blue indigo violet ultraviolet"), // == 11
-      (20L, "one two three four five six seven eight"), // == corpus 2
-      (21L, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+      (20L, chainB), // near-dup of corpus 2
+      (21L, chainC), // near-dup of 20 only
       (30L, "fresh novel text that matches nothing at all anywhere")).toDF("doc_id", "text")
-    val index = Dedup.minhashBandIndex(corpusDocs, "doc_id", "text")
-    val survivors = Dedup.dedupIncrement(corpusDocs, index, batch, "doc_id", "text")
+    // 16 bands of 2 rows: candidate-collision prob at J=0.6 is
+    // 1-(1-0.36)^16 ≈ 0.999 (the default 8x4 misses ~1/3 of the
+    // time at this J — LSH recall, not a drop-rule property)
+    val index = Dedup.minhashBandIndex(corpusDocs, "doc_id", "text", 32, 16)
+    val survivors = Dedup.dedupIncrement(corpusDocs, index, batch, "doc_id", "text", 32, 16)
       .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(survivors === Seq(11L, 21L, 30L))
+    assert(survivors === Seq(11L, 30L))
   }
 
   test("dedupIncrement differential: greedy survivors match the full-batch pair list (20 seeded corpora)") {
