@@ -226,11 +226,13 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- q99
-  /** Multi-probe sign-LSH ANN: q33's bucketed search plus every
-    * 1-bit-flip neighbor bucket (7 probes at 6 bits) — the standard
-    * recall lever that re-hashes nothing (only the broadcast query
-    * side fans out). Same query set and k as q33 so the two rows gate
-    * the single- vs multi-probe candidate sets side by side.
+  /** Multi-probe sign-LSH ANN: q33's bucketed search plus the 6
+    * QUERY-DIRECTED nearest perturbed buckets (Lv et al. boundary-
+    * distance ordering over 1- and 2-bit flips; 7 probes at 6 bits) —
+    * the standard recall lever that re-hashes nothing (only the
+    * broadcast query side fans out). Same query set and k as q33 so
+    * the two rows gate the single- vs multi-probe candidate sets
+    * side by side.
     */
   private def q99(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -239,15 +241,46 @@ object CorpusOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Query-directed multi-probe expansion (mirrors
+    * [[Similarity.lshMultiProbeTopK]]): every 1-bit and 2-bit flip
+    * scored by sum of squared NORMALIZED boundary distances (for
+    * axis-aligned sign hashes, |v[d]|/nrm is bit d's boundary
+    * distance) plus a 1/dim penalty per extra flipped bit (the
+    * Bernoulli log2 ceiling at isotropic scale), lowest 6 by
+    * (score, mask) probed alongside the home bucket — same b+1 probe
+    * budget as exhaustive 1-bit flipping. Score terms are written
+    * (vi/nrm)*(vi/nrm) + (vj/nrm)*(vj/nrm) + 1.0/len(v) so DuckDB's
+    * IEEE arithmetic matches Spark's operation-for-operation.
+    */
+  private def multiProbeQpCtes(maxId: Int): String = {
+    def u2(d: Int) = s"(v[${d + 1}]/nrm)*(v[${d + 1}]/nrm)"
+    val all = (0 until 6).map(d => (u2(d), 1 << d)) ++
+      (for { i <- 0 until 6; j <- i + 1 until 6 }
+        yield (s"${u2(i)} + ${u2(j)} + 1.0/len(v)", (1 << i) | (1 << j)))
+    s"""pert AS (
+       |  SELECT vec_id, bucket,
+       |    unnest([${all.map(_._1).mkString(", ")}]) AS score,
+       |    unnest([${all.map(_._2).mkString(", ")}]) AS mask
+       |  FROM e WHERE vec_id < $maxId),
+       |sel AS (
+       |  SELECT vec_id, xor(bucket, mask) AS probe
+       |  FROM (SELECT vec_id, bucket, mask,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY score, mask) AS pr
+       |        FROM pert)
+       |  WHERE pr <= 6),
+       |qp AS (
+       |  SELECT e.vec_id, e.v, e.nrm, pp.probe
+       |  FROM (SELECT vec_id, probe FROM sel
+       |        UNION ALL SELECT vec_id, bucket FROM e WHERE vec_id < $maxId) pp
+       |  JOIN e ON pp.vec_id = e.vec_id)""".stripMargin
+  }
+
   private val q99Sql = {
     val cos = cosSql.format("q", "c", "q", "c")
     val bucket = (0 until 6).map(d =>
       s"(CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
-    val probes = ("bucket" +: (0 until 6).map(d => s"xor(bucket, ${1 << d})")).mkString(", ")
     s"""WITH e AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM ($embCte)),
-       |qp AS (
-       |  SELECT vec_id, v, nrm, unnest([$probes]) AS probe
-       |  FROM e WHERE vec_id < 50),
+       |${multiProbeQpCtes(50)},
        |cand AS (
        |  SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM qp JOIN e c ON qp.probe = c.bucket AND qp.vec_id <> c.vec_id)
@@ -301,7 +334,6 @@ object CorpusOps {
     val cosQC = cosSql.format("q", "c", "q", "c")
     val bucket = (0 until 6).map(d =>
       s"(CASE WHEN v[${d + 1}] > 0 THEN ${1 << d} ELSE 0 END)").mkString(" + ")
-    val probes = ("bucket" +: (0 until 6).map(d => s"xor(bucket, ${1 << d})")).mkString(", ")
     s"""WITH e AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM ($embCte)),
        |exact AS (
        |  SELECT query_id, neighbor_id FROM (
@@ -316,9 +348,7 @@ object CorpusOps {
        |    FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
        |    WHERE q.vec_id < 20)
        |  WHERE r <= 3),
-       |qp AS (
-       |  SELECT vec_id, v, nrm, unnest([$probes]) AS probe
-       |  FROM e WHERE vec_id < 20),
+       |${multiProbeQpCtes(20)},
        |mcand AS (
        |  SELECT DISTINCT qp.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM qp JOIN e c ON qp.probe = c.bucket AND qp.vec_id <> c.vec_id),
