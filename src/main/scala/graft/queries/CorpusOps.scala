@@ -697,8 +697,19 @@ object CorpusOps {
     val subDim = sample(0).length / 4
     val codebooks = Array.tabulate(4)(m =>
       sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    // route the model through a save/load round trip so the DuckDB
+    // hash gate ALSO pins AnnModel persistence bit-for-bit (the
+    // cross-session probe story; arrays are collected at load, so the
+    // temp dir can be deleted before the scan runs)
+    val modelDir = java.nio.file.Files.createTempDirectory("q92-model").toString
+    graft.operators.AnnModel.save(s, modelDir, coarse, codebooks)
+    val model = graft.operators.AnnModel.load(s, modelDir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(modelDir))
     Similarity.ivfPqScan(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
-        k = 10, coarse = coarse, codebooks = codebooks, nprobe = 2)
+        k = 10, coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
 
