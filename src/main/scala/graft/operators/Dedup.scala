@@ -234,6 +234,62 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    val (_, drops) = incrementCore(
+      existingDocs, existingIndex, incoming, idCol, textCol, numHashes, bands, threshold)
+    incoming.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Survivors of one increment plus the band-index DELTA — the rows
+    * to APPEND to the stored index so tomorrow's batch dedups against
+    * today's accepted docs. The delta (not a unioned full index) is
+    * the production write: the corpus index is already on disk, and
+    * appending survivors' bands is the only new data. Both frames read
+    * the same checkpointed batch band table — consume both, then
+    * [[graft.Checkpoints.release]] either.
+    */
+  final case class IncrementResult(survivors: DataFrame, indexDelta: DataFrame)
+
+  /** Day-2 of the daily-drop loop: [[dedupIncrement]]'s drop rule,
+    * PLUS the appendable band rows of the surviving batch docs (same
+    * (doc, band, bh) shape as [[minhashBandIndex]]). Folding
+    * `index += indexDelta` across N arriving batches applies the
+    * per-arrival rule to the whole ordered corpus: cross-batch
+    * matches are against SURVIVORS only (dropped docs never enter the
+    * index), within-batch matches follow the pair-list greedy rule —
+    * DedupPropertySpec pins the N-batch fold against that reference
+    * rule differentially, and the q101 oracle pins a two-batch fold
+    * on the real testdata.
+    */
+  def dedupIncrementWithIndex(
+      existingDocs: DataFrame,
+      existingIndex: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): IncrementResult = {
+    val (bandsN, drops) = incrementCore(
+      existingDocs, existingIndex, incoming, idCol, textCol, numHashes, bands, threshold)
+    IncrementResult(
+      survivors = incoming.join(drops, Seq(idCol), "left_anti"),
+      indexDelta = bandsN
+        .join(drops.select(col(idCol).as("doc")), Seq("doc"), "left_anti")
+        .select(col("doc"), col("band"), col("bh")))
+  }
+
+  /** Shared body of [[dedupIncrement]]/[[dedupIncrementWithIndex]]:
+    * returns (checkpointed batch band table, dropped incoming ids).
+    */
+  private def incrementCore(
+      existingDocs: DataFrame,
+      existingIndex: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val bandsN = minhashBandIndex(incoming, idCol, textCol, numHashes, bands)
       .localCheckpoint(true)
@@ -261,7 +317,7 @@ object Dedup {
         .select(col("new_doc"))
     val drops = dropsFrom(candE, shE).union(dropsFrom(candN, shN))
       .distinct().withColumnRenamed("new_doc", idCol)
-    incoming.join(drops, Seq(idCol), "left_anti")
+    (bandsN, drops)
   }
 
   /** 60-bit SimHash per document via explode + 60 codegen'd vote sums

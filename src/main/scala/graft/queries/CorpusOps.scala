@@ -868,6 +868,52 @@ object CorpusOps {
        |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT d FROM drops)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q101
+  /** TWO consecutive daily drops with index maintenance — the full
+    * production loop around q95's single increment: docs < 300 are
+    * the existing corpus; [300, 400) arrive on day 1, >= 400 on day
+    * 2. Day 1 runs dedupIncrementWithIndex and APPENDS the surviving
+    * batch's bands (indexDelta) to the index; day 2 dedups against
+    * the grown index — so a day-2 doc is dropped by a day-1 SURVIVOR
+    * but NOT by a day-1 dropped doc (dropped docs never enter the
+    * index). Output = survivors of both days (the corpus growth).
+    * The oracle replays the same fold from the full q28 pair list.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val existing = docs.filter(col("doc_id") < 300)
+    val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val b2 = docs.filter(col("doc_id") >= 400)
+    val index0 = Dedup.minhashBandIndex(existing, "doc_id", "text",
+      numHashes = 32, bands = 8)
+    val r1 = Dedup.dedupIncrementWithIndex(existing, index0, b1, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val day2 = Dedup.dedupIncrement(
+      existing.union(r1.survivors), index0.union(r1.indexDelta), b2,
+      "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.5)
+    r1.survivors.union(day2)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q101Sql =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |b1_drop AS (SELECT DISTINCT doc_b AS d FROM pairs
+       |            WHERE doc_b >= 300 AND doc_b < 400),
+       |b2_drop AS (SELECT DISTINCT doc_b AS d FROM pairs
+       |            WHERE doc_b >= 400 AND (
+       |              doc_a < 300
+       |              OR (doc_a >= 300 AND doc_a < 400
+       |                  AND doc_a NOT IN (SELECT d FROM b1_drop))
+       |              OR doc_a >= 400))
+       |SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars
+       |FROM documents
+       |WHERE (doc_id >= 300 AND doc_id < 400
+       |       AND doc_id NOT IN (SELECT d FROM b1_drop))
+       |   OR (doc_id >= 400 AND doc_id NOT IN (SELECT d FROM b2_drop))
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q97
   /** Semantic decontamination — vectors with id < 30 are the BENCHMARK
     * (eval set), the rest the training corpus; corpus vectors within
@@ -1030,6 +1076,7 @@ object CorpusOps {
     "q93_bpe_segment" -> (q93 _),
     "q94_substring_dedup_canon" -> (q94 _),
     "q95_dedup_increment" -> (q95 _),
+    "q101_dedup_two_batches" -> (q101 _),
     "q97_semantic_decontaminate" -> (q97 _),
     "q99_ann_multiprobe" -> (q99 _),
     "q100_ann_recall" -> (q100 _),
@@ -1055,6 +1102,7 @@ object CorpusOps {
     "q93_bpe_segment" -> q93Sql,
     "q94_substring_dedup_canon" -> q94Sql,
     "q95_dedup_increment" -> q95Sql,
+    "q101_dedup_two_batches" -> q101Sql,
     "q97_semantic_decontaminate" -> q97Sql,
     "q99_ann_multiprobe" -> q99Sql,
     "q100_ann_recall" -> q100Sql,

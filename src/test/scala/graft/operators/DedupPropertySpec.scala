@@ -139,6 +139,63 @@ class DedupPropertySpec extends SparkSpec {
     }
   }
 
+  test("N-batch incremental fold with index maintenance == per-arrival greedy on the full ordered corpus (15 seeded corpora)") {
+    import spark.implicits._
+    // day-1 and day-2 of the production loop: each batch dedups
+    // against the accumulated index, surviving bands are appended
+    // (index += indexDelta), dropped docs never enter the index.
+    // Reference rule, simulated from the full-corpus pair list:
+    // batch doc b drops iff some pair (x, b) has x an accumulated
+    // SURVIVOR (existing or kept in an earlier batch) or a smaller-id
+    // mate of b's own batch (regardless of x's fate).
+    (1 to 15).foreach { i =>
+      val docs = corpus(Gen.Parameters.default, Seed(7000L + i)).get
+      val n = docs.length
+      val df = docs.zipWithIndex.map { case (text, idx) => (idx.toLong, text) }
+        .toDF("doc_id", "text")
+      val c1 = n / 3
+      val c2 = c1 + (n - c1) / 2
+      val batches = Seq((c1.toLong, c2.toLong), (c2.toLong, n.toLong))
+
+      var index = Dedup.minhashBandIndex(df.filter($"doc_id" < c1), "doc_id", "text")
+      var corpusDocs = df.filter($"doc_id" < c1)
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      batches.foreach { case (lo, hi) =>
+        val batch = df.filter($"doc_id" >= lo && $"doc_id" < hi)
+        val r = Dedup.dedupIncrementWithIndex(corpusDocs, index, batch, "doc_id", "text")
+        got ++= r.survivors.select($"doc_id").collect().map(_.getLong(0))
+        // materialize the day-boundary state FIRST, then release the
+        // increment's internal checkpoints and the superseded state
+        val newIndex = index.union(r.indexDelta).localCheckpoint(true)
+        val newCorpus = corpusDocs.union(r.survivors.select($"doc_id", $"text"))
+          .localCheckpoint(true)
+        graft.Checkpoints.release(r.indexDelta)
+        graft.Checkpoints.release(index)
+        graft.Checkpoints.release(corpusDocs)
+        index = newIndex
+        corpusDocs = newCorpus
+      }
+      graft.Checkpoints.release(index)
+      graft.Checkpoints.release(corpusDocs)
+
+      val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+        .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      val surv = scala.collection.mutable.Set((0L until c1): _*)
+      val want = scala.collection.mutable.ArrayBuffer.empty[Long]
+      batches.foreach { case (lo, hi) =>
+        val kept = (lo until hi).filterNot { b =>
+          pairs.exists { case (x, y) =>
+            y == b && (surv.contains(x) || (x >= lo && x < b))
+          }
+        }
+        want ++= kept
+        surv ++= kept
+      }
+      assert(got.sorted.toSeq === want.sorted.toSeq, s"seed=${7000 + i} docs=$docs")
+    }
+  }
+
   test("ngramJaccardPairs finds EXACTLY the brute-force pairs at t=0.75 (40 seeded corpora)") {
     import spark.implicits._
     (1 to 40).foreach { i =>
