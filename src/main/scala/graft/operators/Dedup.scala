@@ -217,13 +217,14 @@ object Dedup {
     * (left-semi prune on candidate ids) — so per-batch cost scales
     * with batch size + near-dup density, never corpus size.
     *
-    * EAGER like [[connectedComponents]]: the batch's band table and
-    * the corpus-candidate list are each read by TWO downstream
-    * consumers (candE+candN; oldIds+verify), so both are checkpoint-
-    * materialized once instead of re-executing the signature pipeline
-    * per consumer (measured ~2x on the q95 workload). Same release
-    * contract: consume the result, then
-    * [[graft.Checkpoints.release]] it.
+    * EAGER like [[connectedComponents]]: the batch's band table, the
+    * corpus-candidate list, AND the final drop set are each read by
+    * multiple downstream consumers (candE+candN; oldIds+verify;
+    * survivors+indexDelta), so all three are checkpoint-materialized
+    * once instead of re-executing the signature pipeline per consumer
+    * (measured ~2x on the q95 workload; the un-checkpointed drop set
+    * was the r9 q95/q101 bench inversion). Release contract: consume
+    * the result, then [[graft.Checkpoints.release]] it.
     */
   def dedupIncrement(
       existingDocs: DataFrame,
@@ -234,8 +235,11 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val (_, drops) = incrementCore(
+    val (bandsN, drops) = incrementCore(
       existingDocs, existingIndex, incoming, idCol, textCol, numHashes, bands, threshold)
+    // the band table only matters to the WithIndex variant — its
+    // blocks are fully consumed once `drops` is materialized
+    graft.Checkpoints.release(bandsN)
     incoming.join(drops, Seq(idCol), "left_anti")
   }
 
@@ -243,15 +247,21 @@ object Dedup {
     * to APPEND to the stored index so tomorrow's batch dedups against
     * today's accepted docs. The delta (not a unioned full index) is
     * the production write: the corpus index is already on disk, and
-    * appending survivors' bands is the only new data. Both frames read
-    * the same checkpointed batch band table — consume both, then
-    * [[graft.Checkpoints.release]] either.
+    * appending survivors' bands is the only new data. Consume both
+    * frames, then [[graft.Checkpoints.release]] `indexDelta` — its
+    * plan references every internal checkpoint (band table + drop
+    * set); `survivors`' plan holds only the drop set.
     */
   final case class IncrementResult(survivors: DataFrame, indexDelta: DataFrame)
 
   /** Day-2 of the daily-drop loop: [[dedupIncrement]]'s drop rule,
     * PLUS the appendable band rows of the surviving batch docs (same
-    * (doc, band, bh) shape as [[minhashBandIndex]]). Folding
+    * (doc, band, bh) shape as [[minhashBandIndex]]). Both returned
+    * frames are cheap joins over the increment's internal checkpoints
+    * (the batch band table and the drop set) — consume both, then
+    * release via `indexDelta` (its plan spans every internal
+    * checkpoint; releasing `survivors` alone leaves the band table's
+    * blocks live). Folding
     * `index += indexDelta` across N arriving batches applies the
     * per-arrival rule to the whole ordered corpus: cross-batch
     * matches are against SURVIVORS only (dropped docs never enter the
@@ -315,8 +325,17 @@ object Dedup {
         .filter(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
           size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= threshold)
         .select(col("new_doc"))
+    // drops has TWO consumers in the WithIndex variant (survivors
+    // left-anti + indexDelta left-anti) — materialize once or the
+    // whole candidate+verify pipeline re-executes per consumer
+    // (the r9 bench read q95/q101 2.3-2.5x SLOWER at sf0.01 than
+    // sf0.1 from exactly this re-execution)
     val drops = dropsFrom(candE, shE).union(dropsFrom(candN, shN))
       .distinct().withColumnRenamed("new_doc", idCol)
+      .localCheckpoint(true)
+    // candE's blocks are only reachable through drops' (now
+    // truncated) lineage — release here or they leak
+    graft.Checkpoints.release(candE)
     (bandsN, drops)
   }
 

@@ -884,14 +884,28 @@ object CorpusOps {
     val existing = docs.filter(col("doc_id") < 300)
     val b1 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
     val b2 = docs.filter(col("doc_id") >= 400)
+    // the corpus index is read by BOTH days (day-1 candidate join,
+    // day-2 index union) — build it once; in production it's a
+    // parquet table, not a recomputed lineage
     val index0 = Dedup.minhashBandIndex(existing, "doc_id", "text",
-      numHashes = 32, bands = 8)
+      numHashes = 32, bands = 8).localCheckpoint(true)
     val r1 = Dedup.dedupIncrementWithIndex(existing, index0, b1, "doc_id", "text",
       numHashes = 32, bands = 8, threshold = 0.5)
+    // day-boundary state: materialize once (day 2 reads survivors for
+    // verify AND the final union reads them again), then free day-1's
+    // internal checkpoints — releasing indexDelta covers the band
+    // table and drop set both (see IncrementResult's contract)
+    val surv1 = r1.survivors.localCheckpoint(true)
+    val delta1 = r1.indexDelta.localCheckpoint(true)
+    graft.Checkpoints.release(r1.indexDelta)
     val day2 = Dedup.dedupIncrement(
-      existing.union(r1.survivors), index0.union(r1.indexDelta), b2,
+      existing.union(surv1), index0.union(delta1), b2,
       "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.5)
-    r1.survivors.union(day2)
+    // dedupIncrement materializes its drop set eagerly, so the day-1
+    // index state is fully consumed by the time it returns
+    graft.Checkpoints.release(delta1)
+    graft.Checkpoints.release(index0)
+    surv1.union(day2)
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
