@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Generate the committed image fixtures under src/test/resources/graft/fixtures
+and print the exact stats ImageCodecSpec pins. Deterministic — re-running must
+reproduce the committed bytes bit-for-bit. Driver-side tooling only (like
+check_correctness.py); never a library dependency.
+"""
+import os
+import struct
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources", "graft", "fixtures")
+os.makedirs(OUT, exist_ok=True)
+
+W, H = 8, 5
+
+
+def px(x, y):
+    return ((x * 31) % 256, (y * 53) % 256, (x * 7 + y * 11) % 256)
+
+
+def stats(samples, channels, w, h):
+    n = w * h
+    sums = [0] * channels
+    for i, v in enumerate(samples):
+        sums[i % channels] += v
+    means = [s / n for s in sums]
+    if channels == 1:
+        means = means * 3
+    return dict(w=w, h=h, n=n, r=means[0], g=means[1], b=means[2],
+                mn=min(samples), mx=max(samples))
+
+
+# --- gradient.ppm (P6, with a header comment to exercise comment parsing) ---
+rgb = [c for y in range(H) for x in range(W) for c in px(x, y)]
+ppm = b"P6\n# graft fixture: 8x5 deterministic gradient\n%d %d\n255\n" % (W, H) + bytes(rgb)
+with open(os.path.join(OUT, "gradient.ppm"), "wb") as f:
+    f.write(ppm)
+print("gradient.ppm", stats(rgb, 3, W, H))
+
+# --- gradient.bmp (24bpp BI_RGB, bottom-up, padded rows; SAME pixels) ---
+row_size = (3 * W + 3) // 4 * 4
+raster = b""
+for y in range(H - 1, -1, -1):  # bottom-up
+    row = b""
+    for x in range(W):
+        r, g, b = px(x, y)
+        row += bytes([b, g, r])  # BGR
+    raster += row + b"\x00" * (row_size - len(row))
+data_offset = 14 + 40
+file_size = data_offset + len(raster)
+bmp = (b"BM" + struct.pack("<IHHI", file_size, 0, 0, data_offset)
+       + struct.pack("<IiiHHIIiiII", 40, W, H, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+       + raster)
+with open(os.path.join(OUT, "gradient.bmp"), "wb") as f:
+    f.write(bmp)
+print("gradient.bmp", "same stats as gradient.ppm (pixels identical)")
+
+# --- gray.pgm (P5 grayscale, 6x4) ---
+GW, GH = 6, 4
+gray = [(x * 17 + y * 29) % 256 for y in range(GH) for x in range(GW)]
+pgm = b"P5\n%d %d\n255\n" % (GW, GH) + bytes(gray)
+with open(os.path.join(OUT, "gray.pgm"), "wb") as f:
+    f.write(pgm)
+print("gray.pgm", stats(gray, 1, GW, GH))

@@ -7,17 +7,21 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus the decode / feature-extract /
   * frame-sample stages of a media training-data pipeline.
   *
-  * The Spark-side plumbing is real — schema, partitioning, batch shape,
-  * typed Dataset surface — while the codec itself is a STUB (this
-  * environment has no image/audio libraries): `decodeFeatures` derives
-  * deterministic fake features from the raw bytes. Swapping the stub
-  * for a real decoder changes ONE function body and nothing about the
-  * distributed plan.
+  * The image path decodes FOR REAL: [[ImageCodec]] parses PPM/PGM and
+  * BMP payloads (header + single-pass pixel stats) inside the same
+  * `mapPartitions` boundary; [[decodeImages]] is the typed surface and
+  * q102 hash-gates it end-to-end against a DuckDB oracle that
+  * recomputes the channel stats from the source bytes. Audio/video
+  * codecs remain out of scope for this environment (no codec
+  * libraries); [[decodeFeatures]] profiles those payloads with
+  * documented byte arithmetic instead (the q44 contract).
   *
   * Scale notes: decode runs via `mapPartitions` so a real decoder
   * amortizes per-partition init (model load, codec context) the same
   * way mapInPandas batches do; binary payloads stay columnar in parquet
-  * and are never shuffled (features are extracted before any wide op).
+  * and are never shuffled (features are extracted before any wide op);
+  * [[ImageCodec]] streams its stats in O(1) memory per record, so
+  * partition memory is bounded by the payload column itself.
   */
 object Media {
 
@@ -63,28 +67,103 @@ object Media {
       encode(col("text"), "UTF-8").as("data"))
   }
 
-  /** STUB decode: deterministic fake features from raw bytes.
-    * A real implementation would replace the body with an actual codec
-    * call per record (the `???` boundary); everything around it — the
-    * per-partition iterator, the typed output, the partition-parallel
-    * execution — is the production plumbing.
+  /** Generic payload profile with a REAL image fast path: payloads
+    * whose magic [[ImageCodec]] recognizes (PPM/PGM/BMP) are decoded
+    * for real — `width`/`height` are the parsed raster dimensions and
+    * `duration_ms` is 0 (still image). Unrecognized payloads (audio/
+    * video/text — no codec libraries in this environment) get the
+    * documented byte-arithmetic profile q44 pins: dims folded from the
+    * byte length, duration 10 ms/byte. `byte_mean` is the raw payload
+    * mean in both branches (a content digest, not a pixel stat — see
+    * [[decodeImages]] for per-channel stats).
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init happens HERE in a real decoder (codec
-      // contexts, model weights); the stub needs none.
+      // per-partition init happens HERE for codecs that need it
+      // (contexts, model weights); ImageCodec is stateless.
       it.map { m =>
         val n = m.data.length.toLong
-        // ---- STUB decode (deterministic fake; replace with codec) ----
-        val w = (n % 640 + 1).toInt
-        val h = (n % 480 + 1).toInt
-        val dur = n * 10
-        val mean = if (n == 0) 0d else m.data.map(b => (b & 0xff).toDouble).sum / n
-        // --------------------------------------------------------------
-        MediaFeatures(m.media_id, m.kind, n, w, h, dur, mean)
+        var mean = 0d
+        var i = 0
+        while (i < m.data.length) { mean += (m.data(i) & 0xff); i += 1 }
+        if (n > 0) mean /= n
+        ImageCodec.decode(m.data) match {
+          case Right(s) =>
+            MediaFeatures(m.media_id, m.kind, n, s.width, s.height, 0L, mean)
+          case Left(_) =>
+            MediaFeatures(m.media_id, m.kind, n,
+              (n % 640 + 1).toInt, (n % 480 + 1).toInt, n * 10, mean)
+        }
       }
     }
+  }
+
+  /** Typed per-image stats from [[ImageCodec]]'s real decode. Corrupt
+    * payloads become `ok = false` rows carrying the parse error — an
+    * error CHANNEL, not a task failure, so one bad record in a
+    * trillion-row media table is routable instead of fatal.
+    */
+  final case class ImageFeatures(
+      media_id: Long,
+      codec: String,
+      ok: Boolean,
+      err: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      maxval: Int,
+      n_pixels: Long,
+      r_mean: Double,
+      g_mean: Double,
+      b_mean: Double,
+      px_min: Int,
+      px_max: Int)
+
+  /** REAL image decode over the opaque media table: one streaming
+    * parse per record behind the `mapPartitions` boundary. The q102
+    * oracle hash-gates the whole path — header parse, raster offset,
+    * channel de-interleave, exact integer sums — against DuckDB
+    * recomputing the same stats from the source bytes.
+    */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        ImageCodec.decode(m.data) match {
+          case Right(s) =>
+            ImageFeatures(m.media_id, s.codec, ok = true, "", s.width, s.height,
+              s.channels, s.maxval, s.nPixels, s.rMean, s.gMean, s.bMean,
+              s.pxMin, s.pxMax)
+          case Left(e) =>
+            ImageFeatures(m.media_id, "", ok = false, e, 0, 0, 0, 0, 0L, 0d, 0d, 0d, 0, 0)
+        }
+      }
+    }
+  }
+
+  /** Documents -> REAL P6 PPM payloads, deterministically: for text of
+    * byte length L, a (L%8+1) x (L%6+1) RGB image whose raster is the
+    * text repeated/truncated to fill 3*w*h bytes, behind a spec-exact
+    * "P6\nw h\n255\n" header. The corpus is all-ASCII (asserted by the
+    * q35/q44 hash gates), so the DuckDB oracle can recover every pixel
+    * byte as a codepoint — which is what lets q102 hash-gate a REAL
+    * binary image decode end-to-end on driver-provided data.
+    */
+  def toPpm(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(8)) + lit(1)).cast("int"))
+      .withColumn("h", (pmod(len, lit(6)) + lit(1)).cast("int"))
+      .withColumn("npx", col("w") * col("h") * lit(3))
+      .select(
+        col("doc_id").as("media_id"),
+        lit("image").as("kind"),
+        lit("ppm").as("format"),
+        encode(concat(
+          format_string("P6\n%d %d\n255\n", col("w"), col("h")),
+          expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)")),
+          "UTF-8").as("data"))
   }
 
   /** Deterministic frame sampling: n evenly-spaced fixed-width byte

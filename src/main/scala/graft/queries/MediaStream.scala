@@ -167,8 +167,65 @@ object MediaStream {
     """SELECT DISTINCT user_id, event_id FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  // --------------------------------------------------------------- q102
+  /** REAL image decode, hash-gated end-to-end: documents become
+    * genuine P6 PPM binaries (Media.toPpm), ImageCodec parses them —
+    * header tokenization, raster offset, RGB de-interleave, exact
+    * integer channel sums — and the oracle recomputes every stat from
+    * the source text (all-ASCII corpus: pixel byte == codepoint). Any
+    * off-by-one in the parser's raster offset shifts the channel
+    * assignment and breaks the hash, so this gate pins the decoder,
+    * not just the plumbing. Means are floor-truncated at 1e-6 (q44
+    * precedent for integer-ratio ties).
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toPpm(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q102Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 8 + 1 AS INTEGER) AS w,
+      |    CAST(length(text) % 6 + 1 AS INTEGER) AS h
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT doc_id, w, h, 3*w*h AS npx,
+      |    substring(repeat(text, CAST(ceil(CAST(3*w*h AS DOUBLE) / len) AS INTEGER)),
+      |              1, 3*w*h) AS px
+      |  FROM d),
+      |b AS (
+      |  SELECT doc_id, w, h, npx,
+      |    list_transform(range(1, npx + 1),
+      |      i -> unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS bytes
+      |  FROM p)
+      |SELECT doc_id AS media_id, 'ppm' AS codec, w AS width, h AS height,
+      |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+      |  CAST(w*h AS BIGINT) AS n_pixels,
+      |  floor(list_avg(list_transform(list_filter(range(1, npx + 1), i -> (i-1)%3 = 0),
+      |    i -> bytes[CAST(i AS INTEGER)])) * 1e6) / 1e6 AS r_mean,
+      |  floor(list_avg(list_transform(list_filter(range(1, npx + 1), i -> (i-1)%3 = 1),
+      |    i -> bytes[CAST(i AS INTEGER)])) * 1e6) / 1e6 AS g_mean,
+      |  floor(list_avg(list_transform(list_filter(range(1, npx + 1), i -> (i-1)%3 = 2),
+      |    i -> bytes[CAST(i AS INTEGER)])) * 1e6) / 1e6 AS b_mean,
+      |  CAST(list_min(bytes) AS INTEGER) AS px_min,
+      |  CAST(list_max(bytes) AS INTEGER) AS px_max
+      |FROM b
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_media_decode" -> (q44 _),
+    "q102_image_decode" -> (q102 _),
     "q34_media_meta" -> (q34 _),
     "q35_frame_sample" -> (q35 _),
     "q36_sessionize" -> (q36 _),
@@ -177,6 +234,7 @@ object MediaStream {
 
   val oracle: Map[String, String] = Map(
     "q44_media_decode" -> q44Sql,
+    "q102_image_decode" -> q102Sql,
     "q34_media_meta" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
     "q36_sessionize" -> q36Sql,

@@ -19,7 +19,7 @@ class MediaSpec extends SparkSpec {
     assert(m.head.getAs[Array[Byte]]("data") === "aaaa".getBytes("UTF-8"))
   }
 
-  test("decodeFeatures (stub) runs per-partition and yields deterministic features") {
+  test("decodeFeatures fallback profile: non-image payloads get the documented byte arithmetic") {
     val media = Media.fromDocuments(docs).as[MediaRecord].repartition(2)
     val feats = Media.decodeFeatures(media).collect().sortBy(_.media_id)
     assert(feats.length === 4)
