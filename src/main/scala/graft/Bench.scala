@@ -177,6 +177,12 @@ object Bench {
     // measures the recurring PROBE cost as its own number, over a
     // prebuilt checkpoint-materialized index, with the same
     // warm+min-of-2 discipline as the query sweep.
+    // the two eager checkpoints live in vars so the finally can
+    // release whatever was built even when a later sub-stage throws —
+    // a mid-section failure must not leak block-manager storage into
+    // subsequent measurements (storage_mb is the leak detector)
+    var codes85: org.apache.spark.sql.DataFrame = null
+    var idx86: org.apache.spark.sql.DataFrame = null
     val annSplit: String = try {
       import org.apache.spark.sql.functions.col
       import graft.operators.Similarity
@@ -187,8 +193,9 @@ object Bench {
       }
       // q85 shape (PQ/ADC): build = train + encode-materialize
       val (cb85, tTrain85) = timed(Similarity.pqTrain(emb, "vec_id", "embedding", 4, 16, 4))
-      val (codes85, tEnc85) = timed(
-        Similarity.pqIndex(emb, "vec_id", "embedding", cb85).localCheckpoint(true))
+      val tEnc85 = timed {
+        codes85 = Similarity.pqIndex(emb, "vec_id", "embedding", cb85).localCheckpoint(true)
+      }._2
       def probe85(): Unit = { val _ =
         Similarity.pqProbe(queries, codes85, "vec_id", "embedding", 10, cb85).count() }
       probe85() // warm
@@ -199,8 +206,10 @@ object Bench {
           .orderBy(col("cluster_id"))
           .collect().map(_.getSeq[Double](1).toArray))
       val (cb86, tPq) = timed(Similarity.pqTrain(emb, "vec_id", "embedding", 4, 16, 3))
-      val (idx86, tIdx) = timed(
-        Similarity.ivfPqIndex(emb, "vec_id", "embedding", coarse86, cb86).localCheckpoint(true))
+      val tIdx = timed {
+        idx86 = Similarity.ivfPqIndex(emb, "vec_id", "embedding", coarse86, cb86)
+          .localCheckpoint(true)
+      }._2
       def probe86(k: Int) = Similarity.ivfPqProbe(
         queries, idx86, "vec_id", "embedding", k, coarse86, cb86, 2)
       probe86(10).count() // warm
@@ -210,8 +219,6 @@ object Bench {
         probe86(30), queries, emb, "vec_id", "embedding", 10).count() }
       probe90() // warm
       val p90 = math.min(timed(probe90())._2, timed(probe90())._2)
-      Checkpoints.release(codes85)
-      Checkpoints.release(idx86)
       s"""{"q85_pq":{"build_sec":${r3(tTrain85 + tEnc85)},"probe_sec":${r3(p85)}},""" +
         s""""q86_ivfpq":{"build_sec":${r3(tKm + tPq + tIdx)},"probe_sec":${r3(p86)}},""" +
         s""""q90_rerank":{"build_sec":${r3(tKm + tPq + tIdx)},"probe_sec":${r3(p90)}}}"""
@@ -222,6 +229,9 @@ object Bench {
       case e: Exception =>
         val msg = e.toString.take(200).replaceAll("[\\\\\"\\p{Cntrl}]", " ")
         s"""{"err":"$msg"}"""
+    } finally {
+      if (codes85 != null) Checkpoints.release(codes85)
+      if (idx86 != null) Checkpoints.release(idx86)
     }
 
     // full two-scale-point detail -> bench_detail.json (complete map;
@@ -257,7 +267,8 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""queries_elided":$elided,"total_sf2":${r3(total2)},"n_queries":${results.size},""" +
         s""""converter":$conv,"converter_fast":$convFast,"ann_split":$annSplit,""" +
-        s""""calib_sec":${r3(calib)},"detail":"bench_detail.json","sf":"$sfDir"}""")
+        s""""calib_sec":${r3(calib)},"detail":"bench_detail.json","perf_doc":"PERF.md",""" +
+        s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
