@@ -222,6 +222,77 @@ object EventStreams {
       }
       .start()
 
+  /** The daily-drop dedup loop as an ACTUAL stream — the streaming
+    * twin of q101's two-batch fold. Each micro-batch runs
+    * [[graft.operators.Dedup.dedupIncrementWithIndex]] against the
+    * accumulated state and then ADVANCES it: the survivor corpus and
+    * the LSH band index live as evolving parquet tables (`corpusDir`,
+    * `indexDir`), and each batch appends its survivors and its
+    * `indexDelta` — dropped docs never enter the index, so a later
+    * batch is deduped against survivors only, exactly the per-arrival
+    * rule DedupPropertySpec pins for the batch fold.
+    *
+    * Scale shape (unchanged from the batch operator): only the
+    * micro-batch is signatured; the corpus state is touched by an
+    * id-only equi-join on the prebuilt index plus a left-semi
+    * candidate re-shingle — per-batch cost scales with batch size and
+    * near-dup density, never corpus size. State on disk (not in the
+    * state store) is deliberate: a 100 TB survivor corpus belongs in
+    * the lakehouse where downstream batch queries read it, not in
+    * RocksDB.
+    *
+    * Bootstrap: missing dirs mean an empty corpus — or pre-seed them
+    * with an existing corpus and its [[graft.operators.Dedup.minhashBandIndex]]
+    * to dedup the stream against history. Delivery: appends are
+    * at-least-once on failure/replay (`batch_id` is recorded per
+    * survivor row, publishByDay's idempotence convention); a
+    * transactional table format would make them exactly-once without
+    * changing this loop.
+    */
+  def incrementalDedupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      corpusDir: String,
+      indexDir: String,
+      checkpoint: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val hconf = s.sessionState.newHadoopConf()
+        // bootstrap = missing OR empty dir (a created-but-unwritten
+        // state dir has no parquet footers to infer a schema from)
+        def exists(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(hconf)
+          fs.exists(p) && fs.listStatus(p).nonEmpty
+        }
+        val corpus =
+          if (exists(corpusDir)) s.read.parquet(corpusDir).select(col(idCol), col(textCol))
+          else batch.limit(0).select(col(idCol), col(textCol))
+        val index =
+          if (exists(indexDir)) s.read.parquet(indexDir)
+          else graft.operators.Dedup.minhashBandIndex(
+            batch.limit(0), idCol, textCol, numHashes, bands)
+        val r = graft.operators.Dedup.dedupIncrementWithIndex(
+          corpus, index, batch, idCol, textCol, numHashes, bands, threshold)
+        // materialize the day-boundary state once, free the
+        // increment's internals, THEN append — the writes must not
+        // re-execute the candidate+verify pipeline per sink
+        val surv = r.survivors.localCheckpoint(true)
+        val delta = r.indexDelta.localCheckpoint(true)
+        graft.Checkpoints.release(r.indexDelta)
+        surv.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(corpusDir)
+        delta.write.mode("append").parquet(indexDir)
+        graft.Checkpoints.release(surv)
+        graft.Checkpoints.release(delta)
+      }
+      .start()
+
   /** File-source stream over a directory of parquet drops — the
     * Spark-native version of the reference's poll-and-reprocess loop
     * (checkpointed, exactly-once, Trigger.AvailableNow for batch-like
