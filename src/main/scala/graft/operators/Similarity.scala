@@ -174,7 +174,9 @@ object Similarity {
     * penalty (pure additive Lv), cheap 2-bit flips displace far
     * 1-bit flips that still hold real neighbors — measured WORSE
     * than exhaustive 1-bit on all three testdata scales; with it,
-    * recall@3 beats exhaustive at all three (q100 gates this).
+    * recall@3 >= exhaustive 1-bit, TEST-PINNED against a driver-side
+    * exhaustive-1-bit reference at sf0.001/sf0.01 (CorpusOpsSpec
+    * "query-directed probes") and reported per-method by q100.
     * Candidates are all 1-bit and 2-bit flips (the standard
     * practical cut that keeps the candidate list at b(b+1)/2, scale-
     * safe to bits=30), ordered (score asc, mask asc), first `bits`

@@ -112,6 +112,50 @@ class CorpusOpsSpec extends SparkSpec {
     assert(multiBig.size > single.size, "multi-probe should widen the candidate set on real data")
   }
 
+  test("query-directed probes: recall@3 >= exhaustive 1-bit flipping at the same probe budget") {
+    // The scaladoc's load-bearing claim (Similarity.lshMultiProbeTopK):
+    // spending the b+1 probes where the boundary distances say misses
+    // are beats spending them on ALL 1-bit flips. The query-directed
+    // probe set is NOT a superset of exhaustive-1-bit (far 1-bit flips
+    // are traded for cheap 2-bit flips), so the dominance test above
+    // cannot gate it — this computes the exhaustive-1-bit reference
+    // driver-side (500x64 vectors) and pins the recall floor at both
+    // small testdata scales.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val all = emb.collect()
+        .map(r => (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+        .sortBy(_._1)
+      def cosine(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0d; var na = 0d; var nb = 0d; var i = 0
+        while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def top3(qid: Long, qv: Array[Double], cands: Seq[(Long, Array[Double])]): Set[Long] =
+        cands.filter(_._1 != qid)
+          .map { case (id, v) => (id, cosine(qv, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      val queries = all.filter(_._1 < 20)
+      val exact = queries.map { case (qid, qv) => qid -> top3(qid, qv, all.toSeq) }.toMap
+      def bucket(v: Array[Double]): Int =
+        (0 until 6).map(d => if (v(d) > 0) 1 << d else 0).sum
+      val byBucket = all.groupBy { case (_, v) => bucket(v) }
+      val oneBitHits = queries.map { case (qid, qv) =>
+        val probes = bucket(qv) +: (0 until 6).map(d => bucket(qv) ^ (1 << d))
+        val cands = probes.distinct.flatMap(b => byBucket.getOrElse(b, Array.empty).toSeq)
+        (top3(qid, qv, cands) intersect exact(qid)).size
+      }.sum
+      val multiHits = Similarity.lshMultiProbeTopK(
+          emb.filter($"vec_id" < 20), emb, "vec_id", "embedding", k = 3, bits = 6)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .count { case (q, n) => exact(q).contains(n) }
+      assert(multiHits >= oneBitHits,
+        s"$sf: query-directed recall@3 $multiHits/60 fell below exhaustive-1-bit $oneBitHits/60")
+    }
+  }
+
   test("ivfTopK searches only the query's inverted list") {
     // centroids: v0 (x-axis) and v2 (y-axis). v1 assigns to v0's list,
     // v3 (opposite of x) to v2's list (cos -1 vs 0 => y wins).
