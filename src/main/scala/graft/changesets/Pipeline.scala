@@ -54,6 +54,17 @@ object Pipeline {
     * artifact); whenever any char was replaced, a short SHA-256 prefix
     * of the RAW token is appended so sanitized names stay injective.
     * Clean tokens (the common case) keep their exact name.
+    *
+    * One-time migration note: before the hash suffix (round 9), a
+    * sanitized token like 'a/b' published as plain 'a_b'; its next
+    * publish lands under 'a_b-<hash8>' and the old dir is simply
+    * orphaned until mtime retention ages it out — pointer reads are
+    * unaffected (the pointer names a full artifact name, not a
+    * derived one). A pre-existing CLEAN token that itself ends in
+    * '-<8 hex>' could in principle collide with a sanitized name;
+    * acceptable: clean tokens keep their exact name, so the collision
+    * needs an adversarial pair of tokens AND survives only until
+    * retention.
     */
   private[changesets] def safeVersion(v: String): String = {
     val s = v.map(c => if (c == '/' || c == '\\' || c == '"' || c < ' ') '_' else c)
@@ -239,6 +250,81 @@ object Pipeline {
       reason = if (force) "forced" else "source changed")
   }
 
+  // ------------------------------------------------------------------
+  // ANN artifact publish — the pointer-flip story applied to the
+  // index+model PAIR. The ANN index table is unusable without the
+  // model (coarse centroids + PQ codebooks) that encoded it, and a
+  // model from a different build probes a silently-wrong index — so
+  // the two MUST version together. One immutable dir per version:
+  //
+  //   publishDir/ann-<safeVersion>/index.parquet   (cluster-partitioned)
+  //   publishDir/ann-<safeVersion>/model/          (AnnModel.save)
+  //   publishDir/ann_current.json                  (the pointer)
+  //
+  // The pointer names the PAIR dir, so a rollback flip rolls index
+  // and model atomically-together; retention ages out whole pairs and
+  // never the pointed-at one. Same reader protocol as readCurrent.
+  // ------------------------------------------------------------------
+
+  private val AnnPointerName = "ann_current.json"
+
+  /** Publish one ANN build (index table + its model) as an immutable
+    * versioned pair and flip the pointer to it. Returns the versioned
+    * dir. The index is written partitioned by `partitionCol` so
+    * probes keep their partition-pruning story (BucketingSpec).
+    */
+  def publishAnn(
+      spark: SparkSession,
+      publishDir: String,
+      sourceVersion: String,
+      index: org.apache.spark.sql.DataFrame,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      partitionCol: String = "cluster",
+      keepHistory: Int = 5): String = {
+    Files.createDirectories(Paths.get(publishDir))
+    val dirName = s"ann-${safeVersion(sourceVersion)}"
+    val dir = s"$publishDir/$dirName"
+    index.write.mode("overwrite").partitionBy(partitionCol).parquet(s"$dir/index.parquet")
+    graft.operators.AnnModel.save(spark, s"$dir/model", coarse, codebooks)
+    flipAnnPointer(publishDir, dirName, sourceVersion)
+    applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
+    dir
+  }
+
+  /** Atomically point `ann_current.json` at an already-written
+    * versioned pair dir (both halves committed). Flipping BACK to an
+    * older dir is the rollback: index and model revert together.
+    */
+  def flipAnnPointer(publishDir: String, versionedDir: String, version: String): Unit = {
+    val json =
+      s"""{
+         |  "dir": ${jsonStr(versionedDir)},
+         |  "source_version": ${jsonStr(version)}
+         |}""".stripMargin
+    val tmp = Paths.get(publishDir, s".$AnnPointerName.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(publishDir, AnnPointerName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Resolve the current ANN pair dir (None before the first publish).
+    * `<dir>/index.parquet` and `<dir>/model` are the two halves.
+    */
+  def readCurrentAnn(publishDir: String): Option[String] = {
+    val p = Paths.get(publishDir, AnnPointerName)
+    if (!Files.exists(p)) return None
+    val json = Files.readString(p)
+    "\"dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json)
+      .map(m => s"$publishDir/${m.group(1)}")
+  }
+
+  /** Keep the newest N ANN pairs (mtime-ordered, like
+    * [[applyRetention]]), never deleting the pointed-at pair.
+    */
+  def applyAnnRetention(publishDir: String, keep: Int, protect: Option[String] = None): Unit =
+    retainNewest(publishDir, keep, protect, ".*/ann-[^/]*$")
+
   /** The catalog the reference publishes as index.json
     * (yml:176-222): size, update time token, row count, usage snippet.
     */
@@ -288,7 +374,11 @@ object Pipeline {
       .drop(srcCol, "__merge_rn")
   }
 
-  def applyRetention(publishDir: String, keep: Int, protect: Option[String] = None): Unit = {
+  def applyRetention(publishDir: String, keep: Int, protect: Option[String] = None): Unit =
+    retainNewest(publishDir, keep, protect, ".*/changesets-.*\\.parquet$")
+
+  private def retainNewest(
+      publishDir: String, keep: Int, protect: Option[String], pattern: String): Unit = {
     val dir = Paths.get(publishDir)
     if (!Files.exists(dir)) return
     // `protect`: never delete the artifact the current pointer names,
@@ -296,7 +386,7 @@ object Pipeline {
     // back to an old version followed by N new publishes)
     val keepAlways = protect.map(p => Paths.get(p).toAbsolutePath.normalize)
     val versioned = listChildren(dir)
-      .filter(p => p.toString.matches(".*/changesets-.*\\.parquet$"))
+      .filter(p => p.toString.matches(pattern))
       .sortBy(p => (Files.getLastModifiedTime(p).toMillis, p.toString))
       .reverse
     versioned.drop(keep)

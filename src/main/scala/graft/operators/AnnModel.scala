@@ -1,7 +1,8 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -79,8 +80,14 @@ object AnnModel {
          |  "sub_dim": ${codebooks(0)(0).length}
          |}
          |""".stripMargin
-    Files.write(Paths.get(modelDir, "manifest.json"),
-      manifest.getBytes(StandardCharsets.UTF_8))
+    // resolve through the session's Hadoop FileSystem, like the
+    // parquet writes above — a URI-schemed or non-local modelDir must
+    // not split the artifact across filesystems (manifest local,
+    // parquet remote)
+    val manifestPath = new Path(modelDir, "manifest.json")
+    val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(manifestPath, true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
   /** Reads a model dir written by [[save]], validating shape against
@@ -88,13 +95,18 @@ object AnnModel {
     * with a silently-wrong quantizer.
     */
   def load(spark: SparkSession, modelDir: String): IvfPq = {
-    val manifest = Files.readString(Paths.get(modelDir, "manifest.json"))
+    val manifestPath = new Path(modelDir, "manifest.json")
+    val fs = manifestPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(manifestPath)
+    val manifest =
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
     def field(name: String): Int = {
       val m = s""""$name":\\s*(\\d+)""".r.findFirstMatchIn(manifest)
       require(m.isDefined, s"AnnModel.load: manifest missing '$name' ($modelDir)")
       m.get.group(1).toInt
     }
     val (nlist, nsub, cbSize) = (field("nlist"), field("num_subspaces"), field("codebook_size"))
+    val (dims, subDim) = (field("dims"), field("sub_dim"))
     val coarse = spark.read.parquet(s"$modelDir/coarse.parquet")
       .orderBy(col("cluster_id"))
       .select(col("cluster_id"), col("centroid"))
@@ -102,12 +114,16 @@ object AnnModel {
     require(coarse.length == nlist && coarse.map(_._1).toSeq == (0 until nlist),
       s"AnnModel.load: coarse table disagrees with manifest (nlist=$nlist, " +
         s"got ${coarse.length} rows) in $modelDir")
+    require(coarse.forall(_._2.length == dims),
+      s"AnnModel.load: coarse centroid width != manifest dims=$dims in $modelDir")
     val cb = spark.read.parquet(s"$modelDir/codebooks.parquet")
       .orderBy(col("sub"), col("cluster"))
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     require(cb.length == nsub * cbSize,
       s"AnnModel.load: codebook table disagrees with manifest " +
         s"(${nsub}x$cbSize, got ${cb.length} rows) in $modelDir")
+    require(cb.forall(_._3.length == subDim),
+      s"AnnModel.load: codebook centroid width != manifest sub_dim=$subDim in $modelDir")
     val codebooks = Array.tabulate(nsub) { m =>
       val rows = cb.filter(_._1 == m)
       require(rows.map(_._2).toSeq == (0 until cbSize),

@@ -193,6 +193,50 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(Pipeline.readCurrent(pub).get).count() === 4L)
   }
 
+  test("ANN publish: index+model version as ONE pair; rollback rolls both; reader is never split") {
+    import spark.implicits._
+    val pub = tmpDir("pipe-ann")
+    def model(v: Double) = (
+      Array(Array(v, v), Array(v + 1, v + 1)),
+      Array(Array(Array(v, v), Array(v + 9, v + 9))))
+    def index(n: Int) = (0 until n).map(i => (i.toLong, i % 2)).toDF("vec_id", "cluster")
+
+    // the reader protocol: resolve the pointer ONCE, open both halves
+    // under it — index rows and model must come from the same build
+    def readerSees(): (Long, Double) = {
+      val dir = Pipeline.readCurrentAnn(pub).get
+      val rows = spark.read.parquet(s"$dir/index.parquet").count()
+      val m = graft.operators.AnnModel.load(spark, s"$dir/model")
+      (rows, m.coarse(0)(0))
+    }
+
+    val (c1, cb1) = model(1.0)
+    Pipeline.publishAnn(spark, pub, "v1", index(3), c1, cb1)
+    assert(readerSees() === ((3L, 1.0)))
+
+    // interleaving probe: v2's halves partially written (index landed,
+    // model not yet) — the pointer still names v1, so a reader sees
+    // the COMPLETE v1 pair, never v2's index with v1's model
+    index(4).write.partitionBy("cluster")
+      .parquet(s"$pub/ann-v2/index.parquet")
+    assert(readerSees() === ((3L, 1.0)))
+
+    val (c2, cb2) = model(2.0)
+    Pipeline.publishAnn(spark, pub, "v2", index(4), c2, cb2)
+    assert(readerSees() === ((4L, 2.0)))
+
+    // rollback: ONE pointer flip reverts BOTH halves
+    Pipeline.flipAnnPointer(pub, "ann-v1", "v1")
+    assert(readerSees() === ((3L, 1.0)))
+
+    // retention never deletes the pointed-at pair, even when mtime
+    // ordering would age it out after the rollback (keep=0 ages out
+    // every unprotected pair)
+    Pipeline.applyAnnRetention(pub, keep = 0, protect = Pipeline.readCurrentAnn(pub))
+    assert(readerSees() === ((3L, 1.0)))
+    assert(!Files.exists(Paths.get(pub, "ann-v2")), "unprotected pair should age out")
+  }
+
   test("safeVersion: sanitized names are injective (distinct raw tokens never collide)") {
     // clean tokens keep their exact name (artifact names stay stable)
     assert(Pipeline.safeVersion("v7") === "v7")
