@@ -16,10 +16,25 @@ import graft.SparkSpec
   */
 class DedupPropertySpec extends SparkSpec {
 
+  /** Char trigrams — ngramJaccardPairs' metric (NOT the minhash
+    * verify metric; that is [[wordShingles]] below).
+    */
   private def trigrams(text: String): Set[String] = {
     val lc = text.toLowerCase
     if (lc.length >= 3) (0 to lc.length - 3).map(i => lc.substring(i, i + 3)).toSet
     else Set(lc)
+  }
+
+  /** EXACTLY Dedup.shingled's metric: lowercase [^a-z0-9]+ tokens,
+    * distinct word 3-shingles, whole-doc fallback under 3 tokens —
+    * the premise pins below must use the operator's own verify
+    * metric, not a correlated one (char trigrams), or the fixture
+    * can silently degenerate relative to the operator's threshold.
+    */
+  private def wordShingles(text: String): Set[String] = {
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+    else Set(toks.mkString(" "))
   }
 
   private def jaccard(a: Set[String], b: Set[String]): Double =
@@ -90,9 +105,9 @@ class DedupPropertySpec extends SparkSpec {
     val chainC = "seven eight nine ten eleven twelve alpha beta gamma delta epsilon zeta"
     // pin the chain premises with the SAME shingle normalization the
     // operator uses, so the fixture can't silently degenerate again
-    assert(jaccard(trigrams(chainA), trigrams(chainB)) >= 0.5, "premise: 20 matches corpus 2")
-    assert(jaccard(trigrams(chainB), trigrams(chainC)) >= 0.5, "premise: 21 matches 20")
-    assert(jaccard(trigrams(chainA), trigrams(chainC)) < 0.5, "premise: 21 does NOT match corpus 2")
+    assert(jaccard(wordShingles(chainA), wordShingles(chainB)) >= 0.5, "premise: 20 matches corpus 2")
+    assert(jaccard(wordShingles(chainB), wordShingles(chainC)) >= 0.5, "premise: 21 matches 20")
+    assert(jaccard(wordShingles(chainA), wordShingles(chainC)) < 0.5, "premise: 21 does NOT match corpus 2")
     val corpusDocs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
       (2L, chainA),
