@@ -34,7 +34,10 @@ object Media {
       format: String, // e.g. png | wav | mp4
       data: Array[Byte])
 
-  /** Extracted (stub) features; the schema a real decoder would fill. */
+  /** Generic media profile row: REAL parsed dims for payloads
+    * [[ImageCodec]] recognizes, documented byte-arithmetic dims
+    * otherwise (see [[decodeFeatures]]).
+    */
   case class MediaFeatures(
       media_id: Long,
       kind: String,
