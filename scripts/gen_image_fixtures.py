@@ -1,8 +1,8 @@
 #!/usr/bin/env python3
-"""Generate the committed image fixtures under src/test/resources/graft/fixtures
-and print the exact stats ImageCodecSpec pins. Deterministic — re-running must
-reproduce the committed bytes bit-for-bit. Driver-side tooling only (like
-check_correctness.py); never a library dependency.
+"""Generate the committed media fixtures under src/test/resources/graft/fixtures
+and print the exact stats ImageCodecSpec/AudioCodecSpec pin. Deterministic —
+re-running must reproduce the committed bytes bit-for-bit. Driver-side tooling
+only (like check_correctness.py); never a library dependency.
 """
 import os
 import struct
@@ -61,3 +61,18 @@ pgm = b"P5\n%d %d\n255\n" % (GW, GH) + bytes(gray)
 with open(os.path.join(OUT, "gray.pgm"), "wb") as f:
     f.write(pgm)
 print("gray.pgm", stats(gray, 1, GW, GH))
+
+# --- tone.wav (16-bit stereo PCM @8000 Hz, 100 frames, a LIST chunk to skip) ---
+RATE, FRAMES, CH = 8000, 100, 2
+samples = [((i * 373) % 4001) - 2000 for i in range(FRAMES * CH)]
+data = b"".join(struct.pack("<h", s) for s in samples)
+list_chunk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size -> pad byte
+fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, CH, RATE, RATE * CH * 2, CH * 2, 16)
+body = b"WAVE" + fmt + list_chunk + b"data" + struct.pack("<I", len(data)) + data
+wav = b"RIFF" + struct.pack("<I", len(body)) + body
+with open(os.path.join(OUT, "tone.wav"), "wb") as f:
+    f.write(wav)
+print("tone.wav", dict(ch=CH, rate=RATE, frames=FRAMES,
+                       dur_ms=FRAMES * 1000 // RATE,
+                       mean=sum(samples) / len(samples),
+                       mn=min(samples), mx=max(samples)))

@@ -1,0 +1,116 @@
+package graft.operators
+
+/** Real audio decoding for the multimodal column path — a
+  * dependency-free WAV (RIFF) parser, the audio sibling of
+  * [[ImageCodec]]:
+  *
+  *  - RIFF/WAVE container: chunk walk (`fmt `, `data`, any others
+  *    skipped) honoring the odd-size pad byte, per the RIFF spec.
+  *  - PCM (format 1): unsigned 8-bit and signed little-endian 16-bit
+  *    samples, any channel count. Other format codes (float,
+  *    compressed) are a clear `Left`, not a crash.
+  *
+  * Like the image codec, the decoder computes SUMMARY STATS in one
+  * streaming pass over the payload — global sample mean/min/max,
+  * frame count, duration from the header rate — without materializing
+  * a decoded sample buffer: O(1) memory per record at any clip
+  * length, the only shape that survives a media table at scale.
+  * Malformed input is `Left(reason)`, never an exception (see
+  * [[Media.decodeAudio]] for the error-channel surface).
+  */
+object AudioCodec {
+
+  /** Single-pass summary of a decoded PCM clip. `mean`/`min`/`max`
+    * are over raw sample values across ALL channels (unsigned 0..255
+    * for 8-bit; signed -32768..32767 for 16-bit).
+    */
+  final case class AudioStats(
+      codec: String, // wav
+      channels: Int,
+      sampleRate: Int,
+      bits: Int,
+      nFrames: Long,
+      durationMs: Long,
+      mean: Double,
+      sMin: Int,
+      sMax: Int)
+
+  /** True when the payload starts with a RIFF/WAVE signature. */
+  def sniff(data: Array[Byte]): Boolean =
+    data.length >= 12 &&
+      data(0) == 'R' && data(1) == 'I' && data(2) == 'F' && data(3) == 'F' &&
+      data(8) == 'W' && data(9) == 'A' && data(10) == 'V' && data(11) == 'E'
+
+  /** Decode a WAV payload to its summary stats, or a parse-failure
+    * reason.
+    */
+  def decode(d: Array[Byte]): Either[String, AudioStats] = {
+    if (!sniff(d)) return Left("wav: not a RIFF/WAVE payload")
+    def u16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) | ((d(o + 2) & 0xffL) << 16) |
+        ((d(o + 3) & 0xffL) << 24)
+
+    // chunk walk: fmt must precede data (the spec's layout); unknown
+    // chunks are skipped, odd sizes consume a pad byte
+    var pos = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+    var result: Option[Either[String, AudioStats]] = None
+    while (result.isEmpty && pos + 8 <= d.length) {
+      val id = new String(d, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32(pos + 4)
+      val body = pos + 8
+      if (body + size > d.length)
+        result = Some(Left(s"wav: truncated '$id' chunk — need $size bytes, " +
+          s"have ${d.length - body}"))
+      else id match {
+        case "fmt " =>
+          if (size < 16) result = Some(Left("wav: fmt chunk shorter than 16 bytes"))
+          else fmt = Some((u16(body), u16(body + 2), u32(body + 4).toInt, u16(body + 14)))
+        case "data" =>
+          fmt match {
+            case None => result = Some(Left("wav: data chunk before fmt"))
+            case Some((format, channels, rate, bits)) =>
+              result = Some(decodeData(d, body, size, format, channels, rate, bits))
+          }
+        case _ => () // skip unknown chunk (LIST, cue, fact, ...)
+      }
+      pos = body + size.toInt + (size.toInt & 1)
+    }
+    result.getOrElse(Left(
+      if (fmt.isEmpty) "wav: no fmt chunk" else "wav: no data chunk"))
+  }
+
+  private def decodeData(
+      d: Array[Byte], body: Int, size: Long,
+      format: Int, channels: Int, rate: Int, bits: Int): Either[String, AudioStats] = {
+    if (format != 1) return Left(s"wav: format code $format not supported (PCM only)")
+    if (channels <= 0) return Left(s"wav: bad channel count $channels")
+    if (rate <= 0) return Left(s"wav: bad sample rate $rate")
+    if (bits != 8 && bits != 16) return Left(s"wav: $bits-bit samples not supported (8/16 only)")
+    val bytesPerSample = bits / 8
+    val frameBytes = channels * bytesPerSample
+    if (size % frameBytes != 0)
+      return Left(s"wav: data size $size not a multiple of the $frameBytes-byte frame")
+    val nSamples = size / bytesPerSample
+    if (nSamples == 0) return Left("wav: empty data chunk")
+    var sum = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var i = 0L
+    var p = body
+    while (i < nSamples) {
+      val v =
+        if (bits == 8) d(p) & 0xff // 8-bit PCM is unsigned
+        else ((d(p) & 0xff) | (d(p + 1) << 8)).toShort.toInt // 16-bit is signed LE
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      p += bytesPerSample
+      i += 1
+    }
+    val nFrames = size / frameBytes
+    Right(AudioStats("wav", channels, rate, bits, nFrames,
+      nFrames * 1000L / rate, sum.toDouble / nSamples, mn, mx))
+  }
+}

@@ -1,20 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video as opaque `binary`
   * columns with typed metadata, plus the decode / feature-extract /
   * frame-sample stages of a media training-data pipeline.
   *
-  * The image path decodes FOR REAL: [[ImageCodec]] parses PPM/PGM and
-  * BMP payloads (header + single-pass pixel stats) inside the same
-  * `mapPartitions` boundary; [[decodeImages]] is the typed surface and
-  * q102 hash-gates it end-to-end against a DuckDB oracle that
-  * recomputes the channel stats from the source bytes. Audio/video
-  * codecs remain out of scope for this environment (no codec
-  * libraries); [[decodeFeatures]] profiles those payloads with
-  * documented byte arithmetic instead (the q44 contract).
+  * The image and audio paths decode FOR REAL: [[ImageCodec]] parses
+  * PPM/PGM/BMP payloads and [[AudioCodec]] parses WAV/PCM payloads
+  * (header + single-pass sample stats) inside the same
+  * `mapPartitions` boundary; [[decodeImages]]/[[decodeAudio]] are the
+  * typed surfaces, and q102/q103 hash-gate them end-to-end against
+  * DuckDB oracles that recompute the stats from the source bytes.
+  * Video containers remain out of scope for this environment (no
+  * codec libraries); [[decodeFeatures]] profiles unrecognized
+  * payloads with documented byte arithmetic instead (the q44
+  * contract).
   *
   * Scale notes: decode runs via `mapPartitions` so a real decoder
   * amortizes per-partition init (model load, codec context) the same
@@ -70,31 +72,36 @@ object Media {
       encode(col("text"), "UTF-8").as("data"))
   }
 
-  /** Generic payload profile with a REAL image fast path: payloads
-    * whose magic [[ImageCodec]] recognizes (PPM/PGM/BMP) are decoded
-    * for real — `width`/`height` are the parsed raster dimensions and
-    * `duration_ms` is 0 (still image). Unrecognized payloads (audio/
-    * video/text — no codec libraries in this environment) get the
-    * documented byte-arithmetic profile q44 pins: dims folded from the
-    * byte length, duration 10 ms/byte. `byte_mean` is the raw payload
-    * mean in both branches (a content digest, not a pixel stat — see
-    * [[decodeImages]] for per-channel stats).
+  /** Generic payload profile with REAL codec fast paths: payloads
+    * whose magic [[ImageCodec]] recognizes (PPM/PGM/BMP) report the
+    * parsed raster dimensions and duration 0 (still image); payloads
+    * [[AudioCodec]] recognizes (WAV) report the parsed clip duration
+    * and dimensions 0. Unrecognized payloads (video/text — no codec
+    * libraries in this environment for those) get the documented
+    * byte-arithmetic profile q44 pins: dims folded from the byte
+    * length, duration 10 ms/byte. `byte_mean` is the raw payload mean
+    * in every branch (a content digest, not a sample stat — see
+    * [[decodeImages]]/[[decodeAudio]] for real per-channel stats).
     */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition init happens HERE for codecs that need it
-      // (contexts, model weights); ImageCodec is stateless.
+      // (contexts, model weights); both codecs here are stateless.
       it.map { m =>
         val n = m.data.length.toLong
         var mean = 0d
         var i = 0
         while (i < m.data.length) { mean += (m.data(i) & 0xff); i += 1 }
         if (n > 0) mean /= n
-        ImageCodec.decode(m.data) match {
-          case Right(s) =>
+        val image = if (ImageCodec.sniff(m.data)) ImageCodec.decode(m.data).toOption else None
+        lazy val audio = if (AudioCodec.sniff(m.data)) AudioCodec.decode(m.data).toOption else None
+        (image, audio) match {
+          case (Some(s), _) =>
             MediaFeatures(m.media_id, m.kind, n, s.width, s.height, 0L, mean)
-          case Left(_) =>
+          case (None, Some(a)) =>
+            MediaFeatures(m.media_id, m.kind, n, 0, 0, a.durationMs, mean)
+          case _ =>
             MediaFeatures(m.media_id, m.kind, n,
               (n % 640 + 1).toInt, (n % 480 + 1).toInt, n * 10, mean)
         }
@@ -143,6 +150,80 @@ object Media {
         }
       }
     }
+  }
+
+  /** Typed per-clip stats from [[AudioCodec]]'s real decode, with the
+    * same error-channel shape as [[ImageFeatures]].
+    */
+  final case class AudioFeatures(
+      media_id: Long,
+      codec: String,
+      ok: Boolean,
+      err: String,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      mean: Double,
+      s_min: Int,
+      s_max: Int)
+
+  /** REAL audio decode over the opaque media table — the audio
+    * sibling of [[decodeImages]]; q103 hash-gates the whole path
+    * (RIFF chunk walk, fmt parse, PCM sample scan) against DuckDB
+    * recomputing the stats from the source bytes.
+    */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        AudioCodec.decode(m.data) match {
+          case Right(a) =>
+            AudioFeatures(m.media_id, a.codec, ok = true, "", a.channels,
+              a.sampleRate, a.bits, a.nFrames, a.durationMs, a.mean, a.sMin, a.sMax)
+          case Left(e) =>
+            AudioFeatures(m.media_id, "", ok = false, e, 0, 0, 0, 0L, 0L, 0d, 0, 0)
+        }
+      }
+    }
+  }
+
+  /** Little-endian unsigned int of `bytes` width as a binary column —
+    * the RIFF header building block for [[toWav]].
+    */
+  private def le(c: Column, bytes: Int): Column =
+    unhex(concat((0 until bytes).map(b =>
+      format_string("%02X", pmod(shiftright(c.cast("long"), 8 * b), lit(256)))): _*))
+
+  /** Documents -> REAL mono 8-bit PCM WAV payloads, deterministically:
+    * a spec-complete RIFF/WAVE container (fmt + data chunks, correct
+    * sizes) whose samples are the text bytes and whose sample rate is
+    * len%4000+4000. Like [[toPpm]], this is what lets q103 hash-gate
+    * a REAL binary audio decode against a DuckDB oracle recovering
+    * every sample as a codepoint — the parser must walk the chunks
+    * and land on the data offset exactly or the stats diverge.
+    */
+  def toWav(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("rate", (pmod(len, lit(4000)) + lit(4000)).cast("int"))
+      .select(
+        col("doc_id").as("media_id"),
+        lit("audio").as("kind"),
+        lit("wav").as("format"),
+        concat(
+          encode(lit("RIFF"), "UTF-8"), le(length(col("text")) + lit(36), 4),
+          encode(lit("WAVE"), "UTF-8"),
+          encode(lit("fmt "), "UTF-8"), le(lit(16), 4),
+          le(lit(1), 2), // PCM
+          le(lit(1), 2), // mono
+          le(col("rate"), 4),
+          le(col("rate"), 4), // byte rate = rate * 1 channel * 1 byte
+          le(lit(1), 2), // block align
+          le(lit(8), 2), // bits per sample
+          encode(lit("data"), "UTF-8"), le(length(col("text")), 4),
+          encode(col("text"), "UTF-8")).as("data"))
   }
 
   /** Documents -> REAL P6 PPM payloads, deterministically: for text of

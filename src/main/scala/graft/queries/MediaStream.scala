@@ -223,9 +223,52 @@ object MediaStream {
       |FROM b
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q103
+  /** REAL audio decode, hash-gated end-to-end: documents become
+    * genuine RIFF/WAVE PCM binaries (Media.toWav — full container
+    * with fmt and data chunks) and AudioCodec parses them — chunk
+    * walk, fmt fields, sample scan — while the oracle recomputes
+    * every stat from the source text (sample byte == codepoint).
+    * A wrong chunk offset or a misread sample rate breaks the hash;
+    * duration is integer-exact (frames*1000/rate in both engines'
+    * integer division). Means floor-truncated at 1e-6 (q44 idiom).
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toWav(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeAudio(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("channels"),
+        col("sample_rate"), col("bits"), col("n_frames"), col("duration_ms"),
+        trunc6(col("mean")).as("mean"), col("s_min"), col("s_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q103Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 4000 + 4000 AS INTEGER) AS rate
+      |  FROM documents WHERE length(text) > 0),
+      |b AS (
+      |  SELECT doc_id, rate, len,
+      |    list_transform(range(1, len + 1),
+      |      i -> unicode(text[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS samples
+      |  FROM d)
+      |SELECT doc_id AS media_id, 'wav' AS codec, CAST(1 AS INTEGER) AS channels,
+      |  rate AS sample_rate, CAST(8 AS INTEGER) AS bits,
+      |  CAST(len AS BIGINT) AS n_frames,
+      |  CAST(len * 1000 // rate AS BIGINT) AS duration_ms,
+      |  floor(list_avg(samples) * 1e6) / 1e6 AS mean,
+      |  CAST(list_min(samples) AS INTEGER) AS s_min,
+      |  CAST(list_max(samples) AS INTEGER) AS s_max
+      |FROM b
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_media_decode" -> (q44 _),
     "q102_image_decode" -> (q102 _),
+    "q103_audio_decode" -> (q103 _),
     "q34_media_meta" -> (q34 _),
     "q35_frame_sample" -> (q35 _),
     "q36_sessionize" -> (q36 _),
@@ -235,6 +278,7 @@ object MediaStream {
   val oracle: Map[String, String] = Map(
     "q44_media_decode" -> q44Sql,
     "q102_image_decode" -> q102Sql,
+    "q103_audio_decode" -> q103Sql,
     "q34_media_meta" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
     "q36_sessionize" -> q36Sql,
