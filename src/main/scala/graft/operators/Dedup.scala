@@ -850,4 +850,150 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (floor(col("jr") * lit(1e6)) / lit(1e6)).as("jaccard"))
   }
+
+  // ------------------------------------------------------- winnowing
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS scheme): hash every word k-gram, slide a
+    * window of `w` consecutive hashes, select each window's minimum;
+    * the distinct selected hashes are the document's fingerprints.
+    * The winnowing guarantee: any shared token run of length
+    * >= w + k - 1 between two documents yields a shared fingerprint,
+    * while expected fingerprint density is 2/(w+1) of the k-gram
+    * count — position-robust near-dup detection at a fraction of the
+    * full shingle set's size.
+    *
+    * Fingerprints are selected by VALUE (the distinct window minima),
+    * not by position: inside one window a value tie selects the same
+    * hash either way, so the paper's rightmost-tie rule only matters
+    * for positional attribution, which this operator does not emit.
+    *
+    * Short docs degrade gracefully (shingle convention): fewer than k
+    * tokens -> the whole doc is one gram; fewer than w grams -> one
+    * fingerprint (the global min).
+    *
+    * Scale/codegen notes — the flat-explode discipline (this file's
+    * header: explode -> hash -> codegen'd aggregation, never nested
+    * higher-order lambda folds): an array formulation of the window
+    * step (`transform(sequence(...), j => least(element_at(hs, ...)))`
+    * over a `transform`-built hash array) was measured catastrophic —
+    * the optimizer inlines the hash-array producer into every
+    * `element_at` reference inside the window lambda, so EACH of the w
+    * operands re-tokenized the doc and re-hashed every gram:
+    * O(m²·w) md5 calls per doc, 30 min for 5 000 docs at sf0.1
+    * (jstack: `Least.eval` re-entering `ConcatWs`/`ArrayFilter`).
+    * Here each gram is hashed ONCE on its own row (codegen'd md5) and
+    * the sliding minimum is a bounded ROWS window partitioned BY
+    * DOCUMENT (parallel across docs — not the single-partition-window
+    * anti-pattern), reusing the caller's doc-hash partitioning: one
+    * sort, no extra shuffle, O(m·w) integer comparisons per doc.
+    */
+  def winnowFingerprintsFlat(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(k >= 1, "k-gram size must be >= 1")
+    require(w >= 2, "winnowing window must be >= 2")
+    val hashed =
+      df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+        .select(col("doc"),
+          when(size(col("toks")) >= k,
+            transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+              i => concat_ws(" ",
+                (0 until k).map(d => element_at(col("toks"), i + lit(d))): _*)))
+            .otherwise(array(concat_ws(" ", col("toks")))).as("grams"))
+        .select(col("doc"), size(col("grams")).as("m"),
+          posexplode(col("grams")).as(Seq("pos", "gram")))
+        .select(col("doc"), col("m"), col("pos"),
+          pmod(TextFunctions.hash60(col("gram")), lit(P)).as("h"))
+    val frame = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    hashed
+      .withColumn("wmin", min(col("h")).over(frame))
+      // full windows only (pos is 0-based: the last full window starts
+      // at m - w); a doc with fewer than w grams degrades to its
+      // global minimum — the pos-0 window covers the whole doc
+      .filter(col("pos") <= col("m") - w || (col("m") < w && col("pos") === 0))
+      .select(col("doc"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  /** Array-per-doc view of [[winnowFingerprintsFlat]] (fps sorted
+    * ascending) — the API surface for per-doc fingerprint storage.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4): DataFrame =
+    winnowFingerprintsFlat(df, idCol, textCol, k, w)
+      .groupBy(col("doc"))
+      .agg(sort_array(collect_set(col("fp"))).as("fps"))
+
+  /** Near-dup candidate pairs by winnowing-fingerprint overlap: docs
+    * sharing >= `minShared` selected fingerprints, with the
+    * containment score n_shared / min(n_a, n_b).
+    *
+    * Blocking is the fingerprint equi-self-join — the same
+    * never-all-pairs discipline as the LSH band join, and the same
+    * skew hazard: a fingerprint selected in many documents (a common
+    * phrase that happens to be a local minimum) is a hot block whose
+    * join blows up quadratically. `maxDf` drops such stop-fingerprints
+    * before the join (df-capped blocking, the PPJoin analog of a
+    * stopword list); every count in the output — n_shared, n_a, n_b —
+    * is computed over the SAME capped fingerprint universe, so the
+    * containment score is internally consistent.
+    *
+    * At 100 TB: per-doc fingerprinting is map-only; the exploded
+    * (fp, doc) table is ~2/(w+1) of the shingle explode; the df cap
+    * bounds every join block at `maxDf` rows, so the candidate join
+    * cost is sum over fingerprints of df² <= maxDf * |table| — linear
+    * in the corpus with a tunable constant.
+    *
+    * The flat (doc, fp) table is eagerly checkpoint-materialized: it
+    * has FOUR lazy consumers (the df histogram, the per-doc counts,
+    * both sides of the pair join), and without the cut each consumer
+    * re-executes the whole fingerprint pipeline (the q95
+    * multi-consumer disease). RELEASE CONTRACT: the result is
+    * checkpoint-backed — consume it (write/collect/count), then call
+    * [[graft.Checkpoints.release]] on it.
+    */
+  def winnowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 10,
+      minShared: Int = 2): DataFrame = {
+    // spread the hash-heavy map stage across tasks even when the input
+    // is a single small parquet split (see ngramJaccardPairs note)
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+    val e = winnowFingerprintsFlat(
+        df.repartition(fanout, col(idCol)), idCol, textCol, k, w)
+      .localCheckpoint(true)
+    // df-capped, >=2 (a fingerprint unique to one doc joins nothing)
+    val informative = e.groupBy(col("fp"))
+      .agg(count(lit(1)).as("fp_df"))
+      .filter(col("fp_df") >= 2 && col("fp_df") <= maxDf)
+      .select(col("fp"))
+    val ee = e.join(informative, Seq("fp"))
+    val nFp = ee.groupBy(col("doc")).agg(count(lit(1)).as("n_fp"))
+    ee.select(col("fp"), col("doc").as("doc_a"))
+      .join(ee.select(col("fp"), col("doc").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(nFp.select(col("doc").as("doc_a"), col("n_fp").as("n_a")), Seq("doc_a"))
+      .join(nFp.select(col("doc").as("doc_b"), col("n_fp").as("n_b")), Seq("doc_b"))
+      // exact small-integer ratio: correctly-rounded double division is
+      // engine-portable (minhashLshPairs note); floor-truncated output
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"),
+        (floor(col("n_shared").cast("double") / least(col("n_a"), col("n_b")).cast("double")
+          * lit(1e6)) / lit(1e6)).as("containment"))
+  }
 }

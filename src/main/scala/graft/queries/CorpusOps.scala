@@ -1079,7 +1079,56 @@ object CorpusOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --------------------------------------------------------------- q104
+  /** Winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
+    * scheme): hash word 3-grams, keep each 4-window's minimum hash as
+    * a fingerprint, pair documents sharing >= 2 fingerprints with
+    * df <= 10 (stop-fingerprint cap). The oracle re-derives the entire
+    * pipeline — grams, hashes, window minima via a least() chain,
+    * df cap, pair counts — so the gate pins the selection algorithm,
+    * not just pair existence. See Dedup.winnowPairs for the
+    * never-all-pairs blocking analysis.
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 3, w = 4, maxDf = 10, minShared = 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q104Sql = {
+    val h60 = hash60Sql.format("g")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 3
+       |    THEN list_transform(range(1, len(toks) - 1),
+       |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+       |    ELSE [array_to_string(toks, ' ')] END AS grams FROM tk),
+       |h AS (SELECT doc_id,
+       |  list_transform(grams, g -> $h60 % 2147483647) AS hs FROM g),
+       |sel AS (SELECT doc_id, list_distinct(
+       |  CASE WHEN len(hs) >= 4
+       |    THEN list_transform(range(1, len(hs) - 2),
+       |      j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3]))
+       |    ELSE [list_min(hs)] END) AS fps FROM h),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+       |informative AS (SELECT fp FROM e GROUP BY fp
+       |  HAVING count(*) >= 2 AND count(*) <= 10),
+       |ee AS (SELECT e.doc_id, e.fp FROM e JOIN informative USING (fp)),
+       |nfp AS (SELECT doc_id, count(*) AS n_fp FROM ee GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 2)
+       |SELECT doc_a, doc_b, n_shared, na.n_fp AS n_a, nb.n_fp AS n_b,
+       |  floor(CAST(n_shared AS DOUBLE) / least(na.n_fp, nb.n_fp) * 1e6) / 1e6
+       |    AS containment
+       |FROM pairs
+       |JOIN nfp na ON na.doc_id = doc_a
+       |JOIN nfp nb ON nb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_winnow_pairs" -> (q104 _),
     "q84_bigram_familiarity" -> (q84 _),
     "q85_pq_ann" -> (q85 _),
     "q86_ann_ivfpq" -> (q86 _),
@@ -1108,6 +1157,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q104_winnow_pairs" -> q104Sql,
     "q84_bigram_familiarity" -> q84Sql,
     // q85_pq_ann / q86_ann_ivfpq intentionally absent: not
     // SQL-expressible (k-means training); driver records rows-only

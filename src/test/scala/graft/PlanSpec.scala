@@ -243,6 +243,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "incremental dedup planned an NL join")
   }
 
+  test("q104 winnowing: doc-partitioned window, equi-join blocking, no cartesian") {
+    // the pair stage (downstream of the checkpoint cut): blocking joins
+    // on fp / doc keys only; a cartesian or NL join would mean the
+    // df-capped blocking degenerated to all-pairs
+    val df = SparkEntry.queries("q104_winnow_pairs")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    Checkpoints.release(df)
+    assert(!p.contains("CartesianProduct"), "winnow pair join planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "winnow pair join planned an NL join")
+    // the fingerprint stage (inside the cut, so audited on the lazy
+    // operator directly): the sliding-min window must be partitioned
+    // by doc (parallel), never the single-partition anti-pattern
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fp = operators.Dedup.winnowFingerprintsFlat(docs, "doc_id", "text")
+    val fpPlan = fp.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(fpPlan.contains("Window"), "winnowing lost its window stage")
+    assert(!fpPlan.contains("SinglePartition"),
+      "winnow window collapsed to a single partition")
+  }
+
   test("q96 chunking is map-only: no exchange before the output sort") {
     val p = plan("q96_chunk_documents")
     // explode + slices are per-row; the ONLY exchange allowed is the
