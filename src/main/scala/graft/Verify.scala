@@ -8,6 +8,12 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // A failed dump silently drops the query from the driver's gate
+    // (happened rounds 10-11: a testdata schema change broke 17 queries
+    // at analysis time and the gate shrank 104->87 with no signal).
+    // Collect failures into a manifest + loud summary so shrinkage is
+    // visible in driver logs and to GateCompletenessSpec.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
@@ -15,9 +21,14 @@ object Verify {
         Checkpoints.release(df) // free checkpoint-backed blocks per query
       }
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] GATE SHRINKAGE: ${failures.size} of " +
+        s"${SparkEntry.queries.size} queries failed to dump and will be " +
+        s"MISSING from the correctness gate: ${failures.keys.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -33,6 +44,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), failJson)
     spark.stop()
   }
 }
