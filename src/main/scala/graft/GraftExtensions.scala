@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(VectorExpressions.ngramsFnName),
       new ExpressionInfo(classOf[graft.functions.ExplodeNGrams].getName, VectorExpressions.ngramsFnName),
       (children: Seq[Expression]) => graft.functions.ExplodeNGrams(children.head, children(1))))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.PolyHash.fnName),
+      new ExpressionInfo(classOf[graft.functions.PolyHash].getName, graft.functions.PolyHash.fnName),
+      (children: Seq[Expression]) => graft.functions.PolyHash(children.head)))
   }
 }

@@ -5,7 +5,15 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg (local iteration only — the driver passes two):
+    // comma-separated name prefixes; dump + oracle only matching queries
+    val keep: String => Boolean = args.lift(2) match {
+      case Some(filter) =>
+        val prefixes = filter.split(",").toSeq
+        name => prefixes.exists(name.startsWith)
+      case None => _ => true
+    }
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     // A failed dump silently drops the query from the driver's gate
@@ -14,7 +22,7 @@ object Verify {
     // Collect failures into a manifest + loud summary so shrinkage is
     // visible in driver logs and to GateCompletenessSpec.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -41,7 +49,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val failJson = failures

@@ -36,6 +36,26 @@ object TextFunctions {
   def hash60(s: Column, seed: Int): Column =
     hash60(concat(lit(s"$seed|"), s))
 
+  /** Karp-Rabin polynomial hash in [0, 2^31-1) — the cheap (native
+    * codegen'd, allocation-free) alternative to [[hash60]] for
+    * hash-per-gram hot paths; see [[PolyHash]] for the full contract
+    * (ASCII-only oracle parity). NOT a drop-in for the minhash
+    * family: min-selection over polynomial hashes would bias toward
+    * short strings (h < base^len for len-char inputs), so minhash
+    * keeps md5.
+    */
+  def polyHash(s: Column): Column = call_function(PolyHash.fnName, s)
+
+  /** DuckDB mirror of [[polyHash]] for ASCII inputs; %s = string expr
+    * (referenced twice). Identical left fold, code points == bytes on
+    * the tokens() alphabet.
+    */
+  val polyHashSql: String =
+    "(CASE WHEN %s = '' THEN 0 ELSE list_reduce(" +
+      "list_prepend(0::BIGINT, list_transform(string_split(%s, ''), " +
+      "c -> unicode(c)::BIGINT)), " +
+      "(acc, c) -> (acc * 1000003 + c) %% 2147483647) END)"
+
   // ------------------------------------------------------------ lang id
   /** Tiny stopword inventories; scoring is count-of-matching-tokens
     * (with multiplicity). Heuristic n-gram-free language ID — the

@@ -217,5 +217,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(ngramsFnName), ngramsInfo,
       (children: Seq[Expression]) => ExplodeNGrams(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(PolyHash.fnName),
+      new ExpressionInfo(classOf[PolyHash].getName, PolyHash.fnName),
+      (children: Seq[Expression]) => PolyHash(children.head))
   }
 }

@@ -874,19 +874,27 @@ object Dedup {
     *
     * Scale/codegen notes — the flat-explode discipline (this file's
     * header: explode -> hash -> codegen'd aggregation, never nested
-    * higher-order lambda folds): an array formulation of the window
-    * step (`transform(sequence(...), j => least(element_at(hs, ...)))`
-    * over a `transform`-built hash array) was measured catastrophic —
-    * the optimizer inlines the hash-array producer into every
-    * `element_at` reference inside the window lambda, so EACH of the w
-    * operands re-tokenized the doc and re-hashed every gram:
-    * O(m²·w) md5 calls per doc, 30 min for 5 000 docs at sf0.1
-    * (jstack: `Least.eval` re-entering `ConcatWs`/`ArrayFilter`).
-    * Here each gram is hashed ONCE on its own row (codegen'd md5) and
-    * the sliding minimum is a bounded ROWS window partitioned BY
-    * DOCUMENT (parallel across docs — not the single-partition-window
-    * anti-pattern), reusing the caller's doc-hash partitioning: one
-    * sort, no extra shuffle, O(m·w) integer comparisons per doc.
+    * higher-order lambda folds): BOTH array-lambda formulations of
+    * this pipeline were measured catastrophic, for the same reason —
+    * projection collapse inlines the array producer into every
+    * element reference inside a lambda:
+    *   - the window step as `transform(sequence(...), j =>
+    *     least(element_at(hs, ...)))` re-tokenized and re-hashed the
+    *     doc per operand: O(m²·w), 30 min for 5 000 docs at sf0.1
+    *     (jstack: `Least.eval` re-entering `ConcatWs`/`ArrayFilter`);
+    *   - gram STRINGS built as `transform(sequence(...), i =>
+    *     concat_ws(element_at(toks, i+d)...))` re-tokenized the doc
+    *     inside every `element_at`: ~34 µs per gram, 9 s of the
+    *     original 24.8 s at sf0.1 (BENCH_r11 q104 analysis; the other
+    *     ~10 s was one md5 + hex-conv per gram).
+    * The shape that survives Catalyst: posexplode TOKENS once (a
+    * Generate evaluates its child once per input row), hash each token
+    * once with the native codegen'd Karp-Rabin fold (PolyHash — the
+    * paper's own hash family), then build each k-gram's hash as a
+    * Horner combination of the k token hashes via `lead()` and take
+    * the sliding minimum — integer window functions over materialized
+    * long columns, sharing ONE doc-partitioned sort (lead and min use
+    * the same partitioning + ordering), no gram string ever exists.
     */
   def winnowFingerprintsFlat(
       df: DataFrame,
@@ -896,21 +904,35 @@ object Dedup {
       w: Int = 4): DataFrame = {
     require(k >= 1, "k-gram size must be >= 1")
     require(w >= 2, "winnowing window must be >= 2")
-    val hashed =
+    val HB = 1000003L // Horner base over token hashes; P * HB < 2^52
+    val base =
       df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
-        .select(col("doc"),
-          when(size(col("toks")) >= k,
-            transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-              i => concat_ws(" ",
-                (0 until k).map(d => element_at(col("toks"), i + lit(d))): _*)))
-            .otherwise(array(concat_ws(" ", col("toks")))).as("grams"))
-        .select(col("doc"), size(col("grams")).as("m"),
-          posexplode(col("grams")).as(Seq("pos", "gram")))
-        .select(col("doc"), col("m"), col("pos"),
-          pmod(TextFunctions.hash60(col("gram")), lit(P)).as("h"))
+    val byPos = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    // gram hash at token position pos: Horner fold over the k token
+    // hashes th[pos..pos+k-1]; lead() past the partition end yields
+    // null, and those tail rows are exactly pos >= m (dropped)
+    val gramHash = (1 until k).foldLeft(col("th")) { (acc, d) =>
+      (acc * lit(HB) + lead(col("th"), d).over(byPos)) % lit(P) }
+    val grams = base
+      .filter(size(col("toks")) >= k)
+      .select(col("doc"), (size(col("toks")) - (k - 1)).as("m"),
+        posexplode(col("toks")).as(Seq("pos", "tok")))
+      .select(col("doc"), col("m"), col("pos"),
+        TextFunctions.polyHash(col("tok")).as("th"))
+      .select(col("doc"), col("m"), col("pos"), gramHash.as("h"))
+      .filter(col("pos") < col("m"))
+    // sub-k docs degrade to one whole-doc gram (shingle convention):
+    // the same Horner fold over ALL token hashes, seeded 0 — identical
+    // to the k-gram formula since 0 * HB + th0 = th0. <= 2 lambda
+    // elements per such doc, so the interpreted HOF is irrelevant here.
+    val smallDocs = base
+      .filter(size(col("toks")) < k)
+      .select(col("doc"), lit(1).as("m"), lit(0).as("pos"),
+        aggregate(transform(col("toks"), t => TextFunctions.polyHash(t)),
+          lit(0L), (acc, x) => (acc * lit(HB) + x) % lit(P)).as("h"))
     val frame = Window.partitionBy(col("doc")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    hashed
+    grams.unionByName(smallDocs)
       .withColumn("wmin", min(col("h")).over(frame))
       // full windows only (pos is 0-based: the last full window starts
       // at m - w); a doc with fewer than w grams degrades to its

@@ -1095,15 +1095,22 @@ object CorpusOps {
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val q104Sql = {
-    val h60 = hash60Sql.format("g")
+    // mirror of Dedup.winnowFingerprintsFlat: per-token Karp-Rabin
+    // fold (TextFunctions.polyHashSql), then the k=3 gram hash as the
+    // Horner combination of consecutive token hashes; sub-k docs fold
+    // ALL their token hashes (same formula seeded 0)
+    val ph = graft.functions.TextFunctions.polyHashSql.format("t", "t")
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
-       |g AS (SELECT doc_id,
-       |  CASE WHEN len(toks) >= 3
-       |    THEN list_transform(range(1, len(toks) - 1),
-       |      i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
-       |    ELSE [array_to_string(toks, ' ')] END AS grams FROM tk),
+       |th AS (SELECT doc_id,
+       |  list_transform(toks, t -> $ph) AS ths FROM tk),
        |h AS (SELECT doc_id,
-       |  list_transform(grams, g -> $h60 % 2147483647) AS hs FROM g),
+       |  CASE WHEN len(ths) >= 3
+       |    THEN list_transform(range(1, len(ths) - 1),
+       |      i -> ((ths[i] * 1000003 + ths[i+1]) % 2147483647
+       |            * 1000003 + ths[i+2]) % 2147483647)
+       |    ELSE [list_reduce(list_prepend(0::BIGINT, ths),
+       |      (acc, c) -> (acc * 1000003 + c) % 2147483647)] END AS hs
+       |  FROM th),
        |sel AS (SELECT doc_id, list_distinct(
        |  CASE WHEN len(hs) >= 4
        |    THEN list_transform(range(1, len(hs) - 2),

@@ -6,32 +6,35 @@ import graft.SparkSpec
 
 /** Winnowing fingerprints (Schleimer et al. 2003) pinned three ways:
   * a driver-side reference implementation (plain Scala sliding
-  * windows over the same md5-derived hash) must agree exactly; the
-  * paper's detection guarantee (shared run >= w+k-1 tokens -> shared
-  * fingerprint) must hold on adversarial doc pairs; and the df cap
-  * must keep hot fingerprints out of the pair join.
+  * windows over the same Karp-Rabin polynomial hash — independently
+  * re-folded here, so it also differentially pins the codegen'd
+  * PolyHash expression) must agree exactly; the paper's detection
+  * guarantee (shared run >= w+k-1 tokens -> shared fingerprint) must
+  * hold on adversarial doc pairs; and the df cap must keep hot
+  * fingerprints out of the pair join.
   */
 class WinnowSpec extends SparkSpec {
   import spark.implicits._
 
-  private val P = 2147483647L
+  /** Plain-Scala re-fold of graft.functions.PolyHash's contract. */
+  private def polyRef(s: String): Long = {
+    var h = 0L
+    s.getBytes("UTF-8").foreach(b => h = (h * 1000003L + (b & 0xffL)) % 2147483647L)
+    h
+  }
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  private def h60(s: String): Long =
-    java.lang.Long.parseLong(md5hex(s).take(15), 16) % P
-
-  /** Independent reference: same tokenization, k-gram, window-min
-    * selection as Dedup.winnowFingerprints, via Scala collections.
+  /** Independent reference: same tokenization, per-token hash, Horner
+    * gram combination, and window-min selection as
+    * Dedup.winnowFingerprints, via Scala collections.
     */
   private def refFps(text: String, k: Int, w: Int): Set[Long] = {
-    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-    val grams =
-      if (toks.size >= k) toks.sliding(k).map(_.mkString(" ")).toVector
-      else Vector(toks.mkString(" "))
-    val hs = grams.map(h60)
+    val P = 2147483647L
+    val HB = 1000003L
+    val ths = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq.map(polyRef)
+    def horner(g: Seq[Long]): Long = g.foldLeft(0L)((acc, x) => (acc * HB + x) % P)
+    val hs =
+      if (ths.size >= k) ths.sliding(k).map(horner).toVector
+      else Vector(horner(ths))
     if (hs.size >= w) hs.sliding(w).map(_.min).toSet else Set(hs.min)
   }
 
