@@ -1052,16 +1052,78 @@ object CorpusOps {
   }
 
   // ---------------------------------------------------------------- q89
-  /** BPE tokenizer training (rows-only check — iterative argmax is not
-    * SQL-expressible; BpeSpec differentially gates the algorithm
-    * against a single-machine reference). 10 merges learned from the
-    * documents word-frequency table; one distributed aggregate per
-    * merge, driver state = the merge list. See operators.Bpe.
+  /** BPE tokenizer training, oracle-gated since r12. 10 merges learned
+    * from the documents word-frequency table; one distributed aggregate
+    * per merge, driver state = the merge list. See operators.Bpe.
+    *
+    * The oracle UNROLLS the 10 training iterations as generated CTE
+    * levels (BPE training is integer-count argmax with a total-order
+    * tie-break, so it is exactly reproducible — no float summation
+    * anywhere): each level counts adjacent symbol pairs, picks
+    * (cnt DESC, a, b) LIMIT 1, and rewrites the word table with the
+    * same left-greedy non-overlapping fold `Bpe.applyMergeOn` uses,
+    * expressed as a `list_reduce` over a two-part string state
+    * (acc || chr(30) || prev, symbols chr(31)-joined — both separators
+    * are outside the token alphabet [a-z0-9</>w]). BpeSpec additionally
+    * gates the trainer differentially against a single-machine
+    * reference fold.
     */
   private def q89(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.Bpe.trainMerges(t(s, dir, "documents"), "text", numMerges = 10)
       .toDF().orderBy(col("rank"))
+  }
+
+  private val q89Sql: String = {
+    val numMerges = 10
+    val sep = "chr(31)" // symbol separator inside the fold accumulator
+    val st = "chr(30)"  // accumulator | prev-symbol state separator
+    // finishing step of the fold: append a pending prev (if any) to acc
+    def finish(v: String) =
+      s"""CASE WHEN split_part($v, $st, 2) = '' THEN split_part($v, $st, 1)
+         |     WHEN split_part($v, $st, 1) = '' THEN split_part($v, $st, 2)
+         |     ELSE split_part($v, $st, 1) || $sep || split_part($v, $st, 2) END""".stripMargin
+    def level(n: Int) =
+      s"""c$n AS (
+         |  SELECT split_part(p, $sep, 1) AS a, split_part(p, $sep, 2) AS b,
+         |         sum(freq) AS cnt
+         |  FROM (SELECT unnest(list_transform(range(1, len(sym)),
+         |                 i -> sym[i] || $sep || sym[i+1])) AS p, freq
+         |        FROM words$n WHERE len(sym) >= 2)
+         |  GROUP BY 1, 2),
+         |b$n AS (SELECT a, b, cnt FROM c$n ORDER BY cnt DESC, a, b LIMIT 1),
+         |words${n + 1} AS (
+         |  SELECT CASE WHEN len(sym) < 2 THEN sym
+         |    ELSE string_split(
+         |      (SELECT ${finish("fin")}
+         |       FROM (SELECT list_reduce(
+         |         list_prepend($st || sym[1], sym[2:len(sym)]),
+         |         (acc, x) -> CASE
+         |           WHEN split_part(acc, $st, 2) = bst.a AND x = bst.b THEN
+         |             (CASE WHEN split_part(acc, $st, 1) = '' THEN bst.a || bst.b
+         |                   ELSE split_part(acc, $st, 1) || $sep || bst.a || bst.b END) ||
+         |             $st
+         |           WHEN split_part(acc, $st, 2) = '' THEN
+         |             split_part(acc, $st, 1) || $st || x
+         |           ELSE (CASE WHEN split_part(acc, $st, 1) = ''
+         |                      THEN split_part(acc, $st, 2)
+         |                      ELSE split_part(acc, $st, 1) || $sep ||
+         |                           split_part(acc, $st, 2) END) || $st || x
+         |           END) AS fin)), $sep)
+         |    END AS sym, freq
+         |  FROM words$n, b$n bst)""".stripMargin
+    val levels = (0 until numMerges).map(level).mkString(",\n")
+    val finals = (0 until numMerges).map { n =>
+      s"""SELECT $n AS rank, a AS "left", b AS "right", a || b AS merged,
+         |  CAST(cnt AS BIGINT) AS freq FROM b$n WHERE cnt >= 2""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tk AS (SELECT unnest($toksSql) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS freq FROM tk GROUP BY word),
+       |words0 AS (SELECT list_append(string_split(word, ''), '</w>') AS sym,
+       |                  freq FROM wc),
+       |$levels
+       |$finals
+       |ORDER BY rank""".stripMargin
   }
 
   // ---------------------------------------------------------------- q90
@@ -1166,8 +1228,14 @@ object CorpusOps {
   val oracle: Map[String, String] = Map(
     "q104_winnow_pairs" -> q104Sql,
     "q84_bigram_familiarity" -> q84Sql,
-    // q85_pq_ann / q86_ann_ivfpq intentionally absent: not
-    // SQL-expressible (k-means training); driver records rows-only
+    // q85_pq_ann / q86_ann_ivfpq / q90_ann_rerank intentionally absent:
+    // their k-means/PQ TRAINING sums doubles over shuffled groups, so
+    // bit-exact cross-config reproduction is not guaranteed (assignment
+    // flips compound chaotically) — a pinned oracle would be a
+    // reliability hazard, and each has an oracle-gated fixed-codebook
+    // twin (q92/q91) that hash-gates the full QUERY path. q89's BPE
+    // training, by contrast, is pure integer argmax -> oracle below.
+    "q89_bpe_merges" -> q89Sql,
     "q91_rerank_exact" -> q91Sql,
     "q92_ivfpq_fixed" -> q92Sql,
     "q93_bpe_segment" -> q93Sql,
