@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Rerank, Similarity}
 
 /** Dedup + similarity-search operators registered as oracle-gated
   * queries over the `documents` and `embeddings` tables. Each oracle is
@@ -1156,13 +1156,16 @@ object CorpusOps {
         k = 3, w = 4, maxDf = 10, minShared = 2)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private val q104Sql = {
-    // mirror of Dedup.winnowFingerprintsFlat: per-token Karp-Rabin
-    // fold (TextFunctions.polyHashSql), then the k=3 gram hash as the
-    // Horner combination of consecutive token hashes; sub-k docs fold
-    // ALL their token hashes (same formula seeded 0)
+  /** Shared CTE chain deriving winnowing fingerprints `e(doc_id, fp)`
+    * — mirror of Dedup.winnowFingerprintsFlat at k=3, w=4: per-token
+    * Karp-Rabin fold (TextFunctions.polyHashSql), the gram hash as the
+    * Horner combination of consecutive token hashes (sub-k docs fold
+    * ALL their token hashes — same formula seeded 0), then window-min
+    * selection. Used by q104 (pair mining) and q105 (re-rank stage 1).
+    */
+  private val winnowFpsCtes: String = {
     val ph = graft.functions.TextFunctions.polyHashSql.format("t", "t")
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |th AS (SELECT doc_id,
        |  list_transform(toks, t -> $ph) AS ths FROM tk),
        |h AS (SELECT doc_id,
@@ -1178,7 +1181,11 @@ object CorpusOps {
        |    THEN list_transform(range(1, len(hs) - 2),
        |      j -> least(hs[j], hs[j+1], hs[j+2], hs[j+3]))
        |    ELSE [list_min(hs)] END) AS fps FROM h),
-       |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+       |e AS (SELECT doc_id, unnest(fps) AS fp FROM sel)""".stripMargin
+  }
+
+  private val q104Sql = {
+    s"""WITH $winnowFpsCtes,
        |informative AS (SELECT fp FROM e GROUP BY fp
        |  HAVING count(*) >= 2 AND count(*) <= 10),
        |ee AS (SELECT e.doc_id, e.fp FROM e JOIN informative USING (fp)),
@@ -1196,8 +1203,58 @@ object CorpusOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q105
+  /** Two-stage lexical retrieval (operators.Rerank): stage 1 blocks
+    * (query, doc) candidates on shared winnowing fingerprints (docs
+    * 0-4 are the query batch, the rest the corpus); stage 2 re-ranks
+    * by exact distinct-token Jaccard and keeps the top 3 per query.
+    * The oracle re-derives fingerprints (shared winnowFpsCtes), the
+    * candidate equi-join, the Jaccard, and the (score DESC, doc_id)
+    * top-k — the full two-stage pipeline, hash-exact. The
+    * cross-encoder model path (Rerank.rerankWithModel) is gated by
+    * RerankSpec instead: a black-box batch scorer has no SQL mirror
+    * by construction, but shares every join/topk piece with this
+    * gated path.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+    val corpus = docs.filter(col("doc_id") >= 5)
+    val cand = Rerank.candidatePairs(queries, corpus, "doc_id", "text")
+    Rerank.rerank(cand, queries, corpus, "doc_id", "text", k = 3)
+      .select(col("query_id"), col("doc_id"), col("rank"),
+        // floor-truncate the one double in the row (q104 precedent)
+        (floor(col("score") * lit(1e6)) / lit(1e6)).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q105Sql =
+    s"""WITH $winnowFpsCtes,
+       |cand AS (
+       |  SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS doc_id
+       |  FROM (SELECT * FROM e WHERE doc_id < 5) q
+       |  JOIN (SELECT * FROM e WHERE doc_id >= 5) c USING (fp)
+       |  WHERE q.doc_id <> c.doc_id),
+       |ts AS (SELECT doc_id, list_distinct(toks) AS s FROM tk),
+       |scored AS (
+       |  SELECT cand.query_id, cand.doc_id,
+       |    CAST(len(list_intersect(tq.s, td.s)) AS DOUBLE) /
+       |      greatest(len(tq.s) + len(td.s) - len(list_intersect(tq.s, td.s)), 1)
+       |      AS score
+       |  FROM cand
+       |  JOIN ts tq ON tq.doc_id = cand.query_id
+       |  JOIN ts td ON td.doc_id = cand.doc_id)
+       |SELECT query_id, doc_id, rank, floor(score * 1e6) / 1e6 AS score FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_winnow_pairs" -> (q104 _),
+    "q105_cross_rerank" -> (q105 _),
     "q84_bigram_familiarity" -> (q84 _),
     "q85_pq_ann" -> (q85 _),
     "q86_ann_ivfpq" -> (q86 _),
@@ -1227,6 +1284,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "q104_winnow_pairs" -> q104Sql,
+    "q105_cross_rerank" -> q105Sql,
     "q84_bigram_familiarity" -> q84Sql,
     // q85_pq_ann / q86_ann_ivfpq / q90_ann_rerank intentionally absent:
     // their k-means/PQ TRAINING sums doubles over shuffled groups, so

@@ -263,6 +263,17 @@ class PlanSpec extends SparkSpec {
       "winnow window collapsed to a single partition")
   }
 
+  test("q105 cross-rerank: fp-blocked candidates, broadcast query side, no cartesian") {
+    val df = SparkEntry.queries("q105_cross_rerank")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), "rerank planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "rerank planned an NL join")
+    // the query side must broadcast (a query batch is KBs by contract);
+    // the top-k window partitions by query — never a global sort window
+    assert(p.contains("BroadcastHashJoin"), "query-side text join is not broadcast")
+    assert(!p.contains("SinglePartition"), "rerank top-k collapsed to one partition")
+  }
+
   test("q96 chunking is map-only: no exchange before the output sort") {
     val p = plan("q96_chunk_documents")
     // explode + slices are per-row; the ONLY exchange allowed is the
