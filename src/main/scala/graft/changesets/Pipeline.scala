@@ -292,6 +292,48 @@ object Pipeline {
     dir
   }
 
+  /** Daily-increment ANN index maintenance WITHOUT retraining — the
+    * production daily path (codebooks are retrained weekly/monthly,
+    * not per batch): encode ONLY the new vectors with the CURRENT
+    * pair's frozen model, and publish a NEW immutable versioned pair
+    * whose index is (current index ∪ batch delta) and whose model is
+    * the same artifact — the ANN analog of
+    * `Dedup.dedupIncrementWithIndex`'s indexDelta fold. The corpus is
+    * never re-encoded: per-day cost is O(|batch|) map-only encode plus
+    * the index rewrite. Rollback story unchanged: each day is its own
+    * pair dir, so flipping the pointer back reverts index AND model
+    * together, and a dropped batch never haunts the index.
+    *
+    * The full-index rewrite (vs appending files in place) is the price
+    * of immutable versioned pairs; a table format with snapshot
+    * isolation would make it a metadata-only append, but that is a
+    * dependency this library does not take. At 100 TB the index is
+    * ~bytes per vector (codes, not vectors) — the rewrite is orders of
+    * magnitude smaller than the corpus scan the no-retrain path saves.
+    *
+    * AnnAppendSpec pins append ≡ rebuild (bit-equal index and probe
+    * results vs indexing everything from scratch with the same model);
+    * q106 hash-gates the same equivalence through the DuckDB oracle.
+    */
+  def appendAnn(
+      spark: SparkSession,
+      publishDir: String,
+      sourceVersion: String,
+      newVecs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepHistory: Int = 5): String = {
+    val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
+      s"appendAnn: no current ANN pair under $publishDir — publishAnn must run first"))
+    val model = graft.operators.AnnModel.load(spark, s"$cur/model")
+    val delta = graft.operators.Similarity.ivfPqIndex(
+      newVecs, idCol, vecCol, model.coarse, model.codebooks)
+    val curIndex = spark.read.parquet(s"$cur/index.parquet")
+      .select(delta.columns.map(col): _*) // partition col moved on read
+    publishAnn(spark, publishDir, sourceVersion, curIndex.unionByName(delta),
+      model.coarse, model.codebooks, keepHistory = keepHistory)
+  }
+
   /** Atomically point `ann_current.json` at an already-written
     * versioned pair dir (both halves committed). Flipping BACK to an
     * older dir is the rollback: index and model revert together.

@@ -1141,6 +1141,49 @@ object CorpusOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --------------------------------------------------------------- q106
+  /** No-retrain ANN index maintenance (Pipeline.appendAnn): publish an
+    * IVF-PQ pair for the first 400 vectors with q92's fixed model,
+    * APPEND the rest as a daily batch (encoded with the FROZEN model,
+    * corpus never re-encoded), then probe the grown index. Because
+    * append must equal rebuild, the oracle is EXACTLY q92's full-scan
+    * SQL — the DuckDB gate pins the append ≡ rebuild equivalence
+    * end-to-end (pointer flip, model reload, delta encode, union).
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    if (emb.limit(1).isEmpty)
+      return Similarity.emptyAnnResult(emb, "vec_id")
+    def firstVecs(n: Int): Array[Array[Double]] =
+      emb.filter(col("vec_id") < n).orderBy(col("vec_id"))
+        .select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val sample = firstVecs(16)
+    val subDim = sample(0).length / 4
+    val codebooks = Array.tabulate(4)(m =>
+      sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val publishDir = java.nio.file.Files.createTempDirectory("q106-ann").toString
+    val day1 = Similarity.ivfPqIndex(
+      emb.filter(col("vec_id") < 400), "vec_id", "embedding", coarse, codebooks)
+    graft.changesets.Pipeline.publishAnn(s, publishDir, "day1", day1, coarse, codebooks)
+    graft.changesets.Pipeline.appendAnn(s, publishDir, "day2",
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    val cur = graft.changesets.Pipeline.readCurrentAnn(publishDir).get
+    val model = graft.operators.AnnModel.load(s, s"$cur/model")
+    // collect-free handoff is impossible here (the index must be read
+    // back from the published artifact — that IS the operator), so
+    // materialize via an eager checkpoint and delete the temp dir
+    val index = s.read.parquet(s"$cur/index.parquet").localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(publishDir))
+    Similarity.ivfPqProbe(emb.filter(col("vec_id") < 5), index, "vec_id", "embedding",
+        k = 10, coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------------- q104
   /** Winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
     * scheme): hash word 3-grams, keep each 4-window's minimum hash as
@@ -1255,6 +1298,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q104_winnow_pairs" -> (q104 _),
     "q105_cross_rerank" -> (q105 _),
+    "q106_ann_append" -> (q106 _),
     "q84_bigram_familiarity" -> (q84 _),
     "q85_pq_ann" -> (q85 _),
     "q86_ann_ivfpq" -> (q86 _),
@@ -1285,6 +1329,9 @@ object CorpusOps {
   val oracle: Map[String, String] = Map(
     "q104_winnow_pairs" -> q104Sql,
     "q105_cross_rerank" -> q105Sql,
+    // append ≡ rebuild: the grown-index probe must equal q92's
+    // from-scratch full scan, so the oracle is the identical SQL
+    "q106_ann_append" -> q92Sql,
     "q84_bigram_familiarity" -> q84Sql,
     // q85_pq_ann / q86_ann_ivfpq / q90_ann_rerank intentionally absent:
     // their k-means/PQ TRAINING sums doubles over shuffled groups, so
