@@ -8,32 +8,35 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Karp-Rabin polynomial string hash, the winnowing paper's own hash
   * family (Schleimer et al. 2003 §2 uses rolling polynomial k-gram
-  * hashes): left fold `h = (h * 1000003 + byte) % (2^31 - 1)` over the
-  * UTF-8 bytes, empty string -> 0. Result in [0, 2^31 - 1).
+  * hashes): left fold `h = (h * 1000003 + codePoint) % (2^31 - 1)`
+  * over the string's Unicode CODE POINTS, empty string -> 0. Result in
+  * [0, 2^31 - 1).
   *
   * Why it exists (measured, BENCH_r11): q104's fingerprint stage was
   * md5-bound — Spark's `md5` allocates a MessageDigest and hex string
   * per call, then `conv` re-parses the hex; at one hash per gram that
-  * was 26% of the whole bench sweep. This expression is a tight
-  * primitive-long loop inside whole-stage codegen — no allocation, no
-  * string round-trip.
+  * was 26% of the whole bench sweep. This fold is an allocation-free
+  * primitive-long loop (a single static call from generated code, no
+  * string round-trips).
   *
   * Oracle portability: DuckDB evaluates the identical fold as
   * `list_reduce(list_prepend(0, list_transform(string_split(s, ''),
   * c -> unicode(c))), (acc, c) -> (acc * 1000003 + c) % 2147483647)`
-  * (TextFunctions.polyHashSql). The mirror folds CODE POINTS while
-  * this folds BYTES — identical for ASCII inputs, which the callers
-  * guarantee: every gram comes from `TextFunctions.tokens` (alphabet
-  * [a-z0-9], space-joined). Non-ASCII inputs hash deterministically
-  * here but diverge from the SQL mirror — don't pair them with a
-  * DuckDB oracle.
+  * (TextFunctions.polyHashSql). Folding CODE POINTS — decoded from
+  * UTF-8 here, via `unicode(c)` there — makes the mirror exact for ALL
+  * inputs, not just ASCII (the byte-fold variant this replaced would
+  * have silently diverged from the SQL mirror on the first non-ASCII
+  * document the driver ever generates). ASCII bytes take the one-branch
+  * fast path.
   *
-  * Base 1000003 (prime, ~2^20): max intermediate (2^31)*(2^20) + 255
-  * < 2^52 — no 64-bit overflow in either engine (DuckDB BIGINT is
-  * ANSI-checked). A 3+ byte input exceeds the modulus, so all real
-  * grams (>= 5 chars: "a b c") are well wrapped; 1-2 char strings
-  * hash small, which only occurs for sub-k whole-doc fallback grams
-  * where the doc yields a single fingerprint regardless of value.
+  * Base 1000003 (prime, ~2^20): max intermediate (2^31)*(2^20) +
+  * 0x10FFFF < 2^52 — no 64-bit overflow in either engine (DuckDB
+  * BIGINT is ANSI-checked). A 3+ code-point input exceeds the modulus,
+  * so all real grams are well wrapped; 1-2 char strings hash small,
+  * which only matters under MIN-selection over same-length strings —
+  * the winnowing caller only min-selects k-gram Horner combinations,
+  * never raw short-string hashes (and minhash keeps md5 for exactly
+  * this reason, see TextFunctions.polyHash).
   */
 case class PolyHash(child: Expression) extends UnaryExpression {
 
@@ -45,32 +48,12 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
-    val n = s.numBytes()
-    var h = 0L
-    var i = 0
-    while (i < n) {
-      h = (h * 1000003L + (s.getByte(i) & 0xffL)) % 2147483647L
-      i += 1
-    }
-    h
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val h = ctx.freshName("h")
-      s"""
-         |int $n = $c.numBytes();
-         |long $h = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $h = ($h * 1000003L + ($c.getByte($i) & 0xffL)) % 2147483647L;
-         |}
-         |${ev.value} = $h;
-       """.stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHash.hash($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -78,4 +61,33 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
 object PolyHash {
   val fnName = "poly_hash"
+
+  /** The fold itself — shared by interpreted eval and generated code
+    * (a static call the JIT inlines). Manual UTF-8 decode keeps the
+    * loop allocation-free; ASCII bytes never enter the slow branch.
+    */
+  def hash(s: UTF8String): Long = {
+    val n = s.numBytes()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; i += 1 }
+      else if (b0 < 0xe0) { // 2-byte sequence (b0 >= 0xc0 in valid UTF-8)
+        cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f)
+        i += 2
+      } else if (b0 < 0xf0) { // 3-byte sequence
+        cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
+          (s.getByte(i + 2) & 0x3f)
+        i += 3
+      } else { // 4-byte sequence
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
+          ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f)
+        i += 4
+      }
+      h = (h * 1000003L + cp) % 2147483647L
+    }
+    h
+  }
 }

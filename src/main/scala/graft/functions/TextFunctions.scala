@@ -39,16 +39,16 @@ object TextFunctions {
   /** Karp-Rabin polynomial hash in [0, 2^31-1) — the cheap (native
     * codegen'd, allocation-free) alternative to [[hash60]] for
     * hash-per-gram hot paths; see [[PolyHash]] for the full contract
-    * (ASCII-only oracle parity). NOT a drop-in for the minhash
-    * family: min-selection over polynomial hashes would bias toward
-    * short strings (h < base^len for len-char inputs), so minhash
-    * keeps md5.
+    * (code-point fold, exact DuckDB mirror for ALL inputs). NOT a
+    * drop-in for the minhash family: min-selection over polynomial
+    * hashes would bias toward short strings (h < base^len for
+    * len-char inputs), so minhash keeps md5.
     */
   def polyHash(s: Column): Column = call_function(PolyHash.fnName, s)
 
-  /** DuckDB mirror of [[polyHash]] for ASCII inputs; %s = string expr
-    * (referenced twice). Identical left fold, code points == bytes on
-    * the tokens() alphabet.
+  /** DuckDB mirror of [[polyHash]]; %s = string expr (referenced
+    * twice). Identical left fold over code points (`unicode(c)` there,
+    * UTF-8 decode here).
     */
   val polyHashSql: String =
     "(CASE WHEN %s = '' THEN 0 ELSE list_reduce(" +

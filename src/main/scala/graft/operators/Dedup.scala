@@ -785,8 +785,15 @@ object Dedup {
         |    i -> substring(lc, i, 3)))
         |else array(lc) end""".stripMargin)
     // sorted distinct hashed grams: sort once per ROW so the per-PAIR
-    // intersection is a primitive merge scan (SortedIntersectCount)
-    val grams = array_sort(array_distinct(transform(gramStrings, x => TextFunctions.hash60(x))))
+    // intersection is a primitive merge scan (SortedIntersectCount).
+    // poly_hash since r12: at sf0.1 this lambda evaluates ~10M times
+    // (every char-3-gram of every doc) and the md5+hex+conv chain was
+    // the sweep's largest remaining md5 sink; the code-point fold is
+    // allocation-free and mirrors DuckDB exactly on any input. No
+    // min-selection happens over these hashes (sets are compared by
+    // intersection size), so the short-string bias that keeps minhash
+    // on md5 is irrelevant here.
+    val grams = array_sort(array_distinct(transform(gramStrings, x => TextFunctions.polyHash(x))))
     val g = df
       .select(col(blockCol).as("blk"), col(idCol).as("doc"), lower(col(textCol)).as("lc"))
       .select(col("blk"), col("doc"), grams.as("g"))

@@ -117,7 +117,9 @@ object CorpusOps {
   // Oracle computes the UNpruned pairwise answer over the same hashed
   // gram sets — equality proves the engine's size-ratio prune lossless.
   private val q30Sql = {
-    val h60 = hash60Sql.format("x")
+    // poly_hash since r12 (was md5-hash60): ~10M grams at sf0.1 made
+    // this the sweep's md5 hot spot; the code-point fold mirrors exactly
+    val ph = graft.functions.TextFunctions.polyHashSql.format("x", "x")
     s"""WITH g AS (
        |  SELECT lang, doc_id, g, len(g) AS n FROM (
        |    SELECT lang, doc_id,
@@ -126,7 +128,7 @@ object CorpusOps {
        |          THEN list_distinct(list_transform(range(1, length(text) - 1),
        |            i -> substring(lower(text), CAST(i AS INTEGER), 3)))
        |          ELSE [lower(text)] END,
-       |        x -> $h60)) AS g
+       |        x -> $ph)) AS g
        |    FROM documents))
        |SELECT doc_a, doc_b, floor(jr * 1e6) / 1e6 AS jaccard FROM (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -16,11 +16,22 @@ import graft.SparkSpec
 class WinnowSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Plain-Scala re-fold of graft.functions.PolyHash's contract. */
+  /** Plain-Scala re-fold of graft.functions.PolyHash's contract: left
+    * fold over Unicode CODE POINTS (the DuckDB `unicode(c)` mirror).
+    */
   private def polyRef(s: String): Long = {
     var h = 0L
-    s.getBytes("UTF-8").foreach(b => h = (h * 1000003L + (b & 0xffL)) % 2147483647L)
+    s.codePoints().forEach(cp => h = (h * 1000003L + cp) % 2147483647L)
     h
+  }
+
+  test("poly_hash folds code points — exact on non-ASCII too (the oracle mirror)") {
+    val samples = Seq("", "a", "abc 12", "café", "漢字 ok",
+      "mixed café 漢字 🚀 tail")
+    val got = samples.toDF("s")
+      .select(graft.functions.TextFunctions.polyHash(col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === samples.map(polyRef))
   }
 
   /** Independent reference: same tokenization, per-token hash, Horner
