@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pathological-corpus audit for the dedup/fingerprint family — the
+  * degenerate shapes a 100 TB crawl actually contains, which uniform
+  * random testdata never exercises:
+  *
+  *   - an ALL-IDENTICAL corpus (every LSH band collides: maximal
+  *     blocks, the df-cap must engage rather than explode),
+  *   - single-token and empty-text documents (sub-k shingle fallback
+  *     paths, zero-token folds),
+  *   - one hot duplicate cluster inside distinct background noise
+  *     (the skew shape salting/df-caps exist for).
+  *
+  * These are correctness bounds, not oracles: results must be sane,
+  * complete, and never throw.
+  */
+class AdversarialCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("all-identical corpus: exact dedup keeps one, pairs are complete, df cap bounds winnow") {
+    val n = 40
+    val docs = (0L until n).map(i => (i, "the same exact document text repeated many times over"))
+      .toDF("doc_id", "text")
+    // exact dedup: one canonical survivor
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.count() === 1L)
+    assert(groups.select(size(col("member_ids"))).head().getInt(0) === n.toInt)
+    // minhash pairs at threshold 1.0: all (n choose 2) pairs — identical
+    // docs share every band, and the verify must NOT drop any
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 1.0)
+    assert(pairs.count() === n.toLong * (n - 1) / 2)
+    // winnow pairs with maxDf < n: every fingerprint has df = n, so the
+    // cap drops them ALL — the hot-block guard engages, no blow-up
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text", maxDf = n - 1)
+    assert(capped.count() === 0L)
+    graft.Checkpoints.release(capped)
+    // with the cap open the block is allowed: all pairs, containment 1
+    val open = Dedup.winnowPairs(docs, "doc_id", "text", maxDf = n)
+    val rows = open.collect()
+    assert(rows.length === n * (n - 1) / 2)
+    assert(rows.forall(_.getDouble(5) === 1.0))
+    graft.Checkpoints.release(open)
+  }
+
+  test("single-token and empty documents flow through fingerprints and dedup without error") {
+    val docs = Seq[(Long, String)](
+      1L -> "", 2L -> "  ", 3L -> "word", 4L -> "word",
+      5L -> "!!!", // tokenizes to empty
+      6L -> "two words").toDF("doc_id", "text")
+    // winnowing: every doc degrades to exactly one fingerprint
+    val fps = Dedup.winnowFingerprintsFlat(docs, "doc_id", "text")
+    val byDoc = fps.groupBy(col("doc")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(byDoc(_) === 1L))
+    // empty/whitespace/punctuation docs all hash to the empty fold (0)
+    // and the two "word" docs share their fingerprint
+    val fpOf = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fpOf(1L) === 0L && fpOf(2L) === 0L && fpOf(5L) === 0L)
+    assert(fpOf(3L) === fpOf(4L))
+    // exact dedup groups the two identical one-worders
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.exists(r => r.getAs[Seq[Long]]("member_ids").toSet == Set(3L, 4L)))
+  }
+
+  test("hot duplicate cluster in distinct noise: pairs are exactly the cluster") {
+    val hot = (0L until 12L).map(i => (i, "repeated boilerplate legal disclaimer text common to many pages"))
+    val noise = (100L until 160L).map(i =>
+      (i, s"unique document number $i with its own words like token${i}a token${i}b token${i}c token${i}d"))
+    val docs = (hot ++ noise).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (for (a <- 0L until 12L; b <- (a + 1) until 12L) yield (a, b)).toSet)
+  }
+}
