@@ -285,7 +285,15 @@ object Pipeline {
     Files.createDirectories(Paths.get(publishDir))
     val dirName = s"ann-${safeVersion(sourceVersion)}"
     val dir = s"$publishDir/$dirName"
-    index.write.mode("overwrite").partitionBy(partitionCol).parquet(s"$dir/index.parquet")
+    // cluster-collocate before the partitioned write: without it every
+    // upstream partition emits a file into every cluster dir (up to
+    // nlist x shuffle.partitions small files per publish); with it each
+    // cluster's codes land in one file. At test scale this is
+    // wall-clock-neutral (the publish chain is barrier-bound), but at
+    // fleet scale the reader-side file-open count is the difference
+    // between a probe scanning nprobe files and nprobe x thousands.
+    index.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$dir/index.parquet")
     graft.operators.AnnModel.save(spark, s"$dir/model", coarse, codebooks)
     flipAnnPointer(publishDir, dirName, sourceVersion)
     applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
