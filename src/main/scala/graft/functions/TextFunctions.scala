@@ -39,10 +39,17 @@ object TextFunctions {
   /** Karp-Rabin polynomial hash in [0, 2^31-1) — the cheap (native
     * codegen'd, allocation-free) alternative to [[hash60]] for
     * hash-per-gram hot paths; see [[PolyHash]] for the full contract
-    * (code-point fold, exact DuckDB mirror for ALL inputs). NOT a
-    * drop-in for the minhash family: min-selection over polynomial
-    * hashes would bias toward short strings (h < base^len for
-    * len-char inputs), so minhash keeps md5.
+    * (code-point fold, exact DuckDB mirror for ALL inputs).
+    *
+    * Where it may and may not replace md5: safe wherever downstream
+    * only needs DISTINCTNESS or is re-mixed — set intersection (q30),
+    * equi-join blocking keys, winnowing's Horner k-gram combinations,
+    * and the minhash BASE hash (the Carter-Wegman affine layer
+    * supplies pairwise-independent mixing for any distinct inputs).
+    * NOT safe where raw hash VALUES or BITS must be uniform: direct
+    * min-selection over raw hashes of variable-length strings (h <
+    * base^len biases short inputs small) and simhash's per-bit votes
+    * (high bits are zero for short inputs) — those stay on md5.
     */
   def polyHash(s: Column): Column = call_function(PolyHash.fnName, s)
 

@@ -92,9 +92,13 @@ object Dedup {
 
   /** MinHash + banded LSH near-duplicate pairs.
     *
-    * Signature: explode shingles, hash each once (md5-based 60-bit ->
-    * mod p), derive `numHashes` universal-hash values arithmetically,
-    * take grouped MINs (codegen'd, partially aggregated map-side).
+    * Signature: explode shingles, hash each once (Karp-Rabin
+    * `poly_hash` — the base hash needs only DISTINCTNESS, because the
+    * Carter-Wegman affine layer `(a_k h + b_k) mod P` below supplies
+    * the pairwise-independent mixing minhash requires; md5 here was
+    * pure constant cost, r12), derive `numHashes` universal-hash
+    * values arithmetically, take grouped MINs (codegen'd, partially
+    * aggregated map-side).
     * Bands of numHashes/bands rows hash to a band key; docs sharing a
     * band key become candidates; candidates are verified with true
     * Jaccard over the distinct shingle sets at `threshold`.
@@ -147,7 +151,7 @@ object Dedup {
     base
       .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(shinglesMultiFromToks(col("toks"))).as("x"))
-      .withColumn("h", pmod(TextFunctions.hash60(col("x")), lit(P)))
+      .withColumn("h", TextFunctions.polyHash(col("x")))
       .groupBy(col("doc"))
       .agg(min(pmod(col("h") * hashA(0) + hashB(0), lit(P))).as("sig_0"),
         (1 until numHashes).map(k =>

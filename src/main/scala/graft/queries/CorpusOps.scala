@@ -55,13 +55,16 @@ object CorpusOps {
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val q28Sql = {
-    val h60 = hash60Sql.format("x")
+    // poly_hash base since r12 (was md5-hash60 % P): the affine
+    // signature layer supplies the mixing, the base hash only needs
+    // distinctness — see Dedup.minhashLshPairs scaladoc
+    val ph = graft.functions.TextFunctions.polyHashSql.format("x", "x")
     val sig = (0 until 32).map(k =>
       s"list_min(list_transform(hs, h -> (h * ${graft.operators.Dedup.hashA(k)} + ${graft.operators.Dedup.hashB(k)}) % ${graft.operators.Dedup.P}))")
       .mkString("[", ",\n      ", "]")
     s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
-       |hs AS (SELECT doc_id, sh, list_transform(sh, x -> $h60 % ${graft.operators.Dedup.P}) AS hs FROM sh),
+       |hs AS (SELECT doc_id, sh, list_transform(sh, x -> $ph) AS hs FROM sh),
        |sig AS (SELECT doc_id, sh, $sig AS sig FROM hs),
        |bands AS (
        |  SELECT doc_id, sh, b.b AS band,
