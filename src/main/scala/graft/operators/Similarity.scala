@@ -970,7 +970,21 @@ object Similarity {
           explode(probes).as("probe"))
         .select(col("query_id"), col("lut"), col("probe.cl").as("cluster")))
 
-    val scored = index.join(q, Seq("cluster"))
+    // Static partition pruning: the equi-join on `cluster` alone does
+    // NOT emit a partition filter, so a probe over a cluster-PARTITIONED
+    // published index (Pipeline.publishAnn's layout) would scan every
+    // file. The probe-cluster set is bounded by min(|Q| * nprobe, nlist)
+    // and the query batch is small by the same contract that lets `q`
+    // broadcast — collect it (one tiny job, no LUT evaluation) and
+    // filter the index scan explicitly. Semantics-preserving (the join
+    // already restricts to these clusters); at fleet scale this is the
+    // difference between reading nprobe partitions and the whole index.
+    // BucketingSpec pins the file-count effect on the REAL probe path.
+    val probeClusters = queries
+      .select(explode(probes).as("probe"))
+      .select(col("probe.cl")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val scored = index.filter(col("cluster").isin(probeClusters: _*)).join(q, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx_d2",
         (0 until numSubspaces).map(m =>

@@ -62,13 +62,37 @@ class BucketingSpec extends SparkSpec {
     // pruning is physical: the executed scan's numFiles metric counts
     // the files actually selected after partition pruning
     // (Dataset.inputFiles is pre-pruning and would always show all 8)
-    def scanFiles(df: org.apache.spark.sql.DataFrame): Long =
-      df.queryExecution.executedPlan.collectLeaves()
+    def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      // unwrap AQE: metrics live on the ADAPTIVE final plan's leaves
+      def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            leaves(a.executedPlan)
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(s.plan)
+          case l if l.children.isEmpty => Seq(l)
+          case n => n.children.flatMap(leaves) ++
+            n.subqueries.flatMap(leaves)
+        }
+      leaves(df.queryExecution.executedPlan)
         .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    }
     val probedFiles = scanFiles(probed)
     assert(probedFiles > 0 && probedFiles < idx.inputFiles.length,
       s"probe scanned $probedFiles of ${idx.inputFiles.length} files — partition pruning lost")
     // and the pruned scan still returns exactly the probed lists
     assert(probed.select(countDistinct(col("cluster"))).collect()(0).getLong(0) <= 2L)
+
+    // the REAL probe path prunes too (r12): ivfPqProbe collects the
+    // bounded probe-cluster set and filters the scan explicitly —
+    // without that, its equi-join on cluster emits no partition filter
+    // and a published-index probe would scan all nlist file sets
+    val queries = emb.filter(col("vec_id") < 2)
+    val probe = graft.operators.Similarity.ivfPqProbe(
+      queries, idx, "vec_id", "embedding", k = 5, coarse, codebooks, nprobe = 2)
+    probe.collect()
+    val realProbeFiles = scanFiles(probe)
+    assert(realProbeFiles > 0 && realProbeFiles < idx.inputFiles.length,
+      s"ivfPqProbe scanned $realProbeFiles of ${idx.inputFiles.length} files — " +
+        "the probe path lost partition pruning")
   }
 }
