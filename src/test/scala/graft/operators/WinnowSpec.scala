@@ -32,6 +32,11 @@ class WinnowSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.polyHash(col("s")))
       .collect().map(_.getLong(0)).toSeq
     assert(got === samples.map(polyRef))
+    // and the SQL surface sees the same function (GraftExtensions /
+    // VectorExpressions.register both inject it)
+    graft.functions.VectorExpressions.register(spark)
+    assert(spark.sql("SELECT poly_hash('abc 12')").collect()(0).getLong(0)
+      === polyRef("abc 12"))
   }
 
   /** Independent reference: same tokenization, per-token hash, Horner
@@ -60,7 +65,12 @@ class WinnowSpec extends SparkSpec {
       3L -> "short doc",            // < k tokens: whole doc one gram
       4L -> "one two three four",   // k grams < w: global min only
       5L -> "Repetition repetition repetition repetition repetition repetition",
-      6L -> "Punctuation, splits; tokens! and CASE is folded: OK?")
+      6L -> "Punctuation, splits; tokens! and CASE is folded: OK?",
+      // non-ASCII flows through the SAME fold (code points) — the
+      // tokenizer strips [^a-z0-9], so accents/CJK split tokens but the
+      // surviving ASCII runs must fingerprint identically to the
+      // reference; 7 keeps real multi-window structure around them
+      7L -> "café naïve 漢字 tokens stay stable across the whole winnow window run here")
     for ((k, w) <- Seq((3, 4), (2, 5), (3, 2))) {
       val got = sparkFps(docs, k, w)
       docs.foreach { case (id, text) =>
