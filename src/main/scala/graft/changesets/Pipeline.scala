@@ -333,11 +333,32 @@ object Pipeline {
       keepHistory: Int = 5): String = {
     val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
       s"appendAnn: no current ANN pair under $publishDir — publishAnn must run first"))
+    // publishAnn writes mode=overwrite while curIndex below is a LAZY
+    // scan of the live pair: a sourceVersion that maps to the live
+    // pair's dir name would make the write target and the read source
+    // the same path (self-overwrite during read). Fail loudly instead
+    // — an idempotent re-run of the same day must bump the version.
+    require(s"ann-${safeVersion(sourceVersion)}" != new java.io.File(cur).getName,
+      s"appendAnn: sourceVersion '$sourceVersion' resolves to the live pair dir " +
+        s"'$cur' — appending would overwrite the index it is reading. " +
+        "Use a fresh version token per append.")
     val model = graft.operators.AnnModel.load(spark, s"$cur/model")
     val delta = graft.operators.Similarity.ivfPqIndex(
       newVecs, idCol, vecCol, model.coarse, model.codebooks)
     val curIndex = spark.read.parquet(s"$cur/index.parquet")
       .select(delta.columns.map(col): _*) // partition col moved on read
+    // Disjoint-batch contract, CHECKED: a re-append of an already-
+    // appended batch would silently duplicate neighbor_ids (plain
+    // union, no dedup — dedup here would mask real upstream id
+    // collisions). One broadcast semi-join count against the delta's
+    // ids; the publish chain is already an action, this adds one cheap
+    // ids-only pass over the live index.
+    val dup = curIndex.join(
+      broadcast(delta.select("neighbor_id").distinct()), Seq("neighbor_id"), "left_semi").count()
+    require(dup == 0L,
+      s"appendAnn: $dup id(s) in the new batch already exist in the live index " +
+        s"at $cur — batches must be disjoint (re-running an already-appended " +
+        "batch would duplicate its vectors).")
     publishAnn(spark, publishDir, sourceVersion, curIndex.unionByName(delta),
       model.coarse, model.codebooks, keepHistory = keepHistory)
   }

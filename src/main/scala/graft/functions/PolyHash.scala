@@ -65,6 +65,14 @@ object PolyHash {
   /** The fold itself — shared by interpreted eval and generated code
     * (a static call the JIT inlines). Manual UTF-8 decode keeps the
     * loop allocation-free; ASCII bytes never enter the slow branch.
+    *
+    * UTF8String does NOT guarantee valid UTF-8 (binary-to-string casts,
+    * unvalidated parquet binary), and getByte is unchecked Unsafe — a
+    * multi-byte sequence truncated at the buffer end must not read
+    * adjacent memory. Any sequence that would run past numBytes is
+    * folded as its raw lead byte instead: deterministic, bounded, and
+    * the same for interpreted and generated code. (Valid UTF-8 never
+    * takes that branch, so the DuckDB code-point mirror is unaffected.)
     */
   def hash(s: UTF8String): Long = {
     val n = s.numBytes()
@@ -75,16 +83,25 @@ object PolyHash {
       var cp = 0
       if (b0 < 0x80) { cp = b0; i += 1 }
       else if (b0 < 0xe0) { // 2-byte sequence (b0 >= 0xc0 in valid UTF-8)
-        cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f)
-        i += 2
+        if (i + 2 > n) { cp = b0; i += 1 }
+        else {
+          cp = ((b0 & 0x1f) << 6) | (s.getByte(i + 1) & 0x3f)
+          i += 2
+        }
       } else if (b0 < 0xf0) { // 3-byte sequence
-        cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
-          (s.getByte(i + 2) & 0x3f)
-        i += 3
+        if (i + 3 > n) { cp = b0; i += 1 }
+        else {
+          cp = ((b0 & 0x0f) << 12) | ((s.getByte(i + 1) & 0x3f) << 6) |
+            (s.getByte(i + 2) & 0x3f)
+          i += 3
+        }
       } else { // 4-byte sequence
-        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
-          ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f)
-        i += 4
+        if (i + 4 > n) { cp = b0; i += 1 }
+        else {
+          cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3f) << 12) |
+            ((s.getByte(i + 2) & 0x3f) << 6) | (s.getByte(i + 3) & 0x3f)
+          i += 4
+        }
       }
       h = (h * 1000003L + cp) % 2147483647L
     }

@@ -197,6 +197,69 @@ object Dedup {
       numHashes, bands)
   }
 
+  // ------------------------------------------------------------------
+  // Signature-scheme stamp for PERSISTED band indexes. The (doc, band,
+  // bh) table records nothing about the hash pipeline that produced
+  // it, yet a stored index only works if future batches are banded
+  // with the IDENTICAL scheme: the r12 md5->poly_hash base-hash switch
+  // would have made a pre-switch stored index and post-switch batch
+  // bands share no band key — near-duplicates silently pass. The stamp
+  // is a `_`-prefixed sidecar (parquet readers skip it, like _SUCCESS)
+  // naming every ingredient; loaders fail loudly on mismatch.
+  // ------------------------------------------------------------------
+
+  /** Sidecar file name inside a persisted band-index dir. */
+  val SchemeStampName = "_signature_scheme.json"
+
+  /** Full identity of the banding signature scheme: shingling, base
+    * gram hash, permutation family, band hash, and the (numHashes,
+    * bands) shape. ANY change to these ingredients must change this
+    * string — it is what protects stored indexes from silent drift.
+    */
+  def signatureScheme(numHashes: Int, bands: Int): String =
+    s"minhash/v2 base=poly_hash affine=cw(P=$P) band=md5 " +
+      s"shingle=token-3gram numHashes=$numHashes bands=$bands"
+
+  /** Stamp a persisted band-index dir with its signature scheme
+    * (idempotent overwrite — callers re-stamp on every append, which
+    * also heals a stamp lost to partial copies).
+    */
+  def writeSchemeStamp(
+      dir: String, conf: org.apache.hadoop.conf.Configuration, scheme: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, SchemeStampName)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(s"""{"scheme": "$scheme"}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Fail loudly unless `dir`'s stamp matches `expected`. A stored
+    * index with NO stamp also fails: an unstamped index predates the
+    * stamp (or lost it) and its scheme is unknowable — merging batch
+    * bands into it risks exactly the silent no-shared-band-key
+    * failure the stamp exists to prevent. Stamp it explicitly with
+    * [[writeSchemeStamp]] after verifying its provenance.
+    */
+  def requireSchemeStamp(
+      dir: String, conf: org.apache.hadoop.conf.Configuration, expected: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, SchemeStampName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"band index at $dir has no $SchemeStampName stamp — its signature scheme is " +
+          s"unknown and appending '$expected' bands could silently miss all near-dups. " +
+          "Verify its provenance and stamp it with Dedup.writeSchemeStamp.")
+    val in = fs.open(p)
+    val stored = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
+    val parsed = "\"scheme\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(stored).map(_.group(1))
+    if (!parsed.contains(expected))
+      throw new IllegalStateException(
+        s"band index at $dir was built with scheme '${parsed.getOrElse("<unparseable>")}' " +
+          s"but this pipeline bands with '$expected' — merging them would compare " +
+          "incompatible band keys and silently pass near-duplicates. Rebuild the index " +
+          "or match the scheme parameters.")
+  }
+
   /** INCREMENTAL dedup — the production shape for a curation pipeline:
     * dedup an `incoming` batch against an existing corpus WITHOUT
     * re-processing the corpus. Returns the incoming rows that SURVIVE

@@ -147,24 +147,30 @@ object Rerank {
       scorer: PairScorer,
       batchSize: Int = 32): DataFrame = {
     require(batchSize >= 1, "batchSize must be >= 1")
-    val spark = candidates.sparkSession
-    import spark.implicits._
     val paired = candidates
       .join(broadcast(queries.select(col(idCol).as("query_id"),
         col(textCol).as("q_text"))), Seq("query_id"))
       .join(corpus.select(col(idCol).as("doc_id"), col(textCol).as("d_text")),
         Seq("doc_id"))
-      .select(col("query_id").cast("long"), col("doc_id").cast("long"),
-        col("q_text"), col("d_text"))
-      .as[(Long, Long, String, String)]
+      .select(col("query_id"), col("doc_id"), col("q_text"), col("d_text"))
+    // ids pass through UNCAST (Row-encoded, original types preserved):
+    // a long cast in non-ANSI mode turns non-numeric ids (string UUIDs)
+    // into nulls, collapsing all pairs onto one key and returning a
+    // wrong top-k instead of failing — and would make this path reject
+    // schemas the column-scorer rerank() accepts.
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      paired.schema("query_id"), paired.schema("doc_id"),
+      org.apache.spark.sql.types.StructField(
+        "score", org.apache.spark.sql.types.DoubleType, nullable = false)))
     val scored = paired.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        val scores = scorer.scoreBatch(batch.map(r => (r._3, r._4)))
+        val scores = scorer.scoreBatch(batch.map(r => (r.getString(2), r.getString(3))))
         require(scores.length == batch.length,
           s"scorer returned ${scores.length} scores for ${batch.length} pairs")
-        batch.lazyZip(scores).map { case ((q, d, _, _), s) => (q, d, s) }
+        batch.lazyZip(scores).map { case (r, s) =>
+          org.apache.spark.sql.Row(r.get(0), r.get(1), s) }
       }
-    }.toDF("query_id", "doc_id", "score")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     topK(scored, k)
   }
 

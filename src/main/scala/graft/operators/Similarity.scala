@@ -28,6 +28,13 @@ import graft.functions.VectorExpressions
   */
 object Similarity {
 
+  /** Query batches larger than this skip ivfPqProbe's static
+    * partition-pruning collect (the plain cluster equi-join still
+    * restricts the scan at runtime; only the file-level prune is
+    * lost). Bounds the plan-construction driver job.
+    */
+  val MaxPruneQueryBatch = 10000
+
   /** Components promoted to double before any arithmetic. */
   def asDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
@@ -973,18 +980,32 @@ object Similarity {
     // Static partition pruning: the equi-join on `cluster` alone does
     // NOT emit a partition filter, so a probe over a cluster-PARTITIONED
     // published index (Pipeline.publishAnn's layout) would scan every
-    // file. The probe-cluster set is bounded by min(|Q| * nprobe, nlist)
-    // and the query batch is small by the same contract that lets `q`
-    // broadcast — collect it (one tiny job, no LUT evaluation) and
+    // file. The probe-cluster set is ≤ nlist rows (distinct cluster
+    // ids), and the query batch is small by the same contract that lets
+    // `q` broadcast — collect it (one tiny job, no LUT evaluation) and
     // filter the index scan explicitly. Semantics-preserving (the join
     // already restricts to these clusters); at fleet scale this is the
     // difference between reading nprobe partitions and the whole index.
     // BucketingSpec pins the file-count effect on the REAL probe path.
-    val probeClusters = queries
-      .select(explode(probes).as("probe"))
-      .select(col("probe.cl")).distinct()
-      .collect().map(_.getInt(0)).toSeq
-    val scored = index.filter(col("cluster").isin(probeClusters: _*)).join(q, Seq("cluster"))
+    //
+    // The collect runs at plan-CONSTRUCTION time, so its driver job
+    // must stay cheap even when a caller violates the small-batch
+    // contract: a bounded head() probe (reads partitions only until
+    // the cap is hit, never the full frame) checks the contract first,
+    // and an oversized batch falls back to the plain join — correct
+    // either way, just without static pruning (a batch that big can't
+    // broadcast-probe efficiently regardless).
+    val smallBatch = queries.select(col(idCol))
+      .head(MaxPruneQueryBatch + 1).length <= MaxPruneQueryBatch
+    val prunedIndex =
+      if (smallBatch) {
+        val probeClusters = queries
+          .select(explode(probes).as("probe"))
+          .select(col("probe.cl")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        index.filter(col("cluster").isin(probeClusters: _*))
+      } else index
+    val scored = prunedIndex.join(q, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx_d2",
         (0 until numSubspaces).map(m =>

@@ -243,7 +243,11 @@ object EventStreams {
     *
     * Bootstrap: missing dirs mean an empty corpus — or pre-seed them
     * with an existing corpus and its [[graft.operators.Dedup.minhashBandIndex]]
-    * to dedup the stream against history. Delivery: appends are
+    * to dedup the stream against history (pre-seeded indexes MUST be
+    * stamped with [[graft.operators.Dedup.writeSchemeStamp]]; the loop
+    * refuses an index whose signature scheme is unknown or differs —
+    * mismatched band keys would silently pass every near-dup).
+    * Delivery: appends are
     * at-least-once on failure/replay (`batch_id` is recorded per
     * survivor row, publishByDay's idempotence convention); a
     * transactional table format would make them exactly-once without
@@ -274,9 +278,16 @@ object EventStreams {
         val corpus =
           if (exists(corpusDir)) s.read.parquet(corpusDir).select(col(idCol), col(textCol))
           else batch.limit(0).select(col(idCol), col(textCol))
+        // an index persisted under a DIFFERENT signature scheme (e.g.
+        // built before a base-hash change) would share no band keys
+        // with this loop's bands and silently pass every near-dup —
+        // the stamp check turns that into a loud failure
+        val scheme = graft.operators.Dedup.signatureScheme(numHashes, bands)
         val index =
-          if (exists(indexDir)) s.read.parquet(indexDir)
-          else graft.operators.Dedup.minhashBandIndex(
+          if (exists(indexDir)) {
+            graft.operators.Dedup.requireSchemeStamp(indexDir, hconf, scheme)
+            s.read.parquet(indexDir)
+          } else graft.operators.Dedup.minhashBandIndex(
             batch.limit(0), idCol, textCol, numHashes, bands)
         val r = graft.operators.Dedup.dedupIncrementWithIndex(
           corpus, index, batch, idCol, textCol, numHashes, bands, threshold)
@@ -288,6 +299,9 @@ object EventStreams {
         graft.Checkpoints.release(r.indexDelta)
         surv.withColumn("batch_id", lit(batchId)).write.mode("append").parquet(corpusDir)
         delta.write.mode("append").parquet(indexDir)
+        // (re-)stamp after every append: idempotent, and the first
+        // append is what creates the dir on bootstrap
+        graft.operators.Dedup.writeSchemeStamp(indexDir, hconf, scheme)
         graft.Checkpoints.release(surv)
         graft.Checkpoints.release(delta)
       }

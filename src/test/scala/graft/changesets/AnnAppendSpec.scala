@@ -69,6 +69,32 @@ class AnnAppendSpec extends SparkSpec {
       spark.read.parquet(s"${Pipeline.readCurrentAnn(dir).get}/index.parquet")) === day1Rows)
   }
 
+  test("appendAnn refuses a version that resolves to the live pair (self-overwrite)") {
+    val dir = tmpDir("ann-selfoverwrite")
+    val day1 = Similarity.ivfPqIndex(emb(0 until 20), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.appendAnn(spark, dir, "day1", emb(20 until 30), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("overwrite the index it is reading"))
+    // live pair untouched by the refused append
+    assert(spark.read.parquet(s"$dir/ann-day1/index.parquet").count() === 20)
+  }
+
+  test("appendAnn refuses a batch whose ids already exist (disjoint-batch contract)") {
+    val dir = tmpDir("ann-dupbatch")
+    val day1 = Similarity.ivfPqIndex(emb(0 until 20), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
+    Pipeline.appendAnn(spark, dir, "day2", emb(20 until 30), "vec_id", "embedding")
+    // replaying day2's batch under a NEW version would duplicate ids
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.appendAnn(spark, dir, "day2-retry", emb(20 until 30), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("batches must be disjoint"))
+    // pointer still on the last good pair
+    assert(Pipeline.readCurrentAnn(dir).get.endsWith("ann-day2"))
+  }
+
   test("appendAnn before the first publish fails loudly") {
     val dir = tmpDir("ann-nopair")
     val e = intercept[IllegalStateException] {

@@ -79,6 +79,28 @@ class RerankSpec extends SparkSpec {
     assert(rows(cand.repartition(5), 2) === base)
   }
 
+  test("rerankWithModel preserves non-numeric id types (string UUIDs don't collapse to null)") {
+    // same docs, string ids — a silent long cast would null ALL ids
+    // and return one merged bogus group instead of per-query top-k
+    val sdocs = docs.select(concat(lit("id-"), col("doc_id")).as("doc_id"), col("text"))
+    val sq = sdocs.filter(col("doc_id") === "id-0")
+    val sc = sdocs.filter(col("doc_id") =!= "id-0")
+    val cand = Rerank.candidatePairs(sq, sc, "doc_id", "text")
+    val got = Rerank.rerankWithModel(cand, sq, sc, "doc_id", "text",
+        k = 3, new Rerank.HashingKernelScorer(16), batchSize = 2)
+      .orderBy(col("query_id"), col("rank")).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => r.getString(0) == "id-0" && r.getString(1).startsWith("id-")),
+      "original string ids must pass through unchanged")
+    // and the ranking agrees with the long-id run on the same data
+    val longGot = Rerank.rerankWithModel(
+        Rerank.candidatePairs(queries, corpus, "doc_id", "text"),
+        queries, corpus, "doc_id", "text", 3, new Rerank.HashingKernelScorer(16), 2)
+      .orderBy(col("query_id"), col("rank")).collect()
+      .map(r => (s"id-${r.getLong(0)}", s"id-${r.getLong(1)}", r.getInt(2))).toSeq
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq === longGot)
+  }
+
   test("hashing-kernel scorer: identical texts score 1, disjoint score <= 0 bound") {
     val s = new Rerank.HashingKernelScorer(64)
     val Seq(same, disj) = s.scoreBatch(Seq(

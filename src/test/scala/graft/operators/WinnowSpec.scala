@@ -39,6 +39,46 @@ class WinnowSpec extends SparkSpec {
       === polyRef("abc 12"))
   }
 
+  test("poly_hash on malformed UTF-8 is deterministic and in-bounds (no Unsafe overread)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // truncated lead bytes at the buffer end: 2-, 3-, 4-byte leads with
+    // the continuation bytes missing; plus a mid-string truncated pair
+    val cases = Seq(
+      Array(0xc3.toByte),                               // 2-byte lead, nothing after
+      Array('a'.toByte, 0xe4.toByte),                   // 3-byte lead, nothing after
+      Array('a'.toByte, 0xf0.toByte),                   // 4-byte lead, nothing after
+      Array(0xe4.toByte, 0xb8.toByte),                  // 3-byte lead, one of two
+      Array(0xf0.toByte, 0x9f.toByte, 0x9a.toByte))     // 4-byte lead, two of three
+    // contract: a sequence that would run past numBytes folds as its
+    // raw lead byte — so the value is computable by the same fold
+    def ref(bytes: Array[Byte]): Long = {
+      var h = 0L; var i = 0; val n = bytes.length
+      while (i < n) {
+        val b0 = bytes(i) & 0xff
+        val len = if (b0 < 0x80) 1 else if (b0 < 0xe0) 2 else if (b0 < 0xf0) 3 else 4
+        val cp = if (len == 1 || i + len > n) { i += 1; b0 }
+          else { // decode normally (valid-prefix case not exercised here)
+            var c = b0 & (0x7f >> len); var j = 1
+            while (j < len) { c = (c << 6) | (bytes(i + j) & 0x3f); j += 1 }
+            i += len; c
+          }
+        h = (h * 1000003L + cp) % 2147483647L
+      }
+      h
+    }
+    cases.foreach { bytes =>
+      val s = UTF8String.fromBytes(bytes)
+      val h1 = graft.functions.PolyHash.hash(s)
+      val h2 = graft.functions.PolyHash.hash(s)
+      assert(h1 === h2, "must be deterministic")
+      assert(h1 >= 0 && h1 < 2147483647L)
+      assert(h1 === ref(bytes), s"bytes ${bytes.map(b => f"${b & 0xff}%02x").mkString(" ")}")
+    }
+    // and valid UTF-8 is unaffected by the bounds checks
+    assert(graft.functions.PolyHash.hash(UTF8String.fromString("café 漢字"))
+      === polyRef("café 漢字"))
+  }
+
   /** Independent reference: same tokenization, per-token hash, Horner
     * gram combination, and window-min selection as
     * Dedup.winnowFingerprints, via Scala collections.

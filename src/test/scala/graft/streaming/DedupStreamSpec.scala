@@ -34,6 +34,10 @@ class DedupStreamSpec extends SparkSpec {
       (2L, chainA)).toDF("doc_id", "text")
     existing.withColumn("batch_id", lit(-1L)).write.parquet(corpusDir)
     Dedup.minhashBandIndex(existing, "doc_id", "text", 32, 16).write.parquet(indexDir)
+    // pre-seeded indexes must declare their scheme (the loop refuses
+    // unstamped state — see the scheme-stamp tests below)
+    Dedup.writeSchemeStamp(indexDir, spark.sessionState.newHadoopConf(),
+      Dedup.signatureScheme(32, 16))
 
     val b1 = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta"), // == corpus 1 -> drop
@@ -115,5 +119,46 @@ class DedupStreamSpec extends SparkSpec {
     assert(idx.select($"doc").distinct().collect().map(_.getLong(0)).sorted.toSeq
       === Seq(5L, 7L))
     assert(idx.count() === 32L)
+    // bootstrap stamped the index it created
+    Dedup.requireSchemeStamp(indexDir, spark.sessionState.newHadoopConf(),
+      Dedup.signatureScheme(32, 16))
+  }
+
+  test("scheme stamp: mismatched or missing stamp fails loudly, never silently merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val hconf = spark.sessionState.newHadoopConf()
+    val existing = Seq((1L, chainA)).toDF("doc_id", "text")
+
+    // 1) an index stored under a DIFFERENT scheme (other banding shape
+    // here; the r12 md5->poly_hash base switch is the historical case)
+    val base1 = tmpDir("dds-scheme1")
+    val indexDir1 = s"$base1/index"
+    existing.withColumn("batch_id", lit(-1L)).write.parquet(s"$base1/corpus")
+    Dedup.minhashBandIndex(existing, "doc_id", "text", 32, 8).write.parquet(indexDir1)
+    Dedup.writeSchemeStamp(indexDir1, hconf, Dedup.signatureScheme(32, 8))
+    val input1 = MemoryStream[(Long, String)]
+    val q1 = EventStreams.incrementalDedupStream(
+      input1.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base1/corpus", indexDir1, tmpDir("dds-s1-chk"), numHashes = 32, bands = 16)
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input1.addData((2L, chainA)); q1.processAllAvailable() } finally q1.stop()
+    }
+    assert(e1.getMessage.contains("incompatible band keys")
+      || Option(e1.getCause).exists(_.getMessage.contains("incompatible band keys")))
+
+    // 2) an UNSTAMPED pre-existing index: scheme unknowable -> refuse
+    val base2 = tmpDir("dds-scheme2")
+    val indexDir2 = s"$base2/index"
+    existing.withColumn("batch_id", lit(-1L)).write.parquet(s"$base2/corpus")
+    Dedup.minhashBandIndex(existing, "doc_id", "text", 32, 16).write.parquet(indexDir2)
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.incrementalDedupStream(
+      input2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base2/corpus", indexDir2, tmpDir("dds-s2-chk"), numHashes = 32, bands = 16)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { input2.addData((2L, chainA)); q2.processAllAvailable() } finally q2.stop()
+    }
+    assert(e2.getMessage.contains("no _signature_scheme.json stamp")
+      || Option(e2.getCause).exists(_.getMessage.contains("no _signature_scheme.json stamp")))
   }
 }
