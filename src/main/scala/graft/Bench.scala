@@ -59,7 +59,12 @@ object Bench {
       if (h == 42L) System.err.println("") // keep the loop live
       dt
     }
-    val calib = { calibrate(); math.min(calibrate(), calibrate()) }
+    // warm once, then three samples: calib_sec = min (the machine's
+    // actual speed under one-way noise); the full sample list goes to
+    // bench_detail so cross-round normalization can see whether the
+    // CALIBRATION itself was noise-bound (r12's q28 mystery question)
+    val calibSamples = { calibrate(); Seq(calibrate(), calibrate(), calibrate()) }
+    val calib = calibSamples.min
 
     def once(name: String, dir: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -75,19 +80,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // per-query result: (seconds, residual persisted bytes AFTER the
-    // query's runs + cleanup — the leak detector series)
-    def sweep(dir: String, measureTwice: Boolean): Seq[(String, (Double, Long))] =
+    // per-query result: (min seconds, all measured runs, residual
+    // persisted bytes AFTER the query's runs + cleanup — the leak
+    // detector series). BOTH measured runs go to bench_detail: the
+    // r12 driver-vs-builder 30% gap on identical code was invisible
+    // in a min-only artifact — the per-run spread is what says
+    // whether a round's headline moved because of a plan or because
+    // one execution was noisy.
+    final case class QRun(sec: Double, runs: Seq[Double], residualBytes: Long)
+    def sweep(dir: String, measureTwice: Boolean): Seq[(String, QRun)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         once(name, dir, fn) // warm: codegen compile, JIT, IO caches
         System.gc() // don't bill this query for its predecessor's garbage
         val t1 = once(name, dir, fn)
-        val sec = if (measureTwice) {
+        val runs = if (measureTwice) {
           System.gc() // nor the second measurement for the first's
-          math.min(t1, once(name, dir, fn))
-        } else t1
+          Seq(t1, once(name, dir, fn))
+        } else Seq(t1)
         spark.catalog.clearCache() // defense: drop anything cache-registered
-        name -> (sec, Checkpoints.storageBytes(spark))
+        name -> QRun(runs.min, runs, Checkpoints.storageBytes(spark))
       }
 
     // primary SF: warm + min-of-2 (steady state, noise-robust).
@@ -100,8 +111,8 @@ object Bench {
       if (new java.io.File(sfDir2).isDirectory && sfDir2 != sfDir)
         sweep(sfDir2, measureTwice = false)
       else Seq.empty
-    val total = results.map(_._2._1).sum
-    val total2 = results2.map(_._2._1).sum
+    val total = results.map(_._2.sec).sum
+    val total2 = results2.map(_._2.sec).sum
 
     // explicit locale: f"%.3f" under a comma-decimal locale emits
     // "0,123" and the JSON stops parsing
@@ -237,14 +248,18 @@ object Bench {
     // full two-scale-point detail -> bench_detail.json (complete map;
     // the stdout line below is budgeted to survive tail-capture)
     val m2 = results2.toMap
-    val detailQs = results.map { case (k, (v, bytes)) =>
-      val second = m2.get(k).map(v2 => s""","sf2_sec":${r3(v2._1)}""").getOrElse("")
-      s""""$k":{"sec":${r3(v)}$second,"storage_mb":${r3(bytes / 1e6)}}"""
+    val detailQs = results.map { case (k, q) =>
+      val second = m2.get(k).map(v2 => s""","sf2_sec":${r3(v2.sec)}""").getOrElse("")
+      val runs = q.runs.map(r3).mkString("[", ",", "]")
+      s""""$k":{"sec":${r3(q.sec)},"runs":$runs$second,""" +
+        s""""storage_mb":${r3(q.residualBytes / 1e6)}}"""
     }.mkString("{", ",", "}")
+    val calibJson = calibSamples.map(r3).mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","sf2":"$sfDir2",""" +
         s""""total_sf2":${r3(total2)},"queries":$detailQs,"converter":$conv,""" +
-        s""""converter_fast":$convFast,"ann_split":$annSplit,"calib_sec":${r3(calib)}}"""
+        s""""converter_fast":$convFast,"ann_split":$annSplit,"calib_sec":${r3(calib)},""" +
+        s""""calib_samples":$calibJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
 
     // compact final line: totals + converter + slowest queries first,
@@ -253,7 +268,12 @@ object Bench {
     // file; "queries_elided" says how many.
     // (was 1400; ann_split now takes ~230 chars of the ~2000-char tail)
     val budget = 1150
-    val ordered = results.map { case (k, (v, _)) => (k, v) }.sortBy(-_._2)
+    // one-number noise summary that survives tail-capture: total
+    // excess of the slower measured run over the faster, across all
+    // queries — a large value flags an unusually noisy sweep without
+    // needing bench_detail
+    val runSpread = results.map { case (_, q) => q.runs.max - q.runs.min }.sum
+    val ordered = results.map { case (k, q) => (k, q.sec) }.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     var elided = 0
@@ -267,8 +287,8 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""queries_elided":$elided,"total_sf2":${r3(total2)},"n_queries":${results.size},""" +
         s""""converter":$conv,"converter_fast":$convFast,"ann_split":$annSplit,""" +
-        s""""calib_sec":${r3(calib)},"detail":"bench_detail.json","perf_doc":"PERF.md",""" +
-        s""""sf":"$sfDir"}""")
+        s""""calib_sec":${r3(calib)},"run_spread_sec":${r3(runSpread)},""" +
+        s""""detail":"bench_detail.json","perf_doc":"PERF.md","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -732,6 +732,117 @@ object Dedup {
       k: Int = 8): DataFrame =
     removeSpansSummary(df, idCol, textCol, repeatedSpansKeepFirst(df, idCol, textCol, k))
 
+  /** Suffix-array–range maximal repeated spans — the EXACT form of
+    * substring dedup (Lee et al. ACL'22 §4 "ExactSubstr", whose
+    * single-node implementation is a suffix array; [[repeatedSpans]]
+    * is the fixed-k window APPROXIMATION of the same paper's removal
+    * rule). For every corpus position this computes the length of the
+    * LONGEST token substring starting there that occurs at another
+    * (doc, pos), and reports the left-maximal such spans with their
+    * exact occurrence counts:
+    * (doc_id, span_start, span_end, n_tokens, n_occurrences).
+    *
+    * What the window approximation gets wrong and this fixes
+    * (SubstringDedupSpec pins both differentials):
+    *   - EXTENT: repeatedSpans MERGES overlapping/adjacent duplicated
+    *     k-windows, so two unrelated 8-token repeats sitting side by
+    *     side in one doc (each matching a DIFFERENT other doc) merge
+    *     into one 16-token "span" that occurs nowhere else as a whole.
+    *     Here a span's full content is pinned by one key, so the two
+    *     repeats surface separately with their true lengths.
+    *   - MULTIPLICITY: the merge also discards how often each span
+    *     repeats; `n_occurrences` is the exact corpus-wide occurrence
+    *     count of the maximal span.
+    *
+    * Construction — prefix doubling (Manber–Myers; the distributed
+    * formulation is Flick & Aluru SC'15), with md5-composed rank
+    * IDENTITIES instead of dense integer ranks: rank_1 = md5(token),
+    * rank_2h(p) = md5(rank_h(p) || rank_h(p+h)). Equal windows ⇔ equal
+    * identity (up to md5 collision — the same negligible-and-shared-
+    * with-the-oracle caveat as [[repeatedSpans]]'s window hashes);
+    * identities need only EQUALITY, so the global dense_rank sort of
+    * the classical algorithm — a non-scalable single-partition window
+    * in Spark — is never needed. A length-l window's identity is the
+    * standard sparse-table overlap pair (rank_h(p), rank_h(p+l-h)) for
+    * h = 2^⌊lg l⌋: the two overlapping h-windows determine the l-window
+    * exactly.
+    *
+    * Plan shape (the 100 TB story): one doc-keyed shuffle feeds ALL
+    * O(log maxLen) rank-doubling window passes plus the per-l shift
+    * leads (same window spec — one Exchange, one Sort, chained Window
+    * operators); then one (l, key) hash aggregate for occurrence
+    * counts, one equi-join back, one per-position max aggregate, and a
+    * final doc-keyed running-max window for left-maximality. Never a
+    * pairwise join; the only super-linear factor is the bounded
+    * (maxLen - minLen + 1)× key expansion. Spans longer than `maxLen`
+    * are reported as runs of maxLen-length spans (the cap is the price
+    * of a bounded level stack; raise maxLen to measure longer
+    * repeats).
+    */
+  def saMaximalRepeats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8,
+      maxLen: Int = 32): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(maxLen >= minLen, "maxLen must be >= minLen")
+    val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    // one token row per position, pre-partitioned by doc so every
+    // window pass below reuses the same exchange
+    var cur = df.repartition(fanout, col(idCol))
+      .select(col(idCol).as("doc"), posexplode(TextFunctions.tokens(col(textCol)))
+        .as(Seq("p0", "tok")))
+      .select(col("doc"), (col("p0") + 1L).as("pos"), md5(col("tok")).as("r_1"))
+      .drop("tok")
+    // doubling levels: r_h defined iff the h-window at pos fits the doc
+    val levels = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxLen).toSeq
+    levels.tail.foreach { h =>
+      val half = h / 2
+      cur = cur
+        .withColumn("sh", lead(col(s"r_$half"), half).over(byDoc))
+        .withColumn(s"r_$h",
+          when(col(s"r_$half").isNotNull && col("sh").isNotNull,
+            md5(concat_ws("|", col(s"r_$half"), col("sh")))))
+        .drop("sh")
+    }
+    // per-l second key component: the (l-h)-shifted h-rank. Window
+    // leads must sit in a projection, not under the generator below.
+    val withKb = (minLen to maxLen).foldLeft(cur) { (d, l) =>
+      val h = Integer.highestOneBit(l)
+      if (l == h) d
+      else d.withColumn(s"kb_$l", lead(col(s"r_$h"), l - h).over(byDoc))
+    }
+    val keyStructs = (minLen to maxLen).map { l =>
+      val h = Integer.highestOneBit(l)
+      val kb = if (l == h) col(s"r_$h") else col(s"kb_$l")
+      struct(lit(l.toLong).as("l"), col(s"r_$h").as("ka"), kb.as("kb"))
+    }
+    val keys = withKb
+      .select(col("doc"), col("pos"), explode(array(keyStructs: _*)).as("k"))
+      .select(col("doc"), col("pos"), col("k.l").as("l"),
+        col("k.ka").as("ka"), col("k.kb").as("kb"))
+      .filter(col("ka").isNotNull && col("kb").isNotNull)
+    val dup = keys.groupBy(col("l"), col("ka"), col("kb"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    // per position: the longest duplicated window and ITS exact count
+    val best = keys.join(dup, Seq("l", "ka", "kb"))
+      .groupBy(col("doc"), col("pos"))
+      .agg(max(struct(col("l"), col("occ"))).as("b"))
+      .select(col("doc"), col("pos"), col("b.l").as("len"), col("b.occ").as("occ"))
+    // left-maximality: a span is contained in an earlier one iff some
+    // earlier position reaches at least as far right
+    best
+      .withColumn("maxe", max(col("pos") + col("len")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .filter(col("maxe").isNull || col("maxe") < col("pos") + col("len"))
+      .select(col("doc").as("doc_id"), col("pos").as("span_start"),
+        (col("pos") + col("len") - 1L).as("span_end"),
+        col("len").as("n_tokens"), col("occ").as("n_occurrences"))
+  }
+
   /** Shared removal tail: drop tokens covered by `spans`, report
     * per affected doc (n_tokens_before, n_tokens_removed, cleaned_fp).
     */

@@ -1025,34 +1025,101 @@ object CorpusOps {
        |ORDER BY fam DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------- ANN pair cache
+  /** Process-lifetime publish-once cache for the TRAINED-model ANN
+    * queries (q85/q86/q90). The first call per (testdata dir, shape)
+    * trains the model and PUBLISHES the frozen pair — model artifact +
+    * encoded index parquet — to a temp dir; every later call loads the
+    * persisted [[graft.operators.AnnModel]] and pays only the probe.
+    * That is the production cost shape (an index is built once and
+    * amortized over every query batch), and it is what the bench
+    * sweep should measure: before this cache, q85/q86/q90's sweep
+    * entries were 80-90% k-means BUILD time — a fixed cost re-billed
+    * to every measured run (r12 verdict task 2). Correctness rows are
+    * unchanged: the cached model is exactly the model the inline
+    * trainer would produce (same calls, same params), AnnModel reload
+    * is bit-exact (AnnModelSpec), and the gate's rows-only check for
+    * these queries never depended on float identity across processes.
+    * Disk (not block-manager) residency keeps the bench's storage_mb
+    * leak detector at zero between queries.
+    */
+  private val annPairCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedAnnPair(cacheKey: String)(build: String => Unit): String =
+    annPairCache.computeIfAbsent(cacheKey, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-annpair").toString
+      build(d)
+      d
+    })
+
+  /** The q86/q90 shared trained pair: nlist=8 coarse k-means +
+    * 4x16 PQ codebooks (3 iters each), index published via
+    * Pipeline.publishAnn so the probe keeps its cluster
+    * partition-pruning story.
+    */
+  private def trainedIvfPqPair(s: SparkSession, dir: String): String = {
+    val root = cachedAnnPair(s"$dir|ivfpq-n8-m4-cb16-it3") { d =>
+      val emb = t(s, dir, "embeddings")
+      val coarse = Similarity.trainKMeans(emb, "vec_id", "embedding", 8, 3)
+        .orderBy(col("cluster_id"))
+        .collect().map(_.getSeq[Double](1).toArray)
+      val codebooks = Similarity.pqTrain(emb, "vec_id", "embedding", 4, 16, 3)
+      val index = Similarity.ivfPqIndex(emb, "vec_id", "embedding", coarse, codebooks)
+      graft.changesets.Pipeline.publishAnn(s, d, "trained", index, coarse, codebooks): Unit
+    }
+    graft.changesets.Pipeline.readCurrentAnn(root).get
+  }
+
   // ---------------------------------------------------------------- q85
   /** Product-quantization ANN (no SQL oracle — k-means training is not
     * SQL-expressible; the driver records the rows-only check and
     * PQSpec gates recall/encoding against the exact scan). 64-dim
     * embeddings, 4 subspaces x 16 centroids: the corpus scan reads
-    * 4-byte codes instead of 256-byte vectors. See Similarity.pqTopK.
+    * 4-byte codes instead of 256-byte vectors. Build-once/probe-per-
+    * call via the pair cache: the probe runs over the PERSISTED codes
+    * table with the PERSISTED codebooks (plain PQ = IVF-PQ with
+    * nlist=1, so the model artifact stores one zero coarse centroid).
+    * See Similarity.pqTrain/pqIndex/pqProbe.
     */
   private def q85(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.pqTopK(emb.filter(col("vec_id") < 5), emb,
-        "vec_id", "embedding", k = 10, numSubspaces = 4, codebookSize = 16, iters = 4)
+    if (emb.limit(1).isEmpty)
+      return Similarity.emptyAnnResult(emb, "vec_id")
+    val pair = cachedAnnPair(s"$dir|pq-m4-cb16-it4") { d =>
+      val codebooks = Similarity.pqTrain(emb, "vec_id", "embedding", 4, 16, 4)
+      val dims = codebooks.length * codebooks(0)(0).length
+      graft.operators.AnnModel.save(s, s"$d/model",
+        Array(Array.fill(dims)(0.0)), codebooks)
+      Similarity.pqIndex(emb, "vec_id", "embedding", codebooks)
+        .write.mode("overwrite").parquet(s"$d/index.parquet")
+    }
+    val model = graft.operators.AnnModel.load(s, s"$pair/model")
+    Similarity.pqProbe(emb.filter(col("vec_id") < 5),
+        s.read.parquet(s"$pair/index.parquet"),
+        "vec_id", "embedding", k = 10, model.codebooks)
       .orderBy(col("query_id"), col("rank"))
   }
 
   // ---------------------------------------------------------------- q86
   /** IVF-PQ composed ANN (FAISS IVFADC shape; rows-only check like
     * q85 — k-means). nlist=8 coarse lists, 2 probed: the scan touches
-    * ~1/4 of the corpus at 4 bytes/vector. See Similarity.ivfPqTopK.
-    * Bench note: this query's time is dominated by INDEX BUILD (coarse
-    * k-means + PQ codebooks + encoding — fixed cost, evident from the
-    * near-equal sf0.01/sf0.1 bench times); in production the index is
-    * built once and amortized over every query batch, and only the
-    * probe-scan tail is per-query cost.
+    * ~1/4 of the corpus at 4 bytes/vector. Build-once/probe-per-call
+    * via the shared trained pair (see [[trainedIvfPqPair]]): the probe
+    * loads the persisted AnnModel and scans the published
+    * cluster-partitioned index — so the sweep entry measures the
+    * recurring probe, and the one-time build cost shows in
+    * `ann_split` where it belongs.
     */
   private def q86(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
-        k = 10, nlist = 8, nprobe = 2, numSubspaces = 4, codebookSize = 16, iters = 3)
+    if (emb.limit(1).isEmpty)
+      return Similarity.emptyAnnResult(emb, "vec_id")
+    val pairDir = trainedIvfPqPair(s, dir)
+    val model = graft.operators.AnnModel.load(s, s"$pairDir/model")
+    Similarity.ivfPqProbe(emb.filter(col("vec_id") < 5),
+        s.read.parquet(s"$pairDir/index.parquet"),
+        "vec_id", "embedding", k = 10,
+        coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -1139,9 +1206,17 @@ object CorpusOps {
     */
   private def q90(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    if (emb.limit(1).isEmpty)
+      return Similarity.emptyAnnResult(emb, "vec_id")
     val queries = emb.filter(col("vec_id") < 5)
-    val cand = Similarity.ivfPqTopK(queries, emb, "vec_id", "embedding",
-      k = 30, nlist = 8, nprobe = 2, numSubspaces = 4, codebookSize = 16, iters = 3)
+    // same frozen pair as q86 (identical training params) — the
+    // two-stage query re-bills neither k-means nor the encode
+    val pairDir = trainedIvfPqPair(s, dir)
+    val model = graft.operators.AnnModel.load(s, s"$pairDir/model")
+    val cand = Similarity.ivfPqProbe(queries,
+      s.read.parquet(s"$pairDir/index.parquet"),
+      "vec_id", "embedding", k = 30,
+      coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
     Similarity.exactRerank(cand, queries, emb, "vec_id", "embedding", k = 10)
       .orderBy(col("query_id"), col("rank"))
   }
@@ -1300,7 +1375,75 @@ object CorpusOps {
        |WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q107
+  /** Suffix-array–range EXACT substring dedup (Lee et al. ACL'22 §4's
+    * exact form — the published complement of the q78/q79/q94 window
+    * approximation): per corpus position, the longest token substring
+    * that occurs at another (doc, pos), reported as left-maximal spans
+    * with exact occurrence counts. The oracle re-derives the ENTIRE
+    * prefix-doubling construction in SQL — md5-composed rank
+    * identities per power-of-two level, the sparse-table overlap pair
+    * per length, the duplicate-count aggregate, the per-position max,
+    * and the running-max left-maximality filter — so the gate pins
+    * every stage. See Dedup.saMaximalRepeats for the differential vs
+    * the window form (extent and multiplicity) and the scale analysis.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    Dedup.saMaximalRepeats(t(s, dir, "documents"), "doc_id", "text",
+        minLen = 8, maxLen = 32)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val q107Sql = {
+    // unrolled doubling levels r_1..r_32 (lead + md5 composition);
+    // each CTE carries the earlier levels forward
+    val levels = Seq(2, 4, 8, 16, 32)
+    val keep = scala.collection.mutable.ArrayBuffer("r_1")
+    val lvlCtes = levels.map { h =>
+      val half = h / 2
+      val prev = keep.mkString(", ")
+      keep += s"r_$h"
+      s"""l$h AS (SELECT doc, pos, $prev,
+         |  lead(r_$half, $half) OVER (PARTITION BY doc ORDER BY pos) AS sh
+         |  FROM ${if (half == 1) "r1" else s"r$half"}),
+         |r$h AS (SELECT doc, pos, $prev,
+         |  CASE WHEN r_$half IS NOT NULL AND sh IS NOT NULL
+         |       THEN md5(r_$half || '|' || sh) END AS r_$h FROM l$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk7 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |p AS (SELECT doc_id AS doc, unnest(range(1, len(toks) + 1)) AS pos,
+       |             unnest(toks) AS tok FROM tk7),
+       |r1 AS (SELECT doc, pos, md5(tok) AS r_1 FROM p),
+       |$lvlCtes,
+       |rl AS (
+       |  SELECT doc, pos, 8 AS h, r_8 AS r FROM r32 WHERE r_8 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc, pos, 16, r_16 FROM r32 WHERE r_16 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc, pos, 32, r_32 FROM r32 WHERE r_32 IS NOT NULL),
+       |hl AS (SELECT l, CASE WHEN l >= 32 THEN 32 WHEN l >= 16 THEN 16
+       |                      ELSE 8 END AS h
+       |       FROM (SELECT unnest(range(8, 33)) AS l)),
+       |k AS (SELECT a.doc, a.pos, hl.l, a.r AS ka, b.r AS kb
+       |      FROM hl
+       |      JOIN rl a ON a.h = hl.h
+       |      JOIN rl b ON b.h = hl.h AND b.doc = a.doc
+       |                AND b.pos = a.pos + hl.l - hl.h),
+       |dup AS (SELECT l, ka, kb, count(*) AS occ FROM k
+       |        GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+       |best AS (SELECT doc, pos, max(k.l) AS len, arg_max(occ, k.l) AS occ
+       |         FROM k JOIN dup USING (l, ka, kb) GROUP BY doc, pos),
+       |sm AS (SELECT doc, pos, len, occ,
+       |         max(pos + len) OVER (PARTITION BY doc ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+       |       FROM best)
+       |SELECT doc AS doc_id, pos AS span_start, pos + len - 1 AS span_end,
+       |  len AS n_tokens, occ AS n_occurrences
+       |FROM sm WHERE maxe IS NULL OR maxe < pos + len
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_sa_repeats" -> (q107 _),
     "q104_winnow_pairs" -> (q104 _),
     "q105_cross_rerank" -> (q105 _),
     "q106_ann_append" -> (q106 _),
@@ -1332,6 +1475,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q107_sa_repeats" -> q107Sql,
     "q104_winnow_pairs" -> q104Sql,
     "q105_cross_rerank" -> q105Sql,
     // append ≡ rebuild: the grown-index probe must equal q92's
