@@ -1442,8 +1442,90 @@ object CorpusOps {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // --------------------------------------------------------------- q108
+  /** N-gram LM quality filter (operators.NgramLm — CCNet's perplexity
+    * filtering axis with Brants et al.'s stupid backoff, the published
+    * distributed-counting scheme): per-doc arithmetic-mean token score
+    * under the corpus-trained trigram model with LEAVE-ONE-DOCUMENT-OUT
+    * counts (a doc's own text never inflates its own familiarity —
+    * without this, every singleton trigram self-hits at probability 1
+    * and gibberish scores maximal), every per-token score
+    * floor-truncated to integer ppm BEFORE the sum so the entire
+    * aggregate is exact BIGINT arithmetic — the q84 "integer counts +
+    * final truncated division" discipline generalized to
+    * order-3-with-backoff. The oracle re-derives the per-doc/corpus
+    * dual counts, the held-out subtraction, the backoff cascade, the
+    * ppm floors, and the integer mean. The float log₂-perplexity
+    * surface (NgramLm.logProbPerToken) is spec-gated instead
+    * (NgramLmSpec) — a float log fold has no shuffle-order-stable
+    * hash.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NgramLm.scoreDocsPpm(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+
+  private val q108Sql =
+    s"""WITH tk8 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |d1 AS (SELECT doc, gram, count(*) AS dcnt
+       |       FROM (SELECT doc_id AS doc, unnest(toks) AS gram FROM tk8)
+       |       GROUP BY 1, 2),
+       |d2 AS (SELECT doc, gram, count(*) AS dcnt
+       |       FROM (SELECT doc_id AS doc,
+       |               unnest(list_transform(range(1, len(toks)),
+       |                 i -> toks[i] || ' ' || toks[i+1])) AS gram
+       |             FROM tk8 WHERE len(toks) >= 2)
+       |       GROUP BY 1, 2),
+       |d3 AS (SELECT doc, gram, count(*) AS dcnt
+       |       FROM (SELECT doc_id AS doc,
+       |               unnest(list_transform(range(1, len(toks) - 1),
+       |                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+       |             FROM tk8 WHERE len(toks) >= 3)
+       |       GROUP BY 1, 2),
+       |e1 AS (SELECT doc, gram, (SUM(dcnt) OVER (PARTITION BY gram)) - dcnt AS eff FROM d1),
+       |e2 AS (SELECT doc, gram, (SUM(dcnt) OVER (PARTITION BY gram)) - dcnt AS eff FROM d2),
+       |e3 AS (SELECT doc, gram, (SUM(dcnt) OVER (PARTITION BY gram)) - dcnt AS eff FROM d3),
+       |tot AS (SELECT count(*) AS ctotal
+       |        FROM (SELECT unnest(toks) AS g FROM tk8)),
+       |posi AS (SELECT doc_id AS doc, toks, len(toks) AS doclen,
+       |                unnest(range(3, len(toks) + 1)) AS i
+       |         FROM tk8 WHERE len(toks) >= 3),
+       |pos AS (SELECT doc, doclen, toks[i-2] AS w1, toks[i-1] AS w2, toks[i] AS w
+       |        FROM posi),
+       |j AS (SELECT pos.doc,
+       |        COALESCE(t3.eff, 0) AS c3eff, COALESCE(cx.eff, 0) AS c2ctxeff,
+       |        COALESCE(cb.eff, 0) AS c2boeff, COALESCE(u2.eff, 0) AS c1ctxeff,
+       |        COALESCE(uw.eff, 0) AS c1weff, tot.ctotal - pos.doclen AS ctoteff
+       |      FROM pos
+       |      LEFT JOIN e3 t3 ON t3.doc = pos.doc
+       |        AND t3.gram = pos.w1 || ' ' || pos.w2 || ' ' || pos.w
+       |      LEFT JOIN e2 cx ON cx.doc = pos.doc
+       |        AND cx.gram = pos.w1 || ' ' || pos.w2
+       |      LEFT JOIN e2 cb ON cb.doc = pos.doc
+       |        AND cb.gram = pos.w2 || ' ' || pos.w
+       |      LEFT JOIN e1 u2 ON u2.doc = pos.doc AND u2.gram = pos.w2
+       |      LEFT JOIN e1 uw ON uw.doc = pos.doc AND uw.gram = pos.w
+       |      CROSS JOIN tot),
+       |sc AS (SELECT doc,
+       |         CASE WHEN c3eff >= 1 THEN (1000000 * c3eff) // c2ctxeff
+       |              WHEN c2boeff >= 1 THEN (1000000 * 2 * c2boeff) // (5 * c1ctxeff)
+       |              WHEN c1weff >= 1 THEN (1000000 * 4 * c1weff) // (25 * ctoteff)
+       |              ELSE 0 END AS m,
+       |         CASE WHEN c3eff >= 1 THEN 0
+       |              WHEN c2boeff >= 1 THEN 1
+       |              WHEN c1weff >= 1 THEN 2 ELSE 3 END AS lvl
+       |       FROM j)
+       |SELECT doc AS doc_id, count(*) AS n_scored,
+       |  CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+       |  CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+       |  CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+       |  CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  CAST(sum(m) AS BIGINT) // count(*) AS score_ppm
+       |FROM sc GROUP BY doc
+       |ORDER BY score_ppm DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_sa_repeats" -> (q107 _),
+    "q108_ngram_lm_ppm" -> (q108 _),
     "q104_winnow_pairs" -> (q104 _),
     "q105_cross_rerank" -> (q105 _),
     "q106_ann_append" -> (q106 _),
@@ -1476,6 +1558,7 @@ object CorpusOps {
 
   val oracle: Map[String, String] = Map(
     "q107_sa_repeats" -> q107Sql,
+    "q108_ngram_lm_ppm" -> q108Sql,
     "q104_winnow_pairs" -> q104Sql,
     "q105_cross_rerank" -> q105Sql,
     // append ≡ rebuild: the grown-index probe must equal q92's
