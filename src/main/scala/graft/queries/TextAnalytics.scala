@@ -464,7 +464,68 @@ object TextAnalytics {
        |ORDER BY source, epoch""".stripMargin
   }
 
+  // --------------------------------------------------------------- q109
+  /** DSIR importance-resampling mixture (operators.Dsir — Xie et al.
+    * NeurIPS'23): q82's static per-source rates generalized to
+    * per-document importance weights under hashed unigram+bigram
+    * bucket models — target = the corpus's English documents, raw =
+    * the whole corpus, expected sample size k=100. Selection is the
+    * deterministic threshold-keep rule (q82's md5 idiom) with the
+    * acceptance bound cross-multiplied into exact integers:
+    * u·Σw < k·10⁶·w_i — replayable across retries, engines, and
+    * partitionings. The oracle re-derives features, both smoothed
+    * bucket models, the ppm ratio table, the weighted integer mean,
+    * and the acceptance rule; the float log-importance surface is
+    * spec-gated in DsirSpec instead.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    graft.operators.Dsir.resample(
+        docs, docs.filter($"lang" === "en"), "doc_id", "text", k = 100)
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"n_feat", $"score_ppm")
+      .orderBy($"doc_id")
+  }
+
+  private val q109Sql = {
+    val B = graft.operators.Dsir.DefaultBuckets
+    val poly = graft.functions.TextFunctions.polyHashSql.format("g", "g")
+    s"""WITH tk9 AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |gr AS (
+       |  SELECT doc_id, unnest(toks) AS g FROM tk9
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS g
+       |  FROM tk9 WHERE len(toks) >= 2),
+       |f AS (SELECT doc_id, $poly % $B AS bucket, count(*) AS n
+       |      FROM gr GROUP BY 1, 2),
+       |rcnt AS (SELECT bucket, sum(n) AS r FROM f GROUP BY 1),
+       |tcnt AS (SELECT bucket, sum(n) AS t
+       |         FROM f JOIN documents USING (doc_id)
+       |         WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(r) FROM rcnt) AS rtot,
+       |               (SELECT COALESCE(sum(t), 0) FROM tcnt) AS ttot),
+       |ratio AS (
+       |  SELECT bucket,
+       |    (1000000 * (COALESCE(t, 0) + 1) * (rtot + $B))
+       |      // ((r + 1) * (ttot + $B)) AS ratio_ppm
+       |  FROM rcnt LEFT JOIN tcnt USING (bucket) CROSS JOIN tot),
+       |sc AS (
+       |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feat,
+       |    CAST(sum(n * ratio_ppm) // sum(n) AS BIGINT) AS score_ppm
+       |  FROM f JOIN ratio USING (bucket) GROUP BY doc_id),
+       |w AS (SELECT sum(score_ppm) AS wsum FROM sc)
+       |SELECT doc_id, lang, n_feat, score_ppm
+       |FROM sc JOIN documents USING (doc_id) CROSS JOIN w
+       |WHERE (CAST(concat('0x', substring(md5(concat('dsir|',
+       |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 1000000) * wsum
+       |  < 100 * 1000000 * score_ppm
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_dsir_resample" -> (q109 _),
     "q82_corpus_mixture" -> (q82 _),
     "q83_quantile_filter" -> (q83 _),
     "q87_pack_sequences" -> (q87 _),
@@ -479,6 +540,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q109_dsir_resample" -> q109Sql,
     "q82_corpus_mixture" -> q82Sql,
     "q83_quantile_filter" -> q83Sql,
     "q87_pack_sequences" -> q87Sql,
