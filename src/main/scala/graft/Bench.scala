@@ -65,6 +65,24 @@ object Bench {
     // CALIBRATION itself was noise-bound (r12's q28 mystery question)
     val calibSamples = { calibrate(); Seq(calibrate(), calibrate(), calibrate()) }
     val calib = calibSamples.min
+    // ALL-CORES calibration: the same workload on every core at once.
+    // Single-core calib stays flat while a neighbor JVM eats half the
+    // box — exactly the blind spot behind r12's q28 driver-vs-builder
+    // 3.6x same-code gap (r13 reproduced it: q28 20.4 s with test JVMs
+    // winding down, 1.3-5.8 s quiet, calib 0.132 throughout; PERF.md
+    // "q28 file"). calib_mt_ratio = calib_mt/calib: ~1 on an idle box,
+    // elevated means the 32-thread queries in THIS sweep ran contended
+    // and their seconds are not comparable to a quiet round's.
+    val calibMt = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val times = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val threads = (0 until n).map { _ =>
+        new Thread(() => { times.add(calibrate()) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      times.asScala.max
+    }
 
     def once(name: String, dir: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -259,15 +277,16 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","sf2":"$sfDir2",""" +
         s""""total_sf2":${r3(total2)},"queries":$detailQs,"converter":$conv,""" +
         s""""converter_fast":$convFast,"ann_split":$annSplit,"calib_sec":${r3(calib)},""" +
-        s""""calib_samples":$calibJson}"""
+        s""""calib_samples":$calibJson,"calib_mt_sec":${r3(calibMt)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_detail.json"), detail + "\n")
 
     // compact final line: totals + converter + slowest queries first,
     // hard-capped so the whole JSON fits inside the driver's ~2000-char
     // stdout tail (see scaladoc). Remaining queries are in the detail
     // file; "queries_elided" says how many.
-    // (was 1400; ann_split now takes ~230 chars of the ~2000-char tail)
-    val budget = 1150
+    // (was 1400; ann_split takes ~230 chars of the ~2000-char tail,
+    // calib_mt another ~25)
+    val budget = 1120
     // one-number noise summary that survives tail-capture: total
     // excess of the slower measured run over the faster, across all
     // queries — a large value flags an unusually noisy sweep without
@@ -287,7 +306,8 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qsCompact,""" +
         s""""queries_elided":$elided,"total_sf2":${r3(total2)},"n_queries":${results.size},""" +
         s""""converter":$conv,"converter_fast":$convFast,"ann_split":$annSplit,""" +
-        s""""calib_sec":${r3(calib)},"run_spread_sec":${r3(runSpread)},""" +
+        s""""calib_sec":${r3(calib)},"calib_mt_sec":${r3(calibMt)},""" +
+        s""""run_spread_sec":${r3(runSpread)},""" +
         s""""detail":"bench_detail.json","perf_doc":"PERF.md","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -785,8 +785,108 @@ object Dedup {
       textCol: String,
       minLen: Int = 8,
       maxLen: Int = 32): DataFrame = {
-    require(minLen >= 2, "minLen must be >= 2")
-    require(maxLen >= minLen, "maxLen must be >= minLen")
+    // rank rows feed the keys explode AND the three per-h dup-rank
+    // aggregates below — materialize once (released before return;
+    // the returned frame is checkpoint-backed, release contract)
+    val cur = saRankRows(df, idCol, textCol, maxLen).localCheckpoint(true)
+    val keys = saKeysFromRanks(cur, minLen, maxLen)
+    // candidate-position prefilter (lossless, the prefix argument): an
+    // l-window duplicated anywhere has its h(l)-prefix duplicated too
+    // (the prefix occurs wherever the window does), so keys whose ka
+    // rank is NOT an h-level duplicate can never survive the occ >= 2
+    // filter — drop them BEFORE the (l, ka, kb) exchange. Dup
+    // positions are sparse in a real corpus, so this turns the
+    // (maxLen-minLen+1)x key expansion from a shuffled 25x into a
+    // map-side filter: the per-h dup-rank tables are aggregate outputs
+    // whose runtime size AQE sees, and broadcast when small (the
+    // common case); a dup-heavy corpus degrades to a shuffle join —
+    // never to wrong counts, since surviving keys' occ aggregate is
+    // exact over the kept rows (every position of a duplicated
+    // l-window is kept, by the same prefix argument).
+    val dupH = saHLevels(minLen, maxLen).map { h =>
+      cur.filter(col(s"r_$h").isNotNull)
+        .groupBy(col(s"r_$h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(lit(h).as("h"), col(s"r_$h").as("ka"))
+    }.reduce(_ unionByName _)
+    val cand = keys.join(dupH, Seq("h", "ka"))
+    val dup = cand.groupBy(col("l"), col("ka"), col("kb"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    // per position: the longest duplicated window and ITS exact count
+    val result = saLeftMaximalSpans(cand.join(dup, Seq("l", "ka", "kb")))
+      .withColumnRenamed("n_match_occurrences", "n_occurrences")
+      .localCheckpoint(true)
+    graft.Checkpoints.release(cur)
+    result
+  }
+
+  /** Cross-corpus EXACT contamination spans — [[saMaximalRepeats]]'s
+    * machinery pointed at a benchmark: for every corpus position, the
+    * longest token substring ALSO occurring anywhere in `bench`,
+    * reported as left-maximal spans with the exact benchmark
+    * occurrence count:
+    * (doc_id, span_start, span_end, n_tokens, n_bench_occurrences).
+    *
+    * The exact complement of [[graft.operators.Quality]].decontaminate
+    * (q67): that flags docs sharing SOME fixed-n gram with the
+    * benchmark; this reports the true maximal shared EXTENT (the
+    * GPT-3/Lee-et-al. contamination measure is "shares a substring of
+    * >= L tokens" — extent is the decision variable) and how often the
+    * benchmark contains it. Plan shape identical to saMaximalRepeats
+    * except the duplicate-count aggregate runs on the BENCH side only
+    * (typically small -> its (l, key) table broadcasts) and the corpus
+    * side never self-joins.
+    */
+  def saSharedSpans(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8,
+      maxLen: Int = 32): DataFrame = {
+    val ccur = saRankRows(corpus, idCol, textCol, maxLen)
+    // bench ranks feed the three allowed-rank projections AND the key
+    // aggregate — materialize once (released before return)
+    val bcur = saRankRows(bench, idCol, textCol, maxLen).localCheckpoint(true)
+    // cross-corpus prefilter, same prefix argument as saMaximalRepeats
+    // but against the BENCHMARK's h-rank sets: a corpus l-window
+    // occurring in bench has its h(l)-prefix in bench too. Benchmark
+    // sides are small by construction, so both the allowed-rank tables
+    // and the bench key aggregate broadcast — the corpus pays one
+    // map-side-filtered aggregate and no self-join.
+    val allowedH = saHLevels(minLen, maxLen).map { h =>
+      bcur.filter(col(s"r_$h").isNotNull)
+        .select(lit(h).as("h"), col(s"r_$h").as("ka")).distinct()
+    }.reduce(_ unionByName _)
+    val ck = saKeysFromRanks(ccur, minLen, maxLen).join(allowedH, Seq("h", "ka"))
+    val bk = saKeysFromRanks(bcur, minLen, maxLen)
+      .groupBy(col("l"), col("ka"), col("kb"))
+      .agg(count(lit(1)).as("occ"))
+    val result = saLeftMaximalSpans(ck.join(bk, Seq("l", "ka", "kb")))
+      .withColumnRenamed("n_match_occurrences", "n_bench_occurrences")
+      .localCheckpoint(true)
+    graft.Checkpoints.release(bcur)
+    result
+  }
+
+  /** The power-of-two sparse-table levels h(l) actually used by
+    * lengths in [minLen, maxLen].
+    */
+  private def saHLevels(minLen: Int, maxLen: Int): Seq[Int] =
+    (minLen to maxLen).map(Integer.highestOneBit).distinct
+
+  /** Prefix-doubling rank rows: (doc, pos, r_1, r_2, ..., r_maxLevel)
+    * with r_h the md5-composed identity of the h-token window at pos
+    * (null iff it does not fit the doc). One doc-keyed exchange feeds
+    * every doubling pass (same window spec).
+    */
+  private def saRankRows(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxLen: Int): DataFrame = {
+    require(maxLen >= 2, "maxLen must be >= 2")
     val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
     val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
     // one token row per position, pre-partitioned by doc so every
@@ -807,6 +907,21 @@ object Dedup {
             md5(concat_ws("|", col(s"r_$half"), col("sh")))))
         .drop("sh")
     }
+    cur
+  }
+
+  /** Per-position (l, h, ka, kb) window identities for every length in
+    * [minLen, maxLen], from [[saRankRows]] output: the length-l window
+    * at pos is identified by the overlap pair (r_h(pos),
+    * r_h(pos+l-h)), h = 2^floor(lg l). Output: (doc, pos, l, h, ka, kb).
+    */
+  private def saKeysFromRanks(
+      cur: DataFrame,
+      minLen: Int,
+      maxLen: Int): DataFrame = {
+    require(minLen >= 2, "minLen must be >= 2")
+    require(maxLen >= minLen, "maxLen must be >= minLen")
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
     // per-l second key component: the (l-h)-shifted h-rank. Window
     // leads must sit in a projection, not under the generator below.
     val withKb = (minLen to maxLen).foldLeft(cur) { (d, l) =>
@@ -817,18 +932,23 @@ object Dedup {
     val keyStructs = (minLen to maxLen).map { l =>
       val h = Integer.highestOneBit(l)
       val kb = if (l == h) col(s"r_$h") else col(s"kb_$l")
-      struct(lit(l.toLong).as("l"), col(s"r_$h").as("ka"), kb.as("kb"))
+      struct(lit(l.toLong).as("l"), lit(h).as("h"), col(s"r_$h").as("ka"), kb.as("kb"))
     }
-    val keys = withKb
+    withKb
       .select(col("doc"), col("pos"), explode(array(keyStructs: _*)).as("k"))
-      .select(col("doc"), col("pos"), col("k.l").as("l"),
+      .select(col("doc"), col("pos"), col("k.l").as("l"), col("k.h").as("h"),
         col("k.ka").as("ka"), col("k.kb").as("kb"))
       .filter(col("ka").isNotNull && col("kb").isNotNull)
-    val dup = keys.groupBy(col("l"), col("ka"), col("kb"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2)
-    // per position: the longest duplicated window and ITS exact count
-    val best = keys.join(dup, Seq("l", "ka", "kb"))
+  }
+
+  /** Shared back half: from matched key rows (doc, pos, l, ..., occ),
+    * the per-position longest match with its count, then the running-
+    * max left-maximality filter. Output: (doc_id, span_start,
+    * span_end, n_tokens, n_match_occurrences).
+    */
+  private def saLeftMaximalSpans(matched: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val best = matched
       .groupBy(col("doc"), col("pos"))
       .agg(max(struct(col("l"), col("occ"))).as("b"))
       .select(col("doc"), col("pos"), col("b.l").as("len"), col("b.occ").as("occ"))
@@ -840,7 +960,7 @@ object Dedup {
       .filter(col("maxe").isNull || col("maxe") < col("pos") + col("len"))
       .select(col("doc").as("doc_id"), col("pos").as("span_start"),
         (col("pos") + col("len") - 1L).as("span_end"),
-        col("len").as("n_tokens"), col("occ").as("n_occurrences"))
+        col("len").as("n_tokens"), col("occ").as("n_match_occurrences"))
   }
 
   /** Shared removal tail: drop tokens covered by `spans`, report

@@ -84,15 +84,19 @@ object Dsir {
     * and the DuckDB mirror is exact.
     */
   def features(docs: DataFrame, idCol: String, textCol: String,
-      numBuckets: Int = DefaultBuckets): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
+      numBuckets: Int = DefaultBuckets): DataFrame =
     docs
-      .select(col(idCol).as("doc"), explode(concat(toks, bigrams(toks))).as("g"))
+      // toks materialized as an ATTRIBUTE before the bigram transform
+      // lambda — the lambda-capture rule (SURVEY §8.4, Dedup
+      // .shinglesFromToks): a captured `tokens(text)` subtree would
+      // re-tokenize the document once per gram element
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        explode(concat(col("toks"), bigrams(col("toks")))).as("g"))
       .select(col("doc"),
         pmod(TextFunctions.polyHash(col("g")), lit(numBuckets.toLong)).as("bucket"))
       .groupBy(col("doc"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-  }
 
   /** The two smoothed bucket models joined into one broadcast-able
     * ratio table: (bucket, r, t, ratio_ppm) for every bucket present
@@ -101,11 +105,14 @@ object Dsir {
     * integer ratio and the raw counts the float surface needs.
     */
   def ratioTable(raw: DataFrame, target: DataFrame, idCol: String,
-      textCol: String, numBuckets: Int = DefaultBuckets): DataFrame = {
-    val rf = features(raw, idCol, textCol, numBuckets)
-    val tf = features(target, idCol, textCol, numBuckets)
-    val rcnt = rf.groupBy(col("bucket")).agg(sum(col("n")).as("r"))
-    val tcnt = tf.groupBy(col("bucket")).agg(sum(col("n")).as("t"))
+      textCol: String, numBuckets: Int = DefaultBuckets): DataFrame =
+    ratioFromFeatures(features(raw, idCol, textCol, numBuckets),
+      features(target, idCol, textCol, numBuckets), numBuckets)
+
+  private def ratioFromFeatures(rawFeats: DataFrame, targetFeats: DataFrame,
+      numBuckets: Int): DataFrame = {
+    val rcnt = rawFeats.groupBy(col("bucket")).agg(sum(col("n")).as("r"))
+    val tcnt = targetFeats.groupBy(col("bucket")).agg(sum(col("n")).as("t"))
     val totals = rcnt.agg(sum(col("r")).as("rtot"))
       .crossJoin(tcnt.agg(coalesce(sum(col("t")), lit(0L)).as("ttot")))
     rcnt.join(tcnt, Seq("bucket"), "left")
@@ -125,15 +132,28 @@ object Dsir {
     */
   def importancePpm(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, numBuckets: Int = DefaultBuckets): DataFrame = {
-    val ratios = ratioTable(raw, target, idCol, textCol, numBuckets)
+    // the raw feature table feeds BOTH the q-model aggregate and the
+    // scoring join (and, via resample, the Σw scalar + the kept-row
+    // filter): without materialization Spark re-runs the tokenize +
+    // explode + hash + combine pass once per consumer — measured 4x on
+    // the first bench cut (q109 9.7 s -> the explode pass dominated).
+    // Checkpoint it once, release before returning (its consumers are
+    // inside the eager `scored` below); the returned frame is itself
+    // checkpoint-backed and carries the Checkpoints.release contract.
+    val feats = features(raw, idCol, textCol, numBuckets).localCheckpoint(true)
+    val ratios = ratioFromFeatures(
+        feats, features(target, idCol, textCol, numBuckets), numBuckets)
       .select(col("bucket"), col("ratio_ppm"))
-    features(raw, idCol, textCol, numBuckets)
+    val scored = feats
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col("doc"))
       .agg(sum(col("n")).as("n_feat"),
         sum(col("n") * col("ratio_ppm")).as("w_sum"))
       .select(col("doc").as("doc_id"), col("n_feat"),
         expr("w_sum DIV n_feat").as("score_ppm"))
+      .localCheckpoint(true)
+    graft.Checkpoints.release(feats)
+    scored
   }
 
   /** The paper's log estimator: avg log₂(p_b/q_b) per feature
@@ -143,12 +163,17 @@ object Dsir {
     */
   def logImportance(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, numBuckets: Int = DefaultBuckets): DataFrame = {
-    val ratios = ratioTable(raw, target, idCol, textCol, numBuckets)
+    // same two-consumer shape as importancePpm: one materialized
+    // feature pass feeds the q-model and the scoring join; released
+    // before return, result checkpoint-backed (release contract)
+    val feats = features(raw, idCol, textCol, numBuckets).localCheckpoint(true)
+    val ratios = ratioFromFeatures(
+      feats, features(target, idCol, textCol, numBuckets), numBuckets)
     val lg = (log2(col("t").cast("double") + 1.0)
       - log2(col("ttot").cast("double") + numBuckets.toDouble)
       - log2(col("r").cast("double") + 1.0)
       + log2(col("rtot").cast("double") + numBuckets.toDouble)).as("lg")
-    features(raw, idCol, textCol, numBuckets)
+    val out = feats
       .join(broadcast(ratios.select(col("bucket"), lg)), Seq("bucket"))
       .groupBy(col("doc"))
       .agg(sum(col("n")).as("n_feat"),
@@ -158,6 +183,9 @@ object Dsir {
           .as("lg_sum"))
       .select(col("doc").as("doc_id"), col("n_feat"),
         (col("lg_sum") / col("n_feat").cast("double")).as("avg_log2_ratio"))
+      .localCheckpoint(true)
+    graft.Checkpoints.release(feats)
+    out
   }
 
   /** Deterministic importance resampling: raw docs kept with

@@ -1442,6 +1442,78 @@ object CorpusOps {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // --------------------------------------------------------------- q110
+  /** Cross-corpus EXACT substring contamination (Dedup.saSharedSpans —
+    * the suffix-array-range machinery pointed at a benchmark): for
+    * every training-side position, the longest token substring that
+    * also occurs anywhere in the benchmark side, as left-maximal spans
+    * with exact benchmark occurrence counts. Same corpus/benchmark
+    * split as q67 (doc_id % 19), making the pair a differential: q67
+    * flags "shares SOME 5-gram", q110 reports the true maximal shared
+    * extent — the contamination decision variable ("shares >= L
+    * tokens") — and its multiplicity. The oracle re-derives the full
+    * construction over the whole table and splits sides at the key
+    * level (ranks are per-doc, so computing them unsplit is
+    * identical).
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.saSharedSpans(
+        docs.filter(col("doc_id") % 19 =!= 0),
+        docs.filter(col("doc_id") % 19 === 0),
+        "doc_id", "text", minLen = 8, maxLen = 32)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  private val q110Sql = {
+    val levels = Seq(2, 4, 8, 16, 32)
+    val keep = scala.collection.mutable.ArrayBuffer("r_1")
+    val lvlCtes = levels.map { h =>
+      val half = h / 2
+      val prev = keep.mkString(", ")
+      keep += s"r_$h"
+      s"""l$h AS (SELECT doc, pos, $prev,
+         |  lead(r_$half, $half) OVER (PARTITION BY doc ORDER BY pos) AS sh
+         |  FROM ${if (half == 1) "r1" else s"r$half"}),
+         |r$h AS (SELECT doc, pos, $prev,
+         |  CASE WHEN r_$half IS NOT NULL AND sh IS NOT NULL
+         |       THEN md5(r_$half || '|' || sh) END AS r_$h FROM l$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk10 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |p AS (SELECT doc_id AS doc, unnest(range(1, len(toks) + 1)) AS pos,
+       |             unnest(toks) AS tok FROM tk10),
+       |r1 AS (SELECT doc, pos, md5(tok) AS r_1 FROM p),
+       |$lvlCtes,
+       |rl AS (
+       |  SELECT doc, pos, 8 AS h, r_8 AS r FROM r32 WHERE r_8 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc, pos, 16, r_16 FROM r32 WHERE r_16 IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc, pos, 32, r_32 FROM r32 WHERE r_32 IS NOT NULL),
+       |hl AS (SELECT l, CASE WHEN l >= 32 THEN 32 WHEN l >= 16 THEN 16
+       |                      ELSE 8 END AS h
+       |       FROM (SELECT unnest(range(8, 33)) AS l)),
+       |k AS (SELECT a.doc, a.pos, hl.l, a.r AS ka, b.r AS kb
+       |      FROM hl
+       |      JOIN rl a ON a.h = hl.h
+       |      JOIN rl b ON b.h = hl.h AND b.doc = a.doc
+       |                AND b.pos = a.pos + hl.l - hl.h),
+       |kbench AS (SELECT l, ka, kb, count(*) AS occ FROM k
+       |           WHERE doc % 19 = 0 GROUP BY 1, 2, 3),
+       |best AS (SELECT k.doc, k.pos, max(k.l) AS len,
+       |           arg_max(occ, k.l) AS occ
+       |         FROM k JOIN kbench USING (l, ka, kb)
+       |         WHERE k.doc % 19 <> 0 GROUP BY k.doc, k.pos),
+       |sm AS (SELECT doc, pos, len, occ,
+       |         max(pos + len) OVER (PARTITION BY doc ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+       |       FROM best)
+       |SELECT doc AS doc_id, pos AS span_start, pos + len - 1 AS span_end,
+       |  len AS n_tokens, occ AS n_bench_occurrences
+       |FROM sm WHERE maxe IS NULL OR maxe < pos + len
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
   // --------------------------------------------------------------- q108
   /** N-gram LM quality filter (operators.NgramLm — CCNet's perplexity
     * filtering axis with Brants et al.'s stupid backoff, the published
@@ -1526,6 +1598,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q107_sa_repeats" -> (q107 _),
     "q108_ngram_lm_ppm" -> (q108 _),
+    "q110_sa_contamination" -> (q110 _),
     "q104_winnow_pairs" -> (q104 _),
     "q105_cross_rerank" -> (q105 _),
     "q106_ann_append" -> (q106 _),
@@ -1559,6 +1632,7 @@ object CorpusOps {
   val oracle: Map[String, String] = Map(
     "q107_sa_repeats" -> q107Sql,
     "q108_ngram_lm_ppm" -> q108Sql,
+    "q110_sa_contamination" -> q110Sql,
     "q104_winnow_pairs" -> q104Sql,
     "q105_cross_rerank" -> q105Sql,
     // append ≡ rebuild: the grown-index probe must equal q92's

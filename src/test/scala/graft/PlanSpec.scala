@@ -183,6 +183,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus shuffled for a 20-row dim join")
   }
 
+  test("q109 DSIR: the bucket-ratio model is broadcast — scoring never shuffles the corpus") {
+    val p = plan("q109_dsir_resample")
+    // the <=B-row ratio table must broadcast into the feature join; a
+    // SortMergeJoin there would shuffle every (doc, bucket) partial by
+    // bucket — at 100 TB that is a corpus-sized exchange for a
+    // KB-sized model
+    assert(p.contains("BroadcastHashJoin"), "ratio model not broadcast")
+    assert(!p.contains("CartesianProduct"), "a real cartesian appeared")
+    // the Σw scalar and the 1-row totals may NL-join (broadcast, 1 row);
+    // nothing else may
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nl <= 3, s"unexpected nested-loop joins: $nl")
+  }
+
   test("q87 packing: the heavy cumsum window is block-partitioned, not single-partition") {
     val p = plan("q87_pack_sequences")
     // level-1 prefix sum must hash-partition on the block key (parallel
