@@ -76,3 +76,20 @@ print("tone.wav", dict(ch=CH, rate=RATE, frames=FRAMES,
                        dur_ms=FRAMES * 1000 // RATE,
                        mean=sum(samples) / len(samples),
                        mn=min(samples), mx=max(samples)))
+
+# --- clip.y4m (YUV4MPEG2, 6x4 C420, 3 frames @30000:1001, frame params) ---
+VW, VH, VF = 6, 4, 3
+fsz = VW * VH + 2 * (VW // 2) * (VH // 2)
+frames_bytes = []
+for k in range(VF):
+    frames_bytes.append(bytes((k * 47 + i * 31) % 256 for i in range(fsz)))
+hdr = b"YUV4MPEG2 W6 H4 F30000:1001 Ip A128:117 C420 XYSCSS=420\n"
+# frame 1 carries a frame-level parameter to exercise the param skip
+markers = [b"FRAME\n", b"FRAME Xcustom=1\n", b"FRAME\n"]
+y4m = hdr + b"".join(m + f for m, f in zip(markers, frames_bytes))
+with open(os.path.join(OUT, "clip.y4m"), "wb") as f:
+    f.write(y4m)
+ys = [v for fb in frames_bytes for v in fb[:VW * VH]]
+print("clip.y4m", dict(w=VW, h=VH, frames=VF,
+                       dur_ms=VF * 1000 * 1001 // 30000,
+                       y_mean=sum(ys) / len(ys), y_min=min(ys), y_max=max(ys)))

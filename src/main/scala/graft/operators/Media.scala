@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` boundary; [[decodeImages]]/[[decodeAudio]] are the
   * typed surfaces, and q102/q103 hash-gate them end-to-end against
   * DuckDB oracles that recompute the stats from the source bytes.
-  * Video containers remain out of scope for this environment (no
-  * codec libraries); [[decodeFeatures]] profiles unrecognized
-  * payloads with documented byte arithmetic instead (the q44
+  * Video decodes FOR REAL too for uncompressed YUV4MPEG2 streams
+  * ([[VideoCodec]] — stream header, frame walk, plane geometry, luma
+  * stats; q111 hash-gates it); COMPRESSED video codecs (H.264 etc.)
+  * remain out of scope for this environment (a dependency-free
+  * entropy decoder is not a reasonable build) and fall through to
+  * [[decodeFeatures]]'s documented byte-arithmetic profile (the q44
   * contract).
   *
   * Scale notes: decode runs via `mapPartitions` so a real decoder
@@ -96,14 +99,19 @@ object Media {
         if (n > 0) mean /= n
         val image = if (ImageCodec.sniff(m.data)) ImageCodec.decode(m.data).toOption else None
         lazy val audio = if (AudioCodec.sniff(m.data)) AudioCodec.decode(m.data).toOption else None
+        lazy val video = if (VideoCodec.sniff(m.data)) VideoCodec.decode(m.data).toOption else None
         (image, audio) match {
           case (Some(s), _) =>
             MediaFeatures(m.media_id, m.kind, n, s.width, s.height, 0L, mean)
           case (None, Some(a)) =>
             MediaFeatures(m.media_id, m.kind, n, 0, 0, a.durationMs, mean)
-          case _ =>
-            MediaFeatures(m.media_id, m.kind, n,
-              (n % 640 + 1).toInt, (n % 480 + 1).toInt, n * 10, mean)
+          case _ => video match {
+            case Some(v) =>
+              MediaFeatures(m.media_id, m.kind, n, v.width, v.height, v.durationMs, mean)
+            case None =>
+              MediaFeatures(m.media_id, m.kind, n,
+                (n % 640 + 1).toInt, (n % 480 + 1).toInt, n * 10, mean)
+          }
         }
       }
     }
@@ -189,6 +197,48 @@ object Media {
     }
   }
 
+  /** Typed per-stream stats from [[VideoCodec]]'s real Y4M decode,
+    * with the same error-channel shape as [[ImageFeatures]].
+    */
+  final case class VideoFeatures(
+      media_id: Long,
+      codec: String,
+      ok: Boolean,
+      err: String,
+      width: Int,
+      height: Int,
+      fps_num: Int,
+      fps_den: Int,
+      colorspace: String,
+      n_frames: Long,
+      duration_ms: Long,
+      y_mean: Double,
+      y_min: Int,
+      y_max: Int)
+
+  /** REAL video decode over the opaque media table — the video
+    * sibling of [[decodeImages]]/[[decodeAudio]] for uncompressed
+    * YUV4MPEG2 streams; q111 hash-gates the whole path (stream header
+    * parse, FRAME walk, plane geometry, luma sample scan) against a
+    * DuckDB oracle recomputing the stats from the source bytes.
+    * Compressed codecs stay byte-profiled (see [[decodeFeatures]]).
+    */
+  def decodeVideo(media: Dataset[MediaRecord]): Dataset[VideoFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        VideoCodec.decode(m.data) match {
+          case Right(v) =>
+            VideoFeatures(m.media_id, v.codec, ok = true, "", v.width, v.height,
+              v.fpsNum, v.fpsDen, v.colorspace, v.nFrames, v.durationMs,
+              v.yMean, v.yMin, v.yMax)
+          case Left(e) =>
+            VideoFeatures(m.media_id, "", ok = false, e, 0, 0, 0, 0, "", 0L, 0L, 0d, 0, 0)
+        }
+      }
+    }
+  }
+
   /** Little-endian unsigned int of `bytes` width as a binary column —
     * the RIFF header building block for [[toWav]].
     */
@@ -247,6 +297,40 @@ object Media {
         encode(concat(
           format_string("P6\n%d %d\n255\n", col("w"), col("h")),
           expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)")),
+          "UTF-8").as("data"))
+  }
+
+  /** Documents -> REAL YUV4MPEG2 payloads, deterministically: for text
+    * of byte length L, a (L%6+1) x (L%4+1) C444 stream of (L%3+1)
+    * frames at 25 fps whose picture bytes are the text
+    * repeated/truncated to fill nFrames*3*w*h, behind the spec-exact
+    * stream header and per-frame `FRAME\n` markers. Same trick as
+    * [[toPpm]]/[[toWav]]: the all-ASCII corpus lets the DuckDB oracle
+    * recover every sample byte as a codepoint, so q111 hash-gates a
+    * REAL binary video decode — a wrong frame offset, a misparsed
+    * header tag, or bad plane geometry breaks the hash.
+    */
+  def toY4m(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(6)) + lit(1)).cast("int"))
+      .withColumn("h", (pmod(len, lit(4)) + lit(1)).cast("int"))
+      .withColumn("nf", (pmod(len, lit(3)) + lit(1)).cast("int"))
+      .withColumn("fsz", col("w") * col("h") * lit(3))
+      .withColumn("total", col("fsz") * col("nf"))
+      .withColumn("rep",
+        expr("substring(repeat(text, cast(ceil(cast(total as double) / length(text)) as int)), 1, total)"))
+      .select(
+        col("doc_id").as("media_id"),
+        lit("video").as("kind"),
+        lit("y4m").as("format"),
+        encode(concat(
+          format_string("YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C444\n", col("w"), col("h")),
+          array_join(
+            transform(sequence(lit(0), col("nf") - 1), k =>
+              concat(lit("FRAME\n"),
+                col("rep").substr(k * col("fsz") + 1, col("fsz")))),
+            "")),
           "UTF-8").as("data"))
   }
 

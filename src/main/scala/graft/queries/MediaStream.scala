@@ -265,10 +265,69 @@ object MediaStream {
       |FROM b
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q111
+  /** REAL video decode, hash-gated end-to-end: documents become
+    * genuine YUV4MPEG2 streams (Media.toY4m — spec-exact stream
+    * header, per-frame FRAME markers, C444 planar pictures) and
+    * VideoCodec parses them — header tag walk, frame marker scan,
+    * plane geometry, luma sample pass — while the oracle recomputes
+    * every stat from the source text (all-ASCII corpus: sample byte ==
+    * codepoint). A misparsed header tag, a wrong frame offset, or bad
+    * Y-plane geometry breaks the hash. Duration is integer-exact
+    * (frames*1000*den/num in both engines' integer division); luma
+    * mean floor-truncated at 1e-6 (q44 idiom). Compressed codecs stay
+    * byte-profiled by design — see Media scaladoc.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toY4m(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeVideo(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("fps_num"), col("fps_den"), col("colorspace"), col("n_frames"),
+        col("duration_ms"), trunc6(col("y_mean")).as("y_mean"),
+        col("y_min"), col("y_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q111Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 6 + 1 AS INTEGER) AS w,
+      |    CAST(length(text) % 4 + 1 AS INTEGER) AS h,
+      |    CAST(length(text) % 3 + 1 AS INTEGER) AS nf
+      |  FROM documents WHERE length(text) > 0),
+      |r AS (
+      |  SELECT doc_id, w, h, nf, 3*w*h AS fsz,
+      |    substring(repeat(text, CAST(ceil(CAST(3*w*h*nf AS DOUBLE) / len) AS INTEGER)),
+      |              1, 3*w*h*nf) AS rep
+      |  FROM d),
+      |y AS (
+      |  SELECT doc_id, w, h, nf,
+      |    array_to_string(list_transform(range(0, nf),
+      |      k -> substring(rep, CAST(k*fsz + 1 AS INTEGER), w*h)), '') AS ystr
+      |  FROM r),
+      |s AS (
+      |  SELECT doc_id, w, h, nf,
+      |    list_transform(range(1, length(ystr) + 1),
+      |      i -> unicode(ystr[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS ys
+      |  FROM y)
+      |SELECT doc_id AS media_id, 'y4m' AS codec, w AS width, h AS height,
+      |  CAST(25 AS INTEGER) AS fps_num, CAST(1 AS INTEGER) AS fps_den,
+      |  'C444' AS colorspace, CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(nf * 40 AS BIGINT) AS duration_ms,
+      |  floor(list_avg(ys) * 1e6) / 1e6 AS y_mean,
+      |  CAST(list_min(ys) AS INTEGER) AS y_min,
+      |  CAST(list_max(ys) AS INTEGER) AS y_max
+      |FROM s
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_media_decode" -> (q44 _),
     "q102_image_decode" -> (q102 _),
     "q103_audio_decode" -> (q103 _),
+    "q111_video_decode" -> (q111 _),
     "q34_media_meta" -> (q34 _),
     "q35_frame_sample" -> (q35 _),
     "q36_sessionize" -> (q36 _),
@@ -279,6 +338,7 @@ object MediaStream {
     "q44_media_decode" -> q44Sql,
     "q102_image_decode" -> q102Sql,
     "q103_audio_decode" -> q103Sql,
+    "q111_video_decode" -> q111Sql,
     "q34_media_meta" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
     "q36_sessionize" -> q36Sql,
