@@ -222,15 +222,13 @@ object Dedup {
 
   /** Stamp a persisted band-index dir with its signature scheme
     * (idempotent overwrite — callers re-stamp on every append, which
-    * also heals a stamp lost to partial copies).
+    * also heals a stamp lost to partial copies). Delegates to
+    * [[ArtifactStamp]] — the generic mechanism shared with other
+    * persisted derived artifacts (DSIR models).
     */
   def writeSchemeStamp(
-      dir: String, conf: org.apache.hadoop.conf.Configuration, scheme: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, SchemeStampName)
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
-    try out.write(s"""{"scheme": "$scheme"}""".getBytes("UTF-8")) finally out.close()
-  }
+      dir: String, conf: org.apache.hadoop.conf.Configuration, scheme: String): Unit =
+    ArtifactStamp.write(dir, conf, SchemeStampName, scheme)
 
   /** Fail loudly unless `dir`'s stamp matches `expected`. A stored
     * index with NO stamp also fails: an unstamped index predates the
@@ -240,25 +238,9 @@ object Dedup {
     * [[writeSchemeStamp]] after verifying its provenance.
     */
   def requireSchemeStamp(
-      dir: String, conf: org.apache.hadoop.conf.Configuration, expected: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, SchemeStampName)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p))
-      throw new IllegalStateException(
-        s"band index at $dir has no $SchemeStampName stamp — its signature scheme is " +
-          s"unknown and appending '$expected' bands could silently miss all near-dups. " +
-          "Verify its provenance and stamp it with Dedup.writeSchemeStamp.")
-    val in = fs.open(p)
-    val stored = try new String(
-      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
-    val parsed = "\"scheme\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(stored).map(_.group(1))
-    if (!parsed.contains(expected))
-      throw new IllegalStateException(
-        s"band index at $dir was built with scheme '${parsed.getOrElse("<unparseable>")}' " +
-          s"but this pipeline bands with '$expected' — merging them would compare " +
-          "incompatible band keys and silently pass near-duplicates. Rebuild the index " +
-          "or match the scheme parameters.")
-  }
+      dir: String, conf: org.apache.hadoop.conf.Configuration, expected: String): Unit =
+    ArtifactStamp.require(dir, conf, SchemeStampName, expected, "band index",
+      "merging them would compare incompatible band keys and silently pass near-duplicates")
 
   /** INCREMENTAL dedup — the production shape for a curation pipeline:
     * dedup an `incoming` batch against an existing corpus WITHOUT

@@ -188,6 +188,78 @@ object Dsir {
     out
   }
 
+  /** Sidecar file name inside a persisted DSIR model dir. */
+  val SchemeStampName = "_dsir_scheme.json"
+
+  /** Full identity of the DSIR feature/model scheme — ANY change to
+    * the tokenizer, gram orders, hash, bucket count, or smoothing
+    * must change this string (the [[ArtifactStamp]] discipline: a
+    * frozen model only scores future batches correctly if both sides
+    * bucket identically).
+    */
+  def scheme(numBuckets: Int): String =
+    s"dsir/v1 tokens=lower-alnum grams=uni+bi hash=poly_hash " +
+      s"buckets=$numBuckets smoothing=add-one"
+
+  /** Train on (raw, target) and PERSIST the ratio model — the
+    * production shape: a curation fleet trains the two bucket models
+    * once (against this quarter's target sample) and scores every
+    * incoming crawl batch with the FROZEN model via
+    * [[scoreWithModel]], never recomputing corpus statistics per
+    * batch. The artifact is the ≤numBuckets-row ratio table (KBs) +
+    * the scheme stamp.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, dir: String,
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = DefaultBuckets): Unit = {
+    ratioTable(raw, target, idCol, textCol, numBuckets)
+      .write.mode("overwrite").parquet(s"$dir/ratios.parquet")
+    ArtifactStamp.write(dir, spark.sessionState.newHadoopConf(),
+      SchemeStampName, scheme(numBuckets))
+  }
+
+  /** Load a persisted model, failing loudly on a missing or
+    * mismatched scheme stamp (an unstamped or differently-bucketed
+    * model would score every batch silently wrong).
+    */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String,
+      numBuckets: Int = DefaultBuckets): DataFrame = {
+    ArtifactStamp.require(dir, spark.sessionState.newHadoopConf(),
+      SchemeStampName, scheme(numBuckets), "DSIR model",
+      "scoring batches with it would bucket features differently than training did")
+    spark.read.parquet(s"$dir/ratios.parquet")
+  }
+
+  /** Score a NEW batch with a FROZEN model (the output of
+    * [[ratioTable]]/[[loadModel]]): identical integer arithmetic to
+    * [[importancePpm]], so for batch ⊆ training-raw the scores are
+    * bit-equal; buckets the training raw corpus never saw take the
+    * add-one floor ratio 10⁶·(rtot+B)/(ttot+B) — exactly what the
+    * smoothed models assign an unseen event (r=t=0), so novel
+    * vocabulary degrades gracefully instead of dropping rows. The
+    * model broadcasts; the batch pays one feature pass and one
+    * per-doc aggregate — no corpus statistics are touched.
+    */
+  def scoreWithModel(batch: DataFrame, idCol: String, textCol: String,
+      model: DataFrame, numBuckets: Int = DefaultBuckets): DataFrame = {
+    // the unseen-bucket ratio from the model's own totals (any row
+    // carries them; ≤B-row aggregate, broadcast)
+    val defRatio = model
+      .agg(max(col("rtot")).as("rtot"), max(col("ttot")).as("ttot"))
+      .select(expr(s"coalesce((1000000 * (rtot + $numBuckets)) DIV " +
+        s"(ttot + $numBuckets), 1000000)").as("def_ppm"))
+    features(batch, idCol, textCol, numBuckets)
+      .join(broadcast(model.select(col("bucket"), col("ratio_ppm"))),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(defRatio))
+      .withColumn("ratio_eff", coalesce(col("ratio_ppm"), col("def_ppm")))
+      .groupBy(col("doc"))
+      .agg(sum(col("n")).as("n_feat"),
+        sum(col("n") * col("ratio_eff")).as("w_sum"))
+      .select(col("doc").as("doc_id"), col("n_feat"),
+        expr("w_sum DIV n_feat").as("score_ppm"))
+  }
+
   /** Deterministic importance resampling: raw docs kept with
     * probability min(1, k·w_i/Σw) via the exact integer
     * threshold-keep rule above. Returns (doc_id, n_feat, score_ppm)

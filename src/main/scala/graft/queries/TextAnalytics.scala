@@ -524,7 +524,70 @@ object TextAnalytics {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q112
+  /** Frozen-model DSIR batch scoring — q109's production complement:
+    * the ratio model is trained ONCE per (testdata dir) and PERSISTED
+    * (Dsir.saveModel — ratio parquet + scheme stamp, the ArtifactStamp
+    * discipline); the query loads the frozen model and scores an
+    * incoming batch (doc_id % 7 == 3 — a "new crawl day") with
+    * Dsir.scoreWithModel, touching no corpus statistics. Because the
+    * batch is a subset of the training raw corpus, the frozen-model
+    * scores are bit-equal to q109's inline scores for those docs —
+    * which is exactly what the oracle pins (model re-derived in SQL,
+    * scoring filtered to the batch). The unseen-bucket fallback and
+    * stamp refusal are DsirSpec-gated.
+    */
+  private val dsirModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val modelDir = dsirModelCache.computeIfAbsent(s"$dir|dsir-b1024", { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-dsir-model").toString
+      graft.operators.Dsir.saveModel(s, d, docs, docs.filter($"lang" === "en"),
+        "doc_id", "text")
+      d
+    })
+    val model = graft.operators.Dsir.loadModel(s, modelDir)
+    graft.operators.Dsir.scoreWithModel(
+        docs.filter($"doc_id" % 7 === 3), "doc_id", "text", model)
+      .orderBy($"doc_id")
+  }
+
+  private val q112Sql = {
+    val B = graft.operators.Dsir.DefaultBuckets
+    val poly = graft.functions.TextFunctions.polyHashSql.format("g", "g")
+    s"""WITH tk9 AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |gr AS (
+       |  SELECT doc_id, unnest(toks) AS g FROM tk9
+       |  UNION ALL
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS g
+       |  FROM tk9 WHERE len(toks) >= 2),
+       |f AS (SELECT doc_id, $poly % $B AS bucket, count(*) AS n
+       |      FROM gr GROUP BY 1, 2),
+       |rcnt AS (SELECT bucket, sum(n) AS r FROM f GROUP BY 1),
+       |tcnt AS (SELECT bucket, sum(n) AS t
+       |         FROM f JOIN documents USING (doc_id)
+       |         WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT sum(r) FROM rcnt) AS rtot,
+       |               (SELECT COALESCE(sum(t), 0) FROM tcnt) AS ttot),
+       |ratio AS (
+       |  SELECT bucket,
+       |    (1000000 * (COALESCE(t, 0) + 1) * (rtot + $B))
+       |      // ((r + 1) * (ttot + $B)) AS ratio_ppm
+       |  FROM rcnt LEFT JOIN tcnt USING (bucket) CROSS JOIN tot)
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_feat,
+       |  CAST(sum(n * ratio_ppm) // sum(n) AS BIGINT) AS score_ppm
+       |FROM f JOIN ratio USING (bucket)
+       |WHERE doc_id % 7 = 3
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_dsir_frozen_score" -> (q112 _),
     "q109_dsir_resample" -> (q109 _),
     "q82_corpus_mixture" -> (q82 _),
     "q83_quantile_filter" -> (q83 _),
@@ -540,6 +603,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q112_dsir_frozen_score" -> q112Sql,
     "q109_dsir_resample" -> q109Sql,
     "q82_corpus_mixture" -> q82Sql,
     "q83_quantile_filter" -> q83Sql,

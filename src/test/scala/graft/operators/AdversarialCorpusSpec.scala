@@ -67,6 +67,49 @@ class AdversarialCorpusSpec extends SparkSpec {
     assert(groups.exists(r => r.getAs[Seq[Long]]("member_ids").toSet == Set(3L, 4L)))
   }
 
+  test("all-identical corpus: suffix-array repeats stay exact under maximal duplication") {
+    // the candidate-position prefilter's WORST case: every h-rank is a
+    // duplicate, so the dup tables are as large as the rank tables —
+    // the operator must degrade to the unpruned aggregate, never to
+    // wrong extents/counts. 12 identical docs of 20 distinct tokens:
+    // per doc, left-maximal spans are exactly p=1..5 at len 16 (later
+    // spans reach the doc end already covered), each occurring once
+    // per doc => n_occurrences = 12.
+    val n = 12
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until n).map(i => (i, text)).toDF("doc_id", "text")
+    val spans = Dedup.saMaximalRepeats(docs, "doc_id", "text", minLen = 8, maxLen = 16)
+    val rows = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    graft.Checkpoints.release(spans)
+    val want = (for (d <- 0L until n; p <- 1L to 5L)
+      yield (d, p, p + 15L, 16L, n.toLong)).toSet
+    assert(rows.toSet === want)
+    // cross-corpus form against a single-copy benchmark: identical
+    // geometry, benchmark multiplicity exactly 1
+    val shared = Dedup.saSharedSpans(docs, Seq((999L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 8, maxLen = 16)
+    val srows = shared.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    graft.Checkpoints.release(shared)
+    assert(srows.toSet ===
+      (for (d <- 0L until n; p <- 1L to 5L) yield (d, p, 16L, 1L)).toSet)
+  }
+
+  test("short, empty, and punctuation docs produce no suffix-array spans and no errors") {
+    val docs = Seq[(Long, String)](
+      1L -> "", 2L -> "word", 3L -> "!!!",
+      4L -> "seven tokens only here not eight yet",
+      5L -> "seven tokens only here not eight yet").toDF("doc_id", "text")
+    // every doc is under minLen=8 tokens: nothing can span
+    val spans = Dedup.saMaximalRepeats(docs, "doc_id", "text", minLen = 8, maxLen = 16)
+    assert(spans.count() === 0L)
+    graft.Checkpoints.release(spans)
+    val shared = Dedup.saSharedSpans(docs, docs, "doc_id", "text", minLen = 8, maxLen = 16)
+    assert(shared.count() === 0L)
+    graft.Checkpoints.release(shared)
+  }
+
   test("hot duplicate cluster in distinct noise: pairs are exactly the cluster") {
     val hot = (0L until 12L).map(i => (i, "repeated boilerplate legal disclaimer text common to many pages"))
     val noise = (100L until 160L).map(i =>

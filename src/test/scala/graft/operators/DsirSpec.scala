@@ -132,6 +132,61 @@ class DsirSpec extends SparkSpec {
     assert(ids.size === corpus.size)
   }
 
+  test("frozen model: save/load round trip, batch-subset scores bit-equal to inline") {
+    val dir = tmpDir("dsir-model")
+    Dsir.saveModel(spark, dir, docsDf, targetDf, "doc_id", "text", B)
+    val model = Dsir.loadModel(spark, dir, B)
+    // model table equals the inline derivation exactly
+    val inline = Dsir.ratioTable(docsDf, targetDf, "doc_id", "text", B)
+      .collect().map(r => r.getLong(0) -> r.getLong(5)).toMap
+    val loaded = model.collect().map(r =>
+      r.getAs[Long]("bucket") -> r.getAs[Long]("ratio_ppm")).toMap
+    assert(loaded === inline)
+    // scoring a batch that is a subset of training raw == inline scores
+    val batch = docsDf.filter($"doc_id" % 3 === 0)
+    val frozen = Dsir.scoreWithModel(batch, "doc_id", "text", model, B)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Dsir.importancePpm(docsDf, targetDf, "doc_id", "text", B)
+      .filter($"doc_id" % 3 === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(frozen === direct)
+  }
+
+  test("frozen model: unseen vocabulary takes the add-one floor, never drops rows") {
+    val dir = tmpDir("dsir-model-unseen")
+    Dsir.saveModel(spark, dir, docsDf, targetDf, "doc_id", "text", B)
+    val model = Dsir.loadModel(spark, dir, B)
+    // a batch doc of ENTIRELY novel vocabulary: every bucket may miss
+    // the model — the row must survive with the floor ratio
+    val novel = Seq((500L, "zzqx wvut plomk jrtne qqaz xxyy")).toDF("doc_id", "text")
+    val got = Dsir.scoreWithModel(novel, "doc_id", "text", model, B).collect()
+    assert(got.length === 1)
+    val floorPpm = {
+      val t = model.agg(max($"rtot"), max($"ttot")).head()
+      1000000L * (t.getLong(0) + B) / (t.getLong(1) + B)
+    }
+    // every feature scored >= at the floor (novel buckets exactly at it;
+    // hash collisions with trained buckets can only change it to a
+    // trained ratio) — and with all-novel grams the mean IS the floor
+    // unless a collision hits
+    assert(got.head.getLong(2) >= math.min(floorPpm,
+      model.agg(org.apache.spark.sql.functions.min($"ratio_ppm")).head().getLong(0)))
+  }
+
+  test("frozen model: missing or mismatched scheme stamp fails loudly") {
+    val dir = tmpDir("dsir-model-stamp")
+    Dsir.saveModel(spark, dir, docsDf, targetDf, "doc_id", "text", B)
+    // wrong bucket count = different scheme -> refuse
+    val e1 = intercept[IllegalStateException](Dsir.loadModel(spark, dir, B * 2))
+    assert(e1.getMessage.contains("DSIR model") && e1.getMessage.contains("buckets="))
+    // unstamped dir -> refuse
+    val bare = tmpDir("dsir-model-bare")
+    Dsir.ratioTable(docsDf, targetDf, "doc_id", "text", B)
+      .write.mode("overwrite").parquet(s"$bare/ratios.parquet")
+    val e2 = intercept[IllegalStateException](Dsir.loadModel(spark, bare, B))
+    assert(e2.getMessage.contains("no _dsir_scheme.json stamp"))
+  }
+
   test("logImportance matches a driver reference within 1e-9") {
     val feats = corpus.map { case (id, t, _) => id -> featRef(t) }.toMap
     def totals(ids: Iterable[Long]): Map[Long, Long] =
