@@ -134,6 +134,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 9).as("cosine"))
   }
 
+  /** Batch-hard triplet mining (Schroff et al. CVPR'15 §3.2, the
+    * "batch hard" variant) — the contrastive-training data op: for
+    * each labeled anchor, the HARDEST POSITIVE (same label, MINIMUM
+    * cosine — the most distant example the model must pull in) and
+    * the k HARDEST NEGATIVES (different label, MAXIMUM cosine — the
+    * closest impostors it must push out).
+    * Output: (anchor_id, role 'pos'|'neg', rank, neighbor_id, cosine)
+    * — rank 1 for the positive, 1..kNeg for negatives; an anchor with
+    * no same-label peer emits no 'pos' row (nothing to pull), never a
+    * fabricated one. Deterministic: cosine ties break on neighbor_id.
+    *
+    * Plan: the anchor batch broadcasts (the cosineTopK query-side
+    * discipline); the corpus is scored map-side in one pass and only
+    * the scored candidate rows shuffle, partitioned by anchor — the
+    * corpus itself never self-joins or re-shuffles. Mining batches
+    * are small by construction (a training batch), so candidate
+    * volume is |anchors|x|corpus| scored rows filtered by two
+    * anchor-partitioned windows.
+    */
+  def mineTriplets(
+      anchors: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      kNeg: Int): DataFrame = {
+    val q = prepped(anchors, idCol, vecCol, "anchor_id", "qv", "qn")
+      .join(anchors.select(col(idCol).as("anchor_id"), col(labelCol).as("a_label")),
+        Seq("anchor_id"))
+    val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(labelCol).as("c_label")),
+        Seq("neighbor_id"))
+    val scored = c.join(broadcast(q), col("anchor_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dotWide(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("anchor_id"), col("neighbor_id"),
+        col("a_label"), col("c_label"), col("cosine"))
+    val byAnchor = Window.partitionBy(col("anchor_id"))
+    val pos = scored.filter(col("a_label") === col("c_label"))
+      .withColumn("rank",
+        row_number().over(byAnchor.orderBy(col("cosine").asc, col("neighbor_id"))))
+      .filter(col("rank") === 1)
+      .withColumn("role", lit("pos"))
+    val neg = scored.filter(col("a_label") =!= col("c_label"))
+      .withColumn("rank",
+        row_number().over(byAnchor.orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= kNeg)
+      .withColumn("role", lit("neg"))
+    pos.unionByName(neg)
+      .select(col("anchor_id"), col("role"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 9).as("cosine"))
+  }
+
   /** Bucketed approximate top-k: neighbors come only from the query's
     * sign-LSH bucket. Same output shape as cosineTopK.
     */

@@ -1514,6 +1514,52 @@ object CorpusOps {
        |ORDER BY doc_id, span_start""".stripMargin
   }
 
+  // --------------------------------------------------------------- q113
+  /** Batch-hard triplet mining (Similarity.mineTriplets — Schroff et
+    * al. FaceNet "batch hard"): per anchor (vec_id < 10), the hardest
+    * same-label positive and the 3 hardest different-label negatives
+    * by exact cosine over the labeled embeddings table — the
+    * contrastive-training pair-construction op. Oracle re-derives
+    * both windows (min-cos positive, max-cos negatives, vec_id
+    * tie-breaks) over the same cosine CTE q32 uses.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.mineTriplets(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", kNeg = 3)
+      .orderBy(col("anchor_id"), col("role"), col("rank"))
+  }
+
+  private val q113Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    s"""WITH e AS ($embCte),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+       |    ql.label AS a_label, cl.label AS c_label, $cos AS cosine
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  JOIN lab ql ON ql.vec_id = q.vec_id
+       |  JOIN lab cl ON cl.vec_id = c.vec_id
+       |  WHERE q.vec_id < 10),
+       |pos AS (
+       |  SELECT anchor_id, 'pos' AS role, rank, neighbor_id, cosine FROM (
+       |    SELECT anchor_id, neighbor_id, cosine,
+       |      row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY cosine ASC, neighbor_id) AS rank
+       |    FROM s WHERE a_label = c_label)
+       |  WHERE rank = 1),
+       |neg AS (
+       |  SELECT anchor_id, 'neg' AS role, rank, neighbor_id, cosine FROM (
+       |    SELECT anchor_id, neighbor_id, cosine,
+       |      row_number() OVER (PARTITION BY anchor_id
+       |        ORDER BY cosine DESC, neighbor_id) AS rank
+       |    FROM s WHERE a_label <> c_label)
+       |  WHERE rank <= 3)
+       |SELECT anchor_id, role, rank, neighbor_id, round(cosine, 9) AS cosine
+       |FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+       |ORDER BY anchor_id, role, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- q108
   /** N-gram LM quality filter (operators.NgramLm — CCNet's perplexity
     * filtering axis with Brants et al.'s stupid backoff, the published
@@ -1599,6 +1645,7 @@ object CorpusOps {
     "q107_sa_repeats" -> (q107 _),
     "q108_ngram_lm_ppm" -> (q108 _),
     "q110_sa_contamination" -> (q110 _),
+    "q113_triplet_mining" -> (q113 _),
     "q104_winnow_pairs" -> (q104 _),
     "q105_cross_rerank" -> (q105 _),
     "q106_ann_append" -> (q106 _),
@@ -1633,6 +1680,7 @@ object CorpusOps {
     "q107_sa_repeats" -> q107Sql,
     "q108_ngram_lm_ppm" -> q108Sql,
     "q110_sa_contamination" -> q110Sql,
+    "q113_triplet_mining" -> q113Sql,
     "q104_winnow_pairs" -> q104Sql,
     "q105_cross_rerank" -> q105Sql,
     // append ≡ rebuild: the grown-index probe must equal q92's
