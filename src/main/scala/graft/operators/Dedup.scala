@@ -769,8 +769,14 @@ object Dedup {
       maxLen: Int = 32): DataFrame = {
     // rank rows feed the keys explode AND the three per-h dup-rank
     // aggregates below — materialize once (released before return;
-    // the returned frame is checkpoint-backed, release contract)
-    val cur = saRankRows(df, idCol, textCol, maxLen).localCheckpoint(true)
+    // the returned frame is checkpoint-backed, release contract),
+    // projected to ONLY the sparse-table levels later stages read
+    // (the sub-h levels exist solely to build the h levels; dropping
+    // them shrinks the materialized table ~2x)
+    val keep = Seq(col("doc"), col("pos")) ++
+      saHLevels(minLen, maxLen).map(h => col(s"r_$h"))
+    val cur = saRankRows(df, idCol, textCol, maxLen)
+      .select(keep: _*).localCheckpoint(true)
     val keys = saKeysFromRanks(cur, minLen, maxLen)
     // candidate-position prefilter (lossless, the prefix argument): an
     // l-window duplicated anywhere has its h(l)-prefix duplicated too
@@ -827,10 +833,13 @@ object Dedup {
       textCol: String,
       minLen: Int = 8,
       maxLen: Int = 32): DataFrame = {
-    val ccur = saRankRows(corpus, idCol, textCol, maxLen)
+    val keep = (cur: DataFrame) => cur.select(
+      (Seq(col("doc"), col("pos")) ++
+        saHLevels(minLen, maxLen).map(h => col(s"r_$h"))): _*)
+    val ccur = keep(saRankRows(corpus, idCol, textCol, maxLen))
     // bench ranks feed the three allowed-rank projections AND the key
     // aggregate — materialize once (released before return)
-    val bcur = saRankRows(bench, idCol, textCol, maxLen).localCheckpoint(true)
+    val bcur = keep(saRankRows(bench, idCol, textCol, maxLen)).localCheckpoint(true)
     // cross-corpus prefilter, same prefix argument as saMaximalRepeats
     // but against the BENCHMARK's h-rank sets: a corpus l-window
     // occurring in bench has its h(l)-prefix in bench too. Benchmark
@@ -862,6 +871,15 @@ object Dedup {
     * with r_h the md5-composed identity of the h-token window at pos
     * (null iff it does not fit the doc). One doc-keyed exchange feeds
     * every doubling pass (same window spec).
+    *
+    * Identities are 16-byte BINARY md5 digests, not 32-char hex:
+    * identity columns only need within-engine EQUALITY (the oracle
+    * derives its own spans independently — final outputs are what the
+    * gate compares), and the rank table is materialized + shuffled
+    * through every later stage, so halving its width halves the
+    * operator's dominant memory/IO term. Composition needs no
+    * delimiter: both inputs are fixed 16-byte digests, so the
+    * concatenation is injective by construction.
     */
   private def saRankRows(
       df: DataFrame,
@@ -876,7 +894,7 @@ object Dedup {
     var cur = df.repartition(fanout, col(idCol))
       .select(col(idCol).as("doc"), posexplode(TextFunctions.tokens(col(textCol)))
         .as(Seq("p0", "tok")))
-      .select(col("doc"), (col("p0") + 1L).as("pos"), md5(col("tok")).as("r_1"))
+      .select(col("doc"), (col("p0") + 1L).as("pos"), unhex(md5(col("tok"))).as("r_1"))
       .drop("tok")
     // doubling levels: r_h defined iff the h-window at pos fits the doc
     val levels = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxLen).toSeq
@@ -886,7 +904,7 @@ object Dedup {
         .withColumn("sh", lead(col(s"r_$half"), half).over(byDoc))
         .withColumn(s"r_$h",
           when(col(s"r_$half").isNotNull && col("sh").isNotNull,
-            md5(concat_ws("|", col(s"r_$half"), col("sh")))))
+            unhex(md5(concat(col(s"r_$half"), col("sh"))))))
         .drop("sh")
     }
     cur

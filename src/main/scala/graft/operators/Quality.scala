@@ -125,4 +125,37 @@ object Quality {
         count_distinct(col("bench_id")).as("n_bench_docs"),
         min(col("bench_id")).as("min_bench_id"))
   }
+
+  /** Per-group frequency cap — the C4/Gopher curation rule "keep at
+    * most N documents per domain/source" (hot domains otherwise
+    * dominate the mixture): per group, keep the `cap` documents that
+    * come FIRST in a deterministic hash order (`cap|` salt — a
+    * replayable uniform draw independent of q82's `mix|` and q98's
+    * `split|` salts; doc-id order would bias toward early crawls).
+    * Output: (group, rank, doc_id) for kept docs, rank 1..cap in keep
+    * order.
+    *
+    * Scale shape: built on [[graft.functions.TopKAggregator]], NOT a
+    * window — per group only `cap` (hash, id) pairs survive map-side
+    * combine, so a hot domain with 10⁹ pages costs cap-sized state
+    * instead of a single-task window sort over the whole domain. The
+    * hash is folded into [0, 2⁵²) so its negation is exact in the
+    * aggregator's double (2⁵³ mantissa).
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, "cap must be >= 1")
+    val hv = pmod(TextFunctions.hash60(
+      concat(lit("cap|"), col(idCol))), lit(1L << 52))
+    df.select(col(groupCol).as("grp"), col(idCol).as("id"), hv.as("hv"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.TopKAggregator.topK(cap)(
+        -col("hv").cast("double"), col("id")).as("top"))
+      .select(col("grp"), posexplode(col("top.top_ids")).as(Seq("pos", "doc_id")))
+      .select(col("grp").as(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("doc_id"))
+  }
 }

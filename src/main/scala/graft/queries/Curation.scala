@@ -456,7 +456,36 @@ object Curation {
        |LIMIT 20""".stripMargin
   }
 
+  // --------------------------------------------------------------- q114
+  /** Per-source frequency cap (Quality.capPerGroup — the C4/Gopher
+    * "at most N pages per domain" rule): keep the 5 docs per source
+    * that come first in the deterministic `cap|`-salted hash order.
+    * Built on the TopKAggregator (cap-sized state per group after
+    * map-side combine — a hot domain never funnels through one window
+    * task). The oracle re-derives the keep set with a window
+    * row_number over the identical hash order — the window is FINE in
+    * DuckDB at oracle scale; the aggregator is the form that
+    * survives 10⁹-page domains.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    Quality.capPerGroup(t(s, dir, "documents"), "source", "doc_id", cap = 5)
+      .orderBy(col("source"), col("rank"))
+
+  private val q114Sql =
+    s"""WITH h AS (
+       |  SELECT source, doc_id,
+       |    CAST(concat('0x', substring(md5(concat('cap|',
+       |      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % ${1L << 52} AS hv
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rank
+       |  FROM h)
+       |SELECT source, rank, doc_id FROM r WHERE rank <= 5
+       |ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_source_cap" -> (q114 _),
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
     "q67_decontaminate" -> (q67 _),
@@ -472,6 +501,7 @@ object Curation {
     "q77_zorder_key" -> (q77 _))
 
   val oracle: Map[String, String] = Map(
+    "q114_source_cap" -> q114Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_redact" -> q66Sql,
     "q67_decontaminate" -> q67Sql,

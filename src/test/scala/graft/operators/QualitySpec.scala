@@ -64,6 +64,32 @@ class QualitySpec extends SparkSpec {
     assert(got === Seq((10L, 1L, 1L, 1L), (12L, 1L, 1L, 2L)))
   }
 
+  test("capPerGroup: window-reference equality, small groups survive whole, replayable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val docs = ((0L until 40L).map(i => (s"src${i % 3}", i)) :+ (("tiny", 99L)))
+      .toDF("source", "doc_id")
+    def run(parts: Int) =
+      Quality.capPerGroup(docs.repartition(parts), "source", "doc_id", cap = 4)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // reference: the window formulation over the identical hash order
+    val hv = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("cap|"), col("doc_id"))), lit(1L << 52))
+    val want = docs.withColumn("hv", hv)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+      .filter(col("rank") <= 4)
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(1))).toSet
+    val got = run(1)
+    assert(got === want)
+    assert(got === run(7)) // partitioning-invariant / retry-replayable
+    // the singleton group keeps its one doc at rank 1
+    assert(got.contains(("tiny", 1, 99L)))
+    // every multi-doc group is capped at exactly 4
+    assert((0 until 3).forall(s => got.count(_._1 == s"src$s") === 4))
+  }
+
   test("decontaminate never shuffles the training side (broadcast gram join)") {
     import spark.implicits._
     val train = (0L to 50L).map(i => (i, s"w$i x$i y$i z$i q$i r$i")).toDF("doc_id", "text")
