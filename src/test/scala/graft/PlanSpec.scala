@@ -197,6 +197,16 @@ class PlanSpec extends SparkSpec {
     assert(nl <= 3, s"unexpected nested-loop joins: $nl")
   }
 
+  test("q114 source cap aggregates with bounded state — no per-group window sort") {
+    val p = plan("q114_source_cap")
+    // the cap must come from the O(cap)-state aggregator (map-side
+    // partial combine), not a window: a window plan sorts EVERY row of
+    // a hot domain inside one task
+    assert(!p.contains("Window"), "cap fell back to a window sort")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "no typed aggregate in the plan")
+  }
+
   test("q87 packing: the heavy cumsum window is block-partitioned, not single-partition") {
     val p = plan("q87_pack_sequences")
     // level-1 prefix sum must hash-partition on the block key (parallel
