@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.operators.Quality
 
 /** Text-analysis operators over the `documents` table — language ID,
   * quality scoring, token counting, fingerprinting (the first-pass
@@ -586,7 +587,96 @@ object TextAnalytics {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q115
+  /** End-to-end curation pipeline — the composed "run your whole
+    * cleaning recipe on this engine" surface (q100's composition
+    * discipline applied to curation): five oracle-gated stages chained
+    * exactly as a production corpus run would order them, with the
+    * per-source survivor budget as the output.
+    *
+    *   S1 language ID keep-en (q23's operator)
+    *   S2 quality score >= 0.5 (q24's truncation discipline)
+    *   S3 exact dedup, keep the canonical copy (q27's fingerprint)
+    *   S4 per-source frequency cap, 10 in `cap|` hash order (q114)
+    *   S5 mixture threshold-keep at the per-source rates (q82)
+    *
+    * Each stage is map-only or a bounded-state aggregate; the oracle
+    * re-derives the full chain as CTEs built from the SAME fragments
+    * the individual stage oracles use, so a drift in ANY stage's
+    * semantics breaks this hash even if the stage's own gate is
+    * somehow green.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val en = docs.filter(langId($"text") === "en")
+    val qual = en.filter(floor(qualityScore($"text") * 1e6) / 1e6 >= 0.5)
+    // keep-canonical exact dedup: min doc_id per content fingerprint
+    val withFp = qual.withColumn("fp", contentFingerprint($"text"))
+    val canon = withFp.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val deduped = withFp.join(canon, Seq("fp"))
+      .filter($"doc_id" === $"keep_id").drop("fp", "keep_id")
+    // per-source cap: ids kept by the bounded-state aggregator
+    val capped = deduped.join(
+      Quality.capPerGroup(deduped, "source", "doc_id", cap = 10)
+        .select($"doc_id"), Seq("doc_id"))
+    // mixture keep at per-source rates (q82's salt, replayable)
+    val weights = mixtureWeights.toDF("source", "pct")
+    capped.join(broadcast(weights), Seq("source"))
+      .filter(pmod(hash60(concat(lit("mix|"), $"doc_id")), lit(100)) < $"pct")
+      .groupBy($"source", $"pct")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("kept_chars"))
+      .orderBy($"source")
+  }
+
+  private val q115Sql = {
+    val best = langOrder.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val chain = langOrder.foldRight("'und'") { (l, els) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $els END"
+    }
+    val values = mixtureWeights.map { case (src, pct) => s"('$src', $pct)" }.mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, source, n_chars, text, $tokensSql AS toks
+       |            FROM documents),
+       |lang1 AS (
+       |  SELECT doc_id, source, n_chars, text, toks, $chain AS ld FROM (
+       |    SELECT *, ${langOrder.map(l => s"${hitsSql(l)} AS s_$l").mkString(", ")},
+       |      $best AS best
+       |    FROM tk)),
+       |en AS (SELECT doc_id, source, n_chars, text, toks FROM lang1 WHERE ld = 'en'),
+       |qual AS (
+       |  SELECT doc_id, source, n_chars, toks FROM en
+       |  WHERE floor((
+       |    0.4 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0)
+       |    + 0.3 * (CAST(len(list_filter(toks, t -> list_contains(${stopSql("en")}, t))) AS DOUBLE)
+       |             / CAST(greatest(len(toks), 1) AS DOUBLE))
+       |    + 0.3 * (CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+       |             / CAST(greatest(length(text), 1) AS DOUBLE))) * 1e6) / 1e6 >= 0.5),
+       |fp AS (SELECT doc_id, source, n_chars,
+       |         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS cfp
+       |       FROM qual),
+       |dedup AS (
+       |  SELECT doc_id, source, n_chars FROM fp
+       |  WHERE doc_id = (SELECT min(f2.doc_id) FROM fp f2 WHERE f2.cfp = fp.cfp)),
+       |capped AS (
+       |  SELECT doc_id, source, n_chars FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY
+       |      CAST(concat('0x', substring(md5(concat('cap|',
+       |        CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % ${1L << 52},
+       |      doc_id) AS rk
+       |    FROM dedup)
+       |  WHERE rk <= 10),
+       |w(source, pct) AS (VALUES $values)
+       |SELECT source, pct, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+       |FROM capped JOIN w USING (source)
+       |WHERE CAST(concat('0x', substring(md5(concat('mix|',
+       |  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 < pct
+       |GROUP BY source, pct
+       |ORDER BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_curation_pipeline" -> (q115 _),
     "q112_dsir_frozen_score" -> (q112 _),
     "q109_dsir_resample" -> (q109 _),
     "q82_corpus_mixture" -> (q82 _),
@@ -603,6 +693,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q115_curation_pipeline" -> q115Sql,
     "q112_dsir_frozen_score" -> q112Sql,
     "q109_dsir_resample" -> q109Sql,
     "q82_corpus_mixture" -> q82Sql,

@@ -286,4 +286,23 @@ class CorpusOpsSpec extends SparkSpec {
     // Hello , world ! 42 tokens => 6
     assert(r.getInt(1) === 6)
   }
+
+  test("cross-operator consistency: exact contamination spans imply the 5-gram flag") {
+    // every doc q110 reports (an exact shared substring of >= 8
+    // tokens) MUST be flagged by q67's fixed-5-gram decontamination —
+    // an 8-token shared run contains a shared 5-gram. The converse is
+    // deliberately false (a lone shared 5-gram is below q110's
+    // minLen). Run on live testdata with the queries' own split.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, dir, "documents")
+    val train = docs.filter($"doc_id" % 19 =!= 0)
+    val bench = docs.filter($"doc_id" % 19 === 0)
+    val spanned = Dedup.saSharedSpans(train, bench, "doc_id", "text",
+        minLen = 8, maxLen = 32)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val flagged = Quality.decontaminate(train, bench, "doc_id", "text", n = 5)
+      .select($"train_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(spanned.subsetOf(flagged),
+      s"exact spans without the 5-gram flag: ${spanned.diff(flagged).toSeq.sorted.take(5)}")
+  }
 }
