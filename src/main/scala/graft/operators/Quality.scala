@@ -110,20 +110,75 @@ object Quality {
       idCol: String,
       textCol: String,
       n: Int = 5): DataFrame = {
-    def grams(df: DataFrame, idAs: String): DataFrame =
-      df.select(col(idCol).as(idAs), TextFunctions.tokens(col(textCol)).as("toks"))
-        .select(col(idAs), explode(array_distinct(
-          when(size(col("toks")) >= n,
-            transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-              i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
-            .otherwise(array(concat_ws(" ", col("toks")))))).as("gram"))
-    val t = grams(train, "train_id")
-    val b = grams(bench, "bench_id")
+    val t = wordGrams(train, idCol, "train_id", textCol, n)
+    val b = wordGrams(bench, idCol, "bench_id", textCol, n)
     t.join(broadcast(b), Seq("gram"))
       .groupBy(col("train_id"))
       .agg(count_distinct(col("gram")).as("n_shared_grams"),
         count_distinct(col("bench_id")).as("n_bench_docs"),
         min(col("bench_id")).as("min_bench_id"))
+  }
+
+  /** Distinct word n-grams per document, id aliased to `idAs`; docs
+    * shorter than n tokens contribute their whole sequence as one gram
+    * (shared by [[decontaminate]] and [[decontaminateBloomKeep]] so
+    * the two paths see byte-identical gram sets).
+    */
+  private def wordGrams(
+      df: DataFrame, idCol: String, idAs: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as(idAs), TextFunctions.tokens(col(textCol)).as("toks"))
+      .select(col(idAs), explode(array_distinct(
+        when(size(col("toks")) >= n,
+          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
+          .otherwise(array(concat_ws(" ", col("toks")))))).as("gram"))
+
+  /** Bloom-prefiltered decontamination, APPLY form: return the training
+    * rows whose documents share NO word `n`-gram with the benchmark —
+    * the filtered corpus a curation pass actually writes out.
+    *
+    * Why a second decontamination path: [[decontaminate]]'s broadcast
+    * gram join is the right plan while the benchmark gram table is
+    * small, but a contamination set of many eval suites (10⁷–10⁸
+    * grams) makes "hash-join every corpus gram against the broadcast
+    * table" the first thing 10¹¹ corpus grams meet. Here the first
+    * thing they meet is a k-probe bit test against a fixed-size packed
+    * bit array ([[graft.functions.BloomFilter]]): grams that cannot
+    * match die map-side in a codegen'd expression, and only the
+    * surviving sliver reaches the exact confirm semi-join. The bloom
+    * has no false negatives by construction and false positives are
+    * eliminated by the confirm join, so the result is EXACTLY the
+    * no-shared-gram anti-join — which is what the q116 DuckDB oracle
+    * recomputes with no bloom at all.
+    *
+    * Plan: bench grams -> one-row bit array (OR-merged partial
+    * aggregation) -> broadcast cross join onto the train gram stream ->
+    * builtin-only bit test -> broadcast confirm semi-join -> doc-level
+    * left-anti. The training corpus never shuffles.
+    */
+  def decontaminateBloomKeep(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      numBits: Int = 1 << 20,
+      k: Int = 4): DataFrame = {
+    import graft.functions.BloomFilter
+    def hashed(df: DataFrame): DataFrame = {
+      val (g1, g2) = BloomFilter.baseHashes(col("gram"))
+      df.withColumn("g1", g1).withColumn("g2", g2)
+    }
+    val bg = wordGrams(bench, idCol, "bench_id", textCol, n).select(col("gram")).distinct()
+    val bloom = hashed(bg)
+      .agg(BloomFilter.bloomAgg(numBits, k)(col("g1"), col("g2")).as("bits"))
+    val candidates = hashed(wordGrams(train, idCol, "train_id", textCol, n))
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bits"), col("g1"), col("g2"), numBits, k))
+    val contaminated = candidates
+      .join(broadcast(bg), Seq("gram"), "left_semi")
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Per-group frequency cap — the C4/Gopher curation rule "keep at

@@ -484,8 +484,46 @@ object Curation {
        |SELECT source, rank, doc_id FROM r WHERE rank <= 5
        |ORDER BY source, rank""".stripMargin
 
+  // --------------------------------------------------------------- q116
+  /** Bloom-prefiltered decontamination, APPLY form
+    * (Quality.decontaminateBloomKeep): the training split (doc_id % 23
+    * <> 0) minus every doc sharing a word 5-gram with the benchmark
+    * split (doc_id % 23 = 0). The bloom bit-test is a map-side
+    * prefilter with no false negatives and the exact confirm semi-join
+    * removes its false positives, so the oracle recomputes the SAME
+    * result with no bloom at all — a plain NOT EXISTS over the gram
+    * overlap. Complements q67 (the REPORT form, broadcast-join-only
+    * plan): this is the plan that stays affordable when the
+    * contamination set outgrows "hash-join every corpus gram first".
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Quality.decontaminateBloomKeep(
+        docs.filter(col("doc_id") % 23 =!= 0),
+        docs.filter(col("doc_id") % 23 === 0),
+        "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q116Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |        CASE WHEN len(toks) >= 5
+       |          THEN list_transform(range(1, len(toks) - 3),
+       |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4]))
+       |          ELSE [array_to_string(toks, ' ')] END)) AS gram
+       |      FROM tk),
+       |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0),
+       |bad AS (SELECT DISTINCT doc_id FROM g
+       |        WHERE doc_id % 23 <> 0 AND gram IN (SELECT gram FROM b))
+       |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+       |WHERE d.doc_id % 23 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_source_cap" -> (q114 _),
+    "q116_bloom_decontaminate" -> (q116 _),
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
     "q67_decontaminate" -> (q67 _),
@@ -502,6 +540,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "q114_source_cap" -> q114Sql,
+    "q116_bloom_decontaminate" -> q116Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_redact" -> q66Sql,
     "q67_decontaminate" -> q67Sql,
