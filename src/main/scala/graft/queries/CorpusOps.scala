@@ -1641,7 +1641,54 @@ object CorpusOps {
        |FROM sc GROUP BY doc
        |ORDER BY score_ppm DESC, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q117
+  /** Cluster-balanced diversity sampling
+    * (Similarity.clusterBalancedSample): fixed deterministic coarse
+    * set — the first 8 corpus vectors, the q92 discipline, so the
+    * semantic assignment is SQL-expressible — then at most 10 vectors
+    * kept per cluster in the `cbs|`-salted hash order. The oracle
+    * re-derives assignment (rel = c·c − 2 v·c, first-min tiebreak —
+    * the exact IVF rule) and the keep set with a window row_number;
+    * the engine's form is the TopKAggregator (quota-sized per-cluster
+    * state), which is what survives a hot semantic cluster at corpus
+    * scale.
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    if (emb.limit(1).isEmpty)
+      return emb.select(lit(0).as("cluster"), lit(0).as("rank"), col("vec_id")).limit(0)
+    val coarse = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(Similarity.asDoubleVec(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    Similarity.clusterBalancedSample(emb, "vec_id", "embedding", coarse, quota = 10)
+      .orderBy(col("cluster"), col("rank"))
+  }
+
+  private val q117Sql =
+    s"""WITH e AS ($embCte),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |rel AS (
+       |  SELECT e.vec_id, cent.cid,
+       |    list_dot_product(cent.cv, cent.cv) - 2.0 * list_dot_product(e.v, cent.cv) AS rel
+       |  FROM e, cent),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY rel, cid) AS r
+       |    FROM rel) WHERE r = 1),
+       |h AS (
+       |  SELECT cluster, vec_id,
+       |    CAST(concat('0x', substring(md5(concat('cbs|',
+       |      CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) % ${1L << 52} AS hv
+       |  FROM assigned),
+       |r AS (
+       |  SELECT cluster, vec_id,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY hv, vec_id) AS rank
+       |  FROM h)
+       |SELECT cluster, rank, vec_id FROM r WHERE rank <= 10
+       |ORDER BY cluster, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_cluster_sample" -> (q117 _),
     "q107_sa_repeats" -> (q107 _),
     "q108_ngram_lm_ppm" -> (q108 _),
     "q110_sa_contamination" -> (q110 _),
@@ -1677,6 +1724,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q117_cluster_sample" -> q117Sql,
     "q107_sa_repeats" -> q107Sql,
     "q108_ngram_lm_ppm" -> q108Sql,
     "q110_sa_contamination" -> q110Sql,
