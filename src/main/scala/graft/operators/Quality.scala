@@ -181,6 +181,51 @@ object Quality {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Corpus drift report between two corpus slices (yesterday's crawl
+    * vs today's, one source vs the fleet): per-term occurrence rates
+    * in parts-per-million on each side and the absolute rate shift,
+    * top `topN` shifted terms — the distribution-shift monitor a
+    * continuously-refreshed training corpus runs per ingest batch.
+    *
+    * Exactness discipline (the q84 rule): all counting is BIGINT, the
+    * rates are single floor-truncated integer divisions
+    * (`cnt * 10^6 div total`), and the final order is (drift DESC,
+    * term) — no float accumulation anywhere, so the DuckDB gate is
+    * bit-tight.
+    *
+    * Plan shape: both slices explode to (term, side-tag) and meet in
+    * ONE map-side-combined groupBy — no join between the sides; the
+    * two corpus totals ride a broadcast one-row cross join; the final
+    * top-N is TakeOrdered (never a single-partition global sort). Low-
+    * count tail terms are dropped by `minCount` BEFORE ranking so the
+    * report is not noise-dominated.
+    */
+  def corpusDrift(
+      a: DataFrame,
+      b: DataFrame,
+      textCol: String,
+      minCount: Long = 50,
+      topN: Int = 40): DataFrame = {
+    def side(df: DataFrame, inA: Int, inB: Int): DataFrame =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("term"),
+        lit(inA.toLong).as("in_a"), lit(inB.toLong).as("in_b"))
+    val counts = side(a, 1, 0).unionAll(side(b, 0, 1))
+      .groupBy(col("term"))
+      .agg(sum(col("in_a")).as("cnt_a"), sum(col("in_b")).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .filter(col("cnt_a") + col("cnt_b") >= minCount)
+      .withColumn("ppm_a",
+        when(col("tot_a") > 0, expr("(cnt_a * 1000000) div tot_a")).otherwise(lit(0L)))
+      .withColumn("ppm_b",
+        when(col("tot_b") > 0, expr("(cnt_b * 1000000) div tot_b")).otherwise(lit(0L)))
+      .withColumn("drift", abs(col("ppm_a") - col("ppm_b")))
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        col("ppm_a"), col("ppm_b"), col("drift"))
+      .orderBy(col("drift").desc, col("term"))
+      .limit(topN)
+  }
+
   /** Per-group frequency cap — the C4/Gopher curation rule "keep at
     * most N documents per domain/source" (hot domains otherwise
     * dominate the mixture): per group, keep the `cap` documents that

@@ -521,9 +521,44 @@ object Curation {
        |WHERE d.doc_id % 23 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q118
+  /** Corpus drift monitoring (Quality.corpusDrift): the even-doc_id
+    * half of the corpus as "last batch", the odd half as "this batch",
+    * top 40 terms by absolute per-million rate shift with a min-count
+    * floor of 50. All-integer arithmetic (q84 discipline: BIGINT
+    * counts, one floor div per rate), so the gate is exact; the oracle
+    * recomputes both distributions and the `//` divisions in DuckDB.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Quality.corpusDrift(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      "text", minCount = 50, topN = 40)
+  }
+
+  private val q118Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tx AS (SELECT doc_id % 2 AS side, unnest(toks) AS term FROM tk),
+       |c AS (SELECT term,
+       |        CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |        CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+       |      FROM tx GROUP BY term),
+       |tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+       |               CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM c),
+       |p AS (SELECT term, cnt_a, cnt_b,
+       |        CASE WHEN tot_a > 0 THEN (cnt_a * 1000000) // tot_a ELSE 0 END AS ppm_a,
+       |        CASE WHEN tot_b > 0 THEN (cnt_b * 1000000) // tot_b ELSE 0 END AS ppm_b
+       |      FROM c, tot WHERE cnt_a + cnt_b >= 50)
+       |SELECT term, cnt_a, cnt_b, ppm_a, ppm_b, abs(ppm_a - ppm_b) AS drift
+       |FROM p
+       |ORDER BY drift DESC, term
+       |LIMIT 40""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_source_cap" -> (q114 _),
     "q116_bloom_decontaminate" -> (q116 _),
+    "q118_corpus_drift" -> (q118 _),
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
     "q67_decontaminate" -> (q67 _),
@@ -541,6 +576,7 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "q114_source_cap" -> q114Sql,
     "q116_bloom_decontaminate" -> q116Sql,
+    "q118_corpus_drift" -> q118Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_redact" -> q66Sql,
     "q67_decontaminate" -> q67Sql,

@@ -99,4 +99,41 @@ class QualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast gram join, got:\n$plan")
   }
+
+  test("corpusDrift: integer ppm rates and |shift| on hand-checked slices") {
+    import spark.implicits._
+    // side A: 10 tokens total, "cat" x4; side B: 5 tokens, "cat" x1
+    val a = Seq((0L, "cat cat cat cat dog dog bird bird bird fish")).toDF("doc_id", "text")
+    val b = Seq((1L, "cat dog dog emu emu")).toDF("doc_id", "text")
+    val got = Quality.corpusDrift(a, b, "text", minCount = 1, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toList
+    // ppm: cat A 400000 B 200000 -> drift 200000; emu 0/400000; bird
+    // 300000/0; dog 200000/400000; fish 100000/0
+    assert(got === List(
+      ("emu", 0L, 2L, 0L, 400000L, 400000L),
+      ("bird", 3L, 0L, 300000L, 0L, 300000L),
+      ("cat", 4L, 1L, 400000L, 200000L, 200000L),
+      ("dog", 2L, 2L, 200000L, 400000L, 200000L),
+      ("fish", 1L, 0L, 100000L, 0L, 100000L)))
+  }
+
+  test("corpusDrift: empty sides neither crash nor divide by zero") {
+    import spark.implicits._
+    val docs = Seq((0L, "alpha beta")).toDF("doc_id", "text")
+    val none = docs.filter(col("doc_id") < 0)
+    assert(Quality.corpusDrift(none, none, "text", minCount = 1).count() === 0L)
+    val oneSided = Quality.corpusDrift(docs, none, "text", minCount = 1)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4))).toSet
+    assert(oneSided === Set(("alpha", 500000L, 0L), ("beta", 500000L, 0L)))
+  }
+
+  test("corpusDrift: minCount floor drops tail terms before ranking") {
+    import spark.implicits._
+    val a = Seq((0L, "hot hot hot hot hot rare")).toDF("doc_id", "text")
+    val b = Seq((1L, "hot")).toDF("doc_id", "text")
+    val terms = Quality.corpusDrift(a, b, "text", minCount = 2, topN = 10)
+      .select("term").as[String].collect().toSet
+    assert(terms === Set("hot"))
+  }
 }
