@@ -181,6 +181,51 @@ object Quality {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Exact heavy hitters over corpus tokens — every term with
+    * frequency strictly above total/`support`, with its EXACT count —
+    * without ever shuffling the full distinct-term table.
+    *
+    * Two passes, both bounded:
+    *   1. sketch pass: ONE global aggregation computes the Misra–Gries
+    *      candidate set ([[graft.functions.MisraGries]], `capacity`
+    *      counters) and the exact token total together — the candidate
+    *      set provably contains every term above the threshold as long
+    *      as capacity >= support, so nothing can be missed;
+    *   2. confirm pass: tokens are filtered against the broadcast
+    *      (<= capacity)-term candidate list map-side, and only those
+    *      survivors are counted exactly. The support test then runs on
+    *      exact integers (`cnt * support > total`).
+    *
+    * Why not a plain groupBy(term): at web-corpus scale the distinct-
+    * term table is billions of rows shuffled to find a handful of hot
+    * terms. Here the shuffle carries at most `capacity` candidates per
+    * map partition (pass 1 partials) and the confirmed sliver (pass
+    * 2). The corpus is scanned twice and shuffled never — the sketch-
+    * prefilter + exact-confirm shape of [[decontaminateBloomKeep]],
+    * with the same consequence: the OUTPUT is exact, so the q119
+    * DuckDB oracle recomputes it with a full GROUP BY and no sketch.
+    */
+  def heavyHittersExact(
+      df: DataFrame,
+      textCol: String,
+      support: Int,
+      capacity: Int = 256): DataFrame = {
+    require(support >= 2, s"support must be >= 2: $support")
+    require(capacity >= support,
+      s"capacity $capacity < support $support would break the MG containment guarantee")
+    val terms = df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val sketch = terms.agg(
+      graft.functions.MisraGries.candidates(capacity)(col("term")).as("cand"),
+      count(lit(1)).as("total"))
+    val cands = sketch.select(explode(col("cand")).as("term"), col("total"))
+    terms.join(broadcast(cands), Seq("term"))
+      .groupBy(col("term"), col("total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(support.toLong) > col("total"))
+      .select(col("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Corpus drift report between two corpus slices (yesterday's crawl
     * vs today's, one source vs the fleet): per-term occurrence rates
     * in parts-per-million on each side and the absolute rate shift,

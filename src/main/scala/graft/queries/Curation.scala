@@ -555,10 +555,30 @@ object Curation {
        |ORDER BY drift DESC, term
        |LIMIT 40""".stripMargin
 
+  // --------------------------------------------------------------- q119
+  /** Exact heavy hitters (Quality.heavyHittersExact): every token with
+    * frequency > 1/32 of the corpus, exact counts, found via the
+    * Misra–Gries bounded-memory candidate sketch + exact confirm pass
+    * — the corpus is scanned twice and the distinct-term table never
+    * shuffles. The oracle recomputes the same set with a full GROUP BY
+    * and no sketch, so the gate proves the sketch path loses nothing.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    Quality.heavyHittersExact(t(s, dir, "documents"), "text", support = 32, capacity = 64)
+
+  private val q119Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tx AS (SELECT unnest(toks) AS term FROM tk),
+       |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tx GROUP BY term),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tx)
+       |SELECT term, cnt FROM c, tot WHERE cnt * 32 > total
+       |ORDER BY cnt DESC, term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_source_cap" -> (q114 _),
     "q116_bloom_decontaminate" -> (q116 _),
     "q118_corpus_drift" -> (q118 _),
+    "q119_heavy_hitters" -> (q119 _),
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
     "q67_decontaminate" -> (q67 _),
@@ -577,6 +597,7 @@ object Curation {
     "q114_source_cap" -> q114Sql,
     "q116_bloom_decontaminate" -> q116Sql,
     "q118_corpus_drift" -> q118Sql,
+    "q119_heavy_hitters" -> q119Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_redact" -> q66Sql,
     "q67_decontaminate" -> q67Sql,
