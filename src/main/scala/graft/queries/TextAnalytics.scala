@@ -675,7 +675,27 @@ object TextAnalytics {
        |ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q120
+  /** Curriculum schedule (operators.Curriculum.globalRank): contiguous
+    * global training order 1..N by (n_chars ASC, doc_id ASC) —
+    * shortest-first length curriculum — via the two-level prefix count
+    * over n_chars-derived blocks. The oracle is the naive
+    * single-window row_number (fine at oracle scale); the engine's
+    * form is the one that never sorts the corpus through one task.
+    */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curriculum.globalRank(
+        t(s, dir, "documents"), "n_chars", "doc_id", blockWidth = 100L)
+      .orderBy(col("global_rank"))
+
+  private val q120Sql =
+    """SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY n_chars, doc_id) AS global_rank
+      |FROM documents
+      |ORDER BY global_rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
     "q112_dsir_frozen_score" -> (q112 _),
     "q109_dsir_resample" -> (q109 _),
@@ -693,6 +713,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,
     "q112_dsir_frozen_score" -> q112Sql,
     "q109_dsir_resample" -> q109Sql,
