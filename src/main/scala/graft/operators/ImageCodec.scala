@@ -60,7 +60,12 @@ object ImageCodec {
 
   // ------------------------------------------------------------- PNM
 
-  private def decodePnm(d: Array[Byte]): Either[String, ImageStats] = {
+  /** Parsed PNM header: everything needed to address the raster. */
+  private final case class PnmHeader(
+      codec: String, channels: Int, width: Int, height: Int,
+      maxval: Int, rasterPos: Int)
+
+  private def parsePnmHeader(d: Array[Byte]): Either[String, PnmHeader] = {
     val channels = if (d(1) == '6') 3 else 1
     val codec = if (channels == 3) "ppm" else "pgm"
     var pos = 2
@@ -102,38 +107,90 @@ object ImageCodec {
       // exactly ONE whitespace byte separates maxval from the raster
       else if (pos >= d.length || !isWs(d(pos))) Left(s"$codec: missing raster separator")
       else Right(())
-      stats <- {
-        pos += 1
-        val bytesPerSample = if (maxval > 255) 2 else 1
-        val nSamples = w.toLong * h * channels
-        val need = nSamples * bytesPerSample
-        if (d.length - pos < need)
-          Left(s"$codec: truncated raster — need $need bytes, have ${d.length - pos}")
-        else {
+    } yield PnmHeader(codec, channels, w, h, maxval, pos + 1)
+  }
+
+  private def decodePnm(d: Array[Byte]): Either[String, ImageStats] =
+    parsePnmHeader(d).flatMap { hd =>
+      val codec = hd.codec
+      val channels = hd.channels
+      val (w, h, maxval) = (hd.width, hd.height, hd.maxval)
+      val pos = hd.rasterPos
+      val bytesPerSample = if (maxval > 255) 2 else 1
+      val nSamples = w.toLong * h * channels
+      val need = nSamples * bytesPerSample
+      if (d.length - pos < need)
+        Left(s"$codec: truncated raster — need $need bytes, have ${d.length - pos}")
+      else {
           val sums = new Array[Long](3)
-          var mn = Int.MaxValue
-          var mx = Int.MinValue
-          var i = 0L
-          var p = pos
-          while (i < nSamples) {
-            val v =
-              if (bytesPerSample == 1) d(p) & 0xff
-              else ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff) // 16-bit is big-endian
-            sums((i % channels).toInt) += v
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            p += bytesPerSample
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var i = 0L
+        var p = pos
+        while (i < nSamples) {
+          val v =
+            if (bytesPerSample == 1) d(p) & 0xff
+            else ((d(p) & 0xff) << 8) | (d(p + 1) & 0xff) // 16-bit is big-endian
+          sums((i % channels).toInt) += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          p += bytesPerSample
+          i += 1
+        }
+        val n = w.toLong * h
+        val (r, g, b) =
+          if (channels == 3) (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+          else { val m = sums(0).toDouble / n; (m, m, m) }
+        Right(ImageStats(codec, w, h, channels, maxval, n, r, g, b, mn, mx))
+      }
+    }
+
+  /** Perceptual average-hash (aHash) of an 8-bit PNM image: sample a
+    * fixed 8x8 grid by nearest-neighbor — grid cell (gy, gx) reads
+    * pixel (gy*h div 8, gx*w div 8), so any geometry maps onto the
+    * same 64 positions — take gray = r+g+b per sample (3*v for
+    * grayscale P5, keeping the scale identical), threshold each
+    * sample against the floor mean (sum div 64), and pack bit
+    * i = gy*8+gx into two 32-bit halves (hi = bits 32..63, lo =
+    * 0..31; split because a 1<<63 BIGINT overflows the DuckDB
+    * oracle's integer build of the same hash). Every step is integer
+    * arithmetic, so the q121 gate is exact.
+    */
+  def aHash(data: Array[Byte]): Either[String, (Long, Long)] =
+    if (data.length < 2 || data(0) != 'P' || (data(1) != '5' && data(1) != '6'))
+      Left("ahash: not a PNM payload")
+    else parsePnmHeader(data).flatMap { hd =>
+      if (hd.maxval > 255) Left(s"${hd.codec}: ahash requires 8-bit samples")
+      else {
+        val need = hd.width.toLong * hd.height * hd.channels
+        if (data.length - hd.rasterPos < need)
+          Left(s"${hd.codec}: truncated raster — need $need bytes, have ${data.length - hd.rasterPos}")
+        else {
+          val grays = new Array[Int](64)
+          var g = 0
+          while (g < 64) {
+            val y = (g / 8) * hd.height / 8
+            val x = (g % 8) * hd.width / 8
+            val o = hd.rasterPos + hd.channels * (y * hd.width + x)
+            grays(g) =
+              if (hd.channels == 3) (data(o) & 0xff) + (data(o + 1) & 0xff) + (data(o + 2) & 0xff)
+              else 3 * (data(o) & 0xff)
+            g += 1
+          }
+          val mean = grays.map(_.toLong).sum / 64L
+          var hi = 0L
+          var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (grays(i) > mean) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
             i += 1
           }
-          val n = w.toLong * h
-          val (r, g, b) =
-            if (channels == 3) (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
-            else { val m = sums(0).toDouble / n; (m, m, m) }
-          Right(ImageStats(codec, w, h, channels, maxval, n, r, g, b, mn, mx))
+          Right((hi, lo))
         }
       }
-    } yield stats
-  }
+    }
 
   // ------------------------------------------------------------- BMP
 

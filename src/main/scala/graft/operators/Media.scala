@@ -160,6 +160,70 @@ object Media {
     }
   }
 
+  /** Per-image perceptual hash row ([[ImageCodec.aHash]]), same error
+    * channel as [[ImageFeatures]]; `hi`/`lo` are the two 32-bit halves
+    * of the 64-bit average-hash.
+    */
+  final case class ImageAHash(media_id: Long, ok: Boolean, err: String, hi: Long, lo: Long)
+
+  /** REAL perceptual hashing over the opaque media table — the decode
+    * half of [[imageNearDupPairs]], one streaming parse per record.
+    */
+  def imageAHash(media: Dataset[MediaRecord]): Dataset[ImageAHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        ImageCodec.aHash(m.data) match {
+          case Right((hi, lo)) => ImageAHash(m.media_id, ok = true, "", hi, lo)
+          case Left(e) => ImageAHash(m.media_id, ok = false, e, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: every (a, b),
+    * a < b, whose aHashes differ in at most `maxHamming` of 64 bits —
+    * the multimodal counterpart of text SimHash dedup (q29), and the
+    * operator behind "drop re-encoded copies of the same image" in a
+    * multimodal curation pass.
+    *
+    * Scale shape: the 64-bit hash splits into 8 8-bit bands; by
+    * pigeonhole any pair within hamming <= 7 agrees EXACTLY on some
+    * band, so candidates come from 8 equi-joins on (band, value) —
+    * never an all-pairs scan (`maxHamming` is capped at 7 to keep
+    * that guarantee). Candidates then verify with the exact popcount
+    * distance. Identical-image floods concentrate in one band bucket
+    * but stay equi-join candidates, the same degenerate shape the
+    * LSH dedup family already pins in AdversarialCorpusSpec.
+    */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"maxHamming must be in [0, 7] (8 bands guarantee recall only to 7): $maxHamming")
+    val h = imageAHash(media).toDF().filter(col("ok"))
+      .select(col("media_id"), col("hi"), col("lo"))
+    // dynamic shift: band b reads bits [8b, 8b+8) of its half
+    val bands = h.select(col("media_id"), col("hi"), col("lo"),
+      explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bval",
+        call_function("shiftright",
+          when(col("band") < 4, col("lo")).otherwise(col("hi")),
+          (pmod(col("band"), lit(4)) * 8).cast("int"))
+          .bitwiseAND(lit(255L)))
+    val a = bands.select(col("media_id").as("id_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"), col("band"), col("bval"))
+    val b = bands.select(col("media_id").as("id_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"), col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("hi_a"), col("lo_a"), col("hi_b"), col("lo_b"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Typed per-clip stats from [[AudioCodec]]'s real decode, with the
     * same error-channel shape as [[ImageFeatures]].
     */

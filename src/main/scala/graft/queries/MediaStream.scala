@@ -323,7 +323,63 @@ object MediaStream {
       |FROM s
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q121
+  /** Perceptual image near-dup (Media.imageNearDupPairs): documents
+    * become real P6 PPM binaries (the q102 adapter), ImageCodec
+    * computes the 8x8 average-hash from the decoded raster, and pairs
+    * within hamming 7 of 64 bits surface via 8-band LSH blocking +
+    * exact popcount verify. The oracle rebuilds the SAME hash halves
+    * from the source text bytes (grid sampling, integer gray sums,
+    * floor-mean threshold, bit packing) and joins ALL pairs — so the
+    * gate pins the decoder's raster addressing, the hash arithmetic,
+    * AND that banding loses no pair under the hamming cap.
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toPpm(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.imageNearDupPairs(media, maxHamming = 7)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q121Sql = {
+    // pixel index of grid cell g (0..63): (gy*h div 8)*w + gx*w div 8;
+    // sample s (1-based) of that pixel's channel c is px byte 3*idx+c
+    val idx = "(((g//8)*h//8)*w + ((g%8)*w//8))"
+    val gray = (c: Int) =>
+      s"unicode(px[CAST(3*$idx + $c AS INTEGER) : CAST(3*$idx + $c AS INTEGER)])"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |    CAST(length(text) % 8 + 1 AS INTEGER) AS w,
+       |    CAST(length(text) % 6 + 1 AS INTEGER) AS h
+       |  FROM documents WHERE length(text) > 0),
+       |p AS (
+       |  SELECT doc_id, w, h,
+       |    substring(repeat(text, CAST(ceil(CAST(3*w*h AS DOUBLE) / len) AS INTEGER)),
+       |              1, 3*w*h) AS px
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), g ->
+       |      ${gray(1)} + ${gray(2)} + ${gray(3)}) AS grays
+       |  FROM p),
+       |hsh AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(range(32, 64), i ->
+       |      CASE WHEN grays[CAST(i+1 AS INTEGER)] > list_sum(grays) // 64
+       |        THEN (1::BIGINT << CAST(i - 32 AS INTEGER)) ELSE 0 END)) AS hi,
+       |    list_sum(list_transform(range(0, 32), i ->
+       |      CASE WHEN grays[CAST(i+1 AS INTEGER)] > list_sum(grays) // 64
+       |        THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)) AS lo
+       |  FROM s)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
+       |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_image_near_dup" -> (q121 _),
     "q44_media_decode" -> (q44 _),
     "q102_image_decode" -> (q102 _),
     "q103_audio_decode" -> (q103 _),
@@ -335,6 +391,7 @@ object MediaStream {
     "q81_event_dedup" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
+    "q121_image_near_dup" -> q121Sql,
     "q44_media_decode" -> q44Sql,
     "q102_image_decode" -> q102Sql,
     "q103_audio_decode" -> q103Sql,
