@@ -473,6 +473,24 @@ object Similarity {
     * sort over a hot cluster. Output (cluster, rank, vec_id), rank
     * 1..quota in keep order.
     */
+  /** Map-only nearest-coarse-centroid assignment: (id, cluster) for
+    * every corpus row — the shared entry point of the IVF index build,
+    * [[clusterBalancedSample]], and the q122 semantic-drift monitor
+    * (rel = c·c − 2 v·c against broadcast-literal centroids, first-min
+    * tiebreak).
+    */
+  def clusterAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]]): DataFrame = {
+    require(coarse.nonEmpty, "need at least one coarse centroid")
+    VectorExpressions.register(corpus.sparkSession)
+    val rel = coarseRelCol(col(vecCol), coarse)
+    corpus.select(col(idCol).as("id"),
+      (array_position(rel, array_min(rel)) - 1).cast("int").as("cluster"))
+  }
+
   def clusterBalancedSample(
       corpus: DataFrame,
       idCol: String,
@@ -480,14 +498,10 @@ object Similarity {
       coarse: Array[Array[Double]],
       quota: Int): DataFrame = {
     require(quota >= 1, "quota must be >= 1")
-    require(coarse.nonEmpty, "need at least one coarse centroid")
-    VectorExpressions.register(corpus.sparkSession)
-    val rel = coarseRelCol(col(vecCol), coarse)
     val hv = pmod(graft.functions.TextFunctions.hash60(
-      concat(lit("cbs|"), col(idCol))), lit(1L << 52))
-    corpus.select(
-        (array_position(rel, array_min(rel)) - 1).cast("int").as("cluster"),
-        col(idCol).as("id"), hv.as("hv"))
+      concat(lit("cbs|"), col("id"))), lit(1L << 52))
+    clusterAssign(corpus, idCol, vecCol, coarse)
+      .select(col("cluster"), col("id"), hv.as("hv"))
       .groupBy(col("cluster"))
       .agg(graft.functions.TopKAggregator.topK(quota)(
         -col("hv").cast("double"), col("id")).as("top"))

@@ -1687,7 +1687,70 @@ object CorpusOps {
        |SELECT cluster, rank, vec_id FROM r WHERE rank <= 10
        |ORDER BY cluster, rank""".stripMargin
 
+  // --------------------------------------------------------------- q122
+  /** Semantic drift monitoring — the embedding-space companion of
+    * q118's lexical drift: assign every vector to its fixed coarse
+    * cluster (q92 discipline, first 8 corpus vectors as centroids),
+    * split the corpus into two batches (vec_id parity), and report
+    * each cluster's per-million occupancy in both batches plus the
+    * absolute shift. A model-collapse or crawl-shift event shows up
+    * here as one semantic region inflating between ingest batches even
+    * when q118's token distribution is stable. Same exactness
+    * discipline as q118 (BIGINT counts, one floor div per rate);
+    * assignment arithmetic is the q92-proven portable rel fold.
+    */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    if (emb.limit(1).isEmpty)
+      return emb.select(lit(0).as("cluster"), lit(0L).as("cnt_a"), lit(0L).as("cnt_b"),
+        lit(0L).as("ppm_a"), lit(0L).as("ppm_b"), lit(0L).as("drift")).limit(0)
+    val coarse = emb.filter(col("vec_id") < 8).orderBy(col("vec_id"))
+      .select(Similarity.asDoubleVec(col("embedding")))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val assigned = Similarity.clusterAssign(emb, "vec_id", "embedding", coarse)
+      .withColumn("in_a", when(col("id") % 2 === 0, lit(1L)).otherwise(lit(0L)))
+      .withColumn("in_b", lit(1L) - col("in_a"))
+    val counts = assigned.groupBy(col("cluster"))
+      .agg(sum(col("in_a")).as("cnt_a"), sum(col("in_b")).as("cnt_b"))
+    val totals = counts.agg(sum(col("cnt_a")).as("tot_a"), sum(col("cnt_b")).as("tot_b"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("ppm_a",
+        when(col("tot_a") > 0, expr("(cnt_a * 1000000) div tot_a")).otherwise(lit(0L)))
+      .withColumn("ppm_b",
+        when(col("tot_b") > 0, expr("(cnt_b * 1000000) div tot_b")).otherwise(lit(0L)))
+      .withColumn("drift", abs(col("ppm_a") - col("ppm_b")))
+      .select(col("cluster"), col("cnt_a"), col("cnt_b"),
+        col("ppm_a"), col("ppm_b"), col("drift"))
+      .orderBy(col("cluster"))
+  }
+
+  private val q122Sql =
+    s"""WITH e AS ($embCte),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |rel AS (
+       |  SELECT e.vec_id, cent.cid,
+       |    list_dot_product(cent.cv, cent.cv) - 2.0 * list_dot_product(e.v, cent.cv) AS rel
+       |  FROM e, cent),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY rel, cid) AS r
+       |    FROM rel) WHERE r = 1),
+       |c AS (SELECT cluster,
+       |        CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |        CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+       |      FROM assigned GROUP BY cluster),
+       |tot AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+       |               CAST(sum(cnt_b) AS BIGINT) AS tot_b FROM c)
+       |SELECT cluster, cnt_a, cnt_b,
+       |  CASE WHEN tot_a > 0 THEN (cnt_a * 1000000) // tot_a ELSE 0 END AS ppm_a,
+       |  CASE WHEN tot_b > 0 THEN (cnt_b * 1000000) // tot_b ELSE 0 END AS ppm_b,
+       |  abs(CASE WHEN tot_a > 0 THEN (cnt_a * 1000000) // tot_a ELSE 0 END
+       |    - CASE WHEN tot_b > 0 THEN (cnt_b * 1000000) // tot_b ELSE 0 END) AS drift
+       |FROM c, tot
+       |ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_semantic_drift" -> (q122 _),
     "q117_cluster_sample" -> (q117 _),
     "q107_sa_repeats" -> (q107 _),
     "q108_ngram_lm_ppm" -> (q108 _),
@@ -1724,6 +1787,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q122_semantic_drift" -> q122Sql,
     "q117_cluster_sample" -> q117Sql,
     "q107_sa_repeats" -> q107Sql,
     "q108_ngram_lm_ppm" -> q108Sql,

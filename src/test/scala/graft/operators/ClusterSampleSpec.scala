@@ -45,6 +45,14 @@ class ClusterSampleSpec extends SparkSpec {
     }
   }
 
+  test("clusterAssign: bare assignment matches the sample's cluster column") {
+    val viaAssign = Similarity.clusterAssign(corpus, "vec_id", "embedding", coarse)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaSample = Similarity.clusterBalancedSample(corpus, "vec_id", "embedding", coarse, quota = 10)
+      .collect().map(r => (r.getLong(2), r.getInt(0))).toSet
+    assert(viaAssign === viaSample)
+  }
+
   test("keep set is invariant under repartitioning") {
     def run(df: org.apache.spark.sql.DataFrame) =
       Similarity.clusterBalancedSample(df, "vec_id", "embedding", coarse, quota = 2)
