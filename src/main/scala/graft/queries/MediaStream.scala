@@ -341,7 +341,7 @@ object MediaStream {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  private val q121Sql = {
+  private def q121SqlAt(maxHamming: Int): String = {
     // pixel index of grid cell g (0..63): (gy*h div 8)*w + gx*w div 8;
     // sample s (1-based) of that pixel's channel c is px byte 3*idx+c
     val idx = "(((g//8)*h//8)*w + ((g%8)*w//8))"
@@ -374,12 +374,57 @@ object MediaStream {
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INTEGER) AS hamming
        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  private val q121Sql = q121SqlAt(7)
+
+  // --------------------------------------------------------------- q123
+  /** Multimodal dedup APPLY — the image counterpart of q58's text
+    * pipeline: perceptual near-dup pairs (hamming <= 2, the
+    * "re-encoded copy" band) -> connected components -> drop
+    * non-canonical members -> per-source census of what survives.
+    * Composes three independently-gated operators (q121 pairs, q49's
+    * component machinery, q58's keep-canonical rule); the oracle
+    * re-derives the full chain — hash build, pair graph, recursive
+    * transitive closure, min-id canonicalization — so any stage
+    * drifting breaks this hash too.
+    */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val media = Media.toPpm(docs).as[Media.MediaRecord]
+    val pairs = Media.imageNearDupPairs(media, maxHamming = 2)
+    val clusters = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    graft.operators.Dedup.removeDuplicates(
+        docs.filter(length(col("text")) > 0), "doc_id", clusters)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_imgs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q123Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT id_a, id_b FROM (${q121SqlAt(2)})),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach AS (
+       |  SELECT n, n AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS n, reach.r FROM reach JOIN edges e ON reach.n = e.a),
+       |drops AS (SELECT doc FROM (SELECT n AS doc, min(r) AS cluster FROM reach GROUP BY n)
+       |          WHERE doc <> cluster)
+       |SELECT source, count(*) AS n_imgs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM documents
+       |WHERE length(text) > 0 AND doc_id NOT IN (SELECT doc FROM drops)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_image_near_dup" -> (q121 _),
+    "q123_image_dedup_apply" -> (q123 _),
     "q44_media_decode" -> (q44 _),
     "q102_image_decode" -> (q102 _),
     "q103_audio_decode" -> (q103 _),
@@ -392,6 +437,7 @@ object MediaStream {
 
   val oracle: Map[String, String] = Map(
     "q121_image_near_dup" -> q121Sql,
+    "q123_image_dedup_apply" -> q123Sql,
     "q44_media_decode" -> q44Sql,
     "q102_image_decode" -> q102Sql,
     "q103_audio_decode" -> q103Sql,
