@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions.udaf
   * from Agarwal et al., "Mergeable Summaries", PODS 2012): a bounded
   * `capacity`-entry counter map over a stream of terms whose candidate
   * set is guaranteed to contain EVERY term with true frequency
-  * > N/(capacity+1), regardless of partition order or merge order.
+  * > N/(capacity+1), regardless of partition order or merge order —
+  * and the guarantee composes across independently-built summaries
+  * merged with [[MisraGries.mergeCounts]], which is what lets a
+  * persisted sketch absorb per-batch sketches incrementally
+  * (Quality.heavyHittersIncrement) without ever revisiting old data.
   *
   * The summary alone gives under-counts; graft uses it only as the
   * bounded-memory CANDIDATE stage of Quality.heavyHittersExact — a
@@ -19,7 +23,7 @@ import org.apache.spark.sql.functions.udaf
   * [[BloomFilter]]/decontaminateBloomKeep.)
   */
 class MisraGriesAggregator(capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[String]] {
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
 
   override def zero: Map[String, Long] = Map.empty
 
@@ -32,29 +36,40 @@ class MisraGriesAggregator(capacity: Int)
       case None => buf.collect { case (k, v) if v > 1L => k -> (v - 1L) }
     }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    MisraGries.mergeCounts(a, b, capacity)
+
+  override def finish(buf: Map[String, Long]): Map[String, Long] = buf
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
+object MisraGries {
+
+  /** The mergeable-summaries combine rule: sum the counter maps, then
+    * subtract the (capacity+1)-th largest count from all — entries at
+    * or below the pivot drop out, preserving both the size bound and
+    * the N/(capacity+1) error bound for the COMBINED stream. Pure, so
+    * the distributed aggregator and the batch-boundary sketch merge
+    * use the identical rule.
+    */
+  def mergeCounts(
+      a: Map[String, Long], b: Map[String, Long], capacity: Int): Map[String, Long] = {
     val summed = (a.keySet ++ b.keySet).iterator
       .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
     if (summed.size <= capacity) summed
     else {
-      // subtract the (capacity+1)-th largest count from all — the
-      // mergeable-summaries rule that preserves the N/(capacity+1)
-      // error bound; entries at or below the pivot drop to <= 0
       val pivot = summed.values.toIndexedSeq.sorted(Ordering[Long].reverse)(capacity)
       summed.collect { case (k, v) if v - pivot > 0L => k -> (v - pivot) }
     }
   }
 
-  override def finish(buf: Map[String, Long]): Seq[String] = buf.keys.toSeq.sorted
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
-  override def outputEncoder: Encoder[Seq[String]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
-}
-
-object MisraGries {
-  /** DataFrame-callable candidate-set aggregate over a string column. */
-  def candidates(capacity: Int): Column => Column = {
+  /** DataFrame-callable summary aggregate over a string column;
+    * returns the bounded (term -> residual count) map.
+    */
+  def counts(capacity: Int): Column => Column = {
     require(capacity >= 1, s"capacity must be >= 1: $capacity")
     val fn = udaf(new MisraGriesAggregator(capacity), Encoders.STRING)
     term => fn(term)

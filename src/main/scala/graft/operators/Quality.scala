@@ -215,15 +215,110 @@ object Quality {
       s"capacity $capacity < support $support would break the MG containment guarantee")
     val terms = df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
     val sketch = terms.agg(
-      graft.functions.MisraGries.candidates(capacity)(col("term")).as("cand"),
+      graft.functions.MisraGries.counts(capacity)(col("term")).as("cand"),
       count(lit(1)).as("total"))
-    val cands = sketch.select(explode(col("cand")).as("term"), col("total"))
+    val cands = sketch.select(explode(col("cand")).as(Seq("term", "residual")), col("total"))
+      .select(col("term"), col("total"))
     terms.join(broadcast(cands), Seq("term"))
       .groupBy(col("term"), col("total"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * lit(support.toLong) > col("total"))
       .select(col("term"), col("cnt"))
       .orderBy(col("cnt").desc, col("term"))
+  }
+
+  /** Full identity of a persisted MG sketch's scheme: tokenizer and
+    * capacity both change which candidates survive, so both are part
+    * of the stamp ([[graft.operators.ArtifactStamp]] discipline — a
+    * sketch built under a different tokenizer or capacity must refuse
+    * to compose with new batches).
+    */
+  def mgScheme(capacity: Int): String =
+    s"mg|tokens=lower-alnum|capacity=$capacity"
+
+  /** Bounded per-batch MG sketch as rows: (term, residual BIGINT),
+    * at most `capacity` rows — the unit of state
+    * [[heavyHittersIncrement]] merges and persists.
+    */
+  def mgSketch(df: DataFrame, textCol: String, capacity: Int): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .agg(graft.functions.MisraGries.counts(capacity)(col("term")).as("m"))
+      .select(explode(col("m")).as(Seq("term", "residual")))
+
+  /** Merge two sketch row-sets with the mergeable-summaries rule. Both
+    * sides are <= capacity rows by contract, so the driver-side merge
+    * is bounded state (the BPE-merge-list discipline), not a corpus
+    * collect.
+    */
+  def mergeSketches(a: DataFrame, b: DataFrame, capacity: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    def toMap(df: DataFrame): Map[String, Long] =
+      df.select(col("term"), col("residual").cast("long"))
+        .collectAsList().asScala.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = graft.functions.MisraGries.mergeCounts(toMap(a), toMap(b), capacity)
+    val spark = a.sparkSession
+    import spark.implicits._
+    merged.toSeq.toDF("term", "residual")
+  }
+
+  /** Exact heavy hitters from an ALREADY-BUILT candidate sketch over
+    * an accumulated corpus — the confirm half of
+    * [[heavyHittersIncrement]]: exact total, broadcast candidate
+    * filter, exact counts, integer support test. Output is exact as
+    * long as the sketch's containment guarantee covers the corpus
+    * (capacity >= support and the sketch absorbed every batch).
+    */
+  def heavyHittersFromSketch(
+      df: DataFrame,
+      textCol: String,
+      sketch: DataFrame,
+      support: Int): DataFrame = {
+    require(support >= 2, s"support must be >= 2: $support")
+    val terms = df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    terms.join(broadcast(sketch.select(col("term"))), Seq("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(support.toLong) > col("total"))
+      .select(col("term"), col("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
+  /** One incremental step of the streaming/batch heavy-hitter loop:
+    * absorb `batch` into the persisted sketch at `stateDir` (bounded
+    * merge, old data never revisited) and append the batch to
+    * `corpusDir` for confirm passes. Bootstrap-safe (missing dirs),
+    * scheme-stamped (a sketch built under a different tokenizer or
+    * capacity fails loudly — the band-index discipline).
+    */
+  def heavyHittersIncrement(
+      batch: DataFrame,
+      textCol: String,
+      stateDir: String,
+      corpusDir: String,
+      capacity: Int): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    val scheme = mgScheme(capacity)
+    val prev =
+      if (exists(stateDir)) {
+        graft.operators.ArtifactStamp.require(stateDir, hconf, "_mg_scheme.json",
+          scheme, "MG sketch", "merging batch sketches into it would lose the containment bound")
+        spark.read.parquet(stateDir)
+      } else mgSketch(batch.limit(0), textCol, capacity)
+    val merged = mergeSketches(prev, mgSketch(batch, textCol, capacity), capacity)
+    // write via a temp dir + swap is overkill for <= capacity rows;
+    // overwrite is atomic enough for the state's size class, and the
+    // stamp is re-written after every merge (idempotent)
+    merged.coalesce(1).write.mode("overwrite").parquet(stateDir)
+    graft.operators.ArtifactStamp.write(stateDir, hconf, "_mg_scheme.json", scheme)
+    batch.write.mode("append").parquet(corpusDir)
   }
 
   /** Corpus drift report between two corpus slices (yesterday's crawl

@@ -574,11 +574,36 @@ object Curation {
        |SELECT term, cnt FROM c, tot WHERE cnt * 32 > total
        |ORDER BY cnt DESC, term""".stripMargin
 
+  // --------------------------------------------------------------- q124
+  /** Incremental heavy hitters — the q101 production-loop discipline
+    * applied to the q119 sketch: two ingest batches (doc_id parity)
+    * are absorbed one at a time into a PERSISTED, scheme-stamped MG
+    * sketch (Quality.heavyHittersIncrement — bounded merge, batch 1's
+    * tokens never revisited when batch 2 lands), then one confirm pass
+    * over the accumulated corpus. The oracle is q119's full GROUP BY
+    * over all documents, so the gate pins increment ≡ rebuild — the
+    * mergeable-summaries containment bound surviving the batch
+    * boundary (q106's append≡rebuild discipline for the sketch
+    * family).
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val stateDir = java.nio.file.Files.createTempDirectory("q124-state").toString
+    val corpusDir = java.nio.file.Files.createTempDirectory("q124-corpus").toString + "/data"
+    Quality.heavyHittersIncrement(
+      docs.filter(col("doc_id") % 2 === 0), "text", stateDir, corpusDir, capacity = 64)
+    Quality.heavyHittersIncrement(
+      docs.filter(col("doc_id") % 2 =!= 0), "text", stateDir, corpusDir, capacity = 64)
+    val corpus = s.read.parquet(corpusDir)
+    Quality.heavyHittersFromSketch(corpus, "text", s.read.parquet(stateDir), support = 32)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_source_cap" -> (q114 _),
     "q116_bloom_decontaminate" -> (q116 _),
     "q118_corpus_drift" -> (q118 _),
     "q119_heavy_hitters" -> (q119 _),
+    "q124_hh_increment" -> (q124 _),
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
     "q67_decontaminate" -> (q67 _),
@@ -598,6 +623,7 @@ object Curation {
     "q116_bloom_decontaminate" -> q116Sql,
     "q118_corpus_drift" -> q118Sql,
     "q119_heavy_hitters" -> q119Sql,
+    "q124_hh_increment" -> q119Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_redact" -> q66Sql,
     "q67_decontaminate" -> q67Sql,

@@ -66,4 +66,40 @@ class MisraGriesSpec extends SparkSpec {
       Quality.heavyHittersExact(docs, "text", support = 8, capacity = 4)
     }
   }
+
+  // ------------------------------------------------- incremental sketch
+
+  private def incrementRun(batches: Seq[org.apache.spark.sql.DataFrame],
+      capacity: Int, support: Int): Set[(String, Long)] = {
+    val state = tmpDir("mg-state")
+    val corpus = tmpDir("mg-corpus") + "/data"
+    batches.foreach(b => Quality.heavyHittersIncrement(b, "text", state, corpus, capacity))
+    Quality.heavyHittersFromSketch(
+        spark.read.parquet(corpus), "text", spark.read.parquet(state), support)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+  }
+
+  test("incremental sketch across batches equals single-pass exact output") {
+    // adversarial split: ALL the heavy term's mass lands in batch 1,
+    // batch 2 is pure tail — the merge must keep batch 1's candidate
+    val b1 = (Seq.fill(30)("hot") ++ Seq.fill(10)("warm"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val b2 = (0 until 60).map(i => (1000L + i, s"tail$i")).toDF("doc_id", "text")
+    val whole = b1.unionAll(b2)
+    assert(incrementRun(Seq(b1, b2), capacity = 16, support = 3) ===
+      viaSketch(whole, 3, 16))
+    assert(incrementRun(Seq(b2, b1), capacity = 16, support = 3) ===
+      viaSketch(whole, 3, 16), "batch arrival order must not change the answer")
+  }
+
+  test("a sketch persisted under a different scheme is refused") {
+    val b = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val state = tmpDir("mg-state")
+    val corpus = tmpDir("mg-corpus") + "/data"
+    Quality.heavyHittersIncrement(b, "text", state, corpus, capacity = 16)
+    val e = intercept[IllegalStateException] {
+      Quality.heavyHittersIncrement(b, "text", state, corpus, capacity = 32)
+    }
+    assert(e.getMessage.contains("scheme"))
+  }
 }
