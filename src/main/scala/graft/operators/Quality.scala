@@ -285,6 +285,99 @@ object Quality {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Full identity of a persisted decontamination index's scheme —
+    * gram order, bloom geometry, and base hash all change which bits
+    * light up, so all are stamped.
+    */
+  def bloomScheme(n: Int, numBits: Int, k: Int): String =
+    s"bloom|tokens=lower-alnum|gram_n=$n|bits=$numBits|k=$k|base=md5-60(bf1/bf2)"
+
+  /** Absorb a benchmark batch into a persisted decontamination index:
+    * the batch's distinct word n-grams append to `indexDir/grams` and
+    * its Bloom bits OR into `indexDir/bits` (a one-row array<long> —
+    * `zip_with(prev, new, |)`, the bitwise form of the sketch-merge
+    * rule). New eval suites join the index without re-hashing old
+    * ones; [[decontaminateWithIndex]] reads the result. Scheme-stamped
+    * ([[graft.operators.ArtifactStamp]]): bits built under different
+    * gram order, geometry, or base hash refuse to compose.
+    */
+  def decontaminationIndexIncrement(
+      benchBatch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      n: Int = 5,
+      numBits: Int = 1 << 20,
+      k: Int = 4): Unit = {
+    import graft.functions.BloomFilter
+    val spark = benchBatch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    def exists(dir: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(hconf)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }
+    val scheme = bloomScheme(n, numBits, k)
+    if (exists(s"$indexDir/bits"))
+      ArtifactStamp.require(indexDir, hconf, "_bloom_scheme.json", scheme,
+        "decontamination index", "its bits would miss every gram the new scheme hashes differently")
+    val bg = wordGrams(benchBatch, idCol, "bench_id", textCol, n)
+      .select(col("gram")).distinct()
+    val (g1, g2) = BloomFilter.baseHashes(col("gram"))
+    val batchBits = bg.withColumn("g1", g1).withColumn("g2", g2)
+      .agg(BloomFilter.bloomAgg(numBits, k)(col("g1"), col("g2")).as("bits"))
+    val merged =
+      if (exists(s"$indexDir/bits")) {
+        val prev = spark.read.parquet(s"$indexDir/bits").select(col("bits").as("prev"))
+        batchBits.crossJoin(broadcast(prev))
+          .select(zip_with(col("bits"), col("prev"), (a, b) => a.bitwiseOR(b)).as("bits"))
+      } else batchBits
+    // materialize BEFORE the overwrite: `merged` lazily reads the
+    // bits file the write is about to replace
+    val rows = merged.collect()
+    val spark2 = spark
+    import spark2.implicits._
+    rows.map(_.getSeq[Long](0)).toSeq.toDF("bits")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/bits")
+    bg.write.mode("append").parquet(s"$indexDir/grams")
+    ArtifactStamp.write(indexDir, hconf, "_bloom_scheme.json", scheme)
+  }
+
+  /** [[decontaminateBloomKeep]] against a PERSISTED index built by
+    * [[decontaminationIndexIncrement]] — the production read path: the
+    * corpus gram stream meets the index's broadcast bits map-side, and
+    * only the surviving sliver joins the stored gram table (which at
+    * eval-suite scale is the join Spark can plan freely — the bloom
+    * already removed the corpus-sized fan-in). Exactness is unchanged:
+    * no false negatives in the OR-merged bits, false positives die in
+    * the confirm join.
+    */
+  def decontaminateWithIndex(
+      train: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      n: Int = 5,
+      numBits: Int = 1 << 20,
+      k: Int = 4): DataFrame = {
+    import graft.functions.BloomFilter
+    val spark = train.sparkSession
+    ArtifactStamp.require(indexDir, spark.sessionState.newHadoopConf(),
+      "_bloom_scheme.json", bloomScheme(n, numBits, k), "decontamination index",
+      "its bits would miss every gram this scheme hashes differently")
+    val bloom = spark.read.parquet(s"$indexDir/bits")
+    val benchGrams = spark.read.parquet(s"$indexDir/grams")
+    val (g1, g2) = BloomFilter.baseHashes(col("gram"))
+    val candidates = wordGrams(train, idCol, "train_id", textCol, n)
+      .withColumn("g1", g1).withColumn("g2", g2)
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bits"), col("g1"), col("g2"), numBits, k))
+    val contaminated = candidates
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** One incremental step of the streaming/batch heavy-hitter loop:
     * absorb `batch` into the persisted sketch at `stateDir` (bounded
     * merge, old data never revisited) and append the batch to

@@ -598,12 +598,39 @@ object Curation {
     Quality.heavyHittersFromSketch(corpus, "text", s.read.parquet(stateDir), support = 32)
   }
 
+  // --------------------------------------------------------------- q125
+  /** Incremental decontamination index — q106's append≡rebuild
+    * discipline for the bloom family: the benchmark split lands as TWO
+    * batches (doc_id parity within the % 23 = 0 split), each absorbed
+    * into a persisted scheme-stamped index
+    * (Quality.decontaminationIndexIncrement — gram append + bitwise
+    * OR of the bloom bits, old suites never re-hashed), then the
+    * corpus filters through Quality.decontaminateWithIndex. The
+    * oracle is q116's no-bloom anti-join over the WHOLE benchmark, so
+    * the gate pins that the OR-merged index loses nothing at the batch
+    * boundary.
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter(col("doc_id") % 23 === 0)
+    val indexDir = java.nio.file.Files.createTempDirectory("q125-index").toString
+    Quality.decontaminationIndexIncrement(
+      bench.filter(col("doc_id") % 2 === 0), "doc_id", "text", indexDir)
+    Quality.decontaminationIndexIncrement(
+      bench.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", indexDir)
+    Quality.decontaminateWithIndex(
+        docs.filter(col("doc_id") % 23 =!= 0), "doc_id", "text", indexDir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_source_cap" -> (q114 _),
     "q116_bloom_decontaminate" -> (q116 _),
     "q118_corpus_drift" -> (q118 _),
     "q119_heavy_hitters" -> (q119 _),
     "q124_hh_increment" -> (q124 _),
+    "q125_bloom_index_increment" -> (q125 _),
     "q65_repetition_signals" -> (q65 _),
     "q66_pii_redact" -> (q66 _),
     "q67_decontaminate" -> (q67 _),
@@ -624,6 +651,7 @@ object Curation {
     "q118_corpus_drift" -> q118Sql,
     "q119_heavy_hitters" -> q119Sql,
     "q124_hh_increment" -> q119Sql,
+    "q125_bloom_index_increment" -> q116Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_redact" -> q66Sql,
     "q67_decontaminate" -> q67Sql,

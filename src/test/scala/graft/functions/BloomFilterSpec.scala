@@ -84,6 +84,35 @@ class BloomFilterSpec extends SparkSpec {
     assert(keptNone === 0L)
   }
 
+  test("incremental index across batches equals the one-shot bloom keep") {
+    val oneShot = Quality.decontaminateBloomKeep(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    for (batches <- Seq(
+        Seq(bench.filter(col("doc_id") === 100), bench.filter(col("doc_id") === 101)),
+        Seq(bench.filter(col("doc_id") === 101), bench.filter(col("doc_id") === 100)),
+        Seq(bench, bench))) { // re-absorbing a suite is idempotent (OR + semi-join)
+      val idx = tmpDir("bloom-idx")
+      batches.foreach(b =>
+        Quality.decontaminationIndexIncrement(b, "doc_id", "text", idx))
+      val viaIndex = Quality.decontaminateWithIndex(corpus, "doc_id", "text", idx)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaIndex === oneShot)
+    }
+  }
+
+  test("an index persisted under a different scheme is refused") {
+    val idx = tmpDir("bloom-idx")
+    Quality.decontaminationIndexIncrement(bench, "doc_id", "text", idx, n = 5)
+    val e1 = intercept[IllegalStateException] {
+      Quality.decontaminationIndexIncrement(bench, "doc_id", "text", idx, n = 4)
+    }
+    assert(e1.getMessage.contains("scheme"))
+    val e2 = intercept[IllegalStateException] {
+      Quality.decontaminateWithIndex(corpus, "doc_id", "text", idx, numBits = 1 << 16)
+    }
+    assert(e2.getMessage.contains("scheme"))
+  }
+
   test("confirm join is a broadcast semi-join and the corpus side never shuffles") {
     val plan = Quality.decontaminateBloomKeep(corpus, bench, "doc_id", "text", n = 5)
       .queryExecution.executedPlan.toString
