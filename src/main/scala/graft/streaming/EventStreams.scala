@@ -253,6 +253,34 @@ object EventStreams {
     * transactional table format would make them exactly-once without
     * changing this loop.
     */
+  /** Streaming heavy-hitter monitor: each micro-batch folds into the
+    * persisted scheme-stamped Misra–Gries sketch and appends to the
+    * corpus store ([[graft.operators.Quality.heavyHittersIncrement]])
+    * — per-batch work is one bounded-state aggregation over the batch
+    * plus a ≤2·capacity-row merge; history is NEVER re-tokenized. Read
+    * side: [[graft.operators.Quality.heavyHittersFromSketch]] at any
+    * time, exact by the mergeable-summaries containment bound
+    * (HeavyHitterStreamSpec pins stream ≡ batch ≡ one-shot; q124
+    * hash-gates the same fold at the batch boundary). Same lakehouse-
+    * state rationale as [[incrementalDedupStream]]: the corpus belongs
+    * in parquet where confirm passes and downstream batch queries read
+    * it, not in the streaming state store.
+    */
+  def heavyHittersStream(
+      docs: DataFrame,
+      textCol: String,
+      stateDir: String,
+      corpusDir: String,
+      checkpoint: String,
+      capacity: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Quality.heavyHittersIncrement(
+          batch.toDF(), textCol, stateDir, corpusDir, capacity)
+      }
+      .start()
+
   def incrementalDedupStream(
       docs: DataFrame,
       idCol: String,
