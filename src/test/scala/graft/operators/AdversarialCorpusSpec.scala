@@ -120,4 +120,45 @@ class AdversarialCorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === (for (a <- 0L until 12L; b <- (a + 1) until 12L) yield (a, b)).toSet)
   }
+
+  test("all-identical image corpus: every band is one maximal bucket, pairs stay complete") {
+    // 30 byte-identical PPMs: all 8 bands collide for every pair (the
+    // image analogue of the all-identical LSH block) — candidates are
+    // maximal but the verify keeps all (n choose 2) at hamming 0
+    val n = 30
+    val rgb = Array.tabulate(3 * 8 * 6)(i => ((i * 37 + 11) % 251).toByte)
+    val ppm = s"P6\n8 6\n255\n".getBytes("US-ASCII") ++ rgb
+    val media = (0L until n).map(i => Media.MediaRecord(i, "image", "ppm", ppm)).toDS()
+    val pairs = Media.imageNearDupPairs(media, maxHamming = 0).collect()
+    assert(pairs.length === n.toInt * (n - 1) / 2)
+    assert(pairs.forall(_.getInt(2) == 0))
+  }
+
+  test("single-cluster embedding corpus: the quota bounds a maximally hot semantic cluster") {
+    // every vector nearest centroid 0 — the whole corpus is ONE group;
+    // the TopK aggregator must cap state at quota, not sort the corpus
+    val coarse = Array(Array(0.0, 0.0), Array(1000.0, 1000.0))
+    val emb = (0L until 500L).map(i => (i, Seq((i % 7).toFloat, (i % 5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.clusterBalancedSample(emb, "vec_id", "embedding", coarse, quota = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(kept.length === 5)
+    assert(kept.forall(_._1 == 0))
+    assert(kept.map(_._2).sorted.toList === List(1, 2, 3, 4, 5))
+  }
+
+  test("heavy hitters on an all-identical corpus: the single term is the whole distribution") {
+    val docs = (0L until 50L).map(i => (i, "word")).toDF("doc_id", "text")
+    val got = Quality.heavyHittersExact(docs, "text", support = 2, capacity = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    assert(got === List(("word", 50L)))
+  }
+
+  test("bloom decontamination when every corpus doc is contaminated and when the bench is the corpus") {
+    val docs = (0L until 20L).map(i =>
+      (i, "alpha beta gamma delta epsilon shared tail")).toDF("doc_id", "text")
+    // bench = one copy of the same text: every doc shares every gram
+    val bench = docs.filter(col("doc_id") === 0)
+    assert(Quality.decontaminateBloomKeep(docs, bench, "doc_id", "text", n = 5).count() === 0L)
+  }
 }
