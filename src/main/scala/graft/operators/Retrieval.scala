@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions, TopKAggregator}
+
+/** Lexical search: deterministic integer tf-idf retrieval — the
+  * inverted-index top-k the RAG/eval side of a training pipeline runs
+  * (retrieve supporting passages, build retrieval-eval sets) without a
+  * search service.
+  *
+  * Scoring is EXACT integer arithmetic so the q126 DuckDB gate is
+  * bit-tight: weight(term) = (N · 10⁶) div df(term) — rare terms weigh
+  * more, the floor-div is the single rounding point — and
+  * score(q, d) = Σ_{t ∈ q ∩ d} tf(t, d) · weight(t), all BIGINT.
+  * (A float BM25 would sum in partition order; this is the integer-ppm
+  * discipline the q84/q108 scoring family uses. Scores stay exact in
+  * the top-k aggregator's double for corpora up to ~2⁵² score units.)
+  *
+  * Scale shape: the postings table is ONE explode + map-side-combined
+  * groupBy over the corpus (in production it is built once and stored,
+  * like the ANN index); query terms broadcast onto it so only postings
+  * matching some query term ever shuffle; document-frequency weights
+  * join on the term key; the per-query tail is the TopKAggregator —
+  * k-sized state per query, never a window sort over all scored docs.
+  */
+object Retrieval {
+
+  /** Inverted-index postings (term, doc, tf) — one row per distinct
+    * (term, document) with the exact term frequency.
+    */
+  def postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc")).agg(count(lit(1)).as("tf"))
+
+  /** Top-k corpus documents per query document by integer tf-idf.
+    * Returns (query_id, rank, doc_id, score); rank 1..k by
+    * (score DESC, doc_id). The result is checkpoint-backed (the
+    * postings table feeds three consumers); callers release via
+    * [[graft.Checkpoints.release]] after consuming.
+    */
+  def searchTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val post = postings(corpus, idCol, textCol).localCheckpoint(true)
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = post.agg(count_distinct(col("doc")).as("nd"))
+    val qTerms = queries.select(col(idCol).as("qid"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    val scored = post.join(broadcast(qTerms), Seq("term"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("tf") * expr("(nd * 1000000) div df")).as("score"))
+    scored.groupBy(col("qid"))
+      .agg(TopKAggregator.topK(k)(col("score").cast("double"), col("doc")).as("top"))
+      .select(col("qid").as("query_id"),
+        posexplode(arrays_zip(col("top.top_values").as("v"), col("top.top_ids").as("i"))))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("doc_id"), col("col.v").cast("long").as("score"))
+  }
+}

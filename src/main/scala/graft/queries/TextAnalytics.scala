@@ -694,7 +694,47 @@ object TextAnalytics {
       |FROM documents
       |ORDER BY global_rank""".stripMargin
 
+  // --------------------------------------------------------------- q126
+  /** Lexical search (operators.Retrieval.searchTopK): documents with
+    * doc_id % 97 = 0 are the query set, the rest the corpus; top-5
+    * docs per query by exact integer tf-idf — weight = (N·10⁶) div df,
+    * score = Σ tf·weight, rank by (score DESC, doc_id). The oracle
+    * rebuilds postings, document frequencies, the floor-div weights,
+    * and the row_number tail in DuckDB; the engine's tail is the
+    * TopKAggregator (k-sized per-query state, no window sort).
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Retrieval.searchTopK(
+        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q126Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+       |      FROM tk WHERE doc_id % 97 = 0),
+       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE doc_id % 97 <> 0),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM c GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM c),
+       |s AS (SELECT q.qid, tf.doc_id,
+       |        CAST(sum(tf.tf * ((n.nd * 1000000) // dfx.df)) AS BIGINT) AS score
+       |      FROM q JOIN tf ON q.term = tf.term
+       |             JOIN dfx ON tf.term = dfx.term
+       |             CROSS JOIN n
+       |      GROUP BY 1, 2)
+       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_lexical_search" -> (q126 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
     "q112_dsir_frozen_score" -> (q112 _),
@@ -713,6 +753,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q126_lexical_search" -> q126Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,
     "q112_dsir_frozen_score" -> q112Sql,
