@@ -133,6 +133,22 @@ object Quality {
             i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
           .otherwise(array(concat_ws(" ", col("toks")))))).as("gram"))
 
+  /** Distinct (left_id, right_id) pairs sharing at least one word
+    * n-gram — the pair-level form of [[decontaminate]]'s per-doc
+    * report, used as the relevance gold set of retrieval evaluation
+    * (q127). The right side broadcasts (it is the query/benchmark
+    * side by contract), so the left corpus never shuffles.
+    */
+  def sharedGramPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame =
+    wordGrams(left, idCol, "left_id", textCol, n)
+      .join(broadcast(wordGrams(right, idCol, "right_id", textCol, n)), Seq("gram"))
+      .select(col("left_id"), col("right_id")).distinct()
+
   /** Bloom-prefiltered decontamination, APPLY form: return the training
     * rows whose documents share NO word `n`-gram with the benchmark —
     * the filtered corpus a curation pass actually writes out.

@@ -712,11 +712,11 @@ object TextAnalytics {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val q126Sql =
+  private def q126SqlAt(mod: Int): String =
     s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
-       |      FROM tk WHERE doc_id % 97 = 0),
-       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE doc_id % 97 <> 0),
+       |      FROM tk WHERE doc_id % $mod = 0),
+       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE doc_id % $mod <> 0),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM c GROUP BY 1, 2),
        |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM c),
@@ -733,7 +733,61 @@ object TextAnalytics {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  private val q126Sql = q126SqlAt(97)
+
+  // --------------------------------------------------------------- q127
+  /** Retrieval-quality report — q100's recall discipline applied to
+    * the lexical searcher: queries are the doc_id % 29 split (wider
+    * than q126's % 97 so the report has a real population), gold(q) =
+    * corpus docs sharing at least one word 3-gram with query q
+    * (Quality.sharedGramPairs), retrieved(q) = tf-idf top-5; per query
+    * the gold size, hits inside the top-5, and recall in exact integer
+    * ppm (n_hit·10⁶ div n_gold). Queries with an empty gold set are
+    * out of scope (no denominator). The oracle recomputes gold, the
+    * full retrieval tail (q126's SQL parameterized over the split),
+    * and the floor-div — so a drift in EITHER the searcher or the gold
+    * definition breaks the hash.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val q = docs.filter(col("doc_id") % 29 === 0)
+    val c = docs.filter(col("doc_id") % 29 =!= 0)
+    val gold = Quality.sharedGramPairs(c, q, "doc_id", "text", n = 3)
+      .select(col("right_id").as("query_id"), col("left_id").as("doc_id"))
+    val goldCnt = gold.groupBy(col("query_id")).agg(count(lit(1)).as("n_gold"))
+    val retrieved = graft.operators.Retrieval.searchTopK(q, c, "doc_id", "text", k = 5)
+      .select(col("query_id"), col("doc_id"))
+    val hits = retrieved.join(gold, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    goldCnt.join(hits, Seq("query_id"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("recall_ppm", expr("(n_hit * 1000000) div n_gold"))
+      .orderBy(col("query_id"))
+  }
+
+  private val q127Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |        CASE WHEN len(toks) >= 3
+       |          THEN list_transform(range(1, len(toks) - 1),
+       |            i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+       |          ELSE [array_to_string(toks, ' ')] END)) AS gram
+       |      FROM tk),
+       |gold AS (SELECT DISTINCT b.doc_id AS query_id, c.doc_id AS doc_id
+       |         FROM g b JOIN g c ON b.gram = c.gram
+       |         WHERE b.doc_id % 29 = 0 AND c.doc_id % 29 <> 0),
+       |gc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold FROM gold GROUP BY 1),
+       |retr AS (SELECT query_id, doc_id FROM (${q126SqlAt(29)})),
+       |h AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hit
+       |      FROM retr r JOIN gold USING (query_id, doc_id) GROUP BY 1)
+       |SELECT gc.query_id, gc.n_gold,
+       |  coalesce(h.n_hit, 0) AS n_hit,
+       |  (coalesce(h.n_hit, 0) * 1000000) // gc.n_gold AS recall_ppm
+       |FROM gc LEFT JOIN h ON gc.query_id = h.query_id
+       |ORDER BY gc.query_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
@@ -753,6 +807,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,
