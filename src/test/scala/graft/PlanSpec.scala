@@ -328,4 +328,42 @@ class PlanSpec extends SparkSpec {
     // member must really lack an oracle
     assert(rowsOnlyByDesign.intersect(SparkEntry.oracleSql.keySet).isEmpty)
   }
+
+  test("q116 bloom decontamination: bits attach via broadcast; no sort-merge anywhere") {
+    val p = plan("q116_bloom_decontaminate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "bloom bits not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus-side shuffle join leaked into the bloom path")
+  }
+
+  test("q119 heavy hitters: candidate confirm is a broadcast join, partial agg applies") {
+    val p = plan("q119_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), "candidate filter is not a broadcast join")
+    assert(!p.contains("SortMergeJoin"), "distinct-term shuffle join leaked in")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation")
+  }
+
+  test("q117 cluster sample: map-only assignment, bounded-state aggregate, no window") {
+    val p = plan("q117_cluster_sample")
+    assert(!p.contains("Window"), "per-cluster window sort leaked into the sampler")
+    assert(!p.contains("CartesianProduct"), "cartesian in the assignment")
+  }
+
+  test("q126 lexical search: query terms broadcast onto postings; no window tail") {
+    val p = plan("q126_lexical_search")
+    assert(p.contains("BroadcastHashJoin"), "query-term join is not broadcast")
+    assert(!p.contains("Window"), "top-k tail fell back to a window sort")
+    assert(!p.contains("CartesianProduct"), "cartesian in the scoring join")
+  }
+
+  test("q120 curriculum: the only unpartitioned window is over per-block counts") {
+    val p = plan("q120_curriculum_order")
+    // the data-row window must carry a partition key (blk); the
+    // offsets window is over the tiny per-block count table
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 1, "expected window nodes")
+    assert(!p.contains("CartesianProduct"))
+    // offsets rejoin via broadcast — the corpus never re-shuffles on blk
+    assert(p.contains("BroadcastHashJoin"), "offsets join is not broadcast")
+  }
 }
