@@ -1749,7 +1749,67 @@ object CorpusOps {
        |FROM c, tot
        |ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------------------- q128
+  /** Hybrid retrieval fusion — reciprocal-rank fusion (Cormack et al.
+    * SIGIR'09) of the two gated retrievers: lexical integer tf-idf
+    * top-10 (q126's operator) and exact cosine top-10 (q32's), fused
+    * per (query, doc) as Σ 10⁶ div (60 + rank) over the lists the doc
+    * appears in — the standard RAG hybrid-search pattern, in exact
+    * integer arithmetic (only RANKS enter the fusion, and both rank
+    * orders are independently hash-gated). Top-3 fused per query via
+    * the TopKAggregator. vec_id ≡ doc_id in the testdata, giving each
+    * query document both a text and an embedding.
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val lex = graft.operators.Retrieval.searchTopK(
+        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 =!= 0), "doc_id", "text", k = 10)
+      .select(col("query_id"), col("doc_id"), col("rank").as("rank_lex"))
+    val vec = Similarity.cosineTopK(
+        emb.filter(col("vec_id") % 97 === 0),
+        emb.filter(col("vec_id") % 97 =!= 0), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank").as("rank_vec"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("1000000 div (60 + rank_lex)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rank_vec)"), lit(0L)))
+    fused.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregator.topK(3)(
+        col("rrf").cast("double"), col("doc_id")).as("top"))
+      .select(col("query_id"),
+        posexplode(arrays_zip(col("top.top_values").as("v"), col("top.top_ids").as("i"))))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("doc_id"), col("col.v").cast("long").as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q128Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    s"""WITH e AS ($embCte),
+       |lex AS (SELECT query_id, doc_id, rank AS rank_lex
+       |        FROM (${TextAnalytics.q126SqlAt(97, 10)})),
+       |vec AS (SELECT query_id, neighbor_id AS doc_id, rank AS rank_vec FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 97 = 0 AND c.vec_id % 97 <> 0)
+       |  WHERE rank <= 10),
+       |f AS (SELECT query_id, doc_id,
+       |        CAST(coalesce(1000000 // (60 + rank_lex), 0)
+       |           + coalesce(1000000 // (60 + rank_vec), 0) AS BIGINT) AS rrf
+       |      FROM lex FULL OUTER JOIN vec USING (query_id, doc_id))
+       |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM f)
+       |WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
     "q117_cluster_sample" -> (q117 _),
     "q107_sa_repeats" -> (q107 _),
@@ -1787,6 +1847,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,
     "q117_cluster_sample" -> q117Sql,
     "q107_sa_repeats" -> q107Sql,

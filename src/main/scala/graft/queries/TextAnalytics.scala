@@ -712,7 +712,7 @@ object TextAnalytics {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private def q126SqlAt(mod: Int): String =
+  private[queries] def q126SqlAt(mod: Int, k: Int = 5): String =
     s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
        |      FROM tk WHERE doc_id % $mod = 0),
@@ -730,7 +730,7 @@ object TextAnalytics {
        |  SELECT qid, doc_id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
        |  FROM s)
-       |WHERE rank <= 5
+       |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
   private val q126Sql = q126SqlAt(97)
