@@ -44,18 +44,27 @@ object AudioCodec {
   /** Decode a WAV payload to its summary stats, or a parse-failure
     * reason.
     */
-  def decode(d: Array[Byte]): Either[String, AudioStats] = {
+  def decode(d: Array[Byte]): Either[String, AudioStats] =
+    dataChunk(d).flatMap { case (body, size, format, channels, rate, bits) =>
+      decodeData(d, body, size, format, channels, rate, bits)
+    }
+
+  /** Chunk walk to the data chunk: (body offset, size, format code,
+    * channels, rate, bits). fmt must precede data (the spec's layout);
+    * unknown chunks are skipped, odd sizes consume a pad byte. Shared
+    * by [[decode]] and [[aHash]] so both address samples identically.
+    */
+  private def dataChunk(
+      d: Array[Byte]): Either[String, (Int, Long, Int, Int, Int, Int)] = {
     if (!sniff(d)) return Left("wav: not a RIFF/WAVE payload")
     def u16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
     def u32(o: Int): Long =
       (d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) | ((d(o + 2) & 0xffL) << 16) |
         ((d(o + 3) & 0xffL) << 24)
 
-    // chunk walk: fmt must precede data (the spec's layout); unknown
-    // chunks are skipped, odd sizes consume a pad byte
     var pos = 12
     var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
-    var result: Option[Either[String, AudioStats]] = None
+    var result: Option[Either[String, (Int, Long, Int, Int, Int, Int)]] = None
     while (result.isEmpty && pos + 8 <= d.length) {
       val id = new String(d, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = u32(pos + 4)
@@ -71,7 +80,7 @@ object AudioCodec {
           fmt match {
             case None => result = Some(Left("wav: data chunk before fmt"))
             case Some((format, channels, rate, bits)) =>
-              result = Some(decodeData(d, body, size, format, channels, rate, bits))
+              result = Some(Right((body, size, format, channels, rate, bits)))
           }
         case _ => () // skip unknown chunk (LIST, cue, fact, ...)
       }
@@ -80,6 +89,53 @@ object AudioCodec {
     result.getOrElse(Left(
       if (fmt.isEmpty) "wav: no fmt chunk" else "wav: no data chunk"))
   }
+
+  /** Perceptual average-hash of a PCM clip — the audio twin of
+    * [[ImageCodec.aHash]]: sample the FIRST channel at 32 fixed
+    * waveform positions (frame (w·nFrames) div 32 for w = 0..31 —
+    * nearest-neighbor, so any duration maps onto the same 32 slots),
+    * threshold each sample against the floor mean (Math.floorDiv, so
+    * signed 16-bit clips round the same way DuckDB's `//` does), and
+    * pack bit w of a 32-bit signature. Every step is integer
+    * arithmetic; the q129 oracle rebuilds the signature from the
+    * source bytes.
+    */
+  def aHash(d: Array[Byte]): Either[String, Long] =
+    dataChunk(d).flatMap { case (body, size, format, channels, rate, bits) =>
+      if (format != 1) Left(s"wav: format code $format not supported (PCM only)")
+      else if (channels <= 0) Left(s"wav: bad channel count $channels")
+      else if (rate <= 0) Left(s"wav: bad sample rate $rate")
+      else if (bits != 8 && bits != 16) Left(s"wav: $bits-bit samples not supported (8/16 only)")
+      else {
+        val bytesPerSample = bits / 8
+        val frameBytes = channels * bytesPerSample
+        if (size % frameBytes != 0)
+          Left(s"wav: data size $size not a multiple of the $frameBytes-byte frame")
+        else {
+          val nFrames = size / frameBytes
+          if (nFrames == 0) Left("wav: empty data chunk")
+          else {
+            val vals = new Array[Int](32)
+            var w = 0
+            while (w < 32) {
+              val p = body + ((w * nFrames) / 32).toInt * frameBytes
+              vals(w) =
+                if (bits == 8) d(p) & 0xff // 8-bit PCM is unsigned
+                else ((d(p) & 0xff) | (d(p + 1) << 8)).toShort.toInt // 16-bit signed LE
+              w += 1
+            }
+            val mean = java.lang.Math.floorDiv(vals.map(_.toLong).sum, 32L)
+            var h = 0L
+            var i = 0
+            while (i < 32) {
+              if (vals(i) > mean) h |= 1L << i
+              i += 1
+            }
+            Right(h)
+          }
+        }
+      }
+    }
 
   private def decodeData(
       d: Array[Byte], body: Int, size: Long,

@@ -224,6 +224,56 @@ object Media {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Per-clip perceptual hash row ([[AudioCodec.aHash]]), same error
+    * channel as [[ImageFeatures]]; `ahash` is the 32-bit waveform
+    * signature (fits one BIGINT — no split needed at 32 bits).
+    */
+  final case class AudioAHash(media_id: Long, ok: Boolean, err: String, ahash: Long)
+
+  /** REAL perceptual hashing over decoded waveforms — the audio half
+    * of the multimodal near-dup family.
+    */
+  def audioAHash(media: Dataset[MediaRecord]): Dataset[AudioAHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        AudioCodec.aHash(m.data) match {
+          case Right(h) => AudioAHash(m.media_id, ok = true, "", h)
+          case Left(e) => AudioAHash(m.media_id, ok = false, e, 0L)
+        }
+      }
+    }
+  }
+
+  /** Audio near-duplicate pairs by waveform signature — the audio twin
+    * of [[imageNearDupPairs]] ("drop re-encoded copies of the same
+    * clip"): 4 8-bit bands over the 32-bit hash, so by pigeonhole any
+    * pair within hamming <= 3 agrees exactly on a band; candidates
+    * come from 4 equi-joins, verified with the exact popcount.
+    */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (4 bands guarantee recall only to 3): $maxHamming")
+    val h = audioAHash(media).toDF().filter(col("ok"))
+      .select(col("media_id"), col("ahash"))
+    val bands = h.select(col("media_id"), col("ahash"),
+      explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bval",
+        call_function("shiftright", col("ahash"), (col("band") * 8).cast("int"))
+          .bitwiseAND(lit(255L)))
+    val a = bands.select(col("media_id").as("id_a"), col("ahash").as("h_a"),
+      col("band"), col("bval"))
+    val b = bands.select(col("media_id").as("id_b"), col("ahash").as("h_b"),
+      col("band"), col("bval"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("h_a"), col("h_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Typed per-clip stats from [[AudioCodec]]'s real decode, with the
     * same error-channel shape as [[ImageFeatures]].
     */

@@ -422,9 +422,48 @@ object MediaStream {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------- q129
+  /** Perceptual AUDIO near-dup (Media.audioNearDupPairs) — q121's
+    * discipline for the waveform modality: documents become real
+    * RIFF/WAVE PCM binaries (the q103 adapter), AudioCodec samples 32
+    * fixed waveform positions from the decoded data chunk into a
+    * 32-bit signature, and pairs within hamming 3 surface via 4-band
+    * LSH + exact popcount. The oracle rebuilds the signature from the
+    * source text (sample byte == codepoint) and joins ALL pairs —
+    * pinning the chunk walk's sample addressing, the floor-mean
+    * threshold, the bit packing, and zero banding loss.
+    */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toWav(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.audioNearDupPairs(media, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q129Sql = {
+    val idx = "(w*len)//32 + 1"
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len
+       |           FROM documents WHERE length(text) > 0),
+       |s AS (SELECT doc_id,
+       |        list_transform(range(0, 32), w ->
+       |          unicode(text[CAST($idx AS INTEGER) : CAST($idx AS INTEGER)])) AS vals
+       |      FROM d),
+       |hsh AS (SELECT doc_id,
+       |        list_sum(list_transform(range(0, 32), i ->
+       |          CASE WHEN vals[CAST(i+1 AS INTEGER)] > list_sum(vals) // 32
+       |            THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END)) AS ahash
+       |      FROM s)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+       |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
+    "q129_audio_near_dup" -> (q129 _),
     "q44_media_decode" -> (q44 _),
     "q102_image_decode" -> (q102 _),
     "q103_audio_decode" -> (q103 _),
@@ -438,6 +477,7 @@ object MediaStream {
   val oracle: Map[String, String] = Map(
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,
+    "q129_audio_near_dup" -> q129Sql,
     "q44_media_decode" -> q44Sql,
     "q102_image_decode" -> q102Sql,
     "q103_audio_decode" -> q103Sql,
