@@ -24,6 +24,24 @@ object ArtifactStamp {
     try out.write(s"""{"scheme": "$scheme"}""".getBytes("UTF-8")) finally out.close()
   }
 
+  /** The stored scheme string at `dir/fileName`, if the stamp exists
+    * and parses — the read half of [[write]], for operators that need
+    * to RECOVER parameters from a stamp (e.g. the MG sketch capacity)
+    * rather than just equality-check it.
+    */
+  def read(dir: String, conf: org.apache.hadoop.conf.Configuration,
+      fileName: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, fileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val stored = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
+      "\"scheme\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(stored).map(_.group(1))
+    }
+  }
+
   /** Fail loudly unless `dir/fileName` exists and names `expected`.
     * An artifact with NO stamp also fails: it predates the stamp (or
     * lost it) and its scheme is unknowable — composing new batches

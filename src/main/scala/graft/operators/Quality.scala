@@ -169,8 +169,10 @@ object Quality {
     *
     * Plan: bench grams -> one-row bit array (OR-merged partial
     * aggregation) -> broadcast cross join onto the train gram stream ->
-    * builtin-only bit test -> broadcast confirm semi-join -> doc-level
-    * left-anti. The training corpus never shuffles.
+    * builtin-only bit test -> exact confirm semi-join (unhinted — AQE
+    * broadcasts it only when the gram table really is small) ->
+    * doc-level left-anti. The training corpus never shuffles before
+    * the bloom prefilter.
     */
   def decontaminateBloomKeep(
       train: DataFrame,
@@ -191,8 +193,12 @@ object Quality {
     val candidates = hashed(wordGrams(train, idCol, "train_id", textCol, n))
       .crossJoin(broadcast(bloom))
       .filter(BloomFilter.mightContain(col("bits"), col("g1"), col("g2"), numBits, k))
+    // confirm join unhinted: the whole point of this path is a bench
+    // gram table too large to broadcast — AQE picks broadcast when it
+    // is small and a shuffle join when it is not; the corpus-sized
+    // fan-in was already killed by the bloom
     val contaminated = candidates
-      .join(broadcast(bg), Seq("gram"), "left_semi")
+      .join(bg, Seq("gram"), "left_semi")
       .select(col("train_id").as(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
@@ -388,46 +394,159 @@ object Quality {
       .withColumn("g1", g1).withColumn("g2", g2)
       .crossJoin(broadcast(bloom))
       .filter(BloomFilter.mightContain(col("bits"), col("g1"), col("g2"), numBits, k))
+    // no broadcast hint on the stored-gram confirm: a production
+    // contamination set is 10^7-10^8 grams (multi-GB, past broadcast
+    // limits) — the bloom already shrank the probe side, so this is
+    // the one join Spark should plan freely (AQE broadcasts it when
+    // the gram table really is small)
     val contaminated = candidates
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .join(benchGrams, Seq("gram"), "left_semi")
       .select(col("train_id").as(idCol)).distinct()
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** The committed head of a persisted MG sketch state dir:
+    * (generation, last absorbed stream batch id; -1 if none). The head
+    * file is the COMMIT POINT of [[heavyHittersIncrement]] — sketch
+    * generations are immutable dirs and the head flips to the new one
+    * only after it is fully written, so a crash at any earlier point
+    * leaves the previous generation (and the previous head) intact.
+    */
+  private def readMgHead(stateDir: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, "_mg_head.json")
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
+      val gen = "\"gen\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      val lb = "\"last_batch_id\"\\s*:\\s*(-?\\d+)".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      for (g <- gen; b <- lb) yield (g, b)
+    }
+  }
+
+  /** Commit the head pointer via create-temp + atomic rename — the
+    * staged-swap discipline of Pipeline.publish applied to the sketch
+    * state, so a crash mid-commit can corrupt at most a temp file.
+    */
+  private def writeMgHead(stateDir: String,
+      hconf: org.apache.hadoop.conf.Configuration, gen: Long, lastBatch: Long): Unit = {
+    val fin = new org.apache.hadoop.fs.Path(stateDir, "_mg_head.json")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"._mg_head.json.tmp-$gen")
+    val fs = fin.getFileSystem(hconf)
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"gen": $gen, "last_batch_id": $lastBatch}""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    fs.rename(tmp, fin)
+  }
+
+  /** The committed sketch rows of a persisted state dir — resolves the
+    * head pointer to its immutable generation dir. Fails loudly on a
+    * dir with no committed head (nothing was ever absorbed, or the
+    * state predates the generation layout).
+    */
+  def readSketch(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val head = readMgHead(stateDir, hconf).getOrElse(throw new IllegalStateException(
+      s"MG sketch state at $stateDir has no committed head — no batch was ever absorbed"))
+    spark.read.parquet(s"$stateDir/gen-${head._1}")
+  }
+
   /** One incremental step of the streaming/batch heavy-hitter loop:
     * absorb `batch` into the persisted sketch at `stateDir` (bounded
-    * merge, old data never revisited) and append the batch to
+    * merge, old data never revisited) and land the batch in
     * `corpusDir` for confirm passes. Bootstrap-safe (missing dirs),
     * scheme-stamped (a sketch built under a different tokenizer or
     * capacity fails loudly — the band-index discipline).
+    *
+    * Crash-safety and replay (the foreachBatch contract is
+    * at-least-once): sketch generations are immutable — the merge
+    * writes a NEW `gen-<g>` dir and the head pointer flips only after
+    * it lands, so a crash never loses the previous state and never
+    * forces a corpus re-tokenization. With `batchId` set (the
+    * streaming path), the step is IDEMPOTENT end-to-end: a batch id at
+    * or below the committed head is skipped outright, and the corpus
+    * write targets the `batch_id=<b>` partition dir with overwrite, so
+    * a replay of a half-committed batch converges to exactly-once
+    * state instead of double-counting. Without `batchId` (ad-hoc batch
+    * folds), a caller-level rerun of the same batch is at-least-once —
+    * use ids when the caller can replay.
     */
   def heavyHittersIncrement(
       batch: DataFrame,
       textCol: String,
       stateDir: String,
       corpusDir: String,
-      capacity: Int): Unit = {
+      capacity: Int,
+      batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
-    def exists(dir: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(hconf)
-      fs.exists(p) && fs.listStatus(p).nonEmpty
-    }
     val scheme = mgScheme(capacity)
-    val prev =
-      if (exists(stateDir)) {
-        graft.operators.ArtifactStamp.require(stateDir, hconf, "_mg_scheme.json",
-          scheme, "MG sketch", "merging batch sketches into it would lose the containment bound")
-        spark.read.parquet(stateDir)
-      } else mgSketch(batch.limit(0), textCol, capacity)
+    val head = readMgHead(stateDir, hconf)
+    // scheme gate FIRST: a replayed-looking batch id from a different
+    // scheme (or a fresh checkpoint whose ids restarted) must fail
+    // loudly, not be silently skipped as "already absorbed"
+    if (head.isDefined)
+      graft.operators.ArtifactStamp.require(stateDir, hconf, "_mg_scheme.json",
+        scheme, "MG sketch", "merging batch sketches into it would lose the containment bound")
+    // idempotence contract: batch ids are only comparable within ONE
+    // checkpoint lineage (the streaming recovery contract — replays
+    // re-deliver the same id with the same data from the same
+    // checkpoint); a restarted query MUST reuse its checkpoint
+    if (batchId.exists(b => head.exists(_._2 >= b))) return // replayed, fully committed
+    val prev = head match {
+      case Some((g, _)) => spark.read.parquet(s"$stateDir/gen-$g")
+      case None         => mgSketch(batch.limit(0), textCol, capacity)
+    }
     val merged = mergeSketches(prev, mgSketch(batch, textCol, capacity), capacity)
-    // write via a temp dir + swap is overkill for <= capacity rows;
-    // overwrite is atomic enough for the state's size class, and the
-    // stamp is re-written after every merge (idempotent)
-    merged.coalesce(1).write.mode("overwrite").parquet(stateDir)
+    // corpus first: until the head flips the batch is not "absorbed",
+    // and the partitioned-overwrite form makes a replay rewrite the
+    // same files rather than appending duplicates
+    batchId match {
+      case Some(b) => batch.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$b")
+      case None    => batch.write.mode("append").parquet(corpusDir)
+    }
+    val newGen = head.map(_._1 + 1L).getOrElse(0L)
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/gen-$newGen")
     graft.operators.ArtifactStamp.write(stateDir, hconf, "_mg_scheme.json", scheme)
-    batch.write.mode("append").parquet(corpusDir)
+    writeMgHead(stateDir, hconf, newGen,
+      batchId.orElse(head.map(_._2)).getOrElse(-1L))
+    // retention: the previous generation stays (a reader resolved just
+    // before the flip may still be scanning it); older ones go
+    val fs = new org.apache.hadoop.fs.Path(stateDir).getFileSystem(hconf)
+    (0L until newGen - 1).foreach { g =>
+      val p = new org.apache.hadoop.fs.Path(stateDir, s"gen-$g")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+  }
+
+  /** [[heavyHittersFromSketch]] against a PERSISTED state dir — the
+    * read path that can ENFORCE the containment precondition: the
+    * sketch capacity is recovered from the scheme stamp and
+    * `capacity >= support` is required before any work runs, so a
+    * support finer than the sketch can guarantee fails loudly instead
+    * of silently dropping true heavy hitters.
+    */
+  def heavyHittersFromState(
+      df: DataFrame,
+      textCol: String,
+      stateDir: String,
+      support: Int): DataFrame = {
+    val spark = df.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val scheme = graft.operators.ArtifactStamp.read(stateDir, hconf, "_mg_scheme.json")
+      .getOrElse(throw new IllegalStateException(
+        s"MG sketch state at $stateDir has no scheme stamp — its capacity is unknowable"))
+    val capacity = "capacity=(\\d+)".r.findFirstMatchIn(scheme).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"MG scheme stamp at $stateDir does not carry a capacity: $scheme"))
+    require(capacity >= support,
+      s"sketch capacity $capacity < support $support: the persisted sketch cannot " +
+        "guarantee containment at this support — rebuild it with a larger capacity")
+    heavyHittersFromSketch(df, textCol, readSketch(spark, stateDir), support)
   }
 
   /** Corpus drift report between two corpus slices (yesterday's crawl

@@ -420,6 +420,60 @@ object Similarity {
     corpus.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** Map-only nearest-coarse-centroid assignment: (id, cluster) for
+    * every corpus row — the shared entry point of the IVF index build,
+    * [[clusterBalancedSample]], and the q122 semantic-drift monitor
+    * (rel = c·c − 2 v·c against broadcast-literal centroids, first-min
+    * tiebreak).
+    */
+  def clusterAssign(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]]): DataFrame = {
+    require(coarse.nonEmpty, "need at least one coarse centroid")
+    VectorExpressions.register(corpus.sparkSession)
+    val rel = coarseRelCol(col(vecCol), coarse)
+    corpus.select(col(idCol).as("id"),
+      (array_position(rel, array_min(rel)) - 1).cast("int").as("cluster"))
+  }
+
+  /** Cluster-balanced (semantic-diversity) sampling: assign every
+    * vector to its nearest coarse centroid, then keep at most `quota`
+    * vectors per cluster in the deterministic `cbs|`-salted hash order
+    * — the cluster-level complement of Quality.capPerGroup (there the
+    * group is a metadata column; here it is a SEMANTIC cluster), and
+    * the selection step of cluster-pruning curation à la SemDeDup
+    * (Abbas et al. 2023): hot semantic regions cannot dominate the
+    * sample because each region's contribution is capped.
+    *
+    * Scale shape: assignment is map-only against the broadcast-literal
+    * centroids (the [[coarseRelCol]] rel = c·c − 2 v·c rule,
+    * first-min tiebreak — identical to the IVF index build, so a
+    * persisted AnnModel's coarse set can be reused verbatim); the
+    * per-cluster cap rides [[graft.functions.TopKAggregator]] — quota-
+    * sized state per cluster after map-side combine, never a window
+    * sort over a hot cluster. Output (cluster, rank, vec_id), rank
+    * 1..quota in keep order.
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      quota: Int): DataFrame = {
+    require(quota >= 1, "quota must be >= 1")
+    val hv = pmod(graft.functions.TextFunctions.hash60(
+      concat(lit("cbs|"), col("id"))), lit(1L << 52))
+    clusterAssign(corpus, idCol, vecCol, coarse)
+      .select(col("cluster"), col("id"), hv.as("hv"))
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TopKAggregator.topK(quota)(
+        -col("hv").cast("double"), col("id")).as("top"))
+      .select(col("cluster"), posexplode(col("top.top_ids")).as(Seq("pos", "vec_id")))
+      .select(col("cluster"), (col("pos") + 1).cast("int").as("rank"), col("vec_id"))
+  }
+
   /** Lloyd's k-means over the embedding column — the trainer that
     * produces real IVF codebooks for `ivfTopK` (whose doc promises "in
     * production a k-means model"). Expressed as DataFrame ops so it
@@ -455,60 +509,6 @@ object Similarity {
     *
     * Returns (cluster_id: int, centroid: array<double>).
     */
-  /** Cluster-balanced (semantic-diversity) sampling: assign every
-    * vector to its nearest coarse centroid, then keep at most `quota`
-    * vectors per cluster in the deterministic `cbs|`-salted hash order
-    * — the cluster-level complement of Quality.capPerGroup (there the
-    * group is a metadata column; here it is a SEMANTIC cluster), and
-    * the selection step of cluster-pruning curation à la SemDeDup
-    * (Abbas et al. 2023): hot semantic regions cannot dominate the
-    * sample because each region's contribution is capped.
-    *
-    * Scale shape: assignment is map-only against the broadcast-literal
-    * centroids (the [[coarseRelCol]] rel = c·c − 2 v·c rule,
-    * first-min tiebreak — identical to the IVF index build, so a
-    * persisted AnnModel's coarse set can be reused verbatim); the
-    * per-cluster cap rides [[graft.functions.TopKAggregator]] — quota-
-    * sized state per cluster after map-side combine, never a window
-    * sort over a hot cluster. Output (cluster, rank, vec_id), rank
-    * 1..quota in keep order.
-    */
-  /** Map-only nearest-coarse-centroid assignment: (id, cluster) for
-    * every corpus row — the shared entry point of the IVF index build,
-    * [[clusterBalancedSample]], and the q122 semantic-drift monitor
-    * (rel = c·c − 2 v·c against broadcast-literal centroids, first-min
-    * tiebreak).
-    */
-  def clusterAssign(
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      coarse: Array[Array[Double]]): DataFrame = {
-    require(coarse.nonEmpty, "need at least one coarse centroid")
-    VectorExpressions.register(corpus.sparkSession)
-    val rel = coarseRelCol(col(vecCol), coarse)
-    corpus.select(col(idCol).as("id"),
-      (array_position(rel, array_min(rel)) - 1).cast("int").as("cluster"))
-  }
-
-  def clusterBalancedSample(
-      corpus: DataFrame,
-      idCol: String,
-      vecCol: String,
-      coarse: Array[Array[Double]],
-      quota: Int): DataFrame = {
-    require(quota >= 1, "quota must be >= 1")
-    val hv = pmod(graft.functions.TextFunctions.hash60(
-      concat(lit("cbs|"), col("id"))), lit(1L << 52))
-    clusterAssign(corpus, idCol, vecCol, coarse)
-      .select(col("cluster"), col("id"), hv.as("hv"))
-      .groupBy(col("cluster"))
-      .agg(graft.functions.TopKAggregator.topK(quota)(
-        -col("hv").cast("double"), col("id")).as("top"))
-      .select(col("cluster"), posexplode(col("top.top_ids")).as(Seq("pos", "vec_id")))
-      .select(col("cluster"), (col("pos") + 1).cast("int").as("rank"), col("vec_id"))
-  }
-
   def trainKMeans(
       corpus: DataFrame,
       idCol: String,

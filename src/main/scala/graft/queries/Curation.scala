@@ -591,11 +591,13 @@ object Curation {
     val stateDir = java.nio.file.Files.createTempDirectory("q124-state").toString
     val corpusDir = java.nio.file.Files.createTempDirectory("q124-corpus").toString + "/data"
     Quality.heavyHittersIncrement(
-      docs.filter(col("doc_id") % 2 === 0), "text", stateDir, corpusDir, capacity = 64)
+      docs.filter(col("doc_id") % 2 === 0), "text", stateDir, corpusDir, capacity = 64,
+      batchId = Some(0L))
     Quality.heavyHittersIncrement(
-      docs.filter(col("doc_id") % 2 =!= 0), "text", stateDir, corpusDir, capacity = 64)
+      docs.filter(col("doc_id") % 2 =!= 0), "text", stateDir, corpusDir, capacity = 64,
+      batchId = Some(1L))
     val corpus = s.read.parquet(corpusDir)
-    Quality.heavyHittersFromSketch(corpus, "text", s.read.parquet(stateDir), support = 32)
+    Quality.heavyHittersFromState(corpus, "text", stateDir, support = 32)
   }
 
   // --------------------------------------------------------------- q125

@@ -253,34 +253,6 @@ object EventStreams {
     * transactional table format would make them exactly-once without
     * changing this loop.
     */
-  /** Streaming heavy-hitter monitor: each micro-batch folds into the
-    * persisted scheme-stamped Misra–Gries sketch and appends to the
-    * corpus store ([[graft.operators.Quality.heavyHittersIncrement]])
-    * — per-batch work is one bounded-state aggregation over the batch
-    * plus a ≤2·capacity-row merge; history is NEVER re-tokenized. Read
-    * side: [[graft.operators.Quality.heavyHittersFromSketch]] at any
-    * time, exact by the mergeable-summaries containment bound
-    * (HeavyHitterStreamSpec pins stream ≡ batch ≡ one-shot; q124
-    * hash-gates the same fold at the batch boundary). Same lakehouse-
-    * state rationale as [[incrementalDedupStream]]: the corpus belongs
-    * in parquet where confirm passes and downstream batch queries read
-    * it, not in the streaming state store.
-    */
-  def heavyHittersStream(
-      docs: DataFrame,
-      textCol: String,
-      stateDir: String,
-      corpusDir: String,
-      checkpoint: String,
-      capacity: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Quality.heavyHittersIncrement(
-          batch.toDF(), textCol, stateDir, corpusDir, capacity)
-      }
-      .start()
-
   def incrementalDedupStream(
       docs: DataFrame,
       idCol: String,
@@ -332,6 +304,40 @@ object EventStreams {
         graft.operators.Dedup.writeSchemeStamp(indexDir, hconf, scheme)
         graft.Checkpoints.release(surv)
         graft.Checkpoints.release(delta)
+      }
+      .start()
+
+  /** Streaming heavy-hitter monitor: each micro-batch folds into the
+    * persisted scheme-stamped Misra–Gries sketch and lands in the
+    * corpus store ([[graft.operators.Quality.heavyHittersIncrement]])
+    * — per-batch work is one bounded-state aggregation over the batch
+    * plus a ≤2·capacity-row merge; history is NEVER re-tokenized. Read
+    * side: [[graft.operators.Quality.heavyHittersFromState]] at any
+    * time, exact by the mergeable-summaries containment bound
+    * (HeavyHitterStreamSpec pins stream ≡ batch ≡ one-shot; q124
+    * hash-gates the same fold at the batch boundary). Same lakehouse-
+    * state rationale as [[incrementalDedupStream]]: the corpus belongs
+    * in parquet where confirm passes and downstream batch queries read
+    * it, not in the streaming state store.
+    *
+    * Delivery: foreachBatch is at-least-once, so the batch id is
+    * threaded into the increment — a replayed id at or below the
+    * committed head is skipped and the corpus write is a per-batch
+    * partition overwrite, making the observable state exactly-once
+    * (the increment's head pointer is the commit point).
+    */
+  def heavyHittersStream(
+      docs: DataFrame,
+      textCol: String,
+      stateDir: String,
+      corpusDir: String,
+      checkpoint: String,
+      capacity: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Quality.heavyHittersIncrement(
+          batch.toDF(), textCol, stateDir, corpusDir, capacity, batchId = Some(batchId))
       }
       .start()
 

@@ -74,8 +74,7 @@ class MisraGriesSpec extends SparkSpec {
     val state = tmpDir("mg-state")
     val corpus = tmpDir("mg-corpus") + "/data"
     batches.foreach(b => Quality.heavyHittersIncrement(b, "text", state, corpus, capacity))
-    Quality.heavyHittersFromSketch(
-        spark.read.parquet(corpus), "text", spark.read.parquet(state), support)
+    Quality.heavyHittersFromState(spark.read.parquet(corpus), "text", state, support)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
   }
 
@@ -101,5 +100,82 @@ class MisraGriesSpec extends SparkSpec {
       Quality.heavyHittersIncrement(b, "text", state, corpus, capacity = 32)
     }
     assert(e.getMessage.contains("scheme"))
+  }
+
+  test("replayed batch ids are idempotent: sketch and corpus state unchanged") {
+    // foreachBatch is at-least-once — a crash after the head commit
+    // replays the same (batchId, data); the increment must converge
+    // to exactly-once observable state, not double-count
+    val state = tmpDir("mg-replay-state")
+    val corpus = tmpDir("mg-replay-corpus") + "/data"
+    val b0 = (Seq.fill(10)("hot") ++ Seq.fill(5)("warm"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val b1 = (0 until 8).map(i => (100L + i, s"tail$i")).toDF("doc_id", "text")
+    Quality.heavyHittersIncrement(b0, "text", state, corpus, 16, batchId = Some(0L))
+    Quality.heavyHittersIncrement(b1, "text", state, corpus, 16, batchId = Some(1L))
+    val sketchBefore = Quality.readSketch(spark, state)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val corpusBefore = spark.read.parquet(corpus).count()
+    // full replay of both batches (e.g. checkpoint rolled back)
+    Quality.heavyHittersIncrement(b0, "text", state, corpus, 16, batchId = Some(0L))
+    Quality.heavyHittersIncrement(b1, "text", state, corpus, 16, batchId = Some(1L))
+    val sketchAfter = Quality.readSketch(spark, state)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sketchAfter === sketchBefore, "replay changed the sketch (double-count)")
+    assert(spark.read.parquet(corpus).count() === corpusBefore,
+      "replay appended duplicate corpus rows")
+  }
+
+  test("a half-committed batch (corpus landed, head not flipped) replays cleanly") {
+    // simulate a crash between the corpus partition write and the head
+    // commit: replaying the SAME batch id must overwrite the partition
+    // in place and absorb the batch into the sketch exactly once
+    val state = tmpDir("mg-crash-state")
+    val corpus = tmpDir("mg-crash-corpus") + "/data"
+    val b0 = Seq((0L, "alpha alpha beta")).toDF("doc_id", "text")
+    Quality.heavyHittersIncrement(b0, "text", state, corpus, 16, batchId = Some(0L))
+    val b1 = Seq((1L, "alpha gamma")).toDF("doc_id", "text")
+    // crash simulation: batch 1's corpus partition lands but the
+    // sketch/head never commit
+    b1.write.mode("overwrite").parquet(s"$corpus/batch_id=1")
+    // replay of batch 1 end-to-end
+    Quality.heavyHittersIncrement(b1, "text", state, corpus, 16, batchId = Some(1L))
+    val viaState = Quality.heavyHittersFromState(
+        spark.read.parquet(corpus), "text", state, support = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val whole = b0.unionAll(b1)
+    val oneShot = Quality.heavyHittersExact(whole, "text", support = 2, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaState === oneShot)
+    assert(spark.read.parquet(corpus).count() === 2L, "partition overwrite duplicated rows")
+  }
+
+  test("read path refuses a support finer than the persisted capacity") {
+    val state = tmpDir("mg-cap-state")
+    val corpus = tmpDir("mg-cap-corpus") + "/data"
+    val b = Seq((0L, "a b c")).toDF("doc_id", "text")
+    Quality.heavyHittersIncrement(b, "text", state, corpus, capacity = 8)
+    val e = intercept[IllegalArgumentException] {
+      Quality.heavyHittersFromState(spark.read.parquet(corpus), "text", state, support = 16)
+    }
+    assert(e.getMessage.contains("capacity"))
+  }
+
+  test("sketch generations are swapped, not overwritten in place") {
+    // the previous generation must survive the commit of the next one
+    // (crash mid-write of gen N+1 cannot lose gen N), and older gens
+    // are retired
+    val state = tmpDir("mg-gen-state")
+    val corpus = tmpDir("mg-gen-corpus") + "/data"
+    def gens(): Set[String] = {
+      val d = new java.io.File(state)
+      d.listFiles().map(_.getName).filter(_.startsWith("gen-")).toSet
+    }
+    Quality.heavyHittersIncrement(Seq((0L, "a")).toDF("doc_id", "text"), "text", state, corpus, 8)
+    assert(gens() === Set("gen-0"))
+    Quality.heavyHittersIncrement(Seq((1L, "b")).toDF("doc_id", "text"), "text", state, corpus, 8)
+    assert(gens() === Set("gen-0", "gen-1"), "previous generation must be retained")
+    Quality.heavyHittersIncrement(Seq((2L, "c")).toDF("doc_id", "text"), "text", state, corpus, 8)
+    assert(gens() === Set("gen-1", "gen-2"), "older generations must be retired")
   }
 }

@@ -36,8 +36,8 @@ class HeavyHitterStreamSpec extends SparkSpec {
       input.addData(b2: _*); q.processAllAvailable()
     } finally q.stop()
 
-    val streamed = Quality.heavyHittersFromSketch(
-        spark.read.parquet(corpusDir), "text", spark.read.parquet(stateDir), support = 5)
+    val streamed = Quality.heavyHittersFromState(
+        spark.read.parquet(corpusDir), "text", stateDir, support = 5)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
 
     val whole = (b1 ++ b2).toDF("doc_id", "text")
