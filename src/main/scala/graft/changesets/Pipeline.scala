@@ -255,23 +255,100 @@ object Pipeline {
   // index+model PAIR. The ANN index table is unusable without the
   // model (coarse centroids + PQ codebooks) that encoded it, and a
   // model from a different build probes a silently-wrong index — so
-  // the two MUST version together. One immutable dir per version:
+  // the two MUST version together. A version is a MANIFEST over
+  // immutable segments (the snapshot-isolation idea of lakehouse
+  // table formats, reduced to the two files this artifact needs):
   //
-  //   publishDir/ann-<safeVersion>/index.parquet   (cluster-partitioned)
-  //   publishDir/ann-<safeVersion>/model/          (AnnModel.save)
-  //   publishDir/ann_current.json                  (the pointer)
+  //   publishDir/_ann_segments/seg-<v>/   (immutable cluster-partitioned
+  //                                        index rows; one per publish
+  //                                        or append batch)
+  //   publishDir/_ann_models/model-<v>/   (immutable AnnModel.save)
+  //   publishDir/ann-<v>/manifest.json    (names ONE model + the
+  //                                        ordered segment list)
+  //   publishDir/ann_current.json         (the pointer)
   //
-  // The pointer names the PAIR dir, so a rollback flip rolls index
-  // and model atomically-together; retention ages out whole pairs and
-  // never the pointed-at one. Same reader protocol as readCurrent.
+  // The pointer names the manifest dir, so a rollback flip rolls
+  // index and model atomically-together (an old manifest references
+  // exactly its prefix of the segment list and its model); retention
+  // ages out manifest dirs and then garbage-collects segments/models
+  // no retained manifest references. Readers resolve the pointer,
+  // then the manifest, then union the named segments — segment files
+  // are NEVER rewritten, so an append costs O(delta), not O(index).
   // ------------------------------------------------------------------
 
   private val AnnPointerName = "ann_current.json"
+  private val AnnSegmentStore = "_ann_segments"
+  private val AnnModelStore = "_ann_models"
+
+  /** Write a version's manifest: the model ref and the ordered
+    * segment refs (all publishDir-relative), committed via temp +
+    * atomic move like the pointers.
+    */
+  private def writeAnnManifest(pairDir: String, modelRef: String,
+      segmentRefs: Seq[String], version: String): Unit = {
+    Files.createDirectories(Paths.get(pairDir))
+    val json =
+      s"""{
+         |  "model": ${jsonStr(modelRef)},
+         |  "segments": [${segmentRefs.map(jsonStr).mkString(", ")}],
+         |  "source_version": ${jsonStr(version)}
+         |}""".stripMargin
+    val tmp = Paths.get(pairDir, ".manifest.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(pairDir, "manifest.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Parse a pair dir's manifest: (model ref, segment refs), both
+    * publishDir-relative. Fails loudly on a dir with no manifest —
+    * a half-written version must never be readable as a pair.
+    */
+  def readAnnManifest(pairDir: String): (String, Seq[String]) = {
+    val p = Paths.get(pairDir, "manifest.json")
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"ANN pair at $pairDir has no manifest.json — the version is incomplete " +
+          "(a publish writes segments and model first, the manifest last)")
+    val json = Files.readString(p)
+    val model = "\"model\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"manifest at $pairDir names no model"))
+    val segs = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"manifest at $pairDir names no segments"))
+    val refs = "\"([^\"]+)\"".r.findAllMatchIn(segs).map(_.group(1)).toSeq
+    (model, refs)
+  }
+
+  /** The model dir a pair's manifest names — the read half of the
+    * pair protocol (with [[readAnnIndex]]): resolve the pointer once,
+    * open both halves through the same manifest.
+    */
+  def annModelDir(pairDir: String): String = {
+    val (model, _) = readAnnManifest(pairDir)
+    s"${Paths.get(pairDir).getParent}/$model"
+  }
+
+  /** The pair's index as ONE DataFrame: the union of its manifest's
+    * immutable segments. Each segment keeps its own cluster-partition
+    * layout, so probe-side partition pruning applies per segment; the
+    * union is a no-shuffle concatenation.
+    */
+  def readAnnIndex(spark: SparkSession, pairDir: String): org.apache.spark.sql.DataFrame = {
+    val publishDir = Paths.get(pairDir).getParent.toString
+    val (_, segs) = readAnnManifest(pairDir)
+    val dfs = segs.map(r => spark.read.parquet(s"$publishDir/$r"))
+    // column order drifts across segments (the partition column moves
+    // to the end on read) — normalize before the union
+    val cols = dfs.head.columns.sorted.map(col).toSeq
+    dfs.map(_.select(cols: _*)).reduce(_.unionByName(_))
+  }
 
   /** Publish one ANN build (index table + its model) as an immutable
-    * versioned pair and flip the pointer to it. Returns the versioned
-    * dir. The index is written partitioned by `partitionCol` so
-    * probes keep their partition-pruning story (BucketingSpec).
+    * versioned pair — one full segment + one model + a manifest — and
+    * flip the pointer to it. Returns the versioned dir. The segment is
+    * written partitioned by `partitionCol` so probes keep their
+    * partition-pruning story (BucketingSpec).
     */
   def publishAnn(
       spark: SparkSession,
@@ -283,8 +360,9 @@ object Pipeline {
       partitionCol: String = "cluster",
       keepHistory: Int = 5): String = {
     Files.createDirectories(Paths.get(publishDir))
-    val dirName = s"ann-${safeVersion(sourceVersion)}"
-    val dir = s"$publishDir/$dirName"
+    val v = safeVersion(sourceVersion)
+    val segRef = s"$AnnSegmentStore/seg-$v"
+    val modelRef = s"$AnnModelStore/model-$v"
     // cluster-collocate before the partitioned write: without it every
     // upstream partition emits a file into every cluster dir (up to
     // nlist x shuffle.partitions small files per publish); with it each
@@ -293,8 +371,15 @@ object Pipeline {
     // fleet scale the reader-side file-open count is the difference
     // between a probe scanning nprobe files and nprobe x thousands.
     index.repartition(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$dir/index.parquet")
-    graft.operators.AnnModel.save(spark, s"$dir/model", coarse, codebooks)
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$publishDir/$segRef")
+    graft.operators.AnnModel.save(spark, s"$publishDir/$modelRef", coarse, codebooks)
+    val dirName = s"ann-$v"
+    val dir = s"$publishDir/$dirName"
+    // manifest LAST: it is the version's commit record — a crash
+    // before this line leaves an unreferenced segment/model that the
+    // next retention pass garbage-collects, never a readable
+    // half-version
+    writeAnnManifest(dir, modelRef, Seq(segRef), sourceVersion)
     flipAnnPointer(publishDir, dirName, sourceVersion)
     applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
     dir
@@ -307,21 +392,20 @@ object Pipeline {
     * whose index is (current index ∪ batch delta) and whose model is
     * the same artifact — the ANN analog of
     * `Dedup.dedupIncrementWithIndex`'s indexDelta fold. The corpus is
-    * never re-encoded: per-day cost is O(|batch|) map-only encode plus
-    * the index rewrite. Rollback story unchanged: each day is its own
-    * pair dir, so flipping the pointer back reverts index AND model
-    * together, and a dropped batch never haunts the index.
-    *
-    * The full-index rewrite (vs appending files in place) is the price
-    * of immutable versioned pairs; a table format with snapshot
-    * isolation would make it a metadata-only append, but that is a
-    * dependency this library does not take. At 100 TB the index is
-    * ~bytes per vector (codes, not vectors) — the rewrite is orders of
-    * magnitude smaller than the corpus scan the no-retrain path saves.
+    * never re-encoded: per-day cost is O(|batch|) — ONLY the delta
+    * segment and a new manifest are written; the live segments and the
+    * model are referenced, not copied. Rollback story unchanged: each
+    * day is its own manifest, an old manifest references exactly its
+    * prefix of the segment list, so flipping the pointer back reverts
+    * index AND model together, and a dropped batch never haunts the
+    * index.
     *
     * AnnAppendSpec pins append ≡ rebuild (bit-equal index and probe
-    * results vs indexing everything from scratch with the same model);
-    * q106 hash-gates the same equivalence through the DuckDB oracle.
+    * results vs indexing everything from scratch with the same model)
+    * AND the O(delta) cost shape (pre-existing segment files are
+    * byte-untouched by an append; the new version writes only
+    * delta-sized data); q106 hash-gates the same equivalence through
+    * the DuckDB oracle.
     */
   def appendAnn(
       spark: SparkSession,
@@ -333,20 +417,28 @@ object Pipeline {
       keepHistory: Int = 5): String = {
     val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
       s"appendAnn: no current ANN pair under $publishDir — publishAnn must run first"))
-    // publishAnn writes mode=overwrite while curIndex below is a LAZY
-    // scan of the live pair: a sourceVersion that maps to the live
-    // pair's dir name would make the write target and the read source
-    // the same path (self-overwrite during read). Fail loudly instead
-    // — an idempotent re-run of the same day must bump the version.
-    require(s"ann-${safeVersion(sourceVersion)}" != new java.io.File(cur).getName,
+    val (modelRef, segRefs) = readAnnManifest(cur)
+    val v = safeVersion(sourceVersion)
+    // segments are immutable: a version token that resolves to the
+    // live pair — or to ANY segment the live manifest references —
+    // would overwrite data a committed manifest depends on. Fail
+    // loudly; an idempotent re-run of the same day must bump the
+    // version.
+    require(s"ann-$v" != new java.io.File(cur).getName,
       s"appendAnn: sourceVersion '$sourceVersion' resolves to the live pair dir " +
         s"'$cur' — appending would overwrite the index it is reading. " +
         "Use a fresh version token per append.")
-    val model = graft.operators.AnnModel.load(spark, s"$cur/model")
+    val segRef = s"$AnnSegmentStore/seg-$v"
+    require(!segRefs.contains(segRef),
+      s"appendAnn: sourceVersion '$sourceVersion' resolves to segment '$segRef', " +
+        s"which the live manifest at $cur already references — overwriting an " +
+        "immutable segment would corrupt every version built on it. " +
+        "Use a fresh version token per append.")
+    val model = graft.operators.AnnModel.load(spark, s"$publishDir/$modelRef")
     val delta = graft.operators.Similarity.ivfPqIndex(
       newVecs, idCol, vecCol, model.coarse, model.codebooks)
-    val curIndex = spark.read.parquet(s"$cur/index.parquet")
-      .select(delta.columns.map(col): _*) // partition col moved on read
+    val curIndex = readAnnIndex(spark, cur)
+      .select(delta.columns.map(col): _*) // normalize column order
     // Disjoint-batch contract, CHECKED: a re-append of an already-
     // appended batch would silently duplicate neighbor_ids (plain
     // union, no dedup — dedup here would mask real upstream id
@@ -359,8 +451,16 @@ object Pipeline {
       s"appendAnn: $dup id(s) in the new batch already exist in the live index " +
         s"at $cur — batches must be disjoint (re-running an already-appended " +
         "batch would duplicate its vectors).")
-    publishAnn(spark, publishDir, sourceVersion, curIndex.unionByName(delta),
-      model.coarse, model.codebooks, keepHistory = keepHistory)
+    // the WHOLE write cost of the append: one delta-sized segment +
+    // one manifest; the model and the live segments are untouched
+    delta.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$publishDir/$segRef")
+    val dirName = s"ann-$v"
+    val dir = s"$publishDir/$dirName"
+    writeAnnManifest(dir, modelRef, segRefs :+ segRef, sourceVersion)
+    flipAnnPointer(publishDir, dirName, sourceVersion)
+    applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
+    dir
   }
 
   /** Atomically point `ann_current.json` at an already-written
@@ -391,10 +491,32 @@ object Pipeline {
   }
 
   /** Keep the newest N ANN pairs (mtime-ordered, like
-    * [[applyRetention]]), never deleting the pointed-at pair.
+    * [[applyRetention]]), never deleting the pointed-at pair; then
+    * garbage-collect segments and models no retained manifest
+    * references (also reaping the orphans of a publish that crashed
+    * before its manifest commit). Reference-counting via the
+    * manifests is what lets an append share its base's segments
+    * without copies while rollback + retention stay safe.
     */
-  def applyAnnRetention(publishDir: String, keep: Int, protect: Option[String] = None): Unit =
+  def applyAnnRetention(publishDir: String, keep: Int, protect: Option[String] = None): Unit = {
     retainNewest(publishDir, keep, protect, ".*/ann-[^/]*$")
+    val dir = Paths.get(publishDir)
+    if (!Files.exists(dir)) return
+    val referenced: Set[String] = listChildren(dir)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("ann-") &&
+        Files.exists(p.resolve("manifest.json")))
+      .flatMap { p =>
+        val (model, segs) = readAnnManifest(p.toString)
+        model +: segs
+      }.toSet
+    Seq(AnnSegmentStore, AnnModelStore).foreach { store =>
+      val storeDir = dir.resolve(store)
+      if (Files.exists(storeDir))
+        listChildren(storeDir)
+          .filterNot(c => referenced.contains(s"$store/${c.getFileName}"))
+          .foreach(deleteRecursively)
+    }
+  }
 
   /** The catalog the reference publishes as index.json
     * (yml:176-222): size, update time token, row count, usage snippet.

@@ -1115,9 +1115,9 @@ object CorpusOps {
     if (emb.limit(1).isEmpty)
       return Similarity.emptyAnnResult(emb, "vec_id")
     val pairDir = trainedIvfPqPair(s, dir)
-    val model = graft.operators.AnnModel.load(s, s"$pairDir/model")
+    val model = graft.operators.AnnModel.load(s, graft.changesets.Pipeline.annModelDir(pairDir))
     Similarity.ivfPqProbe(emb.filter(col("vec_id") < 5),
-        s.read.parquet(s"$pairDir/index.parquet"),
+        graft.changesets.Pipeline.readAnnIndex(s, pairDir),
         "vec_id", "embedding", k = 10,
         coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
       .orderBy(col("query_id"), col("rank"))
@@ -1212,9 +1212,9 @@ object CorpusOps {
     // same frozen pair as q86 (identical training params) — the
     // two-stage query re-bills neither k-means nor the encode
     val pairDir = trainedIvfPqPair(s, dir)
-    val model = graft.operators.AnnModel.load(s, s"$pairDir/model")
+    val model = graft.operators.AnnModel.load(s, graft.changesets.Pipeline.annModelDir(pairDir))
     val cand = Similarity.ivfPqProbe(queries,
-      s.read.parquet(s"$pairDir/index.parquet"),
+      graft.changesets.Pipeline.readAnnIndex(s, pairDir),
       "vec_id", "embedding", k = 30,
       coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
     Similarity.exactRerank(cand, queries, emb, "vec_id", "embedding", k = 10)
@@ -1250,11 +1250,11 @@ object CorpusOps {
     graft.changesets.Pipeline.appendAnn(s, publishDir, "day2",
       emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
     val cur = graft.changesets.Pipeline.readCurrentAnn(publishDir).get
-    val model = graft.operators.AnnModel.load(s, s"$cur/model")
+    val model = graft.operators.AnnModel.load(s, graft.changesets.Pipeline.annModelDir(cur))
     // collect-free handoff is impossible here (the index must be read
     // back from the published artifact — that IS the operator), so
     // materialize via an eager checkpoint and delete the temp dir
-    val index = s.read.parquet(s"$cur/index.parquet").localCheckpoint(true)
+    val index = graft.changesets.Pipeline.readAnnIndex(s, cur).localCheckpoint(true)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }

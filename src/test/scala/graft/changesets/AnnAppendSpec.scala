@@ -6,12 +6,18 @@ import graft.SparkSpec
 import graft.operators.{AnnModel, Similarity}
 
 /** No-retrain ANN index maintenance (Pipeline.appendAnn). The binding
-  * property is append ≡ rebuild: growing a published pair by a batch
-  * encoded with the FROZEN model must produce exactly the index (and
-  * therefore exactly the probe results) that indexing everything from
-  * scratch with the same model produces. Plus the versioning contract:
-  * each append is its own immutable pair, so the pointer flip back is
-  * a true rollback, and the model artifact rides along unchanged.
+  * properties:
+  *
+  *   - append ≡ rebuild: growing a published pair by a batch encoded
+  *     with the FROZEN model must produce exactly the index (and
+  *     therefore exactly the probe results) that indexing everything
+  *     from scratch with the same model produces;
+  *   - O(delta) cost: an append writes ONLY its delta segment and a
+  *     new manifest — pre-existing segment files are byte-untouched
+  *     and the model artifact is referenced, never copied;
+  *   - versioning: each append is its own immutable manifest, so the
+  *     pointer flip back is a true rollback, and retention
+  *     garbage-collects only segments no retained manifest references.
   */
 class AnnAppendSpec extends SparkSpec {
   import spark.implicits._
@@ -31,6 +37,9 @@ class AnnAppendSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toSeq)).toSet
 
+  private def pairIndex(dir: String) =
+    Pipeline.readAnnIndex(spark, Pipeline.readCurrentAnn(dir).get)
+
   test("append == rebuild: index contents and probe results match from-scratch") {
     val dir = tmpDir("ann-append")
     val day1 = Similarity.ivfPqIndex(emb(0 until 40), "vec_id", "embedding", coarse, codebooks)
@@ -39,12 +48,12 @@ class AnnAppendSpec extends SparkSpec {
 
     val cur = Pipeline.readCurrentAnn(dir).get
     assert(cur.endsWith("ann-day2"), "pointer must advance to the appended pair")
-    val grown = spark.read.parquet(s"$cur/index.parquet")
+    val grown = Pipeline.readAnnIndex(spark, cur)
     val scratch = Similarity.ivfPqIndex(emb(0 until 70), "vec_id", "embedding", coarse, codebooks)
     assert(indexRows(grown) === indexRows(scratch))
 
     // probes agree too, and see day-2 vectors
-    val model = AnnModel.load(spark, s"$cur/model")
+    val model = AnnModel.load(spark, Pipeline.annModelDir(cur))
     def probe(ix: org.apache.spark.sql.DataFrame) =
       Similarity.ivfPqProbe(emb(0 until 3), ix, "vec_id", "embedding",
           k = 5, coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
@@ -54,19 +63,74 @@ class AnnAppendSpec extends SparkSpec {
     assert(grown.filter(col("neighbor_id") >= 40).count() === 30)
   }
 
+  test("append cost is O(delta): base segment byte-untouched, delta-sized writes, shared model") {
+    val dir = tmpDir("ann-odelta")
+    val day1 = Similarity.ivfPqIndex(emb(0 until 40), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
+
+    def filesUnder(root: java.io.File): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(root).map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val segStore = new java.io.File(s"$dir/_ann_segments")
+    val modelStore = new java.io.File(s"$dir/_ann_models")
+    val baseSegFiles = filesUnder(new java.io.File(segStore, "seg-day1"))
+    val baseModelFiles = filesUnder(modelStore)
+
+    Pipeline.appendAnn(spark, dir, "day2", emb(40 until 70), "vec_id", "embedding")
+
+    // 1. the base segment's files are IDENTICAL objects after the
+    //    append — same paths, sizes, mtimes (nothing rewritten)
+    assert(filesUnder(new java.io.File(segStore, "seg-day1")) === baseSegFiles,
+      "append rewrote base segment files — cost is O(index), not O(delta)")
+    // 2. no new model artifact: the manifest references day1's model
+    assert(filesUnder(modelStore) === baseModelFiles, "append copied the model artifact")
+    val (modelRef, segRefs) = Pipeline.readAnnManifest(Pipeline.readCurrentAnn(dir).get)
+    assert(modelRef === "_ann_models/model-day1")
+    assert(segRefs === Seq("_ann_segments/seg-day1", "_ann_segments/seg-day2"))
+    // 3. the new segment holds exactly the delta's rows
+    val deltaRows = spark.read.parquet(s"$dir/_ann_segments/seg-day2")
+    assert(deltaRows.count() === 30)
+    assert(deltaRows.agg(min(col("neighbor_id"))).head.getLong(0) >= 40)
+  }
+
   test("append is an immutable new pair: pointer flip back is a true rollback") {
     val dir = tmpDir("ann-rollback")
     val day1 = Similarity.ivfPqIndex(emb(0 until 40), "vec_id", "embedding", coarse, codebooks)
     Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
-    val day1Rows = indexRows(
-      spark.read.parquet(s"${Pipeline.readCurrentAnn(dir).get}/index.parquet"))
+    val day1Rows = indexRows(pairIndex(dir))
     Pipeline.appendAnn(spark, dir, "day2", emb(40 until 70), "vec_id", "embedding")
     // the day-1 pair is untouched by the append
-    assert(indexRows(spark.read.parquet(s"$dir/ann-day1/index.parquet")) === day1Rows)
+    assert(indexRows(Pipeline.readAnnIndex(spark, s"$dir/ann-day1")) === day1Rows)
     // flip back: the reader protocol sees exactly the day-1 index again
     Pipeline.flipAnnPointer(dir, "ann-day1", "day1")
-    assert(indexRows(
-      spark.read.parquet(s"${Pipeline.readCurrentAnn(dir).get}/index.parquet")) === day1Rows)
+    assert(indexRows(pairIndex(dir)) === day1Rows)
+  }
+
+  test("retention GC keeps every segment a retained manifest references, reaps the rest") {
+    val dir = tmpDir("ann-gc")
+    val day1 = Similarity.ivfPqIndex(emb(0 until 20), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
+    Pipeline.appendAnn(spark, dir, "day2", emb(20 until 30), "vec_id", "embedding")
+    Pipeline.appendAnn(spark, dir, "day3", emb(30 until 40), "vec_id", "embedding")
+    // keep only the newest manifest (day3) — it references day1's
+    // model and ALL THREE segments, so GC must reap nothing
+    Pipeline.applyAnnRetention(dir, keep = 1, protect = Pipeline.readCurrentAnn(dir))
+    assert(!new java.io.File(s"$dir/ann-day1").exists())
+    assert(!new java.io.File(s"$dir/ann-day2").exists())
+    val segs = new java.io.File(s"$dir/_ann_segments").listFiles().map(_.getName).toSet
+    assert(segs === Set("seg-day1", "seg-day2", "seg-day3"))
+    assert(pairIndex(dir).count() === 40)
+
+    // an orphaned segment (publish crashed before its manifest commit)
+    // IS reaped
+    val orphan = new java.io.File(s"$dir/_ann_segments/seg-orphan")
+    orphan.mkdirs()
+    java.nio.file.Files.writeString(orphan.toPath.resolve("part-0.parquet"), "x")
+    Pipeline.applyAnnRetention(dir, keep = 1, protect = Pipeline.readCurrentAnn(dir))
+    assert(!orphan.exists(), "unreferenced segment must be garbage-collected")
+    assert(pairIndex(dir).count() === 40, "GC touched referenced segments")
   }
 
   test("appendAnn refuses a version that resolves to the live pair (self-overwrite)") {
@@ -78,7 +142,7 @@ class AnnAppendSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("overwrite the index it is reading"))
     // live pair untouched by the refused append
-    assert(spark.read.parquet(s"$dir/ann-day1/index.parquet").count() === 20)
+    assert(Pipeline.readAnnIndex(spark, s"$dir/ann-day1").count() === 20)
   }
 
   test("appendAnn refuses a batch whose ids already exist (disjoint-batch contract)") {

@@ -202,11 +202,12 @@ class PipelineSpec extends SparkSpec {
     def index(n: Int) = (0 until n).map(i => (i.toLong, i % 2)).toDF("vec_id", "cluster")
 
     // the reader protocol: resolve the pointer ONCE, open both halves
-    // under it — index rows and model must come from the same build
+    // through the same manifest — index rows and model must come from
+    // the same build
     def readerSees(): (Long, Double) = {
       val dir = Pipeline.readCurrentAnn(pub).get
-      val rows = spark.read.parquet(s"$dir/index.parquet").count()
-      val m = graft.operators.AnnModel.load(spark, s"$dir/model")
+      val rows = Pipeline.readAnnIndex(spark, dir).count()
+      val m = graft.operators.AnnModel.load(spark, Pipeline.annModelDir(dir))
       (rows, m.coarse(0)(0))
     }
 
@@ -214,11 +215,11 @@ class PipelineSpec extends SparkSpec {
     Pipeline.publishAnn(spark, pub, "v1", index(3), c1, cb1)
     assert(readerSees() === ((3L, 1.0)))
 
-    // interleaving probe: v2's halves partially written (index landed,
-    // model not yet) — the pointer still names v1, so a reader sees
-    // the COMPLETE v1 pair, never v2's index with v1's model
+    // interleaving probe: v2 partially written (segment landed, model
+    // and manifest not yet) — the pointer still names v1, so a reader
+    // sees the COMPLETE v1 pair, never v2's index with v1's model
     index(4).write.partitionBy("cluster")
-      .parquet(s"$pub/ann-v2/index.parquet")
+      .parquet(s"$pub/_ann_segments/seg-v2")
     assert(readerSees() === ((3L, 1.0)))
 
     val (c2, cb2) = model(2.0)
