@@ -9,20 +9,39 @@ import org.apache.spark.sql.functions._
   * order — without ever sorting the corpus through one task.
   *
   * The naive form is `row_number() OVER (ORDER BY key, id)`: a
-  * single-partition window that serializes the whole corpus. Here the
-  * rank is a two-level prefix count over data-derived key blocks (the
-  * q87 packing discipline, applied to ranking): block = key div
-  * `blockWidth`; a parallel per-block row_number (hash-shuffled on the
-  * block value, NOT spark_partition_id, so the result is independent
-  * of executor layout); then one tiny serial window over per-block
-  * counts (corpus/blockWidth rows) broadcast back as exclusive
-  * offsets. global_rank = block offset + local rank.
+  * single-partition window that serializes the whole corpus. The
+  * two-level form (rank within key-derived blocks + a serial prefix
+  * over per-block counts) fixes that for diverse keys but is
+  * skew-fragile: a corpus where ONE key value dominates (curriculum
+  * key = doc length, billions of equal-length docs) lands that key's
+  * whole mass in one block → one window partition sorts it in a
+  * single task.
   *
-  * At 100 TB: pick blockWidth so the block-count table stays
-  * driver-friendly; every heavy stage is parallel and the only serial
-  * structure is the per-block count cumsum. Keys must be non-negative
-  * integers (`div` truncates toward zero — negative keys would order
-  * blocks inconsistently with the within-block order).
+  * So the rank here is a THREE-level prefix count whose data-row
+  * window is provably bounded under ANY key distribution:
+  *
+  *   - sub-partition = (key, idb) with idb = id div `idSubWidth`.
+  *     Ids are unique, so a (key, idb) partition holds AT MOST
+  *     `idSubWidth` rows — a hard bound no hot key can break. And
+  *     because idb is monotone in id within a key, ordering by
+  *     (key, idb, then id inside the partition) IS the (key, id)
+  *     order — the refinement changes the plan, never the output
+  *     (a hash salt here would reorder ties and break the rank).
+  *   - level 2: per-block exclusive prefix over the (key, idb) COUNT
+  *     rows (a window partitioned by blk = key div `blockWidth`,
+  *     ordered by (key, idb)) — count rows are constant-size; a
+  *     10⁹-row hot key at the default idSubWidth is ~10³ of them.
+  *   - level 1: the global exclusive prefix over per-block totals
+  *     (corpus/blockWidth rows), broadcast back.
+  *
+  * global_rank = block offset + within-block sub offset + sub rank.
+  *
+  * At 100 TB: every data-row stage is parallel with bounded
+  * partitions; the serial structures see only count rows (one per
+  * (key, idb) group and one per block — pick blockWidth/idSubWidth so
+  * both stay small). Keys and ids must be non-negative integers
+  * (`div` truncates toward zero — negative values would order blocks
+  * inconsistently with the within-block order).
   */
 object Curriculum {
 
@@ -30,19 +49,38 @@ object Curriculum {
       df: DataFrame,
       keyCol: String,
       idCol: String,
-      blockWidth: Long): DataFrame = {
+      blockWidth: Long,
+      idSubWidth: Long = 1L << 20): DataFrame = {
     require(blockWidth >= 1, s"blockWidth must be >= 1: $blockWidth")
+    require(idSubWidth >= 1, s"idSubWidth must be >= 1: $idSubWidth")
     val base = df.select(col(keyCol).as("key"), col(idCol).as("id"))
       .withColumn("blk", expr(s"key div $blockWidth"))
-    val local = base.withColumn("local_rank",
-      row_number().over(Window.partitionBy(col("blk")).orderBy(col("key"), col("id"))))
-    val offsets = local.groupBy(col("blk")).agg(count(lit(1)).as("bcnt"))
+      .withColumn("idb", expr(s"id div $idSubWidth"))
+    // bounded data window: <= idSubWidth unique ids per partition
+    val local = base.withColumn("sub_rank",
+      row_number().over(Window.partitionBy(col("key"), col("idb")).orderBy(col("id"))))
+    val subCounts = base.groupBy(col("blk"), col("key"), col("idb"))
+      .agg(count(lit(1)).as("scnt"))
+    // per-block serial prefix over COUNT rows (never data rows)
+    val subOffsets = subCounts
+      .withColumn("sub_off",
+        coalesce(sum(col("scnt")).over(Window.partitionBy(col("blk"))
+          .orderBy(col("key"), col("idb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("key"), col("idb"), col("blk"), col("sub_off"))
+    // global serial prefix over per-block totals (corpus/blockWidth rows)
+    val offsets = subCounts.groupBy(col("blk")).agg(sum(col("scnt")).as("bcnt"))
       .withColumn("offset",
         coalesce(sum(col("bcnt")).over(Window.orderBy(col("blk"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("blk"), col("offset"))
-    local.join(broadcast(offsets), Seq("blk"))
+    // the (key, idb) join is left unhinted: the data side is already
+    // hash-partitioned on those keys by the sub_rank window, and at
+    // scale the count table can exceed broadcast size; the per-block
+    // totals are blockWidth-bounded and ride a broadcast
+    local.join(subOffsets.drop("blk"), Seq("key", "idb"))
+      .join(broadcast(offsets), Seq("blk"))
       .select(col("id").as(idCol), col("key").as(keyCol),
-        (col("offset") + col("local_rank")).cast("long").as("global_rank"))
+        (col("offset") + col("sub_off") + col("sub_rank")).cast("long").as("global_rank"))
   }
 }

@@ -685,7 +685,8 @@ object TextAnalytics {
     */
   private def q120(s: SparkSession, dir: String): DataFrame =
     graft.operators.Curriculum.globalRank(
-        t(s, dir, "documents"), "n_chars", "doc_id", blockWidth = 100L)
+        t(s, dir, "documents"), "n_chars", "doc_id",
+        blockWidth = 100L, idSubWidth = 64L)
       .orderBy(col("global_rank"))
 
   private val q120Sql =
