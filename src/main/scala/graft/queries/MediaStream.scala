@@ -460,7 +460,68 @@ object MediaStream {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q130
+  /** WARC crawl-archive ingestion, hash-gated end-to-end (the q102
+    * discipline for the crawl modality): documents become REAL
+    * multi-record WARC archives (sources.Warc.toWarcArchives — full
+    * version line, WARC headers, HTTP response envelope), the
+    * Content-Length framing walker re-frames them, and the builtin
+    * HTML stripper extracts the page text. Every generated page embeds
+    * a literal 'WARC/1.0' line inside a script block, so the oracle —
+    * which rebuilds the SAME strings from the documents table and
+    * re-derives every output column with SQL string ops — passing
+    * proves the framing walks Content-Length (separator framing would
+    * tear each record at the embedded marker and shift every
+    * downstream field).
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val recs = Warc.parseArchives(
+      Warc.toWarcArchives(t(s, dir, "documents")), "archive_id", "bytes")
+    recs.filter(col("ok") && col("warc_type") === "response")
+      .select(
+        regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long").as("doc_id"),
+        col("target_uri"),
+        col("content_length"),
+        col("http_status"),
+        col("http_content_type"),
+        Warc.htmlTitle(col("payload")).as("title"),
+        Warc.htmlText(col("payload")).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q130Sql = {
+    val crlf = "chr(13) || chr(10)"
+    s"""WITH d AS (
+       |  SELECT doc_id, text, lang, source,
+       |    '<!DOCTYPE html><html><head><title>Doc ' || doc_id || '</title>' ||
+       |    '<script type="text/javascript">' || chr(10) || 'WARC/1.0' || chr(10) ||
+       |    'var x = 1;</script><style>body { color: #000; }</style></head><body>' ||
+       |    chr(10) || '  <h1>Doc ' || doc_id || ' &amp; friends</h1>' || chr(10) ||
+       |    '  <!-- nav boilerplate -->' || chr(10) || '  <p>' || text || '</p>' ||
+       |    chr(10) || '  <div>lang: ' || lang || ' &lt;' || source || '&gt;</div>' ||
+       |    chr(10) || '</body></html>' AS html
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, text, lang, source, html,
+       |    'HTTP/1.1 200 OK' || $crlf || 'Content-Type: text/html' || $crlf ||
+       |    'Content-Length: ' || length(html) || $crlf || $crlf || html AS http
+       |  FROM d)
+       |SELECT doc_id,
+       |  'urn:doc:' || doc_id AS target_uri,
+       |  CAST(length(http) AS BIGINT) AS content_length,
+       |  CAST(200 AS INTEGER) AS http_status,
+       |  'text/html' AS http_content_type,
+       |  'Doc ' || doc_id AS title,
+       |  'Doc ' || doc_id || ' Doc ' || doc_id || ' & friends ' ||
+       |    trim(regexp_replace(text, '\\s+', ' ', 'g')) ||
+       |    ' lang: ' || lang || ' <' || source || '>' AS text
+       |FROM h
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_warc_ingest" -> (q130 _),
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
     "q129_audio_near_dup" -> (q129 _),
@@ -475,6 +536,7 @@ object MediaStream {
     "q81_event_dedup" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
+    "q130_warc_ingest" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,
     "q129_audio_near_dup" -> q129Sql,

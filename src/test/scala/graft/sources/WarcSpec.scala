@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** WARC framing + HTML extraction (sources.Warc — oracle-gated
+  * end-to-end by q130). The committed fixture at
+  * test/resources/graft/fixtures/sample.warc is hand-built: five
+  * records (warcinfo, request, response, resource, 404 response)
+  * whose fields the tests assert literally — a differential against a
+  * hand parse. The load-bearing case: record 2's HTML body embeds a
+  * literal `WARC/1.0\r\n` line, which Content-Length framing must keep
+  * INSIDE the record (separator framing would split there and produce
+  * a corrupt sixth record).
+  */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture: String =
+    getClass.getResource("/graft/fixtures/sample.warc").getPath
+
+  private def rows =
+    Warc.readRecords(spark, fixture)
+      .orderBy(col("rec_index"))
+      .collect()
+
+  test("fixture frames into exactly the five hand-parsed records") {
+    val r = rows
+    assert(r.length === 5, s"got ${r.length} records: ${r.mkString("\n")}")
+    assert(r.forall(_.getAs[Boolean]("ok")))
+    assert(r.map(_.getAs[String]("warc_type")).toSeq ===
+      Seq("warcinfo", "request", "response", "resource", "response"))
+    assert(r.map(_.getAs[String]("record_id")).toSeq ===
+      (0 to 4).map(i => s"<urn:fix:$i>"))
+    assert(r.map(_.getAs[String]("target_uri")).toSeq ===
+      Seq("", "urn:fix:page-one", "urn:fix:page-one", "urn:fix:notes", "urn:fix:missing"))
+  }
+
+  test("a body containing the literal WARC/1.0 marker stays one record (Content-Length framing)") {
+    val resp = rows(2)
+    assert(resp.getAs[String]("payload").contains("WARC/1.0\r\nWARC-Type: response"),
+      "the embedded marker must survive inside the record body")
+    assert(resp.getAs[Long]("content_length") === 244L) // hand-computed HTTP envelope size
+    assert(resp.getAs[Int]("http_status") === 200)
+    assert(resp.getAs[String]("http_content_type") === "text/html; charset=utf-8")
+  }
+
+  test("HTTP envelope is split only for application/http records") {
+    val r = rows
+    assert(r(1).getAs[Int]("http_status") === -1,
+      "a request record carries no response status")
+    assert(r(3).getAs[Int]("http_status") === -1)
+    assert(r(3).getAs[String]("payload") === "just some bytes, no envelope")
+    assert(r(4).getAs[Int]("http_status") === 404)
+    assert(r(4).getAs[Long]("content_length") === 94L)
+  }
+
+  test("htmlText strips script/style/comments and tags, decodes entities, keeps quoted markup") {
+    val got = Seq(rows(2).getAs[String]("payload")).toDF("h")
+      .select(Warc.htmlText(col("h")).as("t")).head.getString(0)
+    // style and script content gone; the <pre> body (including the
+    // quoted WARC header line) survives as TEXT with tags stripped
+    assert(got === "Page One alpha & beta WARC/1.0 WARC-Type: response gamma")
+
+    val tricky = Seq(
+      "<p>a &lt;b&gt; c</p>",             // entity-encoded markup stays literal text
+      "<div>x&nbsp;&amp;&#39;y&quot;</div>",
+      "<script>drop()</script>keep<style>p{}</style>",
+      "  lots \n of\t space  ").toDF("h")
+      .select(Warc.htmlText(col("h")).as("t")).collect().map(_.getString(0)).toSeq
+    assert(tricky === Seq("a <b> c", "x &'y\"", "keep", "lots of space"))
+  }
+
+  test("truncated body becomes an error row, not a task failure") {
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+      ).getBytes("UTF-8")
+    val r = Warc.parseArchives(
+      Seq(("bad", bad)).toDF("name", "bytes"), "name", "bytes").collect()
+    assert(r.length === 1)
+    assert(!r(0).getAs[Boolean]("ok"))
+    assert(r(0).getAs[String]("error").contains("truncated"))
+  }
+
+  test("a valid prefix is preserved when a later record is malformed") {
+    val good = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture)), "UTF-8")
+    val bytes = (good + "WARC/1.0\r\nno-length-header\r\n\r\n").getBytes("UTF-8")
+    val r = Warc.parseArchives(
+        Seq(("mix", bytes)).toDF("name", "bytes"), "name", "bytes")
+      .orderBy(col("rec_index")).collect()
+    assert(r.length === 6)
+    assert(r.take(5).forall(_.getAs[Boolean]("ok")))
+    assert(!r(5).getAs[Boolean]("ok"))
+  }
+
+  test("documents -> archives -> records roundtrip is the identity on every field") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "srcA"),
+      (2L, "one two", "de", "srcB"),
+      (9L, "lone doc", "fr", "srcC")
+    ).toDF("doc_id", "text", "lang", "source")
+    val recs = Warc.parseArchives(Warc.toWarcArchives(docs, nArchives = 2),
+        "archive_id", "bytes")
+      .filter(col("ok"))
+    assert(recs.count() === 3)
+    val got = recs
+      .select(
+        regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long").as("doc_id"),
+        col("http_status"),
+        Warc.htmlTitle(col("payload")).as("title"),
+        Warc.htmlText(col("payload")).as("text"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 200, "Doc 1", "Doc 1 Doc 1 & friends alpha beta gamma lang: en <srcA>"),
+      (2L, 200, "Doc 2", "Doc 2 Doc 2 & friends one two lang: de <srcB>"),
+      (9L, 200, "Doc 9", "Doc 9 Doc 9 & friends lone doc lang: fr <srcC>")))
+  }
+}
