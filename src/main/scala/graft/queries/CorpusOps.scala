@@ -1808,7 +1808,57 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q131
+  /** The embedding-model boundary, end-to-end: documents are encoded
+    * to vectors through operators.Encode.encodeWithModel — the batched
+    * mapPartitions inference-client plumbing (bounded payloads, no
+    * driver collect) with the deterministic hashing-trick stand-in
+    * model — and the fresh vectors feed the already-gated brute-force
+    * cosine top-k (q32's operator). Every doc with doc_id % 97 = 0 is
+    * a query. The oracle rebuilds the SAME vectors in SQL (md5-60-bit
+    * bucket + sign, integer occurrence counts — so cosines are IEEE
+    * bit-identical via the factored-norm form) and re-ranks — the gate
+    * pins tokenizer, hash, bucket/sign rule, batch plumbing, and the
+    * text -> vectors -> neighbors composition.
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.operators.Encode.encodeWithModel(
+      t(s, dir, "documents"), "doc_id", "text",
+      new graft.operators.Encode.HashingTrickEncoder(dims = 16))
+    Similarity.cosineTopK(vecs.filter(col("doc_id") % 97 === 0), vecs,
+        "doc_id", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q131Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |hh AS (SELECT doc_id,
+       |         CAST(concat('0x', substring(md5('enc|' || term), 1, 15)) AS BIGINT) AS h
+       |       FROM tk),
+       |bw AS (SELECT doc_id, h % 16 AS bucket,
+       |         CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       |       FROM hh),
+       |agg AS (SELECT doc_id, bucket, CAST(sum(sgn) AS DOUBLE) AS w
+       |        FROM bw GROUP BY doc_id, bucket),
+       |m AS (SELECT doc_id, map(list(bucket), list(w)) AS mm FROM agg GROUP BY doc_id),
+       |vec AS (SELECT d.doc_id,
+       |          list_transform(range(0, 16),
+       |            i -> coalesce(map_extract(mm, i)[1], 0.0)) AS v
+       |        FROM documents d JOIN m ON d.doc_id = m.doc_id),
+       |e AS (SELECT doc_id AS vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vec)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cos AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 97 = 0)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
     "q117_cluster_sample" -> (q117 _),
@@ -1847,6 +1897,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,
     "q117_cluster_sample" -> q117Sql,
