@@ -1857,7 +1857,34 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q132
+  /** Deterministic corpus shuffle for training export
+    * (sources.Export.shufflePositions): every doc gets a contiguous
+    * position 1..N by rank of a seeded md5 hash of its id — the q98
+    * salted-replay discipline, ranked through the q120 three-level
+    * prefix machinery (never a global window over data rows) — plus
+    * its shard assignment at 64 docs/shard. The oracle recomputes the
+    * permutation with a plain row_number over the same md5-60 hash,
+    * so the gate pins hash, order, contiguity, and shard arithmetic;
+    * ExportSpec pins the physical shard layout (one file per shard,
+    * bounded sizes, replay-identical bytes).
+    */
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Export.shufflePositions(t(s, dir, "documents"), "doc_id", seed = 42L)
+      .select(col("doc_id"), col("position"),
+        expr("(position - 1) div 64").as("shard"))
+      .orderBy(col("position"))
+
+  private val q132Sql =
+    """SELECT doc_id, position, (position - 1) // 64 AS shard FROM (
+      |  SELECT doc_id, row_number() OVER (ORDER BY
+      |    CAST(concat('0x', substring(md5('shuf|42|' || doc_id), 1, 15)) AS BIGINT),
+      |    doc_id) AS position
+      |  FROM documents)
+      |ORDER BY position""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_corpus_shuffle" -> (q132 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -1897,6 +1924,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q132_corpus_shuffle" -> q132Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,

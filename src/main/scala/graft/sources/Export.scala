@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The last step a training-data pipeline runs: a DETERMINISTIC
+  * global shuffle of the curated corpus (training-order randomization
+  * — Xu et al.'s data-order effects literature is why this is not
+  * optional) followed by a size-targeted sharded export (fixed
+  * examples per shard, the layout data loaders stream).
+  *
+  * Shuffle discipline: position = rank of a seeded md5 hash of the id
+  * (the q98 salted-hash replay rule — same seed, same permutation, on
+  * any cluster, any day), ranked WITHOUT a global window through
+  * [[graft.operators.Curriculum.globalRank]]'s three-level prefix
+  * count: hash keys are uniform in [0, 2^60), so blocks are balanced
+  * by construction and the data-row windows stay bounded.
+  *
+  * Shard discipline: shard = (position - 1) div rowsPerShard — the
+  * row-count sibling of [[Layout.compact]]'s byte bin-packing (training
+  * shards are counted in EXAMPLES because loaders schedule epochs by
+  * example count). Each shard is one task's writer (repartition on the
+  * shard id) and rows land sorted by position, so a shard FILE read
+  * top-to-bottom replays the shuffle order.
+  */
+object Export {
+
+  /** Attach the seeded shuffle `position` (contiguous 1..N) to every
+    * row. Replayable: position is a pure function of (seed, id).
+    * `blockWidth` partitions the 2^60 hash space (default 2^48 ->
+    * 4096 balanced blocks for the serial count pass).
+    */
+  def shufflePositions(
+      docs: DataFrame,
+      idCol: String,
+      seed: Long,
+      blockWidth: Long = 1L << 48): DataFrame = {
+    val key = "__shuf_key"
+    val keyed = docs.select(
+      col(idCol),
+      TextFunctions.hash60(concat(lit(s"shuf|$seed|"), col(idCol))).as(key))
+    val ranked = graft.operators.Curriculum.globalRank(keyed, key, idCol, blockWidth)
+      .select(col(idCol), col("global_rank").as("position"))
+    docs.join(ranked, Seq(idCol))
+  }
+
+  /** Shuffle + export: write `outDir/shard=<k>/` dirs of exactly
+    * `rowsPerShard` rows each (the last shard takes the remainder),
+    * one file per shard, rows in shuffle order within the file.
+    * Returns the shard count. Deterministic end-to-end: same (corpus,
+    * seed, rowsPerShard) -> same shard membership and row order.
+    */
+  def writeShards(
+      docs: DataFrame,
+      idCol: String,
+      outDir: String,
+      seed: Long,
+      rowsPerShard: Long): Int = {
+    require(rowsPerShard >= 1, s"rowsPerShard must be >= 1: $rowsPerShard")
+    val sharded = shufflePositions(docs, idCol, seed)
+      .withColumn("shard", expr(s"(position - 1) div $rowsPerShard"))
+    sharded
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("position"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    val d = new java.io.File(outDir)
+    Option(d.listFiles()).toSeq.flatten.count(_.getName.startsWith("shard="))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deterministic shuffle + sharded training export (sources.Export —
+  * permutation oracle-gated by q132). Pins: the permutation is a
+  * contiguous 1..N rank of the seeded hash (replayable, seed-
+  * sensitive), shard sizes are exactly rowsPerShard (remainder in the
+  * last shard), one file per shard whose physical row order replays
+  * the shuffle order, and a re-export is byte-deterministic.
+  */
+class ExportSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1 to n).map(i => (i.toLong, s"doc number $i")).toDF("doc_id", "text")
+
+  test("positions are a contiguous permutation, replayable, seed-sensitive") {
+    val d = docs(200)
+    def run(seed: Long) =
+      Export.shufflePositions(d, "doc_id", seed)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("position")).toMap
+    val a = run(7L)
+    assert(a.values.toSeq.sorted === (1L to 200L), "not a contiguous permutation")
+    assert(run(7L) === a, "same seed must replay the identical permutation")
+    assert(run(8L) !== a, "different seed must permute differently")
+    // payload columns survive the position attach
+    val cols = Export.shufflePositions(d, "doc_id", 7L).columns.toSet
+    assert(cols === Set("doc_id", "text", "position"))
+  }
+
+  test("shards hold exactly rowsPerShard rows, remainder last, one file each") {
+    val out = tmpDir("export-shards") + "/data"
+    val n = Export.writeShards(docs(130), "doc_id", out, seed = 7L, rowsPerShard = 32L)
+    assert(n === 5, "ceil(130/32) shards")
+    val byShard = spark.read.parquet(out)
+      .groupBy(col("shard")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byShard === Map(0 -> 32L, 1 -> 32L, 2 -> 32L, 3 -> 32L, 4 -> 2L))
+    // one data file per shard dir: a loader streams each shard as one
+    // sequential read
+    (0 until n).foreach { k =>
+      val files = new java.io.File(s"$out/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $k has ${files.length} files")
+    }
+  }
+
+  test("a shard file read top-to-bottom replays the shuffle order") {
+    val out = tmpDir("export-order") + "/data"
+    Export.writeShards(docs(100), "doc_id", out, seed = 3L, rowsPerShard = 40L)
+    (0 until 3).foreach { k =>
+      val f = new java.io.File(s"$out/shard=$k").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val positions = spark.read.parquet(f.getPath)
+        .select(col("position")).collect().map(_.getLong(0)).toSeq
+      assert(positions === positions.sorted, s"shard $k rows out of shuffle order")
+      assert(positions.head === k * 40L + 1, s"shard $k starts at the wrong position")
+    }
+  }
+
+  test("re-export is deterministic: same membership and order, shard by shard") {
+    val d = docs(90)
+    def export(dir: String): Map[Int, Seq[(Long, Long)]] = {
+      Export.writeShards(d, "doc_id", dir, seed = 11L, rowsPerShard = 25L)
+      spark.read.parquet(dir)
+        .select(col("shard"), col("position"), col("doc_id"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (k, rows) =>
+          k -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq }
+    }
+    val a = export(tmpDir("export-det-a") + "/data")
+    val b = export(tmpDir("export-det-b") + "/data")
+    assert(a === b)
+  }
+}
