@@ -463,6 +463,65 @@ object Pipeline {
     dir
   }
 
+  /** Segment compaction for the versioned ANN pair — the maintenance
+    * half of [[appendAnn]]'s O(delta) contract. Daily appends keep
+    * per-day cost ∝ batch, but each adds one segment: after a year of
+    * drops a probe opens nprobe × 365 segment dirs and the manifest's
+    * union is 365-wide. compactAnn rewrites the LIVE manifest's
+    * segments as ONE equivalent segment under a NEW manifest naming
+    * the SAME frozen model — O(index), paid only when scheduled
+    * (weekly/monthly, the [[Layout.compact]] cadence argument lifted
+    * to the index artifact).
+    *
+    * Safety is inherited from the manifest protocol, not re-proved:
+    * segments are immutable and the pre-compaction manifests still
+    * name exactly their segment prefix, so rollback across a
+    * compaction stays byte-exact, readers mid-union are never
+    * disturbed, and retention GCs the old segments only after every
+    * manifest naming them ages out. Version-token collisions are
+    * checked against EVERY retained manifest's refs (not just the
+    * live one — an old manifest's segment is still rollback-live);
+    * a crashed compact's orphan segment (no manifest committed) is
+    * safely overwritten by the re-run, same as [[publishAnn]].
+    *
+    * A single-segment pair is already compact: returns the live dir
+    * unchanged, writes nothing (idempotence without version burn).
+    * AnnAppendSpec pins compact ≡ append ≡ rebuild (probe results
+    * bit-equal), the 1-segment layout, and pre-compact rollback;
+    * q133 hash-gates the equivalence through q92's full-scan oracle.
+    */
+  def compactAnn(
+      spark: SparkSession,
+      publishDir: String,
+      sourceVersion: String,
+      partitionCol: String = "cluster",
+      keepHistory: Int = 5): String = {
+    val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
+      s"compactAnn: no current ANN pair under $publishDir — publishAnn must run first"))
+    val (modelRef, segRefs) = readAnnManifest(cur)
+    if (segRefs.size <= 1) return cur
+    val v = safeVersion(sourceVersion)
+    require(s"ann-$v" != new java.io.File(cur).getName,
+      s"compactAnn: sourceVersion '$sourceVersion' resolves to the live pair dir " +
+        s"'$cur'. Use a fresh version token per compaction.")
+    val segRef = s"$AnnSegmentStore/seg-$v"
+    require(!annReferencedRefs(publishDir).contains(segRef),
+      s"compactAnn: sourceVersion '$sourceVersion' resolves to segment '$segRef', " +
+        "which a retained manifest already references — overwriting an immutable " +
+        "segment would corrupt the versions built on it. Use a fresh version token.")
+    // one partitioned rewrite of the union — each cluster's rows from
+    // all segments land in one file again (the publishAnn layout)
+    readAnnIndex(spark, cur)
+      .repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$publishDir/$segRef")
+    val dirName = s"ann-$v"
+    val dir = s"$publishDir/$dirName"
+    writeAnnManifest(dir, modelRef, Seq(segRef), sourceVersion)
+    flipAnnPointer(publishDir, dirName, sourceVersion)
+    applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
+    dir
+  }
+
   /** Atomically point `ann_current.json` at an already-written
     * versioned pair dir (both halves committed). Flipping BACK to an
     * older dir is the rollback: index and model revert together.
@@ -490,6 +549,24 @@ object Pipeline {
       .map(m => s"$publishDir/${m.group(1)}")
   }
 
+  /** Every segment/model ref named by ANY retained manifest — the
+    * reference-counting set retention GCs against, and the collision
+    * set a new write must avoid (colliding with a ref only the LIVE
+    * manifest names would miss a ref an older, still-rollback-able
+    * manifest holds).
+    */
+  private def annReferencedRefs(publishDir: String): Set[String] = {
+    val dir = Paths.get(publishDir)
+    if (!Files.exists(dir)) return Set.empty
+    listChildren(dir)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("ann-") &&
+        Files.exists(p.resolve("manifest.json")))
+      .flatMap { p =>
+        val (model, segs) = readAnnManifest(p.toString)
+        model +: segs
+      }.toSet
+  }
+
   /** Keep the newest N ANN pairs (mtime-ordered, like
     * [[applyRetention]]), never deleting the pointed-at pair; then
     * garbage-collect segments and models no retained manifest
@@ -502,13 +579,7 @@ object Pipeline {
     retainNewest(publishDir, keep, protect, ".*/ann-[^/]*$")
     val dir = Paths.get(publishDir)
     if (!Files.exists(dir)) return
-    val referenced: Set[String] = listChildren(dir)
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("ann-") &&
-        Files.exists(p.resolve("manifest.json")))
-      .flatMap { p =>
-        val (model, segs) = readAnnManifest(p.toString)
-        model +: segs
-      }.toSet
+    val referenced = annReferencedRefs(publishDir)
     Seq(AnnSegmentStore, AnnModelStore).foreach { store =>
       val storeDir = dir.resolve(store)
       if (Files.exists(storeDir))

@@ -1264,6 +1264,52 @@ object CorpusOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // --------------------------------------------------------------- q133
+  /** ANN segment compaction (Pipeline.compactAnn), hash-gated the
+    * q106 way: publish day1 (vec_id < 300) with q92's fixed model,
+    * append day2 (300 ≤ vec_id < 400) and day3 (the rest) as frozen-
+    * model deltas — a three-segment pair — then COMPACT to one
+    * segment and probe. Compaction must change nothing but the
+    * layout, so the oracle is again EXACTLY q92's full-scan SQL: the
+    * DuckDB gate pins compact ≡ append ≡ rebuild end-to-end (manifest
+    * rewrite, segment union, pointer flip).
+    */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    if (emb.limit(1).isEmpty)
+      return Similarity.emptyAnnResult(emb, "vec_id")
+    def firstVecs(n: Int): Array[Array[Double]] =
+      emb.filter(col("vec_id") < n).orderBy(col("vec_id"))
+        .select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val sample = firstVecs(16)
+    val subDim = sample(0).length / 4
+    val codebooks = Array.tabulate(4)(m =>
+      sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val publishDir = java.nio.file.Files.createTempDirectory("q133-ann").toString
+    val day1 = Similarity.ivfPqIndex(
+      emb.filter(col("vec_id") < 300), "vec_id", "embedding", coarse, codebooks)
+    graft.changesets.Pipeline.publishAnn(s, publishDir, "day1", day1, coarse, codebooks)
+    graft.changesets.Pipeline.appendAnn(s, publishDir, "day2",
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), "vec_id", "embedding")
+    graft.changesets.Pipeline.appendAnn(s, publishDir, "day3",
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    graft.changesets.Pipeline.compactAnn(s, publishDir, "weekly-compact")
+    val cur = graft.changesets.Pipeline.readCurrentAnn(publishDir).get
+    val model = graft.operators.AnnModel.load(s, graft.changesets.Pipeline.annModelDir(cur))
+    // same artifact-read materialization as q106: the read-back IS the
+    // operator, so checkpoint before deleting the temp publish dir
+    val index = graft.changesets.Pipeline.readAnnIndex(s, cur).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(publishDir))
+    Similarity.ivfPqProbe(emb.filter(col("vec_id") < 5), index, "vec_id", "embedding",
+        k = 10, coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // --------------------------------------------------------------- q104
   /** Winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
     * scheme): hash word 3-grams, keep each 4-window's minimum hash as
@@ -1896,6 +1942,7 @@ object CorpusOps {
     "q104_winnow_pairs" -> (q104 _),
     "q105_cross_rerank" -> (q105 _),
     "q106_ann_append" -> (q106 _),
+    "q133_ann_compact" -> (q133 _),
     "q84_bigram_familiarity" -> (q84 _),
     "q85_pq_ann" -> (q85 _),
     "q86_ann_ivfpq" -> (q86 _),
@@ -1938,6 +1985,7 @@ object CorpusOps {
     // append ≡ rebuild: the grown-index probe must equal q92's
     // from-scratch full scan, so the oracle is the identical SQL
     "q106_ann_append" -> q92Sql,
+    "q133_ann_compact" -> q92Sql,
     "q84_bigram_familiarity" -> q84Sql,
     // q85_pq_ann / q86_ann_ivfpq / q90_ann_rerank intentionally absent:
     // their k-means/PQ TRAINING sums doubles over shuffled groups, so

@@ -159,6 +159,61 @@ class AnnAppendSpec extends SparkSpec {
     assert(Pipeline.readCurrentAnn(dir).get.endsWith("ann-day2"))
   }
 
+  test("compactAnn: one segment, identical index + probes, rollback across it intact") {
+    val dir = tmpDir("ann-compact")
+    val day1 = Similarity.ivfPqIndex(emb(0 until 40), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
+    Pipeline.appendAnn(spark, dir, "day2", emb(40 until 70), "vec_id", "embedding")
+    Pipeline.appendAnn(spark, dir, "day3", emb(70 until 90), "vec_id", "embedding")
+    val preRows = indexRows(pairIndex(dir))
+    val preDay2 = indexRows(Pipeline.readAnnIndex(spark, s"$dir/ann-day2"))
+
+    val compacted = Pipeline.compactAnn(spark, dir, "wk1")
+    assert(Pipeline.readCurrentAnn(dir).get === compacted)
+    // layout: ONE segment, the SAME frozen model reference
+    val (modelRef, segRefs) = Pipeline.readAnnManifest(compacted)
+    assert(modelRef === "_ann_models/model-day1", "compaction must not touch the model")
+    assert(segRefs === Seq("_ann_segments/seg-wk1"))
+    // contents: bit-identical index rows, so probes are identical too
+    assert(indexRows(pairIndex(dir)) === preRows)
+    val model = AnnModel.load(spark, Pipeline.annModelDir(compacted))
+    def probe(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqProbe(emb(0 until 3), ix, "vec_id", "embedding",
+          k = 5, coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val scratch = Similarity.ivfPqIndex(emb(0 until 90), "vec_id", "embedding", coarse, codebooks)
+    assert(probe(pairIndex(dir)) === probe(scratch))
+    // rollback across the compaction: pre-compact manifests still read
+    // their exact segment prefix (old segments are never rewritten)
+    assert(indexRows(Pipeline.readAnnIndex(spark, s"$dir/ann-day2")) === preDay2)
+    Pipeline.flipAnnPointer(dir, "ann-day2", "day2")
+    assert(indexRows(pairIndex(dir)) === preDay2)
+  }
+
+  test("compactAnn on a single-segment pair is a no-op; collision with a retained ref refused") {
+    val dir = tmpDir("ann-compact-noop")
+    val day1 = Similarity.ivfPqIndex(emb(0 until 20), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
+    val live = Pipeline.readCurrentAnn(dir).get
+    // already compact: same dir back, no version burned, nothing written
+    assert(Pipeline.compactAnn(spark, dir, "wk1") === live)
+    assert(!new java.io.File(s"$dir/ann-wk1").exists())
+    // two segments now; a compact under a version whose segment ref a
+    // RETAINED (non-live) manifest holds must refuse — overwriting
+    // seg-day1 would corrupt rollback to ann-day1
+    Pipeline.appendAnn(spark, dir, "day2", emb(20 until 30), "vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.compactAnn(spark, dir, "day1")
+    }
+    assert(e.getMessage.contains("retained manifest already references"))
+    // after GC ages ann-day1 out, retention keeps every segment the
+    // compacted manifest references
+    Pipeline.compactAnn(spark, dir, "wk2", keepHistory = 1)
+    assert(pairIndex(dir).count() === 30)
+    val segs = new java.io.File(s"$dir/_ann_segments").listFiles().map(_.getName).toSet
+    assert(segs === Set("seg-wk2"), s"old segments must GC once unreferenced, got $segs")
+  }
+
   test("appendAnn before the first publish fails loudly") {
     val dir = tmpDir("ann-nopair")
     val e = intercept[IllegalStateException] {
