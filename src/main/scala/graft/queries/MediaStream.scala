@@ -520,7 +520,81 @@ object MediaStream {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q134
+  /** URL canonicalization + URL-level exact dedup — the first dedup a
+    * crawl pipeline runs (the q130 discipline: documents synthesize
+    * deterministically MESSY recrawl-alias URLs — each page id appears
+    * once clean and once with uppercase scheme/host, the default :443
+    * port, shuffled params, a utm_* tracking param, and a fragment —
+    * and the oracle re-derives the FULL canonicalization generically
+    * with SQL regexp/list ops, not the analytic shortcut). Keep-min
+    * per canonical URL: the two aliases of every page must collapse,
+    * so survivors are exactly the even doc_ids. Map-only codegen
+    * rewrite + one groupBy — the 100 TB shape needs nothing else.
+    */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val page = expr("doc_id DIV 2")
+    val url = when(col("doc_id") % 2 === 0,
+      concat(lit("https://www.site"), page % 7, lit(".org/p/"), page, lit("?a=1&b=2")))
+      .otherwise(
+        concat(lit("HTTPS://WWW.SITE"), page % 7, lit(".ORG:443/p/"), page,
+          lit("?b=2&utm_source=x&a=1#frag")))
+    val canon = t(s, dir, "documents")
+      .select(col("doc_id"), Warc.urlCanonical(url).as("canonical_url"))
+    canon.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(
+        col("doc_id"),
+        col("canonical_url"),
+        Warc.registeredDomain(Warc.urlHost(col("canonical_url"))).as("domain"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q134Sql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'https://www.site' || (doc_id // 2) % 7 || '.org/p/' ||
+      |           (doc_id // 2) || '?a=1&b=2'
+      |      ELSE 'HTTPS://WWW.SITE' || (doc_id // 2) % 7 || '.ORG:443/p/' ||
+      |           (doc_id // 2) || '?b=2&utm_source=x&a=1#frag'
+      |    END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport,
+      |    regexp_extract(url, '^[^:]+://[^/?#]*([^#]*)', 1) AS rest
+      |  FROM u),
+      |c2 AS (
+      |  SELECT doc_id, scheme,
+      |    CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |         WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |         ELSE hostport END AS host,
+      |    CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+      |         ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^utm_'))), '&') AS qs
+      |  FROM c),
+      |canon AS (
+      |  SELECT doc_id,
+      |    scheme || '://' || host || path ||
+      |      CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url
+      |  FROM c2),
+      |kept AS (
+      |  SELECT canonical_url, min(doc_id) AS doc_id
+      |  FROM canon GROUP BY canonical_url)
+      |SELECT doc_id, canonical_url,
+      |  regexp_extract(regexp_replace(
+      |    lower(regexp_extract(canonical_url, '^[^:]+://([^/?#]*)', 1)),
+      |    ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain
+      |FROM kept
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q134_url_dedup" -> (q134 _),
     "q130_warc_ingest" -> (q130 _),
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
@@ -536,6 +610,7 @@ object MediaStream {
     "q81_event_dedup" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
+    "q134_url_dedup" -> q134Sql,
     "q130_warc_ingest" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,

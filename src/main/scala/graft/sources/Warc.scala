@@ -178,6 +178,59 @@ object Warc {
     coalesce(regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1), lit(""))
 
   // ------------------------------------------------------------------
+  // URL canonicalization — the FIRST dedup a crawl pipeline runs.
+  // Recrawl aliases (case-variant hosts, default ports, fragments,
+  // tracking params, param order) multiply every page's mass before
+  // content ever decodes; exact dedup over the canonical URL removes
+  // that mass with a map-only codegen'd rewrite + one groupBy — no
+  // content hash, no text extraction. Entirely builtin expressions so
+  // the q134 DuckDB oracle re-derives the same canonicalization with
+  // SQL regexp/list ops.
+  // ------------------------------------------------------------------
+
+  /** Canonical form of a crawl URL: lowercase scheme + host, strip the
+    * scheme's default port, drop the fragment, root empty paths at
+    * '/', drop `utm_*` tracking params and empty params, sort the
+    * surviving query params (param order is transport-insignificant).
+    * Deliberately NOT canonicalized: %-escapes and path dot-segments
+    * (both can be semantic on real servers — over-canonicalizing
+    * merges distinct pages, and a dedup that merges distinct pages is
+    * wrong in the unrecoverable direction).
+    */
+  def urlCanonical(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[^:]+://([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val rest = regexp_extract(url, "^[^:]+://[^/?#]*([^#]*)", 1)
+    val path0 = regexp_extract(rest, "^([^?]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => (p =!= "").and(not(p.rlike("^utm_"))))
+    val qs = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** The URL's host, lowercased, any port stripped — the per-host
+    * grouping key (politeness buckets, per-site caps).
+    */
+  def urlHost(url: Column): Column =
+    regexp_replace(lower(regexp_extract(url, "^[^:]+://([^/?#]*)", 1)), ":\\d+$", "")
+
+  /** Registered domain by the last-two-labels heuristic
+    * ("news.site3.org" -> "site3.org") — the per-SITE key (domain
+    * caps, contamination blocklists). A public-suffix-aware version
+    * needs the PSL, which is external data; the heuristic is exact
+    * for single-label TLDs and documented as such (".co.uk" domains
+    * group one label too high).
+    */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  // ------------------------------------------------------------------
   // Deterministic documents -> WARC adapter (the Media.toPpm
   // discipline): build REAL archives from the documents table so the
   // framing walker and the HTML stripper are hash-gated end-to-end by

@@ -117,4 +117,36 @@ class WarcSpec extends SparkSpec {
       (2L, 200, "Doc 2", "Doc 2 Doc 2 & friends one two lang: de <srcB>"),
       (9L, 200, "Doc 9", "Doc 9 Doc 9 & friends lone doc lang: fr <srcC>")))
   }
+
+  test("urlCanonical: recrawl aliases collapse, distinct pages never merge") {
+    def canon(urls: String*): Seq[String] =
+      urls.toDF("url").select(Warc.urlCanonical(col("url"))).collect()
+        .map(_.getString(0)).toSeq
+    // each alias group canonicalizes to one form
+    assert(canon(
+      "https://www.Site3.org/p/9?a=1&b=2",
+      "HTTPS://WWW.SITE3.ORG:443/p/9?b=2&utm_source=x&a=1#frag",
+      "https://www.site3.org:443/p/9?utm_campaign=y&a=1&b=2#x"
+    ).distinct === Seq("https://www.site3.org/p/9?a=1&b=2"))
+    // scheme-correct default-port strip: :80 only for http, :443 only
+    // for https; a NON-default port survives
+    assert(canon("http://a.org:80/x", "http://a.org:443/x", "https://a.org:8443/")
+      === Seq("http://a.org/x", "http://a.org:443/x", "https://a.org:8443/"))
+    // empty path roots at '/', all-utm query drops the '?' entirely
+    assert(canon("https://a.org", "https://a.org/x?utm_source=f")
+      === Seq("https://a.org/", "https://a.org/x"))
+    // NOT over-canonicalized: %-escapes, dot-segments, case-variant
+    // paths and differing params stay distinct pages
+    assert(canon("https://a.org/x%2Fy", "https://a.org/x/y", "https://a.org/X",
+      "https://a.org/x", "https://a.org/x?a=1", "https://a.org/x?a=2").distinct.size === 6)
+  }
+
+  test("urlHost + registeredDomain: grouping keys for politeness and domain caps") {
+    val got = Seq("https://News.Site3.ORG:8443/p/1", "http://example.com/x")
+      .toDF("url")
+      .select(Warc.urlHost(col("url")).as("h"),
+        Warc.registeredDomain(Warc.urlHost(col("url"))).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("news.site3.org", "site3.org"), ("example.com", "example.com")))
+  }
 }
