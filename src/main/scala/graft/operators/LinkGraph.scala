@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analysis over a crawl — the quality signal crawl
+  * curation ranks domains and pages by (frontier prioritization,
+  * per-page quality weighting a la harmonic centrality over Common
+  * Crawl's host graph; Page et al. 1999 for the recurrence itself).
+  *
+  * Exact-integer discipline (the q84/q108 ppm rule): ranks live in
+  * ppm of the per-node mass (rank₀ = 10⁶), every contribution is a
+  * truncating BIGINT division (`rank DIV out_degree`, then
+  * `(damping · Σ) DIV 10⁶`), so iterations are bit-reproducible
+  * across engines and the q135 DuckDB oracle can unroll them as CTE
+  * levels and hash-match exactly — no float drift, ever. Semantics
+  * pinned by that choice, both deliberately simple and documented:
+  * dangling nodes contribute no mass (truncation PageRank) and the
+  * teleport term is per-node (10⁶ − damping), so total mass is not
+  * conserved — rank ORDER, the signal curation actually uses, is
+  * unaffected.
+  *
+  * 100 TB shape: per iteration, one shuffle joining ranks to edges on
+  * src (production layouts bucket BOTH by src, making it co-located)
+  * and one map-side-combined groupBy dst, then a left join back onto
+  * the node list so zero-in-link nodes keep their teleport rank. The
+  * edge table is read every iteration — at fleet scale persist it
+  * once, partitioned by src. Lineage grows linearly in `iters`;
+  * checkpoint every few iterations when iters is large (quality
+  * signals converge in handfuls — q135 runs 3).
+  */
+object LinkGraph {
+
+  /** `(id, rank_ppm)` after `iters` truncating-integer PageRank
+    * steps. `nodes` must list EVERY node id (isolated pages still
+    * earn teleport rank); `edges(src, dst)` may carry duplicates —
+    * they are collapsed first (a page linking twice votes once).
+    */
+  def pageRankInt(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"dampingPpm must be a ppm fraction, got $dampingPpm")
+    val e = edges.select(col(srcCol).as("__pr_src"), col(dstCol).as("__pr_dst")).distinct()
+    val deg = e.groupBy(col("__pr_src")).agg(count(lit(1)).as("__pr_deg"))
+    val ed = e.join(deg, "__pr_src")
+    val ids = nodes.select(col(idCol).cast("long").as("__pr_id"))
+    var ranks = ids.select(col("__pr_id"), lit(1000000L).as("__pr_rank"))
+    for (_ <- 1 to iters) {
+      // contribution = rank DIV out_degree (SQL string: Spark exposes
+      // integer division only as the DIV operator, and double-divide
+      // + cast loses exactness past 2^53 — a real hub's summed mass)
+      val contribs = ed.join(ranks, col("__pr_src") === col("__pr_id"))
+        .selectExpr("__pr_dst", "__pr_rank DIV __pr_deg AS __pr_c")
+        .groupBy(col("__pr_dst")).agg(sum(col("__pr_c")).as("__pr_s"))
+      ranks = ids
+        .join(contribs, ids("__pr_id") === contribs("__pr_dst"), "left")
+        .selectExpr("__pr_id",
+          s"${1000000L - dampingPpm}L + ($dampingPpm" +
+            "L * coalesce(__pr_s, 0L)) DIV 1000000 AS __pr_rank")
+    }
+    ranks.select(col("__pr_id").as(idCol), col("__pr_rank").as("rank_ppm"))
+  }
+}

@@ -593,8 +593,85 @@ object MediaStream {
       |FROM kept
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q135
+  /** Crawl link graph + integer PageRank, hash-gated end-to-end: each
+    * document renders as a page with three deterministic outlink
+    * anchors (clean / uppercase-host-with-:443-and-fragment / utm-
+    * tracking variants — every messy form q134 canonicalizes), the
+    * edge list is EXTRACTED (extractLinks → urlCanonical → page-id
+    * parse), and LinkGraph.pageRankInt runs 3 truncating-BIGINT
+    * iterations. The oracle derives the edge set analytically from
+    * the same formulas and unrolls the 3 iterations as CTE levels —
+    * passing pins the whole chain: anchor extraction, alias
+    * canonicalization, dedup-to-votes, and every integer division of
+    * the rank recurrence.
+    */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    // corpus size as a broadcast scalar (the scalar-attach idiom):
+    // outlink targets are (doc_id·a + b) mod cnt
+    val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
+    val d1 = (col("doc_id") * 31 + 7) % col("cnt")
+    val d2 = (col("doc_id") * 31 + 14) % col("cnt")
+    val d3 = (col("doc_id") * 17 + 3) % col("cnt")
+    val html = concat(
+      lit("<html><body><a href=\"https://www.site"), d1 % 7,
+      lit(".org/p/"), d1, lit("\">x</a>"),
+      lit("<a class=\"nav\" href=\"HTTPS://WWW.SITE"), d2 % 7,
+      lit(".ORG:443/p/"), d2, lit("#top\">y</a>"),
+      lit("<a href=\"https://www.site"), d3 % 7,
+      lit(".org/p/"), d3, lit("?utm_source=feed\">z</a></body></html>"))
+    val edges = withCnt
+      .select(col("doc_id").as("src"), explode(Warc.extractLinks(html)).as("url"))
+      .select(col("src"),
+        regexp_extract(Warc.urlCanonical(col("url")), "/p/(\\d+)$", 1)
+          .cast("long").as("dst"))
+    val ranks = LinkGraph.pageRankInt(
+      docs.select(col("doc_id")), "doc_id", edges, "src", "dst", iters = 3)
+    val inDeg = edges.distinct()
+      .groupBy(col("dst")).agg(count(lit(1)).as("in_links"))
+      .withColumnRenamed("dst", "doc_id")
+    ranks.join(inDeg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("rank_ppm"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q135Sql = {
+    val levels = (1 to 3).map { i =>
+      val prev = s"r${i - 1}"
+      s"""s$i AS (
+         |  SELECT e.dst AS id, sum($prev.rank // od.deg) AS s
+         |  FROM e JOIN od USING (src) JOIN $prev ON $prev.id = e.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT d.doc_id AS id,
+         |    150000 + (850000 * coalesce(s$i.s, 0)) // 1000000 AS rank
+         |  FROM documents d LEFT JOIN s$i ON s$i.id = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT count(*) AS cnt FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id * 31 + 7) % cnt AS dst FROM documents, n
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 31 + 14) % cnt FROM documents, n
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 17 + 3) % cnt FROM documents, n),
+       |e AS (SELECT DISTINCT src, dst FROM e0),
+       |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank FROM documents),
+       |$levels,
+       |ind AS (SELECT dst, count(*) AS n FROM e GROUP BY dst)
+       |SELECT r3.id AS doc_id, r3.rank AS rank_ppm,
+       |  CAST(coalesce(ind.n, 0) AS BIGINT) AS in_links
+       |FROM r3 LEFT JOIN ind ON ind.dst = r3.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_url_dedup" -> (q134 _),
+    "q135_link_rank" -> (q135 _),
     "q130_warc_ingest" -> (q130 _),
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
@@ -611,6 +688,7 @@ object MediaStream {
 
   val oracle: Map[String, String] = Map(
     "q134_url_dedup" -> q134Sql,
+    "q135_link_rank" -> q135Sql,
     "q130_warc_ingest" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,

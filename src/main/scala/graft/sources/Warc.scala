@@ -220,6 +220,16 @@ object Warc {
   def urlHost(url: Column): Column =
     regexp_replace(lower(regexp_extract(url, "^[^:]+://([^/?#]*)", 1)), ":\\d+$", "")
 
+  /** Every anchor href in an HTML page, document order — the edge
+    * emitter of the crawl link graph (outlinks feed the frontier and
+    * [[graft.operators.LinkGraph]]'s quality ranks). Builtin
+    * `regexp_extract_all`, double-quoted hrefs (the form every
+    * serializer emits); pair with [[urlCanonical]] before using
+    * hrefs as join keys.
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)<a\\s[^>]*href=\"([^\"]+)\""), lit(1))
+
   /** Registered domain by the last-two-labels heuristic
     * ("news.site3.org" -> "site3.org") — the per-SITE key (domain
     * caps, contamination blocklists). A public-suffix-aware version
