@@ -532,18 +532,32 @@ object MediaStream {
     * so survivors are exactly the even doc_ids. Map-only codegen
     * rewrite + one groupBy — the 100 TB shape needs nothing else.
     */
-  private def q134(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.Warc
+  /** The q134/q136 recrawl-alias URL: every page id appears once
+    * clean (even doc_id) and once with uppercase scheme/host, the
+    * default :443, shuffled params, a utm_* param and a fragment (odd
+    * doc_id) — all the mess [[graft.sources.Warc.urlCanonical]]
+    * collapses.
+    */
+  private def messyUrl: org.apache.spark.sql.Column = {
     val page = expr("doc_id DIV 2")
-    val url = when(col("doc_id") % 2 === 0,
+    when(col("doc_id") % 2 === 0,
       concat(lit("https://www.site"), page % 7, lit(".org/p/"), page, lit("?a=1&b=2")))
       .otherwise(
         concat(lit("HTTPS://WWW.SITE"), page % 7, lit(".ORG:443/p/"), page,
           lit("?b=2&utm_source=x&a=1#frag")))
-    val canon = t(s, dir, "documents")
-      .select(col("doc_id"), Warc.urlCanonical(url).as("canonical_url"))
-    canon.groupBy(col("canonical_url"))
+  }
+
+  /** URL-level dedup survivors: keep-min doc_id per canonical URL.
+    * Returns (doc_id, canonical_url).
+    */
+  private def urlSurvivors(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.sources.Warc.urlCanonical(messyUrl).as("canonical_url"))
+      .groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("doc_id"))
+
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    urlSurvivors(t(s, dir, "documents"))
       .select(
         col("doc_id"),
         col("canonical_url"),
@@ -551,8 +565,12 @@ object MediaStream {
       .orderBy(col("doc_id"))
   }
 
-  private val q134Sql =
-    """WITH u AS (
+  /** Shared canonicalization CTEs (q134 + q136): the messy-alias URL
+    * build + the generic canonicalization chain, ending in
+    * kept(canonical_url, doc_id) — the URL-dedup survivors.
+    */
+  private val urlCanonCtes: String =
+    """u AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 2 = 0
       |      THEN 'https://www.site' || (doc_id // 2) % 7 || '.org/p/' ||
@@ -585,13 +603,20 @@ object MediaStream {
       |  FROM c2),
       |kept AS (
       |  SELECT canonical_url, min(doc_id) AS doc_id
-      |  FROM canon GROUP BY canonical_url)
-      |SELECT doc_id, canonical_url,
-      |  regexp_extract(regexp_replace(
+      |  FROM canon GROUP BY canonical_url)""".stripMargin
+
+  /** The registered-domain projection over a canonical URL — the
+    * last-two-labels heuristic mirrored from Warc.registeredDomain.
+    */
+  private val domainSql: String =
+    """regexp_extract(regexp_replace(
       |    lower(regexp_extract(canonical_url, '^[^:]+://([^/?#]*)', 1)),
-      |    ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1) AS domain
-      |FROM kept
-      |ORDER BY doc_id""".stripMargin
+      |    ':[0-9]+$', ''), '([^.]+\.[^.]+)$', 1)""".stripMargin
+
+  private val q134Sql: String =
+    "WITH " + urlCanonCtes + "\n" +
+      "SELECT doc_id, canonical_url,\n  " + domainSql + " AS domain\n" +
+      "FROM kept\nORDER BY doc_id"
 
   // --------------------------------------------------------------- q135
   /** Crawl link graph + integer PageRank, hash-gated end-to-end: each
@@ -606,10 +631,13 @@ object MediaStream {
     * canonicalization, dedup-to-votes, and every integer division of
     * the rank recurrence.
     */
-  private def q135(s: SparkSession, dir: String): DataFrame = {
+  /** The q135/q136 extracted link graph: anchors rendered from the
+    * deterministic outlink formulas, then EXTRACTED back
+    * (extractLinks → urlCanonical → page-id parse). Returns the
+    * (src, dst) edge list, duplicates included (LinkGraph collapses).
+    */
+  private def extractedEdges(docs: DataFrame): DataFrame = {
     import graft.sources.Warc
-    import graft.operators.LinkGraph
-    val docs = t(s, dir, "documents")
     // corpus size as a broadcast scalar (the scalar-attach idiom):
     // outlink targets are (doc_id·a + b) mod cnt
     val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
@@ -623,11 +651,17 @@ object MediaStream {
       lit(".ORG:443/p/"), d2, lit("#top\">y</a>"),
       lit("<a href=\"https://www.site"), d3 % 7,
       lit(".org/p/"), d3, lit("?utm_source=feed\">z</a></body></html>"))
-    val edges = withCnt
+    withCnt
       .select(col("doc_id").as("src"), explode(Warc.extractLinks(html)).as("url"))
       .select(col("src"),
         regexp_extract(Warc.urlCanonical(col("url")), "/p/(\\d+)$", 1)
           .cast("long").as("dst"))
+  }
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    val edges = extractedEdges(docs)
     val ranks = LinkGraph.pageRankInt(
       docs.select(col("doc_id")), "doc_id", edges, "src", "dst", iters = 3)
     val inDeg = edges.distinct()
@@ -639,7 +673,11 @@ object MediaStream {
       .orderBy(col("doc_id"))
   }
 
-  private val q135Sql = {
+  /** Shared rank-chain CTEs (q135 + q136): analytic edge derivation +
+    * 3 unrolled truncating-integer PageRank levels ending in
+    * r3(id, rank).
+    */
+  private val rankGraphCtes: String = {
     val levels = (1 to 3).map { i =>
       val prev = s"r${i - 1}"
       s"""s$i AS (
@@ -651,7 +689,7 @@ object MediaStream {
          |    150000 + (850000 * coalesce(s$i.s, 0)) // 1000000 AS rank
          |  FROM documents d LEFT JOIN s$i ON s$i.id = d.doc_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH n AS (SELECT count(*) AS cnt FROM documents),
+    s"""n AS (SELECT count(*) AS cnt FROM documents),
        |e0 AS (
        |  SELECT doc_id AS src, (doc_id * 31 + 7) % cnt AS dst FROM documents, n
        |  UNION ALL
@@ -661,17 +699,101 @@ object MediaStream {
        |e AS (SELECT DISTINCT src, dst FROM e0),
        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
        |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank FROM documents),
-       |$levels,
+       |$levels""".stripMargin
+  }
+
+  private val q135Sql =
+    s"""WITH $rankGraphCtes,
        |ind AS (SELECT dst, count(*) AS n FROM e GROUP BY dst)
        |SELECT r3.id AS doc_id, r3.rank AS rank_ppm,
        |  CAST(coalesce(ind.n, 0) AS BIGINT) AS in_links
        |FROM r3 LEFT JOIN ind ON ind.dst = r3.id
        |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q136
+  /** The composed crawl-curation pipeline — q115's composition
+    * discipline applied to the crawl side. Five oracle-gated stages,
+    * chained exactly as a crawl→training-corpus run orders them:
+    *
+    *   S1 WARC ingest + HTML text extraction      (q130's chain)
+    *   S2 URL-level dedup over recrawl aliases    (q134)
+    *   S3 link-rank floor over the FULL graph     (q135; rank needs
+    *      every edge, so rank computes before survivor filtering)
+    *   S4 extracted-text length floor             (quality family)
+    *   S5 per-domain cap, bounded-state           (q114's aggregator)
+    *
+    * Output: per-domain survivor budget. The oracle re-derives all
+    * five stages from the SAME CTE fragments the stage oracles use —
+    * a drift in any one stage's semantics breaks this hash even if
+    * that stage's own gate is somehow green.
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    import graft.operators.{LinkGraph, Quality}
+    val docs = t(s, dir, "documents")
+    // S1: real archives -> Content-Length framing -> extracted text
+    val recs = Warc.parseArchives(Warc.toWarcArchives(docs), "archive_id", "bytes")
+      .filter(col("ok") && col("warc_type") === "response")
+      .select(
+        regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long").as("doc_id"),
+        Warc.htmlText(col("payload")).as("text"))
+    // S2: URL-dedup survivors + the per-site key
+    val kept = urlSurvivors(docs)
+      .select(col("doc_id"),
+        Warc.registeredDomain(Warc.urlHost(col("canonical_url"))).as("domain"))
+    // S3: link rank over the whole graph, thresholded
+    val ranks = LinkGraph.pageRankInt(
+      docs.select(col("doc_id")), "doc_id", extractedEdges(docs), "src", "dst", iters = 3)
+    // S4: extracted-text word floor (consumes S1's output — the
+    // parse is load-bearing, not decoration)
+    val sel = kept
+      .join(ranks.filter(col("rank_ppm") >= 300000), Seq("doc_id"))
+      .join(recs.filter(size(split(col("text"), " ")) >= 15).select(col("doc_id")),
+        Seq("doc_id"))
+    // S5: per-domain cap via the bounded-state aggregator
+    val capped = sel.join(
+      Quality.capPerGroup(sel, "domain", "doc_id", cap = 25).select(col("doc_id")),
+      Seq("doc_id"))
+    capped.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("rank_ppm")).as("tot_rank_ppm"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("domain"))
   }
+
+  private val q136Sql: String =
+    "WITH " + urlCanonCtes + ",\n" + rankGraphCtes + ",\n" +
+      """txt AS (
+        |  SELECT doc_id,
+        |    len(string_split('Doc ' || doc_id || ' Doc ' || doc_id || ' & friends ' ||
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+        |      ' lang: ' || lang || ' <' || source || '>', ' ')) AS n_words
+        |  FROM documents),
+        |dom AS (
+        |  SELECT doc_id, """.stripMargin + domainSql + """ AS domain FROM kept),
+        |sel AS (
+        |  SELECT d.doc_id, d.domain, r3.rank AS rank_ppm
+        |  FROM dom d
+        |  JOIN r3 ON r3.id = d.doc_id
+        |  JOIN txt ON txt.doc_id = d.doc_id
+        |  WHERE r3.rank >= 300000 AND txt.n_words >= 15),
+        |h AS (
+        |  SELECT *, CAST(concat('0x', substring(md5(concat('cap|',
+        |    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 4503599627370496 AS hv
+        |  FROM sel),
+        |capped AS (
+        |  SELECT doc_id, domain, rank_ppm FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY domain ORDER BY hv, doc_id) AS rn
+        |    FROM h) WHERE rn <= 25)
+        |SELECT domain, count(*) AS n_kept,
+        |  CAST(sum(rank_ppm) AS BIGINT) AS tot_rank_ppm,
+        |  min(doc_id) AS first_doc
+        |FROM capped GROUP BY domain ORDER BY domain""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_url_dedup" -> (q134 _),
     "q135_link_rank" -> (q135 _),
+    "q136_crawl_curation" -> (q136 _),
     "q130_warc_ingest" -> (q130 _),
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
@@ -689,6 +811,7 @@ object MediaStream {
   val oracle: Map[String, String] = Map(
     "q134_url_dedup" -> q134Sql,
     "q135_link_rank" -> q135Sql,
+    "q136_crawl_curation" -> q136Sql,
     "q130_warc_ingest" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,

@@ -366,4 +366,32 @@ class PlanSpec extends SparkSpec {
     // offsets rejoin via broadcast — the corpus never re-shuffles on blk
     assert(p.contains("BroadcastHashJoin"), "offsets join is not broadcast")
   }
+
+  test("q134 URL dedup: map-only canonicalize + one keep-min groupBy, no window, no join") {
+    val p = plan("q134_url_dedup")
+    assert(!p.contains("Window"), "URL dedup should not need a window")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "URL dedup should be join-free: canonicalize is a projection, dedup one groupBy")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "keep-min groupBy lost its partial (map-side) phase")
+  }
+
+  test("q135 link rank: no cartesian, no global window; rank recurrence is joins + aggs") {
+    val p = plan("q135_link_rank")
+    assert(!p.contains("CartesianProduct"),
+      "link graph degenerated to all-pairs — the scalar-attach must broadcast")
+    assert(!p.contains("Window"), "PageRank must not use windows")
+    // per-iteration partial aggregation on the contribution sums
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "contribution agg lost map-side combine")
+  }
+
+  test("q136 crawl curation: composed chain keeps every stage keyed — no cartesian, no window") {
+    val p = plan("q136_crawl_curation")
+    assert(!p.contains("CartesianProduct"))
+    // the per-domain cap is the bounded-state aggregator, not a window
+    assert(!p.contains("Window"), "domain cap degraded to a window sort")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "TopKAggregator stage missing from the cap")
+  }
 }
