@@ -19,5 +19,17 @@ object CalibProbe {
     calibrate()
     val samples = Seq(calibrate(), calibrate(), calibrate())
     println(f"[calib] min=${samples.min}%.3f samples=${samples.map(s => f"$s%.3f").mkString(",")}")
+    // width sweep: the same workload on k threads at once — what does
+    // THIS box's idle all-cores median actually read? (r14: deciding
+    // whether the quiet gate's 1.15 median bound is achievable here)
+    for (k <- Seq(8, 16, 24, 32)) {
+      val times = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val threads = (0 until k).map(_ => new Thread(() => { times.add(calibrate()) }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      import scala.jdk.CollectionConverters._
+      val s = times.asScala.toSeq.sorted
+      println(f"[calib-mt] k=$k median=${s(s.size / 2)}%.3f max=${s.last}%.3f " +
+        f"ratio_med=${s(s.size / 2) / samples.min}%.2f ratio_max=${s.last / samples.min}%.2f")
+    }
   }
 }

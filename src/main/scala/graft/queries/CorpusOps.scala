@@ -1868,11 +1868,18 @@ object CorpusOps {
     * text -> vectors -> neighbors composition.
     */
   private def q131(s: SparkSession, dir: String): DataFrame = {
-    val vecs = graft.operators.Encode.encodeWithModel(
-      t(s, dir, "documents"), "doc_id", "text",
-      new graft.operators.Encode.HashingTrickEncoder(dims = 16))
-    Similarity.cosineTopK(vecs.filter(col("doc_id") % 97 === 0), vecs,
-        "doc_id", "embedding", k = 5)
+    val docs = t(s, dir, "documents")
+    val enc = new graft.operators.Encode.HashingTrickEncoder(dims = 16)
+    val corpus = graft.operators.Encode.encodeWithModel(docs, "doc_id", "text", enc)
+    // filter BEFORE the encode on the query side: the mapPartitions
+    // model boundary is an object-serialization barrier Catalyst
+    // cannot push a predicate through, so filtering the encoded frame
+    // would re-encode the WHOLE corpus for the 1%-of-docs query side
+    // (encodeWithModel is deterministic per doc — EncodeSpec's
+    // partitioning-invariance pin is what makes this rewrite safe)
+    val queries = graft.operators.Encode.encodeWithModel(
+      docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", enc)
+    Similarity.cosineTopK(queries, corpus, "doc_id", "embedding", k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
 
