@@ -152,6 +152,29 @@ object Warc {
         .select(col("path"), col("content")),
       "path", "content")
 
+  /** Streaming twin of [[readRecords]] — the production crawl-ingest
+    * loop: a fetcher drops finished archives into `dir`, the pipeline
+    * tails it. File-source checkpointing gives exactly-once framing
+    * per archive; `Trigger.AvailableNow` turns the same query into a
+    * batch-like catch-up run (the reference's poll-and-reprocess
+    * loop, Spark-native). Same parser, same row contract as the batch
+    * path — WarcSpec pins stream ≡ batch on the fixture.
+    */
+  def streamRecords(spark: SparkSession, dir: String): DataFrame = {
+    // streaming file sources require the schema up front; binaryFile's
+    // is fixed by the format (path, modificationTime, length, content)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    parseArchives(
+      spark.readStream.format("binaryFile").schema(schema).load(dir)
+        .select(col("path"), col("content")),
+      "path", "content")
+  }
+
   /** HTML boilerplate strip → clean text, entirely in codegen'd
     * builtin expressions (no UDF): drop script/style subtrees and
     * comments, replace every remaining tag with a space, decode the

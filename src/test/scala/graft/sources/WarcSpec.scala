@@ -141,6 +141,30 @@ class WarcSpec extends SparkSpec {
       "https://a.org/x", "https://a.org/x?a=1", "https://a.org/x?a=2").distinct.size === 6)
   }
 
+  test("streamRecords ≡ readRecords: the tailing ingest loop frames identically") {
+    // stage the fixture as a drop directory, drain with AvailableNow
+    val dropDir = tmpDir("warc-drop")
+    val chk = tmpDir("warc-chk")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(fixture),
+      java.nio.file.Paths.get(dropDir, "batch-0.warc"))
+    val q = Warc.streamRecords(spark, dropDir)
+      .writeStream.format("memory").queryName("warc_stream_out")
+      .option("checkpointLocation", chk)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("rec_index", "ok", "error", "warc_type", "record_id",
+          "target_uri", "content_length", "http_status", "http_content_type", "payload")
+        .orderBy(col("rec_index"))
+        .collect().map(_.toSeq).toSeq
+    val streamed = canon(spark.table("warc_stream_out"))
+    val batch = canon(Warc.readRecords(spark, fixture))
+    assert(streamed === batch)
+    assert(streamed.length === 5)
+  }
+
   test("urlHost + registeredDomain: grouping keys for politeness and domain caps") {
     val got = Seq("https://News.Site3.ORG:8443/p/1", "http://example.com/x")
       .toDF("url")
