@@ -626,4 +626,53 @@ object Quality {
       .select(col("grp").as(groupCol), (col("pos") + 1).cast("int").as("rank"),
         col("doc_id"))
   }
+
+  /** KMV (bottom-k / k-minimum-values) distinct-cardinality estimate
+    * per group — Bar-Yossef et al. 2002, the third member of the
+    * exact-sketch family (MG heavy hitters, Bloom decontamination):
+    * like those, the sketch itself is DETERMINISTIC given the hash,
+    * so the q137 DuckDB oracle recomputes the identical estimate and
+    * the gate is hash-exact — no tolerance bands.
+    *
+    * Estimator: hash each distinct value into [0, 2⁵²) (md5-60
+    * folded — 2⁵² so `(k−1)·M` stays inside a BIGINT at k ≤ 2048),
+    * keep the k smallest; if the group has ≥ k distinct values,
+    * estimate = (k−1)·M DIV h_k (truncating BIGINT division, h_k the
+    * k-th smallest, floored at 1 against the ~k/2⁵² zero-hash case);
+    * below k the bottom-k set IS the exact answer. Standard error
+    * ~1/√(k−2) — k=64 ≈ 13%, k=256 ≈ 6%.
+    *
+    * Scale shape: one distinct on (group, hash) — map-side partial
+    * distinct shrinks it before the exchange — then the bounded
+    * TopKAggregator (k-sized state, map-side combine; bottom-k =
+    * top-k of the negated hash, the capPerGroup machinery). The
+    * sketch is mergeable (union of bottom-k sets → bottom-k), which
+    * is what makes it the cardinality monitor for ingest batches at
+    * 100 TB: groups never hold more than k values anywhere.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 2048, s"k must be in [2, 2048], got $k")
+    val m = 1L << 52
+    val hv = pmod(TextFunctions.hash60(
+      concat(lit("kmv|"), col(valueCol))), lit(m))
+    val bottom = df
+      .select(col(groupCol).as("grp"), hv.as("hv"))
+      .distinct()
+      .groupBy(col("grp"))
+      .agg(graft.functions.TopKAggregator.topK(k)(
+        -col("hv").cast("double"), col("hv")).as("top"))
+      .select(col("grp").as(groupCol), col("top.top_ids").as("bottom"))
+    // (k−1)·M DIV h_k via the SQL DIV operator: Column `/` is double
+    // division and (k−1)·M exceeds 2⁵³ — the quotient must stay exact
+    bottom.selectExpr(
+      groupCol,
+      "CAST(size(bottom) AS BIGINT) AS n_sketch",
+      s"CAST(CASE WHEN size(bottom) < $k THEN size(bottom) " +
+        s"ELSE ${(k - 1).toLong * m}L DIV greatest(element_at(bottom, $k), 1L) " +
+        "END AS BIGINT) AS distinct_est")
+  }
 }

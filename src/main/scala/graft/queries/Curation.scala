@@ -574,6 +574,47 @@ object Curation {
        |SELECT term, cnt FROM c, tot WHERE cnt * 32 > total
        |ORDER BY cnt DESC, term""".stripMargin
 
+  // --------------------------------------------------------------- q137
+  /** KMV distinct-cardinality estimates per source
+    * (Quality.kmvDistinct) next to the exact counts — the cardinality
+    * member of the exact-sketch family (q119 MG, q116 Bloom). The
+    * sketch is deterministic given the hash, so the oracle recomputes
+    * the IDENTICAL bottom-64 estimate (row_number over the distinct
+    * hash space + the same (k−1)·M // h_k truncating division) and
+    * the gate is hash-exact — the estimator's ~13% error band is a
+    * property both engines reproduce bit-for-bit, not a tolerance.
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val terms = t(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val exact = terms.groupBy(col("source"))
+      .agg(countDistinct(col("term")).as("n_exact"))
+    Quality.kmvDistinct(terms, "source", "term", k = 64)
+      .join(exact, Seq("source"))
+      .select(col("source"), col("n_exact"), col("distinct_est"))
+      .orderBy(col("source"))
+  }
+
+  private val q137Sql =
+    s"""WITH tk AS (SELECT source, unnest($toksSql) AS term FROM documents),
+       |dh AS (SELECT DISTINCT source,
+       |  CAST(concat('0x', substring(md5('kmv|' || term), 1, 15)) AS BIGINT)
+       |    % 4503599627370496 AS hv
+       |  FROM tk),
+       |rk AS (SELECT source, hv,
+       |         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+       |       FROM dh),
+       |agg AS (SELECT source, count(*) AS n_in_k,
+       |          max(CASE WHEN rn = 64 THEN hv END) AS hk
+       |        FROM rk WHERE rn <= 64 GROUP BY source),
+       |ex AS (SELECT source, count(DISTINCT term) AS n_exact FROM tk GROUP BY source)
+       |SELECT e.source, CAST(e.n_exact AS BIGINT) AS n_exact,
+       |  CAST(CASE WHEN a.n_in_k < 64 THEN a.n_in_k
+       |       ELSE 283726776524341248 // greatest(a.hk, 1) END AS BIGINT) AS distinct_est
+       |FROM ex e JOIN agg a ON a.source = e.source
+       |ORDER BY e.source""".stripMargin
+
   // --------------------------------------------------------------- q124
   /** Incremental heavy hitters — the q101 production-loop discipline
     * applied to the q119 sketch: two ingest batches (doc_id parity)
@@ -631,6 +672,7 @@ object Curation {
     "q116_bloom_decontaminate" -> (q116 _),
     "q118_corpus_drift" -> (q118 _),
     "q119_heavy_hitters" -> (q119 _),
+    "q137_kmv_distinct" -> (q137 _),
     "q124_hh_increment" -> (q124 _),
     "q125_bloom_index_increment" -> (q125 _),
     "q65_repetition_signals" -> (q65 _),
@@ -652,6 +694,7 @@ object Curation {
     "q116_bloom_decontaminate" -> q116Sql,
     "q118_corpus_drift" -> q118Sql,
     "q119_heavy_hitters" -> q119Sql,
+    "q137_kmv_distinct" -> q137Sql,
     "q124_hh_increment" -> q119Sql,
     "q125_bloom_index_increment" -> q116Sql,
     "q65_repetition_signals" -> q65Sql,

@@ -136,4 +136,33 @@ class QualitySpec extends SparkSpec {
       .select("term").as[String].collect().toSet
     assert(terms === Set("hot"))
   }
+
+  test("kmvDistinct: below k the estimate IS the exact count; duplicates never inflate") {
+    import spark.implicits._
+    val vals = Seq("a", "b", "c", "a", "a", "b").map(("g1", _)) ++
+      Seq("x").map(("g2", _))
+    val byGrp = Quality.kmvDistinct(vals.toDF("grp", "v"), "grp", "v", k = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(byGrp === Map("g1" -> ((3L, 3L)), "g2" -> ((1L, 1L))))
+  }
+
+  test("kmvDistinct: estimate lands in the k=64 error band and is partitioning-invariant") {
+    import spark.implicits._
+    val n = 5000
+    val df = (0 until n).map(i => ("g", s"val-$i")).toDF("grp", "v")
+    def est(d: org.apache.spark.sql.DataFrame): Long =
+      Quality.kmvDistinct(d, "grp", "v", k = 64).collect()(0).getLong(2)
+    val e1 = est(df)
+    // ~1/sqrt(62) ≈ 13% standard error; allow 4 sigma
+    assert(math.abs(e1 - n) < 0.52 * n, s"estimate $e1 outside the error band for $n")
+    // partitioning and duplication change nothing: the sketch is a
+    // pure function of the distinct value set
+    assert(est(df.repartition(17)) === e1)
+    assert(est(df.union(df)) === e1)
+    // mergeability: bottom-k of (A ∪ B) == bottom-k over the union
+    // frame — split halves and re-union
+    val a = df.filter(expr("substring(v, 5) % 2 = 0"))
+    val b = df.filter(expr("substring(v, 5) % 2 = 1"))
+    assert(est(a.unionByName(b)) === e1)
+  }
 }
