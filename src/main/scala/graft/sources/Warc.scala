@@ -92,6 +92,11 @@ object Warc {
       }.toMap
       headers.get("content-length").flatMap(_.toLongOption) match {
         case None => err("warc: missing Content-Length"); return out.toSeq
+        // a negative length parses (toLongOption accepts "-5") but
+        // would reach new String(data, start, -5) and KILL the task —
+        // the malformed-records-become-error-rows contract forbids that
+        case Some(clen) if clen < 0 =>
+          err(s"warc: negative Content-Length ($clen)"); return out.toSeq
         case Some(clen) =>
           val bodyStart = blank + 4
           if (bodyStart + clen > data.length) {

@@ -82,6 +82,18 @@ class WarcSpec extends SparkSpec {
     assert(r(0).getAs[String]("error").contains("truncated"))
   }
 
+  test("negative Content-Length becomes an error row, not a task failure") {
+    // "-5".toLongOption parses — without the guard this reaches
+    // new String(data, start, -5) and kills the task
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -5\r\n\r\nbody"
+      ).getBytes("UTF-8")
+    val r = Warc.parseArchives(
+      Seq(("bad", bad)).toDF("name", "bytes"), "name", "bytes").collect()
+    assert(r.length === 1)
+    assert(!r(0).getAs[Boolean]("ok"))
+    assert(r(0).getAs[String]("error").contains("negative Content-Length"))
+  }
+
   test("a valid prefix is preserved when a later record is malformed") {
     val good = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture)), "UTF-8")
