@@ -522,6 +522,34 @@ object Pipeline {
     dir
   }
 
+  /** Idempotent per-batch absorb for STREAMING ingest loops
+    * ([[graft.streaming.EventStreams.annIngestStream]]): appendAnn
+    * keyed by micro-batch id, SKIPPING batches the live manifest
+    * already references — foreachBatch is at-least-once on
+    * failure/replay, and without the skip a replayed batch would trip
+    * appendAnn's fresh-version require and crash-loop the stream (or,
+    * without THAT require, silently duplicate its vectors). The
+    * incrementalDedupStream / heavyHittersIncrement batch_id
+    * discipline applied to the index artifact. Returns the live pair
+    * dir either way. Bootstrap contract: a pair must exist
+    * ([[publishAnn]] — in production the weekly retrain), because a
+    * frozen model is what makes per-batch encode O(batch).
+    */
+  def absorbAnnBatch(
+      spark: SparkSession,
+      publishDir: String,
+      batchId: Long,
+      newVecs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      vecCol: String,
+      keepHistory: Int = 5): String = {
+    val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
+      s"absorbAnnBatch: no current ANN pair under $publishDir — publishAnn must run first"))
+    val (_, segRefs) = readAnnManifest(cur)
+    if (segRefs.contains(s"$AnnSegmentStore/seg-batch-$batchId")) cur
+    else appendAnn(spark, publishDir, s"batch-$batchId", newVecs, idCol, vecCol, keepHistory)
+  }
+
   /** Atomically point `ann_current.json` at an already-written
     * versioned pair dir (both halves committed). Flipping BACK to an
     * older dir is the rollback: index and model revert together.

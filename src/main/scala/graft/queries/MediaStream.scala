@@ -710,6 +710,70 @@ object MediaStream {
        |FROM r3 LEFT JOIN ind ON ind.dst = r3.id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q138
+  /** Domain-level link analysis — graph CONDENSATION, the shape link
+    * quality actually computes at corpus scale: the page graph
+    * (billions of nodes) collapses to the domain graph (millions)
+    * by grouping both endpoints, page-link multiplicity becomes the
+    * edge weight, and weighted integer PageRank runs on the condensed
+    * graph at a vanishing fraction of the page-level cost. A page's
+    * domain is where its URL lives (site{id mod 7} — the same
+    * placement the q135 anchors use). Oracle unrolls the weighted
+    * recurrence `(rank·w) DIV W_src` exactly.
+    */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    // condense: dedup'd page edges -> weighted domain edges
+    val de = extractedEdges(docs).distinct()
+      .select((col("src") % 7).as("sd"), (col("dst") % 7).as("dd"))
+      .groupBy(col("sd"), col("dd")).agg(count(lit(1)).as("w"))
+    val nodes = docs.select((col("doc_id") % 7).as("dom")).distinct()
+    val ranks = LinkGraph.pageRankWeightedInt(
+      nodes, "dom", de, "sd", "dd", "w", iters = 3)
+    val pages = docs.groupBy((col("doc_id") % 7).as("dom"))
+      .agg(count(lit(1)).as("n_pages"))
+    ranks.join(pages, Seq("dom"))
+      .select(concat(lit("site"), col("dom")).as("domain"),
+        col("rank_ppm"), col("n_pages"))
+      .orderBy(col("domain"))
+  }
+
+  private val q138Sql = {
+    val levels = (1 to 3).map { i =>
+      val prev = s"w${i - 1}"
+      s"""t$i AS (
+         |  SELECT de.dd AS id,
+         |    CAST(sum(($prev.rank * de.w) // wt.wt) AS BIGINT) AS s
+         |  FROM de JOIN wt USING (sd) JOIN $prev ON $prev.id = de.sd
+         |  GROUP BY de.dd),
+         |w$i AS (
+         |  SELECT nd.dom AS id,
+         |    CAST(150000 + (850000 * coalesce(t$i.s, 0)) // 1000000 AS BIGINT) AS rank
+         |  FROM nd LEFT JOIN t$i ON t$i.id = nd.dom)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT count(*) AS cnt FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id * 31 + 7) % cnt AS dst FROM documents, n
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 31 + 14) % cnt FROM documents, n
+       |  UNION ALL
+       |  SELECT doc_id, (doc_id * 17 + 3) % cnt FROM documents, n),
+       |e AS (SELECT DISTINCT src, dst FROM e0),
+       |de AS (SELECT src % 7 AS sd, dst % 7 AS dd,
+       |         CAST(count(*) AS BIGINT) AS w
+       |       FROM e GROUP BY src % 7, dst % 7),
+       |wt AS (SELECT sd, CAST(sum(w) AS BIGINT) AS wt FROM de GROUP BY sd),
+       |nd AS (SELECT DISTINCT doc_id % 7 AS dom FROM documents),
+       |w0 AS (SELECT dom AS id, CAST(1000000 AS BIGINT) AS rank FROM nd),
+       |$levels,
+       |pg AS (SELECT doc_id % 7 AS dom, CAST(count(*) AS BIGINT) AS n_pages
+       |       FROM documents GROUP BY doc_id % 7)
+       |SELECT 'site' || w3.id AS domain, w3.rank AS rank_ppm, pg.n_pages
+       |FROM w3 JOIN pg ON pg.dom = w3.id
+       |ORDER BY domain""".stripMargin
+  }
+
   // --------------------------------------------------------------- q136
   /** The composed crawl-curation pipeline — q115's composition
     * discipline applied to the crawl side. Five oracle-gated stages,
@@ -794,6 +858,7 @@ object MediaStream {
     "q134_url_dedup" -> (q134 _),
     "q135_link_rank" -> (q135 _),
     "q136_crawl_curation" -> (q136 _),
+    "q138_domain_rank" -> (q138 _),
     "q130_warc_ingest" -> (q130 _),
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
@@ -812,6 +877,7 @@ object MediaStream {
     "q134_url_dedup" -> q134Sql,
     "q135_link_rank" -> q135Sql,
     "q136_crawl_curation" -> q136Sql,
+    "q138_domain_rank" -> q138Sql,
     "q130_warc_ingest" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,

@@ -341,6 +341,37 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming ANN ingest — the full production loop composed from
+    * gated parts: each micro-batch of documents is ENCODED through the
+    * batched model boundary ([[graft.operators.Encode.encodeWithModel]])
+    * and ABSORBED into the versioned segmented index
+    * ([[graft.changesets.Pipeline.absorbAnnBatch]] → one O(batch)
+    * delta segment + manifest under the live pair's FROZEN model).
+    * Delivery: at-least-once replay absorbs a batch once (the segment
+    * ref is the commit record — absorbAnnBatch skips ids the live
+    * manifest already references). Bootstrap: [[graft.changesets.Pipeline.publishAnn]]
+    * must have published a pair (the weekly retrain); the stream pays
+    * only per-batch encode + delta writes forever after.
+    */
+  def annIngestStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      encoder: graft.operators.Encode.BatchEncoder,
+      publishDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val vecs = graft.operators.Encode.encodeWithModel(
+            batch.toDF(), idCol, textCol, encoder)
+          graft.changesets.Pipeline.absorbAnnBatch(
+            batch.sparkSession, publishDir, batchId, vecs, idCol, "embedding"): Unit
+        }
+      }
+      .start()
+
   /** File-source stream over a directory of parquet drops — the
     * Spark-native version of the reference's poll-and-reprocess loop
     * (checkpointed, exactly-once, Trigger.AvailableNow for batch-like

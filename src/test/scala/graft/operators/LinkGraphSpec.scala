@@ -47,6 +47,27 @@ class LinkGraphSpec extends SparkSpec {
     assert(iso(0L) === 150000L) // no in-links either — same teleport floor
   }
 
+  test("weighted rank matches the hand computation; duplicate edges sum into the weight") {
+    // nodes {0,1,2}; weighted edges 0→1 w=3, 0→2 w=1, 1→2 w=5.
+    // W₀ = 4, W₁ = 5.
+    // iter1: c(1) = 10⁶·3 DIV 4 = 750000, c(2) = 10⁶·1 DIV 4 + 10⁶·5 DIV 5
+    //        = 250000 + 10⁶ = 1250000
+    //        r = [150000, 787500, 1212500]
+    //   (787500 = 150000 + 850000·750000 DIV 10⁶;
+    //    1212500 = 150000 + 850000·1250000 DIV 10⁶)
+    val n = nodes(0, 1, 2)
+    val e = Seq((0L, 1L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 5L))
+      .toDF("src", "dst", "w") // 0→1 appears twice: 2 + 1 = w 3
+    val r = LinkGraph.pageRankWeightedInt(n, "id", e, "src", "dst", "w", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 150000L, 1L -> 787500L, 2L -> 1212500L))
+    // uniform weights degenerate to the unweighted recurrence
+    val uw = Seq((0L, 1L, 1L), (0L, 2L, 1L), (1L, 2L, 1L)).toDF("src", "dst", "w")
+    val rw = LinkGraph.pageRankWeightedInt(n, "id", uw, "src", "dst", "w", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rw === Map(0L -> 150000L, 1L -> 213750L, 2L -> 702500L))
+  }
+
   test("self-loops and damping bounds behave deterministically") {
     // a pure self-loop node feeds itself: r1 = 150000 + 850000·10⁶ DIV 10⁶
     val r = ranks(nodes(0), edges(0L -> 0L), iters = 1)
