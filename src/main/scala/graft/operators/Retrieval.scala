@@ -65,4 +65,46 @@ object Retrieval {
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.i").as("doc_id"), col("col.v").cast("long").as("score"))
   }
+
+  /** Positional postings (doc_id, pos, term) — the phrase-query
+    * sibling of [[postings]]: keeps token positions so adjacency is
+    * queryable. One posexplode, no shuffle; in production stored once
+    * next to the tf postings.
+    */
+  def positionalPostings(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+
+  /** Exact phrase search: per-document occurrence counts of each
+    * phrase (consecutive-token match after the standard tokenizer).
+    * The classic positional-index plan: the phrase's first term
+    * anchors, each later term joins on `(doc_id, pos − i)` — k−1
+    * equi-joins whose left side only ever holds the anchor term's
+    * postings (term literals push into the postings scan; a phrase's
+    * cost is the df of its RAREST prefix, not the corpus). Returns
+    * (phrase, doc_id, n_occurrences), documents with ≥ 1 match only.
+    */
+  def phraseSearch(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    val post = positionalPostings(corpus, idCol, textCol)
+    phrases.map { phrase =>
+      val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      require(terms.nonEmpty, s"phrase tokenizes to nothing: '$phrase'")
+      val anchor = post.filter(col("term") === terms(0))
+        .select(col("doc_id"), col("pos").as("base"))
+      val matched = terms.zipWithIndex.drop(1).foldLeft(anchor) { case (acc, (t, i)) =>
+        acc.join(
+          post.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - i).as("base")),
+          Seq("doc_id", "base"))
+      }
+      matched.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .select(lit(phrase).as("phrase"), col("doc_id"), col("n_occurrences"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -736,6 +736,47 @@ object TextAnalytics {
 
   private val q126Sql = q126SqlAt(97)
 
+  // --------------------------------------------------------------- q139
+  /** Exact phrase search over positional postings
+    * (Retrieval.phraseSearch): per-document occurrence counts for a
+    * fixed phrase list — one two-term, one with a rare third term,
+    * one containing a repeated token (adjacency must use POSITIONS,
+    * not bag-of-words membership; 'table table' over a doc with
+    * non-adjacent tables is the case a tf-postings emulation gets
+    * wrong). Oracle chains the same (doc, pos − i) self-joins on the
+    * tokenized corpus.
+    */
+  private val q139Phrases = Seq("table hash", "slow key part", "table table")
+
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.phraseSearch(
+        t(s, dir, "documents"), "doc_id", "text", q139Phrases)
+      .orderBy(col("phrase"), col("doc_id"))
+
+  private val q139Sql = {
+    val per = q139Phrases.zipWithIndex.map { case (ph, pi) =>
+      val ts = ph.split(" ")
+      val joins = ts.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN tkp t$i ON t$i.doc_id = p.doc_id AND t$i.pos = p.pos + $i AND t$i.term = '$t'"
+      }.mkString("\n  ")
+      s"""m$pi AS (
+         |  SELECT '$ph' AS phrase, p.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_occurrences
+         |  FROM tkp p
+         |  $joins
+         |  WHERE p.term = '${ts(0)}'
+         |  GROUP BY p.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tkp AS (SELECT doc_id, unnest(toks) AS term,
+       |          generate_subscripts(toks, 1) AS pos
+       |        FROM tk),
+       |$per
+       |SELECT * FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1
+       |               UNION ALL SELECT * FROM m2)
+       |ORDER BY phrase, doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q127
   /** Retrieval-quality report — q100's recall discipline applied to
     * the lexical searcher: queries are the doc_id % 29 split (wider
@@ -790,6 +831,7 @@ object TextAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
+    "q139_phrase_search" -> (q139 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
     "q112_dsir_frozen_score" -> (q112 _),
@@ -810,6 +852,7 @@ object TextAnalytics {
   val oracle: Map[String, String] = Map(
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
+    "q139_phrase_search" -> q139Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,
     "q112_dsir_frozen_score" -> q112Sql,

@@ -57,4 +57,26 @@ class RetrievalSpec extends SparkSpec {
         .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toList
     assert(run(corpus.repartition(1)) === run(corpus.repartition(7)))
   }
+
+  test("phraseSearch: adjacency by POSITION — bag-of-words co-occurrence is not a match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),        // "quick brown" once
+      (2L, "brown then later quick appears"),   // both words, never adjacent
+      (3L, "quick brown quick brown end"),      // twice
+      (4L, "table table table stop"),           // repeated token: 2 adjacent pairs
+      (5L, "table stop table stop table")       // 3 tables, none adjacent
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq("quick brown", "table table"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      ("quick brown", 1L, 1L),
+      ("quick brown", 3L, 2L),
+      ("table table", 4L, 2L)))
+    // tokenizer parity: punctuation/case fold exactly like the index
+    val cased = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("Quick, BROWN!"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(cased === Set((1L, 1L), (3L, 2L)))
+  }
 }
