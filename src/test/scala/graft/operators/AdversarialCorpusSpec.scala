@@ -161,4 +161,55 @@ class AdversarialCorpusSpec extends SparkSpec {
     val bench = docs.filter(col("doc_id") === 0)
     assert(Quality.decontaminateBloomKeep(docs, bench, "doc_id", "text", n = 5).count() === 0L)
   }
+
+  test("all-aliased URL corpus: canonicalization collapses to ONE survivor, never zero") {
+    import graft.sources.Warc
+    // every row is a different alias spelling of the SAME page
+    val urls = Seq(
+      "https://www.site.org/p/1?a=1&b=2",
+      "HTTPS://WWW.SITE.ORG/p/1?a=1&b=2",
+      "https://www.site.org:443/p/1?b=2&a=1",
+      "https://www.site.org/p/1?a=1&utm_source=x&b=2#frag",
+      "HTTPS://www.Site.org:443/p/1?utm_campaign=y&b=2&a=1#z")
+    val docs = urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+    val canon = docs.select(Warc.urlCanonical(col("url")).as("c")).distinct().collect()
+    assert(canon.length === 1)
+    assert(canon(0).getString(0) === "https://www.site.org/p/1?a=1&b=2")
+  }
+
+  test("link rank on degenerate graphs: complete self-loop graph and a star hub stay exact") {
+    // every node links only to itself: rank is a fixpoint at 10^6
+    val n = 20L
+    val selfNodes = (0L until n).toDF("id")
+    val selfEdges = (0L until n).map(i => (i, i)).toDF("src", "dst")
+    val self = LinkGraph.pageRankInt(selfNodes, "id", selfEdges, "src", "dst", iters = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(self === Set(1000000L))
+    // star: everyone links to node 0 — the hub absorbs all mass,
+    // spokes hold the teleport floor; exact values after 1 iter
+    val starEdges = (1L until n).map(i => (i, 0L)).toDF("src", "dst")
+    val star = LinkGraph.pageRankInt(selfNodes, "id", starEdges, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star(0L) === 150000L + 850000L * (n - 1)) // (n-1)·10⁶ contribs, DIV exact
+    assert((1L until n).forall(star(_) === 150000L))
+  }
+
+  test("phrase search on an all-identical corpus: counts scale with positions, not pairs") {
+    // every doc is the phrase repeated: occurrence count per doc is
+    // positions-1 (overlapping matches), never a cross-doc blow-up
+    val docs = (0L until 30L).map(i => (i, "table table table table")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, "doc_id", "text", Seq("table table"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.length === 30)
+    assert(got.forall(_._2 === 3L))
+  }
+
+  test("KMV on a single-value corpus and an empty group column stays exact and bounded") {
+    val one = (0L until 100L).map(i => ("g", "same")).toDF("grp", "v")
+    val got = Quality.kmvDistinct(one, "grp", "v", k = 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(got === ((1L, 1L))) // 100 duplicate rows -> 1 distinct, exact below k
+    val none = one.filter(col("grp") =!= "g")
+    assert(Quality.kmvDistinct(none, "grp", "v", k = 16).count() === 0L)
+  }
 }
