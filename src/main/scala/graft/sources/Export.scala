@@ -68,4 +68,47 @@ object Export {
     val d = new java.io.File(outDir)
     Option(d.listFiles()).toSeq.flatten.count(_.getName.startsWith("shard="))
   }
+
+  /** [[writeShards]] plus the catalog a data loader actually consumes:
+    * `manifest.json` in `outDir` recording the replay recipe (seed,
+    * rowsPerShard), the totals, and the per-shard row counts in shard
+    * order — so an epoch scheduler sizes itself without listing or
+    * footer-reading thousands of shard files, and a re-export is
+    * verifiable by manifest diff alone (same corpus + seed ⇒
+    * byte-identical manifest). Manifest commits LAST via temp + atomic
+    * move (the [[graft.changesets.Pipeline]] artifact rule: a crash
+    * mid-export leaves data files but no manifest — an incomplete
+    * export is never mistaken for a committed one).
+    */
+  def writeShardsWithManifest(
+      docs: DataFrame,
+      idCol: String,
+      outDir: String,
+      seed: Long,
+      rowsPerShard: Long): Int = {
+    val n = writeShards(docs, idCol, outDir, seed, rowsPerShard)
+    val spark = docs.sparkSession
+    val perShard = spark.read.parquet(outDir)
+      .groupBy(col("shard")).agg(count(lit(1)).as("rows"))
+      .orderBy(col("shard"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val total = perShard.map(_._2).sum
+    val shardJson = perShard
+      .map { case (s, r) => s"""{"shard": $s, "rows": $r}""" }
+      .mkString("[", ", ", "]")
+    val json =
+      s"""{
+         |  "seed": $seed,
+         |  "rows_per_shard": $rowsPerShard,
+         |  "n_shards": $n,
+         |  "total_rows": $total,
+         |  "shards": $shardJson
+         |}""".stripMargin
+    val tmp = java.nio.file.Paths.get(outDir, ".manifest.json.tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outDir, "manifest.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    n
+  }
 }

@@ -76,4 +76,25 @@ class ExportSpec extends SparkSpec {
     val b = export(tmpDir("export-det-b") + "/data")
     assert(a === b)
   }
+
+  test("manifest records the replay recipe and exact per-shard counts; re-export is manifest-identical") {
+    val out = tmpDir("export-manifest") + "/data"
+    val n = Export.writeShardsWithManifest(docs(130), "doc_id", out,
+      seed = 7L, rowsPerShard = 32L)
+    assert(n === 5)
+    val json = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "manifest.json"))
+    assert(json.contains("\"seed\": 7"))
+    assert(json.contains("\"rows_per_shard\": 32"))
+    assert(json.contains("\"n_shards\": 5"))
+    assert(json.contains("\"total_rows\": 130"))
+    assert(json.contains("""{"shard": 4, "rows": 2}"""))
+    // same corpus + same recipe -> byte-identical manifest (the
+    // re-export verification a loader fleet actually does)
+    val out2 = tmpDir("export-manifest-b") + "/data"
+    Export.writeShardsWithManifest(docs(130), "doc_id", out2,
+      seed = 7L, rowsPerShard = 32L)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out2, "manifest.json")) === json)
+  }
 }
