@@ -774,6 +774,59 @@ object MediaStream {
        |ORDER BY domain""".stripMargin
   }
 
+  // --------------------------------------------------------------- q140
+  /** Format roundtrip identity — upgrades the beyond-parquet sources
+    * (sources.Formats: CSV / JSON-lines / ORC) from spec-gated to
+    * ORACLE-gated: documents write through each format's sink, read
+    * back through its schema-first FAILFAST reader, and reduce to one
+    * checksum row per format (row count, key sums, and a content
+    * checksum summing a 40-bit fold of md5(text|lang|source) — any
+    * quoting/escaping/encoding corruption moves it). The oracle
+    * computes the same row from the parquet table directly, so the
+    * gate pins roundtrip ≡ identity for every format.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Formats
+    val docs = t(s, dir, "documents")
+    val base = java.nio.file.Files.createTempDirectory("q140-fmt").toString
+    def leg(fmt: String): DataFrame = {
+      val p = s"$base/$fmt"
+      val back = fmt match {
+        case "csv" => Formats.writeCsv(docs, p); Formats.readCsv(s, p, docs.schema)
+        case "json" => Formats.writeJsonLines(docs, p); Formats.readJsonLines(s, p, docs.schema)
+        case _ => Formats.writeOrc(docs, p); Formats.readOrc(s, p, docs.schema)
+      }
+      back.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(pmod(graft.functions.TextFunctions.hash60(
+          concat_ws("|", col("text"), col("lang"), col("source"))), lit(1L << 40)))
+          .as("content_sum"))
+        .select(lit(fmt).as("format"), col("*"))
+    }
+    // materialize before deleting the temp dirs (the q106 discipline:
+    // the read-back IS the operator under test)
+    val out = Seq("csv", "json", "orc").map(leg).reduce(_.unionByName(_))
+      .orderBy(col("format")).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    out
+  }
+
+  private val q140Sql =
+    """WITH chk AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(doc_id) AS BIGINT) AS sum_id,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    CAST(sum(CAST(concat('0x', substring(md5(text || '|' || lang || '|' || source),
+      |      1, 15)) AS BIGINT) % 1099511627776) AS BIGINT) AS content_sum
+      |  FROM documents)
+      |SELECT f.format, chk.* FROM (VALUES ('csv'), ('json'), ('orc')) f(format), chk
+      |ORDER BY f.format""".stripMargin
+
   // --------------------------------------------------------------- q136
   /** The composed crawl-curation pipeline — q115's composition
     * discipline applied to the crawl side. Five oracle-gated stages,
@@ -859,6 +912,7 @@ object MediaStream {
     "q135_link_rank" -> (q135 _),
     "q136_crawl_curation" -> (q136 _),
     "q138_domain_rank" -> (q138 _),
+    "q140_format_roundtrip" -> (q140 _),
     "q130_warc_ingest" -> (q130 _),
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
@@ -878,6 +932,7 @@ object MediaStream {
     "q135_link_rank" -> q135Sql,
     "q136_crawl_curation" -> q136Sql,
     "q138_domain_rank" -> q138Sql,
+    "q140_format_roundtrip" -> q140Sql,
     "q130_warc_ingest" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,
