@@ -827,6 +827,55 @@ object MediaStream {
       |SELECT f.format, chk.* FROM (VALUES ('csv'), ('json'), ('orc')) f(format), chk
       |ORDER BY f.format""".stripMargin
 
+  // --------------------------------------------------------------- q141
+  /** Markdown text extraction (Warc.markdownText), hash-gated the
+    * q130 way: documents render as markdown exercising every strip
+    * rule — header, blockquote, list markers, bold emphasis, inline
+    * code, link AND image payloads, a horizontal rule, and a fenced
+    * code block embedding a literal 'WARC/1.0' line (fences must DROP
+    * as boilerplate) — and the oracle applies the IDENTICAL
+    * RE2-compatible regexp chain in DuckDB (every pattern chosen
+    * backreference-free for exactly this mirror), so the gate pins
+    * each rule and their order.
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val md = concat(
+      lit("# Doc "), col("doc_id"),
+      lit("\n\n> quoted summary\n\n- item one\n- item "), col("doc_id") % 5,
+      lit("\n\n**"), col("text"),
+      lit("** with a [link](https://www.site"), col("doc_id") % 7,
+      lit(".org/p/"), col("doc_id"),
+      lit(") and `code "), col("lang"),
+      lit("` plus ![logo](http://img/x.png)\n\n---\n\n```\nWARC/1.0 fenced "),
+      col("source"), lit("\n```\n"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), Warc.markdownText(md).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q141Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    '# Doc ' || doc_id || e'\n\n> quoted summary\n\n- item one\n- item ' ||
+      |    doc_id % 5 || e'\n\n**' || text || '** with a [link](https://www.site' ||
+      |    doc_id % 7 || '.org/p/' || doc_id || ') and `code ' || lang ||
+      |    e'` plus ![logo](http://img/x.png)\n\n---\n\n```\nWARC/1.0 fenced ' ||
+      |    source || e'\n```\n' AS md
+      |  FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(md, '(?s)```.*?```', ' ', 'g') AS t FROM m),
+      |s2 AS (SELECT doc_id, regexp_replace(t, '`([^`]*)`', ' \1 ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t, '!\[([^\]]*)\]\([^)]*\)', ' \1 ', 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', ' \1 ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*([-*_]\s*){3,}$', ' ', 'g') AS t FROM s4),
+      |s6 AS (SELECT doc_id, regexp_replace(t, '(?m)^#{1,6}\s*', ' ', 'g') AS t FROM s5),
+      |s7 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*>\s?', ' ', 'g') AS t FROM s6),
+      |s8 AS (SELECT doc_id, regexp_replace(t, '(?m)^\s*([-*+]|[0-9]+\.)\s+', ' ', 'g') AS t FROM s7),
+      |s9 AS (SELECT doc_id, regexp_replace(t, '[*_]+', ' ', 'g') AS t FROM s8)
+      |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text
+      |FROM s9
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q136
   /** The composed crawl-curation pipeline — q115's composition
     * discipline applied to the crawl side. Five oracle-gated stages,
@@ -913,6 +962,7 @@ object MediaStream {
     "q136_crawl_curation" -> (q136 _),
     "q138_domain_rank" -> (q138 _),
     "q140_format_roundtrip" -> (q140 _),
+    "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
@@ -933,6 +983,7 @@ object MediaStream {
     "q136_crawl_curation" -> q136Sql,
     "q138_domain_rank" -> q138Sql,
     "q140_format_roundtrip" -> q140Sql,
+    "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,

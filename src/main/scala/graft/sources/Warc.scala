@@ -198,6 +198,31 @@ object Warc {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** Markdown boilerplate strip → clean text — the [[htmlText]]
+    * sibling for the other markup a crawl carries in volume (READMEs,
+    * forums, docs sites). Builtin regexp only, and every pattern is
+    * RE2-compatible (no backreferences, no lookaround) so the q141
+    * DuckDB oracle applies the IDENTICAL chain: fenced code blocks
+    * drop (boilerplate, like script/style in HTML), inline code and
+    * link/image texts keep their payload, header/quote/list markers
+    * and horizontal rules strip, emphasis runs of `*`/`_` strip as
+    * marker characters (documented cost: a literal snake_case
+    * underscore also strips — acceptable for a quality/dedup
+    * front-end, wrong for a renderer, which this is not).
+    */
+  def markdownText(md: Column): Column = {
+    val noFence = regexp_replace(md, "(?s)```.*?```", " ")
+    val inlineCode = regexp_replace(noFence, "`([^`]*)`", " $1 ")
+    val images = regexp_replace(inlineCode, "!\\[([^\\]]*)\\]\\([^)]*\\)", " $1 ")
+    val links = regexp_replace(images, "\\[([^\\]]*)\\]\\([^)]*\\)", " $1 ")
+    val hr = regexp_replace(links, "(?m)^\\s*([-*_]\\s*){3,}$", " ")
+    val headers = regexp_replace(hr, "(?m)^#{1,6}\\s*", " ")
+    val quotes = regexp_replace(headers, "(?m)^\\s*>\\s?", " ")
+    val lists = regexp_replace(quotes, "(?m)^\\s*([-*+]|[0-9]+\\.)\\s+", " ")
+    val emphasis = regexp_replace(lists, "[*_]+", " ")
+    trim(regexp_replace(emphasis, "\\s+", " "))
+  }
+
   /** The document title, or '' when absent — kept separate from
     * [[htmlText]] because curation pipelines weight titles differently
     * from body text.

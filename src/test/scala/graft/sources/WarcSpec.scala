@@ -177,6 +177,20 @@ class WarcSpec extends SparkSpec {
     assert(streamed.length === 5)
   }
 
+  test("markdownText: every strip rule, hand-asserted") {
+    def strip(md: String): String =
+      Seq(md).toDF("m").select(Warc.markdownText(col("m"))).head().getString(0)
+    assert(strip("# Title\n\nbody **bold** _em_ text") === "Title body bold em text")
+    assert(strip("pre\n```\nfenced WARC/1.0 code\n```\npost") === "pre post")
+    assert(strip("see [the docs](https://x.org/d) and ![alt text](i.png)")
+      === "see the docs and alt text")
+    assert(strip("> quoted\n- one\n- two\n3. three") === "quoted one two three")
+    assert(strip("above\n---\nbelow") === "above below")
+    assert(strip("`inline code` kept") === "inline code kept")
+    // the documented emphasis-strip cost: literal underscores strip too
+    assert(strip("snake_case word") === "snake case word")
+  }
+
   test("urlHost + registeredDomain: grouping keys for politeness and domain caps") {
     val got = Seq("https://News.Site3.ORG:8443/p/1", "http://example.com/x")
       .toDF("url")
