@@ -67,11 +67,26 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            exp = con.sql(sql).df()
-            got = con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            exp_rel = con.sql(sql)
+            got_rel = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            # Type-strict pre-check: the driver hashes TYPED values, so a
+            # DuckDB HUGEINT/DECIMAL oracle vs a Spark BIGINT/DOUBLE result
+            # fails the real gate even when every value matches (q79 r7,
+            # q135 r14). pandas coerces those away — compare relation types
+            # BEFORE materializing through pandas.
+            exp_types = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+            got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+            exp = exp_rel.df()
+            got = got_rel.df()
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        if exp_types != got_types and set(exp_types) == set(got_types):
+            drift = {c: (exp_types[c], got_types[c])
+                     for c in exp_types if exp_types[c] != got_types[c]}
+            print(f"FAIL {name}: dtype drift oracle-vs-spark {drift}")
             n_fail += 1
             continue
         exp, got = canon(exp), canon(got)

@@ -129,10 +129,8 @@ object Bench {
     final case class QRun(sec: Double, runs: Seq[Double], residualBytes: Long)
     def sweep(dir: String, primary: Boolean): Seq[(String, QRun)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        if (primary) {
-          once(name, dir, fn) // warm: codegen compile, JIT, IO caches
-          System.gc() // don't bill this query for its predecessor's garbage
-        }
+        once(name, dir, fn) // warm: codegen compile, JIT, IO caches
+        System.gc() // don't bill this query for its predecessor's garbage
         val t1 = once(name, dir, fn)
         // adaptive re-measure (scaladoc): only >= 1 s queries earn a
         // second run; min-of-2 there is identical to the old discipline
@@ -145,13 +143,14 @@ object Bench {
       }
 
     // primary SF: warm + adaptive min (steady state, noise-robust for
-    // the heavies). Second scale point: single UNWARMED measurement —
-    // codegen/JIT are already hot from the primary sweep (codegen is
-    // keyed on the generated plan, not the input path), and the sf2
-    // point exists to separate fixed overhead from data-proportional
-    // cost across the 10x step; parquet-footer reads on the tiny sf2
-    // files ARE part of the fixed cost it measures. Dropping sf2's
-    // warm pass halves that half of the job.
+    // the heavies). Second scale point: warm + single measurement.
+    // BOTH scales warm: the r14 "diet" that dropped sf2's warm pass
+    // assumed codegen is keyed on the plan, but at sf0.01 AQE plans
+    // DIFFERENTLY (broadcast joins, coalesced stages), so the sf2 pass
+    // paid first-compile per query — total_sf2 205 s vs 114 s primary,
+    // 51 spurious scale inversions (r14 verdict wrong #3). One warm
+    // run restores the fixed-cost signal; dropping sf2's SECOND
+    // measured run keeps half the diet's savings.
     val results = sweep(sfDir, primary = true)
     val results2 =
       if (new java.io.File(sfDir2).isDirectory && sfDir2 != sfDir)

@@ -285,12 +285,14 @@ object Pipeline {
     * atomic move like the pointers.
     */
   private def writeAnnManifest(pairDir: String, modelRef: String,
-      segmentRefs: Seq[String], version: String): Unit = {
+      segmentRefs: Seq[String], version: String,
+      absorbed: Seq[Long] = Seq.empty): Unit = {
     Files.createDirectories(Paths.get(pairDir))
     val json =
       s"""{
          |  "model": ${jsonStr(modelRef)},
          |  "segments": [${segmentRefs.map(jsonStr).mkString(", ")}],
+         |  "absorbed": [${absorbed.sorted.mkString(", ")}],
          |  "source_version": ${jsonStr(version)}
          |}""".stripMargin
     val tmp = Paths.get(pairDir, ".manifest.json.tmp")
@@ -318,6 +320,23 @@ object Pipeline {
         throw new IllegalStateException(s"manifest at $pairDir names no segments"))
     val refs = "\"([^\"]+)\"".r.findAllMatchIn(segs).map(_.group(1)).toSeq
     (model, refs)
+  }
+
+  /** The micro-batch ids a pair's manifest records as absorbed — the
+    * commit record [[absorbAnnBatch]]'s idempotence skip checks.
+    * Carried FORWARD by append and compact (compaction rewrites the
+    * segment list, so "does the live manifest name seg-batch-N" stops
+    * being evidence of absorption the moment a compact lands — the r14
+    * advisor's crash-loop scenario). Absent field (pre-r15 manifests)
+    * reads as empty.
+    */
+  def readAnnAbsorbed(pairDir: String): Set[Long] = {
+    val p = Paths.get(pairDir, "manifest.json")
+    if (!Files.exists(p)) return Set.empty
+    "\"absorbed\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(Files.readString(p))
+      .map(m => "-?\\d+".r.findAllIn(m.group(1)).map(_.toLong).toSet)
+      .getOrElse(Set.empty)
   }
 
   /** The model dir a pair's manifest names — the read half of the
@@ -414,24 +433,28 @@ object Pipeline {
       newVecs: org.apache.spark.sql.DataFrame,
       idCol: String,
       vecCol: String,
-      keepHistory: Int = 5): String = {
+      keepHistory: Int = 5,
+      absorbBatchId: Option[Long] = None): String = {
     val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
       s"appendAnn: no current ANN pair under $publishDir — publishAnn must run first"))
     val (modelRef, segRefs) = readAnnManifest(cur)
     val v = safeVersion(sourceVersion)
     // segments are immutable: a version token that resolves to the
-    // live pair — or to ANY segment the live manifest references —
-    // would overwrite data a committed manifest depends on. Fail
-    // loudly; an idempotent re-run of the same day must bump the
-    // version.
+    // live pair — or to ANY segment a RETAINED manifest references
+    // (not just the live one: after a compaction the live manifest
+    // names one seg-<v>, but pre-compact manifests still reference the
+    // old segments for byte-exact rollback, and mode(overwrite) would
+    // destroy them) — would overwrite data a committed manifest
+    // depends on. Fail loudly; an idempotent re-run of the same day
+    // must bump the version.
     require(s"ann-$v" != new java.io.File(cur).getName,
       s"appendAnn: sourceVersion '$sourceVersion' resolves to the live pair dir " +
         s"'$cur' — appending would overwrite the index it is reading. " +
         "Use a fresh version token per append.")
     val segRef = s"$AnnSegmentStore/seg-$v"
-    require(!segRefs.contains(segRef),
+    require(!annReferencedRefs(publishDir).contains(segRef),
       s"appendAnn: sourceVersion '$sourceVersion' resolves to segment '$segRef', " +
-        s"which the live manifest at $cur already references — overwriting an " +
+        s"which a retained manifest already references — overwriting an " +
         "immutable segment would corrupt every version built on it. " +
         "Use a fresh version token per append.")
     val model = graft.operators.AnnModel.load(spark, s"$publishDir/$modelRef")
@@ -457,7 +480,8 @@ object Pipeline {
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$publishDir/$segRef")
     val dirName = s"ann-$v"
     val dir = s"$publishDir/$dirName"
-    writeAnnManifest(dir, modelRef, segRefs :+ segRef, sourceVersion)
+    writeAnnManifest(dir, modelRef, segRefs :+ segRef, sourceVersion,
+      absorbed = (readAnnAbsorbed(cur) ++ absorbBatchId).toSeq)
     flipAnnPointer(publishDir, dirName, sourceVersion)
     applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
     dir
@@ -516,7 +540,11 @@ object Pipeline {
       .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$publishDir/$segRef")
     val dirName = s"ann-$v"
     val dir = s"$publishDir/$dirName"
-    writeAnnManifest(dir, modelRef, Seq(segRef), sourceVersion)
+    // absorbed batch ids survive the segment rewrite: they are the
+    // absorb protocol's commit record, and compaction must not make
+    // an at-least-once replay look like a fresh batch
+    writeAnnManifest(dir, modelRef, Seq(segRef), sourceVersion,
+      absorbed = readAnnAbsorbed(cur).toSeq)
     flipAnnPointer(publishDir, dirName, sourceVersion)
     applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
     dir
@@ -546,8 +574,16 @@ object Pipeline {
     val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
       s"absorbAnnBatch: no current ANN pair under $publishDir — publishAnn must run first"))
     val (_, segRefs) = readAnnManifest(cur)
-    if (segRefs.contains(s"$AnnSegmentStore/seg-batch-$batchId")) cur
-    else appendAnn(spark, publishDir, s"batch-$batchId", newVecs, idCol, vecCol, keepHistory)
+    // skip on the DURABLE commit record (the manifest's absorbed-id
+    // set, carried through append AND compact), not the segment list:
+    // after a compactAnn the live manifest names one seg-<v>, and a
+    // segment-list check would let a replayed batch through to
+    // appendAnn's duplicate-id require — crash-looping the stream.
+    // The segRefs check stays for pre-absorbed-field manifests.
+    if (readAnnAbsorbed(cur).contains(batchId) ||
+        segRefs.contains(s"$AnnSegmentStore/seg-batch-$batchId")) cur
+    else appendAnn(spark, publishDir, s"batch-$batchId", newVecs, idCol, vecCol,
+      keepHistory, absorbBatchId = Some(batchId))
   }
 
   /** Atomically point `ann_current.json` at an already-written

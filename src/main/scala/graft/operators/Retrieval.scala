@@ -92,7 +92,11 @@ object Retrieval {
     require(phrases.nonEmpty, "phrases must be non-empty")
     val post = positionalPostings(corpus, idCol, textCol)
     phrases.map { phrase =>
-      val terms = phrase.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      // Locale.ROOT matches Spark's locale-independent lower() in the
+      // postings — a Turkish-default JVM lowercases 'I' to 'ı' and a
+      // phrase containing it would never match the index
+      val terms = phrase.toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").filter(_.nonEmpty)
       require(terms.nonEmpty, s"phrase tokenizes to nothing: '$phrase'")
       val anchor = post.filter(col("term") === terms(0))
         .select(col("doc_id"), col("pos").as("base"))

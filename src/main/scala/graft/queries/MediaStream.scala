@@ -681,12 +681,12 @@ object MediaStream {
     val levels = (1 to 3).map { i =>
       val prev = s"r${i - 1}"
       s"""s$i AS (
-         |  SELECT e.dst AS id, sum($prev.rank // od.deg) AS s
+         |  SELECT e.dst AS id, CAST(sum($prev.rank // od.deg) AS BIGINT) AS s
          |  FROM e JOIN od USING (src) JOIN $prev ON $prev.id = e.src
          |  GROUP BY e.dst),
          |r$i AS (
          |  SELECT d.doc_id AS id,
-         |    150000 + (850000 * coalesce(s$i.s, 0)) // 1000000 AS rank
+         |    CAST(150000 + (850000 * coalesce(s$i.s, 0)) // 1000000 AS BIGINT) AS rank
          |  FROM documents d LEFT JOIN s$i ON s$i.id = d.doc_id)""".stripMargin
     }.mkString(",\n")
     s"""n AS (SELECT count(*) AS cnt FROM documents),
@@ -800,8 +800,11 @@ object MediaStream {
         count(lit(1)).as("n_rows"),
         sum(col("doc_id")).as("sum_id"),
         sum(col("n_chars")).as("sum_chars"),
+        // concat, not concat_ws: null-PROPAGATING like the oracle's
+        // '||', so a null cell drops the row from both sums instead of
+        // silently vanishing on the Spark side only (r14 advice)
         sum(pmod(graft.functions.TextFunctions.hash60(
-          concat_ws("|", col("text"), col("lang"), col("source"))), lit(1L << 40)))
+          concat(col("text"), lit("|"), col("lang"), lit("|"), col("source"))), lit(1L << 40)))
           .as("content_sum"))
         .select(lit(fmt).as("format"), col("*"))
     }

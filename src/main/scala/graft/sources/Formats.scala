@@ -28,6 +28,16 @@ object Formats {
     val base = spark.read
       .option("header", header.toString)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      // roundtrip-exact null/empty discipline (see writeCsv): \N is
+      // null, quoted-empty is the empty string — without the pin Spark
+      // reads both back as null and a writeCsv→readCsv cycle silently
+      // conflates them. multiLine so quoted embedded newlines survive;
+      // multiLine parsing is per-file, which is fine because writeCsv
+      // emits one file per partition — the parallelism is the file
+      // count, not intra-file splits.
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
+      .option("multiLine", "true")
     val withMode =
       if (permissive)
         base.schema(withCorrupt(schema)).option("mode", "PERMISSIVE")
@@ -40,6 +50,10 @@ object Formats {
     df.write.mode("overwrite")
       .option("header", header.toString)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+      // null → \N on disk (emptyValue stays the default quoted ""), so
+      // the readCsv pin above can tell null from empty string — CSV's
+      // classic lossy corner, closed at both ends of the roundtrip
+      .option("nullValue", "\\N")
       .csv(path)
 
   def readJsonLines(
