@@ -474,11 +474,11 @@ object MediaStream {
     * tear each record at the embedded marker and shift every
     * downstream field).
     */
-  private def q130(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q130/q142 tail: framed records → per-doc extraction rows. */
+  private def warcIngestRows(archives: DataFrame): DataFrame = {
     import graft.sources.Warc
-    val recs = Warc.parseArchives(
-      Warc.toWarcArchives(t(s, dir, "documents")), "archive_id", "bytes")
-    recs.filter(col("ok") && col("warc_type") === "response")
+    Warc.parseArchives(archives, "archive_id", "bytes")
+      .filter(col("ok") && col("warc_type") === "response")
       .select(
         regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long").as("doc_id"),
         col("target_uri"),
@@ -489,6 +489,24 @@ object MediaStream {
         Warc.htmlText(col("payload")).as("text"))
       .orderBy(col("doc_id"))
   }
+
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    warcIngestRows(graft.sources.Warc.toWarcArchives(t(s, dir, "documents")))
+
+  // --------------------------------------------------------------- q142
+  /** `.warc.gz` ingestion — the compressed-container path, hash-gated:
+    * the SAME archives as q130 but with every record compressed as its
+    * own gzip member (the Common Crawl layout, and the crawl analog of
+    * the reference's multistream-bz2 sniff,
+    * /root/reference/src/main.rs:431-433), decoded by
+    * [[graft.sources.Warc.gunzipMembers]]'s member walk before
+    * Content-Length framing. The oracle is q130's verbatim — the gate
+    * pins decode ∘ compress ≡ identity end-to-end through the whole
+    * extraction, so a framing shift, a member dropped by the walk, or
+    * a sniff miss all hash-fail.
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    warcIngestRows(graft.sources.Warc.toWarcArchivesGz(t(s, dir, "documents")))
 
   private val q130Sql = {
     val crlf = "chr(13) || chr(10)"
@@ -967,6 +985,7 @@ object MediaStream {
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
+    "q142_warc_gzip" -> (q142 _),
     "q121_image_near_dup" -> (q121 _),
     "q123_image_dedup_apply" -> (q123 _),
     "q129_audio_near_dup" -> (q129 _),
@@ -988,6 +1007,7 @@ object MediaStream {
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,
+    "q142_warc_gzip" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q123_image_dedup_apply" -> q123Sql,
     "q129_audio_near_dup" -> q129Sql,

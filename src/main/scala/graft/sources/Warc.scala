@@ -134,8 +134,50 @@ object Warc {
     out.toSeq
   }
 
+  /** Decode a gzip archive of CONCATENATED MEMBERS — the layout real
+    * Common Crawl WARCs ship (one gzip member per record, members
+    * back-to-back in one `.warc.gz` file), and the crawl analog of the
+    * reference's multistream bz2 sniff
+    * (/root/reference/src/main.rs:431-433 wraps a MultiBzDecoder the
+    * same way: the compression container holds many independent
+    * streams; decoding them in sequence yields the plain concatenated
+    * bytes). JDK-only: `GZIPInputStream` walks trailing members
+    * itself — after each member's trailer it probes for another
+    * header and continues, so one read loop drains every member.
+    * Decompressing all members restores exactly the uncompressed
+    * archive, and [[parseArchiveBytes]]'s Content-Length framing
+    * applies unchanged.
+    */
+  def gunzipMembers(data: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data), 1 << 16)
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+    val buf = new Array[Byte](1 << 16)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Compress bytes as ONE gzip member (fixture/adapter side of
+    * [[gunzipMembers]] — concatenating these per record reproduces the
+    * Common Crawl `.warc.gz` member-per-record layout).
+    */
+  def gzipMember(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  private val GzMagic0 = 0x1F.toByte
+  private val GzMagic1 = 0x8B.toByte
+
   /** Frame a column of archive bytes into records: one input row per
     * archive, exploded map-side — no shuffle, per-record O(1) state.
+    * Archives whose first two bytes are the gzip magic decode through
+    * [[gunzipMembers]] first (sniff-then-decode, the reference's `.bz2`
+    * handling); a corrupt gzip container becomes ONE error row for the
+    * archive — framing inside it is unknowable — never a task failure.
     */
   def parseArchives(archives: DataFrame, nameCol: String, bytesCol: String): DataFrame = {
     val spark = archives.sparkSession
@@ -143,7 +185,16 @@ object Warc {
     archives
       .select(col(nameCol).cast("string").as("a"), col(bytesCol).as("b"))
       .as[(String, Array[Byte])]
-      .flatMap { case (a, b) => parseArchiveBytes(a, b) }
+      .flatMap { case (a, b) =>
+        if (b.length >= 2 && b(0) == GzMagic0 && b(1) == GzMagic1) {
+          try parseArchiveBytes(a, gunzipMembers(b))
+          catch {
+            case e: java.io.IOException =>
+              Seq(WarcRecord(a, 0, ok = false,
+                s"warc: gzip decode failed: ${e.getMessage}", "", "", "", -1L, -1, "", ""))
+          }
+        } else parseArchiveBytes(a, b)
+      }
       .toDF()
   }
 
@@ -346,4 +397,33 @@ object Warc {
       .agg(array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("rec")))),
         e => e.getField("rec")), "").as("archive"))
       .select(col("archive_id"), encode(col("archive"), "UTF-8").as("bytes"))
+
+  /** The `.warc.gz` twin of [[toWarcArchives]]: each record compressed
+    * as its OWN gzip member, members concatenated in doc_id order —
+    * byte-faithful to the Common Crawl layout (member-per-record is
+    * what makes real archives seekable via an offset index; here it
+    * exercises [[gunzipMembers]]' multi-member walk, not just a
+    * whole-file inflate). Same grouping, same record strings; q142
+    * hash-gates decode ≡ plain against the q130 oracle.
+    */
+  def toWarcArchivesGz(docs: DataFrame, nArchives: Int = 7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      (col("doc_id") % nArchives).as("archive_id"),
+      col("doc_id"),
+      record(col("doc_id"),
+        pageHtml(col("doc_id"), col("text"), col("lang"), col("source"))).as("rec"))
+      .select(col("archive_id"), col("doc_id"), col("rec"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (aid, rows) =>
+        val members = rows.toSeq.sortBy(_._2)
+          .map(r => gzipMember(r._3.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        val out = new java.io.ByteArrayOutputStream(members.map(_.length).sum)
+        members.foreach(out.write)
+        (aid, out.toByteArray)
+      }
+      .toDF("archive_id", "bytes")
+  }
 }

@@ -130,6 +130,49 @@ class WarcSpec extends SparkSpec {
       (9L, 200, "Doc 9", "Doc 9 Doc 9 & friends lone doc lang: fr <srcC>")))
   }
 
+  test(".warc.gz frames to the same rows as its uncompressed twin (multi-member walk)") {
+    val plain = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(fixture))
+    // two members split at an ARBITRARY byte offset (not a record
+    // boundary): members are a compression container, decode must
+    // concatenate them before framing — a per-member framing attempt
+    // would tear the record straddling the split
+    val cut = plain.length / 2
+    val gz = Warc.gzipMember(plain.take(cut)) ++ Warc.gzipMember(plain.drop(cut))
+    val dir = tmpDir("warc-gz")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "fixture.warc.gz"), gz)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("rec_index", "ok", "error", "warc_type", "record_id",
+          "target_uri", "content_length", "http_status", "http_content_type", "payload")
+        .orderBy(col("rec_index")).collect().map(_.toSeq).toSeq
+    assert(canon(Warc.readRecords(spark, s"$dir/fixture.warc.gz"))
+      === canon(Warc.readRecords(spark, fixture)))
+  }
+
+  test("toWarcArchivesGz ≡ toWarcArchives through the parser (member-per-record layout)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en", "srcA"),
+      (2L, "one two", "de", "srcB"),
+      (9L, "lone doc", "fr", "srcC")
+    ).toDF("doc_id", "text", "lang", "source")
+    def canon(archives: org.apache.spark.sql.DataFrame) =
+      Warc.parseArchives(archives, "archive_id", "bytes")
+        .select("ok", "warc_type", "record_id", "target_uri",
+          "content_length", "http_status", "payload")
+        .orderBy(col("record_id")).collect().map(_.toSeq).toSeq
+    val gz = canon(Warc.toWarcArchivesGz(docs, nArchives = 2))
+    assert(gz === canon(Warc.toWarcArchives(docs, nArchives = 2)))
+    assert(gz.length === 3)
+  }
+
+  test("corrupt gzip container becomes one error row, not a task failure") {
+    val bad = Array[Byte](0x1F.toByte, 0x8B.toByte, 0x08, 0x00, 0x42, 0x42, 0x42)
+    val r = Warc.parseArchives(
+      Seq(("bad.warc.gz", bad)).toDF("name", "bytes"), "name", "bytes").collect()
+    assert(r.length === 1)
+    assert(!r(0).getAs[Boolean]("ok"))
+    assert(r(0).getAs[String]("error").contains("gzip"))
+  }
+
   test("urlCanonical: recrawl aliases collapse, distinct pages never merge") {
     def canon(urls: String*): Seq[String] =
       urls.toDF("url").select(Warc.urlCanonical(col("url"))).collect()
