@@ -66,6 +66,67 @@ object Retrieval {
         col("col.i").as("doc_id"), col("col.v").cast("long").as("score"))
   }
 
+  /** Top-k corpus documents per query by EXACT-INTEGER BM25 — the
+    * standard retrieval scorer a RAG stack actually runs (Robertson &
+    * Zaragoza's Okapi form), expressed in the same integer-ppm
+    * discipline as [[searchTopK]] so a DuckDB oracle can re-derive the
+    * identical BIGINT scores (q143):
+    *
+    *   idf(t)       = (N · 10⁶) div df(t)              (q126's weight)
+    *   norm_ppm(d)  = (dl(d) · 10¹²) div avgdl_ppm     (dl/avgdl in ppm)
+    *   len_ppm(d)   = (10⁶ − b) + (b · norm_ppm) div 10⁶
+    *   sat_ppm(t,d) = (tf · (k1 + 10⁶) · 10⁶)
+    *                    div (tf · 10⁶ + (k1 · len_ppm) div 10⁶)
+    *   score(q,d)   = Σ_t (idf(t) · sat_ppm(t, d)) div 10⁶
+    *
+    * k1 and b arrive as ppm constants (defaults 1.2 / 0.75); every
+    * rounding point is an explicit floor-div on positive operands, so
+    * Spark's `div` and DuckDB's `//` agree bit-for-bit. tf saturation
+    * (a 50th occurrence adds almost nothing) and length normalization
+    * (long docs stop winning on raw term mass) are what BM25 adds over
+    * tf-idf. Per-term magnitudes stay under ~10¹⁷ (idf ≤ N·10⁶,
+    * sat < 2.3·10⁶), safely inside BIGINT before the per-term div.
+    *
+    * Same scale shape as [[searchTopK]]: postings built once, query
+    * terms broadcast so only matching postings move, doc-length table
+    * joins on the doc key, TopKAggregator tail — k-sized state per
+    * query, no window over all scored docs.
+    */
+  def searchTopKBm25(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      k1Ppm: Long = 1200000L,
+      bPpm: Long = 750000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val post = postings(corpus, idCol, textCol).localCheckpoint(true)
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = post.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nd"),
+      expr("(sum(dl) * 1000000) div count(1)").as("avgdl_ppm"))
+    val qTerms = queries.select(col(idCol).as("qid"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    val scored = post.join(broadcast(qTerms), Seq("term"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", expr("(nd * 1000000) div df"))
+      .withColumn("len_ppm", expr(
+        s"(1000000 - $bPpm) + ($bPpm * ((dl * 1000000000000) div avgdl_ppm)) div 1000000"))
+      .withColumn("sat_ppm", expr(
+        s"(tf * ($k1Ppm + 1000000) * 1000000) div (tf * 1000000 + ($k1Ppm * len_ppm) div 1000000)"))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(expr("(idf * sat_ppm) div 1000000")).as("score"))
+    scored.groupBy(col("qid"))
+      .agg(TopKAggregator.topK(k)(col("score").cast("double"), col("doc")).as("top"))
+      .select(col("qid").as("query_id"),
+        posexplode(arrays_zip(col("top.top_values").as("v"), col("top.top_ids").as("i"))))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("doc_id"), col("col.v").cast("long").as("score"))
+  }
+
   /** Positional postings (doc_id, pos, term) — the phrase-query
     * sibling of [[postings]]: keeps token positions so adjacency is
     * queryable. One posexplode, no shuffle; in production stored once

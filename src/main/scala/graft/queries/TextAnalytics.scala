@@ -736,6 +736,59 @@ object TextAnalytics {
 
   private val q126Sql = q126SqlAt(97)
 
+  // --------------------------------------------------------------- q143
+  /** BM25 lexical ranking (Retrieval.searchTopKBm25) — q126's split
+    * (doc_id % 97 queries vs the rest), top-5 per query by the exact
+    * integer-ppm Okapi form: q126's floor-div idf, tf saturation with
+    * k1 = 1.2 (ppm), and dl/avgdl length normalization with b = 0.75
+    * (ppm). The oracle re-derives postings, document frequencies and
+    * lengths, avgdl, BOTH ppm curves, and the per-term floor-div chain
+    * in DuckDB — every rounding point mirrored — then the row_number
+    * tail; the engine's tail stays the TopKAggregator. Every aggregate
+    * in the CTE chain is cast BIGINT (the q135 lesson: DuckDB sum()
+    * propagates HUGEINT through CTE levels and fails the typed hash).
+    */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Retrieval.searchTopKBm25(
+        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q143Sql = {
+    val (k1, b) = (1200000L, 750000L)
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+       |      FROM tk WHERE doc_id % 97 = 0),
+       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE doc_id % 97 <> 0),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM c GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |dlx AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |         CAST((sum(dl) * 1000000) // count(*) AS BIGINT) AS avgdl_ppm
+       |       FROM dlx),
+       |s AS (SELECT q.qid, tf.doc_id,
+       |        CAST(sum((((st.nd * 1000000) // dfx.df) *
+       |          ((tf.tf * ($k1 + 1000000) * 1000000) //
+       |           (tf.tf * 1000000 +
+       |            ($k1 * ((1000000 - $b) +
+       |              ($b * ((dlx.dl * 1000000000000) // st.avgdl_ppm)) // 1000000))
+       |             // 1000000))) // 1000000) AS BIGINT) AS score
+       |      FROM q JOIN tf ON q.term = tf.term
+       |             JOIN dfx ON tf.term = dfx.term
+       |             JOIN dlx ON tf.doc_id = dlx.doc_id
+       |             CROSS JOIN st
+       |      GROUP BY 1, 2)
+       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM s)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- q139
   /** Exact phrase search over positional postings
     * (Retrieval.phraseSearch): per-document occurrence counts for a
@@ -831,6 +884,7 @@ object TextAnalytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
+    "q143_bm25_search" -> (q143 _),
     "q139_phrase_search" -> (q139 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
@@ -852,6 +906,7 @@ object TextAnalytics {
   val oracle: Map[String, String] = Map(
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
+    "q143_bm25_search" -> q143Sql,
     "q139_phrase_search" -> q139Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,

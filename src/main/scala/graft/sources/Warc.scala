@@ -344,6 +344,86 @@ object Warc {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
+  /** PSL-aware registered domain — [[registeredDomain]] with a
+    * public-suffix table (the heuristic groups ".co.uk" one label too
+    * high; on a real crawl that merges every UK/JP/AU site into one
+    * pseudo-domain, and the domain caps / condensation keyed on it
+    * inherit the error). The PSL is public data but EXTERNAL — it
+    * arrives as a DataFrame (one column of rules in the published
+    * format: "com", "co.uk", wildcard "*.kawasaki.jp", exception
+    * "!city.kawasaki.jp"; comment lines "//" and blanks are filtered
+    * here), the heuristic stays the no-data default.
+    *
+    * Shape: entirely declarative, NO shuffle on the corpus side — the
+    * rule table (≈10k rows) aggregates per key, then ONE broadcast
+    * hash left-join per key depth (≤ `maxKeyDepth`, default 5) probes
+    * the host's last-i-labels candidate; the winner is a static
+    * coalesce in exception-first, longest-suffix order (the published
+    * PSL algorithm). Each rule becomes (key, Δ): exact rule → its own
+    * labels, registered domain = key depth+1; wildcard → its PARENT
+    * labels (the wildcard label is unconstrained, so a parent match IS
+    * the wildcard match), rd = depth+2; exception → its labels, rd =
+    * the key itself. When two kinds share a key the DEEPER public
+    * suffix wins (max Δ), matching longest-match.
+    *
+    * Totality: strict PSL gives hosts that are THEMSELVES public
+    * suffixes no registered domain; a grouping key must be total, so
+    * such hosts resolve through the next-shallower rule or the
+    * heuristic (documented tail-of-host behavior) instead of null.
+    */
+  def registeredDomainPsl(
+      df: DataFrame,
+      hostCol: String,
+      outCol: String,
+      psl: DataFrame,
+      maxKeyDepth: Int = 5): DataFrame = {
+    val ruleCol = psl.columns.head
+    val keyed = psl.select(trim(col(ruleCol)).as("rule"))
+      .where(col("rule") =!= "" && !col("rule").startsWith("//"))
+      .select(
+        when(col("rule").startsWith("!"), lit("exc"))
+          .when(col("rule").startsWith("*."), lit("wild"))
+          .otherwise(lit("exact")).as("kind"),
+        lower(when(col("rule").startsWith("!"), expr("substring(rule, 2)"))
+          .when(col("rule").startsWith("*."), expr("substring(rule, 3)"))
+          .otherwise(col("rule"))).as("key"))
+      .groupBy(col("key")).agg(
+        max(when(col("kind") === "exc", 1).otherwise(0)).as("has_exc"),
+        max(when(col("kind") === "wild", 2)
+          .when(col("kind") === "exact", 1)).as("delta"))
+    val labels = "_psl_labels"
+    val n = "_psl_n"
+    val depths = 1 to maxKeyDepth
+    var out = df
+      .withColumn(labels, split(col(hostCol), "\\."))
+      .withColumn(n, size(col(labels)))
+    depths.foreach { i =>
+      val cand = when(col(n) >= i, array_join(slice(col(labels), -i, i), "."))
+      out = out.join(
+        broadcast(keyed.select(col("key").as(s"_psl_k$i"),
+          col("has_exc").as(s"_psl_e$i"), col("delta").as(s"_psl_d$i"))),
+        cand === col(s"_psl_k$i"), "left")
+    }
+    def lastLabels(depth: Column): Column =
+      array_join(slice(col(labels), depth * -1, depth), ".")
+    // exception rules first (the PSL precedence), then rule matches
+    // deepest key first — a depth-i key's public suffix is never
+    // shallower than a depth-(i−1) key's, and equal depths produce the
+    // identical string, so static desc order IS longest-match
+    val excRd = depths.reverse.map { i =>
+      when(col(s"_psl_e$i") === 1, lastLabels(lit(i)))
+    }
+    val ruleRd = depths.reverse.map { i =>
+      when(col(s"_psl_d$i").isNotNull && col(n) >= col(s"_psl_d$i") + lit(i),
+        lastLabels(col(s"_psl_d$i") + lit(i)))
+    }
+    val temp = Seq(labels, n) ++
+      depths.flatMap(i => Seq(s"_psl_k$i", s"_psl_e$i", s"_psl_d$i"))
+    out.withColumn(outCol,
+        coalesce(excRd ++ ruleRd :+ registeredDomain(col(hostCol)): _*))
+      .drop(temp: _*)
+  }
+
   // ------------------------------------------------------------------
   // Deterministic documents -> WARC adapter (the Media.toPpm
   // discipline): build REAL archives from the documents table so the

@@ -58,6 +58,68 @@ class RetrievalSpec extends SparkSpec {
     assert(run(corpus.repartition(1)) === run(corpus.repartition(7)))
   }
 
+  test("bm25: at dl = avgdl and tf = 1 the saturation curve is exactly 10⁶ ppm — score ≡ idf") {
+    // every doc dl=3 -> avgdl_ppm = 3·10⁶, norm_ppm = 10⁶ exactly,
+    // len_ppm = 250000 + 750000 = 10⁶, sat(1) = 2.2·10¹² div 2.2·10⁶
+    // = 10⁶ exactly: BM25 score collapses to the integer idf, a
+    // closed-form anchor for the whole floor-div chain
+    val even = Seq(
+      (10L, "apple banana cherry"),
+      (11L, "apple durian fig"),
+      (12L, "kiwi lemon mango")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.searchTopKBm25(
+        Seq((1L, "apple")).toDF("doc_id", "text"), even, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toList
+    // N = 3, df(apple) = 2 -> idf = 1500000; ties break on doc_id
+    assert(got === List((1, 10L, 1500000L), (2, 11L, 1500000L)))
+  }
+
+  test("bm25: tf saturates sub-linearly where tf-idf grows linearly") {
+    // same dl (padded with unique fillers), tf 1 vs 8
+    val docs = Seq(
+      (20L, "zebra f1 f2 f3 f4 f5 f6 f7"),
+      (21L, "zebra zebra zebra zebra zebra zebra zebra zebra")
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "zebra")).toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val tfidf = scores(Retrieval.searchTopK(q, docs, "doc_id", "text", k = 2))
+    val bm25 = scores(Retrieval.searchTopKBm25(q, docs, "doc_id", "text", k = 2))
+    assert(tfidf(21L) === 8 * tfidf(20L)) // linear in tf
+    assert(bm25(21L) > bm25(20L))
+    assert(bm25(21L) < 3 * bm25(20L), // k1 = 1.2 caps the curve at ~2.2x
+      s"saturation missing: ${bm25(21L)} vs ${bm25(20L)}")
+  }
+
+  test("bm25: length normalization — equal tf, shorter doc wins; tf-idf ties") {
+    val docs = Seq(
+      (30L, "needle x1"),
+      (31L, "needle " + (1 to 30).map(i => s"pad$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val q = Seq((1L, "needle")).toDF("doc_id", "text")
+    val tfidf = Retrieval.searchTopK(q, docs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val bm25 = Retrieval.searchTopKBm25(q, docs, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(tfidf(30L) === tfidf(31L)) // tf-idf is length-blind
+    assert(bm25(30L) > bm25(31L), s"length norm missing: $bm25")
+  }
+
+  test("bm25: plan keeps the TopK aggregator tail — no window over scored docs, broadcast query side") {
+    val plan = Retrieval.searchTopKBm25(query, corpus, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("bm25: result is invariant under corpus repartitioning") {
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Retrieval.searchTopKBm25(query, c, "doc_id", "text", k = 4)
+        .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toList
+    assert(run(corpus.repartition(1)) === run(corpus.repartition(7)))
+  }
+
   test("phraseSearch: adjacency by POSITION — bag-of-words co-occurrence is not a match") {
     import spark.implicits._
     val docs = Seq(

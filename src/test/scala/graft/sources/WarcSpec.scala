@@ -234,6 +234,51 @@ class WarcSpec extends SparkSpec {
     assert(strip("snake_case word") === "snake case word")
   }
 
+  test("registeredDomainPsl: exact, wildcard, and exception rules over a mini PSL") {
+    // a representative slice of the published list: multi-label exact
+    // suffixes (.co.uk), a wildcard family (*.kawasaki.jp) with its
+    // exception (!city.kawasaki.jp), comments and blanks to filter
+    val psl = Seq("// ICANN section", "", "com", "uk", "co.uk",
+      "jp", "*.kawasaki.jp", "!city.kawasaki.jp").toDF("suffix")
+    val hosts = Seq(
+      "example.com",          // plain exact TLD
+      "news.site3.co.uk",     // the heuristic's known failure class
+      "a.b.site.co.uk",       // deep host under a 2-label suffix
+      "city.kawasaki.jp",     // exception rule: rd = the exception itself
+      "x.city.kawasaki.jp",   // exception still prevails for sub-hosts
+      "x.foo.kawasaki.jp",    // wildcard: pub suffix foo.kawasaki.jp
+      "site.weirdtld",        // unlisted TLD -> PSL default rule ≡ heuristic
+      "sub.pages.site9.com"   // exact TLD, deep host
+    ).toDF("host")
+    val got = Warc.registeredDomainPsl(hosts, "host", "rd", psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "example.com" -> "example.com",
+      "news.site3.co.uk" -> "site3.co.uk",
+      "a.b.site.co.uk" -> "site.co.uk",
+      "city.kawasaki.jp" -> "city.kawasaki.jp",
+      "x.city.kawasaki.jp" -> "city.kawasaki.jp",
+      "x.foo.kawasaki.jp" -> "x.foo.kawasaki.jp",
+      "site.weirdtld" -> "site.weirdtld",
+      "sub.pages.site9.com" -> "site9.com"))
+    // heuristic-vs-PSL differential on the failure class: the default
+    // groups one label too high, the PSL version does not
+    val heur = hosts.select(col("host"),
+        Warc.registeredDomain(col("host")).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(heur("news.site3.co.uk") === "co.uk") // the documented error
+    assert(got("news.site3.co.uk") === "site3.co.uk") // closed with the PSL
+  }
+
+  test("registeredDomainPsl stays broadcast-joined — no shuffle on the corpus side") {
+    val psl = Seq("com", "co.uk").toDF("suffix")
+    val hosts = Seq("a.example.com", "b.site.co.uk").toDF("host")
+    val plan = Warc.registeredDomainPsl(hosts, "host", "rd", psl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("urlHost + registeredDomain: grouping keys for politeness and domain caps") {
     val got = Seq("https://News.Site3.ORG:8443/p/1", "http://example.com/x")
       .toDF("url")
