@@ -194,6 +194,108 @@ class AdversarialCorpusSpec extends SparkSpec {
     assert((1L until n).forall(star(_) === 150000L))
   }
 
+  test("link rank: edgeless and all-dangling graphs hold the teleport floor; phantom dsts never appear") {
+    val nodes = (0L until 10L).toDF("id")
+    // no edges at all: every node sits at the teleport floor, for
+    // every iteration count (the fixpoint of an empty contribution)
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(LinkGraph.pageRankInt(nodes, "id", none, "src", "dst", iters = 3)
+      .collect().map(_.getLong(1)).toSet === Set(150000L))
+    // all-dangling: every edge points OUT of the node set (a crawl
+    // frontier always references pages not yet fetched). Truncation
+    // PageRank drops that mass; ranks stay at the floor and no
+    // phantom node materializes in the output
+    val dangling = (0L until 10L).map(i => (i, 1000L + i)).toDF("src", "dst")
+    val got = LinkGraph.pageRankInt(nodes, "id", dangling, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 10)
+    assert(got.forall(_._2 === 150000L))
+    assert(got.forall(_._1 < 1000L), "phantom dst ids must not appear")
+  }
+
+  test("link rank: duplicate-only edge lists collapse (unweighted) or sum (weighted) — documented split") {
+    val nodes = (0L until 5L).toDF("id")
+    val once = (1L until 5L).map(i => (i, 0L)).toDF("src", "dst")
+    val tripled = (1 to 3).flatMap(_ => (1L until 5L).map(i => (i, 0L))).toDF("src", "dst")
+    def ranks(e: org.apache.spark.sql.DataFrame) =
+      LinkGraph.pageRankInt(nodes, "id", e, "src", "dst", iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(tripled) === ranks(once)) // a page linking twice votes once
+    // weighted variant: duplicates SUM into the edge weight, but the
+    // rank is scale-invariant in a uniform duplication factor —
+    // (rank·3w) DIV 3W == (rank·w) DIV W only when division is exact;
+    // here each node has ONE outlink so w = W and both are exact
+    val w1 = once.withColumn("w", lit(1L))
+    val w3 = tripled.withColumn("w", lit(1L))
+    def wranks(e: org.apache.spark.sql.DataFrame) =
+      LinkGraph.pageRankWeightedInt(nodes, "id", e, "src", "dst", "w", iters = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wranks(w3) === wranks(w1))
+  }
+
+  test("complete graph is a rank fixpoint: uniform structure holds every node at 10^6") {
+    val n = 20L
+    val nodes = (0L until n).toDF("id")
+    val complete = (for { i <- 0L until n; j <- 0L until n } yield (i, j))
+      .toDF("src", "dst")
+    // deg = n, each contribution = 10⁶ DIV 20 = 50000 exactly, sum
+    // back to 10⁶: 150000 + 850000·10⁶ DIV 10⁶ = 10⁶ — a fixpoint
+    val got = LinkGraph.pageRankInt(nodes, "id", complete, "src", "dst", iters = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(got === Set(1000000L))
+  }
+
+  test("pathological URLs flow through canonicalize/host/extract without error") {
+    import graft.sources.Warc
+    val urls = Seq(
+      "https:///path-no-host",          // empty authority
+      "no-scheme-at-all",               // not a URL
+      "https://",                       // nothing after the scheme
+      "ftp://odd.scheme.org:21/x",      // non-http scheme: port survives
+      "https://h.org/p?&&&",            // empty params only
+      "https://h.org#only-fragment")    // fragment-only tail
+      .toDF("url")
+    val byUrl = urls.select(col("url"), Warc.urlCanonical(col("url")).as("c"),
+        Warc.urlHost(col("url")).as("h"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byUrl("https:///path-no-host")._1 === "https:///path-no-host")
+    assert(byUrl("https:///path-no-host")._2 === "")
+    assert(byUrl("no-scheme-at-all")._2 === "") // no authority to extract
+    assert(byUrl("ftp://odd.scheme.org:21/x")._1 === "ftp://odd.scheme.org:21/x")
+    assert(byUrl("https://h.org/p?&&&")._1 === "https://h.org/p") // all-empty params drop
+    assert(byUrl("https://h.org#only-fragment")._1 === "https://h.org/")
+  }
+
+  test("extractLinks on hostile markup: quotes inside attributes, empty hrefs, single-quoted hrefs") {
+    import graft.sources.Warc
+    val html = Seq(
+      // title attr containing a quoted fake href; real href after it
+      """<a title="see href="trap"" href="https://real.org/a">x</a>""" +
+        """<a href="">empty</a>""" +          // empty href: no capture (+ regex needs 1+ chars)
+        """<a href='https://single.org/q'>y</a>""" + // single quotes: documented non-match
+        """<a class="c" href="https://second.org/b">z</a>""")
+      .toDF("h")
+    val links = html.select(explode(Warc.extractLinks(col("h"))).as("u"))
+      .collect().map(_.getString(0)).toSeq
+    // the trap title produces "trap" (regex is lexical, documented);
+    // the load-bearing guarantees: real hrefs extracted, empty and
+    // single-quoted forms never crash the extractor
+    assert(links.contains("https://real.org/a"))
+    assert(links.contains("https://second.org/b"))
+    assert(!links.contains(""))
+  }
+
+  test("registeredDomainPsl on degenerate hosts: empty, single-label, all-dots") {
+    import graft.sources.Warc
+    val psl = Seq("com", "co.uk").toDF("suffix")
+    val hosts = Seq("", "localhost", "...", "com", "co.uk").toDF("host")
+    val got = Warc.registeredDomainPsl(hosts, "host", "rd", psl)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.size === 5) // nothing dropped, nothing duplicated
+    assert(got("localhost") === "") // heuristic: single label -> no regdomain
+    assert(got("") === "")
+  }
+
   test("phrase search on an all-identical corpus: counts scale with positions, not pairs") {
     // every doc is the phrase repeated: occurrence count per doc is
     // positions-1 (overlapping matches), never a cross-doc blow-up
