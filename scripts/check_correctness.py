@@ -74,9 +74,24 @@ def main(sf_dir, out_dir):
             # DuckDB HUGEINT/DECIMAL oracle vs a Spark BIGINT/DOUBLE result
             # fails the real gate even when every value matches (q79 r7,
             # q135 r14). pandas coerces those away — compare relation types
-            # BEFORE materializing through pandas.
-            exp_types = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
-            got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+            # BEFORE materializing through pandas. Compare by CLASS, not
+            # name: integer-width drift (BIGINT vs INTEGER) has been
+            # hash-green at the driver since r1 (24 registry queries carry
+            # it), so only drift ACROSS classes — machine-int vs
+            # HUGEINT/DECIMAL vs float vs everything else — is a real
+            # failure signal.
+            def tclass(t):
+                t = str(t)
+                if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                         "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                    return "int"
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+                    return "bigexact"
+                if t in ("FLOAT", "DOUBLE"):
+                    return "float"
+                return t
+            exp_types = dict(zip(exp_rel.columns, [tclass(t) for t in exp_rel.types]))
+            got_types = dict(zip(got_rel.columns, [tclass(t) for t in got_rel.types]))
             exp = exp_rel.df()
             got = got_rel.df()
         except Exception as e:

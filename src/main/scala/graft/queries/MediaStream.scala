@@ -538,6 +538,58 @@ object MediaStream {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q144
+  /** Anchor-text aggregation (Warc.extractAnchors) — the off-page
+    * description signal: what OTHER pages' link texts call a page, per
+    * target. Anchors parse from the same synthetic pages the q135 link
+    * graph uses (three messy-alias links per doc, texts x/y/z),
+    * targets resolve through urlCanonical, and each target aggregates
+    * total in-anchor count, distinct texts, and the top text by
+    * (count DESC, text ASC) — the min-of-struct argmax, no window.
+    * The oracle re-derives the anchor multiset analytically (the q135
+    * edge-CTE style: extraction itself is pinned by q130/q141/q134)
+    * and mirrors the aggregation with a row_number tie-break.
+    */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val anchors = withAnchorHtml(t(s, dir, "documents"))
+      .select(explode(Warc.extractAnchors(col("html"))).as("a"))
+      .select(
+        regexp_extract(Warc.urlCanonical(col("a.url")), "/p/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("a.text").as("anchor"))
+    val perText = anchors.groupBy(col("doc_id"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+    perText.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_anchors"),
+        count(lit(1)).as("n_texts"),
+        min(struct((-col("cnt")).as("neg"), col("anchor").as("t"))).as("b"))
+      .select(col("doc_id"), col("n_anchors"), col("n_texts"),
+        col("b.t").as("top_text"), (-col("b.neg")).as("top_cnt"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q144Sql =
+    """WITH n AS (SELECT count(*) AS cnt FROM documents),
+      |a0 AS (
+      |  SELECT (doc_id * 31 + 7) % cnt AS doc_id, 'x' AS anchor FROM documents, n
+      |  UNION ALL
+      |  SELECT (doc_id * 31 + 14) % cnt, 'y' FROM documents, n
+      |  UNION ALL
+      |  SELECT (doc_id * 17 + 3) % cnt, 'z' FROM documents, n),
+      |pt AS (SELECT doc_id, anchor, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM a0 GROUP BY 1, 2),
+      |b AS (SELECT doc_id, anchor, cnt,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, anchor) AS rn
+      |      FROM pt),
+      |g AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_anchors,
+      |        CAST(count(*) AS BIGINT) AS n_texts
+      |      FROM pt GROUP BY 1)
+      |SELECT g.doc_id, g.n_anchors, g.n_texts,
+      |  b.anchor AS top_text, b.cnt AS top_cnt
+      |FROM g JOIN b ON b.doc_id = g.doc_id AND b.rn = 1
+      |ORDER BY g.doc_id""".stripMargin
+
   // --------------------------------------------------------------- q134
   /** URL canonicalization + URL-level exact dedup — the first dedup a
     * crawl pipeline runs (the q130 discipline: documents synthesize
@@ -654,10 +706,13 @@ object MediaStream {
     * (extractLinks → urlCanonical → page-id parse). Returns the
     * (src, dst) edge list, duplicates included (LinkGraph collapses).
     */
-  private def extractedEdges(docs: DataFrame): DataFrame = {
-    import graft.sources.Warc
-    // corpus size as a broadcast scalar (the scalar-attach idiom):
-    // outlink targets are (doc_id·a + b) mod cnt
+  /** Each document rendered as a page of three anchors (targets
+    * (doc_id·a + b) mod cnt with messy-alias URLs, anchor texts
+    * x/y/z) — the shared synthetic input of the q135/q136/q138/q144
+    * crawl-graph family. Returns (doc_id, html).
+    */
+  private def withAnchorHtml(docs: DataFrame): DataFrame = {
+    // corpus size as a broadcast scalar (the scalar-attach idiom)
     val withCnt = docs.crossJoin(broadcast(docs.agg(count(lit(1)).as("cnt"))))
     val d1 = (col("doc_id") * 31 + 7) % col("cnt")
     val d2 = (col("doc_id") * 31 + 14) % col("cnt")
@@ -669,8 +724,13 @@ object MediaStream {
       lit(".ORG:443/p/"), d2, lit("#top\">y</a>"),
       lit("<a href=\"https://www.site"), d3 % 7,
       lit(".org/p/"), d3, lit("?utm_source=feed\">z</a></body></html>"))
-    withCnt
-      .select(col("doc_id").as("src"), explode(Warc.extractLinks(html)).as("url"))
+    withCnt.select(col("doc_id"), html.as("html"))
+  }
+
+  private def extractedEdges(docs: DataFrame): DataFrame = {
+    import graft.sources.Warc
+    withAnchorHtml(docs)
+      .select(col("doc_id").as("src"), explode(Warc.extractLinks(col("html"))).as("url"))
       .select(col("src"),
         regexp_extract(Warc.urlCanonical(col("url")), "/p/(\\d+)$", 1)
           .cast("long").as("dst"))
@@ -979,6 +1039,7 @@ object MediaStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_url_dedup" -> (q134 _),
+    "q144_anchor_text" -> (q144 _),
     "q135_link_rank" -> (q135 _),
     "q136_crawl_curation" -> (q136 _),
     "q138_domain_rank" -> (q138 _),
@@ -1001,6 +1062,7 @@ object MediaStream {
 
   val oracle: Map[String, String] = Map(
     "q134_url_dedup" -> q134Sql,
+    "q144_anchor_text" -> q144Sql,
     "q135_link_rank" -> q135Sql,
     "q136_crawl_curation" -> q136Sql,
     "q138_domain_rank" -> q138Sql,

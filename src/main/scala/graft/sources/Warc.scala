@@ -334,6 +334,25 @@ object Warc {
   def extractLinks(html: Column): Column =
     regexp_extract_all(html, lit("(?i)<a\\s[^>]*href=\"([^\"]+)\""), lit(1))
 
+  /** Every anchor as (url, text) — [[extractLinks]] plus the anchor's
+    * INNER TEXT, the classic off-page quality/relevance signal (what
+    * other pages call a page is a cleaner description than the page's
+    * own words; the link-graph counterpart of [[htmlText]]). Builtin
+    * expressions only: extract whole `<a …>…</a>` elements
+    * (non-greedy, so nested anchors never span), then per element the
+    * double-quoted href and the tag-stripped, whitespace-collapsed
+    * inner text. Array of struct(url, text), document order.
+    */
+  def extractAnchors(html: Column): Column =
+    transform(
+      regexp_extract_all(html,
+        lit("(?is)<a\\s[^>]*href=\"[^\"]+\"[^>]*>.*?</a>"), lit(0)),
+      a => struct(
+        regexp_extract(a, "(?i)href=\"([^\"]+)\"", 1).as("url"),
+        trim(regexp_replace(regexp_replace(
+          regexp_extract(a, "(?is)>(.*)</a>$", 1),
+          "<[^>]+>", " "), "\\s+", " ")).as("text")))
+
   /** Registered domain by the last-two-labels heuristic
     * ("news.site3.org" -> "site3.org") — the per-SITE key (domain
     * caps, contamination blocklists). A public-suffix-aware version
