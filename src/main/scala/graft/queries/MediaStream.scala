@@ -590,6 +590,71 @@ object MediaStream {
       |FROM g JOIN b ON b.doc_id = g.doc_id AND b.rn = 1
       |ORDER BY g.doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q145
+  /** robots.txt politeness (sources.Robots) — per-URL allow/deny
+    * verdicts for agent "graftbot" against synthesized per-site
+    * robots.txt files. The PARSE is load-bearing in the gate: even
+    * sites carry a cased "GraftBot" group (wildcard + $-anchored
+    * patterns) plus a catch-all `Disallow: /` group, odd sites only
+    * the catch-all — so group splitting, comment stripping, agent
+    * case-folding, AND exact-token-over-star selection must all be
+    * right for the rule set the matcher sees to be right. The oracle
+    * re-derives the post-parse rules analytically (the q135 style) and
+    * mirrors the regex conversion + longest-match/allow-tie fold.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Robots
+    val docs = t(s, dir, "documents")
+    val ks = docs.select((col("doc_id") % 7).as("k")).distinct()
+    val txt = when(col("k") % 2 === 0, concat(
+        lit("# site "), col("k"),
+        lit("\nUser-agent: GraftBot\nDisallow: /p/*"), col("k"),
+        lit("$\nAllow: /p/"), col("k"),
+        lit("*\n\nUser-agent: *\nDisallow: /\n")))
+      .otherwise(concat(
+        lit("# site "), col("k"), lit("\nUser-agent: *\nDisallow: /\n")))
+    val robots = ks.select(
+      concat(lit("www.site"), col("k"), lit(".org")).as("host"), txt.as("txt"))
+    val rules = Robots.parseRules(robots, "host", "txt")
+    val urls = docs.select(col("doc_id"),
+      concat(lit("www.site"), col("doc_id") % 7, lit(".org")).as("host"),
+      concat(lit("/p/"), col("doc_id")).as("path"))
+    Robots.isAllowed(urls, "host", "path", rules, "graftbot")
+      .select(col("doc_id"), col("host"), col("path"), col("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q145Sql =
+    """WITH ks AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
+      |r AS (
+      |  SELECT 'www.site' || k || '.org' AS host, false AS allow,
+      |         '/p/*' || k || '$' AS pattern FROM ks WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT 'www.site' || k || '.org', true, '/p/' || k || '*'
+      |  FROM ks WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT 'www.site' || k || '.org', false, '/' FROM ks WHERE k % 2 = 1),
+      |rr AS (SELECT host, allow, pattern,
+      |         CAST(length(pattern) AS INTEGER) AS plen,
+      |         '^' || replace(
+      |           CASE WHEN pattern LIKE '%$'
+      |             THEN substring(pattern, 1, length(pattern) - 1)
+      |             ELSE pattern END,
+      |           '*', '.*') ||
+      |         CASE WHEN pattern LIKE '%$' THEN '$' ELSE '' END AS re
+      |       FROM r),
+      |u AS (SELECT doc_id, 'www.site' || (doc_id % 7) || '.org' AS host,
+      |        '/p/' || doc_id AS path FROM documents),
+      |m AS (SELECT u.doc_id, rr.allow, rr.plen
+      |      FROM u JOIN rr ON u.host = rr.host AND regexp_matches(u.path, rr.re)),
+      |b AS (SELECT doc_id, allow,
+      |        row_number() OVER (PARTITION BY doc_id
+      |          ORDER BY plen DESC, CASE WHEN allow THEN 0 ELSE 1 END) AS rn
+      |      FROM m)
+      |SELECT u.doc_id, u.host, u.path, coalesce(b.allow, true) AS allowed
+      |FROM u LEFT JOIN (SELECT doc_id, allow FROM b WHERE rn = 1) b USING (doc_id)
+      |ORDER BY u.doc_id""".stripMargin
+
   // --------------------------------------------------------------- q134
   /** URL canonicalization + URL-level exact dedup — the first dedup a
     * crawl pipeline runs (the q130 discipline: documents synthesize
@@ -1040,6 +1105,7 @@ object MediaStream {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q134_url_dedup" -> (q134 _),
     "q144_anchor_text" -> (q144 _),
+    "q145_robots_allow" -> (q145 _),
     "q135_link_rank" -> (q135 _),
     "q136_crawl_curation" -> (q136 _),
     "q138_domain_rank" -> (q138 _),
@@ -1063,6 +1129,7 @@ object MediaStream {
   val oracle: Map[String, String] = Map(
     "q134_url_dedup" -> q134Sql,
     "q144_anchor_text" -> q144Sql,
+    "q145_robots_allow" -> q145Sql,
     "q135_link_rank" -> q135Sql,
     "q136_crawl_curation" -> q136Sql,
     "q138_domain_rank" -> q138Sql,

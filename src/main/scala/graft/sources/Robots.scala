@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** robots.txt politeness (RFC 9309) — the other half of the crawl
+  * loop's identity alongside WARC ingestion: a fetcher that cannot
+  * evaluate exclusion rules cannot crawl at all, and a curation
+  * pipeline re-checks them when licensing/compliance audits ask "was
+  * this page allowed when fetched". Same design rules as [[Warc]]:
+  * builtin expressions end-to-end (the q145 oracle re-derives the
+  * MATCHING half generically in SQL; the PARSE half is load-bearing in
+  * the gate because the fixture's rule set only comes out right if
+  * grouping/comments/case handling do), malformed input degrades to
+  * fewer rules rather than task failures.
+  *
+  * Supported per RFC 9309: `User-agent` groups (consecutive UA lines
+  * share the following rules; rules before any UA line are ignored),
+  * `Allow`/`Disallow` path patterns with `*` wildcards and the
+  * end-of-path `$` anchor, comments (`#` to end of line), blank-line
+  * tolerance, case-insensitive directive names and agent tokens.
+  * Precedence: longest pattern (octet length) wins; `Allow` wins a
+  * length tie; no matching rule means allowed. Agent selection is
+  * exact-token-or-`*` (the most-specific-substring refinement real
+  * crawlers layer on is out of scope and documented).
+  */
+object Robots {
+
+  /** Parse a corpus of robots.txt files into flat rules:
+    * (host, agent, allow, pattern, plen). One window pass per host —
+    * bounded state, the spec caps robots.txt at 500 KiB — to attach
+    * each rule line to its group's user-agent set; groups with
+    * multiple UA lines fan out (one rule row per agent). Empty
+    * patterns (`Disallow:` with no value = allow everything) drop
+    * here, matching the major implementations.
+    */
+  def parseRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val kv = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\r?\n")).as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .filter(col("line") =!= "")
+      .select(col("host"), col("ln"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("key").isin("user-agent", "allow", "disallow"))
+    // a UA line whose predecessor (among kept lines) is NOT a UA line
+    // starts a new group; the running sum of starts is the group id
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grouped = kv
+      .withColumn("prev_key", lag(col("key"), 1).over(w))
+      .withColumn("grp", sum(when(col("key") === "user-agent" &&
+        (col("prev_key").isNull || col("prev_key") =!= "user-agent"), 1)
+        .otherwise(0)).over(w))
+    val agents = grouped.filter(col("key") === "user-agent")
+      .select(col("host"), col("grp"), lower(col("value")).as("agent"))
+      .distinct()
+    val rules = grouped
+      .filter(col("key") =!= "user-agent" && col("value") =!= "")
+      .select(col("host"), col("grp"),
+        (col("key") === "allow").as("allow"), col("value").as("pattern"))
+    // rules in group 0 (before any user-agent line) have no agent row
+    // and drop in this join — the RFC's "ignore ungrouped rules"
+    agents.join(rules, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("allow"), col("pattern"),
+        length(col("pattern")).as("plen"))
+  }
+
+  /** RFC pattern → anchored regex: strip a trailing `$` (end-of-path
+    * anchor), escape regex metachars EXCEPT `*`, turn `*` into `.*`,
+    * re-anchor. Behavioral contract only — the oracle derives its own
+    * equivalent regex; match OUTCOMES are what the gate compares.
+    */
+  private def patternRegex(pattern: Column): Column = {
+    val endsDollar = pattern.endsWith("$")
+    val body = when(endsDollar, expr("substring(pattern, 1, length(pattern) - 1)"))
+      .otherwise(pattern)
+    val esc = regexp_replace(body, "([\\\\.\\[\\]{}()+?^$|-])", "\\\\$1")
+    concat(lit("^"), regexp_replace(esc, "\\*", ".*"),
+      when(endsDollar, lit("$")).otherwise(lit("")))
+  }
+
+  /** Evaluate URLs against parsed rules for one crawler agent: adds
+    * an `allowed` boolean. Group selection: the host's exact-token
+    * group if it defines one, else its `*` group (computed on the
+    * RULES side — all small). The rule table then aggregates to ONE
+    * array per host and broadcast-joins onto the URL corpus, so the
+    * corpus side is map-only: per row an array filter (regex match)
+    * and a fold picking (longest pattern, Allow on ties). No shuffle,
+    * no window over URLs — the 100 TB shape.
+    */
+  def isAllowed(
+      urls: DataFrame,
+      hostCol: String,
+      pathCol: String,
+      rules: DataFrame,
+      agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = rules.filter(col("agent") === a)
+    val fallback = rules.filter(col("agent") === "*")
+      .join(exact.select(col("host")).distinct(), Seq("host"), "left_anti")
+    val selected = exact.unionByName(fallback)
+    val perHost = selected
+      .withColumn("re", patternRegex(col("pattern")))
+      .select(col("host").as("_rb_host"),
+        struct(col("re"), col("plen"), col("allow")).as("r"))
+      .groupBy(col("_rb_host")).agg(collect_list(col("r")).as("_rb_rules"))
+    val init = struct(lit(-1).as("plen"), lit(true).as("allow"))
+    urls
+      .join(broadcast(perHost), urls(hostCol) === perHost("_rb_host"), "left")
+      .withColumn("_rb_best", aggregate(
+        filter(col("_rb_rules"), r => regexp_like(col(pathCol), r.getField("re"))),
+        init,
+        (acc, r) => when(
+          r.getField("plen") > acc.getField("plen") ||
+            (r.getField("plen") === acc.getField("plen") && r.getField("allow")),
+          struct(r.getField("plen").as("plen"), r.getField("allow").as("allow")))
+          .otherwise(acc)))
+      .withColumn("allowed", coalesce(
+        when(col("_rb_best").isNotNull,
+          col("_rb_best.plen") === -1 || col("_rb_best.allow")),
+        lit(true)))
+      .drop("_rb_host", "_rb_rules", "_rb_best")
+  }
+}

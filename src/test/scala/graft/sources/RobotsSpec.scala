@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** robots.txt parsing + RFC 9309 matching (sources.Robots —
+  * oracle-gated end-to-end by q145). Hand-derived expectations over
+  * the grouping, precedence, and pattern pathologies a real crawl
+  * corpus contains.
+  */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rulesOf(txt: String) =
+    Robots.parseRules(Seq(("h.org", txt)).toDF("host", "txt"), "host", "txt")
+
+  private def verdicts(txt: String, agent: String, paths: String*) = {
+    val urls = paths.zipWithIndex.map { case (p, i) => (i.toLong, "h.org", p) }
+      .toDF("id", "host", "path")
+    Robots.isAllowed(urls, "host", "path", rulesOf(txt), agent)
+      .orderBy(col("id")).collect().map(r => r.getAs[String]("path") -> r.getAs[Boolean]("allowed")).toMap
+  }
+
+  test("grouping: consecutive UA lines share rules; rules before any group are ignored") {
+    val txt =
+      """Disallow: /orphan
+        |User-agent: alpha
+        |User-agent: beta
+        |Disallow: /x
+        |
+        |User-agent: gamma
+        |Disallow: /y
+        |""".stripMargin
+    val got = rulesOf(txt).collect()
+      .map(r => (r.getAs[String]("agent"), r.getAs[String]("pattern"))).toSet
+    // /orphan attaches to no group and drops; alpha AND beta both own /x
+    assert(got === Set(("alpha", "/x"), ("beta", "/x"), ("gamma", "/y")))
+  }
+
+  test("comments, blank lines, directive case, and unknown directives are all tolerated") {
+    val txt =
+      """# preamble comment
+        |USER-AGENT: Bot  # trailing comment
+        |Crawl-delay: 10
+        |DISALLOW: /a
+        |Sitemap: https://h.org/map.xml
+        |allow: /a/b
+        |""".stripMargin
+    val got = rulesOf(txt).collect()
+      .map(r => (r.getAs[String]("agent"), r.getAs[Boolean]("allow"),
+        r.getAs[String]("pattern"))).toSet
+    assert(got === Set(("bot", false, "/a"), ("bot", true, "/a/b")))
+  }
+
+  test("empty Disallow means no restriction: the rule drops, everything stays allowed") {
+    val txt = "User-agent: *\nDisallow:\n"
+    assert(rulesOf(txt).count() === 0L)
+    assert(verdicts(txt, "anybot", "/anything") === Map("/anything" -> true))
+  }
+
+  test("precedence: longest pattern wins, Allow wins a length tie, no match allows") {
+    val txt =
+      """User-agent: *
+        |Disallow: /shop
+        |Allow: /shop/sale
+        |Disallow: /tie
+        |Allow: /tie!
+        |""".stripMargin
+    // NB /tie! vs /tie: unequal lengths; build a true tie instead
+    val tie = "User-agent: *\nDisallow: /dir\nAllow: /dir\n"
+    assert(verdicts(txt, "any", "/shop/x", "/shop/sale/y", "/elsewhere") ===
+      Map("/shop/x" -> false, "/shop/sale/y" -> true, "/elsewhere" -> true))
+    assert(verdicts(tie, "any", "/dir/z") === Map("/dir/z" -> true))
+  }
+
+  test("wildcard * and end-anchor $ match per the RFC; regex metachars in paths stay literal") {
+    val txt =
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /a*b
+        |Disallow: /lit.x
+        |""".stripMargin
+    assert(verdicts(txt, "any",
+      "/doc.pdf", "/doc.pdf/page", "/axxb", "/ab", "/a/deep/b", "/lit.x", "/litzx") ===
+      Map("/doc.pdf" -> false, "/doc.pdf/page" -> true,
+        "/axxb" -> false, "/ab" -> false, "/a/deep/b" -> false,
+        "/lit.x" -> false, "/litzx" -> true)) // '.' is literal, not regex-any
+  }
+
+  test("agent selection: exact token (case-insensitive) beats *, star only when no token group") {
+    val txt =
+      """User-agent: GraftBot
+        |Disallow: /private
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(verdicts(txt, "graftbot", "/public", "/private/x") ===
+      Map("/public" -> true, "/private/x" -> false))
+    assert(verdicts(txt, "otherbot", "/public") === Map("/public" -> false))
+  }
+
+  test("hosts with no robots rules at all stay allowed (left join null path)") {
+    val urls = Seq((0L, "bare.org", "/x")).toDF("id", "host", "path")
+    val none = Robots.parseRules(
+      Seq.empty[(String, String)].toDF("host", "txt"), "host", "txt")
+    val got = Robots.isAllowed(urls, "host", "path", none, "any").collect()
+    assert(got.length === 1 && got(0).getAs[Boolean]("allowed"))
+  }
+
+  test("corpus side stays map-only: rules broadcast, no shuffle or window over URLs") {
+    val urls = Seq((0L, "h.org", "/a"), (1L, "h.org", "/b")).toDF("id", "host", "path")
+    val plan = Robots.isAllowed(urls, "host", "path",
+        rulesOf("User-agent: *\nDisallow: /a\n"), "any")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the URL side must not sort-merge, hash-exchange, or window
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
