@@ -602,9 +602,11 @@ object MediaStream {
     * re-derives the post-parse rules analytically (the q135 style) and
     * mirrors the regex conversion + longest-match/allow-tie fold.
     */
-  private def q145(s: SparkSession, dir: String): DataFrame = {
+  /** The q145/q147 robots fixture evaluated: per-doc (doc_id, host,
+    * path, allowed) verdicts for agent "graftbot".
+    */
+  private def robotsVerdicts(docs: DataFrame): DataFrame = {
     import graft.sources.Robots
-    val docs = t(s, dir, "documents")
     val ks = docs.select((col("doc_id") % 7).as("k")).distinct()
     val txt = when(col("k") % 2 === 0, concat(
         lit("# site "), col("k"),
@@ -621,11 +623,18 @@ object MediaStream {
       concat(lit("/p/"), col("doc_id")).as("path"))
     Robots.isAllowed(urls, "host", "path", rules, "graftbot")
       .select(col("doc_id"), col("host"), col("path"), col("allowed"))
-      .orderBy(col("doc_id"))
   }
 
-  private val q145Sql =
-    """WITH ks AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    robotsVerdicts(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Shared q145/q147 CTE chain ending in
+    * rv(doc_id, host, path, allowed) — the analytically-derived
+    * post-parse rule set, the regex conversion, and the
+    * longest-match/allow-tie fold.
+    */
+  private val robotsCtes: String =
+    """ks AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
       |r AS (
       |  SELECT 'www.site' || k || '.org' AS host, false AS allow,
       |         '/p/*' || k || '$' AS pattern FROM ks WHERE k % 2 = 0
@@ -650,10 +659,116 @@ object MediaStream {
       |b AS (SELECT doc_id, allow,
       |        row_number() OVER (PARTITION BY doc_id
       |          ORDER BY plen DESC, CASE WHEN allow THEN 0 ELSE 1 END) AS rn
-      |      FROM m)
-      |SELECT u.doc_id, u.host, u.path, coalesce(b.allow, true) AS allowed
-      |FROM u LEFT JOIN (SELECT doc_id, allow FROM b WHERE rn = 1) b USING (doc_id)
-      |ORDER BY u.doc_id""".stripMargin
+      |      FROM m),
+      |rv AS (SELECT u.doc_id, u.host, u.path, coalesce(bb.allow, true) AS allowed
+      |       FROM u LEFT JOIN (SELECT doc_id, allow FROM b WHERE rn = 1) bb
+      |         USING (doc_id))""".stripMargin
+
+  private val q145Sql =
+    s"""WITH $robotsCtes
+       |SELECT doc_id, host, path, allowed FROM rv
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q146
+  /** Sitemap ingestion (Warc.sitemapEntries), hash-gated the q130 way:
+    * each site's pages render into ONE real sitemap.xml (entries in
+    * doc_id order; every third page omits `<priority>` → the spec
+    * default 0.5, every fifth omits `<lastmod>` → empty string), the
+    * extractor explodes them back, and priorities surface as EXACT ppm
+    * parsed from the decimal string (never through a double — 0.7·10⁶
+    * in float64 truncates to 699999). The oracle re-derives every
+    * field analytically from the same cycles.
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val docs = t(s, dir, "documents")
+    val entry = concat(
+      lit("<url><loc>https://www.site"), col("doc_id") % 7,
+      lit(".org/p/"), col("doc_id"), lit("</loc>"),
+      when(col("doc_id") % 5 =!= 0, concat(lit("<lastmod>2024-01-"),
+        lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod>"))).otherwise(lit("")),
+      when(col("doc_id") % 3 =!= 0, concat(lit("<priority>0."),
+        col("doc_id") % 10, lit("</priority>"))).otherwise(lit("")),
+      lit("</url>"))
+    val sites = docs
+      .select((col("doc_id") % 7).as("k"), col("doc_id"), entry.as("e"))
+      .groupBy(col("k"))
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("e")))),
+          x => x.getField("e")), ""),
+        lit("</urlset>")).as("xml"))
+    sites.select(col("k"), explode(Warc.sitemapEntries(col("xml"))).as("u"))
+      .select(
+        regexp_extract(col("u.loc"), "/p/(\\d+)$", 1).cast("long").as("doc_id"),
+        concat(lit("www.site"), col("k"), lit(".org")).as("host"),
+        col("u.lastmod").as("lastmod"),
+        col("u.priority_ppm").as("priority_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q146Sql =
+    """SELECT doc_id,
+      |  'www.site' || (doc_id % 7) || '.org' AS host,
+      |  CASE WHEN doc_id % 5 <> 0
+      |    THEN '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |    ELSE '' END AS lastmod,
+      |  CAST(CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 10) * 100000
+      |       ELSE 500000 END AS BIGINT) AS priority_ppm
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q147
+  /** Frontier scheduling — the crawl-side composition query (the q136
+    * discipline: every stage an already-gated operator): robots-allowed
+    * pages (q145's verdicts) carry their sitemap priority (q146's
+    * cycle) and link rank (q135's graph), and each host schedules its
+    * pages into fetch WAVES — row_number per host by (priority DESC,
+    * rank DESC, doc_id) — the politeness-correct order: wave w of
+    * every host can fetch in parallel, no host monopolizes the
+    * frontier head, and there is deliberately NO global position (a
+    * global frontier sort is both a scale smell and semantically
+    * wrong — hosts are independent rate domains). Per-host window =
+    * shuffle by host, the partitioning a fetcher needs anyway.
+    */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val ranks = LinkGraph.pageRankInt(
+      docs.select(col("doc_id")), "doc_id", extractedEdges(docs), "src", "dst", iters = 3)
+    val pri = when(col("doc_id") % 3 =!= 0, (col("doc_id") % 10) * 100000L)
+      .otherwise(lit(500000L)).cast("long")
+    val f = robotsVerdicts(docs).filter(col("allowed"))
+      .join(ranks, Seq("doc_id"))
+      .withColumn("priority_ppm", pri)
+    f.withColumn("wave", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(col("priority_ppm").desc, col("rank_ppm").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("host"), col("wave"),
+        col("priority_ppm"), col("rank_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: rankGraphCtes is declared later in the object and vals
+  // initialize in declaration order — eager interpolation reads null
+  private lazy val q147Sql =
+    s"""WITH $robotsCtes,
+       |$rankGraphCtes,
+       |pri AS (SELECT doc_id,
+       |          CAST(CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 10) * 100000
+       |               ELSE 500000 END AS BIGINT) AS priority_ppm
+       |        FROM documents),
+       |f AS (SELECT rv.doc_id, rv.host, pri.priority_ppm, r3.rank AS rank_ppm
+       |      FROM rv JOIN pri USING (doc_id) JOIN r3 ON r3.id = rv.doc_id
+       |      WHERE rv.allowed)
+       |SELECT doc_id, host,
+       |  CAST(row_number() OVER (PARTITION BY host
+       |    ORDER BY priority_ppm DESC, rank_ppm DESC, doc_id) AS BIGINT) AS wave,
+       |  priority_ppm, rank_ppm
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q134
   /** URL canonicalization + URL-level exact dedup — the first dedup a
@@ -1106,6 +1221,8 @@ object MediaStream {
     "q134_url_dedup" -> (q134 _),
     "q144_anchor_text" -> (q144 _),
     "q145_robots_allow" -> (q145 _),
+    "q146_sitemap" -> (q146 _),
+    "q147_frontier" -> (q147 _),
     "q135_link_rank" -> (q135 _),
     "q136_crawl_curation" -> (q136 _),
     "q138_domain_rank" -> (q138 _),
@@ -1130,6 +1247,8 @@ object MediaStream {
     "q134_url_dedup" -> q134Sql,
     "q144_anchor_text" -> q144Sql,
     "q145_robots_allow" -> q145Sql,
+    "q146_sitemap" -> q146Sql,
+    "q147_frontier" -> q147Sql,
     "q135_link_rank" -> q135Sql,
     "q136_crawl_curation" -> q136Sql,
     "q138_domain_rank" -> q138Sql,

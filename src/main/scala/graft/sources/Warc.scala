@@ -353,6 +353,36 @@ object Warc {
           regexp_extract(a, "(?is)>(.*)</a>$", 1),
           "<[^>]+>", " "), "\\s+", " ")).as("text")))
 
+  /** Sitemap entries from a sitemap.xml payload — the frontier-seeding
+    * counterpart of [[Robots]] (robots.txt says what MAY be fetched, the
+    * sitemap says what the site WANTS fetched, with freshness and
+    * priority hints). Array of struct(loc, lastmod, priority_ppm),
+    * document order, builtin regexp only: `<url>` blocks extracted
+    * non-greedily, per block the `<loc>`, optional `<lastmod>` (empty
+    * string when absent) and optional `<priority>` (0.0–1.0 in the
+    * spec, surfaced as exact ppm BIGINT — default 500000 per the
+    * protocol). Sitemap-INDEX files (`<sitemapindex>`) are a recursion
+    * the caller drives by re-reading the listed locs; this extracts
+    * one document's entries.
+    */
+  def sitemapEntries(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?is)<url>.*?</url>"), lit(0)),
+      u => {
+        // exact decimal-string -> ppm (never through a double: 0.7·10⁶
+        // in float64 is 699999.99…, and a truncating cast would ship a
+        // wrong ppm): integer part · 10⁶ + fraction right-padded to 6
+        val p = regexp_extract(u, "(?is)<priority>\\s*([0-9.]+)\\s*</priority>", 1)
+        val ppm = when(p === "", lit(500000L)) // spec default 0.5
+          .otherwise(
+            coalesce(regexp_extract(p, "^([0-9]+)", 1).cast("long"), lit(0L)) * 1000000L +
+              rpad(regexp_extract(p, "\\.([0-9]*)", 1), 6, "0").cast("long"))
+        struct(
+          regexp_extract(u, "(?is)<loc>\\s*(.*?)\\s*</loc>", 1).as("loc"),
+          regexp_extract(u, "(?is)<lastmod>\\s*(.*?)\\s*</lastmod>", 1).as("lastmod"),
+          ppm.as("priority_ppm"))
+      })
+
   /** Registered domain by the last-two-labels heuristic
     * ("news.site3.org" -> "site3.org") — the per-SITE key (domain
     * caps, contamination blocklists). A public-suffix-aware version

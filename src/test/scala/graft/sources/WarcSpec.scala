@@ -279,6 +279,32 @@ class WarcSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("sitemapEntries: field extraction, spec defaults, and EXACT decimal-to-ppm priority") {
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc> https://a.org/1 </loc><lastmod> 2024-02-01 </lastmod><priority>0.7</priority></url>
+        |<url><loc>https://a.org/2</loc><priority>1</priority></url>
+        |<url><loc>https://a.org/3</loc></url>
+        |<url><loc>https://a.org/4</loc><priority>0.85</priority></url>
+        |</urlset>""".stripMargin
+    val got = Seq(xml).toDF("x")
+      .select(explode(Warc.sitemapEntries(col("x"))).as("u"))
+      .select("u.loc", "u.lastmod", "u.priority_ppm")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(
+      // 0.7 is the float trap: 0.7·10⁶ in double is 699999.99…, a
+      // truncating cast ships 699999 — the string parse must give 700000
+      ("https://a.org/1", "2024-02-01", 700000L),
+      ("https://a.org/2", "", 1000000L),   // integer "1" -> full ppm
+      ("https://a.org/3", "", 500000L),    // absent -> spec default 0.5
+      ("https://a.org/4", "", 850000L)))
+    // a sitemap INDEX carries <sitemap> children, not <url> — zero
+    // entries, never a crash (callers recurse through the listed locs)
+    val index = "<sitemapindex><sitemap><loc>https://a.org/s1.xml</loc></sitemap></sitemapindex>"
+    assert(Seq(index).toDF("x")
+      .select(size(Warc.sitemapEntries(col("x")))).head.getInt(0) === 0)
+  }
+
   test("urlHost + registeredDomain: grouping keys for politeness and domain caps") {
     val got = Seq("https://News.Site3.ORG:8443/p/1", "http://example.com/x")
       .toDF("url")
