@@ -586,6 +586,166 @@ object Pipeline {
       keepHistory, absorbBatchId = Some(batchId))
   }
 
+  // ------------------------------------------------------------------
+  // Segmented POSTINGS index lifecycle — the retrieval analog of the
+  // ANN pair protocol above, for the inverted index Retrieval.postings
+  // builds ("built once and stored, like the ANN index"). Same
+  // invariants, re-used helpers: a version is a manifest over
+  // IMMUTABLE segments, the manifest commits last, the pointer flip is
+  // atomic, retention ages out manifests then GCs unreferenced
+  // segments. What makes the incremental form CORRECT for BM25/tf-idf
+  // is that every corpus statistic the scorers need is ADDITIVE over
+  // disjoint-doc segments: df(term) counts (term, doc) rows, dl(doc)
+  // sums tf, avgdl sums dl — so probing the segment UNION is
+  // bit-identical to probing a full rebuild (q148 hash-gates exactly
+  // that through the BM25 tail), while a daily append tokenizes ONLY
+  // the new docs: build cost ∝ batch, not corpus.
+  // ------------------------------------------------------------------
+
+  private val PostingsPointerName = "postings_current.json"
+  private val PostingsStore = "_postings_segments"
+
+  private def writePostingsManifest(
+      pairDir: String, segmentRefs: Seq[String], version: String): Unit = {
+    Files.createDirectories(Paths.get(pairDir))
+    val json =
+      s"""{
+         |  "segments": [${segmentRefs.map(jsonStr).mkString(", ")}],
+         |  "source_version": ${jsonStr(version)}
+         |}""".stripMargin
+    val tmp = Paths.get(pairDir, ".manifest.json.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(pairDir, "manifest.json"),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readPostingsManifest(pairDir: String): Seq[String] = {
+    val p = Paths.get(pairDir, "manifest.json")
+    if (!Files.exists(p))
+      throw new IllegalStateException(
+        s"postings version at $pairDir has no manifest.json — incomplete version")
+    val json = Files.readString(p)
+    val segs = "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"manifest at $pairDir names no segments"))
+    "\"([^\"]+)\"".r.findAllMatchIn(segs).map(_.group(1)).toSeq
+  }
+
+  /** The live index as ONE postings DataFrame (term, doc, tf) — the
+    * no-shuffle union of the manifest's immutable segments. Disjoint
+    * doc batches mean no (term, doc) pair spans segments, so df/dl/tf
+    * over the union equal a full rebuild's.
+    */
+  def readPostingsIndex(spark: SparkSession, pairDir: String): org.apache.spark.sql.DataFrame = {
+    val publishDir = Paths.get(pairDir).getParent.toString
+    readPostingsManifest(pairDir)
+      .map(r => spark.read.parquet(s"$publishDir/$r"))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Publish a full postings build as version one of the index. */
+  def publishPostings(
+      spark: SparkSession,
+      publishDir: String,
+      sourceVersion: String,
+      corpus: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      keepHistory: Int = 5): String = {
+    Files.createDirectories(Paths.get(publishDir))
+    val v = safeVersion(sourceVersion)
+    val segRef = s"$PostingsStore/seg-$v"
+    graft.operators.Retrieval.postings(corpus, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$publishDir/$segRef")
+    val dir = s"$publishDir/post-$v"
+    writePostingsManifest(dir, Seq(segRef), sourceVersion)
+    flipPostingsPointer(publishDir, s"post-$v", sourceVersion)
+    applyPostingsRetention(publishDir, keepHistory, protect = readCurrentPostings(publishDir))
+    dir
+  }
+
+  /** O(delta) daily append: tokenize ONLY the new docs, write one
+    * delta segment + one manifest referencing the live prefix. The
+    * disjoint-batch contract is CHECKED (a re-appended doc would split
+    * its postings across segments and inflate df); the version token
+    * is collision-checked against every retained manifest (the
+    * appendAnn lesson: the live manifest alone forgets pre-compaction
+    * segments).
+    */
+  def appendPostings(
+      spark: SparkSession,
+      publishDir: String,
+      sourceVersion: String,
+      newDocs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      keepHistory: Int = 5): String = {
+    val cur = readCurrentPostings(publishDir).getOrElse(throw new IllegalStateException(
+      s"appendPostings: no current postings index under $publishDir — publishPostings must run first"))
+    val segRefs = readPostingsManifest(cur)
+    val v = safeVersion(sourceVersion)
+    require(s"post-$v" != new java.io.File(cur).getName,
+      s"appendPostings: sourceVersion '$sourceVersion' resolves to the live version " +
+        "dir. Use a fresh version token per append.")
+    val segRef = s"$PostingsStore/seg-$v"
+    require(!postingsReferencedRefs(publishDir).contains(segRef),
+      s"appendPostings: sourceVersion '$sourceVersion' resolves to segment '$segRef', " +
+        "which a retained manifest already references. Use a fresh version token.")
+    val delta = graft.operators.Retrieval.postings(newDocs, idCol, textCol)
+    val dup = readPostingsIndex(spark, cur).select(col("doc")).distinct()
+      .join(broadcast(delta.select(col("doc")).distinct()), Seq("doc"), "left_semi").count()
+    require(dup == 0L,
+      s"appendPostings: $dup doc(s) in the new batch already exist in the live " +
+        "index — batches must be disjoint (a re-appended doc splits its postings " +
+        "across segments and inflates df).")
+    delta.write.mode("overwrite").parquet(s"$publishDir/$segRef")
+    val dir = s"$publishDir/post-$v"
+    writePostingsManifest(dir, segRefs :+ segRef, sourceVersion)
+    flipPostingsPointer(publishDir, s"post-$v", sourceVersion)
+    applyPostingsRetention(publishDir, keepHistory, protect = readCurrentPostings(publishDir))
+    dir
+  }
+
+  def flipPostingsPointer(publishDir: String, versionedDir: String, version: String): Unit = {
+    val json =
+      s"""{
+         |  "dir": ${jsonStr(versionedDir)},
+         |  "source_version": ${jsonStr(version)}
+         |}""".stripMargin
+    val tmp = Paths.get(publishDir, s".$PostingsPointerName.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(publishDir, PostingsPointerName),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readCurrentPostings(publishDir: String): Option[String] = {
+    val p = Paths.get(publishDir, PostingsPointerName)
+    if (!Files.exists(p)) return None
+    "\"dir\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(Files.readString(p))
+      .map(m => s"$publishDir/${m.group(1)}")
+  }
+
+  private def postingsReferencedRefs(publishDir: String): Set[String] = {
+    val dir = Paths.get(publishDir)
+    if (!Files.exists(dir)) return Set.empty
+    listChildren(dir)
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("post-") &&
+        Files.exists(p.resolve("manifest.json")))
+      .flatMap(p => readPostingsManifest(p.toString)).toSet
+  }
+
+  def applyPostingsRetention(publishDir: String, keep: Int, protect: Option[String] = None): Unit = {
+    retainNewest(publishDir, keep, protect, ".*/post-[^/]*$")
+    val dir = Paths.get(publishDir)
+    if (!Files.exists(dir)) return
+    val referenced = postingsReferencedRefs(publishDir)
+    val storeDir = dir.resolve(PostingsStore)
+    if (Files.exists(storeDir))
+      listChildren(storeDir)
+        .filterNot(c => referenced.contains(s"$PostingsStore/${c.getFileName}"))
+        .foreach(deleteRecursively)
+  }
+
   /** Atomically point `ann_current.json` at an already-written
     * versioned pair dir (both halves committed). Flipping BACK to an
     * older dir is the rollback: index and model revert together.

@@ -99,9 +99,30 @@ object Retrieval {
       textCol: String,
       k: Int,
       k1Ppm: Long = 1200000L,
+      bPpm: Long = 750000L): DataFrame =
+    bm25OverPostings(queries,
+      postings(corpus, idCol, textCol).localCheckpoint(true),
+      idCol, textCol, k, k1Ppm, bPpm)
+
+  /** [[searchTopKBm25]] over an ALREADY-BUILT postings table — the
+    * probe side of the stored/segmented index
+    * ([[graft.changesets.Pipeline.readPostingsIndex]]): df, dl, and
+    * avgdl derive from the postings themselves, and because all three
+    * are additive over disjoint-doc segments, probing a segment union
+    * is bit-identical to probing a full rebuild (q148 gates it).
+    * `post` feeds three consumers — pass a materialized or
+    * cheap-to-rescan frame (a parquet read, or a localCheckpoint as
+    * [[searchTopKBm25]] does).
+    */
+  def bm25OverPostings(
+      queries: DataFrame,
+      post: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      k1Ppm: Long = 1200000L,
       bPpm: Long = 750000L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    val post = postings(corpus, idCol, textCol).localCheckpoint(true)
     val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = post.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"),

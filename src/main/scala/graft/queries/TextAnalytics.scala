@@ -789,6 +789,39 @@ object TextAnalytics {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q148
+  /** Segmented postings-index maintenance (Pipeline.publishPostings /
+    * appendPostings / readPostingsIndex) gated through the BM25 tail:
+    * publish the index over the corpus's doc_id < 250 half, append the
+    * rest as an O(delta) second segment (only the new docs tokenize),
+    * probe the segment UNION with q143's query set — and the oracle is
+    * q143's VERBATIM full-rebuild SQL, so the gate pins append ≡
+    * rebuild bit-for-bit through df/dl/avgdl additivity and the whole
+    * integer-ppm scoring chain.
+    */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.changesets.Pipeline
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val qs = docs.filter(col("doc_id") % 97 === 0)
+    val pub = java.nio.file.Files.createTempDirectory("q148-postings").toString
+    Pipeline.publishPostings(s, pub, "base",
+      corpus.filter(col("doc_id") < 250), "doc_id", "text")
+    Pipeline.appendPostings(s, pub, "day2",
+      corpus.filter(col("doc_id") >= 250), "doc_id", "text")
+    val post = Pipeline.readPostingsIndex(
+      s, Pipeline.readCurrentPostings(pub).get)
+    val out = graft.operators.Retrieval
+      .bm25OverPostings(qs, post, "doc_id", "text", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true) // materialize before deleting the temp index
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(pub))
+    out
+  }
+
   // --------------------------------------------------------------- q139
   /** Exact phrase search over positional postings
     * (Retrieval.phraseSearch): per-document occurrence counts for a
@@ -885,6 +918,7 @@ object TextAnalytics {
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q143_bm25_search" -> (q143 _),
+    "q148_postings_append" -> (q148 _),
     "q139_phrase_search" -> (q139 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
@@ -907,6 +941,7 @@ object TextAnalytics {
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q143_bm25_search" -> q143Sql,
+    "q148_postings_append" -> q143Sql,
     "q139_phrase_search" -> q139Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,

@@ -214,6 +214,49 @@ class AnnAppendSpec extends SparkSpec {
     assert(segs === Set("seg-wk2"), s"old segments must GC once unreferenced, got $segs")
   }
 
+  test("appendAnn after a compaction refuses tokens colliding with PRE-compact segments") {
+    // r14 advice #1: post-compaction the LIVE manifest names only
+    // seg-<wk>, but ann-day2's retained manifest still references
+    // seg-day2 for byte-exact rollback — a 'day2' re-run passing the
+    // require would mode(overwrite) that segment and corrupt rollback
+    val dir = tmpDir("ann-postcompact-collide")
+    val day1 = Similarity.ivfPqIndex(emb(0 until 20), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
+    Pipeline.appendAnn(spark, dir, "day2", emb(20 until 30), "vec_id", "embedding")
+    val day2Rows = indexRows(Pipeline.readAnnIndex(spark, s"$dir/ann-day2"))
+    Pipeline.compactAnn(spark, dir, "wk1")
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.appendAnn(spark, dir, "day2", emb(30 until 35), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("retained manifest already references"))
+    // rollback to the pre-compact pair still reads byte-exact
+    assert(indexRows(Pipeline.readAnnIndex(spark, s"$dir/ann-day2")) === day2Rows)
+  }
+
+  test("absorbAnnBatch replay after a compaction skips — the commit record survives") {
+    // r14 advice #2: foreachBatch is at-least-once; a replayed batch
+    // id must be recognized as absorbed even after compactAnn rewrote
+    // the segment list, or the stream crash-loops on the duplicate-id
+    // require. The manifest's absorbed-id set is the durable record.
+    val dir = tmpDir("ann-absorb-compact")
+    val base = Similarity.ivfPqIndex(emb(0 until 20), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "base", base, coarse, codebooks)
+    Pipeline.absorbAnnBatch(spark, dir, 1L, emb(20 until 30), "vec_id", "embedding")
+    Pipeline.compactAnn(spark, dir, "wk1")
+    val cur = Pipeline.readCurrentAnn(dir).get
+    assert(Pipeline.readAnnAbsorbed(cur) === Set(1L),
+      "compaction must carry the absorbed-batch record forward")
+    val before = indexRows(pairIndex(dir))
+    // the replay: same batch id, same (or re-fetched) vectors
+    val ret = Pipeline.absorbAnnBatch(spark, dir, 1L, emb(20 until 30), "vec_id", "embedding")
+    assert(ret === cur, "replay must return the live pair, not append")
+    assert(indexRows(pairIndex(dir)) === before, "replay must not change the index")
+    // a genuinely new batch still appends, and carries the record on
+    Pipeline.absorbAnnBatch(spark, dir, 2L, emb(30 until 35), "vec_id", "embedding")
+    assert(Pipeline.readAnnAbsorbed(Pipeline.readCurrentAnn(dir).get) === Set(1L, 2L))
+    assert(pairIndex(dir).count() === 35)
+  }
+
   test("appendAnn before the first publish fails loudly") {
     val dir = tmpDir("ann-nopair")
     val e = intercept[IllegalStateException] {
