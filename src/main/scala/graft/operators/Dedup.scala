@@ -141,6 +141,55 @@ object Dedup {
         (floor(col("jr") * lit(1e6)) / lit(1e6)).as("jaccard"))
   }
 
+  /** Dedup-quality report — the q127 recall discipline applied to the
+    * deduper itself: how much of the TRUE near-dup mass does a given
+    * (numHashes, bands) LSH configuration surface, and how much verify
+    * work does its candidate set waste? One row:
+    * (n_true, n_cand, n_hit, recall_ppm, cand_precision_ppm) where
+    * truth = ALL pairs with exact shingle-Jaccard ≥ threshold
+    * (unblocked pairwise — ground truth has no shortcut), cand = the
+    * LSH band-collision candidates, hit = cand ∩ truth (identical to
+    * [[minhashLshPairs]]'s verified output — verify IS the exact
+    * test, so pair precision is 1 by construction; what varies with
+    * the banding is recall and candidate efficiency, exactly the two
+    * numbers you tune bands/hashes against, Broder's S-curve).
+    *
+    * Scale contract: the truth side is deliberately O(n²) — run it on
+    * a ≤10⁴-doc SAMPLE (deterministic hash-order sample upstream), the
+    * standard way dedup configs are validated before a corpus run; the
+    * candidate side is the production banded plan at any size.
+    */
+  def minhashLshEval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(df, idCol, textCol).localCheckpoint(true)
+    val truth = sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
+        col("doc_a") < col("doc_b"))
+      .filter(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val cand = minhashCandidates(minhashBands(
+      minhashSigs(df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol)),
+        idCol, textCol, numHashes), numHashes, bands)).localCheckpoint(true)
+    val hit = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val counts = truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    counts.select(col("n_true"), col("n_cand"), col("n_hit"),
+      when(col("n_true") === 0, lit(1000000L))
+        .otherwise(expr("(n_hit * 1000000) div n_true")).as("recall_ppm"),
+      when(col("n_cand") === 0, lit(1000000L))
+        .otherwise(expr("(n_hit * 1000000) div n_cand")).as("cand_precision_ppm"))
+  }
+
   /** Sub-stage 1 of [[minhashLshPairs]]: (doc, sig_0..sig_{n-1}) minhash
     * signature table. Package-private so the stage-timing probe
     * (devtools/Q28Probe.scala) times the REAL stages instead of an

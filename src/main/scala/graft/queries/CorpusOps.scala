@@ -83,6 +83,52 @@ object CorpusOps {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // --------------------------------------------------------------- q149
+  /** Dedup-quality report (Dedup.minhashLshEval) — q28's exact config
+    * evaluated against unblocked ground truth: n_true (all pairs with
+    * exact shingle-Jaccard ≥ 0.5), n_cand (LSH band collisions),
+    * n_hit, recall_ppm, cand_precision_ppm. The oracle rebuilds BOTH
+    * sides — the pairwise truth and the full minhash/band chain — so
+    * the gate pins the S-curve numbers the banding is tuned against.
+    */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.minhashLshEval(t(s, dir, "documents"),
+      "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.5)
+
+  private val q149Sql = {
+    val ph = graft.functions.TextFunctions.polyHashSql.format("x", "x")
+    val sig = (0 until 32).map(k =>
+      s"list_min(list_transform(hs, h -> (h * ${graft.operators.Dedup.hashA(k)} + ${graft.operators.Dedup.hashB(k)}) % ${graft.operators.Dedup.P}))")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+       |truth AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+       |hs AS (SELECT doc_id, list_transform(sh, x -> $ph) AS hs FROM sh),
+       |sigt AS (SELECT doc_id, $sig AS sig FROM hs),
+       |bands AS (
+       |  SELECT doc_id, b.b AS band,
+       |    md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS bh
+       |  FROM sigt, (SELECT unnest(range(0, 8)) AS b) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |hit AS (SELECT cand.doc_a, cand.doc_b FROM cand
+       |        JOIN truth ON truth.doc_a = cand.doc_a AND truth.doc_b = cand.doc_b),
+       |c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       |        (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       |        (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit)
+       |SELECT n_true, n_cand, n_hit,
+       |  CAST(CASE WHEN n_true = 0 THEN 1000000
+       |       ELSE (n_hit * 1000000) // n_true END AS BIGINT) AS recall_ppm,
+       |  CAST(CASE WHEN n_cand = 0 THEN 1000000
+       |       ELSE (n_hit * 1000000) // n_cand END AS BIGINT) AS cand_precision_ppm
+       |FROM c""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q29
   /** SimHash(60-bit) near-dup pairs at hamming <= 3 via 4-chunk
     * blocking (lossless by pigeonhole). The oracle computes the
@@ -1971,6 +2017,7 @@ object CorpusOps {
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
     "q28_minhash_lsh" -> (q28 _),
+    "q149_dedup_eval" -> (q149 _),
     "q29_simhash" -> (q29 _),
     "q30_ngram_jaccard" -> (q30 _),
     "q31_embedding_near_dup" -> (q31 _),
@@ -2018,6 +2065,7 @@ object CorpusOps {
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
     "q28_minhash_lsh" -> q28Sql,
+    "q149_dedup_eval" -> q149Sql,
     "q29_simhash" -> q29Sql,
     "q30_ngram_jaccard" -> q30Sql,
     "q31_embedding_near_dup" -> q31Sql,

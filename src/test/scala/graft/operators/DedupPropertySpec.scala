@@ -230,4 +230,37 @@ class DedupPropertySpec extends SparkSpec {
       assert(got === want, s"seed=$i docs=$docs")
     }
   }
+
+  test("minhashLshEval: perfect recall on identical docs; a weak banding measurably misses") {
+    import spark.implicits._
+    // 8 identical docs: every pair is true AND every band collides —
+    // both ratios pin at exactly 10^6 ppm
+    val same = (0L until 8L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val perfect = Dedup.minhashLshEval(same, "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().head
+    assert(perfect.getAs[Long]("n_true") === 28L)
+    assert(perfect.getAs[Long]("recall_ppm") === 1000000L)
+    assert(perfect.getAs[Long]("cand_precision_ppm") === 1000000L)
+    // a true pair at jaccard 0.6 under ONE band of 32 rows: collision
+    // needs all 32 minhashes equal — the eval must SEE the miss (this
+    // is the S-curve fact the report exists to measure)
+    val border = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 x9"), // 3-gram jaccard 3/5 = 0.6
+      (3L, "totally different content here now")
+    ).toDF("doc_id", "text")
+    val weak = Dedup.minhashLshEval(border, "doc_id", "text",
+        numHashes = 32, bands = 1, threshold = 0.5)
+      .collect().head
+    assert(weak.getAs[Long]("n_true") === 1L)
+    assert(weak.getAs[Long]("n_hit") === 0L, "a 32-row single band collides only on (near-)identical docs")
+    assert(weak.getAs[Long]("recall_ppm") === 0L)
+    // empty-truth corpus: ratios define to 10^6 (nothing to find)
+    val none = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh")).toDF("doc_id", "text")
+    val empty = Dedup.minhashLshEval(none, "doc_id", "text").collect().head
+    assert(empty.getAs[Long]("n_true") === 0L)
+    assert(empty.getAs[Long]("recall_ppm") === 1000000L)
+  }
 }
