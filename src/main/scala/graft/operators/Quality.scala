@@ -675,4 +675,38 @@ object Quality {
         s"ELSE ${(k - 1).toLong * m}L DIV greatest(element_at(bottom, $k), 1L) " +
         "END AS BIGINT) AS distinct_est")
   }
+
+  /** One-pass column profiler — the ANALYZE/SUMMARIZE surface of the
+    * engine (ingest monitoring, schema-drift alarms, join-planning
+    * stats): per column, row count, null count, EXACT distinct count,
+    * and min/max (computed on the NATIVE type, then rendered as
+    * strings for the uniform long-format output — casting first would
+    * compare "10" < "9" lexicographically). One aggregation over the
+    * table (all columns' aggregates in a single pass; map-side
+    * partial), then a row-explode of the single result row: at 100 TB
+    * this is one scan, no shuffle beyond the final 1-row combine. The
+    * multiple exact count_distincts expand the plan (Spark rewrites
+    * them via expand); for a quick estimate on a wide table, profile a
+    * column subset or use [[kmvDistinct]] per column instead.
+    */
+  def profile(df: DataFrame, columns: Seq[String] = Seq.empty): DataFrame = {
+    val target = if (columns.isEmpty) df.columns.toSeq else columns
+    require(target.nonEmpty, "profile: table has no columns")
+    val aggs = target.flatMap { c =>
+      Seq(count(col(c)).as(s"__p_n_$c"),
+        count_distinct(col(c)).as(s"__p_ndv_$c"),
+        min(col(c)).cast("string").as(s"__p_min_$c"),
+        max(col(c)).cast("string").as(s"__p_max_$c"))
+    } :+ count(lit(1)).as("__p_total")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(target.map { c =>
+        struct(lit(c).as("column"),
+          col("__p_total").as("n_rows"),
+          (col("__p_total") - col(s"__p_n_$c")).as("n_null"),
+          col(s"__p_ndv_$c").as("n_distinct"),
+          col(s"__p_min_$c").as("min_value"),
+          col(s"__p_max_$c").as("max_value"))
+      }: _*)).as("s"))
+      .select(col("s.*"))
+  }
 }

@@ -789,6 +789,27 @@ object TextAnalytics {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q150
+  /** Table profiling (Quality.profile) — the ANALYZE/SUMMARIZE surface:
+    * one pass over `documents`, per column the row count, null count,
+    * exact distinct count, and native-type min/max rendered as
+    * strings. Oracle unions one hand-written stats row per column.
+    */
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    Quality.profile(t(s, dir, "documents")).orderBy(col("column"))
+
+  private val q150Sql = {
+    val per = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT * FROM (\n$per\n) ORDER BY "column"""".stripMargin
+  }
+
   // --------------------------------------------------------------- q148
   /** Segmented postings-index maintenance (Pipeline.publishPostings /
     * appendPostings / readPostingsIndex) gated through the BM25 tail:
@@ -919,6 +940,7 @@ object TextAnalytics {
     "q126_lexical_search" -> (q126 _),
     "q143_bm25_search" -> (q143 _),
     "q148_postings_append" -> (q148 _),
+    "q150_table_profile" -> (q150 _),
     "q139_phrase_search" -> (q139 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
@@ -942,6 +964,7 @@ object TextAnalytics {
     "q126_lexical_search" -> q126Sql,
     "q143_bm25_search" -> q143Sql,
     "q148_postings_append" -> q143Sql,
+    "q150_table_profile" -> q150Sql,
     "q139_phrase_search" -> q139Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,

@@ -165,4 +165,23 @@ class QualitySpec extends SparkSpec {
     val b = df.filter(expr("substring(v, 5) % 2 = 1"))
     assert(est(a.unionByName(b)) === e1)
   }
+
+  test("profile: exact per-column stats, native-type min/max, null accounting, column subset") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "b"), (2L, null), (10L, "a"), (null, "a")
+    ).toDF("id", "s")
+    val got = Quality.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    // native-type min/max: 10 > 2 numerically (a string-cast-first
+    // profile would report max "2")
+    assert(got("id") === ((4L, 1L, 3L, "1", "10")))
+    assert(got("s") === ((4L, 1L, 2L, "a", "b")))
+    // column subset + empty table: stats stay defined
+    val empty = Quality.profile(df.filter(lit(false)), Seq("id")).collect()
+    assert(empty.length === 1)
+    assert(empty(0).getLong(1) === 0L && empty(0).getLong(3) === 0L)
+    assert(empty(0).getString(4) == null)
+  }
 }
