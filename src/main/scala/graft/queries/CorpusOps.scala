@@ -90,9 +90,15 @@ object CorpusOps {
     * n_hit, recall_ppm, cand_precision_ppm. The oracle rebuilds BOTH
     * sides — the pairwise truth and the full minhash/band chain — so
     * the gate pins the S-curve numbers the banding is tuned against.
+    *
+    * Run on the FIXED 500-doc sample the operator's own scale
+    * contract prescribes (the truth side is deliberately O(n²);
+    * unsampled at sf0.1 the pairwise join alone costs ~10 min — the
+    * eval's cost must not scale with the corpus, only with the sample).
     */
   private def q149(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Dedup.minhashLshEval(t(s, dir, "documents"),
+    graft.operators.Dedup.minhashLshEval(
+      t(s, dir, "documents").filter(col("doc_id") < 500),
       "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.5)
 
   private val q149Sql = {
@@ -100,7 +106,8 @@ object CorpusOps {
     val sig = (0 until 32).map(k =>
       s"list_min(list_transform(hs, h -> (h * ${graft.operators.Dedup.hashA(k)} + ${graft.operators.Dedup.hashB(k)}) % ${graft.operators.Dedup.P}))")
       .mkString("[", ",\n      ", "]")
-    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents
+       |       WHERE doc_id < 500),
        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
        |truth AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
