@@ -175,6 +175,12 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
+    // sh's only consumer (truth) is eagerly materialized above, and sh
+    // does NOT appear in the returned plan (truth's lineage is
+    // truncated) — the caller's release() can't reach it, so release
+    // here or its shingle blocks leak into the session (bench
+    // storage_mb caught exactly this)
+    graft.Checkpoints.release(sh)
     val cand = minhashCandidates(minhashBands(
       minhashSigs(df.repartition(
         df.sparkSession.sessionState.conf.numShufflePartitions, col(idCol)),
