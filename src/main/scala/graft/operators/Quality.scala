@@ -709,4 +709,60 @@ object Quality {
       }: _*)).as("s"))
       .select(col("s.*"))
   }
+
+  /** Repeated-span ("boilerplate line") removal — the C4 / RefinedWeb /
+    * CCNet curation pass that deletes spans occurring verbatim across
+    * many documents (nav bars, cookie banners, license footers). The
+    * corpus here has no newlines, so the span unit is a fixed
+    * `segWidth`-token window (C4 uses three-sentence spans; the
+    * fixed-width window is the same dedup with a deterministic
+    * segmenter): a segment whose exact text appears in >= `minDocs`
+    * DISTINCT documents is boilerplate and dropped from every doc.
+    *
+    * Returns one row per input document:
+    * (doc, segs, removed, clean_text) — `segs` the segment count,
+    * `removed` how many were boilerplate, `clean_text` the document
+    * re-joined from surviving segments in order. Empty-token docs
+    * survive with segs = 0 and clean_text = "".
+    *
+    * Plan shape: one explode -> grouped count-distinct on the segment
+    * text (map-side partial) builds the boilerplate set; the corpus
+    * re-scan left-joins that set (small by construction — AQE
+    * broadcasts it) and one groupBy(doc) rebuilds the documents. Two
+    * corpus scans total, no self-join, nothing quadratic. At 100 TB
+    * key the grouping on xxhash64(seg) instead of the string (collide
+    * -> exact-confirm, the Bloom/decontaminate shape) and persist the
+    * exploded segments if the double scan is dearer than the
+    * materialization.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWidth: Int = 8,
+      minDocs: Int = 3): DataFrame = {
+    require(segWidth >= 1, s"segWidth must be >= 1: $segWidth")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val segs = df
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
+      // guard the empty-token doc: sequence(0, -1) would DESCEND in
+      // Spark, so the segment-index array must be built conditionally
+      .select(col("doc"), posexplode_outer(expr(
+        s"""CASE WHEN size(toks) = 0 THEN array()
+           |ELSE transform(sequence(0, (size(toks) - 1) div $segWidth),
+           |               i -> array_join(slice(toks, i * $segWidth + 1, $segWidth), ' '))
+           |END""".stripMargin)).as(Seq("pos", "seg")))
+    val boiler = segs.filter(col("seg").isNotNull)
+      .groupBy(col("seg")).agg(count_distinct(col("doc")).as("dfd"))
+      .filter(col("dfd") >= minDocs)
+      .select(col("seg"), lit(true).as("rm"))
+    segs.join(boiler, Seq("seg"), "left_outer")
+      .groupBy(col("doc"))
+      .agg(count(col("seg")).as("segs"),
+        coalesce(sum(when(col("rm"), 1L)), lit(0L)).as("removed"),
+        array_join(transform(array_sort(collect_list(
+            when(col("rm").isNull && col("seg").isNotNull,
+              struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
 }

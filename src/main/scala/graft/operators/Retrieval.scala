@@ -193,4 +193,59 @@ object Retrieval {
         .select(lit(phrase).as("phrase"), col("doc_id"), col("n_occurrences"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Search-result snippet extraction (the keyword-in-context display
+    * line a search UI renders under each hit): for each query's BM25
+    * top-1 document, pick the MOST SELECTIVE query term that the
+    * document actually contains (min corpus df, ties to the
+    * lexicographically smallest term), locate its first occurrence,
+    * and cut a +-`window`-token context with the hit bracketed
+    * (`... foo [bar] baz ...`). Top-1 docs share >= 1 term with their
+    * query by construction, so every scoring query emits exactly one
+    * row: (query_id, doc_id, term, hit_pos 0-based, snippet).
+    *
+    * Plan shape: the BM25 search reuses [[bm25OverPostings]]'s plan;
+    * everything after it joins tiny per-query frames (top-1 docs,
+    * candidate terms) against the postings — AQE broadcasts the query
+    * side, so the corpus-sized inputs (postings, positional postings,
+    * one tokens re-scan for the snippet cut) are each touched once
+    * with no corpus shuffle. In production the positional postings are
+    * the stored q139 index, not a re-tokenize.
+    */
+  def snippets(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 3,
+      k1Ppm: Long = 1200000L,
+      bPpm: Long = 750000L): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val post = postings(corpus, idCol, textCol).localCheckpoint(true)
+    val top1 = bm25OverPostings(queries, post, idCol, textCol, 1, k1Ppm, bPpm)
+      .select(col("query_id"), col("doc_id"))
+    val dfx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(col(idCol).as("query_id"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    val cand = top1.join(qTerms, Seq("query_id"))
+      .join(post.withColumnRenamed("doc", "doc_id"), Seq("doc_id", "term"))
+      .join(dfx, Seq("term"))
+    val mdf = cand.groupBy(col("query_id")).agg(min(col("df")).as("mdf"))
+    val rare = cand.join(mdf, Seq("query_id"))
+      .filter(col("df") === col("mdf"))
+      .groupBy(col("query_id"), col("doc_id")).agg(min(col("term")).as("term"))
+    val hit = rare.join(positionalPostings(corpus, idCol, textCol), Seq("doc_id", "term"))
+      .groupBy(col("query_id"), col("doc_id"), col("term"))
+      .agg(min(col("pos")).cast("long").as("hit_pos"))
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    hit.join(toks, Seq("doc_id"))
+      .withColumn("first", greatest(col("hit_pos") - window, lit(0L)).cast("int"))
+      .withColumn("last", least(col("hit_pos") + window, size(col("toks")) - 1).cast("int"))
+      .withColumn("snippet", array_join(expr(
+        "transform(slice(toks, first + 1, last - first + 1), " +
+          "(x, i) -> IF(i = hit_pos - first, concat('[', x, ']'), x))"), " "))
+      .select(col("query_id"), col("doc_id"), col("term"),
+        col("hit_pos"), col("snippet"))
+  }
 }

@@ -757,8 +757,11 @@ object TextAnalytics {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val q143Sql = {
-    val (k1, b) = (1200000L, 750000L)
+  /** The BM25 scoring CTE chain (tk/q/c/tf/dfx/dlx/st/s) shared by the
+    * q143 ranking oracle and the q152 snippet oracle — byte-identical
+    * to the q143 form it was factored from.
+    */
+  private def bm25Ctes(k1: Long, b: Long): String =
     s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
        |      FROM tk WHERE doc_id % 97 = 0),
@@ -780,14 +783,16 @@ object TextAnalytics {
        |             JOIN dfx ON tf.term = dfx.term
        |             JOIN dlx ON tf.doc_id = dlx.doc_id
        |             CROSS JOIN st
-       |      GROUP BY 1, 2)
+       |      GROUP BY 1, 2)""".stripMargin
+
+  private val q143Sql =
+    s"""${bm25Ctes(1200000L, 750000L)}
        |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
        |  SELECT qid, doc_id, score,
        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
        |  FROM s)
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   // --------------------------------------------------------------- q150
   /** Table profiling (Quality.profile) — the ANALYZE/SUMMARIZE surface:
@@ -809,6 +814,155 @@ object TextAnalytics {
     }.mkString("\nUNION ALL\n")
     s"""SELECT * FROM (\n$per\n) ORDER BY "column"""".stripMargin
   }
+
+  // --------------------------------------------------------------- q151
+  /** Boilerplate-span removal (Quality.stripBoilerplate) — the C4 /
+    * RefinedWeb repeated-line curation pass over fixed 8-token
+    * segments with a >= 3-distinct-docs threshold, rolled up per
+    * source: docs, total/removed segment counts, docs touched, and an
+    * order-insensitive corpus fingerprint (md5 over per-doc md5s of
+    * the CLEANED text, doc_id-ordered) so the oracle pins the full
+    * rebuilt text of every document, not just the counters.
+    */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Quality.stripBoilerplate(docs, "doc_id", "text", segWidth = 8, minDocs = 3)
+      .join(docs.select(col("doc_id").as("doc"), col("source")), Seq("doc"))
+      .withColumn("doc_md5", md5(col("clean_text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("segs")).cast("long").as("segs_total"),
+        sum(col("removed")).cast("long").as("segs_removed"),
+        sum(when(col("removed") > 0, 1L).otherwise(0L)).cast("long").as("docs_touched"),
+        md5(array_join(transform(array_sort(collect_list(
+            struct(col("doc"), col("doc_md5")))),
+          x => x.getField("doc_md5")), "|")).as("clean_fp"))
+      .orderBy(col("source"))
+  }
+
+  private val q151Sql =
+    s"""WITH tk AS (SELECT doc_id, source, $tokensSql AS toks FROM documents),
+       |seg AS (SELECT doc_id, i AS pos,
+       |          array_to_string(toks[(8 * i + 1):(8 * i + 8)], ' ') AS seg
+       |        FROM tk, unnest(range(0, (len(toks) + 7) // 8)) AS u(i)),
+       |bo AS (SELECT seg FROM seg GROUP BY seg
+       |       HAVING count(DISTINCT doc_id) >= 3),
+       |sk AS (SELECT s.doc_id, s.pos, s.seg, b.seg IS NOT NULL AS rm
+       |       FROM seg s LEFT JOIN bo b USING (seg)),
+       |doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS segs,
+       |          CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS rmv,
+       |          md5(coalesce(string_agg(CASE WHEN NOT rm THEN seg END,
+       |                                  ' ' ORDER BY pos), '')) AS doc_md5
+       |        FROM sk GROUP BY 1),
+       |dj AS (SELECT t.doc_id, t.source, coalesce(d.segs, 0) AS segs,
+       |         coalesce(d.rmv, 0) AS rmv,
+       |         coalesce(d.doc_md5, md5('')) AS doc_md5
+       |       FROM tk t LEFT JOIN doc d USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(segs) AS BIGINT) AS segs_total,
+       |  CAST(sum(rmv) AS BIGINT) AS segs_removed,
+       |  CAST(sum(CASE WHEN rmv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_touched,
+       |  md5(string_agg(doc_md5, '|' ORDER BY doc_id)) AS clean_fp
+       |FROM dj GROUP BY source ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------- q152
+  /** Search-result snippets (Retrieval.snippets): for each query's
+    * BM25 top-1 document, the first occurrence of the most selective
+    * query term the document contains, bracketed in a +-3-token
+    * context — the display line under a search hit. The oracle
+    * re-derives the full chain: the q143 scoring CTEs, top-1 by
+    * (score DESC, doc_id), min-df/min-term selection among terms with
+    * tf > 0 in that doc, first position, and the same 1-based slice +
+    * hit-marking transform.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Retrieval.snippets(
+        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", window = 3)
+      .orderBy(col("query_id"))
+  }
+
+  private val q152Sql =
+    s"""${bm25Ctes(1200000L, 750000L)},
+       |t1 AS (SELECT qid, doc_id FROM (
+       |         SELECT qid, doc_id,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY score DESC, doc_id) AS rnk
+       |         FROM s)
+       |       WHERE rnk = 1),
+       |cand AS (SELECT t1.qid, t1.doc_id, tf.term, dfx.df
+       |         FROM t1 JOIN tf ON tf.doc_id = t1.doc_id
+       |                 JOIN q ON q.qid = t1.qid AND q.term = tf.term
+       |                 JOIN dfx ON dfx.term = tf.term),
+       |mdf AS (SELECT qid, min(df) AS mdf FROM cand GROUP BY 1),
+       |rare AS (SELECT c.qid, c.doc_id, min(c.term) AS term
+       |         FROM cand c JOIN mdf ON c.qid = mdf.qid AND c.df = mdf.mdf
+       |         GROUP BY 1, 2),
+       |p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+       |        unnest(toks) AS term
+       |      FROM tk WHERE doc_id % 97 <> 0),
+       |hit AS (SELECT r.qid, r.doc_id, r.term, CAST(min(p.pos) AS BIGINT) AS pos1
+       |        FROM rare r JOIN p ON p.doc_id = r.doc_id AND p.term = r.term
+       |        GROUP BY 1, 2, 3),
+       |sn AS (SELECT h.qid, h.doc_id, h.term, h.pos1,
+       |         greatest(h.pos1 - 3, 1) AS f1,
+       |         least(h.pos1 + 3, len(t.toks)) AS l1, t.toks
+       |       FROM hit h JOIN tk t ON t.doc_id = h.doc_id)
+       |SELECT qid AS query_id, doc_id, term,
+       |  CAST(pos1 - 1 AS BIGINT) AS hit_pos,
+       |  array_to_string(list_transform(toks[f1:l1],
+       |    (x, i) -> CASE WHEN i = pos1 - f1 + 1 THEN '[' || x || ']'
+       |              ELSE x END), ' ') AS snippet
+       |FROM sn ORDER BY query_id""".stripMargin
+
+  // --------------------------------------------------------------- q153
+  /** Count-min sketch (functions.CountMin): one-pass 4 x 64 sketch
+    * over the corpus token stream, probed at the 10 most frequent
+    * terms against their exact counts — term, exact, CMS estimate,
+    * overestimate margin (>= 0 by construction). Every cell is a pure
+    * sum, so the estimates are partition-order-invariant and the
+    * oracle reconstructs them exactly: cell(j, b) = sum of exact
+    * counts of all terms hashing to b in row j, est = min over rows.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val (d, w) = (4, 64)
+    val tok = t(s, dir, "documents").select(explode(tokens(col("text"))).as("term"))
+    val sk = tok.agg(graft.functions.CountMin.sketch(d, w)(col("term")).as("sk"))
+    val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(10)
+    val estCols = (0 until d).map { j =>
+      val b = graft.functions.CountMin.bucketSql("poly_hash(term)", j, w)
+      expr(s"element_at(sk, CAST($j * $w + ($b) + 1 AS INT))")
+    }
+    exact.crossJoin(broadcast(sk))
+      .withColumn("est", least(estCols: _*))
+      .select(col("term"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("exact").desc, col("term"))
+  }
+
+  private val q153Sql =
+    s"""WITH tk AS (SELECT $tokensSql AS toks FROM documents),
+       |tok AS (SELECT unnest(toks) AS term FROM tk),
+       |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS exact FROM tok GROUP BY 1),
+       |h AS (SELECT term, exact,
+       |        ${graft.functions.TextFunctions.polyHashSql.format("term", "term")} AS ph
+       |      FROM cnt),
+       |cj AS (SELECT term, exact, ph, j FROM h, unnest(range(0, 4)) AS u(j)),
+       |bk AS (SELECT j, ((2 * j + 1) * ph + 97 * j + 1) % 2147483647 % 64 AS b,
+       |         CAST(sum(exact) AS BIGINT) AS cell
+       |       FROM cj GROUP BY 1, 2),
+       |top10 AS (SELECT term, exact, ph FROM h ORDER BY exact DESC, term LIMIT 10),
+       |pj AS (SELECT t.term, t.exact, j,
+       |         ((2 * j + 1) * t.ph + 97 * j + 1) % 2147483647 % 64 AS b
+       |       FROM top10 t, unnest(range(0, 4)) AS u(j)),
+       |probe AS (SELECT pj.term, pj.exact, min(bk.cell) AS est
+       |          FROM pj JOIN bk ON bk.j = pj.j AND bk.b = pj.b GROUP BY 1, 2)
+       |SELECT term, exact, est, est - exact AS overcount
+       |FROM probe ORDER BY exact DESC, term""".stripMargin
 
   // --------------------------------------------------------------- q148
   /** Segmented postings-index maintenance (Pipeline.publishPostings /
@@ -941,6 +1095,9 @@ object TextAnalytics {
     "q143_bm25_search" -> (q143 _),
     "q148_postings_append" -> (q148 _),
     "q150_table_profile" -> (q150 _),
+    "q151_boilerplate_strip" -> (q151 _),
+    "q152_snippets" -> (q152 _),
+    "q153_count_min" -> (q153 _),
     "q139_phrase_search" -> (q139 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
@@ -965,6 +1122,9 @@ object TextAnalytics {
     "q143_bm25_search" -> q143Sql,
     "q148_postings_append" -> q143Sql,
     "q150_table_profile" -> q150Sql,
+    "q151_boilerplate_strip" -> q151Sql,
+    "q152_snippets" -> q152Sql,
+    "q153_count_min" -> q153Sql,
     "q139_phrase_search" -> q139Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,

@@ -184,4 +184,38 @@ class QualitySpec extends SparkSpec {
     assert(empty(0).getLong(1) === 0L && empty(0).getLong(3) === 0L)
     assert(empty(0).getString(4) == null)
   }
+
+  test("stripBoilerplate: distinct-doc threshold, partial tails, empty docs, doc rebuild") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "nav bar alpha beta"),      // both segs boilerplate -> empty
+      (2L, "nav bar gamma delta"),     // "nav bar" stripped, tail kept
+      (3L, "nav bar"),                 // single boilerplate seg
+      (4L, ""),                        // empty doc survives untouched
+      (5L, "solo words here"),         // unique segs + partial tail "here"
+      (6L, "alpha beta alpha beta"),   // seg repeats ACROSS docs (d1+d6)
+      (7L, "x y x y"))                 // seg repeats only WITHIN one doc:
+      .toDF("doc_id", "text")          //   distinct-doc count 1, KEPT
+    val got = Quality.stripBoilerplate(docs, "doc_id", "text", segWidth = 2, minDocs = 2)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, ""),
+      (2L, 2L, 1L, "gamma delta"),
+      (3L, 1L, 1L, ""),
+      (4L, 0L, 0L, ""),
+      (5L, 2L, 0L, "solo words here"),
+      (6L, 2L, 2L, ""),
+      (7L, 2L, 0L, "x y x y")))
+  }
+
+  test("stripBoilerplate: below threshold nothing is removed, rebuild is identity") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two three four five"), (2L, "one two six"))
+      .toDF("doc_id", "text")
+    val got = Quality.stripBoilerplate(docs, "doc_id", "text", segWidth = 2, minDocs = 3)
+      .orderBy("doc").collect()
+    assert(got.map(_.getLong(2)).sum === 0L)
+    assert(got.map(_.getString(3)).toSeq === Seq("one two three four five", "one two six"))
+  }
 }

@@ -141,4 +141,36 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(cased === Set((1L, 1L), (3L, 2L)))
   }
+
+  test("snippets: rarest-present-term selection, start clamp, tie to min term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta common common common"),
+      (3L, "zeta appears here zeta again")).toDF("doc_id", "text")
+    val qs = Seq(
+      (100L, "gamma"),            // unique to d1, mid-doc hit
+      (101L, "zeta"),             // d3 wins on tf/dl; hit at pos 0 clamps left
+      (102L, "delta epsilon"),    // equal df=1 -> lexicographic min "delta"
+      (103L, "nonexistent"))      // no corpus term -> no row
+      .toDF("doc_id", "text")
+    val got = Retrieval.snippets(qs, docs, "doc_id", "text", window = 3)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(got === Seq(
+      (100L, 1L, "gamma", 2L, "alpha beta [gamma] delta epsilon zeta"),
+      (101L, 3L, "zeta", 0L, "[zeta] appears here zeta"),
+      (102L, 1L, "delta", 3L, "alpha beta gamma [delta] epsilon zeta eta")))
+  }
+
+  test("snippets: end clamp and first-occurrence (not any-occurrence) hit") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d needle e needle")).toDF("doc_id", "text")
+    val qs = Seq((9L, "needle")).toDF("doc_id", "text")
+    val got = Retrieval.snippets(qs, docs, "doc_id", "text", window = 3)
+      .collect().map(r => (r.getLong(3), r.getString(4))).toSeq
+    // first occurrence at pos 4 (0-based); right edge clamps at doc end
+    assert(got === Seq((4L, "b c d [needle] e needle")))
+  }
 }
