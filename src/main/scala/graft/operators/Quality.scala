@@ -455,6 +455,98 @@ object Quality {
     spark.read.parquet(s"$stateDir/gen-${head._1}")
   }
 
+  private case class CmsHead(gen: Long, lastBatch: Long, d: Int, w: Int)
+
+  private def readCmsHead(stateDir: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[CmsHead] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, "_cms_head.json")
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
+      def f(k: String): Option[Long] =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+      for (g <- f("gen"); b <- f("last_batch_id"); dd <- f("d"); ww <- f("w"))
+        yield CmsHead(g, b, dd.toInt, ww.toInt)
+    }
+  }
+
+  private def writeCmsHead(stateDir: String,
+      hconf: org.apache.hadoop.conf.Configuration, h: CmsHead): Unit = {
+    val fin = new org.apache.hadoop.fs.Path(stateDir, "_cms_head.json")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"._cms_head.json.tmp-${h.gen}")
+    val fs = fin.getFileSystem(hconf)
+    val out = fs.create(tmp, true)
+    try out.write((s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}, """ +
+      s""""d": ${h.d}, "w": ${h.w}}""").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    fs.rename(tmp, fin)
+  }
+
+  /** One incremental step of a persisted count-min sketch: absorb
+    * `batch`'s token stream into the sketch at `stateDir`. CMS is a
+    * LINEAR sketch, so absorb = elementwise cell add — increments
+    * commute, and N-batch state is bit-identical to a one-shot build
+    * over the batch union (q155 gates exactly that equivalence
+    * through the probe tail). State discipline mirrors the MG sketch:
+    * immutable `gen-<g>` dirs, the `_cms_head.json` pointer flips
+    * LAST via atomic rename (a crash at any earlier point leaves the
+    * previous generation committed), and with `batchId` set, a batch
+    * at or below the committed head is skipped outright — replays
+    * under at-least-once delivery converge instead of double-counting.
+    * A (d, w) mismatch against the committed stamp fails loudly:
+    * cells of differently-shaped sketches must never be added. The
+    * state is d*w longs regardless of corpus size; the merge is a
+    * one-row zip_with, never a driver collect.
+    */
+  def countMinIncrement(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      batch: DataFrame,
+      textCol: String,
+      d: Int,
+      w: Int,
+      batchId: Long = -1L): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val head = readCmsHead(stateDir, hconf)
+    head.foreach { h =>
+      require(h.d == d && h.w == w,
+        s"sketch shape mismatch: state at $stateDir is ${h.d}x${h.w}, caller asked ${d}x$w")
+    }
+    val alreadyAbsorbed = head.exists(h => batchId >= 0 && batchId <= h.lastBatch)
+    if (!alreadyAbsorbed) {
+      val batchSk = batch
+        .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+        .agg(graft.functions.CountMin.sketch(d, w)(col("term")).as("sk_new"))
+      val merged = head match {
+        case None => batchSk.select(col("sk_new").as("sk"))
+        case Some(h) =>
+          spark.read.parquet(s"$stateDir/gen-${h.gen}")
+            .crossJoin(batchSk)
+            .select(zip_with(col("sk"), col("sk_new"), (a, b) => a + b).as("sk"))
+      }
+      val nextGen = head.map(_.gen + 1L).getOrElse(0L)
+      merged.write.mode("errorifexists").parquet(s"$stateDir/gen-$nextGen")
+      writeCmsHead(stateDir, hconf, CmsHead(nextGen,
+        math.max(batchId, head.map(_.lastBatch).getOrElse(-1L)), d, w))
+    }
+  }
+
+  /** The committed CMS state rows (one row, the d*w cell array `sk`)
+    * of a persisted state dir — resolves the head pointer to its
+    * immutable generation dir; fails loudly if nothing was absorbed.
+    */
+  def readCmsSketch(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val h = readCmsHead(stateDir, hconf).getOrElse(throw new IllegalStateException(
+      s"CMS state at $stateDir has no committed head — no batch was ever absorbed"))
+    spark.read.parquet(s"$stateDir/gen-${h.gen}")
+  }
+
   /** One incremental step of the streaming/batch heavy-hitter loop:
     * absorb `batch` into the persisted sketch at `stateDir` (bounded
     * merge, old data never revisited) and land the batch in

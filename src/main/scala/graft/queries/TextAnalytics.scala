@@ -927,10 +927,20 @@ object TextAnalytics {
     * counts of all terms hashing to b in row j, est = min over rows.
     */
   private def q153(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
     val (d, w) = (4, 64)
     val tok = t(s, dir, "documents").select(explode(tokens(col("text"))).as("term"))
     val sk = tok.agg(graft.functions.CountMin.sketch(d, w)(col("term")).as("sk"))
+    cmsProbe(s, tok, sk, d, w)
+  }
+
+  /** The q153/q155 probe tail: exact top-10 terms of `tok` against CMS
+    * estimates read from the one-row sketch frame `sk` (broadcast; the
+    * per-row bucket arithmetic runs through the registered poly_hash,
+    * mirroring the oracle's SQL fold exactly).
+    */
+  private def cmsProbe(s: SparkSession, tok: DataFrame, sk: DataFrame,
+      d: Int, w: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("term")).limit(10)
     val estCols = (0 until d).map { j =>
@@ -942,6 +952,36 @@ object TextAnalytics {
       .select(col("term"), col("exact"), col("est"),
         (col("est") - col("exact")).as("overcount"))
       .orderBy(col("exact").desc, col("term"))
+  }
+
+  // --------------------------------------------------------------- q155
+  /** Persisted CMS lifecycle (Quality.countMinIncrement /
+    * readCmsSketch): bootstrap the sketch state from the corpus's
+    * doc_id < 250 half, absorb the rest as an incremental batch, then
+    * REPLAY that batch (at-least-once delivery) — the committed-head
+    * skip must make the replay a no-op. Because CMS is linear, the
+    * two-batch state is bit-identical to q153's one-shot build, so
+    * the oracle is q153's SQL verbatim: increment ≡ rebuild, gated
+    * through the same top-10 probe.
+    */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 64)
+    val docs = t(s, dir, "documents")
+    val state = java.nio.file.Files.createTempDirectory("q155-cms").toString
+    Quality.countMinIncrement(s, state,
+      docs.filter(col("doc_id") < 250), "text", d, w, batchId = 0L)
+    Quality.countMinIncrement(s, state,
+      docs.filter(col("doc_id") >= 250), "text", d, w, batchId = 1L)
+    Quality.countMinIncrement(s, state,
+      docs.filter(col("doc_id") >= 250), "text", d, w, batchId = 1L)
+    val tok = docs.select(explode(tokens(col("text"))).as("term"))
+    val out = cmsProbe(s, tok, Quality.readCmsSketch(s, state), d, w)
+      .localCheckpoint(true) // materialize before deleting the temp state
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(state))
+    out
   }
 
   private val q153Sql =
@@ -963,6 +1003,55 @@ object TextAnalytics {
        |          FROM pj JOIN bk ON bk.j = pj.j AND bk.b = pj.b GROUP BY 1, 2)
        |SELECT term, exact, est, est - exact AS overcount
        |FROM probe ORDER BY exact DESC, term""".stripMargin
+
+  // --------------------------------------------------------------- q154
+  /** Collocation mining — document-level lift (the exp(PMI) ratio) for
+    * token pairs, the classic phrase/multiword-expression discovery
+    * pass (Church & Hanks 1990) in exact integers:
+    * lift_ppm = (df_ab * N * 10^6) floor-div (df_a * df_b), a monotone
+    * transform of PMI so the ranking is PMI's ranking without a
+    * float log. Pairs are generated only among a top-32-df vocabulary
+    * (the standard collocation practice and the 100 TB story: the
+    * doc-keyed self-join is bounded at vocab^2/2 pairs per doc, and
+    * the broadcast vocab filter caps the exploded frame before any
+    * shuffle — never all-terms x all-terms). Support floor df_ab >= 5,
+    * top 20 by (lift DESC, pair).
+    */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("term"))
+    val dfp = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocab = dfp.orderBy(col("df").desc, col("term")).limit(32)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val va = dt.join(broadcast(vocab), Seq("term"))
+    va.as("a").join(va.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= 5)
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr("(df_ab * n_docs * 1000000) div (df_a * df_b)"))
+      .select(col("term_a"), col("term_b"), col("df_a"), col("df_b"),
+        col("df_ab"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("term_a"), col("term_b")).limit(20)
+  }
+
+  private val q154Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tk),
+       |dfp AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1),
+       |vocab AS (SELECT term, df FROM dfp ORDER BY df DESC, term LIMIT 32),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM tk),
+       |va AS (SELECT dt.doc_id, dt.term, v.df FROM dt JOIN vocab v USING (term)),
+       |pr AS (SELECT a.term AS term_a, b.term AS term_b,
+       |         a.df AS df_a, b.df AS df_b, CAST(count(*) AS BIGINT) AS df_ab
+       |       FROM va a JOIN va b ON a.doc_id = b.doc_id AND a.term < b.term
+       |       GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5)
+       |SELECT term_a, term_b, df_a, df_b, df_ab,
+       |  CAST((df_ab * n.n_docs * 1000000) // (df_a * df_b) AS BIGINT) AS lift_ppm
+       |FROM pr, n ORDER BY lift_ppm DESC, term_a, term_b LIMIT 20""".stripMargin
 
   // --------------------------------------------------------------- q148
   /** Segmented postings-index maintenance (Pipeline.publishPostings /
@@ -1098,6 +1187,8 @@ object TextAnalytics {
     "q151_boilerplate_strip" -> (q151 _),
     "q152_snippets" -> (q152 _),
     "q153_count_min" -> (q153 _),
+    "q154_collocations" -> (q154 _),
+    "q155_cms_increment" -> (q155 _),
     "q139_phrase_search" -> (q139 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
@@ -1125,6 +1216,8 @@ object TextAnalytics {
     "q151_boilerplate_strip" -> q151Sql,
     "q152_snippets" -> q152Sql,
     "q153_count_min" -> q153Sql,
+    "q154_collocations" -> q154Sql,
+    "q155_cms_increment" -> q153Sql,
     "q139_phrase_search" -> q139Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,

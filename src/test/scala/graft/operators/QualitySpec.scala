@@ -209,6 +209,35 @@ class QualitySpec extends SparkSpec {
       (7L, 2L, 0L, "x y x y")))
   }
 
+  test("countMinIncrement: linear absorb == one-shot build; replay is a no-op; shape guarded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = (0 until 60).map(i => (i.toLong, s"w${i % 7} w${i % 11} common tok$i"))
+      .toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("cms-spec").toString
+    Quality.countMinIncrement(spark, state, docs.filter(col("doc_id") < 30), "text", 3, 16, 0L)
+    Quality.countMinIncrement(spark, state, docs.filter(col("doc_id") >= 30), "text", 3, 16, 1L)
+    // at-least-once replay of batch 1: committed head must skip it
+    Quality.countMinIncrement(spark, state, docs.filter(col("doc_id") >= 30), "text", 3, 16, 1L)
+    val incr = Quality.readCmsSketch(spark, state).collect()(0).getSeq[Long](0)
+    val oneShot = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .agg(graft.functions.CountMin.sketch(3, 16)(col("term")))
+      .collect()(0).getSeq[Long](0)
+    assert(incr === oneShot)
+    // generation dirs: bootstrap + one real increment, replay added none
+    val gens = new java.io.File(state).listFiles().map(_.getName).filter(_.startsWith("gen-"))
+    assert(gens.sorted.toSeq === Seq("gen-0", "gen-1"))
+    // a differently-shaped caller must fail loudly, never add cells
+    intercept[IllegalArgumentException] {
+      Quality.countMinIncrement(spark, state, docs, "text", 4, 16, 2L)
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(state))
+  }
+
   test("stripBoilerplate: below threshold nothing is removed, rebuild is identity") {
     import spark.implicits._
     val docs = Seq((1L, "one two three four five"), (2L, "one two six"))
