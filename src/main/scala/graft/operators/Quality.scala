@@ -802,6 +802,34 @@ object Quality {
       .select(col("s.*"))
   }
 
+  /** Corpus snapshot diff — the dataset-versioning question "what
+    * changed between yesterday's corpus and today's": classify every
+    * document id as added / removed / changed / unchanged by comparing
+    * content hashes across a full outer join on the id. Returns one
+    * row per id with its status — callers roll up counts or feed the
+    * changed/added set to incremental passes (the delta that
+    * [[countMinIncrement]]-style absorbs and the segmented indexes
+    * consume, instead of reprocessing the snapshot).
+    *
+    * Plan shape: both sides project to (id, md5) BEFORE the join —
+    * text never shuffles — then one id-keyed full outer join, the
+    * minimal shape for a symmetric diff. At 100 TB both snapshots
+    * would be bucketed by id on publish, making this join
+    * shuffle-free.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("h_old"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("h_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status", when(col("h_old").isNull, "added")
+        .when(col("h_new").isNull, "removed")
+        .when(col("h_old") === col("h_new"), "unchanged")
+        .otherwise("changed"))
+      .select(col("id"), col("status"))
+  }
+
   /** Repeated-span ("boilerplate line") removal — the C4 / RefinedWeb /
     * CCNet curation pass that deletes spans occurring verbatim across
     * many documents (nav bars, cookie banners, license footers). The

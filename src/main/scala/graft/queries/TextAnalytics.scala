@@ -1053,6 +1053,94 @@ object TextAnalytics {
        |  CAST((df_ab * n.n_docs * 1000000) // (df_a * df_b) AS BIGINT) AS lift_ppm
        |FROM pr, n ORDER BY lift_ppm DESC, term_a, term_b LIMIT 20""".stripMargin
 
+  // --------------------------------------------------------------- q156
+  /** Snapshot diff (Quality.snapshotDiff) between two deterministic
+    * corpus versions: v1 = doc_id < 400, v2 = doc_id >= 100 with the
+    * 100..199 band's text revised — so every status is exercised
+    * (0..99 removed, 100..199 changed, 200..399 unchanged, 400+
+    * added). Rolled up per status with an id-set fingerprint so the
+    * oracle pins the exact membership of each class, not just counts.
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") < 400).select(col("doc_id"), col("text"))
+    val v2 = docs.filter(col("doc_id") >= 100)
+      .select(col("doc_id"),
+        when(col("doc_id") < 200, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+    Quality.snapshotDiff(v1, v2, "doc_id", "text")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        md5(array_join(transform(array_sort(collect_list(col("id"))),
+          x => x.cast("string")), "|")).as("ids_fp"))
+      .orderBy(col("status"))
+  }
+
+  private val q156Sql =
+    s"""WITH v1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |v2 AS (SELECT doc_id,
+       |         CASE WHEN doc_id < 200 THEN text || ' rev2' ELSE text END AS text
+       |       FROM documents WHERE doc_id >= 100),
+       |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS id,
+       |        CASE WHEN a.doc_id IS NULL THEN 'added'
+       |             WHEN b.doc_id IS NULL THEN 'removed'
+       |             WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+       |             ELSE 'changed' END AS status
+       |      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+       |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+       |  md5(string_agg(CAST(id AS VARCHAR), '|' ORDER BY id)) AS ids_fp
+       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
+  // --------------------------------------------------------------- q157
+  /** N-gram novelty scoring — the graded sibling of q67's
+    * decontamination drop: for each batch document (doc_id % 10 = 0),
+    * the fraction of its DISTINCT 5-grams absent from the reference
+    * corpus (every other doc), in exact ppm. The memorization /
+    * near-duplication signal a curation pipeline tracks per incoming
+    * batch: novelty 0 = fully contained in the corpus, 10^6 = fully
+    * new. Plan: grams stream from the explode_ngrams generator on both
+    * sides, distinct per doc on the batch side, a single gram-keyed
+    * LEFT ANTI join against the reference's distinct gram set (blocked
+    * equi-join — never doc x doc), then one doc-keyed count. Docs with
+    * < 5 tokens have no grams and are excluded by definition.
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      call_function(graft.functions.VectorExpressions.ngramsFnName,
+        col("toks"), lit(5)).as("g"))
+    val bg = grams(toks.filter(col("doc_id") % 10 === 0)).distinct()
+    val rg = grams(toks.filter(col("doc_id") % 10 =!= 0)).select(col("g")).distinct()
+    val tot = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val novel = bg.join(rg, Seq("g"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    tot.join(novel, Seq("doc_id"), "left_outer")
+      .na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q157Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |bg AS (SELECT DISTINCT doc_id, g FROM (
+       |         SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+       |           i -> array_to_string(toks[i:i + 4], ' '))) AS g
+       |         FROM tk WHERE doc_id % 10 = 0)),
+       |rg AS (SELECT DISTINCT g FROM (
+       |         SELECT unnest(list_transform(range(1, len(toks) - 3),
+       |           i -> array_to_string(toks[i:i + 4], ' '))) AS g
+       |         FROM tk WHERE doc_id % 10 <> 0)),
+       |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       |        FROM bg GROUP BY 1),
+       |nv AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+       |       FROM bg ANTI JOIN rg USING (g) GROUP BY 1)
+       |SELECT t.doc_id, t.n_grams, coalesce(nv.n_novel, 0) AS n_novel,
+       |  (coalesce(nv.n_novel, 0) * 1000000) // t.n_grams AS novelty_ppm
+       |FROM tot t LEFT JOIN nv USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q148
   /** Segmented postings-index maintenance (Pipeline.publishPostings /
     * appendPostings / readPostingsIndex) gated through the BM25 tail:
@@ -1189,6 +1277,8 @@ object TextAnalytics {
     "q153_count_min" -> (q153 _),
     "q154_collocations" -> (q154 _),
     "q155_cms_increment" -> (q155 _),
+    "q156_snapshot_diff" -> (q156 _),
+    "q157_ngram_novelty" -> (q157 _),
     "q139_phrase_search" -> (q139 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
@@ -1218,6 +1308,8 @@ object TextAnalytics {
     "q153_count_min" -> q153Sql,
     "q154_collocations" -> q154Sql,
     "q155_cms_increment" -> q153Sql,
+    "q156_snapshot_diff" -> q156Sql,
+    "q157_ngram_novelty" -> q157Sql,
     "q139_phrase_search" -> q139Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,

@@ -209,6 +209,22 @@ class QualitySpec extends SparkSpec {
       (7L, 2L, 0L, "x y x y")))
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged partition on hand-built versions") {
+    import spark.implicits._
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "b"), (3L, "c CHANGED"), (4L, "d")).toDF("doc_id", "text")
+    val got = Quality.snapshotDiff(v1, v2, "doc_id", "text")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq(
+      (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
+    // empty sides degrade to pure added / pure removed, never error
+    val empty = v1.filter(org.apache.spark.sql.functions.lit(false))
+    assert(Quality.snapshotDiff(empty, v2, "doc_id", "text")
+      .collect().forall(_.getString(1) === "added"))
+    assert(Quality.snapshotDiff(v1, empty, "doc_id", "text")
+      .collect().forall(_.getString(1) === "removed"))
+  }
+
   test("countMinIncrement: linear absorb == one-shot build; replay is a no-op; shape guarded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}
