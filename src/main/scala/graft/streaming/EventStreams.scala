@@ -341,6 +341,33 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming count-min monitor — the CMS sibling of
+    * [[heavyHittersStream]]: each micro-batch's token stream folds
+    * into the persisted linear sketch
+    * ([[graft.operators.Quality.countMinIncrement]]). Per-batch work
+    * is one bounded-state aggregation over the batch plus a one-row
+    * d*w cell add; history is never revisited, and because CMS is
+    * linear the resulting state is BIT-IDENTICAL to a one-shot build
+    * over everything streamed (CountMinStreamSpec pins stream ≡
+    * batch; q155 hash-gates the same fold at the batch boundary).
+    * At-least-once replays are skipped via the committed head's batch
+    * id, exactly as in the MG stream.
+    */
+  def countMinStream(
+      docs: DataFrame,
+      textCol: String,
+      stateDir: String,
+      checkpoint: String,
+      d: Int = 4,
+      w: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Quality.countMinIncrement(
+          batch.sparkSession, stateDir, batch.toDF(), textCol, d, w, batchId)
+      }
+      .start()
+
   /** Streaming ANN ingest — the full production loop composed from
     * gated parts: each micro-batch of documents is ENCODED through the
     * batched model boundary ([[graft.operators.Encode.encodeWithModel]])
