@@ -394,4 +394,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
       "TopKAggregator stage missing from the cap")
   }
+
+  test("q151 boilerplate strip: small boiler set broadcasts back; no cartesian, no window") {
+    val p = plan("q151_boilerplate_strip")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "boilerplate attach degenerated to all-pairs")
+    assert(!p.contains("Window"), "doc rebuild must be a groupBy, not a window sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the boilerplate set (small by construction) should broadcast onto the segments")
+  }
+
+  test("q154 collocations: pairs only via the doc-keyed equi-join under a broadcast vocab") {
+    val p = plan("q154_collocations")
+    assert(!p.contains("CartesianProduct"),
+      "pair generation degenerated to all-terms x all-terms")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab cap must broadcast onto the doc-term frame")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "pair counting lost its partial (map-side) phase")
+  }
+
+  test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
+    val p = plan("q157_ngram_novelty")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "novelty join degenerated to all-pairs")
+    assert(p.contains("LeftAnti"), "novel-gram detection must be an anti join")
+    assert(!p.contains("Window"), "per-doc counting must be a groupBy, not a window")
+  }
 }
