@@ -706,6 +706,47 @@ object Pipeline {
     dir
   }
 
+  /** Weekly compaction of the postings index — the retrieval analog of
+    * [[compactAnn]]: rewrite the live manifest's segment union as ONE
+    * segment and flip to a version referencing only it, restoring the
+    * single-segment layout after a run of daily O(delta) appends
+    * (bounding read-side manifest fan-in at 365 segments/year
+    * otherwise). Safe by the same invariants: the union is
+    * bit-identical to a full rebuild (additive df/dl/avgdl — q158
+    * gates compact ≡ rebuild through the BM25 tail), segments are
+    * immutable (the version-token collision require checks EVERY
+    * retained manifest, not just the live one — the appendAnn
+    * lesson), and the pointer flip is atomic with rollback to any
+    * retained pre-compact version intact.
+    */
+  def compactPostings(
+      spark: SparkSession,
+      publishDir: String,
+      sourceVersion: String,
+      keepHistory: Int = 5): String = {
+    val cur = readCurrentPostings(publishDir).getOrElse(throw new IllegalStateException(
+      s"compactPostings: no current postings index under $publishDir — " +
+        "publishPostings must run first"))
+    val segRefs = readPostingsManifest(cur)
+    if (segRefs.size <= 1) return cur
+    val v = safeVersion(sourceVersion)
+    require(s"post-$v" != new java.io.File(cur).getName,
+      s"compactPostings: sourceVersion '$sourceVersion' resolves to the live version " +
+        "dir. Use a fresh version token per compaction.")
+    val segRef = s"$PostingsStore/seg-$v"
+    require(!postingsReferencedRefs(publishDir).contains(segRef),
+      s"compactPostings: sourceVersion '$sourceVersion' resolves to segment '$segRef', " +
+        "which a retained manifest already references — overwriting an immutable " +
+        "segment would corrupt the versions built on it. Use a fresh version token.")
+    readPostingsIndex(spark, cur)
+      .write.mode("overwrite").parquet(s"$publishDir/$segRef")
+    val dir = s"$publishDir/post-$v"
+    writePostingsManifest(dir, Seq(segRef), sourceVersion)
+    flipPostingsPointer(publishDir, s"post-$v", sourceVersion)
+    applyPostingsRetention(publishDir, keepHistory, protect = readCurrentPostings(publishDir))
+    dir
+  }
+
   def flipPostingsPointer(publishDir: String, versionedDir: String, version: String): Unit = {
     val json =
       s"""{

@@ -194,6 +194,58 @@ object Retrieval {
     }.reduce(_.unionByName(_))
   }
 
+  /** SymSpell deletion-variant expression: the term itself plus every
+    * single-character deletion, deduplicated. Two strings share a
+    * variant iff they are within one edit (equal / one insertion / one
+    * deletion / one substitution — and one adjacent transposition,
+    * whose shared double-deletion collapses into the single-deletion
+    * set for the middle characters). Shared SQL-dialect fragment: the
+    * identical text works in DuckDB by renaming substring -> substr.
+    */
+  private def deletionVariantsExpr(c: String): String =
+    s"array_distinct(concat(array($c), transform(sequence(1, length($c)), " +
+      s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1)))))"
+
+  /** Fuzzy dictionary lookup (Garbe's SymSpell): match each probe
+    * against the corpus vocabulary within edit distance 1 by joining
+    * DELETION NEIGHBORHOODS — variants(probe) equi-joined against
+    * variants(dictionary term) — instead of scanning the dictionary
+    * with an edit-distance UDF. The spell-correction / query-repair
+    * pass of a search stack, Spark-first: the dictionary explodes to
+    * at most (len+1) variants per term ONCE (in production stored
+    * next to the postings), probes broadcast, and the match is a
+    * blocked equi-join on the variant string — never vocabulary x
+    * probes distance evaluation. Returns per matched probe the
+    * highest-df candidate (ties to the lexicographically smallest
+    * term) and the candidate count; probes with no in-distance
+    * dictionary term emit nothing.
+    */
+  def fuzzyLookup(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dict = postings(corpus, idCol, textCol)
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dictV = dict.select(col("term"), col("df"),
+      explode(expr(deletionVariantsExpr("term"))).as("v"))
+    val probeV = probes.toDF("probe").select(col("probe"),
+      explode(expr(deletionVariantsExpr("probe"))).as("v"))
+    val cand = dictV.join(broadcast(probeV), Seq("v"))
+      .select(col("probe"), col("term"), col("df")).distinct()
+    val best = cand.groupBy(col("probe"))
+      .agg(max(col("df")).as("best_df"), count(lit(1)).as("n_candidates"))
+    cand.join(best, Seq("probe"))
+      .filter(col("df") === col("best_df"))
+      .groupBy(col("probe"), col("best_df"), col("n_candidates"))
+      .agg(min(col("term")).as("best_term"))
+      .select(col("probe"), col("best_term"), col("best_df"), col("n_candidates"))
+      .orderBy(col("probe"))
+  }
+
   /** Search-result snippet extraction (the keyword-in-context display
     * line a search UI renders under each hit): for each query's BM25
     * top-1 document, pick the MOST SELECTIVE query term that the

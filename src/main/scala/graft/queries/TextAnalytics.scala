@@ -1174,6 +1174,82 @@ object TextAnalytics {
     out
   }
 
+  // --------------------------------------------------------------- q158
+  /** Postings compaction (Pipeline.compactPostings) — the q148
+    * lifecycle closed: publish the doc_id < 250 half, append the rest
+    * as a delta segment, COMPACT the two segments back into one, and
+    * probe through the BM25 tail. Additivity of df/dl/avgdl over
+    * disjoint-doc segments makes compact ≡ append ≡ full rebuild, so
+    * the oracle stays q143's verbatim SQL; the in-query segment-count
+    * assert pins that compaction actually restored the one-segment
+    * layout rather than passing the union through.
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.changesets.Pipeline
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val qs = docs.filter(col("doc_id") % 97 === 0)
+    val pub = java.nio.file.Files.createTempDirectory("q158-postings").toString
+    Pipeline.publishPostings(s, pub, "base",
+      corpus.filter(col("doc_id") < 250), "doc_id", "text")
+    Pipeline.appendPostings(s, pub, "day2",
+      corpus.filter(col("doc_id") >= 250), "doc_id", "text")
+    Pipeline.compactPostings(s, pub, "week1")
+    val cur = Pipeline.readCurrentPostings(pub).get
+    assert(Pipeline.readPostingsManifest(cur).size == 1,
+      "compaction must leave a single-segment manifest")
+    val out = graft.operators.Retrieval
+      .bm25OverPostings(qs, Pipeline.readPostingsIndex(s, cur),
+        "doc_id", "text", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true) // materialize before deleting the temp index
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(pub))
+    out
+  }
+
+  // --------------------------------------------------------------- q159
+  /** Fuzzy vocabulary lookup (Retrieval.fuzzyLookup) — SymSpell
+    * deletion-neighborhood matching of misspelled probes against the
+    * corpus dictionary at edit distance <= 1, reporting the highest-df
+    * correction and the candidate count per probe. The oracle builds
+    * the identical deletion neighborhoods (substr in place of
+    * substring is the only dialect rename) and replays the
+    * max-df/min-term selection.
+    */
+  private val fuzzyProbes =
+    Seq("spakr", "tabel", "mergee", "qery", "windw", "flter", "zzz")
+
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.fuzzyLookup(
+      t(s, dir, "documents"), "doc_id", "text", fuzzyProbes)
+
+  private val q159Sql = {
+    val probesSql = fuzzyProbes.mkString("['", "', '", "']")
+    def vars(c: String): String =
+      s"list_distinct(list_prepend($c, list_transform(range(1, length($c) + 1), " +
+        s"i -> substr($c, 1, i - 1) || substr($c, i + 1))))"
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+       |tf AS (SELECT doc_id, term FROM c GROUP BY 1, 2),
+       |dict AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |dictv AS (SELECT term, df, unnest(${vars("term")}) AS v FROM dict),
+       |pv AS (SELECT probe, unnest(${vars("probe")}) AS v
+       |       FROM (SELECT unnest($probesSql) AS probe)),
+       |cand AS (SELECT DISTINCT pv.probe, dictv.term, dictv.df
+       |         FROM dictv JOIN pv USING (v)),
+       |m AS (SELECT probe, max(df) AS best_df,
+       |        CAST(count(*) AS BIGINT) AS n_candidates
+       |      FROM cand GROUP BY 1),
+       |b AS (SELECT c.probe, min(c.term) AS best_term
+       |      FROM cand c JOIN m ON c.probe = m.probe AND c.df = m.best_df
+       |      GROUP BY 1)
+       |SELECT b.probe, b.best_term, m.best_df, m.n_candidates
+       |FROM b JOIN m USING (probe) ORDER BY probe""".stripMargin
+  }
+
   // --------------------------------------------------------------- q139
   /** Exact phrase search over positional postings
     * (Retrieval.phraseSearch): per-document occurrence counts for a
@@ -1279,6 +1355,8 @@ object TextAnalytics {
     "q155_cms_increment" -> (q155 _),
     "q156_snapshot_diff" -> (q156 _),
     "q157_ngram_novelty" -> (q157 _),
+    "q158_postings_compact" -> (q158 _),
+    "q159_fuzzy_lookup" -> (q159 _),
     "q139_phrase_search" -> (q139 _),
     "q120_curriculum_order" -> (q120 _),
     "q115_curation_pipeline" -> (q115 _),
@@ -1310,6 +1388,8 @@ object TextAnalytics {
     "q155_cms_increment" -> q153Sql,
     "q156_snapshot_diff" -> q156Sql,
     "q157_ngram_novelty" -> q157Sql,
+    "q158_postings_compact" -> q143Sql,
+    "q159_fuzzy_lookup" -> q159Sql,
     "q139_phrase_search" -> q139Sql,
     "q120_curriculum_order" -> q120Sql,
     "q115_curation_pipeline" -> q115Sql,

@@ -108,4 +108,34 @@ class PostingsLifecycleSpec extends SparkSpec {
     assert(Pipeline.readPostingsIndex(spark,
       Pipeline.readCurrentPostings(dir).get).select(col("doc")).distinct().count() === 30L)
   }
+
+  test("compact: one segment, postings preserved, rollback intact, token collision guarded") {
+    val dir = tmpDir("post-compact")
+    Pipeline.publishPostings(spark, dir, "d1", docs(0 until 20), "doc_id", "text")
+    Pipeline.appendPostings(spark, dir, "d2", docs(20 until 35), "doc_id", "text")
+    Pipeline.appendPostings(spark, dir, "d3", docs(35 until 50), "doc_id", "text")
+    val preCompact = postRows(Pipeline.readPostingsIndex(
+        spark, Pipeline.readCurrentPostings(dir).get)
+      .select(col("term"), col("doc"), col("tf")))
+    Pipeline.compactPostings(spark, dir, "w1")
+    val cur = Pipeline.readCurrentPostings(dir).get
+    assert(cur.endsWith("post-w1"))
+    assert(Pipeline.readPostingsManifest(cur) === Seq("_postings_segments/seg-w1"))
+    assert(postRows(Pipeline.readPostingsIndex(spark, cur)
+      .select(col("term"), col("doc"), col("tf"))) === preCompact)
+    // rollback to the pre-compact version still reads all three segments
+    Pipeline.flipPostingsPointer(dir, "post-d3", "d3")
+    assert(postRows(Pipeline.readPostingsIndex(
+        spark, Pipeline.readCurrentPostings(dir).get)
+      .select(col("term"), col("doc"), col("tf"))) === preCompact)
+    Pipeline.flipPostingsPointer(dir, "post-w1", "w1")
+    // reusing a retained version token post-compaction must fail, not
+    // overwrite an immutable segment older manifests reference
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.appendPostings(spark, dir, "d2", docs(50 until 60), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("already references"))
+    // single-segment compact is a no-op returning the live dir
+    assert(Pipeline.compactPostings(spark, dir, "w2") === cur)
+  }
 }

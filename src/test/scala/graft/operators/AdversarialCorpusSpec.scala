@@ -314,4 +314,51 @@ class AdversarialCorpusSpec extends SparkSpec {
     val none = one.filter(col("grp") =!= "g")
     assert(Quality.kmvDistinct(none, "grp", "v", k = 16).count() === 0L)
   }
+
+  test("stripBoilerplate on an all-identical corpus strips EVERYTHING; unique corpus strips nothing") {
+    val same = (0L until 20L).map(i => (i, "nav bar deep footer text")).toDF("doc_id", "text")
+    val s1 = Quality.stripBoilerplate(same, "doc_id", "text", segWidth = 2, minDocs = 3)
+      .collect()
+    assert(s1.length === 20)
+    assert(s1.forall(_.getString(3) === ""), "identical docs: every segment is boilerplate")
+    assert(s1.forall(r => r.getLong(1) === r.getLong(2)), "removed must equal total")
+    val uniq = (0L until 20L).map(i => (i, s"only doc$i words here$i")).toDF("doc_id", "text")
+    val s2 = Quality.stripBoilerplate(uniq, "doc_id", "text", segWidth = 2, minDocs = 3)
+      .collect()
+    assert(s2.forall(_.getLong(2) === 0L), "unique corpus: nothing may be stripped")
+  }
+
+  test("n-gram novelty extremes: contained batch scores 0, disjoint batch scores 10^6") {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(spark)
+    val ref = (0L until 10L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    def grams(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      org.apache.spark.sql.functions.call_function(
+        VectorExpressions.ngramsFnName,
+        graft.functions.TextFunctions.tokens(col("text")), lit(5)).as("g"))
+    val contained = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val disjoint = Seq((200L, "one two three four five six")).toDF("doc_id", "text")
+    def novelty(batch: org.apache.spark.sql.DataFrame): Long = {
+      val bg = grams(batch).distinct()
+      val rg = grams(ref).select(col("g")).distinct()
+      val nNovel = bg.join(rg, Seq("g"), "left_anti").count()
+      val nTot = bg.count()
+      nNovel * 1000000L / nTot
+    }
+    assert(novelty(contained) === 0L)
+    assert(novelty(disjoint) === 1000000L)
+  }
+
+  test("fuzzyLookup single-char vocabulary: empty-string deletion variant is the substitution bridge") {
+    // "a" and "b" are substitution distance 1 via the shared ""
+    // variant — the degenerate end of the SymSpell neighborhood, which
+    // must neither error nor over-match longer terms
+    val docs = Seq((1L, "a a b xyz")).toDF("doc_id", "text")
+    val got = Retrieval.fuzzyLookup(docs, "doc_id", "text", Seq("a", "q"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3))).toSeq
+    // probe "a": exact a + substitution b (via ""); xyz unreachable
+    // probe "q": reaches BOTH single-char terms via "" only
+    assert(got === Seq(("a", "a", 2L), ("q", "a", 2L)))
+  }
 }

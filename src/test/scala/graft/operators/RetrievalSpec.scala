@@ -142,6 +142,30 @@ class RetrievalSpec extends SparkSpec {
     assert(cased === Set((1L, 1L), (3L, 2L)))
   }
 
+  test("fuzzyLookup: edit-distance-1 classes match, distance-2 does not, df breaks ties") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark merge"),
+      (2L, "spark stark table"),
+      (3L, "table spark")).toDF("doc_id", "text")
+    // dict dfs (doc counts): spark 3, table 2, stark 1, merge 1
+    val got = Retrieval.fuzzyLookup(docs, "doc_id", "text",
+        Seq("sark",     // substitution-reachable from BOTH spark and stark:
+                        //   df 3 beats 1 -> corrects to spark, 2 candidates
+          "sparkk",     // single insertion -> spark
+          "spork",      // single substitution -> spark
+          "merg",       // single deletion -> merge
+          "sprak",      // adjacent transposition -> spark (shares "sprk"/"spak")
+          "spxxk"))     // distance 2 from spark: must emit nothing
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("merg", "merge", 1L, 1L),
+      ("sark", "spark", 3L, 2L),
+      ("sparkk", "spark", 3L, 1L),
+      ("spork", "spark", 3L, 1L),
+      ("sprak", "spark", 3L, 1L)))
+  }
+
   test("snippets: rarest-present-term selection, start clamp, tie to min term") {
     import spark.implicits._
     val docs = Seq(
