@@ -414,6 +414,24 @@ class PlanSpec extends SparkSpec {
       "pair counting lost its partial (map-side) phase")
   }
 
+  test("q152 snippets: query frames broadcast onto postings; no window, no cartesian") {
+    val p = plan("q152_snippets")
+    assert(!p.contains("CartesianProduct"),
+      "snippet chain degenerated to all-pairs")
+    assert(!p.contains("Window"),
+      "top-1/first-occurrence selection must be aggregates, not windows")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-query frames should broadcast onto the corpus-sized sides")
+  }
+
+  test("q159 fuzzy lookup: probes broadcast, match is an equi-join on the variant key") {
+    val p = plan("q159_fuzzy_lookup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "fuzzy match degenerated to vocabulary x probes distance evaluation")
+    assert(p.contains("BroadcastHashJoin"), "probe neighborhood not broadcast")
+    assert(!p.contains("Window"), "best-candidate selection must be aggregates")
+  }
+
   test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
     val p = plan("q157_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
