@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.PolyHash.fnName),
       new ExpressionInfo(classOf[graft.functions.PolyHash].getName, graft.functions.PolyHash.fnName),
       (children: Seq[Expression]) => graft.functions.PolyHash(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.NfcNormalize.fnName),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, graft.functions.NfcNormalize.fnName),
+      (children: Seq[Expression]) => graft.functions.NfcNormalize(children.head)))
   }
 }

@@ -53,6 +53,12 @@ object TextFunctions {
     */
   def polyHash(s: Column): Column = call_function(PolyHash.fnName, s)
 
+  /** Unicode NFC canonical composition (native expression, ASCII
+    * fast-path) — see [[NfcNormalize]]. DuckDB mirror:
+    * `nfc_normalize(s)`.
+    */
+  def nfcNormalize(s: Column): Column = call_function(NfcNormalize.fnName, s)
+
   /** DuckDB mirror of [[polyHash]]; %s = string expr (referenced
     * twice). Identical left fold over code points (`unicode(c)` there,
     * UTF-8 decode here).

@@ -221,5 +221,9 @@ object VectorExpressions {
       FunctionIdentifier(PolyHash.fnName),
       new ExpressionInfo(classOf[PolyHash].getName, PolyHash.fnName),
       (children: Seq[Expression]) => PolyHash(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(NfcNormalize.fnName),
+      new ExpressionInfo(classOf[NfcNormalize].getName, NfcNormalize.fnName),
+      (children: Seq[Expression]) => NfcNormalize(children.head))
   }
 }

@@ -885,4 +885,28 @@ object Quality {
               struct(col("pos"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"))
   }
+
+  /** Canonical text normalization — the pass every exact downstream
+    * operator (hash dedup, n-gram decontamination, postings terms,
+    * fingerprints) assumes has already run, or "the same" text hashes
+    * differently: Unicode NFC composition (native
+    * [[graft.functions.NfcNormalize]] expression, ASCII fast-path),
+    * control/format characters (general categories Cc, Cf — stray
+    * NULs, zero-width joiners, BOMs that survive scraping) replaced by
+    * spaces, space runs collapsed, ends trimmed. Per-row map-only
+    * codegen — composes into any scan with no shuffle.
+    *
+    * Ordering contract: the control sweep runs BEFORE the collapse so
+    * `a\t\x01b` becomes `a b`, never `a  b`; the collapse matches
+    * LITERAL spaces only (after the sweep the only ASCII whitespace
+    * left IS the space — `\s` classes differ between regex engines,
+    * a literal does not). DuckDB mirror (q163):
+    * `trim(regexp_replace(regexp_replace(nfc_normalize(t),
+    * '[\p{Cc}\p{Cf}]', ' ', 'g'), ' +', ' ', 'g'))`.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.TextFunctions.nfcNormalize(text),
+        "[\\p{Cc}\\p{Cf}]", " "),
+      " +", " "))
 }

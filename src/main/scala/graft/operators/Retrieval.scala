@@ -300,4 +300,68 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("term"),
         col("hit_pos"), col("snippet"))
   }
+
+  /** Boolean retrieval — the AND/NOT query plan of a classic inverted
+    * index (conjunctive containment + exclusion), the filter-style
+    * sibling of the ranked searchers: each query's REQUIRED terms are
+    * its first `nAnd` distinct terms in document order (ranked by
+    * first-occurrence position — NOT by `array_distinct`, whose
+    * ordering DuckDB's `list_distinct` does not guarantee), the next
+    * `nNot` distinct terms are EXCLUDED; a corpus document matches if
+    * it contains every required term and no excluded one. Queries with
+    * fewer distinct terms require all they have and exclude what's
+    * left, if anything.
+    *
+    * Plan shape: the corpus never sees a window or a distance scan —
+    * query term frames (tiny: nAnd+nNot rows per query) broadcast onto
+    * the postings, AND-ness is a per-(query, doc) count-of-matched
+    * aggregate compared to the query's requirement count, NOT-ness one
+    * anti equi-join. The per-query ranking window runs on the QUERY
+    * side only (|queries| · distinct-terms rows). Because match sets
+    * can be corpus-sized (two common required terms match almost
+    * everything), the result is returned AGGREGATED per query: match
+    * count plus an order-insensitive md5 membership fingerprint —
+    * exactly what an eval harness diffs, and what keeps a gate dump
+    * bounded at any scale.
+    *
+    * Returns (query_id, n_required, n_excluded, n_matches, match_fp);
+    * queries whose required set matches nothing emit no row.
+    */
+  def booleanSearch(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      nAnd: Int = 2,
+      nNot: Int = 1): DataFrame = {
+    require(nAnd >= 1, s"nAnd must be >= 1: $nAnd")
+    require(nNot >= 0, s"nNot must be >= 0: $nNot")
+    import org.apache.spark.sql.expressions.Window
+    val qRanked = positionalPostings(queries, idCol, textCol)
+      .groupBy(col("doc_id").as("qid"), col("term"))
+      .agg(min(col("pos")).as("minp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("minp"))))
+    val req = qRanked.filter(col("rn") <= nAnd).select(col("qid"), col("term"))
+    val exc = qRanked.filter(col("rn") > nAnd && col("rn") <= nAnd + nNot)
+      .select(col("qid"), col("term"))
+    val counts = qRanked.groupBy(col("qid"))
+      .agg(sum(when(col("rn") <= nAnd, 1L).otherwise(0L)).as("n_required"),
+        sum(when(col("rn") > nAnd && col("rn") <= nAnd + nNot, 1L)
+          .otherwise(0L)).as("n_excluded"))
+    val present = postings(corpus, idCol, textCol).select(col("term"), col("doc"))
+    val matched = present.join(broadcast(req), Seq("term"))
+      .groupBy(col("qid"), col("doc")).agg(count(lit(1)).as("nm"))
+      .join(broadcast(counts), Seq("qid"))
+      .filter(col("nm") === col("n_required"))
+    val excluded = present.join(broadcast(exc), Seq("term"))
+      .select(col("qid"), col("doc")).distinct()
+    matched.join(excluded, Seq("qid", "doc"), "left_anti")
+      .groupBy(col("qid"), col("n_required"), col("n_excluded"))
+      .agg(count(lit(1)).as("n_matches"),
+        md5(array_join(transform(array_sort(collect_list(col("doc"))),
+          x => x.cast("string")), "|")).as("match_fp"))
+      .select(col("qid").as("query_id"), col("n_required"), col("n_excluded"),
+        col("n_matches"), col("match_fp"))
+  }
 }

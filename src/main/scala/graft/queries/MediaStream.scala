@@ -1217,7 +1217,131 @@ object MediaStream {
         |  min(doc_id) AS first_doc
         |FROM capped GROUP BY domain ORDER BY domain""".stripMargin
 
+  // --------------------------------------------------------------- q161
+  /** Mirror-site detection (Warc.mirrorClusters) — the cross-DOMAIN
+    * content dedup after q134's URL-level dedup: each document is
+    * served from 1 + (doc_id % 3) hosts (sites (doc_id + j) % 7 —
+    * distinct domains per page since the replica count stays under
+    * 7), pages group by exact content md5, clusters spanning ≥ 2
+    * registered domains elect the lexicographically smallest URL as
+    * canonical. Single-replica pages (doc_id % 3 = 0) must NOT
+    * surface; documents whose text is corpus-duplicated merge into
+    * one cluster across their ids — the oracle re-derives the
+    * replication, the domain diversity cut, the election, and the
+    * order-insensitive membership fingerprint.
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val docs = t(s, dir, "documents")
+    val pages = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("doc_id") % 3)).as("j"))
+      .select(col("text"),
+        concat(lit("https://www.site"), (col("doc_id") + col("j")) % 7,
+          lit(".org/m/"), col("doc_id")).as("url"))
+    Warc.mirrorClusters(pages, "url", "text").orderBy(col("fingerprint"))
+  }
+
+  private val q161Sql =
+    """WITH c AS (
+      |  SELECT md5(text) AS fingerprint,
+      |    'https://www.site' || ((doc_id + j) % 7) || '.org/m/' || doc_id AS url,
+      |    'site' || ((doc_id + j) % 7) || '.org' AS domain
+      |  FROM documents, unnest(range(0, doc_id % 3 + 1)) AS u(j))
+      |SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT domain) AS BIGINT) AS n_domains,
+      |  min(url) AS canonical_url,
+      |  md5(string_agg(url, '|' ORDER BY url)) AS members_fp
+      |FROM c GROUP BY 1 HAVING count(DISTINCT domain) >= 2
+      |ORDER BY fingerprint""".stripMargin
+
+  // --------------------------------------------------------------- q162
+  /** Politeness-timed fetch schedule — q147's frontier waves
+    * multiplied into absolute per-host fetch offsets by the robots
+    * `Crawl-delay` directive (Robots.crawlDelays + delayFor): the
+    * fixture is q145's robots corpus with delay lines added INSIDE
+    * each group (even sites' GraftBot group carries a fractional
+    * "(k+1).5" seconds — the ms conversion must be string arithmetic,
+    * 1.5 → 1500, never a double — odd sites only a catch-all 2 s;
+    * the even sites' catch-all carries a 9 s decoy that exact-agent
+    * selection must NOT pick). Crawl-delay lines produce no
+    * allow/disallow rules and start no groups, so the rule set — and
+    * q145/q147's analytic oracle derivation of it — is unchanged;
+    * fetch_ms = (wave − 1) · delay_ms is the earliest polite fetch
+    * time. Delays resolve rules-side (tiny) and broadcast onto the
+    * frontier; the only corpus exchange remains the per-host wave
+    * partitioning a fetcher needs anyway.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    import graft.sources.Robots
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+    val ks = docs.select((col("doc_id") % 7).as("k")).distinct()
+    val txt = when(col("k") % 2 === 0, concat(
+        lit("# site "), col("k"),
+        lit("\nUser-agent: GraftBot\nCrawl-delay: "), col("k") + 1,
+        lit(".5\nDisallow: /p/*"), col("k"),
+        lit("$\nAllow: /p/"), col("k"),
+        lit("*\n\nUser-agent: *\nCrawl-delay: 9\nDisallow: /\n")))
+      .otherwise(concat(
+        lit("# site "), col("k"),
+        lit("\nUser-agent: *\nCrawl-delay: 2\nDisallow: /\n")))
+    val robots = ks.select(
+      concat(lit("www.site"), col("k"), lit(".org")).as("host"), txt.as("txt"))
+    val rules = Robots.parseRules(robots, "host", "txt")
+    val delays = Robots.delayFor(Robots.crawlDelays(robots, "host", "txt"), "graftbot")
+    val urls = docs.select(col("doc_id"),
+      concat(lit("www.site"), col("doc_id") % 7, lit(".org")).as("host"),
+      concat(lit("/p/"), col("doc_id")).as("path"))
+    val verdicts = Robots.isAllowed(urls, "host", "path", rules, "graftbot")
+      .select(col("doc_id"), col("host"), col("allowed"))
+    val ranks = LinkGraph.pageRankInt(
+      docs.select(col("doc_id")), "doc_id", extractedEdges(docs), "src", "dst", iters = 3)
+    val pri = when(col("doc_id") % 3 =!= 0, (col("doc_id") % 10) * 100000L)
+      .otherwise(lit(500000L)).cast("long")
+    verdicts.filter(col("allowed"))
+      .join(ranks, Seq("doc_id"))
+      .withColumn("priority_ppm", pri)
+      .withColumn("wave", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(col("priority_ppm").desc, col("rank_ppm").desc, col("doc_id")))
+        .cast("long"))
+      .join(broadcast(delays), Seq("host"))
+      .withColumn("fetch_ms", (col("wave") - 1) * col("delay_ms"))
+      .select(col("doc_id"), col("host"), col("wave"),
+        col("delay_ms"), col("fetch_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: rankGraphCtes declares later in the object (the q147 note)
+  private lazy val q162Sql =
+    s"""WITH $robotsCtes,
+       |$rankGraphCtes,
+       |pri AS (SELECT doc_id,
+       |          CAST(CASE WHEN doc_id % 3 <> 0 THEN (doc_id % 10) * 100000
+       |               ELSE 500000 END AS BIGINT) AS priority_ppm
+       |        FROM documents),
+       |f AS (SELECT rv.doc_id, rv.host, pri.priority_ppm, r3.rank AS rank_ppm
+       |      FROM rv JOIN pri USING (doc_id) JOIN r3 ON r3.id = rv.doc_id
+       |      WHERE rv.allowed),
+       |w AS (SELECT doc_id, host,
+       |        CAST(row_number() OVER (PARTITION BY host
+       |          ORDER BY priority_ppm DESC, rank_ppm DESC, doc_id) AS BIGINT) AS wave
+       |      FROM f),
+       |d AS (SELECT doc_id, host, wave,
+       |        CAST(CASE WHEN (doc_id % 7) % 2 = 0
+       |             THEN ((doc_id % 7) + 1) * 1000 + 500
+       |             ELSE 2000 END AS BIGINT) AS delay_ms
+       |      FROM w)
+       |SELECT doc_id, host, wave, delay_ms,
+       |  CAST((wave - 1) * delay_ms AS BIGINT) AS fetch_ms
+       |FROM d
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q161_mirror_detect" -> (q161 _),
+    "q162_fetch_schedule" -> (q162 _),
     "q134_url_dedup" -> (q134 _),
     "q144_anchor_text" -> (q144 _),
     "q145_robots_allow" -> (q145 _),
@@ -1244,6 +1368,8 @@ object MediaStream {
     "q81_event_dedup" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
+    "q161_mirror_detect" -> q161Sql,
+    "q162_fetch_schedule" -> q162Sql,
     "q134_url_dedup" -> q134Sql,
     "q144_anchor_text" -> q144Sql,
     "q145_robots_allow" -> q145Sql,

@@ -1342,7 +1342,98 @@ object TextAnalytics {
        |FROM gc LEFT JOIN h ON gc.query_id = h.query_id
        |ORDER BY gc.query_id""".stripMargin
 
+  // --------------------------------------------------------------- q160
+  /** Boolean retrieval (Retrieval.booleanSearch) — the AND/NOT
+    * inverted-index query plan beside the ranked searchers: q126's
+    * doc_id % 97 split; each query requires its first two distinct
+    * terms (by first-occurrence position — a ranking both engines
+    * derive from min(pos), never from distinct-list order, which
+    * DuckDB does not guarantee) and excludes its third. Results come
+    * back aggregated (count + order-insensitive membership md5) so
+    * the gate pins exact match SETS while the dump stays bounded even
+    * when two common required terms match half the corpus. The oracle
+    * re-derives term ranking, the ALL-required containment count, the
+    * exclusion anti-join, and the fingerprint.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Retrieval.booleanSearch(
+        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", nAnd = 2, nNot = 1)
+      .orderBy(col("query_id"))
+  }
+
+  private val q160Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |qp AS (SELECT doc_id AS qid, unnest(toks) AS term,
+       |         generate_subscripts(toks, 1) AS pos
+       |       FROM tk WHERE doc_id % 97 = 0),
+       |qt AS (SELECT qid, term, min(pos) AS minp FROM qp GROUP BY 1, 2),
+       |qr AS (SELECT qid, term,
+       |         row_number() OVER (PARTITION BY qid ORDER BY minp) AS rn
+       |       FROM qt),
+       |req AS (SELECT qid, term FROM qr WHERE rn <= 2),
+       |exc AS (SELECT qid, term FROM qr WHERE rn = 3),
+       |rc AS (SELECT qid,
+       |         CAST(sum(CASE WHEN rn <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_required,
+       |         CAST(sum(CASE WHEN rn = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded
+       |       FROM qr GROUP BY 1),
+       |cd AS (SELECT DISTINCT doc_id, term
+       |       FROM (SELECT doc_id, unnest(toks) AS term FROM tk
+       |             WHERE doc_id % 97 <> 0)),
+       |m AS (SELECT r.qid, cd.doc_id, CAST(count(*) AS BIGINT) AS nm
+       |      FROM req r JOIN cd USING (term) GROUP BY 1, 2),
+       |am AS (SELECT m.qid, m.doc_id FROM m JOIN rc USING (qid)
+       |       WHERE m.nm = rc.n_required),
+       |ex AS (SELECT DISTINCT e.qid, cd.doc_id FROM exc e JOIN cd USING (term)),
+       |kept AS (SELECT am.qid, am.doc_id FROM am
+       |         LEFT JOIN ex ON am.qid = ex.qid AND am.doc_id = ex.doc_id
+       |         WHERE ex.qid IS NULL)
+       |SELECT k.qid AS query_id, rc.n_required, rc.n_excluded,
+       |  CAST(count(*) AS BIGINT) AS n_matches,
+       |  md5(string_agg(CAST(k.doc_id AS VARCHAR), '|' ORDER BY k.doc_id)) AS match_fp
+       |FROM kept k JOIN rc USING (qid)
+       |GROUP BY 1, 2, 3
+       |ORDER BY query_id""".stripMargin
+
+  // --------------------------------------------------------------- q163
+  /** Canonical text normalization (Quality.normalizeText) — NFC
+    * composition through the native nfc_normalize expression, Cc/Cf
+    * control sweep, space-run collapse, trim. The fixture text is the
+    * corpus text made deliberately messy IDENTICALLY on both sides —
+    * a decomposed `e`+U+0301 that must recompose to é (so the gate
+    * exercises real composition, not just the ASCII fast path), a
+    * zero-width joiner, a stray SOH control (a NUL would C-truncate the
+    * oracle's string — DuckDB chr(0) cuts there), tab/CR runs and edge whitespace — and
+    * the gate pins the full normalized text via per-doc md5 plus the
+    * exact normalized length. DuckDB mirrors with nfc_normalize + the
+    * same two regex passes.
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val messy = concat(lit("\t e\u0301 "), col("text"),
+      lit("\u0001x\u200d "), col("doc_id") % 10, lit(" \r\n"))
+    docs.select(col("doc_id"), Quality.normalizeText(messy).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        length(col("norm")).cast("long").as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q163Sql =
+    """SELECT doc_id, md5(norm) AS norm_md5,
+      |  CAST(length(norm) AS BIGINT) AS n_chars_norm FROM (
+      |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+      |    nfc_normalize(chr(9) || ' e' || chr(769) || ' ' || text ||
+      |      chr(1) || 'x' || chr(8205) || ' ' || (doc_id % 10) ||
+      |      ' ' || chr(13) || chr(10)),
+      |    '[\p{Cc}\p{Cf}]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_boolean_search" -> (q160 _),
+    "q163_normalize_text" -> (q163 _),
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q143_bm25_search" -> (q143 _),
@@ -1376,6 +1467,8 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q160_boolean_search" -> q160Sql,
+    "q163_normalize_text" -> q163Sql,
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q143_bm25_search" -> q143Sql,

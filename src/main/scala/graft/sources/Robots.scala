@@ -36,6 +36,29 @@ object Robots {
     * here, matching the major implementations.
     */
   def parseRules(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val grouped = groupedDirectives(robots, hostCol, txtCol)
+    val rules = grouped
+      .filter(col("key").isin("allow", "disallow") && col("value") =!= "")
+      .select(col("host"), col("grp"),
+        (col("key") === "allow").as("allow"), col("value").as("pattern"))
+    // rules in group 0 (before any user-agent line) have no agent row
+    // and drop in this join — the RFC's "ignore ungrouped rules"
+    groupAgents(grouped).join(rules, Seq("host", "grp"))
+      .select(col("host"), col("agent"), col("allow"), col("pattern"),
+        length(col("pattern")).as("plen"))
+  }
+
+  /** Directive lines attributed to their user-agent GROUP: comments
+    * and blanks dropped, keys folded to lower case, each kept line
+    * tagged with its group id — a UA line whose predecessor (among
+    * kept lines) is NOT a UA line starts a new group; the running sum
+    * of starts is the id. Any non-UA directive (rule OR crawl-delay)
+    * between two UA lines correctly ENDS the first group's UA
+    * accumulation, per RFC 9309 §2.2.1. One window pass per host —
+    * bounded state, the spec caps robots.txt at 500 KiB.
+    */
+  private def groupedDirectives(
+      robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
     val kv = robots
       .select(col(hostCol).as("host"),
         posexplode(split(col(txtCol), "\r?\n")).as(Seq("ln", "raw")))
@@ -45,27 +68,61 @@ object Robots {
       .select(col("host"), col("ln"),
         lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
         trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
-      .filter(col("key").isin("user-agent", "allow", "disallow"))
-    // a UA line whose predecessor (among kept lines) is NOT a UA line
-    // starts a new group; the running sum of starts is the group id
+      .filter(col("key").isin("user-agent", "allow", "disallow", "crawl-delay"))
     val w = Window.partitionBy(col("host")).orderBy(col("ln"))
-    val grouped = kv
-      .withColumn("prev_key", lag(col("key"), 1).over(w))
+    kv.withColumn("prev_key", lag(col("key"), 1).over(w))
       .withColumn("grp", sum(when(col("key") === "user-agent" &&
         (col("prev_key").isNull || col("prev_key") =!= "user-agent"), 1)
         .otherwise(0)).over(w))
-    val agents = grouped.filter(col("key") === "user-agent")
+  }
+
+  /** (host, grp, agent) — each group's user-agent set, fanned out one
+    * row per agent token.
+    */
+  private def groupAgents(grouped: DataFrame): DataFrame =
+    grouped.filter(col("key") === "user-agent")
       .select(col("host"), col("grp"), lower(col("value")).as("agent"))
       .distinct()
-    val rules = grouped
-      .filter(col("key") =!= "user-agent" && col("value") =!= "")
-      .select(col("host"), col("grp"),
-        (col("key") === "allow").as("allow"), col("value").as("pattern"))
-    // rules in group 0 (before any user-agent line) have no agent row
-    // and drop in this join — the RFC's "ignore ungrouped rules"
-    agents.join(rules, Seq("host", "grp"))
-      .select(col("host"), col("agent"), col("allow"), col("pattern"),
-        length(col("pattern")).as("plen"))
+
+  /** Per-(host, agent) crawl delay in EXACT milliseconds — the
+    * `Crawl-delay` extension directive (not in RFC 9309, honored by
+    * most non-Google crawlers; the politeness knob a frontier
+    * scheduler multiplies into fetch times). Values are decimal
+    * seconds ("1.5"); the conversion is string arithmetic — integer
+    * seconds · 1000 plus the fraction right-padded/truncated to
+    * milliseconds — never a double (0.7 s must be 700 ms, not 699).
+    * Non-numeric values drop (malformed input degrades, the [[Warc]]
+    * rule); several delays for one agent keep the MAX (the
+    * conservative read). Returns (host, agent, delay_ms).
+    */
+  def crawlDelays(robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    val grouped = groupedDirectives(robots, hostCol, txtCol)
+    val secs = regexp_extract(col("value"), "^(\\d+)(?:\\.(\\d+))?$", 1)
+    val frac = regexp_extract(col("value"), "^(\\d+)(?:\\.(\\d+))?$", 2)
+    val delays = grouped.filter(col("key") === "crawl-delay")
+      .withColumn("delay_ms",
+        when(secs =!= "", secs.cast("long") * 1000L +
+          rpad(frac, 3, "0").cast("long")))
+      .filter(col("delay_ms").isNotNull)
+      .select(col("host"), col("grp"), col("delay_ms"))
+    groupAgents(grouped).join(delays, Seq("host", "grp"))
+      .groupBy(col("host"), col("agent"))
+      .agg(max(col("delay_ms")).as("delay_ms"))
+  }
+
+  /** Resolve [[crawlDelays]] output for one crawler agent with the
+    * same group-selection rule as [[isAllowed]]: the host's
+    * exact-token delay if it defines one, else its `*` delay, else no
+    * row (caller supplies the default). Returns (host, delay_ms) —
+    * rules-side small, intended for a broadcast join onto the
+    * frontier.
+    */
+  def delayFor(delays: DataFrame, agent: String): DataFrame = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = delays.filter(col("agent") === a)
+    val fallback = delays.filter(col("agent") === "*")
+      .join(exact.select(col("host")).distinct(), Seq("host"), "left_anti")
+    exact.unionByName(fallback).select(col("host"), col("delay_ms"))
   }
 
   /** RFC pattern → anchored regex: strip a trailing `$` (end-of-path

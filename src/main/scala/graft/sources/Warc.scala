@@ -393,6 +393,41 @@ object Warc {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
+  /** Mirror-site detection + canonical election — the cross-domain
+    * step AFTER URL-level dedup ([[urlCanonical]] collapses aliases of
+    * one URL; this collapses the same CONTENT served from different
+    * sites: CDN mirrors, package-archive mirrors, scraped republishers
+    * — on a real crawl a top-decile source of residual duplication).
+    * Pages group by exact content fingerprint (md5 of the extracted
+    * text — in production the stored fingerprint column, computed once
+    * at ingest); a group is a mirror cluster when it spans ≥ 2
+    * registered domains. Each cluster elects the lexicographically
+    * smallest member URL as canonical (deterministic, needs no
+    * external signal; callers with a link-rank table can re-elect by
+    * joining it) and carries an order-insensitive md5 membership
+    * fingerprint so a gate pins the full member set, not just counts.
+    *
+    * Shape: ONE map-side-combined groupBy on the fingerprint — the
+    * same shuffle exact dedup already pays; no joins, no window. At
+    * 100 TB the fingerprint groupBy is the q27 plan verbatim; clusters
+    * are tiny (mirror counts, not corpus counts), so the aggregate
+    * state per key stays bounded in practice and a pathological
+    * single-fingerprint flood is exactly an AQE skew-split case.
+    *
+    * Returns (fingerprint, n_urls, n_domains, canonical_url,
+    * members_fp) for clusters with n_domains ≥ 2.
+    */
+  def mirrorClusters(pages: DataFrame, urlCol: String, textCol: String): DataFrame =
+    pages
+      .select(col(urlCol).as("url"), md5(col(textCol)).as("fingerprint"))
+      .withColumn("domain", registeredDomain(urlHost(col("url"))))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("domain")).as("n_domains"),
+        min(col("url")).as("canonical_url"),
+        md5(array_join(array_sort(collect_list(col("url"))), "|")).as("members_fp"))
+      .filter(col("n_domains") >= 2)
+
   /** PSL-aware registered domain — [[registeredDomain]] with a
     * public-suffix table (the heuristic groups ".co.uk" one label too
     * high; on a real crawl that merges every UK/JP/AU site into one

@@ -432,6 +432,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "best-candidate selection must be aggregates")
   }
 
+  test("q160 boolean search: query frames broadcast onto postings; no cartesian") {
+    val p = plan("q160_boolean_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "boolean match degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-query term frames should broadcast onto the postings")
+  }
+
+  test("q161 mirror detect: one groupBy on the fingerprint — no join, no window") {
+    val p = plan("q161_mirror_detect")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "mirror clustering must stay a single map-side-combined groupBy")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "fingerprint aggregation lost its partial (map-side) phase")
+  }
+
+  test("q162 fetch schedule: delays broadcast onto the frontier; no cartesian") {
+    val p = plan("q162_fetch_schedule")
+    assert(!p.contains("CartesianProduct"),
+      "schedule chain degenerated to all-pairs")
+    assert(p.contains("BroadcastHashJoin"),
+      "rules-side delay table should broadcast onto the frontier")
+  }
+
+  test("q163 normalize: map-only — no join, no aggregate, no window before the sink sort") {
+    val p = plan("q163_normalize_text")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"),
+      "text normalization must compose into the scan as a pure projection")
+  }
+
   test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
     val p = plan("q157_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -263,4 +263,46 @@ class QualitySpec extends SparkSpec {
     assert(got.map(_.getLong(2)).sum === 0L)
     assert(got.map(_.getString(3)).toSeq === Seq("one two three four five", "one two six"))
   }
+
+  test("normalizeText: NFC recomposes, controls sweep to spaces BEFORE the collapse, trim") {
+    import spark.implicits._
+    val got = Seq(
+      "e\u0301tude",           // decomposed -> must recompose
+      "\u00e9tude",            // precomposed -> unchanged
+      "a\t\u0001b",           // tab+SOH run -> ONE space (sweep, then collapse)
+      " \u200d x \r\n",      // ZWJ (Cf), CR/LF, edge spaces -> "x"
+      "plain ascii text",     // fast path: unchanged
+      ""                      // empty survives
+    ).toDF("t").select(Quality.normalizeText(col("t"))).as[String].collect().toSeq
+    assert(got === Seq("\u00e9tude", "\u00e9tude", "a b", "x", "plain ascii text", ""))
+  }
+
+  test("normalizeText is idempotent and equalizes NFC-equivalent inputs") {
+    import spark.implicits._
+    val forms = Seq("e\u0301tude cafe\u0301", "\u00e9tude caf\u00e9")
+    val once = forms.toDF("t").select(Quality.normalizeText(col("t")))
+      .as[String].collect().toSeq
+    assert(once.distinct.size === 1 && once.head === "\u00e9tude caf\u00e9")
+    val twice = once.toDF("t").select(Quality.normalizeText(col("t")))
+      .as[String].collect().toSeq
+    assert(twice === once)
+  }
+
+  test("nfc_normalize expression: ASCII fast path, NFC short-circuit, SQL registration") {
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain")
+    // ASCII returns the SAME instance -- no allocation on the hot path
+    assert(NfcNormalize.normalize(ascii) eq ascii)
+    val dec = UTF8String.fromString("e\u0301")
+    assert(NfcNormalize.normalize(dec).toString === "\u00e9")
+    // already-NFC non-ASCII short-circuits to the same instance
+    val pre = UTF8String.fromString("\u00e9")
+    assert(NfcNormalize.normalize(pre) eq pre)
+    // the registered SQL function resolves (GraftExtensions wiring)
+    import spark.implicits._
+    val viaSql = Seq("e\u0301").toDF("t")
+      .selectExpr("nfc_normalize(t) AS n").as[String].collect()
+    assert(viaSql.toSeq === Seq("\u00e9"))
+  }
 }

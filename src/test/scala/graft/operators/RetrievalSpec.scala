@@ -197,4 +197,54 @@ class RetrievalSpec extends SparkSpec {
     // first occurrence at pos 4 (0-based); right edge clamps at doc end
     assert(got === Seq((4L, "b c d [needle] e needle")))
   }
+
+  test("booleanSearch: AND requires every term, NOT excludes, ranking by first occurrence") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),   // both required, no excluded
+      (2L, "banana apple"),          // both required (order irrelevant)
+      (3L, "apple cherry"),          // missing banana -> out
+      (4L, "banana apple cherry bad") // both required but excluded term
+    ).toDF("doc_id", "text")
+    // required = first two distinct terms IN ORDER (apple, banana) —
+    // apple repeats before banana, distinctness must rank by FIRST
+    // occurrence; excluded = third distinct term (bad)
+    val q = Seq((9L, "apple apple banana bad tail")).toDF("doc_id", "text")
+    val got = Retrieval.booleanSearch(q, docs, "doc_id", "text", nAnd = 2, nNot = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // matches = {1, 2}; fingerprint covered by the q160 oracle gate
+    assert(got === Seq((9L, 2L, 1L, 2L)))
+  }
+
+  test("booleanSearch: a query with fewer distinct terms requires all it has, excludes nothing") {
+    import spark.implicits._
+    val docs = Seq((1L, "only only"), (2L, "other")).toDF("doc_id", "text")
+    val q = Seq((5L, "only only only")).toDF("doc_id", "text")
+    val got = Retrieval.booleanSearch(q, docs, "doc_id", "text", nAnd = 2, nNot = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === Seq((5L, 1L, 0L, 1L)))
+  }
+
+  test("booleanSearch: queries whose required set matches nothing emit no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val q = Seq((5L, "alpha missing")).toDF("doc_id", "text")
+    // required = {alpha, missing}: no doc holds both
+    assert(Retrieval.booleanSearch(q, docs, "doc_id", "text").count() === 0L)
+  }
+
+  test("booleanSearch: result is invariant under corpus repartitioning") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "banana apple"), (3L, "apple cherry"),
+      (4L, "banana apple bad"), (5L, "apple banana extra words here")
+    ).toDF("doc_id", "text")
+    val q = Seq((9L, "apple banana bad")).toDF("doc_id", "text")
+    val a = Retrieval.booleanSearch(q, docs, "doc_id", "text").collect().toSeq
+    val b = Retrieval.booleanSearch(q, docs.repartition(7), "doc_id", "text")
+      .collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }

@@ -118,4 +118,67 @@ class RobotsSpec extends SparkSpec {
     // the URL side must not sort-merge, hash-exchange, or window
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  private def delaysOf(txt: String) =
+    Robots.crawlDelays(Seq(("h.org", txt)).toDF("host", "txt"), "host", "txt")
+      .collect().map(r =>
+        (r.getAs[String]("agent"), r.getAs[Long]("delay_ms"))).toSet
+
+  test("crawl-delay: decimal seconds convert by string arithmetic — 0.7 is 700 ms, never 699") {
+    val got = delaysOf(
+      """User-agent: a
+        |Crawl-delay: 0.7
+        |User-agent: b
+        |Crawl-delay: 1.5
+        |User-agent: c
+        |Crawl-delay: 10
+        |User-agent: d
+        |Crawl-delay: 2.1234
+        |""".stripMargin)
+    // fraction right-pads/truncates to ms: .7 -> 700, .1234 -> 123
+    assert(got === Set(("a", 700L), ("b", 1500L), ("c", 10000L), ("d", 2123L)))
+  }
+
+  test("crawl-delay: malformed values drop; several delays for one agent keep the max") {
+    val got = delaysOf(
+      """User-agent: a
+        |Crawl-delay: soon
+        |Crawl-delay: 3
+        |Crawl-delay: 1
+        |User-agent: b
+        |Crawl-delay: -4
+        |""".stripMargin)
+    assert(got === Set(("a", 3000L)))
+  }
+
+  test("crawl-delay: a delay line between UA lines ends the first group's UA accumulation") {
+    val got = delaysOf(
+      """User-agent: a
+        |Crawl-delay: 1
+        |User-agent: b
+        |Crawl-delay: 2
+        |""".stripMargin)
+    // b's UA line follows a non-UA directive, so it starts a NEW group:
+    // a gets 1 s, b gets 2 s — they do NOT share a group
+    assert(got === Set(("a", 1000L), ("b", 2000L)))
+  }
+
+  test("delayFor: exact agent group beats *, * only when no exact group, else no row") {
+    val robots = Seq(
+      ("ex.org", "User-agent: GraftBot\nCrawl-delay: 1\n\nUser-agent: *\nCrawl-delay: 9\n"),
+      ("star.org", "User-agent: *\nCrawl-delay: 2\n"),
+      ("none.org", "User-agent: other\nCrawl-delay: 5\n")
+    ).toDF("host", "txt")
+    val got = Robots.delayFor(Robots.crawlDelays(robots, "host", "txt"), "graftbot")
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Long]("delay_ms"))).toSet
+    assert(got === Set(("ex.org", 1000L), ("star.org", 2000L)))
+  }
+
+  test("crawl-delay lines leave the allow/disallow rule set untouched") {
+    val txt = "User-agent: a\nCrawl-delay: 1\nDisallow: /x\nAllow: /x/y\n"
+    val got = rulesOf(txt).collect()
+      .map(r => (r.getAs[String]("agent"), r.getAs[Boolean]("allow"),
+        r.getAs[String]("pattern"))).toSet
+    assert(got === Set(("a", false, "/x"), ("a", true, "/x/y")))
+  }
 }

@@ -313,4 +313,39 @@ class WarcSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(got === Seq(("news.site3.org", "site3.org"), ("example.com", "example.com")))
   }
+
+  test("mirrorClusters: cross-domain clusters only, min-URL election, exact membership") {
+    val pages = Seq(
+      // same content on two domains (+ a same-domain extra URL)
+      ("https://b.org/1", "shared content"),
+      ("https://a.org/2", "shared content"),
+      ("https://a.org/9", "shared content"),
+      // same content, ONE domain (www. strips to the same registered
+      // domain) -> not a mirror cluster
+      ("https://c.org/1", "single site"),
+      ("https://www.c.org/2", "single site"),
+      // unique content -> no cluster
+      ("https://d.org/1", "lonely")
+    ).toDF("url", "text")
+    val got = Warc.mirrorClusters(pages, "url", "text").collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_urls") === 3L)
+    assert(r.getAs[Long]("n_domains") === 2L)
+    assert(r.getAs[String]("canonical_url") === "https://a.org/2")
+    // membership fingerprint pins the full sorted member set
+    val members = Seq("https://a.org/2", "https://a.org/9", "https://b.org/1")
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest(members.mkString("|").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("members_fp") === exp)
+  }
+
+  test("mirrorClusters: one map-side-combined groupBy — no join, no window") {
+    val pages = Seq(("https://a.org/1", "t"), ("https://b.org/1", "t"))
+      .toDF("url", "text")
+    val plan = Warc.mirrorClusters(pages, "url", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan)
+  }
 }
