@@ -49,4 +49,43 @@ object TopKAggregator {
     val fn = udaf(new TopKAggregator(k), Encoders.product[In])
     (value, id) => fn(value, id)
   }
+
+  final case class InStr(value: Double, id: String)
+  final case class OutStr(top_values: Seq[Double], top_ids: Seq[String])
+
+  /** String-id variant (value DESC, id ASC). The id tiebreak is
+    * JVM-String lexicographic order, which equals the binary UTF-8
+    * order Spark/DuckDB compare strings by ONLY for codepoints below
+    * the surrogate range — callers feed ASCII-tokenized terms (the
+    * [[graft.functions.TextFunctions.tokens]] alphabet), where the
+    * orders coincide exactly.
+    */
+  def topKStr(k: Int): (Column, Column) => Column = {
+    val fn = udaf(new TopKStrAggregator(k), Encoders.product[InStr])
+    (value, id) => fn(value, id)
+  }
+}
+
+/** [[TopKAggregator]] with string tiebreak ids — same bounded-buffer
+  * contract, same map-side combine.
+  */
+class TopKStrAggregator(k: Int)
+    extends Aggregator[TopKAggregator.InStr, List[(Double, String)], TopKAggregator.OutStr] {
+  import TopKAggregator._
+
+  private def insert(buf: List[(Double, String)], v: (Double, String)): List[(Double, String)] = {
+    val merged = (v :: buf).sortBy { case (value, id) => (-value, id) }
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  override def zero: List[(Double, String)] = Nil
+  override def reduce(buf: List[(Double, String)], in: InStr): List[(Double, String)] =
+    insert(buf, (in.value, in.id))
+  override def merge(a: List[(Double, String)], b: List[(Double, String)]): List[(Double, String)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: List[(Double, String)]): OutStr =
+    OutStr(buf.map(_._1), buf.map(_._2))
+  override def bufferEncoder: Encoder[List[(Double, String)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, String)]]()
+  override def outputEncoder: Encoder[OutStr] = Encoders.product[OutStr]
 }

@@ -595,6 +595,33 @@ object Dedup {
       clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Dedup audit report — the cluster-size distribution a curation run
+    * prints next to its removal counts (how much duplication, in what
+    * shape: a few giant mirror clusters and a long pair tail read very
+    * differently from uniform triples, and drive opposite threshold
+    * decisions). One row per cluster size: how many clusters, how many
+    * docs they cover; size 1 = corpus documents in NO near-dup pair
+    * (clusters from [[connectedComponents]] only ever contain paired
+    * docs, so singletons are the complement count — corpus total minus
+    * clustered total, two scalar aggregates, no extra corpus join).
+    *
+    * Scale: sizes is one groupBy on the (tiny) cluster table; the
+    * histogram a second groupBy on sizes; the corpus contributes one
+    * count. Returns (n_members, n_clusters, n_docs) sorted ascending.
+    */
+  def dedupAudit(corpus: DataFrame, idCol: String, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    val multi = sizes.groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = corpus.agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(clusters.agg(count(lit(1)).as("m"))))
+      .select(lit(1L).as("n_members"), (col("n") - col("m")).as("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    multi.unionByName(singles)
+      .withColumn("n_docs", col("n_members") * col("n_clusters"))
+  }
+
   /** Driver-side union-find over a collected (bounded) edge list.
     * Roots are always the component MINIMUM (union attaches the larger
     * root under the smaller), so labels match the distributed

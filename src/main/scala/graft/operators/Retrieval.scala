@@ -301,6 +301,48 @@ object Retrieval {
         col("hit_pos"), col("snippet"))
   }
 
+  /** Per-document keyword extraction — the corpus-tagging op (topic
+    * labels, dataset cards, faceted browse) built from the SAME
+    * integer tf-idf discipline as [[searchTopK]]: weight(term) =
+    * (N · 10⁶) div df, score(term, doc) = tf · weight, each document
+    * keeps its top `k` terms by (score DESC, term ASC). Terms
+    * appearing in EVERY document carry the minimum weight 10⁶ and are
+    * kept (stopword suppression is q24's scorer's job, not a hidden
+    * side effect here) — the deterministic integer formula is the
+    * whole contract.
+    *
+    * Shape: the postings/df build is the stored-index pass the other
+    * retrieval ops share; the per-document tail is the TopKAggregator
+    * (k-sized state per doc, no window over the postings). The df
+    * join keys on term — at 100 TB both sides of that join are the
+    * postings' own partitioning, and the doc-side top-k shuffles only
+    * (doc, k) state.
+    *
+    * Returns (doc_id, rank 1..k, term, score).
+    */
+  def keywords(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val post = postings(corpus, idCol, textCol).localCheckpoint(true)
+    val dfx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = post.agg(count_distinct(col("doc")).as("nd"))
+    val scored = post.join(dfx, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .select(col("doc"), col("term"),
+        (col("tf") * expr("(nd * 1000000) div df")).as("score"))
+    // top-k by (score DESC, term ASC): the aggregator breaks value
+    // ties on id ASC, which is exactly the term tie wanted here
+    scored.groupBy(col("doc"))
+      .agg(TopKAggregator.topKStr(k)(col("score").cast("double"), col("term")).as("top"))
+      .select(col("doc").as("doc_id"),
+        posexplode(arrays_zip(col("top.top_values").as("v"), col("top.top_ids").as("i"))))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("term"), col("col.v").cast("long").as("score"))
+  }
+
   /** Boolean retrieval — the AND/NOT query plan of a classic inverted
     * index (conjunctive containment + exclusion), the filter-style
     * sibling of the ranked searchers: each query's REQUIRED terms are

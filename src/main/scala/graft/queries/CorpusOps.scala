@@ -556,6 +556,47 @@ object CorpusOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q166
+  /** Dedup audit (Dedup.dedupAudit): the cluster-size distribution of
+    * the q49 component graph — per size the cluster count and docs
+    * covered, plus the singleton row (corpus docs in no near-dup
+    * pair) derived as the complement count. The report a curation run
+    * prints next to its removal totals; the oracle rebuilds the
+    * transitive closure (q49's recursive CTE) and the histogram
+    * independently.
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    Dedup.dedupAudit(docs, "doc_id", clusters).orderBy(col("n_members"))
+  }
+
+  private val q166Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach AS (
+       |  SELECT n, n AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS n, reach.r FROM reach JOIN edges e ON reach.n = e.a),
+       |cl AS (SELECT n AS doc, min(r) AS cluster FROM reach GROUP BY n),
+       |sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+       |          FROM cl GROUP BY 1),
+       |multi AS (SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters
+       |          FROM sizes GROUP BY 1),
+       |single AS (SELECT CAST(1 AS BIGINT) AS n_members,
+       |             CAST((SELECT count(*) FROM documents) -
+       |                  (SELECT count(*) FROM cl) AS BIGINT) AS n_clusters)
+       |SELECT n_members, n_clusters,
+       |  CAST(n_members * n_clusters AS BIGINT) AS n_docs
+       |FROM (SELECT * FROM multi
+       |      UNION ALL SELECT * FROM single WHERE n_clusters > 0)
+       |ORDER BY n_members""".stripMargin
+
   // ---------------------------------------------------------------- q78
   /** Substring-level exact dedup, detection half: maximal token spans
     * covered by 8-token windows occurring more than once corpus-wide
@@ -1990,6 +2031,7 @@ object CorpusOps {
       |ORDER BY position""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_dedup_audit" -> (q166 _),
     "q132_corpus_shuffle" -> (q132 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
@@ -2032,6 +2074,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q166_dedup_audit" -> q166Sql,
     "q132_corpus_shuffle" -> q132Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,

@@ -1339,7 +1339,49 @@ object MediaStream {
        |FROM d
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q165
+  /** robots.txt `Sitemap:` discovery (Robots.sitemapRefs) — the
+    * crawl-SEEDING record that closes the robots surface (q145 rules,
+    * q162 delays, and now the group-INDEPENDENT sitemap pointers that
+    * feed q146's ingestion). The fixture makes position independence
+    * load-bearing: even hosts declare one ref BEFORE any UA group and
+    * one after (both must surface), odd hosts declare the same ref
+    * twice (must collapse to one row). The oracle re-derives the
+    * reference set analytically from the same host cycles.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Robots
+    val docs = t(s, dir, "documents")
+    val ks = docs.select((col("doc_id") % 7).as("k")).distinct()
+    val base = concat(lit("https://www.site"), col("k"), lit(".org"))
+    val txt = when(col("k") % 2 === 0, concat(
+        lit("Sitemap: "), base,
+        lit("/sitemap.xml\n# seed\nUser-agent: *\nDisallow: /\nSitemap: "),
+        base, lit("/news.xml\n")))
+      .otherwise(concat(
+        lit("User-agent: *\nDisallow: /\nSitemap: "), base,
+        lit("/sitemap.xml\nSitemap: "), base, lit("/sitemap.xml\n")))
+    val robots = ks.select(
+      concat(lit("www.site"), col("k"), lit(".org")).as("host"), txt.as("txt"))
+    Robots.sitemapRefs(robots, "host", "txt")
+      .orderBy(col("host"), col("sitemap_url"))
+  }
+
+  private val q165Sql =
+    """WITH ks AS (SELECT DISTINCT doc_id % 7 AS k FROM documents),
+      |u AS (
+      |  SELECT 'www.site' || k || '.org' AS host,
+      |    'https://www.site' || k || '.org/sitemap.xml' AS sitemap_url
+      |  FROM ks
+      |  UNION ALL
+      |  SELECT 'www.site' || k || '.org',
+      |    'https://www.site' || k || '.org/news.xml'
+      |  FROM ks WHERE k % 2 = 0)
+      |SELECT host, sitemap_url FROM u
+      |ORDER BY host, sitemap_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_sitemap_refs" -> (q165 _),
     "q161_mirror_detect" -> (q161 _),
     "q162_fetch_schedule" -> (q162 _),
     "q134_url_dedup" -> (q134 _),
@@ -1368,6 +1410,7 @@ object MediaStream {
     "q81_event_dedup" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
+    "q165_sitemap_refs" -> q165Sql,
     "q161_mirror_detect" -> q161Sql,
     "q162_fetch_schedule" -> q162Sql,
     "q134_url_dedup" -> q134Sql,

@@ -1431,7 +1431,38 @@ object TextAnalytics {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q164
+  /** Per-document keyword extraction (Retrieval.keywords): top-3 terms
+    * per document by the exact integer tf-idf — weight = (N·10⁶) div
+    * df, score = tf · weight, rank by (score DESC, term ASC). The
+    * corpus-tagging op (topic labels, dataset cards): same stored
+    * postings pass as the searchers, per-document TopK aggregator tail
+    * (k-sized state per doc — never a window over the postings; the
+    * oracle's row_number is DuckDB's independent formulation).
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.keywords(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q164Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM c GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM c),
+       |s AS (SELECT tf.doc_id, tf.term,
+       |        CAST(tf.tf * ((n.nd * 1000000) // dfx.df) AS BIGINT) AS score
+       |      FROM tf JOIN dfx USING (term) CROSS JOIN n)
+       |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score FROM (
+       |  SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term) AS rank
+       |  FROM s)
+       |WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_keywords" -> (q164 _),
     "q160_boolean_search" -> (q160 _),
     "q163_normalize_text" -> (q163 _),
     "q127_retrieval_recall" -> (q127 _),
@@ -1467,6 +1498,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q164_keywords" -> q164Sql,
     "q160_boolean_search" -> q160Sql,
     "q163_normalize_text" -> q163Sql,
     "q127_retrieval_recall" -> q127Sql,

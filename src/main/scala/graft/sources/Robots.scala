@@ -110,6 +110,28 @@ object Robots {
       .agg(max(col("delay_ms")).as("delay_ms"))
   }
 
+  /** `Sitemap:` references — the crawl-SEEDING half of robots.txt
+    * (RFC 9309 calls it an "other record"; sitemaps.org defines it):
+    * group-INDEPENDENT, valid anywhere in the file, several allowed.
+    * Parsed without the group machinery for exactly that reason —
+    * comment strip, first-colon key split (the URL's own `://` stays
+    * in the value), case-insensitive key, blank values drop,
+    * duplicates collapse. A `#` inside a sitemap URL is read as a
+    * comment start per the line grammar — a fragment would be
+    * meaningless in a fetch URL anyway. Returns (host, sitemap_url).
+    */
+  def sitemapRefs(robots: DataFrame, hostCol: String, txtCol: String): DataFrame =
+    robots
+      .select(col(hostCol).as("host"),
+        explode(split(col(txtCol), "\r?\n")).as("raw"))
+      .select(col("host"), trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .select(col("host"),
+        lower(trim(regexp_extract(col("line"), "^([^:]+):", 1))).as("key"),
+        trim(regexp_extract(col("line"), "^[^:]+:(.*)$", 1)).as("value"))
+      .filter(col("key") === "sitemap" && col("value") =!= "")
+      .select(col("host"), col("value").as("sitemap_url"))
+      .distinct()
+
   /** Resolve [[crawlDelays]] output for one crawler agent with the
     * same group-selection rule as [[isAllowed]]: the host's
     * exact-token delay if it defines one, else its `*` delay, else no

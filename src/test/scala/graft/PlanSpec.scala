@@ -432,6 +432,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "best-candidate selection must be aggregates")
   }
 
+  test("q164 keywords: per-doc tail is the TopK aggregator — no window over postings") {
+    val p = plan("q164_keywords")
+    assert(!p.contains("Window"),
+      "keyword ranking must be the O(k)-state aggregator, not a per-doc window sort")
+    assert(!p.contains("CartesianProduct"), "keyword scoring degenerated to all-pairs")
+  }
+
+  test("q166 dedup audit: histogram aggregates only — no window, no cartesian blowup") {
+    val p = plan("q166_dedup_audit")
+    assert(!p.contains("Window"), "size histogram must be plain aggregates")
+    assert(!p.contains("CartesianProduct"),
+      "audit must not cross corpus-sized sides (the singleton row is two scalar aggs)")
+  }
+
   test("q160 boolean search: query frames broadcast onto postings; no cartesian") {
     val p = plan("q160_boolean_search")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -263,4 +263,25 @@ class DedupPropertySpec extends SparkSpec {
     assert(empty.getAs[Long]("n_true") === 0L)
     assert(empty.getAs[Long]("recall_ppm") === 1000000L)
   }
+
+  test("dedupAudit: size histogram plus the singleton complement row") {
+    import spark.implicits._
+    val corpus = (0L until 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components: {1,2,3} labeled 1, {5,6} labeled 5 -> 5 singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc", "cluster")
+    val got = Dedup.dedupAudit(corpus, "doc_id", clusters)
+      .orderBy("n_members").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 5L, 5L), (2L, 1L, 2L), (3L, 1L, 3L)))
+  }
+
+  test("dedupAudit: a fully-clustered corpus emits no singleton row") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc", "cluster")
+    val got = Dedup.dedupAudit(corpus, "doc_id", clusters).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((2L, 1L, 2L)))
+  }
 }

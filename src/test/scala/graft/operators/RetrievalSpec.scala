@@ -198,6 +198,28 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq((4L, "b c d [needle] e needle")))
   }
 
+  test("keywords: hand-computed integer tf-idf, score ties break on term ascending") {
+    import spark.implicits._
+    // N = 4; weights: apple (4e6)//3 = 1333333, banana 2000000,
+    // cherry/elderberry/fig 4000000, durian 2000000
+    val got = Retrieval.keywords(corpus, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (10L, 1, "cherry", 4000000L), (10L, 2, "banana", 2000000L),
+      (10L, 3, "apple", 1333333L),
+      (11L, 1, "apple", 2666666L), (11L, 2, "banana", 2000000L),
+      (12L, 1, "elderberry", 4000000L), (12L, 2, "fig", 4000000L),
+      (12L, 3, "durian", 2000000L),
+      (13L, 1, "durian", 2000000L), (13L, 2, "apple", 1333333L)))
+  }
+
+  test("keywords: no window over the postings — the per-doc tail is the TopK aggregator") {
+    val plan = Retrieval.keywords(corpus, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("booleanSearch: AND requires every term, NOT excludes, ranking by first occurrence") {
     import spark.implicits._
     val docs = Seq(

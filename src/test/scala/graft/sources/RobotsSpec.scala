@@ -174,6 +174,25 @@ class RobotsSpec extends SparkSpec {
     assert(got === Set(("ex.org", 1000L), ("star.org", 2000L)))
   }
 
+  test("sitemapRefs: group-independent, URL colons survive, case folds, duplicates collapse") {
+    val txt =
+      """Sitemap: https://h.org/pre.xml
+        |User-agent: a
+        |Disallow: /x
+        |SITEMAP: https://h.org/mid.xml
+        |Sitemap:   https://h.org/pre.xml
+        |Sitemap:
+        |# Sitemap: https://h.org/commented.xml
+        |""".stripMargin
+    val got = Robots.sitemapRefs(
+        Seq(("h.org", txt)).toDF("host", "txt"), "host", "txt")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // pre-group AND in-group refs both surface; the duplicate (extra
+    // whitespace) collapses; blank value and commented line drop
+    assert(got === Set(
+      ("h.org", "https://h.org/pre.xml"), ("h.org", "https://h.org/mid.xml")))
+  }
+
   test("crawl-delay lines leave the allow/disallow rule set untouched") {
     val txt = "User-agent: a\nCrawl-delay: 1\nDisallow: /x\nAllow: /x/y\n"
     val got = rulesOf(txt).collect()
