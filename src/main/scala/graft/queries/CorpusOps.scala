@@ -917,23 +917,67 @@ object CorpusOps {
       .orderBy(col("word"))
   }
 
-  private val q93Sql = {
+  /** The q93 segmentation CTE chain (w → seg: every distinct corpus
+    * word with its symbol list under the pinned merges) — shared by
+    * the q93 oracle and the q167 fertility oracle verbatim.
+    */
+  private val q93SegCtes: String = {
     val framed =
       "'||' || array_to_string(list_append(list_transform(range(1, length(word) + 1), " +
         "i -> word[CAST(i AS INTEGER)]), '</w>'), '||') || '||'"
     val replaced = q93Merges.foldLeft(framed) { (acc, m) =>
       s"replace($acc, '|${m.left}||${m.right}|', '|${m.merged}|')"
     }
-    s"""WITH w AS (SELECT DISTINCT unnest($toksSql) AS word FROM documents),
+    s"""w AS (SELECT DISTINCT unnest($toksSql) AS word FROM documents),
        |seg AS (
        |  SELECT word,
        |    string_split(substring(s, 3, length(s) - 4), '||') AS syms
-       |  FROM (SELECT word, $replaced AS s FROM w))
+       |  FROM (SELECT word, $replaced AS s FROM w))""".stripMargin
+  }
+
+  private val q93Sql =
+    s"""WITH $q93SegCtes
        |SELECT word, array_to_string(syms, ' ') AS segments,
        |  CAST(len(syms) AS BIGINT) AS n_symbols
        |FROM seg
        |ORDER BY word""".stripMargin
+
+  // --------------------------------------------------------------- q167
+  /** Tokenizer fertility report — the health metric a tokenizer team
+    * tracks per corpus slice (pieces per word; rising fertility on a
+    * new source means the vocabulary fits it badly and token budgets
+    * silently shrink): q93's pinned-merge segmentation applied to the
+    * DISTINCT vocabulary once, joined back onto the corpus tokens
+    * WITH MULTIPLICITY, aggregated per source in exact integer ppm.
+    * Scale shape: segment |vocab| words, not |corpus| tokens; the
+    * join keys on the word (the corpus side's existing explode), the
+    * rollup is one map-side-combined groupBy. Oracle = q93's seg CTEs
+    * verbatim + an independent multiplicity join.
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("word"))
+    val seg = graft.operators.Bpe.segment(
+        toks.select(col("word")).distinct(), "word", q93Merges, "seg")
+      .select(col("word"), size(col("seg")).cast("long").as("n_symbols"))
+    toks.join(seg, Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_symbols")).cast("long").as("n_pieces"))
+      .withColumn("fertility_ppm", expr("(n_pieces * 1000000) div n_words"))
+      .orderBy(col("source"))
   }
+
+  private val q167Sql =
+    s"""WITH $q93SegCtes,
+       |tk AS (SELECT source, unnest($toksSql) AS word FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(len(syms)) AS BIGINT) AS n_pieces,
+       |  CAST((sum(len(syms)) * 1000000) // count(*) AS BIGINT) AS fertility_ppm
+       |FROM tk JOIN seg USING (word)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q95
   /** Incremental dedup — the daily-drop production shape: docs with
@@ -2031,6 +2075,7 @@ object CorpusOps {
       |ORDER BY position""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_tokenizer_fertility" -> (q167 _),
     "q166_dedup_audit" -> (q166 _),
     "q132_corpus_shuffle" -> (q132 _),
     "q131_encode_ann" -> (q131 _),
@@ -2074,6 +2119,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q167_tokenizer_fertility" -> q167Sql,
     "q166_dedup_audit" -> q166Sql,
     "q132_corpus_shuffle" -> q132Sql,
     "q131_encode_ann" -> q131Sql,

@@ -399,6 +399,54 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming URL-level dedup — the frontier-facing twin of q134's
+    * batch canonicalize + keep-min ([[graft.sources.Warc.urlCanonical]]):
+    * each micro-batch canonicalizes its URLs, keeps the min id per
+    * canonical WITHIN the batch, and publishes only canonical forms
+    * never published before. The PUBLISHED OUTPUT IS the seen-set
+    * state — one store, one write per batch, so the append is the
+    * single commit point: an at-least-once replay re-derives `seen`
+    * from what actually landed, already-written survivors skip (no
+    * duplicates) and unwritten ones re-emit (no loss) — observably
+    * exactly-once without a transaction log, even across a crash
+    * mid-append (partially visible rows skip, the rest re-emit).
+    * Across batches first-publication-wins, which equals the batch
+    * keep-min rule whenever drops arrive in id order
+    * (UrlDedupStreamSpec pins stream ≡ batch on ordered drops).
+    * Per-batch cost: one map-only canonicalization + one batch-sized
+    * groupBy + one anti join against the seen canonicals — the
+    * corpus-side store is read, never shuffled.
+    */
+  def urlDedupStream(
+      pages: DataFrame,
+      idCol: String,
+      urlCol: String,
+      outDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val hconf = s.sessionState.newHadoopConf()
+        def exists(dir: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(hconf)
+          fs.exists(p) && fs.listStatus(p).nonEmpty
+        }
+        val canon = batch.toDF()
+          .select(col(idCol).as("id"),
+            graft.sources.Warc.urlCanonical(col(urlCol)).as("canonical_url"))
+          .groupBy(col("canonical_url")).agg(min(col("id")).as("id"))
+        val seen =
+          if (exists(outDir)) s.read.parquet(outDir).select(col("canonical_url"))
+          else canon.limit(0).select(col("canonical_url"))
+        canon.join(seen, Seq("canonical_url"), "left_anti")
+          .select(col("id"), col("canonical_url"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** File-source stream over a directory of parquet drops — the
     * Spark-native version of the reference's poll-and-reprocess loop
     * (checkpointed, exactly-once, Trigger.AvailableNow for batch-like

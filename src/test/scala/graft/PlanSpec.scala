@@ -432,6 +432,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "best-candidate selection must be aggregates")
   }
 
+  test("q167 fertility: segments the vocab not the corpus; rollup stays aggregate-only") {
+    val p = plan("q167_tokenizer_fertility")
+    assert(!p.contains("Window"), "fertility rollup must be plain aggregates")
+    assert(!p.contains("CartesianProduct"), "vocab attach degenerated to all-pairs")
+  }
+
   test("q164 keywords: per-doc tail is the TopK aggregator — no window over postings") {
     val p = plan("q164_keywords")
     assert(!p.contains("Window"),
