@@ -81,6 +81,47 @@ object LinkGraph {
     * stay under 2⁶³; with ppm masses that allows per-edge weights to
     * ~10¹¹ even on a graph whose whole mass concentrates in one node.
     */
+  /** Largest-remainder (Hamilton) budget apportionment — turn a
+    * weight column into INTEGER allocation slots that sum to EXACTLY
+    * `budget`: the crawl scheduler's "N fetch slots across domains ∝
+    * link rank", the mixture builder's "N training examples across
+    * sources ∝ quota" — any place a float `weight/total · budget`
+    * would round to N±k and silently break the invariant downstream
+    * consumers count on. Each key gets floor(budget · w ÷ Σw); the
+    * leftover slots (< number of keys by construction) go one each to
+    * the largest division remainders, ties to the smaller key.
+    *
+    * Shape: two one-row broadcast aggregates (total weight, leftover)
+    * and ONE global rank over the KEY table — the frame is key
+    * cardinality (domains, sources), orders of magnitude below the
+    * corpus, the q147 "per-host window" class of deliberate small
+    * sort, never a corpus-sized one.
+    *
+    * Contract: weights non-negative with Σw > 0 (Σslots ≡ budget is
+    * then exact — ApportionSpec pins it); a zero-weight key can still
+    * draw a remainder bonus only after every positive remainder, i.e.
+    * practically never unless budget ≥ the key count.
+    */
+  def apportionBudget(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    import org.apache.spark.sql.expressions.Window
+    val tot = df.agg(sum(col(weightCol)).cast("long").as("_ab_tot"))
+    val based = df.crossJoin(broadcast(tot))
+      .withColumn("_ab_base", expr(s"($budget * $weightCol) div _ab_tot"))
+      .withColumn("_ab_rem", expr(s"($budget * $weightCol) % _ab_tot"))
+    val left = based.agg((lit(budget) - sum(col("_ab_base"))).cast("long").as("_ab_left"))
+    based.crossJoin(broadcast(left))
+      .withColumn("_ab_rn", row_number().over(
+        Window.orderBy(col("_ab_rem").desc, col(keyCol))))
+      .withColumn("slots", (col("_ab_base") +
+        when(col("_ab_rn") <= col("_ab_left"), 1L).otherwise(0L)).cast("long"))
+      .drop("_ab_tot", "_ab_base", "_ab_rem", "_ab_left", "_ab_rn")
+  }
+
   def pageRankWeightedInt(
       nodes: DataFrame,
       idCol: String,

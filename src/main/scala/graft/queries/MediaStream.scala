@@ -997,7 +997,11 @@ object MediaStream {
       .orderBy(col("domain"))
   }
 
-  private val q138Sql = {
+  /** The q138 condensed-graph CTE chain ending in w3(id, rank) +
+    * pg(dom, n_pages) — shared verbatim by the q138 oracle and the
+    * q168 apportionment oracle.
+    */
+  private val domainRankCtes: String = {
     val levels = (1 to 3).map { i =>
       val prev = s"w${i - 1}"
       s"""t$i AS (
@@ -1010,7 +1014,7 @@ object MediaStream {
          |    CAST(150000 + (850000 * coalesce(t$i.s, 0)) // 1000000 AS BIGINT) AS rank
          |  FROM nd LEFT JOIN t$i ON t$i.id = nd.dom)""".stripMargin
     }.mkString(",\n")
-    s"""WITH n AS (SELECT count(*) AS cnt FROM documents),
+    s"""n AS (SELECT count(*) AS cnt FROM documents),
        |e0 AS (
        |  SELECT doc_id AS src, (doc_id * 31 + 7) % cnt AS dst FROM documents, n
        |  UNION ALL
@@ -1026,11 +1030,55 @@ object MediaStream {
        |w0 AS (SELECT dom AS id, CAST(1000000 AS BIGINT) AS rank FROM nd),
        |$levels,
        |pg AS (SELECT doc_id % 7 AS dom, CAST(count(*) AS BIGINT) AS n_pages
-       |       FROM documents GROUP BY doc_id % 7)
+       |       FROM documents GROUP BY doc_id % 7)""".stripMargin
+  }
+
+  private val q138Sql =
+    s"""WITH $domainRankCtes
        |SELECT 'site' || w3.id AS domain, w3.rank AS rank_ppm, pg.n_pages
        |FROM w3 JOIN pg ON pg.dom = w3.id
        |ORDER BY domain""".stripMargin
+
+  // --------------------------------------------------------------- q168
+  /** Crawl-budget apportionment (LinkGraph.apportionBudget): 1000
+    * fetch slots across the q138 condensed domains, ∝ weighted domain
+    * rank, largest-remainder method — floor(1000·w ÷ Σw) per domain,
+    * leftover slots one each to the largest remainders (ties to the
+    * smaller domain). All-integer: Σslots ≡ 1000 EXACTLY — the
+    * invariant the float version breaks by ±k and downstream slot
+    * consumers count on. The oracle re-derives q138's rank chain
+    * (shared CTEs) and the full apportionment arithmetic.
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    val de = extractedEdges(docs).distinct()
+      .select((col("src") % 7).as("sd"), (col("dst") % 7).as("dd"))
+      .groupBy(col("sd"), col("dd")).agg(count(lit(1)).as("w"))
+    val nodes = docs.select((col("doc_id") % 7).as("dom")).distinct()
+    val ranks = LinkGraph.pageRankWeightedInt(
+        nodes, "dom", de, "sd", "dd", "w", iters = 3)
+      .select(concat(lit("site"), col("dom")).as("domain"), col("rank_ppm"))
+    LinkGraph.apportionBudget(ranks, "domain", "rank_ppm", budget = 1000L)
+      .orderBy(col("domain"))
   }
+
+  private val q168Sql =
+    s"""WITH $domainRankCtes,
+       |r AS (SELECT 'site' || w3.id AS domain, w3.rank AS rank_ppm FROM w3),
+       |tt AS (SELECT CAST(sum(rank_ppm) AS BIGINT) AS tot FROM r),
+       |b AS (SELECT domain, rank_ppm,
+       |        CAST((1000 * rank_ppm) // tot AS BIGINT) AS base,
+       |        CAST((1000 * rank_ppm) % tot AS BIGINT) AS rem
+       |      FROM r CROSS JOIN tt),
+       |lv AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM b),
+       |rk AS (SELECT domain, rank_ppm, base,
+       |         row_number() OVER (ORDER BY rem DESC, domain) AS rn
+       |       FROM b)
+       |SELECT domain, rank_ppm,
+       |  CAST(base + CASE WHEN rn <= lv.leftover THEN 1 ELSE 0 END AS BIGINT) AS slots
+       |FROM rk CROSS JOIN lv
+       |ORDER BY domain""".stripMargin
 
   // --------------------------------------------------------------- q140
   /** Format roundtrip identity — upgrades the beyond-parquet sources
@@ -1381,6 +1429,7 @@ object MediaStream {
       |ORDER BY host, sitemap_url""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_crawl_budget" -> (q168 _),
     "q165_sitemap_refs" -> (q165 _),
     "q161_mirror_detect" -> (q161 _),
     "q162_fetch_schedule" -> (q162 _),
@@ -1410,6 +1459,7 @@ object MediaStream {
     "q81_event_dedup" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
+    "q168_crawl_budget" -> q168Sql,
     "q165_sitemap_refs" -> q165Sql,
     "q161_mirror_detect" -> q161Sql,
     "q162_fetch_schedule" -> q162Sql,

@@ -420,6 +420,10 @@ object Warc {
   def mirrorClusters(pages: DataFrame, urlCol: String, textCol: String): DataFrame =
     pages
       .select(col(urlCol).as("url"), md5(col(textCol)).as("fingerprint"))
+      // null text = failed extraction, not shared content: without
+      // this, every error page corpus-wide would coalesce into one
+      // giant pseudo-mirror under the null fingerprint
+      .filter(col("fingerprint").isNotNull)
       .withColumn("domain", registeredDomain(urlHost(col("url"))))
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("n_urls"),

@@ -432,6 +432,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "best-candidate selection must be aggregates")
   }
 
+  test("q168 crawl budget: rank frame is domain-sized; scalar aggregates broadcast") {
+    val p = plan("q168_crawl_budget")
+    assert(!p.contains("CartesianProduct"),
+      "apportionment degenerated to a corpus-sized cross product")
+    // the two one-row aggregates (total weight, leftover) attach by
+    // broadcast; the only window runs over the condensed domain table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q167 fertility: segments the vocab not the corpus; rollup stays aggregate-only") {
     val p = plan("q167_tokenizer_fertility")
     assert(!p.contains("Window"), "fertility rollup must be plain aggregates")

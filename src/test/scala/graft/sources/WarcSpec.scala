@@ -341,6 +341,15 @@ class WarcSpec extends SparkSpec {
     assert(r.getAs[String]("members_fp") === exp)
   }
 
+  test("mirrorClusters: null-text pages (failed extractions) never form a cluster") {
+    val pages = Seq(
+      ("https://a.org/1", null), ("https://b.org/1", null),
+      ("https://c.org/1", "real"), ("https://d.org/1", "real")
+    ).toDF("url", "text")
+    val got = Warc.mirrorClusters(pages, "url", "text").collect()
+    assert(got.length === 1 && got(0).getAs[String]("canonical_url") === "https://c.org/1")
+  }
+
   test("mirrorClusters: one map-side-combined groupBy — no join, no window") {
     val pages = Seq(("https://a.org/1", "t"), ("https://b.org/1", "t"))
       .toDF("url", "text")
