@@ -606,17 +606,35 @@ object Pipeline {
   private val PostingsStore = "_postings_segments"
 
   private def writePostingsManifest(
-      pairDir: String, segmentRefs: Seq[String], version: String): Unit = {
+      pairDir: String, segmentRefs: Seq[String], version: String,
+      absorbed: Seq[Long] = Seq.empty): Unit = {
     Files.createDirectories(Paths.get(pairDir))
     val json =
       s"""{
          |  "segments": [${segmentRefs.map(jsonStr).mkString(", ")}],
+         |  "absorbed": [${absorbed.sorted.mkString(", ")}],
          |  "source_version": ${jsonStr(version)}
          |}""".stripMargin
     val tmp = Paths.get(pairDir, ".manifest.json.tmp")
     Files.writeString(tmp, json)
     Files.move(tmp, Paths.get(pairDir, "manifest.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The micro-batch ids this postings version records as absorbed —
+    * the durable commit record [[absorbPostingsBatch]]'s idempotence
+    * skip checks, carried forward by append AND compact (the
+    * [[readAnnAbsorbed]] rationale verbatim: after a compaction the
+    * segment list stops being evidence of absorption). Absent field
+    * reads as empty.
+    */
+  def readPostingsAbsorbed(pairDir: String): Set[Long] = {
+    val p = Paths.get(pairDir, "manifest.json")
+    if (!Files.exists(p)) return Set.empty
+    "\"absorbed\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(Files.readString(p))
+      .map(m => "-?\\d+".r.findAllIn(m.group(1)).map(_.toLong).toSet)
+      .getOrElse(Set.empty)
   }
 
   def readPostingsManifest(pairDir: String): Seq[String] = {
@@ -679,7 +697,8 @@ object Pipeline {
       newDocs: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      keepHistory: Int = 5): String = {
+      keepHistory: Int = 5,
+      absorbBatchId: Option[Long] = None): String = {
     val cur = readCurrentPostings(publishDir).getOrElse(throw new IllegalStateException(
       s"appendPostings: no current postings index under $publishDir — publishPostings must run first"))
     val segRefs = readPostingsManifest(cur)
@@ -700,10 +719,39 @@ object Pipeline {
         "across segments and inflates df).")
     delta.write.mode("overwrite").parquet(s"$publishDir/$segRef")
     val dir = s"$publishDir/post-$v"
-    writePostingsManifest(dir, segRefs :+ segRef, sourceVersion)
+    writePostingsManifest(dir, segRefs :+ segRef, sourceVersion,
+      absorbed = (readPostingsAbsorbed(cur) ++ absorbBatchId).toSeq)
     flipPostingsPointer(publishDir, s"post-$v", sourceVersion)
     applyPostingsRetention(publishDir, keepHistory, protect = readCurrentPostings(publishDir))
     dir
+  }
+
+  /** Idempotent per-batch absorb for STREAMING retrieval-index ingest
+    * ([[graft.streaming.EventStreams.postingsIngestStream]]) —
+    * [[absorbAnnBatch]]'s contract applied to the postings lifecycle:
+    * appendPostings keyed by micro-batch id, skipping batches whose id
+    * the live manifest's durable absorbed set (or, for pre-absorbed-
+    * field manifests, segment list) already records. Without the skip
+    * an at-least-once replay would trip appendPostings' disjoint-doc
+    * require and crash-loop the stream. Returns the live version dir
+    * either way; [[publishPostings]] must have run first.
+    */
+  def absorbPostingsBatch(
+      spark: SparkSession,
+      publishDir: String,
+      batchId: Long,
+      newDocs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      keepHistory: Int = 5): String = {
+    val cur = readCurrentPostings(publishDir).getOrElse(throw new IllegalStateException(
+      s"absorbPostingsBatch: no current postings index under $publishDir — " +
+        "publishPostings must run first"))
+    val segRefs = readPostingsManifest(cur)
+    if (readPostingsAbsorbed(cur).contains(batchId) ||
+        segRefs.contains(s"$PostingsStore/seg-batch-$batchId")) cur
+    else appendPostings(spark, publishDir, s"batch-$batchId", newDocs, idCol, textCol,
+      keepHistory, absorbBatchId = Some(batchId))
   }
 
   /** Weekly compaction of the postings index — the retrieval analog of
@@ -741,7 +789,10 @@ object Pipeline {
     readPostingsIndex(spark, cur)
       .write.mode("overwrite").parquet(s"$publishDir/$segRef")
     val dir = s"$publishDir/post-$v"
-    writePostingsManifest(dir, Seq(segRef), sourceVersion)
+    // absorbed batch ids survive the segment rewrite — the commit
+    // records that keep an at-least-once replay from looking fresh
+    writePostingsManifest(dir, Seq(segRef), sourceVersion,
+      absorbed = readPostingsAbsorbed(cur).toSeq)
     flipPostingsPointer(publishDir, s"post-$v", sourceVersion)
     applyPostingsRetention(publishDir, keepHistory, protect = readCurrentPostings(publishDir))
     dir

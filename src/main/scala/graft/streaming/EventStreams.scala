@@ -399,6 +399,34 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming retrieval-index ingest — the postings twin of
+    * [[annIngestStream]]: each micro-batch of documents tokenizes into
+    * one O(batch) delta segment absorbed batch-id-idempotently into
+    * the versioned postings index
+    * ([[graft.changesets.Pipeline.absorbPostingsBatch]]); BM25/tf-idf
+    * statistics stay exact because df/dl/avgdl are additive over
+    * disjoint-doc segments (the q148 invariant). Bootstrap:
+    * [[graft.changesets.Pipeline.publishPostings]] must have published
+    * a version; the stream pays per-batch tokenize + delta writes
+    * forever after, with the weekly [[graft.changesets.Pipeline.compactPostings]]
+    * bounding manifest fan-in.
+    */
+  def postingsIngestStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      publishDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.changesets.Pipeline.absorbPostingsBatch(
+            batch.sparkSession, publishDir, batchId, batch.toDF(), idCol, textCol): Unit
+        }
+      }
+      .start()
+
   /** Streaming URL-level dedup — the frontier-facing twin of q134's
     * batch canonicalize + keep-min ([[graft.sources.Warc.urlCanonical]]):
     * each micro-batch canonicalizes its URLs, keeps the min id per
