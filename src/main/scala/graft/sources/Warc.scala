@@ -52,8 +52,10 @@ object Warc {
 
   /** Walk one archive's bytes into records — the Content-Length
     * framing loop. Bytes are decoded per record: headers are ASCII by
-    * spec; payloads decode as UTF-8 (the fixture and the q130 adapter
-    * are ASCII, so byte length == char length there).
+    * spec; response payloads decode by their DECLARED charset
+    * ([[resolveCharset]] — HTTP header param, then meta-prefix sniff,
+    * then UTF-8; the fixture and the q130 adapter are ASCII, where
+    * every candidate charset agrees byte-for-byte).
     */
   def parseArchiveBytes(archive: String, data: Array[Byte]): Seq[WarcRecord] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
@@ -102,14 +104,26 @@ object Warc {
           if (bodyStart + clen > data.length) {
             err(s"warc: body truncated (need $clen bytes)"); return out.toSeq
           }
-          val body = new String(data, bodyStart, clen.toInt, "UTF-8")
           val isHttp = headers.getOrElse("content-type", "").startsWith("application/http")
           val (status, httpCt, payload) =
             if (isHttp) {
-              val hEnd = body.indexOf(Crlf + Crlf)
-              if (hEnd < 0) (-1, "", body)
+              // split the HTTP envelope at the BYTE level so the
+              // payload can decode by its DECLARED charset — real
+              // crawls are not all UTF-8, and decoding a legacy page
+              // as UTF-8 first would corrupt its bytes before any
+              // charset logic could see them
+              val bodyEnd = bodyStart + clen.toInt
+              var h = bodyStart
+              var hEnd = -1
+              while (hEnd < 0 && h + 3 < bodyEnd) {
+                if (data(h) == '\r' && data(h + 1) == '\n' &&
+                  data(h + 2) == '\r' && data(h + 3) == '\n') hEnd = h
+                h += 1
+              }
+              if (hEnd < 0) (-1, "", new String(data, bodyStart, clen.toInt, "UTF-8"))
               else {
-                val hLines = body.take(hEnd).split(Crlf)
+                val hLines = new String(data, bodyStart, hEnd - bodyStart, "US-ASCII")
+                  .split(Crlf)
                 val st = hLines.head.split(' ')
                   .lift(1).flatMap(_.toIntOption).getOrElse(-1)
                 val ct = hLines.tail.flatMap { l =>
@@ -119,9 +133,12 @@ object Warc {
                     Some(l.drop(c + 1).trim)
                   else None
                 }.headOption.getOrElse("")
-                (st, ct, body.drop(hEnd + 4))
+                val pStart = hEnd + 4
+                val pLen = bodyEnd - pStart
+                (st, ct, new String(data, pStart, pLen,
+                  resolveCharset(ct, data, pStart, pLen)))
               }
-            } else (-1, "", body)
+            } else (-1, "", new String(data, bodyStart, clen.toInt, "UTF-8"))
           out += WarcRecord(archive, idx, ok = true, "",
             headers.getOrElse("warc-type", ""),
             headers.getOrElse("warc-record-id", ""),
@@ -132,6 +149,49 @@ object Warc {
       }
     }
     out.toSeq
+  }
+
+  private val CharsetRe =
+    java.util.regex.Pattern.compile(
+      "charset\\s*=\\s*[\"']?([A-Za-z0-9_.:\\-]+)",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** Resolve a response payload's character encoding the way a crawl
+    * text-extraction stack does (WHATWG encoding sniffing, abridged):
+    * the HTTP `Content-Type` charset parameter wins; failing that, a
+    * `charset=` declaration in the first 1024 payload bytes (the HTML
+    * `<meta charset>` / http-equiv forms — ASCII-compatible prefix
+    * scan, the spec's own bound); failing both, UTF-8.
+    * `iso-8859-1` / `latin-1` / `us-ascii` map to windows-1252 (the
+    * WHATWG rule: real pages labeled latin-1 use the cp1252
+    * superset); unknown or unsupported names degrade to UTF-8 — a
+    * mislabeled page must yield replacement characters, never a task
+    * failure (the error-row discipline, applied to decoding).
+    */
+  private[sources] def resolveCharset(
+      contentType: String, data: Array[Byte], pStart: Int, pLen: Int):
+      java.nio.charset.Charset = {
+    def fromHeader = {
+      val m = CharsetRe.matcher(contentType)
+      if (m.find()) Some(m.group(1)) else None
+    }
+    def fromMeta = {
+      val n = math.min(1024, pLen)
+      if (n <= 0) None
+      else {
+        val prefix = new String(data, pStart, n, "ISO-8859-1")
+        val m = CharsetRe.matcher(prefix)
+        if (m.find()) Some(m.group(1)) else None
+      }
+    }
+    val name = fromHeader.orElse(fromMeta).getOrElse("utf-8")
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "iso-8859-1" | "latin-1" | "latin1" | "us-ascii" | "windows-1252" | "cp1252" =>
+        java.nio.charset.Charset.forName("windows-1252")
+      case other =>
+        try java.nio.charset.Charset.forName(other)
+        catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    }
   }
 
   /** Decode a gzip archive of CONCATENATED MEMBERS — the layout real

@@ -341,6 +341,37 @@ class WarcSpec extends SparkSpec {
     assert(r.getAs[String]("members_fp") === exp)
   }
 
+  test("charset: payloads decode by declared encoding — header param, meta sniff, UTF-8 default") {
+    def record(httpCt: String, bodyBytes: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $httpCt\r\n\r\n").getBytes("US-ASCII")
+      val clen = http.length + bodyBytes.length
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: $clen\r\n\r\n").getBytes("US-ASCII") ++
+        http ++ bodyBytes ++ "\r\n\r\n".getBytes("US-ASCII")
+    }
+    val eAcute1252 = Array(0xE9.toByte) // 'é' in windows-1252; invalid alone in UTF-8
+    val bytes =
+      record("text/html; charset=iso-8859-1", "caf".getBytes("US-ASCII") ++ eAcute1252) ++
+      record("text/html",
+        "<meta charset=\"windows-1252\">caf".getBytes("US-ASCII") ++ eAcute1252) ++
+      record("text/html", "caf\u00e9".getBytes("UTF-8")) ++
+      record("text/html", "caf".getBytes("US-ASCII") ++ eAcute1252) ++
+      record("text/html; charset=klingon-9", "plain ascii".getBytes("US-ASCII"))
+    val got = Warc.parseArchiveBytes("a", bytes)
+    assert(got.length === 5 && got.forall(_.ok))
+    // header-declared latin-1 maps to cp1252 (the WHATWG superset rule)
+    assert(got(0).payload === "caf\u00e9")
+    // no header param -> the meta-prefix sniff finds it
+    assert(got(1).payload.endsWith("caf\u00e9"))
+    // undeclared + valid UTF-8 -> decodes as UTF-8
+    assert(got(2).payload === "caf\u00e9")
+    // undeclared + NOT valid UTF-8 -> replacement char, never a crash
+    assert(got(3).payload === "caf\ufffd")
+    // unknown charset name degrades to UTF-8
+    assert(got(4).payload === "plain ascii")
+  }
+
   test("mirrorClusters: null-text pages (failed extractions) never form a cluster") {
     val pages = Seq(
       ("https://a.org/1", null), ("https://b.org/1", null),
