@@ -1321,8 +1321,12 @@ object TextAnalytics {
       .orderBy(col("query_id"))
   }
 
-  private val q127Sql =
-    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+  /** The q127 gold-set CTEs (tk → g → gold: 3-gram-overlap relevance
+    * pairs for the doc_id % 29 split) — shared verbatim by the q127
+    * recall oracle and the q169 MRR oracle.
+    */
+  private val goldCtes29: String =
+    s"""tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |g AS (SELECT doc_id, unnest(list_distinct(
        |        CASE WHEN len(toks) >= 3
        |          THEN list_transform(range(1, len(toks) - 1),
@@ -1331,7 +1335,10 @@ object TextAnalytics {
        |      FROM tk),
        |gold AS (SELECT DISTINCT b.doc_id AS query_id, c.doc_id AS doc_id
        |         FROM g b JOIN g c ON b.gram = c.gram
-       |         WHERE b.doc_id % 29 = 0 AND c.doc_id % 29 <> 0),
+       |         WHERE b.doc_id % 29 = 0 AND c.doc_id % 29 <> 0)""".stripMargin
+
+  private val q127Sql =
+    s"""WITH $goldCtes29,
        |gc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold FROM gold GROUP BY 1),
        |retr AS (SELECT query_id, doc_id FROM (${q126SqlAt(29)})),
        |h AS (SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_hit
@@ -1341,6 +1348,48 @@ object TextAnalytics {
        |  (coalesce(h.n_hit, 0) * 1000000) // gc.n_gold AS recall_ppm
        |FROM gc LEFT JOIN h ON gc.query_id = h.query_id
        |ORDER BY gc.query_id""".stripMargin
+
+  // --------------------------------------------------------------- q169
+  /** Mean-reciprocal-rank retrieval quality — q127's recall report's
+    * rank-sensitive sibling (the metric a RAG eval actually headline-
+    * reports: WHERE in the top-k the first relevant document lands,
+    * not just whether one does): same % 29 split, same 3-gram-overlap
+    * gold, same tf-idf top-5; per query the rank of the FIRST gold
+    * hit and its reciprocal in exact integer ppm (10⁶ div rank;
+    * queries whose gold never surfaces in the top-5 score 0 with
+    * first_hit_rank 0). The corpus MRR is the plain average of
+    * rr_ppm — left per-query so the gate pins every rank, not one
+    * mean.
+    */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val q = docs.filter(col("doc_id") % 29 === 0)
+    val c = docs.filter(col("doc_id") % 29 =!= 0)
+    val gold = Quality.sharedGramPairs(c, q, "doc_id", "text", n = 3)
+      .select(col("right_id").as("query_id"), col("left_id").as("doc_id"))
+    val retrieved = graft.operators.Retrieval.searchTopK(q, c, "doc_id", "text", k = 5)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val hits = retrieved.join(gold, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id")).agg(min(col("rank")).cast("long").as("first_hit_rank"))
+    gold.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+        coalesce(expr("1000000 div first_hit_rank"), lit(0L)).as("rr_ppm"))
+      .orderBy(col("query_id"))
+  }
+
+  private val q169Sql =
+    s"""WITH $goldCtes29,
+       |retr AS (SELECT query_id, doc_id, rank FROM (${q126SqlAt(29)})),
+       |h AS (SELECT r.query_id, CAST(min(r.rank) AS BIGINT) AS first_hit_rank
+       |      FROM retr r JOIN gold USING (query_id, doc_id) GROUP BY 1),
+       |qs AS (SELECT DISTINCT query_id FROM gold)
+       |SELECT qs.query_id,
+       |  CAST(coalesce(h.first_hit_rank, 0) AS BIGINT) AS first_hit_rank,
+       |  CAST(coalesce(1000000 // h.first_hit_rank, 0) AS BIGINT) AS rr_ppm
+       |FROM qs LEFT JOIN h USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   // --------------------------------------------------------------- q160
   /** Boolean retrieval (Retrieval.booleanSearch) — the AND/NOT
@@ -1462,6 +1511,7 @@ object TextAnalytics {
        |ORDER BY doc_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_retrieval_mrr" -> (q169 _),
     "q164_keywords" -> (q164 _),
     "q160_boolean_search" -> (q160 _),
     "q163_normalize_text" -> (q163 _),
@@ -1498,6 +1548,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q169_retrieval_mrr" -> q169Sql,
     "q164_keywords" -> q164Sql,
     "q160_boolean_search" -> q160Sql,
     "q163_normalize_text" -> q163Sql,

@@ -441,6 +441,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q169 MRR: gold attach and first-hit selection are joins + aggregates, no per-query window") {
+    val p = plan("q169_retrieval_mrr")
+    assert(!p.contains("CartesianProduct"), "gold pairing degenerated to all-pairs")
+    assert(!p.contains("Window"),
+      "first-hit rank must be min() over the k-row hit set, not a window sort")
+  }
+
   test("q167 fertility: segments the vocab not the corpus; rollup stays aggregate-only") {
     val p = plan("q167_tokenizer_fertility")
     assert(!p.contains("Window"), "fertility rollup must be plain aggregates")

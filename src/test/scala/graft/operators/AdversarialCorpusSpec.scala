@@ -361,4 +361,47 @@ class AdversarialCorpusSpec extends SparkSpec {
     // probe "q": reaches BOTH single-char terms via "" only
     assert(got === Seq(("a", "a", 2L), ("q", "a", 2L)))
   }
+
+  test("booleanSearch degenerate queries: single-token, all-stop corpus, empty corpus") {
+    // all-identical corpus: a 1-distinct-term query requires just it,
+    // excludes nothing, matches EVERY doc
+    val same = (0L until 5L).map(i => (i, "same text here")).toDF("doc_id", "text")
+    val one = Retrieval.booleanSearch(
+        Seq((99L, "same")).toDF("doc_id", "text"), same, "doc_id", "text")
+      .collect()
+    assert(one.length === 1 && one(0).getAs[Long]("n_matches") === 5L &&
+      one(0).getAs[Long]("n_excluded") === 0L)
+    // the NOT term present everywhere: zero matches -> no row at all
+    assert(Retrieval.booleanSearch(
+      Seq((99L, "same text here")).toDF("doc_id", "text"), same,
+      "doc_id", "text").count() === 0L)
+    // empty corpus: no crash, no rows
+    assert(Retrieval.booleanSearch(
+      Seq((99L, "x y")).toDF("doc_id", "text"),
+      same.filter(col("doc_id") < 0), "doc_id", "text").count() === 0L)
+  }
+
+  test("keywords on an all-identical corpus: every term carries the floor weight, term-order ties") {
+    val same = (0L until 3L).map(i => (i, "zeta alpha")).toDF("doc_id", "text")
+    // df = N for both terms -> weight = 10^6; tie breaks on term ASC
+    val got = Retrieval.keywords(same, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 0L).orderBy("rank").collect()
+      .map(r => (r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(("alpha", 1000000L), ("zeta", 1000000L)))
+  }
+
+  test("apportionBudget degenerate budgets: fewer slots than keys, one key takes all") {
+    // budget < n keys: only remainders allocate — exactly `budget`
+    // keys get one slot each, the largest weights first
+    val ws = Seq(("a", 5L), ("b", 3L), ("c", 2L), ("d", 1L)).toDF("k", "w")
+    val small = LinkGraph.apportionBudget(ws, "k", "w", budget = 2L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("slots"))).toMap
+    assert(small.values.sum === 2L)
+    assert(small("a") === 1L && small("b") === 1L)
+    // a single key absorbs the whole budget
+    val solo = LinkGraph.apportionBudget(
+        Seq(("only", 7L)).toDF("k", "w"), "k", "w", budget = 1000L)
+      .collect().map(_.getAs[Long]("slots")).toSeq
+    assert(solo === Seq(1000L))
+  }
 }
