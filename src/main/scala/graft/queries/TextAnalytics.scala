@@ -761,11 +761,12 @@ object TextAnalytics {
     * q143 ranking oracle and the q152 snippet oracle — byte-identical
     * to the q143 form it was factored from.
     */
-  private def bm25Ctes(k1: Long, b: Long): String =
+  private def bm25Ctes(k1: Long, b: Long,
+      corpusPred: String = "doc_id % 97 <> 0"): String =
     s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
        |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
        |      FROM tk WHERE doc_id % 97 = 0),
-       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE doc_id % 97 <> 0),
+       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE $corpusPred),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM c GROUP BY 1, 2),
        |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
        |dlx AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
@@ -785,14 +786,61 @@ object TextAnalytics {
        |             CROSS JOIN st
        |      GROUP BY 1, 2)""".stripMargin
 
+  /** The ranking tail shared by every BM25 oracle (q143 / q148 / q158
+    * / q170): row_number over the scored set, top-5.
+    */
+  private val bm25RankTail: String =
+    """SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+      |  SELECT qid, doc_id, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+      |  FROM s)
+      |WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   private val q143Sql =
     s"""${bm25Ctes(1200000L, 750000L)}
-       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
-       |  SELECT qid, doc_id, score,
-       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
-       |  FROM s)
-       |WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin
+       |$bm25RankTail""".stripMargin
+
+  // --------------------------------------------------------------- q170
+  /** Postings time travel — the reproducibility read the lifecycle's
+    * retention exists FOR: after a day-2 append moves the live
+    * pointer, the RETAINED base version is still a complete manifest
+    * over immutable segments, and probing it must reproduce the
+    * historical index bit-for-bit. The query publishes base
+    * (doc_id < 250), appends the rest, then reads the base VERSION
+    * DIR (not the live pointer) through the BM25 tail; the oracle is
+    * q143's scoring chain restricted to the historical sub-corpus —
+    * so the gate pins "read version N ≡ rebuild as of N", the audit
+    * story behind every "which index produced run X" question.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    import graft.changesets.Pipeline
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val qs = docs.filter(col("doc_id") % 97 === 0)
+    val pub = java.nio.file.Files.createTempDirectory("q170-postings").toString
+    val baseDir = Pipeline.publishPostings(s, pub, "base",
+      corpus.filter(col("doc_id") < 250), "doc_id", "text")
+    Pipeline.appendPostings(s, pub, "day2",
+      corpus.filter(col("doc_id") >= 250), "doc_id", "text")
+    // the live pointer moved on; the read below is the RETAINED version
+    require(!Pipeline.readCurrentPostings(pub).contains(baseDir),
+      "q170 precondition: the append must have moved the live pointer")
+    val post = Pipeline.readPostingsIndex(s, baseDir)
+    val out = graft.operators.Retrieval
+      .bm25OverPostings(qs, post, "doc_id", "text", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true) // materialize before deleting the temp index
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(pub))
+    out
+  }
+
+  private val q170Sql =
+    s"""${bm25Ctes(1200000L, 750000L, "doc_id % 97 <> 0 AND doc_id < 250")}
+       |$bm25RankTail""".stripMargin
 
   // --------------------------------------------------------------- q150
   /** Table profiling (Quality.profile) — the ANALYZE/SUMMARIZE surface:
@@ -1511,6 +1559,7 @@ object TextAnalytics {
        |ORDER BY doc_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_postings_timetravel" -> (q170 _),
     "q169_retrieval_mrr" -> (q169 _),
     "q164_keywords" -> (q164 _),
     "q160_boolean_search" -> (q160 _),
@@ -1548,6 +1597,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q170_postings_timetravel" -> q170Sql,
     "q169_retrieval_mrr" -> q169Sql,
     "q164_keywords" -> q164Sql,
     "q160_boolean_search" -> q160Sql,
