@@ -812,7 +812,12 @@ object CorpusOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val q92Sql = {
+  /** q92's full query-path SQL, parameterized over an index-side
+    * predicate (`a` = the indexed corpus rows) so the q171 time-travel
+    * oracle can restrict the scan to the historical sub-corpus while
+    * q92/q106/q133 keep the unrestricted form verbatim.
+    */
+  private def q92SqlAt(corpusPred: String): String = {
     // d2 between a 16-dim slice of vector %1$s and codebook entry cv,
     // in the engine's exact association: (sv·sv − 2 sv·cv) + cv·cv
     def d2(v: String): String =
@@ -858,6 +863,7 @@ object CorpusOps {
        |    ((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS approx
        |  FROM probes p
        |  JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+       |    AND ($corpusPred)
        |  JOIN encp ON encp.vec_id = a.vec_id
        |  JOIN lutv l0 ON l0.query_id = p.query_id AND l0.sub = 0 AND l0.code = encp.c0
        |  JOIN lutv l1 ON l1.query_id = p.query_id AND l1.sub = 1 AND l1.code = encp.c1
@@ -870,6 +876,8 @@ object CorpusOps {
        |WHERE rank <= 10
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  private val q92Sql = q92SqlAt("TRUE")
 
   // ---------------------------------------------------------------- q93
   /** BPE SEGMENTATION with a FIXED merge list, oracle-gated (q89's
@@ -1401,6 +1409,52 @@ object CorpusOps {
         k = 10, coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  // --------------------------------------------------------------- q171
+  /** ANN time travel — the q170 reproducibility read on the vector
+    * side: publish day1 (vec_id < 400) with q92's fixed model, append
+    * day2 so the live pointer moves on, then probe the RETAINED day1
+    * PAIR (its manifest + model + segments are all immutable). The
+    * oracle is q92's query-path SQL restricted to the historical
+    * sub-corpus — read-version-N ≡ scan-as-of-N, hash-pinned through
+    * the full IVF-PQ probe.
+    */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    if (emb.limit(1).isEmpty)
+      return Similarity.emptyAnnResult(emb, "vec_id")
+    def firstVecs(n: Int): Array[Array[Double]] =
+      emb.filter(col("vec_id") < n).orderBy(col("vec_id"))
+        .select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val sample = firstVecs(16)
+    val subDim = sample(0).length / 4
+    val codebooks = Array.tabulate(4)(m =>
+      sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val publishDir = java.nio.file.Files.createTempDirectory("q171-ann").toString
+    val day1 = Similarity.ivfPqIndex(
+      emb.filter(col("vec_id") < 400), "vec_id", "embedding", coarse, codebooks)
+    val day1Dir = graft.changesets.Pipeline.publishAnn(
+      s, publishDir, "day1", day1, coarse, codebooks)
+    graft.changesets.Pipeline.appendAnn(s, publishDir, "day2",
+      emb.filter(col("vec_id") >= 400), "vec_id", "embedding")
+    // the live pointer moved on; the read below is the RETAINED pair
+    require(!graft.changesets.Pipeline.readCurrentAnn(publishDir).contains(day1Dir),
+      "q171 precondition: the append must have moved the live pointer")
+    val model = graft.operators.AnnModel.load(
+      s, graft.changesets.Pipeline.annModelDir(day1Dir))
+    val index = graft.changesets.Pipeline.readAnnIndex(s, day1Dir).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(publishDir))
+    Similarity.ivfPqProbe(emb.filter(col("vec_id") < 5), index, "vec_id", "embedding",
+        k = 10, coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q171Sql = q92SqlAt("a.vec_id < 400")
 
   // --------------------------------------------------------------- q133
   /** ANN segment compaction (Pipeline.compactAnn), hash-gated the
@@ -2075,6 +2129,7 @@ object CorpusOps {
       |ORDER BY position""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_ann_timetravel" -> (q171 _),
     "q167_tokenizer_fertility" -> (q167 _),
     "q166_dedup_audit" -> (q166 _),
     "q132_corpus_shuffle" -> (q132 _),
@@ -2119,6 +2174,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q171_ann_timetravel" -> q171Sql,
     "q167_tokenizer_fertility" -> q167Sql,
     "q166_dedup_audit" -> q166Sql,
     "q132_corpus_shuffle" -> q132Sql,
