@@ -607,11 +607,13 @@ object Pipeline {
 
   private def writePostingsManifest(
       pairDir: String, segmentRefs: Seq[String], version: String,
-      absorbed: Seq[Long] = Seq.empty): Unit = {
+      absorbed: Seq[Long] = Seq.empty,
+      tombstones: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(Paths.get(pairDir))
     val json =
       s"""{
          |  "segments": [${segmentRefs.map(jsonStr).mkString(", ")}],
+         |  "tombstones": [${tombstones.map(jsonStr).mkString(", ")}],
          |  "absorbed": [${absorbed.sorted.mkString(", ")}],
          |  "source_version": ${jsonStr(version)}
          |}""".stripMargin
@@ -619,6 +621,19 @@ object Pipeline {
     Files.writeString(tmp, json)
     Files.move(tmp, Paths.get(pairDir, "manifest.json"),
       StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** A version's tombstone segment refs (doc-id parquet files whose
+    * union is subtracted from every read of this version). Absent
+    * field (pre-deletion manifests) reads as empty.
+    */
+  def readPostingsTombstones(pairDir: String): Seq[String] = {
+    val p = Paths.get(pairDir, "manifest.json")
+    if (!Files.exists(p)) return Seq.empty
+    "\"tombstones\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(Files.readString(p))
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
   }
 
   /** The micro-batch ids this postings version records as absorbed —
@@ -656,9 +671,19 @@ object Pipeline {
     */
   def readPostingsIndex(spark: SparkSession, pairDir: String): org.apache.spark.sql.DataFrame = {
     val publishDir = Paths.get(pairDir).getParent.toString
-    readPostingsManifest(pairDir)
+    val segs = readPostingsManifest(pairDir)
       .map(r => spark.read.parquet(s"$publishDir/$r"))
       .reduce(_.unionByName(_))
+    val tombs = readPostingsTombstones(pairDir)
+    if (tombs.isEmpty) segs
+    else {
+      // tombstoned docs subtract at READ time (deletion is a manifest
+      // operation, segments stay immutable); the takedown set is tiny
+      // relative to the index, so it broadcasts onto the anti join
+      val deleted = tombs.map(r => spark.read.parquet(s"$publishDir/$r"))
+        .reduce(_.unionByName(_)).select(col("doc")).distinct()
+      segs.join(broadcast(deleted), Seq("doc"), "left_anti")
+    }
   }
 
   /** Publish a full postings build as version one of the index. */
@@ -718,9 +743,84 @@ object Pipeline {
         "index — batches must be disjoint (a re-appended doc splits its postings " +
         "across segments and inflates df).")
     delta.write.mode("overwrite").parquet(s"$publishDir/$segRef")
+    // resurrection rule: re-appending a previously DELETED doc brings
+    // it back — the new version's tombstone set drops the appended
+    // ids (tombstone segments are immutable, so a shrunken set means
+    // writing one new tombstone segment; unchanged sets carry refs).
+    // Without this, the dup check (which reads the FILTERED index)
+    // would admit the doc and the stale tombstone would silently hide
+    // its postings — an append that reports success and indexes
+    // nothing.
+    val oldTombs = readPostingsTombstones(cur)
+    val tombRefs =
+      if (oldTombs.isEmpty) Seq.empty[String]
+      else {
+        val deleted = oldTombs.map(r => spark.read.parquet(s"$publishDir/$r"))
+          .reduce(_.unionByName(_)).select(col("doc")).distinct()
+        val resurrected = deleted
+          .join(broadcast(newDocs.select(col(idCol).as("doc")).distinct()), Seq("doc"), "left_semi")
+        if (resurrected.isEmpty) oldTombs
+        else {
+          val remaining = deleted.join(broadcast(
+            newDocs.select(col(idCol).as("doc")).distinct()), Seq("doc"), "left_anti")
+          if (remaining.isEmpty) Seq.empty[String]
+          else {
+            val tRef = s"$PostingsStore/tomb-$v"
+            remaining.write.mode("overwrite").parquet(s"$publishDir/$tRef")
+            Seq(tRef)
+          }
+        }
+      }
     val dir = s"$publishDir/post-$v"
     writePostingsManifest(dir, segRefs :+ segRef, sourceVersion,
-      absorbed = (readPostingsAbsorbed(cur) ++ absorbBatchId).toSeq)
+      absorbed = (readPostingsAbsorbed(cur) ++ absorbBatchId).toSeq,
+      tombstones = tombRefs)
+    flipPostingsPointer(publishDir, s"post-$v", sourceVersion)
+    applyPostingsRetention(publishDir, keepHistory, protect = readCurrentPostings(publishDir))
+    dir
+  }
+
+  /** Takedown: delete documents from the live postings index WITHOUT
+    * touching any segment — the compliance operation (DMCA/GDPR
+    * removal) a training-data index must support on the same
+    * immutable-artifact terms as append. A deletion writes ONE
+    * tombstone segment (the doc-id set) and a new manifest whose
+    * tombstone list grows by that ref; every read of the new version
+    * subtracts the union of its tombstones, so df/dl/avgdl shift
+    * EXACTLY as if the docs had never been indexed (the statistics
+    * are computed from the filtered postings at probe time — q172
+    * hash-gates delete ≡ rebuild-without). Retained older versions
+    * still see the docs (time travel is unaffected — takedown of
+    * HISTORY is [[compactPostings]] + retention aging the old
+    * manifests out). Re-appending a deleted doc resurrects it
+    * (appendPostings shrinks the tombstone set); compaction
+    * materializes deletions and clears the tombstone list.
+    */
+  def deletePostings(
+      spark: SparkSession,
+      publishDir: String,
+      sourceVersion: String,
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      keepHistory: Int = 5): String = {
+    val cur = readCurrentPostings(publishDir).getOrElse(throw new IllegalStateException(
+      s"deletePostings: no current postings index under $publishDir — " +
+        "publishPostings must run first"))
+    val segRefs = readPostingsManifest(cur)
+    val v = safeVersion(sourceVersion)
+    require(s"post-$v" != new java.io.File(cur).getName,
+      s"deletePostings: sourceVersion '$sourceVersion' resolves to the live version " +
+        "dir. Use a fresh version token per deletion.")
+    val tRef = s"$PostingsStore/tomb-$v"
+    require(!postingsReferencedRefs(publishDir).contains(tRef),
+      s"deletePostings: sourceVersion '$sourceVersion' resolves to tombstone '$tRef', " +
+        "which a retained manifest already references. Use a fresh version token.")
+    docs.select(col(idCol).as("doc")).distinct()
+      .write.mode("overwrite").parquet(s"$publishDir/$tRef")
+    val dir = s"$publishDir/post-$v"
+    writePostingsManifest(dir, segRefs, sourceVersion,
+      absorbed = readPostingsAbsorbed(cur).toSeq,
+      tombstones = readPostingsTombstones(cur) :+ tRef)
     flipPostingsPointer(publishDir, s"post-$v", sourceVersion)
     applyPostingsRetention(publishDir, keepHistory, protect = readCurrentPostings(publishDir))
     dir
@@ -776,7 +876,9 @@ object Pipeline {
       s"compactPostings: no current postings index under $publishDir — " +
         "publishPostings must run first"))
     val segRefs = readPostingsManifest(cur)
-    if (segRefs.size <= 1) return cur
+    // a single-segment version still needs compacting when tombstones
+    // exist — materializing deletions IS part of the rewrite
+    if (segRefs.size <= 1 && readPostingsTombstones(cur).isEmpty) return cur
     val v = safeVersion(sourceVersion)
     require(s"post-$v" != new java.io.File(cur).getName,
       s"compactPostings: sourceVersion '$sourceVersion' resolves to the live version " +
@@ -823,7 +925,8 @@ object Pipeline {
     listChildren(dir)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("post-") &&
         Files.exists(p.resolve("manifest.json")))
-      .flatMap(p => readPostingsManifest(p.toString)).toSet
+      .flatMap(p => readPostingsManifest(p.toString) ++
+        readPostingsTombstones(p.toString)).toSet
   }
 
   def applyPostingsRetention(publishDir: String, keep: Int, protect: Option[String] = None): Unit = {

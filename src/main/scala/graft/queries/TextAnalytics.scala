@@ -842,6 +842,41 @@ object TextAnalytics {
     s"""${bm25Ctes(1200000L, 750000L, "doc_id % 97 <> 0 AND doc_id < 250")}
        |$bm25RankTail""".stripMargin
 
+  // --------------------------------------------------------------- q172
+  /** Postings takedown (Pipeline.deletePostings) — the compliance
+    * deletion: publish the FULL corpus, tombstone every doc_id ≥ 250
+    * (two deletion batches, so tombstone-list growth is exercised),
+    * probe the live version. Deletion is a manifest operation over
+    * immutable segments; reads subtract the tombstone union, so
+    * df/dl/avgdl shift EXACTLY as if the docs had never been indexed
+    * — the oracle is therefore q170's verbatim SQL (the < 250
+    * rebuild): delete ≡ rebuild-without, hash-pinned through the BM25
+    * tail.
+    */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    import graft.changesets.Pipeline
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val qs = docs.filter(col("doc_id") % 97 === 0)
+    val pub = java.nio.file.Files.createTempDirectory("q172-postings").toString
+    Pipeline.publishPostings(s, pub, "base", corpus, "doc_id", "text")
+    Pipeline.deletePostings(s, pub, "takedown1",
+      corpus.filter(col("doc_id") >= 250 && col("doc_id") < 400), "doc_id")
+    Pipeline.deletePostings(s, pub, "takedown2",
+      corpus.filter(col("doc_id") >= 400), "doc_id")
+    val post = Pipeline.readPostingsIndex(
+      s, Pipeline.readCurrentPostings(pub).get)
+    val out = graft.operators.Retrieval
+      .bm25OverPostings(qs, post, "doc_id", "text", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true) // materialize before deleting the temp index
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(pub))
+    out
+  }
+
   // --------------------------------------------------------------- q150
   /** Table profiling (Quality.profile) — the ANALYZE/SUMMARIZE surface:
     * one pass over `documents`, per column the row count, null count,
@@ -1559,6 +1594,7 @@ object TextAnalytics {
        |ORDER BY doc_id, rank""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_postings_delete" -> (q172 _),
     "q170_postings_timetravel" -> (q170 _),
     "q169_retrieval_mrr" -> (q169 _),
     "q164_keywords" -> (q164 _),
@@ -1597,6 +1633,7 @@ object TextAnalytics {
     "q26_fingerprint" -> (q26 _))
 
   val oracle: Map[String, String] = Map(
+    "q172_postings_delete" -> q170Sql,
     "q170_postings_timetravel" -> q170Sql,
     "q169_retrieval_mrr" -> q169Sql,
     "q164_keywords" -> q164Sql,

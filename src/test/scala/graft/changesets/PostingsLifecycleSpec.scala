@@ -138,4 +138,62 @@ class PostingsLifecycleSpec extends SparkSpec {
     // single-segment compact is a no-op returning the live dir
     assert(Pipeline.compactPostings(spark, dir, "w2") === cur)
   }
+
+  test("deletePostings: delete == rebuild-without; history unaffected; segments untouched") {
+    val dir = tmpDir("post-del")
+    Pipeline.publishPostings(spark, dir, "base", docs(0 until 40), "doc_id", "text")
+    val baseDir = Pipeline.readCurrentPostings(dir).get
+    Pipeline.deletePostings(spark, dir, "takedown",
+      docs(25 until 40), "doc_id")
+    val cur = Pipeline.readCurrentPostings(dir).get
+    // live read = rebuild over the surviving docs, bit-for-bit
+    assert(postRows(Pipeline.readPostingsIndex(spark, cur)
+        .select(col("term"), col("doc"), col("tf")))
+      === postRows(Retrieval.postings(docs(0 until 25), "doc_id", "text")
+        .select(col("term"), col("doc"), col("tf"))))
+    // the RETAINED pre-delete version still sees everything (time
+    // travel), and the data segment list is byte-identical — deletion
+    // is a manifest operation
+    assert(postRows(Pipeline.readPostingsIndex(spark, baseDir)
+        .select(col("term"), col("doc"), col("tf")))
+      === postRows(Retrieval.postings(docs(0 until 40), "doc_id", "text")
+        .select(col("term"), col("doc"), col("tf"))))
+    assert(Pipeline.readPostingsManifest(cur) === Pipeline.readPostingsManifest(baseDir))
+    assert(Pipeline.readPostingsTombstones(cur).size === 1)
+  }
+
+  test("re-appending a deleted doc resurrects it (tombstone set shrinks)") {
+    val dir = tmpDir("post-resurrect")
+    Pipeline.publishPostings(spark, dir, "base", docs(0 until 30), "doc_id", "text")
+    Pipeline.deletePostings(spark, dir, "takedown", docs(20 until 30), "doc_id")
+    // re-append docs 20-24 (now absent from the live index) — without
+    // the resurrection rule the stale tombstone would hide them and
+    // the append would silently index nothing
+    Pipeline.appendPostings(spark, dir, "readd", docs(20 until 25), "doc_id", "text")
+    val cur = Pipeline.readCurrentPostings(dir).get
+    assert(postRows(Pipeline.readPostingsIndex(spark, cur)
+        .select(col("term"), col("doc"), col("tf")))
+      === postRows(Retrieval.postings(docs(0 until 25), "doc_id", "text")
+        .select(col("term"), col("doc"), col("tf"))))
+    // full resurrection clears the tombstone list entirely
+    Pipeline.appendPostings(spark, dir, "readd2", docs(25 until 30), "doc_id", "text")
+    assert(Pipeline.readPostingsTombstones(
+      Pipeline.readCurrentPostings(dir).get).isEmpty)
+  }
+
+  test("compaction materializes deletions: one clean segment, tombstones cleared") {
+    val dir = tmpDir("post-del-compact")
+    Pipeline.publishPostings(spark, dir, "base", docs(0 until 30), "doc_id", "text")
+    Pipeline.deletePostings(spark, dir, "takedown", docs(10 until 30), "doc_id")
+    // single data segment + live tombstones: compact must still run
+    // (materializing the deletion IS the rewrite)
+    val compacted = Pipeline.compactPostings(spark, dir, "weekly")
+    assert(compacted !== Pipeline.readPostingsManifest(compacted).head)
+    assert(Pipeline.readPostingsTombstones(compacted).isEmpty)
+    assert(Pipeline.readPostingsManifest(compacted).size === 1)
+    assert(postRows(Pipeline.readPostingsIndex(spark, compacted)
+        .select(col("term"), col("doc"), col("tf")))
+      === postRows(Retrieval.postings(docs(0 until 10), "doc_id", "text")
+        .select(col("term"), col("doc"), col("tf"))))
+  }
 }
