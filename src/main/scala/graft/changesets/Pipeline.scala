@@ -286,12 +286,14 @@ object Pipeline {
     */
   private def writeAnnManifest(pairDir: String, modelRef: String,
       segmentRefs: Seq[String], version: String,
-      absorbed: Seq[Long] = Seq.empty): Unit = {
+      absorbed: Seq[Long] = Seq.empty,
+      tombstones: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(Paths.get(pairDir))
     val json =
       s"""{
          |  "model": ${jsonStr(modelRef)},
          |  "segments": [${segmentRefs.map(jsonStr).mkString(", ")}],
+         |  "tombstones": [${tombstones.map(jsonStr).mkString(", ")}],
          |  "absorbed": [${absorbed.sorted.mkString(", ")}],
          |  "source_version": ${jsonStr(version)}
          |}""".stripMargin
@@ -360,7 +362,29 @@ object Pipeline {
     // column order drifts across segments (the partition column moves
     // to the end on read) — normalize before the union
     val cols = dfs.head.columns.sorted.map(col).toSeq
-    dfs.map(_.select(cols: _*)).reduce(_.unionByName(_))
+    val union = dfs.map(_.select(cols: _*)).reduce(_.unionByName(_))
+    val tombs = readAnnTombstones(pairDir)
+    if (tombs.isEmpty) union
+    else {
+      // tombstoned vectors subtract at READ time (deletion is a
+      // manifest operation, segments stay immutable) — the q172
+      // postings rule on the vector side
+      val deleted = tombs.map(r => spark.read.parquet(s"$publishDir/$r"))
+        .reduce(_.unionByName(_)).select(col("neighbor_id")).distinct()
+      union.join(broadcast(deleted), Seq("neighbor_id"), "left_anti")
+    }
+  }
+
+  /** An ANN version's tombstone segment refs — see
+    * [[readPostingsTombstones]]; absent field reads as empty.
+    */
+  def readAnnTombstones(pairDir: String): Seq[String] = {
+    val p = Paths.get(pairDir, "manifest.json")
+    if (!Files.exists(p)) return Seq.empty
+    "\"tombstones\"\\s*:\\s*\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(Files.readString(p))
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
   }
 
   /** Publish one ANN build (index table + its model) as an immutable
@@ -478,10 +502,35 @@ object Pipeline {
     // one manifest; the model and the live segments are untouched
     delta.repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$publishDir/$segRef")
+    // resurrection rule (the appendPostings rationale verbatim): a
+    // re-appended previously-deleted vector passes the dup check
+    // (which reads the FILTERED index), so a stale tombstone would
+    // silently hide its rows — the new version's tombstone set drops
+    // the appended ids instead
+    val oldTombs = readAnnTombstones(cur)
+    val tombRefs =
+      if (oldTombs.isEmpty) Seq.empty[String]
+      else {
+        val deleted = oldTombs.map(r => spark.read.parquet(s"$publishDir/$r"))
+          .reduce(_.unionByName(_)).select(col("neighbor_id")).distinct()
+        val newIds = delta.select(col("neighbor_id")).distinct()
+        if (deleted.join(broadcast(newIds), Seq("neighbor_id"), "left_semi").isEmpty)
+          oldTombs
+        else {
+          val remaining = deleted.join(broadcast(newIds), Seq("neighbor_id"), "left_anti")
+          if (remaining.isEmpty) Seq.empty[String]
+          else {
+            val tRef = s"$AnnSegmentStore/tomb-$v"
+            remaining.write.mode("overwrite").parquet(s"$publishDir/$tRef")
+            Seq(tRef)
+          }
+        }
+      }
     val dirName = s"ann-$v"
     val dir = s"$publishDir/$dirName"
     writeAnnManifest(dir, modelRef, segRefs :+ segRef, sourceVersion,
-      absorbed = (readAnnAbsorbed(cur) ++ absorbBatchId).toSeq)
+      absorbed = (readAnnAbsorbed(cur) ++ absorbBatchId).toSeq,
+      tombstones = tombRefs)
     flipAnnPointer(publishDir, dirName, sourceVersion)
     applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
     dir
@@ -523,7 +572,9 @@ object Pipeline {
     val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
       s"compactAnn: no current ANN pair under $publishDir — publishAnn must run first"))
     val (modelRef, segRefs) = readAnnManifest(cur)
-    if (segRefs.size <= 1) return cur
+    // a single-segment pair still needs compacting when tombstones
+    // exist — materializing deletions IS part of the rewrite
+    if (segRefs.size <= 1 && readAnnTombstones(cur).isEmpty) return cur
     val v = safeVersion(sourceVersion)
     require(s"ann-$v" != new java.io.File(cur).getName,
       s"compactAnn: sourceVersion '$sourceVersion' resolves to the live pair dir " +
@@ -545,6 +596,45 @@ object Pipeline {
     // an at-least-once replay look like a fresh batch
     writeAnnManifest(dir, modelRef, Seq(segRef), sourceVersion,
       absorbed = readAnnAbsorbed(cur).toSeq)
+    flipAnnPointer(publishDir, dirName, sourceVersion)
+    applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
+    dir
+  }
+
+  /** Vector takedown — [[deletePostings]] on the ANN pair (embeddings
+    * of removed user content are as much a compliance surface as the
+    * text): one tombstone segment of ids + a manifest whose tombstone
+    * list grows; segments and the frozen model stay untouched, reads
+    * subtract the tombstone union, retained versions still see the
+    * vectors, re-appending resurrects ([[appendAnn]] shrinks the
+    * set), compaction materializes and clears. q173 hash-gates
+    * delete ≡ rebuild-without through the full IVF-PQ probe.
+    */
+  def deleteAnn(
+      spark: SparkSession,
+      publishDir: String,
+      sourceVersion: String,
+      ids: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      keepHistory: Int = 5): String = {
+    val cur = readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
+      s"deleteAnn: no current ANN pair under $publishDir — publishAnn must run first"))
+    val (modelRef, segRefs) = readAnnManifest(cur)
+    val v = safeVersion(sourceVersion)
+    require(s"ann-$v" != new java.io.File(cur).getName,
+      s"deleteAnn: sourceVersion '$sourceVersion' resolves to the live pair dir. " +
+        "Use a fresh version token per deletion.")
+    val tRef = s"$AnnSegmentStore/tomb-$v"
+    require(!annReferencedRefs(publishDir).contains(tRef),
+      s"deleteAnn: sourceVersion '$sourceVersion' resolves to tombstone '$tRef', " +
+        "which a retained manifest already references. Use a fresh version token.")
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .write.mode("overwrite").parquet(s"$publishDir/$tRef")
+    val dirName = s"ann-$v"
+    val dir = s"$publishDir/$dirName"
+    writeAnnManifest(dir, modelRef, segRefs, sourceVersion,
+      absorbed = readAnnAbsorbed(cur).toSeq,
+      tombstones = readAnnTombstones(cur) :+ tRef)
     flipAnnPointer(publishDir, dirName, sourceVersion)
     applyAnnRetention(publishDir, keepHistory, protect = readCurrentAnn(publishDir))
     dir
@@ -982,7 +1072,7 @@ object Pipeline {
         Files.exists(p.resolve("manifest.json")))
       .flatMap { p =>
         val (model, segs) = readAnnManifest(p.toString)
-        model +: segs
+        (model +: segs) ++ readAnnTombstones(p.toString)
       }.toSet
   }
 

@@ -1456,6 +1456,51 @@ object CorpusOps {
 
   private val q171Sql = q92SqlAt("a.vec_id < 400")
 
+  // --------------------------------------------------------------- q173
+  /** ANN vector takedown (Pipeline.deleteAnn) — q172's compliance
+    * deletion on the vector side: publish the FULL index with q92's
+    * fixed model, tombstone every vec_id ≥ 400 in two deletion
+    * batches (tombstone-list growth exercised), probe the live pair.
+    * Segments and model stay untouched; reads subtract the tombstone
+    * union, so the oracle is q171's rebuild-without SQL verbatim —
+    * delete ≡ scan-without, hash-pinned through the full IVF-PQ
+    * probe.
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    if (emb.limit(1).isEmpty)
+      return Similarity.emptyAnnResult(emb, "vec_id")
+    def firstVecs(n: Int): Array[Array[Double]] =
+      emb.filter(col("vec_id") < n).orderBy(col("vec_id"))
+        .select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val sample = firstVecs(16)
+    val subDim = sample(0).length / 4
+    val codebooks = Array.tabulate(4)(m =>
+      sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val publishDir = java.nio.file.Files.createTempDirectory("q173-ann").toString
+    val full = Similarity.ivfPqIndex(emb, "vec_id", "embedding", coarse, codebooks)
+    graft.changesets.Pipeline.publishAnn(s, publishDir, "day1", full, coarse, codebooks)
+    graft.changesets.Pipeline.deleteAnn(s, publishDir, "takedown1",
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), "vec_id")
+    graft.changesets.Pipeline.deleteAnn(s, publishDir, "takedown2",
+      emb.filter(col("vec_id") >= 450), "vec_id")
+    val cur = graft.changesets.Pipeline.readCurrentAnn(publishDir).get
+    val model = graft.operators.AnnModel.load(
+      s, graft.changesets.Pipeline.annModelDir(cur))
+    val index = graft.changesets.Pipeline.readAnnIndex(s, cur).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(publishDir))
+    Similarity.ivfPqProbe(emb.filter(col("vec_id") < 5), index, "vec_id", "embedding",
+        k = 10, coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q173Sql = q92SqlAt("a.vec_id < 400")
+
   // --------------------------------------------------------------- q133
   /** ANN segment compaction (Pipeline.compactAnn), hash-gated the
     * q106 way: publish day1 (vec_id < 300) with q92's fixed model,
@@ -2129,6 +2174,7 @@ object CorpusOps {
       |ORDER BY position""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_ann_delete" -> (q173 _),
     "q171_ann_timetravel" -> (q171 _),
     "q167_tokenizer_fertility" -> (q167 _),
     "q166_dedup_audit" -> (q166 _),
@@ -2174,6 +2220,7 @@ object CorpusOps {
     "q33_ann_lsh" -> (q33 _))
 
   val oracle: Map[String, String] = Map(
+    "q173_ann_delete" -> q173Sql,
     "q171_ann_timetravel" -> q171Sql,
     "q167_tokenizer_fertility" -> q167Sql,
     "q166_dedup_audit" -> q166Sql,

@@ -264,4 +264,42 @@ class AnnAppendSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("publishAnn must run first"))
   }
+
+  test("deleteAnn: delete == rebuild-without; history intact; segments byte-untouched") {
+    val dir = tmpDir("ann-del")
+    val full = Similarity.ivfPqIndex(emb(0 until 40), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", full, coarse, codebooks)
+    val baseDir = Pipeline.readCurrentAnn(dir).get
+    Pipeline.deleteAnn(spark, dir, "takedown", emb(25 until 40), "vec_id")
+    val cur = Pipeline.readCurrentAnn(dir).get
+    val without = Similarity.ivfPqIndex(emb(0 until 25), "vec_id", "embedding", coarse, codebooks)
+    assert(indexRows(Pipeline.readAnnIndex(spark, cur)) === indexRows(without))
+    // the RETAINED pre-delete pair still sees everything (time travel)
+    // and names the SAME data segments — deletion is a manifest op
+    assert(indexRows(Pipeline.readAnnIndex(spark, baseDir)) === indexRows(full))
+    assert(Pipeline.readAnnManifest(cur)._2 === Pipeline.readAnnManifest(baseDir)._2)
+    assert(Pipeline.readAnnTombstones(cur).size === 1)
+  }
+
+  test("re-appending deleted vectors resurrects them; compaction materializes deletions") {
+    val dir = tmpDir("ann-resurrect")
+    val day1 = Similarity.ivfPqIndex(emb(0 until 30), "vec_id", "embedding", coarse, codebooks)
+    Pipeline.publishAnn(spark, dir, "day1", day1, coarse, codebooks)
+    Pipeline.deleteAnn(spark, dir, "takedown", emb(20 until 30), "vec_id")
+    // re-append half the deleted ids: the dup check reads the filtered
+    // index, so without the resurrection rule the stale tombstone
+    // would silently hide the appended rows
+    Pipeline.appendAnn(spark, dir, "readd", emb(20 until 25), "vec_id", "embedding")
+    val afterReadd = Pipeline.readCurrentAnn(dir).get
+    assert(indexRows(Pipeline.readAnnIndex(spark, afterReadd)) === indexRows(
+      Similarity.ivfPqIndex(emb(0 until 25), "vec_id", "embedding", coarse, codebooks)))
+    assert(Pipeline.readAnnTombstones(afterReadd).size === 1)
+    // compaction materializes the remaining deletion and clears the
+    // tombstone list (the single-segment+tombstones early-return case
+    // is pinned on the postings side)
+    val compacted = Pipeline.compactAnn(spark, dir, "weekly")
+    assert(Pipeline.readAnnTombstones(compacted).isEmpty)
+    assert(indexRows(Pipeline.readAnnIndex(spark, compacted)) === indexRows(
+      Similarity.ivfPqIndex(emb(0 until 25), "vec_id", "embedding", coarse, codebooks)))
+  }
 }
