@@ -155,4 +155,169 @@ object LinkGraph {
     }
     ranks.select(col("__pr_id").as(idCol), col("__pr_rank").as("rank_ppm"))
   }
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) in the same
+    * exact-integer ppm discipline as [[pageRankInt]] — the SECOND
+    * link-quality axis a crawl curator ranks by: PageRank finds
+    * globally endorsed pages; HITS separates directories/link hubs
+    * (high hub) from endorsed content (high authority), the signal
+    * that demotes link farms whose PageRank looks healthy.
+    *
+    * Recurrence, exactly as both engines compute it: per iteration
+    * auth'(v) = Σ_{u→v} hub(u), then max-normalized back to the ppm
+    * scale `auth = (auth' · 10⁶) DIV max(auth')`; hub'(u) =
+    * Σ_{u→v} auth(v) over the FRESH authorities, normalized the same
+    * way. Max-normalization replaces the float L2 norm of the
+    * textbook formulation — it is order-invariant, exactly
+    * aggregatable, and preserves the ranking (scores are scale-free);
+    * every step is BIGINT, so the q174 oracle unrolls iterations as
+    * CTE levels and hash-matches bit-for-bit. Nodes with no in-links
+    * converge to authority 0, no out-links to hub 0; both stay in the
+    * output via the node-list left joins (isolated ≠ dropped).
+    *
+    * 100 TB shape: per iteration two blocked equi-joins (edges⋈hub on
+    * src, edges⋈auth on dst) each followed by a map-side-combined
+    * groupBy, plus two ONE-ROW max aggregates broadcast back — never
+    * a corpus-wide window or cartesian. Same production notes as
+    * [[pageRankInt]]: bucket edges by src (and a dst-keyed copy for
+    * the hub step — HITS reads the graph both ways, the transpose is
+    * the one extra artifact), persist edges across iterations,
+    * checkpoint lineage on large `iters`. Overflow bound (documented,
+    * as in [[pageRankWeightedInt]]): Σ hub ≤ n·10⁶ and the normalize
+    * multiplies by 10⁶, so n must stay under ~9·10⁶ per connected
+    * bucket at ppm scale — at larger n, pre-divide the sums by a
+    * documented 10^k before normalizing.
+    */
+  def hitsInt(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).cast("long").as("__h_src"),
+      col(dstCol).cast("long").as("__h_dst")).distinct()
+    val ids = nodes.select(col(idCol).cast("long").as("__h_id")).distinct()
+    var hub = ids.select(col("__h_id"), lit(1000000L).as("__h_hub"))
+    var auth = ids.select(col("__h_id"), lit(1000000L).as("__h_auth"))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub, col("__h_src") === col("__h_id"))
+        .groupBy(col("__h_dst")).agg(sum(col("__h_hub")).as("__h_s"))
+      val aMax = aRaw.agg(coalesce(max(col("__h_s")), lit(1L)).as("__h_m"))
+      auth = ids.join(aRaw, ids("__h_id") === aRaw("__h_dst"), "left")
+        .crossJoin(broadcast(aMax))
+        .selectExpr("__h_id",
+          "(coalesce(__h_s, 0L) * 1000000L) DIV __h_m AS __h_auth")
+      val hRaw = e.join(auth, col("__h_dst") === col("__h_id"))
+        .groupBy(col("__h_src")).agg(sum(col("__h_auth")).as("__h_s"))
+      val hMax = hRaw.agg(coalesce(max(col("__h_s")), lit(1L)).as("__h_m"))
+      hub = ids.join(hRaw, ids("__h_id") === hRaw("__h_src"), "left")
+        .crossJoin(broadcast(hMax))
+        .selectExpr("__h_id",
+          "(coalesce(__h_s, 0L) * 1000000L) DIV __h_m AS __h_hub")
+    }
+    hub.join(auth, "__h_id")
+      .select(col("__h_id").as(idCol), col("__h_hub").as("hub_ppm"),
+        col("__h_auth").as("auth_ppm"))
+  }
+
+  /** Redirect-chain resolution by POINTER DOUBLING — collapse the
+    * 3xx chains a crawl actually contains (http→https, slash
+    * canonicalization, moved pages) to each URL's FINAL target in
+    * O(log maxHops) rounds instead of O(maxHops): per round the map
+    * m(u) = (target, hops) composes with itself — if m(u)'s target is
+    * itself a redirect source, u jumps to its target's target and the
+    * hop counts ADD. After ⌈log₂ maxHops⌉ rounds every chain of
+    * length ≤ maxHops has fully collapsed; what hasn't is a cycle or
+    * an over-long chain, both reported `resolved = false` exactly as
+    * a fetcher would give up on them (RFC-style redirect caps).
+    *
+    * Output: one row per redirect SOURCE — (url, final_url, hops,
+    * resolved); `resolved` ⇔ final_url is not itself a redirect
+    * source AND hops ≤ maxHops. Deterministic pure-integer hop
+    * arithmetic ⇒ the q175 oracle re-derives it with a bounded
+    * recursive CTE and hash-matches exactly.
+    *
+    * 100 TB shape: each round is ONE self equi-join of the map on
+    * (target = source) — no corpus scan, no window; the map never
+    * grows (one row per original source). log₂ rounds beats the
+    * naive hop-at-a-time walk the same way prefix doubling beat it
+    * for suffix arrays (q107). Production: bucket the map by source
+    * and target symmetrically so rounds are co-located.
+    */
+  def resolveRedirects(
+      redirects: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1: $maxHops")
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(
+      (maxHops - 1).max(1).toLong).toInt // ceil(log2(maxHops))
+    var m = redirects
+      .select(col(srcCol).cast("string").as("__rd_u"),
+        col(dstCol).cast("string").as("__rd_t"))
+      .distinct()
+      .withColumn("__rd_h", lit(1L))
+    for (_ <- 1 to rounds) {
+      val nxt = m.select(col("__rd_u").as("__rd_u2"),
+        col("__rd_t").as("__rd_t2"), col("__rd_h").as("__rd_h2"))
+      m = m.join(nxt, m("__rd_t") === nxt("__rd_u2"), "left")
+        .select(col("__rd_u"),
+          coalesce(col("__rd_t2"), col("__rd_t")).as("__rd_t"),
+          (col("__rd_h") + coalesce(col("__rd_h2"), lit(0L))).as("__rd_h"))
+    }
+    val srcs = m.select(col("__rd_u").as("__rd_s")).distinct()
+    m.join(srcs, m("__rd_t") === srcs("__rd_s"), "left")
+      .select(col("__rd_u").as("url"), col("__rd_t").as("final_url"),
+        col("__rd_h").as("hops"),
+        (col("__rd_s").isNull && col("__rd_h") <= maxHops).as("resolved"))
+  }
+
+  /** Minimum-hop crawl depth from a seed set by FRONTIER expansion —
+    * the "how far from the quality seeds is this page" signal seeded
+    * crawls (and seeded-quality corpus filters a la common
+    * seed-distance heuristics) key on. BFS semantics: depth(v) = min
+    * hops from ANY seed, seeds at 0; nodes unreached within
+    * `maxDepth` report −1 (distinguishable from every real depth).
+    *
+    * Per level: the CURRENT frontier (rows at depth d−1) joins edges
+    * on src — one blocked equi-join costing |frontier-out-edges|,
+    * never |graph| — then a LEFT ANTI join against the visited set
+    * drops re-reached nodes (their first reach was their min, the BFS
+    * invariant), and survivors append at depth d. The visited set
+    * grows monotonically and is the only state; no window, no
+    * cartesian, all integer ⇒ the q176 oracle re-derives depths with
+    * a bounded recursive CTE + min() and hash-matches. Production:
+    * persist edges bucketed by src; checkpoint the visited set every
+    * few levels (lineage grows linearly in depth).
+    */
+  def crawlDepth(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
+    val e = edges.select(col(srcCol).cast("long").as("__bd_src"),
+      col(dstCol).cast("long").as("__bd_dst")).distinct()
+    val ids = nodes.select(col(idCol).cast("long").as("__bd_id")).distinct()
+    var visited = seeds.select(col(seedCol).cast("long").as("__bd_id")).distinct()
+      .withColumn("__bd_d", lit(0L))
+    var frontier = visited
+    for (d <- 1 to maxDepth) {
+      val reached = frontier.join(e, frontier("__bd_id") === e("__bd_src"))
+        .select(col("__bd_dst").as("__bd_id")).distinct()
+      frontier = reached.join(visited.select("__bd_id"),
+          Seq("__bd_id"), "left_anti")
+        .withColumn("__bd_d", lit(d.toLong))
+      visited = visited.union(frontier)
+    }
+    ids.join(visited, Seq("__bd_id"), "left")
+      .select(col("__bd_id").as(idCol),
+        coalesce(col("__bd_d"), lit(-1L)).as("depth"))
+  }
 }

@@ -935,6 +935,20 @@ object MediaStream {
     * 3 unrolled truncating-integer PageRank levels ending in
     * r3(id, rank).
     */
+  /** The analytic link-graph edge CTEs alone (n, e0, e) — shared by
+    * the rank chain below and the HITS/crawl-depth oracles (q174,
+    * q176), which run different recurrences over the SAME graph.
+    */
+  private val edgeCtes: String =
+    """n AS (SELECT count(*) AS cnt FROM documents),
+      |e0 AS (
+      |  SELECT doc_id AS src, (doc_id * 31 + 7) % cnt AS dst FROM documents, n
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 31 + 14) % cnt FROM documents, n
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 17 + 3) % cnt FROM documents, n),
+      |e AS (SELECT DISTINCT src, dst FROM e0)""".stripMargin
+
   private val rankGraphCtes: String = {
     val levels = (1 to 3).map { i =>
       val prev = s"r${i - 1}"
@@ -947,14 +961,7 @@ object MediaStream {
          |    CAST(150000 + (850000 * coalesce(s$i.s, 0)) // 1000000 AS BIGINT) AS rank
          |  FROM documents d LEFT JOIN s$i ON s$i.id = d.doc_id)""".stripMargin
     }.mkString(",\n")
-    s"""n AS (SELECT count(*) AS cnt FROM documents),
-       |e0 AS (
-       |  SELECT doc_id AS src, (doc_id * 31 + 7) % cnt AS dst FROM documents, n
-       |  UNION ALL
-       |  SELECT doc_id, (doc_id * 31 + 14) % cnt FROM documents, n
-       |  UNION ALL
-       |  SELECT doc_id, (doc_id * 17 + 3) % cnt FROM documents, n),
-       |e AS (SELECT DISTINCT src, dst FROM e0),
+    s"""$edgeCtes,
        |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
        |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS rank FROM documents),
        |$levels""".stripMargin
@@ -1079,6 +1086,133 @@ object MediaStream {
        |  CAST(base + CASE WHEN rn <= lv.leftover THEN 1 ELSE 0 END AS BIGINT) AS slots
        |FROM rk CROSS JOIN lv
        |ORDER BY domain""".stripMargin
+
+  // --------------------------------------------------------------- q174
+  /** HITS hubs and authorities (LinkGraph.hitsInt) over the q135
+    * anchor graph — the second link-quality axis: PageRank finds
+    * globally endorsed pages, HITS separates link DIRECTORIES (hub)
+    * from endorsed CONTENT (authority), the signal that demotes link
+    * farms whose PageRank looks healthy. Two max-normalized integer
+    * iterations; the oracle unrolls them as CTE levels over the
+    * shared analytic edge set — every sum/normalize is truncating
+    * BIGINT arithmetic, so the gate pins the recurrence exactly.
+    */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    LinkGraph.hitsInt(docs.select(col("doc_id")), "doc_id",
+        extractedEdges(docs), "src", "dst", iters = 2)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q174Sql = {
+    val levels = (1 to 2).map { i =>
+      val ph = s"h${i - 1}"
+      s"""ar$i AS (
+         |  SELECT e.dst AS id, sum($ph.v) AS s
+         |  FROM e JOIN $ph ON $ph.id = e.src GROUP BY e.dst),
+         |am$i AS (SELECT coalesce(max(s), 1) AS m FROM ar$i),
+         |a$i AS (
+         |  SELECT d.doc_id AS id,
+         |    CAST((coalesce(ar$i.s, 0) * 1000000) // am$i.m AS BIGINT) AS v
+         |  FROM documents d LEFT JOIN ar$i ON ar$i.id = d.doc_id
+         |  CROSS JOIN am$i),
+         |hr$i AS (
+         |  SELECT e.src AS id, sum(a$i.v) AS s
+         |  FROM e JOIN a$i ON a$i.id = e.dst GROUP BY e.src),
+         |hm$i AS (SELECT coalesce(max(s), 1) AS m FROM hr$i),
+         |h$i AS (
+         |  SELECT d.doc_id AS id,
+         |    CAST((coalesce(hr$i.s, 0) * 1000000) // hm$i.m AS BIGINT) AS v
+         |  FROM documents d LEFT JOIN hr$i ON hr$i.id = d.doc_id
+         |  CROSS JOIN hm$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |h0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS v FROM documents),
+       |$levels
+       |SELECT h2.id AS doc_id, h2.v AS hub_ppm, a2.v AS auth_ppm
+       |FROM h2 JOIN a2 ON a2.id = h2.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q175
+  /** Redirect-chain resolution (LinkGraph.resolveRedirects): the 3xx
+    * chains a crawl contains (http→https, slash canonicalization,
+    * moved pages) collapse to final targets by pointer DOUBLING —
+    * ⌈log₂ maxHops⌉ self-joins of the redirect map instead of a
+    * hop-at-a-time walk. Fixture chains are analytic: runs of three
+    * consecutive redirect sources (doc_id % 10 ∈ {0,1,2} → +1, so
+    * chains of 1–3 hops), plus a deliberate 2-CYCLE pair
+    * (% 50 = 48 ↔ 49) that must come back `resolved = false` with
+    * hops = maxHops — exactly what a fetcher's redirect cap reports.
+    * maxHops = 4 (a power of two, so the doubled walk's terminal hop
+    * count on cycles equals the oracle's bounded step-walk). Oracle:
+    * bounded recursive CTE, terminal row per source = max-hop row.
+    */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    val red = docs.select(col("doc_id").as("i"))
+      .withColumn("tgt",
+        when(col("i") % 50 === 48, col("i") + 1)
+          .when(col("i") % 50 === 49, col("i") - 1)
+          .when(col("i") % 10 <= 2, col("i") + 1))
+      .filter(col("tgt").isNotNull)
+      .select(concat(lit("u"), col("i")).as("src_url"),
+        concat(lit("u"), col("tgt")).as("dst_url"))
+    LinkGraph.resolveRedirects(red, "src_url", "dst_url", maxHops = 4)
+      .orderBy(col("url"))
+  }
+
+  private val q175Sql =
+    """WITH RECURSIVE red AS (
+      |  SELECT 'u' || doc_id AS u,
+      |    'u' || CASE WHEN doc_id % 50 = 48 THEN doc_id + 1
+      |                WHEN doc_id % 50 = 49 THEN doc_id - 1
+      |                WHEN doc_id % 10 <= 2 THEN doc_id + 1 END AS t
+      |  FROM documents
+      |  WHERE doc_id % 50 IN (48, 49) OR doc_id % 10 <= 2),
+      |w AS (
+      |  SELECT u AS u0, t AS cur, 1 AS h FROM red
+      |  UNION ALL
+      |  SELECT w.u0, red.t, w.h + 1 FROM w JOIN red ON red.u = w.cur
+      |  WHERE w.h < 4),
+      |f AS (SELECT w.u0, w.cur, w.h FROM w
+      |      JOIN (SELECT u0, max(h) AS mh FROM w GROUP BY u0) q
+      |        ON q.u0 = w.u0 AND q.mh = w.h)
+      |SELECT u0 AS url, cur AS final_url, CAST(h AS BIGINT) AS hops,
+      |  (cur NOT IN (SELECT u FROM red)) AND h <= 4 AS resolved
+      |FROM f ORDER BY url""".stripMargin
+
+  // --------------------------------------------------------------- q176
+  /** Minimum-hop crawl depth from a seed set (LinkGraph.crawlDepth)
+    * over the q135 anchor graph — the "how far from the quality
+    * seeds" signal seeded crawls key frontier budgets on. Seeds =
+    * doc_id % 97 = 0 (sparse, so depths 0–3 and unreached −1 all
+    * occur); BFS = per-level frontier⋈edges + anti-join against the
+    * visited set, costing |frontier| not |graph|. Oracle: bounded
+    * recursive CTE + min(), the textbook shortest-path re-derivation.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    LinkGraph.crawlDepth(docs.select(col("doc_id")), "doc_id",
+        extractedEdges(docs), "src", "dst",
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")), "doc_id",
+        maxDepth = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q176Sql =
+    s"""WITH RECURSIVE $edgeCtes,
+       |b AS (
+       |  SELECT doc_id AS id, 0 AS d FROM documents WHERE doc_id % 97 = 0
+       |  UNION ALL
+       |  SELECT e.dst, b.d + 1 FROM b JOIN e ON e.src = b.id WHERE b.d < 3),
+       |md AS (SELECT id, min(d) AS d FROM b GROUP BY id)
+       |SELECT dd.doc_id AS doc_id, CAST(coalesce(md.d, -1) AS BIGINT) AS depth
+       |FROM documents dd LEFT JOIN md ON md.id = dd.doc_id
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q140
   /** Format roundtrip identity — upgrades the beyond-parquet sources
@@ -1441,6 +1575,9 @@ object MediaStream {
     "q135_link_rank" -> (q135 _),
     "q136_crawl_curation" -> (q136 _),
     "q138_domain_rank" -> (q138 _),
+    "q174_hits" -> (q174 _),
+    "q175_redirects" -> (q175 _),
+    "q176_crawl_depth" -> (q176 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -1471,6 +1608,9 @@ object MediaStream {
     "q135_link_rank" -> q135Sql,
     "q136_crawl_curation" -> q136Sql,
     "q138_domain_rank" -> q138Sql,
+    "q174_hits" -> q174Sql,
+    "q175_redirects" -> q175Sql,
+    "q176_crawl_depth" -> q176Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,

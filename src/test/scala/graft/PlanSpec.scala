@@ -441,6 +441,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q174 HITS: recurrence is equi-joins + partial aggs; only one-row norms broadcast") {
+    val p = plan("q174_hits")
+    assert(!p.contains("CartesianProduct"),
+      "HITS degenerated to all-pairs — only the ONE-ROW max aggregates may nest-loop")
+    assert(!p.contains("Window"), "HITS must not use windows")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "hub/auth sums lost their partial (map-side) phase")
+  }
+
+  test("q175 redirects: pointer doubling is self equi-joins — no cartesian, no window") {
+    val p = plan("q175_redirects")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "redirect composition degenerated to all-pairs")
+    assert(!p.contains("Window"),
+      "terminal-state selection is the map itself — no window belongs here")
+  }
+
+  test("q176 crawl depth: frontier expansion is blocked equi-joins + anti joins") {
+    val p = plan("q176_crawl_depth")
+    // (the fixture's ONE-ROW doc-count attach broadcasts nest-loop,
+    // the q135 convention — the BFS itself must stay keyed)
+    assert(!p.contains("CartesianProduct"), "BFS level degenerated to all-pairs")
+    assert(!p.contains("Window"), "min-depth is the BFS invariant, not a window")
+    assert(p.contains("LeftAnti"), "visited-set subtraction must be an anti join")
+  }
+
   test("q169 MRR: gold attach and first-hit selection are joins + aggregates, no per-query window") {
     val p = plan("q169_retrieval_mrr")
     assert(!p.contains("CartesianProduct"), "gold pairing degenerated to all-pairs")

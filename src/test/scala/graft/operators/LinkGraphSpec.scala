@@ -68,6 +68,84 @@ class LinkGraphSpec extends SparkSpec {
     assert(rw === Map(0L -> 150000L, 1L -> 213750L, 2L -> 702500L))
   }
 
+  // ---------------------------------------------------------- HITS
+  // Hand computation on the same 3-node graph (0→1, 0→2, 1→2),
+  // hub₀ = auth₀ = 10⁶, max-normalized truncating-integer steps:
+  //   iter1: auth' = [-, 10⁶, 2·10⁶] max 2·10⁶ → auth = [0, 500000, 10⁶]
+  //          hub'  = [1.5·10⁶, 10⁶, -] max 1.5·10⁶ → hub = [10⁶, 666666, 0]
+  //   iter2: auth' = [-, 10⁶, 1666666] → auth = [0, 600000, 10⁶]
+  //          hub'  = [1600000, 10⁶, -] → hub = [10⁶, 625000, 0]
+  test("HITS matches the hand computation exactly") {
+    val r = LinkGraph.hitsInt(nodes(0, 1, 2),
+        "id", edges(0L -> 1L, 0L -> 2L, 1L -> 2L), "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r === Map(
+      0L -> ((1000000L, 0L)),      // the pure hub
+      1L -> ((625000L, 600000L)),  // both roles
+      2L -> ((0L, 1000000L))))     // the pure authority
+  }
+
+  test("HITS: duplicate edges vote once; isolated nodes sit at zero") {
+    val base = LinkGraph.hitsInt(nodes(0, 1, 2), "id",
+        edges(0L -> 1L, 0L -> 2L, 1L -> 2L), "src", "dst", iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    val dup = LinkGraph.hitsInt(nodes(0, 1, 2), "id",
+        edges(0L -> 1L, 0L -> 1L, 0L -> 2L, 1L -> 2L), "src", "dst", iters = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(dup === base)
+    val iso = LinkGraph.hitsInt(nodes(0, 1, 2, 9), "id",
+        edges(0L -> 1L, 0L -> 2L, 1L -> 2L), "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(iso(9L) === ((0L, 0L))) // no links either way: no mass, ever
+  }
+
+  // ------------------------------------------------- redirect chains
+  private def resolved(es: (String, String)*): Map[String, (String, Long, Boolean)] =
+    LinkGraph.resolveRedirects(es.toDF("src", "dst"), "src", "dst", maxHops = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+  test("redirect chains collapse to the final target with exact hop counts") {
+    val r = resolved("a" -> "b", "b" -> "c", "c" -> "d", "g" -> "h")
+    assert(r === Map(
+      "a" -> (("d", 3L, true)),
+      "b" -> (("d", 2L, true)),
+      "c" -> (("d", 1L, true)),
+      "g" -> (("h", 1L, true))))
+  }
+
+  test("redirect cycles and over-long chains report unresolved at the hop cap") {
+    // 2-cycle: after ⌈log₂ 4⌉ = 2 doubling rounds each member has
+    // walked exactly maxHops = 4 steps and landed back on itself.
+    val cyc = resolved("e" -> "f", "f" -> "e")
+    assert(cyc("e") === (("e", 4L, false)))
+    assert(cyc("f") === (("f", 4L, false)))
+    // 6-hop chain: the 4-step walk from p1 reaches p5 (still a
+    // redirect source) — unresolved, exactly a fetcher's redirect cap
+    val long = resolved("p1" -> "p2", "p2" -> "p3", "p3" -> "p4",
+      "p4" -> "p5", "p5" -> "p6", "p6" -> "p7")
+    assert(long("p1") === (("p5", 4L, false)))
+    assert(long("p3") === (("p7", 4L, true))) // 4 hops exactly: in budget
+    assert(long("p4") === (("p7", 3L, true)))
+  }
+
+  // ---------------------------------------------------- crawl depth
+  test("crawl depth is the min-hop BFS distance; unreached is -1") {
+    val n = nodes(0, 1, 2, 3, 4, 5)
+    // two paths to 4: 0→1→4 (depth 2) must beat 0→1→2→3→4
+    val e = edges(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 4L, 2L -> 0L)
+    val d = LinkGraph.crawlDepth(n, "id", e, "src", "dst",
+        nodes(0), "id", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> -1L))
+    // a back-edge to the seed (2→0) must not displace its depth 0
+    val d0 = LinkGraph.crawlDepth(n, "id", e, "src", "dst",
+        nodes(0), "id", maxDepth = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d0 === Map(0L -> 0L, 1L -> -1L, 2L -> -1L, 3L -> -1L, 4L -> -1L, 5L -> -1L))
+  }
+
   test("self-loops and damping bounds behave deterministically") {
     // a pure self-loop node feeds itself: r1 = 150000 + 850000·10⁶ DIV 10⁶
     val r = ranks(nodes(0), edges(0L -> 0L), iters = 1)
