@@ -830,6 +830,51 @@ object Quality {
       .select(col("id"), col("status"))
   }
 
+  /** Corpus version lineage — the SCD-2 history build over a stack of
+    * corpus snapshots, answering the provenance questions a
+    * training-data audit actually asks: "which text did doc X carry
+    * when corpus vN trained run R?", "when did X change / disappear /
+    * come back?". Input is the long form (id, version, text), one row
+    * per document per snapshot it appears in (versions need not be
+    * contiguous — a deletion is simply absence). Output is one row
+    * per CONSTANT-CONTENT RUN: (id, valid_from, valid_to,
+    * content_hash), where a run breaks on a content change OR a
+    * version gap — so "deleted in v2, restored verbatim in v3" yields
+    * two rows, which is the audit truth (the doc was NOT in v2), not
+    * one smeared interval.
+    *
+    * Classic islands technique, exact and engine-portable: per doc,
+    * lag() marks run starts (first row, non-consecutive version, or
+    * hash change), a running sum numbers the runs, one groupBy
+    * collapses them. Every window is PARTITIONED BY the document id —
+    * the corpus-keyed shuffle a snapshot union already has, never a
+    * global sort; state per group is one lag row. 100 TB: snapshots
+    * stored partitioned by version prune on read; the id-hash
+    * projection (md5, not text) is what shuffles — text never moves.
+    */
+  def versionHistory(
+      snaps: DataFrame,
+      idCol: String,
+      versionCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__vh_v"))
+    val h = snaps.select(col(idCol), col(versionCol).cast("long").as("__vh_v"),
+      md5(col(textCol)).as("content_hash"))
+    val st = h.withColumn("__vh_st",
+      when(lag(col("__vh_v"), 1).over(w).isNull
+        || col("__vh_v") =!= lag(col("__vh_v"), 1).over(w) + 1L
+        || col("content_hash") =!= lag(col("content_hash"), 1).over(w),
+        1L).otherwise(0L))
+    st.withColumn("__vh_seg", sum(col("__vh_st")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__vh_seg"), col("content_hash"))
+      .agg(min(col("__vh_v")).as("valid_from"),
+        max(col("__vh_v")).as("valid_to"))
+      .select(col(idCol), col("valid_from"), col("valid_to"),
+        col("content_hash"))
+  }
+
   /** Repeated-span ("boilerplate line") removal — the C4 / RefinedWeb /
     * CCNet curation pass that deletes spans occurring verbatim across
     * many documents (nav bars, cookie banners, license footers). The

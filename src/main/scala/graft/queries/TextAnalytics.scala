@@ -1174,6 +1174,58 @@ object TextAnalytics {
        |  md5(string_agg(CAST(id AS VARCHAR), '|' ORDER BY id)) AS ids_fp
        |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  // --------------------------------------------------------------- q177
+  /** Corpus version lineage (Quality.versionHistory) — the SCD-2
+    * history build over three analytic snapshot versions of the
+    * documents table, exercising every run-break class the operator
+    * defines: late birth (doc_id % 11 = 5 absent from v1), deletion
+    * WITH RESTORE (doc_id % 13 = 0 absent from v2 only — must yield
+    * two intervals, the audit truth), content change at v2
+    * (% 7 = 0 gains ' rev2') and at v3 (% 5 = 0 gains ' rev3'), and
+    * the quiet majority collapsing to one [1,3] row. The oracle
+    * re-derives the islands technique over the same union.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"), lit(1L).as("v"), col("text").as("t"))
+    val rev2 = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" rev2")).otherwise(lit("")))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), lit(2L).as("v"), rev2.as("t"))
+    val v3 = docs.select(col("doc_id"), lit(3L).as("v"),
+      concat(rev2,
+        when(col("doc_id") % 5 === 0, lit(" rev3")).otherwise(lit(""))).as("t"))
+    Quality.versionHistory(v1.union(v2).union(v3), "doc_id", "v", "t")
+      .orderBy(col("doc_id"), col("valid_from"))
+  }
+
+  private val q177Sql =
+    """WITH s AS (
+      |  SELECT doc_id, 1 AS v, text AS t FROM documents WHERE doc_id % 11 <> 5
+      |  UNION ALL
+      |  SELECT doc_id, 2,
+      |    text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END
+      |         || CASE WHEN doc_id % 5 = 0 THEN ' rev3' ELSE '' END
+      |  FROM documents),
+      |h AS (SELECT doc_id, v, md5(t) AS ch FROM s),
+      |m AS (SELECT doc_id, v, ch,
+      |        CASE WHEN lag(v) OVER w IS NULL OR v <> lag(v) OVER w + 1
+      |               OR ch <> lag(ch) OVER w THEN 1 ELSE 0 END AS st
+      |      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      |g AS (SELECT doc_id, v, ch,
+      |        sum(st) OVER (PARTITION BY doc_id ORDER BY v) AS seg
+      |      FROM m)
+      |SELECT doc_id, CAST(min(v) AS BIGINT) AS valid_from,
+      |  CAST(max(v) AS BIGINT) AS valid_to, ch AS content_hash
+      |FROM g GROUP BY doc_id, seg, ch
+      |ORDER BY doc_id, valid_from""".stripMargin
+
   // --------------------------------------------------------------- q157
   /** N-gram novelty scoring — the graded sibling of q67's
     * decontamination drop: for each batch document (doc_id % 10 = 0),
@@ -1611,6 +1663,7 @@ object TextAnalytics {
     "q154_collocations" -> (q154 _),
     "q155_cms_increment" -> (q155 _),
     "q156_snapshot_diff" -> (q156 _),
+    "q177_version_history" -> (q177 _),
     "q157_ngram_novelty" -> (q157 _),
     "q158_postings_compact" -> (q158 _),
     "q159_fuzzy_lookup" -> (q159 _),
@@ -1650,6 +1703,7 @@ object TextAnalytics {
     "q154_collocations" -> q154Sql,
     "q155_cms_increment" -> q153Sql,
     "q156_snapshot_diff" -> q156Sql,
+    "q177_version_history" -> q177Sql,
     "q157_ngram_novelty" -> q157Sql,
     "q158_postings_compact" -> q143Sql,
     "q159_fuzzy_lookup" -> q159Sql,

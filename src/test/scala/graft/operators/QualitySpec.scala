@@ -225,6 +225,32 @@ class QualitySpec extends SparkSpec {
       .collect().forall(_.getString(1) === "removed"))
   }
 
+  test("versionHistory: runs break on change, gap, birth; verbatim restore stays two rows") {
+    import spark.implicits._
+    val snaps = Seq(
+      // doc 1: constant across 1..3 -> one [1,3] run
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "a"),
+      // doc 2: content change at v2 -> [1,1] + [2,3]
+      (2L, 1L, "b"), (2L, 2L, "B"), (2L, 3L, "B"),
+      // doc 3: deleted in v2, restored VERBATIM in v3 -> two [v,v]
+      // rows (the audit truth: it was not in v2), same hash
+      (3L, 1L, "c"), (3L, 3L, "c"),
+      // doc 4: born at v3
+      (4L, 3L, "d")).toDF("doc_id", "v", "t")
+    val got = Quality.versionHistory(snaps, "doc_id", "v", "t")
+      .orderBy("doc_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(x => (x._1, x._2, x._3)).toSeq === Seq(
+      (1L, 1L, 3L), (2L, 1L, 1L), (2L, 2L, 3L),
+      (3L, 1L, 1L), (3L, 3L, 3L), (4L, 3L, 3L)))
+    // the restored run carries the SAME content hash as the original
+    val d3 = got.filter(_._1 == 3L).map(_._4)
+    assert(d3(0) === d3(1))
+    // and the changed doc's two runs carry DIFFERENT hashes
+    val d2 = got.filter(_._1 == 2L).map(_._4)
+    assert(d2(0) !== d2(1))
+  }
+
   test("countMinIncrement: linear absorb == one-shot build; replay is a no-op; shape guarded") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, explode}
