@@ -343,6 +343,72 @@ object Retrieval {
         col("col.i").as("term"), col("col.v").cast("long").as("score"))
   }
 
+  /** Pseudo-relevance-feedback query expansion — the classic
+    * two-pass recall lift (Rocchio / RM-style PRF): retrieve a small
+    * FEEDBACK set per query with the base scorer, mine its strongest
+    * terms, append them to the query, retrieve again. A RAG stack
+    * runs exactly this when first-pass recall misses paraphrases
+    * (the gold doc says "automobile", the query "car" — the feedback
+    * docs supply the bridge vocabulary).
+    *
+    * Exact-integer end to end, so the q178 oracle re-derives every
+    * stage: pass-1 scores are [[searchTopK]]'s Σ tf·((N·10⁶) div df);
+    * the feedback set is the top-`fbDocs` docs (score DESC, doc ASC);
+    * each candidate term scores Σ over feedback docs of the SAME
+    * tf·weight product; terms already in the query are anti-joined
+    * out; the top-`expTerms` (score DESC, term ASC) join the query;
+    * pass 2 is the base scorer over the widened term set.
+    *
+    * Scale shape: ONE postings build feeds both passes (checkpointed,
+    * released by the caller); every query-sided frame (terms, feedback
+    * doc ids, expansion terms) is broadcast onto postings so only
+    * matching postings shuffle; both per-query tails are TopK
+    * aggregators (k-sized state), and expansion mining is bounded by
+    * |feedback docs| · |their distinct terms| — never the corpus
+    * vocabulary.
+    */
+  def searchTopKExpanded(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      fbDocs: Int,
+      expTerms: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(fbDocs >= 1, s"fbDocs must be >= 1: $fbDocs")
+    require(expTerms >= 1, s"expTerms must be >= 1: $expTerms")
+    val post = postings(corpus, idCol, textCol).localCheckpoint(true)
+    val dfx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = post.agg(count_distinct(col("doc")).as("nd"))
+    val qTerms = queries.select(col(idCol).as("qid"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    def score(ts: DataFrame): DataFrame =
+      post.join(broadcast(ts), Seq("term"))
+        .join(dfx, Seq("term"))
+        .crossJoin(broadcast(nd))
+        .groupBy(col("qid"), col("doc"))
+        .agg(sum(col("tf") * expr("(nd * 1000000) div df")).as("score"))
+    val fb = score(qTerms).groupBy(col("qid"))
+      .agg(TopKAggregator.topK(fbDocs)(col("score").cast("double"), col("doc")).as("top"))
+      .select(col("qid"), explode(col("top.top_ids")).as("doc"))
+    val cand = post.join(broadcast(fb), Seq("doc"))
+      .join(dfx, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .groupBy(col("qid"), col("term"))
+      .agg(sum(col("tf") * expr("(nd * 1000000) div df")).as("ts"))
+      .join(qTerms, Seq("qid", "term"), "left_anti")
+    val exp = cand.groupBy(col("qid"))
+      .agg(TopKAggregator.topKStr(expTerms)(col("ts").cast("double"), col("term")).as("top"))
+      .select(col("qid"), explode(col("top.top_ids")).as("term"))
+    score(qTerms.union(exp)).groupBy(col("qid"))
+      .agg(TopKAggregator.topK(k)(col("score").cast("double"), col("doc")).as("top"))
+      .select(col("qid").as("query_id"),
+        posexplode(arrays_zip(col("top.top_values").as("v"), col("top.top_ids").as("i"))))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("doc_id"), col("col.v").cast("long").as("score"))
+  }
+
   /** Boolean retrieval — the AND/NOT query plan of a classic inverted
     * index (conjunctive containment + exclusion), the filter-style
     * sibling of the ranked searchers: each query's REQUIRED terms are

@@ -801,6 +801,74 @@ object TextAnalytics {
     s"""${bm25Ctes(1200000L, 750000L)}
        |$bm25RankTail""".stripMargin
 
+  // --------------------------------------------------------------- q178
+  /** PRF query expansion (Retrieval.searchTopKExpanded) — the q126
+    * split (doc_id % 97 queries vs the rest) run through the two-pass
+    * Rocchio/RM loop: top-3 feedback docs by base tf-idf, top-2
+    * expansion terms mined from them (same integer weights, query
+    * terms anti-joined out, ties score DESC / term ASC), then the
+    * base scorer over the widened term set, top-5. The oracle
+    * re-derives all five stages off q126's CTE family — every score a
+    * BIGINT-cast floor-div sum, both row_number tails mirroring the
+    * aggregators' (value DESC, id ASC) tie rule.
+    */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Retrieval.searchTopKExpanded(
+        docs.filter(col("doc_id") % 97 === 0),
+        docs.filter(col("doc_id") % 97 =!= 0),
+        "doc_id", "text", k = 5, fbDocs = 3, expTerms = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q178Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
+       |      FROM tk WHERE doc_id % 97 = 0),
+       |c AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE doc_id % 97 <> 0),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM c GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM c),
+       |s1 AS (SELECT q.qid, tf.doc_id,
+       |         CAST(sum(tf.tf * ((n.nd * 1000000) // dfx.df)) AS BIGINT) AS score
+       |       FROM q JOIN tf ON q.term = tf.term
+       |              JOIN dfx ON tf.term = dfx.term
+       |              CROSS JOIN n
+       |       GROUP BY 1, 2),
+       |fb AS (SELECT qid, doc_id FROM (
+       |         SELECT qid, doc_id,
+       |           row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+       |         FROM s1)
+       |       WHERE rn <= 3),
+       |cand AS (SELECT fb.qid, tf.term,
+       |           CAST(sum(tf.tf * ((n.nd * 1000000) // dfx.df)) AS BIGINT) AS ts
+       |         FROM fb JOIN tf ON tf.doc_id = fb.doc_id
+       |                 JOIN dfx ON dfx.term = tf.term
+       |                 CROSS JOIN n
+       |         GROUP BY 1, 2),
+       |cand2 AS (SELECT cand.qid, cand.term, cand.ts
+       |          FROM cand LEFT JOIN q
+       |            ON q.qid = cand.qid AND q.term = cand.term
+       |          WHERE q.term IS NULL),
+       |ex AS (SELECT qid, term FROM (
+       |         SELECT qid, term,
+       |           row_number() OVER (PARTITION BY qid ORDER BY ts DESC, term) AS rn
+       |         FROM cand2)
+       |       WHERE rn <= 2),
+       |qx AS (SELECT qid, term FROM q UNION ALL SELECT qid, term FROM ex),
+       |s2 AS (SELECT qx.qid, tf.doc_id,
+       |         CAST(sum(tf.tf * ((n.nd * 1000000) // dfx.df)) AS BIGINT) AS score
+       |       FROM qx JOIN tf ON qx.term = tf.term
+       |               JOIN dfx ON tf.term = dfx.term
+       |               CROSS JOIN n
+       |       GROUP BY 1, 2)
+       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank, doc_id, score FROM (
+       |  SELECT qid, doc_id, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM s2)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------------------- q170
   /** Postings time travel — the reproducibility read the lifecycle's
     * retention exists FOR: after a day-2 append moves the live
@@ -1664,6 +1732,7 @@ object TextAnalytics {
     "q155_cms_increment" -> (q155 _),
     "q156_snapshot_diff" -> (q156 _),
     "q177_version_history" -> (q177 _),
+    "q178_prf_expand" -> (q178 _),
     "q157_ngram_novelty" -> (q157 _),
     "q158_postings_compact" -> (q158 _),
     "q159_fuzzy_lookup" -> (q159 _),
@@ -1704,6 +1773,7 @@ object TextAnalytics {
     "q155_cms_increment" -> q153Sql,
     "q156_snapshot_diff" -> q156Sql,
     "q177_version_history" -> q177Sql,
+    "q178_prf_expand" -> q178Sql,
     "q157_ngram_novelty" -> q157Sql,
     "q158_postings_compact" -> q143Sql,
     "q159_fuzzy_lookup" -> q159Sql,

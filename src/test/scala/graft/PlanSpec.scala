@@ -467,6 +467,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "visited-set subtraction must be an anti join")
   }
 
+  test("q178 PRF expansion: both passes broadcast query frames; tails are aggregators, no window") {
+    val p = plan("q178_prf_expand")
+    assert(!p.contains("CartesianProduct"), "expansion degenerated to all-pairs")
+    assert(!p.contains("Window"),
+      "feedback/expansion/final selection must be TopK aggregators, not window sorts")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-sided frames (terms, feedback docs, expansion terms) should broadcast")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "TopK aggregator tail missing")
+  }
+
   test("q169 MRR: gold attach and first-hit selection are joins + aggregates, no per-query window") {
     val p = plan("q169_retrieval_mrr")
     assert(!p.contains("CartesianProduct"), "gold pairing degenerated to all-pairs")

@@ -58,6 +58,44 @@ class RetrievalSpec extends SparkSpec {
     assert(run(corpus.repartition(1)) === run(corpus.repartition(7)))
   }
 
+  test("PRF expansion: feedback vocabulary retrieves docs the raw query cannot see") {
+    // query says "car"; the gold doc d2 only says "automobile".
+    // Pass 1 sees d1 alone; d1's vocabulary bridges the paraphrase.
+    val q = Seq((100L, "car")).toDF("doc_id", "text")
+    val c = Seq(
+      (1L, "car automobile"),
+      (2L, "automobile automobile"),
+      (3L, "boat")).toDF("doc_id", "text")
+    val got = Retrieval.searchTopKExpanded(q, c, "doc_id", "text",
+        k = 5, fbDocs = 3, expTerms = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toList
+    // N = 3; w(car) = 3·10⁶, w(automobile) = 1.5·10⁶.
+    // expanded query = {car, automobile} (boat never mined):
+    //   d1 = 3·10⁶ + 1.5·10⁶ = 4.5·10⁶; d2 = 2·1.5·10⁶ = 3·10⁶
+    assert(got === List((1, 1L, 4500000L), (2, 2L, 3000000L)))
+    // the base searcher on the same input proves the lift is real
+    val base = Retrieval.searchTopK(q, c, "doc_id", "text", k = 5)
+      .collect().map(_.getLong(2)).toList
+    assert(base === List(1L))
+  }
+
+  test("PRF expansion: expTerms caps mining, score ties break on term ascending") {
+    // feedback doc 1 carries three equal-weight candidates (df 1 each,
+    // tf 1 each): only the two lexicographically smallest may join.
+    val q = Seq((100L, "pivot")).toDF("doc_id", "text")
+    val c = Seq(
+      (1L, "pivot aaa bbb ccc"),
+      (2L, "aaa x"), (3L, "bbb y"), (4L, "ccc z")).toDF("doc_id", "text")
+    val got = Retrieval.searchTopKExpanded(q, c, "doc_id", "text",
+        k = 5, fbDocs = 1, expTerms = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toList
+    // w(pivot) = 4·10⁶ (df 1... pivot appears only in d1); candidates
+    // aaa/bbb/ccc all w = 2·10⁶ (df 2) -> ties -> {aaa, bbb} mined.
+    // d2 scores w(aaa) = 2·10⁶; d3 scores w(bbb); d4 (ccc) does NOT.
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(!got.map(_._1).contains(4L))
+  }
+
   test("bm25: at dl = avgdl and tf = 1 the saturation curve is exactly 10⁶ ppm — score ≡ idf") {
     // every doc dl=3 -> avgdl_ppm = 3·10⁶, norm_ppm = 10⁶ exactly,
     // len_ppm = 250000 + 750000 = 10⁶, sat(1) = 2.2·10¹² div 2.2·10⁶
