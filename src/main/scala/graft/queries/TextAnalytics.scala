@@ -869,6 +869,76 @@ object TextAnalytics {
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  // --------------------------------------------------------------- q179
+  /** Training-export provenance manifest — the governance layer a
+    * dataset release actually needs: every source carries a LICENSE
+    * CLASS (analytic policy: src N % 4 → public-domain / permissive /
+    * by-attribution / restricted), `restricted` sources are gated OUT
+    * before chunking, and every surviving training chunk (q96's
+    * 32/24 chunker) emits a provenance row — (doc, chunk, source,
+    * license, attribution flag, chunk fingerprint) — the record that
+    * answers "where did example X come from and may we ship it?"
+    * per-example, not per-corpus. Plan: the policy table is the
+    * distinct-source frame (tiny — broadcast join onto the corpus),
+    * the gate a filter BEFORE the chunk explode pays for restricted
+    * docs, then q96's chunk arithmetic. The oracle re-derives policy,
+    * gate, and chunker.
+    */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunk = 32
+    val stride = 24
+    val docs = t(s, dir, "documents")
+    val lic = docs.select($"source").distinct()
+      .withColumn("license", expr(
+        """CASE CAST(substring(source, 4) AS BIGINT) % 4
+          |  WHEN 0 THEN 'public-domain'
+          |  WHEN 1 THEN 'permissive'
+          |  WHEN 2 THEN 'by-attribution'
+          |  ELSE 'restricted' END""".stripMargin))
+    docs.join(broadcast(lic), Seq("source"))
+      .filter($"license" =!= "restricted")
+      .select($"doc_id", $"source", $"license",
+        graft.functions.TextFunctions.tokens($"text").as("toks"))
+      .filter(size($"toks") > 0)
+      .withColumn("n", size($"toks").cast("long"))
+      .withColumn("nc",
+        expr(s"if(n <= $chunk, 1L, 1L + ((n - $chunk + $stride - 1) div $stride))"))
+      .select($"doc_id", $"source", $"license", $"toks",
+        explode(sequence(lit(0L), $"nc" - 1)).as("chunk_id"))
+      .withColumn("start_tok", $"chunk_id" * stride + 1)
+      .withColumn("ctoks", slice($"toks", $"start_tok".cast("int"), lit(chunk)))
+      .select($"doc_id", $"chunk_id", $"source", $"license",
+        ($"license" === "by-attribution").as("needs_attribution"),
+        md5(concat_ws(" ", $"ctoks")).as("chunk_fp"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  private val q179Sql =
+    s"""WITH lic AS (
+       |  SELECT source,
+       |    CASE CAST(substring(source, 4) AS BIGINT) % 4
+       |      WHEN 0 THEN 'public-domain'
+       |      WHEN 1 THEN 'permissive'
+       |      WHEN 2 THEN 'by-attribution'
+       |      ELSE 'restricted' END AS license
+       |  FROM (SELECT DISTINCT source FROM documents)),
+       |tk AS (SELECT d.doc_id, d.source, lic.license, $tokensSql AS toks
+       |       FROM documents d JOIN lic ON lic.source = d.source
+       |       WHERE lic.license <> 'restricted'),
+       |tn AS (SELECT doc_id, source, license, toks,
+       |         CAST(len(toks) AS BIGINT) AS n
+       |       FROM tk WHERE len(toks) > 0),
+       |ch AS (
+       |  SELECT doc_id, source, license, toks, i AS chunk_id, i * 24 + 1 AS start_tok
+       |  FROM tn, unnest(range(0,
+       |    CASE WHEN n <= 32 THEN 1 ELSE 1 + ((n - 32 + 24 - 1) // 24) END)) AS u(i))
+       |SELECT doc_id, chunk_id, source, license,
+       |  license = 'by-attribution' AS needs_attribution,
+       |  md5(array_to_string(toks[start_tok : start_tok + 31], ' ')) AS chunk_fp
+       |FROM ch
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // --------------------------------------------------------------- q170
   /** Postings time travel — the reproducibility read the lifecycle's
     * retention exists FOR: after a day-2 append moves the live
@@ -1733,6 +1803,7 @@ object TextAnalytics {
     "q156_snapshot_diff" -> (q156 _),
     "q177_version_history" -> (q177 _),
     "q178_prf_expand" -> (q178 _),
+    "q179_provenance" -> (q179 _),
     "q157_ngram_novelty" -> (q157 _),
     "q158_postings_compact" -> (q158 _),
     "q159_fuzzy_lookup" -> (q159 _),
@@ -1774,6 +1845,7 @@ object TextAnalytics {
     "q156_snapshot_diff" -> q156Sql,
     "q177_version_history" -> q177Sql,
     "q178_prf_expand" -> q178Sql,
+    "q179_provenance" -> q179Sql,
     "q157_ngram_novelty" -> q157Sql,
     "q158_postings_compact" -> q143Sql,
     "q159_fuzzy_lookup" -> q159Sql,

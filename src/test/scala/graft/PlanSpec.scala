@@ -478,6 +478,20 @@ class PlanSpec extends SparkSpec {
       "TopK aggregator tail missing")
   }
 
+  test("q179 provenance: policy broadcasts, restricted gate precedes the chunk explode") {
+    val p = plan("q179_provenance")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the distinct-source license policy must broadcast onto the corpus")
+    assert(!p.contains("Window"), "chunk arithmetic must not use windows")
+    // the license != restricted filter must run on the join output,
+    // BEFORE Generate (the chunk explode) — dropped docs never explode
+    val gen = p.indexOf("Generate")
+    val filt = p.indexOf("restricted")
+    assert(gen >= 0 && filt > gen,
+      "restricted-source gate should sit below the explode in the plan tree")
+  }
+
   test("q169 MRR: gold attach and first-hit selection are joins + aggregates, no per-query window") {
     val p = plan("q169_retrieval_mrr")
     assert(!p.contains("CartesianProduct"), "gold pairing degenerated to all-pairs")
