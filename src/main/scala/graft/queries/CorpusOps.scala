@@ -2173,12 +2173,57 @@ object CorpusOps {
       |  FROM documents)
       |ORDER BY position""".stripMargin
 
+  // --------------------------------------------------------------- q180
+  /** Exact stratified holdout (sources.Export.stratifiedHoldout):
+    * 137 eval slots (odd on purpose — remainder slots must land) carved across the 20 sources by Hamilton
+    * apportionment (Σ holdout ≡ 137 EXACTLY — the datasheet invariant
+    * q98's salted-hash thresholds drift ±√n around), membership
+    * picked per stratum by seeded-md5 rank, ties to doc_id. The
+    * engine ranks through the q120 stratum-major composite key
+    * (stratum · 2⁵⁷ + 56 hash bits) so no per-stratum window ever
+    * sees data rows; the oracle re-derives quota arithmetic and a
+    * plain per-source row_number over the same hash.
+    */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("sidx", expr("CAST(substring(source, 4) AS BIGINT)"))
+    graft.sources.Export.stratifiedHoldout(docs, "doc_id", "sidx",
+        budget = 137L, seed = 7L)
+      .select(col("doc_id"), concat(lit("src"), col("sidx")).as("source"),
+        col("holdout"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q180Sql =
+    """WITH cnt AS (SELECT CAST(substring(source, 4) AS BIGINT) AS sidx,
+      |         CAST(count(*) AS BIGINT) AS n
+      |       FROM documents GROUP BY 1),
+      |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cnt),
+      |b AS (SELECT sidx, n, CAST((137 * n) // tot AS BIGINT) AS base,
+      |        CAST((137 * n) % tot AS BIGINT) AS rem
+      |      FROM cnt CROSS JOIN tt),
+      |lv AS (SELECT CAST(137 - sum(base) AS BIGINT) AS leftover FROM b),
+      |qk AS (SELECT sidx,
+      |         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, sidx)
+      |                       <= lv.leftover THEN 1 ELSE 0 END AS quota
+      |       FROM b CROSS JOIN lv),
+      |r AS (SELECT doc_id, CAST(substring(source, 4) AS BIGINT) AS sidx,
+      |        row_number() OVER (PARTITION BY source ORDER BY
+      |          CAST(concat('0x', substring(md5('strat|7|' || doc_id), 1, 15))
+      |            AS BIGINT) // 16,
+      |          doc_id) AS rk
+      |      FROM documents)
+      |SELECT r.doc_id, 'src' || r.sidx AS source, (r.rk <= qk.quota) AS holdout
+      |FROM r JOIN qk USING (sidx)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q173_ann_delete" -> (q173 _),
     "q171_ann_timetravel" -> (q171 _),
     "q167_tokenizer_fertility" -> (q167 _),
     "q166_dedup_audit" -> (q166 _),
     "q132_corpus_shuffle" -> (q132 _),
+    "q180_stratified_holdout" -> (q180 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2225,6 +2270,7 @@ object CorpusOps {
     "q167_tokenizer_fertility" -> q167Sql,
     "q166_dedup_audit" -> q166Sql,
     "q132_corpus_shuffle" -> q132Sql,
+    "q180_stratified_holdout" -> q180Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,

@@ -111,4 +111,65 @@ object Export {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     n
   }
+
+  /** EXACT stratified holdout selection — carve a validation/test set
+    * of EXACTLY `budget` examples out of the corpus, allocated across
+    * strata (sources, domains, languages) proportionally to their
+    * size and picked deterministically within each stratum. The two
+    * invariants the common salted-hash split (q98) cannot give:
+    * Σ holdout ≡ budget exactly (hash thresholds drift ±√n per
+    * stratum), and per-stratum counts ≡ the largest-remainder
+    * apportionment of the budget — the numbers an eval-set datasheet
+    * publishes.
+    *
+    * Mechanics, all exact-integer and replayable: per-stratum quotas
+    * via [[graft.operators.LinkGraph.apportionBudget]] (Hamilton;
+    * remainder ties to the smaller stratum index); within a stratum,
+    * docs rank by a seeded md5 hash (ties by id) and the first
+    * `quota` ranks hold out. The rank is
+    * [[graft.operators.Curriculum.globalRank]] over the composite
+    * key `stratum · 2⁵⁷ + (hash60 div 16)` — stratum-major,
+    * hash-minor, so subtracting the stratum's cumulative-size offset
+    * turns the skew-proof GLOBAL rank into the per-stratum one with
+    * no per-stratum window over data rows. Strata indices must be
+    * non-negative longs ≤ 62 (the pack keeps 56 hash bits under
+    * 2⁶³); wider stratum spaces would shrink the hash width — derive
+    * both from the stratum manifest at fleet scale.
+    *
+    * Returns (idCol, strataCol, holdout BOOLEAN); the quota/offset
+    * frames are stratum-cardinality and broadcast back (the q147
+    * "key-table window" class — the only windows run over count
+    * rows, never the corpus).
+    */
+  def stratifiedHoldout(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      budget: Long,
+      seed: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val cnt = docs.groupBy(col(strataCol)).agg(count(lit(1)).as("__sh_n"))
+    val quota = graft.operators.LinkGraph
+      .apportionBudget(cnt, strataCol, "__sh_n", budget)
+      .withColumn("__sh_off",
+        coalesce(sum(col("__sh_n")).over(Window.orderBy(col(strataCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol), col("slots").as("__sh_q"), col("__sh_off"))
+    val keyed = docs
+      .withColumn("__sh_h",
+        TextFunctions.hash60(concat(lit(s"strat|$seed|"), col(idCol))))
+      .withColumn("__sh_key",
+        col(strataCol) * lit(1L << 57) + expr("__sh_h div 16"))
+    val ranked = graft.operators.Curriculum
+      .globalRank(keyed.select(col(idCol), col("__sh_key")),
+        "__sh_key", idCol, blockWidth = 1L << 48)
+      .select(col(idCol), col("global_rank"))
+    docs.select(col(idCol), col(strataCol))
+      .join(ranked, Seq(idCol))
+      .join(broadcast(quota), Seq(strataCol))
+      .withColumn("holdout",
+        col("global_rank") - col("__sh_off") <= col("__sh_q"))
+      .select(col(idCol), col(strataCol), col("holdout"))
+  }
 }

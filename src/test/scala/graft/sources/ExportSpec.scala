@@ -97,4 +97,39 @@ class ExportSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(out2, "manifest.json")) === json)
   }
+
+  test("stratifiedHoldout: exact budget, Hamilton per-stratum counts, determinism") {
+    // strata sizes 50 / 30 / 20 (indices 0/1/2), budget 7:
+    // base = floor(7·n/100) = [3, 2, 1], remainders [50, 10, 40] ->
+    // 1 leftover slot goes to the largest remainder (stratum 0).
+    val d = (1 to 100).map { i =>
+      val s = if (i <= 50) 0L else if (i <= 80) 1L else 2L
+      (i.toLong, s)
+    }.toDF("doc_id", "stratum")
+    def run() = Export.stratifiedHoldout(d, "doc_id", "stratum", budget = 7L, seed = 3L)
+    val got = run().collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.count(_._3) === 7) // Σ holdout ≡ budget EXACTLY
+    val perStratum = got.filter(_._3).groupBy(_._2).view.mapValues(_.length).toMap
+    assert(perStratum === Map(0L -> 4, 1L -> 2, 2L -> 1))
+    // replay: same seed -> identical membership
+    assert(run().collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet ===
+      got.map(x => (x._1, x._3)).toSet)
+    // a different seed moves membership but never the counts
+    val other = Export.stratifiedHoldout(d, "doc_id", "stratum", budget = 7L, seed = 4L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(other.count(_._3) === 7)
+    assert(other.filter(_._3).map(_._1).toSet !== got.filter(_._3).map(_._1).toSet)
+  }
+
+  test("stratifiedHoldout: one dominant stratum cannot break the exact allocation") {
+    // 90%-skew: stratum 0 has 180 of 200 docs. budget 10:
+    // base = [9, 1], remainders 0 -> no leftovers; exact by floor.
+    val d = (1 to 200).map(i => (i.toLong, if (i <= 180) 0L else 1L))
+      .toDF("doc_id", "stratum")
+    val got = Export.stratifiedHoldout(d, "doc_id", "stratum", budget = 10L, seed = 1L)
+      .collect().map(r => (r.getLong(1), r.getBoolean(2)))
+    assert(got.count(_._2) === 10)
+    assert(got.filter(_._2).groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map(0L -> 9, 1L -> 1))
+  }
 }
