@@ -595,6 +595,45 @@ object Dedup {
       clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Leakage-safe train/holdout split — the eval-hygiene rule a
+    * per-document split silently breaks: when two NEAR-DUPLICATES
+    * straddle the boundary, the model "generalizes" to a paraphrase
+    * of its own training data and the eval number inflates (the
+    * contamination literature's within-corpus case — Lee et al. 2022
+    * measure exactly this). The fix is assignment at CLUSTER
+    * granularity: every member of a near-dup component inherits its
+    * canonical representative's coin flip, so a cluster lands whole
+    * on one side, always.
+    *
+    * `clusters` is [[connectedComponents]]' (doc, cluster) frame;
+    * docs outside any component are their own singleton cluster. The
+    * flip is the replayable seeded-md5 rule (the q98/q132 family):
+    * holdout ⇔ hash60("clsplit|seed|" ⊕ rep) % 10⁶ < holdoutPpm —
+    * deterministic, engine-portable, and a pure function of the
+    * representative, which IS the leakage invariant (q181's oracle
+    * re-derives it per doc and would catch any member diverging).
+    *
+    * Plan shape: one left join of the id list onto the (tiny relative
+    * to corpus) cluster frame, then a map-only hash — no window, no
+    * extra shuffle beyond the components build itself.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      seed: Long,
+      holdoutPpm: Long): DataFrame = {
+    require(holdoutPpm >= 0 && holdoutPpm <= 1000000L,
+      s"holdoutPpm must be a ppm fraction, got $holdoutPpm")
+    docs.select(col(idCol))
+      .join(clusters.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("cluster"), col(idCol)))
+      .withColumn("holdout",
+        graft.functions.TextFunctions.hash60(
+          concat(lit(s"clsplit|$seed|"), col("rep"))) % 1000000L < holdoutPpm)
+      .select(col(idCol), col("rep"), col("holdout"))
+  }
+
   /** Dedup audit report — the cluster-size distribution a curation run
     * prints next to its removal counts (how much duplication, in what
     * shape: a few giant mirror clusters and a long pair tail read very

@@ -520,6 +520,45 @@ object CorpusOps {
        |GROUP BY cluster
        |ORDER BY cluster""".stripMargin
 
+  // --------------------------------------------------------------- q181
+  /** Leakage-safe split (Dedup.leakageSafeSplit): the q49 near-dup
+    * clusters assign train/holdout at CLUSTER granularity — a
+    * component's members all inherit the canonical rep's seeded coin
+    * flip (20% ppm here), so paraphrase pairs can never straddle the
+    * eval boundary and inflate scores. The oracle rebuilds the
+    * transitive closure (q49's recursive fixpoint), derives each
+    * doc's rep, and recomputes the md5-ppm flip per DOC — any member
+    * diverging from its rep would hash-fail the gate, which is the
+    * leakage invariant itself.
+    */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    Dedup.leakageSafeSplit(docs, "doc_id", comps, seed = 11L,
+        holdoutPpm = 200000L)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q181Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach AS (
+       |  SELECT n, n AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS n, reach.r FROM reach JOIN edges e ON reach.n = e.a),
+       |cl AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n)
+       |SELECT d.doc_id, coalesce(cl.cluster, d.doc_id) AS rep,
+       |  (CAST(concat('0x', substring(
+       |     md5('clsplit|11|' || coalesce(cl.cluster, d.doc_id)), 1, 15))
+       |   AS BIGINT) % 1000000 < 200000) AS holdout
+       |FROM documents d LEFT JOIN cl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q58
   /** The dedup END TO END: pairs -> components -> remove non-canonical
     * members -> per-language corpus budget of what remains. This is
@@ -2224,6 +2263,7 @@ object CorpusOps {
     "q166_dedup_audit" -> (q166 _),
     "q132_corpus_shuffle" -> (q132 _),
     "q180_stratified_holdout" -> (q180 _),
+    "q181_leakage_split" -> (q181 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2271,6 +2311,7 @@ object CorpusOps {
     "q166_dedup_audit" -> q166Sql,
     "q132_corpus_shuffle" -> q132Sql,
     "q180_stratified_holdout" -> q180Sql,
+    "q181_leakage_split" -> q181Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,

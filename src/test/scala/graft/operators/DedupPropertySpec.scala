@@ -284,4 +284,30 @@ class DedupPropertySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got === Seq((2L, 1L, 2L)))
   }
+
+  test("leakageSafeSplit: clusters never straddle the boundary, under any seed") {
+    import spark.implicits._
+    val corpus = (0L until 12L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // components {1,2,3} and {5,6}; the rest singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc", "cluster")
+    for (seed <- Seq(1L, 2L, 3L, 99L)) {
+      val got = Dedup.leakageSafeSplit(corpus, "doc_id", clusters, seed, 500000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(got.length === 12)
+      // THE invariant: one flag value per rep — a member diverging
+      // from its cluster-mates is exactly the train/eval leak
+      got.groupBy(_._2).foreach { case (_, members) =>
+        assert(members.map(_._3).toSet.size === 1)
+      }
+      // singletons rep themselves
+      assert(got.filter(x => !Set(1L, 2L, 3L, 5L, 6L).contains(x._1))
+        .forall(x => x._2 === x._1))
+    }
+    // ppm bounds behave: 0 holds nothing out, 10^6 everything
+    assert(!Dedup.leakageSafeSplit(corpus, "doc_id", clusters, 1L, 0L)
+      .collect().exists(_.getBoolean(2)))
+    assert(Dedup.leakageSafeSplit(corpus, "doc_id", clusters, 1L, 1000000L)
+      .collect().forall(_.getBoolean(2)))
+  }
 }
