@@ -404,4 +404,66 @@ class AdversarialCorpusSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("slots")).toSeq
     assert(solo === Seq(1000L))
   }
+
+  test("HITS degenerate graphs: edgeless corpus zeros out; self-loop-only node is its own hub+authority") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L, 2L).toDF("id")
+    // no edges at all: every sum is empty, max-norm divides by the
+    // coalesce(1) floor -> all scores 0, never a divide-by-zero
+    val bare = LinkGraph.hitsInt(nodes, "id",
+        Seq.empty[(Long, Long)].toDF("src", "dst"), "src", "dst", iters = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(bare === Set((0L, 0L)))
+    // a pure self-loop feeds itself: it is the max on both axes -> 10^6
+    val loop = LinkGraph.hitsInt(Seq(7L).toDF("id"), "id",
+        Seq((7L, 7L)).toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(loop === Seq((1000000L, 1000000L)))
+  }
+
+  test("redirect pathologies: self-redirect reports unresolved at the cap; empty map yields no rows") {
+    import spark.implicits._
+    // u -> u is a 1-cycle: the doubled walk accumulates exactly
+    // maxHops steps and lands where it started
+    val self = LinkGraph.resolveRedirects(
+        Seq(("u", "u")).toDF("s", "d"), "s", "d", maxHops = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(self === Array(("u", "u", 4L, false)))
+    val none = LinkGraph.resolveRedirects(
+      Seq.empty[(String, String)].toDF("s", "d"), "s", "d", maxHops = 4)
+    assert(none.count() === 0L)
+  }
+
+  test("crawlDepth edge shapes: seeds outside the node list are ignored; empty seeds leave all unreached") {
+    import spark.implicits._
+    val nodes = Seq(0L, 1L).toDF("id")
+    val edges = Seq((0L, 1L)).toDF("src", "dst")
+    // seed 99 is not a node: it may expand but never appears in output
+    val ghost = LinkGraph.crawlDepth(nodes, "id", edges, "src", "dst",
+        Seq(99L).toDF("id"), "id", maxDepth = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ghost === Map(0L -> -1L, 1L -> -1L))
+    val noSeed = LinkGraph.crawlDepth(nodes, "id", edges, "src", "dst",
+        Seq.empty[Long].toDF("id"), "id", maxDepth = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(noSeed === Set(-1L))
+  }
+
+  test("stratifiedHoldout with budget exceeding the corpus holds out every doc it can") {
+    import spark.implicits._
+    val d = (1 to 10).map(i => (i.toLong, (i % 2).toLong)).toDF("doc_id", "stratum")
+    val got = graft.sources.Export
+      .stratifiedHoldout(d, "doc_id", "stratum", budget = 50L, seed = 1L)
+      .collect().map(_.getBoolean(2))
+    // quotas exceed stratum sizes; every rank clears the bar
+    assert(got.forall(identity))
+  }
+
+  test("versionHistory on a single-snapshot corpus is one [v,v] run per doc") {
+    import spark.implicits._
+    val one = Seq((1L, 5L, "a"), (2L, 5L, "b")).toDF("doc_id", "v", "t")
+    val got = Quality.versionHistory(one, "doc_id", "v", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 5L, 5L), (2L, 5L, 5L)))
+  }
 }
