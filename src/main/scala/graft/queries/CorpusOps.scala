@@ -2212,6 +2212,105 @@ object CorpusOps {
       |  FROM documents)
       |ORDER BY position""".stripMargin
 
+  // --------------------------------------------------------------- q183
+  /** Multi-epoch shuffle schedule (Export.shufflePositions × epochs):
+    * epoch e's training order is the seeded permutation at seed
+    * base+e — DIFFERENT each epoch (repeating one order measurably
+    * hurts convergence; the data-order literature q132 cites) yet
+    * each independently replayable, which is what makes a crashed
+    * epoch resumable mid-stream. One row per (epoch, doc): the
+    * loader's complete 3-epoch schedule. The oracle re-derives all
+    * three permutations as row_number unions over the same md5-60
+    * hash family.
+    */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    (0 to 2).map { e =>
+      graft.sources.Export.shufflePositions(docs, "doc_id", seed = 42L + e)
+        .select(lit(e.toLong).as("epoch"), col("doc_id"), col("position"))
+    }.reduce(_ union _).orderBy(col("epoch"), col("position"))
+  }
+
+  private val q183Sql = {
+    val one = (e: Int) =>
+      s"""SELECT CAST($e AS BIGINT) AS epoch, doc_id, row_number() OVER (ORDER BY
+         |  CAST(concat('0x', substring(md5('shuf|${42 + e}|' || doc_id), 1, 15)) AS BIGINT),
+         |  doc_id) AS position
+         |FROM documents""".stripMargin
+    s"""SELECT epoch, doc_id, position FROM (
+       |${(0 to 2).map(one).mkString("\nUNION ALL\n")})
+       |ORDER BY epoch, position""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q184
+  /** Quality-vs-duplication interaction report — the curation
+    * analytics question behind the "dedup mostly removes junk"
+    * folklore: per integer-ppm quality decile, how much of the corpus
+    * sits in a near-dup cluster? Quality here is the exact-ppm
+    * sibling of q24's float score (same three signals — length cap,
+    * stopword ratio, alpha ratio — every ratio a floor-div, so decile
+    * edges cannot float-drift); duplication membership is the q49
+    * component frame. One corpus pass for the score (map-only), one
+    * broadcast-ish join onto the cluster ids, one 11-row rollup.
+    */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("doc").as("doc_id"), lit(1L).as("dup"))
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val en = graft.functions.TextFunctions.stopwords("en")
+    val scored = docs.select(col("doc_id"), col("text"), toks.as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t.isInCollection(en))).cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .withColumn("q_ppm", expr(
+        """4000 * least(n_tok, 100L)
+          |+ (300000 * n_stop) div greatest(n_tok, 1L)
+          |+ (300000 * n_alpha) div greatest(length(text), 1)""".stripMargin))
+      .withColumn("bucket", expr("q_ppm div 100000"))
+    scored.join(comps, Seq("doc_id"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_ppm", expr("(n_dup * 1000000) div n_docs"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q184Sql = {
+    val en = graft.functions.TextFunctions.stopwords("en")
+      .mkString("['", "', '", "']")
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |-- the UNION sits in a subquery, NOT at CTE top level: under
+       |-- WITH RECURSIVE DuckDB treats a top-level-UNION CTE as
+       |-- anchor/step and a doc in both branches survives twice
+       |-- (observed: doc 267 double-counted at sf0.01)
+       |dups AS (SELECT DISTINCT doc_id FROM (
+       |           SELECT doc_a AS doc_id FROM pairs
+       |           UNION ALL SELECT doc_b FROM pairs)),
+       |sc AS (SELECT doc_id,
+       |         4000 * least(CAST(len(toks) AS BIGINT), 100)
+       |         + (300000 * CAST(len(list_filter(toks,
+       |             t -> list_contains($en, t))) AS BIGINT))
+       |           // greatest(CAST(len(toks) AS BIGINT), 1)
+       |         + (300000 * CAST(length(regexp_replace(lower(text),
+       |             '[^a-z]', '', 'g')) AS BIGINT))
+       |           // greatest(length(text), 1) AS q_ppm
+       |       FROM (SELECT doc_id, text, $toksSql AS toks FROM documents))
+       |SELECT q_ppm // 100000 AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(((sum(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END)) * 1000000)
+       |    // count(*) AS BIGINT) AS dup_ppm
+       |FROM sc LEFT JOIN dups ON dups.doc_id = sc.doc_id
+       |GROUP BY 1
+       |ORDER BY bucket""".stripMargin
+  }
+
   // --------------------------------------------------------------- q180
   /** Exact stratified holdout (sources.Export.stratifiedHoldout):
     * 137 eval slots (odd on purpose — remainder slots must land) carved across the 20 sources by Hamilton
@@ -2264,6 +2363,8 @@ object CorpusOps {
     "q132_corpus_shuffle" -> (q132 _),
     "q180_stratified_holdout" -> (q180 _),
     "q181_leakage_split" -> (q181 _),
+    "q183_epoch_schedule" -> (q183 _),
+    "q184_quality_dup" -> (q184 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2312,6 +2413,8 @@ object CorpusOps {
     "q132_corpus_shuffle" -> q132Sql,
     "q180_stratified_holdout" -> q180Sql,
     "q181_leakage_split" -> q181Sql,
+    "q183_epoch_schedule" -> q183Sql,
+    "q184_quality_dup" -> q184Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,

@@ -348,6 +348,59 @@ object TextAnalytics {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  // --------------------------------------------------------------- q182
+  /** Packed-sequence BOUNDARY MAP — the row-level companion of q87's
+    * bin summary: for every document, which packed sequence it starts
+    * in and at which token offset WITHIN that sequence. This is the
+    * artifact a packed-training loader actually consumes — sample
+    * boundaries drive attention masking (no cross-document attention)
+    * and per-example provenance inside a packed batch; the summary
+    * alone cannot reconstruct them. Same two-level prefix sum as q87
+    * (block-local cumsum + per-block offsets broadcast back — no
+    * global window over data rows); off_in_bin = start_off − bin·B is
+    * pure integer arithmetic on top. Oracle: the plain window cumsum
+    * re-derivation.
+    */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 256L
+    val blockSize = 100L
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select($"doc_id",
+        size(graft.functions.TextFunctions.tokens($"text")).cast("long").as("n_tok"))
+      .withColumn("blk", ($"doc_id" / blockSize).cast("long"))
+    val local = toks.withColumn("local_cum",
+      sum($"n_tok").over(W.partitionBy($"blk").orderBy($"doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)))
+    val offsets = local.groupBy($"blk").agg(sum($"n_tok").as("btotal"))
+      .withColumn("offset",
+        coalesce(sum($"btotal").over(W.orderBy($"blk")
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select($"blk", $"offset")
+    local.join(broadcast(offsets), Seq("blk"))
+      .withColumn("start_off", $"offset" + $"local_cum" - $"n_tok")
+      .withColumn("bin", floor($"start_off" / budget).cast("long"))
+      .select($"bin", $"doc_id",
+        ($"start_off" - $"bin" * budget).as("off_in_bin"), $"n_tok")
+      .orderBy($"bin", $"off_in_bin", $"doc_id")
+  }
+
+  private val q182Sql =
+    s"""WITH tk AS (
+       |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, n_tok,
+       |    sum(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS start_off
+       |  FROM tk)
+       |SELECT CAST(floor(start_off / 256) AS BIGINT) AS bin, doc_id,
+       |  CAST(start_off - floor(start_off / 256) * 256 AS BIGINT) AS off_in_bin,
+       |  n_tok
+       |FROM cum
+       |ORDER BY bin, off_in_bin, doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q98
   /** Deterministic train/val/test split — 90/5/5 by a salted content
     * hash of the document id (`split|` salt keeps it independent of
@@ -1804,6 +1857,7 @@ object TextAnalytics {
     "q177_version_history" -> (q177 _),
     "q178_prf_expand" -> (q178 _),
     "q179_provenance" -> (q179 _),
+    "q182_pack_boundaries" -> (q182 _),
     "q157_ngram_novelty" -> (q157 _),
     "q158_postings_compact" -> (q158 _),
     "q159_fuzzy_lookup" -> (q159 _),
@@ -1846,6 +1900,7 @@ object TextAnalytics {
     "q177_version_history" -> q177Sql,
     "q178_prf_expand" -> q178Sql,
     "q179_provenance" -> q179Sql,
+    "q182_pack_boundaries" -> q182Sql,
     "q157_ngram_novelty" -> q157Sql,
     "q158_postings_compact" -> q143Sql,
     "q159_fuzzy_lookup" -> q159Sql,
