@@ -875,6 +875,102 @@ object Quality {
         col("content_hash"))
   }
 
+  private case class CdcHead(gen: Long, lastBatch: Long)
+
+  private def readCdcHead(stateDir: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[CdcHead] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, "_cdc_head.json")
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
+      def f(k: String): Option[Long] =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+      for (g <- f("gen"); b <- f("last_batch_id")) yield CdcHead(g, b)
+    }
+  }
+
+  private def writeCdcHead(stateDir: String,
+      hconf: org.apache.hadoop.conf.Configuration, h: CdcHead): Unit = {
+    val fin = new org.apache.hadoop.fs.Path(stateDir, "_cdc_head.json")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"._cdc_head.json.tmp-${h.gen}")
+    val fs = fin.getFileSystem(hconf)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}}""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    fs.rename(tmp, fin)
+  }
+
+  /** One change-data-capture step over FULL corpus snapshots — the
+    * persisted, incremental form of [[snapshotDiff]]: each arriving
+    * snapshot (a daily corpus drop) diffs against the committed HEAD
+    * state (the previous snapshot's id→content-hash map), appends the
+    * delta — (id, added|changed|removed) — to an immutable per-batch
+    * log dir, and flips the head to the new snapshot. Downstream
+    * consumers (index maintenance, re-embedding queues, takedown
+    * sweeps) read the LOG and touch only what moved — the whole point
+    * of CDC at 100 TB: cost ∝ |delta|, not |corpus|.
+    *
+    * State discipline = the countMinIncrement / heavyHitters family:
+    * head generations are immutable dirs, the pointer flips LAST via
+    * temp+rename, and with monotone `batchId`s the step is idempotent
+    * under at-least-once replay — a committed batch id is skipped
+    * outright; a half-committed one recomputes against the unmoved
+    * head and OVERWRITES its own gen/log dirs (convergent, never
+    * append-duplicated). "Removed" here means absent from the new
+    * snapshot — the semantics of full-snapshot drops (q156), not of
+    * upsert batches. Multiple rows per id in one snapshot collapse
+    * deterministically (min hash).
+    *
+    * Plan per step: one map-only hash projection of the snapshot
+    * (text never shuffles), one id-keyed full-outer join against the
+    * head, one filtered write. The log aggregate a report runs is
+    * partition-pruned by `batch_id=`.
+    */
+  def cdcAbsorb(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      logDir: String,
+      snapshot: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val head = readCdcHead(stateDir, hconf)
+    if (head.exists(_.lastBatch >= batchId)) return // committed replay: no-op
+    val b = snapshot.select(col(idCol).as("id"), md5(col(textCol)).as("h"))
+      .groupBy(col("id")).agg(min(col("h")).as("h"))
+    val prev = head match {
+      case Some(h) => spark.read.parquet(s"$stateDir/gen-${h.gen}")
+      case None    => b.limit(0)
+    }
+    val log = prev.select(col("id"), col("h").as("h_old"))
+      .join(b.select(col("id"), col("h").as("h_new")), Seq("id"), "full_outer")
+      .withColumn("change",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col("id"), col("change"))
+    // log, then state gen, then the pointer: a crash anywhere replays
+    // against the unmoved head and overwrites identical bytes
+    log.write.mode("overwrite").parquet(s"$logDir/batch_id=$batchId")
+    val nextGen = head.map(_.gen + 1L).getOrElse(0L)
+    b.write.mode("overwrite").parquet(s"$stateDir/gen-$nextGen")
+    writeCdcHead(stateDir, hconf, CdcHead(nextGen, batchId))
+  }
+
+  /** The committed CDC log — batch_id partition dirs under `logDir`,
+    * schema (batch_id, id, change).
+    */
+  def readCdcLog(
+      spark: org.apache.spark.sql.SparkSession, logDir: String): DataFrame =
+    spark.read.parquet(logDir)
+
   /** Repeated-span ("boilerplate line") removal — the C4 / RefinedWeb /
     * CCNet curation pass that deletes spans occurring verbatim across
     * many documents (nav bars, cookie banners, license footers). The

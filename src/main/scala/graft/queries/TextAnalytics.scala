@@ -1417,6 +1417,80 @@ object TextAnalytics {
       |FROM g GROUP BY doc_id, seg, ch
       |ORDER BY doc_id, valid_from""".stripMargin
 
+  // --------------------------------------------------------------- q185
+  /** CDC lifecycle (Quality.cdcAbsorb): the q177 snapshot stack
+    * absorbed version by version into persisted head state; the gate
+    * reads the accumulated LOG and aggregates per (batch, change) —
+    * count + order-insensitive id fingerprint — so it pins every
+    * delta's exact membership: batch 0 is all-added, batch 1 carries
+    * the %7 content changes, the %13 deletions and the %11 late
+    * births, batch 2 the restorations and %5 changes. A third absorb
+    * REPLAYS batch 1 in-query — the idempotence skip must hold or
+    * the log double-counts and the hash gate fails. The oracle
+    * re-derives all three diffs analytically (the q156 full-outer
+    * pattern × 3).
+    */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    val docs = t(s, dir, "documents")
+    val v1 = docs.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"), col("text").as("t"))
+    val rev2 = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" rev2")).otherwise(lit("")))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), rev2.as("t"))
+    val v3 = docs.select(col("doc_id"),
+      concat(rev2,
+        when(col("doc_id") % 5 === 0, lit(" rev3")).otherwise(lit(""))).as("t"))
+    val base = java.nio.file.Files.createTempDirectory("q185-cdc").toString
+    val (state, logd) = (s"$base/state", s"$base/log")
+    Quality.cdcAbsorb(s, state, logd, v1, "doc_id", "t", batchId = 0L)
+    Quality.cdcAbsorb(s, state, logd, v2, "doc_id", "t", batchId = 1L)
+    Quality.cdcAbsorb(s, state, logd, v2, "doc_id", "t", batchId = 1L) // replay: no-op
+    Quality.cdcAbsorb(s, state, logd, v3, "doc_id", "t", batchId = 2L)
+    val out = Quality.readCdcLog(s, logd)
+      .groupBy(col("batch_id").cast("long").as("batch_id"), col("change"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        md5(array_join(transform(array_sort(collect_list(col("id"))),
+          x => x.cast("string")), "|")).as("ids_fp"))
+      .orderBy(col("batch_id"), col("change"))
+      .localCheckpoint(true) // materialize before deleting the temp dirs
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(base))
+    out
+  }
+
+  private val q185Sql =
+    """WITH v1 AS (SELECT doc_id, text AS t FROM documents WHERE doc_id % 11 <> 5),
+      |v2 AS (SELECT doc_id,
+      |         text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END AS t
+      |       FROM documents WHERE doc_id % 13 <> 0),
+      |v3 AS (SELECT doc_id,
+      |         text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END
+      |              || CASE WHEN doc_id % 5 = 0 THEN ' rev3' ELSE '' END AS t
+      |       FROM documents),
+      |d0 AS (SELECT 0 AS batch_id, doc_id AS id, 'added' AS change FROM v1),
+      |d1 AS (SELECT 1 AS batch_id, coalesce(a.doc_id, b.doc_id) AS id,
+      |         CASE WHEN a.doc_id IS NULL THEN 'added'
+      |              WHEN b.doc_id IS NULL THEN 'removed'
+      |              WHEN md5(a.t) <> md5(b.t) THEN 'changed' END AS change
+      |       FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id),
+      |d2 AS (SELECT 2 AS batch_id, coalesce(a.doc_id, b.doc_id) AS id,
+      |         CASE WHEN a.doc_id IS NULL THEN 'added'
+      |              WHEN b.doc_id IS NULL THEN 'removed'
+      |              WHEN md5(a.t) <> md5(b.t) THEN 'changed' END AS change
+      |       FROM v2 a FULL OUTER JOIN v3 b ON a.doc_id = b.doc_id),
+      |lg AS (SELECT * FROM d0 UNION ALL
+      |       SELECT * FROM d1 WHERE change IS NOT NULL UNION ALL
+      |       SELECT * FROM d2 WHERE change IS NOT NULL)
+      |SELECT CAST(batch_id AS BIGINT) AS batch_id, change,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  md5(string_agg(CAST(id AS VARCHAR), '|' ORDER BY id)) AS ids_fp
+      |FROM lg GROUP BY 1, 2
+      |ORDER BY batch_id, change""".stripMargin
+
   // --------------------------------------------------------------- q157
   /** N-gram novelty scoring — the graded sibling of q67's
     * decontamination drop: for each batch document (doc_id % 10 = 0),
@@ -1858,6 +1932,7 @@ object TextAnalytics {
     "q178_prf_expand" -> (q178 _),
     "q179_provenance" -> (q179 _),
     "q182_pack_boundaries" -> (q182 _),
+    "q185_cdc_log" -> (q185 _),
     "q157_ngram_novelty" -> (q157 _),
     "q158_postings_compact" -> (q158 _),
     "q159_fuzzy_lookup" -> (q159 _),
@@ -1901,6 +1976,7 @@ object TextAnalytics {
     "q178_prf_expand" -> q178Sql,
     "q179_provenance" -> q179Sql,
     "q182_pack_boundaries" -> q182Sql,
+    "q185_cdc_log" -> q185Sql,
     "q157_ngram_novelty" -> q157Sql,
     "q158_postings_compact" -> q143Sql,
     "q159_fuzzy_lookup" -> q159Sql,

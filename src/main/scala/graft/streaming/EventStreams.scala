@@ -475,6 +475,31 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming change-data-capture over corpus snapshot drops — each
+    * micro-batch is one FULL snapshot version; the foreachBatch body
+    * is [[graft.operators.Quality.cdcAbsorb]] verbatim, so the
+    * crash/replay story is the operator's own (immutable gen dirs,
+    * pointer flips last, committed batch ids skipped, half-committed
+    * ones overwrite their own dirs) — at-least-once delivery
+    * converges to an exactly-once log with no transaction manager.
+    * CdcStreamSpec pins stream ≡ the one-shot absorb sequence and
+    * that a re-delivered batch is a no-op.
+    */
+  def cdcStream(
+      snapshots: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      logDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Quality.cdcAbsorb(batch.sparkSession, stateDir, logDir,
+          batch.toDF(), idCol, textCol, batchId)
+      }
+      .start()
+
   /** File-source stream over a directory of parquet drops — the
     * Spark-native version of the reference's poll-and-reprocess loop
     * (checkpointed, exactly-once, Trigger.AvailableNow for batch-like
