@@ -815,8 +815,9 @@ object TextAnalytics {
     * to the q143 form it was factored from.
     */
   private def bm25Ctes(k1: Long, b: Long,
-      corpusPred: String = "doc_id % 97 <> 0"): String =
-    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+      corpusPred: String = "doc_id % 97 <> 0",
+      docsRel: String = "documents"): String =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM $docsRel),
        |q AS (SELECT doc_id AS qid, unnest(list_distinct(toks)) AS term
        |      FROM tk WHERE doc_id % 97 = 0),
        |c AS (SELECT doc_id, unnest(toks) AS term FROM tk WHERE $corpusPred),
@@ -1031,6 +1032,63 @@ object TextAnalytics {
 
   private val q170Sql =
     s"""${bm25Ctes(1200000L, 750000L, "doc_id % 97 <> 0 AND doc_id < 250")}
+       |$bm25RankTail""".stripMargin
+
+  // --------------------------------------------------------------- q186
+  /** CDC-driven index maintenance — the composition the q185 log
+    * exists FOR: a corpus moves v1 → v2 (the q177 rules: %13 = 0
+    * deleted, %11 = 5 born, %7 = 0 changed), the delta classes come
+    * from Quality.snapshotDiff, and the LIVE postings index is
+    * maintained by lifecycle primitives only — deletePostings
+    * (removed + changed), compactPostings (materialize: an updated
+    * doc's OLD postings must physically leave before its new text
+    * lands, or tombstone resurrection would resurrect stale text),
+    * appendPostings (added + changed at v2 text). Gate: probing the
+    * maintained index ≡ q143's rebuild-as-of-v2 SQL, bit-for-bit
+    * through the BM25 tail — index cost ∝ |delta| (+ the scheduled
+    * compact), correctness ≡ full rebuild.
+    */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import graft.changesets.Pipeline
+    val docs = t(s, dir, "documents")
+    val corpus1 = docs.filter(col("doc_id") % 11 =!= 5)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text").as("t"))
+    val rev2 = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" rev2")).otherwise(lit("")))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), rev2.as("t"))
+    val corpus2 = v2.filter(col("doc_id") % 97 =!= 0)
+    val qs = v2.filter(col("doc_id") % 97 === 0) // queries drawn from v2
+    val pub = java.nio.file.Files.createTempDirectory("q186-postings").toString
+    Pipeline.publishPostings(s, pub, "v1", corpus1, "doc_id", "t")
+    val delta = Quality.snapshotDiff(corpus1, corpus2, "doc_id", "t")
+    val gone = delta.filter(col("status").isin("removed", "changed"))
+      .select(col("id").as("doc_id"))
+    val fresh = corpus2.join(
+      delta.filter(col("status").isin("added", "changed"))
+        .select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    Pipeline.deletePostings(s, pub, "upd-del", gone, "doc_id")
+    Pipeline.compactPostings(s, pub, "upd-compact")
+    Pipeline.appendPostings(s, pub, "upd-add", fresh, "doc_id", "t")
+    val post = Pipeline.readPostingsIndex(
+      s, Pipeline.readCurrentPostings(pub).get)
+    val out = graft.operators.Retrieval
+      .bm25OverPostings(qs, post, "doc_id", "t", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true) // materialize before deleting the temp index
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(pub))
+    out
+  }
+
+  private val q186Sql =
+    s"""${bm25Ctes(1200000L, 750000L, "doc_id % 97 <> 0",
+      "(SELECT doc_id, text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END" +
+        " AS text FROM documents WHERE doc_id % 13 <> 0)")}
        |$bm25RankTail""".stripMargin
 
   // --------------------------------------------------------------- q172
@@ -1933,6 +1991,7 @@ object TextAnalytics {
     "q179_provenance" -> (q179 _),
     "q182_pack_boundaries" -> (q182 _),
     "q185_cdc_log" -> (q185 _),
+    "q186_cdc_index_maint" -> (q186 _),
     "q157_ngram_novelty" -> (q157 _),
     "q158_postings_compact" -> (q158 _),
     "q159_fuzzy_lookup" -> (q159 _),
@@ -1977,6 +2036,7 @@ object TextAnalytics {
     "q179_provenance" -> q179Sql,
     "q182_pack_boundaries" -> q182Sql,
     "q185_cdc_log" -> q185Sql,
+    "q186_cdc_index_maint" -> q186Sql,
     "q157_ngram_novelty" -> q157Sql,
     "q158_postings_compact" -> q143Sql,
     "q159_fuzzy_lookup" -> q159Sql,
