@@ -595,6 +595,43 @@ object Dedup {
       clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Apply a dedup decision keeping the BEST cluster member instead
+    * of the arbitrary min-id canonical — the selection rule curation
+    * pipelines actually ship (RefinedWeb/FineWeb keep the
+    * highest-quality or longest member; min-id keeps whichever
+    * happened to enumerate first, which on a crawl means "whichever
+    * mirror was fetched first", often the worst copy). Per cluster
+    * the survivor maximizes `scoreCol` with ties to the SMALLEST id —
+    * deterministic, and with score ≡ constant it degenerates to
+    * [[removeDuplicates]]' min-id rule exactly.
+    *
+    * Plan shape: the corpus joins the (small — only clustered docs)
+    * cluster frame once on the id equi-key to attach labels and
+    * scores, one degree-bounded argmax groupBy over CLUSTERS (not the
+    * corpus) elects survivors via min(struct(-score, id)) — no window
+    * — and one left_anti drops the losers. The corpus never shuffles
+    * on anything but its id; with AQE both the cluster frame and the
+    * drop list broadcast.
+    */
+  def removeDuplicatesKeepBest(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      scoreCol: String): DataFrame = {
+    val members = df.select(col(idCol).as("__kb_id"),
+        col(scoreCol).cast("long").as("__kb_s"))
+      .join(clusters.select(col("doc").as("__kb_id"),
+        col("cluster").as("__kb_c")), Seq("__kb_id"))
+    val keep = members.groupBy(col("__kb_c"))
+      .agg(min(struct((-col("__kb_s")).as("ns"),
+        col("__kb_id").as("i"))).as("__kb_b"))
+      .select(col("__kb_b.i").as("__kb_keep"))
+    val drops = members.join(keep,
+        members("__kb_id") === keep("__kb_keep"), "left_anti")
+      .select(col("__kb_id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Leakage-safe train/holdout split — the eval-hygiene rule a
     * per-document split silently breaks: when two NEAR-DUPLICATES
     * straddle the boundary, the model "generalizes" to a paraphrase

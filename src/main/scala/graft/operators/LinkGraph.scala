@@ -274,6 +274,132 @@ object LinkGraph {
         (col("__rd_s").isNull && col("__rd_h") <= maxHops).as("resolved"))
   }
 
+  /** Seeded ("personalized") PageRank — TrustRank (Gyöngyi,
+    * Garcia-Molina & Pedersen 2004; Haveliwala 2002's topic-sensitive
+    * form): identical recurrence to [[pageRankInt]] except the
+    * teleport term lands ONLY on a trusted seed set, so rank mass can
+    * reach a page exclusively through link paths from the seeds. The
+    * signal crawl curation uses to demote link farms that
+    * self-endorse: uniform PageRank pays every page a teleport
+    * stipend a spam ring can amplify; TrustRank pays only the
+    * human-vetted seeds, and a page unreachable from them converges
+    * to exactly 0 — the integer arithmetic makes that a true zero,
+    * not an epsilon.
+    *
+    * rank₀ = 10⁶ on seeds, 0 elsewhere; per iteration
+    * rank'(v) = [v ∈ seeds]·(10⁶ − d) + (d · Σ_{u→v} rank(u) DIV
+    * deg(u)) DIV 10⁶ — all truncating BIGINT, so the q188 oracle
+    * unrolls iterations as CTE levels and hash-matches bit-for-bit.
+    *
+    * 100 TB shape: identical to [[pageRankInt]] (one src-keyed edge
+    * join + one map-side-combined groupBy per iteration) plus ONE
+    * extra left join onto the seed list per iteration — seeds are a
+    * curated handful, so that join broadcasts. Same production notes:
+    * bucket edges by src, persist across iterations, checkpoint on
+    * large `iters`.
+    */
+  def personalizedPageRankInt(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int,
+      dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"dampingPpm must be a ppm fraction, got $dampingPpm")
+    val e = edges.select(col(srcCol).cast("long").as("__pp_src"),
+      col(dstCol).cast("long").as("__pp_dst")).distinct()
+    val deg = e.groupBy(col("__pp_src")).agg(count(lit(1)).as("__pp_deg"))
+    val ed = e.join(deg, "__pp_src")
+    val sd = seeds.select(col(seedCol).cast("long").as("__pp_id")).distinct()
+      .withColumn("__pp_seed", lit(true))
+    val ids = nodes.select(col(idCol).cast("long").as("__pp_id")).distinct()
+      .join(sd, Seq("__pp_id"), "left")
+      .select(col("__pp_id"),
+        coalesce(col("__pp_seed"), lit(false)).as("__pp_seed"))
+    var ranks = ids.selectExpr("__pp_id",
+      "CASE WHEN __pp_seed THEN 1000000L ELSE 0L END AS __pp_rank")
+    for (_ <- 1 to iters) {
+      val contribs = ed.join(ranks, col("__pp_src") === col("__pp_id"))
+        .selectExpr("__pp_dst", "__pp_rank DIV __pp_deg AS __pp_c")
+        .groupBy(col("__pp_dst")).agg(sum(col("__pp_c")).as("__pp_s"))
+      ranks = ids
+        .join(contribs, ids("__pp_id") === contribs("__pp_dst"), "left")
+        .selectExpr("__pp_id",
+          s"CASE WHEN __pp_seed THEN ${1000000L - dampingPpm}L ELSE 0L END" +
+            s" + ($dampingPpm" +
+            "L * coalesce(__pp_s, 0L)) DIV 1000000 AS __pp_rank")
+    }
+    ranks.join(ids, "__pp_id")
+      .select(col("__pp_id").as(idCol), col("__pp_rank").as("trust_ppm"),
+        col("__pp_seed").as("is_seed"))
+  }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara 2007)
+    * over the UNDIRECTED link graph — community detection, the graph
+    * signal dedup/mirror analysis reads that components can't give:
+    * connected components merge everything reachable (one bridge link
+    * fuses two mirror farms); label propagation converges to locally
+    * DENSE groups, splitting a sparse bridge while keeping each clique
+    * together — the shape of mirror clusters, spam rings, and template
+    * families in a real crawl.
+    *
+    * Deterministic semantics (the paper's random tie-break replaced by
+    * a total order, the same determinism discipline as every q-gated
+    * operator): labels₀(v) = v; per SYNCHRONOUS round every node with
+    * ≥ 1 neighbor adopts the most frequent label among its neighbors'
+    * PREVIOUS labels, ties to the smallest label; isolated nodes keep
+    * their own. Self-loops are dropped (a self-vote for your current
+    * label is a fixed-point bias, not information). Pure counting ⇒
+    * the q187 oracle unrolls rounds as CTE levels and hash-matches.
+    *
+    * 100 TB shape: per round ONE equi-join of the symmetrized edge
+    * list to the label table on the neighbor key, one map-side-
+    * combined count per (node, label), and one argmax groupBy per
+    * node — candidate rows per node are bounded by its degree, so the
+    * argmax is a bounded merge, never a corpus window. Symmetrized
+    * edges are built once; persist them bucketed by the join key in
+    * production and checkpoint labels every few rounds (LPA converges
+    * in single digits on web graphs — the paper reports ~5).
+    */
+  def labelPropagationInt(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val dir = edges.select(col(srcCol).cast("long").as("__lp_a"),
+        col(dstCol).cast("long").as("__lp_b"))
+      .filter(col("__lp_a") =!= col("__lp_b"))
+    // UNION (not UNION ALL) of both directions: undirected neighbor
+    // set, one vote per neighbor regardless of link direction/count
+    val eu = dir.union(dir.select(col("__lp_b").as("__lp_a"),
+      col("__lp_a").as("__lp_b"))).distinct()
+    val ids = nodes.select(col(idCol).cast("long").as("__lp_id")).distinct()
+    var lbl = ids.select(col("__lp_id"), col("__lp_id").as("__lp_lbl"))
+    for (_ <- 1 to iters) {
+      val cnt = eu.join(lbl, eu("__lp_b") === lbl("__lp_id"))
+        .groupBy(col("__lp_a"), col("__lp_lbl"))
+        .agg(count(lit(1)).as("__lp_c"))
+      // argmax by (count DESC, label ASC) as a single min(struct):
+      // bounded by degree, no window
+      val best = cnt.groupBy(col("__lp_a"))
+        .agg(min(struct((-col("__lp_c")).as("nc"),
+          col("__lp_lbl").as("l"))).as("__lp_b"))
+        .select(col("__lp_a"), col("__lp_b.l").as("__lp_new"))
+      lbl = lbl.join(best, lbl("__lp_id") === best("__lp_a"), "left")
+        .select(col("__lp_id"),
+          coalesce(col("__lp_new"), col("__lp_lbl")).as("__lp_lbl"))
+    }
+    lbl.select(col("__lp_id").as(idCol), col("__lp_lbl").as("community"))
+  }
+
   /** Minimum-hop crawl depth from a seed set by FRONTIER expansion —
     * the "how far from the quality seeds is this page" signal seeded
     * crawls (and seeded-quality corpus filters a la common

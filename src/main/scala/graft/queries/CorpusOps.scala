@@ -595,6 +595,57 @@ object CorpusOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q189
+  /** Keep-BEST dedup apply (Dedup.removeDuplicatesKeepBest): q58's
+    * end-to-end dedup with the survivor rule curation pipelines
+    * actually ship — per near-dup cluster keep the LONGEST member
+    * (ties to the smallest id), not the arbitrary min-id canonical,
+    * which on a crawl means "whichever mirror enumerated first",
+    * often the worst copy. Budget per language plus a sum-of-ids
+    * checksum so the gate pins WHICH documents survived, not just how
+    * many. Oracle: the q49 transitive closure + an independent
+    * (length DESC, id) row_number election per cluster.
+    */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val clusters = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    Dedup.removeDuplicatesKeepBest(
+        docs.withColumn("len", length(col("text"))), "doc_id", clusters, "len")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).cast("long").as("n_chars"),
+        sum(col("doc_id")).cast("long").as("sum_id"))
+      .orderBy(col("lang"))
+  }
+
+  private val q189Sql =
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |reach AS (
+       |  SELECT n, n AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS n, reach.r FROM reach JOIN edges e ON reach.n = e.a),
+       |mem AS (SELECT n AS doc, min(r) AS cluster FROM reach GROUP BY n),
+       |sc AS (SELECT mem.doc, mem.cluster, length(d.text) AS s
+       |       FROM mem JOIN documents d ON d.doc_id = mem.doc),
+       |best AS (SELECT doc FROM (
+       |    SELECT doc, row_number() OVER (
+       |      PARTITION BY cluster ORDER BY s DESC, doc) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |drops AS (SELECT doc FROM sc WHERE doc NOT IN (SELECT doc FROM best))
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc FROM drops)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   // --------------------------------------------------------------- q166
   /** Dedup audit (Dedup.dedupAudit): the cluster-size distribution of
     * the q49 component graph — per size the cluster count and docs
@@ -2394,6 +2445,7 @@ object CorpusOps {
     "q78_repeated_spans" -> (q78 _),
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
+    "q189_dedup_keep_best" -> (q189 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
@@ -2450,6 +2502,7 @@ object CorpusOps {
     "q78_repeated_spans" -> q78Sql,
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,
+    "q189_dedup_keep_best" -> q189Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,

@@ -1214,6 +1214,105 @@ object MediaStream {
        |FROM documents dd LEFT JOIN md ON md.id = dd.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q187
+  /** Community detection by synchronous label propagation
+    * (LinkGraph.labelPropagationInt) over the UNDIRECTED q135 anchor
+    * graph — the graph signal components can't give: q49's connected
+    * components fuse everything one bridge link reaches; LPA converges
+    * to locally DENSE groups (mirror farms, template families, spam
+    * rings) and splits sparse bridges. Three deterministic rounds
+    * (most-frequent previous-round neighbor label, ties to the
+    * smallest), then each community's size joins on so the output
+    * reads as a community roster. The oracle unrolls the rounds as
+    * count→argmax CTE levels over the symmetrized analytic edge set —
+    * pure counting, hash-exact.
+    */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    val com = LinkGraph.labelPropagationInt(docs.select(col("doc_id")),
+      "doc_id", extractedEdges(docs), "src", "dst", iters = 3)
+    val sizes = com.groupBy(col("community"))
+      .agg(count(lit(1)).as("community_size"))
+    com.join(sizes, Seq("community"))
+      .select(col("doc_id"), col("community"), col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q187Sql = {
+    val levels = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"""c$i AS (
+         |  SELECT eu.a AS id, $prev.lbl AS lbl, count(*) AS c
+         |  FROM eu JOIN $prev ON $prev.id = eu.b GROUP BY eu.a, $prev.lbl),
+         |b$i AS (
+         |  SELECT id, lbl FROM (
+         |    SELECT id, lbl,
+         |      row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) AS rn
+         |    FROM c$i) WHERE rn = 1),
+         |l$i AS (
+         |  SELECT $prev.id, coalesce(b$i.lbl, $prev.lbl) AS lbl
+         |  FROM $prev LEFT JOIN b$i USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |eu AS (SELECT src AS a, dst AS b FROM e WHERE src <> dst
+       |       UNION
+       |       SELECT dst, src FROM e WHERE src <> dst),
+       |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |$levels,
+       |cs AS (SELECT lbl, count(*) AS n FROM l3 GROUP BY lbl)
+       |SELECT l3.id AS doc_id, l3.lbl AS community,
+       |  CAST(cs.n AS BIGINT) AS community_size
+       |FROM l3 JOIN cs ON cs.lbl = l3.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q188
+  /** TrustRank — seeded PageRank (LinkGraph.personalizedPageRankInt)
+    * over the q135 anchor graph with the q176 seed set (doc_id % 97 =
+    * 0): teleport mass lands ONLY on trusted seeds, so a page's score
+    * is link-path endorsement FROM the seeds — the anti-spam
+    * counterpart of q135's uniform rank, whose per-page teleport
+    * stipend a self-linking farm can amplify. Pages unreachable from
+    * any seed converge to an exact integer 0 (the q176 depth −1 set,
+    * a cross-query invariant). Oracle: the q135 unroll with the
+    * teleport term gated on the seed predicate.
+    */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    LinkGraph.personalizedPageRankInt(docs.select(col("doc_id")), "doc_id",
+        extractedEdges(docs), "src", "dst",
+        docs.filter(col("doc_id") % 97 === 0).select(col("doc_id")), "doc_id",
+        iters = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q188Sql = {
+    val levels = (1 to 3).map { i =>
+      val prev = s"p${i - 1}"
+      s"""u$i AS (
+         |  SELECT e.dst AS id, CAST(sum($prev.rank // od.deg) AS BIGINT) AS s
+         |  FROM e JOIN od USING (src) JOIN $prev ON $prev.id = e.src
+         |  GROUP BY e.dst),
+         |p$i AS (
+         |  SELECT d.doc_id AS id,
+         |    CAST(CASE WHEN d.doc_id % 97 = 0 THEN 150000 ELSE 0 END
+         |      + (850000 * coalesce(u$i.s, 0)) // 1000000 AS BIGINT) AS rank
+         |  FROM documents d LEFT JOIN u$i ON u$i.id = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgeCtes,
+       |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |p0 AS (SELECT doc_id AS id,
+       |         CAST(CASE WHEN doc_id % 97 = 0 THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+       |       FROM documents),
+       |$levels
+       |SELECT p3.id AS doc_id, p3.rank AS trust_ppm,
+       |  (p3.id % 97 = 0) AS is_seed
+       |FROM p3
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q140
   /** Format roundtrip identity — upgrades the beyond-parquet sources
     * (sources.Formats: CSV / JSON-lines / ORC) from spec-gated to
@@ -1578,6 +1677,8 @@ object MediaStream {
     "q174_hits" -> (q174 _),
     "q175_redirects" -> (q175 _),
     "q176_crawl_depth" -> (q176 _),
+    "q187_communities" -> (q187 _),
+    "q188_trust_rank" -> (q188 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -1611,6 +1712,8 @@ object MediaStream {
     "q174_hits" -> q174Sql,
     "q175_redirects" -> q175Sql,
     "q176_crawl_depth" -> q176Sql,
+    "q187_communities" -> q187Sql,
+    "q188_trust_rank" -> q188Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,

@@ -305,4 +305,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(spanned.subsetOf(flagged),
       s"exact spans without the 5-gram flag: ${spanned.diff(flagged).toSeq.sorted.take(5)}")
   }
+
+  test("removeDuplicatesKeepBest keeps the max-score member, ties to min id; constant score = min-id rule") {
+    val corpus = Seq(
+      (0L, "short", 5L), (1L, "longer text", 11L), (2L, "longer other", 11L),
+      (3L, "untouched", 9L), (4L, "mid", 3L))
+      .toDF("doc_id", "text", "len")
+    // clusters: {0,1,2} labeled 0; 4 a singleton cluster of itself
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (4L, 4L))
+      .toDF("doc", "cluster")
+    // scores: 1 and 2 tie at 11 -> min id 1 survives; 3 not clustered
+    // survives; singleton 4 survives trivially
+    val kept = Dedup.removeDuplicatesKeepBest(corpus, "doc_id", clusters, "len")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+    // constant score degenerates to removeDuplicates' min-id rule
+    val const = Dedup.removeDuplicatesKeepBest(
+      corpus.withColumn("one", lit(1L)), "doc_id", clusters, "one")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val minId = Dedup.removeDuplicates(corpus, "doc_id", clusters)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(const === minId)
+    assert(const === Set(0L, 3L, 4L))
+  }
 }

@@ -146,6 +146,71 @@ class LinkGraphSpec extends SparkSpec {
     assert(d0 === Map(0L -> 0L, 1L -> -1L, 2L -> -1L, 3L -> -1L, 4L -> -1L, 5L -> -1L))
   }
 
+  // ------------------------------------------- personalized PageRank
+  // Hand computation on 0→1, 0→2, 1→2, seeds {0}, damping 0.85:
+  //   r0 = [10⁶, 0, 0]
+  //   iter1: c(1) = 10⁶ DIV 2 = 500000, c(2) = 500000 + 0 = 500000
+  //          r = [150000, 425000, 425000]
+  //   iter2: c(1) = 150000 DIV 2 = 75000, c(2) = 75000 + 425000 = 500000
+  //          r = [150000, 63750, 425000]
+  test("TrustRank matches the hand computation; unreachable pages are exact zero") {
+    val r = LinkGraph.personalizedPageRankInt(nodes(0, 1, 2, 3), "id",
+        edges(0L -> 1L, 0L -> 2L, 1L -> 2L), "src", "dst",
+        nodes(0), "id", iters = 2)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r === Map(
+      0L -> (150000L, true), 1L -> (63750L, false),
+      2L -> (425000L, false), 3L -> (0L, false)))
+  }
+
+  test("TrustRank: an isolated seed holds the teleport floor; no seeds means all-zero") {
+    val iso = LinkGraph.personalizedPageRankInt(nodes(0, 1), "id",
+        edges(1L -> 1L), "src", "dst", nodes(0), "id", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(iso === Map(0L -> 150000L, 1L -> 0L))
+    val none = LinkGraph.personalizedPageRankInt(nodes(0, 1), "id",
+        edges(0L -> 1L), "src", "dst", Seq.empty[Long].toDF("id"), "id", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(none === Map(0L -> 0L, 1L -> 0L))
+  }
+
+  // ---------------------------------------------- label propagation
+  // Two triangles {0,1,2} and {3,4,5} joined by one bridge 2–3. Hand
+  // rounds (most-frequent previous neighbor label, ties to smallest):
+  //   l0 = [0,1,2,3,4,5]
+  //   r1 = [1,0,0,2,3,3]   (all counts 1 → min neighbor label)
+  //   r2 = [0,0,0,3,2,2]   (0 sees {0,0}; 3 sees {0,3,3} → 3)
+  //   r3 = [0,0,0,2,2,2]   → the two triangles, bridge NOT merged
+  test("label propagation splits a bridged pair of triangles that components would fuse") {
+    val e = edges(0L -> 1L, 1L -> 2L, 2L -> 0L,
+      3L -> 4L, 4L -> 5L, 5L -> 3L, 2L -> 3L)
+    val r = LinkGraph.labelPropagationInt(nodes(0, 1, 2, 3, 4, 5), "id",
+        e, "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L, 5L -> 2L))
+    // intermediate rounds match the hand table (synchronous semantics:
+    // every node reads PREVIOUS labels, not a mixed frontier)
+    val r1 = LinkGraph.labelPropagationInt(nodes(0, 1, 2, 3, 4, 5), "id",
+        e, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r1 === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 3L, 5L -> 3L))
+  }
+
+  test("label propagation: isolated nodes keep their label; self-loops and direction are ignored") {
+    // 6 is isolated; 0↔1 given in BOTH directions plus a self-loop —
+    // the symmetrized neighbor set must count 1 vote each way
+    val r = LinkGraph.labelPropagationInt(nodes(0, 1, 6), "id",
+        edges(0L -> 1L, 1L -> 0L, 0L -> 0L), "src", "dst", iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // r1: 0 adopts 1's label... 0 sees {1} → 1; 1 sees {0} → 0
+    // r2: 0 sees 1's previous label {0} → 0; 1 sees {1} → 1 (swap cycle)
+    assert(r === Map(0L -> 0L, 1L -> 1L, 6L -> 6L))
+    val r0 = LinkGraph.labelPropagationInt(nodes(0, 1), "id",
+        edges(0L -> 1L), "src", "dst", iters = 0)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r0 === Map(0L -> 0L, 1L -> 1L))
+  }
+
   test("self-loops and damping bounds behave deterministically") {
     // a pure self-loop node feeds itself: r1 = 150000 + 850000·10⁶ DIV 10⁶
     val r = ranks(nodes(0), edges(0L -> 0L), iters = 1)
