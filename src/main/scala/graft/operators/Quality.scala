@@ -802,6 +802,76 @@ object Quality {
       .select(col("s.*"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns — the release
+    * compliance check a training-data export runs before metadata
+    * ships (Sweeney 2002): a row whose quasi-identifier combination
+    * is shared by fewer than k rows re-identifies its subject by
+    * join with any public table carrying the same attributes. Returns
+    * one row per EQUIVALENCE CLASS — the quasi columns, its size, and
+    * `anonymous` (size ≥ k) — the roster a release either suppresses
+    * or generalizes; callers sum `n` over `NOT anonymous` for the
+    * rows-at-risk headline.
+    *
+    * Plan shape: ONE map-side-combined groupBy on the quasi key —
+    * the audit costs exactly one exchange at any corpus size. The
+    * class count is bounded by the quasi-value cross product, not the
+    * corpus, so downstream joins of the risky set broadcast.
+    */
+  def kAnonymityAudit(
+      df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: no quasi columns")
+    require(k >= 1, s"k must be >= 1: $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("anonymous", col("n") >= k)
+  }
+
+  /** Unicode script/character-class profile — the multilingual
+    * curation signal upstream of language ID: per document, the ppm
+    * share of codepoints in each class (Latin letters, digits,
+    * whitespace, CJK ideographs, Cyrillic, Greek, everything else)
+    * and the dominant NON-space class. A "Russian" page that is 40%
+    * Latin is boilerplate-wrapped; a CJK page shredded by a charset
+    * bug profiles as `other` — both are filter rules this feeds (the
+    * fastText-style lang-ID prior, CCNet's per-language buckets).
+    *
+    * Exact-integer discipline: class counts are codepoint counts via
+    * regexp deletion (both engines count BMP codepoints identically),
+    * ppm = (count · 10⁶) DIV total — truncating, engine-portable.
+    * Empty text profiles as all-zero ppm with dominant 'none'.
+    * Map-only, codegen'd regexes, zero exchanges.
+    */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val classes = Seq(
+      "latin" -> "A-Za-z", "digit" -> "0-9", "space" -> "\\s",
+      "cjk" -> "\\u4e00-\\u9fff", "cyrillic" -> "\\u0400-\\u04ff",
+      "greek" -> "\\u0370-\\u03ff")
+    val total = length(col(textCol))
+    val counted = classes.foldLeft(
+      df.select(col(idCol), col(textCol), total.as("__sp_total"))) {
+      case (acc, (name, range)) =>
+        acc.withColumn(s"__sp_$name",
+          total - length(regexp_replace(col(textCol), s"[$range]", "")))
+    }
+    val known = classes.map { case (n, _) => col(s"__sp_$n") }.reduce(_ + _)
+    val withOther = counted.withColumn("__sp_other", col("__sp_total") - known)
+    // truncating integer DIV (column `/` is double division in Spark)
+    val ppm = (classes.map(_._1) :+ "other").map { n =>
+      expr(s"CASE WHEN __sp_total > 0 THEN " +
+        s"(CAST(__sp_$n AS BIGINT) * 1000000L) DIV __sp_total " +
+        s"ELSE 0L END").as(s"${n}_ppm")
+    }
+    // dominant non-space class by (count DESC, name ASC) — a greatest-
+    // chain over a fixed class list, still map-only
+    val domCand = (classes.filterNot(_._1 == "space").map(_._1) :+ "other")
+    val domBest = greatest(domCand.map(n => col(s"__sp_$n")): _*)
+    val dominant = domCand.foldRight(lit("none"): org.apache.spark.sql.Column) {
+      (n, els) => when(col(s"__sp_$n") === domBest && domBest > 0, lit(n)).otherwise(els)
+    }
+    withOther.select(
+      (col(idCol) +: ppm :+ dominant.as("dominant")): _*)
+  }
+
   /** Corpus snapshot diff — the dataset-versioning question "what
     * changed between yesterday's corpus and today's": classify every
     * document id as added / removed / changed / unchanged by comparing

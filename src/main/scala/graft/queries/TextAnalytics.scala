@@ -1938,6 +1938,96 @@ object TextAnalytics {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q190
+  /** k-anonymity audit (Quality.kAnonymityAudit, Sweeney 2002) — the
+    * compliance gate a metadata release runs: every equivalence class
+    * of the quasi-identifier tuple (lang, source, 200-char length
+    * bucket), its size, and whether it clears k = 5. Classes below k
+    * re-identify their members by join with any public table sharing
+    * those attributes; the release suppresses or generalizes exactly
+    * this roster. One map-side-combined groupBy — the audit costs one
+    * exchange at any scale. Oracle: the same GROUP BY, trivially
+    * independent.
+    */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        expr("n_chars DIV 200").as("len_bucket"))
+    Quality.kAnonymityAudit(docs, Seq("lang", "source", "len_bucket"), k = 5)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+  }
+
+  private val q190Sql =
+    """SELECT lang, source, n_chars // 200 AS len_bucket,
+      |  CAST(count(*) AS BIGINT) AS n, count(*) >= 5 AS anonymous
+      |FROM documents
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- q191
+  /** Unicode script profile (Quality.scriptProfile) — the multilingual
+    * curation signal upstream of language ID: per document the ppm
+    * share of codepoints per script class and the dominant non-space
+    * class. The fixture corpus is ASCII, so the gate plants non-Latin
+    * runs analytically (the q163 messying discipline): doc_id % 4
+    * selects a CJK / Cyrillic / Greek suffix or none, built from the
+    * same codepoints on both sides (Spark literal vs DuckDB chr()).
+    * Counts are regexp-deletion length deltas — BMP codepoints count
+    * identically in both engines — and ppm is truncating DIV, so the
+    * gate is hash-exact. Dominance ties break in fixed class-list
+    * order (latin, digit, cjk, cyrillic, greek, other), mirrored by
+    * the oracle's CASE chain.
+    */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val suffix = when(col("doc_id") % 4 === 0, lit("中文文本"))
+      .when(col("doc_id") % 4 === 1, lit("тест"))
+      .when(col("doc_id") % 4 === 2, lit("λογος"))
+      .otherwise(lit(""))
+    Quality.scriptProfile(
+        docs.select(col("doc_id"), concat(col("text"), lit(" "), suffix).as("mx")),
+        "doc_id", "mx")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q191Sql =
+    """WITH m AS (SELECT doc_id, text || ' ' ||
+      |  CASE WHEN doc_id % 4 = 0
+      |         THEN chr(20013) || chr(25991) || chr(25991) || chr(26412)
+      |       WHEN doc_id % 4 = 1
+      |         THEN chr(1090) || chr(1077) || chr(1089) || chr(1090)
+      |       WHEN doc_id % 4 = 2
+      |         THEN chr(955) || chr(959) || chr(947) || chr(959) || chr(962)
+      |       ELSE '' END AS mx FROM documents),
+      |c AS (SELECT doc_id, length(mx) AS tot,
+      |  length(mx) - length(regexp_replace(mx, '[A-Za-z]', '', 'g')) AS latin,
+      |  length(mx) - length(regexp_replace(mx, '[0-9]', '', 'g')) AS digit,
+      |  length(mx) - length(regexp_replace(mx, '[\s]', '', 'g')) AS space,
+      |  length(mx) - length(regexp_replace(mx, '[\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+      |  length(mx) - length(regexp_replace(mx, '[\x{0400}-\x{04ff}]', '', 'g')) AS cyrillic,
+      |  length(mx) - length(regexp_replace(mx, '[\x{0370}-\x{03ff}]', '', 'g')) AS greek
+      |  FROM m),
+      |p AS (SELECT doc_id, tot, latin, digit, space, cjk, cyrillic, greek,
+      |  tot - (latin + digit + space + cjk + cyrillic + greek) AS other
+      |  FROM c)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN tot > 0 THEN (latin * 1000000) // tot ELSE 0 END AS BIGINT) AS latin_ppm,
+      |  CAST(CASE WHEN tot > 0 THEN (digit * 1000000) // tot ELSE 0 END AS BIGINT) AS digit_ppm,
+      |  CAST(CASE WHEN tot > 0 THEN (space * 1000000) // tot ELSE 0 END AS BIGINT) AS space_ppm,
+      |  CAST(CASE WHEN tot > 0 THEN (cjk * 1000000) // tot ELSE 0 END AS BIGINT) AS cjk_ppm,
+      |  CAST(CASE WHEN tot > 0 THEN (cyrillic * 1000000) // tot ELSE 0 END AS BIGINT) AS cyrillic_ppm,
+      |  CAST(CASE WHEN tot > 0 THEN (greek * 1000000) // tot ELSE 0 END AS BIGINT) AS greek_ppm,
+      |  CAST(CASE WHEN tot > 0 THEN (other * 1000000) // tot ELSE 0 END AS BIGINT) AS other_ppm,
+      |  CASE WHEN greatest(latin, digit, cjk, cyrillic, greek, other) = 0 THEN 'none'
+      |       WHEN latin = greatest(latin, digit, cjk, cyrillic, greek, other) THEN 'latin'
+      |       WHEN digit = greatest(latin, digit, cjk, cyrillic, greek, other) THEN 'digit'
+      |       WHEN cjk = greatest(latin, digit, cjk, cyrillic, greek, other) THEN 'cjk'
+      |       WHEN cyrillic = greatest(latin, digit, cjk, cyrillic, greek, other) THEN 'cyrillic'
+      |       WHEN greek = greatest(latin, digit, cjk, cyrillic, greek, other) THEN 'greek'
+      |       ELSE 'other' END AS dominant
+      |FROM p
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q164
   /** Per-document keyword extraction (Retrieval.keywords): top-3 terms
     * per document by the exact integer tf-idf — weight = (N·10⁶) div
@@ -1975,6 +2065,8 @@ object TextAnalytics {
     "q164_keywords" -> (q164 _),
     "q160_boolean_search" -> (q160 _),
     "q163_normalize_text" -> (q163 _),
+    "q190_k_anonymity" -> (q190 _),
+    "q191_script_profile" -> (q191 _),
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q143_bm25_search" -> (q143 _),
@@ -2020,6 +2112,8 @@ object TextAnalytics {
     "q164_keywords" -> q164Sql,
     "q160_boolean_search" -> q160Sql,
     "q163_normalize_text" -> q163Sql,
+    "q190_k_anonymity" -> q190Sql,
+    "q191_script_profile" -> q191Sql,
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q143_bm25_search" -> q143Sql,

@@ -314,6 +314,54 @@ class QualitySpec extends SparkSpec {
     assert(twice === once)
   }
 
+  test("kAnonymityAudit: class sizes and the k flag; guards on inputs") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "web"), ("en", "web"), ("en", "web"),
+      ("en", "book"), ("de", "web"))
+      .toDF("lang", "source")
+    val audit = Quality.kAnonymityAudit(df, Seq("lang", "source"), k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(audit === Map(
+      ("en", "web") -> (3L, true), ("en", "book") -> (1L, false),
+      ("de", "web") -> (1L, false)))
+    intercept[IllegalArgumentException] {
+      Quality.kAnonymityAudit(df, Seq.empty, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.kAnonymityAudit(df, Seq("lang"), k = 0)
+    }
+  }
+
+  test("scriptProfile: exact ppm per class, fixed-order dominance ties, empty text") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "abc 123"),        // latin 3, digit 3, space 1, tot 7
+      (1L, "中文"),   // pure CJK
+      (2L, ""),               // empty -> all zero, dominant none
+      (3L, "aтλ~")) // latin 1, cyrillic 1, greek 1, other 1
+      .toDF("id", "t")
+    val p = Quality.scriptProfile(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r0 = p(0L)
+    assert(r0.getAs[Long]("latin_ppm") === 3L * 1000000L / 7L)
+    assert(r0.getAs[Long]("digit_ppm") === 3L * 1000000L / 7L)
+    assert(r0.getAs[Long]("space_ppm") === 1000000L / 7L)
+    assert(r0.getAs[Long]("other_ppm") === 0L)
+    // latin and digit tie at 3: class-list order breaks to latin
+    assert(r0.getAs[String]("dominant") === "latin")
+    assert(p(1L).getAs[Long]("cjk_ppm") === 1000000L)
+    assert(p(1L).getAs[String]("dominant") === "cjk")
+    assert(p(2L).getAs[Long]("latin_ppm") === 0L)
+    assert(p(2L).getAs[String]("dominant") === "none")
+    // four-way tie: latin wins by list order; each class counts 250000
+    assert(p(3L).getAs[Long]("cyrillic_ppm") === 250000L)
+    assert(p(3L).getAs[Long]("greek_ppm") === 250000L)
+    assert(p(3L).getAs[Long]("other_ppm") === 250000L)
+    assert(p(3L).getAs[String]("dominant") === "latin")
+  }
+
   test("nfc_normalize expression: ASCII fast path, NFC short-circuit, SQL registration") {
     import graft.functions.NfcNormalize
     import org.apache.spark.unsafe.types.UTF8String
