@@ -549,6 +549,51 @@ class PlanSpec extends SparkSpec {
       "text normalization must compose into the scan as a pure projection")
   }
 
+  test("q187 communities: LPA rounds are neighbor equi-joins + bounded argmax aggs") {
+    val p = plan("q187_communities")
+    assert(!p.contains("CartesianProduct"),
+      "label propagation degenerated to all-pairs — only the one-row " +
+        "doc-count attach may nest-loop")
+    assert(!p.contains("Window"),
+      "per-node argmax must be min(struct), never a corpus window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "label counting lost its partial (map-side) phase")
+  }
+
+  test("q188 TrustRank: q135's keyed recurrence plus a broadcast-scale seed attach") {
+    val p = plan("q188_trust_rank")
+    assert(!p.contains("CartesianProduct"),
+      "seeded rank degenerated to all-pairs — only the one-row " +
+        "doc-count attach may nest-loop")
+    assert(!p.contains("Window"), "TrustRank has no window anywhere")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "contribution sums lost their partial phase")
+  }
+
+  test("q189 keep-best: survivor election is a cluster-bounded agg + anti joins") {
+    val p = plan("q189_dedup_keep_best")
+    assert(!p.contains("CartesianProduct"),
+      "keep-best apply must never go all-pairs")
+    assert(!p.contains("Window"),
+      "the election is min(struct) over clusters, not a corpus window")
+    assert(p.contains("LeftAnti"),
+      "loser removal must be anti joins on the id key")
+  }
+
+  test("q190 k-anonymity: one grouped aggregate, nothing else") {
+    val p = plan("q190_k_anonymity")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "the audit is ONE groupBy on the quasi key — no join or window belongs here")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "class counting lost its partial (map-side) phase")
+  }
+
+  test("q191 script profile: map-only before the sink sort") {
+    val p = plan("q191_script_profile")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"),
+      "script profiling must compose into the scan as a pure projection")
+  }
+
   test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
     val p = plan("q157_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
