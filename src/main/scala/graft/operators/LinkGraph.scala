@@ -274,6 +274,51 @@ object LinkGraph {
         (col("__rd_s").isNull && col("__rd_h") <= maxHops).as("resolved"))
   }
 
+  /** Per-node degree and reciprocity statistics — the structural
+    * link-graph report next to the rank queries: out/in degree and
+    * the fraction of a node's out-links that are RECIPROCATED
+    * (dst links back), in exact ppm. High reciprocity at domain
+    * scale is the classic link-exchange/spam-ring signature (the
+    * Becchetti et al. 2008 web-spam feature family); near-zero
+    * reciprocity marks genuine editorial endorsement. Self-loops are
+    * dropped (trivially reciprocal — pure noise for the signal).
+    *
+    * Plan shape: duplicate edges collapse once; reciprocity is ONE
+    * self equi-join of the edge list on the swapped pair key — never
+    * node×node — and the three counts are map-side-combined groupBys
+    * joined back onto the node list (isolated nodes report zeros).
+    * At 100 TB: the same src/dst symmetric bucketing as
+    * [[resolveRedirects]] makes the swap join co-located.
+    */
+  def degreeStats(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("__dg_s"),
+        col(dstCol).cast("long").as("__dg_d"))
+      .filter(col("__dg_s") =!= col("__dg_d"))
+      .distinct()
+    val outD = e.groupBy(col("__dg_s")).agg(count(lit(1)).as("__dg_o"))
+    val inD = e.groupBy(col("__dg_d")).agg(count(lit(1)).as("__dg_i"))
+    val sw = e.select(col("__dg_d").as("__dg_s2"), col("__dg_s").as("__dg_d2"))
+    val rec = e.join(sw,
+        col("__dg_s") === col("__dg_s2") && col("__dg_d") === col("__dg_d2"),
+        "left_semi")
+      .groupBy(col("__dg_s")).agg(count(lit(1)).as("__dg_r"))
+    nodes.select(col(idCol).cast("long").as("__dg_id")).distinct()
+      .join(outD, col("__dg_id") === outD("__dg_s"), "left").drop("__dg_s")
+      .join(inD, col("__dg_id") === inD("__dg_d"), "left").drop("__dg_d")
+      .join(rec, col("__dg_id") === rec("__dg_s"), "left").drop("__dg_s")
+      .selectExpr("__dg_id",
+        "coalesce(__dg_o, 0L) AS __o", "coalesce(__dg_i, 0L) AS __i",
+        "coalesce(__dg_r, 0L) AS __r")
+      .selectExpr(s"__dg_id AS $idCol", "__o AS out_deg", "__i AS in_deg",
+        "__r AS n_reciprocal",
+        "CASE WHEN __o > 0 THEN (__r * 1000000L) DIV __o ELSE 0L END AS recip_ppm")
+  }
+
   /** Seeded ("personalized") PageRank — TrustRank (Gyöngyi,
     * Garcia-Molina & Pedersen 2004; Haveliwala 2002's topic-sensitive
     * form): identical recurrence to [[pageRankInt]] except the

@@ -768,6 +768,61 @@ object Quality {
         "END AS BIGINT) AS distinct_est")
   }
 
+  /** KMV cross-corpus Jaccard — the set-RESEMBLANCE estimator the
+    * distinct-cardinality sketch family extends to two corpora
+    * (Broder 1997; Bar-Yossef et al. 2002; Beyer et al. 2007's
+    * KMV set operations): how much does corpus B's value universe
+    * overlap corpus A's — the vocabulary-shift / cross-corpus-
+    * contamination headline at a cost of ONE bounded sketch per side
+    * instead of a distinct-join over both. Deterministic given the
+    * hash (the q137 rule), so the oracle recomputes the identical
+    * estimate and the gate is hash-exact — the estimator's error band
+    * is a property both engines reproduce bit-for-bit.
+    *
+    * Estimator, exactly as computed: over the k SMALLEST hashes of
+    * the UNION's distinct values, `n_shared` counts those present in
+    * both sides; jaccard_ppm = n_shared·10⁶ DIV n_in_k (n_in_k < k ⇔
+    * the union is smaller than k ⇔ the estimate is EXACT);
+    * union_est = (k−1)·M DIV h_k (the q137 bottom-k estimate, or the
+    * exact count under k); inter_est = n_shared·union_est DIV n_in_k.
+    *
+    * Plan shape: each side dedups its hashed values (map-side
+    * combine), one union + flag-merge groupBy, then the k-smallest
+    * set via the bounded TopK aggregator (O(k) state, never a global
+    * sort) re-joined by a BROADCAST k-row frame to pick up the side
+    * flags. No corpus ever joins the other corpus.
+    */
+  def kmvJaccard(
+      a: DataFrame, b: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 2048, s"k must be in [2, 2048], got $k")
+    val m = 1L << 52
+    def hv(df: DataFrame): DataFrame = df.select(
+      pmod(TextFunctions.hash60(concat(lit("kmv|"), col(valueCol))), lit(m))
+        .as("__kj_hv")).distinct()
+    val u = hv(a).withColumn("__kj_a", lit(1L)).withColumn("__kj_b", lit(0L))
+      .union(hv(b).withColumn("__kj_a", lit(0L)).withColumn("__kj_b", lit(1L)))
+      .groupBy(col("__kj_hv"))
+      .agg(max(col("__kj_a")).as("__kj_a"), max(col("__kj_b")).as("__kj_b"))
+    val kset = u.agg(graft.functions.TopKAggregator.topK(k)(
+        -col("__kj_hv").cast("double"), col("__kj_hv")).as("top"))
+      .select(explode(col("top.top_ids")).as("__kj_hv"))
+    val stats = broadcast(kset).join(u, Seq("__kj_hv"))
+      .agg(count(lit(1)).as("n_in_k"),
+        sum(col("__kj_a") * col("__kj_b")).as("n_shared"),
+        max(col("__kj_hv")).as("__kj_hk"))
+    stats.selectExpr(
+      "CAST(n_in_k AS BIGINT) AS n_in_k",
+      "CAST(n_shared AS BIGINT) AS n_shared",
+      "CAST(CASE WHEN n_in_k > 0 THEN (n_shared * 1000000L) DIV n_in_k " +
+        "ELSE 0L END AS BIGINT) AS jaccard_ppm",
+      s"CAST(CASE WHEN n_in_k < $k THEN n_in_k " +
+        s"ELSE ${(k - 1).toLong * m}L DIV greatest(__kj_hk, 1L) " +
+        "END AS BIGINT) AS union_est")
+      .selectExpr("n_in_k", "n_shared", "jaccard_ppm", "union_est",
+        "CAST(CASE WHEN n_in_k > 0 THEN (n_shared * union_est) DIV n_in_k " +
+          "ELSE 0L END AS BIGINT) AS inter_est")
+  }
+
   /** One-pass column profiler — the ANALYZE/SUMMARIZE surface of the
     * engine (ingest monitoring, schema-drift alarms, join-planning
     * stats): per column, row count, null count, EXACT distinct count,

@@ -615,6 +615,57 @@ object Curation {
        |FROM ex e JOIN agg a ON a.source = e.source
        |ORDER BY e.source""".stripMargin
 
+  // --------------------------------------------------------------- q194
+  /** KMV cross-corpus Jaccard (Quality.kmvJaccard — Broder 1997;
+    * Beyer et al. 2007's KMV set operations): the vocabulary overlap
+    * between the FULL corpus and its doc_id % 3 = 0 slice, estimated
+    * from one bounded bottom-256 sketch per side instead of a
+    * distinct-join across both — the cross-corpus contamination /
+    * vocabulary-shift headline at sketch cost. A subset's vocabulary
+    * shares every common word but misses the complement's rare tail,
+    * so the estimate is properly interior (≠ 0, ≠ 10⁶). Deterministic
+    * hash ⇒ the oracle recomputes the identical bottom-k walk and the
+    * gate is hash-exact, error band included.
+    */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val va = docs.select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val vb = docs.filter(col("doc_id") % 3 === 0).select(
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    Quality.kmvJaccard(va, vb, "term", k = 256)
+  }
+
+  private val q194Sql =
+    s"""WITH ta AS (SELECT DISTINCT
+       |    CAST(concat('0x', substring(md5('kmv|' || term), 1, 15)) AS BIGINT)
+       |      % 4503599627370496 AS hv
+       |  FROM (SELECT unnest($toksSql) AS term FROM documents)),
+       |tb AS (SELECT DISTINCT
+       |    CAST(concat('0x', substring(md5('kmv|' || term), 1, 15)) AS BIGINT)
+       |      % 4503599627370496 AS hv
+       |  FROM (SELECT unnest($toksSql) AS term FROM documents
+       |        WHERE doc_id % 3 = 0)),
+       |u AS (SELECT hv, max(a) AS a, max(b) AS b FROM (
+       |    SELECT hv, 1 AS a, 0 AS b FROM ta
+       |    UNION ALL SELECT hv, 0, 1 FROM tb) GROUP BY hv),
+       |rk AS (SELECT hv, a, b, row_number() OVER (ORDER BY hv) AS rn FROM u),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_in_k,
+       |        CAST(sum(a * b) AS BIGINT) AS n_shared,
+       |        max(hv) AS hk
+       |      FROM rk WHERE rn <= 256),
+       |est AS (SELECT n_in_k, n_shared,
+       |  CAST(CASE WHEN n_in_k > 0 THEN (n_shared * 1000000) // n_in_k
+       |       ELSE 0 END AS BIGINT) AS jaccard_ppm,
+       |  CAST(CASE WHEN n_in_k < 256 THEN n_in_k
+       |       ELSE (255 * 4503599627370496) // greatest(hk, 1)
+       |       END AS BIGINT) AS union_est
+       |  FROM s)
+       |SELECT n_in_k, n_shared, jaccard_ppm, union_est,
+       |  CAST(CASE WHEN n_in_k > 0 THEN (n_shared * union_est) // n_in_k
+       |       ELSE 0 END AS BIGINT) AS inter_est
+       |FROM est""".stripMargin
+
   // --------------------------------------------------------------- q124
   /** Incremental heavy hitters — the q101 production-loop discipline
     * applied to the q119 sketch: two ingest batches (doc_id parity)
@@ -673,6 +724,7 @@ object Curation {
     "q118_corpus_drift" -> (q118 _),
     "q119_heavy_hitters" -> (q119 _),
     "q137_kmv_distinct" -> (q137 _),
+    "q194_kmv_jaccard" -> (q194 _),
     "q124_hh_increment" -> (q124 _),
     "q125_bloom_index_increment" -> (q125 _),
     "q65_repetition_signals" -> (q65 _),
@@ -695,6 +747,7 @@ object Curation {
     "q118_corpus_drift" -> q118Sql,
     "q119_heavy_hitters" -> q119Sql,
     "q137_kmv_distinct" -> q137Sql,
+    "q194_kmv_jaccard" -> q194Sql,
     "q124_hh_increment" -> q119Sql,
     "q125_bloom_index_increment" -> q116Sql,
     "q65_repetition_signals" -> q65Sql,

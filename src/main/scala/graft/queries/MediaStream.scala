@@ -1313,6 +1313,44 @@ object MediaStream {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q193
+  /** Degree + reciprocity report (LinkGraph.degreeStats) over the
+    * q135 anchor graph: per page out/in degree and the ppm of
+    * out-links that are reciprocated — the link-exchange/spam-ring
+    * signature (Becchetti et al. 2008's web-spam feature family)
+    * next to the rank queries reading the SAME edges. Reciprocity is
+    * one self equi-join on the swapped pair key, never node×node;
+    * the oracle re-derives all three counts independently.
+    */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    LinkGraph.degreeStats(docs.select(col("doc_id")), "doc_id",
+        extractedEdges(docs), "src", "dst")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q193Sql =
+    s"""WITH $edgeCtes,
+       |ee AS (SELECT src, dst FROM e WHERE src <> dst),
+       |od AS (SELECT src AS id, count(*) AS o FROM ee GROUP BY src),
+       |ind AS (SELECT dst AS id, count(*) AS i FROM ee GROUP BY dst),
+       |rc AS (SELECT x.src AS id, count(*) AS r
+       |       FROM ee x JOIN ee y ON x.src = y.dst AND x.dst = y.src
+       |       GROUP BY x.src)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(od.o, 0) AS BIGINT) AS out_deg,
+       |  CAST(coalesce(ind.i, 0) AS BIGINT) AS in_deg,
+       |  CAST(coalesce(rc.r, 0) AS BIGINT) AS n_reciprocal,
+       |  CAST(CASE WHEN coalesce(od.o, 0) > 0
+       |       THEN (coalesce(rc.r, 0) * 1000000) // od.o
+       |       ELSE 0 END AS BIGINT) AS recip_ppm
+       |FROM documents d
+       |LEFT JOIN od ON od.id = d.doc_id
+       |LEFT JOIN ind ON ind.id = d.doc_id
+       |LEFT JOIN rc ON rc.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q140
   /** Format roundtrip identity — upgrades the beyond-parquet sources
     * (sources.Formats: CSV / JSON-lines / ORC) from spec-gated to
@@ -1679,6 +1717,7 @@ object MediaStream {
     "q176_crawl_depth" -> (q176 _),
     "q187_communities" -> (q187 _),
     "q188_trust_rank" -> (q188 _),
+    "q193_degree_stats" -> (q193 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -1714,6 +1753,7 @@ object MediaStream {
     "q176_crawl_depth" -> q176Sql,
     "q187_communities" -> q187Sql,
     "q188_trust_rank" -> q188Sql,
+    "q193_degree_stats" -> q193Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,

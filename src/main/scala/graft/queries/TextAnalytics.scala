@@ -1475,6 +1475,66 @@ object TextAnalytics {
       |FROM g GROUP BY doc_id, seg, ch
       |ORDER BY doc_id, valid_from""".stripMargin
 
+  // --------------------------------------------------------------- q192
+  /** Adaptive recrawl scheduling (Robots.recrawlSchedule, Cho &
+    * Garcia-Molina 2003) over the q177 snapshot stack: per page the
+    * observed change fraction in exact ppm and its refresh class.
+    * The fixture exercises every class: %11 = 5 docs appear only at
+    * v2–v3 (one comparison), %13 = 0 docs miss v2 (the gap SKIPS —
+    * v1 vs v3 is one observation pair), %7 = 0 change at v2 and
+    * %5 = 0 at v3 (both → hot), the quiet majority is cold, and a
+    * `new` row needs a single-observation page — none exists in this
+    * stack, which the oracle reproduces (absence is part of the
+    * gate). Oracle: the same lag-compare in DuckDB SQL.
+    */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Robots
+    val docs = t(s, dir, "documents")
+    val rev2 = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" rev2")).otherwise(lit("")))
+    val v1 = docs.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"), lit(1L).as("v"), col("text").as("t"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), lit(2L).as("v"), rev2.as("t"))
+    val v3 = docs.select(col("doc_id"), lit(3L).as("v"),
+      concat(rev2,
+        when(col("doc_id") % 5 === 0, lit(" rev3")).otherwise(lit(""))).as("t"))
+    Robots.recrawlSchedule(v1.union(v2).union(v3), "doc_id", "v", "t")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q192Sql =
+    """WITH s AS (
+      |  SELECT doc_id, 1 AS v, text AS t FROM documents WHERE doc_id % 11 <> 5
+      |  UNION ALL
+      |  SELECT doc_id, 2,
+      |    text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, 3,
+      |    text || CASE WHEN doc_id % 7 = 0 THEN ' rev2' ELSE '' END
+      |         || CASE WHEN doc_id % 5 = 0 THEN ' rev3' ELSE '' END
+      |  FROM documents),
+      |h AS (SELECT doc_id, v, md5(t) AS ch FROM s),
+      |m AS (SELECT doc_id,
+      |        CASE WHEN lag(ch) OVER w IS NOT NULL AND ch <> lag(ch) OVER w
+      |             THEN 1 ELSE 0 END AS c
+      |      FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY v)),
+      |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_obs,
+      |        CAST(sum(c) AS BIGINT) AS n_changes
+      |      FROM m GROUP BY doc_id)
+      |SELECT doc_id, n_obs, n_changes,
+      |  CAST(CASE WHEN n_obs > 1 THEN (n_changes * 1000000) // (n_obs - 1)
+      |       ELSE 0 END AS BIGINT) AS change_ppm,
+      |  CASE WHEN n_obs = 1 THEN 'new'
+      |       WHEN (CASE WHEN n_obs > 1
+      |               THEN (n_changes * 1000000) // (n_obs - 1)
+      |               ELSE 0 END) >= 500000 THEN 'hot'
+      |       WHEN n_changes = 0 THEN 'cold'
+      |       ELSE 'warm' END AS refresh_class
+      |FROM a
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q185
   /** CDC lifecycle (Quality.cdcAbsorb): the q177 snapshot stack
     * absorbed version by version into persisted head state; the gate
@@ -2067,6 +2127,7 @@ object TextAnalytics {
     "q163_normalize_text" -> (q163 _),
     "q190_k_anonymity" -> (q190 _),
     "q191_script_profile" -> (q191 _),
+    "q192_recrawl_schedule" -> (q192 _),
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q143_bm25_search" -> (q143 _),
@@ -2114,6 +2175,7 @@ object TextAnalytics {
     "q163_normalize_text" -> q163Sql,
     "q190_k_anonymity" -> q190Sql,
     "q191_script_profile" -> q191Sql,
+    "q192_recrawl_schedule" -> q192Sql,
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q143_bm25_search" -> q143Sql,

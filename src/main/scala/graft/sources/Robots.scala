@@ -110,6 +110,59 @@ object Robots {
       .agg(max(col("delay_ms")).as("delay_ms"))
   }
 
+  /** Adaptive recrawl scheduling from observed change history — the
+    * refresh-policy estimator of Cho & Garcia-Molina 2003 ("Effective
+    * page refresh policies for web crawlers") in the repo's exact-
+    * integer discipline: a page's observed change RATE over its
+    * snapshot history decides how often the crawler returns. Input is
+    * a snapshot stack (id, version, text) — the q177 shape; per page,
+    * consecutive OBSERVATIONS (present versions, gaps skipped — an
+    * absent version is an observation the crawler didn't get) compare
+    * content hashes, and
+    *
+    *   change_ppm = n_changes · 10⁶ DIV (n_obs − 1)
+    *
+    * is the exact empirical change fraction. The schedule buckets it
+    * the way a fetch planner consumes it: `new` (one observation — no
+    * signal yet, crawl soon), `hot` (≥ hotPpm), `cold` (never seen to
+    * change), `warm` (the rest). Returns (id, n_obs, n_changes,
+    * change_ppm, refresh_class).
+    *
+    * Plan shape: ONE id-partitioned lag window over the stack (the
+    * versionHistory exchange — per-page frames are version-count
+    * bounded) then a map-side-combined groupBy on the same key, which
+    * AQE coalesces into the window's partitioning — one effective
+    * exchange. At 100 TB the snapshot stack is already stored
+    * partitioned by id (the publish layout), making the window local.
+    */
+  def recrawlSchedule(
+      snaps: DataFrame,
+      idCol: String,
+      versionCol: String,
+      textCol: String,
+      hotPpm: Long = 500000L): DataFrame = {
+    require(hotPpm >= 1 && hotPpm <= 1000000L,
+      s"hotPpm must be a positive ppm fraction, got $hotPpm")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__rc_v"))
+    val h = snaps.select(col(idCol),
+      col(versionCol).cast("long").as("__rc_v"),
+      md5(col(textCol)).as("__rc_h"))
+    val chg = h.withColumn("__rc_c",
+      when(lag(col("__rc_h"), 1).over(w).isNotNull
+        && col("__rc_h") =!= lag(col("__rc_h"), 1).over(w), 1L).otherwise(0L))
+    chg.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_obs"), sum(col("__rc_c")).as("n_changes"))
+      .withColumn("change_ppm", expr(
+        "CASE WHEN n_obs > 1 THEN (n_changes * 1000000L) DIV (n_obs - 1) " +
+          "ELSE 0L END"))
+      .withColumn("refresh_class",
+        when(col("n_obs") === 1, "new")
+          .when(col("change_ppm") >= hotPpm, "hot")
+          .when(col("change_ppm") === 0, "cold")
+          .otherwise("warm"))
+  }
+
   /** `Sitemap:` references — the crawl-SEEDING half of robots.txt
     * (RFC 9309 calls it an "other record"; sitemaps.org defines it):
     * group-INDEPENDENT, valid anywhere in the file, several allowed.

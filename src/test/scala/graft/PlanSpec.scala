@@ -594,6 +594,34 @@ class PlanSpec extends SparkSpec {
       "script profiling must compose into the scan as a pure projection")
   }
 
+  test("q192 recrawl: one id-keyed window + same-key groupBy, no join") {
+    val p = plan("q192_recrawl_schedule")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "the schedule reads ONE snapshot stack — no join belongs here")
+    assert(p.contains("Window"), "lag-compare window missing")
+    assert("HashAggregate".r.findAllIn(p).size >= 1,
+      "per-page rollup lost")
+  }
+
+  test("q193 degree stats: reciprocity is the swapped-pair self equi-join") {
+    val p = plan("q193_degree_stats")
+    assert(!p.contains("CartesianProduct"),
+      "degree stats degenerated to all-pairs — only the one-row " +
+        "doc-count attach may nest-loop")
+    assert(!p.contains("Window"), "counts are groupBys, not windows")
+    assert(p.contains("LeftSemi"), "reciprocal detection must be a semi join")
+  }
+
+  test("q194 KMV Jaccard: sketch tails are aggregators; corpora never join each other") {
+    val p = plan("q194_kmv_jaccard")
+    assert(!p.contains("CartesianProduct"),
+      "sketch compare went all-pairs")
+    assert(!p.contains("Window"),
+      "bottom-k must be the bounded TopK aggregator, not a global window")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the k-row sketch frame must broadcast onto the union")
+  }
+
   test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
     val p = plan("q157_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -146,6 +146,20 @@ class LinkGraphSpec extends SparkSpec {
     assert(d0 === Map(0L -> 0L, 1L -> -1L, 2L -> -1L, 3L -> -1L, 4L -> -1L, 5L -> -1L))
   }
 
+  // ------------------------------------------------- degree stats
+  test("degreeStats: out/in degree, reciprocal count, ppm; self-loops dropped") {
+    // 0→1 and 1→0 reciprocate; 0→2 does not; 2→2 self-loop drops
+    val r = LinkGraph.degreeStats(nodes(0, 1, 2, 3), "id",
+        edges(0L -> 1L, 1L -> 0L, 0L -> 2L, 2L -> 2L), "src", "dst")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r === Map(
+      0L -> (2L, 1L, 1L, 500000L),   // 1 of 2 out-links reciprocated
+      1L -> (1L, 1L, 1L, 1000000L),
+      2L -> (0L, 1L, 0L, 0L),        // self-loop gone; 2→2 not counted anywhere
+      3L -> (0L, 0L, 0L, 0L)))       // isolated: zeros, ppm 0 not a crash
+  }
+
   // ------------------------------------------- personalized PageRank
   // Hand computation on 0→1, 0→2, 1→2, seeds {0}, damping 0.85:
   //   r0 = [10⁶, 0, 0]

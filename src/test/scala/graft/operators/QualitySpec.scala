@@ -314,6 +314,26 @@ class QualitySpec extends SparkSpec {
     assert(twice === once)
   }
 
+  test("kmvJaccard: exact under k (subset, identical, disjoint); guards on k") {
+    import spark.implicits._
+    def vals(vs: String*) = vs.toDF("term")
+    def run(a: Seq[String], b: Seq[String]) =
+      Quality.kmvJaccard(vals(a: _*), vals(b: _*), "term", k = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).head
+    // union 3 < k -> everything exact: J = 1/3, inter = 1
+    assert(run(Seq("x", "y"), Seq("y", "z")) ===
+      ((3L, 1L, 333333L, 3L, 1L)))
+    // identical sets: J = 1, inter = union = 2
+    assert(run(Seq("x", "y", "x"), Seq("y", "x")) ===
+      ((2L, 2L, 1000000L, 2L, 2L)))
+    // disjoint: J = 0, inter = 0
+    assert(run(Seq("x"), Seq("z")) === ((2L, 0L, 0L, 2L, 0L)))
+    intercept[IllegalArgumentException] {
+      Quality.kmvJaccard(vals("x"), vals("y"), "term", k = 1)
+    }
+  }
+
   test("kAnonymityAudit: class sizes and the k flag; guards on inputs") {
     import spark.implicits._
     val df = Seq(

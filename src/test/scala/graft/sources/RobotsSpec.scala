@@ -200,4 +200,28 @@ class RobotsSpec extends SparkSpec {
         r.getAs[String]("pattern"))).toSet
     assert(got === Set(("a", false, "/x"), ("a", true, "/x/y")))
   }
+
+  test("recrawlSchedule: change ppm per observation pair, gap skip, new/hot/cold classes") {
+    // A: present v1-3, one change (a,a,b)  -> 1/2 = 500000 -> hot
+    // B: present v1 and v3 ONLY, unchanged -> gap skips, 0/1 -> cold
+    // C: one observation                   -> new, ppm 0
+    // D: two observations, changed         -> 1000000 -> hot
+    val snaps = Seq(
+      ("A", 1L, "a"), ("A", 2L, "a"), ("A", 3L, "b"),
+      ("B", 1L, "a"), ("B", 3L, "a"),
+      ("C", 2L, "x"),
+      ("D", 1L, "a"), ("D", 2L, "b"))
+      .toDF("id", "v", "t")
+    val got = graft.sources.Robots.recrawlSchedule(snaps, "id", "v", "t")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got === Map(
+      "A" -> (3L, 1L, 500000L, "hot"),
+      "B" -> (2L, 0L, 0L, "cold"),
+      "C" -> (1L, 0L, 0L, "new"),
+      "D" -> (2L, 1L, 1000000L, "hot")))
+    intercept[IllegalArgumentException] {
+      graft.sources.Robots.recrawlSchedule(snaps, "id", "v", "t", hotPpm = 0L)
+    }
+  }
 }
