@@ -274,6 +274,41 @@ object LinkGraph {
         (col("__rd_s").isNull && col("__rd_h") <= maxHops).as("resolved"))
   }
 
+  /** Co-citation pairs (Small 1973) — link-structure document
+    * similarity: two pages are related in proportion to how many
+    * DISTINCT sources link both. The "related pages" signal that
+    * needs no text at all — it finds translations, mirrors, and
+    * topical siblings that lexical similarity misses, and it is the
+    * link-side member of the near-dup candidate family (q28/q31).
+    *
+    * Scale discipline: pairs explode as deg² per source, so sources
+    * above `maxSrcDegree` are DROPPED before pairing — the standard
+    * co-citation hygiene (a directory page linking 10⁴ pages
+    * co-cites everything and carries no signal, exactly a stopword;
+    * same role as the PPJoin prefix bound in q30). With the cap, the
+    * self-join on src is a blocked equi-join producing ≤ cap²/2 rows
+    * per source — never corpus×corpus. Returns (doc_a, doc_b,
+    * n_common) with doc_a < doc_b, duplicate edges collapsed first.
+    */
+  def coCitation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxSrcDegree: Int = 64): DataFrame = {
+    require(maxSrcDegree >= 2, s"maxSrcDegree must be >= 2: $maxSrcDegree")
+    val e = edges.select(col(srcCol).cast("long").as("__cc_s"),
+      col(dstCol).cast("long").as("__cc_d")).distinct()
+    val keep = e.groupBy(col("__cc_s")).agg(count(lit(1)).as("__cc_dg"))
+      .filter(col("__cc_dg") <= maxSrcDegree)
+      .select(col("__cc_s"))
+    val ek = e.join(keep, Seq("__cc_s"), "left_semi")
+    val right = ek.select(col("__cc_s").as("__cc_s2"), col("__cc_d").as("__cc_d2"))
+    ek.join(right,
+        col("__cc_s") === col("__cc_s2") && col("__cc_d") < col("__cc_d2"))
+      .groupBy(col("__cc_d").as("doc_a"), col("__cc_d2").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
+
   /** Per-node degree and reciprocity statistics — the structural
     * link-graph report next to the rank queries: out/in degree and
     * the fraction of a node's out-links that are RECIPROCATED

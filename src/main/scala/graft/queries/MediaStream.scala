@@ -1351,6 +1351,34 @@ object MediaStream {
        |LEFT JOIN rc ON rc.id = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q196
+  /** Co-citation pairs (LinkGraph.coCitation, Small 1973) over the
+    * q135 anchor graph: pages repeatedly linked by the SAME sources —
+    * the text-free "related pages" signal, link-side sibling of the
+    * q28/q31 near-dup candidates. Sources above the degree cap drop
+    * before pairing (directory pages co-cite everything — the
+    * stopword rule); pairs at n_common ≥ 2 survive. Oracle re-derives
+    * the capped self-join + pair count independently.
+    */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    LinkGraph.coCitation(extractedEdges(docs), "src", "dst", maxSrcDegree = 64)
+      .filter(col("n_common") >= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q196Sql =
+    s"""WITH $edgeCtes,
+       |dg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+       |ek AS (SELECT e.src, e.dst FROM e JOIN dg USING (src) WHERE dg.d <= 64),
+       |p AS (SELECT a.dst AS da, b.dst AS db
+       |      FROM ek a JOIN ek b ON a.src = b.src AND a.dst < b.dst),
+       |c AS (SELECT da, db, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY da, db)
+       |SELECT da AS doc_a, db AS doc_b, n AS n_common
+       |FROM c WHERE n >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // --------------------------------------------------------------- q140
   /** Format roundtrip identity — upgrades the beyond-parquet sources
     * (sources.Formats: CSV / JSON-lines / ORC) from spec-gated to
@@ -1718,6 +1746,7 @@ object MediaStream {
     "q187_communities" -> (q187 _),
     "q188_trust_rank" -> (q188 _),
     "q193_degree_stats" -> (q193 _),
+    "q196_cocitation" -> (q196 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -1754,6 +1783,7 @@ object MediaStream {
     "q187_communities" -> q187Sql,
     "q188_trust_rank" -> q188Sql,
     "q193_degree_stats" -> q193Sql,
+    "q196_cocitation" -> q196Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,

@@ -1535,6 +1535,48 @@ object TextAnalytics {
       |FROM a
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q195
+  /** Incremental recrawl state (Robots.recrawlIncrement) — q192's
+    * estimator in its PRODUCTION form: the three snapshot versions
+    * fold one at a time into persisted per-page state (earlier
+    * snapshots never revisited, cost ∝ batch), with version 2
+    * REPLAYED in-query — the idempotence skip must hold or n_obs
+    * double-counts and the hash gate fails. Change counting is
+    * associative over consecutive observations, so the gate pins
+    * increment ≡ batch rebuild: the oracle is q192's SQL verbatim.
+    */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Robots
+    val docs = t(s, dir, "documents")
+    val stateDir = java.nio.file.Files.createTempDirectory("q195-state").toString
+    val rev2 = concat(col("text"),
+      when(col("doc_id") % 7 === 0, lit(" rev2")).otherwise(lit("")))
+    val v1 = docs.filter(col("doc_id") % 11 =!= 5)
+      .select(col("doc_id"), col("text").as("t"))
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .select(col("doc_id"), rev2.as("t"))
+    val v3 = docs.select(col("doc_id"),
+      concat(rev2,
+        when(col("doc_id") % 5 === 0, lit(" rev3")).otherwise(lit(""))).as("t"))
+    Robots.recrawlIncrement(s, stateDir, v1, "doc_id", "t", batchId = 1L)
+    Robots.recrawlIncrement(s, stateDir, v2, "doc_id", "t", batchId = 2L)
+    // at-least-once replay of an absorbed version: MUST skip
+    Robots.recrawlIncrement(s, stateDir, v2, "doc_id", "t", batchId = 2L)
+    Robots.recrawlIncrement(s, stateDir, v3, "doc_id", "t", batchId = 3L)
+    Robots.readRecrawlState(s, stateDir)
+      .withColumn("change_ppm", expr(
+        "CASE WHEN n_obs > 1 THEN (n_changes * 1000000L) DIV (n_obs - 1) " +
+          "ELSE 0L END"))
+      .withColumn("refresh_class",
+        when(col("n_obs") === 1, "new")
+          .when(col("change_ppm") >= 500000L, "hot")
+          .when(col("change_ppm") === 0, "cold")
+          .otherwise("warm"))
+      .select(col("id").as("doc_id"), col("n_obs"), col("n_changes"),
+        col("change_ppm"), col("refresh_class"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------------------------------- q185
   /** CDC lifecycle (Quality.cdcAbsorb): the q177 snapshot stack
     * absorbed version by version into persisted head state; the gate
@@ -2128,6 +2170,7 @@ object TextAnalytics {
     "q190_k_anonymity" -> (q190 _),
     "q191_script_profile" -> (q191 _),
     "q192_recrawl_schedule" -> (q192 _),
+    "q195_recrawl_increment" -> (q195 _),
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q143_bm25_search" -> (q143 _),
@@ -2176,6 +2219,7 @@ object TextAnalytics {
     "q190_k_anonymity" -> q190Sql,
     "q191_script_profile" -> q191Sql,
     "q192_recrawl_schedule" -> q192Sql,
+    "q195_recrawl_increment" -> q192Sql,
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q143_bm25_search" -> q143Sql,

@@ -163,6 +163,106 @@ object Robots {
           .otherwise("warm"))
   }
 
+  private case class RcHead(gen: Long, lastBatch: Long)
+
+  private def readRcHead(stateDir: String,
+      hconf: org.apache.hadoop.conf.Configuration): Option[RcHead] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir, "_rc_head.json")
+    val fs = p.getFileSystem(hconf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8") finally in.close()
+      def f(k: String): Option[Long] =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s).map(_.group(1).toLong)
+      for (g <- f("gen"); b <- f("last_batch_id")) yield RcHead(g, b)
+    }
+  }
+
+  private def writeRcHead(stateDir: String,
+      hconf: org.apache.hadoop.conf.Configuration, h: RcHead): Unit = {
+    val fin = new org.apache.hadoop.fs.Path(stateDir, "_rc_head.json")
+    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"._rc_head.json.tmp-${h.gen}")
+    val fs = fin.getFileSystem(hconf)
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}}""".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(fin)) fs.delete(fin, false)
+    fs.rename(tmp, fin)
+  }
+
+  /** One incremental step of the recrawl estimator — the PRODUCTION
+    * form of [[recrawlSchedule]]: snapshot versions arrive one at a
+    * time (a crawl cycle completes, a CDC batch lands) and fold into
+    * persisted per-page state (n_obs, n_changes, last_hash) WITHOUT
+    * revisiting any earlier snapshot — cost ∝ |batch|, the
+    * countMinIncrement / cdcAbsorb discipline. Change counting is
+    * associative over consecutive observations, so the folded state
+    * is BIT-EQUAL to the batch rebuild over the full stack — q195's
+    * gate pins exactly that, against q192's oracle.
+    *
+    * State discipline = the sketch family: generations are immutable
+    * dirs, the head pointer flips LAST via temp+rename, and monotone
+    * `batchId`s make replays idempotent — a committed batch id skips
+    * outright; a half-committed one recomputes against the unmoved
+    * head and overwrites its own gen dir (convergent). Multiple rows
+    * per id in one batch collapse deterministically (min hash).
+    *
+    * Plan per step: one map-only hash projection of the batch, one
+    * id-keyed full-outer join against head state, one write. At
+    * 100 TB both sides live bucketed by id — the join is co-located.
+    */
+  def recrawlIncrement(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchId: Long = -1L): Unit = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val head = readRcHead(stateDir, hconf)
+    val alreadyAbsorbed = head.exists(h => batchId >= 0 && batchId <= h.lastBatch)
+    if (!alreadyAbsorbed) {
+      val b = batch
+        .select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("__h"))
+        .groupBy(col("id")).agg(min(col("__h")).as("h_new"))
+      val merged = head match {
+        case None => b.select(col("id"), lit(1L).as("n_obs"),
+          lit(0L).as("n_changes"), col("h_new").as("last_hash"))
+        case Some(h) =>
+          spark.read.parquet(s"$stateDir/gen-${h.gen}")
+            .join(b, Seq("id"), "full_outer")
+            .select(col("id"),
+              when(col("h_new").isNull, col("n_obs")) // not observed this cycle
+                .when(col("n_obs").isNull, 1L)        // first sighting
+                .otherwise(col("n_obs") + 1L).as("n_obs"),
+              when(col("h_new").isNull, col("n_changes"))
+                .when(col("n_changes").isNull, 0L)
+                .otherwise(col("n_changes") +
+                  when(col("h_new") =!= col("last_hash"), 1L).otherwise(0L))
+                .as("n_changes"),
+              coalesce(col("h_new"), col("last_hash")).as("last_hash"))
+      }
+      val nextGen = head.map(_.gen + 1L).getOrElse(0L)
+      merged.write.mode("overwrite").parquet(s"$stateDir/gen-$nextGen")
+      writeRcHead(stateDir, hconf, RcHead(nextGen,
+        math.max(batchId, head.map(_.lastBatch).getOrElse(-1L))))
+    }
+  }
+
+  /** The committed recrawl state (id, n_obs, n_changes, last_hash) —
+    * resolves the head pointer; fails loudly on an empty state dir.
+    */
+  def readRecrawlState(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val h = readRcHead(stateDir, hconf).getOrElse(throw new IllegalStateException(
+      s"recrawl state at $stateDir has no committed head — no batch was ever absorbed"))
+    spark.read.parquet(s"$stateDir/gen-${h.gen}")
+  }
+
   /** `Sitemap:` references — the crawl-SEEDING half of robots.txt
     * (RFC 9309 calls it an "other record"; sitemaps.org defines it):
     * group-INDEPENDENT, valid anywhere in the file, several allowed.

@@ -622,6 +622,16 @@ class PlanSpec extends SparkSpec {
       "the k-row sketch frame must broadcast onto the union")
   }
 
+  test("q196 co-citation: capped src self equi-join, pair counts aggregate map-side") {
+    val p = plan("q196_cocitation")
+    // (the fixture's ONE-ROW doc-count attach broadcasts nest-loop,
+    // the q135 convention — the pair join itself must stay keyed)
+    assert(!p.contains("CartesianProduct"),
+      "co-citation degenerated to all-pairs — the src key must block the join")
+    assert(!p.contains("Window"), "pair counting is a groupBy, not a window")
+    assert(p.contains("LeftSemi"), "degree-cap filter must be a semi join")
+  }
+
   test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
     val p = plan("q157_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

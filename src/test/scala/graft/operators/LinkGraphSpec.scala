@@ -146,6 +146,22 @@ class LinkGraphSpec extends SparkSpec {
     assert(d0 === Map(0L -> 0L, 1L -> -1L, 2L -> -1L, 3L -> -1L, 4L -> -1L, 5L -> -1L))
   }
 
+  // -------------------------------------------------- co-citation
+  test("coCitation counts distinct co-linking sources; high-degree sources drop at the cap") {
+    val e = edges(10L -> 1L, 10L -> 2L,
+      11L -> 1L, 11L -> 2L,
+      12L -> 1L, 12L -> 2L, 12L -> 3L,
+      12L -> 3L) // duplicate edge collapses before pairing
+    def run(cap: Int) = LinkGraph.coCitation(e, "src", "dst", maxSrcDegree = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(run(64) === Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // cap 2 drops source 12 (degree 3) entirely — the stopword rule
+    assert(run(2) === Map((1L, 2L) -> 2L))
+    intercept[IllegalArgumentException] {
+      LinkGraph.coCitation(e, "src", "dst", maxSrcDegree = 1)
+    }
+  }
+
   // ------------------------------------------------- degree stats
   test("degreeStats: out/in degree, reciprocal count, ppm; self-loops dropped") {
     // 0→1 and 1→0 reciprocate; 0→2 does not; 2→2 self-loop drops
