@@ -768,6 +768,79 @@ object Quality {
         "END AS BIGINT) AS distinct_est")
   }
 
+  /** Per-segment language detection — the MIXED-DOCUMENT signal
+    * whole-doc language ID structurally cannot give (CCNet runs its
+    * classifier per paragraph for exactly this reason): a page that
+    * is half English boilerplate and half German content scores "en"
+    * as a whole and poisons the de bucket. Documents segment into
+    * fixed `segWidth`-token windows (the stripBoilerplate segmenter —
+    * deterministic, newline-free-corpus-safe), each window language-
+    * IDs independently via the stopword scorer (TextFunctions.langId
+    * semantics: best hit count, earlier `langOrder` wins ties, "und"
+    * when no hits), and the per-doc report reads:
+    * (id, n_segs, primary_lang, primary_ppm, mixed) — primary = the
+    * most frequent segment language (ties by langOrder priority,
+    * "und" last), primary_ppm its exact segment share, mixed ⇔ ≥ 2
+    * distinct non-und segment languages. Zero-token docs report
+    * (0, "und", 0, false).
+    *
+    * Plan shape: one explode to segments (size-bounded arithmetic, no
+    * join), per-segment scoring is codegen'd conditional counting,
+    * then two map-side-combined groupBys (doc×lang counts → per-doc
+    * argmax via min(struct)) — never a window, nothing quadratic.
+    */
+  def langSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segWidth: Int = 10): DataFrame = {
+    require(segWidth >= 1, s"segWidth must be >= 1: $segWidth")
+    import graft.functions.TextFunctions
+    val langs = TextFunctions.langOrder
+    val prio = (l: org.apache.spark.sql.Column) =>
+      langs.zipWithIndex.foldRight(lit(langs.size): org.apache.spark.sql.Column) {
+        case ((lg, i), els) => when(l === lg, lit(i)).otherwise(els)
+      }
+    val toks = df.select(col(idCol).as("__ls_id"),
+      TextFunctions.tokens(col(textCol)).as("__ls_toks"))
+    val withN = toks.withColumn("__ls_n",
+      expr(s"CAST((size(__ls_toks) + ${segWidth - 1}) DIV $segWidth AS INT)"))
+    val segs = withN
+      .filter(col("__ls_n") > 0)
+      .select(col("__ls_id"), col("__ls_n"),
+        explode(sequence(lit(0), col("__ls_n") - 1)).as("__ls_i"))
+      .join(toks, Seq("__ls_id"))
+      .select(col("__ls_id"), col("__ls_n"),
+        expr(s"slice(__ls_toks, __ls_i * $segWidth + 1, $segWidth)").as("__ls_seg"))
+    val scored = langs.foldLeft(segs) { (acc, l) =>
+      acc.withColumn(s"__ls_s_$l", TextFunctions.stopwordHits(col("__ls_seg"), l))
+    }
+    val best = greatest(langs.map(l => col(s"__ls_s_$l")): _*)
+    val segLang = langs.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      (l, els) => when(col(s"__ls_s_$l") === best && best > 0, lit(l)).otherwise(els)
+    }
+    val counts = scored.select(col("__ls_id"), col("__ls_n"), segLang.as("__ls_lang"))
+      .groupBy(col("__ls_id"), col("__ls_n"), col("__ls_lang"))
+      .agg(count(lit(1)).as("__ls_c"))
+    val perDoc = counts.groupBy(col("__ls_id"), col("__ls_n"))
+      .agg(
+        min(struct((-col("__ls_c")).as("nc"),
+          prio(col("__ls_lang")).as("p"),
+          col("__ls_lang").as("l"), col("__ls_c").as("c"))).as("__ls_b"),
+        sum(when(col("__ls_lang") =!= "und", 1L).otherwise(0L)).as("__ls_nl"))
+      .selectExpr("__ls_id", "CAST(__ls_n AS BIGINT) AS n_segs",
+        "__ls_b.l AS primary_lang",
+        "(__ls_b.c * 1000000L) DIV __ls_n AS primary_ppm",
+        "__ls_nl >= 2 AS mixed")
+    df.select(col(idCol).as("__ls_id")).distinct()
+      .join(perDoc, Seq("__ls_id"), "left")
+      .select(col("__ls_id").as(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("primary_lang"), lit("und")).as("primary_lang"),
+        coalesce(col("primary_ppm"), lit(0L)).as("primary_ppm"),
+        coalesce(col("mixed"), lit(false)).as("mixed"))
+  }
+
   /** KMV cross-corpus Jaccard — the set-RESEMBLANCE estimator the
     * distinct-cardinality sketch family extends to two corpora
     * (Broder 1997; Bar-Yossef et al. 2002; Beyer et al. 2007's

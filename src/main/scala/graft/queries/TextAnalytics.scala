@@ -1577,6 +1577,76 @@ object TextAnalytics {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q197
+  /** Per-segment language detection (Quality.langSegments) — the
+    * mixed-document signal whole-doc lang-ID can't give (CCNet's
+    * per-paragraph classification): docs segment into 10-token
+    * windows, each window language-IDs via the stopword scorer, and
+    * the report reads primary language, its exact segment share in
+    * ppm, and the mixed flag. The fixture plants German stopword runs
+    * (two full 10-token windows) on doc_id % 3 = 0 — those docs must
+    * come back mixed with a de minority share; the window that
+    * straddles the original text's tail and the planted run exercises
+    * the within-segment tie chain. Oracle re-derives segmentation,
+    * per-window scoring, and the priority argmax independently.
+    */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val deRun = "der die und das ist von mit den auf ein"
+    val docs = t(s, dir, "documents")
+    val mixedText = concat(col("text"),
+      when(col("doc_id") % 3 === 0, lit(s" $deRun $deRun")).otherwise(lit("")))
+    Quality.langSegments(
+        docs.select(col("doc_id"), mixedText.as("mx")), "doc_id", "mx",
+        segWidth = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q197Sql = {
+    val deRun = "der die und das ist von mit den auf ein"
+    val best = langOrder.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val chain = langOrder.foldRight("'und'") { (l, els) =>
+      s"CASE WHEN s_$l = best AND best > 0 THEN '$l' ELSE $els END"
+    }
+    val prio = langOrder.zipWithIndex
+      .map { case (l, i) => s"WHEN lg = '$l' THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${langOrder.size} END")
+    s"""WITH m AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' $deRun $deRun' ELSE '' END AS mx
+       |  FROM documents),
+       |tk AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(mx), '[^a-z0-9]+'),
+       |      t -> t <> '') AS toks FROM m),
+       |nn AS (SELECT doc_id, toks, (len(toks) + 9) // 10 AS ns FROM tk),
+       |seg AS (SELECT doc_id, ns, unnest(range(ns)) AS i, toks FROM nn),
+       |sl AS (SELECT doc_id, ns,
+       |    toks[(i * 10 + 1):(i * 10 + 10)] AS st FROM seg),
+       |sc AS (SELECT doc_id, ns,
+       |    ${langOrder.map(l =>
+            s"len(list_filter(st, t -> list_contains(${stopSql(l)}, t))) AS s_$l")
+            .mkString(", ")},
+       |    ${langOrder.map(l =>
+            s"len(list_filter(st, t -> list_contains(${stopSql(l)}, t)))")
+            .mkString("greatest(", ", ", ")")} AS best
+       |  FROM sl),
+       |lv AS (SELECT doc_id, ns, $chain AS lg FROM sc),
+       |ct AS (SELECT doc_id, ns, lg, count(*) AS c FROM lv GROUP BY 1, 2, 3),
+       |pk AS (SELECT doc_id, ns, lg, c,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY c DESC, $prio) AS rn,
+       |    sum(CASE WHEN lg <> 'und' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id) AS nl
+       |  FROM ct),
+       |pd AS (SELECT doc_id, ns, lg, (c * 1000000) // ns AS ppm, nl >= 2 AS mx
+       |       FROM pk WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(pd.ns, 0) AS BIGINT) AS n_segs,
+       |  coalesce(pd.lg, 'und') AS primary_lang,
+       |  CAST(coalesce(pd.ppm, 0) AS BIGINT) AS primary_ppm,
+       |  coalesce(pd.mx, false) AS mixed
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q185
   /** CDC lifecycle (Quality.cdcAbsorb): the q177 snapshot stack
     * absorbed version by version into persisted head state; the gate
@@ -2171,6 +2241,7 @@ object TextAnalytics {
     "q191_script_profile" -> (q191 _),
     "q192_recrawl_schedule" -> (q192 _),
     "q195_recrawl_increment" -> (q195 _),
+    "q197_lang_segments" -> (q197 _),
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q143_bm25_search" -> (q143 _),
@@ -2220,6 +2291,7 @@ object TextAnalytics {
     "q191_script_profile" -> q191Sql,
     "q192_recrawl_schedule" -> q192Sql,
     "q195_recrawl_increment" -> q192Sql,
+    "q197_lang_segments" -> q197Sql,
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q143_bm25_search" -> q143Sql,

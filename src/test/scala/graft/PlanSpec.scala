@@ -632,6 +632,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "degree-cap filter must be a semi join")
   }
 
+  test("q197 lang segments: explode + grouped argmax, no corpus window") {
+    val p = plan("q197_lang_segments")
+    assert(!p.contains("CartesianProduct"),
+      "segment scoring must never go all-pairs")
+    assert(!p.contains("Window"),
+      "the primary-language argmax is min(struct), never a window")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "segment-language counting lost its partial phase")
+  }
+
   test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
     val p = plan("q157_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

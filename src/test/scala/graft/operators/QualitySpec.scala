@@ -314,6 +314,29 @@ class QualitySpec extends SparkSpec {
     assert(twice === once)
   }
 
+  test("langSegments: per-window detection, priority ties, und and empty docs") {
+    import spark.implicits._
+    val en = "the a of and to in is it for on"     // 10 en stopwords
+    val de = "der die und das ist von mit den auf ein" // 10 de stopwords
+    val df = Seq(
+      (0L, s"$en $en $de"),  // 3 segments: en, en, de
+      (1L, ""),              // zero tokens
+      (2L, "xyz abc foo"),   // one segment, no stopword hits -> und
+      (3L, s"$en $de"))      // 1-1 tie -> langOrder priority: en
+      .toDF("id", "t")
+    val got = Quality.langSegments(df, "id", "t", segWidth = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got === Map(
+      0L -> (3L, "en", 666666L, true),
+      1L -> (0L, "und", 0L, false),
+      2L -> (1L, "und", 1000000L, false), // und-only is NOT mixed
+      3L -> (2L, "en", 500000L, true)))
+    intercept[IllegalArgumentException] {
+      Quality.langSegments(df, "id", "t", segWidth = 0)
+    }
+  }
+
   test("kmvJaccard: exact under k (subset, identical, disjoint); guards on k") {
     import spark.implicits._
     def vals(vs: String*) = vs.toDF("term")
