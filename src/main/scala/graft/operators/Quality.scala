@@ -768,6 +768,42 @@ object Quality {
         "END AS BIGINT) AS distinct_est")
   }
 
+  /** Shrunk (empirical-Bayes) group means — the smoothing every
+    * domain-level quality list needs before it gates a crawl
+    * (FineWeb-style domain filtering, seller-rating folklore): a
+    * domain with 3 documents and a perfect raw mean must NOT outrank
+    * a domain with 30 000 documents and a great one. Additive
+    * smoothing toward the global mean with prior weight w —
+    *
+    *   shrunk = (Σv + w·G) DIV (n + w),  G = (ΣΣv) DIV N
+    *
+    * — the Bayesian posterior mean under a global prior worth w
+    * observations, all truncating BIGINT so the q198 oracle
+    * re-derives it exactly. Returns (group, n, raw_mean, shrunk_mean);
+    * raw_mean = Σv DIV n for the unsmoothed comparison column.
+    *
+    * Plan shape: one map-side-combined groupBy + a ONE-ROW global
+    * aggregate broadcast back — two exchanges total, group-cardinality
+    * output.
+    */
+  def shrunkGroupMean(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      priorWeight: Long): DataFrame = {
+    require(priorWeight >= 1, s"priorWeight must be >= 1: $priorWeight")
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol).cast("long")).as("__sg_s"))
+    val glob = df.agg(
+      (sum(col(valueCol).cast("long"))).as("__sg_ts"),
+      count(lit(1)).as("__sg_tn"))
+    per.crossJoin(broadcast(glob))
+      .selectExpr(groupCol, "n",
+        "__sg_s DIV n AS raw_mean",
+        s"(__sg_s + $priorWeight * (__sg_ts DIV __sg_tn)) " +
+          s"DIV (n + $priorWeight) AS shrunk_mean")
+  }
+
   /** Per-segment language detection — the MIXED-DOCUMENT signal
     * whole-doc language ID structurally cannot give (CCNet runs its
     * classifier per paragraph for exactly this reason): a page that

@@ -2331,6 +2331,57 @@ object CorpusOps {
       .orderBy(col("bucket"))
   }
 
+  // --------------------------------------------------------------- q198
+  /** Shrunk domain quality (Quality.shrunkGroupMean) — the smoothing
+    * a domain filter list runs before it gates a crawl: per source,
+    * the q184 exact-ppm quality mean pulled toward the global mean by
+    * a 20-observation prior, so a tiny source with a lucky raw mean
+    * cannot outrank a large one (the FineWeb domain-list discipline;
+    * posterior mean under an additive prior). All truncating BIGINT;
+    * oracle re-derives score, group sums, global mean, and the
+    * shrinkage formula independently.
+    */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val en = graft.functions.TextFunctions.stopwords("en")
+    val scored = docs.select(col("source"), col("text"), toks.as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t.isInCollection(en))).cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .withColumn("q_ppm", expr(
+        """4000 * least(n_tok, 100L)
+          |+ (300000 * n_stop) div greatest(n_tok, 1L)
+          |+ (300000 * n_alpha) div greatest(length(text), 1)""".stripMargin))
+    graft.operators.Quality.shrunkGroupMean(scored, "source", "q_ppm",
+        priorWeight = 20L)
+      .orderBy(col("source"))
+  }
+
+  private val q198Sql = {
+    val en = graft.functions.TextFunctions.stopwords("en")
+      .mkString("['", "', '", "']")
+    s"""WITH sc AS (SELECT source,
+       |    4000 * least(CAST(len(toks) AS BIGINT), 100)
+       |    + (300000 * CAST(len(list_filter(toks,
+       |        t -> list_contains($en, t))) AS BIGINT))
+       |      // greatest(CAST(len(toks) AS BIGINT), 1)
+       |    + (300000 * CAST(length(regexp_replace(lower(text),
+       |        '[^a-z]', '', 'g')) AS BIGINT))
+       |      // greatest(length(text), 1) AS q_ppm
+       |  FROM (SELECT source, text, $toksSql AS toks FROM documents)),
+       |g AS (SELECT sum(q_ppm) // count(*) AS gm FROM sc),
+       |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |        sum(q_ppm) AS s FROM sc GROUP BY source)
+       |SELECT source, n,
+       |  CAST(s // n AS BIGINT) AS raw_mean,
+       |  CAST((s + 20 * g.gm) // (n + 20) AS BIGINT) AS shrunk_mean
+       |FROM p CROSS JOIN g
+       |ORDER BY source""".stripMargin
+  }
+
   private val q184Sql = {
     val en = graft.functions.TextFunctions.stopwords("en")
       .mkString("['", "', '", "']")
@@ -2416,6 +2467,7 @@ object CorpusOps {
     "q181_leakage_split" -> (q181 _),
     "q183_epoch_schedule" -> (q183 _),
     "q184_quality_dup" -> (q184 _),
+    "q198_domain_quality" -> (q198 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2467,6 +2519,7 @@ object CorpusOps {
     "q181_leakage_split" -> q181Sql,
     "q183_epoch_schedule" -> q183Sql,
     "q184_quality_dup" -> q184Sql,
+    "q198_domain_quality" -> q198Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,

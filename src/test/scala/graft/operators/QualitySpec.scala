@@ -337,6 +337,26 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("shrunkGroupMean pulls small groups toward the global mean, large groups barely move") {
+    import spark.implicits._
+    // big: 10 values of 90 (sum 900); tiny: 2 values of 250 (sum 500)
+    // global: 12 values, sum 1400 -> G = 1400 DIV 12 = 116
+    val df = (Seq.fill(10)(("big", 90L)) ++ Seq(("tiny", 250L), ("tiny", 250L)))
+      .toDF("g", "v")
+    val got = Quality.shrunkGroupMean(df, "g", "v", priorWeight = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val g = 1400L / 12L // = 116
+    assert(got("big") === ((10L, 90L, (900L + 10L * g) / 20L)))   // 103
+    assert(got("tiny") === ((2L, 250L, (500L + 10L * g) / 12L)))  // 138
+    // the tiny group's 250 raw mean collapses BELOW... toward G while
+    // the big group moves only ~13 points — the shrinkage invariant
+    assert(got("tiny")._3 < got("tiny")._2 && got("tiny")._3 > g)
+    intercept[IllegalArgumentException] {
+      Quality.shrunkGroupMean(df, "g", "v", priorWeight = 0L)
+    }
+  }
+
   test("kmvJaccard: exact under k (subset, identical, disjoint); guards on k") {
     import spark.implicits._
     def vals(vs: String*) = vs.toDF("term")
