@@ -500,6 +500,30 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming recrawl estimation — each micro-batch is one crawl
+    * cycle's snapshot; the foreachBatch body is
+    * [[graft.sources.Robots.recrawlIncrement]] verbatim, so the
+    * crash/replay story is the operator's own (immutable gen dirs,
+    * head flips last, committed batch ids skipped, half-committed
+    * generations overwritten) — at-least-once delivery converges to
+    * the exactly-once per-page change statistics the scheduler reads.
+    * RecrawlStreamSpec pins stream ≡ the one-shot fold sequence and
+    * that a re-delivered cycle is a no-op.
+    */
+  def recrawlStream(
+      snapshots: DataFrame,
+      idCol: String,
+      textCol: String,
+      stateDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.sources.Robots.recrawlIncrement(batch.sparkSession, stateDir,
+          batch.toDF(), idCol, textCol, batchId)
+      }
+      .start()
+
   /** File-source stream over a directory of parquet drops — the
     * Spark-native version of the reference's poll-and-reprocess loop
     * (checkpointed, exactly-once, Trigger.AvailableNow for batch-like
