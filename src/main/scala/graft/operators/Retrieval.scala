@@ -66,6 +66,68 @@ object Retrieval {
         col("col.i").as("doc_id"), col("col.v").cast("long").as("score"))
   }
 
+  /** More-like-this — document-to-document lexical similarity over
+    * the SAME stored postings as the searchers (Lucene's MLT shape):
+    * for each query document, the top-k other documents by the exact
+    * integer accumulated tf-idf dot
+    *
+    *   score(q, d) = Σ_{t ∈ q ∩ d, df(t) ≤ maxDf} tf(q,t)·tf(d,t)·w(t),
+    *   w(t) = (N · 10⁶) div df(t)
+    *
+    * — the "related documents" operator a dedup analyst runs on a
+    * suspicious cluster and a RAG stack runs for citation expansion.
+    * Terms above the `maxDfPpm` CORPUS-FRACTION cap (Lucene MLT's
+    * maxDocFreqPct; df > (N·maxDfPpm) DIV 10⁶) drop BEFORE candidate
+    * generation — the stopword hygiene of the q196 degree-cap rule: a
+    * term in most of the corpus pairs everything with everything;
+    * capped, the term-keyed join produces ≤ N·cap candidates per
+    * query term at ANY corpus size. The query document itself is
+    * excluded.
+    *
+    * Exactness bound (the searchTopK convention): tf·tf·w sums must
+    * stay under 2⁶³ — at corpus scale hold weights down with a df
+    * floor or drop the 10⁶ scale; the top-k tail is exact for scores
+    * to 2⁵². Plan: postings built once (checkpoint-shared), the
+    * query-side postings BROADCAST onto the term key, per-query tail
+    * is the O(k) aggregator — no window over scored candidates.
+    */
+  def moreLikeThis(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryIds: DataFrame,
+      qidCol: String,
+      k: Int,
+      maxDfPpm: Long = 500000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(maxDfPpm >= 1 && maxDfPpm <= 1000000L,
+      s"maxDfPpm must be a ppm fraction, got $maxDfPpm")
+    val post = postings(corpus, idCol, textCol).localCheckpoint(true)
+    val nd = post.agg(count_distinct(col("doc")).as("nd"))
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nd))
+      .filter(expr(s"df <= (nd * $maxDfPpm) DIV 1000000"))
+      .select(col("term"), col("df"))
+    val qp = post.join(
+        broadcast(queryIds.select(col(qidCol).as("doc"))), Seq("doc"), "left_semi")
+      .select(col("term"), col("doc").as("qid"), col("tf").as("tf_q"))
+    val scored = post.join(broadcast(qp), Seq("term"))
+      .filter(col("doc") =!= col("qid"))
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(nd))
+      .groupBy(col("qid"), col("doc"))
+      .agg(sum(col("tf") * col("tf_q") * expr("(nd * 1000000) div df"))
+        .as("score"))
+    // checkpoint-backed like searchTopK: the caller releases via
+    // graft.Checkpoints.release after consuming
+    scored.groupBy(col("qid"))
+      .agg(TopKAggregator.topK(k)(col("score").cast("double"), col("doc")).as("top"))
+      .select(col("qid").as("query_id"),
+        posexplode(arrays_zip(col("top.top_values").as("v"), col("top.top_ids").as("i"))))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.i").as("doc_id"), col("col.v").cast("long").as("score"))
+  }
+
   /** Top-k corpus documents per query by EXACT-INTEGER BM25 — the
     * standard retrieval scorer a RAG stack actually runs (Robertson &
     * Zaragoza's Okapi form), expressed in the same integer-ppm

@@ -789,6 +789,52 @@ object TextAnalytics {
 
   private val q126Sql = q126SqlAt(97)
 
+  // --------------------------------------------------------------- q199
+  /** More-like-this (Retrieval.moreLikeThis, the Lucene MLT shape):
+    * doc_id % 97 = 0 documents query the WHOLE corpus for their top-5
+    * lexical neighbors by the exact integer tf-idf dot
+    * Σ tf_q·tf_d·((N·10⁶) div df) over terms under the 80%
+    * corpus-fraction df cap — MLT's maxDocFreqPct stopword hygiene
+    * (q196's degree-cap rule): a term in most of the corpus pairs
+    * everything with everything. (The synthetic vocabulary is tiny —
+    * 31 terms, df 25–402 of 500 docs — so 80% is the cap that
+    * actually separates: it keeps the discriminative tail and drops
+    * the df-402 head, verified non-degenerate.) Self is excluded;
+    * same TopKAggregator tail as q126. Oracle re-derives postings,
+    * the fraction cap, the dot, and the row_number tail.
+    */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Retrieval.moreLikeThis(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 97 === 0), "doc_id",
+        k = 5, maxDfPpm = 800000L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q199Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |c AS (SELECT doc_id AS doc, unnest(toks) AS term FROM tk),
+       |tf AS (SELECT term, doc, CAST(count(*) AS BIGINT) AS tf FROM c GROUP BY 1, 2),
+       |dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT doc) AS BIGINT) AS nd FROM tf),
+       |q AS (SELECT term, doc AS qid, tf AS tf_q FROM tf WHERE doc % 97 = 0),
+       |s AS (SELECT q.qid, tf.doc,
+       |        CAST(sum(tf.tf * q.tf_q * ((n.nd * 1000000) // dfx.df)) AS BIGINT) AS score
+       |      FROM tf JOIN q USING (term)
+       |             JOIN dfx USING (term)
+       |             CROSS JOIN n
+       |      WHERE tf.doc <> q.qid
+       |        AND dfx.df <= (n.nd * 800000) // 1000000
+       |      GROUP BY 1, 2)
+       |SELECT qid AS query_id, CAST(rank AS INTEGER) AS rank,
+       |  doc AS doc_id, score FROM (
+       |  SELECT qid, doc, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS rank
+       |  FROM s)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   // --------------------------------------------------------------- q143
   /** BM25 lexical ranking (Retrieval.searchTopKBm25) — q126's split
     * (doc_id % 97 queries vs the rest), top-5 per query by the exact
@@ -2244,6 +2290,7 @@ object TextAnalytics {
     "q197_lang_segments" -> (q197 _),
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
+    "q199_more_like_this" -> (q199 _),
     "q143_bm25_search" -> (q143 _),
     "q148_postings_append" -> (q148 _),
     "q150_table_profile" -> (q150 _),
@@ -2294,6 +2341,7 @@ object TextAnalytics {
     "q197_lang_segments" -> q197Sql,
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
+    "q199_more_like_this" -> q199Sql,
     "q143_bm25_search" -> q143Sql,
     "q148_postings_append" -> q143Sql,
     "q150_table_profile" -> q150Sql,

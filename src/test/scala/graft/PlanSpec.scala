@@ -642,6 +642,16 @@ class PlanSpec extends SparkSpec {
       "segment-language counting lost its partial phase")
   }
 
+  test("q199 more-like-this: query postings broadcast; tail is the TopK aggregator") {
+    val p = plan("q199_more_like_this")
+    assert(!p.contains("CartesianProduct"),
+      "MLT candidate generation went all-pairs — the term key must block it")
+    assert(!p.contains("Window"),
+      "per-query top-k must be the bounded aggregator, not a window")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "the query-side postings frame must broadcast onto the term key")
+  }
+
   test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
     val p = plan("q157_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

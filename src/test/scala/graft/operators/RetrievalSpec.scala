@@ -307,4 +307,27 @@ class RetrievalSpec extends SparkSpec {
       .collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("moreLikeThis: exact tf-idf dot, self excluded, fraction cap drops common terms") {
+    // N = 4; df: x=2, y=2, z=1, w=1, q=1. Query doc 1 = "x x y".
+    // cap 50% -> df <= 2, every term survives:
+    //   doc2 "x z": 1·2·(4e6 DIV 2) = 4 000 000
+    //   doc3 "y w": 1·1·(4e6 DIV 2) = 2 000 000
+    val docs = Seq((1L, "x x y"), (2L, "x z"), (3L, "y w"), (4L, "qq qq"))
+      .toDF("doc_id", "text")
+    val got = Retrieval.moreLikeThis(docs, "doc_id", "text",
+        Seq(1L).toDF("doc_id"), "doc_id", k = 5, maxDfPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1, 2L, 4000000L), (1L, 2, 3L, 2000000L)))
+    // cap 25% -> df <= 1: the shared terms (df 2) drop, no candidates
+    val none = Retrieval.moreLikeThis(docs, "doc_id", "text",
+        Seq(1L).toDF("doc_id"), "doc_id", k = 5, maxDfPpm = 250000L)
+      .collect()
+    assert(none.isEmpty)
+    intercept[IllegalArgumentException] {
+      Retrieval.moreLikeThis(docs, "doc_id", "text",
+        Seq(1L).toDF("doc_id"), "doc_id", k = 5, maxDfPpm = 0L)
+    }
+  }
 }
