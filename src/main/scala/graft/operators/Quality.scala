@@ -768,6 +768,51 @@ object Quality {
         "END AS BIGINT) AS distinct_est")
   }
 
+  /** Encoding audit — the crawl-QA pass that catches text DAMAGED
+    * BEFORE curation ever sees it: mojibake (UTF-8 bytes decoded as
+    * latin-1/cp1252 — the "Ã©"/"â€™" class, detected by its
+    * structural signature: Ã/Â/â followed by a continuation-range
+    * codepoint), U+FFFD replacement characters (a decoder already
+    * gave up), and stray C0/C1 controls. A page failing this audit
+    * poisons every downstream signal (tokens, lang-ID, dedup
+    * shingles) while looking statistically normal — the reason real
+    * pipelines run the encoding check FIRST. Returns per doc the
+    * three counts, total chars, and `verdict`:
+    * 'mojibake' | 'replacement' | 'control' | 'clean' (first match in
+    * that order — mojibake dominates because it implies a systematic
+    * double-decode, not a stray byte).
+    *
+    * Counts are regexp-deletion length deltas over explicit BMP
+    * codepoint classes (the q191 discipline — both engines count
+    * identically); map-only, codegen'd, zero exchanges.
+    */
+  def encodingAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    // Ã (U+00C3), Â (U+00C2), â (U+00E2) followed by a codepoint in
+    // the range UTF-8 continuation bytes land in under latin-1/cp1252
+    // (U+0080–U+00BF) or cp1252's remapped punctuation (€‚ƒ„…†‡ˆ‰Š‹ŒŽ
+    // ''""•–—˜™š›œžŸ — U+2000 block & friends); the pair is the
+    // mojibake signature, single accented letters alone are fine
+    val moji = "[\\u00c2\\u00c3\\u00e2][\\u0080-\\u00bf\\u20ac\\u201a\\u0192" +
+      "\\u201e\\u2026\\u2020\\u2021\\u02c6\\u2030\\u0160\\u2039\\u0152\\u017d" +
+      "\\u2018\\u2019\\u201c\\u201d\\u2022\\u2013\\u2014\\u02dc\\u2122\\u0161" +
+      "\\u203a\\u0153\\u017e\\u0178]"
+    val repl = "\\ufffd"
+    val ctrl = "[\\u0000-\\u0008\\u000b\\u000c\\u000e-\\u001f\\u007f-\\u009f]"
+    def hits(pat: String, width: Int): org.apache.spark.sql.Column =
+      ((length(t) - length(regexp_replace(t, pat, ""))) / width).cast("long")
+    df.select(col(idCol),
+        hits(moji, 2).as("mojibake_hits"),
+        hits(repl, 1).as("replacement_hits"),
+        hits(ctrl, 1).as("control_hits"),
+        length(t).cast("long").as("n_chars"))
+      .withColumn("verdict",
+        when(col("mojibake_hits") > 0, "mojibake")
+          .when(col("replacement_hits") > 0, "replacement")
+          .when(col("control_hits") > 0, "control")
+          .otherwise("clean"))
+  }
+
   /** Shrunk (empirical-Bayes) group means — the smoothing every
     * domain-level quality list needs before it gates a crawl
     * (FineWeb-style domain filtering, seller-rating folklore): a

@@ -2246,6 +2246,62 @@ object TextAnalytics {
       |FROM p
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q200
+  /** Encoding audit (Quality.encodingAudit) — the crawl-QA pass real
+    * pipelines run FIRST: mojibake signatures (UTF-8 double-decoded
+    * as latin-1/cp1252 — the "Ã©" class, Ã/Â/â + continuation-range
+    * codepoint), U+FFFD replacement characters, stray C0/C1 controls,
+    * and the first-match verdict. Damage is planted analytically the
+    * q163/q191 way (doc_id % 5 selects mojibake / replacement /
+    * control / clean) so every verdict class fires; the oracle mirrors
+    * the signature classes codepoint for codepoint.
+    */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val planted = concat(col("text"),
+      when(col("doc_id") % 5 === 0, lit(" \u00c3\u00a9\u00c3\u00bc"))
+        .when(col("doc_id") % 5 === 1, lit(" \ufffd\ufffd"))
+        .when(col("doc_id") % 5 === 2, lit(" \u0007"))
+        .otherwise(lit("")))
+    Quality.encodingAudit(
+        docs.select(col("doc_id"), planted.as("mx")), "doc_id", "mx")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q200Sql = {
+    val moji = "[\\x{00c2}\\x{00c3}\\x{00e2}][\\x{0080}-\\x{00bf}" +
+      "\\x{20ac}\\x{201a}\\x{0192}\\x{201e}\\x{2026}\\x{2020}\\x{2021}" +
+      "\\x{02c6}\\x{2030}\\x{0160}\\x{2039}\\x{0152}\\x{017d}\\x{2018}" +
+      "\\x{2019}\\x{201c}\\x{201d}\\x{2022}\\x{2013}\\x{2014}\\x{02dc}" +
+      "\\x{2122}\\x{0161}\\x{203a}\\x{0153}\\x{017e}\\x{0178}]"
+    val ctrl = "[\\x{0000}-\\x{0008}\\x{000b}\\x{000c}\\x{000e}-\\x{001f}" +
+      "\\x{007f}-\\x{009f}]"
+    s"""WITH m AS (SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 5 = 0
+       |           THEN ' ' || chr(195) || chr(169) || chr(195) || chr(188)
+       |         WHEN doc_id % 5 = 1 THEN ' ' || chr(65533) || chr(65533)
+       |         WHEN doc_id % 5 = 2 THEN ' ' || chr(7)
+       |         ELSE '' END AS mx FROM documents),
+       |c AS (SELECT doc_id,
+       |  (length(mx) - length(regexp_replace(mx, '$moji', '', 'g'))) // 2
+       |    AS mojibake_hits,
+       |  length(mx) - length(regexp_replace(mx, '\\x{fffd}', '', 'g'))
+       |    AS replacement_hits,
+       |  length(mx) - length(regexp_replace(mx, '$ctrl', '', 'g'))
+       |    AS control_hits,
+       |  length(mx) AS n_chars FROM m)
+       |SELECT doc_id, CAST(mojibake_hits AS BIGINT) AS mojibake_hits,
+       |  CAST(replacement_hits AS BIGINT) AS replacement_hits,
+       |  CAST(control_hits AS BIGINT) AS control_hits,
+       |  CAST(n_chars AS BIGINT) AS n_chars,
+       |  CASE WHEN mojibake_hits > 0 THEN 'mojibake'
+       |       WHEN replacement_hits > 0 THEN 'replacement'
+       |       WHEN control_hits > 0 THEN 'control'
+       |       ELSE 'clean' END AS verdict
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q164
   /** Per-document keyword extraction (Retrieval.keywords): top-3 terms
     * per document by the exact integer tf-idf — weight = (N·10⁶) div
@@ -2288,6 +2344,7 @@ object TextAnalytics {
     "q192_recrawl_schedule" -> (q192 _),
     "q195_recrawl_increment" -> (q195 _),
     "q197_lang_segments" -> (q197 _),
+    "q200_encoding_audit" -> (q200 _),
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q199_more_like_this" -> (q199 _),
@@ -2339,6 +2396,7 @@ object TextAnalytics {
     "q192_recrawl_schedule" -> q192Sql,
     "q195_recrawl_increment" -> q192Sql,
     "q197_lang_segments" -> q197Sql,
+    "q200_encoding_audit" -> q200Sql,
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q199_more_like_this" -> q199Sql,

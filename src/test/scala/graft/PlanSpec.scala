@@ -652,6 +652,12 @@ class PlanSpec extends SparkSpec {
       "the query-side postings frame must broadcast onto the term key")
   }
 
+  test("q200 encoding audit: map-only before the sink sort") {
+    val p = plan("q200_encoding_audit")
+    assert(!p.contains("Join") && !p.contains("HashAggregate") && !p.contains("Window"),
+      "the audit must compose into the scan as a pure projection")
+  }
+
   test("q157 novelty: reference grams attach via anti equi-join, never doc x doc") {
     val p = plan("q157_ngram_novelty")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

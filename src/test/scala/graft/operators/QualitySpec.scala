@@ -337,6 +337,29 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("encodingAudit: mojibake pairs, replacement chars, controls, verdict precedence") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "ok plain ascii"),
+      (1L, "caf\u00c3\u00a9 menu"),          // Ã© — one mojibake pair
+      (2L, "lost \ufffd byte"),
+      (3L, "bell\u0007here"),
+      // mojibake AND replacement: mojibake wins the verdict
+      (4L, "\u00c3\u00a9 and \ufffd"),
+      // a genuine accented word alone is NOT mojibake (é, no Ã pair)
+      (5L, "caf\u00e9 r\u00e9sum\u00e9"))
+      .toDF("id", "t")
+    val got = Quality.encodingAudit(df, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(got(0L) === ((0L, 0L, 0L, "clean")))
+    assert(got(1L) === ((1L, 0L, 0L, "mojibake")))
+    assert(got(2L) === ((0L, 1L, 0L, "replacement")))
+    assert(got(3L) === ((0L, 0L, 1L, "control")))
+    assert(got(4L) === ((1L, 1L, 0L, "mojibake")))
+    assert(got(5L) === ((0L, 0L, 0L, "clean")))
+  }
+
   test("shrunkGroupMean pulls small groups toward the global mean, large groups barely move") {
     import spark.implicits._
     // big: 10 values of 90 (sum 900); tiny: 2 values of 250 (sum 500)
