@@ -353,6 +353,45 @@ object Media {
     }
   }
 
+  final case class SceneCutRow(
+      media_id: Long,
+      ok: Boolean,
+      err: String,
+      frame: Long,
+      delta_ppm: Long,
+      is_cut: Boolean)
+
+  /** Shot-boundary (scene-cut) detection over decoded video — the
+    * video-curation operator a multimodal pipeline runs before frame
+    * sampling (sample WITHIN shots, not across them): per frame
+    * transition the exact mean absolute luma delta in ppm of the 255
+    * maximum ([[VideoCodec.sceneDeltas]] — single pass, two planes of
+    * memory), flagged a cut at `thresholdPpm`. One row per TRANSITION
+    * (frame = the later frame's index); single-frame videos emit
+    * nothing; undecodable payloads emit one error row — the Warc
+    * degradation rule, never a task failure. Map-only (mapPartitions
+    * + one explode), no shuffle.
+    */
+  def sceneCuts(
+      media: Dataset[MediaRecord],
+      thresholdPpm: Long): Dataset[SceneCutRow] = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be a ppm fraction, got $thresholdPpm")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        VideoCodec.sceneDeltas(m.data) match {
+          case Right(ds) => ds.iterator.map(d =>
+            SceneCutRow(m.media_id, ok = true, "", d.frame, d.deltaPpm,
+              d.deltaPpm >= thresholdPpm))
+          case Left(e) =>
+            Iterator.single(SceneCutRow(m.media_id, ok = false, e, -1L, 0L,
+              is_cut = false))
+        }
+      }
+    }
+  }
+
   /** Little-endian unsigned int of `bytes` width as a binary column —
     * the RIFF header building block for [[toWav]].
     */

@@ -60,10 +60,13 @@ object VideoCodec {
     case _ => -1L
   }
 
-  /** Decode a Y4M payload to its summary stats, or a parse-failure
-    * reason.
+  private final case class Y4mHeader(
+      w: Int, h: Int, fn: Int, fd: Int, cs: String, fb: Long, bodyPos: Int)
+
+  /** Stream-header parse shared by [[decode]] and [[sceneDeltas]]:
+    * magic check, tag walk, geometry/frame-rate validation.
     */
-  def decode(d: Array[Byte]): Either[String, VideoStats] = {
+  private def parseHeader(d: Array[Byte]): Either[String, Y4mHeader] = {
     if (!sniff(d)) return Left("y4m: not a YUV4MPEG2 payload")
     // stream header: ASCII through the first 0x0A
     var nl = Magic.length
@@ -92,6 +95,19 @@ object VideoCodec {
     if (fn <= 0 || fd <= 0) return Left(s"y4m: bad frame rate $fn:$fd")
     val fb = frameBytes(cs, w, h)
     if (fb < 0) return Left(s"y4m: colorspace $cs invalid for ${w}x$h")
+    Right(Y4mHeader(w, h, fn, fd, cs, fb, nl + 1))
+  }
+
+  /** Decode a Y4M payload to its summary stats, or a parse-failure
+    * reason.
+    */
+  def decode(d: Array[Byte]): Either[String, VideoStats] = {
+    val hd = parseHeader(d) match {
+      case Left(e) => return Left(e)
+      case Right(x) => x
+    }
+    val (w, h, fn, fd, cs, fb) = (hd.w, hd.h, hd.fn, hd.fd, hd.cs, hd.fb)
+    val nl = hd.bodyPos - 1
     val ySize = w * h
 
     // frame walk: "FRAME"[ params]\n + fb payload bytes, to stream end
@@ -126,5 +142,59 @@ object VideoCodec {
     if (frames == 0) return Left("y4m: no frames")
     Right(VideoStats("y4m", w, h, fn, fd, cs, frames,
       frames * 1000L * fd / fn, ySum.toDouble / (frames * ySize), yMin, yMax))
+  }
+
+  /** One frame TRANSITION's luma difference: `frame` is the index of
+    * the LATER frame (1-based transition k−1 → k), `deltaPpm` the
+    * mean absolute per-pixel luma delta normalized to ppm of the
+    * 255 maximum — (Σ|Δ| · 10⁶) DIV (255 · w · h), truncating.
+    */
+  final case class SceneDelta(frame: Long, deltaPpm: Long)
+
+  /** Per-transition luma deltas — the scene-CUT detector's substrate
+    * (the standard shot-boundary heuristic: a transition whose mean
+    * absolute luma delta clears a threshold is a cut; gradual fades
+    * need windowed variants). Single pass, two luma planes of memory
+    * (previous + current), exact integer arithmetic throughout so the
+    * q201 oracle re-derives every delta from the source bytes.
+    * Single-frame streams return an empty list (no transitions).
+    */
+  def sceneDeltas(d: Array[Byte]): Either[String, Seq[SceneDelta]] = {
+    val hd = parseHeader(d) match {
+      case Left(e) => return Left(e)
+      case Right(x) => x
+    }
+    val ySize = hd.w * hd.h
+    var pos = hd.bodyPos
+    var frames = 0L
+    var prev: Array[Int] = null
+    var cur = new Array[Int](ySize)
+    val out = scala.collection.mutable.ArrayBuffer.empty[SceneDelta]
+    while (pos < d.length) {
+      if (pos + 5 > d.length || d(pos) != 'F' || d(pos + 1) != 'R' ||
+          d(pos + 2) != 'A' || d(pos + 3) != 'M' || d(pos + 4) != 'E')
+        return Left(s"y4m: expected FRAME marker at byte $pos")
+      var e = pos + 5
+      while (e < d.length && d(e) != 0x0a) e += 1
+      if (e >= d.length) return Left("y4m: unterminated FRAME header")
+      val body = e + 1
+      if (body + hd.fb > d.length)
+        return Left(s"y4m: truncated frame ${frames + 1} — need ${hd.fb} " +
+          s"bytes, have ${d.length - body}")
+      var i = 0
+      while (i < ySize) { cur(i) = d(body + i) & 0xff; i += 1 }
+      if (prev != null) {
+        var s = 0L
+        var j = 0
+        while (j < ySize) { s += math.abs(cur(j) - prev(j)); j += 1 }
+        out += SceneDelta(frames, (s * 1000000L) / (255L * ySize))
+      }
+      val t = prev; prev = cur
+      cur = if (t == null) new Array[Int](ySize) else t
+      frames += 1
+      pos = body + hd.fb.toInt
+    }
+    if (frames == 0) return Left("y4m: no frames")
+    Right(out.toSeq)
   }
 }

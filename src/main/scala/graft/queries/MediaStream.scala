@@ -323,6 +323,54 @@ object MediaStream {
       |FROM s
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q201
+  /** Scene-cut detection (Media.sceneCuts over VideoCodec.sceneDeltas)
+    * on the q111 y4m corpus — the video-curation operator that runs
+    * BEFORE frame sampling (sample within shots, not across them):
+    * per frame transition the exact mean absolute luma delta in ppm
+    * of 255, flagged a cut at 10%. Single-frame videos emit nothing
+    * (nf = 1 ⇔ len % 3 = 0 — both sides drop them identically). The
+    * oracle re-derives every per-pixel |Δ| from the source text bytes
+    * (all-ASCII corpus: byte == codepoint, the q111 rule).
+    */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toY4m(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.sceneCuts(media, thresholdPpm = 100000L).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("frame"), col("delta_ppm"), col("is_cut"))
+      .orderBy(col("media_id"), col("frame"))
+  }
+
+  private val q201Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 6 + 1 AS INTEGER) AS w,
+      |    CAST(length(text) % 4 + 1 AS INTEGER) AS h,
+      |    CAST(length(text) % 3 + 1 AS INTEGER) AS nf
+      |  FROM documents WHERE length(text) > 0),
+      |r AS (
+      |  SELECT doc_id, w, h, nf, 3*w*h AS fsz,
+      |    substring(repeat(text, CAST(ceil(CAST(3*w*h*nf AS DOUBLE) / len) AS INTEGER)),
+      |              1, 3*w*h*nf) AS rep
+      |  FROM d),
+      |tr AS (SELECT doc_id, w, h, fsz, rep, unnest(range(1, nf)) AS k
+      |       FROM r WHERE nf > 1),
+      |px AS (SELECT doc_id, w, h, k,
+      |    substring(rep, CAST((k-1)*fsz + 1 AS INTEGER), w*h) AS pa,
+      |    substring(rep, CAST(k*fsz + 1 AS INTEGER), w*h) AS pb
+      |  FROM tr),
+      |dl AS (SELECT doc_id, k, w, h,
+      |    list_sum(list_transform(range(1, w*h + 1), i -> abs(
+      |      unicode(pb[CAST(i AS INTEGER):CAST(i AS INTEGER)]) -
+      |      unicode(pa[CAST(i AS INTEGER):CAST(i AS INTEGER)])))) AS s
+      |  FROM px)
+      |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame,
+      |  CAST((s * 1000000) // (255 * w * h) AS BIGINT) AS delta_ppm,
+      |  (s * 1000000) // (255 * w * h) >= 100000 AS is_cut
+      |FROM dl
+      |ORDER BY media_id, frame""".stripMargin
+
   // --------------------------------------------------------------- q121
   /** Perceptual image near-dup (Media.imageNearDupPairs): documents
     * become real P6 PPM binaries (the q102 adapter), ImageCodec
@@ -1758,6 +1806,7 @@ object MediaStream {
     "q102_image_decode" -> (q102 _),
     "q103_audio_decode" -> (q103 _),
     "q111_video_decode" -> (q111 _),
+    "q201_scene_cuts" -> (q201 _),
     "q34_media_meta" -> (q34 _),
     "q35_frame_sample" -> (q35 _),
     "q36_sessionize" -> (q36 _),
@@ -1795,6 +1844,7 @@ object MediaStream {
     "q102_image_decode" -> q102Sql,
     "q103_audio_decode" -> q103Sql,
     "q111_video_decode" -> q111Sql,
+    "q201_scene_cuts" -> q201Sql,
     "q34_media_meta" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
     "q36_sessionize" -> q36Sql,
