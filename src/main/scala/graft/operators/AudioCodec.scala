@@ -137,6 +137,62 @@ object AudioCodec {
       }
     }
 
+  /** One analysis WINDOW's energy: `window` the 0-based index, `n`
+    * its sample count (the last window may be partial), `devPpm` the
+    * mean absolute deviation from the zero line normalized to ppm of
+    * full scale — (Σ|v − center| · 10⁶) DIV (scale · n), truncating.
+    * 8-bit PCM centers at 128 over scale 127; 16-bit at 0 over 32767.
+    */
+  final case class WindowEnergy(window: Long, n: Long, devPpm: Long)
+
+  /** Windowed energy over the sample stream — the substrate of
+    * energy-based voice-activity / silence detection (the audio twin
+    * of [[VideoCodec.sceneDeltas]]): fixed `winSamples` windows, per
+    * window the exact integer mean absolute deviation from the zero
+    * line in ppm of full scale. Interleaved channels fold into the
+    * same window (energy is channel-agnostic at this granularity).
+    * Single pass, O(1) memory; all integer so the q202 oracle
+    * re-derives every window from the source bytes.
+    */
+  def windowEnergies(
+      d: Array[Byte], winSamples: Int): Either[String, Seq[WindowEnergy]] = {
+    require(winSamples >= 1, s"winSamples must be >= 1: $winSamples")
+    dataChunk(d).flatMap { case (body, size, format, channels, rate, bits) =>
+      if (format != 1) return Left(s"wav: format code $format not supported (PCM only)")
+      if (channels <= 0) return Left(s"wav: bad channel count $channels")
+      if (rate <= 0) return Left(s"wav: bad sample rate $rate")
+      if (bits != 8 && bits != 16)
+        return Left(s"wav: $bits-bit samples not supported (8/16 only)")
+      val bytesPerSample = bits / 8
+      if (size % (channels * bytesPerSample) != 0)
+        return Left(s"wav: data size $size not a multiple of the frame")
+      val nSamples = size / bytesPerSample
+      if (nSamples == 0) return Left("wav: empty data chunk")
+      val (center, scale) = if (bits == 8) (128, 127L) else (0, 32767L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[WindowEnergy]
+      var i = 0L
+      var p = body
+      var win = 0L
+      var acc = 0L
+      var n = 0L
+      while (i < nSamples) {
+        val v =
+          if (bits == 8) d(p) & 0xff
+          else ((d(p) & 0xff) | (d(p + 1) << 8)).toShort.toInt
+        acc += math.abs(v - center)
+        n += 1
+        if (n == winSamples) {
+          out += WindowEnergy(win, n, (acc * 1000000L) / (scale * n))
+          win += 1; acc = 0L; n = 0L
+        }
+        p += bytesPerSample
+        i += 1
+      }
+      if (n > 0) out += WindowEnergy(win, n, (acc * 1000000L) / (scale * n))
+      Right(out.toSeq)
+    }
+  }
+
   private def decodeData(
       d: Array[Byte], body: Int, size: Long,
       format: Int, channels: Int, rate: Int, bits: Int): Either[String, AudioStats] = {

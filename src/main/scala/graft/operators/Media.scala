@@ -392,6 +392,45 @@ object Media {
     }
   }
 
+  final case class SilenceRow(
+      media_id: Long,
+      ok: Boolean,
+      err: String,
+      window: Long,
+      n_samples: Long,
+      dev_ppm: Long,
+      silent: Boolean)
+
+  /** Energy-based silence/VAD segmentation over decoded audio — the
+    * audio-curation twin of [[sceneCuts]] (trim silence before
+    * transcription, drop dead air from training clips): fixed-size
+    * sample windows, per window the exact mean absolute deviation
+    * from the zero line in ppm of full scale
+    * ([[AudioCodec.windowEnergies]] — single pass, O(1) memory),
+    * flagged silent under `thresholdPpm`. One row per window;
+    * undecodable payloads degrade to one error row. Map-only.
+    */
+  def silenceSegments(
+      media: Dataset[MediaRecord],
+      winSamples: Int,
+      thresholdPpm: Long): Dataset[SilenceRow] = {
+    require(thresholdPpm >= 0 && thresholdPpm <= 1000000L,
+      s"thresholdPpm must be a ppm fraction, got $thresholdPpm")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        AudioCodec.windowEnergies(m.data, winSamples) match {
+          case Right(ws) => ws.iterator.map(w =>
+            SilenceRow(m.media_id, ok = true, "", w.window, w.n, w.devPpm,
+              w.devPpm < thresholdPpm))
+          case Left(e) =>
+            Iterator.single(SilenceRow(m.media_id, ok = false, e, -1L, 0L, 0L,
+              silent = false))
+        }
+      }
+    }
+  }
+
   /** Little-endian unsigned int of `bytes` width as a binary column —
     * the RIFF header building block for [[toWav]].
     */

@@ -371,6 +371,44 @@ object MediaStream {
       |FROM dl
       |ORDER BY media_id, frame""".stripMargin
 
+  // --------------------------------------------------------------- q202
+  /** Silence/VAD segmentation (Media.silenceSegments over
+    * AudioCodec.windowEnergies) on the q103 WAV corpus — the audio-
+    * curation twin of q201 (trim dead air before transcription):
+    * 256-sample windows, per window the exact mean |v − 128| in ppm
+    * of the 127 full scale, silent under 25%. ASCII sample bytes make
+    * both verdict classes fire (lowercase ≈ 47–244k ppm, uppercase ≈
+    * 299–496k). The oracle re-derives every window from the source
+    * text codepoints (the q111 byte==codepoint rule), partial last
+    * window included.
+    */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toWav(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.silenceSegments(media, winSamples = 256, thresholdPpm = 250000L).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("window"), col("n_samples"),
+        col("dev_ppm"), col("silent"))
+      .orderBy(col("media_id"), col("window"))
+  }
+
+  private val q202Sql =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len
+      |           FROM documents WHERE length(text) > 0),
+      |w AS (SELECT doc_id, text, unnest(range((len + 255) // 256)) AS k FROM d),
+      |sl AS (SELECT doc_id, k,
+      |         substring(text, CAST(k*256 + 1 AS INTEGER), 256) AS seg FROM w),
+      |en AS (SELECT doc_id, k, length(seg) AS n,
+      |    list_sum(list_transform(range(1, length(seg) + 1),
+      |      i -> abs(unicode(seg[CAST(i AS INTEGER):CAST(i AS INTEGER)]) - 128))) AS s
+      |  FROM sl)
+      |SELECT doc_id AS media_id, CAST(k AS BIGINT) AS "window",
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST((s * 1000000) // (127 * n) AS BIGINT) AS dev_ppm,
+      |  (s * 1000000) // (127 * n) < 250000 AS silent
+      |FROM en
+      |ORDER BY media_id, "window"""".stripMargin
+
   // --------------------------------------------------------------- q121
   /** Perceptual image near-dup (Media.imageNearDupPairs): documents
     * become real P6 PPM binaries (the q102 adapter), ImageCodec
@@ -1807,6 +1845,7 @@ object MediaStream {
     "q103_audio_decode" -> (q103 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
+    "q202_silence_segments" -> (q202 _),
     "q34_media_meta" -> (q34 _),
     "q35_frame_sample" -> (q35 _),
     "q36_sessionize" -> (q36 _),
@@ -1845,6 +1884,7 @@ object MediaStream {
     "q103_audio_decode" -> q103Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
+    "q202_silence_segments" -> q202Sql,
     "q34_media_meta" -> q34Sql,
     "q35_frame_sample" -> q35Sql,
     "q36_sessionize" -> q36Sql,
