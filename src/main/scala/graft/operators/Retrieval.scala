@@ -256,6 +256,45 @@ object Retrieval {
     }.reduce(_.unionByName(_))
   }
 
+  /** Ordered proximity search ("A NEAR/w B", Lucene's sloppy-phrase
+    * family restricted to the ordered two-term form): per document
+    * the count of position pairs where `term_b` follows `term_a`
+    * within `window` tokens (pb − pa ∈ [1, window]). The retrieval
+    * operator between exact phrase (window = 1) and bag-of-words —
+    * what concordance tools and legal/patent search actually run.
+    *
+    * Plan: both term literals push into the positional-postings scan
+    * (each side costs its term's df, never the corpus), ONE doc-keyed
+    * equi-join between them, the range as a post-join filter, and a
+    * map-side-combined per-doc count. Per-doc pair work is tf_a·tf_b
+    * — term-frequency bounded, the positional-index cost model.
+    */
+  def proximitySearch(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairs: Seq[(String, String)],
+      window: Int): DataFrame = {
+    require(pairs.nonEmpty, "pairs must be non-empty")
+    require(window >= 1, s"window must be >= 1: $window")
+    val post = positionalPostings(corpus, idCol, textCol)
+    pairs.map { case (ta0, tb0) =>
+      val ta = ta0.toLowerCase(java.util.Locale.ROOT)
+      val tb = tb0.toLowerCase(java.util.Locale.ROOT)
+      require(ta.nonEmpty && tb.nonEmpty, s"empty proximity term: '$ta0'/'$tb0'")
+      val a = post.filter(col("term") === ta)
+        .select(col("doc_id"), col("pos").as("pa"))
+      val b = post.filter(col("term") === tb)
+        .select(col("doc_id"), col("pos").as("pb"))
+      a.join(b, Seq("doc_id"))
+        .filter(col("pb") - col("pa") >= 1 && col("pb") - col("pa") <= window)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(ta0).as("term_a"), lit(tb0).as("term_b"),
+          col("doc_id"), col("n_pairs"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** SymSpell deletion-variant expression: the term itself plus every
     * single-character deletion, deduplicated. Two strings share a
     * variant iff they are within one edit (equal / one insertion / one

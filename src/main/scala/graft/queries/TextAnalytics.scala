@@ -1967,6 +1967,43 @@ object TextAnalytics {
        |ORDER BY phrase, doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q203
+  /** Ordered proximity search (Retrieval.proximitySearch — "A NEAR/3
+    * B"): per document the count of position pairs where B follows A
+    * within 3 tokens, for three term pairs including a same-term pair
+    * (self-proximity counts repeated mentions). The operator between
+    * q139's exact phrase (window 1) and bag-of-words retrieval. Both
+    * term literals push into the positional-postings scan; one
+    * doc-keyed equi-join per pair. Oracle: the q139 positional CTE
+    * with a BETWEEN range instead of the exact-offset equality.
+    */
+  private val q203Pairs = Seq(("table", "hash"), ("slow", "part"), ("key", "key"))
+
+  private def q203(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.proximitySearch(
+        t(s, dir, "documents"), "doc_id", "text", q203Pairs, window = 3)
+      .orderBy(col("term_a"), col("term_b"), col("doc_id"))
+
+  private val q203Sql = {
+    val per = q203Pairs.zipWithIndex.map { case ((ta, tb), pi) =>
+      s"""m$pi AS (
+         |  SELECT '$ta' AS term_a, '$tb' AS term_b, a.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM tkp a JOIN tkp b ON b.doc_id = a.doc_id
+         |    AND b.pos - a.pos BETWEEN 1 AND 3 AND b.term = '$tb'
+         |  WHERE a.term = '$ta'
+         |  GROUP BY a.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |tkp AS (SELECT doc_id, unnest(toks) AS term,
+       |          generate_subscripts(toks, 1) AS pos
+       |        FROM tk),
+       |$per
+       |SELECT * FROM (SELECT * FROM m0 UNION ALL SELECT * FROM m1
+       |               UNION ALL SELECT * FROM m2)
+       |ORDER BY term_a, term_b, doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q127
   /** Retrieval-quality report — q100's recall discipline applied to
     * the lexical searcher: queries are the doc_id % 29 split (wider
@@ -2345,6 +2382,7 @@ object TextAnalytics {
     "q195_recrawl_increment" -> (q195 _),
     "q197_lang_segments" -> (q197 _),
     "q200_encoding_audit" -> (q200 _),
+    "q203_proximity_search" -> (q203 _),
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q199_more_like_this" -> (q199 _),
@@ -2397,6 +2435,7 @@ object TextAnalytics {
     "q195_recrawl_increment" -> q192Sql,
     "q197_lang_segments" -> q197Sql,
     "q200_encoding_audit" -> q200Sql,
+    "q203_proximity_search" -> q203Sql,
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q199_more_like_this" -> q199Sql,

@@ -308,6 +308,27 @@ class RetrievalSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("proximitySearch: ordered window pairs, self-proximity, window bounds") {
+    val docs = Seq(
+      (1L, "a x b a b"),     // a@0,3 b@2,4: pairs (0,2),(3,4) in w2; (0,4) only at w4
+      (2L, "b a"),           // b BEFORE a: ordered -> no match
+      (3L, "c c x c"))       // self pairs within 2: (0,1),(1,3) -> 2
+      .toDF("doc_id", "text")
+    def run(pairs: Seq[(String, String)], w: Int) =
+      Retrieval.proximitySearch(docs, "doc_id", "text", pairs, w)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3))
+        .toMap
+    val w2 = run(Seq(("a", "b"), ("c", "c")), 2)
+    assert(w2 === Map(("a", "b", 1L) -> 2L, ("c", "c", 3L) -> 2L))
+    // widening the window admits the long-range (0,4) pair
+    assert(run(Seq(("a", "b")), 4) === Map(("a", "b", 1L) -> 3L))
+    // exact-adjacency window degenerates to bigram counting
+    assert(run(Seq(("a", "b")), 1) === Map(("a", "b", 1L) -> 1L))
+    intercept[IllegalArgumentException] {
+      Retrieval.proximitySearch(docs, "doc_id", "text", Seq(("a", "b")), 0)
+    }
+  }
+
   test("moreLikeThis: exact tf-idf dot, self excluded, fraction cap drops common terms") {
     // N = 4; df: x=2, y=2, z=1, w=1, q=1. Query doc 1 = "x x y".
     // cap 50% -> df <= 2, every term survives:
