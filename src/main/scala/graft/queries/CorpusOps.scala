@@ -2382,6 +2382,92 @@ object CorpusOps {
        |ORDER BY source""".stripMargin
   }
 
+  // --------------------------------------------------------------- q204
+  /** Dataset card — the per-source datasheet a training-data release
+    * ships (Gebru et al.'s "Datasheets for Datasets", the composition
+    * discipline of q115/q136: every stage an already-gated operator):
+    * document and token counts, mean q184-ppm quality, near-dup
+    * membership ppm (the q49 component frame), declared-language
+    * count and the majority language (ties alphabetical). One corpus
+    * pass for scoring, the dedup frame joins on the id, and three
+    * source-cardinality aggregates — nothing new shuffles. The oracle
+    * re-derives the full chain.
+    */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, threshold = 0.5)
+    val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("doc").as("doc_id"), lit(1L).as("dup"))
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val en = graft.functions.TextFunctions.stopwords("en")
+    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
+        col("text"), toks.as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_stop", size(filter(col("toks"),
+        t => t.isInCollection(en))).cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .withColumn("q_ppm", expr(
+        """4000 * least(n_tok, 100L)
+          |+ (300000 * n_stop) div greatest(n_tok, 1L)
+          |+ (300000 * n_alpha) div greatest(length(text), 1)""".stripMargin))
+      .join(comps, Seq("doc_id"), "left")
+    val base = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("q_ppm")).as("__q_sum"),
+        sum(coalesce(col("dup"), lit(0L))).as("__n_dup"))
+      .selectExpr("source", "n_docs", "n_tokens",
+        "__q_sum DIV n_docs AS quality_ppm",
+        "(__n_dup * 1000000) DIV n_docs AS dup_ppm")
+    val lc = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__c"))
+    val langs = lc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(struct((-col("__c")).as("nc"), col("lang").as("l"))).as("__b"))
+      .select(col("source"), col("n_langs"), col("__b.l").as("top_lang"))
+    base.join(langs, Seq("source")).orderBy(col("source"))
+  }
+
+  private val q204Sql = {
+    val en = graft.functions.TextFunctions.stopwords("en")
+      .mkString("['", "', '", "']")
+    s"""WITH RECURSIVE
+       |pairs AS (SELECT doc_a, doc_b FROM ($q28Sql)),
+       |dups AS (SELECT DISTINCT doc_id FROM (
+       |           SELECT doc_a AS doc_id FROM pairs
+       |           UNION ALL SELECT doc_b FROM pairs)),
+       |sc AS (SELECT doc_id, source,
+       |         CAST(len(toks) AS BIGINT) AS n_tok,
+       |         4000 * least(CAST(len(toks) AS BIGINT), 100)
+       |         + (300000 * CAST(len(list_filter(toks,
+       |             t -> list_contains($en, t))) AS BIGINT))
+       |           // greatest(CAST(len(toks) AS BIGINT), 1)
+       |         + (300000 * CAST(length(regexp_replace(lower(text),
+       |             '[^a-z]', '', 'g')) AS BIGINT))
+       |           // greatest(length(text), 1) AS q_ppm
+       |       FROM (SELECT doc_id, source, text, $toksSql AS toks FROM documents)),
+       |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(sc.n_tok) AS BIGINT) AS n_tokens,
+       |          CAST(sum(sc.q_ppm) // count(*) AS BIGINT) AS quality_ppm,
+       |          CAST((sum(CASE WHEN dups.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |            * 1000000) // count(*) AS BIGINT) AS dup_ppm
+       |        FROM sc LEFT JOIN dups ON dups.doc_id = sc.doc_id
+       |        GROUP BY source),
+       |lg AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+       |tl AS (SELECT source, lang FROM (
+       |         SELECT source, lang,
+       |           row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+       |         FROM lg) WHERE rn = 1),
+       |nl AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs FROM lg GROUP BY source)
+       |SELECT agg.source, agg.n_docs, agg.n_tokens, agg.quality_ppm, agg.dup_ppm,
+       |  nl.n_langs, tl.lang AS top_lang
+       |FROM agg JOIN nl ON nl.source = agg.source
+       |         JOIN tl ON tl.source = agg.source
+       |ORDER BY agg.source""".stripMargin
+  }
+
   private val q184Sql = {
     val en = graft.functions.TextFunctions.stopwords("en")
       .mkString("['", "', '", "']")
@@ -2468,6 +2554,7 @@ object CorpusOps {
     "q183_epoch_schedule" -> (q183 _),
     "q184_quality_dup" -> (q184 _),
     "q198_domain_quality" -> (q198 _),
+    "q204_dataset_card" -> (q204 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2520,6 +2607,7 @@ object CorpusOps {
     "q183_epoch_schedule" -> q183Sql,
     "q184_quality_dup" -> q184Sql,
     "q198_domain_quality" -> q198Sql,
+    "q204_dataset_card" -> q204Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,
