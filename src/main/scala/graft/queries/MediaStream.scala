@@ -1437,6 +1437,84 @@ object MediaStream {
        |LEFT JOIN rc ON rc.id = d.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q205
+  /** Template-family detection (Warc.templateFingerprint): pages
+    * group by the md5 of their OPENING-TAG sequence — the
+    * crawl-curation signal text dedup can't give (generated-site
+    * farms and mirror shells are lexically distinct but structurally
+    * identical). The q135 anchor pages get one of four analytic
+    * template variants (div/p, ul/li/li, table/tr/td, bare), so the
+    * gate pins the tag extraction itself: the oracle computes the
+    * EXPECTED tag sequence per variant analytically and hashes it —
+    * an extractor that caught attribute junk or missed a tag breaks
+    * every group.
+    */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val extra = when(col("doc_id") % 4 === 0, lit("<div><p>t</p></div>"))
+      .when(col("doc_id") % 4 === 1, lit("<ul><li>i</li><li>j</li></ul>"))
+      .when(col("doc_id") % 4 === 2, lit("<table><tr><td>c</td></tr></table>"))
+      .otherwise(lit(""))
+    withAnchorHtml(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        Warc.templateFingerprint(concat(col("html"), extra)).as("structure_fp"))
+      .groupBy(col("structure_fp"))
+      .agg(count(lit(1)).as("n_pages"), min(col("doc_id")).as("sample_doc"))
+      .orderBy(col("sample_doc"))
+  }
+
+  private val q205Sql =
+    """SELECT md5(CASE doc_id % 4
+      |    WHEN 0 THEN 'html>body>a>a>a>div>p'
+      |    WHEN 1 THEN 'html>body>a>a>a>ul>li>li'
+      |    WHEN 2 THEN 'html>body>a>a>a>table>tr>td'
+      |    ELSE 'html>body>a>a>a' END) AS structure_fp,
+      |  CAST(count(*) AS BIGINT) AS n_pages,
+      |  CAST(min(doc_id) AS BIGINT) AS sample_doc
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY sample_doc""".stripMargin
+
+  // --------------------------------------------------------------- q206
+  /** URL template mining (Warc.urlPathTemplate) — the crawler-trap /
+    * frontier-dedup unit: URLs collapse to path templates (hex ids →
+    * {h}, digit runs → {n}, query values dropped, param names sorted)
+    * and the report counts URLs per (host, template). Three analytic
+    * URL shapes exercise every masking rule: a paginated article path
+    * with two query params, a zero-padded hex content id, and a
+    * static page. The oracle re-derives each template analytically
+    * from the doc_id arithmetic — a masking rule that over- or
+    * under-matches breaks its group.
+    */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val docs = t(s, dir, "documents")
+    val url = concat(lit("https://www.site"), col("doc_id") % 7, lit(".org"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("/p/"), col("doc_id"),
+          lit("?utm_source=feed&ref="), col("doc_id")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("/article/"),
+            lpad(lower(hex(col("doc_id"))), 8, "0")))
+        .otherwise(lit("/about")))
+    docs.select(Warc.urlHost(url).as("host"),
+        Warc.urlPathTemplate(url).as("path_template"))
+      .groupBy(col("host"), col("path_template"))
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy(col("host"), col("path_template"))
+  }
+
+  private val q206Sql =
+    """SELECT 'www.site' || (doc_id % 7) || '.org' AS host,
+      |  CASE doc_id % 3
+      |    WHEN 0 THEN '/p/{n}?ref&utm_source'
+      |    WHEN 1 THEN '/article/{h}'
+      |    ELSE '/about' END AS path_template,
+      |  CAST(count(*) AS BIGINT) AS n_urls
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY host, path_template""".stripMargin
+
   // --------------------------------------------------------------- q196
   /** Co-citation pairs (LinkGraph.coCitation, Small 1973) over the
     * q135 anchor graph: pages repeatedly linked by the SAME sources —
@@ -1833,6 +1911,8 @@ object MediaStream {
     "q188_trust_rank" -> (q188 _),
     "q193_degree_stats" -> (q193 _),
     "q196_cocitation" -> (q196 _),
+    "q205_template_families" -> (q205 _),
+    "q206_url_templates" -> (q206 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -1872,6 +1952,8 @@ object MediaStream {
     "q188_trust_rank" -> q188Sql,
     "q193_degree_stats" -> q193Sql,
     "q196_cocitation" -> q196Sql,
+    "q205_template_families" -> q205Sql,
+    "q206_url_templates" -> q206Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,

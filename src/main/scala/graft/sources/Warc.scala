@@ -384,6 +384,45 @@ object Warc {
   def urlHost(url: Column): Column =
     regexp_replace(lower(regexp_extract(url, "^[^:]+://([^/?#]*)", 1)), ":\\d+$", "")
 
+  /** URL path TEMPLATE — the URL with its variable parts masked:
+    * long hex runs (≥ 8 chars — content ids, session tokens) become
+    * `{h}`, digit runs become `{n}`, query parameter VALUES drop
+    * (sorted distinct names survive — the facet structure). Two URLs
+    * sharing a template are the same page generator with different
+    * ids — the unit crawler-trap detection counts: a host whose
+    * per-template URL count explodes (calendar pages, faceted
+    * navigation, session-id echoes) is a trap, and its template roster
+    * is the dedup/budget key a frontier actually wants (fetch a few
+    * per template, not millions). Map-only, codegen'd regexes.
+    */
+  def urlPathTemplate(url: Column): Column = {
+    val path = regexp_extract(url, "^[^:]+://[^/?#]*([^?#]*)", 1)
+    val masked = regexp_replace(
+      regexp_replace(path, "[0-9a-f]{8,}", "{h}"), "[0-9]+", "{n}")
+    val q = regexp_extract(url, "\\?([^#]*)", 1)
+    val names = array_sort(array_distinct(transform(
+      filter(split(q, "&"), p => p =!= ""),
+      p => regexp_extract(p, "^([^=]+)", 1))))
+    concat(
+      when(path === "", lit("/")).otherwise(masked),
+      when(size(names) > 0, concat(lit("?"), array_join(names, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Structural template fingerprint — md5 of the page's OPENING-tag
+    * sequence (tag names only, attributes and text stripped): two
+    * pages sharing it were rendered by the SAME template, whatever
+    * their words say. The crawl-curation signal text dedup can't
+    * give — template families (forum skins, product-page generators,
+    * mirror shells) whose members are lexically distinct but
+    * structurally identical; a corpus where one fingerprint covers
+    * millions of pages is a generated-site farm. Map-only, one
+    * regexp_extract_all, codegen'd.
+    */
+  def templateFingerprint(html: Column): Column =
+    md5(array_join(
+      regexp_extract_all(lower(html), lit("<([a-z][a-z0-9]*)"), lit(1)), ">"))
+
   /** Every anchor href in an HTML page, document order — the edge
     * emitter of the crawl link graph (outlinks feed the frontier and
     * [[graft.operators.LinkGraph]]'s quality ranks). Builtin

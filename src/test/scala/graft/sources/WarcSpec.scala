@@ -388,4 +388,29 @@ class WarcSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
+
+  test("urlPathTemplate masks hex ids then digits, sorts param names, roots empty paths") {
+    val cases = Seq(
+      "https://a.org/p/123?utm_source=x&ref=9" -> "/p/{n}?ref&utm_source",
+      "https://a.org/article/00deadbeef42" -> "/article/{h}",
+      "https://a.org/y2024/m03/d05" -> "/y{n}/m{n}/d{n}",
+      "https://a.org/about" -> "/about",
+      "https://a.org" -> "/",                      // empty path roots
+      "https://a.org/x?a=1&a=2&b=3" -> "/x?a&b",   // dup names collapse
+      "https://a.org/x#frag" -> "/x")              // fragment ignored
+    val got = cases.map(_._1).toDF("u")
+      .select(Warc.urlPathTemplate(col("u"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+  }
+
+  test("templateFingerprint hashes the opening-tag sequence, ignoring attrs/text/close tags") {
+    val same = Seq(
+      "<html><body class=\"x\"><p>hello</p></body></html>",
+      "<HTML><BODY><P>completely other words</P></BODY></HTML>")
+      .toDF("h").select(Warc.templateFingerprint(col("h"))).as[String].collect()
+    assert(same.distinct.length === 1, "same structure must share the fingerprint")
+    val diff = Seq("<html><body><div>hello</div></body></html>")
+      .toDF("h").select(Warc.templateFingerprint(col("h"))).as[String].collect()
+    assert(diff.head !== same.head, "different structure must differ")
+  }
 }
