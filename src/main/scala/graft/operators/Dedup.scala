@@ -595,6 +595,52 @@ object Dedup {
       clusters.filter(col("doc") =!= col("cluster")).select(col("doc").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Content-defined chunking — boundaries decided by the CONTENT,
+    * not by offsets (the FastCDC/LBFS rule, token-level): a chunk
+    * ends after any token whose seeded hash ≡ 0 (mod avgSize), so an
+    * insertion early in a document shifts only the chunk it lands in
+    * — every later chunk re-aligns and deduplicates against the
+    * previous version. The substrate of storage-level dedup and of
+    * edit-robust RAG chunking (fixed-width chunks shift EVERY
+    * boundary after an edit; CDC chunks don't). Expected chunk length
+    * = avgSize tokens (geometric); no max-size clamp — a pathological
+    * never-boundary stream is one chunk, which the q79 substring
+    * machinery handles better anyway (documented trade).
+    *
+    * Returns one row per chunk: (doc, chunk, n_tokens, chunk_md5) —
+    * chunk ids are 0-based in document order, chunk_md5 hashes the
+    * space-joined tokens (the dedup key: equal chunks hash equal
+    * across documents and corpus versions).
+    *
+    * Plan shape: one explode, a map-only boundary flag (seeded md5 —
+    * engine-portable, the q98/q132 hash family), ONE doc-keyed
+    * running-sum window (frames bounded by document length — the
+    * q192 window class, never corpus-wide), and a grouped rebuild.
+    */
+  def cdcChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      avgSize: Int = 16): DataFrame = {
+    require(avgSize >= 2, s"avgSize must be >= 2: $avgSize")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol).as("doc"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "term")))
+      .withColumn("b", when(pmod(TextFunctions.hash60(
+        concat(lit("cdc|"), col("term"))), lit(avgSize.toLong)) === 0, 1L)
+        .otherwise(0L))
+      // the boundary closes the chunk AFTER its token: a token's chunk
+      // counts only boundaries strictly before it
+      .withColumn("chunk", sum(col("b")).over(w) - col("b"))
+      .groupBy(col("doc"), col("chunk"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          x => x.getField("term")), " ")).as("chunk_md5"))
+  }
+
   /** Apply a dedup decision keeping the BEST cluster member instead
     * of the arbitrary min-id canonical — the selection rule curation
     * pipelines actually ship (RefinedWeb/FineWeb keep the

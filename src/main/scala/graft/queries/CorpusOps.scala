@@ -646,6 +646,38 @@ object CorpusOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q207
+  /** Content-defined chunking (Dedup.cdcChunks, the FastCDC/LBFS rule
+    * at token level): chunk boundaries decided by token-hash content,
+    * so edits shift ONE chunk and every later chunk re-aligns — the
+    * substrate of storage dedup and edit-robust RAG chunking. One row
+    * per chunk with its order-exact content hash; the oracle
+    * re-derives the boundary flags, the running chunk assignment, and
+    * every chunk hash independently (same seeded-md5 family as
+    * q98/q132).
+    */
+  private def q207(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunks(t(s, dir, "documents"), "doc_id", "text", avgSize = 16)
+      .orderBy(col("doc"), col("chunk"))
+
+  private val q207Sql =
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tkp AS (SELECT doc_id, unnest(toks) AS term,
+       |          generate_subscripts(toks, 1) AS pos FROM tk),
+       |f AS (SELECT doc_id, term, pos,
+       |    CASE WHEN CAST(concat('0x', substring(md5('cdc|' || term), 1, 15))
+       |           AS BIGINT) % 16 = 0 THEN 1 ELSE 0 END AS b
+       |  FROM tkp),
+       |c AS (SELECT doc_id, term, pos,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) - b AS chunk
+       |  FROM f)
+       |SELECT doc_id AS doc, CAST(chunk AS BIGINT) AS chunk,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_md5
+       |FROM c
+       |GROUP BY doc_id, chunk
+       |ORDER BY doc, chunk""".stripMargin
+
   // --------------------------------------------------------------- q166
   /** Dedup audit (Dedup.dedupAudit): the cluster-size distribution of
     * the q49 component graph — per size the cluster count and docs
@@ -2555,6 +2587,7 @@ object CorpusOps {
     "q184_quality_dup" -> (q184 _),
     "q198_domain_quality" -> (q198 _),
     "q204_dataset_card" -> (q204 _),
+    "q207_cdc_chunks" -> (q207 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2608,6 +2641,7 @@ object CorpusOps {
     "q184_quality_dup" -> q184Sql,
     "q198_domain_quality" -> q198Sql,
     "q204_dataset_card" -> q204Sql,
+    "q207_cdc_chunks" -> q207Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,

@@ -306,6 +306,36 @@ class CorpusOpsSpec extends SparkSpec {
       s"exact spans without the 5-gram flag: ${spanned.diff(flagged).toSeq.sorted.take(5)}")
   }
 
+  test("cdcChunks: reconstruction, cross-doc chunk identity, prefix-edit locality") {
+    val longText = (0 until 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, longText),
+      (2L, longText),              // identical doc -> identical chunk stream
+      (3L, "zz qq " + longText))   // prefix insertion
+      .toDF("doc_id", "text")
+    val rows = Dedup.cdcChunks(docs, "doc_id", "text", avgSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def chunksOf(d: Long) = rows.filter(_._1 == d).sortBy(_._2)
+    val c1 = chunksOf(1L)
+    assert(c1.length >= 2, "fixture must chunk (probabilistically certain)")
+    // chunk ids are 0-based consecutive; token counts reconstruct the doc
+    assert(c1.map(_._2).toSeq === (0L until c1.length.toLong))
+    assert(c1.map(_._3).sum === 200L)
+    // identical docs chunk identically
+    assert(chunksOf(2L).map(x => (x._2, x._3, x._4)).toSeq ===
+      c1.map(x => (x._2, x._3, x._4)).toSeq)
+    // CONTENT-DEFINED: after the original's first boundary everything
+    // re-aligns — c1's chunk-hash stream from index 1 survives as a
+    // SUFFIX of the edited doc's stream (the inserted tokens can only
+    // perturb chunks before that point; fixed-width would shift all)
+    val c3 = chunksOf(3L)
+    assert(c3.map(_._4).endsWith(c1.map(_._4).drop(1).toSeq))
+    assert(c3.head._4 !== c1.head._4)
+    intercept[IllegalArgumentException] {
+      Dedup.cdcChunks(docs, "doc_id", "text", avgSize = 1)
+    }
+  }
+
   test("removeDuplicatesKeepBest keeps the max-score member, ties to min id; constant score = min-id rule") {
     val corpus = Seq(
       (0L, "short", 5L), (1L, "longer text", 11L), (2L, "longer other", 11L),
