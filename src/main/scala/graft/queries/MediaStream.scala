@@ -1515,6 +1515,44 @@ object MediaStream {
       |GROUP BY 1, 2
       |ORDER BY host, path_template""".stripMargin
 
+  // --------------------------------------------------------------- q208
+  /** Page-metadata extraction (Warc.metaContent / htmlTitle): title,
+    * og:title, and description per page, with the fixture exercising
+    * BOTH meta attribute orders (property-first on even ids,
+    * content-first on odd — real serializers emit both) and a missing
+    * description on %3 = 0 (must degrade to empty, not null, not a
+    * parse error). Map-only; oracle re-derives every field from the
+    * doc_id arithmetic.
+    */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val docs = t(s, dir, "documents")
+    val metaTitle = when(col("doc_id") % 2 === 0,
+      concat(lit("<meta property=\"og:title\" content=\"T"), col("doc_id"),
+        lit("\"/>")))
+      .otherwise(concat(lit("<meta content=\"T"), col("doc_id"),
+        lit("\" property=\"og:title\"/>")))
+    val metaDesc = when(col("doc_id") % 3 =!= 0,
+      concat(lit("<meta name=\"description\" content=\"D"), col("doc_id") % 10,
+        lit("\"/>"))).otherwise(lit(""))
+    val html = concat(lit("<html><head><TITLE> Doc "), col("doc_id"),
+      lit(" </TITLE>"), metaTitle, metaDesc, lit("</head><body>x</body></html>"))
+    docs.select(col("doc_id"),
+        trim(Warc.htmlTitle(html)).as("title"),
+        Warc.metaContent(html, "og:title").as("og_title"),
+        Warc.metaContent(html, "description").as("description"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q208Sql =
+    """SELECT doc_id,
+      |  'Doc ' || doc_id AS title,
+      |  'T' || doc_id AS og_title,
+      |  CASE WHEN doc_id % 3 <> 0 THEN 'D' || (doc_id % 10) ELSE '' END
+      |    AS description
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q196
   /** Co-citation pairs (LinkGraph.coCitation, Small 1973) over the
     * q135 anchor graph: pages repeatedly linked by the SAME sources —
@@ -1913,6 +1951,7 @@ object MediaStream {
     "q196_cocitation" -> (q196 _),
     "q205_template_families" -> (q205 _),
     "q206_url_templates" -> (q206 _),
+    "q208_meta_extract" -> (q208 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -1954,6 +1993,7 @@ object MediaStream {
     "q196_cocitation" -> q196Sql,
     "q205_template_families" -> q205Sql,
     "q206_url_templates" -> q206Sql,
+    "q208_meta_extract" -> q208Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,

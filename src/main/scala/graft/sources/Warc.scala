@@ -384,6 +384,24 @@ object Warc {
   def urlHost(url: Column): Column =
     regexp_replace(lower(regexp_extract(url, "^[^:]+://([^/?#]*)", 1)), ":\\d+$", "")
 
+  /** `<meta>` content for a name/property key — the page-metadata
+    * channel (og:*, description, robots) a crawl curator reads before
+    * the body: titles/descriptions feed retrieval and dataset cards,
+    * `robots` metas gate indexing. Handles BOTH attribute orders
+    * (content-first serializers are common), `name=` and `property=`
+    * interchangeably, case-insensitive tags. Missing key → empty
+    * string (the degradation rule). `key` is a trusted literal
+    * (og:title, description, …) — regex-significant characters in it
+    * are the caller's bug, documented not escaped.
+    */
+  def metaContent(html: Column, key: String): Column = {
+    val fwd = regexp_extract(html,
+      s"""(?i)<meta\\s[^>]*(?:name|property)="$key"[^>]*content="([^"]*)"""", 1)
+    val rev = regexp_extract(html,
+      s"""(?i)<meta\\s[^>]*content="([^"]*)"[^>]*(?:name|property)="$key"""", 1)
+    when(fwd =!= "", fwd).otherwise(rev)
+  }
+
   /** URL path TEMPLATE — the URL with its variable parts masked:
     * long hex runs (≥ 8 chars — content ids, session tokens) become
     * `{h}`, digit runs become `{n}`, query parameter VALUES drop

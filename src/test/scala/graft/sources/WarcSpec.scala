@@ -389,6 +389,20 @@ class WarcSpec extends SparkSpec {
     assert(!plan.contains("Join") && !plan.contains("Window"), plan)
   }
 
+  test("metaContent: both attribute orders, name vs property, missing key degrades to ''") {
+    val h = "<html><head>" +
+      "<META Property=\"og:title\" content=\"A&amp;B\"/>" +
+      "<meta content=\"desc here\" name=\"description\"/>" +
+      "</head></html>"
+    val got = Seq(h).toDF("h").select(
+      Warc.metaContent(col("h"), "og:title").as("t"),
+      Warc.metaContent(col("h"), "description").as("d"),
+      Warc.metaContent(col("h"), "robots").as("r")).collect().head
+    assert(got.getString(0) === "A&amp;B") // raw content, no entity decode here
+    assert(got.getString(1) === "desc here") // content-first order
+    assert(got.getString(2) === "")           // absent key -> empty
+  }
+
   test("urlPathTemplate masks hex ids then digits, sorts param names, roots empty paths") {
     val cases = Seq(
       "https://a.org/p/123?utm_source=x&ref=9" -> "/p/{n}?ref&utm_source",
