@@ -1553,6 +1553,72 @@ object MediaStream {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q209
+  /** Sitemap-vs-crawl coverage (composition: Warc.sitemapEntries ×
+    * an analytic fetch log) — the crawl-ops report a site owner and a
+    * crawl operator both read: per host, how many sitemap URLs were
+    * fetched (coverage ppm) and how many fetched URLs the sitemap
+    * never declared (orphans — generated/linked-only pages). Sitemaps
+    * are q146's real XML per site re-parsed through the extractor;
+    * the fetch log is analytic (every %5 ≠ 0 page, plus /extra/ pages
+    * on %11 = 0 ids that no sitemap lists). Full-outer on the URL —
+    * the id-keyed diff shape of q156. Oracle derives every count from
+    * the doc_id arithmetic.
+    */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val docs = t(s, dir, "documents")
+    // mirrors q146's sitemap corpus (one real sitemap.xml per site)
+    val entry = concat(
+      lit("<url><loc>https://www.site"), col("doc_id") % 7,
+      lit(".org/p/"), col("doc_id"), lit("</loc></url>"))
+    val sites = docs
+      .select((col("doc_id") % 7).as("k"), col("doc_id"), entry.as("e"))
+      .groupBy(col("k"))
+      .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        array_join(transform(array_sort(collect_list(struct(col("doc_id"), col("e")))),
+          x => x.getField("e")), ""),
+        lit("</urlset>")).as("xml"))
+    val sm = sites
+      .select(explode(Warc.sitemapEntries(col("xml"))).as("u"))
+      .select(col("u.loc").as("url"), lit(1L).as("in_sitemap"))
+    val fetched = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(concat(lit("https://www.site"), col("doc_id") % 7,
+        lit(".org/p/"), col("doc_id")).as("url"))
+      .union(docs.filter(col("doc_id") % 11 === 0)
+        .select(concat(lit("https://www.site"), col("doc_id") % 7,
+          lit(".org/extra/"), col("doc_id")).as("url")))
+      .withColumn("fetched", lit(1L))
+    sm.join(fetched.select(col("url"), col("fetched")), Seq("url"), "full_outer")
+      .select(Warc.urlHost(col("url")).as("host"),
+        coalesce(col("in_sitemap"), lit(0L)).as("s"),
+        coalesce(col("fetched"), lit(0L)).as("f"))
+      .groupBy(col("host"))
+      .agg(sum(col("s")).as("n_sitemap"),
+        sum(col("s") * col("f")).as("n_covered"),
+        sum((lit(1L) - col("s")) * col("f")).as("n_orphans"))
+      .withColumn("coverage_ppm",
+        expr("CASE WHEN n_sitemap > 0 THEN (n_covered * 1000000) DIV n_sitemap " +
+          "ELSE 0 END"))
+      .orderBy(col("host"))
+  }
+
+  private val q209Sql =
+    """WITH k AS (SELECT doc_id, doc_id % 7 AS site FROM documents),
+      |agg AS (SELECT site,
+      |    CAST(count(*) AS BIGINT) AS n_sitemap,
+      |    CAST(sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_covered,
+      |    CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_orphans
+      |  FROM k GROUP BY site)
+      |SELECT 'www.site' || site || '.org' AS host,
+      |  n_sitemap, n_covered, n_orphans,
+      |  CAST(CASE WHEN n_sitemap > 0 THEN (n_covered * 1000000) // n_sitemap
+      |       ELSE 0 END AS BIGINT) AS coverage_ppm
+      |FROM agg
+      |ORDER BY host""".stripMargin
+
   // --------------------------------------------------------------- q196
   /** Co-citation pairs (LinkGraph.coCitation, Small 1973) over the
     * q135 anchor graph: pages repeatedly linked by the SAME sources —
@@ -1952,6 +2018,7 @@ object MediaStream {
     "q205_template_families" -> (q205 _),
     "q206_url_templates" -> (q206 _),
     "q208_meta_extract" -> (q208 _),
+    "q209_sitemap_coverage" -> (q209 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -1994,6 +2061,7 @@ object MediaStream {
     "q205_template_families" -> q205Sql,
     "q206_url_templates" -> q206Sql,
     "q208_meta_extract" -> q208Sql,
+    "q209_sitemap_coverage" -> q209Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,
