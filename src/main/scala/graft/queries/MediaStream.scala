@@ -1553,6 +1553,43 @@ object MediaStream {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q210
+  /** Effective indexability — the verdict a compliant indexer
+    * actually computes, which NEITHER channel alone gives: robots.txt
+    * gates FETCHING (q145's verdicts) and the robots META gates
+    * INDEXING (q208's extractor reading `noindex`), and a page enters
+    * the corpus only when both allow. Metas are analytic (%13 = 0
+    * pages declare noindex, alternating attribute order); the oracle
+    * composes q145's robots CTEs with the meta arithmetic. One join
+    * of two map-only frames on the doc id.
+    */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val docs = t(s, dir, "documents")
+    val metaHtml = concat(lit("<html><head>"),
+      when(col("doc_id") % 13 === 0,
+        when(col("doc_id") % 2 === 0,
+          lit("<meta name=\"robots\" content=\"noindex,nofollow\"/>"))
+          .otherwise(lit("<meta content=\"noindex\" name=\"robots\"/>")))
+        .otherwise(lit("<meta name=\"robots\" content=\"index,follow\"/>")),
+      lit("</head><body>x</body></html>"))
+    val metas = docs.select(col("doc_id"),
+      Warc.metaContent(metaHtml, "robots").contains("noindex").as("noindex"))
+    robotsVerdicts(docs)
+      .join(metas, Seq("doc_id"))
+      .select(col("doc_id"), col("allowed"), col("noindex"),
+        (col("allowed") && !col("noindex")).as("indexable"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q210Sql =
+    s"""WITH $robotsCtes
+       |SELECT doc_id, allowed,
+       |  doc_id % 13 = 0 AS noindex,
+       |  allowed AND NOT (doc_id % 13 = 0) AS indexable
+       |FROM rv
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q209
   /** Sitemap-vs-crawl coverage (composition: Warc.sitemapEntries ×
     * an analytic fetch log) — the crawl-ops report a site owner and a
@@ -2019,6 +2056,7 @@ object MediaStream {
     "q206_url_templates" -> (q206 _),
     "q208_meta_extract" -> (q208 _),
     "q209_sitemap_coverage" -> (q209 _),
+    "q210_indexability" -> (q210 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -2062,6 +2100,7 @@ object MediaStream {
     "q206_url_templates" -> q206Sql,
     "q208_meta_extract" -> q208Sql,
     "q209_sitemap_coverage" -> q209Sql,
+    "q210_indexability" -> q210Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,
