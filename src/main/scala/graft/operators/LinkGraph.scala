@@ -309,6 +309,28 @@ object LinkGraph {
       .agg(count(lit(1)).as("n_common"))
   }
 
+  /** Bibliographic coupling (Kessler 1963) — the DUAL of
+    * [[coCitation]]: two SOURCES are related in proportion to how
+    * many distinct targets they both link. Where co-citation finds
+    * related CONTENT (endorsed by the same pages), coupling finds
+    * related PUBLISHERS — template families and mirror shells share
+    * outlink sets long before their text matches. Same machinery with
+    * the edge roles swapped; the cap now drops high IN-degree targets
+    * (a page everyone links — a home page, a license page — couples
+    * everything, the stopword rule again). Returns (src_a, src_b,
+    * n_common), src_a < src_b.
+    */
+  def bibliographicCoupling(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxDstInDegree: Int = 64): DataFrame =
+    coCitation(
+      edges.select(col(dstCol).as("__bc_s"), col(srcCol).as("__bc_d")),
+      "__bc_s", "__bc_d", maxDstInDegree)
+      .withColumnRenamed("doc_a", "src_a")
+      .withColumnRenamed("doc_b", "src_b")
+
   /** Per-node degree and reciprocity statistics — the structural
     * link-graph report next to the rank queries: out/in degree and
     * the fraction of a node's out-links that are RECIPROCATED

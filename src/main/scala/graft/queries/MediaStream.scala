@@ -1553,6 +1553,34 @@ object MediaStream {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q211
+  /** Bibliographic coupling (LinkGraph.bibliographicCoupling, Kessler
+    * 1963) — q196's dual: pairs of PAGES sharing ≥ 2 outlink targets,
+    * the publisher-side similarity that catches template families and
+    * mirror shells before their text matches. High in-degree targets
+    * drop at the cap (a page everyone links couples everything).
+    * Oracle: q196's capped self-join with the edge roles swapped.
+    */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LinkGraph
+    val docs = t(s, dir, "documents")
+    LinkGraph.bibliographicCoupling(extractedEdges(docs), "src", "dst",
+        maxDstInDegree = 64)
+      .filter(col("n_common") >= 2)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val q211Sql =
+    s"""WITH $edgeCtes,
+       |dg AS (SELECT dst, count(*) AS d FROM e GROUP BY dst),
+       |ek AS (SELECT e.src, e.dst FROM e JOIN dg USING (dst) WHERE dg.d <= 64),
+       |p AS (SELECT a.src AS sa, b.src AS sb
+       |      FROM ek a JOIN ek b ON a.dst = b.dst AND a.src < b.src),
+       |c AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY sa, sb)
+       |SELECT sa AS src_a, sb AS src_b, n AS n_common
+       |FROM c WHERE n >= 2
+       |ORDER BY src_a, src_b""".stripMargin
+
   // --------------------------------------------------------------- q210
   /** Effective indexability — the verdict a compliant indexer
     * actually computes, which NEITHER channel alone gives: robots.txt
@@ -2057,6 +2085,7 @@ object MediaStream {
     "q208_meta_extract" -> (q208 _),
     "q209_sitemap_coverage" -> (q209 _),
     "q210_indexability" -> (q210 _),
+    "q211_coupling" -> (q211 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -2101,6 +2130,7 @@ object MediaStream {
     "q208_meta_extract" -> q208Sql,
     "q209_sitemap_coverage" -> q209Sql,
     "q210_indexability" -> q210Sql,
+    "q211_coupling" -> q211Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,

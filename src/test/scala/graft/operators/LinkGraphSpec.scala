@@ -162,6 +162,15 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("bibliographicCoupling counts shared outlink targets; popular targets drop at the cap") {
+    val e = edges(1L -> 10L, 1L -> 11L, 2L -> 10L, 2L -> 11L, 3L -> 10L)
+    def run(cap: Int) = LinkGraph.bibliographicCoupling(e, "src", "dst", cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(run(64) === Map((1L, 2L) -> 2L, (1L, 3L) -> 1L, (2L, 3L) -> 1L))
+    // cap 2 drops target 10 (in-degree 3): only target 11 couples
+    assert(run(2) === Map((1L, 2L) -> 1L))
+  }
+
   // ------------------------------------------------- degree stats
   test("degreeStats: out/in degree, reciprocal count, ppm; self-loops dropped") {
     // 0→1 and 1→0 reciprocate; 0→2 does not; 2→2 self-loop drops
