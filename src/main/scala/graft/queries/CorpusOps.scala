@@ -646,6 +646,34 @@ object CorpusOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q212
+  /** Priority sampling (Export.prioritySample — Duffield, Lund &
+    * Thorup 2007): a deterministic weighted-without-replacement
+    * sample of 100 documents with inclusion ∝ n_chars — the
+    * mixture/eval downsampling rule rand() can't replay. Priority =
+    * seeded 52-bit hash DIV weight, k smallest win (ties to smaller
+    * id); the bounded TopK aggregator replaces the global sort. The
+    * oracle re-derives every priority and the row_number cut.
+    */
+  private def q212(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Export.prioritySample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100, seed = 7L)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy(col("doc_id"))
+
+  private val q212Sql =
+    """WITH pri AS (SELECT doc_id, n_chars,
+      |    (CAST(concat('0x', substring(md5('psample|7|' || doc_id), 1, 15))
+      |       AS BIGINT) % 4503599627370496)
+      |      // greatest(n_chars, 1) AS p
+      |  FROM documents),
+      |r AS (SELECT doc_id, n_chars, p,
+      |        row_number() OVER (ORDER BY p, doc_id) AS rn FROM pri)
+      |SELECT doc_id, n_chars, CAST(p AS BIGINT) AS priority
+      |FROM r WHERE rn <= 100
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q207
   /** Content-defined chunking (Dedup.cdcChunks, the FastCDC/LBFS rule
     * at token level): chunk boundaries decided by token-hash content,
@@ -2588,6 +2616,7 @@ object CorpusOps {
     "q198_domain_quality" -> (q198 _),
     "q204_dataset_card" -> (q204 _),
     "q207_cdc_chunks" -> (q207 _),
+    "q212_priority_sample" -> (q212 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2642,6 +2671,7 @@ object CorpusOps {
     "q198_domain_quality" -> q198Sql,
     "q204_dataset_card" -> q204Sql,
     "q207_cdc_chunks" -> q207Sql,
+    "q212_priority_sample" -> q212Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,

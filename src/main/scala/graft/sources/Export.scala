@@ -141,6 +141,44 @@ object Export {
     * "key-table window" class — the only windows run over count
     * rows, never the corpus).
     */
+  /** Priority sampling (Duffield, Lund & Thorup 2007) — weighted
+    * sampling WITHOUT replacement, deterministic: each row draws
+    * priority = u DIV max(w, 1) with u the seeded 52-bit hash of its
+    * id (the q98/q132 replay family — same seed, same sample, any
+    * cluster, any day), and the sample is the k SMALLEST priorities
+    * (ties to the smaller id). Heavier rows draw stochastically
+    * smaller priorities, giving the inclusion-probability-∝-weight
+    * sample the mixture/eval tooling wants, with the DLT estimator
+    * properties (weight sums estimable from the k+1-th priority) and
+    * none of rand()'s replay problems.
+    *
+    * Plan shape: one map-only priority projection, then the bounded
+    * TopK aggregator (O(k) state, map-side partial — never a global
+    * sort), and one broadcast semi-join to pull the sampled rows.
+    * Returns the sampled rows + their `priority` column.
+    */
+  def prioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val m = 1L << 52
+    val pri = df.select(col(idCol).as("__ps_id"),
+        pmod(TextFunctions.hash60(
+          concat(lit(s"psample|$seed|"), col(idCol))), lit(m)).as("__ps_u"),
+        col(weightCol).cast("long").as("__ps_w"))
+      .selectExpr("__ps_id", "__ps_u DIV greatest(__ps_w, 1L) AS __ps_p")
+    val top = pri.agg(graft.functions.TopKAggregator.topK(k)(
+        -col("__ps_p").cast("double"), col("__ps_id")).as("t"))
+      .select(explode(col("t.top_ids")).as("__ps_id"))
+    df.join(broadcast(top.withColumnRenamed("__ps_id", idCol)), Seq(idCol),
+        "left_semi")
+      .join(pri.select(col("__ps_id").as(idCol), col("__ps_p").as("priority")),
+        Seq(idCol))
+  }
+
   def stratifiedHoldout(
       docs: DataFrame,
       idCol: String,

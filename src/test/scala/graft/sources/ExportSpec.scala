@@ -132,4 +132,27 @@ class ExportSpec extends SparkSpec {
     assert(got.filter(_._2).groupBy(_._1).view.mapValues(_.length).toMap ===
       Map(0L -> 9, 1L -> 1))
   }
+
+  test("prioritySample: k smallest hash-div-weight, replayable, partitioning-invariant, weight bias") {
+    import spark.implicits._
+    // weight 1000 vs weight 1: heavy rows must dominate the sample
+    val d = (0L until 400L).map(i => (i, if (i < 40) 1000L else 1L))
+      .toDF("doc_id", "w")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Export.prioritySample(df, "doc_id", "w", k = 30, seed = 3L)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(d)
+    assert(s1.size === 30)
+    assert(s1 === ids(d.repartition(13)), "sample must be partitioning-invariant")
+    // the 10% heavy rows (1000x weight) should take the large majority
+    assert(s1.count(_ < 40L) > 20, s"weight bias too weak: $s1")
+    // driver-side reference: k smallest priorities win, ties by id
+    val m = 1L << 52
+    val ref = d.select($"doc_id",
+        pmod(graft.functions.TextFunctions.hash60(
+          concat(lit("psample|3|"), $"doc_id")), lit(m)).as("u"), $"w")
+      .collect().map(r => (r.getLong(0), r.getLong(1) / math.max(r.getLong(2), 1L)))
+      .sortBy { case (id, p) => (p, id) }.take(30).map(_._1).toSet
+    assert(s1 === ref)
+  }
 }
