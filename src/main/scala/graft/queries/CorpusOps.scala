@@ -646,6 +646,80 @@ object CorpusOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q213
+  /** Dedup threshold-tuning curve — the report a curator reads before
+    * picking the q58 cut: ONE low-threshold LSH+verify pass (0.3) and
+    * thresholds placed INSIDE the corpus's observed similarity band
+    * (the planted near-dups all land 0.90–0.99, verified — thresholds
+    * under 0.90 would gate a flat curve) so the report separates; and
+    * per candidate threshold {0.90, 0.96, 0.98, 0.99} the surviving pair
+    * count and the documents covered. The pair set is computed once;
+    * the curve is two grouped aggregates against a 4-row broadcast
+    * threshold frame (range-joined — the deliberate tiny-side
+    * nest-loop class). Oracle rebuilds the full minhash/band/verify
+    * chain at 0.3 and re-derives both curve columns.
+    */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.3)
+      .withColumn("j_ppm", round(col("jaccard") * 1e6).cast("long"))
+    val th = Seq(900000L, 960000L, 980000L, 990000L).toDF("threshold_ppm")
+    val pc = broadcast(th)
+      .join(pairs, col("j_ppm") >= col("threshold_ppm"), "left")
+      .groupBy(col("threshold_ppm"))
+      .agg(count(col("doc_a")).as("n_pairs"))
+    val ed = pairs.select(col("j_ppm"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+    val dc = broadcast(th)
+      .join(ed, col("j_ppm") >= col("threshold_ppm"), "left")
+      .groupBy(col("threshold_ppm"))
+      .agg(count_distinct(col("doc")).as("n_docs"))
+    pc.join(dc, Seq("threshold_ppm")).orderBy(col("threshold_ppm"))
+  }
+
+  private val q213Sql = {
+    val ph = graft.functions.TextFunctions.polyHashSql.format("x", "x")
+    val sig = (0 until 32).map(k =>
+      s"list_min(list_transform(hs, h -> (h * ${graft.operators.Dedup.hashA(k)} + ${graft.operators.Dedup.hashB(k)}) % ${graft.operators.Dedup.P}))")
+      .mkString("[", ",\n      ", "]")
+    s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM tk),
+       |hs AS (SELECT doc_id, sh, list_transform(sh, x -> $ph) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh, $sig AS sig FROM hs),
+       |bands AS (
+       |  SELECT doc_id, sh, b.b AS band,
+       |    md5(array_to_string(sig[b.b*4+1 : b.b*4+4], '|')) AS bh
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS b) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |jac AS (SELECT doc_a, doc_b, CAST(floor(jr * 1e6) AS BIGINT) AS j_ppm
+       |  FROM (
+       |    SELECT doc_a, doc_b,
+       |      CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |        / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE) AS jr
+       |    FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+       |              JOIN sh sb ON cand.doc_b = sb.doc_id)
+       |  WHERE jr >= 0.3),
+       |th AS (SELECT unnest([900000, 960000, 980000, 990000]) AS threshold_ppm),
+       |pc AS (SELECT th.threshold_ppm,
+       |         CAST(count(jac.doc_a) AS BIGINT) AS n_pairs
+       |       FROM th LEFT JOIN jac ON jac.j_ppm >= th.threshold_ppm
+       |       GROUP BY 1),
+       |ed AS (SELECT j_ppm, doc_a AS doc FROM jac
+       |       UNION ALL SELECT j_ppm, doc_b FROM jac),
+       |dc AS (SELECT th.threshold_ppm,
+       |         CAST(count(DISTINCT ed.doc) AS BIGINT) AS n_docs
+       |       FROM th LEFT JOIN ed ON ed.j_ppm >= th.threshold_ppm
+       |       GROUP BY 1)
+       |SELECT CAST(pc.threshold_ppm AS BIGINT) AS threshold_ppm,
+       |  pc.n_pairs, dc.n_docs
+       |FROM pc JOIN dc USING (threshold_ppm)
+       |ORDER BY threshold_ppm""".stripMargin
+  }
+
   // --------------------------------------------------------------- q212
   /** Priority sampling (Export.prioritySample — Duffield, Lund &
     * Thorup 2007): a deterministic weighted-without-replacement
@@ -2617,6 +2691,7 @@ object CorpusOps {
     "q204_dataset_card" -> (q204 _),
     "q207_cdc_chunks" -> (q207 _),
     "q212_priority_sample" -> (q212 _),
+    "q213_dedup_thresholds" -> (q213 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2672,6 +2747,7 @@ object CorpusOps {
     "q204_dataset_card" -> q204Sql,
     "q207_cdc_chunks" -> q207Sql,
     "q212_priority_sample" -> q212Sql,
+    "q213_dedup_thresholds" -> q213Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,
