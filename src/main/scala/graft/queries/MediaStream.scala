@@ -1553,6 +1553,58 @@ object MediaStream {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q214
+  /** Event-rate spike detection — the ingest-monitoring report a data
+    * pipeline alarms on (a scraper gone hot, a bot flood, a broken
+    * dedup upstream): per (event_type, day) the count against its
+    * TRAILING 7-observed-day mean in exact ppm, spike at ≥ 2×. A 3×
+    * burst is PLANTED on 2024-01-15 (the day's rows union in twice
+    * more), so the spike flag provably fires — and only there. All
+    * integer (trailing mean is a floor-div of window sums); one
+    * day-grain aggregate then a type-keyed ordered window over ~30
+    * rows per type — the q192 bounded-window class.
+    */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val burst = ev.filter(to_date(col("ts")) === lit("2024-01-15"))
+    val all = ev.union(burst).union(burst)
+    val days = all.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    days.withColumn("trail_sum", sum(col("n")).over(w))
+      .withColumn("trail_days", count(col("n")).over(w))
+      .withColumn("ratio_ppm", expr(
+        "CASE WHEN trail_days > 0 THEN (n * 1000000L) DIV (trail_sum DIV trail_days) " +
+          "ELSE 0L END"))
+      .select(col("event_type"), col("day"), col("n").cast("long").as("n"),
+        col("ratio_ppm"), (col("ratio_ppm") >= 2000000L).as("spike"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q214Sql =
+    """WITH b AS (SELECT event_type, ts FROM events
+      |           WHERE CAST(ts AS DATE) = DATE '2024-01-15'),
+      |allr AS (SELECT event_type, ts FROM events
+      |         UNION ALL SELECT * FROM b UNION ALL SELECT * FROM b),
+      |d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |      FROM allr GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, n,
+      |    sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tsum,
+      |    count(n) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tdays
+      |  FROM d)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |  CAST(CASE WHEN tdays > 0 THEN (n * 1000000) // (tsum // tdays)
+      |       ELSE 0 END AS BIGINT) AS ratio_ppm,
+      |  CASE WHEN tdays > 0
+      |       THEN (n * 1000000) // (tsum // tdays) >= 2000000
+      |       ELSE FALSE END AS spike
+      |FROM w
+      |ORDER BY event_type, day""".stripMargin
+
   // --------------------------------------------------------------- q211
   /** Bibliographic coupling (LinkGraph.bibliographicCoupling, Kessler
     * 1963) — q196's dual: pairs of PAGES sharing ≥ 2 outlink targets,
@@ -2086,6 +2138,7 @@ object MediaStream {
     "q209_sitemap_coverage" -> (q209 _),
     "q210_indexability" -> (q210 _),
     "q211_coupling" -> (q211 _),
+    "q214_rate_spikes" -> (q214 _),
     "q140_format_roundtrip" -> (q140 _),
     "q141_markdown_extract" -> (q141 _),
     "q130_warc_ingest" -> (q130 _),
@@ -2131,6 +2184,7 @@ object MediaStream {
     "q209_sitemap_coverage" -> q209Sql,
     "q210_indexability" -> q210Sql,
     "q211_coupling" -> q211Sql,
+    "q214_rate_spikes" -> q214Sql,
     "q140_format_roundtrip" -> q140Sql,
     "q141_markdown_extract" -> q141Sql,
     "q130_warc_ingest" -> q130Sql,
