@@ -646,6 +646,51 @@ object CorpusOps {
        |GROUP BY lang
        |ORDER BY lang""".stripMargin
 
+  // --------------------------------------------------------------- q215
+  /** Temperature-scaled mixture quotas (τ = 1/2, the multilingual
+    * sampling rule of Arivazhagan et al. 2019): big sources must not
+    * drown small ones, so sampling weight ∝ size^τ — here the INTEGER
+    * sqrt of each source's token count (floor(sqrt(n)) is exact for
+    * BIGINT under 2⁵³: correctly-rounded double sqrt of an exact
+    * square is exact, and floors right elsewhere) — then 10 000
+    * training slots apportion by the exact Hamilton rule (q168's
+    * operator: Σslots ≡ budget, largest remainders break ties). The
+    * oracle re-derives isqrt, quotas, remainders, and the ranked
+    * bonus slots.
+    */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs.select(col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+      .withColumn("w", expr(
+        "CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    graft.operators.LinkGraph.apportionBudget(tok, "source", "w", budget = 10000L)
+      .select(col("source"), col("n_tokens"), col("w"), col("slots"))
+      .orderBy(col("source"))
+  }
+
+  private val q215Sql =
+    s"""WITH tk AS (SELECT source,
+       |    CAST(len($toksSql) AS BIGINT) AS nt FROM documents),
+       |a AS (SELECT source, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tk GROUP BY source),
+       |w AS (SELECT source, n_tokens,
+       |        CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+       |      FROM a),
+       |t AS (SELECT sum(w) AS tot FROM w),
+       |b AS (SELECT source, n_tokens, w,
+       |        (10000 * w) // t.tot AS base,
+       |        (10000 * w) % t.tot AS rem
+       |      FROM w CROSS JOIN t),
+       |l AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS leftover FROM b),
+       |r AS (SELECT b.*, l.leftover,
+       |        row_number() OVER (ORDER BY rem DESC, source) AS rn
+       |      FROM b CROSS JOIN l)
+       |SELECT source, n_tokens, w,
+       |  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS slots
+       |FROM r
+       |ORDER BY source""".stripMargin
+
   // --------------------------------------------------------------- q213
   /** Dedup threshold-tuning curve — the report a curator reads before
     * picking the q58 cut: ONE low-threshold LSH+verify pass (0.3) and
@@ -2692,6 +2737,7 @@ object CorpusOps {
     "q207_cdc_chunks" -> (q207 _),
     "q212_priority_sample" -> (q212 _),
     "q213_dedup_thresholds" -> (q213 _),
+    "q215_temperature_mix" -> (q215 _),
     "q131_encode_ann" -> (q131 _),
     "q128_hybrid_fusion" -> (q128 _),
     "q122_semantic_drift" -> (q122 _),
@@ -2748,6 +2794,7 @@ object CorpusOps {
     "q207_cdc_chunks" -> q207Sql,
     "q212_priority_sample" -> q212Sql,
     "q213_dedup_thresholds" -> q213Sql,
+    "q215_temperature_mix" -> q215Sql,
     "q131_encode_ann" -> q131Sql,
     "q128_hybrid_fusion" -> q128Sql,
     "q122_semantic_drift" -> q122Sql,
