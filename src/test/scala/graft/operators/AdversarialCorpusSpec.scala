@@ -466,4 +466,64 @@ class AdversarialCorpusSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 5L, 5L), (2L, 5L, 5L)))
   }
+
+  test("urlPathTemplate on pathological URLs: schemeless, query-only, repeated slashes") {
+    import spark.implicits._
+    import graft.sources.Warc
+    val cases = Seq(
+      "no-scheme-at-all",                        // no ://: path extract misses
+      "https://h.org/?",                         // empty query after ?
+      "https://h.org//a//1//",                   // repeated slashes survive as-is
+      "https://h.org/a?&&x=1&",                  // empty params drop, x survives
+      "https://h.org/?only=query")               // query-only URL roots the path
+    val got = cases.toDF("u")
+      .select(Warc.urlPathTemplate(col("u"))).as[String].collect().toSeq
+    assert(got === Seq("/", "/", "//a//{n}//", "/a?x", "/?only"))
+  }
+
+  test("encodingAudit on all-damage and empty text") {
+    import spark.implicits._
+    // a doc that is ONLY mojibake pairs; and the empty doc
+    val df = Seq((1L, "\u00c3\u00a9\u00c3\u00a9\u00c3\u00a9"), (2L, ""))
+      .toDF("id", "t")
+    val got = Quality.encodingAudit(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4), r.getString(5))).toMap
+    assert(got(1L) === ((3L, 6L, "mojibake")))
+    assert(got(2L) === ((0L, 0L, "clean"))) // empty is clean, not a crash
+  }
+
+  test("labelPropagation on a star graph: spokes adopt the hub, hub adopts min spoke") {
+    import spark.implicits._
+    // hub 0 with spokes 1..5; round 1: every spoke sees only {0} -> 0,
+    // the hub sees {1..5} all count 1 -> min 1. Round 2: spokes see the
+    // hub's PREVIOUS label 0... synchronous semantics keep oscillation
+    // deterministic, pinned here.
+    val e = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val nodes = (0L to 5L).toDF("id")
+    val r1 = LinkGraph.labelPropagationInt(nodes, "id", e, "src", "dst", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 0L))
+    val r2 = LinkGraph.labelPropagationInt(nodes, "id", e, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // spokes now vote the hub's r1 label (1); hub sees spokes' 0s
+    assert(r2 === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("degreeStats on a fully reciprocal clique reads 100% reciprocity") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L)
+    val e = (for { a <- ids; b <- ids if a != b } yield (a, b)).toDF("src", "dst")
+    val got = LinkGraph.degreeStats(ids.toDF("id"), "id", e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    assert(got.values.toSet === Set((2L, 1000000L)))
+  }
+
+  test("cdcChunks: single-token and empty docs chunk sanely") {
+    import spark.implicits._
+    val df = Seq((1L, "lonely"), (2L, "")).toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(df, "doc_id", "text", avgSize = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // one single-token chunk for doc 1; the empty doc emits nothing
+    assert(got.toSeq === Seq((1L, 0L, 1L)))
+  }
 }
