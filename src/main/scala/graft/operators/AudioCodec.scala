@@ -140,8 +140,13 @@ object AudioCodec {
   /** One analysis WINDOW's energy: `window` the 0-based index, `n`
     * its sample count (the last window may be partial), `devPpm` the
     * mean absolute deviation from the zero line normalized to ppm of
-    * full scale — (Σ|v − center| · 10⁶) DIV (scale · n), truncating.
-    * 8-bit PCM centers at 128 over scale 127; 16-bit at 0 over 32767.
+    * full scale — (Σ min(|v − center|, scale) · 10⁶) DIV (scale · n),
+    * truncating. 8-bit PCM centers at 128 over scale 127; 16-bit at 0
+    * over 32767. Per-sample deviation is CLAMPED at scale (the
+    * asymmetric extreme sample — byte 0 at 8-bit, −32768 at 16-bit —
+    * deviates by scale+1), so devPpm ≤ 10⁶ always: "ppm of full
+    * scale" is a real bound, which callers like silenceSegments rely
+    * on when validating thresholdPpm ≤ 10⁶.
     */
   final case class WindowEnergy(window: Long, n: Long, devPpm: Long)
 
@@ -157,6 +162,10 @@ object AudioCodec {
   def windowEnergies(
       d: Array[Byte], winSamples: Int): Either[String, Seq[WindowEnergy]] = {
     require(winSamples >= 1, s"winSamples must be >= 1: $winSamples")
+    // acc ≤ scale·winSamples with the clamp below, so acc·10⁶ stays
+    // under 2⁶³ for winSamples ≤ 10⁸ (32767·10⁸·10⁶ ≈ 3.3·10¹⁸)
+    require(winSamples <= 100000000,
+      s"winSamples must be <= 1e8 (ppm arithmetic bound): $winSamples")
     dataChunk(d).flatMap { case (body, size, format, channels, rate, bits) =>
       if (format != 1) return Left(s"wav: format code $format not supported (PCM only)")
       if (channels <= 0) return Left(s"wav: bad channel count $channels")
@@ -179,7 +188,7 @@ object AudioCodec {
         val v =
           if (bits == 8) d(p) & 0xff
           else ((d(p) & 0xff) | (d(p + 1) << 8)).toShort.toInt
-        acc += math.abs(v - center)
+        acc += math.min(math.abs(v - center), scale)
         n += 1
         if (n == winSamples) {
           out += WindowEnergy(win, n, (acc * 1000000L) / (scale * n))

@@ -649,7 +649,10 @@ object Dedup {
     * mirror was fetched first", often the worst copy). Per cluster
     * the survivor maximizes `scoreCol` with ties to the SMALLEST id —
     * deterministic, and with score ≡ constant it degenerates to
-    * [[removeDuplicates]]' min-id rule exactly.
+    * [[removeDuplicates]]' min-id rule exactly. The score compares on
+    * its NATIVE numeric type (a fractional 0-1 quality score elects
+    * the true max; no silent integer truncation) — callers pass any
+    * numeric column; non-numeric scores fail loudly up front.
     *
     * Plan shape: the corpus joins the (small — only clustered docs)
     * cluster frame once on the id equi-key to attach labels and
@@ -664,8 +667,11 @@ object Dedup {
       idCol: String,
       clusters: DataFrame,
       scoreCol: String): DataFrame = {
+    val sc = df.schema(scoreCol).dataType
+    require(sc.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"scoreCol must be numeric, got $scoreCol: ${sc.simpleString}")
     val members = df.select(col(idCol).as("__kb_id"),
-        col(scoreCol).cast("long").as("__kb_s"))
+        col(scoreCol).as("__kb_s"))
       .join(clusters.select(col("doc").as("__kb_id"),
         col("cluster").as("__kb_c")), Seq("__kb_id"))
     val keep = members.groupBy(col("__kb_c"))

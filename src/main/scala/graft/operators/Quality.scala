@@ -432,16 +432,9 @@ object Quality {
     * state, so a crash mid-commit can corrupt at most a temp file.
     */
   private def writeMgHead(stateDir: String,
-      hconf: org.apache.hadoop.conf.Configuration, gen: Long, lastBatch: Long): Unit = {
-    val fin = new org.apache.hadoop.fs.Path(stateDir, "_mg_head.json")
-    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"._mg_head.json.tmp-$gen")
-    val fs = fin.getFileSystem(hconf)
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"gen": $gen, "last_batch_id": $lastBatch}""".getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false)
-    fs.rename(tmp, fin)
-  }
+      hconf: org.apache.hadoop.conf.Configuration, gen: Long, lastBatch: Long): Unit =
+    graft.sources.AtomicHead.write(stateDir, "_mg_head.json", gen,
+      s"""{"gen": $gen, "last_batch_id": $lastBatch}""", hconf)
 
   /** The committed sketch rows of a persisted state dir — resolves the
     * head pointer to its immutable generation dir. Fails loudly on a
@@ -474,17 +467,10 @@ object Quality {
   }
 
   private def writeCmsHead(stateDir: String,
-      hconf: org.apache.hadoop.conf.Configuration, h: CmsHead): Unit = {
-    val fin = new org.apache.hadoop.fs.Path(stateDir, "_cms_head.json")
-    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"._cms_head.json.tmp-${h.gen}")
-    val fs = fin.getFileSystem(hconf)
-    val out = fs.create(tmp, true)
-    try out.write((s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}, """ +
-      s""""d": ${h.d}, "w": ${h.w}}""").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false)
-    fs.rename(tmp, fin)
-  }
+      hconf: org.apache.hadoop.conf.Configuration, h: CmsHead): Unit =
+    graft.sources.AtomicHead.write(stateDir, "_cms_head.json", h.gen,
+      s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}, """ +
+        s""""d": ${h.d}, "w": ${h.w}}""", hconf)
 
   /** One incremental step of a persisted count-min sketch: absorb
     * `batch`'s token stream into the sketch at `stateDir`. CMS is a
@@ -529,7 +515,11 @@ object Quality {
             .select(zip_with(col("sk"), col("sk_new"), (a, b) => a + b).as("sk"))
       }
       val nextGen = head.map(_.gen + 1L).getOrElse(0L)
-      merged.write.mode("errorifexists").parquet(s"$stateDir/gen-$nextGen")
+      // overwrite, not errorifexists: an at-least-once replay of a
+      // HALF-committed batch (gen written, head not flipped) recomputes
+      // against the unmoved head and must rewrite identical bytes —
+      // the cdcAbsorb/recrawlIncrement convergence contract
+      merged.write.mode("overwrite").parquet(s"$stateDir/gen-$nextGen")
       writeCmsHead(stateDir, hconf, CmsHead(nextGen,
         math.max(batchId, head.map(_.lastBatch).getOrElse(-1L)), d, w))
     }
@@ -1172,17 +1162,9 @@ object Quality {
   }
 
   private def writeCdcHead(stateDir: String,
-      hconf: org.apache.hadoop.conf.Configuration, h: CdcHead): Unit = {
-    val fin = new org.apache.hadoop.fs.Path(stateDir, "_cdc_head.json")
-    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"._cdc_head.json.tmp-${h.gen}")
-    val fs = fin.getFileSystem(hconf)
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}}""".getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false)
-    fs.rename(tmp, fin)
-  }
+      hconf: org.apache.hadoop.conf.Configuration, h: CdcHead): Unit =
+    graft.sources.AtomicHead.write(stateDir, "_cdc_head.json", h.gen,
+      s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}}""", hconf)
 
   /** One change-data-capture step over FULL corpus snapshots — the
     * persisted, incremental form of [[snapshotDiff]]: each arriving

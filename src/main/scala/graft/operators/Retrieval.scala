@@ -111,13 +111,20 @@ object Retrieval {
     val qp = post.join(
         broadcast(queryIds.select(col(qidCol).as("doc"))), Seq("doc"), "left_semi")
       .select(col("term"), col("doc").as("qid"), col("tf").as("tf_q"))
-    val scored = post.join(broadcast(qp), Seq("term"))
-      .filter(col("doc") =!= col("qid"))
-      .join(df, Seq("term"))
+    // the df cap lands on the (small) QUERY postings before the
+    // corpus-postings join, so a corpus-wide stopword generates zero
+    // candidates instead of O(N) join rows that a later filter drops:
+    // the inner join against the capped term frame commutes, the scale
+    // bound does not. The per-term weight folds in here too — one
+    // multiply on the broadcast side instead of per candidate.
+    val qpw = df.join(broadcast(qp), Seq("term"))
       .crossJoin(broadcast(nd))
+      .select(col("term"), col("qid"),
+        (col("tf_q") * expr("(nd * 1000000) div df")).as("wq"))
+    val scored = post.join(broadcast(qpw), Seq("term"))
+      .filter(col("doc") =!= col("qid"))
       .groupBy(col("qid"), col("doc"))
-      .agg(sum(col("tf") * col("tf_q") * expr("(nd * 1000000) div df"))
-        .as("score"))
+      .agg(sum(col("tf") * col("wq")).as("score"))
     // checkpoint-backed like searchTopK: the caller releases via
     // graft.Checkpoints.release after consuming
     scored.groupBy(col("qid"))

@@ -181,17 +181,9 @@ object Robots {
   }
 
   private def writeRcHead(stateDir: String,
-      hconf: org.apache.hadoop.conf.Configuration, h: RcHead): Unit = {
-    val fin = new org.apache.hadoop.fs.Path(stateDir, "_rc_head.json")
-    val tmp = new org.apache.hadoop.fs.Path(stateDir, s"._rc_head.json.tmp-${h.gen}")
-    val fs = fin.getFileSystem(hconf)
-    val out = fs.create(tmp, true)
-    try out.write(
-      s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}}""".getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(fin)) fs.delete(fin, false)
-    fs.rename(tmp, fin)
-  }
+      hconf: org.apache.hadoop.conf.Configuration, h: RcHead): Unit =
+    AtomicHead.write(stateDir, "_rc_head.json", h.gen,
+      s"""{"gen": ${h.gen}, "last_batch_id": ${h.lastBatch}}""", hconf)
 
   /** One incremental step of the recrawl estimator — the PRODUCTION
     * form of [[recrawlSchedule]]: snapshot versions arrive one at a

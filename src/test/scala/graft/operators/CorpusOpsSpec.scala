@@ -358,4 +358,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(const === minId)
     assert(const === Set(0L, 3L, 4L))
   }
+
+  test("removeDuplicatesKeepBest: fractional scores compare on the native type; non-numeric fails loudly") {
+    val corpus = Seq((0L, "a", 0.91), (1L, "b", 0.97), (2L, "c", 0.33))
+      .toDF("doc_id", "text", "q")
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L)).toDF("doc", "cluster")
+    // all scores in (0, 1): a silent long cast would truncate every score
+    // to 0 and elect min id 0; the native comparison elects the true max
+    val kept = Dedup.removeDuplicatesKeepBest(corpus, "doc_id", clusters, "q")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+    intercept[IllegalArgumentException] {
+      Dedup.removeDuplicatesKeepBest(corpus, "doc_id", clusters, "text")
+    }
+  }
 }

@@ -465,4 +465,30 @@ class QualitySpec extends SparkSpec {
       .selectExpr("nfc_normalize(t) AS n").as[String].collect()
     assert(viaSql.toSeq === Seq("\u00e9"))
   }
+
+  test("countMinIncrement: half-committed replay (gen landed, head not flipped) converges") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val docs = (0 until 40).map(i => (i.toLong, s"w${i % 5} tok$i")).toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("cms-crash").toString
+    Quality.countMinIncrement(spark, state, docs.filter(col("doc_id") < 20), "text", 3, 16, 0L)
+    // simulate the crash: batch 1's gen dir landed but the head never flipped
+    val orphan = new java.io.File(state, "gen-1")
+    orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    // an at-least-once replay recomputes against the unmoved head and
+    // OVERWRITES the orphan — never crash-loops on errorifexists
+    Quality.countMinIncrement(spark, state, docs.filter(col("doc_id") >= 20), "text", 3, 16, 1L)
+    val incr = Quality.readCmsSketch(spark, state).collect()(0).getSeq[Long](0)
+    val oneShot = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .agg(graft.functions.CountMin.sketch(3, 16)(col("term")))
+      .collect()(0).getSeq[Long](0)
+    assert(incr === oneShot)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(state))
+  }
 }
