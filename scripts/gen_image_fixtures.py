@@ -54,6 +54,67 @@ with open(os.path.join(OUT, "gradient.bmp"), "wb") as f:
     f.write(bmp)
 print("gradient.bmp", "same stats as gradient.ppm (pixels identical)")
 
+# --- PNG fixtures (independent encoder: python zlib, NOT the Scala one,
+#     so an encoder/decoder bug pair in the library cannot cancel) ---
+import zlib
+import binascii
+
+
+def paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+
+def write_png(path, w, h, color_type, rows, filters):
+    """rows: list of h lists of per-pixel channel tuples; filters: per-row
+    PNG filter type actually APPLIED (exercises the decoder's unfilter)."""
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = b""
+    prev = [0] * (w * bpp)
+    for y in range(h):
+        line = [v for pxl in rows[y] for v in pxl]
+        ft = filters[y % len(filters)]
+        enc = []
+        for i, x in enumerate(line):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = x - a
+            elif ft == 2:
+                f = x - b
+            elif ft == 3:
+                f = x - (a + b) // 2
+            else:
+                f = x - paeth(a, b, c)
+            enc.append(f & 0xFF)
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+    z = zlib.compress(raw, 6)
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", binascii.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    # split IDAT so the multi-chunk streaming path is on the fixture too
+    half = max(1, len(z) // 2)
+    png += chunk(b"IDAT", z[:half]) + chunk(b"IDAT", z[half:])
+    # an ancillary chunk the walker must skip
+    png += chunk(b"tEXt", b"Comment\x00graft fixture") + chunk(b"IEND", b"")
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+# gradient.png: SAME pixels as gradient.ppm, every filter type used
+png_rows = [[px(x, y) for x in range(W)] for y in range(H)]
+write_png(os.path.join(OUT, "gradient.png"), W, H, 2, png_rows, [0, 1, 2, 3, 4])
+print("gradient.png", "same stats as gradient.ppm (pixels identical)")
+
 # --- gray.pgm (P5 grayscale, 6x4) ---
 GW, GH = 6, 4
 gray = [(x * 17 + y * 29) % 256 for y in range(GH) for x in range(GW)]
@@ -61,6 +122,19 @@ pgm = b"P5\n%d %d\n255\n" % (GW, GH) + bytes(gray)
 with open(os.path.join(OUT, "gray.pgm"), "wb") as f:
     f.write(pgm)
 print("gray.pgm", stats(gray, 1, GW, GH))
+
+# gray.png: color type 0 (grayscale), SAME pixels as gray.pgm
+write_png(os.path.join(OUT, "gray.png"), GW, GH, 0,
+          [[(gray[y * GW + x],) for x in range(GW)] for y in range(GH)],
+          [4, 3, 2, 1])
+print("gray.png", "same stats as gray.pgm (pixels identical)")
+
+# rgba.png: color type 6 — alpha varies but must NOT move the color stats
+write_png(os.path.join(OUT, "rgba.png"), W, H, 6,
+          [[px(x, y) + ((x * 97 + y * 13) % 256,) for x in range(W)]
+           for y in range(H)],
+          [1, 4])
+print("rgba.png", "same COLOR stats as gradient.ppm (alpha excluded)")
 
 # --- tone.wav (16-bit stereo PCM @8000 Hz, 100 frames, a LIST chunk to skip) ---
 RATE, FRAMES, CH = 8000, 100, 2

@@ -1,7 +1,7 @@
 package graft.operators
 
 /** Real image decoding for the multimodal column path — a
-  * dependency-free parser for two public formats:
+  * dependency-free parser for three public formats:
   *
   *  - PNM binary: P6 (RGB) and P5 (grayscale), per the Netpbm spec —
   *    whitespace/`#`-comment-tolerant header, 8-bit samples for
@@ -10,6 +10,17 @@ package graft.operators
   *    headers), uncompressed (BI_RGB) 24/32 bpp, 4-byte-padded rows,
   *    bottom-up or top-down (negative height); 32 bpp alpha is
   *    ignored for the channel stats.
+  *  - PNG (the format a real crawl actually contains): CRC-verified
+  *    chunk walk (IHDR/IDAT/IEND, ancillary chunks skipped), zlib
+  *    DEFLATE via the JDK-only `java.util.zip.Inflater` (the
+  *    `Warc.gunzipMembers` precedent — the reference sniffs and
+  *    decompresses its input the same way, `/root/reference/src/
+  *    main.rs:431-433`), all five scanline filter types (None/Sub/
+  *    Up/Average/Paeth), non-interlaced 8-bit gray / RGB / gray+alpha
+  *    / RGBA. Palette (type 3), 16-bit, and Adam7 payloads are
+  *    explicit `Left`s. The raster is never materialized: rows
+  *    inflate into a two-scanline window (O(row) memory), stats and
+  *    the aHash grid stream out of it.
   *
   * The decoder computes pixel SUMMARY STATS in a single streaming
   * pass over the payload — per-channel means, global sample min/max —
@@ -49,13 +60,22 @@ object ImageCodec {
   def sniff(data: Array[Byte]): Boolean =
     data.length >= 2 && (
       (data(0) == 'P' && (data(1) == '5' || data(1) == '6')) ||
-        (data(0) == 'B' && data(1) == 'M'))
+        (data(0) == 'B' && data(1) == 'M') ||
+        sniffPng(data))
+
+  private def sniffPng(data: Array[Byte]): Boolean = {
+    if (data.length < 8) return false
+    var i = 0
+    while (i < 8) { if (data(i) != PngSig(i)) return false; i += 1 }
+    true
+  }
 
   /** Decode a payload to its summary stats, or a parse-failure reason. */
   def decode(data: Array[Byte]): Either[String, ImageStats] =
     if (data.length < 2) Left("image: payload shorter than any magic")
     else if (data(0) == 'P' && (data(1) == '5' || data(1) == '6')) decodePnm(data)
     else if (data(0) == 'B' && data(1) == 'M') decodeBmp(data)
+    else if (sniffPng(data)) decodePngFull(data).map(_._1)
     else Left("image: unrecognized magic")
 
   // ------------------------------------------------------------- PNM
@@ -145,20 +165,24 @@ object ImageCodec {
       }
     }
 
-  /** Perceptual average-hash (aHash) of an 8-bit PNM image: sample a
-    * fixed 8x8 grid by nearest-neighbor — grid cell (gy, gx) reads
-    * pixel (gy*h div 8, gx*w div 8), so any geometry maps onto the
-    * same 64 positions — take gray = r+g+b per sample (3*v for
-    * grayscale P5, keeping the scale identical), threshold each
-    * sample against the floor mean (sum div 64), and pack bit
-    * i = gy*8+gx into two 32-bit halves (hi = bits 32..63, lo =
-    * 0..31; split because a 1<<63 BIGINT overflows the DuckDB
+  /** Perceptual average-hash (aHash) of an 8-bit PNM or PNG image:
+    * sample a fixed 8x8 grid by nearest-neighbor — grid cell (gy, gx)
+    * reads pixel (gy*h div 8, gx*w div 8), so any geometry maps onto
+    * the same 64 positions — take gray = r+g+b per sample (3*v for
+    * 1-channel payloads, keeping the scale identical; alpha ignored),
+    * threshold each sample against the floor mean (sum div 64), and
+    * pack bit i = gy*8+gx into two 32-bit halves (hi = bits 32..63,
+    * lo = 0..31; split because a 1<<63 BIGINT overflows the DuckDB
     * oracle's integer build of the same hash). Every step is integer
-    * arithmetic, so the q121 gate is exact.
+    * arithmetic, so the q121 gate is exact — and because the grid
+    * rule is format-independent, the same raster hashes identically
+    * through the PNM and PNG paths (a PNG re-encode of a PPM pairs at
+    * hamming 0).
     */
   def aHash(data: Array[Byte]): Either[String, (Long, Long)] =
-    if (data.length < 2 || data(0) != 'P' || (data(1) != '5' && data(1) != '6'))
-      Left("ahash: not a PNM payload")
+    if (sniffPng(data)) decodePngFull(data).map(t => packAHash(t._2))
+    else if (data.length < 2 || data(0) != 'P' || (data(1) != '5' && data(1) != '6'))
+      Left("ahash: not a PNM or PNG payload")
     else parsePnmHeader(data).flatMap { hd =>
       if (hd.maxval > 255) Left(s"${hd.codec}: ahash requires 8-bit samples")
       else {
@@ -177,20 +201,28 @@ object ImageCodec {
               else 3 * (data(o) & 0xff)
             g += 1
           }
-          val mean = grays.map(_.toLong).sum / 64L
-          var hi = 0L
-          var lo = 0L
-          var i = 0
-          while (i < 64) {
-            if (grays(i) > mean) {
-              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-            }
-            i += 1
-          }
-          Right((hi, lo))
+          Right(packAHash(grays))
         }
       }
     }
+
+  /** Threshold the 64 grid grays against their floor mean and pack
+    * into (hi, lo) 32-bit halves — the shared tail of the PNM and PNG
+    * aHash paths.
+    */
+  private def packAHash(grays: Array[Int]): (Long, Long) = {
+    val mean = grays.map(_.toLong).sum / 64L
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (grays(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
 
   // ------------------------------------------------------------- BMP
 
@@ -246,5 +278,273 @@ object ImageCodec {
     val n = width.toLong * height
     Right(ImageStats("bmp", width, height, 3, 255, n,
       rSum.toDouble / n, gSum.toDouble / n, bSum.toDouble / n, mn, mx))
+  }
+
+  // ------------------------------------------------------------- PNG
+
+  private val PngSig: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** PNG Paeth predictor (RFC 2083 §6.6): the neighbor closest to the
+    * linear estimate a + b − c, ties breaking left, up, upper-left.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a)
+    val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Decode a PNG to (summary stats, 64 aHash grid grays) in ONE
+    * streaming pass: CRC-verified chunk walk, then scanlines inflate
+    * into a rolling two-row window — unfilter, fold channel sums and
+    * min/max, capture the 8x8 nearest-neighbor grid rows as they
+    * stream by. Memory is O(row width) regardless of image size; the
+    * compressed payload is fed to the Inflater chunk by chunk, so a
+    * multi-chunk IDAT stream never concatenates.
+    */
+  private def decodePngFull(
+      d: Array[Byte]): Either[String, (ImageStats, Array[Int])] = {
+    if (d.length < 8 + 12) return Left("png: payload shorter than signature + one chunk")
+    def u32(o: Int): Long =
+      ((d(o) & 0xff).toLong << 24) | ((d(o + 1) & 0xff) << 16) |
+        ((d(o + 2) & 0xff) << 8) | (d(o + 3) & 0xff)
+
+    var width = 0
+    var height = 0
+    var colorType = 0
+    var seenIhdr = false
+    var seenIend = false
+    val idat = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
+    val crc = new java.util.zip.CRC32
+    var pos = 8
+    while (!seenIend) {
+      if (pos + 12 > d.length) return Left("png: truncated chunk header")
+      val len = u32(pos)
+      if (len > (Int.MaxValue - 12).toLong || pos + 12 + len > d.length)
+        return Left("png: truncated chunk body")
+      val bodyLen = len.toInt
+      val typ = new String(d, pos + 4, 4, "US-ASCII")
+      crc.reset()
+      crc.update(d, pos + 4, 4 + bodyLen)
+      if (crc.getValue != u32(pos + 8 + bodyLen))
+        return Left(s"png: crc mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          if (seenIhdr) return Left("png: duplicate IHDR")
+          if (bodyLen != 13) return Left(s"png: IHDR length $bodyLen != 13")
+          val b = pos + 8
+          val w = u32(b)
+          val h = u32(b + 4)
+          if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue)
+            return Left(s"png: bad dimensions ${w}x$h")
+          width = w.toInt
+          height = h.toInt
+          val bitDepth = d(b + 8) & 0xff
+          colorType = d(b + 9) & 0xff
+          if ((d(b + 10) & 0xff) != 0) return Left("png: nonzero compression method")
+          if ((d(b + 11) & 0xff) != 0) return Left("png: nonzero filter method")
+          if ((d(b + 12) & 0xff) != 0) return Left("png: interlaced (Adam7) not supported")
+          if (bitDepth != 8) return Left(s"png: bit depth $bitDepth not supported (8 only)")
+          if (colorType != 0 && colorType != 2 && colorType != 4 && colorType != 6)
+            return Left(s"png: color type $colorType not supported (palette/other excluded)")
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) return Left("png: IDAT before IHDR")
+          idat += ((pos + 8, bodyLen))
+        case "IEND" =>
+          seenIend = true
+        case _ => () // ancillary chunks (tEXt, gAMA, pHYs, ...) skipped
+      }
+      pos += 12 + bodyLen
+    }
+    if (!seenIhdr) return Left("png: missing IHDR")
+    if (idat.isEmpty) return Left("png: no IDAT chunks")
+
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+    val colorCh = if (colorType == 0 || colorType == 4) 1 else 3
+    if (width.toLong * bpp > Int.MaxValue - 1)
+      return Left(s"png: scanline too wide: $width x $bpp bytes")
+    val rowBytes = width * bpp
+
+    val inf = new java.util.zip.Inflater()
+    try {
+      var chunkIdx = 0
+      val rowRaw = new Array[Byte](rowBytes + 1)
+      var prev = new Array[Byte](rowBytes) // zeros: the spec's virtual row above row 0
+      var cur = new Array[Byte](rowBytes)
+
+      // aHash grid: rows gy*h div 8 carry samples; several gy can hit
+      // the same physical row when h < 8
+      val gridRowOf = Array.tabulate(8)(gy => gy * height / 8)
+      val grays = new Array[Int](64)
+
+      val sums = new Array[Long](3)
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+
+      var y = 0
+      while (y < height) {
+        // fill one filtered scanline from the inflater, feeding IDAT
+        // chunk slices as it drains them
+        var filled = 0
+        while (filled < rowRaw.length) {
+          val n =
+            try inf.inflate(rowRaw, filled, rowRaw.length - filled)
+            catch {
+              case e: java.util.zip.DataFormatException =>
+                return Left(s"png: corrupt deflate stream: ${e.getMessage}")
+            }
+          if (n > 0) filled += n
+          else if (inf.needsInput()) {
+            if (chunkIdx >= idat.length)
+              return Left("png: IDAT exhausted before raster complete")
+            val (o, l) = idat(chunkIdx)
+            chunkIdx += 1
+            inf.setInput(d, o, l)
+          } else if (inf.finished())
+            return Left("png: deflate stream ended before raster complete")
+          else return Left("png: preset dictionary not supported")
+        }
+        // unfilter into cur
+        val ft = rowRaw(0) & 0xff
+        if (ft > 4) return Left(s"png: unknown filter type $ft on row $y")
+        var i = 0
+        while (i < rowBytes) {
+          val x = rowRaw(1 + i) & 0xff
+          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+          val b = prev(i) & 0xff
+          val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case _ => x + paeth(a, b, c)
+          }
+          cur(i) = (v & 0xff).toByte
+          i += 1
+        }
+        // stats: color samples only (alpha excluded)
+        var px = 0
+        while (px < width) {
+          val o = px * bpp
+          var ch = 0
+          while (ch < colorCh) {
+            val v = cur(o + ch) & 0xff
+            sums(ch) += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            ch += 1
+          }
+          px += 1
+        }
+        // aHash grid rows
+        var gy = 0
+        while (gy < 8) {
+          if (gridRowOf(gy) == y) {
+            var gx = 0
+            while (gx < 8) {
+              val o = (gx * width / 8) * bpp
+              grays(gy * 8 + gx) =
+                if (colorCh == 3) (cur(o) & 0xff) + (cur(o + 1) & 0xff) + (cur(o + 2) & 0xff)
+                else 3 * (cur(o) & 0xff)
+              gx += 1
+            }
+          }
+          gy += 1
+        }
+        val t = prev; prev = cur; cur = t
+        y += 1
+      }
+      val n = width.toLong * height
+      val (r, g, b) =
+        if (colorCh == 3) (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
+        else { val m = sums(0).toDouble / n; (m, m, m) }
+      Right((ImageStats("png", width, height, colorCh, 255, n, r, g, b, mn, mx),
+        grays))
+    } finally inf.end()
+  }
+
+  /** Minimal deterministic PNG ENCODER — the `Media.toPng` adapter
+    * and fixture substrate, not a production sink: 8-bit RGB (color
+    * type 2), non-interlaced, per-row filter type cycling y % 5 so a
+    * round trip exercises every unfilter path, zlib via the JDK
+    * Deflater, IDAT split into ≤1 KiB chunks so the decoder's
+    * multi-chunk streaming is always on the tested path.
+    */
+  def encodePng(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodePng: bad dimensions ${w}x$h")
+    require(rgb.length == 3 * w * h,
+      s"encodePng: raster length ${rgb.length} != 3*$w*$h")
+    val bpp = 3
+    val rowBytes = w * bpp
+    val raw = new Array[Byte]((rowBytes + 1) * h)
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      val ro = y * (rowBytes + 1)
+      raw(ro) = ft.toByte
+      val src = y * rowBytes
+      var i = 0
+      while (i < rowBytes) {
+        val x = rgb(src + i) & 0xff
+        val a = if (i >= bpp) rgb(src + i - bpp) & 0xff else 0
+        val b = if (y > 0) rgb(src - rowBytes + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) rgb(src - rowBytes + i - bpp) & 0xff else 0
+        val f = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case _ => x - paeth(a, b, c)
+        }
+        raw(ro + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    val z =
+      try {
+        defl.setInput(raw)
+        defl.finish()
+        val buf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val tmp = new Array[Byte](8192)
+        while (!defl.finished()) buf.write(tmp, 0, defl.deflate(tmp))
+        buf.toByteArray
+      } finally defl.end()
+
+    val out = new java.io.ByteArrayOutputStream(z.length + 128)
+    out.write(PngSig, 0, PngSig.length)
+    val crc = new java.util.zip.CRC32
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      out.write(be32(body.length.toLong), 0, 4)
+      val t = typ.getBytes("US-ASCII")
+      out.write(t, 0, 4)
+      out.write(body, 0, body.length)
+      crc.reset()
+      crc.update(t)
+      crc.update(body)
+      out.write(be32(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    System.arraycopy(be32(w.toLong), 0, ihdr, 0, 4)
+    System.arraycopy(be32(h.toLong), 0, ihdr, 4, 4)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = 2 // color type: RGB
+    chunk("IHDR", ihdr)
+    var off = 0
+    while (off < z.length) {
+      val l = math.min(1024, z.length - off)
+      chunk("IDAT", java.util.Arrays.copyOfRange(z, off, off + l))
+      off += l
+    }
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 }

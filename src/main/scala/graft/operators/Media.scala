@@ -492,6 +492,36 @@ object Media {
           "UTF-8").as("data"))
   }
 
+  /** Documents -> REAL PNG payloads, deterministically: SAME pixel
+    * geometry and bytes as [[toPpm]] — a (L%8+1) x (L%6+1) RGB raster
+    * of the text repeated/truncated — re-containered as a genuine
+    * 8-bit RGB non-interlaced PNG ([[ImageCodec.encodePng]]): per-row
+    * filter type cycling through all five PNG filters, zlib DEFLATE,
+    * multi-chunk IDAT, CRC'd chunks. The oracle never parses the PNG;
+    * it recomputes the stats from the text exactly as q102's does
+    * (pixel byte == codepoint on the all-ASCII corpus), so the q216
+    * gate pins the whole ENCODE -> DECODE round trip — filter
+    * inversion, streaming inflate, chunk CRC walk — against
+    * text-derived ground truth, on crawl-real image bytes.
+    */
+  def toPng(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(8)) + lit(1)).cast("int"))
+      .withColumn("h", (pmod(len, lit(6)) + lit(1)).cast("int"))
+      .withColumn("npx", col("w") * col("h") * lit(3))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, px) =>
+        MediaRecord(id, "image", "png", ImageCodec.encodePng(px, w, h))
+      }
+      .toDF()
+  }
+
   /** Documents -> REAL YUV4MPEG2 payloads, deterministically: for text
     * of byte length L, a (L%6+1) x (L%4+1) C444 stream of (L%3+1)
     * frames at 25 fps whose picture bytes are the text

@@ -223,6 +223,35 @@ object MediaStream {
       |FROM b
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q216
+  /** REAL PNG decode, hash-gated end-to-end on crawl-real bytes:
+    * documents become genuine PNGs (Media.toPng — zlib DEFLATE, all
+    * five row filters, multi-chunk IDAT, CRC'd chunks) over the SAME
+    * raster as q102's PPMs, and ImageCodec.decodePngFull streams them
+    * back — chunk walk, inflate, unfilter, channel sums. The oracle is
+    * q102's, re-deriving every stat from the source text (pixel byte
+    * == codepoint), so a wrong filter inversion, a broken CRC walk, or
+    * a misfed Inflater breaks the hash. Encoder and decoder are
+    * inverse paths (not shared code), and the committed python-zlib
+    * fixtures pin the decoder independently in ImageCodecSpec.
+    */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toPng(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q216Sql = q102Sql.replace("'ppm' AS codec", "'png' AS codec")
+
   // --------------------------------------------------------------- q103
   /** REAL audio decode, hash-gated end-to-end: documents become
     * genuine RIFF/WAVE PCM binaries (Media.toWav — full container
@@ -2148,6 +2177,7 @@ object MediaStream {
     "q129_audio_near_dup" -> (q129 _),
     "q44_media_decode" -> (q44 _),
     "q102_image_decode" -> (q102 _),
+    "q216_png_decode" -> (q216 _),
     "q103_audio_decode" -> (q103 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
@@ -2194,6 +2224,7 @@ object MediaStream {
     "q129_audio_near_dup" -> q129Sql,
     "q44_media_decode" -> q44Sql,
     "q102_image_decode" -> q102Sql,
+    "q216_png_decode" -> q216Sql,
     "q103_audio_decode" -> q103Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
