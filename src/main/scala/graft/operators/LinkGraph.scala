@@ -26,10 +26,38 @@ import org.apache.spark.sql.functions._
   * the node list so zero-in-link nodes keep their teleport rank. The
   * edge table is read every iteration — at fleet scale persist it
   * once, partitioned by src. Lineage grows linearly in `iters`;
-  * checkpoint every few iterations when iters is large (quality
-  * signals converge in handfuls — q135 runs 3).
+  * quality signals converge in handfuls (q135 runs 3), but every
+  * iterative op here takes `checkpointEvery` for larger runs: on that
+  * cadence the state table is eagerly localCheckpoint'ed and the
+  * PREVIOUS checkpoint released (the connectedComponents discipline —
+  * at most one superseded state stays materialized), so plan depth is
+  * bounded by the cadence instead of growing with `iters`. The bound
+  * matters BEFORE execution: every `.join` in a loop eagerly analyzes
+  * the whole accumulated plan, so unchunked construction cost grows
+  * super-linearly with `iters` (and [[crawlDepth]]'s state tree
+  * doubles per level — exponential without truncation); after a
+  * checkpoint the next iteration analyzes a LogicalRDD leaf. Results
+  * are bit-identical to the unchunked path (checkpointing only
+  * materializes); with a cadence set, the RETURNED frame may be
+  * checkpoint-backed — consume it, then [[graft.Checkpoints.release]].
   */
 object LinkGraph {
+
+  /** Rolling lineage truncation for the iterative loops: on the
+    * cadence, eagerly checkpoint the new state table(s) and release
+    * the previously held checkpoint(s). Returns (state to iterate on,
+    * new held list).
+    */
+  private def roll(
+      state: Seq[DataFrame],
+      held: Seq[DataFrame],
+      it: Int,
+      every: Int): (Seq[DataFrame], Seq[DataFrame]) =
+    if (every > 0 && it % every == 0) {
+      val cp = state.map(_.localCheckpoint(true))
+      held.foreach(graft.Checkpoints.release)
+      (cp, cp)
+    } else (state, held)
 
   /** `(id, rank_ppm)` after `iters` truncating-integer PageRank
     * steps. `nodes` must list EVERY node id (isolated pages still
@@ -43,7 +71,8 @@ object LinkGraph {
       srcCol: String,
       dstCol: String,
       iters: Int,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be a ppm fraction, got $dampingPpm")
@@ -52,7 +81,8 @@ object LinkGraph {
     val ed = e.join(deg, "__pr_src")
     val ids = nodes.select(col(idCol).cast("long").as("__pr_id"))
     var ranks = ids.select(col("__pr_id"), lit(1000000L).as("__pr_rank"))
-    for (_ <- 1 to iters) {
+    var held: Seq[DataFrame] = Nil
+    for (it <- 1 to iters) {
       // contribution = rank DIV out_degree (SQL string: Spark exposes
       // integer division only as the DIV operator, and double-divide
       // + cast loses exactness past 2^53 — a real hub's summed mass)
@@ -64,6 +94,8 @@ object LinkGraph {
         .selectExpr("__pr_id",
           s"${1000000L - dampingPpm}L + ($dampingPpm" +
             "L * coalesce(__pr_s, 0L)) DIV 1000000 AS __pr_rank")
+      val (st, h) = roll(Seq(ranks), held, it, checkpointEvery)
+      ranks = st.head; held = h
     }
     ranks.select(col("__pr_id").as(idCol), col("__pr_rank").as("rank_ppm"))
   }
@@ -130,7 +162,8 @@ object LinkGraph {
       dstCol: String,
       weightCol: String,
       iters: Int,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be a ppm fraction, got $dampingPpm")
@@ -143,7 +176,8 @@ object LinkGraph {
     val ed = e.join(wTot, "__pr_src")
     val ids = nodes.select(col(idCol).cast("long").as("__pr_id")).distinct()
     var ranks = ids.select(col("__pr_id"), lit(1000000L).as("__pr_rank"))
-    for (_ <- 1 to iters) {
+    var held: Seq[DataFrame] = Nil
+    for (it <- 1 to iters) {
       val contribs = ed.join(ranks, col("__pr_src") === col("__pr_id"))
         .selectExpr("__pr_dst", "(__pr_rank * __pr_w) DIV __pr_wt AS __pr_c")
         .groupBy(col("__pr_dst")).agg(sum(col("__pr_c")).as("__pr_s"))
@@ -152,6 +186,8 @@ object LinkGraph {
         .selectExpr("__pr_id",
           s"${1000000L - dampingPpm}L + ($dampingPpm" +
             "L * coalesce(__pr_s, 0L)) DIV 1000000 AS __pr_rank")
+      val (st, h) = roll(Seq(ranks), held, it, checkpointEvery)
+      ranks = st.head; held = h
     }
     ranks.select(col("__pr_id").as(idCol), col("__pr_rank").as("rank_ppm"))
   }
@@ -194,14 +230,16 @@ object LinkGraph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val e = edges.select(col(srcCol).cast("long").as("__h_src"),
       col(dstCol).cast("long").as("__h_dst")).distinct()
     val ids = nodes.select(col(idCol).cast("long").as("__h_id")).distinct()
     var hub = ids.select(col("__h_id"), lit(1000000L).as("__h_hub"))
     var auth = ids.select(col("__h_id"), lit(1000000L).as("__h_auth"))
-    for (_ <- 1 to iters) {
+    var held: Seq[DataFrame] = Nil
+    for (it <- 1 to iters) {
       val aRaw = e.join(hub, col("__h_src") === col("__h_id"))
         .groupBy(col("__h_dst")).agg(sum(col("__h_hub")).as("__h_s"))
       val aMax = aRaw.agg(coalesce(max(col("__h_s")), lit(1L)).as("__h_m"))
@@ -216,6 +254,8 @@ object LinkGraph {
         .crossJoin(broadcast(hMax))
         .selectExpr("__h_id",
           "(coalesce(__h_s, 0L) * 1000000L) DIV __h_m AS __h_hub")
+      val (st, h) = roll(Seq(hub, auth), held, it, checkpointEvery)
+      hub = st(0); auth = st(1); held = h
     }
     hub.join(auth, "__h_id")
       .select(col("__h_id").as(idCol), col("__h_hub").as("hub_ppm"),
@@ -409,7 +449,8 @@ object LinkGraph {
       seeds: DataFrame,
       seedCol: String,
       iters: Int,
-      dampingPpm: Long = 850000L): DataFrame = {
+      dampingPpm: Long = 850000L,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"dampingPpm must be a ppm fraction, got $dampingPpm")
@@ -425,7 +466,8 @@ object LinkGraph {
         coalesce(col("__pp_seed"), lit(false)).as("__pp_seed"))
     var ranks = ids.selectExpr("__pp_id",
       "CASE WHEN __pp_seed THEN 1000000L ELSE 0L END AS __pp_rank")
-    for (_ <- 1 to iters) {
+    var held: Seq[DataFrame] = Nil
+    for (it <- 1 to iters) {
       val contribs = ed.join(ranks, col("__pp_src") === col("__pp_id"))
         .selectExpr("__pp_dst", "__pp_rank DIV __pp_deg AS __pp_c")
         .groupBy(col("__pp_dst")).agg(sum(col("__pp_c")).as("__pp_s"))
@@ -435,6 +477,8 @@ object LinkGraph {
           s"CASE WHEN __pp_seed THEN ${1000000L - dampingPpm}L ELSE 0L END" +
             s" + ($dampingPpm" +
             "L * coalesce(__pp_s, 0L)) DIV 1000000 AS __pp_rank")
+      val (st, h) = roll(Seq(ranks), held, it, checkpointEvery)
+      ranks = st.head; held = h
     }
     ranks.join(ids, "__pp_id")
       .select(col("__pp_id").as(idCol), col("__pp_rank").as("trust_ppm"),
@@ -474,7 +518,8 @@ object LinkGraph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iters: Int): DataFrame = {
+      iters: Int,
+      checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     val dir = edges.select(col(srcCol).cast("long").as("__lp_a"),
         col(dstCol).cast("long").as("__lp_b"))
@@ -485,7 +530,8 @@ object LinkGraph {
       col("__lp_a").as("__lp_b"))).distinct()
     val ids = nodes.select(col(idCol).cast("long").as("__lp_id")).distinct()
     var lbl = ids.select(col("__lp_id"), col("__lp_id").as("__lp_lbl"))
-    for (_ <- 1 to iters) {
+    var held: Seq[DataFrame] = Nil
+    for (it <- 1 to iters) {
       val cnt = eu.join(lbl, eu("__lp_b") === lbl("__lp_id"))
         .groupBy(col("__lp_a"), col("__lp_lbl"))
         .agg(count(lit(1)).as("__lp_c"))
@@ -498,6 +544,8 @@ object LinkGraph {
       lbl = lbl.join(best, lbl("__lp_id") === best("__lp_a"), "left")
         .select(col("__lp_id"),
           coalesce(col("__lp_new"), col("__lp_lbl")).as("__lp_lbl"))
+      val (st, h) = roll(Seq(lbl), held, it, checkpointEvery)
+      lbl = st.head; held = h
     }
     lbl.select(col("__lp_id").as(idCol), col("__lp_lbl").as("community"))
   }
@@ -528,7 +576,8 @@ object LinkGraph {
       dstCol: String,
       seeds: DataFrame,
       seedCol: String,
-      maxDepth: Int): DataFrame = {
+      maxDepth: Int,
+      checkpointEvery: Int = 0): DataFrame = {
     require(maxDepth >= 0, s"maxDepth must be >= 0: $maxDepth")
     val e = edges.select(col(srcCol).cast("long").as("__bd_src"),
       col(dstCol).cast("long").as("__bd_dst")).distinct()
@@ -536,6 +585,7 @@ object LinkGraph {
     var visited = seeds.select(col(seedCol).cast("long").as("__bd_id")).distinct()
       .withColumn("__bd_d", lit(0L))
     var frontier = visited
+    var held: Seq[DataFrame] = Nil
     for (d <- 1 to maxDepth) {
       val reached = frontier.join(e, frontier("__bd_id") === e("__bd_src"))
         .select(col("__bd_dst").as("__bd_id")).distinct()
@@ -543,6 +593,8 @@ object LinkGraph {
           Seq("__bd_id"), "left_anti")
         .withColumn("__bd_d", lit(d.toLong))
       visited = visited.union(frontier)
+      val (st, h) = roll(Seq(visited, frontier), held, d, checkpointEvery)
+      visited = st(0); frontier = st(1); held = h
     }
     ids.join(visited, Seq("__bd_id"), "left")
       .select(col("__bd_id").as(idCol),

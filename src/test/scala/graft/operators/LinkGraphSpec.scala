@@ -261,4 +261,85 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.pageRankInt(nodes(0), "id", edges(), "src", "dst", -1)
     }
   }
+
+  // ---------------------------------------------------- checkpointEvery
+
+  private def planJoins(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.size
+
+  test("checkpointEvery: bit-identical results; iters=50 plan depth bounded by the cadence") {
+    // a ring + chords so ranks keep moving across many iterations
+    val n = nodes(0L to 9L: _*)
+    val e = edges((0L to 9L).map(i => i -> ((i + 1) % 10)) ++
+      Seq(0L -> 5L, 3L -> 8L, 7L -> 2L): _*)
+
+    // equality vs the unchunked path at an iteration count the
+    // unchunked plan can still afford — the cost that forces this to
+    // stay single-digit is not execution but CONSTRUCTION: every
+    // .join in the loop eagerly analyzes the whole accumulated plan,
+    // so unchunked build cost grows super-linearly with iters (and
+    // crawlDepth's state tree doubles per level). checkpointEvery
+    // collapses the analyzed plan to a LogicalRDD leaf on the
+    // cadence, which is exactly why it must exist. Off-cadence tail
+    // (iters % every != 0) included in each comparison.
+    val plain = LinkGraph.pageRankInt(n, "id", e, "src", "dst", iters = 7)
+    val chunked = LinkGraph.pageRankInt(n, "id", e, "src", "dst", iters = 7,
+      checkpointEvery = 3)
+    assert(chunked.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      plain.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    assert(planJoins(chunked) < planJoins(plain))
+    graft.Checkpoints.release(chunked)
+
+    // the iters=50 plan the scaladoc warning used to punt on: the
+    // UNCHUNKED 50-iteration plan is deliberately NOT built here (its
+    // optimize+codegen cost is the pathology checkpointEvery removes);
+    // the chunked one must both run and stay shallow — only the
+    // iterations after the LAST checkpoint remain in the final plan
+    val deep = LinkGraph.pageRankInt(n, "id", e, "src", "dst", iters = 50,
+      checkpointEvery = 5)
+    assert(deep.collect().length === 10)
+    assert(planJoins(deep) < 12)
+    graft.Checkpoints.release(deep)
+
+    // same contract on the multi-state loops: HITS (two state tables)
+    val hp = LinkGraph.hitsInt(n, "id", e, "src", "dst", iters = 4)
+    val hc = LinkGraph.hitsInt(n, "id", e, "src", "dst", iters = 4, checkpointEvery = 3)
+    assert(hc.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq ===
+      hp.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq)
+    assert(planJoins(hc) < planJoins(hp))
+    graft.Checkpoints.release(hc)
+
+    // label propagation and BFS depth: off-cadence final iteration
+    // (iters not a multiple of every) must also be identical
+    val lp = LinkGraph.labelPropagationInt(n, "id", e, "src", "dst", iters = 5)
+    val lc = LinkGraph.labelPropagationInt(n, "id", e, "src", "dst", iters = 5,
+      checkpointEvery = 2)
+    assert(lc.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      lp.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    graft.Checkpoints.release(lc)
+
+    val seeds = Seq(0L).toDF("id")
+    val dp = LinkGraph.crawlDepth(n, "id", e, "src", "dst", seeds, "id", maxDepth = 5)
+    val dc = LinkGraph.crawlDepth(n, "id", e, "src", "dst", seeds, "id", maxDepth = 5,
+      checkpointEvery = 2)
+    assert(dc.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      dp.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    graft.Checkpoints.release(dc)
+  }
+
+  test("checkpointEvery releases superseded state: at most one held generation of blocks") {
+    val n = nodes(0L to 9L: _*)
+    val e = edges((0L to 9L).map(i => i -> ((i + 1) % 10)): _*)
+    val before = graft.Checkpoints.storageBytes(spark)
+    val r = LinkGraph.pageRankInt(n, "id", e, "src", "dst", iters = 12,
+      checkpointEvery = 2)
+    r.collect()
+    // 6 checkpoints were taken; all but the LAST were released inside
+    // the loop, so held storage is one small table, not six
+    graft.Checkpoints.release(r)
+    assert(graft.Checkpoints.storageBytes(spark) <= before)
+  }
+
 }
