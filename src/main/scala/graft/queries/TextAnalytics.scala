@@ -74,6 +74,27 @@ object TextAnalytics {
        |ORDER BY lang, lang_detected""".stripMargin
   }
 
+  // --------------------------------------------------------------- q217
+  /** q23's language-ID confusion breakdown routed through the MODEL
+    * BOUNDARY (LangId.langIdWithModel + the stand-in stopword
+    * classifier) instead of the Column expression: the same oracle
+    * gates that the batched-mapPartitions plumbing — batching, row
+    * passthrough, tag alignment — changes nothing, which is the
+    * pipeline shape a production classifier drops into (the q131
+    * encode-boundary discipline applied to language ID).
+    */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tagged = graft.operators.LangId.langIdWithModel(
+      t(s, dir, "documents").select($"doc_id", $"lang", $"text"),
+      "text", new graft.operators.LangId.StopwordLangClassifier, batchSize = 64)
+    tagged.groupBy($"lang", col("lang_detected"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", col("lang_detected"))
+  }
+
+  private val q217Sql = q23Sql
+
   // ---------------------------------------------------------------- q24
   /** Per-document quality score + the filter a pipeline would apply
     * (keep score >= 0.5), returning the kept docs.
@@ -2386,6 +2407,7 @@ object TextAnalytics {
     "q127_retrieval_recall" -> (q127 _),
     "q126_lexical_search" -> (q126 _),
     "q199_more_like_this" -> (q199 _),
+    "q217_langid_model" -> (q217 _),
     "q143_bm25_search" -> (q143 _),
     "q148_postings_append" -> (q148 _),
     "q150_table_profile" -> (q150 _),
@@ -2439,6 +2461,7 @@ object TextAnalytics {
     "q127_retrieval_recall" -> q127Sql,
     "q126_lexical_search" -> q126Sql,
     "q199_more_like_this" -> q199Sql,
+    "q217_langid_model" -> q217Sql,
     "q143_bm25_search" -> q143Sql,
     "q148_postings_append" -> q143Sql,
     "q150_table_profile" -> q150Sql,
