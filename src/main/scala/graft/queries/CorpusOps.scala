@@ -2442,6 +2442,39 @@ object CorpusOps {
       |  FROM documents)
       |ORDER BY position""".stripMargin
 
+  // --------------------------------------------------------------- q218
+  /** Export read-back verification (Export.verifyShards +
+    * readShardsInOrder) — the q170 time-travel discipline applied to
+    * the TRAINING artifact: write the sharded export with its
+    * manifest, re-derive every shard's counts and position ranges
+    * from the files, refuse anything non-ok, then replay the training
+    * order from the artifact. The oracle is q132's independent
+    * permutation rebuild, so the gate pins that what a LOADER reads
+    * back from disk — through manifest check, verification, and the
+    * physical shard files — is bit-identical to the declared shuffle
+    * order. A lost row, a mis-binned shard, or a stale manifest
+    * breaks the hash.
+    */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("q218-export").toString + "/data"
+    graft.sources.Export.writeShardsWithManifest(
+      t(s, dir, "documents"), "doc_id", out, seed = 42L, rowsPerShard = 64L)
+    val rep = graft.sources.Export.verifyShards(s, out).collect()
+    require(rep.nonEmpty && rep.forall(_.getString(3) == "ok"),
+      s"export failed read-back verification: ${rep.mkString(", ")}")
+    val replay = graft.sources.Export.readShardsInOrder(s, out)
+      .select(col("doc_id"), col("position"), col("shard").cast("long").as("shard"))
+      .orderBy(col("position"))
+      .localCheckpoint(true) // materialize before deleting the temp export
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(out).getParentFile)
+    replay
+  }
+
+  private val q218Sql = q132Sql
+
   // --------------------------------------------------------------- q183
   /** Multi-epoch shuffle schedule (Export.shufflePositions × epochs):
     * epoch e's training order is the seeded permutation at seed
@@ -2768,6 +2801,7 @@ object CorpusOps {
     "q79_substring_dedup" -> (q79 _),
     "q58_dedup_apply" -> (q58 _),
     "q189_dedup_keep_best" -> (q189 _),
+    "q218_export_readback" -> (q218 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
@@ -2831,6 +2865,7 @@ object CorpusOps {
     "q79_substring_dedup" -> q79Sql,
     "q58_dedup_apply" -> q58Sql,
     "q189_dedup_keep_best" -> q189Sql,
+    "q218_export_readback" -> q218Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,

@@ -112,6 +112,116 @@ object Export {
     n
   }
 
+  /** Parsed export manifest — the replay recipe plus the per-shard
+    * row counts a loader schedules by.
+    */
+  final case class ExportManifest(
+      seed: Long, rowsPerShard: Long, nShards: Int, totalRows: Long,
+      shards: Seq[(Int, Long)])
+
+  /** Read `outDir/manifest.json`, failing LOUDLY when absent: the
+    * manifest commits last ([[writeShardsWithManifest]]), so a
+    * missing manifest means an uncommitted/crashed export — a loader
+    * must never schedule against one.
+    */
+  def readManifest(outDir: String): ExportManifest = {
+    val p = java.nio.file.Paths.get(outDir, "manifest.json")
+    if (!java.nio.file.Files.exists(p))
+      throw new IllegalStateException(
+        s"no manifest.json in $outDir — export never committed (the " +
+          "manifest lands LAST; data files without one are an aborted write)")
+    val s = java.nio.file.Files.readString(p)
+    def f(k: String): Long =
+      ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
+    val shards = "\\{\"shard\":\\s*(\\d+),\\s*\"rows\":\\s*(\\d+)\\}".r
+      .findAllMatchIn(s).map(m => (m.group(1).toInt, m.group(2).toLong)).toSeq
+    ExportManifest(f("seed"), f("rows_per_shard"), f("n_shards").toInt,
+      f("total_rows"), shards)
+  }
+
+  /** CONSUMER-side verification of a sharded export — the read-back
+    * gate the lifecycle families (ANN q170, postings q148, CMS q155)
+    * already have, applied to the training artifact: re-derive every
+    * shard's row count and position range from the FILES and diff
+    * them against the manifest. One report row per shard (manifest ∪
+    * files), status one of:
+    *
+    *  - `ok` — counts match and positions are exactly the contiguous
+    *    duplicate-free range `[shard·rps + 1, shard·rps + rows]`
+    *  - `row_count_mismatch` — a TRUNCATED (or padded) shard: files
+    *    exist but rows were lost/duplicated after the manifest landed
+    *  - `missing_shard` — the manifest promises a shard no file backs
+    *  - `unexpected_shard` — files carry a shard the manifest never
+    *    recorded (a foreign/partial write landed in the dir)
+    *  - `order_broken` — counts match but the position set is not the
+    *    shard's contiguous range (rows landed in the wrong shard, or
+    *    a replay would skip/repeat examples)
+    *
+    * Plan shape: ONE scan of the export + a groupBy on the shard key
+    * (shard-cardinality result), full-outer-joined against the
+    * broadcast manifest frame — no window over data rows, no collect
+    * of data. The q218 gate pins verify-then-replay ≡ the q132
+    * declared order end-to-end.
+    */
+  def verifyShards(
+      spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val m = readManifest(outDir)
+    val manifest = m.shards.toDF("shard", "manifest_rows")
+    val actual = readShardFiles(spark, outDir)
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("actual_rows"),
+        min(col("position")).as("min_position"),
+        max(col("position")).as("max_position"),
+        count_distinct(col("position")).as("n_distinct"))
+    val rps = m.rowsPerShard
+    manifest.join(actual, Seq("shard"), "full_outer")
+      .withColumn("status",
+        when(col("manifest_rows").isNull, lit("unexpected_shard"))
+          .when(col("actual_rows").isNull, lit("missing_shard"))
+          .when(col("actual_rows") =!= col("manifest_rows"),
+            lit("row_count_mismatch"))
+          .when(col("min_position") =!= col("shard") * rps + 1 ||
+            col("max_position") =!= col("shard") * rps + col("actual_rows") ||
+            col("n_distinct") =!= col("actual_rows"), lit("order_broken"))
+          .otherwise(lit("ok")))
+      .select(col("shard"),
+        coalesce(col("manifest_rows"), lit(0L)).as("manifest_rows"),
+        coalesce(col("actual_rows"), lit(0L)).as("actual_rows"),
+        col("status"))
+      .orderBy(col("shard"))
+  }
+
+  /** Replay the training order from a committed export, verifying
+    * FIRST: any non-`ok` shard in [[verifyShards]] aborts loudly (a
+    * loader must not train on a corrupted artifact), then the rows
+    * come back carrying their `position`/`shard` columns — position
+    * is the declared global training order (within a shard file rows
+    * are already physically sorted by it; a sequential reader of
+    * shard 0, 1, 2… replays the q132 permutation without this sort).
+    */
+  def readShardsInOrder(
+      spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val bad = verifyShards(spark, outDir)
+      .filter(col("status") =!= "ok")
+      .collect() // shard-cardinality, not data
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        "export verification failed: " + bad.map(r =>
+          s"shard ${r.get(0)}: ${r.getString(3)} " +
+            s"(manifest ${r.getLong(1)}, files ${r.getLong(2)})").mkString("; "))
+    readShardFiles(spark, outDir)
+  }
+
+  /** The shard data files only — the manifest (json) sits in the same
+    * dir and must not reach the parquet footer reader.
+    */
+  private def readShardFiles(
+      spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", outDir).parquet(s"$outDir/shard=*")
+
   /** EXACT stratified holdout selection — carve a validation/test set
     * of EXACTLY `budget` examples out of the corpus, allocated across
     * strata (sources, domains, languages) proportionally to their

@@ -155,4 +155,78 @@ class ExportSpec extends SparkSpec {
       .sortBy { case (id, p) => (p, id) }.take(30).map(_._1).toSet
     assert(s1 === ref)
   }
+
+  // ------------------------------------------------ read-back verification
+
+  test("verifyShards: a clean export reads back all-ok; replay serves the rows") {
+    val out = tmpDir("export-verify-ok") + "/data"
+    Export.writeShardsWithManifest(docs(130), "doc_id", out, seed = 7L, rowsPerShard = 32L)
+    val rep = Export.verifyShards(spark, out).collect()
+    assert(rep.length === 5)
+    assert(rep.forall(_.getString(3) === "ok"))
+    assert(rep.map(_.getLong(2)).sum === 130L)
+    val replay = Export.readShardsInOrder(spark, out)
+    assert(replay.count() === 130L)
+    // the replayed positions are the full contiguous training order
+    assert(replay.agg(min($"position"), max($"position"),
+      count_distinct($"position")).collect()(0).toSeq === Seq(1L, 130L, 130L))
+  }
+
+  test("verifyShards failure modes: truncated, missing, unexpected shard; no manifest") {
+    import org.apache.spark.sql.functions.col
+
+    // truncated shard: rows vanished after the manifest landed
+    val t = tmpDir("export-verify-trunc") + "/data"
+    Export.writeShardsWithManifest(docs(130), "doc_id", t, seed = 7L, rowsPerShard = 32L)
+    val shard2 = spark.read.parquet(s"$t/shard=2")
+      .filter(col("position") % 5 =!= 0).localCheckpoint(true)
+    shard2.write.mode("overwrite").parquet(s"$t/shard=2")
+    val rep = Export.verifyShards(spark, t).collect()
+      .map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(rep(2) === "row_count_mismatch")
+    assert(rep.filter(_._1 != 2).values.forall(_ === "ok"))
+    val e1 = intercept[IllegalStateException] { Export.readShardsInOrder(spark, t) }
+    assert(e1.getMessage.contains("shard 2"))
+
+    // missing shard: the manifest promises what no file backs
+    val m = tmpDir("export-verify-miss") + "/data"
+    Export.writeShardsWithManifest(docs(130), "doc_id", m, seed = 7L, rowsPerShard = 32L)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$m/shard=1"))
+    val rep2 = Export.verifyShards(spark, m).collect()
+      .map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(rep2(1) === "missing_shard")
+
+    // unexpected shard: a foreign write landed inside the export dir
+    val u = tmpDir("export-verify-extra") + "/data"
+    Export.writeShardsWithManifest(docs(130), "doc_id", u, seed = 7L, rowsPerShard = 32L)
+    spark.read.parquet(s"$u/shard=0")
+      .write.mode("overwrite").parquet(s"$u/shard=9")
+    val rep3 = Export.verifyShards(spark, u).collect()
+      .map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(rep3(9) === "unexpected_shard")
+    // and its positions obviously violate shard 9's range — the same
+    // rows as shard 0 — so order_broken would also catch a mis-binned
+    // write; unexpected_shard fires first (no manifest row at all)
+
+    // rows in the wrong shard: counts match, range does not
+    val w = tmpDir("export-verify-order") + "/data"
+    Export.writeShardsWithManifest(docs(64), "doc_id", w, seed = 7L, rowsPerShard = 32L)
+    val swapped = spark.read.parquet(s"$w/shard=1").localCheckpoint(true)
+    spark.read.parquet(s"$w/shard=0").localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$w/shard=1")
+    swapped.write.mode("overwrite").parquet(s"$w/shard=0")
+    val rep4 = Export.verifyShards(spark, w).collect()
+      .map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(rep4(0) === "order_broken" && rep4(1) === "order_broken")
+
+    // no manifest at all: an aborted export is never schedulable
+    val n = tmpDir("export-verify-nomanifest") + "/data"
+    Export.writeShards(docs(32), "doc_id", n, seed = 7L, rowsPerShard = 32L)
+    val e2 = intercept[IllegalStateException] { Export.verifyShards(spark, n) }
+    assert(e2.getMessage.contains("never committed"))
+  }
+
 }
