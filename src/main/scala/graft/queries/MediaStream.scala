@@ -438,6 +438,78 @@ object MediaStream {
       |FROM en
       |ORDER BY media_id, "window"""".stripMargin
 
+  // --------------------------------------------------------------- q219
+  /** Mixed-format media census — the production shape a crawl's media
+    * column actually has (never one format): one table mixing real
+    * PPM / PNG / WAV / y4m payloads and undecodable blobs (doc_id % 5
+    * routes each doc through one adapter; blobs get a space prefix so
+    * no codec magic can fire), swept by ALL THREE typed decoders.
+    * The census pins, per format: row count, which decoder accepted
+    * it (images must reject audio bytes and vice versa — the
+    * cross-format REJECTION is the point), the error-channel
+    * complement, and integer content checksums (pixel counts, exact
+    * truncating durations). The oracle re-derives every number from
+    * the documents table alone — adapter geometry, duration rules,
+    * and the all-errors blob row included.
+    */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(5)) === k)
+    val mixed = Media.toPpm(bucket(0))
+      .union(Media.toPng(bucket(1)))
+      .union(Media.toWav(bucket(2)))
+      .union(Media.toY4m(bucket(3)))
+      .union(bucket(4).filter(length(col("text")) > 0).select(
+        col("doc_id").as("media_id"), lit("blob").as("kind"),
+        lit("bin").as("format"),
+        encode(concat(lit(" "), col("text")), "UTF-8").as("data")))
+      .as[Media.MediaRecord].localCheckpoint(true) // three decoders scan it
+    val img = Media.decodeImages(mixed).toDF()
+      .select(col("media_id"), col("ok").as("i_ok"),
+        when(col("ok"), col("n_pixels")).otherwise(0L).as("px"))
+    val aud = Media.decodeAudio(mixed).toDF()
+      .select(col("media_id"), col("ok").as("a_ok"),
+        when(col("ok"), col("duration_ms")).otherwise(0L).as("a_ms"))
+    val vid = Media.decodeVideo(mixed).toDF()
+      .select(col("media_id"), col("ok").as("v_ok"),
+        when(col("ok"), col("duration_ms")).otherwise(0L).as("v_ms"))
+    val out = mixed.toDF().select(col("media_id"), col("format"))
+      .join(img, Seq("media_id")).join(aud, Seq("media_id"))
+      .join(vid, Seq("media_id"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("i_ok"), 1L).otherwise(0L)).as("img_ok"),
+        sum(when(col("a_ok"), 1L).otherwise(0L)).as("aud_ok"),
+        sum(when(col("v_ok"), 1L).otherwise(0L)).as("vid_ok"),
+        sum(when(!col("i_ok") && !col("a_ok") && !col("v_ok"), 1L)
+          .otherwise(0L)).as("n_err"),
+        sum(col("px")).as("px_sum"),
+        (sum(col("a_ms")) + sum(col("v_ms"))).as("dur_ms_sum"))
+      .orderBy(col("format"))
+      .localCheckpoint(true)
+    graft.Checkpoints.release(mixed)
+    out
+  }
+
+  private val q219Sql =
+    """SELECT format, count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN b IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
+      |  CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
+      |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
+      |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+      |  CAST(sum(CASE WHEN b IN (0, 1)
+      |    THEN (len % 8 + 1) * (len % 6 + 1) ELSE 0 END) AS BIGINT) AS px_sum,
+      |  CAST(sum(CASE WHEN b = 2 THEN (len * 1000) // (len % 4000 + 4000)
+      |    WHEN b = 3 THEN (len % 3 + 1) * 40 ELSE 0 END) AS BIGINT) AS dur_ms_sum
+      |FROM (SELECT doc_id % 5 AS b,
+      |        CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' ELSE 'bin' END AS format,
+      |        length(text) AS len
+      |      FROM documents WHERE length(text) > 0)
+      |GROUP BY format
+      |ORDER BY format""".stripMargin
+
   // --------------------------------------------------------------- q121
   /** Perceptual image near-dup (Media.imageNearDupPairs): documents
     * become real P6 PPM binaries (the q102 adapter), ImageCodec
@@ -2173,6 +2245,7 @@ object MediaStream {
     "q130_warc_ingest" -> (q130 _),
     "q142_warc_gzip" -> (q142 _),
     "q121_image_near_dup" -> (q121 _),
+    "q219_mixed_media_census" -> (q219 _),
     "q123_image_dedup_apply" -> (q123 _),
     "q129_audio_near_dup" -> (q129 _),
     "q44_media_decode" -> (q44 _),
@@ -2220,6 +2293,7 @@ object MediaStream {
     "q130_warc_ingest" -> q130Sql,
     "q142_warc_gzip" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
+    "q219_mixed_media_census" -> q219Sql,
     "q123_image_dedup_apply" -> q123Sql,
     "q129_audio_near_dup" -> q129Sql,
     "q44_media_decode" -> q44Sql,

@@ -46,4 +46,44 @@ class MediaSpec extends SparkSpec {
     assert(r.getAs[Int]("target_width") === 320)
     assert(r.getAs[Int]("target_height") === 240)
   }
+
+  test("mixed-format table: PNG re-encodes pair with their PPM twins; non-images flow to the error channel; dedup-apply keeps one per cluster") {
+    // the q219 production shape in miniature: the SAME documents as
+    // PPM (media_id = doc_id) and as PNG (media_id = doc_id + 100),
+    // plus audio and undecodable rows in the same column
+    val texts = Seq((1L, "the quick brown fox jumps over"),
+      (2L, "pack my box with five dozen jugs"),
+      (3L, "sphinx of black quartz judge my vow"))
+      .toDF("doc_id", "text")
+    val mixed = Media.toPpm(texts)
+      .union(Media.toPng(texts.withColumn("doc_id", $"doc_id" + 100)))
+      .union(Media.toWav(texts.withColumn("doc_id", $"doc_id" + 200)))
+      .union(texts.withColumn("doc_id", $"doc_id" + 300).select(
+        $"doc_id".as("media_id"), lit("blob").as("kind"), lit("bin").as("format"),
+        encode(concat(lit(" "), $"text"), "UTF-8").as("data")))
+      .as[MediaRecord]
+
+    // every PPM/PNG twin pairs at hamming 0 (aHash is format-blind);
+    // WAV and blob rows never reach the pair table (error channel)
+    val pairs = Media.imageNearDupPairs(mixed, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(Set((1L, 101L, 0), (2L, 102L, 0), (3L, 103L, 0)).subsetOf(pairs))
+    assert(pairs.forall { case (a, b, _) => a <= 103 && b <= 103 })
+
+    val errs = Media.imageAHash(mixed).toDF().filter(!col("ok"))
+      .select($"media_id").collect().map(_.getLong(0)).toSet
+    assert(errs === Set(201L, 202L, 203L, 301L, 302L, 303L))
+
+    // dedup-apply over the clusters keeps ONE member per twin pair
+    // (min id = the PPM copy) and every non-image row untouched
+    val clusters = Dedup.connectedComponents(
+      Media.imageNearDupPairs(mixed, maxHamming = 0), "id_a", "id_b")
+    val ids = mixed.toDF().select($"media_id".as("doc_id"))
+    val kept = Dedup.removeDuplicates(ids, "doc_id", clusters)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(1L, 2L, 3L).subsetOf(kept))
+    assert(Set(101L, 102L, 103L).intersect(kept).isEmpty)
+    assert(Set(201L, 202L, 203L, 301L, 302L, 303L).subsetOf(kept))
+  }
+
 }
