@@ -2460,12 +2460,18 @@ object CorpusOps {
     graft.sources.Export.writeShardsWithManifest(
       t(s, dir, "documents"), "doc_id", out, seed = 42L, rowsPerShard = 64L)
     val rep = graft.sources.Export.verifyShards(s, out).collect()
-    require(rep.nonEmpty && rep.forall(_.getString(3) == "ok"),
+    require(rep.forall(_.getString(3) == "ok"),
       s"export failed read-back verification: ${rep.mkString(", ")}")
-    val replay = graft.sources.Export.readShardsInOrder(s, out)
-      .select(col("doc_id"), col("position"), col("shard").cast("long").as("shard"))
-      .orderBy(col("position"))
-      .localCheckpoint(true) // materialize before deleting the temp export
+    // a committed EMPTY export (empty corpus drop) verifies clean and
+    // has nothing to replay
+    val replay =
+      if (graft.sources.Export.readManifest(out).totalRows == 0L)
+        s.range(0).select(col("id").as("doc_id"), col("id").as("position"),
+          col("id").as("shard"))
+      else graft.sources.Export.readShardsInOrder(s, out)
+        .select(col("doc_id"), col("position"), col("shard").cast("long").as("shard"))
+        .orderBy(col("position"))
+        .localCheckpoint(true) // materialize before deleting the temp export
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }

@@ -510,6 +510,37 @@ object MediaStream {
       |GROUP BY format
       |ORDER BY format""".stripMargin
 
+  // --------------------------------------------------------------- q220
+  /** PDF text extraction (sources.Pdf) — q130's discipline for the
+    * third crawl text container: documents become REAL single-page
+    * PDFs (classic xref, page tree, content stream showing the text
+    * as one Tj + one 7-char-chunked TJ array; even doc_id raw, odd
+    * /FlateDecode), and the extractor walks stream objects, inflates,
+    * and concatenates the shows. The oracle never parses a PDF: the
+    * extracted text must equal 'Doc ' || doc_id || '|' || text
+    * re-derived from the documents table — a wrong escape, a
+    * mis-framed /Length, a kerning number leaking into the text, or a
+    * broken inflate all hash-fail. Committed fixtures (python-built,
+    * independent writer) pin the parser separately in PdfSpec.
+    */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Pdf.toPdfs(t(s, dir, "documents"))
+      .as[Media.MediaRecord]
+    graft.sources.Pdf.extractRows(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id").as("doc_id"),
+        (col("n_flate") > 0).as("flate"),
+        col("n_shows"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q220Sql =
+    """SELECT doc_id, doc_id % 2 = 1 AS flate, CAST(2 AS INTEGER) AS n_shows,
+      |  'Doc ' || doc_id || '|' || text AS text
+      |FROM documents WHERE length(text) > 0
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q121
   /** Perceptual image near-dup (Media.imageNearDupPairs): documents
     * become real P6 PPM binaries (the q102 adapter), ImageCodec
@@ -2246,6 +2277,7 @@ object MediaStream {
     "q142_warc_gzip" -> (q142 _),
     "q121_image_near_dup" -> (q121 _),
     "q219_mixed_media_census" -> (q219 _),
+    "q220_pdf_extract" -> (q220 _),
     "q123_image_dedup_apply" -> (q123 _),
     "q129_audio_near_dup" -> (q129 _),
     "q44_media_decode" -> (q44 _),
@@ -2294,6 +2326,7 @@ object MediaStream {
     "q142_warc_gzip" -> q130Sql,
     "q121_image_near_dup" -> q121Sql,
     "q219_mixed_media_census" -> q219Sql,
+    "q220_pdf_extract" -> q220Sql,
     "q123_image_dedup_apply" -> q123Sql,
     "q129_audio_near_dup" -> q129Sql,
     "q44_media_decode" -> q44Sql,

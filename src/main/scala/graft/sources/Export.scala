@@ -88,10 +88,15 @@ object Export {
       rowsPerShard: Long): Int = {
     val n = writeShards(docs, idCol, outDir, seed, rowsPerShard)
     val spark = docs.sparkSession
-    val perShard = spark.read.parquet(outDir)
-      .groupBy(col("shard")).agg(count(lit(1)).as("rows"))
-      .orderBy(col("shard"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // an EMPTY corpus (empty daily drop) writes zero shard dirs — a
+    // valid, committable export of 0 rows; there is nothing to re-read
+    val perShard =
+      if (n == 0) Array.empty[(Int, Long)]
+      else readShardFiles(spark, outDir)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("rows"))
+        .orderBy(col("shard"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
     val total = perShard.map(_._2).sum
     val shardJson = perShard
       .map { case (s, r) => s"""{"shard": $s, "rows": $r}""" }
@@ -170,6 +175,14 @@ object Export {
     import spark.implicits._
     val m = readManifest(outDir)
     val manifest = m.shards.toDF("shard", "manifest_rows")
+    if (!shardDirsExist(outDir))
+      // no data files at all: a committed EMPTY export verifies clean
+      // (empty report); a manifest promising shards reports them all
+      // missing
+      return manifest
+        .select(col("shard"), col("manifest_rows"),
+          lit(0L).as("actual_rows"), lit("missing_shard").as("status"))
+        .orderBy(col("shard"))
     val actual = readShardFiles(spark, outDir)
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("actual_rows"),
@@ -204,6 +217,10 @@ object Export {
     */
   def readShardsInOrder(
       spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val m = readManifest(outDir)
+    require(m.totalRows > 0,
+      s"export at $outDir is committed but EMPTY (total_rows = 0) — " +
+        "nothing to replay; callers gate on the manifest total")
     val bad = verifyShards(spark, outDir)
       .filter(col("status") =!= "ok")
       .collect() // shard-cardinality, not data
@@ -221,6 +238,10 @@ object Export {
   private def readShardFiles(
       spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
     spark.read.option("basePath", outDir).parquet(s"$outDir/shard=*")
+
+  private def shardDirsExist(outDir: String): Boolean =
+    Option(new java.io.File(outDir).listFiles()).toSeq.flatten
+      .exists(_.getName.startsWith("shard="))
 
   /** EXACT stratified holdout selection — carve a validation/test set
     * of EXACTLY `budget` examples out of the corpus, allocated across

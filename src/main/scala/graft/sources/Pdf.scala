@@ -1,0 +1,340 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** PDF text extraction for the crawl-extraction family (q130's HTML,
+  * q141's markdown — PDFs are the third text container a crawl
+  * carries in volume). Dependency-free and deliberately SCOPED, the
+  * compressed-video adjudication pattern:
+  *
+  * IN scope:
+  *  - classic cross-reference PDFs scanned linearly for
+  *    `<< dict >> stream … endstream` objects (no xref walk needed to
+  *    find content; works on linearized and incrementally-updated
+  *    files too)
+  *  - uncompressed streams and `/FlateDecode` streams (zlib via the
+  *    JDK `Inflater` — the q142/PNG precedent)
+  *  - text-show operators `Tj` and `TJ` with PARENTHESIZED string
+  *    literals (escapes `\\ \( \) \n \r \t \b \f`, octal `\ddd`,
+  *    escaped-newline continuation; nested balanced parens), shows
+  *    concatenated VERBATIM in stream order — TJ's interleaved
+  *    numbers are kerning, not spacing, so array elements concatenate
+  *
+  * OUT of scope (documented, surfaced as error rows or skip counts,
+  * never silent garbage):
+  *  - encrypted documents (`/Encrypt` in a trailer) → error row
+  *  - non-Flate filters (DCTDecode, LZW, ASCII85, …) → stream counted
+  *    in `n_skipped`, extraction continues
+  *  - hex string literals `<…>`, `'`/`"` show ops, object streams
+  *    (/ObjStm), font/CMap decoding (bytes are taken as
+  *    standard-encoding Latin-1 — the all-ASCII adapter corpus and
+  *    fixtures make this exact)
+  *
+  * Everything is a single linear pass over the bytes; per-record
+  * memory is bounded by the largest single stream. Malformed input is
+  * an error ROW (the [[Media.decodeImages]] channel discipline), not
+  * a task failure. q220 hash-gates the full encode → extract round
+  * trip against text-derived oracle ground truth.
+  */
+object Pdf {
+
+  final case class PdfExtract(
+      nStreams: Int, // stream objects seen
+      nFlate: Int, // streams inflated
+      nRaw: Int, // streams taken uncompressed
+      nSkipped: Int, // streams with out-of-scope filters
+      nShows: Int, // Tj/TJ operators that contributed text
+      text: String)
+
+  def sniff(data: Array[Byte]): Boolean =
+    data.length >= 5 && data(0) == '%' && data(1) == 'P' &&
+      data(2) == 'D' && data(3) == 'F' && data(4) == '-'
+
+  def extractText(data: Array[Byte]): Either[String, PdfExtract] = {
+    if (!sniff(data)) return Left("pdf: missing %PDF- header")
+    // byte-preserving view: Latin-1 maps byte k to codepoint k
+    val s = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (s.contains("/Encrypt"))
+      return Left("pdf: encrypted (out of scope — no decryption support)")
+
+    var nStreams = 0
+    var nFlate = 0
+    var nRaw = 0
+    var nSkipped = 0
+    var nShows = 0
+    val text = new StringBuilder
+
+    var from = 0
+    while (from < s.length) {
+      val sp = s.indexOf("stream", from)
+      if (sp < 0) from = s.length
+      else {
+        // must be the keyword (not "endstream"), preceded by a dict
+        val isEnd = sp >= 3 && s.regionMatches(sp - 3, "end", 0, 3)
+        val dictEnd = s.lastIndexOf(">>", sp)
+        if (isEnd || dictEnd < 0) from = sp + 6
+        else {
+          // walk back to the matching "<<" (dicts nest)
+          var depth = 1
+          var q = dictEnd - 1
+          var dictStart = -1
+          while (q >= 1 && dictStart < 0) {
+            if (s(q) == '>' && s(q - 1) == '>') { depth += 1; q -= 2 }
+            else if (s(q) == '<' && s(q - 1) == '<') {
+              depth -= 1
+              if (depth == 0) dictStart = q - 1 else q -= 2
+            } else q -= 1
+          }
+          val dict = if (dictStart >= 0) s.substring(dictStart, dictEnd + 2) else ""
+          // data begins after the keyword's EOL (spec: CRLF or LF)
+          var ds = sp + 6
+          if (ds < s.length && s(ds) == '\r') ds += 1
+          if (ds < s.length && s(ds) == '\n') ds += 1
+          val lenDirect = "/Length\\s+(\\d+)(?!\\s+0\\s+R)".r
+            .findFirstMatchIn(dict).map(_.group(1).toInt)
+          val de = lenDirect.map(ds + _).filter(_ <= s.length)
+            .getOrElse {
+              val e = s.indexOf("endstream", ds)
+              if (e < 0) s.length
+              else { // trim the EOL the writer put before the keyword
+                var t = e
+                if (t > ds && s(t - 1) == '\n') t -= 1
+                if (t > ds && s(t - 1) == '\r') t -= 1
+                t
+              }
+            }
+          if (de > s.length) { from = sp + 6 }
+          else {
+            nStreams += 1
+            val hasFilter = dict.contains("/Filter")
+            val body: Option[Array[Byte]] =
+              if (!hasFilter) {
+                nRaw += 1
+                Some(java.util.Arrays.copyOfRange(data, ds, de))
+              } else if (dict.contains("/FlateDecode")) {
+                inflate(data, ds, de - ds) match {
+                  case Some(b) => nFlate += 1; Some(b)
+                  case None => nSkipped += 1; None
+                }
+              } else { nSkipped += 1; None }
+            body.foreach { b =>
+              val (shown, ops) = showsFrom(
+                new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
+              text.append(shown)
+              nShows += ops
+            }
+            from = math.max(de, sp + 6)
+          }
+        }
+      }
+    }
+    Right(PdfExtract(nStreams, nFlate, nRaw, nSkipped, nShows, text.toString))
+  }
+
+  private def inflate(d: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(d, off, len)
+      val out = new java.io.ByteArrayOutputStream(len * 3 + 64)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(buf)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n > 0) out.write(buf, 0, n)
+        else if (inf.needsInput() || inf.needsDictionary()) return None
+      }
+      Some(out.toByteArray)
+    } finally inf.end()
+  }
+
+  /** Scan one decoded content stream for Tj/TJ shows; returns the
+    * concatenated shown text and the show-op count. PDF comments (%)
+    * are skipped; a literal not consumed by a show op contributes
+    * nothing (it was some other operator's operand).
+    */
+  private def showsFrom(c: String): (String, Int) = {
+    val out = new StringBuilder
+    var shows = 0
+    var lastLit: String = null
+    var arr: StringBuilder = null // non-null while inside [ … ]
+    var i = 0
+    while (i < c.length) {
+      val ch = c(i)
+      if (ch == '(') {
+        val (lit, end) = parseLiteral(c, i)
+        if (arr != null) arr.append(lit) else lastLit = lit
+        i = end
+      } else if (ch == '[') { arr = new StringBuilder; i += 1 }
+      else if (ch == ']') {
+        lastLit = if (arr != null) arr.toString else null
+        arr = null
+        i += 1
+      } else if (ch == '%') {
+        while (i < c.length && c(i) != '\n' && c(i) != '\r') i += 1
+      } else if (ch == '<') {
+        // hex string (out of scope) or dict-open; skip the token
+        if (i + 1 < c.length && c(i + 1) == '<') i += 2
+        else { while (i < c.length && c(i) != '>') i += 1; i += 1 }
+      } else if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')) {
+        var j = i
+        while (j < c.length && ((c(j) >= 'A' && c(j) <= 'Z') ||
+          (c(j) >= 'a' && c(j) <= 'z') || c(j) == '*' || c(j) == '\'')) j += 1
+        val tok = c.substring(i, j)
+        if ((tok == "Tj" || tok == "TJ") && lastLit != null) {
+          out.append(lastLit)
+          shows += 1
+          lastLit = null
+        }
+        i = j
+      } else i += 1
+    }
+    (out.toString, shows)
+  }
+
+  /** Parse a parenthesized string literal starting at `start` (which
+    * must be '('): returns (decoded text, index past the closing
+    * paren). Balanced unescaped parens nest per spec.
+    */
+  private def parseLiteral(c: String, start: Int): (String, Int) = {
+    val out = new StringBuilder
+    var depth = 1
+    var i = start + 1
+    while (i < c.length && depth > 0) {
+      val ch = c(i)
+      if (ch == '\\' && i + 1 < c.length) {
+        c(i + 1) match {
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case '(' => out.append('('); i += 2
+          case ')' => out.append(')'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '\r' => // escaped EOL: line continuation, no char
+            i += 2; if (i < c.length && c(i) == '\n') i += 1
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0
+            var k = i + 1
+            while (k < c.length && k <= i + 3 && c(k) >= '0' && c(k) <= '7') {
+              v = v * 8 + (c(k) - '0'); k += 1
+            }
+            out.append((v & 0xff).toChar)
+            i = k
+          case other => out.append(other); i += 2 // spec: drop the backslash
+        }
+      } else if (ch == '(') { depth += 1; out.append(ch); i += 1 }
+      else if (ch == ')') {
+        depth -= 1
+        if (depth > 0) out.append(ch)
+        i += 1
+      } else { out.append(ch); i += 1 }
+    }
+    (out.toString, i)
+  }
+
+  // ------------------------------------------------------------ adapter
+
+  /** Documents -> REAL single-page PDFs, deterministically: a full
+    * classic-xref document (catalog, page tree, Type1 font, correct
+    * byte-offset xref table, trailer) whose content stream shows
+    * `Doc <id>|` as one `Tj` and the document text as one `TJ` array
+    * of 7-char chunks (kerning numbers interleaved — concatenation
+    * must reconstruct the text EXACTLY, spaces included). Even doc_id
+    * -> uncompressed stream; odd -> /FlateDecode. The oracle never
+    * parses the PDF: extracted text must equal
+    * `'Doc ' || doc_id || '|' || text` (q220) — a wrong escape, a
+    * mis-framed stream, a kerning number leaking into the text, or a
+    * broken inflate all hash-fail.
+    */
+  def toPdfs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "doc", "pdf", buildPdf(s"Doc $id|", text, flate = id % 2 == 1))
+      }
+      .toDF("media_id", "kind", "format", "data")
+  }
+
+  private def esc(t: String): String =
+    t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** One real single-page PDF. Exposed for fixtures/specs. */
+  def buildPdf(title: String, text: String, flate: Boolean): Array[Byte] = {
+    val chunks = text.grouped(7).toSeq
+    val tj = chunks.map(c => s"(${esc(c)})").mkString(" -40 ")
+    val content = s"BT /F1 12 Tf 72 720 Td (${esc(title)}) Tj [$tj] TJ ET"
+    val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val body =
+      if (!flate) raw
+      else {
+        val defl = new java.util.zip.Deflater()
+        try {
+          defl.setInput(raw); defl.finish()
+          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+          val buf = new Array[Byte](8192)
+          while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+          out.toByteArray
+        } finally defl.end()
+      }
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val objects = Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n",
+      null, // object 4 is binary (the stream)
+      "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val out = new java.io.ByteArrayOutputStream(body.length + 1024)
+    def w(str: String): Unit =
+      out.write(str.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](6)
+    objects.zipWithIndex.foreach { case (o, k) =>
+      offsets(k + 1) = out.size()
+      if (o != null) w(o)
+      else {
+        w(s"4 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+        out.write(body)
+        w("\nendstream\nendobj\n")
+      }
+    }
+    val xref = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------- Dataset op
+
+  final case class PdfRow(
+      media_id: Long, ok: Boolean, err: String, n_streams: Int,
+      n_flate: Int, n_raw: Int, n_skipped: Int, n_shows: Int, text: String)
+
+  /** Per-record extraction over the opaque media table — one linear
+    * parse per record behind the mapPartitions boundary, error rows
+    * for out-of-scope documents (the decodeImages channel). Map-only;
+    * partitioning preserved.
+    */
+  def extractRows(media: Dataset[graft.operators.Media.MediaRecord]): Dataset[PdfRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        extractText(m.data) match {
+          case Right(x) =>
+            PdfRow(m.media_id, ok = true, "", x.nStreams, x.nFlate, x.nRaw,
+              x.nSkipped, x.nShows, x.text)
+          case Left(e) =>
+            PdfRow(m.media_id, ok = false, e, 0, 0, 0, 0, 0, "")
+        }
+      }
+    }
+  }
+}

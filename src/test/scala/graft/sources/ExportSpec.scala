@@ -229,4 +229,18 @@ class ExportSpec extends SparkSpec {
     assert(e2.getMessage.contains("never committed"))
   }
 
+  test("empty corpus: export commits a 0-row manifest, verifies clean, replay refuses") {
+    val out = tmpDir("export-empty") + "/data"
+    val n = Export.writeShardsWithManifest(
+      docs(10).filter($"doc_id" > 100), "doc_id", out, seed = 7L, rowsPerShard = 32L)
+    assert(n === 0)
+    val m = Export.readManifest(out)
+    assert(m.totalRows === 0L && m.shards.isEmpty)
+    assert(Export.verifyShards(spark, out).count() === 0L)
+    val e = intercept[IllegalArgumentException] {
+      Export.readShardsInOrder(spark, out)
+    }
+    assert(e.getMessage.contains("EMPTY"))
+  }
+
 }
