@@ -541,6 +541,60 @@ object MediaStream {
       |FROM documents WHERE length(text) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q221
+  /** Type-routed crawl extraction — the q130 chain on a MIXED-content
+    * segment, which is what a real WARC is: html pages and PDFs in
+    * the same archive. Even docs arrive as q130's html responses,
+    * odd docs as REAL PDF payloads (raw and /FlateDecode — binary
+    * bytes, exercising resolveCharset's byte-preserving rule for
+    * binary MIME types); the router dispatches on the HTTP
+    * Content-Type — html through the builtin stripper, PDFs through
+    * sources.Pdf — into one unified text table. The oracle re-derives
+    * both branches from the documents table (q130's strip algebra;
+    * q220's 'Doc id|' ++ text identity), so a charset corruption of
+    * the binary payload, a mis-routed record, or a broken inflate
+    * inside the WARC chain all hash-fail.
+    */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.{Pdf, Warc}
+    val parsed = Warc.parseArchives(
+        Warc.toWarcArchivesMixed(t(s, dir, "documents")), "archive_id", "bytes")
+      .filter(col("ok") && col("warc_type") === "response")
+      .select(
+        regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long").as("doc_id"),
+        col("http_content_type"), col("payload"))
+      .localCheckpoint(true) // two routed branches scan it
+    val html = parsed.filter(col("http_content_type") === "text/html")
+      .select(col("doc_id"), col("http_content_type").as("content_type"),
+        Warc.htmlText(col("payload")).as("text"))
+    val pdfs = parsed.filter(col("http_content_type") === "application/pdf")
+      .select(col("doc_id"), col("payload")).as[(Long, String)]
+      .map { case (id, p) =>
+        Pdf.extractText(p.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) match {
+          case Right(x) => (id, "application/pdf", x.text, true)
+          case Left(e) => (id, "application/pdf", e, false)
+        }
+      }
+      .toDF("doc_id", "content_type", "text", "ok")
+      .filter(col("ok")).drop("ok")
+    val out = html.union(pdfs).orderBy(col("doc_id")).localCheckpoint(true)
+    graft.Checkpoints.release(parsed)
+    out
+  }
+
+  private val q221Sql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+      |    ELSE 'application/pdf' END AS content_type,
+      |  CASE WHEN doc_id % 2 = 0 THEN
+      |    'Doc ' || doc_id || ' Doc ' || doc_id || ' & friends ' ||
+      |      trim(regexp_replace(text, '\s+', ' ', 'g')) ||
+      |      ' lang: ' || lang || ' <' || source || '>'
+      |  ELSE 'Doc ' || doc_id || '|' || text END AS text
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q121
   /** Perceptual image near-dup (Media.imageNearDupPairs): documents
     * become real P6 PPM binaries (the q102 adapter), ImageCodec
@@ -2278,6 +2332,7 @@ object MediaStream {
     "q121_image_near_dup" -> (q121 _),
     "q219_mixed_media_census" -> (q219 _),
     "q220_pdf_extract" -> (q220 _),
+    "q221_mixed_crawl_extract" -> (q221 _),
     "q123_image_dedup_apply" -> (q123 _),
     "q129_audio_near_dup" -> (q129 _),
     "q44_media_decode" -> (q44 _),
@@ -2327,6 +2382,7 @@ object MediaStream {
     "q121_image_near_dup" -> q121Sql,
     "q219_mixed_media_census" -> q219Sql,
     "q220_pdf_extract" -> q220Sql,
+    "q221_mixed_crawl_extract" -> q221Sql,
     "q123_image_dedup_apply" -> q123Sql,
     "q129_audio_near_dup" -> q129Sql,
     "q44_media_decode" -> q44Sql,

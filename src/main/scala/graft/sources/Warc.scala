@@ -184,6 +184,20 @@ object Warc {
         if (m.find()) Some(m.group(1)) else None
       }
     }
+    // BINARY content types (a PDF, an image, a tarball) have no
+    // character encoding: decode ISO-8859-1, the byte-PRESERVING
+    // charset (codepoint k == byte k), so a downstream binary
+    // consumer ([[graft.sources.Pdf.extractText]] via q221's router)
+    // recovers the exact payload bytes with getBytes(ISO_8859_1).
+    // UTF-8 here would corrupt arbitrary bytes into replacement chars
+    // before any consumer could see them.
+    val mime = contentType.takeWhile(_ != ';').trim.toLowerCase(java.util.Locale.ROOT)
+    val binaryMime = mime == "application/pdf" ||
+      mime == "application/octet-stream" || mime == "application/zip" ||
+      mime == "application/gzip" || mime.startsWith("image/") ||
+      mime.startsWith("audio/") || mime.startsWith("video/")
+    if (binaryMime && fromHeader.isEmpty)
+      return java.nio.charset.StandardCharsets.ISO_8859_1
     val name = fromHeader.orElse(fromMeta).getOrElse("utf-8")
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "iso-8859-1" | "latin-1" | "latin1" | "us-ascii" | "windows-1252" | "cp1252" =>
@@ -710,5 +724,64 @@ object Warc {
         (aid, out.toByteArray)
       }
       .toDF("archive_id", "bytes")
+  }
+
+  /** Mixed-CONTENT archives — the shape a real crawl segment has
+    * (one WARC carries html next to PDFs next to images, never one
+    * type): even doc_id gets the q130 html response record, odd
+    * doc_id a REAL PDF payload ([[graft.sources.Pdf.buildPdf]];
+    * doc_id % 4 == 3 additionally /FlateDecode — genuinely BINARY
+    * bytes, which is what forces the byte-preserving decode rule in
+    * [[resolveCharset]]) behind `Content-Type: application/pdf`.
+    * Assembly is byte-level (records are no longer strings); same
+    * grouping and doc_id ordering as [[toWarcArchives]]. q221
+    * hash-gates the type-routed extraction over these.
+    */
+  def toWarcArchivesMixed(docs: DataFrame, nArchives: Int = 7): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val html = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") % nArchives).as("aid"), col("doc_id"),
+        encode(record(col("doc_id"),
+          pageHtml(col("doc_id"), col("text"), col("lang"), col("source"))),
+          "UTF-8").as("rec"))
+      .as[(Long, Long, Array[Byte])]
+    val pdf = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") % nArchives).as("aid"), col("doc_id"),
+        col("text").cast("string"))
+      .as[(Long, Long, String)]
+      .map { case (aid, id, text) =>
+        (aid, id, pdfRecord(id, graft.sources.Pdf.buildPdf(
+          s"Doc $id|", Option(text).getOrElse(""), flate = id % 4 == 3)))
+      }
+    html.union(pdf)
+      .groupByKey(_._1)
+      .mapGroups { (aid, rows) =>
+        val rs = rows.toSeq.sortBy(_._2).map(_._3)
+        val out = new java.io.ByteArrayOutputStream(rs.map(_.length).sum + 4)
+        rs.foreach(out.write)
+        (aid, out.toByteArray)
+      }
+      .toDF("archive_id", "bytes")
+  }
+
+  /** One WARC response record framing a binary PDF payload. */
+  private def pdfRecord(docId: Long, pdf: Array[Byte]): Array[Byte] = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val httpHead =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: application/pdf\r\n" +
+        s"Content-Length: ${pdf.length}\r\n\r\n").getBytes(ascii)
+    val httpLen = httpHead.length + pdf.length
+    val warcHead =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:$docId>\r\n" +
+        s"WARC-Target-URI: urn:doc:$docId\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: $httpLen\r\n\r\n").getBytes(ascii)
+    val out = new java.io.ByteArrayOutputStream(warcHead.length + httpLen + 4)
+    out.write(warcHead)
+    out.write(httpHead)
+    out.write(pdf)
+    out.write("\r\n\r\n".getBytes(ascii))
+    out.toByteArray
   }
 }

@@ -427,4 +427,35 @@ class WarcSpec extends SparkSpec {
       .toDF("h").select(Warc.templateFingerprint(col("h"))).as[String].collect()
     assert(diff.head !== same.head, "different structure must differ")
   }
+
+  test("binary payloads (application/pdf) decode byte-preserving and round-trip through the mixed archive") {
+    import graft.operators.Media
+    val docs = Seq(
+      (0L, "an html page body here", "en", "web"),
+      (1L, "a pdf document with (parens) and \\ slash", "en", "web"),
+      (2L, "another html page", "es", "web"),
+      (3L, "a FLATE pdf: id %% 4 == 3 routes through the deflater", "de", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    val recs = Warc.parseArchives(
+      Warc.toWarcArchivesMixed(docs, nArchives = 2), "archive_id", "bytes")
+      .filter(col("ok")).collect()
+      .map(r => r.getAs[String]("record_id") ->
+        (r.getAs[String]("http_content_type"), r.getAs[String]("payload"))).toMap
+    assert(recs.size === 4)
+    assert(recs("<urn:graft:0>")._1 === "text/html")
+    assert(recs("<urn:graft:1>")._1 === "application/pdf")
+    // the binary payload decoded ISO-8859-1: getBytes(ISO_8859_1) must
+    // recover the EXACT pdf bytes — including the flate stream — so
+    // extraction reconstructs the text bit-for-bit
+    for (id <- Seq(1L, 3L)) {
+      val payload = recs(s"<urn:graft:$id>")._2
+      val x = Pdf.extractText(
+        payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).toOption.get
+      val expected = "Doc " + id + "|" + docs.filter(col("doc_id") === id)
+        .collect()(0).getString(1)
+      assert(x.text === expected, s"doc $id")
+      assert((id % 4 == 3) === (x.nFlate > 0), s"doc $id flate routing")
+    }
+  }
+
 }
