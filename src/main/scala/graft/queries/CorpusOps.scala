@@ -2481,6 +2481,62 @@ object CorpusOps {
 
   private val q218Sql = q132Sql
 
+  // --------------------------------------------------------------- q222
+  /** Incremental export append (Export.appendShardsWithManifest) —
+    * the O(delta) daily-drop step for the training artifact, q218's
+    * lifecycle closed: export 3/4 of the corpus, append the rest as a
+    * batch (own seeded permutation, offset positions, the PARTIAL
+    * last shard completed in place), then verify + replay through the
+    * same read-back gate. The oracle re-derives the combined order as
+    * two independent permutations (base seed 42, delta seed 43 offset
+    * by the base count), so a wrong offset, a torn shard rewrite, or
+    * a stale manifest all hash-fail.
+    */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val out = java.nio.file.Files.createTempDirectory("q222-export").toString + "/data"
+    graft.sources.Export.writeShardsWithManifest(
+      docs.filter(col("doc_id") % 4 =!= 0), "doc_id", out,
+      seed = 42L, rowsPerShard = 64L)
+    graft.sources.Export.appendShardsWithManifest(
+      docs.filter(col("doc_id") % 4 === 0), "doc_id", out,
+      deltaSeed = 43L, batchId = 0L)
+    val rep = graft.sources.Export.verifyShards(s, out).collect()
+    require(rep.forall(_.getString(3) == "ok"),
+      s"append failed read-back verification: ${rep.mkString(", ")}")
+    val replay =
+      if (graft.sources.Export.readManifest(out).totalRows == 0L)
+        s.range(0).select(col("id").as("doc_id"), col("id").as("position"),
+          col("id").as("shard"))
+      else graft.sources.Export.readShardsInOrder(s, out)
+        .select(col("doc_id"), col("position"), col("shard").cast("long").as("shard"))
+        .orderBy(col("position"))
+        .localCheckpoint(true) // materialize before deleting the temp export
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(out).getParentFile)
+    replay
+  }
+
+  private val q222Sql =
+    """WITH base AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY
+      |    CAST(concat('0x', substring(md5('shuf|42|' || doc_id), 1, 15)) AS BIGINT),
+      |    doc_id) AS position
+      |  FROM documents WHERE doc_id % 4 <> 0),
+      |delta AS (
+      |  SELECT doc_id,
+      |    (SELECT count(*) FROM documents WHERE doc_id % 4 <> 0) +
+      |    row_number() OVER (ORDER BY
+      |      CAST(concat('0x', substring(md5('shuf|43|' || doc_id), 1, 15)) AS BIGINT),
+      |      doc_id) AS position
+      |  FROM documents WHERE doc_id % 4 = 0)
+      |SELECT doc_id, CAST(position AS BIGINT) AS position,
+      |  (CAST(position AS BIGINT) - 1) // 64 AS shard
+      |FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      |ORDER BY position""".stripMargin
+
   // --------------------------------------------------------------- q183
   /** Multi-epoch shuffle schedule (Export.shufflePositions × epochs):
     * epoch e's training order is the seeded permutation at seed
@@ -2808,6 +2864,7 @@ object CorpusOps {
     "q58_dedup_apply" -> (q58 _),
     "q189_dedup_keep_best" -> (q189 _),
     "q218_export_readback" -> (q218 _),
+    "q222_export_append" -> (q222 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
@@ -2872,6 +2929,7 @@ object CorpusOps {
     "q58_dedup_apply" -> q58Sql,
     "q189_dedup_keep_best" -> q189Sql,
     "q218_export_readback" -> q218Sql,
+    "q222_export_append" -> q222Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,

@@ -101,12 +101,24 @@ object Export {
     val shardJson = perShard
       .map { case (s, r) => s"""{"shard": $s, "rows": $r}""" }
       .mkString("[", ", ", "]")
+    writeManifestJson(outDir, seed, rowsPerShard, n, total,
+      perShard.toSeq, lastBatch = -1L)
+    n
+  }
+
+  private def writeManifestJson(
+      outDir: String, seed: Long, rowsPerShard: Long, n: Int, total: Long,
+      perShard: Seq[(Int, Long)], lastBatch: Long): Unit = {
+    val shardJson = perShard
+      .map { case (sh, r) => s"""{"shard": $sh, "rows": $r}""" }
+      .mkString("[", ", ", "]")
     val json =
       s"""{
          |  "seed": $seed,
          |  "rows_per_shard": $rowsPerShard,
          |  "n_shards": $n,
          |  "total_rows": $total,
+         |  "last_batch_id": $lastBatch,
          |  "shards": $shardJson
          |}""".stripMargin
     val tmp = java.nio.file.Paths.get(outDir, ".manifest.json.tmp")
@@ -114,7 +126,84 @@ object Export {
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(outDir, "manifest.json"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    n
+  }
+
+  /** INCREMENTAL export append — the O(delta) daily-drop step for the
+    * training artifact (the countMinIncrement / appendPostings
+    * lifecycle discipline applied to sharded exports): a new batch of
+    * documents takes the NEXT positions (its own seeded permutation,
+    * offset by the committed total), lands in the shards those
+    * positions imply, and the manifest re-commits atomically with the
+    * new totals. Only the touched shards are written — a PARTIAL last
+    * shard is completed in place (read old + union delta rows for
+    * that one shard: cost O(delta + rowsPerShard), never O(corpus)) —
+    * via dynamic partition overwrite, so every untouched shard's
+    * bytes are byte-identical after the append.
+    *
+    * Replay contract: with a monotone `batchId`, a batch at or below
+    * the committed `last_batch_id` is a no-op; a HALF-committed
+    * replay (shards written, manifest not flipped) recomputes the
+    * identical positions (pure function of deltaSeed + ids) against
+    * the unmoved manifest and overwrites identical bytes —
+    * convergent. Caller contract: delta ids are NEW (dedup upstream);
+    * delta schema matches the base export's.
+    *
+    * Returns the new shard count. [[verifyShards]] /
+    * [[readShardsInOrder]] apply unchanged — positions stay the
+    * contiguous 1..N and shard = (position-1) div rowsPerShard, so
+    * the read-back gate holds across any number of appends (q222
+    * pins base+append ≡ the declared combined order).
+    */
+  def appendShardsWithManifest(
+      delta: DataFrame,
+      idCol: String,
+      outDir: String,
+      deltaSeed: Long,
+      batchId: Long = -1L): Int = {
+    val m = readManifest(outDir)
+    if (batchId >= 0 && batchId <= m.lastBatch) return m.nShards // committed replay
+    val spark = delta.sparkSession
+    val r = m.rowsPerShard
+    val n0 = m.totalRows
+    val deltaCount = delta.count()
+    if (deltaCount == 0L) {
+      writeManifestJson(outDir, m.seed, r, m.nShards, n0, m.shards,
+        math.max(batchId, m.lastBatch))
+      return m.nShards
+    }
+    val positioned = shufflePositions(delta, idCol, deltaSeed)
+      .withColumn("position", col("position") + n0)
+      .withColumn("shard", expr(s"(position - 1) div $r"))
+    val firstTouched = n0 / r // the partial shard when n0 % r != 0
+    val toWrite =
+      if (n0 % r == 0 || !shardDirsExist(outDir)) positioned
+      else {
+        // trust only COMMITTED rows (position <= the manifest total):
+        // a crashed earlier attempt may have already rewritten this
+        // shard with its delta rows before the manifest flipped —
+        // re-reading those would duplicate them; filtered out, the
+        // replay recomputes them identically instead
+        val tail = readShardFiles(spark, outDir)
+          .filter(col("shard") === firstTouched)
+          .filter(col("position") <= n0)
+          .withColumn("shard", col("shard").cast("long"))
+        tail.unionByName(positioned.select(tail.columns.map(col).toSeq: _*))
+      }
+    toWrite
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("position"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(outDir)
+    // positions are contiguous 1..N by construction, so per-shard
+    // counts are arithmetic: r everywhere, remainder in the last
+    val n1 = n0 + deltaCount
+    val nShards = ((n1 + r - 1) / r).toInt
+    val perShard = (0 until nShards)
+      .map(k => k -> math.min(r, n1 - k.toLong * r))
+    writeManifestJson(outDir, m.seed, r, nShards, n1, perShard,
+      math.max(batchId, m.lastBatch))
+    nShards
   }
 
   /** Parsed export manifest — the replay recipe plus the per-shard
@@ -122,7 +211,7 @@ object Export {
     */
   final case class ExportManifest(
       seed: Long, rowsPerShard: Long, nShards: Int, totalRows: Long,
-      shards: Seq[(Int, Long)])
+      shards: Seq[(Int, Long)], lastBatch: Long = -1L)
 
   /** Read `outDir/manifest.json`, failing LOUDLY when absent: the
     * manifest commits last ([[writeShardsWithManifest]]), so a
@@ -142,8 +231,10 @@ object Export {
         .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
     val shards = "\\{\"shard\":\\s*(\\d+),\\s*\"rows\":\\s*(\\d+)\\}".r
       .findAllMatchIn(s).map(m => (m.group(1).toInt, m.group(2).toLong)).toSeq
+    val lastBatch = ("\"last_batch_id\"\\s*:\\s*(-?\\d+)").r
+      .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
     ExportManifest(f("seed"), f("rows_per_shard"), f("n_shards").toInt,
-      f("total_rows"), shards)
+      f("total_rows"), shards, lastBatch)
   }
 
   /** CONSUMER-side verification of a sharded export — the read-back

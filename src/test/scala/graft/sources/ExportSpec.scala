@@ -243,4 +243,64 @@ class ExportSpec extends SparkSpec {
     assert(e.getMessage.contains("EMPTY"))
   }
 
+  test("appendShardsWithManifest: O(delta) append, untouched shards byte-identical, replays converge") {
+    def fileBytes(dir: String): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath.stripPrefix(dir) -> f.length()).toMap
+    }
+    val out = tmpDir("export-append") + "/data"
+    // base: 100 docs, rps 32 -> shards 0..3, shard 3 PARTIAL (4 rows)
+    Export.writeShardsWithManifest(docs(100), "doc_id", out, seed = 7L, rowsPerShard = 32L)
+    val baseFiles = fileBytes(out)
+    val baseManifest = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "manifest.json"))
+
+    // delta: 50 NEW docs -> completes shard 3, adds shard 4 (+ partial)
+    val delta = (101 to 150).map(i => (i.toLong, s"doc number $i")).toDF("doc_id", "text")
+    val n = Export.appendShardsWithManifest(delta, "doc_id", out, deltaSeed = 9L, batchId = 0L)
+    assert(n === 5) // 150 rows / 32 -> shards 0..4
+    val m = Export.readManifest(out)
+    assert((m.totalRows, m.lastBatch) === ((150L, 0L)))
+    assert(m.shards === Seq(0 -> 32L, 1 -> 32L, 2 -> 32L, 3 -> 32L, 4 -> 22L))
+    assert(Export.verifyShards(spark, out).collect().forall(_.getString(3) === "ok"))
+    // untouched full shards 0..2: file bytes identical (true append)
+    val afterFiles = fileBytes(out)
+    for ((path, sz) <- baseFiles if !path.contains("shard=3"))
+      assert(afterFiles.get(path).contains(sz), s"untouched $path changed")
+
+    // declared order: base permutation then delta permutation offset by 100
+    val got = Export.readShardsInOrder(spark, out)
+      .orderBy($"position").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("position")))
+    val basePerm = Export.shufflePositions(docs(100), "doc_id", 7L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("position")))
+      .sortBy(_._2)
+    val deltaPerm = Export.shufflePositions(delta, "doc_id", 9L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("position") + 100L))
+      .sortBy(_._2)
+    assert(got.toSeq === (basePerm ++ deltaPerm).toSeq)
+
+    // committed replay: same batchId is a no-op
+    val manifestAfter = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "manifest.json"))
+    Export.appendShardsWithManifest(delta, "doc_id", out, deltaSeed = 9L, batchId = 0L)
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "manifest.json")).toSeq === manifestAfter.toSeq)
+
+    // half-committed replay: shards landed, manifest did NOT flip —
+    // restoring the pre-append manifest simulates the crash; the
+    // replay recomputes identical positions and converges
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "manifest.json"), baseManifest)
+    Export.appendShardsWithManifest(delta, "doc_id", out, deltaSeed = 9L, batchId = 0L)
+    assert(Export.verifyShards(spark, out).collect().forall(_.getString(3) === "ok"))
+    val replayed = Export.readShardsInOrder(spark, out)
+      .orderBy($"position").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("position")))
+    assert(replayed.toSeq === got.toSeq)
+  }
+
 }
