@@ -66,6 +66,48 @@ object Retrieval {
         col("col.i").as("doc_id"), col("col.v").cast("long").as("score"))
   }
 
+  /** Sliding-window chunking — the RAG/embedding-prep segmenter that
+    * turns documents into fixed-size OVERLAPPING passages (LangChain/
+    * LlamaIndex's recursive splitter collapsed to its deterministic
+    * core): windows of `winTokens` tokens starting every `stride`
+    * tokens, so consecutive chunks share `winTokens - stride` tokens
+    * of context and no boundary sentence is ever lost to a hard cut.
+    * Window k covers tokens [k·stride+1, k·stride+winTokens]; the
+    * count is 1 + ceil(max(nTokens − winTokens, 0) / stride) — every
+    * token covered, the last window possibly partial, token-less
+    * documents dropped. All exact integer/array arithmetic
+    * (tokens/slice/array_join), so the q223 DuckDB oracle re-derives
+    * every chunk with list slicing and hash-matches.
+    *
+    * 100 TB shape: map-only — one projection and one explode, no
+    * shuffle, no window function; output rows ≈ nTokens/stride per
+    * document. Feeds [[graft.operators.Encode.encodeWithModel]]
+    * (chunk → embedding) and the postings builders (chunk-level
+    * retrieval) directly, partitioning preserved.
+    */
+  def chunkSliding(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      winTokens: Int,
+      stride: Int): DataFrame = {
+    require(winTokens >= 1, s"winTokens must be >= 1: $winTokens")
+    require(stride >= 1 && stride <= winTokens,
+      s"stride must be in [1, winTokens]: $stride")
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ck_toks"))
+      .filter(size(col("__ck_toks")) > 0)
+      .withColumn("__ck_nw", expr(
+        s"1 + (greatest(size(__ck_toks) - $winTokens, 0) + ${stride - 1}) div $stride"))
+      .select(col(idCol), col("__ck_toks"),
+        explode(sequence(lit(0L), col("__ck_nw") - 1)).as("__ck_k"))
+      .select(col(idCol),
+        col("__ck_k").cast("int").as("chunk_id"),
+        size(slice(col("__ck_toks"),
+          (col("__ck_k") * stride + 1).cast("int"), lit(winTokens))).as("n_tokens"),
+        array_join(slice(col("__ck_toks"),
+          (col("__ck_k") * stride + 1).cast("int"), lit(winTokens)), " ").as("chunk"))
+  }
+
   /** More-like-this — document-to-document lexical similarity over
     * the SAME stored postings as the searchers (Lucene's MLT shape):
     * for each query document, the top-k other documents by the exact

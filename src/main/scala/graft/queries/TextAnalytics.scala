@@ -95,6 +95,34 @@ object TextAnalytics {
 
   private val q217Sql = q23Sql
 
+  // --------------------------------------------------------------- q223
+  /** RAG sliding-window chunking (Retrieval.chunkSliding): 32-token
+    * windows every 24 tokens — consecutive chunks share 8 tokens of
+    * context, the segmenter that feeds chunk-level embedding and
+    * retrieval. The oracle re-derives every window with DuckDB list
+    * slicing over the same tokenizer, so an off-by-one in the window
+    * start, a lost final partial window, or a wrong overlap all
+    * hash-fail.
+    */
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.chunkSliding(
+        t(s, dir, "documents"), "doc_id", "text", winTokens = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private val q223Sql =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS nt FROM d WHERE len(toks) > 0),
+       |w AS (SELECT doc_id, toks,
+       |        unnest(range(1 + (greatest(nt - 32, 0) + 23) // 24)) AS k
+       |      FROM n)
+       |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+       |  CAST(len(toks[CAST(k*24 + 1 AS INTEGER) : CAST(k*24 + 32 AS INTEGER)])
+       |    AS INTEGER) AS n_tokens,
+       |  array_to_string(toks[CAST(k*24 + 1 AS INTEGER) : CAST(k*24 + 32 AS INTEGER)],
+       |    ' ') AS chunk
+       |FROM w
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------------------------------------------------------------- q24
   /** Per-document quality score + the filter a pipeline would apply
     * (keep score >= 0.5), returning the kept docs.
@@ -2408,6 +2436,7 @@ object TextAnalytics {
     "q126_lexical_search" -> (q126 _),
     "q199_more_like_this" -> (q199 _),
     "q217_langid_model" -> (q217 _),
+    "q223_chunk_sliding" -> (q223 _),
     "q143_bm25_search" -> (q143 _),
     "q148_postings_append" -> (q148 _),
     "q150_table_profile" -> (q150 _),
@@ -2462,6 +2491,7 @@ object TextAnalytics {
     "q126_lexical_search" -> q126Sql,
     "q199_more_like_this" -> q199Sql,
     "q217_langid_model" -> q217Sql,
+    "q223_chunk_sliding" -> q223Sql,
     "q143_bm25_search" -> q143Sql,
     "q148_postings_append" -> q143Sql,
     "q150_table_profile" -> q150Sql,

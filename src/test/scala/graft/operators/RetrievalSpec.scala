@@ -351,4 +351,37 @@ class RetrievalSpec extends SparkSpec {
         Seq(1L).toDF("doc_id"), "doc_id", k = 5, maxDfPpm = 0L)
     }
   }
+
+  test("chunkSliding: overlap, partial tail, exact-multiple, and degenerate shapes") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // shorter than one window
+      (3L, (1 to 8).map(i => s"u$i").mkString(" ")), // exact window size... 8 = win
+      (4L, "!!! ...")) // tokenizes to nothing -> dropped
+      .toDF("doc_id", "text")
+    val got = Retrieval.chunkSliding(docs, "doc_id", "text", winTokens = 8, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    // doc 1: 10 tokens, win 8 stride 4 -> 1 + ceil(2/4) = 2 windows;
+    // window 1 starts at token 5, shares tokens 5..8 with window 0
+    assert(got.filter(_._1 == 1L).toSeq === Seq(
+      (1L, 0, 8, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 1, 6, (5 to 10).map(i => s"t$i").mkString(" "))))
+    // doc 2: one partial window
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0, 3, "a b c")))
+    // doc 3: exactly one full window, no empty tail window
+    assert(got.filter(_._1 == 3L).toSeq === Seq(
+      (3L, 0, 8, (1 to 8).map(i => s"u$i").mkString(" "))))
+    // doc 4: no tokens, no rows
+    assert(!got.exists(_._1 == 4L))
+    // stride == winTokens degenerates to non-overlapping fixed windows
+    val fixed = Retrieval.chunkSliding(docs, "doc_id", "text", winTokens = 4, stride = 4)
+      .filter($"doc_id" === 1L).collect().map(_.getString(3)).sorted
+    assert(fixed.toSeq === Seq("t1 t2 t3 t4", "t5 t6 t7 t8", "t9 t10").sorted)
+    intercept[IllegalArgumentException] {
+      Retrieval.chunkSliding(docs, "doc_id", "text", winTokens = 4, stride = 5)
+    }
+  }
+
 }
