@@ -464,32 +464,31 @@ object MediaStream {
         col("doc_id").as("media_id"), lit("blob").as("kind"),
         lit("bin").as("format"),
         encode(concat(lit(" "), col("text")), "UTF-8").as("data")))
-      .as[Media.MediaRecord].localCheckpoint(true) // three decoders scan it
-    val img = Media.decodeImages(mixed).toDF()
-      .select(col("media_id"), col("ok").as("i_ok"),
-        when(col("ok"), col("n_pixels")).otherwise(0L).as("px"))
-    val aud = Media.decodeAudio(mixed).toDF()
-      .select(col("media_id"), col("ok").as("a_ok"),
-        when(col("ok"), col("duration_ms")).otherwise(0L).as("a_ms"))
-    val vid = Media.decodeVideo(mixed).toDF()
-      .select(col("media_id"), col("ok").as("v_ok"),
-        when(col("ok"), col("duration_ms")).otherwise(0L).as("v_ms"))
-    val out = mixed.toDF().select(col("media_id"), col("format"))
-      .join(img, Seq("media_id")).join(aud, Seq("media_id"))
-      .join(vid, Seq("media_id"))
-      .groupBy(col("format"))
+      .as[Media.MediaRecord]
+
+    // ONE pass: each record meets all three typed decoders in a single
+    // mapPartitions (cross-format REJECTION included) — no re-scan of
+    // the payload bytes per modality, no media_id re-joins; the only
+    // exchange left is the 5-group format rollup
+    val per = mixed.map { m =>
+      val img = graft.operators.ImageCodec.decode(m.data).toOption
+      val aud = graft.operators.AudioCodec.decode(m.data).toOption
+      val vid = graft.operators.VideoCodec.decode(m.data).toOption
+      (m.format,
+        img.isDefined, aud.isDefined, vid.isDefined,
+        img.isEmpty && aud.isEmpty && vid.isEmpty,
+        img.map(_.nPixels).getOrElse(0L),
+        aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L))
+    }.toDF("format", "i_ok", "a_ok", "v_ok", "is_err", "px", "ms")
+    per.groupBy(col("format"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("i_ok"), 1L).otherwise(0L)).as("img_ok"),
         sum(when(col("a_ok"), 1L).otherwise(0L)).as("aud_ok"),
         sum(when(col("v_ok"), 1L).otherwise(0L)).as("vid_ok"),
-        sum(when(!col("i_ok") && !col("a_ok") && !col("v_ok"), 1L)
-          .otherwise(0L)).as("n_err"),
+        sum(when(col("is_err"), 1L).otherwise(0L)).as("n_err"),
         sum(col("px")).as("px_sum"),
-        (sum(col("a_ms")) + sum(col("v_ms"))).as("dur_ms_sum"))
+        sum(col("ms")).as("dur_ms_sum"))
       .orderBy(col("format"))
-      .localCheckpoint(true)
-    graft.Checkpoints.release(mixed)
-    out
   }
 
   private val q219Sql =
