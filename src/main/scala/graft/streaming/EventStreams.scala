@@ -353,6 +353,39 @@ object EventStreams {
     * At-least-once replays are skipped via the committed head's batch
     * id, exactly as in the MG stream.
     */
+  /** Streaming export absorb — the daily-drop loop for the TRAINING
+    * artifact composed from gated parts: each micro-batch of curated
+    * documents appends into the committed sharded export
+    * ([[graft.sources.Export.appendShardsWithManifest]] — its own
+    * seeded permutation taking the next positions, partial-shard
+    * completion in place, O(batch) writes, untouched shards
+    * byte-identical). Delivery is at-least-once: the manifest's
+    * last_batch_id makes a committed replay a no-op and a
+    * half-committed replay converges (the append contract). The
+    * per-batch seed is baseSeed + batchId + 1, a pure function of the
+    * batch id — the whole growing artifact stays replayable from
+    * manifest recipes alone, and [[graft.sources.Export.verifyShards]]
+    * read-back-gates it at any point. Bootstrap:
+    * [[graft.sources.Export.writeShardsWithManifest]] must have
+    * committed the base export (the weekly full re-shuffle); the
+    * stream pays only per-batch shuffle-rank + delta writes after.
+    */
+  def exportAppendStream(
+      docs: DataFrame,
+      idCol: String,
+      outDir: String,
+      baseSeed: Long,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Export.appendShardsWithManifest(
+            batch.toDF(), idCol, outDir,
+            deltaSeed = baseSeed + batchId + 1, batchId = batchId): Unit
+      }
+      .start()
+
   def countMinStream(
       docs: DataFrame,
       textCol: String,
