@@ -129,7 +129,18 @@ object Export {
   }
 
   /** INCREMENTAL export append — the O(delta) daily-drop step for the
-    * training artifact (the countMinIncrement / appendPostings
+    * training artifact. Deliberately NO time-travel on this lifecycle
+    * (the ANN/postings families have it; the compressed-video
+    * adjudication pattern): completing the partial last shard rewrites
+    * it IN PLACE, so prior versions are not readable from the same
+    * dirs — a loader that needs frozen epochs snapshots the export
+    * (or re-exports at a pinned seed; both replayable from manifest
+    * recipes). Copy-on-write shard generations would buy time-travel
+    * at a write amplification the training-artifact consumer never
+    * asks for (loaders read HEAD; reproducibility comes from the
+    * recipe, not from old bytes).
+    *
+    * The append itself (the countMinIncrement / appendPostings
     * lifecycle discipline applied to sharded exports): a new batch of
     * documents takes the NEXT positions (its own seeded permutation,
     * offset by the committed total), lands in the shards those

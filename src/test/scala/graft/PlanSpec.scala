@@ -665,4 +665,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "novel-gram detection must be an anti join")
     assert(!p.contains("Window"), "per-doc counting must be a groupBy, not a window")
   }
+
+  test("q223 sliding chunks: map-only — no Exchange, no Window, one scan") {
+    val p = plan("q223_chunk_sliding")
+    // the orderBy in the registered query adds one exchange for the
+    // presentation sort; the CHUNKING itself must add none — strip the
+    // final sort's exchange by planning the raw operator instead
+    val raw = graft.operators.Retrieval.chunkSliding(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        winTokens = 32, stride = 24)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!raw.contains("Exchange"), "chunking shuffled — must be map-only")
+    assert(!raw.contains("Window"), "chunking used a window function")
+    // formatted mode mentions each node in the tree AND the details
+    // section — count the numbered tree nodes
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(raw).size === 1,
+      "more than one scan")
+    assert(p.contains("Generate"), "explode missing from the registered plan")
+  }
+
+  test("q217 langid boundary: map-only — the classifier adds no Exchange before the rollup") {
+    val raw = graft.operators.LangId.langIdWithModel(
+        spark.read.parquet(s"$sf/documents.parquet"),
+        "text", new graft.operators.LangId.StopwordLangClassifier)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!raw.contains("Exchange"), "model boundary shuffled — must be map-only")
+    assert(raw.contains("MapPartitions"), "mapPartitions boundary missing")
+  }
+
 }
