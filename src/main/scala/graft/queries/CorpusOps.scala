@@ -2416,6 +2416,72 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q224
+  /** The full RAG ingestion chain, hash-gated end-to-end: documents →
+    * sliding-window chunks (Retrieval.chunkSliding, q223's operator)
+    * → per-CHUNK embeddings through the batched model boundary
+    * (Encode.encodeWithModel, q131's) → exact cosine top-k of chunks
+    * per query document. Retrieval at chunk granularity is what a RAG
+    * stack actually runs (a long page matches on one passage, not its
+    * average), and a query doc's own chunks ranking at the top is the
+    * built-in sanity signal. Chunk keys pack as 10⁶ + doc·10³ + k —
+    * disjoint from query doc ids across the shipped testdata envelope
+    * (production uses distinct key spaces; the pack keeps the oracle
+    * integer-joinable). The oracle rebuilds chunks from token slices,
+    * chunk vectors from the hashing trick over those slices, and the
+    * same rank tail — a wrong window start, a batch-shifted
+    * embedding, or a dropped partial chunk all hash-fail.
+    */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = new graft.operators.Encode.HashingTrickEncoder(dims = 16)
+    val chunks = graft.operators.Retrieval
+      .chunkSliding(docs, "doc_id", "text", winTokens = 32, stride = 24)
+      .select((lit(1000000L) + col("doc_id") * 1000 + col("chunk_id")).as("vid"),
+        col("chunk"))
+    val corpus = graft.operators.Encode.encodeWithModel(chunks, "vid", "chunk", enc)
+    // query side filtered BEFORE the boundary (the q131 rewrite rule)
+    val queries = graft.operators.Encode.encodeWithModel(
+      docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("vid"), col("text")), "vid", "text", enc)
+    Similarity.cosineTopK(queries, corpus, "vid", "embedding", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q224Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    s"""WITH tk0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS nt FROM tk0 WHERE len(toks) > 0),
+       |ch AS (SELECT 1000000 + doc_id*1000 + k AS vec_id,
+       |         toks[CAST(k*24 + 1 AS INTEGER) : CAST(k*24 + 32 AS INTEGER)] AS ctoks
+       |       FROM (SELECT doc_id, toks,
+       |               unnest(range(1 + (greatest(nt - 32, 0) + 23) // 24)) AS k
+       |             FROM n)),
+       |atk AS (SELECT vec_id, unnest(ctoks) AS term FROM ch
+       |        UNION ALL
+       |        SELECT doc_id AS vec_id, unnest(toks) AS term FROM tk0
+       |        WHERE doc_id % 97 = 0),
+       |hh AS (SELECT vec_id,
+       |         CAST(concat('0x', substring(md5('enc|' || term), 1, 15)) AS BIGINT) AS h
+       |       FROM atk),
+       |agg AS (SELECT vec_id, h % 16 AS bucket,
+       |          CAST(sum(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS w
+       |        FROM hh GROUP BY vec_id, bucket),
+       |m AS (SELECT vec_id, map(list(bucket), list(w)) AS mm FROM agg GROUP BY vec_id),
+       |e AS (SELECT vec_id,
+       |        list_transform(range(0, 16), i -> coalesce(map_extract(mm, i)[1], 0.0)) AS v
+       |      FROM m),
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    $cos AS cosine,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |  FROM en q JOIN en c ON c.vec_id >= 1000000
+       |  WHERE q.vec_id < 1000000)
+       |WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- q132
   /** Deterministic corpus shuffle for training export
     * (sources.Export.shufflePositions): every doc gets a contiguous
@@ -2865,6 +2931,7 @@ object CorpusOps {
     "q189_dedup_keep_best" -> (q189 _),
     "q218_export_readback" -> (q218 _),
     "q222_export_append" -> (q222 _),
+    "q224_rag_chunk_retrieval" -> (q224 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
@@ -2930,6 +2997,7 @@ object CorpusOps {
     "q189_dedup_keep_best" -> q189Sql,
     "q218_export_readback" -> q218Sql,
     "q222_export_append" -> q222Sql,
+    "q224_rag_chunk_retrieval" -> q224Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
