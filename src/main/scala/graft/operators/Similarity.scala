@@ -10,9 +10,10 @@ import graft.functions.VectorExpressions
   *
   * Two plans:
   *   - `cosineTopK` — brute force: query-set × corpus join, exact cosine,
-  *     per-query top-k window. The *baseline*: correct at any recall,
-  *     cost |Q|·|C|. Sensible when |Q| is small (the query side is
-  *     broadcast, so the corpus never shuffles).
+  *     per-query top-k via the map-side-combined TopKAggregator (only
+  *     k rows per query per partition ever shuffle). The *baseline*:
+  *     correct at any recall, cost |Q|·|C|. Sensible when |Q| is small
+  *     (the query side is broadcast, so the corpus never shuffles).
   *   - `lshTopK` — sign-LSH bucketed: vectors hash to a b-bit bucket
   *     (sign of the first b components — a fixed, data-independent
   *     hyperplane family); candidates are same-bucket only, so the join
@@ -116,6 +117,14 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (self-match excluded).
     * Output: query_id, neighbor_id, rank, cosine.
+    *
+    * Tail: the map-side-combined [[graft.functions.TopKAggregator]]
+    * (the `adcTopK` pattern the PQ/IVF-PQ probes already run), NOT a
+    * `row_number()` window — the window plan shuffled the full
+    * |C|x|Q| scored set into a per-query sort; the aggregator shuffles
+    * k combiner rows per query per partition. Ordering is identical
+    * (value DESC, neighbor_id ASC tiebreak), so results are
+    * hash-exact vs the old plan.
     */
   def cosineTopK(
       queries: DataFrame,
@@ -127,11 +136,34 @@ object Similarity {
     val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dotWide(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("cosine"), 9).as("cosine"))
+    simTopK(scored, k)
+  }
+
+  /** Descending-similarity twin of [[adcTopK]]: per-query k LARGEST
+    * `simCol` through the TopKAggregator UDAF, exploded to ranked
+    * rows. Shared by the exact-scan family (cosineTopK and its eval
+    * consumers). String neighbor ids ride the string-tiebreak
+    * aggregator (ASCII ids, where JVM and UTF-8 binary order
+    * coincide — the topKStr contract); numeric ids widen to long.
+    * Tiebreak order (value DESC, id ASC) matches the window plan this
+    * tail replaced, so results are hash-identical.
+    */
+  private def simTopK(scored: DataFrame, k: Int, simCol: String = "cosine"): DataFrame = {
+    val isStr = scored.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.StringType
+    val topk =
+      if (isStr) graft.functions.TopKAggregator.topKStr(k)
+      else graft.functions.TopKAggregator.topK(k)
+    val idIn = if (isStr) col("neighbor_id") else col("neighbor_id").cast("long")
+    scored
+      .groupBy(col("query_id"))
+      .agg(topk(col(simCol), idIn).as("top"))
+      .select(col("query_id"), col("top.top_values").as("tv"), col("top.top_ids").as("ti"))
+      .select(col("query_id"), posexplode(arrays_zip(col("tv"), col("ti"))).as(Seq("pos", "z")))
+      .select(col("query_id"),
+        col("z.ti").as("neighbor_id"),
+        (col("pos") + 1).as("rank"),
+        round(col("z.tv"), 9).as(simCol))
   }
 
   /** Batch-hard triplet mining (Schroff et al. CVPR'15 §3.2, the

@@ -349,6 +349,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "cartesian in the assignment")
   }
 
+  test("q32 exact cosine scan: no Window in the top-k tail; queries broadcast") {
+    val p = plan("q32_cosine_topk")
+    // the exact-scan family runs the map-side-combined TopKAggregator
+    // tail (the adcTopK pattern) — a Window here means the full
+    // |C|x|Q| scored set shuffles into a per-query sort again
+    assert(!p.contains("Window"), "exact top-k tail fell back to a window sort")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "query side is not broadcast")
+    // partial + final pair around the exchange: map-side combine is on
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).size >= 2,
+      "top-k aggregation is single-phase — partial aggregation lost")
+  }
+
   test("q126 lexical search: query terms broadcast onto postings; no window tail") {
     val p = plan("q126_lexical_search")
     assert(p.contains("BroadcastHashJoin"), "query-term join is not broadcast")
