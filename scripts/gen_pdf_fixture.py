@@ -13,11 +13,12 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "src", "test", "resources",
 os.makedirs(OUT, exist_ok=True)
 
 # Two content streams: one Flate (Tj + TJ with escapes), one raw (octal +
-# nested parens + a comment + a hex string the extractor must skip).
+# nested parens + a comment + a whitespace-split odd-digit hex show +
+# the ' and " show operators).
 content1 = (b"BT /F1 12 Tf 72 720 Td (Fixture \\(one\\): back\\\\slash) Tj "
             b"[(ab c) -40 (def)] TJ ET")
 content2 = (b"BT % a comment with (parens) to skip\n"
-            b"<48657821> (oct\\101l (nested) keep) Tj ET")
+            b"<48 65\n78 21 4> Tj (oct\\101l (nested) keep) ' 0 0 (qq) \" ET")
 z1 = zlib.compress(content1, 6)
 
 objs = []
@@ -47,6 +48,6 @@ with open(os.path.join(OUT, "sample.pdf"), "wb") as f:
     f.write(pdf)
 
 expected = ("Fixture (one): back\\slash" + "ab c" + "def"
-            + "octAl (nested) keep")
-print("sample.pdf", dict(n_streams=2, n_flate=1, n_raw=1, n_shows=3,
+            + "Hex!@" + "octAl (nested) keep" + "qq")
+print("sample.pdf", dict(n_streams=2, n_flate=1, n_raw=1, n_shows=5,
                          text=expected))

@@ -512,12 +512,14 @@ object MediaStream {
   // --------------------------------------------------------------- q220
   /** PDF text extraction (sources.Pdf) — q130's discipline for the
     * third crawl text container: documents become REAL single-page
-    * PDFs (classic xref, page tree, content stream showing the text
-    * as one Tj + one 7-char-chunked TJ array; even doc_id raw, odd
-    * /FlateDecode), and the extractor walks stream objects, inflates,
-    * and concatenates the shows. The oracle never parses a PDF: the
-    * extracted text must equal 'Doc ' || doc_id || '|' || text
-    * re-derived from the documents table — a wrong escape, a
+    * PDFs (classic xref, page tree, content stream showing the title
+    * as a hex-literal Tj, the text as one 7-char-chunked TJ array,
+    * and a fixed suffix through the ' and " show ops; even doc_id
+    * raw, odd /FlateDecode), and the extractor walks stream objects,
+    * inflates, and concatenates the shows. The oracle never parses a
+    * PDF: the extracted text must equal
+    * 'Doc ' || doc_id || '|' || text || '~fin.' re-derived from the
+    * documents table — a wrong escape, a bad hex-pair decode, a
     * mis-framed /Length, a kerning number leaking into the text, or a
     * broken inflate all hash-fail. Committed fixtures (python-built,
     * independent writer) pin the parser separately in PdfSpec.
@@ -535,8 +537,8 @@ object MediaStream {
   }
 
   private val q220Sql =
-    """SELECT doc_id, doc_id % 2 = 1 AS flate, CAST(2 AS INTEGER) AS n_shows,
-      |  'Doc ' || doc_id || '|' || text AS text
+    """SELECT doc_id, doc_id % 2 = 1 AS flate, CAST(4 AS INTEGER) AS n_shows,
+      |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
       |FROM documents WHERE length(text) > 0
       |ORDER BY doc_id""".stripMargin
 
@@ -590,7 +592,7 @@ object MediaStream {
       |    'Doc ' || doc_id || ' Doc ' || doc_id || ' & friends ' ||
       |      trim(regexp_replace(text, '\s+', ' ', 'g')) ||
       |      ' lang: ' || lang || ' <' || source || '>'
-      |  ELSE 'Doc ' || doc_id || '|' || text END AS text
+      |  ELSE 'Doc ' || doc_id || '|' || text || '~fin.' END AS text
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 

@@ -15,20 +15,22 @@ import org.apache.spark.sql.functions._
   *    files too)
   *  - uncompressed streams and `/FlateDecode` streams (zlib via the
   *    JDK `Inflater` — the q142/PNG precedent)
-  *  - text-show operators `Tj` and `TJ` with PARENTHESIZED string
-  *    literals (escapes `\\ \( \) \n \r \t \b \f`, octal `\ddd`,
-  *    escaped-newline continuation; nested balanced parens), shows
-  *    concatenated VERBATIM in stream order — TJ's interleaved
-  *    numbers are kerning, not spacing, so array elements concatenate
+  *  - text-show operators `Tj`, `TJ`, `'` (move-and-show) and `"`
+  *    (spacing-and-show) with PARENTHESIZED string literals (escapes
+  *    `\\ \( \) \n \r \t \b \f`, octal `\ddd`, escaped-newline
+  *    continuation; nested balanced parens) AND hex string literals
+  *    `<…>` (whitespace-tolerant, odd digit count padded with a zero
+  *    low nibble per spec §7.3.4.3), shows concatenated VERBATIM in
+  *    stream order — TJ's interleaved numbers are kerning, not
+  *    spacing, so array elements concatenate
   *
   * OUT of scope (documented, surfaced as error rows or skip counts,
   * never silent garbage):
   *  - encrypted documents (`/Encrypt` in a trailer) → error row
   *  - non-Flate filters (DCTDecode, LZW, ASCII85, …) → stream counted
   *    in `n_skipped`, extraction continues
-  *  - hex string literals `<…>`, `'`/`"` show ops, object streams
-  *    (/ObjStm), font/CMap decoding (bytes are taken as
-  *    standard-encoding Latin-1 — the all-ASCII adapter corpus and
+  *  - object streams (/ObjStm), font/CMap decoding (bytes are taken
+  *    as standard-encoding Latin-1 — the all-ASCII adapter corpus and
   *    fixtures make this exact)
   *
   * Everything is a single linear pass over the bytes; per-record
@@ -149,7 +151,7 @@ object Pdf {
     } finally inf.end()
   }
 
-  /** Scan one decoded content stream for Tj/TJ shows; returns the
+  /** Scan one decoded content stream for Tj/TJ/'/" shows; returns the
     * concatenated shown text and the show-op count. PDF comments (%)
     * are skipped; a literal not consumed by a show op contributes
     * nothing (it was some other operator's operand).
@@ -159,6 +161,8 @@ object Pdf {
     var shows = 0
     var lastLit: String = null
     var arr: StringBuilder = null // non-null while inside [ … ]
+    def show(): Unit =
+      if (lastLit != null) { out.append(lastLit); shows += 1; lastLit = null }
     var i = 0
     while (i < c.length) {
       val ch = c(i)
@@ -174,23 +178,54 @@ object Pdf {
       } else if (ch == '%') {
         while (i < c.length && c(i) != '\n' && c(i) != '\r') i += 1
       } else if (ch == '<') {
-        // hex string (out of scope) or dict-open; skip the token
+        // dict-open: skip the token; otherwise a hex string literal
         if (i + 1 < c.length && c(i + 1) == '<') i += 2
-        else { while (i < c.length && c(i) != '>') i += 1; i += 1 }
+        else {
+          val (lit, end) = parseHexLiteral(c, i)
+          if (arr != null) arr.append(lit) else lastLit = lit
+          i = end
+        }
+      } else if (ch == '\'' || ch == '"') {
+        // move-and-show / spacing-and-show: the string operand is the
+        // pending literal (the aw/ac numbers were skipped as tokens)
+        show()
+        i += 1
       } else if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')) {
         var j = i
         while (j < c.length && ((c(j) >= 'A' && c(j) <= 'Z') ||
-          (c(j) >= 'a' && c(j) <= 'z') || c(j) == '*' || c(j) == '\'')) j += 1
+          (c(j) >= 'a' && c(j) <= 'z') || c(j) == '*')) j += 1
         val tok = c.substring(i, j)
-        if ((tok == "Tj" || tok == "TJ") && lastLit != null) {
-          out.append(lastLit)
-          shows += 1
-          lastLit = null
-        }
+        if (tok == "Tj" || tok == "TJ") show()
         i = j
       } else i += 1
     }
     (out.toString, shows)
+  }
+
+  /** Parse a hex string literal starting at `start` (which must be
+    * '<'): hex digit pairs become bytes, non-hex bytes (whitespace)
+    * are ignored, an odd digit count gets a zero low nibble (spec
+    * §7.3.4.3). Returns (decoded text, index past the closing '>').
+    */
+  private def parseHexLiteral(c: String, start: Int): (String, Int) = {
+    val out = new StringBuilder
+    var hi = -1 // pending high nibble
+    var i = start + 1
+    var done = false
+    while (i < c.length && !done) {
+      val ch = c(i)
+      if (ch == '>') done = true
+      else {
+        val v = Character.digit(ch, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.append(((hi << 4) | v).toChar); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.append((hi << 4).toChar)
+    (out.toString, i)
   }
 
   /** Parse a parenthesized string literal starting at `start` (which
@@ -241,14 +276,16 @@ object Pdf {
   /** Documents -> REAL single-page PDFs, deterministically: a full
     * classic-xref document (catalog, page tree, Type1 font, correct
     * byte-offset xref table, trailer) whose content stream shows
-    * `Doc <id>|` as one `Tj` and the document text as one `TJ` array
-    * of 7-char chunks (kerning numbers interleaved — concatenation
-    * must reconstruct the text EXACTLY, spaces included). Even doc_id
-    * -> uncompressed stream; odd -> /FlateDecode. The oracle never
-    * parses the PDF: extracted text must equal
-    * `'Doc ' || doc_id || '|' || text` (q220) — a wrong escape, a
-    * mis-framed stream, a kerning number leaking into the text, or a
-    * broken inflate all hash-fail.
+    * `Doc <id>|` as one hex-literal `Tj`, the document text as one
+    * `TJ` array of 7-char chunks (kerning numbers interleaved —
+    * concatenation must reconstruct the text EXACTLY, spaces
+    * included), and a fixed `~fin.` suffix through the `'` and `"`
+    * show operators. Even doc_id -> uncompressed stream; odd ->
+    * /FlateDecode. The oracle never parses the PDF: extracted text
+    * must equal `'Doc ' || doc_id || '|' || text || '~fin.'` (q220) —
+    * a wrong escape, a bad hex-pair decode, a mis-framed stream, a
+    * kerning number leaking into the text, or a broken inflate all
+    * hash-fail.
     */
   def toPdfs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -265,11 +302,21 @@ object Pdf {
   private def esc(t: String): String =
     t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
-  /** One real single-page PDF. Exposed for fixtures/specs. */
+  /** One real single-page PDF. Exposed for fixtures/specs. The
+    * content stream exercises every in-scope show path: the title as
+    * a HEX string literal through `Tj`, the text as a 7-char-chunked
+    * `TJ` array, then a fixed `~fin.` suffix split across the `'`
+    * (move-and-show) and `"` (spacing-and-show) operators — so the
+    * q220/q221 oracles gate all four operators and both literal
+    * syntaxes on every document.
+    */
   def buildPdf(title: String, text: String, flate: Boolean): Array[Byte] = {
     val chunks = text.grouped(7).toSeq
     val tj = chunks.map(c => s"(${esc(c)})").mkString(" -40 ")
-    val content = s"BT /F1 12 Tf 72 720 Td (${esc(title)}) Tj [$tj] TJ ET"
+    val hexTitle = title.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      .map(b => f"${b & 0xff}%02X").mkString
+    val content =
+      s"BT /F1 12 Tf 72 720 Td <$hexTitle> Tj [$tj] TJ (~fi) ' 0 0 (n.) \" ET"
     val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val body =
       if (!flate) raw

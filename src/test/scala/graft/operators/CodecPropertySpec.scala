@@ -82,7 +82,7 @@ class CodecPropertySpec extends SparkSpec {
       val t = sample(nastyText, 9000L + i)
       for (flate <- Seq(false, true)) {
         val x = Pdfx.extract(Pdfx.build(s"T$i|", t, flate))
-        assert(x === s"T$i|$t", s"seed ${9000 + i} flate=$flate text=${t.take(40)}")
+        assert(x === s"T$i|$t~fin.", s"seed ${9000 + i} flate=$flate text=${t.take(40)}")
       }
     }
   }

@@ -21,12 +21,14 @@ class PdfSpec extends SparkSpec {
     try in.readAllBytes() finally in.close()
   }
 
-  test("sample.pdf: python-written fixture pins escapes, octal, nested parens, comments, hex skip") {
+  test("sample.pdf: python-written fixture pins escapes, octal, nested parens, comments, hex + quote shows") {
     val x = Pdf.extractText(fixture("sample.pdf")).toOption.get
     assert((x.nStreams, x.nFlate, x.nRaw, x.nSkipped, x.nShows) ===
-      ((2, 1, 1, 0, 3)))
+      ((2, 1, 1, 0, 5)))
+    // <48 65\n78 21 4> is a whitespace-split ODD-count hex literal:
+    // "Hex!" plus the padded low-nibble byte 0x40 = '@'
     assert(x.text ===
-      "Fixture (one): back\\slashab cdefoctAl (nested) keep")
+      "Fixture (one): back\\slashab cdefHex!@octAl (nested) keepqq")
   }
 
   test("raw and FlateDecode streams of the same content extract identically") {
@@ -35,9 +37,9 @@ class PdfSpec extends SparkSpec {
     for (t <- texts) {
       val raw = Pdf.extractText(Pdf.buildPdf("T|", t, flate = false)).toOption.get
       val fl = Pdf.extractText(Pdf.buildPdf("T|", t, flate = true)).toOption.get
-      assert(raw.text === s"T|$t", s"text=$t")
+      assert(raw.text === s"T|$t~fin.", s"text=$t")
       assert(fl.text === raw.text, s"text=$t")
-      assert((raw.nShows, fl.nShows) === ((2, 2)))
+      assert((raw.nShows, fl.nShows) === ((4, 4)))
       assert(raw.nRaw === 1 && fl.nFlate === 1)
     }
   }
@@ -82,8 +84,8 @@ class PdfSpec extends SparkSpec {
       .toDS()
     val rows = Pdf.extractRows(media).collect().sortBy(_.media_id)
     assert(rows.map(_.ok).toSeq === Seq(true, false, true))
-    assert(rows(0).text === "A|first doc")
+    assert(rows(0).text === "A|first doc~fin.")
     assert(rows(1).err.contains("%PDF-"))
-    assert(rows(2).text === "C|third doc")
+    assert(rows(2).text === "C|third doc~fin.")
   }
 }
