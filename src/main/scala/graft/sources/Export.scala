@@ -90,27 +90,56 @@ object Export {
     val spark = docs.sparkSession
     // an EMPTY corpus (empty daily drop) writes zero shard dirs — a
     // valid, committable export of 0 rows; there is nothing to re-read
-    val perShard =
-      if (n == 0) Array.empty[(Int, Long)]
-      else readShardFiles(spark, outDir)
-        .groupBy(col("shard").cast("int").as("shard"))
-        .agg(count(lit(1)).as("rows"))
-        .orderBy(col("shard"))
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val (perShard, checksums) =
+      if (n == 0) (Array.empty[(Int, Long)], Map.empty[Int, Long])
+      else {
+        val rows = shardCountsAndChecksums(readShardFiles(spark, outDir))
+        (rows.map { case (s, r, _) => (s, r) },
+          rows.map { case (s, _, c) => s -> c }.toMap)
+      }
     val total = perShard.map(_._2).sum
-    val shardJson = perShard
-      .map { case (s, r) => s"""{"shard": $s, "rows": $r}""" }
-      .mkString("[", ", ", "]")
     writeManifestJson(outDir, seed, rowsPerShard, n, total,
-      perShard.toSeq, lastBatch = -1L)
+      perShard.toSeq, checksums, lastBatch = -1L)
     n
   }
 
+  /** Per-row content digest over a shard-files frame: xxhash64 of the
+    * `position` plus every data column (name-sorted for a canonical
+    * order; the derivable `shard` key excluded). Binding position into
+    * the hash makes the XOR-fold below ORDER-SENSITIVE: content swapped
+    * between two positions, a bit-flipped payload, or a row replayed
+    * into the wrong slot all change some digest even though counts and
+    * position ranges stay clean.
+    */
+  private def rowDigest(df: DataFrame): org.apache.spark.sql.Column = {
+    val cols = df.columns.filterNot(_ == "shard").sorted.map(col).toSeq
+    xxhash64(cols: _*)
+  }
+
+  /** (shard, rows, checksum) from the shard files, shard order. The
+    * checksum is the bit_xor fold of [[rowDigest]] — commutative, so
+    * it map-side combines (one exchange of shard-cardinality rows),
+    * while position-binding keeps it order-sensitive.
+    */
+  private def shardCountsAndChecksums(files: DataFrame): Array[(Int, Long, Long)] =
+    files
+      .withColumn("__digest", rowDigest(files))
+      .groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(__digest)").as("checksum"))
+      .orderBy(col("shard"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+
   private def writeManifestJson(
       outDir: String, seed: Long, rowsPerShard: Long, n: Int, total: Long,
-      perShard: Seq[(Int, Long)], lastBatch: Long): Unit = {
+      perShard: Seq[(Int, Long)], checksums: Map[Int, Long],
+      lastBatch: Long): Unit = {
     val shardJson = perShard
-      .map { case (sh, r) => s"""{"shard": $sh, "rows": $r}""" }
+      .map { case (sh, r) =>
+        checksums.get(sh) match {
+          case Some(c) => s"""{"shard": $sh, "rows": $r, "checksum": $c}"""
+          case None => s"""{"shard": $sh, "rows": $r}"""
+        }
+      }
       .mkString("[", ", ", "]")
     val json =
       s"""{
@@ -179,7 +208,7 @@ object Export {
     val deltaCount = delta.count()
     if (deltaCount == 0L) {
       writeManifestJson(outDir, m.seed, r, m.nShards, n0, m.shards,
-        math.max(batchId, m.lastBatch))
+        m.checksums, math.max(batchId, m.lastBatch))
       return m.nShards
     }
     val positioned = shufflePositions(delta, idCol, deltaSeed)
@@ -212,17 +241,27 @@ object Export {
     val nShards = ((n1 + r - 1) / r).toInt
     val perShard = (0 until nShards)
       .map(k => k -> math.min(r, n1 - k.toLong * r))
+    // checksums: untouched shards keep their committed values; the
+    // touched tail (the completed partial + the new shards — exactly
+    // what was just written) re-reads at O(delta + rowsPerShard)
+    val touched = shardCountsAndChecksums(
+        readShardFiles(spark, outDir).filter(col("shard") >= firstTouched))
+      .map { case (s, _, c) => s -> c }.toMap
+    val checksums = m.checksums.filter(_._1 < firstTouched) ++ touched
     writeManifestJson(outDir, m.seed, r, nShards, n1, perShard,
-      math.max(batchId, m.lastBatch))
+      checksums, math.max(batchId, m.lastBatch))
     nShards
   }
 
   /** Parsed export manifest — the replay recipe plus the per-shard
-    * row counts a loader schedules by.
+    * row counts a loader schedules by, and the per-shard content
+    * checksums [[verifyShards]] diffs (absent entries — older
+    * manifests — simply skip the checksum comparison).
     */
   final case class ExportManifest(
       seed: Long, rowsPerShard: Long, nShards: Int, totalRows: Long,
-      shards: Seq[(Int, Long)], lastBatch: Long = -1L)
+      shards: Seq[(Int, Long)], lastBatch: Long = -1L,
+      checksums: Map[Int, Long] = Map.empty)
 
   /** Read `outDir/manifest.json`, failing LOUDLY when absent: the
     * manifest commits last ([[writeShardsWithManifest]]), so a
@@ -240,12 +279,16 @@ object Export {
       ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(s)
         .map(_.group(1).toLong)
         .getOrElse(throw new IllegalStateException(s"manifest missing $k"))
-    val shards = "\\{\"shard\":\\s*(\\d+),\\s*\"rows\":\\s*(\\d+)\\}".r
-      .findAllMatchIn(s).map(m => (m.group(1).toInt, m.group(2).toLong)).toSeq
+    val entry = ("\\{\"shard\":\\s*(\\d+),\\s*\"rows\":\\s*(\\d+)" +
+      "(?:,\\s*\"checksum\":\\s*(-?\\d+))?\\}").r
+    val matches = entry.findAllMatchIn(s).toSeq
+    val shards = matches.map(m => (m.group(1).toInt, m.group(2).toLong))
+    val checksums = matches.flatMap(m =>
+      Option(m.group(3)).map(c => m.group(1).toInt -> c.toLong)).toMap
     val lastBatch = ("\"last_batch_id\"\\s*:\\s*(-?\\d+)").r
       .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(-1L)
     ExportManifest(f("seed"), f("rows_per_shard"), f("n_shards").toInt,
-      f("total_rows"), shards, lastBatch)
+      f("total_rows"), shards, lastBatch, checksums)
   }
 
   /** CONSUMER-side verification of a sharded export — the read-back
@@ -265,6 +308,12 @@ object Export {
     *  - `order_broken` — counts match but the position set is not the
     *    shard's contiguous range (rows landed in the wrong shard, or
     *    a replay would skip/repeat examples)
+    *  - `checksum_mismatch` — counts and positions are clean but the
+    *    order-sensitive content fold ([[rowDigest]] XOR'd per shard)
+    *    differs from the manifest: a bit-flipped payload, content
+    *    swapped between positions, or any silent in-place rewrite the
+    *    cardinality checks cannot see (manifests without checksums —
+    *    pre-checksum exports — skip this comparison)
     *
     * Plan shape: ONE scan of the export + a groupBy on the shard key
     * (shard-cardinality result), full-outer-joined against the
@@ -276,7 +325,9 @@ object Export {
       spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
     import spark.implicits._
     val m = readManifest(outDir)
-    val manifest = m.shards.toDF("shard", "manifest_rows")
+    val manifest = m.shards
+      .map { case (s, r) => (s, r, m.checksums.get(s)) }
+      .toDF("shard", "manifest_rows", "manifest_checksum")
     if (!shardDirsExist(outDir))
       // no data files at all: a committed EMPTY export verifies clean
       // (empty report); a manifest promising shards reports them all
@@ -285,12 +336,15 @@ object Export {
         .select(col("shard"), col("manifest_rows"),
           lit(0L).as("actual_rows"), lit("missing_shard").as("status"))
         .orderBy(col("shard"))
-    val actual = readShardFiles(spark, outDir)
+    val files = readShardFiles(spark, outDir)
+    val actual = files
+      .withColumn("__digest", rowDigest(files))
       .groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("actual_rows"),
         min(col("position")).as("min_position"),
         max(col("position")).as("max_position"),
-        count_distinct(col("position")).as("n_distinct"))
+        count_distinct(col("position")).as("n_distinct"),
+        expr("bit_xor(__digest)").as("actual_checksum"))
     val rps = m.rowsPerShard
     manifest.join(actual, Seq("shard"), "full_outer")
       .withColumn("status",
@@ -301,6 +355,9 @@ object Export {
           .when(col("min_position") =!= col("shard") * rps + 1 ||
             col("max_position") =!= col("shard") * rps + col("actual_rows") ||
             col("n_distinct") =!= col("actual_rows"), lit("order_broken"))
+          .when(col("manifest_checksum").isNotNull &&
+            col("actual_checksum") =!= col("manifest_checksum"),
+            lit("checksum_mismatch"))
           .otherwise(lit("ok")))
       .select(col("shard"),
         coalesce(col("manifest_rows"), lit(0L)).as("manifest_rows"),

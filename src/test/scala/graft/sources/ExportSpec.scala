@@ -88,7 +88,10 @@ class ExportSpec extends SparkSpec {
     assert(json.contains("\"rows_per_shard\": 32"))
     assert(json.contains("\"n_shards\": 5"))
     assert(json.contains("\"total_rows\": 130"))
-    assert(json.contains("""{"shard": 4, "rows": 2}"""))
+    assert("""\{"shard": 4, "rows": 2, "checksum": -?\d+\}""".r
+      .findFirstIn(json).isDefined)
+    // checksums parse back and round-trip through the manifest reader
+    assert(Export.readManifest(out).checksums.keySet === Set(0, 1, 2, 3, 4))
     // same corpus + same recipe -> byte-identical manifest (the
     // re-export verification a loader fleet actually does)
     val out2 = tmpDir("export-manifest-b") + "/data"
@@ -227,6 +230,46 @@ class ExportSpec extends SparkSpec {
     Export.writeShards(docs(32), "doc_id", n, seed = 7L, rowsPerShard = 32L)
     val e2 = intercept[IllegalStateException] { Export.verifyShards(spark, n) }
     assert(e2.getMessage.contains("never committed"))
+  }
+
+  test("verifyShards: checksum catches silent in-place corruption and position swaps") {
+    import org.apache.spark.sql.functions.col
+
+    // silent payload corruption: one text cell rewritten in place —
+    // counts, ranges and distinct positions all still clean, so only
+    // the manifest checksum can refuse the artifact
+    val c = tmpDir("export-verify-checksum") + "/data"
+    Export.writeShardsWithManifest(docs(64), "doc_id", c, seed = 7L, rowsPerShard = 32L)
+    val s0 = spark.read.parquet(s"$c/shard=0").localCheckpoint(true)
+    val minPos = s0.agg(min(col("position"))).collect()(0).getLong(0)
+    s0.withColumn("text",
+        when(col("position") === minPos, lit("tampered")).otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$c/shard=0")
+    val rep = Export.verifyShards(spark, c).collect()
+      .map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(rep(0) === "checksum_mismatch")
+    assert(rep(1) === "ok")
+    val e = intercept[IllegalStateException] { Export.readShardsInOrder(spark, c) }
+    assert(e.getMessage.contains("checksum_mismatch"))
+
+    // content swapped between two positions inside one shard: the
+    // position SET is untouched (contiguous, duplicate-free), but the
+    // position-bound digests move — the order-sensitivity claim
+    val c2 = tmpDir("export-verify-swap") + "/data"
+    Export.writeShardsWithManifest(docs(64), "doc_id", c2, seed = 7L, rowsPerShard = 32L)
+    val s1 = spark.read.parquet(s"$c2/shard=1").localCheckpoint(true)
+    val two = s1.sort(col("position")).limit(2).collect()
+      .map(r => r.getAs[Long]("position") -> r.getAs[Long]("doc_id")).toMap
+    val Seq(pa, pb) = two.keys.toSeq.sorted
+    s1.withColumn("doc_id",
+        when(col("position") === pa, lit(two(pb)))
+          .when(col("position") === pb, lit(two(pa)))
+          .otherwise(col("doc_id")))
+      .write.mode("overwrite").parquet(s"$c2/shard=1")
+    val rep2 = Export.verifyShards(spark, c2).collect()
+      .map(r => r.getInt(0) -> r.getString(3)).toMap
+    assert(rep2(1) === "checksum_mismatch")
+    assert(rep2(0) === "ok")
   }
 
   test("empty corpus: export commits a 0-row manifest, verifies clean, replay refuses") {
