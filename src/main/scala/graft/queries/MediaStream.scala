@@ -2082,7 +2082,10 @@ object MediaStream {
       .filter(col("ok") && col("warc_type") === "response")
       .select(
         regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long").as("doc_id"),
-        Warc.htmlText(col("payload")).as("text"))
+        // MAIN-content extraction (q225's operator), not the flat
+        // strip: the template's title/h1/lang-div boilerplate blocks
+        // drop, so the S4 word floor measures body prose only
+        Warc.htmlMainText(col("payload")).as("text"))
     // S2: URL-dedup survivors + the per-site key
     val kept = urlSurvivors(docs)
       .select(col("doc_id"),
@@ -2111,9 +2114,10 @@ object MediaStream {
     "WITH " + urlCanonCtes + ",\n" + rankGraphCtes + ",\n" +
       """txt AS (
         |  SELECT doc_id,
-        |    len(string_split('Doc ' || doc_id || ' Doc ' || doc_id || ' & friends ' ||
-        |      trim(regexp_replace(text, '\s+', ' ', 'g')) ||
-        |      ' lang: ' || lang || ' <' || source || '>', ' ')) AS n_words
+        |    len(string_split(CASE
+        |      WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) >= 25
+        |      THEN trim(regexp_replace(text, '\s+', ' ', 'g')) ELSE '' END,
+        |      ' ')) AS n_words
         |  FROM documents),
         |dom AS (
         |  SELECT doc_id, """.stripMargin + domainSql + """ AS domain FROM kept),
@@ -2135,6 +2139,55 @@ object MediaStream {
         |  CAST(sum(rank_ppm) AS BIGINT) AS tot_rank_ppm,
         |  min(doc_id) AS first_doc
         |FROM capped GROUP BY domain ORDER BY domain""".stripMargin
+
+  // --------------------------------------------------------------- q225
+  /** Main-content extraction by block link-density
+    * (Warc.htmlMainText) — hash-gated on analytic pages where every
+    * rule fires both ways: documents render into a full page whose
+    * nav menu (pure links), h1/title (short), and footer (28 visible
+    * chars but 22 of link text — the density rule, not the length
+    * floor) must DROP, while a mixed sidebar (7 link chars of 44 —
+    * under the 33% line) and the body paragraph must SURVIVE, and a
+    * second snippet paragraph of length doc_id % 40 straddles the
+    * 25-char floor so both sides of the length rule gate. The oracle
+    * re-derives the kept concatenation from the documents table alone
+    * — a mis-split block, an anchor leaking into the density of the
+    * wrong block, or an off-by-one in either integer threshold
+    * hash-fails.
+    */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    val page = concat(
+      lit("<html><head><title>Doc "), col("doc_id"), lit("</title></head><body>"),
+      lit("<nav><ul><li><a href=\"/\">Home</a></li><li><a href=\"/about\">" +
+        "About us</a></li><li><a href=\"/archive\">Archive</a></li></ul></nav>"),
+      lit("<h1>Doc "), col("doc_id"), lit(" &amp; friends</h1>"),
+      lit("<div class=\"side\"><a href=\"/tags/1\">tag one</a> related " +
+        "reading picked for you today</div>"),
+      lit("<p>"), col("text"), lit("</p><p>"),
+      expr("substring(text, 1, cast(doc_id % 40 as int))"), lit("</p>"),
+      lit("<footer><a href=\"/privacy\">Privacy</a> | <a href=\"/terms\">" +
+        "Terms</a> | <a href=\"/contact\">Contact us</a></footer>"),
+      lit("</body></html>"))
+    t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), Warc.htmlMainText(page).as("main_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q225Sql =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS ct,
+      |    trim(regexp_replace(substring(text, 1, CAST(doc_id % 40 AS INTEGER)),
+      |      '\s+', ' ', 'g')) AS sn
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id,
+      |  'tag one related reading picked for you today' ||
+      |  CASE WHEN length(ct) >= 25 THEN ' ' || ct ELSE '' END ||
+      |  CASE WHEN length(sn) >= 25 THEN ' ' || sn ELSE '' END AS main_text
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q161
   /** Mirror-site detection (Warc.mirrorClusters) — the cross-DOMAIN
@@ -2311,6 +2364,7 @@ object MediaStream {
     "q147_frontier" -> (q147 _),
     "q135_link_rank" -> (q135 _),
     "q136_crawl_curation" -> (q136 _),
+    "q225_main_content" -> (q225 _),
     "q138_domain_rank" -> (q138 _),
     "q174_hits" -> (q174 _),
     "q175_redirects" -> (q175 _),
@@ -2361,6 +2415,7 @@ object MediaStream {
     "q147_frontier" -> q147Sql,
     "q135_link_rank" -> q135Sql,
     "q136_crawl_curation" -> q136Sql,
+    "q225_main_content" -> q225Sql,
     "q138_domain_rank" -> q138Sql,
     "q174_hits" -> q174Sql,
     "q175_redirects" -> q175Sql,

@@ -323,6 +323,68 @@ object Warc {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** MAIN-CONTENT extraction by block link-density — the standard
+    * crawl-extraction quality step above [[htmlText]]'s flat strip
+    * (the trafilatura/jusText rule: boilerplate nav/footer/sidebar
+    * blocks are link-dense, body prose is not). Entirely builtin
+    * codegen'd expressions, no UDF:
+    *
+    *  1. drop script/style subtrees and comments (the htmlText
+    *     prologue — a nav inside a commented-out template must not
+    *     count);
+    *  2. split the page into BLOCKS at block-level tag boundaries
+    *     (div/p/h1-h6/li/table rows/nav/footer/header/section/…,
+    *     plus the html/head/body/title structure tags so head
+    *     content isolates into its own block);
+    *  3. per block, two integers: the collapsed visible-text length
+    *     and the collapsed ANCHOR-text length (`<a>…</a>` contents,
+    *     summed);
+    *  4. keep blocks with at least `minTextLen` visible chars whose
+    *     link share is at most `maxLinkPct` percent (integer
+    *     cross-multiply — no floats, so the oracle is exact);
+    *  5. kept block texts join in document order, whitespace
+    *     collapsed.
+    *
+    * Deliberate scope: an `<a>` spanning a block boundary counts
+    * only its in-block text (nav markup keeps anchors inside their
+    * `<li>`/`<nav>` block in practice), and headings shorter than
+    * `minTextLen` drop with the rest of the short-block boilerplate —
+    * this is a curation front-end, not a renderer (the markdownText
+    * scoping rule). Map-only; q225 hash-gates nav/footer/sidebar
+    * drops and both keep/drop sides of each rule, and q136 runs it
+    * as the crawl-curation extraction stage.
+    */
+  def htmlMainText(
+      html: Column, minTextLen: Int = 25, maxLinkPct: Int = 33): Column = {
+    require(minTextLen >= 0 && maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"htmlMainText: bad thresholds ($minTextLen, $maxLinkPct)")
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = split(noComment,
+      "(?i)</?(?:html|head|body|title|div|p|h[1-6]|ul|ol|li|dl|dt|dd|" +
+        "table|thead|tbody|tr|td|th|nav|footer|header|section|article|" +
+        "aside|main|figure|figcaption|blockquote|form|fieldset|pre|br|hr)" +
+        "\\b[^>]*>")
+    def visText(b: Column): Column = {
+      val noTags = regexp_replace(b, "<[^>]+>", " ")
+      val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+      trim(regexp_replace(ent, "\\s+", " "))
+    }
+    val scored = transform(blocks, b => struct(
+      visText(b).as("t"),
+      aggregate(
+        regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        lit(0), (acc, a) => acc + length(visText(a))).as("l")))
+    val kept = filter(scored, sc =>
+      length(sc.getField("t")) >= lit(minTextLen) &&
+        sc.getField("l") * lit(100) <= lit(maxLinkPct) * length(sc.getField("t")))
+    trim(regexp_replace(
+      array_join(transform(kept, sc => sc.getField("t")), " "), "\\s+", " "))
+  }
+
   /** Markdown boilerplate strip → clean text — the [[htmlText]]
     * sibling for the other markup a crawl carries in volume (READMEs,
     * forums, docs sites). Builtin regexp only, and every pattern is

@@ -362,6 +362,15 @@ class PlanSpec extends SparkSpec {
       "top-k aggregation is single-phase — partial aggregation lost")
   }
 
+  test("q225 main-content extraction is map-only: no join, no window, no hash exchange") {
+    val p = plan("q225_main_content")
+    assert(!p.contains("Window"), "block scoring leaked into a window")
+    assert(!p.contains("Join"), "extraction must not join")
+    // the only exchange is the output-order range partitioning
+    assert(!p.contains("Exchange hashpartitioning"),
+      "extraction shuffled — block split/density must stay per-row expressions")
+  }
+
   test("q126 lexical search: query terms broadcast onto postings; no window tail") {
     val p = plan("q126_lexical_search")
     assert(p.contains("BroadcastHashJoin"), "query-term join is not broadcast")

@@ -72,6 +72,41 @@ class WarcSpec extends SparkSpec {
     assert(tricky === Seq("a <b> c", "x &'y\"", "keep", "lots of space"))
   }
 
+  test("htmlMainText: link-dense and short blocks drop, mixed and prose blocks survive") {
+    def main(h: String, minLen: Int = 25, pct: Int = 33): String =
+      Seq(h).toDF("h")
+        .select(Warc.htmlMainText(col("h"), minLen, pct).as("t"))
+        .head.getString(0)
+
+    val page =
+      "<html><head><title>Short</title><script>var nav='<footer>';</script></head><body>" +
+        "<nav><ul><li><a href='/'>Home</a></li><li><a href='/a'>About us</a></li></ul></nav>" +
+        "<h1>Tiny heading</h1>" +
+        "<div><a href='/t'>tag one</a> related reading picked for you today</div>" +
+        "<p>the quick brown fox jumps over the lazy dog repeatedly</p>" +
+        "<footer><a href='/p'>Privacy</a> | <a href='/t'>Terms</a> | <a href='/c'>Contact us</a></footer>" +
+        "</body></html>"
+    // nav links (pure-link AND short), title/h1 (short), footer (28
+    // visible chars, 22 of them link text -> 78% > 33%) all drop; the
+    // sidebar (7 of 44 link chars = 15%) and body prose survive
+    assert(main(page) ===
+      "tag one related reading picked for you today " +
+        "the quick brown fox jumps over the lazy dog repeatedly")
+
+    // threshold boundaries are integer-exact: 26 visible chars carry
+    // 8 link chars at 800 <= 33*26 = 858 (kept); 9 at 900 > 858 drops
+    assert(main(s"<p><a href='/'>${"a" * 8}</a> ${"b" * 17}</p>") ===
+      "a" * 8 + " " + "b" * 17)
+    assert(main(s"<p><a href='/'>${"a" * 9}</a> ${"b" * 16}</p>") === "")
+    // the length floor is >= minLen on the collapsed visible text
+    assert(main("<p>" + "x" * 24 + "</p>") === "")
+    assert(main("<p>" + "x" * 25 + "</p>") === "x" * 25)
+
+    // an anchor's text counts only inside its own block, and a nav
+    // inside a comment or script must not resurrect
+    assert(main("<!-- <p>ghost content that would otherwise survive</p> -->") === "")
+  }
+
   test("truncated body becomes an error row, not a task failure") {
     val bad = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
       ).getBytes("UTF-8")
@@ -452,7 +487,7 @@ class WarcSpec extends SparkSpec {
       val x = Pdf.extractText(
         payload.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).toOption.get
       val expected = "Doc " + id + "|" + docs.filter(col("doc_id") === id)
-        .collect()(0).getString(1)
+        .collect()(0).getString(1) + "~fin."
       assert(x.text === expected, s"doc $id")
       assert((id % 4 == 3) === (x.nFlate > 0), s"doc $id flate routing")
     }
