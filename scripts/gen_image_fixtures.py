@@ -66,14 +66,20 @@ def paeth(a, b, c):
     return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
 
 
-def write_png(path, w, h, color_type, rows, filters):
-    """rows: list of h lists of per-pixel channel tuples; filters: per-row
+def write_png(path, w, h, color_type, rows, filters, depth=8, plte=None):
+    """rows: list of h lists of per-pixel channel tuples (sample VALUES:
+    palette indices for type 3, 0..65535 for depth 16); filters: per-row
     PNG filter type actually APPLIED (exercises the decoder's unfilter)."""
-    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    bpp = nch * (depth // 8)
     raw = b""
     prev = [0] * (w * bpp)
     for y in range(h):
-        line = [v for pxl in rows[y] for v in pxl]
+        samples = [v for pxl in rows[y] for v in pxl]
+        if depth == 16:
+            line = [b for v in samples for b in ((v >> 8) & 0xFF, v & 0xFF)]
+        else:
+            line = samples
         ft = filters[y % len(filters)]
         enc = []
         for i, x in enumerate(line):
@@ -99,8 +105,10 @@ def write_png(path, w, h, color_type, rows, filters):
         return (struct.pack(">I", len(body)) + typ + body
                 + struct.pack(">I", binascii.crc32(typ + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        png += chunk(b"PLTE", bytes([v for rgb in plte for v in rgb]))
     # split IDAT so the multi-chunk streaming path is on the fixture too
     half = max(1, len(z) // 2)
     png += chunk(b"IDAT", z[:half]) + chunk(b"IDAT", z[half:])
@@ -128,6 +136,24 @@ write_png(os.path.join(OUT, "gray.png"), GW, GH, 0,
           [[(gray[y * GW + x],) for x in range(GW)] for y in range(GH)],
           [4, 3, 2, 1])
 print("gray.png", "same stats as gray.pgm (pixels identical)")
+
+# palette.png: color type 3, 8-bit indexed, 16-entry PLTE, every filter;
+# stats are over the MAPPED RGB samples
+PW, PH = 7, 5
+PLTE = [((i * 5) % 256, (i * 11) % 256, (i * 23) % 256) for i in range(16)]
+pidx = [[((x * 3 + y * 5) % 16,) for x in range(PW)] for y in range(PH)]
+write_png(os.path.join(OUT, "palette.png"), PW, PH, 3, pidx,
+          [0, 1, 2, 3, 4], plte=PLTE)
+prgb = [v for row in pidx for (i,) in row for v in PLTE[i]]
+print("palette.png", stats(prgb, 3, PW, PH))
+
+# gray16.png: color type 0 at 16 bits — BE sample pairs, bpp-2 unfilter
+GW16, GH16 = 6, 4
+g16 = [(x * 4099 + y * 12007) % 65536 for y in range(GH16) for x in range(GW16)]
+write_png(os.path.join(OUT, "gray16.png"), GW16, GH16, 0,
+          [[(g16[y * GW16 + x],) for x in range(GW16)] for y in range(GH16)],
+          [2, 0, 4, 1, 3], depth=16)
+print("gray16.png", stats(g16, 1, GW16, GH16))
 
 # rgba.png: color type 6 — alpha varies but must NOT move the color stats
 write_png(os.path.join(OUT, "rgba.png"), W, H, 6,

@@ -16,9 +16,11 @@ package graft.operators
   *    `Warc.gunzipMembers` precedent — the reference sniffs and
   *    decompresses its input the same way, `/root/reference/src/
   *    main.rs:431-433`), all five scanline filter types (None/Sub/
-  *    Up/Average/Paeth), non-interlaced 8-bit gray / RGB / gray+alpha
-  *    / RGBA. Palette (type 3), 16-bit, and Adam7 payloads are
-  *    explicit `Left`s. The raster is never materialized: rows
+  *    Up/Average/Paeth), non-interlaced 8-bit AND 16-bit gray / RGB /
+  *    gray+alpha / RGBA plus 8-bit PLTE-indexed (type 3; stats and
+  *    aHash read the mapped RGB, out-of-range indices are parse
+  *    errors). Sub-byte indexed depths (1/2/4) and Adam7 interlacing
+  *    remain explicit `Left`s. The raster is never materialized: rows
   *    inflate into a two-scanline window (O(row) memory), stats and
   *    the aHash grid stream out of it.
   *
@@ -314,8 +316,10 @@ object ImageCodec {
     var width = 0
     var height = 0
     var colorType = 0
+    var bitDepth = 0
     var seenIhdr = false
     var seenIend = false
+    var palette: Array[Byte] = null // PLTE body: RGB triples
     val idat = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (off, len)
     val crc = new java.util.zip.CRC32
     var pos = 8
@@ -341,29 +345,43 @@ object ImageCodec {
             return Left(s"png: bad dimensions ${w}x$h")
           width = w.toInt
           height = h.toInt
-          val bitDepth = d(b + 8) & 0xff
+          bitDepth = d(b + 8) & 0xff
           colorType = d(b + 9) & 0xff
           if ((d(b + 10) & 0xff) != 0) return Left("png: nonzero compression method")
           if ((d(b + 11) & 0xff) != 0) return Left("png: nonzero filter method")
           if ((d(b + 12) & 0xff) != 0) return Left("png: interlaced (Adam7) not supported")
-          if (bitDepth != 8) return Left(s"png: bit depth $bitDepth not supported (8 only)")
-          if (colorType != 0 && colorType != 2 && colorType != 4 && colorType != 6)
-            return Left(s"png: color type $colorType not supported (palette/other excluded)")
+          if (colorType == 3) {
+            if (bitDepth != 8)
+              return Left(s"png: $bitDepth-bit palette not supported (8-bit indexed only)")
+          } else if (colorType == 0 || colorType == 2 || colorType == 4 || colorType == 6) {
+            if (bitDepth != 8 && bitDepth != 16)
+              return Left(s"png: bit depth $bitDepth not supported (8/16 only)")
+          } else return Left(s"png: color type $colorType not supported")
           seenIhdr = true
+        case "PLTE" =>
+          if (!seenIhdr) return Left("png: PLTE before IHDR")
+          if (bodyLen == 0 || bodyLen % 3 != 0 || bodyLen > 3 * 256)
+            return Left(s"png: bad PLTE length $bodyLen")
+          palette = java.util.Arrays.copyOfRange(d, pos + 8, pos + 8 + bodyLen)
         case "IDAT" =>
           if (!seenIhdr) return Left("png: IDAT before IHDR")
           idat += ((pos + 8, bodyLen))
         case "IEND" =>
           seenIend = true
-        case _ => () // ancillary chunks (tEXt, gAMA, pHYs, ...) skipped
+        case _ => () // ancillary chunks (tEXt, tRNS, gAMA, pHYs, ...) skipped
       }
       pos += 12 + bodyLen
     }
     if (!seenIhdr) return Left("png: missing IHDR")
     if (idat.isEmpty) return Left("png: no IDAT chunks")
+    if (colorType == 3 && palette == null) return Left("png: indexed image missing PLTE")
 
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case 4 => 2; case _ => 4 }
+    val nchan = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4 }
+    val sampBytes = bitDepth / 8
+    val bpp = nchan * sampBytes // filter byte offset (spec: bytes per pixel, min 1)
     val colorCh = if (colorType == 0 || colorType == 4) 1 else 3
+    val maxval = if (bitDepth == 16) 65535 else 255
+    val paletteN = if (palette == null) 0 else palette.length / 3
     if (width.toLong * bpp > Int.MaxValue - 1)
       return Left(s"png: scanline too wide: $width x $bpp bytes")
     val rowBytes = width * bpp
@@ -426,13 +444,23 @@ object ImageCodec {
           cur(i) = (v & 0xff).toByte
           i += 1
         }
+        // channel ch of pixel px from the unfiltered row: direct for
+        // 8-bit, big-endian pair for 16-bit, PLTE lookup for indexed
+        def sample(row: Array[Byte], px: Int, ch: Int): Int =
+          if (colorType == 3) palette(3 * (row(px) & 0xff) + ch) & 0xff
+          else if (bitDepth == 16) {
+            val o = px * bpp + ch * 2
+            ((row(o) & 0xff) << 8) | (row(o + 1) & 0xff)
+          } else row(px * bpp + ch) & 0xff
         // stats: color samples only (alpha excluded)
         var px = 0
         while (px < width) {
-          val o = px * bpp
+          if (colorType == 3 && (cur(px) & 0xff) >= paletteN)
+            return Left(s"png: palette index ${cur(px) & 0xff} out of " +
+              s"range ($paletteN entries)")
           var ch = 0
           while (ch < colorCh) {
-            val v = cur(o + ch) & 0xff
+            val v = sample(cur, px, ch)
             sums(ch) += v
             if (v < mn) mn = v
             if (v > mx) mx = v
@@ -446,10 +474,11 @@ object ImageCodec {
           if (gridRowOf(gy) == y) {
             var gx = 0
             while (gx < 8) {
-              val o = (gx * width / 8) * bpp
+              val gpx = gx * width / 8
               grays(gy * 8 + gx) =
-                if (colorCh == 3) (cur(o) & 0xff) + (cur(o + 1) & 0xff) + (cur(o + 2) & 0xff)
-                else 3 * (cur(o) & 0xff)
+                if (colorCh == 3)
+                  sample(cur, gpx, 0) + sample(cur, gpx, 1) + sample(cur, gpx, 2)
+                else 3 * sample(cur, gpx, 0)
               gx += 1
             }
           }
@@ -462,7 +491,7 @@ object ImageCodec {
       val (r, g, b) =
         if (colorCh == 3) (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
         else { val m = sums(0).toDouble / n; (m, m, m) }
-      Right((ImageStats("png", width, height, colorCh, 255, n, r, g, b, mn, mx),
+      Right((ImageStats("png", width, height, colorCh, maxval, n, r, g, b, mn, mx),
         grays))
     } finally inf.end()
   }
@@ -478,8 +507,55 @@ object ImageCodec {
     require(w > 0 && h > 0, s"encodePng: bad dimensions ${w}x$h")
     require(rgb.length == 3 * w * h,
       s"encodePng: raster length ${rgb.length} != 3*$w*$h")
-    val bpp = 3
-    val rowBytes = w * bpp
+    pngContainer(w, h, depth = 8, colorType = 2,
+      filterRows(rgb, 3 * w, h, bpp = 3), plte = None)
+  }
+
+  /** 8-bit PLTE-INDEXED sibling of [[encodePng]]: one palette index
+    * per pixel, same per-row filter cycling (bpp = 1), PLTE chunk
+    * between IHDR and IDAT per spec ordering. The `Media.toPngIndexed`
+    * substrate — indexed payloads are the common web media class the
+    * decoder's palette path must cover.
+    */
+  def encodePngIndexed(
+      indices: Array[Byte], palette: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodePngIndexed: bad dimensions ${w}x$h")
+    require(indices.length == w * h,
+      s"encodePngIndexed: index raster length ${indices.length} != $w*$h")
+    require(palette.length > 0 && palette.length % 3 == 0 && palette.length <= 768,
+      s"encodePngIndexed: bad palette length ${palette.length}")
+    pngContainer(w, h, depth = 8, colorType = 3,
+      filterRows(indices, w, h, bpp = 1), plte = Some(palette))
+  }
+
+  /** 16-bit GRAYSCALE sibling of [[encodePng]]: big-endian sample
+    * pairs, filter cycling with bpp = 2 (PNG filters operate on
+    * BYTES, so the 16-bit path exercises a genuinely different
+    * unfilter stride). The `Media.toPngGray16` substrate.
+    */
+  def encodePngGray16(samples: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodePngGray16: bad dimensions ${w}x$h")
+    require(samples.length == w * h,
+      s"encodePngGray16: raster length ${samples.length} != $w*$h")
+    val bytes = new Array[Byte](2 * w * h)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= 0 && v <= 65535, s"encodePngGray16: sample $v out of range")
+      bytes(2 * i) = ((v >>> 8) & 0xff).toByte
+      bytes(2 * i + 1) = (v & 0xff).toByte
+      i += 1
+    }
+    pngContainer(w, h, depth = 16, colorType = 0,
+      filterRows(bytes, 2 * w, h, bpp = 2), plte = None)
+  }
+
+  /** Apply the y % 5 filter cycle to unfiltered row data (rowBytes per
+    * row, `bpp` filter stride), producing the (filter byte + row)*h
+    * stream the deflate stage compresses.
+    */
+  private def filterRows(
+      data: Array[Byte], rowBytes: Int, h: Int, bpp: Int): Array[Byte] = {
     val raw = new Array[Byte]((rowBytes + 1) * h)
     var y = 0
     while (y < h) {
@@ -489,10 +565,10 @@ object ImageCodec {
       val src = y * rowBytes
       var i = 0
       while (i < rowBytes) {
-        val x = rgb(src + i) & 0xff
-        val a = if (i >= bpp) rgb(src + i - bpp) & 0xff else 0
-        val b = if (y > 0) rgb(src - rowBytes + i) & 0xff else 0
-        val c = if (y > 0 && i >= bpp) rgb(src - rowBytes + i - bpp) & 0xff else 0
+        val x = data(src + i) & 0xff
+        val a = if (i >= bpp) data(src + i - bpp) & 0xff else 0
+        val b = if (y > 0) data(src - rowBytes + i) & 0xff else 0
+        val c = if (y > 0 && i >= bpp) data(src - rowBytes + i - bpp) & 0xff else 0
         val f = ft match {
           case 0 => x
           case 1 => x - a
@@ -505,6 +581,16 @@ object ImageCodec {
       }
       y += 1
     }
+    raw
+  }
+
+  /** Deflate pre-filtered scanlines and emit the container: signature,
+    * IHDR, optional PLTE, <=1 KiB IDAT chunks (keeps the decoder's
+    * multi-chunk streaming on every tested path), IEND — all CRC'd.
+    */
+  private def pngContainer(
+      w: Int, h: Int, depth: Int, colorType: Int,
+      raw: Array[Byte], plte: Option[Array[Byte]]): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     val z =
       try {
@@ -535,9 +621,10 @@ object ImageCodec {
     val ihdr = new Array[Byte](13)
     System.arraycopy(be32(w.toLong), 0, ihdr, 0, 4)
     System.arraycopy(be32(h.toLong), 0, ihdr, 4, 4)
-    ihdr(8) = 8 // bit depth
-    ihdr(9) = 2 // color type: RGB
+    ihdr(8) = depth.toByte
+    ihdr(9) = colorType.toByte
     chunk("IHDR", ihdr)
+    plte.foreach(p => chunk("PLTE", p))
     var off = 0
     while (off < z.length) {
       val l = math.min(1024, z.length - off)

@@ -522,6 +522,53 @@ object Media {
       .toDF()
   }
 
+  /** The fixed 256-entry palette [[toPngVariants]] encodes with:
+    * index i maps to (i, 2i mod 256, 7i mod 256) — a bijection on the
+    * red channel, so the oracle recovers every mapped sample from the
+    * source byte with integer arithmetic.
+    */
+  private val VariantPalette: Array[Byte] = Array.tabulate(768) { j =>
+    val i = j / 3
+    (j % 3 match {
+      case 0 => i
+      case 1 => (2 * i) % 256
+      case _ => (7 * i) % 256
+    }).toByte
+  }
+
+  /** Documents -> the OTHER real PNG shapes a crawl carries in volume,
+    * deterministically TWO records per doc: an 8-bit PLTE-INDEXED
+    * image (media_id 2·doc_id; indices are the text bytes over a
+    * (L%8+1) x (L%6+1) grid, palette [[VariantPalette]]) and a 16-BIT
+    * grayscale image (media_id 2·doc_id+1; samples byte·257 — the
+    * exact 8→16-bit scale expansion). Same trick as [[toPpm]]: the
+    * all-ASCII corpus lets the q226 DuckDB oracle recover every
+    * palette index / 16-bit sample from a codepoint, so the gate pins
+    * the PLTE lookup, the big-endian pair read, and the bpp-stride
+    * unfilter on both variants, end-to-end on driver data.
+    */
+  def toPngVariants(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(8)) + lit(1)).cast("int"))
+      .withColumn("h", (pmod(len, lit(6)) + lit(1)).cast("int"))
+      .withColumn("npx", col("w") * col("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .flatMap { case (id, w, h, px) =>
+        Seq(
+          MediaRecord(2 * id, "image", "png",
+            ImageCodec.encodePngIndexed(px, VariantPalette, w, h)),
+          MediaRecord(2 * id + 1, "image", "png",
+            ImageCodec.encodePngGray16(px.map(b => (b & 0xff) * 257), w, h)))
+      }
+      .toDF()
+  }
+
   /** Documents -> REAL YUV4MPEG2 payloads, deterministically: for text
     * of byte length L, a (L%6+1) x (L%4+1) C444 stream of (L%3+1)
     * frames at 25 fps whose picture bytes are the text

@@ -252,6 +252,75 @@ object MediaStream {
 
   private val q216Sql = q102Sql.replace("'ppm' AS codec", "'png' AS codec")
 
+  // --------------------------------------------------------------- q226
+  /** REAL PNG decode for the OTHER crawl-common shapes — 8-bit
+    * PLTE-indexed and 16-bit grayscale (Media.toPngVariants; two
+    * payloads per document): the q216 gate extended to the palette
+    * lookup, the big-endian 16-bit sample read, and the bpp-stride
+    * unfilter. The oracle recovers every palette index / sample from
+    * the source text (byte == codepoint) and applies the documented
+    * palette map (i, 2i mod 256, 7i mod 256) and the byte·257 16-bit
+    * expansion — a wrong PLTE offset, a swapped byte pair, or a
+    * filter stride bug breaks the hash.
+    */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toPngVariants(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q226Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 8 + 1 AS INTEGER) AS w,
+      |    CAST(length(text) % 6 + 1 AS INTEGER) AS h
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT doc_id, w, h, w*h AS npx,
+      |    substring(repeat(text, CAST(ceil(CAST(w*h AS DOUBLE) / len) AS INTEGER)),
+      |              1, w*h) AS px
+      |  FROM d),
+      |b AS (
+      |  SELECT doc_id, w, h, npx,
+      |    list_transform(range(1, npx + 1),
+      |      i -> unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS bytes
+      |  FROM p),
+      |idx AS (
+      |  SELECT doc_id*2 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |    CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+      |    CAST(npx AS BIGINT) AS n_pixels,
+      |    floor(list_avg(bytes) * 1e6) / 1e6 AS r_mean,
+      |    floor(list_avg(list_transform(bytes, v -> (v*2)%256)) * 1e6) / 1e6 AS g_mean,
+      |    floor(list_avg(list_transform(bytes, v -> (v*7)%256)) * 1e6) / 1e6 AS b_mean,
+      |    CAST(least(list_min(bytes),
+      |      list_min(list_transform(bytes, v -> (v*2)%256)),
+      |      list_min(list_transform(bytes, v -> (v*7)%256))) AS INTEGER) AS px_min,
+      |    CAST(greatest(list_max(bytes),
+      |      list_max(list_transform(bytes, v -> (v*2)%256)),
+      |      list_max(list_transform(bytes, v -> (v*7)%256))) AS INTEGER) AS px_max
+      |  FROM b),
+      |g16 AS (
+      |  SELECT doc_id*2 + 1 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |    CAST(1 AS INTEGER) AS channels, CAST(65535 AS INTEGER) AS maxval,
+      |    CAST(npx AS BIGINT) AS n_pixels,
+      |    floor(list_avg(list_transform(bytes, v -> v*257)) * 1e6) / 1e6 AS r_mean,
+      |    floor(list_avg(list_transform(bytes, v -> v*257)) * 1e6) / 1e6 AS g_mean,
+      |    floor(list_avg(list_transform(bytes, v -> v*257)) * 1e6) / 1e6 AS b_mean,
+      |    CAST(list_min(bytes) * 257 AS INTEGER) AS px_min,
+      |    CAST(list_max(bytes) * 257 AS INTEGER) AS px_max
+      |  FROM b)
+      |SELECT * FROM idx UNION ALL SELECT * FROM g16
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q103
   /** REAL audio decode, hash-gated end-to-end: documents become
     * genuine RIFF/WAVE PCM binaries (Media.toWav — full container
@@ -2393,6 +2462,7 @@ object MediaStream {
     "q44_media_decode" -> (q44 _),
     "q102_image_decode" -> (q102 _),
     "q216_png_decode" -> (q216 _),
+    "q226_png_variants" -> (q226 _),
     "q103_audio_decode" -> (q103 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
@@ -2444,6 +2514,7 @@ object MediaStream {
     "q44_media_decode" -> q44Sql,
     "q102_image_decode" -> q102Sql,
     "q216_png_decode" -> q216Sql,
+    "q226_png_variants" -> q226Sql,
     "q103_audio_decode" -> q103Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
