@@ -63,7 +63,7 @@ object ImageCodec {
     data.length >= 2 && (
       (data(0) == 'P' && (data(1) == '5' || data(1) == '6')) ||
         (data(0) == 'B' && data(1) == 'M') ||
-        sniffPng(data))
+        sniffPng(data) || JpegCodec.sniff(data))
 
   private def sniffPng(data: Array[Byte]): Boolean = {
     if (data.length < 8) return false
@@ -78,6 +78,7 @@ object ImageCodec {
     else if (data(0) == 'P' && (data(1) == '5' || data(1) == '6')) decodePnm(data)
     else if (data(0) == 'B' && data(1) == 'M') decodeBmp(data)
     else if (sniffPng(data)) decodePngFull(data).map(_._1)
+    else if (JpegCodec.sniff(data)) JpegCodec.decode(data).map(_._1)
     else Left("image: unrecognized magic")
 
   // ------------------------------------------------------------- PNM
@@ -183,8 +184,9 @@ object ImageCodec {
     */
   def aHash(data: Array[Byte]): Either[String, (Long, Long)] =
     if (sniffPng(data)) decodePngFull(data).map(t => packAHash(t._2))
+    else if (JpegCodec.sniff(data)) JpegCodec.decode(data).map(t => packAHash(t._2))
     else if (data.length < 2 || data(0) != 'P' || (data(1) != '5' && data(1) != '6'))
-      Left("ahash: not a PNM or PNG payload")
+      Left("ahash: not a PNM, PNG or JPEG payload")
     else parsePnmHeader(data).flatMap { hd =>
       if (hd.maxval > 255) Left(s"${hd.codec}: ahash requires 8-bit samples")
       else {

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Baseline JPEG codec: exact flat-tile round trips (the q227 oracle
+  * lever — DC-only blocks with unit quantization are mathematically
+  * invertible), tolerance-gated round trips for general rasters (the
+  * AC/Huffman path), the restart-marker and padding paths, and the
+  * malformed-input discipline (Left, never a throw). The committed
+  * python-encoded fixtures pin the decoder against an independent
+  * implementation in ImageCodecSpec.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def seededBytes(n: Int, seed: Int): Array[Byte] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(r.nextInt(256).toByte)
+  }
+
+  /** Expand flat 8x8-or-16x16 tiles to a raster: tile (tx, ty) of a
+    * tw x th grid carries value vals(ty*tw + tx).
+    */
+  private def tiles(vals: Array[Byte], tw: Int, th: Int, tile: Int): Array[Byte] = {
+    val w = tw * tile
+    Array.tabulate(w * th * tile) { k =>
+      val x = k % w
+      val y = k / w
+      vals((y / tile) * tw + x / tile)
+    }
+  }
+
+  test("flat-tile GRAYSCALE round trip is bit-exact (unit quant, DC-only blocks)") {
+    for ((tw, th, seed) <- Seq((1, 1, 1), (3, 2, 2), (4, 4, 3))) {
+      val vals = seededBytes(tw * th, seed)
+      val raster = tiles(vals, tw, th, 8)
+      val jpg = JpegCodec.encodeJpegGray(raster, 8 * tw, 8 * th)
+      val s = ImageCodec.decode(jpg).toOption.get
+      assert(s.codec === "jpeg")
+      assert((s.width, s.height, s.channels, s.maxval) === ((8 * tw, 8 * th, 1, 255)))
+      val n = raster.length
+      assert(s.nPixels === n.toLong)
+      // every tile is DC-only: decode must reproduce the bytes exactly
+      assert(s.rMean === raster.map(b => (b & 0xff).toLong).sum.toDouble / n, s"seed $seed")
+      assert(s.pxMin === raster.map(_ & 0xff).min && s.pxMax === raster.map(_ & 0xff).max)
+    }
+  }
+
+  test("flat-16x16-tile gray COLOR 4:2:0 round trip is bit-exact") {
+    for ((tw, th, seed) <- Seq((1, 1, 5), (3, 2, 6), (2, 4, 7))) {
+      val vals = seededBytes(tw * th, seed)
+      val gray = tiles(vals, tw, th, 16)
+      val rgb = gray.flatMap(v => Array(v, v, v))
+      val jpg = JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true)
+      val s = ImageCodec.decode(jpg).toOption.get
+      assert((s.width, s.height, s.channels) === ((16 * tw, 16 * th, 3)))
+      val n = gray.length
+      val mean = gray.map(b => (b & 0xff).toLong).sum.toDouble / n
+      // r=g=b=v tiles: Y=v, Cb=Cr=128 exactly; the 2x2 chroma average
+      // of a flat 16x16 tile is flat — all three channels recover v
+      assert((s.rMean, s.gMean, s.bMean) === ((mean, mean, mean)), s"seed $seed")
+      assert(s.pxMin === gray.map(_ & 0xff).min && s.pxMax === gray.map(_ & 0xff).max)
+    }
+  }
+
+  test("general-raster 4:4:4 and 4:2:0 round trips land within unit-quant tolerance") {
+    for ((w, h, seed) <- Seq((8, 8, 11), (24, 16, 12), (17, 9, 13))) {
+      val rgb = seededBytes(3 * w * h, seed)
+      def chMean(c: Int) =
+        (0 until w * h).map(i => rgb(3 * i + c) & 0xff).sum.toDouble / (w * h)
+      for (sub <- Seq(false, true)) {
+        val s = ImageCodec.decode(JpegCodec.encodeJpeg(rgb, w, h, sub)).toOption.get
+        assert((s.width, s.height, s.channels, s.nPixels) ===
+          ((w, h, 3, (w.toLong * h))), s"seed $seed sub=$sub")
+        // unit quantization: DCT round-trip error is a few counts per
+        // sample; random-noise chroma subsampling moves means more
+        val tol = if (sub) 6.0 else 2.0
+        for (c <- 0 until 3)
+          assert(math.abs(Seq(s.rMean, s.gMean, s.bMean)(c) - chMean(c)) <= tol,
+            s"seed $seed sub=$sub ch=$c: ${Seq(s.rMean, s.gMean, s.bMean)(c)} vs ${chMean(c)}")
+      }
+    }
+  }
+
+  test("non-multiple-of-MCU sizes: padding encodes, decode trims to the true frame") {
+    for ((w, h) <- Seq((1, 1), (7, 5), (9, 17), (15, 15))) {
+      val gray = seededBytes(w * h, w * 31 + h)
+      val s = ImageCodec.decode(JpegCodec.encodeJpegGray(gray, w, h)).toOption.get
+      assert((s.width, s.height, s.nPixels) === ((w, h, (w.toLong * h))))
+      // flat-DC exactness does not apply (blocks straddle content and
+      // pad), but the pad must not leak into stats: min/max stay in
+      // the neighborhood of the true range
+      assert(s.pxMin >= 0 && s.pxMax <= 255)
+    }
+    // and a flat padded image IS exact: pad replicates the edge value
+    val flat = Array.fill(13 * 5)(77.toByte)
+    val s = ImageCodec.decode(JpegCodec.encodeJpegGray(flat, 13, 5)).toOption.get
+    assert((s.rMean, s.pxMin, s.pxMax) === ((77.0, 77, 77)))
+  }
+
+  test("restart markers: DRI + RSTn decode to the same pixels as the unrestarted stream") {
+    val vals = seededBytes(5 * 3, 21)
+    val raster = tiles(vals, 5, 3, 8)
+    val plain = ImageCodec.decode(JpegCodec.encodeJpegGray(raster, 40, 24)).toOption.get
+    for (ri <- Seq(1, 2, 7)) {
+      val rst = ImageCodec.decode(
+        JpegCodec.encodeJpegGray(raster, 40, 24, restartInterval = ri)).toOption.get
+      assert(rst === plain, s"restartInterval $ri")
+    }
+  }
+
+  test("aHash: a JPEG re-encode of a PPM raster pairs with the original at low hamming") {
+    for ((w, h, seed) <- Seq((8, 8, 41), (16, 12, 42), (24, 18, 43))) {
+      val rgb = seededBytes(3 * w * h, seed)
+      val ppm = (s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb)
+      val (hiP, loP) = ImageCodec.aHash(ppm).toOption.get
+      val (hiJ, loJ) = ImageCodec.aHash(
+        JpegCodec.encodeJpeg(rgb, w, h, subsample = false)).toOption.get
+      val hamming = java.lang.Long.bitCount(hiP ^ hiJ) + java.lang.Long.bitCount(loP ^ loJ)
+      assert(hamming <= 7, s"seed $seed: hamming $hamming — re-encode would not pair")
+    }
+  }
+
+  test("out-of-scope and malformed payloads are Left(reason), never an exception") {
+    // progressive: SOF2 in place of SOF0
+    val good = JpegCodec.encodeJpegGray(Array.fill(64)(10.toByte), 8, 8)
+    val sofAt = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)) i += 1
+      i
+    }
+    val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).left.exists(_.contains("baseline")))
+    // structural truncations parse as Left, never throw
+    for (cut <- Seq(2, 3, 10, sofAt + 3))
+      assert(ImageCodec.decode(good.take(cut)).isLeft, s"cut $cut")
+    // tail truncations (losing only EOI/padding may still decode —
+    // real crawls carry EOI-less files): must never throw
+    for (cut <- Seq(good.length - 3, good.length - 1))
+      ImageCodec.decode(good.take(cut))
+    // not a JPEG at all
+    assert(JpegCodec.decode("hello".getBytes).left.exists(_.contains("SOI")))
+    // bit flips anywhere must never throw (the CodecPropertySpec rule)
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 200) {
+      val b = good.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      JpegCodec.decode(b) // Left or Right, must not throw
+    }
+  }
+}
