@@ -193,3 +193,357 @@ ys = [v for fb in frames_bytes for v in fb[:VW * VH]]
 print("clip.y4m", dict(w=VW, h=VH, frames=VF,
                        dur_ms=VF * 1000 * 1001 // 30000,
                        y_mean=sum(ys) / len(ys), y_min=min(ys), y_max=max(ys)))
+
+# --- JPEG fixtures: INDEPENDENT pure-python baseline encoder, plus an
+#     arithmetic MIRROR of JpegCodec's decode (same IDCT basis doubles,
+#     same summation order, same floor(x+0.5) rounding, same YCbCr
+#     constants), so the printed stats are BIT-EXACT expectations for
+#     the Scala decoder on these files. The Scala IdctM constants were
+#     generated from this exact expression.
+import math
+
+IDCTM = [[(1 / math.sqrt(2) if u == 0 else 1.0) / 2
+          * math.cos((2 * x + 1) * u * math.pi / 16)
+          for u in range(8)] for x in range(8)]
+ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+DC_L_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_L_VALS = list(range(12))
+DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_C_VALS = list(range(12))
+AC_L_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_L_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def build_enc(bits, vals):
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class BW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, ln):
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc & 0xFF)
+                if (self.acc & 0xFF) == 0xFF:
+                    self.buf.append(0)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.put(0xFF, 8 - self.n)
+
+
+def category(v):
+    a = abs(v)
+    c = 0
+    while a:
+        a >>= 1
+        c += 1
+    return c
+
+
+def bits_of(v, cat):
+    return (v if v >= 0 else v - 1) & ((1 << cat) - 1)
+
+
+def fdct_quant(block, q):
+    """block: 64 natural-order samples; q: natural-order quant table."""
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for y in range(8):
+        for u in range(8):
+            acc = 0.0
+            for x in range(8):
+                acc += IDCTM[x][u] * (block[y * 8 + x] - 128)
+            tmp[y][u] = acc
+    out = [0] * 64
+    for v in range(8):
+        for u in range(8):
+            acc = 0.0
+            for y in range(8):
+                acc += IDCTM[y][v] * tmp[y][u]
+            r = acc / q[v * 8 + u]
+            out[v * 8 + u] = int(math.floor(r + 0.5)) if r >= 0 else -int(math.floor(-r + 0.5))
+    return out
+
+
+def idct_mirror(qc, q):
+    """EXACT mirror of JpegCodec's dequant+IDCT+round+clamp."""
+    coef = [qc[i] * q[i] for i in range(64)]
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                acc += IDCTM[x][u] * coef[v * 8 + u]
+            tmp[v][x] = acc
+    out = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                acc += IDCTM[y][v] * tmp[v][x]
+            s = int(math.floor(acc + 128.5))
+            out[y * 8 + x] = 0 if s < 0 else (255 if s > 255 else s)
+    return out
+
+
+def encode_jpeg(path, w, h, comps, restart=0):
+    """comps: list of dicts {plane (2-d, padded to 8*vf rows / MCU-x
+    multiples), pw, hf, vf, q (natural order)}; writes `path` and
+    returns the mirror-DECODED component planes (same padded dims)."""
+    gray = len(comps) == 1
+    out = bytearray()
+
+    def b(v):
+        out.append(v & 0xFF)
+
+    def b16(v):
+        b(v >> 8)
+        b(v)
+
+    def marker(m):
+        b(0xFF)
+        b(m)
+
+    marker(0xD8)
+    marker(0xE0)
+    b16(16)
+    out += b"JFIF\x00"
+    b(1); b(1); b(0)
+    b16(1); b16(1)
+    b(0); b(0)
+
+    qtabs = [comps[0]["q"]] + ([comps[1]["q"]] if not gray else [])
+    marker(0xDB)
+    b16(2 + 65 * len(qtabs))
+    for t, q in enumerate(qtabs):
+        b(t)
+        for k in range(64):
+            b(q[ZZ[k]])  # DQT is zigzag-ordered
+
+    marker(0xC0)
+    b16(8 + 3 * len(comps))
+    b(8)
+    b16(h); b16(w)
+    b(len(comps))
+    for i, c in enumerate(comps):
+        b(i + 1)
+        b((c["hf"] << 4) | c["vf"])
+        b(0 if i == 0 else 1)
+
+    def dht(tc, th, bits, vals):
+        marker(0xC4)
+        b16(2 + 1 + 16 + len(vals))
+        b((tc << 4) | th)
+        for x in bits:
+            b(x)
+        for x in vals:
+            b(x)
+
+    dht(0, 0, DC_L_BITS, DC_L_VALS)
+    dht(1, 0, AC_L_BITS, AC_L_VALS)
+    if not gray:
+        dht(0, 1, DC_C_BITS, DC_C_VALS)
+        dht(1, 1, AC_C_BITS, AC_C_VALS)
+
+    if restart:
+        marker(0xDD)
+        b16(4)
+        b16(restart)
+
+    marker(0xDA)
+    b16(6 + 2 * len(comps))
+    b(len(comps))
+    for i in range(len(comps)):
+        b(i + 1)
+        b(0x00 if i == 0 else 0x11)
+    b(0); b(63); b(0)
+
+    enc_dc = [build_enc(DC_L_BITS, DC_L_VALS), build_enc(DC_C_BITS, DC_C_VALS)]
+    enc_ac = [build_enc(AC_L_BITS, AC_L_VALS), build_enc(AC_C_BITS, AC_C_VALS)]
+    bw = BW()
+    pred = [0] * len(comps)
+    hmax = max(c["hf"] for c in comps)
+    vmax = max(c["vf"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    decoded = [[[0] * c["pw"] for _ in range(len(c["plane"]))] for c in comps]
+    mcu_idx = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_idx > 0 and mcu_idx % restart == 0:
+                bw.flush()
+                out += bw.buf
+                bw.buf = bytearray()
+                marker(0xD0 + rst)
+                rst = (rst + 1) % 8
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                t = 0 if ci == 0 else 1
+                for by in range(c["vf"]):
+                    for bx in range(c["hf"]):
+                        x0 = (mx * c["hf"] + bx) * 8
+                        y0 = (my * c["vf"] + by) * 8
+                        block = [c["plane"][y0 + yy][x0 + xx]
+                                 for yy in range(8) for xx in range(8)]
+                        qc = fdct_quant(block, c["q"])
+                        dec = idct_mirror(qc, c["q"])
+                        for yy in range(8):
+                            for xx in range(8):
+                                decoded[ci][y0 + yy][x0 + xx] = dec[yy * 8 + xx]
+                        dc = qc[0]
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        cat = category(diff)
+                        co, ln = enc_dc[t][cat]
+                        bw.put(co, ln)
+                        if cat:
+                            bw.put(bits_of(diff, cat), cat)
+                        run = 0
+                        for k in range(1, 64):
+                            ac = qc[ZZ[k]]
+                            if ac == 0:
+                                run += 1
+                            else:
+                                while run > 15:
+                                    co, ln = enc_ac[t][0xF0]
+                                    bw.put(co, ln)
+                                    run -= 16
+                                s = category(ac)
+                                co, ln = enc_ac[t][(run << 4) | s]
+                                bw.put(co, ln)
+                                bw.put(bits_of(ac, s), s)
+                                run = 0
+                        if run:
+                            co, ln = enc_ac[t][0x00]
+                            bw.put(co, ln)
+            mcu_idx += 1
+    bw.flush()
+    out += bw.buf
+    marker(0xD9)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return decoded
+
+
+def clamp8(v):
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+UNIT_Q = [1] * 64
+LUM_Q = [16, 11, 10, 16, 24, 40, 51, 61,
+         12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56,
+         14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77,
+         24, 35, 55, 64, 81, 104, 113, 92,
+         49, 64, 78, 87, 103, 121, 120, 101,
+         72, 92, 95, 98, 112, 100, 103, 99]
+CHR_Q = [17, 18, 24, 47, 99, 99, 99, 99,
+         18, 21, 26, 66, 99, 99, 99, 99,
+         24, 26, 56, 99, 99, 99, 99, 99,
+         47, 66, 99, 99, 99, 99, 99, 99] + [99] * 32
+
+# flat.jpg: grayscale 24x16, 3x2 flat 8px tiles, unit quant, DRI=2 —
+# DC-only blocks are exactly invertible, so the stats are the tile
+# bytes' (restart path pinned through an independent encoder)
+FT = [0, 255, 7, 130, 200, 64]
+flat_plane = [[FT[(y // 8) * 3 + x // 8] for x in range(24)] for y in range(16)]
+dec = encode_jpeg(os.path.join(OUT, "flat.jpg"), 24, 16,
+                  [dict(plane=flat_plane, pw=24, hf=1, vf=1, q=UNIT_Q)],
+                  restart=2)
+fs = [dec[0][y][x] for y in range(16) for x in range(24)]
+print("flat.jpg", dict(w=24, h=16, n=384, mean=sum(fs) / len(fs),
+                       mn=min(fs), mx=max(fs),
+                       exact=(fs == [v for row in flat_plane for v in row])))
+
+# gradient420.jpg: 16x16 px() gradient, REAL Annex-K-style quant, 4:2:0 —
+# nonzero AC, zigzag runs, chroma downsample + upsample; expected stats
+# come from the arithmetic mirror (bit-exact vs the Scala decoder)
+JW = JH = 16
+rgbpx = [[px(x, y) for x in range(JW)] for y in range(JH)]
+yP = [[clamp8(int(math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)))
+       for (r, g, b) in row] for row in rgbpx]
+cbP = [[clamp8(int(math.floor(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)))
+        for (r, g, b) in row] for row in rgbpx]
+crP = [[clamp8(int(math.floor(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)))
+        for (r, g, b) in row] for row in rgbpx]
+
+
+def down(p):
+    return [[(p[2 * y][2 * x] + p[2 * y][2 * x + 1]
+              + p[2 * y + 1][2 * x] + p[2 * y + 1][2 * x + 1] + 2) // 4
+             for x in range(JW // 2)] for y in range(JH // 2)]
+
+
+decc = encode_jpeg(os.path.join(OUT, "gradient420.jpg"), JW, JH,
+                   [dict(plane=yP, pw=JW, hf=2, vf=2, q=LUM_Q),
+                    dict(plane=down(cbP), pw=JW // 2, hf=1, vf=1, q=CHR_Q),
+                    dict(plane=down(crP), pw=JW // 2, hf=1, vf=1, q=CHR_Q)])
+rs = gs = bs = 0
+mnj, mxj = 255, 0
+for y in range(JH):
+    for x in range(JW):
+        yv = decc[0][y][x]
+        cb = decc[1][y // 2][x // 2] - 128
+        cr = decc[2][y // 2][x // 2] - 128
+        r = clamp8(int(math.floor(yv + 1.402 * cr + 0.5)))
+        g = clamp8(int(math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5)))
+        bb = clamp8(int(math.floor(yv + 1.772 * cb + 0.5)))
+        rs += r; gs += g; bs += bb
+        mnj = min(mnj, r, g, bb)
+        mxj = max(mxj, r, g, bb)
+n = JW * JH
+print("gradient420.jpg", dict(w=JW, h=JH, n=n, r=rs / n, g=gs / n, b=bs / n,
+                              mn=mnj, mx=mxj))

@@ -194,6 +194,12 @@ object JpegCodec {
 
   private def decodeInner(d: Array[Byte]): Either[String, (ImageStats, Array[Int])] = {
     def u16(o: Int): Int = ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+    // segment length field (includes itself): < 2 would loop forever
+    def segLen(o: Int): Int = {
+      val l = u16(o)
+      if (l < 2) throw JpegAbort(s"jpeg: bad segment length $l")
+      l
+    }
 
     val qt = new Array[Array[Int]](4) // zigzag order
     val huff = Array.ofDim[HuffTable](2, 4)
@@ -218,7 +224,7 @@ object JpegCodec {
         case 0xd8 => return Left("jpeg: duplicate SOI")
         case 0xd9 => return Left("jpeg: EOI before any scan")
         case 0xc0 => // SOF0 baseline
-          val len = u16(pos)
+          val len = segLen(pos)
           val b = pos + 2
           val precision = d(b) & 0xff
           if (precision != 8) return Left(s"jpeg: $precision-bit precision not supported (8 only)")
@@ -244,7 +250,7 @@ object JpegCodec {
           return Left(f"jpeg: SOF${m - 0xc0}%d (progressive/extended/arithmetic) " +
             "not supported — baseline sequential only")
         case 0xc4 => // DHT, possibly several tables
-          val len = u16(pos)
+          val len = segLen(pos)
           var b = pos + 2
           val end = pos + len
           while (b < end) {
@@ -261,7 +267,7 @@ object JpegCodec {
           }
           pos += len
         case 0xdb => // DQT, possibly several tables
-          val len = u16(pos)
+          val len = segLen(pos)
           var b = pos + 2
           val end = pos + len
           while (b < end) {
@@ -281,10 +287,10 @@ object JpegCodec {
           pos += len
         case 0xdd => // DRI
           restartInterval = u16(pos + 2)
-          pos += u16(pos)
+          pos += segLen(pos)
         case 0xda => // SOS
           if (comps == null) return Left("jpeg: SOS before SOF")
-          val len = u16(pos)
+          val len = segLen(pos)
           val b = pos + 2
           val ns = d(b) & 0xff
           if (ns != comps.length)
@@ -306,7 +312,7 @@ object JpegCodec {
         case m if m >= 0xd0 && m <= 0xd7 =>
           return Left("jpeg: stray RST marker outside a scan")
         case _ => // APPn / COM / anything with a length field
-          pos += u16(pos)
+          pos += segLen(pos)
       }
     }
 

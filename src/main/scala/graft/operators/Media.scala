@@ -569,6 +569,51 @@ object Media {
       .toDF()
   }
 
+  /** Documents -> REAL baseline JPEGs, deterministically — and still
+    * EXACTLY oracle-checkable despite JPEG being lossy: the raster is
+    * FLAT TILES (every 8x8 — or 16x16 for the 4:2:0 color variant —
+    * block carries one value), and with unit quantization a flat
+    * block is DC-only, which the DCT round trip reproduces
+    * bit-exactly (JpegCodecSpec pins this). Tile (L%3+1) x (L%2+1)
+    * grids valued by the text bytes; even doc_id -> grayscale SOF
+    * (8px tiles, every 4th with DRI/RST restarts so the restart path
+    * sits on the oracle gate), odd -> color 4:2:0 (16px tiles; gray
+    * tiles keep Cb=Cr=128 exact through the chroma average). q227
+    * hash-gates the full marker walk, Huffman decode, IDCT and both
+    * MCU layouts against text-derived ground truth.
+    */
+  def toJpeg(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("tw", (pmod(len, lit(3)) + lit(1)).cast("int"))
+      .withColumn("th", (pmod(len, lit(2)) + lit(1)).cast("int"))
+      .withColumn("nt", col("tw") * col("th"))
+      .select(col("doc_id"), col("tw"), col("th"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(nt as double) / length(text)) as int)), 1, nt)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, tw, th, vals) =>
+        def raster(tile: Int): Array[Byte] = {
+          val w = tw * tile
+          Array.tabulate(w * th * tile) { k =>
+            vals(((k / w) / tile) * tw + (k % w) / tile)
+          }
+        }
+        if (id % 2 == 0)
+          MediaRecord(id, "image", "jpeg",
+            JpegCodec.encodeJpegGray(raster(8), 8 * tw, 8 * th,
+              restartInterval = if (id % 4 == 0) 2 else 0))
+        else {
+          val rgb = raster(16).flatMap(v => Array(v, v, v))
+          MediaRecord(id, "image", "jpeg",
+            JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true))
+        }
+      }
+      .toDF()
+  }
+
   /** Documents -> REAL YUV4MPEG2 payloads, deterministically: for text
     * of byte length L, a (L%6+1) x (L%4+1) C444 stream of (L%3+1)
     * frames at 25 fps whose picture bytes are the text

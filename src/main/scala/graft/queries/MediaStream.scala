@@ -321,6 +321,64 @@ object MediaStream {
       |SELECT * FROM idx UNION ALL SELECT * FROM g16
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q227
+  /** REAL baseline JPEG decode, hash-gated end-to-end on the dominant
+    * crawl image format: documents become genuine JPEGs
+    * (Media.toJpeg — flat-tile rasters, so unit-quant DC-only blocks
+    * make the lossy codec EXACTLY invertible), covering both SOF
+    * shapes (even docs grayscale + DRI/RST restarts on every 4th,
+    * odd docs 4:2:0 color with the interleaved-MCU walk and chroma
+    * upsampling), and JpegCodec streams them back. The oracle
+    * re-derives every stat from the source text — a wrong Huffman
+    * table build, a broken restart, a mis-walked MCU, or an IDCT
+    * rounding bug all hash-fail. Independent python-encoded fixtures
+    * pin the decoder separately in ImageCodecSpec.
+    */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toJpeg(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q227Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 3 + 1 AS INTEGER) AS tw,
+      |    CAST(length(text) % 2 + 1 AS INTEGER) AS th
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT doc_id, tw, th, tw*th AS nt,
+      |    substring(repeat(text, CAST(ceil(CAST(tw*th AS DOUBLE) / len) AS INTEGER)),
+      |              1, tw*th) AS px
+      |  FROM d),
+      |b AS (
+      |  SELECT doc_id, tw, th, nt,
+      |    list_transform(range(1, nt + 1),
+      |      i -> unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS bytes
+      |  FROM p)
+      |SELECT doc_id AS media_id, 'jpeg' AS codec,
+      |  CASE WHEN doc_id % 2 = 0 THEN 8*tw ELSE 16*tw END AS width,
+      |  CASE WHEN doc_id % 2 = 0 THEN 8*th ELSE 16*th END AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+      |  CAST(255 AS INTEGER) AS maxval,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 64*nt ELSE 256*nt END AS BIGINT) AS n_pixels,
+      |  floor(list_avg(bytes) * 1e6) / 1e6 AS r_mean,
+      |  floor(list_avg(bytes) * 1e6) / 1e6 AS g_mean,
+      |  floor(list_avg(bytes) * 1e6) / 1e6 AS b_mean,
+      |  CAST(list_min(bytes) AS INTEGER) AS px_min,
+      |  CAST(list_max(bytes) AS INTEGER) AS px_max
+      |FROM b
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q103
   /** REAL audio decode, hash-gated end-to-end: documents become
     * genuine RIFF/WAVE PCM binaries (Media.toWav — full container
@@ -510,9 +568,10 @@ object MediaStream {
   // --------------------------------------------------------------- q219
   /** Mixed-format media census — the production shape a crawl's media
     * column actually has (never one format): one table mixing real
-    * PPM / PNG / WAV / y4m payloads and undecodable blobs (doc_id % 5
-    * routes each doc through one adapter; blobs get a space prefix so
-    * no codec magic can fire), swept by ALL THREE typed decoders.
+    * PPM / PNG / JPEG / WAV / y4m payloads and undecodable blobs
+    * (doc_id % 6 routes each doc through one adapter; blobs get a
+    * space prefix so no codec magic can fire), swept by ALL THREE
+    * typed decoders.
     * The census pins, per format: row count, which decoder accepted
     * it (images must reject audio bytes and vice versa — the
     * cross-format REJECTION is the point), the error-channel
@@ -524,7 +583,7 @@ object MediaStream {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(5)) === k)
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(6)) === k)
     val mixed = Media.toPpm(bucket(0))
       .union(Media.toPng(bucket(1)))
       .union(Media.toWav(bucket(2)))
@@ -533,6 +592,7 @@ object MediaStream {
         col("doc_id").as("media_id"), lit("blob").as("kind"),
         lit("bin").as("format"),
         encode(concat(lit(" "), col("text")), "UTF-8").as("data")))
+      .union(Media.toJpeg(bucket(5)))
       .as[Media.MediaRecord]
 
     // ONE pass: each record meets all three typed decoders in a single
@@ -562,17 +622,20 @@ object MediaStream {
 
   private val q219Sql =
     """SELECT format, count(*) AS n_rows,
-      |  CAST(sum(CASE WHEN b IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
+      |  CAST(sum(CASE WHEN b IN (0, 1, 5) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
       |  CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
       |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
       |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
       |  CAST(sum(CASE WHEN b IN (0, 1)
-      |    THEN (len % 8 + 1) * (len % 6 + 1) ELSE 0 END) AS BIGINT) AS px_sum,
+      |    THEN (len % 8 + 1) * (len % 6 + 1)
+      |    WHEN b = 5 THEN 256 * (len % 3 + 1) * (len % 2 + 1)
+      |    ELSE 0 END) AS BIGINT) AS px_sum,
       |  CAST(sum(CASE WHEN b = 2 THEN (len * 1000) // (len % 4000 + 4000)
       |    WHEN b = 3 THEN (len % 3 + 1) * 40 ELSE 0 END) AS BIGINT) AS dur_ms_sum
-      |FROM (SELECT doc_id % 5 AS b,
-      |        CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
-      |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' ELSE 'bin' END AS format,
+      |FROM (SELECT doc_id % 6 AS b,
+      |        CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
+      |          ELSE 'bin' END AS format,
       |        length(text) AS len
       |      FROM documents WHERE length(text) > 0)
       |GROUP BY format
@@ -2463,6 +2526,7 @@ object MediaStream {
     "q102_image_decode" -> (q102 _),
     "q216_png_decode" -> (q216 _),
     "q226_png_variants" -> (q226 _),
+    "q227_jpeg_decode" -> (q227 _),
     "q103_audio_decode" -> (q103 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
@@ -2515,6 +2579,7 @@ object MediaStream {
     "q102_image_decode" -> q102Sql,
     "q216_png_decode" -> q216Sql,
     "q226_png_variants" -> q226Sql,
+    "q227_jpeg_decode" -> q227Sql,
     "q103_audio_decode" -> q103Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,

@@ -66,6 +66,49 @@ class CodecPropertySpec extends SparkSpec {
         len == good.length)
   }
 
+  // ------------------------------------------------------------- JPEG
+
+  test("JPEG round trip: random rasters stay within unit-quant tolerance; flat tiles exact") {
+    for (i <- 0 until 25) {
+      val (w, h, rgb) = sample(rasterGen, 8600L + i)
+      val n = w * h
+      val got = ImageCodec.decode(
+        JpegCodec.encodeJpeg(rgb, w, h, subsample = i % 2 == 1)).toOption.get
+      assert((got.width, got.height, got.nPixels) === ((w, h, n.toLong)),
+        s"seed ${8600 + i}")
+      def mean(c: Int) = (0 until n).map(k => rgb(3 * k + c) & 0xff).sum.toDouble / n
+      // 4:2:0 on random NOISE at tiny sizes (w,h <= 13) is the worst
+      // case for chroma averaging + clamp bias — real images are
+      // chroma-smooth; the 4:4:4 path stays at DCT-round-trip error
+      val tol = if (i % 2 == 1) 16.0 else 2.0
+      assert(math.abs(got.rMean - mean(0)) <= tol &&
+        math.abs(got.gMean - mean(1)) <= tol &&
+        math.abs(got.bMean - mean(2)) <= tol, s"seed ${8600 + i}")
+    }
+  }
+
+  test("JPEG decoder never throws on mutated payloads: Left or a decode, task-safe") {
+    val good = JpegCodec.encodeJpeg(sample(rasterGen, 77L)._3.take(3 * 9 * 7), 9, 7,
+      subsample = false)
+    val mutGen = for {
+      pos <- Gen.choose(0, good.length - 1)
+      bit <- Gen.choose(0, 7)
+    } yield (pos, bit)
+    for (i <- 0 until 300) {
+      val (pos, bit) = sample(mutGen, 8700L + i)
+      val b = good.clone()
+      b(pos) = (b(pos) ^ (1 << bit)).toByte
+      JpegCodec.decode(b) match {
+        case Right((s, _)) => assert(s.width > 0 && s.height > 0)
+        case Left(e) => assert(e.nonEmpty)
+      }
+    }
+    // truncations at every length: never an exception (a tail cut that
+    // loses only padding/EOI may still decode — that is valid)
+    for (len <- 0 to good.length by 3)
+      JpegCodec.decode(java.util.Arrays.copyOf(good, len))
+  }
+
   // ------------------------------------------------------------- PDF
 
   private val nastyText: Gen[String] = {
