@@ -2448,9 +2448,13 @@ object CorpusOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val q224Sql = {
-    val cos = cosSql.format("q", "c", "q", "c")
-    s"""WITH tk0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
+  /** The q224 chunk-embedding CTE chain ending in `en` (vec_id, v,
+    * nrm over 16-dim hashing-trick vectors: chunk keys >= 10^6, query
+    * doc keys below) — shared verbatim by the q224 exact gate and the
+    * q228 fixed-codebook IVF-PQ probe gate.
+    */
+  private val chunkEnCtes: String =
+    s"""tk0 AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM tk0 WHERE len(toks) > 0),
        |ch AS (SELECT 1000000 + doc_id*1000 + k AS vec_id,
        |         toks[CAST(k*24 + 1 AS INTEGER) : CAST(k*24 + 32 AS INTEGER)] AS ctoks
@@ -2471,7 +2475,11 @@ object CorpusOps {
        |e AS (SELECT vec_id,
        |        list_transform(range(0, 16), i -> coalesce(map_extract(mm, i)[1], 0.0)) AS v
        |      FROM m),
-       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)""".stripMargin
+
+  private val q224Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    s"""WITH $chunkEnCtes
        |SELECT query_id, neighbor_id, rank, round(cosine, 9) AS cosine FROM (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    $cos AS cosine,
@@ -2480,6 +2488,152 @@ object CorpusOps {
        |  WHERE q.vec_id < 1000000)
        |WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q228
+  /** Chunk-granularity ANN retrieval — q224's RAG chain on the
+    * PRODUCTION probe path: the same sliding-window chunks and
+    * model-boundary embeddings, retrieved through the IVF-PQ
+    * scan (Similarity.ivfPqScan) instead of the exact cosine scan,
+    * which is the shape that holds at 100 TB (coarse lists prune
+    * WHICH chunks a query touches, PQ codes shrink WHAT the scan
+    * reads). Fixed deterministic codebooks (the q92 discipline —
+    * coarse = first 8 chunk vectors, PQ = first 16 sliced into
+    * 4 x 4-dim subspaces) make the whole query path hash-gateable,
+    * and each probe row carries `in_exact` — its membership in
+    * q224's exact top-5 — so the output IS the recall report at row
+    * granularity (the q100 discipline at chunk level: sum(in_exact)
+    * over count(*) is recall@5, and every row of both paths is
+    * pinned, not just the aggregate). The oracle recomputes chunking,
+    * hashing-trick vectors, coarse assignment, PQ encoding, probe
+    * selection, the ADC sum, the top-5 tail AND the exact-membership
+    * join from the documents table alone.
+    */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = new graft.operators.Encode.HashingTrickEncoder(dims = 16)
+    val chunks = graft.operators.Retrieval
+      .chunkSliding(docs, "doc_id", "text", winTokens = 32, stride = 24)
+      .select((lit(1000000L) + col("doc_id") * 1000 + col("chunk_id")).as("vid"),
+        col("chunk"))
+    // the chunk corpus feeds three consumers (codebook collect, probe
+    // index, exact truth) — checkpoint once, never re-encode
+    val corpus = graft.operators.Encode.encodeWithModel(chunks, "vid", "chunk", enc)
+      .localCheckpoint(true)
+    val queries = graft.operators.Encode.encodeWithModel(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("vid"), col("text")), "vid", "text", enc)
+      .localCheckpoint(true)
+    if (corpus.limit(1).isEmpty) {
+      val r = Similarity.emptyAnnResult(queries, "vid")
+        .withColumn("in_exact", lit(false))
+      graft.Checkpoints.release(corpus)
+      graft.Checkpoints.release(queries)
+      return r
+    }
+    def firstVecs(n: Int): Array[Array[Double]] =
+      corpus.orderBy(col("vid")).limit(n)
+        .select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val sample = firstVecs(16)
+    val subDim = sample(0).length / 4
+    val codebooks = Array.tabulate(4)(m =>
+      sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val probe = Similarity.ivfPqScan(queries, corpus, "vid", "embedding",
+      k = 5, coarse = coarse, codebooks = codebooks, nprobe = 2)
+    val exact = Similarity.cosineTopK(queries, corpus, "vid", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("in_exact"))
+    val out = probe
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("approx_d2"),
+        coalesce(col("in_exact"), lit(false)).as("in_exact"))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    graft.Checkpoints.release(corpus)
+    graft.Checkpoints.release(queries)
+    out
+  }
+
+  private val q228Sql = {
+    // d2 between the 4-dim subspace slice of %s and codebook entry cv,
+    // in the engine's exact association (the q92 mirror at subDim 4)
+    def d2(v: String): String =
+      s"list_dot_product($v[pqc.sub*4+1 : pqc.sub*4+4], $v[pqc.sub*4+1 : pqc.sub*4+4])" +
+        s" - 2.0 * list_dot_product($v[pqc.sub*4+1 : pqc.sub*4+4], pqc.cv)" +
+        s" + list_dot_product(pqc.cv, pqc.cv)"
+    val cos = cosSql.format("q", "c", "q", "c")
+    s"""WITH $chunkEnCtes,
+       |chunks AS (SELECT vec_id, v, nrm FROM en WHERE vec_id >= 1000000),
+       |qs AS (SELECT vec_id, v, nrm FROM en WHERE vec_id < 1000000),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM chunks ORDER BY vec_id LIMIT 8),
+       |pqv AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |  FROM chunks ORDER BY vec_id LIMIT 16),
+       |pqc AS (
+       |  SELECT m.m AS sub, pqv.code, pqv.v[CAST(m.m*4+1 AS INTEGER) : CAST(m.m*4+4 AS INTEGER)] AS cv
+       |  FROM pqv, (SELECT unnest(range(0, 4)) AS m) m),
+       |rel AS (
+       |  SELECT c.vec_id, cent.cid,
+       |    list_dot_product(cent.cv, cent.cv) - 2.0 * list_dot_product(c.v, cent.cv) AS rel
+       |  FROM chunks c, cent),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY rel, cid) AS r
+       |    FROM rel) WHERE r = 1),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT c.vec_id, pqc.sub, pqc.code,
+       |      row_number() OVER (PARTITION BY c.vec_id, pqc.sub
+       |        ORDER BY ${d2("c.v")}, pqc.code) AS r
+       |    FROM chunks c, pqc) WHERE r = 1),
+       |encp AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN sub = 0 THEN code END) AS c0,
+       |    max(CASE WHEN sub = 1 THEN code END) AS c1,
+       |    max(CASE WHEN sub = 2 THEN code END) AS c2,
+       |    max(CASE WHEN sub = 3 THEN code END) AS c3
+       |  FROM enc GROUP BY vec_id),
+       |qrel AS (
+       |  SELECT q.vec_id, cent.cid,
+       |    list_dot_product(cent.cv, cent.cv) - 2.0 * list_dot_product(q.v, cent.cv) AS rel
+       |  FROM qs q, cent),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY rel, cid) AS r
+       |    FROM qrel) WHERE r <= 2),
+       |lutv AS (
+       |  SELECT q.vec_id AS query_id, pqc.sub, pqc.code, ${d2("q.v")} AS d2
+       |  FROM qs q, pqc),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS approx
+       |  FROM probes p
+       |  JOIN assigned a ON a.cluster = p.cluster
+       |  JOIN encp ON encp.vec_id = a.vec_id
+       |  JOIN lutv l0 ON l0.query_id = p.query_id AND l0.sub = 0 AND l0.code = encp.c0
+       |  JOIN lutv l1 ON l1.query_id = p.query_id AND l1.sub = 1 AND l1.code = encp.c1
+       |  JOIN lutv l2 ON l2.query_id = p.query_id AND l2.sub = 2 AND l2.code = encp.c2
+       |  JOIN lutv l3 ON l3.query_id = p.query_id AND l3.sub = 3 AND l3.code = encp.c3),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, rank, approx FROM (
+       |    SELECT query_id, neighbor_id, approx,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 5),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS erank
+       |    FROM qs q CROSS JOIN chunks c)
+       |  WHERE erank <= 5)
+       |SELECT r.query_id, r.neighbor_id, r.rank, round(r.approx, 9) AS approx_d2,
+       |  (e.neighbor_id IS NOT NULL) AS in_exact
+       |FROM ranked r LEFT JOIN exact e
+       |  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+       |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
   // --------------------------------------------------------------- q132
@@ -2932,6 +3086,7 @@ object CorpusOps {
     "q218_export_readback" -> (q218 _),
     "q222_export_append" -> (q222 _),
     "q224_rag_chunk_retrieval" -> (q224 _),
+    "q228_rag_ann_recall" -> (q228 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
@@ -2998,6 +3153,7 @@ object CorpusOps {
     "q218_export_readback" -> q218Sql,
     "q222_export_append" -> q222Sql,
     "q224_rag_chunk_retrieval" -> q224Sql,
+    "q228_rag_ann_recall" -> q228Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
