@@ -547,3 +547,33 @@ for y in range(JH):
 n = JW * JH
 print("gradient420.jpg", dict(w=JW, h=JH, n=n, r=rs / n, g=gs / n, b=bs / n,
                               mn=mnj, mx=mxj))
+
+# gradient422.jpg: 4:2:2 (Y hf=2 vf=1, chroma halved horizontally only)
+# — the remaining common MCU layout; same mirror-exact discipline
+H422 = 8
+decd = encode_jpeg(os.path.join(OUT, "gradient422.jpg"), JW, H422,
+                   [dict(plane=yP[:H422], pw=JW, hf=2, vf=1, q=LUM_Q),
+                    dict(plane=[[(p[2 * x] + p[2 * x + 1] + 1) // 2
+                                 for x in range(JW // 2)]
+                                for p in cbP[:H422]], pw=JW // 2, hf=1, vf=1,
+                         q=CHR_Q),
+                    dict(plane=[[(p[2 * x] + p[2 * x + 1] + 1) // 2
+                                 for x in range(JW // 2)]
+                                for p in crP[:H422]], pw=JW // 2, hf=1, vf=1,
+                         q=CHR_Q)])
+rs = gs = bs = 0
+mnj, mxj = 255, 0
+for y in range(H422):
+    for x in range(JW):
+        yv = decd[0][y][x]
+        cb = decd[1][y][x // 2] - 128
+        cr = decd[2][y][x // 2] - 128
+        r = clamp8(int(math.floor(yv + 1.402 * cr + 0.5)))
+        g = clamp8(int(math.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5)))
+        bb = clamp8(int(math.floor(yv + 1.772 * cb + 0.5)))
+        rs += r; gs += g; bs += bb
+        mnj = min(mnj, r, g, bb)
+        mxj = max(mxj, r, g, bb)
+n = JW * H422
+print("gradient422.jpg", dict(w=JW, h=H422, n=n, r=rs / n, g=gs / n, b=bs / n,
+                              mn=mnj, mx=mxj))

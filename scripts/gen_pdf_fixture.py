@@ -5,6 +5,8 @@ hand-built xref), so a Scala encoder/extractor bug pair cannot cancel.
 Deterministic - re-running must reproduce the committed bytes bit-for-bit.
 Driver-side tooling only; never a library dependency.
 """
+import base64
+import binascii
 import os
 import zlib
 
@@ -21,16 +23,30 @@ content2 = (b"BT % a comment with (parens) to skip\n"
             b"<48 65\n78 21 4> Tj (oct\\101l (nested) keep) ' 0 0 (qq) \" ET")
 z1 = zlib.compress(content1, 6)
 
+# ASCIIHexDecode stream (odd whitespace inside the hex body is legal)
+content3 = b"BT (HEXED stream ok) Tj ET"
+hex3 = binascii.hexlify(content3).upper()
+hex3 = hex3[:10] + b"\n " + hex3[10:] + b">"
+# [/ASCII85Decode /FlateDecode] chain: deflate then a85 (with zero
+# groups in the deflate output exercising the z shortcut when present)
+content4 = b"BT (chained A85+Flate ok) Tj ET"
+a85_4 = base64.a85encode(zlib.compress(content4, 6)) + b"~>"
+
 objs = []
 objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
 objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
 objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents [4 0 R 6 0 R] /Resources << /Font << /F1 5 0 R >> >> >>")
+            b"/Contents [4 0 R 6 0 R 7 0 R 8 0 R] "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>")
 objs.append(b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z1)
             + z1 + b"\nendstream")
 objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 objs.append(b"<< /Length %d >>\nstream\n" % len(content2)
             + content2 + b"\nendstream")
+objs.append(b"<< /Length %d /Filter /ASCIIHexDecode >>\nstream\n" % len(hex3)
+            + hex3 + b"\nendstream")
+objs.append(b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
+            % len(a85_4) + a85_4 + b"\nendstream")
 
 pdf = b"%PDF-1.4\n"
 offsets = [0]
@@ -48,6 +64,7 @@ with open(os.path.join(OUT, "sample.pdf"), "wb") as f:
     f.write(pdf)
 
 expected = ("Fixture (one): back\\slash" + "ab c" + "def"
-            + "Hex!@" + "octAl (nested) keep" + "qq")
-print("sample.pdf", dict(n_streams=2, n_flate=1, n_raw=1, n_shows=5,
-                         text=expected))
+            + "Hex!@" + "octAl (nested) keep" + "qq"
+            + "HEXED stream ok" + "chained A85+Flate ok")
+print("sample.pdf", dict(n_streams=4, n_flate=2, n_raw=1, n_ascii=2,
+                         n_shows=7, text=expected))

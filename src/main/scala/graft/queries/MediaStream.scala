@@ -646,9 +646,11 @@ object MediaStream {
     * third crawl text container: documents become REAL single-page
     * PDFs (classic xref, page tree, content stream showing the title
     * as a hex-literal Tj, the text as one 7-char-chunked TJ array,
-    * and a fixed suffix through the ' and " show ops; even doc_id
-    * raw, odd /FlateDecode), and the extractor walks stream objects,
-    * inflates, and concatenates the shows. The oracle never parses a
+    * and a fixed suffix through the ' and " show ops; stream
+    * encodings rotate doc_id % 4 through raw, /FlateDecode,
+    * /ASCIIHexDecode, and the [/ASCII85Decode /FlateDecode] chain),
+    * and the extractor walks stream objects, applies the filter
+    * chains, and concatenates the shows. The oracle never parses a
     * PDF: the extracted text must equal
     * 'Doc ' || doc_id || '|' || text || '~fin.' re-derived from the
     * documents table — a wrong escape, a bad hex-pair decode, a
@@ -664,12 +666,15 @@ object MediaStream {
       .filter(col("ok"))
       .select(col("media_id").as("doc_id"),
         (col("n_flate") > 0).as("flate"),
+        (col("n_ascii") > 0).as("ascii"),
         col("n_shows"), col("text"))
       .orderBy(col("doc_id"))
   }
 
   private val q220Sql =
-    """SELECT doc_id, doc_id % 2 = 1 AS flate, CAST(4 AS INTEGER) AS n_shows,
+    """SELECT doc_id, doc_id % 4 IN (1, 3) AS flate,
+      |  doc_id % 4 IN (2, 3) AS ascii,
+      |  CAST(4 AS INTEGER) AS n_shows,
       |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
       |FROM documents WHERE length(text) > 0
       |ORDER BY doc_id""".stripMargin

@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   *    `<< dict >> stream … endstream` objects (no xref walk needed to
   *    find content; works on linearized and incrementally-updated
   *    files too)
-  *  - uncompressed streams and `/FlateDecode` streams (zlib via the
-  *    JDK `Inflater` — the q142/PNG precedent)
+  *  - uncompressed streams, `/FlateDecode` (zlib via the JDK
+  *    `Inflater` — the q142/PNG precedent), `/ASCIIHexDecode`,
+  *    `/ASCII85Decode` (incl. the `z` zero-group shortcut and `~>`
+  *    EOD), and FILTER CHAINS (`/Filter [/ASCII85Decode
+  *    /FlateDecode]` — applied in array order per spec §7.4);
+  *    abbreviated inline names (`/Fl`, `/AHx`, `/A85`) accepted
   *  - text-show operators `Tj`, `TJ`, `'` (move-and-show) and `"`
   *    (spacing-and-show) with PARENTHESIZED string literals (escapes
   *    `\\ \( \) \n \r \t \b \f`, octal `\ddd`, escaped-newline
@@ -27,11 +31,13 @@ import org.apache.spark.sql.functions._
   * OUT of scope (documented, surfaced as error rows or skip counts,
   * never silent garbage):
   *  - encrypted documents (`/Encrypt` in a trailer) → error row
-  *  - non-Flate filters (DCTDecode, LZW, ASCII85, …) → stream counted
-  *    in `n_skipped`, extraction continues
-  *  - object streams (/ObjStm), font/CMap decoding (bytes are taken
-  *    as standard-encoding Latin-1 — the all-ASCII adapter corpus and
-  *    fixtures make this exact)
+  *  - lossy/LZW filters (DCTDecode, LZWDecode, RunLength, …) → stream
+  *    counted in `n_skipped`, extraction continues
+  *  - object streams (/ObjStm — may not contain content streams per
+  *    spec §7.5.7, so the linear content scan is unaffected by them),
+  *    font/CMap decoding (bytes are taken as standard-encoding
+  *    Latin-1 — the all-ASCII adapter corpus and fixtures make this
+  *    exact)
   *
   * Everything is a single linear pass over the bytes; per-record
   * memory is bounded by the largest single stream. Malformed input is
@@ -43,11 +49,12 @@ object Pdf {
 
   final case class PdfExtract(
       nStreams: Int, // stream objects seen
-      nFlate: Int, // streams inflated
+      nFlate: Int, // streams whose filter chain included FlateDecode
       nRaw: Int, // streams taken uncompressed
       nSkipped: Int, // streams with out-of-scope filters
-      nShows: Int, // Tj/TJ operators that contributed text
-      text: String)
+      nShows: Int, // show operators that contributed text
+      text: String,
+      nAscii: Int = 0) // chains that included an ASCIIHex/85 stage
 
   def sniff(data: Array[Byte]): Boolean =
     data.length >= 5 && data(0) == '%' && data(1) == 'P' &&
@@ -65,6 +72,7 @@ object Pdf {
     var nRaw = 0
     var nSkipped = 0
     var nShows = 0
+    var nAscii = 0
     val text = new StringBuilder
 
     var from = 0
@@ -109,17 +117,37 @@ object Pdf {
           if (de > s.length) { from = sp + 6 }
           else {
             nStreams += 1
-            val hasFilter = dict.contains("/Filter")
+            val filters = filtersOf(dict)
             val body: Option[Array[Byte]] =
-              if (!hasFilter) {
+              if (filters.isEmpty) {
                 nRaw += 1
                 Some(java.util.Arrays.copyOfRange(data, ds, de))
-              } else if (dict.contains("/FlateDecode")) {
-                inflate(data, ds, de - ds) match {
-                  case Some(b) => nFlate += 1; Some(b)
+              } else {
+                // apply the chain in array order (spec 7.4); any
+                // unknown or failing stage skips the whole stream
+                var cur: Option[Array[Byte]] =
+                  Some(java.util.Arrays.copyOfRange(data, ds, de))
+                var usedFlate = false
+                var usedAscii = false
+                filters.foreach { f =>
+                  if (cur.isDefined) f match {
+                    case "FlateDecode" | "Fl" =>
+                      cur = inflate(cur.get, 0, cur.get.length); usedFlate = true
+                    case "ASCIIHexDecode" | "AHx" =>
+                      cur = Some(asciiHexDecode(cur.get)); usedAscii = true
+                    case "ASCII85Decode" | "A85" =>
+                      cur = ascii85Decode(cur.get); usedAscii = true
+                    case _ => cur = None
+                  }
+                }
+                cur match {
+                  case Some(b) =>
+                    if (usedFlate) nFlate += 1
+                    if (usedAscii) nAscii += 1
+                    Some(b)
                   case None => nSkipped += 1; None
                 }
-              } else { nSkipped += 1; None }
+              }
             body.foreach { b =>
               val (shown, ops) = showsFrom(
                 new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
@@ -131,7 +159,91 @@ object Pdf {
         }
       }
     }
-    Right(PdfExtract(nStreams, nFlate, nRaw, nSkipped, nShows, text.toString))
+    Right(PdfExtract(nStreams, nFlate, nRaw, nSkipped, nShows, text.toString,
+      nAscii))
+  }
+
+  /** The /Filter value as an ordered name list: a single `/Name` or a
+    * `[/N1 /N2 …]` array (decode order = array order). Empty when the
+    * dict carries no filter.
+    */
+  private def filtersOf(dict: String): Seq[String] =
+    "/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)".r.findFirstMatchIn(dict) match {
+      case None => Nil
+      case Some(m) =>
+        "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
+
+  /** ASCIIHexDecode (spec 7.4.2): hex pairs to bytes, whitespace
+    * ignored, `>` is EOD, an odd final digit gets a zero low nibble.
+    * Non-hex garbage is skipped rather than fatal (the shows scanner
+    * downstream is the robustness boundary).
+    */
+  private def asciiHexDecode(d: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(d.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < d.length && !done) {
+      val c = d(i).toChar
+      if (c == '>') done = true
+      else {
+        val v = Character.digit(c, 16)
+        if (v >= 0) {
+          if (hi < 0) hi = v
+          else { out.write((hi << 4) | v); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (spec 7.4.3): 5 chars in `!`..`u` per 4 bytes,
+    * `z` = four zero bytes (only between groups), `~>` is EOD, an
+    * optional leading `<~` tolerated, whitespace ignored; a partial
+    * final group of n chars pads with `u` and yields n−1 bytes.
+    * Returns None on a malformed group (chars out of range inside a
+    * group, a 1-char final group, or an overflowing tuple) — the
+    * stream then counts as skipped, never silent garbage.
+    */
+  private def ascii85Decode(d: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(d.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    // tolerate the Adobe-style <~ prologue
+    if (d.length >= 2 && d(0) == '<' && d(1) == '~') i = 2
+    var done = false
+    def emit(count: Int): Boolean = {
+      var k = n
+      while (k < 5) { grp(k) = 84; k += 1 } // pad with 'u'
+      var tuple = 0L
+      k = 0
+      while (k < 5) { tuple = tuple * 85 + grp(k); k += 1 }
+      if (tuple > 0xffffffffL) return false
+      var b = 0
+      while (b < count) {
+        out.write(((tuple >>> (24 - 8 * b)) & 0xff).toInt)
+        b += 1
+      }
+      true
+    }
+    while (i < d.length && !done) {
+      val c = d(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { if (!emit(4)) return None; n = 0 }
+      } else if (!Character.isWhitespace(c)) return None
+      i += 1
+    }
+    if (n == 1) return None // a lone final char encodes nothing
+    if (n > 1) { val bytes = n - 1; if (!emit(bytes)) return None }
+    Some(out.toByteArray)
   }
 
   private def inflate(d: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
@@ -285,16 +397,19 @@ object Pdf {
     * must equal `'Doc ' || doc_id || '|' || text || '~fin.'` (q220) —
     * a wrong escape, a bad hex-pair decode, a mis-framed stream, a
     * kerning number leaking into the text, or a broken inflate all
-    * hash-fail.
+    * hash-fail. Stream encodings rotate doc_id % 4: raw, /FlateDecode,
+    * /ASCIIHexDecode, and the [/ASCII85Decode /FlateDecode] chain —
+    * all four decode paths sit on the oracle gate.
     */
   def toPdfs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val modes = Array("raw", "flate", "hex", "a85flate")
     docs.filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast("string"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, "doc", "pdf", buildPdf(s"Doc $id|", text, flate = id % 2 == 1))
+        (id, "doc", "pdf", buildPdf(s"Doc $id|", text, modes((id % 4).toInt)))
       }
       .toDF("media_id", "kind", "format", "data")
   }
@@ -310,7 +425,59 @@ object Pdf {
     * q220/q221 oracles gate all four operators and both literal
     * syntaxes on every document.
     */
-  def buildPdf(title: String, text: String, flate: Boolean): Array[Byte] = {
+  def buildPdf(title: String, text: String, flate: Boolean): Array[Byte] =
+    buildPdf(title, text, if (flate) "flate" else "raw")
+
+  private def deflateBytes(raw: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater()
+    try {
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      out.toByteArray
+    } finally defl.end()
+  }
+
+  /** ASCIIHexDecode's inverse — fixture/adapter substrate. */
+  private[sources] def asciiHexEncode(raw: Array[Byte]): Array[Byte] =
+    (raw.map(b => f"${b & 0xff}%02X").mkString + ">")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** ASCII85Decode's inverse (with the `z` zero-group shortcut on) —
+    * fixture/adapter substrate.
+    */
+  private[sources] def ascii85Encode(raw: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder(raw.length * 5 / 4 + 8)
+    var i = 0
+    while (i < raw.length) {
+      val rem = math.min(4, raw.length - i)
+      var tuple = 0L
+      var k = 0
+      while (k < 4) {
+        tuple = (tuple << 8) | (if (k < rem) raw(i + k) & 0xff else 0)
+        k += 1
+      }
+      if (tuple == 0L && rem == 4) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var t = tuple
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (t % 85)).toChar; t /= 85; j -= 1 }
+        sb.appendAll(cs, 0, rem + 1)
+      }
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Mode-typed builder: `raw`, `flate`, `hex` (ASCIIHexDecode), or
+    * `a85flate` (`/Filter [/ASCII85Decode /FlateDecode]` — the chain
+    * form; encode applies the filters in reverse, decode in array
+    * order per spec 7.4).
+    */
+  def buildPdf(title: String, text: String, mode: String): Array[Byte] = {
     val chunks = text.grouped(7).toSeq
     val tj = chunks.map(c => s"(${esc(c)})").mkString(" -40 ")
     val hexTitle = title.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
@@ -318,19 +485,15 @@ object Pdf {
     val content =
       s"BT /F1 12 Tf 72 720 Td <$hexTitle> Tj [$tj] TJ (~fi) ' 0 0 (n.) \" ET"
     val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    val body =
-      if (!flate) raw
-      else {
-        val defl = new java.util.zip.Deflater()
-        try {
-          defl.setInput(raw); defl.finish()
-          val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
-          val buf = new Array[Byte](8192)
-          while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
-          out.toByteArray
-        } finally defl.end()
-      }
-    val filter = if (flate) " /Filter /FlateDecode" else ""
+    val (body, filter) = mode match {
+      case "raw" => (raw, "")
+      case "flate" => (deflateBytes(raw), " /Filter /FlateDecode")
+      case "hex" => (asciiHexEncode(raw), " /Filter /ASCIIHexDecode")
+      case "a85flate" =>
+        (ascii85Encode(deflateBytes(raw)),
+          " /Filter [/ASCII85Decode /FlateDecode]")
+      case other => throw new IllegalArgumentException(s"buildPdf: unknown mode $other")
+    }
     val objects = Seq(
       "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
       "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
@@ -363,7 +526,8 @@ object Pdf {
 
   final case class PdfRow(
       media_id: Long, ok: Boolean, err: String, n_streams: Int,
-      n_flate: Int, n_raw: Int, n_skipped: Int, n_shows: Int, text: String)
+      n_flate: Int, n_raw: Int, n_skipped: Int, n_shows: Int, text: String,
+      n_ascii: Int)
 
   /** Per-record extraction over the opaque media table — one linear
     * parse per record behind the mapPartitions boundary, error rows
@@ -377,9 +541,9 @@ object Pdf {
         extractText(m.data) match {
           case Right(x) =>
             PdfRow(m.media_id, ok = true, "", x.nStreams, x.nFlate, x.nRaw,
-              x.nSkipped, x.nShows, x.text)
+              x.nSkipped, x.nShows, x.text, x.nAscii)
           case Left(e) =>
-            PdfRow(m.media_id, ok = false, e, 0, 0, 0, 0, 0, "")
+            PdfRow(m.media_id, ok = false, e, 0, 0, 0, 0, 0, "", 0)
         }
       }
     }

@@ -120,19 +120,19 @@ class CodecPropertySpec extends SparkSpec {
     Gen.listOf(unit).map(_.mkString.take(120))
   }
 
-  test("PDF round trip: adversarial strings survive escape -> literal-parse exactly, raw and Flate") {
+  test("PDF round trip: adversarial strings survive escape -> literal-parse exactly, all four stream encodings") {
     for (i <- 0 until 120) {
       val t = sample(nastyText, 9000L + i)
-      for (flate <- Seq(false, true)) {
-        val x = Pdfx.extract(Pdfx.build(s"T$i|", t, flate))
-        assert(x === s"T$i|$t~fin.", s"seed ${9000 + i} flate=$flate text=${t.take(40)}")
+      for (mode <- Seq("raw", "flate", "hex", "a85flate")) {
+        val x = Pdfx.extract(Pdfx.build(s"T$i|", t, mode))
+        assert(x === s"T$i|$t~fin.", s"seed ${9000 + i} mode=$mode text=${t.take(40)}")
       }
     }
   }
 
   private object Pdfx {
-    def build(title: String, text: String, flate: Boolean): Array[Byte] =
-      graft.sources.Pdf.buildPdf(title, text, flate)
+    def build(title: String, text: String, mode: String): Array[Byte] =
+      graft.sources.Pdf.buildPdf(title, text, mode)
     def extract(pdf: Array[Byte]): String =
       graft.sources.Pdf.extractText(pdf).toOption.get.text
   }
