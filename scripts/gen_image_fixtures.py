@@ -66,46 +66,69 @@ def paeth(a, b, c):
     return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
 
 
-def write_png(path, w, h, color_type, rows, filters, depth=8, plte=None):
+ADAM7 = [(0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+         (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2)]
+
+
+def write_png(path, w, h, color_type, rows, filters, depth=8, plte=None,
+              interlace=0):
     """rows: list of h lists of per-pixel channel tuples (sample VALUES:
     palette indices for type 3, 0..65535 for depth 16); filters: per-row
-    PNG filter type actually APPLIED (exercises the decoder's unfilter)."""
+    PNG filter type actually APPLIED (exercises the decoder's unfilter).
+    interlace=1 emits the seven Adam7 pass sub-images (filters reset
+    per pass)."""
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     bpp = nch * (depth // 8)
-    raw = b""
-    prev = [0] * (w * bpp)
-    for y in range(h):
-        samples = [v for pxl in rows[y] for v in pxl]
+
+    def to_line(pixels):
+        samples = [v for pxl in pixels for v in pxl]
         if depth == 16:
-            line = [b for v in samples for b in ((v >> 8) & 0xFF, v & 0xFF)]
-        else:
-            line = samples
-        ft = filters[y % len(filters)]
-        enc = []
-        for i, x in enumerate(line):
-            a = line[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ft == 0:
-                f = x
-            elif ft == 1:
-                f = x - a
-            elif ft == 2:
-                f = x - b
-            elif ft == 3:
-                f = x - (a + b) // 2
-            else:
-                f = x - paeth(a, b, c)
-            enc.append(f & 0xFF)
-        raw += bytes([ft]) + bytes(enc)
-        prev = line
+            return [b for v in samples for b in ((v >> 8) & 0xFF, v & 0xFF)]
+        return samples
+
+    def filter_sub(sub_rows):
+        raw = b""
+        prev = [0] * (len(sub_rows[0]) if sub_rows else 0)
+        for y, line in enumerate(sub_rows):
+            ft = filters[y % len(filters)]
+            enc = []
+            for i, x in enumerate(line):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ft == 0:
+                    f = x
+                elif ft == 1:
+                    f = x - a
+                elif ft == 2:
+                    f = x - b
+                elif ft == 3:
+                    f = x - (a + b) // 2
+                else:
+                    f = x - paeth(a, b, c)
+                enc.append(f & 0xFF)
+            raw += bytes([ft]) + bytes(enc)
+            prev = line
+        return raw
+
+    if interlace == 0:
+        raw = filter_sub([to_line(rows[y]) for y in range(h)])
+    else:
+        raw = b""
+        for (x0, dx, y0, dy) in ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw > 0 and ph > 0:
+                raw += filter_sub([
+                    to_line([rows[y0 + r * dy][x0 + c * dx] for c in range(pw)])
+                    for r in range(ph)])
     z = zlib.compress(raw, 6)
 
     def chunk(typ, body):
         return (struct.pack(">I", len(body)) + typ + body
                 + struct.pack(">I", binascii.crc32(typ + body) & 0xFFFFFFFF))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
     if plte is not None:
         png += chunk(b"PLTE", bytes([v for rgb in plte for v in rgb]))
@@ -154,6 +177,12 @@ write_png(os.path.join(OUT, "gray16.png"), GW16, GH16, 0,
           [[(g16[y * GW16 + x],) for x in range(GW16)] for y in range(GH16)],
           [2, 0, 4, 1, 3], depth=16)
 print("gray16.png", stats(g16, 1, GW16, GH16))
+
+# adam7.png: the gradient pixels again, Adam7-INTERLACED — identical
+# stats and aHash to gradient.ppm through the seven-pass walk
+write_png(os.path.join(OUT, "adam7.png"), W, H, 2, png_rows, [0, 1, 2, 3, 4],
+          interlace=1)
+print("adam7.png", "same stats as gradient.ppm (pixels identical, Adam7)")
 
 # rgba.png: color type 6 — alpha varies but must NOT move the color stats
 write_png(os.path.join(OUT, "rgba.png"), W, H, 6,

@@ -16,10 +16,12 @@ package graft.operators
   *    `Warc.gunzipMembers` precedent — the reference sniffs and
   *    decompresses its input the same way, `/root/reference/src/
   *    main.rs:431-433`), all five scanline filter types (None/Sub/
-  *    Up/Average/Paeth), non-interlaced 8-bit AND 16-bit gray / RGB /
-  *    gray+alpha / RGBA plus 8-bit PLTE-indexed (type 3; stats and
-  *    aHash read the mapped RGB, out-of-range indices are parse
-  *    errors). Sub-byte indexed depths (1/2/4) and Adam7 interlacing
+  *    Up/Average/Paeth), 8-bit AND 16-bit gray / RGB / gray+alpha /
+  *    RGBA plus 8-bit PLTE-indexed (type 3; stats and aHash read the
+  *    mapped RGB, out-of-range indices are parse errors), BOTH
+  *    non-interlaced and Adam7-interlaced (each pixel arrives exactly
+  *    once across the seven passes, so the streaming folds need no
+  *    raster even when interlaced). Sub-byte indexed depths (1/2/4)
   *    remain explicit `Left`s. The raster is never materialized: rows
   *    inflate into a two-scanline window (O(row) memory), stats and
   *    the aHash grid stream out of it.
@@ -319,6 +321,7 @@ object ImageCodec {
     var height = 0
     var colorType = 0
     var bitDepth = 0
+    var interlace = 0
     var seenIhdr = false
     var seenIend = false
     var palette: Array[Byte] = null // PLTE body: RGB triples
@@ -351,7 +354,9 @@ object ImageCodec {
           colorType = d(b + 9) & 0xff
           if ((d(b + 10) & 0xff) != 0) return Left("png: nonzero compression method")
           if ((d(b + 11) & 0xff) != 0) return Left("png: nonzero filter method")
-          if ((d(b + 12) & 0xff) != 0) return Left("png: interlaced (Adam7) not supported")
+          interlace = d(b + 12) & 0xff
+          if (interlace != 0 && interlace != 1)
+            return Left(s"png: unknown interlace method $interlace")
           if (colorType == 3) {
             if (bitDepth != 8)
               return Left(s"png: $bitDepth-bit palette not supported (8-bit indexed only)")
@@ -391,103 +396,124 @@ object ImageCodec {
     val inf = new java.util.zip.Inflater()
     try {
       var chunkIdx = 0
+      // buffers sized for the widest pass (the full row); interlaced
+      // passes use prefixes of them
       val rowRaw = new Array[Byte](rowBytes + 1)
-      var prev = new Array[Byte](rowBytes) // zeros: the spec's virtual row above row 0
+      var prev = new Array[Byte](rowBytes)
       var cur = new Array[Byte](rowBytes)
 
-      // aHash grid: rows gy*h div 8 carry samples; several gy can hit
-      // the same physical row when h < 8
-      val gridRowOf = Array.tabulate(8)(gy => gy * height / 8)
+      // aHash grid sample positions: cell g reads pixel
+      // (gx*w div 8, gy*h div 8); several cells can hit the same pixel
+      // on small images. Captured per ROW (64 checks, no per-pixel
+      // work) because interlaced passes visit pixels in Adam7 order.
+      val gridX = Array.tabulate(64)(g => (g % 8) * width / 8)
+      val gridY = Array.tabulate(64)(g => (g / 8) * height / 8)
       val grays = new Array[Int](64)
 
       val sums = new Array[Long](3)
       var mn = Int.MaxValue
       var mx = Int.MinValue
 
-      var y = 0
-      while (y < height) {
-        // fill one filtered scanline from the inflater, feeding IDAT
-        // chunk slices as it drains them
-        var filled = 0
-        while (filled < rowRaw.length) {
-          val n =
-            try inf.inflate(rowRaw, filled, rowRaw.length - filled)
-            catch {
-              case e: java.util.zip.DataFormatException =>
-                return Left(s"png: corrupt deflate stream: ${e.getMessage}")
+      // channel ch of pixel px (PASS-relative index) from the
+      // unfiltered row: direct for 8-bit, big-endian pair for 16-bit,
+      // PLTE lookup for indexed
+      def sample(row: Array[Byte], px: Int, ch: Int): Int =
+        if (colorType == 3) palette(3 * (row(px) & 0xff) + ch) & 0xff
+        else if (bitDepth == 16) {
+          val o = px * bpp + ch * 2
+          ((row(o) & 0xff) << 8) | (row(o + 1) & 0xff)
+        } else row(px * bpp + ch) & 0xff
+
+      // Adam7 pass geometry (x0, dx, y0, dy); non-interlaced = one
+      // full pass. Each pixel is visited EXACTLY ONCE across passes,
+      // so the streaming stat/grid folds need no raster — memory
+      // stays O(row) for interlaced files too.
+      val passes: Seq[(Int, Int, Int, Int)] =
+        if (interlace == 0) Seq((0, 1, 0, 1))
+        else Seq((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+          (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+
+      for ((x0, dx, y0, dy) <- passes) {
+        val passW = if (width > x0) (width - x0 + dx - 1) / dx else 0
+        val passH = if (height > y0) (height - y0 + dy - 1) / dy else 0
+        if (passW > 0 && passH > 0) { // empty passes carry no data
+          val prowBytes = passW * bpp
+          java.util.Arrays.fill(prev, 0, prowBytes, 0.toByte)
+          var r0 = 0
+          while (r0 < passH) {
+            // fill one filtered scanline from the inflater, feeding
+            // IDAT chunk slices as it drains them
+            var filled = 0
+            while (filled < prowBytes + 1) {
+              val n =
+                try inf.inflate(rowRaw, filled, prowBytes + 1 - filled)
+                catch {
+                  case e: java.util.zip.DataFormatException =>
+                    return Left(s"png: corrupt deflate stream: ${e.getMessage}")
+                }
+              if (n > 0) filled += n
+              else if (inf.needsInput()) {
+                if (chunkIdx >= idat.length)
+                  return Left("png: IDAT exhausted before raster complete")
+                val (o, l) = idat(chunkIdx)
+                chunkIdx += 1
+                inf.setInput(d, o, l)
+              } else if (inf.finished())
+                return Left("png: deflate stream ended before raster complete")
+              else return Left("png: preset dictionary not supported")
             }
-          if (n > 0) filled += n
-          else if (inf.needsInput()) {
-            if (chunkIdx >= idat.length)
-              return Left("png: IDAT exhausted before raster complete")
-            val (o, l) = idat(chunkIdx)
-            chunkIdx += 1
-            inf.setInput(d, o, l)
-          } else if (inf.finished())
-            return Left("png: deflate stream ended before raster complete")
-          else return Left("png: preset dictionary not supported")
-        }
-        // unfilter into cur
-        val ft = rowRaw(0) & 0xff
-        if (ft > 4) return Left(s"png: unknown filter type $ft on row $y")
-        var i = 0
-        while (i < rowBytes) {
-          val x = rowRaw(1 + i) & 0xff
-          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
-          val b = prev(i) & 0xff
-          val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
-          val v = ft match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + b
-            case 3 => x + (a + b) / 2
-            case _ => x + paeth(a, b, c)
-          }
-          cur(i) = (v & 0xff).toByte
-          i += 1
-        }
-        // channel ch of pixel px from the unfiltered row: direct for
-        // 8-bit, big-endian pair for 16-bit, PLTE lookup for indexed
-        def sample(row: Array[Byte], px: Int, ch: Int): Int =
-          if (colorType == 3) palette(3 * (row(px) & 0xff) + ch) & 0xff
-          else if (bitDepth == 16) {
-            val o = px * bpp + ch * 2
-            ((row(o) & 0xff) << 8) | (row(o + 1) & 0xff)
-          } else row(px * bpp + ch) & 0xff
-        // stats: color samples only (alpha excluded)
-        var px = 0
-        while (px < width) {
-          if (colorType == 3 && (cur(px) & 0xff) >= paletteN)
-            return Left(s"png: palette index ${cur(px) & 0xff} out of " +
-              s"range ($paletteN entries)")
-          var ch = 0
-          while (ch < colorCh) {
-            val v = sample(cur, px, ch)
-            sums(ch) += v
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            ch += 1
-          }
-          px += 1
-        }
-        // aHash grid rows
-        var gy = 0
-        while (gy < 8) {
-          if (gridRowOf(gy) == y) {
-            var gx = 0
-            while (gx < 8) {
-              val gpx = gx * width / 8
-              grays(gy * 8 + gx) =
-                if (colorCh == 3)
-                  sample(cur, gpx, 0) + sample(cur, gpx, 1) + sample(cur, gpx, 2)
-                else 3 * sample(cur, gpx, 0)
-              gx += 1
+            // unfilter into cur (filters are per-pass independent)
+            val ft = rowRaw(0) & 0xff
+            if (ft > 4) return Left(s"png: unknown filter type $ft")
+            var i = 0
+            while (i < prowBytes) {
+              val x = rowRaw(1 + i) & 0xff
+              val a = if (i >= bpp) cur(i - bpp) & 0xff else 0
+              val b = prev(i) & 0xff
+              val c = if (i >= bpp) prev(i - bpp) & 0xff else 0
+              val v = ft match {
+                case 0 => x
+                case 1 => x + a
+                case 2 => x + b
+                case 3 => x + (a + b) / 2
+                case _ => x + paeth(a, b, c)
+              }
+              cur(i) = (v & 0xff).toByte
+              i += 1
             }
+            val y = y0 + r0 * dy
+            // stats: color samples only (alpha excluded)
+            var px = 0
+            while (px < passW) {
+              if (colorType == 3 && (cur(px) & 0xff) >= paletteN)
+                return Left(s"png: palette index ${cur(px) & 0xff} out of " +
+                  s"range ($paletteN entries)")
+              var ch = 0
+              while (ch < colorCh) {
+                val v = sample(cur, px, ch)
+                sums(ch) += v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                ch += 1
+              }
+              px += 1
+            }
+            // aHash grid cells whose pixel lands on THIS pass row
+            var g = 0
+            while (g < 64) {
+              if (gridY(g) == y && gridX(g) >= x0 && (gridX(g) - x0) % dx == 0) {
+                val gpx = (gridX(g) - x0) / dx
+                grays(g) =
+                  if (colorCh == 3)
+                    sample(cur, gpx, 0) + sample(cur, gpx, 1) + sample(cur, gpx, 2)
+                  else 3 * sample(cur, gpx, 0)
+              }
+              g += 1
+            }
+            val t = prev; prev = cur; cur = t
+            r0 += 1
           }
-          gy += 1
         }
-        val t = prev; prev = cur; cur = t
-        y += 1
       }
       val n = width.toLong * height
       val (r, g, b) =
@@ -552,6 +578,43 @@ object ImageCodec {
       filterRows(bytes, 2 * w, h, bpp = 2), plte = None)
   }
 
+  /** Adam7-INTERLACED sibling of [[encodePng]]: the same 8-bit RGB
+    * raster emitted as the seven Adam7 pass sub-images (filters
+    * cycling per pass, reset at each pass boundary per spec) — the
+    * decoder's interlaced path substrate, and the adapter behind
+    * q226's Adam7 record.
+    */
+  def encodePngAdam7(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodePngAdam7: bad dimensions ${w}x$h")
+    require(rgb.length == 3 * w * h,
+      s"encodePngAdam7: raster length ${rgb.length} != 3*$w*$h")
+    val passes = Seq((0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+      (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2))
+    val out = new java.io.ByteArrayOutputStream(rgb.length + 64)
+    for ((x0, dx, y0, dy) <- passes) {
+      val pw = if (w > x0) (w - x0 + dx - 1) / dx else 0
+      val ph = if (h > y0) (h - y0 + dy - 1) / dy else 0
+      if (pw > 0 && ph > 0) {
+        val sub = new Array[Byte](3 * pw * ph)
+        var r = 0
+        while (r < ph) {
+          var c = 0
+          while (c < pw) {
+            val src = 3 * ((y0 + r * dy) * w + (x0 + c * dx))
+            val dst = 3 * (r * pw + c)
+            sub(dst) = rgb(src); sub(dst + 1) = rgb(src + 1); sub(dst + 2) = rgb(src + 2)
+            c += 1
+          }
+          r += 1
+        }
+        val filtered = filterRows(sub, 3 * pw, ph, bpp = 3)
+        out.write(filtered, 0, filtered.length)
+      }
+    }
+    pngContainer(w, h, depth = 8, colorType = 2, out.toByteArray, plte = None,
+      interlace = 1)
+  }
+
   /** Apply the y % 5 filter cycle to unfiltered row data (rowBytes per
     * row, `bpp` filter stride), producing the (filter byte + row)*h
     * stream the deflate stage compresses.
@@ -592,7 +655,8 @@ object ImageCodec {
     */
   private def pngContainer(
       w: Int, h: Int, depth: Int, colorType: Int,
-      raw: Array[Byte], plte: Option[Array[Byte]]): Array[Byte] = {
+      raw: Array[Byte], plte: Option[Array[Byte]],
+      interlace: Int = 0): Array[Byte] = {
     val defl = new java.util.zip.Deflater()
     val z =
       try {
@@ -625,6 +689,7 @@ object ImageCodec {
     System.arraycopy(be32(h.toLong), 0, ihdr, 4, 4)
     ihdr(8) = depth.toByte
     ihdr(9) = colorType.toByte
+    ihdr(12) = interlace.toByte
     chunk("IHDR", ihdr)
     plte.foreach(p => chunk("PLTE", p))
     var off = 0

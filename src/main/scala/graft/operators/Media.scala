@@ -537,15 +537,17 @@ object Media {
   }
 
   /** Documents -> the OTHER real PNG shapes a crawl carries in volume,
-    * deterministically TWO records per doc: an 8-bit PLTE-INDEXED
-    * image (media_id 2·doc_id; indices are the text bytes over a
-    * (L%8+1) x (L%6+1) grid, palette [[VariantPalette]]) and a 16-BIT
-    * grayscale image (media_id 2·doc_id+1; samples byte·257 — the
-    * exact 8→16-bit scale expansion). Same trick as [[toPpm]]: the
+    * deterministically THREE records per doc: an 8-bit PLTE-INDEXED
+    * image (media_id 3·doc_id; indices are the text bytes over a
+    * (L%8+1) x (L%6+1) grid, palette [[VariantPalette]]), a 16-BIT
+    * grayscale image (media_id 3·doc_id+1; samples byte·257 — the
+    * exact 8→16-bit scale expansion), and an Adam7-INTERLACED RGB
+    * image (media_id 3·doc_id+2; the [[toPpm]] raster re-containered
+    * through the seven-pass layout). Same trick as [[toPpm]]: the
     * all-ASCII corpus lets the q226 DuckDB oracle recover every
-    * palette index / 16-bit sample from a codepoint, so the gate pins
-    * the PLTE lookup, the big-endian pair read, and the bpp-stride
-    * unfilter on both variants, end-to-end on driver data.
+    * palette index / sample from a codepoint, so the gate pins the
+    * PLTE lookup, the big-endian pair read, the bpp-stride unfilter,
+    * and the Adam7 pass walk, end-to-end on driver data.
     */
   def toPngVariants(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -557,14 +559,18 @@ object Media {
       .withColumn("npx", col("w") * col("h"))
       .select(col("doc_id"), col("w"), col("h"),
         encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
-          "UTF-8").as("px"))
-      .as[(Long, Int, Int, Array[Byte])]
-      .flatMap { case (id, w, h, px) =>
+          "UTF-8").as("px"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(3 * npx as double) / length(text)) as int)), 1, 3 * npx)"),
+          "UTF-8").as("px3"))
+      .as[(Long, Int, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (id, w, h, px, px3) =>
         Seq(
-          MediaRecord(2 * id, "image", "png",
+          MediaRecord(3 * id, "image", "png",
             ImageCodec.encodePngIndexed(px, VariantPalette, w, h)),
-          MediaRecord(2 * id + 1, "image", "png",
-            ImageCodec.encodePngGray16(px.map(b => (b & 0xff) * 257), w, h)))
+          MediaRecord(3 * id + 1, "image", "png",
+            ImageCodec.encodePngGray16(px.map(b => (b & 0xff) * 257), w, h)),
+          MediaRecord(3 * id + 2, "image", "png",
+            ImageCodec.encodePngAdam7(px3, w, h)))
       }
       .toDF()
   }

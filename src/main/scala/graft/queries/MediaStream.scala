@@ -254,14 +254,16 @@ object MediaStream {
 
   // --------------------------------------------------------------- q226
   /** REAL PNG decode for the OTHER crawl-common shapes — 8-bit
-    * PLTE-indexed and 16-bit grayscale (Media.toPngVariants; two
-    * payloads per document): the q216 gate extended to the palette
-    * lookup, the big-endian 16-bit sample read, and the bpp-stride
-    * unfilter. The oracle recovers every palette index / sample from
-    * the source text (byte == codepoint) and applies the documented
-    * palette map (i, 2i mod 256, 7i mod 256) and the byte·257 16-bit
-    * expansion — a wrong PLTE offset, a swapped byte pair, or a
-    * filter stride bug breaks the hash.
+    * PLTE-indexed, 16-bit grayscale, and Adam7-interlaced RGB
+    * (Media.toPngVariants; three payloads per document): the q216
+    * gate extended to the palette lookup, the big-endian 16-bit
+    * sample read, the bpp-stride unfilter, and the seven-pass
+    * interlaced walk. The oracle recovers every palette index /
+    * sample from the source text (byte == codepoint) and applies the
+    * documented palette map (i, 2i mod 256, 7i mod 256), the
+    * byte·257 16-bit expansion, and the q102 RGB de-interleave — a
+    * wrong PLTE offset, a swapped byte pair, a filter stride bug, or
+    * a mis-placed Adam7 pass pixel breaks the hash.
     */
   private def q226(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -289,13 +291,18 @@ object MediaStream {
       |    substring(repeat(text, CAST(ceil(CAST(w*h AS DOUBLE) / len) AS INTEGER)),
       |              1, w*h) AS px
       |  FROM d),
+      |p3 AS (
+      |  SELECT doc_id, w, h, w*h AS npx,
+      |    substring(repeat(text, CAST(ceil(CAST(3*w*h AS DOUBLE) / len) AS INTEGER)),
+      |              1, 3*w*h) AS px3
+      |  FROM d),
       |b AS (
       |  SELECT doc_id, w, h, npx,
       |    list_transform(range(1, npx + 1),
       |      i -> unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS bytes
       |  FROM p),
       |idx AS (
-      |  SELECT doc_id*2 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |  SELECT doc_id*3 AS media_id, 'png' AS codec, w AS width, h AS height,
       |    CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
       |    CAST(npx AS BIGINT) AS n_pixels,
       |    floor(list_avg(bytes) * 1e6) / 1e6 AS r_mean,
@@ -309,7 +316,7 @@ object MediaStream {
       |      list_max(list_transform(bytes, v -> (v*7)%256))) AS INTEGER) AS px_max
       |  FROM b),
       |g16 AS (
-      |  SELECT doc_id*2 + 1 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |  SELECT doc_id*3 + 1 AS media_id, 'png' AS codec, w AS width, h AS height,
       |    CAST(1 AS INTEGER) AS channels, CAST(65535 AS INTEGER) AS maxval,
       |    CAST(npx AS BIGINT) AS n_pixels,
       |    floor(list_avg(list_transform(bytes, v -> v*257)) * 1e6) / 1e6 AS r_mean,
@@ -317,8 +324,23 @@ object MediaStream {
       |    floor(list_avg(list_transform(bytes, v -> v*257)) * 1e6) / 1e6 AS b_mean,
       |    CAST(list_min(bytes) * 257 AS INTEGER) AS px_min,
       |    CAST(list_max(bytes) * 257 AS INTEGER) AS px_max
-      |  FROM b)
-      |SELECT * FROM idx UNION ALL SELECT * FROM g16
+      |  FROM b),
+      |a7 AS (
+      |  SELECT doc_id*3 + 2 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |    CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+      |    CAST(npx AS BIGINT) AS n_pixels,
+      |    floor(list_avg(list_transform(list_filter(range(0, 3*npx), i -> i%3 = 0),
+      |      i -> unicode(px3[CAST(i+1 AS INTEGER):CAST(i+1 AS INTEGER)]))) * 1e6) / 1e6 AS r_mean,
+      |    floor(list_avg(list_transform(list_filter(range(0, 3*npx), i -> i%3 = 1),
+      |      i -> unicode(px3[CAST(i+1 AS INTEGER):CAST(i+1 AS INTEGER)]))) * 1e6) / 1e6 AS g_mean,
+      |    floor(list_avg(list_transform(list_filter(range(0, 3*npx), i -> i%3 = 2),
+      |      i -> unicode(px3[CAST(i+1 AS INTEGER):CAST(i+1 AS INTEGER)]))) * 1e6) / 1e6 AS b_mean,
+      |    CAST(list_min(list_transform(range(1, 3*npx + 1),
+      |      i -> unicode(px3[CAST(i AS INTEGER):CAST(i AS INTEGER)]))) AS INTEGER) AS px_min,
+      |    CAST(list_max(list_transform(range(1, 3*npx + 1),
+      |      i -> unicode(px3[CAST(i AS INTEGER):CAST(i AS INTEGER)]))) AS INTEGER) AS px_max
+      |  FROM p3)
+      |SELECT * FROM idx UNION ALL SELECT * FROM g16 UNION ALL SELECT * FROM a7
       |ORDER BY media_id""".stripMargin
 
   // --------------------------------------------------------------- q227
