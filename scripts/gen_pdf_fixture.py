@@ -23,6 +23,56 @@ content2 = (b"BT % a comment with (parens) to skip\n"
             b"<48 65\n78 21 4> Tj (oct\\101l (nested) keep) ' 0 0 (qq) \" ET")
 z1 = zlib.compress(content1, 6)
 
+def lzw_encode(data):
+    """Independent TIFF-flavor LZW encoder (EarlyChange 1), width driven
+    by a mirror of the DECODER's table state as the PDF spec implies —
+    NOT a port of the Scala encoder, so a shared width-schedule bug
+    cannot cancel."""
+    codes = []  # (code,) emitted data codes after the opening CLEAR
+    dict_ = {}
+    size = 258
+    cur = b""
+    for bch in data:
+        nxt = cur + bytes([bch])
+        if len(nxt) == 1 or nxt in dict_:
+            cur = nxt
+        else:
+            codes.append(dict_[cur] if len(cur) > 1 else cur[0])
+            if size < 4095:
+                dict_[nxt] = size
+                size += 1
+            cur = bytes([bch])
+    if cur:
+        codes.append(dict_[cur] if len(cur) > 1 else cur[0])
+    # pack: CLEAR at 9 bits, then data codes at the decoder's width
+    # (its table slot before reading code j is 258 + max(0, j-1)), EOD
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def width_at(dec_next):
+        w = 9
+        while w < 12 and dec_next >= (1 << w) - 1:
+            w += 1
+        return w
+
+    put(256, 9)
+    for j, code in enumerate(codes):
+        put(code, width_at(258 + max(0, j - 1)))
+    put(257, width_at(258 + max(0, len(codes) - 1)))
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 # ASCIIHexDecode stream (odd whitespace inside the hex body is legal)
 content3 = b"BT (HEXED stream ok) Tj ET"
 hex3 = binascii.hexlify(content3).upper()
@@ -31,12 +81,18 @@ hex3 = hex3[:10] + b"\n " + hex3[10:] + b">"
 # groups in the deflate output exercising the z shortcut when present)
 content4 = b"BT (chained A85+Flate ok) Tj ET"
 a85_4 = base64.a85encode(zlib.compress(content4, 6)) + b"~>"
+# LZWDecode stream long enough to cross the 511-entry width boundary
+# (pseudorandom bracket-free ASCII payload, deterministic)
+lzw_text = bytes(32 + ((i * 7919) % 90) for i in range(1400))
+lzw_text = lzw_text.replace(b"(", b"_").replace(b")", b"_").replace(b"\\", b"_")
+content5 = b"BT (" + lzw_text + b") Tj ET"
+lzw_5 = lzw_encode(content5)
 
 objs = []
 objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
 objs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
 objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Contents [4 0 R 6 0 R 7 0 R 8 0 R] "
+            b"/Contents [4 0 R 6 0 R 7 0 R 8 0 R 9 0 R] "
             b"/Resources << /Font << /F1 5 0 R >> >> >>")
 objs.append(b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(z1)
             + z1 + b"\nendstream")
@@ -47,6 +103,8 @@ objs.append(b"<< /Length %d /Filter /ASCIIHexDecode >>\nstream\n" % len(hex3)
             + hex3 + b"\nendstream")
 objs.append(b"<< /Length %d /Filter [/ASCII85Decode /FlateDecode] >>\nstream\n"
             % len(a85_4) + a85_4 + b"\nendstream")
+objs.append(b"<< /Length %d /Filter /LZWDecode >>\nstream\n"
+            % len(lzw_5) + lzw_5 + b"\nendstream")
 
 pdf = b"%PDF-1.4\n"
 offsets = [0]
@@ -65,6 +123,8 @@ with open(os.path.join(OUT, "sample.pdf"), "wb") as f:
 
 expected = ("Fixture (one): back\\slash" + "ab c" + "def"
             + "Hex!@" + "octAl (nested) keep" + "qq"
-            + "HEXED stream ok" + "chained A85+Flate ok")
-print("sample.pdf", dict(n_streams=4, n_flate=2, n_raw=1, n_ascii=2,
-                         n_shows=7, text=expected))
+            + "HEXED stream ok" + "chained A85+Flate ok"
+            + lzw_text.decode("latin-1"))
+print("sample.pdf", dict(n_streams=5, n_flate=2, n_raw=1, n_ascii=2,
+                         n_shows=8, lzw_head=lzw_text[:24].decode("latin-1"),
+                         text_len=len(expected)))

@@ -669,8 +669,9 @@ object MediaStream {
     * PDFs (classic xref, page tree, content stream showing the title
     * as a hex-literal Tj, the text as one 7-char-chunked TJ array,
     * and a fixed suffix through the ' and " show ops; stream
-    * encodings rotate doc_id % 4 through raw, /FlateDecode,
-    * /ASCIIHexDecode, and the [/ASCII85Decode /FlateDecode] chain),
+    * encodings rotate doc_id % 6 through raw, /FlateDecode,
+    * /ASCIIHexDecode, the [/ASCII85Decode /FlateDecode] chain,
+    * /RunLengthDecode, and /LZWDecode),
     * and the extractor walks stream objects, applies the filter
     * chains, and concatenates the shows. The oracle never parses a
     * PDF: the extracted text must equal
@@ -694,8 +695,8 @@ object MediaStream {
   }
 
   private val q220Sql =
-    """SELECT doc_id, doc_id % 4 IN (1, 3) AS flate,
-      |  doc_id % 4 IN (2, 3) AS ascii,
+    """SELECT doc_id, doc_id % 6 IN (1, 3) AS flate,
+      |  doc_id % 6 IN (2, 3) AS ascii,
       |  CAST(4 AS INTEGER) AS n_shows,
       |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
       |FROM documents WHERE length(text) > 0

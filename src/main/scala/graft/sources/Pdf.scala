@@ -16,9 +16,11 @@ import org.apache.spark.sql.functions._
   *  - uncompressed streams, `/FlateDecode` (zlib via the JDK
   *    `Inflater` — the q142/PNG precedent), `/ASCIIHexDecode`,
   *    `/ASCII85Decode` (incl. the `z` zero-group shortcut and `~>`
-  *    EOD), and FILTER CHAINS (`/Filter [/ASCII85Decode
-  *    /FlateDecode]` — applied in array order per spec §7.4);
-  *    abbreviated inline names (`/Fl`, `/AHx`, `/A85`) accepted
+  *    EOD), `/RunLengthDecode`, `/LZWDecode` (TIFF-flavor variable
+  *    9–12-bit codes, EarlyChange 1 default), and FILTER CHAINS
+  *    (`/Filter [/ASCII85Decode /FlateDecode]` — applied in array
+  *    order per spec §7.4); abbreviated inline names (`/Fl`, `/AHx`,
+  *    `/A85`, `/RL`, `/LZW`) accepted
   *  - text-show operators `Tj`, `TJ`, `'` (move-and-show) and `"`
   *    (spacing-and-show) with PARENTHESIZED string literals (escapes
   *    `\\ \( \) \n \r \t \b \f`, octal `\ddd`, escaped-newline
@@ -31,7 +33,8 @@ import org.apache.spark.sql.functions._
   * OUT of scope (documented, surfaced as error rows or skip counts,
   * never silent garbage):
   *  - encrypted documents (`/Encrypt` in a trailer) → error row
-  *  - lossy/LZW filters (DCTDecode, LZWDecode, RunLength, …) → stream
+  *  - lossy/image filters (DCTDecode, JPXDecode, CCITTFax, JBIG2, …)
+  *    and LZW with a non-default /EarlyChange or /Predictor → stream
   *    counted in `n_skipped`, extraction continues
   *  - object streams (/ObjStm — may not contain content streams per
   *    spec §7.5.7, so the linear content scan is unaffected by them),
@@ -129,6 +132,11 @@ object Pdf {
                   Some(java.util.Arrays.copyOfRange(data, ds, de))
                 var usedFlate = false
                 var usedAscii = false
+                // non-default LZW parameters (EarlyChange 0 or a
+                // Predictor) are out of scope — skip, never misdecode
+                val lzwDefault =
+                  !"/EarlyChange\\s+0".r.findFirstIn(dict).isDefined &&
+                    !dict.contains("/Predictor")
                 filters.foreach { f =>
                   if (cur.isDefined) f match {
                     case "FlateDecode" | "Fl" =>
@@ -137,6 +145,10 @@ object Pdf {
                       cur = Some(asciiHexDecode(cur.get)); usedAscii = true
                     case "ASCII85Decode" | "A85" =>
                       cur = ascii85Decode(cur.get); usedAscii = true
+                    case "RunLengthDecode" | "RL" =>
+                      cur = runLengthDecode(cur.get)
+                    case "LZWDecode" | "LZW" if lzwDefault =>
+                      cur = lzwDecode(cur.get)
                     case _ => cur = None
                   }
                 }
@@ -243,6 +255,79 @@ object Pdf {
     }
     if (n == 1) return None // a lone final char encodes nothing
     if (n > 1) { val bytes = n - 1; if (!emit(bytes)) return None }
+    Some(out.toByteArray)
+  }
+
+  /** RunLengthDecode (spec 7.4.5): length byte L — 0..127 copies the
+    * next L+1 bytes literally, 129..255 repeats the next byte 257−L
+    * times, 128 is EOD. A run header with no payload is malformed →
+    * None (skip, never garble).
+    */
+  private[sources] def runLengthDecode(d: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(d.length * 2 + 16)
+    var i = 0
+    var done = false
+    while (i < d.length && !done) {
+      val l = d(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        if (i + l + 1 > d.length) return None
+        out.write(d, i, l + 1)
+        i += l + 1
+      } else {
+        if (i >= d.length) return None
+        var k = 0
+        while (k < 257 - l) { out.write(d(i)); k += 1 }
+        i += 1
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** LZWDecode (spec 7.4.4, the TIFF flavor): MSB-first variable-width
+    * codes starting at 9 bits, 256 = clear table, 257 = EOD, the code
+    * width bumping at table sizes 511/1023/2047 (EarlyChange 1, the
+    * default — non-default parameters are skipped upstream). A code
+    * beyond the table (other than the next-to-assign KwKwK case) is
+    * malformed → None.
+    */
+  private[sources] def lzwDecode(d: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(d.length * 3 + 16)
+    val table = new Array[Array[Byte]](4096)
+    var nextCode = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var acc = 0L
+    var nbits = 0
+    var i = 0
+    def reset(): Unit = { nextCode = 258; width = 9; prev = null }
+    while (i < d.length || nbits >= width) {
+      if (nbits < width) { acc = (acc << 8) | (d(i) & 0xff); nbits += 8; i += 1 }
+      else {
+        val code = ((acc >>> (nbits - width)) & ((1 << width) - 1)).toInt
+        nbits -= width
+        if (code == 256) reset()
+        else if (code == 257) return Some(out.toByteArray)
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < nextCode && table(code) != null) table(code)
+            else if (code == nextCode && prev != null) prev :+ prev(0) // KwKwK
+            else return None
+          out.write(entry, 0, entry.length)
+          if (prev != null && nextCode < 4096) {
+            table(nextCode) = prev :+ entry(0)
+            nextCode += 1
+          }
+          prev = entry
+          // EarlyChange 1: width bumps one code early
+          if (width < 12 && nextCode + 1 > (1 << width) - 1) width += 1
+        }
+      }
+    }
+    // EOD never arrived — tolerate (some writers omit it) if bits left
+    // are only padding
     Some(out.toByteArray)
   }
 
@@ -397,19 +482,20 @@ object Pdf {
     * must equal `'Doc ' || doc_id || '|' || text || '~fin.'` (q220) —
     * a wrong escape, a bad hex-pair decode, a mis-framed stream, a
     * kerning number leaking into the text, or a broken inflate all
-    * hash-fail. Stream encodings rotate doc_id % 4: raw, /FlateDecode,
-    * /ASCIIHexDecode, and the [/ASCII85Decode /FlateDecode] chain —
-    * all four decode paths sit on the oracle gate.
+    * hash-fail. Stream encodings rotate doc_id % 6: raw, /FlateDecode,
+    * /ASCIIHexDecode, the [/ASCII85Decode /FlateDecode] chain,
+    * /RunLengthDecode, and /LZWDecode — all six decode paths sit on
+    * the oracle gate.
     */
   def toPdfs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val modes = Array("raw", "flate", "hex", "a85flate")
+    val modes = Array("raw", "flate", "hex", "a85flate", "rle", "lzw")
     docs.filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text").cast("string"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, "doc", "pdf", buildPdf(s"Doc $id|", text, modes((id % 4).toInt)))
+        (id, "doc", "pdf", buildPdf(s"Doc $id|", text, modes((id % 6).toInt)))
       }
       .toDF("media_id", "kind", "format", "data")
   }
@@ -472,10 +558,114 @@ object Pdf {
     sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
-  /** Mode-typed builder: `raw`, `flate`, `hex` (ASCIIHexDecode), or
+  /** RunLengthDecode's inverse (literal runs up to 128, repeat runs
+    * for 3+ byte repetitions) — fixture/adapter substrate.
+    */
+  private[sources] def runLengthEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length + raw.length / 128 + 2)
+    var i = 0
+    while (i < raw.length) {
+      // measure the repeat run at i
+      var run = 1
+      while (i + run < raw.length && raw(i + run) == raw(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(257 - run)
+        out.write(raw(i))
+        i += run
+      } else {
+        // literal run until the next 3+ repeat (or 128 cap)
+        var lit = run
+        while (i + lit < raw.length && lit < 128 && {
+          var r2 = 1
+          while (i + lit + r2 < raw.length && raw(i + lit + r2) == raw(i + lit) && r2 < 3) r2 += 1
+          r2 < 3
+        }) lit += 1
+        out.write(lit - 1)
+        out.write(raw, i, lit)
+        i += lit
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** LZWDecode's inverse (TIFF flavor, EarlyChange 1) —
+    * fixture/adapter substrate. The code width is driven by an
+    * explicit MIRROR of the decoder's state (`decNext`, the decoder's
+    * next table slot at each read, which lags the encoder's dict by
+    * one entry and by the no-insert first-code-after-clear rule), so
+    * the two sides stay bit-synchronized at every 511/1023/2047
+    * boundary and across mid-stream table resets — the exact class of
+    * off-by-one the early-change variant is notorious for.
+    */
+  private[sources] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(raw.length + 16)
+    var acc = 0L
+    var nbits = 0
+    var width = 9
+    var decNext = 258 // decoder's next table slot at the NEXT read
+    var firstSinceClear = true
+    def syncWidth(): Unit =
+      while (width < 12 && decNext >= (1 << width) - 1) width += 1
+    def put(code: Int): Unit = {
+      acc = (acc << width) | code
+      nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >>> (nbits - 8)) & 0xff).toInt)
+        nbits -= 8
+      }
+    }
+    def putData(code: Int): Unit = {
+      syncWidth()
+      put(code)
+      // the decoder inserts an entry while processing every data code
+      // except the first after a clear
+      if (firstSinceClear) firstSinceClear = false else decNext += 1
+    }
+    def putClear(): Unit = {
+      syncWidth()
+      put(256)
+      width = 9
+      decNext = 258
+      firstSinceClear = true
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    var nextCode = 258
+    putClear() // spec: encoders open with a clear
+    var w = Vector.empty[Byte]
+    def codeOf(s: Seq[Byte]): Int =
+      if (s.length == 1) s.head & 0xff else dict(s)
+    var i = 0
+    while (i < raw.length) {
+      val k = raw(i)
+      val wk = w :+ k
+      if (wk.length == 1 || dict.contains(wk)) w = wk
+      else {
+        putData(codeOf(w))
+        if (nextCode < 4095) {
+          dict(wk) = nextCode
+          nextCode += 1
+        } else {
+          putClear()
+          dict.clear()
+          nextCode = 258
+        }
+        w = Vector(k)
+      }
+      i += 1
+    }
+    if (w.nonEmpty) putData(codeOf(w))
+    syncWidth()
+    put(257) // EOD
+    if (nbits > 0) out.write(((acc << (8 - nbits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Mode-typed builder: `raw`, `flate`, `hex` (ASCIIHexDecode),
     * `a85flate` (`/Filter [/ASCII85Decode /FlateDecode]` — the chain
     * form; encode applies the filters in reverse, decode in array
-    * order per spec 7.4).
+    * order per spec 7.4), `rle` (RunLengthDecode) or `lzw`
+    * (LZWDecode).
     */
   def buildPdf(title: String, text: String, mode: String): Array[Byte] = {
     val chunks = text.grouped(7).toSeq
@@ -492,6 +682,8 @@ object Pdf {
       case "a85flate" =>
         (ascii85Encode(deflateBytes(raw)),
           " /Filter [/ASCII85Decode /FlateDecode]")
+      case "rle" => (runLengthEncode(raw), " /Filter /RunLengthDecode")
+      case "lzw" => (lzwEncode(raw), " /Filter /LZWDecode")
       case other => throw new IllegalArgumentException(s"buildPdf: unknown mode $other")
     }
     val objects = Seq(

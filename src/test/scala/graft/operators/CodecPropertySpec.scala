@@ -120,10 +120,10 @@ class CodecPropertySpec extends SparkSpec {
     Gen.listOf(unit).map(_.mkString.take(120))
   }
 
-  test("PDF round trip: adversarial strings survive escape -> literal-parse exactly, all four stream encodings") {
+  test("PDF round trip: adversarial strings survive escape -> literal-parse exactly, all six stream encodings") {
     for (i <- 0 until 120) {
       val t = sample(nastyText, 9000L + i)
-      for (mode <- Seq("raw", "flate", "hex", "a85flate")) {
+      for (mode <- Seq("raw", "flate", "hex", "a85flate", "rle", "lzw")) {
         val x = Pdfx.extract(Pdfx.build(s"T$i|", t, mode))
         assert(x === s"T$i|$t~fin.", s"seed ${9000 + i} mode=$mode text=${t.take(40)}")
       }
