@@ -8,6 +8,11 @@ package graft.operators
   * IN scope (decode):
   *  - baseline sequential DCT, 8-bit precision (SOF0), grayscale and
   *    3-component YCbCr
+  *  - PROGRESSIVE DCT (SOF2): spectral selection AND successive
+  *    approximation — interleaved/single-component DC first and
+  *    refinement scans, single-component AC band scans with EOBRUN,
+  *    the full T.81 G.1.2.3 refinement correction-bit walk, restarts
+  *    resetting predictors and EOB runs
   *  - sampling factors 1 and 2 per axis — 4:4:4, 4:2:2, 4:2:0, 4:4:0
   *    all fall out of the generic MCU walk; chroma upsampling is
   *    nearest-neighbor (index scaling), the JFIF-common choice
@@ -18,15 +23,19 @@ package graft.operators
   *    segments skipped
   *
   * OUT of scope (explicit `Left`s, the PNG/PDF scoping discipline):
-  *  - progressive (SOF2), extended sequential (SOF1), lossless,
-  *    hierarchical and arithmetic-coded frames (SOF3, SOF5-15)
+  *  - extended sequential (SOF1), lossless, hierarchical and
+  *    arithmetic-coded frames (SOF3, SOF5-15)
   *  - 12-bit precision, 2- or 4-component frames (CMYK), sampling
   *    factors above 2
   *
-  * The decode is MCU-ROW streaming: per component one plane buffer of
-  * 8·v rows (O(width) memory — the decodePngFull rule), stats and the
-  * aHash grid fold out of each emitted pixel row, and no full raster
-  * ever materializes. Integer sample output: IDCT runs in doubles
+  * The BASELINE decode is MCU-ROW streaming: per component one plane
+  * buffer of 8·v rows (O(width) memory — the decodePngFull rule),
+  * stats and the aHash grid fold out of each emitted pixel row, and
+  * no full raster ever materializes. PROGRESSIVE decode is the one
+  * documented exception: scans revisit every block, so quantized
+  * coefficients buffer at O(raster) ints (bounded by an explicit
+  * size guard) before the same MCU-row reconstruction + fold runs.
+  * Integer sample output: IDCT runs in doubles
   * over an 8x8 basis matrix embedded as EXACT bit patterns (the
   * python fixture generator mirrors the same constants and operation
   * order, so the committed-fixture stats are bit-exact across the two
@@ -211,8 +220,227 @@ object JpegCodec {
     var scanAc: Array[Int] = null
     var scanStart = -1
 
+    // ---- progressive (SOF2) state: quantized coefficients, zigzag
+    // order, over the MCU-padded block grid, accumulated across scans.
+    // Progressive is the ONE decode path that materializes O(raster)
+    // state — inherent to the format (scans revisit every block), and
+    // the documented exception to the O(row) streaming rule.
+    var progressive = false
+    var progDone = false
+    var progScans = 0
+    var progCoefs: Array[Array[Int]] = null
+    var progBW: Array[Int] = null
+
+    def frameHmax = comps.map(_.h).max
+    def frameVmax = comps.map(_.v).max
+    def frameMcusX = (width + 8 * frameHmax - 1) / (8 * frameHmax)
+    def frameMcusY = (height + 8 * frameVmax - 1) / (8 * frameVmax)
+
+    /** One progressive scan: header (band Ss..Se, successive
+      * approximation Ah/Al, per-scan components in frame order),
+      * then the entropy data into the coefficient planes. Returns
+      * the position after the entropy data.
+      */
+    def decodeProgScan(hdrPos: Int): Int = {
+      val len = segLen(hdrPos)
+      val b = hdrPos + 2
+      val ns = d(b) & 0xff
+      if (ns < 1 || ns > comps.length)
+        throw JpegAbort(s"jpeg: bad scan component count $ns")
+      val sc = new Array[Int](ns)
+      val sdc = new Array[Int](ns)
+      val sac = new Array[Int](ns)
+      var i = 0
+      var prevCi = -1
+      while (i < ns) {
+        val cid = d(b + 1 + 2 * i) & 0xff
+        val ci = comps.indexWhere(_.id == cid)
+        if (ci < 0) throw JpegAbort(s"jpeg: scan references unknown component $cid")
+        if (ci <= prevCi) throw JpegAbort("jpeg: scan components out of frame order")
+        prevCi = ci
+        sc(i) = ci
+        sdc(i) = (d(b + 2 + 2 * i) & 0xff) >> 4
+        sac(i) = d(b + 2 + 2 * i) & 15
+        i += 1
+      }
+      val ss = d(b + 1 + 2 * ns) & 0xff
+      val se = d(b + 2 + 2 * ns) & 0xff
+      val ahal = d(b + 3 + 2 * ns) & 0xff
+      val ah = ahal >> 4
+      val al = ahal & 15
+      if (se > 63 || ss > se) throw JpegAbort(s"jpeg: bad spectral band $ss..$se")
+      if (ss == 0 && se != 0) throw JpegAbort("jpeg: progressive scan mixes DC and AC")
+      if (ss > 0 && ns != 1) throw JpegAbort("jpeg: progressive AC scan must be single-component")
+      if (al > 13 || ah > 13) throw JpegAbort(s"jpeg: bad successive approximation $ah/$al")
+      val isDc = ss == 0
+      val br = new BitReader(d, hdrPos + len)
+      var eobrun = 0
+      val pred = new Array[Int](comps.length)
+
+      def dcBlock(si: Int, off: Int): Unit = {
+        val ci = sc(si)
+        if (ah == 0) {
+          val tab = huff(0)(sdc(si))
+          if (tab == null) throw JpegAbort(s"jpeg: missing DC table ${sdc(si)}")
+          val t = br.decodeHuff(tab)
+          if (t > 11) throw JpegAbort(s"jpeg: bad DC category $t")
+          pred(ci) += extend(br.receive(t), t)
+          progCoefs(ci)(off) = pred(ci) << al
+        } else if (br.nextBit() == 1)
+          progCoefs(ci)(off) |= 1 << al
+      }
+
+      def acFirst(co: Array[Int], off: Int, tab: HuffTable): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = br.decodeHuff(tab)
+          val r = rs >> 4
+          val s = rs & 15
+          if (s != 0) {
+            k += r
+            if (k > se) throw JpegAbort("jpeg: AC run past band end")
+            co(off + k) = extend(br.receive(s), s) << al
+            k += 1
+          } else if (r == 15) k += 16 // ZRL
+          else {
+            eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+            done = true
+          }
+        }
+      }
+
+      // T.81 G.1.2.3: refinement — newly-nonzero coefficients arrive
+      // as (zero-history-run, 1) symbols; every nonzero-history
+      // coefficient passed contributes one correction bit, including
+      // the band tails of blocks inside an EOB run
+      def acRefine(co: Array[Int], off: Int, tab: HuffTable): Unit = {
+        val p1 = 1 << al
+        val m1 = -(1 << al)
+        def correct(k: Int): Unit = {
+          val c0 = co(off + k)
+          if (br.nextBit() == 1 && (c0 & p1) == 0)
+            co(off + k) = c0 + (if (c0 >= 0) p1 else m1)
+        }
+        var k = ss
+        if (eobrun == 0) {
+          var brk = false
+          while (k <= se && !brk) {
+            val rs = br.decodeHuff(tab)
+            var r = rs >> 4
+            val s = rs & 15
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                brk = true // band tail handled by the eobrun path below
+              }
+            } else {
+              if (s != 1) throw JpegAbort("jpeg: bad AC refinement magnitude")
+              newVal = if (br.nextBit() == 1) p1 else m1
+            }
+            if (!brk) {
+              var placed = false
+              while (k <= se && !placed) {
+                if (co(off + k) != 0) correct(k)
+                else if (r == 0) {
+                  if (newVal != 0) co(off + k) = newVal
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+              if (!placed && newVal != 0)
+                throw JpegAbort("jpeg: AC refinement run past band end")
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            if (co(off + k) != 0) correct(k)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      val hm = frameHmax
+      val vm = frameVmax
+      val mX = frameMcusX
+      val mY = frameMcusY
+      var mcuCount = 0
+      var rstIdx = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && mcuCount == restartInterval) {
+          br.restart(rstIdx)
+          rstIdx = (rstIdx + 1) % 8
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+          mcuCount = 0
+        }
+
+      if (isDc && ns > 1) {
+        // interleaved DC scan: frame MCU order
+        var my = 0
+        while (my < mY) {
+          var mx = 0
+          while (mx < mX) {
+            maybeRestart()
+            var si = 0
+            while (si < ns) {
+              val c = comps(sc(si))
+              var by = 0
+              while (by < c.v) {
+                var bx = 0
+                while (bx < c.h) {
+                  dcBlock(si, ((my * c.v + by) * progBW(sc(si)) + mx * c.h + bx) * 64)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            mcuCount += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // single-component scan (DC or AC): the component's own
+        // ceil-sized block grid in raster order (no MCU padding)
+        val ci = sc(0)
+        val c = comps(ci)
+        val compW = (width * c.h + hm - 1) / hm
+        val compH = (height * c.v + vm - 1) / vm
+        val niW = (compW + 7) / 8
+        val niH = (compH + 7) / 8
+        val co = progCoefs(ci)
+        val tab = if (isDc) null else {
+          val t = huff(1)(sac(0))
+          if (t == null) throw JpegAbort(s"jpeg: missing AC table ${sac(0)}")
+          t
+        }
+        var by = 0
+        while (by < niH) {
+          var bx = 0
+          while (bx < niW) {
+            maybeRestart()
+            val off = (by * progBW(ci) + bx) * 64
+            if (isDc) dcBlock(0, off)
+            else if (ah == 0) acFirst(co, off, tab)
+            else acRefine(co, off, tab)
+            mcuCount += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      progScans += 1
+      br.p
+    }
+
     var pos = 2
-    while (scanStart < 0) {
+    while (scanStart < 0 && !progDone) {
       // markers may be preceded by fill bytes (FF FF ... FFxx)
       if (pos + 1 >= d.length) return Left("jpeg: truncated before SOS")
       if ((d(pos) & 0xff) != 0xff) return Left(f"jpeg: expected marker, got ${d(pos) & 0xff}%02X")
@@ -222,8 +450,11 @@ object JpegCodec {
       pos += 1
       marker match {
         case 0xd8 => return Left("jpeg: duplicate SOI")
-        case 0xd9 => return Left("jpeg: EOI before any scan")
-        case 0xc0 => // SOF0 baseline
+        case 0xd9 =>
+          if (progressive && progScans > 0) progDone = true
+          else return Left("jpeg: EOI before any scan")
+        case m if m == 0xc0 || m == 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (comps != null) return Left("jpeg: duplicate SOF")
           val len = segLen(pos)
           val b = pos + 2
           val precision = d(b) & 0xff
@@ -244,11 +475,21 @@ object JpegCodec {
               return Left(s"jpeg: sampling factor ${c.h}x${c.v} not supported (1/2 only)")
             if (c.tq > 3) return Left(s"jpeg: bad quant table id ${c.tq}")
           }
+          if (m == 0xc2) {
+            progressive = true
+            progBW = Array.tabulate(nc)(i => frameMcusX * comps(i).h)
+            val totalCoefs = (0 until nc).map(i =>
+              progBW(i).toLong * frameMcusY * comps(i).v * 64).sum
+            if (totalCoefs > (1L << 26))
+              return Left("jpeg: progressive frame too large for coefficient buffering")
+            progCoefs = Array.tabulate(nc)(i =>
+              new Array[Int]((progBW(i) * frameMcusY * comps(i).v * 64)))
+          }
           pos += len
-        case m if m == 0xc1 || m == 0xc2 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) ||
+        case m if m == 0xc1 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) ||
             (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf) =>
-          return Left(f"jpeg: SOF${m - 0xc0}%d (progressive/extended/arithmetic) " +
-            "not supported — baseline sequential only")
+          return Left(f"jpeg: SOF${m - 0xc0}%d (extended/lossless/arithmetic) " +
+            "not supported — baseline sequential and progressive only")
         case 0xc4 => // DHT, possibly several tables
           val len = segLen(pos)
           var b = pos + 2
@@ -290,24 +531,27 @@ object JpegCodec {
           pos += segLen(pos)
         case 0xda => // SOS
           if (comps == null) return Left("jpeg: SOS before SOF")
-          val len = segLen(pos)
-          val b = pos + 2
-          val ns = d(b) & 0xff
-          if (ns != comps.length)
-            return Left(s"jpeg: scan components $ns != frame components ${comps.length}")
-          scanDc = new Array[Int](ns)
-          scanAc = new Array[Int](ns)
-          var i = 0
-          while (i < ns) {
-            val cid = d(b + 1 + 2 * i) & 0xff
-            val ci = comps.indexWhere(_.id == cid)
-            if (ci < 0) return Left(s"jpeg: scan references unknown component $cid")
-            if (ci != i) return Left("jpeg: scan component order differs from frame order")
-            scanDc(i) = (d(b + 2 + 2 * i) & 0xff) >> 4
-            scanAc(i) = d(b + 2 + 2 * i) & 15
-            i += 1
+          if (progressive) pos = decodeProgScan(pos)
+          else {
+            val len = segLen(pos)
+            val b = pos + 2
+            val ns = d(b) & 0xff
+            if (ns != comps.length)
+              return Left(s"jpeg: scan components $ns != frame components ${comps.length}")
+            scanDc = new Array[Int](ns)
+            scanAc = new Array[Int](ns)
+            var i = 0
+            while (i < ns) {
+              val cid = d(b + 1 + 2 * i) & 0xff
+              val ci = comps.indexWhere(_.id == cid)
+              if (ci < 0) return Left(s"jpeg: scan references unknown component $cid")
+              if (ci != i) return Left("jpeg: scan component order differs from frame order")
+              scanDc(i) = (d(b + 2 + 2 * i) & 0xff) >> 4
+              scanAc(i) = d(b + 2 + 2 * i) & 15
+              i += 1
+            }
+            scanStart = pos + len
           }
-          scanStart = pos + len
         case 0x01 => () // TEM, no length
         case m if m >= 0xd0 && m <= 0xd7 =>
           return Left("jpeg: stray RST marker outside a scan")
@@ -318,9 +562,11 @@ object JpegCodec {
 
     for (c <- comps if qt(c.tq) == null)
       return Left(s"jpeg: missing quant table ${c.tq}")
-    for (i <- comps.indices) {
-      if (huff(0)(scanDc(i)) == null) return Left(s"jpeg: missing DC huffman table ${scanDc(i)}")
-      if (huff(1)(scanAc(i)) == null) return Left(s"jpeg: missing AC huffman table ${scanAc(i)}")
+    if (!progressive) {
+      for (i <- comps.indices) {
+        if (huff(0)(scanDc(i)) == null) return Left(s"jpeg: missing DC huffman table ${scanDc(i)}")
+        if (huff(1)(scanAc(i)) == null) return Left(s"jpeg: missing AC huffman table ${scanAc(i)}")
+      }
     }
 
     val nc = comps.length
@@ -336,7 +582,7 @@ object JpegCodec {
     val planeW = Array.tabulate(nc)(i => mcusX * 8 * comps(i).h)
     val planes = Array.tabulate(nc)(i => new Array[Int](planeW(i) * 8 * comps(i).v))
 
-    val br = new BitReader(d, scanStart)
+    val br = if (progressive) null else new BitReader(d, scanStart)
     val pred = new Array[Int](nc)
     val coef = new Array[Int](64)
     val tmp = Array.ofDim[Double](8, 8)
@@ -348,33 +594,11 @@ object JpegCodec {
     var mn = Int.MaxValue
     var mx = Int.MinValue
 
-    def decodeBlock(ci: Int): Unit = {
-      java.util.Arrays.fill(coef, 0)
-      val dcT = huff(0)(scanDc(ci))
-      val acT = huff(1)(scanAc(ci))
-      val q = qt(comps(ci).tq)
-      val t = br.decodeHuff(dcT)
-      if (t > 11) throw JpegAbort(s"jpeg: bad DC category $t")
-      pred(ci) += extend(br.receive(t), t)
-      coef(0) = pred(ci) * q(0)
-      var k = 1
-      var done = false
-      while (k < 64 && !done) {
-        val rs = br.decodeHuff(acT)
-        val r = rs >> 4
-        val s = rs & 15
-        if (s == 0) {
-          if (r == 15) k += 16 // ZRL
-          else done = true // EOB
-        } else {
-          k += r
-          if (k > 63) throw JpegAbort("jpeg: AC run past block end")
-          coef(Zigzag(k)) = extend(br.receive(s), s) * q(k)
-          k += 1
-        }
-      }
-      // separable IDCT: rows over u, then columns over v — the exact
-      // operation order the python fixture mirror replicates
+    // separable IDCT of `coef` (natural order, dequantized) into
+    // `block` — the exact operation order the python fixture mirror
+    // replicates; shared by the baseline stream and the progressive
+    // reconstruction
+    def idctFromCoef(): Unit = {
       var v = 0
       while (v < 8) {
         var x = 0
@@ -402,13 +626,52 @@ object JpegCodec {
       }
     }
 
+    def blitBlock(ci: Int, mx0: Int, bx: Int, by: Int): Unit = {
+      val pw = planeW(ci)
+      val x0 = mx0 * 8 * comps(ci).h + bx * 8
+      val y0 = by * 8
+      var yy = 0
+      while (yy < 8) {
+        System.arraycopy(block, yy * 8, planes(ci), (y0 + yy) * pw + x0, 8)
+        yy += 1
+      }
+    }
+
+    def decodeBlock(ci: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      val dcT = huff(0)(scanDc(ci))
+      val acT = huff(1)(scanAc(ci))
+      val q = qt(comps(ci).tq)
+      val t = br.decodeHuff(dcT)
+      if (t > 11) throw JpegAbort(s"jpeg: bad DC category $t")
+      pred(ci) += extend(br.receive(t), t)
+      coef(0) = pred(ci) * q(0)
+      var k = 1
+      var done = false
+      while (k < 64 && !done) {
+        val rs = br.decodeHuff(acT)
+        val r = rs >> 4
+        val s = rs & 15
+        if (s == 0) {
+          if (r == 15) k += 16 // ZRL
+          else done = true // EOB
+        } else {
+          k += r
+          if (k > 63) throw JpegAbort("jpeg: AC run past block end")
+          coef(Zigzag(k)) = extend(br.receive(s), s) * q(k)
+          k += 1
+        }
+      }
+      idctFromCoef()
+    }
+
     var mcuCount = 0
     var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx0 = 0
       while (mx0 < mcusX) {
-        if (restartInterval > 0 && mcuCount == restartInterval) {
+        if (!progressive && restartInterval > 0 && mcuCount == restartInterval) {
           br.restart(rstIdx)
           rstIdx = (rstIdx + 1) % 8
           java.util.Arrays.fill(pred, 0)
@@ -417,20 +680,20 @@ object JpegCodec {
         var ci = 0
         while (ci < nc) {
           val c = comps(ci)
-          val pw = planeW(ci)
           var by = 0
           while (by < c.v) {
             var bx = 0
             while (bx < c.h) {
-              decodeBlock(ci)
-              // blit the 8x8 block into the component's MCU-row plane
-              val x0 = mx0 * 8 * c.h + bx * 8
-              val y0 = by * 8
-              var yy = 0
-              while (yy < 8) {
-                System.arraycopy(block, yy * 8, planes(ci), (y0 + yy) * pw + x0, 8)
-                yy += 1
-              }
+              if (progressive) {
+                // dequantize the accumulated zigzag coefficients
+                val co = progCoefs(ci)
+                val off = ((my * c.v + by) * progBW(ci) + mx0 * c.h + bx) * 64
+                val q = qt(c.tq)
+                var k = 0
+                while (k < 64) { coef(Zigzag(k)) = co(off + k) * q(k); k += 1 }
+                idctFromCoef()
+              } else decodeBlock(ci)
+              blitBlock(ci, mx0, bx, by)
               bx += 1
             }
             by += 1
@@ -547,6 +810,21 @@ object JpegCodec {
     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
     0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
+  /** Progressive AC table: baseline Annex-K-style tables carry no
+    * EOBn symbols (0x10..0xE0), which progressive scans require — so
+    * the progressive encoder transmits its own flat 8-bit canonical
+    * table covering every (run, size<=10) pair incl. all EOBn and
+    * ZRL. Tables travel in-band via DHT, so the decoder needs no
+    * knowledge of this choice.
+    */
+  private val AcProgVals: Array[Int] =
+    (for { r <- 0 to 15; s <- 0 to 10 } yield (r << 4) | s).toArray
+  private val AcProgBits: Array[Int] = {
+    val b = new Array[Int](16)
+    b(7) = AcProgVals.length // all codes 8 bits long (176 < 256)
+    b
+  }
+
   /** (code, length) per symbol from a BITS/HUFFVAL spec. */
   private def encTable(bits: Array[Int], vals: Array[Int]): Array[(Int, Int)] = {
     val out = new Array[(Int, Int)](256)
@@ -609,6 +887,15 @@ object JpegCodec {
   def encodeJpeg(rgb: Array[Byte], w: Int, h: Int, subsample: Boolean): Array[Byte] = {
     require(w > 0 && h > 0, s"encodeJpeg: bad dimensions ${w}x$h")
     require(rgb.length == 3 * w * h, s"encodeJpeg: raster ${rgb.length} != 3*$w*$h")
+    encodeFrame(w, h, colorPlanes(rgb, w, h, subsample), gray = false)
+  }
+
+  /** RGB -> padded YCbCr planes (4:4:4, or 4:2:0 with 2x2 chroma
+    * averaging) — shared by the baseline and progressive encoders.
+    */
+  private def colorPlanes(
+      rgb: Array[Byte], w: Int, h: Int,
+      subsample: Boolean): Seq[(Array[Int], Int, Int, Int)] = {
     val n = w * h
     val yP = new Array[Int](n)
     val cbP = new Array[Int](n)
@@ -625,10 +912,8 @@ object JpegCodec {
     }
     if (!subsample) {
       val pw = (w + 7) / 8 * 8
-      encodeFrame(w, h,
-        Seq((pad(yP, w, h, 8, 8), pw, 1, 1), (pad(cbP, w, h, 8, 8), pw, 1, 1),
-          (pad(crP, w, h, 8, 8), pw, 1, 1)),
-        gray = false)
+      Seq((pad(yP, w, h, 8, 8), pw, 1, 1), (pad(cbP, w, h, 8, 8), pw, 1, 1),
+        (pad(crP, w, h, 8, 8), pw, 1, 1))
     } else {
       // luma padded to 16, chroma downsampled 2x2 then padded to 8
       val yPad = pad(yP, w, h, 16, 16)
@@ -645,9 +930,7 @@ object JpegCodec {
             full((y + 1) * pw + x) + full((y + 1) * pw + x + 1) + 2) / 4
         }
       }
-      encodeFrame(w, h,
-        Seq((yPad, pw, 2, 2), (down(cbP), cw, 1, 1), (down(crP), cw, 1, 1)),
-        gray = false)
+      Seq((yPad, pw, 2, 2), (down(cbP), cw, 1, 1), (down(crP), cw, 1, 1))
     }
   }
 
@@ -831,6 +1114,374 @@ object JpegCodec {
     }
     bw.flush()
     marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** FDCT + unit quantization of one 8x8 block into ZIGZAG order —
+    * the progressive encoder's coefficient source (same basis matrix
+    * and rounding as the baseline encoder's inline block).
+    */
+  private def fdctQuantZig(
+      plane: Array[Int], pw: Int, x0: Int, y0: Int,
+      zigOut: Array[Int], off: Int): Unit = {
+    val tmp = Array.ofDim[Double](8, 8)
+    val nat = new Array[Int](64)
+    var v = 0
+    while (v < 8) {
+      var y = 0
+      while (y < 8) {
+        var acc = 0.0
+        var x = 0
+        while (x < 8) { acc += IdctM(x)(v) * (plane((y0 + y) * pw + x0 + x) - 128); x += 1 }
+        tmp(y)(v) = acc
+        y += 1
+      }
+      v += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var v2 = 0
+      while (v2 < 8) {
+        var acc = 0.0
+        var y = 0
+        while (y < 8) { acc += IdctM(y)(u) * tmp(y)(v2); y += 1 }
+        nat(u * 8 + v2) = math.round(acc).toInt
+        v2 += 1
+      }
+      u += 1
+    }
+    var k = 0
+    while (k < 64) { zigOut(off + k) = nat(Zigzag(k)); k += 1 }
+  }
+
+  /** Progressive (SOF2) twin of [[encodeJpeg]]: the jpeg_simple_
+    * progression-shaped script — interleaved DC first at Al=1 + DC
+    * refinement, per-component AC first scans in two spectral bands
+    * at Al=2, then two AC refinement passes down to Al=0. Successive
+    * approximation transmits every coefficient bit, so the decoded
+    * image is BIT-IDENTICAL to the baseline encoding of the same
+    * raster — the differential the spec suite pins.
+    */
+  def encodeJpegProgressive(
+      rgb: Array[Byte], w: Int, h: Int, subsample: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeJpegProgressive: bad dimensions ${w}x$h")
+    require(rgb.length == 3 * w * h,
+      s"encodeJpegProgressive: raster ${rgb.length} != 3*$w*$h")
+    encodeFrameProgressive(w, h, colorPlanes(rgb, w, h, subsample), gray = false)
+  }
+
+  /** Grayscale progressive twin of [[encodeJpegGray]]. */
+  def encodeJpegProgressiveGray(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeJpegProgressiveGray: bad dimensions ${w}x$h")
+    require(gray.length == w * h, s"encodeJpegProgressiveGray: raster ${gray.length} != $w*$h")
+    val plane = pad(Array.tabulate(w * h)(i => gray(i) & 0xff), w, h, 8, 8)
+    encodeFrameProgressive(w, h, Seq((plane, (w + 7) / 8 * 8, 1, 1)), gray = true)
+  }
+
+  /** SOF2 emission: headers, coefficient precompute, and the scan
+    * script — DC first (interleaved, Al=1), DC refine, per-component
+    * AC first in bands 1-5 and 6-63 at Al=2, then AC refinements
+    * Ah=2→Al=1 and Ah=1→Al=0 over 1-63. Unit quantization.
+    */
+  private def encodeFrameProgressive(
+      w: Int, h: Int,
+      planes: Seq[(Array[Int], Int, Int, Int)],
+      gray: Boolean): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b(v >> 8); b(v) }
+    def marker(m: Int): Unit = { b(0xff); b(m) }
+
+    marker(0xd8)
+    marker(0xe0)
+    b16(16)
+    Seq('J', 'F', 'I', 'F', 0).foreach(c => b(c.toInt))
+    b(1); b(1); b(0); b16(1); b16(1); b(0); b(0)
+
+    val nTables = if (gray) 1 else 2
+    marker(0xdb)
+    b16(2 + 65 * nTables)
+    for (t <- 0 until nTables) { b(t); (0 until 64).foreach(_ => b(1)) }
+
+    val nc = planes.length
+    marker(0xc2) // SOF2
+    b16(8 + 3 * nc)
+    b(8)
+    b16(h); b16(w)
+    b(nc)
+    for (i <- 0 until nc) {
+      b(i + 1)
+      b((planes(i)._3 << 4) | planes(i)._4)
+      b(if (i == 0) 0 else 1)
+    }
+
+    def dht(tc: Int, th: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      b16(2 + 1 + 16 + vals.length)
+      b((tc << 4) | th)
+      bits.foreach(b)
+      vals.foreach(b)
+    }
+    dht(0, 0, DcLumBits, DcLumVals)
+    dht(1, 0, AcProgBits, AcProgVals)
+    if (!gray) dht(0, 1, DcChrBits, DcChrVals)
+
+    // precompute every block's quantized zigzag coefficients over the
+    // padded grid (the decoder's layout)
+    val hmax = planes.map(_._3).max
+    val vmax = planes.map(_._4).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val bW = Array.tabulate(nc)(i => mcusX * planes(i)._3)
+    val bH = Array.tabulate(nc)(i => mcusY * planes(i)._4)
+    val coefs = Array.tabulate(nc) { ci =>
+      val (plane, pw, _, _) = planes(ci)
+      val arr = new Array[Int](bW(ci) * bH(ci) * 64)
+      var by = 0
+      while (by < bH(ci)) {
+        var bx = 0
+        while (bx < bW(ci)) {
+          fdctQuantZig(plane, pw, bx * 8, by * 8, arr, (by * bW(ci) + bx) * 64)
+          bx += 1
+        }
+        by += 1
+      }
+      arr
+    }
+
+    val dcEnc = Array(encTable(DcLumBits, DcLumVals), encTable(DcChrBits, DcChrVals))
+    val acProg = encTable(AcProgBits, AcProgVals)
+    def tabIdx(ci: Int) = if (ci == 0) 0 else 1
+
+    def sosHeader(scanComps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xda)
+      b16(6 + 2 * scanComps.length)
+      b(scanComps.length)
+      for (ci <- scanComps) {
+        b(ci + 1)
+        b((tabIdx(ci) << 4) | 0) // every component shares AC table 0
+      }
+      b(ss); b(se); b((ah << 4) | al)
+    }
+
+    // ---- DC first scan: interleaved, point transform Al
+    def dcFirstScan(al: Int): Unit = {
+      sosHeader(0 until nc, 0, 0, 0, al)
+      val bw = new BitWriter(out)
+      val pred = new Array[Int](nc)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < nc) {
+            val (_, _, hc, vc) = planes(ci)
+            var byy = 0
+            while (byy < vc) {
+              var bxx = 0
+              while (bxx < hc) {
+                val dc = coefs(ci)(((my * vc + byy) * bW(ci) + mx * hc + bxx) * 64) >> al
+                val diff = dc - pred(ci)
+                pred(ci) = dc
+                val cat = category(diff)
+                val (c0, l0) = dcEnc(tabIdx(ci))(cat)
+                bw.put(c0, l0)
+                if (cat > 0) bw.put(bitsOf(diff, cat), cat)
+                bxx += 1
+              }
+              byy += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+
+    // ---- DC refinement scan: one bit per block
+    def dcRefineScan(ah: Int, al: Int): Unit = {
+      sosHeader(0 until nc, 0, 0, ah, al)
+      val bw = new BitWriter(out)
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var ci = 0
+          while (ci < nc) {
+            val (_, _, hc, vc) = planes(ci)
+            var byy = 0
+            while (byy < vc) {
+              var bxx = 0
+              while (bxx < hc) {
+                bw.put((coefs(ci)(((my * vc + byy) * bW(ci) + mx * hc + bxx) * 64) >> al) & 1, 1)
+                bxx += 1
+              }
+              byy += 1
+            }
+            ci += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      bw.flush()
+    }
+
+    // non-interleaved block grid of a component (ceil dims, no pad)
+    def niDims(ci: Int): (Int, Int) = {
+      val hc = planes(ci)._3
+      val vc = planes(ci)._4
+      val compW = (w * hc + hmax - 1) / hmax
+      val compH = (h * vc + vmax - 1) / vmax
+      ((compW + 7) / 8, (compH + 7) / 8)
+    }
+
+    // ---- AC first scan: single component, band ss..se, Al
+    def acFirstScan(ci: Int, ss: Int, se: Int, al: Int): Unit = {
+      sosHeader(Seq(ci), ss, se, 0, al)
+      val bw = new BitWriter(out)
+      val tab = acProg
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        var nb = 0
+        var v = eobrun
+        while (v > 1) { v >>= 1; nb += 1 }
+        val (c0, l0) = tab(nb << 4)
+        bw.put(c0, l0)
+        if (nb > 0) bw.put(eobrun - (1 << nb), nb)
+        eobrun = 0
+      }
+      val (niW, niH) = niDims(ci)
+      val co = coefs(ci)
+      var by = 0
+      while (by < niH) {
+        var bx = 0
+        while (bx < niW) {
+          val off = (by * bW(ci) + bx) * 64
+          // last band index carrying a nonzero at this precision
+          var last = ss - 1
+          var k = ss
+          while (k <= se) {
+            if (math.abs(co(off + k)) >> al != 0) last = k
+            k += 1
+          }
+          if (last < ss) {
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          } else {
+            flushEob()
+            var r = 0
+            k = ss
+            while (k <= last) {
+              val t = math.abs(co(off + k)) >> al
+              if (t == 0) r += 1
+              else {
+                while (r > 15) { val (cz, lz) = tab(0xf0); bw.put(cz, lz); r -= 16 }
+                val s = category(t)
+                val (ca, la) = tab((r << 4) | s)
+                bw.put(ca, la)
+                bw.put(bitsOf(if (co(off + k) >= 0) t else -t, s), s)
+                r = 0
+              }
+              k += 1
+            }
+            if (last < se) { eobrun += 1; if (eobrun == 0x7fff) flushEob() }
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    // ---- AC refinement scan (T.81 G.1.2.3 inverse, libjpeg shape)
+    def acRefineScan(ci: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sosHeader(Seq(ci), ss, se, ah, al)
+      val bw = new BitWriter(out)
+      val tab = acProg
+      var eobrun = 0
+      val pending = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def flushEob(): Unit = if (eobrun > 0 || pending.nonEmpty) {
+        if (eobrun > 0) {
+          var nb = 0
+          var v = eobrun
+          while (v > 1) { v >>= 1; nb += 1 }
+          val (c0, l0) = tab(nb << 4)
+          bw.put(c0, l0)
+          if (nb > 0) bw.put(eobrun - (1 << nb), nb)
+          eobrun = 0
+        }
+        pending.foreach(bit => bw.put(bit, 1))
+        pending.clear()
+      }
+      val (niW, niH) = niDims(ci)
+      val co = coefs(ci)
+      var by = 0
+      while (by < niH) {
+        var bx = 0
+        while (bx < niW) {
+          val off = (by * bW(ci) + bx) * 64
+          // last index newly nonzero at this precision
+          var eobPos = ss - 1
+          var k = ss
+          while (k <= se) {
+            if (math.abs(co(off + k)) >> al == 1) eobPos = k
+            k += 1
+          }
+          var r = 0
+          val corr = scala.collection.mutable.ArrayBuffer.empty[Int]
+          k = ss
+          while (k <= se) {
+            val t = math.abs(co(off + k)) >> al
+            if (t == 0) r += 1
+            else if (t > 1) corr += (t & 1) // history-nonzero: correction bit
+            else {
+              // newly nonzero: fold ZRLs only if more news follow
+              while (r > 15 && k <= eobPos) {
+                flushEob()
+                val (cz, lz) = tab(0xf0)
+                bw.put(cz, lz)
+                r -= 16
+                corr.foreach(bit => bw.put(bit, 1))
+                corr.clear()
+              }
+              flushEob()
+              val (ca, la) = tab((r << 4) | 1)
+              bw.put(ca, la)
+              bw.put(if (co(off + k) >= 0) 1 else 0, 1)
+              corr.foreach(bit => bw.put(bit, 1))
+              corr.clear()
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0 || corr.nonEmpty) {
+            eobrun += 1
+            pending ++= corr
+            if (eobrun == 0x7fff) flushEob()
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      flushEob()
+      bw.flush()
+    }
+
+    // the scan script
+    dcFirstScan(al = 1)
+    dcRefineScan(ah = 1, al = 0)
+    for (ci <- 0 until nc) {
+      acFirstScan(ci, 1, 5, al = 2)
+      acFirstScan(ci, 6, 63, al = 2)
+    }
+    for (ci <- 0 until nc) acRefineScan(ci, 1, 63, ah = 2, al = 1)
+    for (ci <- 0 until nc) acRefineScan(ci, 1, 63, ah = 1, al = 0)
+
+    marker(0xd9)
     out.toByteArray
   }
 

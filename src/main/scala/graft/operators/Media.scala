@@ -588,7 +588,19 @@ object Media {
     * hash-gates the full marker walk, Huffman decode, IDCT and both
     * MCU layouts against text-derived ground truth.
     */
-  def toJpeg(docs: DataFrame): DataFrame = {
+  def toJpeg(docs: DataFrame): DataFrame = toJpegImpl(docs, progressive = false)
+
+  /** [[toJpeg]]'s PROGRESSIVE (SOF2) twin — same flat-tile rasters,
+    * same exactness argument (successive approximation transmits
+    * every coefficient bit, so DC-only blocks reconstruct exactly),
+    * encoded through the multi-scan spectral-selection + successive-
+    * approximation script. q229 hash-gates the progressive decode
+    * path — DC first/refine, AC band scans, EOBRUN, the refinement
+    * correction-bit walk — against the same text-derived oracle.
+    */
+  def toJpegProgressive(docs: DataFrame): DataFrame = toJpegImpl(docs, progressive = true)
+
+  private def toJpegImpl(docs: DataFrame, progressive: Boolean): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val len = length(col("text"))
@@ -607,14 +619,18 @@ object Media {
             vals(((k / w) / tile) * tw + (k % w) / tile)
           }
         }
-        if (id % 2 == 0)
+        if (id % 2 == 0) {
+          val g = raster(8)
           MediaRecord(id, "image", "jpeg",
-            JpegCodec.encodeJpegGray(raster(8), 8 * tw, 8 * th,
+            if (progressive) JpegCodec.encodeJpegProgressiveGray(g, 8 * tw, 8 * th)
+            else JpegCodec.encodeJpegGray(g, 8 * tw, 8 * th,
               restartInterval = if (id % 4 == 0) 2 else 0))
-        else {
+        } else {
           val rgb = raster(16).flatMap(v => Array(v, v, v))
           MediaRecord(id, "image", "jpeg",
-            JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true))
+            if (progressive)
+              JpegCodec.encodeJpegProgressive(rgb, 16 * tw, 16 * th, subsample = true)
+            else JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true))
         }
       }
       .toDF()

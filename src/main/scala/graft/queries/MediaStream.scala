@@ -401,6 +401,37 @@ object MediaStream {
       |FROM b
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q229
+  /** PROGRESSIVE JPEG decode (SOF2), hash-gated end-to-end — q227's
+    * gate on the multi-scan path real crawls dominantly carry:
+    * the same flat-tile rasters arrive through the spectral-selection
+    * + successive-approximation scan script (DC first at Al=1 + DC
+    * refinement, per-component AC band scans at Al=2, two AC
+    * refinement passes), so a broken EOBRUN, a mis-stepped
+    * correction-bit walk, a wrong successive-approximation shift, or
+    * a mis-ordered scan all hash-fail against the same text-derived
+    * oracle. JpegCodecSpec additionally pins progressive ≡ baseline
+    * BIT-EXACTLY on arbitrary rasters (successive approximation
+    * transmits every coefficient bit), which carries the committed
+    * python fixtures' independent pinning over to this path.
+    */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toJpegProgressive(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q229Sql = q227Sql
+
   // --------------------------------------------------------------- q103
   /** REAL audio decode, hash-gated end-to-end: documents become
     * genuine RIFF/WAVE PCM binaries (Media.toWav — full container
@@ -2555,6 +2586,7 @@ object MediaStream {
     "q216_png_decode" -> (q216 _),
     "q226_png_variants" -> (q226 _),
     "q227_jpeg_decode" -> (q227 _),
+    "q229_jpeg_progressive" -> (q229 _),
     "q103_audio_decode" -> (q103 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
@@ -2608,6 +2640,7 @@ object MediaStream {
     "q216_png_decode" -> q216Sql,
     "q226_png_variants" -> q226Sql,
     "q227_jpeg_decode" -> q227Sql,
+    "q229_jpeg_progressive" -> q229Sql,
     "q103_audio_decode" -> q103Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,

@@ -120,6 +120,59 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("PROGRESSIVE decode ≡ baseline decode, bit-exactly (successive approximation is lossless)") {
+    // the scan script transmits every coefficient bit (DC Al=1 +
+    // refine; AC bands at Al=2 + two refinement passes), so the
+    // reconstructed coefficients equal the baseline-encoded ones —
+    // stats AND aHash must match exactly on ANY raster
+    for ((w, h, seed) <- Seq((8, 8, 61), (17, 9, 62), (24, 16, 63), (5, 30, 64))) {
+      val rgb = seededBytes(3 * w * h, seed)
+      for (sub <- Seq(false, true)) {
+        val base = ImageCodec.decode(JpegCodec.encodeJpeg(rgb, w, h, sub)).toOption.get
+        val prog = JpegCodec.encodeJpegProgressive(rgb, w, h, sub)
+        val got = ImageCodec.decode(prog).toOption.get
+        assert(got === base, s"seed $seed sub=$sub")
+        assert(ImageCodec.aHash(prog).toOption.get ===
+          ImageCodec.aHash(JpegCodec.encodeJpeg(rgb, w, h, sub)).toOption.get,
+          s"seed $seed sub=$sub aHash")
+      }
+      val gray = seededBytes(w * h, seed + 100)
+      val baseG = ImageCodec.decode(JpegCodec.encodeJpegGray(gray, w, h)).toOption.get
+      val progG = ImageCodec.decode(
+        JpegCodec.encodeJpegProgressiveGray(gray, w, h)).toOption.get
+      assert(progG === baseG, s"seed $seed gray")
+    }
+  }
+
+  test("progressive flat tiles stay bit-exact end-to-end (the q229 oracle lever)") {
+    val vals = seededBytes(3 * 2, 71)
+    val gray = tiles(vals, 3, 2, 8)
+    val s = ImageCodec.decode(
+      JpegCodec.encodeJpegProgressiveGray(gray, 24, 16)).toOption.get
+    val n = gray.length
+    assert(s.rMean === gray.map(b => (b & 0xff).toLong).sum.toDouble / n)
+    assert((s.pxMin, s.pxMax) === ((gray.map(_ & 0xff).min, gray.map(_ & 0xff).max)))
+    val rgb16 = tiles(vals, 3, 2, 16).flatMap(v => Array(v, v, v))
+    val c = ImageCodec.decode(
+      JpegCodec.encodeJpegProgressive(rgb16, 48, 32, subsample = true)).toOption.get
+    val mean = vals.map(b => (b & 0xff).toLong).sum.toDouble / vals.length
+    assert((c.rMean, c.gMean, c.bMean) === ((mean, mean, mean)))
+  }
+
+  test("progressive mutations never throw (bit flips + truncations)") {
+    val good = JpegCodec.encodeJpegProgressive(seededBytes(3 * 24 * 16, 81), 24, 16,
+      subsample = true)
+    val rnd = new scala.util.Random(82)
+    for (_ <- 0 until 300) {
+      val b = good.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      JpegCodec.decode(b) // Left or Right, must not throw
+    }
+    for (cut <- 0 until good.length by 11)
+      JpegCodec.decode(good.take(cut))
+  }
+
   test("out-of-scope and malformed payloads are Left(reason), never an exception") {
     // progressive: SOF2 in place of SOF0
     val good = JpegCodec.encodeJpegGray(Array.fill(64)(10.toByte), 8, 8)
@@ -128,8 +181,13 @@ class JpegCodecSpec extends AnyFunSuite {
       while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0)) i += 1
       i
     }
+    // a baseline stream mislabeled SOF2: its full-band interleaved
+    // scan violates the progressive scan rules -> Left, not garbage
     val prog = good.clone(); prog(sofAt + 1) = 0xc2.toByte
-    assert(JpegCodec.decode(prog).left.exists(_.contains("baseline")))
+    assert(JpegCodec.decode(prog).isLeft)
+    // genuinely unsupported frame type (lossless SOF3)
+    val lossless = good.clone(); lossless(sofAt + 1) = 0xc3.toByte
+    assert(JpegCodec.decode(lossless).left.exists(_.contains("not supported")))
     // structural truncations parse as Left, never throw
     for (cut <- Seq(2, 3, 10, sofAt + 3))
       assert(ImageCodec.decode(good.take(cut)).isLeft, s"cut $cut")
