@@ -78,12 +78,19 @@ def write_png(path, w, h, color_type, rows, filters, depth=8, plte=None,
     interlace=1 emits the seven Adam7 pass sub-images (filters reset
     per pass)."""
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    bpp = nch * (depth // 8)
+    bpp = max(1, nch * (depth // 8))  # packed sub-byte rows filter at stride 1
 
     def to_line(pixels):
         samples = [v for pxl in pixels for v in pxl]
         if depth == 16:
             return [b for v in samples for b in ((v >> 8) & 0xFF, v & 0xFF)]
+        if depth < 8:  # sub-byte indexed: pack big-endian within bytes
+            lb = (len(samples) * depth + 7) // 8
+            line = [0] * lb
+            for i, v in enumerate(samples):
+                bp = i * depth
+                line[bp >> 3] |= (v & ((1 << depth) - 1)) << (8 - depth - (bp & 7))
+            return line
         return samples
 
     def filter_sub(sub_rows):
@@ -169,6 +176,21 @@ write_png(os.path.join(OUT, "palette.png"), PW, PH, 3, pidx,
           [0, 1, 2, 3, 4], plte=PLTE)
 prgb = [v for row in pidx for (i,) in row for v in PLTE[i]]
 print("palette.png", stats(prgb, 3, PW, PH))
+
+# palette4.png: the SAME indexed pixels at 4-bit depth — identical
+# stats through the packed-bit path (filters run over packed bytes)
+write_png(os.path.join(OUT, "palette4.png"), PW, PH, 3, pidx,
+          [4, 3, 2, 1, 0], depth=4, plte=PLTE)
+print("palette4.png", "same stats as palette.png (pixels identical, 4-bit)")
+
+# palette1.png: 1-bit two-entry palette, 9x4 (ragged final byte)
+P1W, P1H = 9, 4
+PLTE1 = [(10, 200, 30), (240, 5, 60)]
+p1idx = [[((x + y) % 2,) for x in range(P1W)] for y in range(P1H)]
+write_png(os.path.join(OUT, "palette1.png"), P1W, P1H, 3, p1idx,
+          [0, 2, 1, 3], depth=1, plte=PLTE1)
+p1rgb = [v for row in p1idx for (i,) in row for v in PLTE1[i]]
+print("palette1.png", stats(p1rgb, 3, P1W, P1H))
 
 # gray16.png: color type 0 at 16 bits — BE sample pairs, bpp-2 unfilter
 GW16, GH16 = 6, 4

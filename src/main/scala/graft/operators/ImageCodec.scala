@@ -17,14 +17,14 @@ package graft.operators
   *    decompresses its input the same way, `/root/reference/src/
   *    main.rs:431-433`), all five scanline filter types (None/Sub/
   *    Up/Average/Paeth), 8-bit AND 16-bit gray / RGB / gray+alpha /
-  *    RGBA plus 8-bit PLTE-indexed (type 3; stats and aHash read the
-  *    mapped RGB, out-of-range indices are parse errors), BOTH
+  *    RGBA plus PLTE-indexed (type 3) at EVERY legal depth —
+  *    1/2/4-bit packed and 8-bit (stats and aHash read the mapped
+  *    RGB, out-of-range indices are parse errors) — BOTH
   *    non-interlaced and Adam7-interlaced (each pixel arrives exactly
   *    once across the seven passes, so the streaming folds need no
-  *    raster even when interlaced). Sub-byte indexed depths (1/2/4)
-  *    remain explicit `Left`s. The raster is never materialized: rows
-  *    inflate into a two-scanline window (O(row) memory), stats and
-  *    the aHash grid stream out of it.
+  *    raster even when interlaced). The raster is never materialized:
+  *    rows inflate into a two-scanline window (O(row) memory), stats
+  *    and the aHash grid stream out of it.
   *
   * The decoder computes pixel SUMMARY STATS in a single streaming
   * pass over the payload — per-channel means, global sample min/max —
@@ -358,8 +358,8 @@ object ImageCodec {
           if (interlace != 0 && interlace != 1)
             return Left(s"png: unknown interlace method $interlace")
           if (colorType == 3) {
-            if (bitDepth != 8)
-              return Left(s"png: $bitDepth-bit palette not supported (8-bit indexed only)")
+            if (bitDepth != 1 && bitDepth != 2 && bitDepth != 4 && bitDepth != 8)
+              return Left(s"png: $bitDepth-bit palette not supported (1/2/4/8 only)")
           } else if (colorType == 0 || colorType == 2 || colorType == 4 || colorType == 6) {
             if (bitDepth != 8 && bitDepth != 16)
               return Left(s"png: bit depth $bitDepth not supported (8/16 only)")
@@ -384,14 +384,18 @@ object ImageCodec {
     if (colorType == 3 && palette == null) return Left("png: indexed image missing PLTE")
 
     val nchan = colorType match { case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4 }
-    val sampBytes = bitDepth / 8
-    val bpp = nchan * sampBytes // filter byte offset (spec: bytes per pixel, min 1)
+    // filter byte stride: bytes per pixel, min 1 (sub-byte palette
+    // depths filter on PACKED bytes with stride 1 per spec)
+    val bpp = math.max(1, nchan * bitDepth / 8)
     val colorCh = if (colorType == 0 || colorType == 4) 1 else 3
     val maxval = if (bitDepth == 16) 65535 else 255
     val paletteN = if (palette == null) 0 else palette.length / 3
     if (width.toLong * bpp > Int.MaxValue - 1)
       return Left(s"png: scanline too wide: $width x $bpp bytes")
-    val rowBytes = width * bpp
+    // bytes of one scanline of n pixels (packed for sub-byte depths)
+    def lineBytes(n: Int): Int =
+      if (bitDepth >= 8) n * bpp else (n * bitDepth + 7) / 8
+    val rowBytes = lineBytes(width)
 
     val inf = new java.util.zip.Inflater()
     try {
@@ -414,11 +418,20 @@ object ImageCodec {
       var mn = Int.MaxValue
       var mx = Int.MinValue
 
+      // palette index of pixel px: one byte at depth 8, a packed
+      // big-endian-within-byte bit field at depths 1/2/4
+      def paletteIdx(row: Array[Byte], px: Int): Int =
+        if (bitDepth == 8) row(px) & 0xff
+        else {
+          val bitPos = px * bitDepth
+          (row(bitPos >> 3) >> (8 - bitDepth - (bitPos & 7))) & ((1 << bitDepth) - 1)
+        }
+
       // channel ch of pixel px (PASS-relative index) from the
       // unfiltered row: direct for 8-bit, big-endian pair for 16-bit,
-      // PLTE lookup for indexed
+      // PLTE lookup (any depth) for indexed
       def sample(row: Array[Byte], px: Int, ch: Int): Int =
-        if (colorType == 3) palette(3 * (row(px) & 0xff) + ch) & 0xff
+        if (colorType == 3) palette(3 * paletteIdx(row, px) + ch) & 0xff
         else if (bitDepth == 16) {
           val o = px * bpp + ch * 2
           ((row(o) & 0xff) << 8) | (row(o + 1) & 0xff)
@@ -437,7 +450,7 @@ object ImageCodec {
         val passW = if (width > x0) (width - x0 + dx - 1) / dx else 0
         val passH = if (height > y0) (height - y0 + dy - 1) / dy else 0
         if (passW > 0 && passH > 0) { // empty passes carry no data
-          val prowBytes = passW * bpp
+          val prowBytes = lineBytes(passW)
           java.util.Arrays.fill(prev, 0, prowBytes, 0.toByte)
           var r0 = 0
           while (r0 < passH) {
@@ -485,8 +498,8 @@ object ImageCodec {
             // stats: color samples only (alpha excluded)
             var px = 0
             while (px < passW) {
-              if (colorType == 3 && (cur(px) & 0xff) >= paletteN)
-                return Left(s"png: palette index ${cur(px) & 0xff} out of " +
+              if (colorType == 3 && paletteIdx(cur, px) >= paletteN)
+                return Left(s"png: palette index ${paletteIdx(cur, px)} out of " +
                   s"range ($paletteN entries)")
               var ch = 0
               while (ch < colorCh) {
@@ -539,21 +552,46 @@ object ImageCodec {
       filterRows(rgb, 3 * w, h, bpp = 3), plte = None)
   }
 
-  /** 8-bit PLTE-INDEXED sibling of [[encodePng]]: one palette index
-    * per pixel, same per-row filter cycling (bpp = 1), PLTE chunk
-    * between IHDR and IDAT per spec ordering. The `Media.toPngIndexed`
-    * substrate — indexed payloads are the common web media class the
-    * decoder's palette path must cover.
+  /** PLTE-INDEXED sibling of [[encodePng]] at any legal indexed depth
+    * (8 default; 1/2/4 pack big-endian within bytes): same per-row
+    * filter cycling over the PACKED bytes (bpp = 1 per spec), PLTE
+    * chunk between IHDR and IDAT. The `Media.toPngVariants` substrate
+    * — indexed payloads are the common web media class the decoder's
+    * palette path must cover.
     */
   def encodePngIndexed(
-      indices: Array[Byte], palette: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      indices: Array[Byte], palette: Array[Byte], w: Int, h: Int,
+      depth: Int = 8): Array[Byte] = {
     require(w > 0 && h > 0, s"encodePngIndexed: bad dimensions ${w}x$h")
+    require(depth == 1 || depth == 2 || depth == 4 || depth == 8,
+      s"encodePngIndexed: bad depth $depth")
     require(indices.length == w * h,
       s"encodePngIndexed: index raster length ${indices.length} != $w*$h")
-    require(palette.length > 0 && palette.length % 3 == 0 && palette.length <= 768,
-      s"encodePngIndexed: bad palette length ${palette.length}")
-    pngContainer(w, h, depth = 8, colorType = 3,
-      filterRows(indices, w, h, bpp = 1), plte = Some(palette))
+    require(palette.length > 0 && palette.length % 3 == 0 &&
+      palette.length <= 3 * (1 << depth),
+      s"encodePngIndexed: bad palette length ${palette.length} for depth $depth")
+    val packed =
+      if (depth == 8) indices
+      else {
+        val lb = (w * depth + 7) / 8
+        val out = new Array[Byte](lb * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bitPos = x * depth
+            out(y * lb + (bitPos >> 3)) = (out(y * lb + (bitPos >> 3)) |
+              ((indices(y * w + x) & ((1 << depth) - 1)) <<
+                (8 - depth - (bitPos & 7)))).toByte
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    val lineB = if (depth == 8) w else (w * depth + 7) / 8
+    pngContainer(w, h, depth, colorType = 3,
+      filterRows(packed, lineB, h, bpp = 1), plte = Some(palette))
   }
 
   /** 16-bit GRAYSCALE sibling of [[encodePng]]: big-endian sample

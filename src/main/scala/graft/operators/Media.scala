@@ -537,17 +537,19 @@ object Media {
   }
 
   /** Documents -> the OTHER real PNG shapes a crawl carries in volume,
-    * deterministically THREE records per doc: an 8-bit PLTE-INDEXED
-    * image (media_id 3·doc_id; indices are the text bytes over a
+    * deterministically FOUR records per doc: an 8-bit PLTE-INDEXED
+    * image (media_id 4·doc_id; indices are the text bytes over a
     * (L%8+1) x (L%6+1) grid, palette [[VariantPalette]]), a 16-BIT
-    * grayscale image (media_id 3·doc_id+1; samples byte·257 — the
-    * exact 8→16-bit scale expansion), and an Adam7-INTERLACED RGB
-    * image (media_id 3·doc_id+2; the [[toPpm]] raster re-containered
-    * through the seven-pass layout). Same trick as [[toPpm]]: the
-    * all-ASCII corpus lets the q226 DuckDB oracle recover every
-    * palette index / sample from a codepoint, so the gate pins the
-    * PLTE lookup, the big-endian pair read, the bpp-stride unfilter,
-    * and the Adam7 pass walk, end-to-end on driver data.
+    * grayscale image (media_id 4·doc_id+1; samples byte·257 — the
+    * exact 8→16-bit scale expansion), an Adam7-INTERLACED RGB image
+    * (media_id 4·doc_id+2; the [[toPpm]] raster re-containered
+    * through the seven-pass layout), and a 4-BIT indexed image
+    * (media_id 4·doc_id+3; indices byte mod 16 through the packed-bit
+    * path). Same trick as [[toPpm]]: the all-ASCII corpus lets the
+    * q226 DuckDB oracle recover every palette index / sample from a
+    * codepoint, so the gate pins the PLTE lookup, the big-endian pair
+    * read, the bpp-stride unfilter, the Adam7 pass walk, and the
+    * sub-byte bit unpack, end-to-end on driver data.
     */
   def toPngVariants(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -565,12 +567,15 @@ object Media {
       .as[(Long, Int, Int, Array[Byte], Array[Byte])]
       .flatMap { case (id, w, h, px, px3) =>
         Seq(
-          MediaRecord(3 * id, "image", "png",
+          MediaRecord(4 * id, "image", "png",
             ImageCodec.encodePngIndexed(px, VariantPalette, w, h)),
-          MediaRecord(3 * id + 1, "image", "png",
+          MediaRecord(4 * id + 1, "image", "png",
             ImageCodec.encodePngGray16(px.map(b => (b & 0xff) * 257), w, h)),
-          MediaRecord(3 * id + 2, "image", "png",
-            ImageCodec.encodePngAdam7(px3, w, h)))
+          MediaRecord(4 * id + 2, "image", "png",
+            ImageCodec.encodePngAdam7(px3, w, h)),
+          MediaRecord(4 * id + 3, "image", "png",
+            ImageCodec.encodePngIndexed(px.map(b => ((b & 0xff) % 16).toByte),
+              java.util.Arrays.copyOf(VariantPalette, 48), w, h, depth = 4)))
       }
       .toDF()
   }

@@ -254,8 +254,9 @@ object MediaStream {
 
   // --------------------------------------------------------------- q226
   /** REAL PNG decode for the OTHER crawl-common shapes — 8-bit
-    * PLTE-indexed, 16-bit grayscale, and Adam7-interlaced RGB
-    * (Media.toPngVariants; three payloads per document): the q216
+    * PLTE-indexed, 16-bit grayscale, Adam7-interlaced RGB, and
+    * 4-bit packed indexed
+    * (Media.toPngVariants; four payloads per document): the q216
     * gate extended to the palette lookup, the big-endian 16-bit
     * sample read, the bpp-stride unfilter, and the seven-pass
     * interlaced walk. The oracle recovers every palette index /
@@ -302,7 +303,7 @@ object MediaStream {
       |      i -> unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS bytes
       |  FROM p),
       |idx AS (
-      |  SELECT doc_id*3 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |  SELECT doc_id*4 AS media_id, 'png' AS codec, w AS width, h AS height,
       |    CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
       |    CAST(npx AS BIGINT) AS n_pixels,
       |    floor(list_avg(bytes) * 1e6) / 1e6 AS r_mean,
@@ -316,7 +317,7 @@ object MediaStream {
       |      list_max(list_transform(bytes, v -> (v*7)%256))) AS INTEGER) AS px_max
       |  FROM b),
       |g16 AS (
-      |  SELECT doc_id*3 + 1 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |  SELECT doc_id*4 + 1 AS media_id, 'png' AS codec, w AS width, h AS height,
       |    CAST(1 AS INTEGER) AS channels, CAST(65535 AS INTEGER) AS maxval,
       |    CAST(npx AS BIGINT) AS n_pixels,
       |    floor(list_avg(list_transform(bytes, v -> v*257)) * 1e6) / 1e6 AS r_mean,
@@ -326,7 +327,7 @@ object MediaStream {
       |    CAST(list_max(bytes) * 257 AS INTEGER) AS px_max
       |  FROM b),
       |a7 AS (
-      |  SELECT doc_id*3 + 2 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |  SELECT doc_id*4 + 2 AS media_id, 'png' AS codec, w AS width, h AS height,
       |    CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
       |    CAST(npx AS BIGINT) AS n_pixels,
       |    floor(list_avg(list_transform(list_filter(range(0, 3*npx), i -> i%3 = 0),
@@ -339,8 +340,19 @@ object MediaStream {
       |      i -> unicode(px3[CAST(i AS INTEGER):CAST(i AS INTEGER)]))) AS INTEGER) AS px_min,
       |    CAST(list_max(list_transform(range(1, 3*npx + 1),
       |      i -> unicode(px3[CAST(i AS INTEGER):CAST(i AS INTEGER)]))) AS INTEGER) AS px_max
-      |  FROM p3)
+      |  FROM p3),
+      |idx4 AS (
+      |  SELECT doc_id*4 + 3 AS media_id, 'png' AS codec, w AS width, h AS height,
+      |    CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+      |    CAST(npx AS BIGINT) AS n_pixels,
+      |    floor(list_avg(list_transform(bytes, v -> v%16)) * 1e6) / 1e6 AS r_mean,
+      |    floor(list_avg(list_transform(bytes, v -> (v%16)*2)) * 1e6) / 1e6 AS g_mean,
+      |    floor(list_avg(list_transform(bytes, v -> (v%16)*7)) * 1e6) / 1e6 AS b_mean,
+      |    CAST(list_min(list_transform(bytes, v -> v%16)) AS INTEGER) AS px_min,
+      |    CAST(list_max(list_transform(bytes, v -> (v%16)*7)) AS INTEGER) AS px_max
+      |  FROM b)
       |SELECT * FROM idx UNION ALL SELECT * FROM g16 UNION ALL SELECT * FROM a7
+      |UNION ALL SELECT * FROM idx4
       |ORDER BY media_id""".stripMargin
 
   // --------------------------------------------------------------- q227
