@@ -628,3 +628,89 @@ for y in range(H422):
 n = JW * H422
 print("gradient422.jpg", dict(w=JW, h=H422, n=n, r=rs / n, g=gs / n, b=bs / n,
                               mn=mnj, mx=mxj))
+
+# --- sample.gif: INDEPENDENT GIF89a encoder (LSB-first LZW, no early
+#     change, width bump at the decoder-table schedule), SAME indexed
+#     pixels as palette.png, INTERLACED — identical stats through the
+#     four-pass walk. Spec-derived, not a port of the Scala encoder.
+def gif_encode(path, rows, pal, w, h, interlaced=False):
+    pal_n = len(pal)
+    bits = 1
+    while (1 << bits) < pal_n:
+        bits += 1
+    ct_n = 1 << bits
+    min_code = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((bits - 1) & 7))
+    out += b"\x00\x00"
+    for i in range(ct_n):
+        out += bytes(pal[i] if i < pal_n else (0, 0, 0))
+    out.append(0x2C)
+    out += struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlaced else 0x00)
+    out.append(min_code)
+
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2))) if interlaced \
+        else list(range(h))
+    stream = [rows[y][x][0] for y in order for x in range(w)]
+
+    clear = 1 << min_code
+    eoi = clear + 1
+    width = min_code + 1
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    dic = {}
+    next_code = eoi + 1
+    put(clear)
+    cur = -1
+    for k in stream:
+        if cur < 0:
+            cur = k
+        elif (cur, k) in dic:
+            cur = dic[(cur, k)]
+        else:
+            put(cur)
+            if next_code < 4096:
+                # decoder-table schedule: bump BEFORE insert at 2^width
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+                dic[(cur, k)] = next_code
+                next_code += 1
+            else:
+                put(clear)
+                dic.clear()
+                next_code = eoi + 1
+                width = min_code + 1
+            cur = k
+    if cur >= 0:
+        put(cur)
+    put(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    off = 0
+    while off < len(data):
+        ln = min(255, len(data) - off)
+        out.append(ln)
+        out += data[off:off + ln]
+        off += ln
+    out.append(0)
+    out.append(0x3B)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+gif_encode(os.path.join(OUT, "sample.gif"), pidx, PLTE, PW, PH, interlaced=True)
+print("sample.gif", "same stats as palette.png (pixels identical, interlaced GIF)")

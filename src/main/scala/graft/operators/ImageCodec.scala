@@ -65,7 +65,7 @@ object ImageCodec {
     data.length >= 2 && (
       (data(0) == 'P' && (data(1) == '5' || data(1) == '6')) ||
         (data(0) == 'B' && data(1) == 'M') ||
-        sniffPng(data) || JpegCodec.sniff(data))
+        sniffPng(data) || JpegCodec.sniff(data) || GifCodec.sniff(data))
 
   private def sniffPng(data: Array[Byte]): Boolean = {
     if (data.length < 8) return false
@@ -81,6 +81,7 @@ object ImageCodec {
     else if (data(0) == 'B' && data(1) == 'M') decodeBmp(data)
     else if (sniffPng(data)) decodePngFull(data).map(_._1)
     else if (JpegCodec.sniff(data)) JpegCodec.decode(data).map(_._1)
+    else if (GifCodec.sniff(data)) GifCodec.decode(data).map(_._1)
     else Left("image: unrecognized magic")
 
   // ------------------------------------------------------------- PNM
@@ -187,8 +188,9 @@ object ImageCodec {
   def aHash(data: Array[Byte]): Either[String, (Long, Long)] =
     if (sniffPng(data)) decodePngFull(data).map(t => packAHash(t._2))
     else if (JpegCodec.sniff(data)) JpegCodec.decode(data).map(t => packAHash(t._2))
+    else if (GifCodec.sniff(data)) GifCodec.decode(data).map(t => packAHash(t._2))
     else if (data.length < 2 || data(0) != 'P' || (data(1) != '5' && data(1) != '6'))
-      Left("ahash: not a PNM, PNG or JPEG payload")
+      Left("ahash: not a PNM, PNG, JPEG or GIF payload")
     else parsePnmHeader(data).flatMap { hd =>
       if (hd.maxval > 255) Left(s"${hd.codec}: ahash requires 8-bit samples")
       else {

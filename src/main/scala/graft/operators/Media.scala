@@ -580,6 +580,35 @@ object Media {
       .toDF()
   }
 
+  /** Documents -> REAL GIF89a payloads, deterministically: indices
+    * are the text bytes mod 16 over a (L%8+1) x (L%6+1) grid through
+    * the [[VariantPalette]] 16-entry prefix; odd docs INTERLACED (the
+    * four-pass row order). GIF is lossless on palette indices, so
+    * q230 hash-gates the LSB-first LZW decode, width schedule, and
+    * pass walk against stats the oracle re-derives from the text
+    * (byte == codepoint).
+    */
+  def toGif(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(8)) + lit(1)).cast("int"))
+      .withColumn("h", (pmod(len, lit(6)) + lit(1)).cast("int"))
+      .withColumn("npx", col("w") * col("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, px) =>
+        MediaRecord(id, "image", "gif",
+          GifCodec.encodeGif(px.map(b => ((b & 0xff) % 16).toByte),
+            java.util.Arrays.copyOf(VariantPalette, 48), w, h,
+            interlaced = id % 2 == 1))
+      }
+      .toDF()
+  }
+
   /** Documents -> REAL baseline JPEGs, deterministically — and still
     * EXACTLY oracle-checkable despite JPEG being lossy: the raster is
     * FLAT TILES (every 8x8 — or 16x16 for the 4:2:0 color variant —

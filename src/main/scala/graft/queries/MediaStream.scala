@@ -355,6 +355,60 @@ object MediaStream {
       |UNION ALL SELECT * FROM idx4
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q230
+  /** REAL GIF decode, hash-gated end-to-end — with q216/q226 (PNG),
+    * q227/q229 (JPEG) and the BMP/PPM paths this closes the web image
+    * format family: documents become genuine GIF89a payloads
+    * (Media.toGif — 16-color palette, text-byte indices, odd docs
+    * INTERLACED), and GifCodec walks the LSB-first variable-width LZW
+    * stream back. GIF is lossless on indices, so the oracle
+    * re-derives every stat from the source text through the
+    * documented palette map — a wrong width-growth schedule, a broken
+    * KwKwK, a mis-ordered interlace pass, or a bad sub-block refill
+    * all hash-fail.
+    */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toGif(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q230Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 8 + 1 AS INTEGER) AS w,
+      |    CAST(length(text) % 6 + 1 AS INTEGER) AS h
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT doc_id, w, h, w*h AS npx,
+      |    substring(repeat(text, CAST(ceil(CAST(w*h AS DOUBLE) / len) AS INTEGER)),
+      |              1, w*h) AS px
+      |  FROM d),
+      |b AS (
+      |  SELECT doc_id, w, h, npx,
+      |    list_transform(range(1, npx + 1),
+      |      i -> unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS bytes
+      |  FROM p)
+      |SELECT doc_id AS media_id, 'gif' AS codec, w AS width, h AS height,
+      |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+      |  CAST(npx AS BIGINT) AS n_pixels,
+      |  floor(list_avg(list_transform(bytes, v -> v%16)) * 1e6) / 1e6 AS r_mean,
+      |  floor(list_avg(list_transform(bytes, v -> (v%16)*2)) * 1e6) / 1e6 AS g_mean,
+      |  floor(list_avg(list_transform(bytes, v -> (v%16)*7)) * 1e6) / 1e6 AS b_mean,
+      |  CAST(list_min(list_transform(bytes, v -> v%16)) AS INTEGER) AS px_min,
+      |  CAST(list_max(list_transform(bytes, v -> (v%16)*7)) AS INTEGER) AS px_max
+      |FROM b
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q227
   /** REAL baseline JPEG decode, hash-gated end-to-end on the dominant
     * crawl image format: documents become genuine JPEGs
@@ -633,8 +687,8 @@ object MediaStream {
   // --------------------------------------------------------------- q219
   /** Mixed-format media census — the production shape a crawl's media
     * column actually has (never one format): one table mixing real
-    * PPM / PNG / JPEG / WAV / y4m payloads and undecodable blobs
-    * (doc_id % 6 routes each doc through one adapter; blobs get a
+    * PPM / PNG / JPEG / GIF / WAV / y4m payloads and undecodable
+    * blobs (doc_id % 7 routes each doc through one adapter; blobs get a
     * space prefix so no codec magic can fire), swept by ALL THREE
     * typed decoders.
     * The census pins, per format: row count, which decoder accepted
@@ -648,7 +702,7 @@ object MediaStream {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(6)) === k)
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(7)) === k)
     val mixed = Media.toPpm(bucket(0))
       .union(Media.toPng(bucket(1)))
       .union(Media.toWav(bucket(2)))
@@ -658,6 +712,7 @@ object MediaStream {
         lit("bin").as("format"),
         encode(concat(lit(" "), col("text")), "UTF-8").as("data")))
       .union(Media.toJpeg(bucket(5)))
+      .union(Media.toGif(bucket(6)))
       .as[Media.MediaRecord]
 
     // ONE pass: each record meets all three typed decoders in a single
@@ -687,20 +742,21 @@ object MediaStream {
 
   private val q219Sql =
     """SELECT format, count(*) AS n_rows,
-      |  CAST(sum(CASE WHEN b IN (0, 1, 5) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
+      |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
       |  CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
       |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
       |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
-      |  CAST(sum(CASE WHEN b IN (0, 1)
+      |  CAST(sum(CASE WHEN b IN (0, 1, 6)
       |    THEN (len % 8 + 1) * (len % 6 + 1)
-      |    WHEN b = 5 THEN 256 * (len % 3 + 1) * (len % 2 + 1)
+      |    WHEN b = 5 THEN (CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 256 END)
+      |      * (len % 3 + 1) * (len % 2 + 1)
       |    ELSE 0 END) AS BIGINT) AS px_sum,
       |  CAST(sum(CASE WHEN b = 2 THEN (len * 1000) // (len % 4000 + 4000)
       |    WHEN b = 3 THEN (len % 3 + 1) * 40 ELSE 0 END) AS BIGINT) AS dur_ms_sum
-      |FROM (SELECT doc_id % 6 AS b,
-      |        CASE doc_id % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |FROM (SELECT doc_id, doc_id % 7 AS b,
+      |        CASE doc_id % 7 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
-      |          ELSE 'bin' END AS format,
+      |          WHEN 6 THEN 'gif' ELSE 'bin' END AS format,
       |        length(text) AS len
       |      FROM documents WHERE length(text) > 0)
       |GROUP BY format
@@ -2599,6 +2655,7 @@ object MediaStream {
     "q226_png_variants" -> (q226 _),
     "q227_jpeg_decode" -> (q227 _),
     "q229_jpeg_progressive" -> (q229 _),
+    "q230_gif_decode" -> (q230 _),
     "q103_audio_decode" -> (q103 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
@@ -2653,6 +2710,7 @@ object MediaStream {
     "q226_png_variants" -> q226Sql,
     "q227_jpeg_decode" -> q227Sql,
     "q229_jpeg_progressive" -> q229Sql,
+    "q230_gif_decode" -> q230Sql,
     "q103_audio_decode" -> q103Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
