@@ -2,7 +2,6 @@ package graft.changesets
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** The analytics surface the reference delegates to downstream SQL
   * engines ("Query directly with DuckDB!", reference
@@ -81,13 +80,24 @@ object ChangesetAnalytics {
       .orderBy(col("id"))
 
   /** Changesets-per-user percentile rank — who produces the long tail.
-    * One shuffle (user agg), one global sort for the rank window.
+    * One shuffle (user agg), then the blocked prefix-count rank
+    * (Curriculum.globalRank) instead of an unpartitioned rank window:
+    * the ordering key (n_changesets, uid) is tie-free because uid is
+    * unique, so percent_rank == (row_number - 1) / (N - 1) exactly and
+    * no single-partition sort ever sees the per-editor table.
     */
   def editorPercentiles(cs: DataFrame): DataFrame = {
     val perUser = cs.filter(col("uid").isNotNull)
       .groupBy(col("uid")).agg(count(lit(1)).as("n_changesets"))
-    perUser.withColumn("pct_rank",
-      percent_rank().over(Window.orderBy(col("n_changesets"), col("uid"))))
+    val ranked = graft.operators.Curriculum.globalRank(
+      perUser, keyCol = "n_changesets", idCol = "uid", blockWidth = 1024L)
+    val total = perUser.agg(count(lit(1)).as("__n_editors"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("pct_rank",
+        when(col("__n_editors") <= 1L, lit(0.0))
+          .otherwise((col("global_rank") - 1).cast("double") /
+            (col("__n_editors") - 1).cast("double")))
+      .select(col("uid"), col("n_changesets"), col("pct_rank"))
   }
 
   /** Mean time-to-close in seconds per month, closed changesets only. */

@@ -158,18 +158,23 @@ object ChangesetConverter {
   }
 
   /** Full conversion: XML in, snappy Parquet out. Returns the row count
-    * (the reference prints it at src/main.rs:453).
+    * (the reference prints it at src/main.rs:453). The count is taken
+    * in-flight via `observe` (CollectMetrics) on the write itself — no
+    * post-write listing/footer scan of the output directory, which at
+    * 100 TB is thousands of files.
     */
   def convert(spark: SparkSession, input: String, output: String,
       opts: Options = Options()): Long = {
     val df = parse(spark, input, opts)
-    val shaped = if (opts.singleFile) df.coalesce(1) else df
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = df.observe(obs, count(lit(1)).as("rows"))
+    val shaped = if (opts.singleFile) observed.coalesce(1) else observed
     val writer = shaped.write.mode("overwrite")
       .option("compression", "snappy")
     val sized =
       if (opts.batchSize > 0) writer.option("maxRecordsPerFile", opts.batchSize)
       else writer
     sized.parquet(output)
-    spark.read.parquet(output).count()
+    obs.get("rows").asInstanceOf[Long]
   }
 }

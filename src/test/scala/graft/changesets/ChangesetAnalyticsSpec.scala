@@ -80,4 +80,35 @@ class ChangesetAnalyticsSpec extends SparkSpec {
     assert(rows.last.getAs[Double]("pct_rank") === 1.0)
     assert(rows.last.getAs[Long]("uid") === 1L)
   }
+
+  test("editorPercentiles is bit-identical to percent_rank, with tied counts") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 500 editors, counts drawn from a small range so ties in
+    // n_changesets are dense — the uid tiebreak must match exactly
+    val perCs = spark.range(0, 5000).toDF("i")
+      .select((col("i") % 500).as("uid"),
+        (col("i") * 2654435761L % 97).as("salt"))
+      .filter(col("salt") % 7 =!= 0) // uneven per-uid counts
+      .select(col("uid"), lit("u").as("user"), lit(1L).as("id"),
+        current_timestamp().as("created_at"))
+    val got = ChangesetAnalytics.editorPercentiles(perCs)
+      .orderBy(col("uid")).collect()
+    val perUser = perCs.groupBy(col("uid")).agg(count(lit(1)).as("n_changesets"))
+    val want = perUser.withColumn("pct_rank",
+        percent_rank().over(Window.orderBy(col("n_changesets"), col("uid"))))
+      .orderBy(col("uid")).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getAs[Long]("uid") === w.getAs[Long]("uid"))
+      assert(g.getAs[Long]("n_changesets") === w.getAs[Long]("n_changesets"))
+      assert(g.getAs[Double]("pct_rank") === w.getAs[Double]("pct_rank"))
+    }
+    // and the plan never sorts the per-editor table in one partition:
+    // every data-row window is partitioned (the bounded prefix windows
+    // inside globalRank run over count rows only)
+    val plan = ChangesetAnalytics.editorPercentiles(perCs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percent_rank"))
+  }
 }
