@@ -256,6 +256,44 @@ import math
 IDCTM = [[(1 / math.sqrt(2) if u == 0 else 1.0) / 2
           * math.cos((2 * x + 1) * u * math.pi / 16)
           for u in range(8)] for x in range(8)]
+
+# The 64 exact IEEE-754 bit patterns JpegCodec.IdctM embeds. Regenerating
+# fixtures under a libm whose cos/sqrt round differently would silently
+# break the bit-exact pin — so assert the runtime-computed basis matches
+# these committed patterns and fail LOUDLY on any divergence.
+IDCTM_BITS = [
+    0x3FD6A09E667F3BCC, 0x3FDF6297CFF75CB0, 0x3FDD906BCF328D46,
+    0x3FDA9B66290EA1A3, 0x3FD6A09E667F3BCD, 0x3FD1C73B39AE68C9,
+    0x3FC87DE2A6AEA964, 0x3FB8F8B83C69A60D, 0x3FD6A09E667F3BCC,
+    0x3FDA9B66290EA1A3, 0x3FC87DE2A6AEA964, 0xBFB8F8B83C69A608,
+    0xBFD6A09E667F3BCC, 0xBFDF6297CFF75CB0, 0xBFDD906BCF328D47,
+    0xBFD1C73B39AE68C8, 0x3FD6A09E667F3BCC, 0x3FD1C73B39AE68C9,
+    0xBFC87DE2A6AEA962, 0xBFDF6297CFF75CB0, 0xBFD6A09E667F3BCE,
+    0x3FB8F8B83C69A60C, 0x3FDD906BCF328D44, 0x3FDA9B66290EA1A5,
+    0x3FD6A09E667F3BCC, 0x3FB8F8B83C69A60D, 0xBFDD906BCF328D46,
+    0xBFD1C73B39AE68C8, 0x3FD6A09E667F3BCB, 0x3FDA9B66290EA1A5,
+    0xBFC87DE2A6AEA965, 0xBFDF6297CFF75CB2, 0x3FD6A09E667F3BCC,
+    0xBFB8F8B83C69A608, 0xBFDD906BCF328D47, 0x3FD1C73B39AE68C5,
+    0x3FD6A09E667F3BCE, 0xBFDA9B66290EA1A2, 0xBFC87DE2A6AEA971,
+    0x3FDF6297CFF75CB0, 0x3FD6A09E667F3BCC, 0xBFD1C73B39AE68C6,
+    0xBFC87DE2A6AEA96D, 0x3FDF6297CFF75CB0, 0xBFD6A09E667F3BC5,
+    0xBFB8F8B83C69A602, 0x3FDD906BCF328D46, 0xBFDA9B66290EA1A1,
+    0x3FD6A09E667F3BCC, 0xBFDA9B66290EA1A4, 0x3FC87DE2A6AEA967,
+    0x3FB8F8B83C69A61D, 0xBFD6A09E667F3BC9, 0x3FDF6297CFF75CB2,
+    0xBFDD906BCF328D43, 0x3FD1C73B39AE68C2, 0x3FD6A09E667F3BCC,
+    0xBFDF6297CFF75CB0, 0x3FDD906BCF328D44, 0xBFDA9B66290EA1A2,
+    0x3FD6A09E667F3BC4, 0xBFD1C73B39AE68C2, 0x3FC87DE2A6AEA95F,
+    0xBFB8F8B83C69A616,
+]
+import struct
+for x in range(8):
+    for u in range(8):
+        got = struct.unpack("<Q", struct.pack("<d", IDCTM[x][u]))[0]
+        want = IDCTM_BITS[x * 8 + u] & 0xFFFFFFFFFFFFFFFF
+        assert got == want, (
+            f"IDCT basis diverges from the committed bit pattern at "
+            f"({x},{u}): libm produced {got:016X}, JpegCodec.IdctM has "
+            f"{want:016X} — do NOT regenerate fixtures on this host")
 ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
       12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
       35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,

@@ -23,7 +23,10 @@ package graft.operators
   * subsequent frames are deltas against accumulated state);
   * transparency is ignored for stats (the transparent index still
   * maps through the palette — stats measure stored color data, the
-  * [[ImageCodec]] alpha rule).
+  * [[ImageCodec]] alpha rule); COMPOSITING — reported width/height
+  * are the first frame's own (frame-local), not the logical screen's,
+  * and the descriptor's left/top offsets are not applied (stats and
+  * the aHash grid describe the stored raster, not a canvas paint).
   *
   * Malformed input is a Left, never an exception (the decodeImages
   * error-channel discipline).
@@ -110,7 +113,10 @@ object GifCodec {
       d: Array[Byte], start: Int, w: Int, h: Int,
       palette: Array[Byte], interlaced: Boolean): Either[String, (ImageStats, Array[Int])] = {
     val minCode = d(start) & 0xff
-    if (minCode < 2 || minCode > 11) return Left(s"gif: bad LZW minimum code size $minCode")
+    // spec bound: palettes cap at 256 entries, so the minimum code
+    // size is 2..8 (a larger value is malformed — other decoders
+    // reject it; accepting it would let clear/EOI collide with data)
+    if (minCode < 2 || minCode > 8) return Left(s"gif: bad LZW minimum code size $minCode")
     var pos = start + 1
     val paletteN = palette.length / 3
 

@@ -15,7 +15,10 @@ package graft.operators
   *    resetting predictors and EOB runs
   *  - sampling factors 1 and 2 per axis — 4:4:4, 4:2:2, 4:2:0, 4:4:0
   *    all fall out of the generic MCU walk; chroma upsampling is
-  *    nearest-neighbor (index scaling), the JFIF-common choice
+  *    nearest-neighbor (index scaling), the JFIF-common choice;
+  *    single-component frames normalize declared factors to 1x1
+  *    (T.81 A.2.2 — a one-component scan is non-interleaved, so the
+  *    factors do not shape the block grid; libjpeg does the same)
   *  - DQT 8- and 16-bit precision tables, multi-table segments; DHT
   *    multi-table segments with canonical-code validation; DRI +
   *    RST0-7 restart markers (byte-aligned, DC predictors reset);
@@ -27,6 +30,9 @@ package graft.operators
   *    arithmetic-coded frames (SOF3, SOF5-15)
   *  - 12-bit precision, 2- or 4-component frames (CMYK), sampling
   *    factors above 2
+  *  - SEQUENTIAL frames entropy-coded as one scan per component
+  *    (multiple SOS in a SOF0 frame — legal but rare; only the
+  *    single interleaved scan is decoded, others get an error row)
   *
   * The BASELINE decode is MCU-ROW streaming: per component one plane
   * buffer of 8·v rows (O(width) memory — the decodePngFull rule),
@@ -69,9 +75,11 @@ object JpegCodec {
 
   /** IDCT basis M(x)(u) = C(u)/2 · cos((2x+1)uπ/16), embedded as
     * exact IEEE-754 bit patterns: scripts/gen_image_fixtures.py
-    * carries the IDENTICAL 64 longs and the identical summation
-    * order, so fixture stats pin the decoder bit-for-bit through an
-    * independent implementation.
+    * carries the IDENTICAL 64 longs (IDCTM_BITS, asserted against its
+    * own cos/sqrt-computed basis at generation time so a divergent
+    * libm fails loudly instead of silently unpinning the fixtures)
+    * and the identical summation order, so fixture stats pin the
+    * decoder bit-for-bit through an independent implementation.
     */
   private[operators] val IdctM: Array[Array[Double]] = {
     val bits = Array(
@@ -470,6 +478,16 @@ object JpegCodec {
             val hv = d(o + 1) & 0xff
             Comp(d(o) & 0xff, hv >> 4, hv & 15, d(o + 2) & 0xff)
           }
+          if (nc == 1) {
+            // T.81 A.2.2: a single-component scan is non-interleaved —
+            // its data units cover the ceil(w/8) x ceil(h/8) grid and
+            // the declared sampling factors do NOT shape the walk, so
+            // a legal grayscale frame may declare 2x2 and still carry
+            // one block per 8x8 tile. Normalize to 1x1 (libjpeg
+            // behavior); the interleaved MCU walk then IS the
+            // non-interleaved grid.
+            comps = comps.map(c => c.copy(h = 1, v = 1))
+          }
           for (c <- comps) {
             if (c.h < 1 || c.h > 2 || c.v < 1 || c.v > 2)
               return Left(s"jpeg: sampling factor ${c.h}x${c.v} not supported (1/2 only)")
@@ -536,8 +554,13 @@ object JpegCodec {
             val len = segLen(pos)
             val b = pos + 2
             val ns = d(b) & 0xff
+            // sequential frames split across one-scan-per-component
+            // SOS segments (legal SOF0, rare in the wild) are OUT of
+            // scope — the baseline path is single-interleaved-scan
+            // only; such files get this error row, never garbage
             if (ns != comps.length)
-              return Left(s"jpeg: scan components $ns != frame components ${comps.length}")
+              return Left(s"jpeg: scan components $ns != frame components ${comps.length}" +
+                " (multi-scan sequential out of scope)")
             scanDc = new Array[Int](ns)
             scanAc = new Array[Int](ns)
             var i = 0

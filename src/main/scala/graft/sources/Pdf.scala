@@ -57,7 +57,11 @@ object Pdf {
       nSkipped: Int, // streams with out-of-scope filters
       nShows: Int, // show operators that contributed text
       text: String,
-      nAscii: Int = 0) // chains that included an ASCIIHex/85 stage
+      nAscii: Int = 0, // chains that included an ASCIIHex/85 stage
+      nImages: Int = 0, // /Subtype /Image XObjects decoded to stats
+      nImageSkipped: Int = 0, // image XObjects out of scope / failed
+      imgPx: Long = 0L, // sum of decoded image pixel counts (w*h)
+      imgMeanSum: Double = 0.0) // sum of per-image gray means
 
   def sniff(data: Array[Byte]): Boolean =
     data.length >= 5 && data(0) == '%' && data(1) == 'P' &&
@@ -348,10 +352,23 @@ object Pdf {
     } finally inf.end()
   }
 
+  /** PDF delimiter or whitespace byte (spec §7.2.2-3): token
+    * boundaries for the shows scanner.
+    */
+  private def isDelim(ch: Char): Boolean = ch match {
+    case '\u0000' | '\t' | '\n' | '\f' | '\r' | ' ' => true
+    case '(' | ')' | '<' | '>' | '[' | ']' | '{' | '}' | '/' | '%' => true
+    case _ => false
+  }
+
   /** Scan one decoded content stream for Tj/TJ/'/" shows; returns the
     * concatenated shown text and the show-op count. PDF comments (%)
-    * are skipped; a literal not consumed by a show op contributes
-    * nothing (it was some other operator's operand).
+    * are skipped. Name tokens are consumed wholesale (apostrophes are
+    * REGULAR chars per §7.2.2, so `/F1'` is one name, never a show
+    * op), `'`/`"` count as operators only when delimiter-bounded on
+    * the left, and any other alphabetic operator token drops the
+    * pending literal (operands bind to the NEXT operator only — a
+    * stale literal must not be flushed by a distant show op).
     */
   private def showsFrom(c: String): (String, Int) = {
     val out = new StringBuilder
@@ -382,10 +399,17 @@ object Pdf {
           if (arr != null) arr.append(lit) else lastLit = lit
           i = end
         }
+      } else if (ch == '/') {
+        // name token: '/' plus every following REGULAR char (which
+        // includes ' and " — they never act as operators inside one)
+        var j = i + 1
+        while (j < c.length && !isDelim(c(j))) j += 1
+        i = j
       } else if (ch == '\'' || ch == '"') {
-        // move-and-show / spacing-and-show: the string operand is the
-        // pending literal (the aw/ac numbers were skipped as tokens)
-        show()
+        // move-and-show / spacing-and-show: only as a standalone
+        // token (delimiter-bounded on the left); the string operand
+        // is the pending literal (aw/ac numbers were skipped)
+        if (i == 0 || isDelim(c(i - 1))) show()
         i += 1
       } else if ((ch >= 'A' && ch <= 'Z') || (ch >= 'a' && ch <= 'z')) {
         var j = i
@@ -393,6 +417,7 @@ object Pdf {
           (c(j) >= 'a' && c(j) <= 'z') || c(j) == '*')) j += 1
         val tok = c.substring(i, j)
         if (tok == "Tj" || tok == "TJ") show()
+        else if (arr == null) lastLit = null // operand consumed by a non-show op
         i = j
       } else i += 1
     }

@@ -93,4 +93,20 @@ class GifCodecSpec extends AnyFunSuite {
     // decoder's range check is covered by the q230 adapter contract
     assert(GifCodec.decode(bad).isRight)
   }
+
+  test("LZW minimum code size is spec-bounded to 2..8") {
+    val pal = Array[Byte](0, 0, 0, 10, 10, 10, 20, 20, 20, 30, 30, 30)
+    val good = GifCodec.encodeGif(Array[Byte](0, 1, 2, 3), pal, 2, 2)
+    assert(GifCodec.decode(good).isRight)
+    // the min-code byte sits right after the 10-byte image descriptor:
+    // header 6 + LSD 7 + GCT 12 + separator/descriptor 10
+    val minCodePos = 6 + 7 + 12 + 10
+    assert((good(minCodePos) & 0xff) === 2)
+    for (bad <- Seq(1, 9, 11)) {
+      val b = good.clone()
+      b(minCodePos) = bad.toByte
+      val r = GifCodec.decode(b)
+      assert(r.isLeft && r.left.exists(_.contains("minimum code size")), s"minCode=$bad")
+    }
+  }
 }

@@ -206,4 +206,28 @@ class JpegCodecSpec extends AnyFunSuite {
       JpegCodec.decode(b) // Left or Right, must not throw
     }
   }
+
+  test("grayscale frames with declared 2x2 sampling decode identically to 1x1 (T.81 A.2.2)") {
+    // legal files: single-component scans are non-interleaved, so the
+    // declared factors must not shape the block walk — including on
+    // non-MCU-multiple dims where a 2x2 walk would mis-place blocks
+    for ((w, h, seed) <- Seq((24, 16, 11), (20, 12, 12), (8, 8, 13))) {
+      val raster = seededBytes(w * h, seed)
+      val jpg = JpegCodec.encodeJpegGray(raster, w, h)
+      val sofAt = {
+        var i = 2
+        while (!((jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc0)) i += 1
+        i
+      }
+      // component spec: len(2) prec(1) h(2) w(2) nc(1) id(1) HV(1)
+      val hvAt = sofAt + 2 + 2 + 1 + 2 + 2 + 1 + 1
+      assert((jpg(hvAt) & 0xff) === 0x11)
+      val declared22 = jpg.clone(); declared22(hvAt) = 0x22.toByte
+      val a = JpegCodec.decode(jpg)
+      val b = JpegCodec.decode(declared22)
+      assert(b.isRight, s"${w}x$h: 2x2-declared grayscale must decode")
+      assert(a.map(_._1) === b.map(_._1), s"${w}x$h stats")
+      assert(a.map(_._2.toSeq) === b.map(_._2.toSeq), s"${w}x$h grid")
+    }
+  }
 }
