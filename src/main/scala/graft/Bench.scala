@@ -104,6 +104,48 @@ object Bench {
       val sorted = times.asScala.toSeq.sorted
       (sorted(sorted.size / 2), sorted.last)
     }
+    // MEMORY-BANDWIDTH calibration (r18, the r17-adjudication lesson):
+    // both register-loop calibs stayed flat (+0% single-core min,
+    // +5% all-cores median) across the r16→r17 driver artifacts while
+    // memory-streaming work — converter parse throughput, the
+    // shuffle/export heavies — ran 1.5-2x slower, and the r16 CODE
+    // re-probed on the degraded box reproduced the elevated numbers.
+    // A frequency-bound integer loop cannot see a neighbor saturating
+    // the memory controllers; a 256 MiB streaming sweep (beyond any
+    // LLC) can. Cross-round rule: totals are comparable only between
+    // sweeps whose membw numbers agree within ~15%.
+    val (membwSt, membwMt) = {
+      val words = 1 << 25 // 256 MiB of longs
+      val arr = new Array[Long](words)
+      java.util.Arrays.fill(arr, 0x9E3779B97F4A7C15L)
+      def sweep(from: Int, until: Int): Long = {
+        var s = 0L; var i = from
+        while (i < until) { s += arr(i); i += 1 }
+        s
+      }
+      def onePass(): Double = {
+        val t0 = System.nanoTime()
+        if (sweep(0, words) == 42L) System.err.println("")
+        (System.nanoTime() - t0) / 1e9
+      }
+      onePass() // fault pages in
+      val st = Seq(onePass(), onePass()).min
+      val n = Runtime.getRuntime.availableProcessors()
+      val chunk = words / n
+      def mtPass(): Double = {
+        val t0 = System.nanoTime()
+        val ts = (0 until n).map { k =>
+          new Thread(() => {
+            var r = 0
+            while (r < 4) { if (sweep(k * chunk, (k + 1) * chunk) == 42L) System.err.println(""); r += 1 }
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e9
+      }
+      val mt = Seq(mtPass(), mtPass()).min
+      (words.toLong * 8 / st / 1e9, words.toLong * 8 * 4 / mt / 1e9)
+    }
 
     def once(name: String, dir: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -401,6 +443,7 @@ object Bench {
         s""""converter":$conv,"converter_fast":$convFast,"ann_split":$annSplit,""" +
         s""""calib_sec":${r3(calib)},"calib_mt_sec":${r3(calibMt)},""" +
         s""""run_spread_sec":${r3(runSpread)},"calib_mt_ratio":${r3(mtRatio)},""" +
+        s""""membw_gbs":${r3(membwSt)},"membw_mt_gbs":${r3(membwMt)},""" +
         s""""quiet_gate":$quietGate,"tier_cold1":${results.count(_._2.coldTier)},""" +
         s""""detail":"bench_detail.json","perf_doc":"PERF.md","sf":"$sfDir"}""")
     spark.stop()
