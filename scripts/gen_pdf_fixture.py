@@ -128,3 +128,51 @@ expected = ("Fixture (one): back\\slash" + "ab c" + "def"
 print("sample.pdf", dict(n_streams=5, n_flate=2, n_raw=1, n_ascii=2,
                          n_shows=8, lzw_head=lzw_text[:24].decode("latin-1"),
                          text_len=len(expected)))
+
+# ---- sample_img.pdf: image XObjects (r18) ---------------------------
+# Embeds (a) the committed flat.jpg (itself python-encoded by
+# gen_image_fixtures.py - an independent JPEG) behind /DCTDecode and
+# (b) a 4x3 DeviceRGB raster of bytes 0..35 behind /FlateDecode, plus
+# one raw content stream. PdfSpec pins: text untouched by the rasters,
+# n_images=2, img_px = flat.jpg pixels + 12, and the byte-sum contract.
+with open(os.path.join(OUT, "flat.jpg"), "rb") as f:
+    flat_jpg = f.read()
+raster = bytes(range(36))  # 4x3 RGB, bytes 0..35
+z_raster = zlib.compress(raster, 6)
+content_i = b"BT /F1 12 Tf 72 720 Td (with images) Tj ET q 96 0 0 96 72 560 cm /Im1 Do Q"
+
+iobjs = []
+iobjs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+iobjs.append(b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+iobjs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+             b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> "
+             b"/XObject << /Im1 6 0 R /Im2 7 0 R >> >> >>")
+iobjs.append(b"<< /Length %d >>\nstream\n" % len(content_i)
+             + content_i + b"\nendstream")
+iobjs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+iobjs.append(b"<< /Type /XObject /Subtype /Image /Width 24 /Height 16 "
+             b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+             b"/Filter /DCTDecode /Length %d >>\nstream\n" % len(flat_jpg)
+             + flat_jpg + b"\nendstream")
+iobjs.append(b"<< /Type /XObject /Subtype /Image /Width 4 /Height 3 "
+             b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+             b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(z_raster)
+             + z_raster + b"\nendstream")
+
+ipdf = b"%PDF-1.4\n"
+ioffsets = [0]
+for i, o in enumerate(iobjs, start=1):
+    ioffsets.append(len(ipdf))
+    ipdf += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+ixref = len(ipdf)
+ipdf += b"xref\n0 %d\n0000000000 65535 f \n" % (len(iobjs) + 1)
+for off in ioffsets[1:]:
+    ipdf += b"%010d 00000 n \n" % off
+ipdf += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+    len(iobjs) + 1, ixref)
+
+with open(os.path.join(OUT, "sample_img.pdf"), "wb") as f:
+    f.write(ipdf)
+print("sample_img.pdf", dict(n_streams=3, n_images=2,
+                             raster_mean=sum(raster) / len(raster),
+                             text="with images"))

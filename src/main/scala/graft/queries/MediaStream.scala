@@ -687,10 +687,12 @@ object MediaStream {
   // --------------------------------------------------------------- q219
   /** Mixed-format media census — the production shape a crawl's media
     * column actually has (never one format): one table mixing real
-    * PPM / PNG / JPEG / GIF / WAV / y4m payloads and undecodable
-    * blobs (doc_id % 7 routes each doc through one adapter; blobs get a
-    * space prefix so no codec magic can fire), swept by ALL THREE
-    * typed decoders.
+    * PPM / PNG / JPEG / GIF / WAV / y4m / image-bearing-PDF payloads
+    * and undecodable blobs (doc_id % 8 routes each doc through one
+    * adapter; blobs get a space prefix so no codec magic can fire),
+    * swept by all three typed media decoders PLUS the PDF extractor
+    * (r18: the pdf bucket embeds a /Subtype /Image XObject whose
+    * decoded pixels feed px_sum — the census now sees inside PDFs).
     * The census pins, per format: row count, which decoder accepted
     * it (images must reject audio bytes and vice versa — the
     * cross-format REJECTION is the point), the error-channel
@@ -702,7 +704,7 @@ object MediaStream {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(7)) === k)
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(8)) === k)
     val mixed = Media.toPpm(bucket(0))
       .union(Media.toPng(bucket(1)))
       .union(Media.toWav(bucket(2)))
@@ -713,27 +715,31 @@ object MediaStream {
         encode(concat(lit(" "), col("text")), "UTF-8").as("data")))
       .union(Media.toJpeg(bucket(5)))
       .union(Media.toGif(bucket(6)))
+      .union(graft.sources.Pdf.toPdfsWithImages(bucket(7)))
       .as[Media.MediaRecord]
 
-    // ONE pass: each record meets all three typed decoders in a single
-    // mapPartitions (cross-format REJECTION included) — no re-scan of
-    // the payload bytes per modality, no media_id re-joins; the only
-    // exchange left is the 5-group format rollup
+    // ONE pass: each record meets all three typed decoders AND the
+    // pdf sniff in a single mapPartitions (cross-format REJECTION
+    // included) — no re-scan of the payload bytes per modality, no
+    // media_id re-joins; the only exchange left is the format rollup
     val per = mixed.map { m =>
       val img = graft.operators.ImageCodec.decode(m.data).toOption
       val aud = graft.operators.AudioCodec.decode(m.data).toOption
       val vid = graft.operators.VideoCodec.decode(m.data).toOption
+      val pdf = if (graft.sources.Pdf.sniff(m.data))
+        graft.sources.Pdf.extractText(m.data).toOption else None
       (m.format,
-        img.isDefined, aud.isDefined, vid.isDefined,
-        img.isEmpty && aud.isEmpty && vid.isEmpty,
-        img.map(_.nPixels).getOrElse(0L),
+        img.isDefined, aud.isDefined, vid.isDefined, pdf.isDefined,
+        img.isEmpty && aud.isEmpty && vid.isEmpty && pdf.isEmpty,
+        img.map(_.nPixels).getOrElse(0L) + pdf.map(_.imgPx).getOrElse(0L),
         aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L))
-    }.toDF("format", "i_ok", "a_ok", "v_ok", "is_err", "px", "ms")
+    }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "is_err", "px", "ms")
     per.groupBy(col("format"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("i_ok"), 1L).otherwise(0L)).as("img_ok"),
         sum(when(col("a_ok"), 1L).otherwise(0L)).as("aud_ok"),
         sum(when(col("v_ok"), 1L).otherwise(0L)).as("vid_ok"),
+        sum(when(col("p_ok"), 1L).otherwise(0L)).as("pdf_ok"),
         sum(when(col("is_err"), 1L).otherwise(0L)).as("n_err"),
         sum(col("px")).as("px_sum"),
         sum(col("ms")).as("dur_ms_sum"))
@@ -745,18 +751,20 @@ object MediaStream {
       |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
       |  CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
       |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
+      |  CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS pdf_ok,
       |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
       |  CAST(sum(CASE WHEN b IN (0, 1, 6)
       |    THEN (len % 8 + 1) * (len % 6 + 1)
       |    WHEN b = 5 THEN (CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 256 END)
       |      * (len % 3 + 1) * (len % 2 + 1)
+      |    WHEN b = 7 THEN 64 * (len % 3 + 1) * (len % 2 + 1)
       |    ELSE 0 END) AS BIGINT) AS px_sum,
       |  CAST(sum(CASE WHEN b = 2 THEN (len * 1000) // (len % 4000 + 4000)
       |    WHEN b = 3 THEN (len % 3 + 1) * 40 ELSE 0 END) AS BIGINT) AS dur_ms_sum
-      |FROM (SELECT doc_id, doc_id % 7 AS b,
-      |        CASE doc_id % 7 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |FROM (SELECT doc_id, doc_id % 8 AS b,
+      |        CASE doc_id % 8 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
-      |          WHEN 6 THEN 'gif' ELSE 'bin' END AS format,
+      |          WHEN 6 THEN 'gif' WHEN 7 THEN 'pdf' ELSE 'bin' END AS format,
       |        length(text) AS len
       |      FROM documents WHERE length(text) > 0)
       |GROUP BY format
@@ -799,6 +807,67 @@ object MediaStream {
       |  CAST(4 AS INTEGER) AS n_shows,
       |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
       |FROM documents WHERE length(text) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q231
+  /** PDF-EMBEDDED image XObjects (r18, verdict task #2) — real-crawl
+    * PDFs are image-heavy, and the repo owns complete JPEG and zlib
+    * decoders, so `/Subtype /Image` streams now decode instead of
+    * skipping. Documents become PDFs that each EMBED one image
+    * (sources.Pdf.toPdfsWithImages): even docs a /FlateDecode
+    * DeviceRGB raster (toPpm geometry), odd docs a /DCTDecode
+    * grayscale flat-tile JPEG (toJpeg geometry, DC-only unit-quant →
+    * bit-exact), every third additionally behind an /ASCIIHexDecode
+    * transport stage. The oracle never parses a PDF OR an image: the
+    * pixel count and the decoded gray mean are pure text arithmetic
+    * (the toPpm/toJpeg trick), and the extracted TEXT must still
+    * equal the q220 ground truth — proving the raster never leaks
+    * into the shows channel. A mis-framed XObject, a broken DCT
+    * route, a chain misapplied on an image, or one raster byte in
+    * the text all hash-fail.
+    */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Pdf.toPdfsWithImages(t(s, dir, "documents"))
+      .as[Media.MediaRecord]
+    // exact-integer contract: the decoded mean times the number of
+    // SOURCE bytes recovers the raster byte sum exactly (sums are far
+    // below 2^52, so the double round-trips) — no float tolerance in
+    // the gate. Even docs: mean over 3*w*h rgb bytes (= 3*img_px);
+    // odd: the flat-tile mean times the tile count (= img_px/64).
+    graft.sources.Pdf.extractRows(media).toDF()
+      .filter(col("ok"))
+      .withColumn("nb",
+        when(pmod(col("media_id"), lit(2)) === 0, col("img_px") * 3)
+          .otherwise(col("img_px") / 64))
+      .select(col("media_id").as("doc_id"),
+        col("n_images"), col("n_image_skipped"), col("img_px"),
+        round(col("img_mean_sum") * col("nb")).cast("long").as("img_byte_sum"),
+        col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q231Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len
+      |  FROM documents WHERE length(text) > 0),
+      |geo AS (
+      |  SELECT doc_id, text, len,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 3 * (len % 8 + 1) * (len % 6 + 1)        -- rgb raster bytes
+      |      ELSE (len % 3 + 1) * (len % 2 + 1) END AS nb, -- gray tile values
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN CAST((len % 8 + 1) * (len % 6 + 1) AS BIGINT)
+      |      ELSE CAST(64 * (len % 3 + 1) * (len % 2 + 1) AS BIGINT) END AS img_px
+      |  FROM d)
+      |SELECT doc_id, CAST(1 AS INTEGER) AS n_images,
+      |  CAST(0 AS INTEGER) AS n_image_skipped, img_px,
+      |  CAST(list_sum(list_transform(range(1, nb + 1),
+      |    i -> unicode(substring(text,
+      |           CAST((i - 1) % len + 1 AS INTEGER), 1)))) AS BIGINT)
+      |    AS img_byte_sum,
+      |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
+      |FROM geo
       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- q221
@@ -2646,6 +2715,7 @@ object MediaStream {
     "q121_image_near_dup" -> (q121 _),
     "q219_mixed_media_census" -> (q219 _),
     "q220_pdf_extract" -> (q220 _),
+    "q231_pdf_images" -> (q231 _),
     "q221_mixed_crawl_extract" -> (q221 _),
     "q123_image_dedup_apply" -> (q123 _),
     "q129_audio_near_dup" -> (q129 _),
@@ -2701,6 +2771,7 @@ object MediaStream {
     "q121_image_near_dup" -> q121Sql,
     "q219_mixed_media_census" -> q219Sql,
     "q220_pdf_extract" -> q220Sql,
+    "q231_pdf_images" -> q231Sql,
     "q221_mixed_crawl_extract" -> q221Sql,
     "q123_image_dedup_apply" -> q123Sql,
     "q129_audio_near_dup" -> q129Sql,

@@ -30,12 +30,22 @@ import org.apache.spark.sql.functions._
   *    stream order — TJ's interleaved numbers are kerning, not
   *    spacing, so array elements concatenate
   *
+  *  - `/Subtype /Image` XObjects (r18): filter chains ending in
+  *    /DCTDecode decode through the in-house JPEG codec; raw or
+  *    standard-filter rasters (/BitsPerComponent 8, /DeviceRGB or
+  *    /DeviceGray) fold through the shared PNM stats path — per-doc
+  *    `n_images` / `img_px` / `img_mean_sum` feed the census and the
+  *    q231 gate; the raster never touches the text channel
+  *
   * OUT of scope (documented, surfaced as error rows or skip counts,
   * never silent garbage):
   *  - encrypted documents (`/Encrypt` in a trailer) → error row
-  *  - lossy/image filters (DCTDecode, JPXDecode, CCITTFax, JBIG2, …)
-  *    and LZW with a non-default /EarlyChange or /Predictor → stream
-  *    counted in `n_skipped`, extraction continues
+  *  - lossy/image filters on CONTENT streams (DCTDecode, JPXDecode,
+  *    CCITTFax, JBIG2, …) and LZW with a non-default /EarlyChange or
+  *    /Predictor → stream counted in `n_skipped`, extraction continues
+  *  - image XObjects with foreign codecs (CCITT/JBIG2/JPX), predictor
+  *    rows, sub-8-bit/16-bit samples, or palette/ICC/CMYK color
+  *    spaces → counted in `n_image_skipped`
   *  - object streams (/ObjStm — may not contain content streams per
   *    spec §7.5.7, so the linear content scan is unaffected by them),
   *    font/CMap decoding (bytes are taken as standard-encoding
@@ -80,6 +90,10 @@ object Pdf {
     var nSkipped = 0
     var nShows = 0
     var nAscii = 0
+    var nImages = 0
+    var nImageSkipped = 0
+    var imgPx = 0L
+    var imgMeanSum = 0.0
     val text = new StringBuilder
 
     var from = 0
@@ -122,7 +136,24 @@ object Pdf {
               }
             }
           if (de > s.length) { from = sp + 6 }
-          else {
+          else if ("/Subtype\\s*/Image".r.findFirstIn(dict).isDefined) {
+            // image XObject: the raster never feeds the shows scanner;
+            // decode it to stats through the shared image codecs
+            // (DCTDecode tails route to the in-house JPEG decoder,
+            // standard-filter rasters wrap as PNM) — out-of-scope
+            // images count skipped, never garble the text channel
+            nStreams += 1
+            decodeImageXObject(dict, data, ds, de) match {
+              case Some(st) =>
+                nImages += 1
+                imgPx += st.nPixels
+                imgMeanSum +=
+                  (if (st.channels == 1) st.rMean
+                   else (st.rMean + st.gMean + st.bMean) / 3.0)
+              case None => nImageSkipped += 1
+            }
+            from = math.max(de, sp + 6)
+          } else {
             nStreams += 1
             val filters = filtersOf(dict)
             val body: Option[Array[Byte]] =
@@ -176,7 +207,69 @@ object Pdf {
       }
     }
     Right(PdfExtract(nStreams, nFlate, nRaw, nSkipped, nShows, text.toString,
-      nAscii))
+      nAscii, nImages, nImageSkipped, imgPx, imgMeanSum))
+  }
+
+  /** Decode a `/Subtype /Image` XObject's stream to image stats. The
+    * repo owns complete JPEG and zlib decoders, so the r17 scoping
+    * ("lossy/image filters skipped") narrows to genuinely foreign
+    * codecs. IN scope:
+    *  - a filter chain ENDING in /DCTDecode (any standard transport
+    *    stages before it) → the in-house baseline/progressive JPEG
+    *    decoder ([[graft.operators.JpegCodec]])
+    *  - raw or standard-filter rasters with /BitsPerComponent 8 and
+    *    /ColorSpace /DeviceRGB or /DeviceGray → framed as P6/P5 and
+    *    folded by the shared PNM stats path (one copy, O(raster))
+    * OUT of scope → None, counted `n_image_skipped`: CCITT/JBIG2/JPX
+    * filters, /Predictor rows, sub-8-bit or 16-bit samples, palette /
+    * ICC / CMYK color spaces, short payloads. Never silent garbage.
+    */
+  private def decodeImageXObject(dict: String, data: Array[Byte],
+      ds: Int, de: Int): Option[graft.operators.ImageCodec.ImageStats] = {
+    val filters = filtersOf(dict)
+    val isDct = filters.nonEmpty &&
+      (filters.last == "DCTDecode" || filters.last == "DCT")
+    val transport = if (isDct) filters.dropRight(1) else filters
+    val lzwDefault = !"/EarlyChange\\s+0".r.findFirstIn(dict).isDefined &&
+      !dict.contains("/Predictor")
+    var cur: Option[Array[Byte]] =
+      Some(java.util.Arrays.copyOfRange(data, ds, de))
+    transport.foreach { f =>
+      if (cur.isDefined) f match {
+        case "FlateDecode" | "Fl" => cur = inflate(cur.get, 0, cur.get.length)
+        case "ASCIIHexDecode" | "AHx" => cur = Some(asciiHexDecode(cur.get))
+        case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur.get)
+        case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur.get)
+        case "LZWDecode" | "LZW" if lzwDefault => cur = lzwDecode(cur.get)
+        case _ => cur = None
+      }
+    }
+    cur.flatMap { bytes =>
+      if (isDct) graft.operators.ImageCodec.decode(bytes).toOption
+      else {
+        def num(k: String): Option[Int] =
+          (k + "\\s+(\\d+)").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        val cs = "/ColorSpace\\s*/([A-Za-z0-9]+)".r
+          .findFirstMatchIn(dict).map(_.group(1))
+        (num("/Width"), num("/Height"), num("/BitsPerComponent"), cs) match {
+          case (Some(w), Some(h), Some(8), Some(space))
+              if w > 0 && h > 0 &&
+                (space == "DeviceRGB" || space == "DeviceGray") =>
+            val ch = if (space == "DeviceGray") 1 else 3
+            val need = w.toLong * h * ch
+            if (need > bytes.length || need > Int.MaxValue - 32) None
+            else {
+              val hdr = s"P${if (ch == 1) 5 else 6}\n$w $h\n255\n"
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+              val pnm = new Array[Byte](hdr.length + need.toInt)
+              System.arraycopy(hdr, 0, pnm, 0, hdr.length)
+              System.arraycopy(bytes, 0, pnm, hdr.length, need.toInt)
+              graft.operators.ImageCodec.decode(pnm).toOption
+            }
+          case _ => None
+        }
+      }
+    }
   }
 
   /** The /Filter value as an ordered name list: a single `/Name` or a
@@ -525,6 +618,62 @@ object Pdf {
       .toDF("media_id", "kind", "format", "data")
   }
 
+  /** [[toPdfs]] plus one embedded `/Subtype /Image` XObject per
+    * document — the q231 adapter. Text payloads keep the q220 mode
+    * rotation (doc_id % 6), so image presence provably never perturbs
+    * the text channel; the image rotates doc_id % 2:
+    *  - EVEN: /FlateDecode DeviceRGB raster with [[Media.toPpm]]'s
+    *    geometry — w = L%8+1, h = L%6+1, bytes = the text repeated to
+    *    3wh (the oracle recomputes mean = avg of those codepoints)
+    *  - ODD: /DCTDecode grayscale flat-tile JPEG with
+    *    [[Media.toJpeg]]'s gray geometry — tw = L%3+1, th = L%2+1,
+    *    8x8 tiles of the first tw*th repeated text bytes; DC-only
+    *    unit-quant tiles decode BIT-exactly, so the decoded mean is
+    *    again pure text arithmetic
+    * and every doc_id % 3 == 0 image additionally rides an
+    * /ASCIIHexDecode transport stage — filter CHAINS on image
+    * XObjects sit on the oracle gate too.
+    */
+  def toPdfsWithImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val modes = Array("raw", "flate", "hex", "a85flate", "rle", "lzw")
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val L = t.length
+        val hexed = id % 3 == 0
+        val img =
+          if (id % 2 == 0) {
+            val w = L % 8 + 1
+            val h = L % 6 + 1
+            val raster = Array.tabulate(3 * w * h)(i => t((i % L)).toByte)
+            val defl = deflateBytes(raster)
+            if (hexed)
+              PdfImage(w, h, gray = false,
+                " /Filter [/ASCIIHexDecode /FlateDecode]", asciiHexEncode(defl))
+            else PdfImage(w, h, gray = false, " /Filter /FlateDecode", defl)
+          } else {
+            val tw = L % 3 + 1
+            val th = L % 2 + 1
+            val vals = Array.tabulate(tw * th)(i => t(i % L).toByte)
+            val w = 8 * tw
+            val gray = Array.tabulate(w * 8 * th) { k =>
+              vals(((k / w) / 8) * tw + (k % w) / 8)
+            }
+            val jpg = graft.operators.JpegCodec.encodeJpegGray(gray, w, 8 * th)
+            if (hexed)
+              PdfImage(w, 8 * th, gray = true,
+                " /Filter [/ASCIIHexDecode /DCTDecode]", asciiHexEncode(jpg))
+            else PdfImage(w, 8 * th, gray = true, " /Filter /DCTDecode", jpg)
+          }
+        (id, "doc", "pdf",
+          buildPdfWithImage(s"Doc $id|", t, modes((id % 6).toInt), img))
+      }
+      .toDF("media_id", "kind", "format", "data")
+  }
+
   private def esc(t: String): String =
     t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
@@ -692,13 +841,36 @@ object Pdf {
     * order per spec 7.4), `rle` (RunLengthDecode) or `lzw`
     * (LZWDecode).
     */
-  def buildPdf(title: String, text: String, mode: String): Array[Byte] = {
+  def buildPdf(title: String, text: String, mode: String): Array[Byte] =
+    buildPdfImpl(title, text, mode, None)
+
+  /** An image XObject to embed: pre-encoded stream body plus the dict
+    * fields the extractor needs. `filter` is the literal dict fragment
+    * (e.g. `" /Filter /DCTDecode"` or
+    * `" /Filter [/ASCIIHexDecode /FlateDecode]"`), empty for raw.
+    */
+  final case class PdfImage(
+      width: Int, height: Int, gray: Boolean, filter: String,
+      body: Array[Byte])
+
+  /** [[buildPdf]] plus one embedded `/Subtype /Image` XObject, painted
+    * by the page content (`cm` + `Do` — both non-show operators, so
+    * the text channel is untouched). The q231 adapter substrate.
+    */
+  def buildPdfWithImage(title: String, text: String, mode: String,
+      img: PdfImage): Array[Byte] =
+    buildPdfImpl(title, text, mode, Some(img))
+
+  private def buildPdfImpl(title: String, text: String, mode: String,
+      img: Option[PdfImage]): Array[Byte] = {
     val chunks = text.grouped(7).toSeq
     val tj = chunks.map(c => s"(${esc(c)})").mkString(" -40 ")
     val hexTitle = title.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       .map(b => f"${b & 0xff}%02X").mkString
+    val paint =
+      if (img.isDefined) " q 96 0 0 96 72 560 cm /Im1 Do Q" else ""
     val content =
-      s"BT /F1 12 Tf 72 720 Td <$hexTitle> Tj [$tj] TJ (~fi) ' 0 0 (n.) \" ET"
+      s"BT /F1 12 Tf 72 720 Td <$hexTitle> Tj [$tj] TJ (~fi) ' 0 0 (n.) \" ET$paint"
     val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val (body, filter) = mode match {
       case "raw" => (raw, "")
@@ -711,31 +883,38 @@ object Pdf {
       case "lzw" => (lzwEncode(raw), " /Filter /LZWDecode")
       case other => throw new IllegalArgumentException(s"buildPdf: unknown mode $other")
     }
-    val objects = Seq(
-      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
-      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
-      "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
-        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n",
-      null, // object 4 is binary (the stream)
-      "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
-    val out = new java.io.ByteArrayOutputStream(body.length + 1024)
+    val xobj = img.map(_ => " /XObject << /Im1 6 0 R >>").getOrElse("")
+    val nObjs = if (img.isDefined) 6 else 5
+    val out = new java.io.ByteArrayOutputStream(
+      body.length + img.map(_.body.length).getOrElse(0) + 1280)
     def w(str: String): Unit =
       out.write(str.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
     w("%PDF-1.4\n")
-    val offsets = new Array[Int](6)
-    objects.zipWithIndex.foreach { case (o, k) =>
-      offsets(k + 1) = out.size()
-      if (o != null) w(o)
-      else {
-        w(s"4 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
-        out.write(body)
+    val offsets = new Array[Int](nObjs + 1)
+    def obj(k: Int)(write: => Unit): Unit = { offsets(k) = out.size(); write }
+    obj(1)(w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+    obj(2)(w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
+    obj(3)(w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      s"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >>$xobj >> >>\nendobj\n"))
+    obj(4) {
+      w(s"4 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    obj(5)(w("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"))
+    img.foreach { im =>
+      obj(6) {
+        w(s"6 0 obj\n<< /Type /XObject /Subtype /Image /Width ${im.width} " +
+          s"/Height ${im.height} /ColorSpace /${if (im.gray) "DeviceGray" else "DeviceRGB"} " +
+          s"/BitsPerComponent 8${im.filter} /Length ${im.body.length} >>\nstream\n")
+        out.write(im.body)
         w("\nendstream\nendobj\n")
       }
     }
     val xref = out.size()
-    w("xref\n0 6\n0000000000 65535 f \n")
-    (1 to 5).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
-    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    w(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
+    (1 to nObjs).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
     out.toByteArray
   }
 
@@ -744,7 +923,8 @@ object Pdf {
   final case class PdfRow(
       media_id: Long, ok: Boolean, err: String, n_streams: Int,
       n_flate: Int, n_raw: Int, n_skipped: Int, n_shows: Int, text: String,
-      n_ascii: Int)
+      n_ascii: Int, n_images: Int, n_image_skipped: Int, img_px: Long,
+      img_mean_sum: Double)
 
   /** Per-record extraction over the opaque media table — one linear
     * parse per record behind the mapPartitions boundary, error rows
@@ -758,9 +938,10 @@ object Pdf {
         extractText(m.data) match {
           case Right(x) =>
             PdfRow(m.media_id, ok = true, "", x.nStreams, x.nFlate, x.nRaw,
-              x.nSkipped, x.nShows, x.text, x.nAscii)
+              x.nSkipped, x.nShows, x.text, x.nAscii, x.nImages,
+              x.nImageSkipped, x.imgPx, x.imgMeanSum)
           case Left(e) =>
-            PdfRow(m.media_id, ok = false, e, 0, 0, 0, 0, 0, "", 0)
+            PdfRow(m.media_id, ok = false, e, 0, 0, 0, 0, 0, "", 0, 0, 0, 0L, 0.0)
         }
       }
     }
