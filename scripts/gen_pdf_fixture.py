@@ -176,3 +176,60 @@ with open(os.path.join(OUT, "sample_img.pdf"), "wb") as f:
 print("sample_img.pdf", dict(n_streams=3, n_images=2,
                              raster_mean=sum(raster) / len(raster),
                              text="with images"))
+
+# ---- sample_modern.pdf: ObjStm + xref STREAM (r18) -------------------
+# The modern-writer layout: catalog/pages/page/font dicts packed in a
+# Flate /ObjStm, content stream top-level, and a /Type /XRef stream
+# (W [1 4 2], Flate + PNG Up predictor 12) instead of a classic table.
+# Independent writer - PdfSpec pins text + the structure counters.
+content_m = b"BT /F1 12 Tf 72 720 Td (modern container) Tj (!) ' ET"
+inner = [
+    (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+    (2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+    (3, b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+    (5, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+]
+offs, acc = [], 0
+for _, o in inner:
+    offs.append(acc)
+    acc += len(o) + 1
+header = (" ".join("%d %d" % (n, off) for (n, _), off in zip(inner, offs))
+          + "\n").encode()
+objstm_raw = header + b"\n".join(o for _, o in inner) + b"\n"
+objstm_z = zlib.compress(objstm_raw, 6)
+
+mpdf = bytearray(b"%PDF-1.5\n")
+off4 = len(mpdf)
+mpdf += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content_m)
+         + content_m + b"\nendstream\nendobj\n")
+off6 = len(mpdf)
+mpdf += (b"6 0 obj\n<< /Type /ObjStm /N 4 /First %d /Filter /FlateDecode "
+         b"/Length %d >>\nstream\n" % (len(header), len(objstm_z))
+         + objstm_z + b"\nendstream\nendobj\n")
+off7 = len(mpdf)
+
+def xrow(t, f2, f3):
+    return bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+
+xrows = [xrow(0, 0, 0xFFFF), xrow(2, 6, 0), xrow(2, 6, 1), xrow(2, 6, 2),
+         xrow(1, off4, 0), xrow(2, 6, 3), xrow(1, off6, 0), xrow(1, off7, 0)]
+pred_rows = bytearray()
+prev = bytes(7)
+for r in xrows:
+    pred_rows.append(2)  # PNG Up
+    pred_rows += bytes((r[i] - prev[i]) & 0xFF for i in range(7))
+    prev = r
+xref_z = zlib.compress(bytes(pred_rows), 6)
+mpdf += (b"7 0 obj\n<< /Type /XRef /Size 8 /Root 1 0 R /W [1 4 2] "
+         b"/Index [0 8] /Filter /FlateDecode "
+         b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>\nstream\n"
+         % len(xref_z) + xref_z + b"\nendstream\nendobj\n")
+mpdf += b"startxref\n%d\n%%%%EOF\n" % off7
+
+with open(os.path.join(OUT, "sample_modern.pdf"), "wb") as f:
+    f.write(bytes(mpdf))
+print("sample_modern.pdf", dict(n_streams=3, n_objstm=1, n_objstm_objs=4,
+                                n_pages=1, n_xref_offsets=3,
+                                n_xref_compressed=4,
+                                text="modern container!"))

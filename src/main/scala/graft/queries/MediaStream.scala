@@ -792,12 +792,18 @@ object MediaStream {
     import s.implicits._
     val media = graft.sources.Pdf.toPdfs(t(s, dir, "documents"))
       .as[Media.MediaRecord]
+    // r18: odd docs arrive in the MODERN container (ObjStm + xref
+    // stream with PNG Up-predicted rows) — the structure columns prove
+    // the object graph was discovered (page dict found inside the
+    // ObjStm, all four compressed objects, the xref stream's type-2
+    // entries) while the text stays byte-identical to the classic path
     graft.sources.Pdf.extractRows(media).toDF()
       .filter(col("ok"))
       .select(col("media_id").as("doc_id"),
         (col("n_flate") > 0).as("flate"),
         (col("n_ascii") > 0).as("ascii"),
-        col("n_shows"), col("text"))
+        col("n_shows"), col("n_pages"), col("n_objstm_objs"),
+        col("n_xref_compressed"), col("text"))
       .orderBy(col("doc_id"))
   }
 
@@ -805,6 +811,9 @@ object MediaStream {
     """SELECT doc_id, doc_id % 6 IN (1, 3) AS flate,
       |  doc_id % 6 IN (2, 3) AS ascii,
       |  CAST(4 AS INTEGER) AS n_shows,
+      |  CAST(doc_id % 2 AS INTEGER) AS n_pages,
+      |  CAST(4 * (doc_id % 2) AS INTEGER) AS n_objstm_objs,
+      |  CAST(4 * (doc_id % 2) AS INTEGER) AS n_xref_compressed,
       |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
       |FROM documents WHERE length(text) > 0
       |ORDER BY doc_id""".stripMargin

@@ -46,11 +46,19 @@ import org.apache.spark.sql.functions._
   *  - image XObjects with foreign codecs (CCITT/JBIG2/JPX), predictor
   *    rows, sub-8-bit/16-bit samples, or palette/ICC/CMYK color
   *    spaces → counted in `n_image_skipped`
-  *  - object streams (/ObjStm — may not contain content streams per
-  *    spec §7.5.7, so the linear content scan is unaffected by them),
-  *    font/CMap decoding (bytes are taken as standard-encoding
+  *  - font/CMap decoding (bytes are taken as standard-encoding
   *    Latin-1 — the all-ASCII adapter corpus and fixtures make this
   *    exact)
+  *
+  * MODERN containers (r18, IN scope): `/Type /ObjStm` object streams
+  * are unpacked (header pairs → per-object dict bodies; /Type /Page
+  * dicts counted — content streams may not live there per §7.5.7, so
+  * text extraction is container-independent) and `/Type /XRef`
+  * cross-reference streams are decoded (W-column rows, PNG Up/Sub/
+  * Paeth predictor rows unfiltered) with entry types tallied —
+  * `n_objstm` / `n_objstm_objs` / `n_pages` / `n_xref_offsets` /
+  * `n_xref_compressed` sit on the q220 gate via the container
+  * rotation in [[toPdfs]].
   *
   * Everything is a single linear pass over the bytes; per-record
   * memory is bounded by the largest single stream. Malformed input is
@@ -71,7 +79,12 @@ object Pdf {
       nImages: Int = 0, // /Subtype /Image XObjects decoded to stats
       nImageSkipped: Int = 0, // image XObjects out of scope / failed
       imgPx: Long = 0L, // sum of decoded image pixel counts (w*h)
-      imgMeanSum: Double = 0.0) // sum of per-image gray means
+      imgMeanSum: Double = 0.0, // sum of per-image gray means
+      nObjStm: Int = 0, // /Type /ObjStm streams unpacked
+      nObjStmObjs: Int = 0, // objects discovered inside them
+      nPages: Int = 0, // /Type /Page dicts seen in unpacked ObjStms
+      nXrefOffsets: Int = 0, // xref-STREAM type-1 (offset) entries
+      nXrefCompressed: Int = 0) // xref-stream type-2 (in-ObjStm) entries
 
   def sniff(data: Array[Byte]): Boolean =
     data.length >= 5 && data(0) == '%' && data(1) == 'P' &&
@@ -94,6 +107,11 @@ object Pdf {
     var nImageSkipped = 0
     var imgPx = 0L
     var imgMeanSum = 0.0
+    var nObjStm = 0
+    var nObjStmObjs = 0
+    var nPages = 0
+    var nXrefOffsets = 0
+    var nXrefCompressed = 0
     val text = new StringBuilder
 
     var from = 0
@@ -153,6 +171,32 @@ object Pdf {
               case None => nImageSkipped += 1
             }
             from = math.max(de, sp + 6)
+          } else if ("/Type\\s*/ObjStm".r.findFirstIn(dict).isDefined) {
+            // OBJECT stream (spec §7.5.7, modern writers): unpack the
+            // compressed dict objects — never the shows scanner (its
+            // bytes are dicts, not content)
+            nStreams += 1
+            applyFilters(dict, filtersOf(dict), data, ds, de).foreach { b =>
+              parseObjStm(dict, b).foreach { case (nObjs, pages) =>
+                nObjStm += 1
+                nObjStmObjs += nObjs
+                nPages += pages
+              }
+            }
+            from = math.max(de, sp + 6)
+          } else if ("/Type\\s*/XRef".r.findFirstIn(dict).isDefined) {
+            // cross-reference STREAM (spec §7.5.8): W-column entries,
+            // usually flate + PNG Up predictor — decode and tally
+            // entry types (1 = offset, 2 = compressed-in-ObjStm)
+            nStreams += 1
+            applyFilters(dict, filtersOf(dict), data, ds, de,
+              predictorHandledByCaller = true).foreach { b =>
+              parseXrefStream(dict, b).foreach { case (t1, t2) =>
+                nXrefOffsets += t1
+                nXrefCompressed += t2
+              }
+            }
+            from = math.max(de, sp + 6)
           } else {
             nStreams += 1
             val filters = filtersOf(dict)
@@ -160,40 +204,15 @@ object Pdf {
               if (filters.isEmpty) {
                 nRaw += 1
                 Some(java.util.Arrays.copyOfRange(data, ds, de))
-              } else {
-                // apply the chain in array order (spec 7.4); any
-                // unknown or failing stage skips the whole stream
-                var cur: Option[Array[Byte]] =
-                  Some(java.util.Arrays.copyOfRange(data, ds, de))
-                var usedFlate = false
-                var usedAscii = false
-                // non-default LZW parameters (EarlyChange 0 or a
-                // Predictor) are out of scope — skip, never misdecode
-                val lzwDefault =
-                  !"/EarlyChange\\s+0".r.findFirstIn(dict).isDefined &&
-                    !dict.contains("/Predictor")
-                filters.foreach { f =>
-                  if (cur.isDefined) f match {
-                    case "FlateDecode" | "Fl" =>
-                      cur = inflate(cur.get, 0, cur.get.length); usedFlate = true
-                    case "ASCIIHexDecode" | "AHx" =>
-                      cur = Some(asciiHexDecode(cur.get)); usedAscii = true
-                    case "ASCII85Decode" | "A85" =>
-                      cur = ascii85Decode(cur.get); usedAscii = true
-                    case "RunLengthDecode" | "RL" =>
-                      cur = runLengthDecode(cur.get)
-                    case "LZWDecode" | "LZW" if lzwDefault =>
-                      cur = lzwDecode(cur.get)
-                    case _ => cur = None
-                  }
-                }
-                cur match {
-                  case Some(b) =>
-                    if (usedFlate) nFlate += 1
-                    if (usedAscii) nAscii += 1
-                    Some(b)
-                  case None => nSkipped += 1; None
-                }
+              } else applyFilters(dict, filters, data, ds, de) match {
+                case Some(b) =>
+                  // a successful chain ran every named stage
+                  if (filters.exists(f => f == "FlateDecode" || f == "Fl"))
+                    nFlate += 1
+                  if (filters.exists(f => f == "ASCIIHexDecode" || f == "AHx" ||
+                      f == "ASCII85Decode" || f == "A85")) nAscii += 1
+                  Some(b)
+                case None => nSkipped += 1; None
               }
             body.foreach { b =>
               val (shown, ops) = showsFrom(
@@ -207,7 +226,8 @@ object Pdf {
       }
     }
     Right(PdfExtract(nStreams, nFlate, nRaw, nSkipped, nShows, text.toString,
-      nAscii, nImages, nImageSkipped, imgPx, imgMeanSum))
+      nAscii, nImages, nImageSkipped, imgPx, imgMeanSum,
+      nObjStm, nObjStmObjs, nPages, nXrefOffsets, nXrefCompressed))
   }
 
   /** Decode a `/Subtype /Image` XObject's stream to image stats. The
@@ -224,27 +244,40 @@ object Pdf {
     * filters, /Predictor rows, sub-8-bit or 16-bit samples, palette /
     * ICC / CMYK color spaces, short payloads. Never silent garbage.
     */
+  /** Apply a standard transport-filter chain in array order (spec
+    * 7.4). Any unknown or failing stage, or a /Predictor on the dict
+    * (rows would need unpredicting the caller doesn't do — the xref
+    * branch handles its own), yields None: skip, never misdecode.
+    */
+  private def applyFilters(dict: String, filters: Seq[String],
+      data: Array[Byte], ds: Int, de: Int,
+      predictorHandledByCaller: Boolean = false): Option[Array[Byte]] = {
+    val lzwDefault = !"/EarlyChange\\s+0".r.findFirstIn(dict).isDefined
+    val hasPredictor = !predictorHandledByCaller && dict.contains("/Predictor")
+    var cur: Option[Array[Byte]] =
+      Some(java.util.Arrays.copyOfRange(data, ds, de))
+    filters.foreach { f =>
+      if (cur.isDefined) f match {
+        case "FlateDecode" | "Fl" if !hasPredictor =>
+          cur = inflate(cur.get, 0, cur.get.length)
+        case "ASCIIHexDecode" | "AHx" => cur = Some(asciiHexDecode(cur.get))
+        case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur.get)
+        case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur.get)
+        case "LZWDecode" | "LZW" if lzwDefault && !hasPredictor =>
+          cur = lzwDecode(cur.get)
+        case _ => cur = None
+      }
+    }
+    cur
+  }
+
   private def decodeImageXObject(dict: String, data: Array[Byte],
       ds: Int, de: Int): Option[graft.operators.ImageCodec.ImageStats] = {
     val filters = filtersOf(dict)
     val isDct = filters.nonEmpty &&
       (filters.last == "DCTDecode" || filters.last == "DCT")
     val transport = if (isDct) filters.dropRight(1) else filters
-    val lzwDefault = !"/EarlyChange\\s+0".r.findFirstIn(dict).isDefined &&
-      !dict.contains("/Predictor")
-    var cur: Option[Array[Byte]] =
-      Some(java.util.Arrays.copyOfRange(data, ds, de))
-    transport.foreach { f =>
-      if (cur.isDefined) f match {
-        case "FlateDecode" | "Fl" => cur = inflate(cur.get, 0, cur.get.length)
-        case "ASCIIHexDecode" | "AHx" => cur = Some(asciiHexDecode(cur.get))
-        case "ASCII85Decode" | "A85" => cur = ascii85Decode(cur.get)
-        case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur.get)
-        case "LZWDecode" | "LZW" if lzwDefault => cur = lzwDecode(cur.get)
-        case _ => cur = None
-      }
-    }
-    cur.flatMap { bytes =>
+    applyFilters(dict, transport, data, ds, de).flatMap { bytes =>
       if (isDct) graft.operators.ImageCodec.decode(bytes).toOption
       else {
         def num(k: String): Option[Int] =
@@ -270,6 +303,126 @@ object Pdf {
         }
       }
     }
+  }
+
+  /** Unpack an /ObjStm body (spec §7.5.7): header of /N integer pairs
+    * (objnum, offset), objects start at /First + offset. Returns
+    * (objects discovered, /Type /Page dicts among them); None when
+    * the header is malformed — never a throw, never garbage counts.
+    */
+  private def parseObjStm(dict: String, body: Array[Byte]): Option[(Int, Int)] = {
+    val n = "/N\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    val first = "/First\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    (n, first) match {
+      case (Some(n0), Some(f0)) if n0 >= 0 && n0 <= (1 << 20) && f0 >= 0 &&
+          f0 <= body.length =>
+        val s = new String(body, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val nums = "\\d+".r.findAllIn(s.substring(0, f0)).map(_.toLong).toIndexedSeq
+        if (nums.length < 2L * n0) None
+        else {
+          val offs = Array.tabulate(n0)(i => nums(2 * i + 1))
+          var pages = 0
+          val pageRe = "/Type\\s*/Page(?![A-Za-z])".r
+          var i = 0
+          while (i < n0) {
+            val st = f0 + offs(i)
+            val en = if (i + 1 < n0) math.min(f0 + offs(i + 1), s.length.toLong)
+              else s.length.toLong
+            if (st >= 0 && st <= en && en <= s.length) {
+              if (pageRe.findFirstIn(s.substring(st.toInt, en.toInt)).isDefined)
+                pages += 1
+            }
+            i += 1
+          }
+          Some((n0, pages))
+        }
+      case _ => None
+    }
+  }
+
+  /** Tally an xref STREAM's entries (spec §7.5.8): fixed-width rows of
+    * /W [a b c] byte columns, optionally behind a PNG row predictor
+    * (/DecodeParms /Predictor 10-15 — writers near-universally use Up).
+    * Returns (type-1 offset entries, type-2 in-ObjStm entries).
+    */
+  private def parseXrefStream(dict: String, body: Array[Byte]): Option[(Int, Int)] = {
+    "/W\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict).map(_.group(1)).flatMap { ws =>
+      val w = "\\d+".r.findAllIn(ws).map(_.toInt).toIndexedSeq
+      val rowLen = w.sum
+      if (w.isEmpty || rowLen <= 0 || rowLen > 32) None
+      else {
+        val pred = "/Predictor\\s+(\\d+)".r.findFirstMatchIn(dict)
+          .map(_.group(1).toInt).getOrElse(1)
+        val rows: Option[Array[Byte]] =
+          if (pred == 1) Some(body)
+          else if (pred >= 10 && pred <= 15) pngUnpredict(body, rowLen)
+          else None
+        rows.flatMap { d0 =>
+          if (d0.length % rowLen != 0) None
+          else {
+            var t1 = 0
+            var t2 = 0
+            var r = 0
+            while (r < d0.length) {
+              // field 1 (entry type); W[0] == 0 defaults the type to 1
+              var tpe = 1
+              var k = 0
+              if (w(0) > 0) {
+                tpe = 0
+                while (k < w(0)) { tpe = (tpe << 8) | (d0(r + k) & 0xff); k += 1 }
+              }
+              if (tpe == 1) t1 += 1 else if (tpe == 2) t2 += 1
+              r += rowLen
+            }
+            Some((t1, t2))
+          }
+        }
+      }
+    }
+  }
+
+  /** Undo PNG row filters over fixed-width rows (bpp = 1 byte — the
+    * /Colors 1 /BitsPerComponent 8 case xref streams use): each row is
+    * a filter byte then `rowLen` data bytes. None on a length mismatch
+    * or an unknown filter type.
+    */
+  private def pngUnpredict(d: Array[Byte], rowLen: Int): Option[Array[Byte]] = {
+    val stride = rowLen + 1
+    if (rowLen <= 0 || d.length % stride != 0) return None
+    val nRows = d.length / stride
+    val out = new Array[Byte](nRows * rowLen)
+    val prev = new Array[Int](rowLen)
+    val cur = new Array[Int](rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = d(r * stride) & 0xff
+      var i = 0
+      while (i < rowLen) {
+        val x = d(r * stride + 1 + i) & 0xff
+        val a = if (i > 0) cur(i - 1) else 0
+        val b = prev(i)
+        val c = if (i > 0) prev(i - 1) else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case _ => return None
+        }
+        cur(i) = v & 0xff
+        out(r * rowLen + i) = (v & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+      r += 1
+    }
+    Some(out)
   }
 
   /** The /Filter value as an ordered name list: a single `/Name` or a
@@ -613,7 +766,15 @@ object Pdf {
       .select(col("doc_id"), col("text").cast("string"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        (id, "doc", "pdf", buildPdf(s"Doc $id|", text, modes((id % 6).toInt)))
+        // container rotation (r18): odd docs arrive in the MODERN
+        // layout — structure dicts in a Flate /ObjStm behind a /Type
+        // /XRef stream with PNG Up-predicted rows — even docs in the
+        // classic xref-table layout; the content stream (and so the
+        // extracted text) is identical either way
+        val pdf =
+          if (id % 2 == 1) buildPdfModern(s"Doc $id|", text, modes((id % 6).toInt))
+          else buildPdf(s"Doc $id|", text, modes((id % 6).toInt))
+        (id, "doc", "pdf", pdf)
       }
       .toDF("media_id", "kind", "format", "data")
   }
@@ -861,18 +1022,20 @@ object Pdf {
       img: PdfImage): Array[Byte] =
     buildPdfImpl(title, text, mode, Some(img))
 
-  private def buildPdfImpl(title: String, text: String, mode: String,
-      img: Option[PdfImage]): Array[Byte] = {
+  /** The standard single-page content stream (hex-Tj title, chunked
+    * TJ, the '/" suffix), encoded per `mode`; returns (stream body,
+    * /Filter dict fragment). Shared by the classic and modern builders.
+    */
+  private def encodeContentStream(title: String, text: String, mode: String,
+      paint: String): (Array[Byte], String) = {
     val chunks = text.grouped(7).toSeq
     val tj = chunks.map(c => s"(${esc(c)})").mkString(" -40 ")
     val hexTitle = title.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       .map(b => f"${b & 0xff}%02X").mkString
-    val paint =
-      if (img.isDefined) " q 96 0 0 96 72 560 cm /Im1 Do Q" else ""
     val content =
       s"BT /F1 12 Tf 72 720 Td <$hexTitle> Tj [$tj] TJ (~fi) ' 0 0 (n.) \" ET$paint"
     val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-    val (body, filter) = mode match {
+    mode match {
       case "raw" => (raw, "")
       case "flate" => (deflateBytes(raw), " /Filter /FlateDecode")
       case "hex" => (asciiHexEncode(raw), " /Filter /ASCIIHexDecode")
@@ -883,6 +1046,13 @@ object Pdf {
       case "lzw" => (lzwEncode(raw), " /Filter /LZWDecode")
       case other => throw new IllegalArgumentException(s"buildPdf: unknown mode $other")
     }
+  }
+
+  private def buildPdfImpl(title: String, text: String, mode: String,
+      img: Option[PdfImage]): Array[Byte] = {
+    val paint =
+      if (img.isDefined) " q 96 0 0 96 72 560 cm /Im1 Do Q" else ""
+    val (body, filter) = encodeContentStream(title, text, mode, paint)
     val xobj = img.map(_ => " /XObject << /Im1 6 0 R >>").getOrElse("")
     val nObjs = if (img.isDefined) 6 else 5
     val out = new java.io.ByteArrayOutputStream(
@@ -918,13 +1088,90 @@ object Pdf {
     out.toByteArray
   }
 
+  /** The MODERN container twin of [[buildPdf]]: identical page content
+    * (same mode rotation), but the document structure is what a
+    * current writer emits — catalog, page tree, page and font dicts
+    * packed in a Flate /ObjStm, and a cross-reference STREAM (/Type
+    * /XRef, W [1 4 2], Flate + PNG Up predictor /Predictor 12) instead
+    * of a classic xref table + trailer. Extracted TEXT must be
+    * identical to the classic build; the structure counters (n_pages,
+    * n_objstm_objs, n_xref_compressed) prove the object graph was
+    * actually discovered, predictor rows unfiltered and entry types
+    * tallied.
+    */
+  def buildPdfModern(title: String, text: String, mode: String): Array[Byte] = {
+    val (body, filter) = encodeContentStream(title, text, mode, paint = "")
+    // objects 1,2,3,5 live in the ObjStm (object 6); 4 is the content
+    // stream; 7 is the xref stream
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+      3 -> ("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"),
+      5 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val offs = inner.scanLeft(0)(_ + _._2.length + 1).init
+    val header = inner.zip(offs).map { case ((num, _), off) => s"$num $off" }
+      .mkString("", " ", "\n")
+    val objStmRaw = (header + inner.map(_._2).mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val objStmBody = deflateBytes(objStmRaw)
+
+    val out = new java.io.ByteArrayOutputStream(body.length + objStmBody.length + 1024)
+    def w(str: String): Unit =
+      out.write(str.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    val off4 = out.size()
+    w(s"4 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+    out.write(body)
+    w("\nendstream\nendobj\n")
+    val off6 = out.size()
+    w(s"6 0 obj\n<< /Type /ObjStm /N ${inner.length} /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${objStmBody.length} >>\nstream\n")
+    out.write(objStmBody)
+    w("\nendstream\nendobj\n")
+    val off7 = out.size()
+    // xref rows, W [1 4 2]: type, offset-or-objstm, gen-or-index
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] = Array(
+      t.toByte, (f2 >>> 24).toByte, (f2 >>> 16).toByte, (f2 >>> 8).toByte,
+      f2.toByte, (f3 >>> 8).toByte, f3.toByte)
+    val rows = Array(
+      row(0, 0L, 0xffff), // obj 0: free
+      row(2, 6L, 0), // obj 1 in ObjStm 6, index 0
+      row(2, 6L, 1),
+      row(2, 6L, 2), // obj 3 (the page)
+      row(1, off4.toLong, 0),
+      row(2, 6L, 3), // obj 5 (the font)
+      row(1, off6.toLong, 0),
+      row(1, off7.toLong, 0))
+    // PNG Up predictor over the 7-byte rows (filter byte 2 per row)
+    val rowLen = 7
+    val pred = new java.io.ByteArrayOutputStream(rows.length * (rowLen + 1))
+    var prev = new Array[Byte](rowLen)
+    rows.foreach { r =>
+      pred.write(2)
+      var i = 0
+      while (i < rowLen) { pred.write((r(i) - prev(i)) & 0xff); i += 1 }
+      prev = r
+    }
+    val xrefBody = deflateBytes(pred.toByteArray)
+    w(s"7 0 obj\n<< /Type /XRef /Size 8 /Root 1 0 R /W [1 4 2] " +
+      s"/Index [0 8] /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns 7 >> " +
+      s"/Length ${xrefBody.length} >>\nstream\n")
+    out.write(xrefBody)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$off7\n%%EOF\n")
+    out.toByteArray
+  }
+
   // ------------------------------------------------------- Dataset op
 
   final case class PdfRow(
       media_id: Long, ok: Boolean, err: String, n_streams: Int,
       n_flate: Int, n_raw: Int, n_skipped: Int, n_shows: Int, text: String,
       n_ascii: Int, n_images: Int, n_image_skipped: Int, img_px: Long,
-      img_mean_sum: Double)
+      img_mean_sum: Double, n_objstm: Int, n_objstm_objs: Int, n_pages: Int,
+      n_xref_offsets: Int, n_xref_compressed: Int)
 
   /** Per-record extraction over the opaque media table — one linear
     * parse per record behind the mapPartitions boundary, error rows
@@ -939,9 +1186,11 @@ object Pdf {
           case Right(x) =>
             PdfRow(m.media_id, ok = true, "", x.nStreams, x.nFlate, x.nRaw,
               x.nSkipped, x.nShows, x.text, x.nAscii, x.nImages,
-              x.nImageSkipped, x.imgPx, x.imgMeanSum)
+              x.nImageSkipped, x.imgPx, x.imgMeanSum, x.nObjStm,
+              x.nObjStmObjs, x.nPages, x.nXrefOffsets, x.nXrefCompressed)
           case Left(e) =>
-            PdfRow(m.media_id, ok = false, e, 0, 0, 0, 0, 0, "", 0, 0, 0, 0L, 0.0)
+            PdfRow(m.media_id, ok = false, e, 0, 0, 0, 0, 0, "", 0, 0, 0, 0L,
+              0.0, 0, 0, 0, 0, 0)
         }
       }
     }
