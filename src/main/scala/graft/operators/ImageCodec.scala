@@ -56,7 +56,12 @@ object ImageCodec {
       gMean: Double,
       bMean: Double,
       pxMin: Int,
-      pxMax: Int)
+      pxMax: Int,
+      // EXIF orientation (JPEG APP1 tag 0x0112; 1 when absent / other
+      // codecs). The aHash grid is already normalized to upright, so
+      // rotated re-encodes of the same image pair; pixel stats are
+      // rotation-invariant and reported as stored.
+      orientation: Int = 1)
 
   /** True when the payload starts with a magic this codec can parse —
     * the cheap sniff [[Media.decodeFeatures]] uses to route payloads.

@@ -221,6 +221,7 @@ object JpegCodec {
     val qt = new Array[Array[Int]](4) // zigzag order
     val huff = Array.ofDim[HuffTable](2, 4)
     var restartInterval = 0
+    var orientation = 1 // EXIF APP1 tag 0x0112 (1..8), 1 when absent
     var width = 0
     var height = 0
     var comps: Array[Comp] = null
@@ -578,6 +579,10 @@ object JpegCodec {
         case 0x01 => () // TEM, no length
         case m if m >= 0xd0 && m <= 0xd7 =>
           return Left("jpeg: stray RST marker outside a scan")
+        case 0xe1 => // APP1: Exif TIFF IFD0 — orientation tag 0x0112
+          val len = segLen(pos)
+          parseExifOrientation(d, pos + 2, pos + len).foreach(orientation = _)
+          pos += len
         case _ => // APPn / COM / anything with a length field
           pos += segLen(pos)
       }
@@ -785,8 +790,115 @@ object JpegCodec {
     val (rM, gM, bM) =
       if (colorCh == 3) (sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n)
       else { val m = sums(0).toDouble / n; (m, m, m) }
-    Right((ImageStats("jpeg", width, height, colorCh, 255, n, rM, gM, bM, mn, mx),
-      grays))
+    // normalize the aHash grid to the UPRIGHT image: the 8 EXIF
+    // orientations are a dihedral remap of grid indices — no raster
+    // work. Exact at tile granularity (spec pins rotated re-encode
+    // pairs at hamming 0 on tile-aligned rasters); for arbitrary
+    // images the mirrored nearest-neighbor sample points differ by
+    // sub-cell offsets, the usual near-dup tolerance. Pixel stats are
+    // orientation-invariant and stay as stored.
+    val oriented =
+      if (orientation == 1) grays
+      else {
+        val o = new Array[Int](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val (sy, sx) = orientation match {
+              case 2 => (y, 7 - x) // mirrored horizontal
+              case 3 => (7 - y, 7 - x) // rotated 180
+              case 4 => (7 - y, x) // mirrored vertical
+              case 5 => (x, y) // transposed
+              case 6 => (7 - x, y) // stored is 90 CCW of upright
+              case 7 => (7 - x, 7 - y) // transverse
+              case 8 => (x, 7 - y) // stored is 90 CW of upright
+              case _ => (y, x)
+            }
+            o(y * 8 + x) = grays(sy * 8 + sx)
+            x += 1
+          }
+          y += 1
+        }
+        o
+      }
+    Right((ImageStats("jpeg", width, height, colorCh, 255, n, rM, gM, bM, mn, mx,
+      orientation), oriented))
+  }
+
+  /** Walk an APP1 payload for the Exif TIFF IFD0 orientation tag
+    * (0x0112, SHORT, count 1). None when the payload is not Exif, the
+    * TIFF header is malformed, or the tag is absent/out-of-range —
+    * the decoder then keeps orientation 1, never aborts (a broken
+    * thumbnail IFD must not kill an otherwise healthy image).
+    */
+  private def parseExifOrientation(d: Array[Byte], b: Int, end: Int): Option[Int] = {
+    if (end - b < 14) return None
+    if (!(d(b) == 'E' && d(b + 1) == 'x' && d(b + 2) == 'i' && d(b + 3) == 'f' &&
+        d(b + 4) == 0 && d(b + 5) == 0)) return None
+    val t = b + 6 // TIFF header
+    val little = (d(t) & 0xff, d(t + 1) & 0xff) match {
+      case (0x49, 0x49) => true
+      case (0x4d, 0x4d) => false
+      case _ => return None
+    }
+    def u16(o: Int): Int =
+      if (o + 2 > end) -1
+      else if (little) (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+      else ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (o + 4 > end) -1L
+      else if (little)
+        (d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
+          ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
+      else
+        ((d(o) & 0xffL) << 24) | ((d(o + 1) & 0xffL) << 16) |
+          ((d(o + 2) & 0xffL) << 8) | (d(o + 3) & 0xffL)
+    if (u16(t + 2) != 42) return None
+    val ifdOff = u32(t + 4)
+    if (ifdOff < 0 || t + ifdOff + 2 > end) return None
+    val ifd = t + ifdOff.toInt
+    val nEntries = u16(ifd)
+    if (nEntries < 0) return None
+    var i = 0
+    while (i < nEntries) {
+      val e = ifd + 2 + 12 * i
+      if (e + 12 > end) return None
+      if (u16(e) == 0x0112 && u16(e + 2) == 3 && u32(e + 4) == 1L) {
+        val v = u16(e + 8)
+        return if (v >= 1 && v <= 8) Some(v) else None
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Splice an Exif APP1 orientation segment right after SOI — the
+    * adapter/fixture substrate for rotated re-encodes (works on any
+    * encoded stream: gray, color, progressive). Orientation 1 returns
+    * the input unchanged.
+    */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"withExifOrientation: bad orientation $orientation")
+    if (orientation == 1) return jpeg
+    // Exif\0\0 + TIFF(II, 42, IFD at 8) + 1-entry IFD + next-IFD 0
+    val tiff = Array[Byte](
+      'E'.toByte, 'x'.toByte, 'i'.toByte, 'f'.toByte, 0, 0,
+      0x49, 0x49, 42, 0, 8, 0, 0, 0, // II, magic, IFD0 at offset 8
+      1, 0, // one entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, // tag 0x0112, SHORT, count 1
+      orientation.toByte, 0, 0, 0, // value (inline, little-endian)
+      0, 0, 0, 0) // no next IFD
+    val segLen = tiff.length + 2
+    val out = new Array[Byte](jpeg.length + 4 + tiff.length)
+    out(0) = jpeg(0); out(1) = jpeg(1) // SOI
+    out(2) = 0xff.toByte; out(3) = 0xe1.toByte
+    out(4) = ((segLen >> 8) & 0xff).toByte
+    out(5) = (segLen & 0xff).toByte
+    System.arraycopy(tiff, 0, out, 6, tiff.length)
+    System.arraycopy(jpeg, 2, out, 6 + tiff.length, jpeg.length - 2)
+    out
   }
 
   private def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v

@@ -653,18 +653,23 @@ object Media {
             vals(((k / w) / tile) * tw + (k % w) / tile)
           }
         }
+        // every record carries an Exif APP1 orientation tag (r18):
+        // the value rotates doc_id % 7 + 1 so the census gates the
+        // APP1/TIFF parse; pixel stats are orientation-invariant, so
+        // every stats oracle is untouched
+        val ori = (id % 7 + 1).toInt
         if (id % 2 == 0) {
           val g = raster(8)
-          MediaRecord(id, "image", "jpeg",
+          MediaRecord(id, "image", "jpeg", JpegCodec.withExifOrientation(
             if (progressive) JpegCodec.encodeJpegProgressiveGray(g, 8 * tw, 8 * th)
             else JpegCodec.encodeJpegGray(g, 8 * tw, 8 * th,
-              restartInterval = if (id % 4 == 0) 2 else 0))
+              restartInterval = if (id % 4 == 0) 2 else 0), ori))
         } else {
           val rgb = raster(16).flatMap(v => Array(v, v, v))
-          MediaRecord(id, "image", "jpeg",
+          MediaRecord(id, "image", "jpeg", JpegCodec.withExifOrientation(
             if (progressive)
               JpegCodec.encodeJpegProgressive(rgb, 16 * tw, 16 * th, subsample = true)
-            else JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true))
+            else JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true), ori))
         }
       }
       .toDF()

@@ -732,8 +732,9 @@ object MediaStream {
         img.isDefined, aud.isDefined, vid.isDefined, pdf.isDefined,
         img.isEmpty && aud.isEmpty && vid.isEmpty && pdf.isEmpty,
         img.map(_.nPixels).getOrElse(0L) + pdf.map(_.imgPx).getOrElse(0L),
-        aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L))
-    }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "is_err", "px", "ms")
+        aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L),
+        img.map(_.orientation.toLong).getOrElse(0L))
+    }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "is_err", "px", "ms", "ori")
     per.groupBy(col("format"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("i_ok"), 1L).otherwise(0L)).as("img_ok"),
@@ -742,7 +743,11 @@ object MediaStream {
         sum(when(col("p_ok"), 1L).otherwise(0L)).as("pdf_ok"),
         sum(when(col("is_err"), 1L).otherwise(0L)).as("n_err"),
         sum(col("px")).as("px_sum"),
-        sum(col("ms")).as("dur_ms_sum"))
+        sum(col("ms")).as("dur_ms_sum"),
+        // Exif orientation checksum (r18): jpeg records carry a
+        // doc_id-rotated APP1 tag; everything else decodes upright (1
+        // per accepted image, 0 where no image decoder fired)
+        sum(col("ori")).as("ori_sum"))
       .orderBy(col("format"))
   }
 
@@ -760,7 +765,9 @@ object MediaStream {
       |    WHEN b = 7 THEN 64 * (len % 3 + 1) * (len % 2 + 1)
       |    ELSE 0 END) AS BIGINT) AS px_sum,
       |  CAST(sum(CASE WHEN b = 2 THEN (len * 1000) // (len % 4000 + 4000)
-      |    WHEN b = 3 THEN (len % 3 + 1) * 40 ELSE 0 END) AS BIGINT) AS dur_ms_sum
+      |    WHEN b = 3 THEN (len % 3 + 1) * 40 ELSE 0 END) AS BIGINT) AS dur_ms_sum,
+      |  CAST(sum(CASE WHEN b IN (0, 1, 6) THEN 1
+      |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum
       |FROM (SELECT doc_id, doc_id % 8 AS b,
       |        CASE doc_id % 8 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'

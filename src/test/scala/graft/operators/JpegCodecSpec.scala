@@ -207,6 +207,68 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("EXIF orientation: all 8 stored transforms normalize to the upright aHash grid (hamming 0)") {
+    // 64x64 gray raster of flat 8x8 tiles: grid cells == tiles, so the
+    // dihedral grid remap is EXACT and rotated re-encodes of the same
+    // image must pair at hamming 0
+    val vals = seededBytes(64, 21)
+    def at(y: Int, x: Int): Byte = vals((y / 8) * 8 + (x / 8))
+    val base = Array.tabulate(64 * 64)(k => at(k / 64, k % 64))
+    val (baseStats, baseGrid) =
+      JpegCodec.decode(JpegCodec.encodeJpegGray(base, 64, 64)).toOption.get
+    assert(baseStats.orientation === 1)
+    // the stored raster whose DISPLAY transform (per EXIF value o)
+    // reproduces base: the physical inverse of each display op
+    def stored(o: Int): Array[Byte] = Array.tabulate(64 * 64) { k =>
+      val y = k / 64
+      val x = k % 64
+      val (by, bx) = o match {
+        case 2 => (y, 63 - x) // mirror H (self-inverse)
+        case 3 => (63 - y, 63 - x) // rot 180
+        case 4 => (63 - y, x) // mirror V
+        case 5 => (x, y) // transpose
+        case 6 => (x, 63 - y) // stored = rotCCW(base)
+        case 7 => (63 - x, 63 - y) // transverse
+        case 8 => (63 - x, y) // stored = rotCW(base)
+        case _ => (y, x)
+      }
+      at(by, bx)
+    }
+    for (o <- 2 to 8) {
+      val jpg = JpegCodec.withExifOrientation(
+        JpegCodec.encodeJpegGray(stored(o), 64, 64), o)
+      val (st, grid) = JpegCodec.decode(jpg).toOption.get
+      assert(st.orientation === o)
+      assert(grid.toSeq === baseGrid.toSeq, s"orientation $o grid")
+      // pixel stats are rotation-invariant
+      assert(st.nPixels === baseStats.nPixels && st.rMean === baseStats.rMean)
+    }
+  }
+
+  test("EXIF parse: big-endian TIFF accepted; garbled APP1 keeps orientation 1, never aborts") {
+    val jpg = JpegCodec.encodeJpegGray(Array.fill(64)(55.toByte), 8, 8)
+    // hand-built MM (big-endian) Exif APP1 with orientation 3
+    val tiff = Array[Byte](
+      'E'.toByte, 'x'.toByte, 'i'.toByte, 'f'.toByte, 0, 0,
+      0x4d, 0x4d, 0, 42, 0, 0, 0, 8,
+      0, 1,
+      0x01, 0x12, 0, 3, 0, 0, 0, 1,
+      0, 3, 0, 0,
+      0, 0, 0, 0)
+    val segLen = tiff.length + 2
+    val mm = Array(jpg(0), jpg(1), 0xff.toByte, 0xe1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++
+      tiff ++ jpg.drop(2)
+    assert(JpegCodec.decode(mm).toOption.get._1.orientation === 3)
+    // truncated / non-Exif APP1 payloads: decode fine, orientation 1
+    val junk = Array(jpg(0), jpg(1), 0xff.toByte, 0xe1.toByte, 0.toByte, 6.toByte,
+      'J'.toByte, 'F'.toByte, 'X'.toByte, 0.toByte) ++ jpg.drop(2)
+    assert(JpegCodec.decode(junk).toOption.get._1.orientation === 1)
+    // out-of-range orientation value ignored
+    assert(JpegCodec.decode(
+      JpegCodec.withExifOrientation(jpg, 8)).toOption.get._1.orientation === 8)
+  }
+
   test("grayscale frames with declared 2x2 sampling decode identically to 1x1 (T.81 A.2.2)") {
     // legal files: single-component scans are non-interleaved, so the
     // declared factors must not shape the block walk — including on
