@@ -2636,6 +2636,175 @@ object CorpusOps {
        |ORDER BY r.query_id, r.rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q232
+  /** Chunk-level ANN SEGMENTED LIFECYCLE (r18, verdict #4) — q228's
+    * chunk IVF-PQ index published through the SAME
+    * publishAnn/appendAnn/compactAnn lifecycle the doc-level indexes
+    * ride (Pipeline), so chunk retrieval survives corpus absorbs with
+    * O(delta) index maintenance — the q106/q171 discipline at chunk
+    * granularity. Chunks of EVEN docs are day 1 (the codebooks train
+    * on day 1's first 8/16 chunk vectors — frozen thereafter, the
+    * production retrain-weekly shape); chunks of ODD docs arrive as
+    * the day-2 append (encoded with the FROZEN model, only the delta
+    * segment written). Probes run against three artifact reads, each
+    * hash-gated: `live` (the post-append pair ≡ an index over the
+    * full chunk corpus), `asof` (time travel to the retained day-1
+    * pair ≡ the scan restricted to even-doc chunks), and `compact`
+    * (after compactAnn rewrites the two segments into one — rows must
+    * be IDENTICAL to live; a compaction that drops or duplicates a
+    * code hash-fails). The oracle recomputes chunking, vectors,
+    * coarse assignment, PQ codes, probe selection and ADC sums from
+    * the documents table alone, with the asof stage's corpus
+    * predicate mirroring the day-1 restriction.
+    */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = new graft.operators.Encode.HashingTrickEncoder(dims = 16)
+    val chunks = graft.operators.Retrieval
+      .chunkSliding(docs, "doc_id", "text", winTokens = 32, stride = 24)
+      .select((lit(1000000L) + col("doc_id") * 1000 + col("chunk_id")).as("vid"),
+        col("chunk"))
+    val corpus = graft.operators.Encode.encodeWithModel(chunks, "vid", "chunk", enc)
+      .localCheckpoint(true)
+    val queries = graft.operators.Encode.encodeWithModel(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("vid"), col("text")), "vid", "text", enc)
+      .localCheckpoint(true)
+    if (corpus.limit(1).isEmpty) {
+      val r = Similarity.emptyAnnResult(queries, "vid")
+        .withColumn("stage", lit(""))
+        .select(col("stage"), col("query_id"), col("neighbor_id"),
+          col("rank"), col("approx_d2"))
+      graft.Checkpoints.release(corpus)
+      graft.Checkpoints.release(queries)
+      return r
+    }
+    val day1 = corpus.filter(expr("(vid div 1000) % 2 = 0"))
+    val day2 = corpus.filter(expr("(vid div 1000) % 2 = 1"))
+    def firstVecs(n: Int): Array[Array[Double]] =
+      day1.orderBy(col("vid")).limit(n)
+        .select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val sample = firstVecs(16)
+    val subDim = sample(0).length / 4
+    val codebooks = Array.tabulate(4)(m =>
+      sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val publishDir = java.nio.file.Files.createTempDirectory("q232-ann").toString
+    val idx1 = Similarity.ivfPqIndex(day1, "vid", "embedding", coarse, codebooks)
+    val day1Dir = graft.changesets.Pipeline.publishAnn(
+      s, publishDir, "chunks-day1", idx1, coarse, codebooks)
+    graft.changesets.Pipeline.appendAnn(
+      s, publishDir, "chunks-day2", day2, "vid", "embedding")
+    val cur = graft.changesets.Pipeline.readCurrentAnn(publishDir).get
+    require(cur != day1Dir,
+      "q232 precondition: the append must have moved the live pointer")
+    val model = graft.operators.AnnModel.load(
+      s, graft.changesets.Pipeline.annModelDir(cur))
+    val liveIdx = graft.changesets.Pipeline.readAnnIndex(s, cur).localCheckpoint(true)
+    val asofIdx = graft.changesets.Pipeline.readAnnIndex(s, day1Dir).localCheckpoint(true)
+    graft.changesets.Pipeline.compactAnn(s, publishDir, "chunks-compact")
+    val cur2 = graft.changesets.Pipeline.readCurrentAnn(publishDir).get
+    require(cur2 != cur, "q232 precondition: compaction must publish a new pair")
+    val compIdx = graft.changesets.Pipeline.readAnnIndex(s, cur2).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(publishDir))
+    def probe(idx: DataFrame, stage: String): DataFrame =
+      Similarity.ivfPqProbe(queries, idx, "vid", "embedding", k = 5,
+          coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
+        .select(lit(stage).as("stage"), col("query_id"), col("neighbor_id"),
+          col("rank"), col("approx_d2"))
+    val out = probe(asofIdx, "asof")
+      .union(probe(compIdx, "compact"))
+      .union(probe(liveIdx, "live"))
+      .orderBy(col("stage"), col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    Seq(corpus, queries, liveIdx, asofIdx, compIdx).foreach(graft.Checkpoints.release)
+    out
+  }
+
+  private val q232Sql = {
+    def d2(v: String): String =
+      s"list_dot_product($v[pqc.sub*4+1 : pqc.sub*4+4], $v[pqc.sub*4+1 : pqc.sub*4+4])" +
+        s" - 2.0 * list_dot_product($v[pqc.sub*4+1 : pqc.sub*4+4], pqc.cv)" +
+        s" + list_dot_product(pqc.cv, pqc.cv)"
+    s"""WITH $chunkEnCtes,
+       |chunks AS (SELECT vec_id, v, nrm FROM en WHERE vec_id >= 1000000),
+       |qs AS (SELECT vec_id, v, nrm FROM en WHERE vec_id < 1000000),
+       |day1 AS (SELECT * FROM chunks WHERE (vec_id // 1000) % 2 = 0),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+       |  FROM day1 ORDER BY vec_id LIMIT 8),
+       |pqv AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+       |  FROM day1 ORDER BY vec_id LIMIT 16),
+       |pqc AS (
+       |  SELECT m.m AS sub, pqv.code, pqv.v[CAST(m.m*4+1 AS INTEGER) : CAST(m.m*4+4 AS INTEGER)] AS cv
+       |  FROM pqv, (SELECT unnest(range(0, 4)) AS m) m),
+       |rel AS (
+       |  SELECT c.vec_id, cent.cid,
+       |    list_dot_product(cent.cv, cent.cv) - 2.0 * list_dot_product(c.v, cent.cv) AS rel
+       |  FROM chunks c, cent),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY rel, cid) AS r
+       |    FROM rel) WHERE r = 1),
+       |enc AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT c.vec_id, pqc.sub, pqc.code,
+       |      row_number() OVER (PARTITION BY c.vec_id, pqc.sub
+       |        ORDER BY ${d2("c.v")}, pqc.code) AS r
+       |    FROM chunks c, pqc) WHERE r = 1),
+       |encp AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN sub = 0 THEN code END) AS c0,
+       |    max(CASE WHEN sub = 1 THEN code END) AS c1,
+       |    max(CASE WHEN sub = 2 THEN code END) AS c2,
+       |    max(CASE WHEN sub = 3 THEN code END) AS c3
+       |  FROM enc GROUP BY vec_id),
+       |qrel AS (
+       |  SELECT q.vec_id, cent.cid,
+       |    list_dot_product(cent.cv, cent.cv) - 2.0 * list_dot_product(q.v, cent.cv) AS rel
+       |  FROM qs q, cent),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS cluster FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY rel, cid) AS r
+       |    FROM qrel) WHERE r <= 2),
+       |lutv AS (
+       |  SELECT q.vec_id AS query_id, pqc.sub, pqc.code, ${d2("q.v")} AS d2
+       |  FROM qs q, pqc),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ((l0.d2 + l1.d2) + l2.d2) + l3.d2 AS approx,
+       |    (a.vec_id // 1000) % 2 AS day
+       |  FROM probes p
+       |  JOIN assigned a ON a.cluster = p.cluster
+       |  JOIN encp ON encp.vec_id = a.vec_id
+       |  JOIN lutv l0 ON l0.query_id = p.query_id AND l0.sub = 0 AND l0.code = encp.c0
+       |  JOIN lutv l1 ON l1.query_id = p.query_id AND l1.sub = 1 AND l1.code = encp.c1
+       |  JOIN lutv l2 ON l2.query_id = p.query_id AND l2.sub = 2 AND l2.code = encp.c2
+       |  JOIN lutv l3 ON l3.query_id = p.query_id AND l3.sub = 3 AND l3.code = encp.c3),
+       |ranked_live AS (
+       |  SELECT query_id, neighbor_id, rank, approx FROM (
+       |    SELECT query_id, neighbor_id, approx,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+       |    FROM scored)
+       |  WHERE rank <= 5),
+       |ranked_asof AS (
+       |  SELECT query_id, neighbor_id, rank, approx FROM (
+       |    SELECT query_id, neighbor_id, approx,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY approx, neighbor_id) AS rank
+       |    FROM scored WHERE day = 0)
+       |  WHERE rank <= 5)
+       |SELECT stage, query_id, neighbor_id, rank, round(approx, 9) AS approx_d2 FROM (
+       |  SELECT 'asof' AS stage, * FROM ranked_asof
+       |  UNION ALL SELECT 'compact' AS stage, * FROM ranked_live
+       |  UNION ALL SELECT 'live' AS stage, * FROM ranked_live)
+       |ORDER BY stage, query_id, rank""".stripMargin
+  }
+
   // --------------------------------------------------------------- q132
   /** Deterministic corpus shuffle for training export
     * (sources.Export.shufflePositions): every doc gets a contiguous
@@ -3087,6 +3256,7 @@ object CorpusOps {
     "q222_export_append" -> (q222 _),
     "q224_rag_chunk_retrieval" -> (q224 _),
     "q228_rag_ann_recall" -> (q228 _),
+    "q232_chunk_ann_lifecycle" -> (q232 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
@@ -3154,6 +3324,7 @@ object CorpusOps {
     "q222_export_append" -> q222Sql,
     "q224_rag_chunk_retrieval" -> q224Sql,
     "q228_rag_ann_recall" -> q228Sql,
+    "q232_chunk_ann_lifecycle" -> q232Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
