@@ -752,3 +752,88 @@ def gif_encode(path, rows, pal, w, h, interlaced=False):
 
 gif_encode(os.path.join(OUT, "sample.gif"), pidx, PLTE, PW, PH, interlaced=True)
 print("sample.gif", "same stats as palette.png (pixels identical, interlaced GIF)")
+
+
+# --- gradient.webp: SAME pixels as gradient.ppm, VP8L lossless -------
+# INDEPENDENT python encoder (LSB-first bit writer, flat 8-bit
+# canonical codes through the real code-length-code + max_symbol path,
+# 0-bit single-symbol alpha/distance trees) - NOT a port of the Scala
+# encoder, so a shared bit-order or canonical-assignment bug cannot
+# cancel between the two halves.
+CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+
+def webp_lossless(path, rgb, w, h):
+    data = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(v, k):
+        nonlocal acc, nbits
+        acc |= (v & ((1 << k) - 1)) << nbits
+        nbits += k
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def put_code(code, ln):  # canonical prefix code, MSB first
+        for i in range(ln - 1, -1, -1):
+            put((code >> i) & 1, 1)
+
+    def flat8():
+        put(0, 1)   # normal code
+        put(15, 4)  # all 19 CL slots
+        for s in CL_ORDER:
+            put(1 if s in (8, 16) else 0, 3)
+        put(1, 1)   # use max_symbol
+        put(3, 3)   # nbits = 8
+        put(42, 8)  # 2 + 42 = 44 tokens
+        put_code(0, 1)  # literal length 8 (CL code: 8 -> '0', 16 -> '1')
+        for _ in range(42):
+            put_code(1, 1)
+            put(3, 2)  # repeat previous x6
+        put_code(1, 1)
+        put(0, 2)      # repeat previous x3 -> 1 + 252 + 3 = 256
+
+    def single(sym):
+        put(1, 1)
+        put(0, 1)
+        if sym < 2:
+            put(0, 1)
+            put(sym, 1)
+        else:
+            put(1, 1)
+            put(sym, 8)
+
+    put(w - 1, 14)
+    put(h - 1, 14)
+    put(0, 1)  # no alpha
+    put(0, 3)  # version 0
+    put(0, 1)  # no transforms
+    put(0, 1)  # no color cache
+    put(0, 1)  # no meta prefix codes
+    flat8()    # green
+    flat8()    # red
+    flat8()    # blue
+    single(255)  # alpha
+    single(0)    # distance
+    for i in range(w * h):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        put_code(g, 8)
+        put_code(r, 8)
+        put_code(b, 8)
+    if nbits:
+        data.append(acc & 0xFF)
+    payload = bytes([0x2F]) + bytes(data)
+    padded = len(payload) + (len(payload) & 1)
+    out = b"RIFF" + (4 + 8 + padded).to_bytes(4, "little") + b"WEBP"
+    out += b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        out += b"\x00"
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+webp_lossless(os.path.join(OUT, "gradient.webp"), rgb, W, H)
+print("gradient.webp", "same stats as gradient.ppm (pixels identical, VP8L)")

@@ -492,6 +492,34 @@ object Media {
           "UTF-8").as("data"))
   }
 
+  /** Documents -> REAL lossless WebP (VP8L) payloads: the SAME pixel
+    * geometry and bytes as [[toPpm]]/[[toPng]] — a (L%8+1) x (L%6+1)
+    * RGB raster of the text repeated/truncated — re-containered as a
+    * genuine VP8L bitstream ([[WebpCodec.encodeWebpLossless]]: RIFF
+    * walk, 14-bit header, flat canonical codes transmitted through
+    * the real code-length-code + max_symbol path, 0-bit degenerate
+    * trees). Lossless, so the q233 oracle recomputes every stat from
+    * the text exactly as q102/q216 do — and the shared raster means
+    * cross-format twins (ppm/png/webp of one doc) pair at hamming 0.
+    */
+  def toWebp(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(8)) + lit(1)).cast("int"))
+      .withColumn("h", (pmod(len, lit(6)) + lit(1)).cast("int"))
+      .withColumn("npx", col("w") * col("h") * lit(3))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, px) =>
+        MediaRecord(id, "image", "webp", WebpCodec.encodeWebpLossless(px, w, h))
+      }
+      .toDF()
+  }
+
   /** Documents -> REAL PNG payloads, deterministically: SAME pixel
     * geometry and bytes as [[toPpm]] — a (L%8+1) x (L%6+1) RGB raster
     * of the text repeated/truncated — re-containered as a genuine

@@ -252,6 +252,34 @@ object MediaStream {
 
   private val q216Sql = q102Sql.replace("'ppm' AS codec", "'png' AS codec")
 
+  // --------------------------------------------------------------- q233
+  /** REAL lossless-WebP (VP8L) decode — the q216 discipline for the
+    * last common web image format: documents become genuine VP8L
+    * bitstreams carrying the exact q102 raster, and the oracle never
+    * parses WebP — it recomputes every stat from the text (pixel byte
+    * == codepoint on the all-ASCII corpus). A broken prefix-code
+    * build, a bit-order slip in the LSB-first reader, a canonical-
+    * assignment bug, or a mis-walked RIFF chunk all hash-fail. The
+    * committed python fixture (independent encoder) pins the decoder
+    * separately in ImageCodecSpec.
+    */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toWebp(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q233Sql = q102Sql.replace("'ppm' AS codec", "'webp' AS codec")
+
   // --------------------------------------------------------------- q226
   /** REAL PNG decode for the OTHER crawl-common shapes — 8-bit
     * PLTE-indexed, 16-bit grayscale, Adam7-interlaced RGB, and
@@ -704,7 +732,7 @@ object MediaStream {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(8)) === k)
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(9)) === k)
     val mixed = Media.toPpm(bucket(0))
       .union(Media.toPng(bucket(1)))
       .union(Media.toWav(bucket(2)))
@@ -716,6 +744,7 @@ object MediaStream {
       .union(Media.toJpeg(bucket(5)))
       .union(Media.toGif(bucket(6)))
       .union(graft.sources.Pdf.toPdfsWithImages(bucket(7)))
+      .union(Media.toWebp(bucket(8)))
       .as[Media.MediaRecord]
 
     // ONE pass: each record meets all three typed decoders AND the
@@ -753,25 +782,28 @@ object MediaStream {
 
   private val q219Sql =
     """SELECT format, count(*) AS n_rows,
-      |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
+      |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6, 8) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
       |  CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
       |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
       |  CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS pdf_ok,
       |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
-      |  CAST(sum(CASE WHEN b IN (0, 1, 6)
+      |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8)
       |    THEN (len % 8 + 1) * (len % 6 + 1)
       |    WHEN b = 5 THEN (CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 256 END)
       |      * (len % 3 + 1) * (len % 2 + 1)
-      |    WHEN b = 7 THEN 64 * (len % 3 + 1) * (len % 2 + 1)
+      |    WHEN b = 7 THEN (CASE WHEN doc_id % 2 = 0
+      |      THEN (len % 8 + 1) * (len % 6 + 1)
+      |      ELSE 64 * (len % 3 + 1) * (len % 2 + 1) END)
       |    ELSE 0 END) AS BIGINT) AS px_sum,
       |  CAST(sum(CASE WHEN b = 2 THEN (len * 1000) // (len % 4000 + 4000)
       |    WHEN b = 3 THEN (len % 3 + 1) * 40 ELSE 0 END) AS BIGINT) AS dur_ms_sum,
-      |  CAST(sum(CASE WHEN b IN (0, 1, 6) THEN 1
+      |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8) THEN 1
       |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum
-      |FROM (SELECT doc_id, doc_id % 8 AS b,
-      |        CASE doc_id % 8 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |FROM (SELECT doc_id, doc_id % 9 AS b,
+      |        CASE doc_id % 9 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
-      |          WHEN 6 THEN 'gif' WHEN 7 THEN 'pdf' ELSE 'bin' END AS format,
+      |          WHEN 6 THEN 'gif' WHEN 7 THEN 'pdf' WHEN 8 THEN 'webp'
+      |          ELSE 'bin' END AS format,
       |        length(text) AS len
       |      FROM documents WHERE length(text) > 0)
       |GROUP BY format
@@ -2738,6 +2770,7 @@ object MediaStream {
     "q44_media_decode" -> (q44 _),
     "q102_image_decode" -> (q102 _),
     "q216_png_decode" -> (q216 _),
+    "q233_webp_decode" -> (q233 _),
     "q226_png_variants" -> (q226 _),
     "q227_jpeg_decode" -> (q227 _),
     "q229_jpeg_progressive" -> (q229 _),
@@ -2794,6 +2827,7 @@ object MediaStream {
     "q44_media_decode" -> q44Sql,
     "q102_image_decode" -> q102Sql,
     "q216_png_decode" -> q216Sql,
+    "q233_webp_decode" -> q233Sql,
     "q226_png_variants" -> q226Sql,
     "q227_jpeg_decode" -> q227Sql,
     "q229_jpeg_progressive" -> q229Sql,

@@ -136,4 +136,39 @@ class CodecPropertySpec extends SparkSpec {
     def extract(pdf: Array[Byte]): String =
       graft.sources.Pdf.extractText(pdf).toOption.get.text
   }
+
+  // ------------------------------------------------------------ WebP
+
+  test("WebP round trip: random rasters decode to the PPM truth (stats AND aHash)") {
+    for (i <- 0 until 40) {
+      val (w, h, rgb) = sample(rasterGen, 9000L + i)
+      val ppm = (s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb)
+      val truth = ImageCodec.decode(ppm).toOption.get
+      val webp = WebpCodec.encodeWebpLossless(rgb, w, h)
+      val got = ImageCodec.decode(webp).toOption.get
+      assert(got.copy(codec = "ppm") === truth, s"seed ${9000 + i} w=$w h=$h")
+      assert(ImageCodec.aHash(webp).toOption.get ===
+        ImageCodec.aHash(ppm).toOption.get, s"seed ${9000 + i} aHash")
+    }
+  }
+
+  test("WebP decoder never throws on mutated payloads: Left or a decode, task-safe") {
+    val (w, h, rgb) = sample(rasterGen, 111L)
+    val good = WebpCodec.encodeWebpLossless(rgb, w, h)
+    val mutGen = for {
+      pos <- Gen.choose(0, good.length - 1)
+      bit <- Gen.choose(0, 7)
+    } yield (pos, bit)
+    for (i <- 0 until 300) {
+      val (pos, bit) = sample(mutGen, 10000L + i)
+      val b = good.clone()
+      b(pos) = (b(pos) ^ (1 << bit)).toByte
+      WebpCodec.decode(b) match {
+        case Right((s, _)) => assert(s.nPixels > 0)
+        case Left(e) => assert(e.nonEmpty)
+      }
+    }
+    for (len <- Seq(0, 3, 11, 15, 21, good.length - 1))
+      WebpCodec.decode(java.util.Arrays.copyOf(good, len))
+  }
 }
