@@ -837,3 +837,275 @@ def webp_lossless(path, rgb, w, h):
 
 webp_lossless(os.path.join(OUT, "gradient.webp"), rgb, W, H)
 print("gradient.webp", "same stats as gradient.ppm (pixels identical, VP8L)")
+
+
+# --- VP8L transform fixtures (r18B): predictor / palette / cross-color
+#     / meta prefix groups, each through the independent python writer.
+class VP8LBits:
+    def __init__(self):
+        self.data = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, v, k):
+        self.acc |= (v & ((1 << k) - 1)) << self.nbits
+        self.nbits += k
+        while self.nbits >= 8:
+            self.data.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def code(self, c, ln):  # canonical prefix code, MSB first
+        for i in range(ln - 1, -1, -1):
+            self.put((c >> i) & 1, 1)
+
+    def flat8(self):
+        self.put(0, 1)
+        self.put(15, 4)
+        for s in CL_ORDER:
+            self.put(1 if s in (8, 16) else 0, 3)
+        self.put(1, 1)
+        self.put(3, 3)
+        self.put(42, 8)
+        self.code(0, 1)
+        for _ in range(42):
+            self.code(1, 1)
+            self.put(3, 2)
+        self.code(1, 1)
+        self.put(0, 2)
+
+    def single(self, sym):
+        self.put(1, 1)
+        self.put(0, 1)
+        if sym < 2:
+            self.put(0, 1)
+            self.put(sym, 1)
+        else:
+            self.put(1, 1)
+            self.put(sym, 8)
+
+    def simple2(self, lo, hi):
+        self.put(1, 1)
+        self.put(1, 1)
+        self.put(1, 1)
+        self.put(lo, 8)
+        self.put(hi, 8)
+
+    def riff(self, path):
+        if self.nbits:
+            self.data.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        payload = bytes([0x2F]) + bytes(self.data)
+        padded = len(payload) + (len(payload) & 1)
+        out = b"RIFF" + (4 + 8 + padded).to_bytes(4, "little") + b"WEBP"
+        out += b"VP8L" + len(payload).to_bytes(4, "little") + payload
+        if len(payload) & 1:
+            out += b"\x00"
+        with open(path, "wb") as f:
+            f.write(out)
+
+
+def avg2c(a, b):
+    return (a + b) // 2
+
+
+# pred.webp: gradient pixels behind a predictor transform, ALL blocks
+# mode 2 (T); residuals computed per the spec's edge rules.
+pw_rgb = [px(x, y) for y in range(H) for x in range(W)]
+b = VP8LBits()
+b.put(W - 1, 14)
+b.put(H - 1, 14)
+b.put(0, 1)
+b.put(0, 3)
+b.put(1, 1)   # a transform follows
+b.put(0, 2)   # type 0: predictor
+b.put(0, 3)   # size_bits - 2 = 0 -> 4x4 blocks
+# sub-image ceil(W/4) x ceil(H/4): every pixel green = mode 2; all
+# trees single-symbol -> the sub-image is header-only
+b.put(0, 1)   # sub: no color cache
+b.single(2)   # green = mode 2
+b.single(0)   # red
+b.single(0)   # blue
+b.single(0)   # alpha
+b.single(0)   # distance
+b.put(0, 1)   # end of transforms
+b.put(0, 1)   # main: no color cache
+b.put(0, 1)   # no meta
+b.flat8()     # green residuals
+b.flat8()     # red residuals
+b.flat8()     # blue residuals
+b.single(0)   # alpha residuals (always 0: every prediction has a=255)
+b.single(0)   # distance
+for y in range(H):
+    for x in range(W):
+        r, g, bl = pw_rgb[y * W + x]
+        if x == 0 and y == 0:
+            pr, pg, pb = 0, 0, 0  # opaque black
+        elif y == 0:
+            pr, pg, pb = pw_rgb[y * W + x - 1]  # L
+        else:
+            pr, pg, pb = pw_rgb[(y - 1) * W + x]  # T (mode 2; x==0 rule agrees)
+        b.code((g - pg) & 0xFF, 8)
+        b.code((r - pr) & 0xFF, 8)
+        b.code((bl - pb) & 0xFF, 8)
+b.riff(os.path.join(OUT, "pred.webp"))
+print("pred.webp", "same stats as gradient.ppm (predictor transform, mode T)")
+
+# pal.webp: palette.png's pixels behind a color-indexing transform
+# (sub-byte packing) — same stats as palette.png.
+pal_n = len(PLTE)  # list of (r, g, b) tuples
+width_bits = 3 if pal_n <= 2 else 2 if pal_n <= 4 else 1 if pal_n <= 16 else 0
+per_unit = 1 << width_bits
+bits_per = 8 >> width_bits
+packed_w = (PW + per_unit - 1) // per_unit
+b = VP8LBits()
+b.put(PW - 1, 14)
+b.put(PH - 1, 14)
+b.put(0, 1)
+b.put(0, 3)
+b.put(1, 1)   # a transform follows
+b.put(3, 2)   # type 3: color indexing
+b.put(pal_n - 1, 8)
+# palette sub-image: pal_n x 1, literal DELTAS via flat8 channels
+b.put(0, 1)   # sub: no cache
+b.flat8()     # green deltas
+b.flat8()     # red deltas
+b.flat8()     # blue deltas
+b.flat8()     # alpha deltas (255 then 0s)
+b.single(0)   # distance
+prev = (0, 0, 0, 0)  # a, r, g, b
+for i in range(pal_n):
+    r, g, bl = PLTE[i]
+    da = (255 - prev[0]) & 0xFF
+    dr = (r - prev[1]) & 0xFF
+    dg = (g - prev[2]) & 0xFF
+    db = (bl - prev[3]) & 0xFF
+    b.code(dg, 8)
+    b.code(dr, 8)
+    b.code(db, 8)
+    b.code(da, 8)
+    prev = (255, r, g, bl)
+b.put(0, 1)   # end of transforms
+b.put(0, 1)   # main (packed): no cache
+b.put(0, 1)   # no meta
+b.flat8()     # green = packed index bytes
+b.single(0)   # red
+b.single(0)   # blue
+b.single(255) # alpha
+b.single(0)   # distance
+for y in range(PH):
+    for ux in range(packed_w):
+        unit = 0
+        for k in range(per_unit):
+            x = ux * per_unit + k
+            idx = pidx[y][x][0] if x < PW else 0
+            unit |= (idx & ((1 << bits_per) - 1)) << (bits_per * k)
+        b.code(unit, 8)
+b.riff(os.path.join(OUT, "pal.webp"))
+print("pal.webp", "same stats as palette.png (color-indexing transform, "
+      f"{per_unit} px per green byte)")
+
+# cc.webp: gradient pixels behind a cross-color transform (one element
+# for every block) — same stats as gradient.ppm.
+G2R, G2B, R2B = 16, 48, 8
+
+
+def s8(v):
+    return v - 256 if v >= 128 else v
+
+
+def ct_delta(t, c):
+    return (s8(t) * s8(c)) >> 5
+
+
+b = VP8LBits()
+b.put(W - 1, 14)
+b.put(H - 1, 14)
+b.put(0, 1)
+b.put(0, 3)
+b.put(1, 1)   # a transform follows
+b.put(1, 2)   # type 1: cross-color
+b.put(0, 3)   # 4x4 blocks
+b.put(0, 1)   # sub: no cache
+b.single(G2B)  # green channel carries green_to_blue
+b.single(R2B)  # red channel carries red_to_blue
+b.single(G2R)  # blue channel carries green_to_red
+b.single(0)    # alpha
+b.single(0)    # distance
+b.put(0, 1)   # end of transforms
+b.put(0, 1)
+b.put(0, 1)
+b.flat8()
+b.flat8()
+b.flat8()
+b.single(255)
+b.single(0)
+for y in range(H):
+    for x in range(W):
+        r, g, bl = px(x, y)
+        rs = (r - ct_delta(G2R, g)) & 0xFF
+        bs = (bl - ct_delta(G2B, g) - ct_delta(R2B, r)) & 0xFF
+        b.code(g, 8)
+        b.code(rs, 8)
+        b.code(bs, 8)
+b.riff(os.path.join(OUT, "cc.webp"))
+print("cc.webp", "same stats as gradient.ppm (cross-color transform)")
+
+# meta.webp: 8x4, two meta prefix groups — left 4x4 block coded with
+# flat8 trees, right 4x4 with 2-symbol simple trees; a group-selection
+# bug desyncs the stream and cannot decode to these stats.
+MW, MH = 8, 4
+meta_px = []
+for y in range(MH):
+    for x in range(MW):
+        if x < 4:
+            meta_px.append(((x * 31 + y * 17) % 256,
+                            (x * 13 + y * 7) % 256,
+                            (x * 3 + y * 29) % 256))
+        else:
+            meta_px.append((200, 100, 50) if (x + y) % 2 == 0 else (20, 40, 60))
+b = VP8LBits()
+b.put(MW - 1, 14)
+b.put(MH - 1, 14)
+b.put(0, 1)
+b.put(0, 3)
+b.put(0, 1)   # no transforms
+b.put(0, 1)   # no cache
+b.put(1, 1)   # meta prefix codes present
+b.put(0, 3)   # meta_bits - 2 = 0 -> 4x4 blocks -> entropy image 2x1
+# entropy sub-image: green = group index (0 left, 1 right)
+b.put(0, 1)   # sub: no cache
+b.simple2(0, 1)  # green
+b.single(0)
+b.single(0)
+b.single(0)
+b.single(0)
+b.code(0, 1)  # block (0,0) -> group 0
+b.code(1, 1)  # block (1,0) -> group 1
+# group 0 trees: flat8 literals
+b.flat8()
+b.flat8()
+b.flat8()
+b.single(255)
+b.single(0)
+# group 1 trees: two-symbol simple codes
+b.simple2(40, 100)   # green
+b.simple2(20, 200)   # red
+b.simple2(50, 60)    # blue
+b.single(255)
+b.single(0)
+for y in range(MH):
+    for x in range(MW):
+        r, g, bl = meta_px[y * MW + x]
+        if x < 4:
+            b.code(g, 8)
+            b.code(r, 8)
+            b.code(bl, 8)
+        else:
+            b.code(0 if g == 40 else 1, 1)
+            b.code(0 if r == 20 else 1, 1)
+            b.code(0 if bl == 50 else 1, 1)
+b.riff(os.path.join(OUT, "meta.webp"))
+mst = stats([c for p in meta_px for c in p], 3, MW, MH)
+print("meta.webp", mst)

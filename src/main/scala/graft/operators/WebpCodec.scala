@@ -18,14 +18,20 @@ package graft.operators
   *    references (length/distance prefix values, the 120-entry 2D
   *    distance map AND direct distances above it), color cache
   *    (0x1e35a7bd multiplicative hash, every emitted pixel inserted)
-  *  - the SUBTRACT-GREEN transform (inverse: add green to r/b)
+  *  - ALL FOUR transforms (r18B — what real libwebp files use):
+  *    subtract-green, the per-block PREDICTOR transform (all 14
+  *    modes incl. Select and the clamped add/subtract pair, edge
+  *    rules, residual addition mod 256), the CROSS-COLOR transform
+  *    (signed 3.5 fixed-point deltas, blue after restored red), and
+  *    COLOR INDEXING (delta-cumulated palette, sub-byte index packing
+  *    at 1/2/4/8 px per green byte) — each carried by a recursively
+  *    decoded sub-image, exactly the spec's DecodeImageStream shape
+  *  - META prefix codes (entropy images): per-block prefix-code
+  *    groups, the 5-tree set per group
   *
   * OUT of scope (explicit Lefts, the GIF/PDF scoping discipline):
   *  - lossy `VP8 ` and extended `VP8X` containers (animation, EXIF):
   *    a different codec family entirely
-  *  - the predictor, cross-color and color-indexing transforms, and
-  *    meta prefix codes (entropy images) — sub-image recursion;
-  *    census/error-channel surfaces them, never silent garbage
   *
   * Memory: LZ77 references reach arbitrarily far back, so the decoder
   * materializes the O(raster) ARGB buffer behind an explicit size
@@ -270,95 +276,23 @@ object WebpCodec {
     br.bit() // alpha hint — informational
     val version = br.bits(3)
     if (version != 0) return Left(s"webp: VP8L version $version not supported")
+
+    val px = decodeImageStream(br, width, height, isLevel0 = true)
     val nPx = width.toLong * height
-    if (nPx > (1L << 26))
-      return Left("webp: raster too large for LZ77 buffering")
 
-    // transforms (level 0): subtract-green only
-    var subtractGreen = false
-    while (br.bit() == 1) {
-      br.bits(2) match {
-        case 2 => subtractGreen = true
-        case 0 => return Left("webp: predictor transform out of scope")
-        case 1 => return Left("webp: cross-color transform out of scope")
-        case 3 => return Left("webp: color-indexing (palette) transform out of scope")
-        case t => return Left(s"webp: unknown transform $t")
-      }
-    }
-
-    // color cache
-    val cacheBits = if (br.bit() == 1) br.bits(4) else 0
-    if (cacheBits > 11) return Left(s"webp: bad color-cache bits $cacheBits")
-    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
-
-    // meta prefix codes
-    if (br.bit() == 1) return Left("webp: meta prefix codes (entropy image) out of scope")
-
-    val greenTree = readCode(br, 256 + 24 + cacheSize)
-    val redTree = readCode(br, 256)
-    val blueTree = readCode(br, 256)
-    val alphaTree = readCode(br, 256)
-    val distTree = readCode(br, 40)
-
-    val px = new Array[Int](nPx.toInt) // ARGB
-    def insertCache(argb: Int): Unit =
-      if (cache != null)
-        cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
-    var i = 0
-    while (i < nPx) {
-      val g = greenTree.read(br)
-      if (g < 256) {
-        val r = redTree.read(br)
-        val b = blueTree.read(br)
-        val a = alphaTree.read(br)
-        val argb = (a << 24) | (r << 16) | (g << 8) | b
-        px(i) = argb
-        insertCache(argb)
-        i += 1
-      } else if (g < 256 + 24) {
-        val len = prefixValue(g - 256, br)
-        val distCode = prefixValue(distTree.read(br), br)
-        val dist0 =
-          if (distCode > 120) distCode - 120
-          else {
-            val (dx, dy) = DistMap(distCode - 1)
-            dy * width + dx
-          }
-        val dist = math.max(1, dist0)
-        if (dist > i) throw WebpAbort("webp: LZ77 distance before image start")
-        if (i + len > nPx) throw WebpAbort("webp: LZ77 run overruns raster")
-        var k = 0
-        while (k < len) {
-          px(i) = px(i - dist)
-          insertCache(px(i))
-          i += 1
-          k += 1
-        }
-      } else {
-        if (cache == null) throw WebpAbort("webp: cache reference without a color cache")
-        val argb = cache(g - 256 - 24)
-        px(i) = argb
-        // spec: cache hits re-insert (a no-op on the same slot)
-        insertCache(argb)
-        i += 1
-      }
-    }
-
-    // stats + aHash grid over the (inverse-transformed) raster; alpha
-    // excluded (channels = 3, the rgba.png rule)
+    // stats + aHash grid over the fully inverse-transformed raster;
+    // alpha excluded (channels = 3, the rgba.png rule)
     var sr = 0L
     var sg = 0L
     var sb = 0L
     var mn = Int.MaxValue
     var mx = Int.MinValue
-    i = 0
+    var i = 0
     while (i < nPx) {
       val v = px(i)
+      val r = (v >>> 16) & 0xff
       val g = (v >>> 8) & 0xff
-      var r = (v >>> 16) & 0xff
-      var b = v & 0xff
-      if (subtractGreen) { r = (r + g) & 0xff; b = (b + g) & 0xff }
+      val b = v & 0xff
       sr += r; sg += g; sb += b
       val lo = math.min(g, math.min(r, b))
       val hi = math.max(g, math.max(r, b))
@@ -372,17 +306,341 @@ object WebpCodec {
       val y = (gi / 8) * height / 8
       val x = (gi % 8) * width / 8
       val v = px(y * width + x)
-      val g = (v >>> 8) & 0xff
-      var r = (v >>> 16) & 0xff
-      var b = v & 0xff
-      if (subtractGreen) { r = (r + g) & 0xff; b = (b + g) & 0xff }
-      grays(gi) = r + g + b
+      grays(gi) = ((v >>> 16) & 0xff) + ((v >>> 8) & 0xff) + (v & 0xff)
       gi += 1
     }
     Right((ImageStats("webp", width, height, 3, 255, nPx,
       sr.toDouble / nPx, sg.toDouble / nPx, sb.toDouble / nPx, mn, mx),
       grays))
   }
+
+  /** ceil(size / 2^bits) — the spec's DIV_ROUND_UP over subsampled
+    * transform/entropy images.
+    */
+  private def subSample(size: Int, bits: Int): Int =
+    (size + (1 << bits) - 1) >> bits
+
+  /** Per-channel byte-wise add mod 256 (the spec's pixel addition —
+    * predictor residuals and palette delta accumulation).
+    */
+  private def addPixels(a: Int, b: Int): Int = {
+    val al = ((a >>> 24) + (b >>> 24)) & 0xff
+    val r = (((a >>> 16) & 0xff) + ((b >>> 16) & 0xff)) & 0xff
+    val g = (((a >>> 8) & 0xff) + ((b >>> 8) & 0xff)) & 0xff
+    val bl = ((a & 0xff) + (b & 0xff)) & 0xff
+    (al << 24) | (r << 16) | (g << 8) | bl
+  }
+
+  /** One transform, recorded at read time: `bits` is the block
+    * size_bits (predictor/color) or the palette width_bits, `xsize`
+    * the image width WHEN the transform was read (palette shrinks it
+    * for everything after), `data` the decoded sub-image (predictor
+    * modes / transform elements) or the cumulated palette.
+    */
+  private final case class Xform(tpe: Int, bits: Int, xsize: Int, data: Array[Int])
+
+  /** Decode one VP8L image stream to ARGB, recursively: level 0 reads
+    * transforms and the optional entropy image (meta prefix groups);
+    * sub-images (transform data, entropy image, palette) share the
+    * same spatial decoder without those headers — exactly the spec's
+    * DecodeImageStream shape. Inverse transforms apply in reverse
+    * read order on the way out.
+    */
+  private def decodeImageStream(br: BitReader, xsize0: Int, ysize: Int,
+      isLevel0: Boolean): Array[Int] = {
+    var xsize = xsize0
+    val transforms = scala.collection.mutable.ArrayBuffer.empty[Xform]
+    if (isLevel0) {
+      var seen = 0
+      while (br.bit() == 1) {
+        val t = br.bits(2)
+        if ((seen & (1 << t)) != 0) throw WebpAbort("webp: duplicate transform")
+        seen |= 1 << t
+        t match {
+          case 2 => transforms += Xform(2, 0, xsize, null) // subtract-green
+          case 0 | 1 => // predictor / cross-color: per-block sub-image
+            val bits = br.bits(3) + 2
+            val sub = decodeImageStream(br,
+              subSample(xsize, bits), subSample(ysize, bits), isLevel0 = false)
+            transforms += Xform(t, bits, xsize, sub)
+          case _ => // color indexing (palette)
+            val palSize = br.bits(8) + 1
+            val deltas = decodeImageStream(br, palSize, 1, isLevel0 = false)
+            val pal = new Array[Int](palSize)
+            var prev = 0
+            var i = 0
+            while (i < palSize) { prev = addPixels(prev, deltas(i)); pal(i) = prev; i += 1 }
+            val widthBits =
+              if (palSize <= 2) 3 else if (palSize <= 4) 2
+              else if (palSize <= 16) 1 else 0
+            transforms += Xform(3, widthBits, xsize, pal)
+            xsize = subSample(xsize, widthBits) // indices pack into green
+        }
+      }
+    }
+    val nPx = xsize.toLong * ysize
+    if (nPx > (1L << 26)) throw WebpAbort("webp: raster too large for buffering")
+    if (nPx <= 0) throw WebpAbort("webp: empty image stream")
+
+    val cacheBits = if (br.bit() == 1) br.bits(4) else 0
+    if (cacheBits > 11) throw WebpAbort(s"webp: bad color-cache bits $cacheBits")
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+
+    // entropy image (meta prefix groups) — level 0 only, per spec
+    var metaBits = 0
+    var metaW = 0
+    var meta: Array[Int] = null
+    var numGroups = 1
+    if (isLevel0 && br.bit() == 1) {
+      metaBits = br.bits(3) + 2
+      metaW = subSample(xsize, metaBits)
+      meta = decodeImageStream(br, metaW, subSample(ysize, metaBits), isLevel0 = false)
+      var mxv = 0
+      var i = 0
+      while (i < meta.length) {
+        val g = (meta(i) >>> 8) & 0xffff
+        if (g > mxv) mxv = g
+        i += 1
+      }
+      numGroups = mxv + 1
+    }
+    val greenT = new Array[Huff](numGroups)
+    val redT = new Array[Huff](numGroups)
+    val blueT = new Array[Huff](numGroups)
+    val alphaT = new Array[Huff](numGroups)
+    val distT = new Array[Huff](numGroups)
+    var gI = 0
+    while (gI < numGroups) {
+      greenT(gI) = readCode(br, 256 + 24 + cacheSize)
+      redT(gI) = readCode(br, 256)
+      blueT(gI) = readCode(br, 256)
+      alphaT(gI) = readCode(br, 256)
+      distT(gI) = readCode(br, 40)
+      gI += 1
+    }
+
+    val px = new Array[Int](nPx.toInt)
+    def insertCache(argb: Int): Unit =
+      if (cache != null)
+        cache((0x1e35a7bd * argb) >>> (32 - cacheBits)) = argb
+    var i = 0
+    var x = 0
+    var y = 0
+    def advance(n: Int): Unit = {
+      i += n
+      x += n
+      while (x >= xsize) { x -= xsize; y += 1 }
+    }
+    while (i < nPx) {
+      val group =
+        if (meta == null) 0
+        else (meta((y >> metaBits) * metaW + (x >> metaBits)) >>> 8) & 0xffff
+      val g = greenT(group).read(br)
+      if (g < 256) {
+        val r = redT(group).read(br)
+        val b = blueT(group).read(br)
+        val a = alphaT(group).read(br)
+        val argb = (a << 24) | (r << 16) | (g << 8) | b
+        px(i) = argb
+        insertCache(argb)
+        advance(1)
+      } else if (g < 256 + 24) {
+        val len = prefixValue(g - 256, br)
+        val distCode = prefixValue(distT(group).read(br), br)
+        val dist0 =
+          if (distCode > 120) distCode - 120
+          else {
+            val (dx, dy) = DistMap(distCode - 1)
+            dy * xsize + dx
+          }
+        val dist = math.max(1, dist0)
+        if (dist > i) throw WebpAbort("webp: LZ77 distance before image start")
+        if (i + len > nPx) throw WebpAbort("webp: LZ77 run overruns raster")
+        var k = 0
+        while (k < len) {
+          px(i + k) = px(i + k - dist)
+          insertCache(px(i + k))
+          k += 1
+        }
+        advance(len)
+      } else {
+        if (cache == null) throw WebpAbort("webp: cache reference without a color cache")
+        val argb = cache(g - 256 - 24)
+        px(i) = argb
+        insertCache(argb) // a re-insert of the same slot, per spec
+        advance(1)
+      }
+    }
+
+    // inverse transforms, reverse read order
+    var out = px
+    var outXsize = xsize
+    transforms.reverseIterator.foreach { tr =>
+      tr.tpe match {
+        case 3 =>
+          out = unpackPalette(out, outXsize, ysize, tr.xsize, tr.bits, tr.data)
+          outXsize = tr.xsize
+        case 2 => addGreenInverse(out)
+        case 0 => predictorInverse(out, outXsize, ysize, tr.bits, tr.data)
+        case _ => colorInverse(out, outXsize, ysize, tr.bits, tr.data)
+      }
+    }
+    out
+  }
+
+  /** Color-indexing inverse: unpack `1 << widthBits` indices per green
+    * byte (LSB-first sub-positions) and map through the palette. An
+    * index past the palette is a parse error, never a silent read.
+    */
+  private def unpackPalette(packed: Array[Int], packedW: Int, ysize: Int,
+      fullW: Int, widthBits: Int, pal: Array[Int]): Array[Int] = {
+    val out = new Array[Int](fullW * ysize)
+    val perUnit = 1 << widthBits
+    val bitsPer = 8 >> widthBits
+    val mask = (1 << bitsPer) - 1
+    var y = 0
+    while (y < ysize) {
+      var x = 0
+      while (x < fullW) {
+        val unit = packed(y * packedW + (x >> widthBits))
+        val idx = (((unit >>> 8) & 0xff) >> (bitsPer * (x & (perUnit - 1)))) & mask
+        if (idx >= pal.length) throw WebpAbort("webp: palette index out of range")
+        out(y * fullW + x) = pal(idx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def addGreenInverse(px: Array[Int]): Unit = {
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      val g = (p >>> 8) & 0xff
+      val r = (((p >>> 16) & 0xff) + g) & 0xff
+      val b = ((p & 0xff) + g) & 0xff
+      px(i) = (p & 0xff00ff00) | (r << 16) | b
+      i += 1
+    }
+  }
+
+  /** Per-channel floor average of two ARGB pixels (SWAR). */
+  private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  private def sub3(a: Int, b: Int, c: Int): Int =
+    math.abs(b - c) - math.abs(a - c)
+
+  /** The spec's Select predictor: a = top, b = left, c = top-left. */
+  private def select(a: Int, b: Int, c: Int): Int = {
+    val paMinusPb =
+      sub3((a >>> 24) & 0xff, (b >>> 24) & 0xff, (c >>> 24) & 0xff) +
+        sub3((a >>> 16) & 0xff, (b >>> 16) & 0xff, (c >>> 16) & 0xff) +
+        sub3((a >>> 8) & 0xff, (b >>> 8) & 0xff, (c >>> 8) & 0xff) +
+        sub3(a & 0xff, b & 0xff, c & 0xff)
+    if (paMinusPb <= 0) a else b
+  }
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def clampAddSubFull(a: Int, b: Int, c: Int): Int = {
+    def ch(sh: Int): Int =
+      clip255(((a >>> sh) & 0xff) + ((b >>> sh) & 0xff) - ((c >>> sh) & 0xff))
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def clampAddSubHalf(ave: Int, c: Int): Int = {
+    def ch(sh: Int): Int = {
+      val a = (ave >>> sh) & 0xff
+      val b = (c >>> sh) & 0xff
+      clip255(a + (a - b) / 2) // integer division truncates toward zero
+    }
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  /** Predictor-transform inverse: residual + prediction per channel,
+    * mod 256. Mode per block from the sub-image's green channel; the
+    * first pixel predicts opaque black, the top row L, the left
+    * column T; the right edge's TR is the current row's first pixel
+    * (the linear-index wrap the spec's row layout implies).
+    */
+  private def predictorInverse(px: Array[Int], w: Int, h: Int, bits: Int,
+      modeImg: Array[Int]): Unit = {
+    val bw = subSample(w, bits)
+    var y = 0
+    var idx = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred: Int =
+          if (y == 0 && x == 0) 0xff000000
+          else if (y == 0) px(idx - 1)
+          else if (x == 0) px(idx - w)
+          else {
+            val mode = (modeImg((y >> bits) * bw + (x >> bits)) >>> 8) & 0xff
+            val left = px(idx - 1)
+            val top = px(idx - w)
+            val tr = px(idx - w + 1)
+            val tl = px(idx - w - 1)
+            mode match {
+              case 0 => 0xff000000
+              case 1 => left
+              case 2 => top
+              case 3 => tr
+              case 4 => tl
+              case 5 => avg2(avg2(left, tr), top)
+              case 6 => avg2(left, tl)
+              case 7 => avg2(left, top)
+              case 8 => avg2(tl, top)
+              case 9 => avg2(top, tr)
+              case 10 => avg2(avg2(left, tl), avg2(top, tr))
+              case 11 => select(top, left, tl)
+              case 12 => clampAddSubFull(left, top, tl)
+              case 13 => clampAddSubHalf(avg2(left, top), tl)
+              case m => throw WebpAbort(s"webp: bad predictor mode $m")
+            }
+          }
+        px(idx) = addPixels(px(idx), pred)
+        x += 1
+        idx += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Cross-color inverse: per block, signed 3.5 fixed-point deltas
+    * (green_to_red in the element's blue byte, green_to_blue in
+    * green, red_to_blue in red — the spec's ColorCodeToMultipliers
+    * packing); red restores first, then blue uses the RESTORED red.
+    */
+  private def colorInverse(px: Array[Int], w: Int, h: Int, bits: Int,
+      elemImg: Array[Int]): Unit = {
+    val bw = subSample(w, bits)
+    def delta(t: Byte, c: Byte): Int = (t * c) >> 5
+    var y = 0
+    var idx = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = elemImg((y >> bits) * bw + (x >> bits))
+        val g2r = (e & 0xff).toByte
+        val g2b = ((e >>> 8) & 0xff).toByte
+        val r2b = ((e >>> 16) & 0xff).toByte
+        val p = px(idx)
+        val g = ((p >>> 8) & 0xff).toByte
+        val r = (((p >>> 16) & 0xff) + delta(g2r, g)) & 0xff
+        var b = ((p & 0xff) + delta(g2b, g)) & 0xff
+        b = (b + delta(r2b, r.toByte)) & 0xff
+        px(idx) = (p & 0xff00ff00) | (r << 16) | b
+        x += 1
+        idx += 1
+      }
+      y += 1
+    }
+  }
+
 
   // ------------------------------------------------------------ encode
 
