@@ -263,7 +263,13 @@ object WebpCodec {
         case "VP8 " =>
           return Left("webp: lossy VP8 out of scope — VP8L lossless only")
         case "VP8X" =>
-          return Left("webp: extended VP8X container out of scope (animation/metadata)")
+          // extended container: a STILL lossless image inside VP8X is
+          // just more chunks before the VP8L — walk on; animations are
+          // a different decode model (frame deltas) — explicit Left
+          if (size < 10) return Left("webp: truncated VP8X header")
+          if ((d(pos + 8) & 0x02) != 0)
+            return Left("webp: animated WebP out of scope (still images only)")
+          pos += 8 + size.toInt + (size.toInt & 1)
         case _ =>
           pos += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
       }

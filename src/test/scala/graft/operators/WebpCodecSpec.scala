@@ -244,6 +244,27 @@ class WebpCodecSpec extends AnyFunSuite {
     assert(s2.gMean === 10.0 && s2.rMean === 30.0 && s2.bMean === 50.0)
   }
 
+  test("VP8X container: still lossless decodes through the chunk walk; animated is a Left") {
+    val inner = WebpCodec.encodeWebpLossless(seededBytes(27, 6), 3, 3)
+    val vp8l = inner.drop(12) // the VP8L chunk (fourcc + size + payload)
+    def riffWith(flags: Int): Array[Byte] = {
+      val vp8x = Array[Byte]('V'.toByte, 'P'.toByte, '8'.toByte, 'X'.toByte,
+        10, 0, 0, 0, flags.toByte, 0, 0, 0, 2, 0, 0, 2, 0, 0) // canvas 3x3-1
+      val body = "WEBP".getBytes("US-ASCII") ++ vp8x ++ vp8l
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII"))
+      val n = body.length
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+      out.write(body)
+      out.toByteArray
+    }
+    val still = WebpCodec.decode(riffWith(0x00)).toOption.get._1
+    val plain = WebpCodec.decode(inner).toOption.get._1
+    assert(still === plain)
+    assert(WebpCodec.decode(riffWith(0x02)).left.exists(_.contains("animated")))
+  }
+
   test("malformed payloads are Left(reason), never an exception") {
     val good = WebpCodec.encodeWebpLossless(seededBytes(27, 5), 3, 3)
     assert(WebpCodec.decode("not webp".getBytes).isLeft)
