@@ -450,6 +450,59 @@ object TextAnalytics {
        |FROM cum
        |ORDER BY bin, off_in_bin, doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q234
+  /** Greedy NO-SPLIT sequence packing (operators.Packing.packGreedy,
+    * r18) — the SFT-style counterpart of q87/q182: documents never
+    * split across packed sequences; a doc that would overflow the
+    * 256-token window closes the bin, an over-window doc owns a bin
+    * alone (flagged). Sequential by nature, so the operator packs
+    * within 128-doc id-blocks (one shuffle on the block key, bounded
+    * per-group fold, bins never cross blocks — the shard-local
+    * production shape) with globally unique bin ids by construction.
+    * The oracle replays the exact recurrence as a RECURSIVE CTE over
+    * the per-block doc sequence — a wrong close rule, overflow rule,
+    * fill accumulation, or block/bin id arithmetic all hash-fail.
+    */
+  private def q234(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packGreedy(
+        t(s, dir, "documents"), "doc_id", "text",
+        windowTokens = 256L, blockDocs = 128L)
+      .orderBy(col("doc_id"))
+
+  private val q234Sql =
+    s"""WITH RECURSIVE tk AS (
+       |  SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tok,
+       |    doc_id // 128 AS blk
+       |  FROM documents),
+       |seq AS (
+       |  SELECT doc_id, n_tok, blk,
+       |    row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+       |  FROM tk),
+       |pack AS (
+       |  SELECT blk, rn, doc_id, n_tok,
+       |    CAST(0 AS BIGINT) AS bin_local,
+       |    n_tok AS fill,
+       |    0 AS pos,
+       |    n_tok > 256 AS overflow
+       |  FROM seq WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.blk, s.rn, s.doc_id, s.n_tok,
+       |    p.bin_local + (CASE WHEN p.overflow OR (p.fill > 0 AND
+       |      (s.n_tok > 256 OR p.fill + s.n_tok > 256)) THEN 1 ELSE 0 END),
+       |    CASE WHEN p.overflow OR (p.fill > 0 AND
+       |      (s.n_tok > 256 OR p.fill + s.n_tok > 256))
+       |      THEN s.n_tok ELSE p.fill + s.n_tok END,
+       |    CASE WHEN p.overflow OR (p.fill > 0 AND
+       |      (s.n_tok > 256 OR p.fill + s.n_tok > 256))
+       |      THEN 0 ELSE p.pos + 1 END,
+       |    s.n_tok > 256
+       |  FROM pack p JOIN seq s ON s.blk = p.blk AND s.rn = p.rn + 1)
+       |SELECT doc_id, n_tok, CAST(blk * 128 + bin_local AS BIGINT) AS bin_id,
+       |  CAST(pos AS INTEGER) AS bin_pos, CAST(fill AS BIGINT) AS bin_fill,
+       |  overflow
+       |FROM pack
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q98
   /** Deterministic train/val/test split — 90/5/5 by a salted content
     * hash of the document id (`split|` salt keeps it independent of
@@ -2463,6 +2516,7 @@ object TextAnalytics {
     "q82_corpus_mixture" -> (q82 _),
     "q83_quantile_filter" -> (q83 _),
     "q87_pack_sequences" -> (q87 _),
+    "q234_pack_greedy" -> (q234 _),
     "q88_epoch_upsample" -> (q88 _),
     "q96_chunk_documents" -> (q96 _),
     "q98_split_assign" -> (q98 _),
@@ -2518,6 +2572,7 @@ object TextAnalytics {
     "q82_corpus_mixture" -> q82Sql,
     "q83_quantile_filter" -> q83Sql,
     "q87_pack_sequences" -> q87Sql,
+    "q234_pack_greedy" -> q234Sql,
     "q88_epoch_upsample" -> q88Sql,
     "q96_chunk_documents" -> q96Sql,
     "q98_split_assign" -> q98Sql,
