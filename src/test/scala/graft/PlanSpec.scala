@@ -717,4 +717,44 @@ class PlanSpec extends SparkSpec {
     assert(raw.contains("MapPartitions"), "mapPartitions boundary missing")
   }
 
+  test("q233 webp decode: the codec pass is map-only before the sink sort") {
+    val raw = graft.operators.Media.decodeImages(
+        {
+          val s = spark
+          import s.implicits._
+          graft.operators.Media.toWebp(
+            spark.read.parquet(s"$sf/documents.parquet"))
+            .as[graft.operators.Media.MediaRecord]
+        })
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!raw.contains("Exchange"), "encode+decode shuffled — must be map-only")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(raw).size === 1, "more than one scan")
+  }
+
+  test("q234 greedy packing: exactly one exchange (the block key), no window") {
+    val raw = graft.operators.Packing.packGreedy(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+        windowTokens = 256L, blockDocs = 128L)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(raw).size === 1,
+      "greedy packing must shuffle exactly once, on the block key")
+    assert(raw.contains("hashpartitioning"), "the one exchange must be a hash shuffle")
+    assert(!raw.contains("Window"), "packing used a window function")
+    assert(!raw.contains("rangepartitioning"), "packing sorted globally")
+  }
+
+  test("q231 pdf images: build+extract is map-only before the sink sort") {
+    val media = {
+      val s = spark
+      import s.implicits._
+      graft.sources.Pdf.toPdfsWithImages(
+        spark.read.parquet(s"$sf/documents.parquet"))
+        .as[graft.operators.Media.MediaRecord]
+    }
+    val raw = graft.sources.Pdf.extractRows(media)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!raw.contains("Exchange"), "pdf build+extract shuffled — must be map-only")
+    assert(!raw.contains("Window"), "pdf extract used a window function")
+  }
+
 }
