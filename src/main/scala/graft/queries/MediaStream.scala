@@ -2728,7 +2728,50 @@ object MediaStream {
       |SELECT host, sitemap_url FROM u
       |ORDER BY host, sitemap_url""".stripMargin
 
+  // --------------------------------------------------------------- q235
+  /** REAL archive ingest, hash-gated end-to-end: documents become
+    * genuine ZIP (even docs — the text carried BOTH stored and
+    * DEFLATEd, so one walk covers both methods) and ustar TAR (odd
+    * docs) payloads, and [[graft.sources.Archive.listEntries]] walks
+    * them back by magic — EOCD discovery, central-directory offsets,
+    * raw-DEFLATE inflate, CRC-32, tar header checksums. The oracle
+    * never parses an archive: it recovers entry names, sizes, and the
+    * extracted text straight from the documents table, so a wrong
+    * data offset, a misfed Inflater window, or a bad checksum blank
+    * all hash-fail. Independent python zipfile/tarfile fixtures pin
+    * the reader separately in ArchiveSpec.
+    */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.Archive
+    val media = Archive.toArchives(t(s, dir, "documents")).as[Media.MediaRecord]
+    Archive.listEntries(media)
+      .filter(col("err").isNull)
+      .select(col("media_id"), col("archive"), col("entry_name"),
+        col("method"), col("uncomp_size"), col("crc_ok"), col("text"))
+      .orderBy(col("media_id"), col("entry_name"))
+  }
+
+  private val q235Sql =
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0)
+      |SELECT media_id, archive, entry_name, method, uncomp_size, crc_ok, text
+      |FROM (
+      |  SELECT doc_id AS media_id, 'zip' AS archive,
+      |    'doc_' || doc_id || '_d.txt' AS entry_name, 'deflate' AS method,
+      |    CAST(length(text) AS BIGINT) AS uncomp_size, TRUE AS crc_ok, text
+      |  FROM d WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'zip', 'doc_' || doc_id || '_s.txt', 'stored',
+      |    CAST(length(text) AS BIGINT), TRUE, text
+      |  FROM d WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 'tar', 'doc_' || doc_id || '.txt', 'ustar',
+      |    CAST(length(text) AS BIGINT), TRUE, text
+      |  FROM d WHERE doc_id % 2 = 1)
+      |ORDER BY media_id, entry_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_archive_ingest" -> (q235 _),
     "q168_crawl_budget" -> (q168 _),
     "q165_sitemap_refs" -> (q165 _),
     "q161_mirror_detect" -> (q161 _),
@@ -2786,6 +2829,7 @@ object MediaStream {
     "q81_event_dedup" -> (q81 _))
 
   val oracle: Map[String, String] = Map(
+    "q235_archive_ingest" -> q235Sql,
     "q168_crawl_budget" -> q168Sql,
     "q165_sitemap_refs" -> q165Sql,
     "q161_mirror_detect" -> q161Sql,

@@ -1,0 +1,378 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Media
+
+/** Archive container sources — ZIP and TAR (ustar), the two wrappers
+  * crawl and data-drop payloads overwhelmingly arrive in (WARC sits a
+  * level up; gzip members are [[Warc]]'s job). Dependency-free on the
+  * JDK-only precedent of the sibling codecs: DEFLATE entries ride
+  * `java.util.zip.Inflater` in raw (nowrap) mode, CRC-32 verification
+  * rides `java.util.zip.CRC32`.
+  *
+  * ZIP, IN scope:
+  *  - end-of-central-directory discovery by backward signature scan
+  *    (archives may carry a trailing comment — the spec's own reason
+  *    EOCD has no fixed offset)
+  *  - central-directory walk; per-entry sizes/CRC are taken from the
+  *    CENTRAL record, so local headers written streaming-style with
+  *    data descriptors (general-purpose bit 3, sizes 0 in the local
+  *    header) extract correctly
+  *  - methods 0 (stored) and 8 (raw DEFLATE); CRC-32 verified over
+  *    the extracted bytes
+  *  - directory entries (name ends in '/') are skipped — rows are
+  *    regular files only
+  *
+  * ZIP, OUT of scope (documented, Left or skip — never an exception):
+  * Zip64 (entry counts/sizes/offsets of 0xFFFF/0xFFFFFFFF abort with
+  * a Left naming the feature), encryption (general-purpose bit 0),
+  * and methods beyond stored/DEFLATE (bzip2, LZMA, zstd) — each a
+  * per-archive Left, the decodeImages error-channel discipline.
+  *
+  * TAR (ustar), IN scope: 512-byte headers (name, octal size, header
+  * checksum verified with the checksum field blanked per spec),
+  * regular-file typeflags ('0' and NUL), ustar `prefix` field joined
+  * to the name, data rounded to 512-byte blocks, end at two zero
+  * blocks (or EOF after a zero block — tolerated, GNU tar emits it).
+  * OUT of scope: GNU long-name ('L'/'K') and pax ('x'/'g') extension
+  * records are SKIPPED like any non-file entry (their payload is
+  * metadata for the following entry; the following entry still
+  * extracts under its header-local name), sparse files, and base-256
+  * (binary) size fields — size bytes with the high bit set Left.
+  *
+  * Scale shape: archives are opaque binary cells; [[listEntries]] is
+  * one `flatMap` inside a `mapPartitions`-equivalent typed map — no
+  * shuffle, no driver collect — so a 100 TB archive dump fans out by
+  * parquet row groups exactly like the media decode paths. Per-record
+  * memory is bounded by one archive's extracted entries (crawl-side
+  * archives are row-sized cells, the WARC rule; a multi-GB archive
+  * belongs in object storage, split upstream).
+  */
+object Archive {
+
+  /** One extracted regular-file entry. `comp_size` is the stored
+    * (possibly compressed) byte count; `crc_ok` is the CRC-32 check
+    * for ZIP and the header-checksum check for TAR.
+    */
+  case class EntryRec(
+      entry_name: String,
+      method: String, // stored | deflate | ustar
+      comp_size: Long,
+      uncomp_size: Long,
+      crc_ok: Boolean,
+      data: Array[Byte])
+
+  def sniffZip(d: Array[Byte]): Boolean =
+    d.length >= 4 && d(0) == 'P' && d(1) == 'K' &&
+      ((d(2) == 3 && d(3) == 4) || (d(2) == 5 && d(3) == 6))
+
+  def sniffTar(d: Array[Byte]): Boolean =
+    d.length >= 512 && d(257) == 'u' && d(258) == 's' && d(259) == 't' &&
+      d(260) == 'a' && d(261) == 'r'
+
+  private final case class Abort(msg: String) extends RuntimeException(msg)
+
+  // --------------------------------------------------------------- ZIP
+
+  /** Extract all regular-file entries of a ZIP archive. */
+  def readZip(d: Array[Byte]): Either[String, Seq[EntryRec]] = {
+    try Right(readZipInner(d))
+    catch {
+      case Abort(m) => Left(m)
+      case _: ArrayIndexOutOfBoundsException => Left("zip: truncated payload")
+      case _: NegativeArraySizeException => Left("zip: negative length field")
+    }
+  }
+
+  private def readZipInner(d: Array[Byte]): Seq[EntryRec] = {
+    def u16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
+        ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
+
+    // EOCD: backward scan over the comment window (<= 64 KiB + 22)
+    val lo = math.max(0, d.length - 65557)
+    var eocd = -1
+    var p = d.length - 22
+    while (p >= lo && eocd < 0) {
+      if (d(p) == 'P' && d(p + 1) == 'K' && d(p + 2) == 5 && d(p + 3) == 6 &&
+        u16(p + 20) == d.length - (p + 22)) eocd = p
+      p -= 1
+    }
+    if (eocd < 0) throw Abort("zip: no end-of-central-directory record")
+    val nEntries = u16(eocd + 10)
+    val cdOff = u32(eocd + 16)
+    if (nEntries == 0xffff || cdOff == 0xffffffffL)
+      throw Abort("zip: Zip64 archives are out of scope")
+
+    val out = Vector.newBuilder[EntryRec]
+    var c = cdOff.toInt
+    var i = 0
+    while (i < nEntries) {
+      if (u32(c) != 0x02014b50L) throw Abort("zip: bad central-directory signature")
+      val flags = u16(c + 8)
+      if ((flags & 1) != 0) throw Abort("zip: encrypted entries are out of scope")
+      val method = u16(c + 10)
+      val crc = u32(c + 16)
+      val compSize = u32(c + 20)
+      val uncompSize = u32(c + 24)
+      if (compSize == 0xffffffffL || uncompSize == 0xffffffffL)
+        throw Abort("zip: Zip64 entry sizes are out of scope")
+      val nameLen = u16(c + 28)
+      val extraLen = u16(c + 30)
+      val commentLen = u16(c + 32)
+      val localOff = u32(c + 42)
+      val name = new String(d, c + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+      c += 46 + nameLen + extraLen + commentLen
+      i += 1
+      if (!name.endsWith("/")) { // regular files only
+        // local header gives the data offset; sizes come from central
+        val lh = localOff.toInt
+        if (u32(lh) != 0x04034b50L) throw Abort(s"zip: bad local header for $name")
+        val dataOff = lh + 30 + u16(lh + 26) + u16(lh + 28)
+        if (dataOff + compSize > d.length) throw Abort(s"zip: $name data runs past EOF")
+        val raw = java.util.Arrays.copyOfRange(d, dataOff, dataOff + compSize.toInt)
+        val (methodName, bytes) = method match {
+          case 0 => ("stored", raw)
+          case 8 => ("deflate", inflateRaw(raw, uncompSize.toInt))
+          case m => throw Abort(s"zip: compression method $m is out of scope")
+        }
+        if (bytes.length != uncompSize)
+          throw Abort(s"zip: $name extracted ${bytes.length} of $uncompSize bytes")
+        val check = new java.util.zip.CRC32()
+        check.update(bytes)
+        out += EntryRec(name, methodName, compSize, uncompSize, check.getValue == crc, bytes)
+      }
+    }
+    out.result()
+  }
+
+  private def inflateRaw(raw: Array[Byte], expect: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true) // nowrap: ZIP stores raw DEFLATE
+    try {
+      inf.setInput(raw)
+      val out = new Array[Byte](expect)
+      var off = 0
+      while (off < expect && !inf.finished()) {
+        val n = inf.inflate(out, off, expect - off)
+        if (n == 0 && inf.needsInput()) throw Abort("zip: DEFLATE stream truncated")
+        off += n
+      }
+      if (off != expect) throw Abort(s"zip: inflated $off of $expect bytes")
+      out
+    } catch {
+      case _: java.util.zip.DataFormatException => throw Abort("zip: malformed DEFLATE stream")
+    } finally inf.end()
+  }
+
+  /** Build a ZIP archive: local headers with up-front sizes, raw
+    * DEFLATE or stored per entry, central directory + EOCD. The
+    * `Media.toArchives` adapter / fixture substrate (decode path is
+    * the independent python `zipfile` fixture's job).
+    */
+  def zipBytes(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    case class Central(name: Array[Byte], method: Int, crc: Long,
+        comp: Int, uncomp: Int, off: Int)
+    val centrals = entries.map { case (name, data, deflate) =>
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(data)
+      val stored =
+        if (!deflate) data
+        else {
+          val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          try {
+            defl.setInput(data)
+            defl.finish()
+            val buf = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+            val chunk = new Array[Byte](4096)
+            while (!defl.finished()) buf.write(chunk, 0, defl.deflate(chunk))
+            buf.toByteArray
+          } finally defl.end()
+        }
+      val off = out.size()
+      u32(0x04034b50L); u16(20); u16(0); u16(if (deflate) 8 else 0)
+      u16(0); u16(0) // DOS time/date: zero (deterministic artifacts)
+      u32(crc.getValue); u32(stored.length.toLong); u32(data.length.toLong)
+      u16(nameB.length); u16(0)
+      out.write(nameB); out.write(stored)
+      Central(nameB, if (deflate) 8 else 0, crc.getValue, stored.length, data.length, off)
+    }
+    val cdStart = out.size()
+    centrals.foreach { ce =>
+      u32(0x02014b50L); u16(20); u16(20); u16(0); u16(ce.method)
+      u16(0); u16(0)
+      u32(ce.crc); u32(ce.comp.toLong); u32(ce.uncomp.toLong)
+      u16(ce.name.length); u16(0); u16(0); u16(0); u16(0)
+      u32(0L); u32(ce.off.toLong)
+      out.write(ce.name)
+    }
+    val cdSize = out.size() - cdStart
+    u32(0x06054b50L); u16(0); u16(0)
+    u16(centrals.size); u16(centrals.size)
+    u32(cdSize.toLong); u32(cdStart.toLong); u16(0)
+    out.toByteArray
+  }
+
+  // --------------------------------------------------------------- TAR
+
+  /** Extract all regular-file entries of a ustar TAR archive. */
+  def readTar(d: Array[Byte]): Either[String, Seq[EntryRec]] = {
+    try Right(readTarInner(d))
+    catch {
+      case Abort(m) => Left(m)
+      case _: ArrayIndexOutOfBoundsException => Left("tar: truncated payload")
+    }
+  }
+
+  private def readTarInner(d: Array[Byte]): Seq[EntryRec] = {
+    val out = Vector.newBuilder[EntryRec]
+    var p = 0
+    var zeros = 0
+    while (p + 512 <= d.length && zeros < 2) {
+      var allZero = true
+      var i = p
+      while (allZero && i < p + 512) { if (d(i) != 0) allZero = false; i += 1 }
+      if (allZero) { zeros += 1; p += 512 }
+      else {
+        zeros = 0
+        def str(off: Int, len: Int): String = {
+          var e = off
+          while (e < off + len && d(p + e) != 0) e += 1
+          new String(d, p + off, e - off, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        def octal(off: Int, len: Int): Long = {
+          var v = 0L
+          var i = off
+          if ((d(p + off) & 0x80) != 0) throw Abort("tar: base-256 size fields are out of scope")
+          while (i < off + len) {
+            val ch = d(p + i) & 0xff
+            if (ch >= '0' && ch <= '7') v = v * 8 + (ch - '0')
+            else if (ch != ' ' && ch != 0) throw Abort(s"tar: bad octal digit '${ch.toChar}'")
+            i += 1
+          }
+          v
+        }
+        val size = octal(124, 12)
+        val stated = octal(148, 8)
+        // checksum: header bytes with the checksum field read as spaces
+        var sum = 0L
+        i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt else d(p + i) & 0xff)
+          i += 1
+        }
+        val typeflag = d(p + 156)
+        val prefix = str(345, 155)
+        val name = if (prefix.isEmpty) str(0, 100) else prefix + "/" + str(0, 100)
+        val dataStart = p + 512
+        val blocks = ((size + 511) / 512).toInt
+        if (dataStart + size > d.length) throw Abort(s"tar: $name data runs past EOF")
+        if (typeflag == '0' || typeflag == 0) {
+          val bytes = java.util.Arrays.copyOfRange(d, dataStart, dataStart + size.toInt)
+          out += EntryRec(name, "ustar", size, size, sum == stated, bytes)
+        } // dirs, links, pax/GNU metadata records: skipped
+        p = dataStart + blocks * 512
+      }
+    }
+    out.result()
+  }
+
+  /** Build a ustar TAR archive of regular files (zeroed mtime/uid/gid
+    * — deterministic artifacts), ending in two zero blocks.
+    */
+  def tarBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(0, name.take(100))
+      put(100, "0000644")
+      put(108, "0000000")
+      put(116, "0000000")
+      put(124, f"${data.length}%011o")
+      put(136, "00000000000")
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum placeholder
+      h(156) = '0'
+      put(257, "ustar")
+      h(263) = '0'; h(264) = '0' // version "00"
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      put(148, f"$sum%06o")
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  // ------------------------------------------------- DataFrame surface
+
+  /** Documents -> REAL archive payloads, deterministically: even docs
+    * become a ZIP carrying the text twice (`doc_<id>_d.txt` DEFLATEd,
+    * `doc_<id>_s.txt` stored — both methods on every archive walk),
+    * odd docs a ustar TAR carrying it once. The corpus is all-ASCII
+    * (the q35/q44 gate assertion), so the q235 oracle recovers every
+    * extracted byte straight from the text — a wrong data offset, a
+    * misfed raw-DEFLATE window, or a broken header checksum all
+    * hash-fail.
+    */
+  def toArchives(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (id % 2 == 0)
+          Media.MediaRecord(id, "archive", "zip", zipBytes(Seq(
+            (s"doc_${id}_d.txt", bytes, true),
+            (s"doc_${id}_s.txt", bytes, false))))
+        else
+          Media.MediaRecord(id, "archive", "tar", tarBytes(Seq((s"doc_$id.txt", bytes))))
+      }
+      .toDF()
+  }
+
+  /** Per-entry extraction rows: one row per regular file across every
+    * archive, format routed by magic (not the metadata column — the
+    * mixed-content WARC rule). Map-only; see the object doc for the
+    * scale shape.
+    */
+  def listEntries(media: Dataset[Media.MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val parsed: Either[String, (String, Seq[EntryRec])] =
+        if (sniffZip(m.data)) readZip(m.data).map(("zip", _))
+        else if (sniffTar(m.data)) readTar(m.data).map(("tar", _))
+        else Left("archive: unrecognized container magic")
+      parsed match {
+        case Right((fmt, entries)) => entries.map { e =>
+          (m.media_id, fmt, e.entry_name, e.method, e.comp_size, e.uncomp_size,
+            e.crc_ok, new String(e.data, java.nio.charset.StandardCharsets.UTF_8),
+            null.asInstanceOf[String])
+        }
+        case Left(err) =>
+          Seq((m.media_id, m.format, null.asInstanceOf[String],
+            null.asInstanceOf[String], 0L, 0L, false, null.asInstanceOf[String], err))
+      }
+    }.toDF("media_id", "archive", "entry_name", "method", "comp_size",
+      "uncomp_size", "crc_ok", "text", "err")
+  }
+}

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Archive readers pinned two ways: Scala round trips (zipBytes /
+  * tarBytes are independent write paths, not shared parse code) and
+  * committed fixtures from python's zipfile/tarfile — a SECOND
+  * independent implementation, the gen_image_fixtures.py discipline
+  * (scripts/gen_archive_fixtures.py). Plus the malformed-input rule:
+  * Left, never a throw.
+  */
+class ArchiveSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  private val alpha = ("the quick brown fox jumps over the lazy dog " * 8)
+    .getBytes("US-ASCII")
+  private val beta = ("row " * 100).getBytes("US-ASCII")
+  private val gamma = (32 until 127).map(_.toChar).mkString * 3
+
+  test("zip round trip: stored and deflated entries, sizes and CRC verified") {
+    val data = Archive.zipBytes(Seq(
+      ("a.txt", alpha, true),
+      ("b/stored.bin", gamma.getBytes("US-ASCII"), false),
+      ("empty.txt", Array.emptyByteArray, true)))
+    assert(Archive.sniffZip(data))
+    val entries = Archive.readZip(data).toOption.get
+    assert(entries.map(_.entry_name) === Seq("a.txt", "b/stored.bin", "empty.txt"))
+    assert(entries.map(_.method) === Seq("deflate", "stored", "deflate"))
+    assert(entries(0).data.toSeq === alpha.toSeq)
+    assert(new String(entries(1).data, "US-ASCII") === gamma)
+    assert(entries(2).uncomp_size === 0L)
+    assert(entries.forall(_.crc_ok))
+    // deflate actually compressed the repetitive payload
+    assert(entries(0).comp_size < entries(0).uncomp_size)
+  }
+
+  test("tar round trip: names, sizes, header checksums, block padding") {
+    val data = Archive.tarBytes(Seq(
+      ("alpha.txt", alpha),
+      ("exact512.bin", new Array[Byte](512)), // no padding edge
+      ("tiny", Array[Byte](65))))
+    assert(Archive.sniffTar(data))
+    val entries = Archive.readTar(data).toOption.get
+    assert(entries.map(_.entry_name) === Seq("alpha.txt", "exact512.bin", "tiny"))
+    assert(entries.map(_.uncomp_size) === Seq(alpha.length.toLong, 512L, 1L))
+    assert(entries.forall(_.crc_ok))
+    assert(entries(0).data.toSeq === alpha.toSeq)
+  }
+
+  test("python zipfile fixture: deflate + stored + subdirectory + archive comment") {
+    // the comment shifts EOCD off its no-comment offset: the backward
+    // scan (not a fixed -22 read) must find it
+    val entries = Archive.readZip(fixture("sample.zip")).toOption.get
+    assert(entries.map(_.entry_name) === Seq("alpha.txt", "stored.txt", "sub/beta.txt"))
+    assert(entries.map(_.method) === Seq("deflate", "stored", "deflate"))
+    assert(entries(0).data.toSeq === alpha.toSeq)
+    assert(new String(entries(1).data, "US-ASCII") === gamma)
+    assert(entries(2).data.toSeq === beta.toSeq)
+    assert(entries.forall(_.crc_ok))
+  }
+
+  test("python tarfile fixture: ustar regular files; directory entries skipped") {
+    val entries = Archive.readTar(fixture("sample.tar")).toOption.get
+    assert(entries.map(_.entry_name) === Seq("alpha.txt", "sub/gamma.bin"))
+    assert(entries(0).data.toSeq === alpha.toSeq)
+    assert(new String(entries(1).data, "US-ASCII") === gamma)
+    assert(entries.forall(_.crc_ok))
+  }
+
+  test("a tampered zip payload fails CRC without failing the read") {
+    val data = Archive.zipBytes(Seq(("a.txt", alpha, false)))
+    // flip one STORED payload byte (local header is 30 + 5 name bytes)
+    data(30 + 5 + 3) = (data(30 + 5 + 3) ^ 0x40).toByte
+    val entries = Archive.readZip(data).toOption.get
+    assert(!entries.head.crc_ok)
+  }
+
+  test("a tampered tar header fails its checksum") {
+    val data = Archive.tarBytes(Seq(("alpha.txt", alpha)))
+    data(0) = 'B' // rename in place: header checksum now stale
+    val entries = Archive.readTar(data).toOption.get
+    assert(!entries.head.crc_ok)
+  }
+
+  test("malformed input is a Left, never a throw") {
+    val zip = Archive.zipBytes(Seq(("a.txt", alpha, true)))
+    val tar = Archive.tarBytes(Seq(("a.txt", alpha)))
+    // every truncation point of both containers
+    for (cut <- 0 until zip.length)
+      assert(Archive.readZip(zip.take(cut)).isLeft, s"zip cut=$cut")
+    for (cut <- 1 until tar.length by 7)
+      Archive.readTar(tar.take(cut)) // Left or partial Right, must not throw
+    assert(Archive.readZip("PKgarbage".getBytes("US-ASCII")).isLeft)
+    assert(Archive.readZip(Array.emptyByteArray).isLeft)
+    // out-of-scope features are NAMED Lefts
+    val enc = Archive.zipBytes(Seq(("a.txt", alpha, false)))
+    // set the encryption bit in the central record: find PK\x01\x02
+    var i = 0
+    while (!(enc(i) == 'P' && enc(i + 1) == 'K' && enc(i + 2) == 1 && enc(i + 3) == 2)) i += 1
+    enc(i + 8) = (enc(i + 8) | 1).toByte
+    assert(Archive.readZip(enc).left.toOption.get.contains("encrypted"))
+  }
+}
