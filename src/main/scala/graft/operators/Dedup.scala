@@ -83,6 +83,50 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("member_ids"))
       .filter(col("n_copies") > 1)
 
+  /** Corpus-wide exact LINE dedup — the C4/RefinedWeb cleaning stage:
+    * every distinct line survives only at its FIRST occurrence (the
+    * (doc, line_no)-minimal one, within-doc repeats included); all
+    * other occurrences are dropped and each document is reassembled
+    * from its kept lines in original order. Returns one row per input
+    * document: (idCol, n_lines, n_kept, text) — text is '' when every
+    * line was claimed elsewhere.
+    *
+    * Scale shape: the first-occurrence winner per line is a
+    * `groupBy(line).agg(min(struct(doc, line_no)))` — partially
+    * aggregated map-side, so a hyper-common line (a boilerplate
+    * footer repeated across half the corpus) collapses to one row per
+    * map partition BEFORE the shuffle; no join ever fans out on the
+    * line key (the kept occurrences ARE the aggregate's output, so
+    * reassembly needs no explode-side rejoin). Reassembly is a second
+    * hash aggregation on the doc key; per-doc line counts ride a
+    * map-only `size(split(...))` so the final join's probe side
+    * carries no extra shuffle stage beyond its own repartition. Three
+    * exchanges total, none skew-prone.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df
+      .select(col(idCol).as("doc"), posexplode(split(col(textCol), "\n")))
+      .toDF("doc", "line_no", "line")
+    val keepers = lines
+      .groupBy(col("line"))
+      .agg(min(struct(col("doc"), col("line_no"))).as("k"))
+      .select(col("k.doc").as("doc"), col("k.line_no").as("line_no"), col("line"))
+    val rebuilt = keepers
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_no"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("text"))
+    df.select(col(idCol).as("doc"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   /** doc -> distinct shingle set (tokens materialized first — see
     * shinglesFromToks).
     */

@@ -45,6 +45,61 @@ object CorpusOps {
        |WHERE n_copies > 1
        |ORDER BY content_fp""".stripMargin
 
+  // --------------------------------------------------------------- q236
+  /** Corpus-wide exact LINE dedup (the C4/RefinedWeb cleaning stage,
+    * [[Dedup.lineDedup]]): every distinct line survives only at its
+    * first (doc, line_no) occurrence; docs are reassembled from their
+    * kept lines. The driver corpus is single-line, so the wrapper
+    * first re-lines each doc deterministically (10-word wrap) — both
+    * engines derive the SAME lines from the text, then the oracle
+    * replays the keep-first recurrence with a window over a zipped
+    * unnest and rebuilds each doc with an ordered string_agg. Any
+    * tie-break slip, a lost within-doc repeat, or a resequencing bug
+    * in the array_sort reassembly hash-fails.
+    */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val relined = t(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), floor((size(words) - 1) / 10).cast("int")),
+            i => array_join(slice(words, i * 10 + 1, lit(10)), " ")),
+          "\n").as("text"))
+    Dedup.lineDedup(relined, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q236Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents WHERE length(text) > 0),
+      |r AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(
+      |      range(0, CAST(floor((len(words)-1)/10) AS BIGINT) + 1),
+      |      i -> array_to_string(words[CAST(i*10+1 AS INTEGER) : CAST(i*10+10 AS INTEGER)], ' ')),
+      |      chr(10)) AS text
+      |  FROM w),
+      |l AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(lines) + 1)) AS line_no,
+      |    unnest(lines) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM r)),
+      |k AS (
+      |  SELECT doc_id, line_no, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      |  FROM l),
+      |counts AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+      |kept AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY line_no) AS text
+      |  FROM k WHERE rn = 1 GROUP BY doc_id)
+      |SELECT counts.doc_id, n_lines,
+      |  coalesce(n_kept, 0) AS n_kept, coalesce(kept.text, '') AS text
+      |FROM counts LEFT JOIN kept USING (doc_id)
+      |ORDER BY counts.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q28
   /** MinHash (32 hashes) + LSH (8 bands x 4 rows) near-dup pairs,
     * verified at Jaccard >= 0.5 over distinct word 3-shingles.
@@ -3260,6 +3315,7 @@ object CorpusOps {
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
+    "q236_line_dedup" -> (q236 _),
     "q28_minhash_lsh" -> (q28 _),
     "q149_dedup_eval" -> (q149 _),
     "q29_simhash" -> (q29 _),
@@ -3328,6 +3384,7 @@ object CorpusOps {
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
+    "q236_line_dedup" -> q236Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q149_dedup_eval" -> q149Sql,
     "q29_simhash" -> q29Sql,
