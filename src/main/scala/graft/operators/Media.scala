@@ -300,7 +300,10 @@ object Media {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        AudioCodec.decode(m.data) match {
+        val decoded =
+          if (FlacCodec.sniff(m.data)) FlacCodec.decode(m.data)
+          else AudioCodec.decode(m.data)
+        decoded match {
           case Right(a) =>
             AudioFeatures(m.media_id, a.codec, ok = true, "", a.channels,
               a.sampleRate, a.bits, a.nFrames, a.durationMs, a.mean, a.sMin, a.sMax)
@@ -466,6 +469,34 @@ object Media {
           le(lit(8), 2), // bits per sample
           encode(lit("data"), "UTF-8"), le(length(col("text")), 4),
           encode(col("text"), "UTF-8")).as("data"))
+  }
+
+  /** Documents -> REAL FLAC payloads: the SAME mono 8-bit sample
+    * stream as [[toWav]] (text bytes — all-ASCII, so every sample is
+    * non-negative in FLAC's signed domain and equals its codepoint),
+    * losslessly compressed by [[FlacCodec.encodeFlac]] with the fixed
+    * predictor order rotating by doc_id % 5 (all five orders on every
+    * sweep) and a 192-sample block size (both the 8-bit and 16-bit
+    * block-size-at-end header forms appear: full blocks ride the
+    * 8-bit code, and doc lengths are not multiples of 192, so short
+    * tail frames ride it too). FLAC is lossless, so the q237 oracle
+    * is q103's: every stat re-derived from the text.
+    */
+  def toFlac(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .select(col("doc_id"),
+        (pmod(len, lit(4000)) + lit(4000)).cast("int").as("rate"),
+        encode(col("text"), "UTF-8").as("px"))
+      .as[(Long, Int, Array[Byte])]
+      .map { case (id, rate, bytes) =>
+        MediaRecord(id, "audio", "flac",
+          FlacCodec.encodeFlac(bytes.map(b => (b & 0xff): Int), channels = 1,
+            rate = rate, bits = 8, blockSize = 192, fixedOrder = (id % 5).toInt))
+      }
+      .toDF()
   }
 
   /** Documents -> REAL P6 PPM payloads, deterministically: for text of

@@ -568,6 +568,33 @@ object MediaStream {
       |FROM b
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q237
+  /** REAL FLAC decode, hash-gated end-to-end — the lossless-audio
+    * sibling of q216's PNG gate: documents become genuine FLAC
+    * streams (Media.toFlac — fixed predictors rotating over all five
+    * orders, Rice residuals, CRC-8/CRC-16-checked frames) carrying
+    * the exact q103 sample stream, and FlacCodec walks them back.
+    * FLAC is lossless, so the oracle is q103's: every stat re-derived
+    * from the text (sample == codepoint). A broken Rice zigzag, a
+    * wrong fixed-predictor recurrence, a bit-order slip in the
+    * MSB-first reader, or a CRC walk bug all hash-fail. The committed
+    * python fixture (independent encoder) pins the decoder separately
+    * in FlacCodecSpec.
+    */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toFlac(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeAudio(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("channels"),
+        col("sample_rate"), col("bits"), col("n_frames"), col("duration_ms"),
+        trunc6(col("mean")).as("mean"), col("s_min"), col("s_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q237Sql = q103Sql.replace("'wav' AS codec", "'flac' AS codec")
+
   // --------------------------------------------------------------- q111
   /** REAL video decode, hash-gated end-to-end: documents become
     * genuine YUV4MPEG2 streams (Media.toY4m — spec-exact stream
@@ -2819,6 +2846,7 @@ object MediaStream {
     "q229_jpeg_progressive" -> (q229 _),
     "q230_gif_decode" -> (q230 _),
     "q103_audio_decode" -> (q103 _),
+    "q237_flac_decode" -> (q237 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
     "q202_silence_segments" -> (q202 _),
@@ -2877,6 +2905,7 @@ object MediaStream {
     "q229_jpeg_progressive" -> q229Sql,
     "q230_gif_decode" -> q230Sql,
     "q103_audio_decode" -> q103Sql,
+    "q237_flac_decode" -> q237Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
     "q202_silence_segments" -> q202Sql,
