@@ -95,6 +95,54 @@ object TextAnalytics {
 
   private val q217Sql = q23Sql
 
+  // --------------------------------------------------------------- q238
+  /** Model quality scoring through the batched boundary
+    * (QualityModel.scoreWithModel + the frozen hashing-trick linear
+    * scorer): the fastText-style learned keep/drop filter with its
+    * REAL input layer — unigram+bigram features, polyHash buckets,
+    * integer dot product — oracle-recomputed feature by feature in
+    * DuckDB. A bucket-width slip, a lost bigram, a floor-division
+    * sign bug, or a batch misalignment in the mapPartitions plumbing
+    * all hash-fail.
+    */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val scored = graft.operators.QualityModel.scoreWithModel(
+      t(s, dir, "documents").select(col("doc_id"), col("text")),
+      "text", new graft.operators.QualityModel.HashedLinearScorer(1024), batchSize = 64)
+    scored
+      .select(col("doc_id"),
+        (size(toks) + greatest(size(toks) - 1, lit(0))).cast("long").as("n_features"),
+        col("quality_model_score").as("quality_score"))
+      .withColumn("verdict",
+        when(col("quality_score") >= 0, lit("keep")).otherwise(lit("drop")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q238Sql = {
+    val ph = graft.functions.TextFunctions.polyHashSql.format("x", "x")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    list_concat(toks,
+       |      CASE WHEN len(toks) >= 2
+       |        THEN list_transform(range(1, len(toks)),
+       |          i -> concat(toks[CAST(i AS INTEGER)], ' ', toks[CAST(i+1 AS INTEGER)]))
+       |        ELSE [] END) AS feats
+       |  FROM tk),
+       |s AS (
+       |  SELECT doc_id, len(feats) AS nf,
+       |    coalesce(list_sum(list_transform(feats,
+       |      x -> ((($ph) % 1024) * 2654435761 + 97) % 2001 - 1000)), 0) AS ws
+       |  FROM f)
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_features,
+       |  CAST(CASE WHEN nf = 0 THEN 0 ELSE (ws * 1000) // nf END AS BIGINT) AS quality_score,
+       |  CASE WHEN (CASE WHEN nf = 0 THEN 0 ELSE (ws * 1000) // nf END) >= 0
+       |    THEN 'keep' ELSE 'drop' END AS verdict
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------------------------- q223
   /** RAG sliding-window chunking (Retrieval.chunkSliding): 32-token
     * windows every 24 tokens — consecutive chunks share 8 tokens of
@@ -2489,6 +2537,7 @@ object TextAnalytics {
     "q126_lexical_search" -> (q126 _),
     "q199_more_like_this" -> (q199 _),
     "q217_langid_model" -> (q217 _),
+    "q238_quality_model" -> (q238 _),
     "q223_chunk_sliding" -> (q223 _),
     "q143_bm25_search" -> (q143 _),
     "q148_postings_append" -> (q148 _),
@@ -2545,6 +2594,7 @@ object TextAnalytics {
     "q126_lexical_search" -> q126Sql,
     "q199_more_like_this" -> q199Sql,
     "q217_langid_model" -> q217Sql,
+    "q238_quality_model" -> q238Sql,
     "q223_chunk_sliding" -> q223Sql,
     "q143_bm25_search" -> q143Sql,
     "q148_postings_append" -> q143Sql,
