@@ -103,14 +103,43 @@ object Dedup {
     * carries no extra shuffle stage beyond its own repartition. Three
     * exchanges total, none skew-prone.
     */
-  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = df
-      .select(col(idCol).as("doc"), posexplode(split(col(textCol), "\n")))
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    reassembleKeptLines(df, idCol, textCol, firstLineOccurrences(df, idCol, textCol))
+
+  /** Incremental line dedup — the [[dedupIncrement]] discipline at
+    * line granularity: dedup `batch` against an accumulated seen-line
+    * state (one `line` column — [[lineState]] builds day zero) AND
+    * against itself, keep-first within the batch. Returns the
+    * reassembled batch rows; the caller advances state with
+    * [[lineState]] over `state union kept` (O(delta): only the
+    * batch's new winners append). The state join is a line-keyed
+    * ANTI equi-join against the batch's already-aggregated winner set
+    * (one row per distinct line, never the exploded occurrences), so
+    * state size drives the join, not corpus size.
+    */
+  def lineDedupAgainst(
+      batch: DataFrame, idCol: String, textCol: String, seenLines: DataFrame): DataFrame = {
+    val fresh = firstLineOccurrences(batch, idCol, textCol)
+      .join(seenLines.select(col("line")), Seq("line"), "left_anti")
+    reassembleKeptLines(batch, idCol, textCol, fresh)
+  }
+
+  /** Distinct-line state table (`line`) for [[lineDedupAgainst]]. */
+  def lineState(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\n")).as("line")).distinct()
+
+  /** (doc, line_no, line) winner per distinct line — the
+    * (doc, line_no)-minimal occurrence; map-side combined. */
+  private def firstLineOccurrences(
+      df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), posexplode(split(col(textCol), "\n")))
       .toDF("doc", "line_no", "line")
-    val keepers = lines
       .groupBy(col("line"))
       .agg(min(struct(col("doc"), col("line_no"))).as("k"))
       .select(col("k.doc").as("doc"), col("k.line_no").as("line_no"), col("line"))
+
+  private def reassembleKeptLines(
+      df: DataFrame, idCol: String, textCol: String, keepers: DataFrame): DataFrame = {
     val rebuilt = keepers
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_kept"),

@@ -57,17 +57,21 @@ object CorpusOps {
     * tie-break slip, a lost within-doc repeat, or a resequencing bug
     * in the array_sort reassembly hash-fails.
     */
-  private def q236(s: SparkSession, dir: String): DataFrame = {
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    Dedup.lineDedup(relined10(t(s, dir, "documents")), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Deterministic 10-word re-lining (the corpus is single-line);
+    * shared by q236/q239 and mirrored by their oracles' `r` CTE.
+    */
+  private def relined10(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    val relined = t(s, dir, "documents")
-      .filter(length(col("text")) > 0)
+    docs.filter(length(col("text")) > 0)
       .select(col("doc_id"),
         array_join(
           transform(sequence(lit(0), floor((size(words) - 1) / 10).cast("int")),
             i => array_join(slice(words, i * 10 + 1, lit(10)), " ")),
           "\n").as("text"))
-    Dedup.lineDedup(relined, "doc_id", "text")
-      .orderBy(col("doc_id"))
   }
 
   private val q236Sql =
@@ -95,6 +99,54 @@ object CorpusOps {
       |  SELECT doc_id, count(*) AS n_kept,
       |    string_agg(line, chr(10) ORDER BY line_no) AS text
       |  FROM k WHERE rn = 1 GROUP BY doc_id)
+      |SELECT counts.doc_id, n_lines,
+      |  coalesce(n_kept, 0) AS n_kept, coalesce(kept.text, '') AS text
+      |FROM counts LEFT JOIN kept USING (doc_id)
+      |ORDER BY counts.doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q239
+  /** INCREMENTAL line dedup (Dedup.lineDedupAgainst — the q95
+    * increment discipline at q236's line granularity): day 1 = even
+    * docs establish the seen-line state, day 2 = odd docs dedup
+    * against that state AND keep-first within the batch. The oracle
+    * replays the whole recurrence with one window ordered (day,
+    * doc_id, line_no) and emits day-2 rows — a state line leaking
+    * through the anti-join, a lost within-batch repeat, or a wrong
+    * day boundary all hash-fail.
+    */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val relined = relined10(t(s, dir, "documents"))
+    val day1 = relined.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val day2 = relined.filter(pmod(col("doc_id"), lit(2)) === 1)
+    Dedup.lineDedupAgainst(day2, "doc_id", "text", Dedup.lineState(day1, "text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q239Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words
+      |  FROM documents WHERE length(text) > 0),
+      |r AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(
+      |      range(0, CAST(floor((len(words)-1)/10) AS BIGINT) + 1),
+      |      i -> array_to_string(words[CAST(i*10+1 AS INTEGER) : CAST(i*10+10 AS INTEGER)], ' ')),
+      |      chr(10)) AS text
+      |  FROM w),
+      |l AS (
+      |  SELECT doc_id, doc_id % 2 AS day,
+      |    unnest(range(1, len(lines) + 1)) AS line_no,
+      |    unnest(lines) AS line
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines FROM r)),
+      |k AS (
+      |  SELECT doc_id, day, line_no, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY day, doc_id, line_no) AS rn
+      |  FROM l),
+      |counts AS (SELECT doc_id, count(*) AS n_lines FROM l WHERE day = 1 GROUP BY doc_id),
+      |kept AS (
+      |  SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY line_no) AS text
+      |  FROM k WHERE rn = 1 AND day = 1 GROUP BY doc_id)
       |SELECT counts.doc_id, n_lines,
       |  coalesce(n_kept, 0) AS n_kept, coalesce(kept.text, '') AS text
       |FROM counts LEFT JOIN kept USING (doc_id)
@@ -3316,6 +3368,7 @@ object CorpusOps {
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
     "q236_line_dedup" -> (q236 _),
+    "q239_line_dedup_increment" -> (q239 _),
     "q28_minhash_lsh" -> (q28 _),
     "q149_dedup_eval" -> (q149 _),
     "q29_simhash" -> (q29 _),
@@ -3385,6 +3438,7 @@ object CorpusOps {
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,
     "q236_line_dedup" -> q236Sql,
+    "q239_line_dedup_increment" -> q239Sql,
     "q28_minhash_lsh" -> q28Sql,
     "q149_dedup_eval" -> q149Sql,
     "q29_simhash" -> q29Sql,

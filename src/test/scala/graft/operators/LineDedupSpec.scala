@@ -20,10 +20,11 @@ class LineDedupSpec extends SparkSpec {
       .toMap
   }
 
-  /** Reference: first-occurrence set in (doc_id, line_no) order. */
+  /** Reference: first-occurrence set in the GIVEN doc order (callers
+    * pass docs pre-sorted by their processing order). */
   private def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, String)] = {
     val seen = scala.collection.mutable.HashSet.empty[String]
-    docs.sortBy(_._1).map { case (id, text) =>
+    docs.map { case (id, text) =>
       val lines = text.split("\n", -1)
       val kept = lines.filter(l => seen.add(l))
       id -> (lines.length.toLong, kept.length.toLong, kept.mkString("\n"))
@@ -45,6 +46,29 @@ class LineDedupSpec extends SparkSpec {
   test("kept lines keep their ORIGINAL order, not sorted-content order") {
     val docs = Seq(0L -> "zebra\napple\nmango")
     assert(run(docs)(0L)._3 === "zebra\napple\nmango")
+  }
+
+  test("incremental: a two-batch split equals the one-shot run on the later batch") {
+    import spark.implicits._
+    val docs = Seq(
+      0L -> "alpha\nbeta", 2L -> "gamma\ngamma\ndelta", // day 1 (even)
+      1L -> "beta\nepsilon\nepsilon", 3L -> "delta\nzeta\nepsilon") // day 2 (odd)
+    val df = docs.toDF("doc_id", "text")
+    val day1 = df.filter($"doc_id" % 2 === 0)
+    val day2 = df.filter($"doc_id" % 2 === 1)
+    val got = Dedup.lineDedupAgainst(day2, "doc_id", "text", Dedup.lineState(day1, "text"))
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // one-shot over all docs in (day, doc_id) order = even docs first
+    val want = reference(docs.sortBy(d => (d._1 % 2, d._1))).filter(_._1 % 2 == 1)
+    assert(got === want)
+    assert(got(1L) === ((3L, 1L, "epsilon"))) // beta claimed day 1; epsilon repeat drops
+    assert(got(3L) === ((3L, 1L, "zeta"))) // delta day-1, epsilon claimed by doc 1
+    // state advance is O(delta): new state = old ∪ kept lines
+    val kept = Dedup.lineDedupAgainst(day2, "doc_id", "text", Dedup.lineState(day1, "text"))
+    val newState = Dedup.lineState(day1, "text")
+      .union(Dedup.lineState(kept.filter($"text" =!= ""), "text")).distinct()
+    assert(newState.as[String].collect().toSet ===
+      Set("alpha", "beta", "gamma", "delta", "epsilon", "zeta"))
   }
 
   test("matches the reference on a seeded corpus, independent of input partitioning") {
