@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Generate sample.mp3 — an INDEPENDENT MP3 builder pinning Mp3Meta's
+walk against a second implementation: ID3v2.4 tag (syncsafe frame
+sizes) with a UTF-16 BOM'd TIT2 and a UTF-8 TPE1, then 5 MPEG1
+Layer III frames at 128 kbps / 44100 Hz stereo with the PADDING BIT
+SET on frames 1 and 3 (frame length 417+1 vs 417), a 6th frame at
+160 kbps (so vbr=True), and an ID3v1 "TAG" trailer.
+
+Expected decode: bitrate_kbps=128 (first frame), rate=44100,
+channels=2, n_frames=6, duration_ms=6*1152*1000//44100=156, vbr=True,
+title='Pinned Title', artist='pinned artist'.
+"""
+import os
+
+FIX = os.path.join(os.path.dirname(__file__), "..",
+                   "src", "test", "resources", "graft", "fixtures")
+
+
+def syncsafe(n):
+    return bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+
+
+def text_frame(fid, payload):
+    return fid.encode() + syncsafe(len(payload)) + b"\x00\x00" + payload
+
+
+def frame(bitrate_idx, rate_idx, pad, stereo, fill):
+    bitrates = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+    rates = [44100, 48000, 32000]
+    n = 144000 * bitrates[bitrate_idx] // rates[rate_idx] + pad
+    hdr = bytes([0xFF, 0xFB, (bitrate_idx << 4) | (rate_idx << 2) | (pad << 1),
+                 0x00 if stereo else 0xC0])
+    body = (fill * (n // len(fill) + 1))[:n - 4]
+    return hdr + body
+
+
+def main():
+    tit2 = text_frame("TIT2", b"\x01\xff\xfe" + "Pinned Title".encode("utf-16-le"))
+    tpe1 = text_frame("TPE1", b"\x03" + "pinned artist".encode("utf-8"))
+    body = tit2 + tpe1
+    tag = b"ID3\x04\x00\x00" + syncsafe(len(body)) + body
+    frames = b"".join([
+        frame(9, 0, 0, True, b"abc"),   # 128 kbps
+        frame(9, 0, 1, True, b"def"),   # padded
+        frame(9, 0, 0, True, b"ghi"),
+        frame(9, 0, 1, True, b"jkl"),   # padded
+        frame(9, 0, 0, True, b"mno"),
+        frame(10, 0, 0, True, b"pqr"),  # 160 kbps -> vbr
+    ])
+    id3v1 = b"TAG" + b"\x00" * 125
+    with open(os.path.join(FIX, "sample.mp3"), "wb") as f:
+        f.write(tag + frames + id3v1)
+    print("sample.mp3 written")
+
+
+if __name__ == "__main__":
+    main()

@@ -314,6 +314,69 @@ object Media {
     }
   }
 
+  /** Typed per-payload MP3 container metadata ([[Mp3Meta]]) with the
+    * standard error-channel shape.
+    */
+  final case class Mp3MetaRow(
+      media_id: Long,
+      ok: Boolean,
+      err: String,
+      version: String,
+      layer: Int,
+      bitrate_kbps: Int,
+      sample_rate: Int,
+      channels: Int,
+      n_frames: Long,
+      duration_ms: Long,
+      vbr: Boolean,
+      title: String,
+      artist: String)
+
+  /** MP3 census metadata over the opaque media table — ID3v2 tag walk
+    * + MPEG frame-header walk, no entropy decode (see [[Mp3Meta]]);
+    * q240 hash-gates the whole path. Map-only, the decodeAudio shape.
+    */
+  def decodeMp3Meta(media: Dataset[MediaRecord]): Dataset[Mp3MetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        Mp3Meta.decode(m.data) match {
+          case Right(s) =>
+            Mp3MetaRow(m.media_id, ok = true, "", s.version, s.layer, s.bitrateKbps,
+              s.sampleRate, s.channels, s.nFrames, s.durationMs, s.vbr, s.title, s.artist)
+          case Left(e) =>
+            Mp3MetaRow(m.media_id, ok = false, e, "", 0, 0, 0, 0, 0L, 0L, vbr = false, "", "")
+        }
+      }
+    }
+  }
+
+  /** Documents -> REAL MP3 payloads, deterministically: an ID3v2.3
+    * tag (`doc <id>` / `src <id%7>`) and len%7+1 MPEG1 Layer III
+    * frames with the bitrate index rotating over the full table
+    * (doc_id%14+1) and the sample rate over all three MPEG1 rates
+    * (doc_id%3), mono, payload bytes cycling the text. Every census
+    * field is a pure function of (doc_id, len), so the q240 oracle
+    * recomputes them all — a wrong frame-length formula, a misread
+    * bitrate nibble, or a tag-size slip desyncs the walk and
+    * hash-fails.
+    */
+  def toMp3(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        MediaRecord(id, "audio", "mp3",
+          Mp3Meta.encodeMp3(s"doc $id", s"src ${id % 7}",
+            nFrames = bytes.length % 7 + 1,
+            bitrateIdx = (id % 14).toInt + 1, rateIdx = (id % 3).toInt,
+            mono = true, fill = bytes))
+      }
+      .toDF()
+  }
+
   /** Typed per-stream stats from [[VideoCodec]]'s real Y4M decode,
     * with the same error-channel shape as [[ImageFeatures]].
     */

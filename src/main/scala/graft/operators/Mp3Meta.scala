@@ -1,0 +1,222 @@
+package graft.operators
+
+/** MP3 container metadata — the census-grade parse of the dominant
+  * lossy audio format a crawl carries: ID3v2 tag walk (title/artist
+  * text frames) plus the MPEG audio frame-header walk that yields
+  * bitrate / sample rate / channel mode / frame count / duration
+  * WITHOUT entropy decode (frame headers fully determine frame byte
+  * lengths, so the walk is O(frames) with O(1) memory — the census
+  * and dataset-card stats a pipeline actually needs; full MDCT
+  * synthesis of a perceptual codec is out of scope for this
+  * environment by the [[Media]] compressed-codec rule).
+  *
+  * IN scope:
+  *  - ID3v2.3 and v2.4 headers (syncsafe tag size; v2.4 syncsafe
+  *    frame sizes vs v2.3 plain 32-bit), text frames in ISO-8859-1,
+  *    UTF-16 (BOM'd), UTF-16BE, and UTF-8 encodings; TIT2/TPE1
+  *    surfaced
+  *  - MPEG1 Layer III frames: bitrate/sample-rate tables, padding
+  *    bit, channel mode, frame length 144000*kbps/rate + pad,
+  *    1152 samples/frame; VBR detected as >1 distinct bitrate index
+  *  - ID3v1 "TAG" trailer skipped
+  *
+  * OUT of scope (named Lefts): MPEG2/2.5 and Layers I/II (different
+  * length/sample tables — a census wants the dominant format exact,
+  * not every 1990s profile), free-format bitrate (index 0), and
+  * unsynchronised ID3v2 tags (flag bit 7).
+  *
+  * Malformed input is a Left, never an exception.
+  */
+object Mp3Meta {
+
+  final case class Mp3Stats(
+      version: String, // mpeg1
+      layer: Int, // 3
+      bitrateKbps: Int, // first frame's
+      sampleRate: Int,
+      channels: Int,
+      nFrames: Long,
+      durationMs: Long,
+      vbr: Boolean,
+      title: String, // "" when untagged
+      artist: String)
+
+  private val Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Rates = Array(44100, 48000, 32000)
+
+  def sniff(d: Array[Byte]): Boolean =
+    (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3') ||
+      (d.length >= 4 && (d(0) & 0xff) == 0xff && (d(1) & 0xe0) == 0xe0)
+
+  private final case class Abort(msg: String) extends RuntimeException(msg)
+
+  def decode(d: Array[Byte]): Either[String, Mp3Stats] = {
+    if (!sniff(d)) return Left("mp3: no ID3v2 tag or frame sync")
+    try decodeInner(d)
+    catch {
+      case Abort(m) => Left(m)
+      case _: ArrayIndexOutOfBoundsException => Left("mp3: truncated payload")
+    }
+  }
+
+  private def decodeInner(d: Array[Byte]): Either[String, Mp3Stats] = {
+    var pos = 0
+    var title = ""
+    var artist = ""
+
+    // ------------------------------------------------------- ID3v2 tag
+    if (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3') {
+      val verMajor = d(3) & 0xff
+      val flags = d(5) & 0xff
+      if ((flags & 0x80) != 0) return Left("mp3: unsynchronised ID3v2 is out of scope")
+      def syncsafe(o: Int): Int =
+        ((d(o) & 0x7f) << 21) | ((d(o + 1) & 0x7f) << 14) | ((d(o + 2) & 0x7f) << 7) | (d(o + 3) & 0x7f)
+      val tagSize = syncsafe(6)
+      val tagEnd = 10 + tagSize
+      if (tagEnd > d.length) return Left("mp3: ID3v2 tag runs past EOF")
+      var p = 10
+      if ((flags & 0x40) != 0) { // extended header: skip by its own size
+        p += (if (verMajor >= 4) syncsafe(p)
+              else ((d(p) & 0xff) << 24) | ((d(p + 1) & 0xff) << 16) |
+                ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)) + (if (verMajor >= 4) 0 else 4)
+      }
+      while (p + 10 <= tagEnd && d(p) != 0) {
+        val id = new String(d, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val fSize =
+          if (verMajor >= 4) syncsafe(p + 4)
+          else ((d(p + 4) & 0xff) << 24) | ((d(p + 5) & 0xff) << 16) |
+            ((d(p + 6) & 0xff) << 8) | (d(p + 7) & 0xff)
+        val body = p + 10
+        if (body + fSize > tagEnd) return Left(s"mp3: ID3v2 frame $id runs past the tag")
+        if ((id == "TIT2" || id == "TPE1") && fSize >= 1) {
+          val text = decodeText(d, body, fSize)
+          if (id == "TIT2") title = text else artist = text
+        }
+        p = body + fSize
+      }
+      pos = tagEnd
+    }
+
+    // ---------------------------------------------------- frame walk
+    var nFrames = 0L
+    var firstKbps = -1
+    var rate = -1
+    var channels = -1
+    var vbr = false
+    while (pos < d.length) {
+      if (pos + 3 <= d.length && d(pos) == 'T' && d(pos + 1) == 'A' && d(pos + 2) == 'G') {
+        pos = d.length // ID3v1 trailer: 128 bytes, last thing in the file
+      } else {
+        if (pos + 4 > d.length) return Left("mp3: truncated frame header")
+        if ((d(pos) & 0xff) != 0xff || (d(pos + 1) & 0xe0) != 0xe0)
+          return Left("mp3: lost frame sync")
+        val b1 = d(pos + 1) & 0xff
+        val version = (b1 >> 3) & 3
+        val layer = (b1 >> 1) & 3
+        if (version != 3) return Left("mp3: MPEG2/2.5 frames are out of scope")
+        if (layer != 1) return Left("mp3: Layers I/II are out of scope")
+        val b2 = d(pos + 2) & 0xff
+        val bIdx = (b2 >> 4) & 0xf
+        val rIdx = (b2 >> 2) & 3
+        val pad = (b2 >> 1) & 1
+        if (bIdx == 0) return Left("mp3: free-format bitrate is out of scope")
+        if (bIdx == 15) return Left("mp3: invalid bitrate index 15")
+        if (rIdx == 3) return Left("mp3: invalid sample-rate index 3")
+        val b3 = d(pos + 3) & 0xff
+        val mode = (b3 >> 6) & 3
+        val kbps = Bitrates(bIdx)
+        val r = Rates(rIdx)
+        if (firstKbps < 0) { firstKbps = kbps; rate = r; channels = if (mode == 3) 1 else 2 }
+        else {
+          if (kbps != firstKbps) vbr = true
+          if (r != rate) return Left("mp3: sample rate changes mid-stream")
+        }
+        val frameLen = 144000 * kbps / r + pad
+        if (pos + frameLen > d.length) return Left("mp3: truncated frame body")
+        pos += frameLen
+        nFrames += 1
+      }
+    }
+    if (nFrames == 0) return Left("mp3: no audio frames")
+    Right(Mp3Stats("mpeg1", 3, firstKbps, rate, channels, nFrames,
+      nFrames * 1152L * 1000L / rate, vbr, title, artist))
+  }
+
+  /** ID3v2 text frame body: encoding byte + payload (terminators
+    * stripped).
+    */
+  private def decodeText(d: Array[Byte], body: Int, size: Int): String = {
+    import java.nio.charset.StandardCharsets._
+    val enc = d(body) & 0xff
+    val raw = java.util.Arrays.copyOfRange(d, body + 1, body + size)
+    val s = enc match {
+      case 0 => new String(raw, ISO_8859_1)
+      case 1 => new String(raw, UTF_16) // BOM-routed
+      case 2 => new String(raw, UTF_16BE)
+      case 3 => new String(raw, UTF_8)
+      case e => throw Abort(s"mp3: unknown ID3v2 text encoding $e")
+    }
+    s.takeWhile(_ != '\u0000')
+  }
+
+  // ------------------------------------------------------------ encode
+
+  /** Deterministic MP3 builder — the `Media.toMp3` adapter/fixture
+    * substrate: an ID3v2.3 tag (ISO-8859-1 TIT2/TPE1) followed by
+    * `nFrames` MPEG1 Layer III frames at one bitrate/rate whose
+    * payload bytes cycle through `fill` (headers are real; payloads
+    * are opaque to the header walk, exactly like a real census pass).
+    */
+  def encodeMp3(
+      title: String, artist: String, nFrames: Int,
+      bitrateIdx: Int, rateIdx: Int, mono: Boolean, fill: Array[Byte]): Array[Byte] = {
+    require(nFrames >= 1, s"encodeMp3: need at least one frame, got $nFrames")
+    require(bitrateIdx >= 1 && bitrateIdx <= 14, s"encodeMp3: bad bitrate index $bitrateIdx")
+    require(rateIdx >= 0 && rateIdx <= 2, s"encodeMp3: bad rate index $rateIdx")
+    require(fill.nonEmpty, "encodeMp3: empty fill")
+    val tag = new java.io.ByteArrayOutputStream()
+    def textFrame(id: String, text: String): Unit = {
+      val payload = text.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      tag.write(id.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val sz = payload.length + 1
+      tag.write((sz >> 24) & 0xff); tag.write((sz >> 16) & 0xff)
+      tag.write((sz >> 8) & 0xff); tag.write(sz & 0xff)
+      tag.write(0); tag.write(0) // flags
+      tag.write(0) // ISO-8859-1
+      tag.write(payload)
+    }
+    textFrame("TIT2", title)
+    textFrame("TPE1", artist)
+    val tagBody = tag.toByteArray
+    val frames = new java.io.ByteArrayOutputStream()
+    val full = new java.io.ByteArrayOutputStream()
+    full.write('I'); full.write('D'); full.write('3')
+    full.write(3); full.write(0) // v2.3.0
+    full.write(0) // flags
+    val ts = tagBody.length
+    full.write((ts >> 21) & 0x7f); full.write((ts >> 14) & 0x7f)
+    full.write((ts >> 7) & 0x7f); full.write(ts & 0x7f)
+    full.write(tagBody)
+
+    val kbps = Bitrates(bitrateIdx)
+    val rate = Rates(rateIdx)
+    val frameLen = 144000 * kbps / rate
+    var f = 0
+    var fi = 0
+    while (f < nFrames) {
+      frames.write(0xff)
+      frames.write(0xfb) // MPEG1, Layer III, no CRC
+      frames.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding
+      frames.write(if (mono) 0xc0 else 0x00)
+      var i = 4
+      while (i < frameLen) {
+        frames.write(fill(fi % fill.length))
+        fi += 1
+        i += 1
+      }
+      f += 1
+    }
+    full.write(frames.toByteArray)
+    full.toByteArray
+  }
+}

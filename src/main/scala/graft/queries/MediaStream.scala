@@ -595,6 +595,40 @@ object MediaStream {
 
   private val q237Sql = q103Sql.replace("'wav' AS codec", "'flac' AS codec")
 
+  // --------------------------------------------------------------- q240
+  /** MP3 census metadata, hash-gated end-to-end: documents become
+    * genuine ID3v2.3-tagged MPEG1 Layer III containers (Media.toMp3 —
+    * bitrate index rotating over the full 14-entry table, all three
+    * MPEG1 sample rates) and Mp3Meta walks them back — syncsafe tag
+    * size, text-frame decode, frame-length arithmetic, frame count.
+    * Every field is a pure function of (doc_id, len), so the oracle
+    * recomputes them all without parsing a byte.
+    */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toMp3(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeMp3Meta(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("version"), col("layer"),
+        col("bitrate_kbps"), col("sample_rate"), col("channels"),
+        col("n_frames"), col("duration_ms"), col("vbr"), col("title"), col("artist"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q240Sql =
+    """SELECT doc_id AS media_id, 'mpeg1' AS version, CAST(3 AS INTEGER) AS layer,
+      |  [32,40,48,56,64,80,96,112,128,160,192,224,256,320][CAST(doc_id % 14 AS INTEGER) + 1] AS bitrate_kbps,
+      |  [44100,48000,32000][CAST(doc_id % 3 AS INTEGER) + 1] AS sample_rate,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(length(text) % 7 + 1 AS BIGINT) AS n_frames,
+      |  CAST((length(text) % 7 + 1) * 1152 * 1000
+      |    // ([44100,48000,32000][CAST(doc_id % 3 AS INTEGER) + 1]) AS BIGINT) AS duration_ms,
+      |  FALSE AS vbr,
+      |  'doc ' || doc_id AS title,
+      |  'src ' || (doc_id % 7) AS artist
+      |FROM documents WHERE length(text) > 0
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q111
   /** REAL video decode, hash-gated end-to-end: documents become
     * genuine YUV4MPEG2 streams (Media.toY4m — spec-exact stream
@@ -2847,6 +2881,7 @@ object MediaStream {
     "q230_gif_decode" -> (q230 _),
     "q103_audio_decode" -> (q103 _),
     "q237_flac_decode" -> (q237 _),
+    "q240_mp3_meta" -> (q240 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
     "q202_silence_segments" -> (q202 _),
@@ -2906,6 +2941,7 @@ object MediaStream {
     "q230_gif_decode" -> q230Sql,
     "q103_audio_decode" -> q103Sql,
     "q237_flac_decode" -> q237Sql,
+    "q240_mp3_meta" -> q240Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
     "q202_silence_segments" -> q202Sql,

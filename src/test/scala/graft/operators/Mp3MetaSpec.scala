@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[Mp3Meta]]: round trips over the builder (full bitrate/rate
+  * tables), the committed INDEPENDENT python fixture (ID3v2.4
+  * syncsafe frames, UTF-16 + UTF-8 text encodings, padding bits, a
+  * VBR bitrate switch, an ID3v1 trailer), and the malformed-input
+  * discipline.
+  */
+class Mp3MetaSpec extends AnyFunSuite {
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  test("round trip across the full bitrate and rate tables") {
+    val fill = "payload".getBytes("US-ASCII")
+    for (bIdx <- 1 to 14; rIdx <- 0 to 2) {
+      val st = Mp3Meta.decode(
+        Mp3Meta.encodeMp3("t", "a", nFrames = 3, bIdx, rIdx, mono = true, fill)).toOption.get
+      val rates = Array(44100, 48000, 32000)
+      assert((st.version, st.layer, st.channels) === (("mpeg1", 3, 1)), s"b=$bIdx r=$rIdx")
+      assert(st.sampleRate === rates(rIdx))
+      assert(st.nFrames === 3L)
+      assert(st.durationMs === 3L * 1152 * 1000 / rates(rIdx))
+      assert(!st.vbr)
+      assert((st.title, st.artist) === (("t", "a")))
+    }
+  }
+
+  test("python fixture: v2.4 syncsafe frames, UTF-16/UTF-8 text, padding, VBR, ID3v1 trailer") {
+    val st = Mp3Meta.decode(fixture("sample.mp3")).toOption.get
+    assert((st.bitrateKbps, st.sampleRate, st.channels) === ((128, 44100, 2)))
+    assert(st.nFrames === 6L)
+    assert(st.durationMs === 6L * 1152 * 1000 / 44100)
+    assert(st.vbr)
+    assert((st.title, st.artist) === (("Pinned Title", "pinned artist")))
+  }
+
+  test("malformed input is a Left, never a throw") {
+    val good = Mp3Meta.encodeMp3("t", "a", 2, 9, 0, mono = false,
+      "x".getBytes("US-ASCII"))
+    // a cut landing EXACTLY on a frame boundary is a valid shorter
+    // stream (MP3 has no declared length) — every other cut is a Left
+    for (cut <- 0 until good.length)
+      Mp3Meta.decode(good.take(cut)) match {
+        case Right(st) => assert(st.nFrames === 1L, s"cut=$cut")
+        case Left(_) => ()
+      }
+    assert(Mp3Meta.decode("ID3junk".getBytes("US-ASCII")).isLeft)
+    assert(Mp3Meta.decode(Array.emptyByteArray).isLeft)
+    // free-format and reserved fields are NAMED Lefts
+    val ff = good.clone()
+    // first frame starts right after the tag: find the sync
+    var p = 0
+    while (!((ff(p) & 0xff) == 0xff && (ff(p + 1) & 0xe0) == 0xe0)) p += 1
+    ff(p + 2) = (ff(p + 2) & 0x0f).toByte // bitrate index 0
+    assert(Mp3Meta.decode(ff).left.toOption.get.contains("free-format"))
+  }
+}
