@@ -115,6 +115,59 @@ object Similarity {
   private def dotWide(a: Column, b: Column): Column =
     dot(asDoubleVec(a), asDoubleVec(b))
 
+  /** Int8 scalar quantization (SQ8) — the OTHER standard ANN
+    * compression next to PQ: per-dimension [min, max] calibration
+    * over the corpus, then each component quantized to
+    * floor((v - mn) * 255 / (mx - mn)) (255 at v = mx; 0 on a
+    * constant dimension), reconstructed at bucket centers
+    * mn + (code + 0.5)·(mx − mn)/255. Returns one row per vector:
+    * the int8 `codes` array plus exact integer checksums (code_sum /
+    * code_min / code_max) and the L1 reconstruction error (`err`,
+    * rounded at 1e-9 — a LEFT fold in array order, the VecDot/
+    * list_reduce pairing, so the q241 oracle reproduces it bitwise).
+    *
+    * Scale shape: calibration is ONE posexplode + partial-aggregated
+    * groupBy(pos) — n·d rows combine map-side to d rows per
+    * partition — and the d-row collect is bounded by the dimension
+    * (the codebook-collect contract, guarded); quantization itself is
+    * map-only against two broadcast literal arrays, so the corpus
+    * never shuffles. At 100 TB the calibrate-once/quantize-everywhere
+    * split is exactly how SQ8 indexes are built.
+    */
+  def scalarQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cal = emb
+      .select(posexplode(asDoubleVec(col(vecCol))).as(Seq("pos", "val")))
+      .groupBy(col("pos"))
+      .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .collect()
+    require(cal.length >= 1 && cal.length <= 4096,
+      s"scalarQuantize: dimension ${cal.length} outside the bounded-collect contract")
+    val byPos = cal.map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    require(byPos.size == cal.length, "scalarQuantize: ragged vector widths")
+    val mns = typedLit((0 until cal.length).map(byPos(_)._1))
+    val mxs = typedLit((0 until cal.length).map(byPos(_)._2))
+
+    val withCodes = emb.select(col(idCol), asDoubleVec(col(vecCol)).as("v"))
+      .withColumn("codes", transform(col("v"), (x, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        when(mx === mn, lit(0))
+          .when(x >= mx, lit(255))
+          .otherwise(floor((x - mn) * lit(255) / (mx - mn)).cast("int"))
+      }))
+    withCodes
+      .withColumn("errs", transform(col("v"), (x, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        abs(x - (mn + (element_at(col("codes"), i + 1) + lit(0.5)) * (mx - mn) / lit(255)))
+      }))
+      .select(col(idCol), col("codes"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        round(aggregate(col("errs"), lit(0d), (a, x) => a + x), 9).as("err"))
+  }
+
   /** Exact top-k neighbors for each query vector (self-match excluded).
     * Output: query_id, neighbor_id, rank, cosine.
     *

@@ -364,6 +364,49 @@ object CorpusOps {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q241
+  /** Int8 scalar quantization (Similarity.scalarQuantize) — SQ8, the
+    * standard ANN compression next to PQ: per-dimension min/max
+    * calibration, floor-bucketed codes, bucket-center reconstruction.
+    * The oracle recomputes the calibration, every code, and the
+    * array-order L1 reconstruction error (left fold — the VecDot /
+    * list_reduce pairing) in DuckDB; a swapped dimension, an
+    * off-by-one bucket edge (v = max must code 255), or a fold-order
+    * slip in the error sum all hash-fail.
+    */
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    Similarity.scalarQuantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("code_sum"), col("code_min"),
+        col("code_max"), col("err"))
+      .orderBy(col("vec_id"))
+
+  private val q241Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |x AS (SELECT vec_id, unnest(range(1, len(v)+1)) AS pos, unnest(v) AS val FROM e),
+      |calrows AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM x GROUP BY pos),
+      |cal AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM calrows),
+      |c AS (
+      |  SELECT vec_id, v, mns, mxs,
+      |    list_transform(range(1, len(v)+1), i ->
+      |      CASE WHEN mxs[CAST(i AS INTEGER)] = mns[CAST(i AS INTEGER)] THEN 0
+      |           WHEN v[CAST(i AS INTEGER)] >= mxs[CAST(i AS INTEGER)] THEN 255
+      |           ELSE CAST(floor((v[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)]) * 255
+      |                     / (mxs[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)])) AS INTEGER)
+      |      END) AS cds
+      |  FROM e, cal)
+      |SELECT vec_id,
+      |  CAST(list_sum(cds) AS BIGINT) AS code_sum,
+      |  CAST(list_min(cds) AS INTEGER) AS code_min,
+      |  CAST(list_max(cds) AS INTEGER) AS code_max,
+      |  round(list_reduce(list_prepend(0.0::DOUBLE,
+      |    list_transform(range(1, len(v)+1), i ->
+      |      abs(v[CAST(i AS INTEGER)] - (mns[CAST(i AS INTEGER)]
+      |        + (cds[CAST(i AS INTEGER)] + 0.5)
+      |          * (mxs[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)]) / 255)))),
+      |    (a, b) -> a + b), 9) AS err
+      |FROM c
+      |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q33
   /** Sign-LSH bucketed ANN: 6-bit bucket from component signs, top-3
     * within bucket for query vectors vec_id < 50.
@@ -3375,7 +3418,8 @@ object CorpusOps {
     "q30_ngram_jaccard" -> (q30 _),
     "q31_embedding_near_dup" -> (q31 _),
     "q32_cosine_topk" -> (q32 _),
-    "q33_ann_lsh" -> (q33 _))
+    "q33_ann_lsh" -> (q33 _),
+    "q241_int8_quant" -> (q241 _))
 
   val oracle: Map[String, String] = Map(
     "q173_ann_delete" -> q173Sql,
@@ -3445,5 +3489,6 @@ object CorpusOps {
     "q30_ngram_jaccard" -> q30Sql,
     "q31_embedding_near_dup" -> q31Sql,
     "q32_cosine_topk" -> q32Sql,
-    "q33_ann_lsh" -> q33Sql)
+    "q33_ann_lsh" -> q33Sql,
+    "q241_int8_quant" -> q241Sql)
 }

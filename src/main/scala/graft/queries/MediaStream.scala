@@ -793,7 +793,7 @@ object MediaStream {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(9)) === k)
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(12)) === k)
     val mixed = Media.toPpm(bucket(0))
       .union(Media.toPng(bucket(1)))
       .union(Media.toWav(bucket(2)))
@@ -806,47 +806,68 @@ object MediaStream {
       .union(Media.toGif(bucket(6)))
       .union(graft.sources.Pdf.toPdfsWithImages(bucket(7)))
       .union(Media.toWebp(bucket(8)))
+      // r18 continuation: the census grows the lossless-audio,
+      // archive, and lossy-audio-container families (bucket 10's ids
+      // are ≡ 10 mod 12 — even — so toArchives emits ZIPs there)
+      .union(Media.toFlac(bucket(9)))
+      .union(graft.sources.Archive.toArchives(bucket(10)))
+      .union(Media.toMp3(bucket(11)))
       .as[Media.MediaRecord]
 
-    // ONE pass: each record meets all three typed decoders AND the
-    // pdf sniff in a single mapPartitions (cross-format REJECTION
-    // included) — no re-scan of the payload bytes per modality, no
-    // media_id re-joins; the only exchange left is the format rollup
+    // ONE pass: each record meets all typed decoders AND the pdf /
+    // archive / mp3 sniffs in a single mapPartitions (cross-format
+    // REJECTION included) — no re-scan of the payload bytes per
+    // modality, no media_id re-joins; the only exchange left is the
+    // format rollup
     val per = mixed.map { m =>
       val img = graft.operators.ImageCodec.decode(m.data).toOption
-      val aud = graft.operators.AudioCodec.decode(m.data).toOption
+      val aud = (if (graft.operators.FlacCodec.sniff(m.data))
+        graft.operators.FlacCodec.decode(m.data)
+      else graft.operators.AudioCodec.decode(m.data)).toOption
       val vid = graft.operators.VideoCodec.decode(m.data).toOption
       val pdf = if (graft.sources.Pdf.sniff(m.data))
         graft.sources.Pdf.extractText(m.data).toOption else None
+      val mp3 = if (graft.operators.Mp3Meta.sniff(m.data))
+        graft.operators.Mp3Meta.decode(m.data).toOption else None
+      val arc = if (graft.sources.Archive.sniffZip(m.data))
+        graft.sources.Archive.readZip(m.data).toOption else None
       (m.format,
-        img.isDefined, aud.isDefined, vid.isDefined, pdf.isDefined,
-        img.isEmpty && aud.isEmpty && vid.isEmpty && pdf.isEmpty,
+        img.isDefined, aud.isDefined || mp3.isDefined, vid.isDefined,
+        pdf.isDefined, arc.isDefined,
+        img.isEmpty && aud.isEmpty && vid.isEmpty && pdf.isEmpty &&
+          mp3.isEmpty && arc.isEmpty,
         img.map(_.nPixels).getOrElse(0L) + pdf.map(_.imgPx).getOrElse(0L),
-        aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L),
-        img.map(_.orientation.toLong).getOrElse(0L))
-    }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "is_err", "px", "ms", "ori")
+        aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L) +
+          mp3.map(_.durationMs).getOrElse(0L),
+        img.map(_.orientation.toLong).getOrElse(0L),
+        arc.map(_.size.toLong).getOrElse(0L))
+    }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "r_ok", "is_err",
+      "px", "ms", "ori", "ents")
     per.groupBy(col("format"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("i_ok"), 1L).otherwise(0L)).as("img_ok"),
         sum(when(col("a_ok"), 1L).otherwise(0L)).as("aud_ok"),
         sum(when(col("v_ok"), 1L).otherwise(0L)).as("vid_ok"),
         sum(when(col("p_ok"), 1L).otherwise(0L)).as("pdf_ok"),
+        sum(when(col("r_ok"), 1L).otherwise(0L)).as("arc_ok"),
         sum(when(col("is_err"), 1L).otherwise(0L)).as("n_err"),
         sum(col("px")).as("px_sum"),
         sum(col("ms")).as("dur_ms_sum"),
         // Exif orientation checksum (r18): jpeg records carry a
         // doc_id-rotated APP1 tag; everything else decodes upright (1
         // per accepted image, 0 where no image decoder fired)
-        sum(col("ori")).as("ori_sum"))
+        sum(col("ori")).as("ori_sum"),
+        sum(col("ents")).as("ent_sum"))
       .orderBy(col("format"))
   }
 
   private val q219Sql =
     """SELECT format, count(*) AS n_rows,
       |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6, 8) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
-      |  CAST(sum(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
+      |  CAST(sum(CASE WHEN b IN (2, 9, 11) THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
       |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
       |  CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS pdf_ok,
+      |  CAST(sum(CASE WHEN b = 10 THEN 1 ELSE 0 END) AS BIGINT) AS arc_ok,
       |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
       |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8)
       |    THEN (len % 8 + 1) * (len % 6 + 1)
@@ -856,14 +877,19 @@ object MediaStream {
       |      THEN (len % 8 + 1) * (len % 6 + 1)
       |      ELSE 64 * (len % 3 + 1) * (len % 2 + 1) END)
       |    ELSE 0 END) AS BIGINT) AS px_sum,
-      |  CAST(sum(CASE WHEN b = 2 THEN (len * 1000) // (len % 4000 + 4000)
-      |    WHEN b = 3 THEN (len % 3 + 1) * 40 ELSE 0 END) AS BIGINT) AS dur_ms_sum,
+      |  CAST(sum(CASE WHEN b IN (2, 9) THEN (len * 1000) // (len % 4000 + 4000)
+      |    WHEN b = 3 THEN (len % 3 + 1) * 40
+      |    WHEN b = 11 THEN ((len % 7 + 1) * 1152 * 1000)
+      |      // ([44100,48000,32000][CAST(doc_id % 3 AS INTEGER) + 1])
+      |    ELSE 0 END) AS BIGINT) AS dur_ms_sum,
       |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8) THEN 1
-      |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum
-      |FROM (SELECT doc_id, doc_id % 9 AS b,
-      |        CASE doc_id % 9 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum,
+      |  CAST(sum(CASE WHEN b = 10 THEN 2 ELSE 0 END) AS BIGINT) AS ent_sum
+      |FROM (SELECT doc_id, doc_id % 12 AS b,
+      |        CASE doc_id % 12 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
       |          WHEN 6 THEN 'gif' WHEN 7 THEN 'pdf' WHEN 8 THEN 'webp'
+      |          WHEN 9 THEN 'flac' WHEN 10 THEN 'zip' WHEN 11 THEN 'mp3'
       |          ELSE 'bin' END AS format,
       |        length(text) AS len
       |      FROM documents WHERE length(text) > 0)

@@ -743,6 +743,39 @@ class PlanSpec extends SparkSpec {
     assert(!raw.contains("rangepartitioning"), "packing sorted globally")
   }
 
+  test("q235 archive ingest: build+extract is map-only before the sink sort") {
+    val media = {
+      val s = spark
+      import s.implicits._
+      graft.sources.Archive.toArchives(
+        spark.read.parquet(s"$sf/documents.parquet"))
+        .as[graft.operators.Media.MediaRecord]
+    }
+    val raw = graft.sources.Archive.listEntries(media)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!raw.contains("Exchange"), "archive build+extract shuffled — must be map-only")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(raw).size === 1, "more than one scan")
+  }
+
+  test("q236 line dedup: two aggregations, one doc-keyed join, no window, no global sort") {
+    val raw = plan("q236_line_dedup")
+    // exchanges: line-hash agg, doc-hash agg (rebuilt side), doc-hash
+    // (probe side of the count join), plus the sink's range sort —
+    // crucially NO line-keyed JOIN fan-out and NO window
+    assert(!raw.contains("Window"), "line dedup used a window — the winner is an aggregate")
+    assert(raw.contains("partial_min"), "winner aggregation lost its map-side combine")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(raw).size <= 4,
+      "more exchanges than the two aggs + join + sink sort")
+  }
+
+  test("q238 quality model: the scoring pass is map-only before the sink sort") {
+    val raw = plan("q238_quality_model")
+    assert(!raw.contains("Window"), "score pass used a window")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(raw).size === 1,
+      "scoring must be map-only — only the sink sort may exchange")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(raw).size === 1, "more than one scan")
+  }
+
   test("q231 pdf images: build+extract is map-only before the sink sort") {
     val media = {
       val s = spark
