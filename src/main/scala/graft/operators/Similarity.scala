@@ -135,26 +135,12 @@ object Similarity {
     * split is exactly how SQ8 indexes are built.
     */
   def scalarQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val cal = emb
-      .select(posexplode(asDoubleVec(col(vecCol))).as(Seq("pos", "val")))
-      .groupBy(col("pos"))
-      .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
-      .collect()
-    require(cal.length >= 1 && cal.length <= 4096,
-      s"scalarQuantize: dimension ${cal.length} outside the bounded-collect contract")
-    val byPos = cal.map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    require(byPos.size == cal.length, "scalarQuantize: ragged vector widths")
-    val mns = typedLit((0 until cal.length).map(byPos(_)._1))
-    val mxs = typedLit((0 until cal.length).map(byPos(_)._2))
+    val (mnsS, mxsS) = sq8Calibrate(emb, vecCol)
+    val mns = typedLit(mnsS)
+    val mxs = typedLit(mxsS)
 
     val withCodes = emb.select(col(idCol), asDoubleVec(col(vecCol)).as("v"))
-      .withColumn("codes", transform(col("v"), (x, i) => {
-        val mn = element_at(mns, i + 1)
-        val mx = element_at(mxs, i + 1)
-        when(mx === mn, lit(0))
-          .when(x >= mx, lit(255))
-          .otherwise(floor((x - mn) * lit(255) / (mx - mn)).cast("int"))
-      }))
+      .withColumn("codes", sq8Codes(col("v"), mns, mxs))
     withCodes
       .withColumn("errs", transform(col("v"), (x, i) => {
         val mn = element_at(mns, i + 1)
@@ -166,6 +152,67 @@ object Similarity {
         array_min(col("codes")).as("code_min"),
         array_max(col("codes")).as("code_max"),
         round(aggregate(col("errs"), lit(0d), (a, x) => a + x), 9).as("err"))
+  }
+
+  /** Per-dimension [min, max] calibration — the d-row bounded collect
+    * [[scalarQuantize]]/[[sq8TopK]] share.
+    */
+  private def sq8Calibrate(emb: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val cal = emb
+      .select(posexplode(asDoubleVec(col(vecCol))).as(Seq("pos", "val")))
+      .groupBy(col("pos"))
+      .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
+      .collect()
+    require(cal.length >= 1 && cal.length <= 4096,
+      s"scalarQuantize: dimension ${cal.length} outside the bounded-collect contract")
+    val byPos = cal.map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    require(byPos.size == cal.length, "scalarQuantize: ragged vector widths")
+    ((0 until cal.length).map(byPos(_)._1), (0 until cal.length).map(byPos(_)._2))
+  }
+
+  private def sq8Codes(v: Column, mns: Column, mxs: Column): Column =
+    transform(v, (x, i) => {
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      when(mx === mn, lit(0))
+        .when(x >= mx, lit(255))
+        .otherwise(floor((x - mn) * lit(255) / (mx - mn)).cast("int"))
+    })
+
+  /** SQ8 asymmetric search — the retrieval side of
+    * [[scalarQuantize]], closing the loop the way the ADC probes do
+    * for PQ: corpus vectors live ONLY as int8 codes; each is
+    * reconstructed at its bucket center at scan time and scored
+    * against the FULL-PRECISION query (asymmetric distance — the
+    * standard SQ8 trade), top-k through the map-side-combined
+    * aggregator tail. At scale the codes table is 4x smaller than the
+    * float corpus, the calibration is the shared d-row broadcast, and
+    * the plan is [[cosineTopK]]'s (broadcast query side, map-only
+    * scoring, k-row combiners).
+    */
+  def sq8TopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val (mnsS, mxsS) = sq8Calibrate(corpus, vecCol)
+    val mns = typedLit(mnsS)
+    val mxs = typedLit(mxsS)
+    VectorExpressions.register(corpus.sparkSession)
+    val recon = corpus
+      .select(col(idCol).as("neighbor_id"), asDoubleVec(col(vecCol)).as("v"))
+      .withColumn("rv", transform(sq8Codes(col("v"), mns, mxs), (c, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        mn + (c + lit(0.5)) * (mx - mn) / lit(255)
+      }))
+      .withColumn("rn", sqrt(dot(col("rv"), col("rv"))))
+      .select(col("neighbor_id"), col("rv"), col("rn"))
+    val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val scored = recon.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("qv"), col("rv")) / (col("qn") * col("rn")))
+    simTopK(scored, k)
   }
 
   /** Exact top-k neighbors for each query vector (self-match excluded).

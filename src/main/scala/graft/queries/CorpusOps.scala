@@ -407,6 +407,72 @@ object CorpusOps {
       |FROM c
       |ORDER BY vec_id""".stripMargin
 
+  // --------------------------------------------------------------- q242
+  /** SQ8 asymmetric retrieval (Similarity.sq8TopK) with a row-level
+    * exact-membership report — the q241 codes searched, closing the
+    * SQ8 loop the way q228 closed IVF-PQ's: corpus vectors live only
+    * as int8 codes, reconstructed at bucket centers at scan time and
+    * scored against full-precision queries; each top-5 row carries
+    * whether it also appears in the EXACT top-5. The oracle replays
+    * calibration, codes, reconstruction, both rankings, and the
+    * membership join.
+    */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val sq8 = Similarity.sq8TopK(emb.filter(col("vec_id") < 10), emb,
+      "vec_id", "embedding", k = 5)
+    val exact = Similarity.cosineTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(true).as("hit"))
+    sq8.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"),
+        coalesce(col("hit"), lit(false)).as("in_exact"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val q242Sql = {
+    val cos = cosSql.format("q", "c", "q", "c")
+    val code = """CASE WHEN mxs[CAST(i AS INTEGER)] = mns[CAST(i AS INTEGER)] THEN 0
+      |           WHEN v[CAST(i AS INTEGER)] >= mxs[CAST(i AS INTEGER)] THEN 255
+      |           ELSE CAST(floor((v[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)]) * 255
+      |                     / (mxs[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)])) AS INTEGER)
+      |      END""".stripMargin
+    s"""WITH e AS ($embCte),
+       |calrows AS (
+       |  SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+       |    SELECT unnest(range(1, len(v)+1)) AS pos, unnest(v) AS val FROM e)
+       |  GROUP BY pos),
+       |cal AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM calrows),
+       |rr AS (
+       |  SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS rn FROM (
+       |    SELECT vec_id,
+       |      list_transform(range(1, len(v)+1), i ->
+       |        mns[CAST(i AS INTEGER)] + (($code) + 0.5)
+       |          * (mxs[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)]) / 255) AS rv
+       |    FROM e, cal)),
+       |sq8 AS (
+       |  SELECT query_id, neighbor_id, rank, cos8 FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      (list_dot_product(q.v, c.rv) / (q.nrm * c.rn)) AS cos8,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY (list_dot_product(q.v, c.rv) / (q.nrm * c.rn)) DESC, c.vec_id) AS rank
+       |    FROM e q JOIN rr c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 10)
+       |  WHERE rank <= 5),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rank
+       |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < 10)
+       |  WHERE rank <= 5)
+       |SELECT s.query_id, s.neighbor_id, s.rank, round(s.cos8, 9) AS cosine,
+       |  t.query_id IS NOT NULL AS in_exact
+       |FROM sq8 s LEFT JOIN ex t
+       |  ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id
+       |ORDER BY s.query_id, s.rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q33
   /** Sign-LSH bucketed ANN: 6-bit bucket from component signs, top-3
     * within bucket for query vectors vec_id < 50.
@@ -3419,7 +3485,8 @@ object CorpusOps {
     "q31_embedding_near_dup" -> (q31 _),
     "q32_cosine_topk" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
-    "q241_int8_quant" -> (q241 _))
+    "q241_int8_quant" -> (q241 _),
+    "q242_sq8_ann" -> (q242 _))
 
   val oracle: Map[String, String] = Map(
     "q173_ann_delete" -> q173Sql,
@@ -3490,5 +3557,6 @@ object CorpusOps {
     "q31_embedding_near_dup" -> q31Sql,
     "q32_cosine_topk" -> q32Sql,
     "q33_ann_lsh" -> q33Sql,
-    "q241_int8_quant" -> q241Sql)
+    "q241_int8_quant" -> q241Sql,
+    "q242_sq8_ann" -> q242Sql)
 }
