@@ -377,6 +377,69 @@ object Media {
       .toDF()
   }
 
+  /** Typed per-payload Ogg container metadata ([[OggMeta]]) with the
+    * standard error-channel shape.
+    */
+  final case class OggMetaRow(
+      media_id: Long,
+      ok: Boolean,
+      err: String,
+      codec: String,
+      channels: Int,
+      sample_rate: Int,
+      pre_skip: Int,
+      n_pages: Long,
+      last_granule: Long,
+      duration_ms: Long)
+
+  /** Ogg census metadata over the opaque media table — CRC-verified
+    * page walk + first-packet codec ID, duration from the terminal
+    * granule position (see [[OggMeta]]); q243 hash-gates the path.
+    */
+  def decodeOggMeta(media: Dataset[MediaRecord]): Dataset[OggMetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        OggMeta.decode(m.data) match {
+          case Right(s) =>
+            OggMetaRow(m.media_id, ok = true, "", s.codec, s.channels,
+              s.sampleRate, s.preSkip, s.nPages, s.lastGranule, s.durationMs)
+          case Left(e) =>
+            OggMetaRow(m.media_id, ok = false, e, "", 0, 0, 0, 0L, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Documents -> REAL Ogg payloads, deterministically: even docs an
+    * Opus stream (pre-skip len%1000, terminal granule pre_skip+len*48
+    * — so the duration is EXACTLY len ms), odd docs a Vorbis stream
+    * (rate len%4000+4000, terminal granule len*3), len%5+1 audio
+    * pages after the BOS/ID page, every page CRC'd. Every census
+    * field is a pure function of (doc_id, len) — the q240 rule.
+    */
+  def toOgg(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val len = bytes.length
+        val channels = ((id / 2) % 2).toInt + 1
+        val nPages = len % 5 + 1
+        val rec =
+          if (id % 2 == 0)
+            OggMeta.encodeOgg("opus", channels, 48000, len % 1000,
+              nPages, (len % 1000).toLong + len.toLong * 48, bytes)
+          else
+            OggMeta.encodeOgg("vorbis", channels, len % 4000 + 4000, 0,
+              nPages, len.toLong * 3, bytes)
+        MediaRecord(id, "audio", if (id % 2 == 0) "opus" else "vorbis", rec)
+      }
+      .toDF()
+  }
+
   /** Typed per-stream stats from [[VideoCodec]]'s real Y4M decode,
     * with the same error-channel shape as [[ImageFeatures]].
     */

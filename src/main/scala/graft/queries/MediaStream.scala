@@ -629,6 +629,44 @@ object MediaStream {
       |FROM documents WHERE length(text) > 0
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q243
+  /** Ogg census metadata (Opus + Vorbis), hash-gated end-to-end:
+    * documents become genuine Ogg streams (Media.toOgg — CRC'd pages,
+    * real OpusHead / Vorbis ID packets, linear granule schedule) and
+    * OggMeta walks them back — capture sync, the unreflected Ogg
+    * CRC-32 over every page, lacing, first-packet parse, terminal-
+    * granule duration. Every field is a pure function of
+    * (doc_id, len) so the oracle recomputes them all; a CRC slip, a
+    * lacing bug, or a wrong granule pick desyncs and hash-fails.
+    */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toOgg(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeOggMeta(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("channels"),
+        col("sample_rate"), col("pre_skip"), col("n_pages"),
+        col("last_granule"), col("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q243Sql =
+    """WITH d AS (SELECT doc_id, length(text) AS len
+      |           FROM documents WHERE length(text) > 0)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+      |  CAST((doc_id // 2) % 2 + 1 AS INTEGER) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 48000
+      |            ELSE len % 4000 + 4000 END AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN len % 1000 ELSE 0 END AS INTEGER) AS pre_skip,
+      |  CAST(len % 5 + 2 AS BIGINT) AS n_pages,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN (len % 1000) + len * 48
+      |            ELSE len * 3 END AS BIGINT) AS last_granule,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN len
+      |            ELSE (len * 3 * 1000) // (len % 4000 + 4000) END AS BIGINT) AS duration_ms
+      |FROM d
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q111
   /** REAL video decode, hash-gated end-to-end: documents become
     * genuine YUV4MPEG2 streams (Media.toY4m — spec-exact stream
@@ -2908,6 +2946,7 @@ object MediaStream {
     "q103_audio_decode" -> (q103 _),
     "q237_flac_decode" -> (q237 _),
     "q240_mp3_meta" -> (q240 _),
+    "q243_ogg_meta" -> (q243 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
     "q202_silence_segments" -> (q202 _),
@@ -2968,6 +3007,7 @@ object MediaStream {
     "q103_audio_decode" -> q103Sql,
     "q237_flac_decode" -> q237Sql,
     "q240_mp3_meta" -> q240Sql,
+    "q243_ogg_meta" -> q243Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
     "q202_silence_segments" -> q202Sql,
