@@ -982,6 +982,35 @@ object MediaStream {
       |FROM documents WHERE length(text) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q244
+  /** Composite-font PDF text extraction (/Type0 /Identity-H +
+    * /ToUnicode CMap — how real-crawl PDFs actually encode text):
+    * documents become PDFs whose every show string is 2-byte GLYPH
+    * CODES (sources.Pdf.buildPdfCid: bfchar specials + an
+    * incrementing bfrange, the CMap object placed AFTER the content
+    * stream so extraction must defer until the object graph
+    * completes). The oracle is q220's ground truth — recovering the
+    * identical text through a completely different character encoding
+    * pins the CMap parse, the Tf font tracking, and the 2-byte code
+    * walk; n_cmaps = 1 proves the path fired.
+    */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Pdf.toPdfsCid(t(s, dir, "documents"))
+      .as[Media.MediaRecord]
+    graft.sources.Pdf.extractRows(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id").as("doc_id"), col("n_shows"), col("n_cmaps"),
+        col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q244Sql =
+    """SELECT doc_id, CAST(4 AS INTEGER) AS n_shows, CAST(1 AS INTEGER) AS n_cmaps,
+      |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
+      |FROM documents WHERE length(text) > 0
+      |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q231
   /** PDF-EMBEDDED image XObjects (r18, verdict task #2) — real-crawl
     * PDFs are image-heavy, and the repo owns complete JPEG and zlib
@@ -2932,6 +2961,7 @@ object MediaStream {
     "q219_mixed_media_census" -> (q219 _),
     "q220_pdf_extract" -> (q220 _),
     "q231_pdf_images" -> (q231 _),
+    "q244_pdf_cid_text" -> (q244 _),
     "q221_mixed_crawl_extract" -> (q221 _),
     "q123_image_dedup_apply" -> (q123 _),
     "q129_audio_near_dup" -> (q129 _),
@@ -2993,6 +3023,7 @@ object MediaStream {
     "q219_mixed_media_census" -> q219Sql,
     "q220_pdf_extract" -> q220Sql,
     "q231_pdf_images" -> q231Sql,
+    "q244_pdf_cid_text" -> q244Sql,
     "q221_mixed_crawl_extract" -> q221Sql,
     "q123_image_dedup_apply" -> q123Sql,
     "q129_audio_near_dup" -> q129Sql,

@@ -84,7 +84,8 @@ object Pdf {
       nObjStmObjs: Int = 0, // objects discovered inside them
       nPages: Int = 0, // /Type /Page dicts seen in unpacked ObjStms
       nXrefOffsets: Int = 0, // xref-STREAM type-1 (offset) entries
-      nXrefCompressed: Int = 0) // xref-stream type-2 (in-ObjStm) entries
+      nXrefCompressed: Int = 0, // xref-stream type-2 (in-ObjStm) entries
+      nCmaps: Int = 0) // /ToUnicode CMaps parsed and applied
 
   def sniff(data: Array[Byte]): Boolean =
     data.length >= 5 && data(0) == '%' && data(1) == 'P' &&
@@ -112,7 +113,45 @@ object Pdf {
     var nPages = 0
     var nXrefOffsets = 0
     var nXrefCompressed = 0
+    var nCmaps = 0
     val text = new StringBuilder
+
+    // ---- font / ToUnicode discovery (composite-font text) ----------
+    // Top-level `N 0 obj` dicts only (a ToUnicode ref on an
+    // ObjStm-RESIDENT font dict is out of scope, documented): fonts
+    // carrying /ToUnicode N 0 R make show strings glyph-coded; their
+    // CMap streams must feed the code->unicode map, never the shows
+    // scanner, and content decoding becomes font-aware (Tf tracking).
+    val objStarts: Array[(Int, Int)] =
+      "(\\d+)\\s+0\\s+obj".r.findAllMatchIn(s).map(m => (m.start, m.group(1).toInt)).toArray
+    val fontToUni: Map[Int, Int] = objStarts.flatMap { case (off, num) =>
+      val end = s.indexOf("endobj", off)
+      val seg = s.substring(off, if (end > 0) math.min(end, off + 4096) else math.min(s.length, off + 4096))
+      if ("/Type\\s*/Font".r.findFirstIn(seg).isDefined)
+        "/ToUnicode\\s+(\\d+)\\s+0\\s+R".r.findFirstMatchIn(seg).map(m => num -> m.group(1).toInt)
+      else None
+    }.toMap
+    val resFont: Map[String, Int] =
+      "/Font\\s*<<([^>]*)>>".r.findAllMatchIn(s).flatMap { m =>
+        "/(\\w+)\\s+(\\d+)\\s+0\\s+R".r.findAllMatchIn(m.group(1))
+          .map(fm => fm.group(1) -> fm.group(2).toInt)
+      }.toMap
+    val toUniObjs: Set[Int] = fontToUni.values.toSet
+    val cmapsByObj = scala.collection.mutable.HashMap.empty[Int, (Int, Map[Int, String])]
+    // content bodies deferred until the CMaps are all parsed (a CMap
+    // object may follow the content stream in file order)
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[String]
+    def objNumAt(dictStart: Int): Int = {
+      // greatest object start before the stream's dict
+      var lo = 0
+      var hi = objStarts.length - 1
+      var best = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (objStarts(mid)._1 < dictStart) { best = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (best < 0) -1 else objStarts(best)._2
+    }
 
     var from = 0
     while (from < s.length) {
@@ -215,19 +254,36 @@ object Pdf {
                 case None => nSkipped += 1; None
               }
             body.foreach { b =>
-              val (shown, ops) = showsFrom(
-                new String(b, java.nio.charset.StandardCharsets.ISO_8859_1))
-              text.append(shown)
-              nShows += ops
+              val c = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+              val objNum = if (toUniObjs.isEmpty) -1 else objNumAt(dictStart)
+              if (objNum >= 0 && toUniObjs.contains(objNum)) {
+                cmapsByObj(objNum) = parseCmap(c)
+                nCmaps += 1
+              } else if (toUniObjs.nonEmpty) deferred += c
+              else {
+                val (shown, ops) = showsFrom(c)
+                text.append(shown)
+                nShows += ops
+              }
             }
             from = math.max(de, sp + 6)
           }
         }
       }
     }
+    if (deferred.nonEmpty) {
+      val fonts: Map[String, (Int, Map[Int, String])] = resFont.flatMap { case (name, fObj) =>
+        fontToUni.get(fObj).flatMap(cmapsByObj.get).map(name -> _)
+      }
+      deferred.foreach { c =>
+        val (shown, ops) = showsFrom(c, fonts)
+        text.append(shown)
+        nShows += ops
+      }
+    }
     Right(PdfExtract(nStreams, nFlate, nRaw, nSkipped, nShows, text.toString,
       nAscii, nImages, nImageSkipped, imgPx, imgMeanSum,
-      nObjStm, nObjStmObjs, nPages, nXrefOffsets, nXrefCompressed))
+      nObjStm, nObjStmObjs, nPages, nXrefOffsets, nXrefCompressed, nCmaps))
   }
 
   /** Decode a `/Subtype /Image` XObject's stream to image stats. The
@@ -616,13 +672,37 @@ object Pdf {
     * pending literal (operands bind to the NEXT operator only — a
     * stale literal must not be flushed by a distant show op).
     */
-  private def showsFrom(c: String): (String, Int) = {
+  private def showsFrom(
+      c: String,
+      fonts: Map[String, (Int, Map[Int, String])] = Map.empty): (String, Int) = {
     val out = new StringBuilder
     var shows = 0
     var lastLit: String = null
     var arr: StringBuilder = null // non-null while inside [ … ]
+    var lastName: String = null // most recent name token (the Tf operand)
+    var curMap: (Int, Map[Int, String]) = null // active font's (code width, ToUnicode map)
     def show(): Unit =
-      if (lastLit != null) { out.append(lastLit); shows += 1; lastLit = null }
+      if (lastLit != null) {
+        if (curMap == null) out.append(lastLit)
+        else {
+          // ToUnicode'd font: the string is big-endian glyph codes at
+          // the CMap's codespace width (1 byte for simple fonts,
+          // 2 for composite); map each through the CMap (an unmapped
+          // code contributes nothing — the spec's "no mapping" rule;
+          // a dangling partial code likewise)
+          val (w, map) = curMap
+          var k = 0
+          while (k + w - 1 < lastLit.length) {
+            val code =
+              if (w == 1) lastLit(k).toInt
+              else (lastLit(k) << 8) | (lastLit(k + 1) & 0xff)
+            map.get(code).foreach(out.append)
+            k += w
+          }
+        }
+        shows += 1
+        lastLit = null
+      }
     var i = 0
     while (i < c.length) {
       val ch = c(i)
@@ -650,6 +730,7 @@ object Pdf {
         // includes ' and " — they never act as operators inside one)
         var j = i + 1
         while (j < c.length && !isDelim(c(j))) j += 1
+        lastName = c.substring(i + 1, j)
         i = j
       } else if (ch == '\'' || ch == '"') {
         // move-and-show / spacing-and-show: only as a standalone
@@ -663,11 +744,93 @@ object Pdf {
           (c(j) >= 'a' && c(j) <= 'z') || c(j) == '*')) j += 1
         val tok = c.substring(i, j)
         if (tok == "Tj" || tok == "TJ") show()
-        else if (arr == null) lastLit = null // operand consumed by a non-show op
+        else {
+          if (tok == "Tf" && lastName != null)
+            curMap = fonts.get(lastName).orNull // font selection
+          if (arr == null) lastLit = null // operand consumed by a non-show op
+        }
         i = j
       } else i += 1
     }
     (out.toString, shows)
+  }
+
+  /** Parse a /ToUnicode CMap stream (spec §9.10.3 / Adobe CMap spec):
+    * `beginbfchar` blocks map <src> <dst> pairs, `beginbfrange`
+    * blocks map <lo> <hi> to either an incrementing <dstStart> or an
+    * explicit [<dst> <dst> …] array. Codes are the hex value of the
+    * src token (1- or 2-byte codespaces both land in an Int);
+    * destinations are UTF-16BE strings (surrogate pairs pass through
+    * as their code units — the all-BMP corpus never splits them).
+    * Anything else in the stream (codespacerange, CID ops, PostScript
+    * wrapper) is skipped by token shape.
+    */
+  private[sources] def parseCmap(c: String): (Int, Map[Int, String]) = {
+    // code width (bytes) from the first codespacerange token: <FF> is
+    // a 1-byte space (simple fonts), <FFFF> 2-byte (composite) — the
+    // show-string walk consumes codes at this width
+    val width =
+      "(?s)begincodespacerange\\s*<([0-9A-Fa-f]+)>".r.findFirstMatchIn(c)
+        .map(m => math.max(1, math.min(2, m.group(1).length / 2))).getOrElse(2)
+    val out = Map.newBuilder[Int, String]
+    def hexVal(tok: String): Int = Integer.parseInt(tok, 16)
+    def hexStr(tok: String): String = {
+      val sb = new StringBuilder
+      var k = 0
+      while (k + 3 < tok.length) {
+        sb.append(Integer.parseInt(tok.substring(k, k + 4), 16).toChar)
+        k += 4
+      }
+      if (k < tok.length) sb.append(Integer.parseInt(tok.substring(k), 16).toChar)
+      sb.toString
+    }
+    val hexTok = "<([0-9A-Fa-f]+)>".r
+    for (m <- "(?s)beginbfchar(.*?)endbfchar".r.findAllMatchIn(c)) {
+      val toks = hexTok.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => out += hexVal(src) -> hexStr(dst)
+        case _ => () // dangling token: malformed entry, skip
+      }
+    }
+    for (m <- "(?s)beginbfrange(.*?)endbfrange".r.findAllMatchIn(c)) {
+      // token walk: <lo> <hi> then either <dstStart> or [<d> <d> …]
+      val body = m.group(1)
+      val tok = "<([0-9A-Fa-f]+)>|\\[|\\]".r
+      val toks = tok.findAllMatchIn(body).map(_.matched).toSeq
+      var i = 0
+      while (i + 1 < toks.length) {
+        (toks.lift(i), toks.lift(i + 1), toks.lift(i + 2)) match {
+          case (Some(loT), Some(hiT), Some("[")) if loT.startsWith("<") && hiT.startsWith("<") =>
+            val lo = hexVal(loT.stripPrefix("<").stripSuffix(">"))
+            val hi = hexVal(hiT.stripPrefix("<").stripSuffix(">"))
+            var j = i + 3
+            var code = lo
+            while (j < toks.length && toks(j) != "]") {
+              if (code <= hi) out += code -> hexStr(toks(j).stripPrefix("<").stripSuffix(">"))
+              code += 1
+              j += 1
+            }
+            i = j + 1
+          case (Some(loT), Some(hiT), Some(dT))
+            if loT.startsWith("<") && hiT.startsWith("<") && dT.startsWith("<") =>
+            val lo = hexVal(loT.stripPrefix("<").stripSuffix(">"))
+            val hi = hexVal(hiT.stripPrefix("<").stripSuffix(">"))
+            val dst = hexStr(dT.stripPrefix("<").stripSuffix(">"))
+            var code = lo
+            while (code <= hi) {
+              val mapped =
+                if (dst.isEmpty) ""
+                else dst.substring(0, dst.length - 1) +
+                  (dst.last + (code - lo)).toChar
+              out += code -> mapped
+              code += 1
+            }
+            i += 3
+          case _ => i = toks.length // malformed tail: stop this block
+        }
+      }
+    }
+    (width, out.result())
   }
 
   /** Parse a hex string literal starting at `start` (which must be
@@ -1048,6 +1211,84 @@ object Pdf {
     }
   }
 
+  /** Composite-font (Type0 / Identity-H) twin of [[buildPdf]]: the
+    * SAME shows (title Tj, 7-char TJ chunks, the '/" suffix) but
+    * every string is 2-byte GLYPH CODES, decodable only through the
+    * font's /ToUnicode CMap — '|' and '~' ride `bfchar` entries
+    * (codes 1 and 2), everything else the incrementing `bfrange`
+    * <0027><0085> → U+0020 (code = codepoint + 7). The CMap object
+    * FOLLOWS the content stream in the file, so extraction must
+    * defer content decoding until the object graph is complete.
+    * Extracted text must equal the classic build's byte for byte.
+    */
+  def buildPdfCid(title: String, text: String, flate: Boolean): Array[Byte] = {
+    def enc(ch: Char): Int = ch match {
+      case '|' => 1
+      case '~' => 2
+      case c => c + 7
+    }
+    def cid(str: String): String = str.map(enc).map(v => f"$v%04X").mkString
+    val tj = text.grouped(7).map(c => s"<${cid(c)}>").mkString(" -40 ")
+    val content = s"BT /F1 12 Tf 72 720 Td <${cid(title)}> Tj [$tj] TJ " +
+      s"<${cid("~fi")}> ' 0 0 <${cid("n.")}> \" ET"
+    val raw = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (body, filter) =
+      if (flate) (deflateBytes(raw), " /Filter /FlateDecode") else (raw, "")
+    val cmap = ("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n" +
+      "/CMapName /Graft-UCS def\n/CMapType 2 def\n" +
+      "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+      "2 beginbfchar\n<0001> <007C>\n<0002> <007E>\nendbfchar\n" +
+      "1 beginbfrange\n<0027> <0085> <0020>\nendbfrange\n" +
+      "endcmap\nCMap currentdict /CMap defineresource pop\nend end\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    val out = new java.io.ByteArrayOutputStream(body.length + cmap.length + 1280)
+    def w(str: String): Unit =
+      out.write(str.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    val offsets = new Array[Int](7)
+    def obj(k: Int)(write: => Unit): Unit = { offsets(k) = out.size(); write }
+    obj(1)(w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+    obj(2)(w("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
+    obj(3)(w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"))
+    obj(4) {
+      w(s"4 0 obj\n<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    obj(5)(w("5 0 obj\n<< /Type /Font /Subtype /Type0 /BaseFont /Graft " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>\nendobj\n"))
+    obj(6) {
+      w(s"6 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+      out.write(cmap)
+      w("\nendstream\nendobj\n")
+    }
+    val xref = out.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(k => w(f"${offsets(k)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Documents -> composite-font PDFs ([[buildPdfCid]]; even docs raw
+    * content streams, odd /FlateDecode) — the q244 adapter. The
+    * oracle is q220's ground truth: recovering it proves the CMap
+    * parse, the Tf-tracked 2-byte decode, and the deferred-content
+    * ordering all compose.
+    */
+  def toPdfsCid(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, "doc", "pdf", buildPdfCid(s"Doc $id|", text, flate = id % 2 == 1))
+      }
+      .toDF("media_id", "kind", "format", "data")
+  }
+
   private def buildPdfImpl(title: String, text: String, mode: String,
       img: Option[PdfImage]): Array[Byte] = {
     val paint =
@@ -1171,7 +1412,7 @@ object Pdf {
       n_flate: Int, n_raw: Int, n_skipped: Int, n_shows: Int, text: String,
       n_ascii: Int, n_images: Int, n_image_skipped: Int, img_px: Long,
       img_mean_sum: Double, n_objstm: Int, n_objstm_objs: Int, n_pages: Int,
-      n_xref_offsets: Int, n_xref_compressed: Int)
+      n_xref_offsets: Int, n_xref_compressed: Int, n_cmaps: Int)
 
   /** Per-record extraction over the opaque media table — one linear
     * parse per record behind the mapPartitions boundary, error rows
@@ -1187,10 +1428,11 @@ object Pdf {
             PdfRow(m.media_id, ok = true, "", x.nStreams, x.nFlate, x.nRaw,
               x.nSkipped, x.nShows, x.text, x.nAscii, x.nImages,
               x.nImageSkipped, x.imgPx, x.imgMeanSum, x.nObjStm,
-              x.nObjStmObjs, x.nPages, x.nXrefOffsets, x.nXrefCompressed)
+              x.nObjStmObjs, x.nPages, x.nXrefOffsets, x.nXrefCompressed,
+              x.nCmaps)
           case Left(e) =>
             PdfRow(m.media_id, ok = false, e, 0, 0, 0, 0, 0, "", 0, 0, 0, 0L,
-              0.0, 0, 0, 0, 0, 0)
+              0.0, 0, 0, 0, 0, 0, 0)
         }
       }
     }
