@@ -76,6 +76,71 @@ object Quality {
     * 100 TB this is a map-only pass that pipelines into whatever scan
     * feeds it.
     */
+  /** Gopher-style rule filtering (Rae et al. 2021 §A1.1 adapted to
+    * exact integer arithmetic): the NAMED heuristic gate battery a
+    * production pre-train pipeline runs before any learned filter —
+    * each rule's measurement AND verdict surface per doc, so
+    * threshold tuning reads one table. Ratios are mille-scaled with
+    * truncating division (the DuckDB `//` convention, q238):
+    *  - R1 word count >= minWords
+    *  - R2 mean word length in [mwlLoMilli, mwlHiMilli]
+    *  - R3 at least minStopHits occurrences of the tiny stopword set
+    *    (the "contains common words" rule)
+    *  - R4 most-common-word mass <= topFracMilli (template/boilerplate
+    *    catcher)
+    *  - R5 distinct-word fraction >= distinctFracMilli (repetition
+    *    catcher, the doc-level twin of q65's n-gram signals)
+    *
+    * Map-only: every measurement is a higher-order array expression
+    * over the doc's own token array (the most-common-word pass is
+    * O(tokens x distinct) INSIDE one row — no explode, no shuffle; a
+    * doc is KB-scale by upstream contract), so the gate composes into
+    * curation chains without a join back.
+    */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 30,
+      mwlLoMilli: Int = 3200,
+      mwlHiMilli: Int = 4300,
+      minStopHits: Int = 2,
+      topFracMilli: Int = 200,
+      distinctFracMilli: Int = 400): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val stopSet = typedLit(Seq("the", "a", "of", "and", "to", "in"))
+    val wc = size(col("toks")).cast("long")
+    val charSum = aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
+    val topCnt = array_max(transform(array_distinct(col("toks")),
+      w => size(filter(col("toks"), t => t === w))))
+    // integer (not double) division: Column./ widens to double, so the
+    // mille ratios ride SQL's `div` (exact, truncating — DuckDB's //)
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        wc.as("wc"),
+        (charSum * 1000L).as("chs_k"),
+        size(filter(col("toks"), t => array_contains(stopSet, t)))
+          .cast("long").as("stop_hits"),
+        (topCnt.cast("long") * 1000L).as("top_k"),
+        (size(array_distinct(col("toks"))).cast("long") * 1000L).as("dw_k"))
+      .withColumn("mwl_milli", expr("chs_k div wc"))
+      .withColumn("top_frac_milli", expr("top_k div wc"))
+      .withColumn("distinct_frac_milli", expr("dw_k div wc"))
+      .drop("chs_k", "top_k", "dw_k")
+      .select(col(idCol), col("wc"), col("mwl_milli"), col("stop_hits"),
+        col("top_frac_milli"), col("distinct_frac_milli"))
+      .withColumn("r1_wc", col("wc") >= minWords)
+      .withColumn("r2_mwl",
+        col("mwl_milli") >= mwlLoMilli && col("mwl_milli") <= mwlHiMilli)
+      .withColumn("r3_stop", col("stop_hits") >= minStopHits)
+      .withColumn("r4_top", col("top_frac_milli") <= topFracMilli)
+      .withColumn("r5_distinct", col("distinct_frac_milli") >= distinctFracMilli)
+      .withColumn("keep",
+        col("r1_wc") && col("r2_mwl") && col("r3_stop") &&
+          col("r4_top") && col("r5_distinct"))
+  }
+
   def piiRedact(df: DataFrame, textCol: String): DataFrame =
     // patterns passed as VALUES (lit), never through SQL text — a
     // single-quoted SQL literal would eat regex escapes (\b -> 0x08)

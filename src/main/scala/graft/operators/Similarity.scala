@@ -154,10 +154,48 @@ object Similarity {
         round(aggregate(col("errs"), lit(0d), (a, x) => a + x), 9).as("err"))
   }
 
-  /** Per-dimension [min, max] calibration — the d-row bounded collect
-    * [[scalarQuantize]]/[[sq8TopK]] share.
+  /** Quantize with a FROZEN calibration (the DSIR frozen-model
+    * discipline applied to SQ8): incoming batches encode against the
+    * published per-dimension [min, max] without touching corpus
+    * statistics — out-of-range components CLAMP to the edge buckets
+    * (0 / 255) and are counted per vector (`n_clipped`, the drift
+    * signal that tells an index owner when to re-calibrate). This is
+    * the O(delta) append path of a production SQ8 index: calibrate
+    * once at publish, quantize every batch after against the frozen
+    * table. Map-only against two broadcast literal arrays.
     */
-  private def sq8Calibrate(emb: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+  def scalarQuantizeFrozen(
+      emb: DataFrame, idCol: String, vecCol: String,
+      mnsS: Seq[Double], mxsS: Seq[Double]): DataFrame = {
+    require(mnsS.nonEmpty && mnsS.length == mxsS.length,
+      s"scalarQuantizeFrozen: ragged calibration (${mnsS.length} vs ${mxsS.length})")
+    val mns = typedLit(mnsS)
+    val mxs = typedLit(mxsS)
+    emb.select(col(idCol), asDoubleVec(col(vecCol)).as("v"))
+      .withColumn("codes", transform(col("v"), (x, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        when(mx === mn, lit(0))
+          .when(x < mn, lit(0)) // lo clip
+          .when(x >= mx, lit(255)) // hi edge (and hi clip beyond)
+          .otherwise(floor((x - mn) * lit(255) / (mx - mn)).cast("int"))
+      }))
+      .withColumn("n_clipped", // components outside the frozen range (x == mx is in-range)
+        aggregate(
+          zip_with(col("v"), sequence(lit(1), size(col("v"))), (x, i) =>
+            when(x < element_at(mns, i) || x > element_at(mxs, i), 1L).otherwise(0L)),
+          lit(0L), (a, x) => a + x))
+      .select(col(idCol), col("codes"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        col("n_clipped"))
+  }
+
+  /** Per-dimension [min, max] calibration — the d-row bounded collect
+    * [[scalarQuantize]]/[[sq8TopK]]/the frozen-increment query share.
+    */
+  def sq8Calibrate(emb: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
     val cal = emb
       .select(posexplode(asDoubleVec(col(vecCol))).as(Seq("pos", "val")))
       .groupBy(col("pos"))

@@ -473,6 +473,57 @@ object CorpusOps {
        |ORDER BY s.query_id, s.rank""".stripMargin
   }
 
+  // --------------------------------------------------------------- q245
+  /** SQ8 frozen-calibration increment
+    * (Similarity.scalarQuantizeFrozen) — the O(delta) append path of
+    * a production SQ8 index and the DSIR frozen-model discipline
+    * applied to quantization: day 1 (even vec_ids) publishes the
+    * per-dimension calibration; day 2 (odd) encodes against it
+    * WITHOUT touching corpus statistics, out-of-range components
+    * clamping to the edge buckets and counted per vector (n_clipped,
+    * the re-calibrate drift signal). The oracle freezes the same
+    * day-1 table and replays every clamp.
+    */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val (mns, mxs) = Similarity.sq8Calibrate(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0), "embedding")
+    Similarity.scalarQuantizeFrozen(
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", "embedding", mns, mxs)
+      .select(col("vec_id"), col("code_sum"), col("code_min"),
+        col("code_max"), col("n_clipped"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q245Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |calrows AS (
+      |  SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+      |    SELECT unnest(range(1, len(v)+1)) AS pos, unnest(v) AS val
+      |    FROM e WHERE vec_id % 2 = 0)
+      |  GROUP BY pos),
+      |cal AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM calrows),
+      |c AS (
+      |  SELECT vec_id, v, mns, mxs,
+      |    list_transform(range(1, len(v)+1), i ->
+      |      CASE WHEN mxs[CAST(i AS INTEGER)] = mns[CAST(i AS INTEGER)] THEN 0
+      |           WHEN v[CAST(i AS INTEGER)] < mns[CAST(i AS INTEGER)] THEN 0
+      |           WHEN v[CAST(i AS INTEGER)] >= mxs[CAST(i AS INTEGER)] THEN 255
+      |           ELSE CAST(floor((v[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)]) * 255
+      |                     / (mxs[CAST(i AS INTEGER)] - mns[CAST(i AS INTEGER)])) AS INTEGER)
+      |      END) AS cds
+      |  FROM e, cal WHERE vec_id % 2 = 1)
+      |SELECT vec_id,
+      |  CAST(list_sum(cds) AS BIGINT) AS code_sum,
+      |  CAST(list_min(cds) AS INTEGER) AS code_min,
+      |  CAST(list_max(cds) AS INTEGER) AS code_max,
+      |  CAST(list_sum(list_transform(range(1, len(v)+1), i ->
+      |    CASE WHEN v[CAST(i AS INTEGER)] < mns[CAST(i AS INTEGER)]
+      |           OR v[CAST(i AS INTEGER)] > mxs[CAST(i AS INTEGER)] THEN 1 ELSE 0 END))
+      |    AS BIGINT) AS n_clipped
+      |FROM c
+      |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- q33
   /** Sign-LSH bucketed ANN: 6-bit bucket from component signs, top-3
     * within bucket for query vectors vec_id < 50.
@@ -3486,7 +3537,8 @@ object CorpusOps {
     "q32_cosine_topk" -> (q32 _),
     "q33_ann_lsh" -> (q33 _),
     "q241_int8_quant" -> (q241 _),
-    "q242_sq8_ann" -> (q242 _))
+    "q242_sq8_ann" -> (q242 _),
+    "q245_sq8_frozen" -> (q245 _))
 
   val oracle: Map[String, String] = Map(
     "q173_ann_delete" -> q173Sql,
@@ -3558,5 +3610,6 @@ object CorpusOps {
     "q32_cosine_topk" -> q32Sql,
     "q33_ann_lsh" -> q33Sql,
     "q241_int8_quant" -> q241Sql,
-    "q242_sq8_ann" -> q242Sql)
+    "q242_sq8_ann" -> q242Sql,
+    "q245_sq8_frozen" -> q245Sql)
 }

@@ -143,6 +143,45 @@ object TextAnalytics {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------------------------- q246
+  /** Gopher-style heuristic rule battery (Quality.gopherRules — Rae
+    * et al. 2021 §A1.1 adapted to exact integer arithmetic): the
+    * named gate set a pre-train pipeline runs before any learned
+    * filter, each rule's MEASUREMENT and verdict surfaced per doc
+    * (word count, mille-scaled mean word length, stopword hits,
+    * most-common-word mass, distinct fraction). All map-only
+    * higher-order array expressions; the oracle recomputes every
+    * measurement and every verdict.
+    */
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quality.gopherRules(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q246Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS wc,
+       |    list_sum(list_transform(toks, t -> length(t))) AS chs,
+       |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) AS stop_hits,
+       |    list_max(list_transform(list_distinct(toks),
+       |      w -> len(list_filter(toks, t -> t = w)))) AS topc,
+       |    len(list_distinct(toks)) AS dw
+       |  FROM tk WHERE len(toks) > 0)
+       |SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+       |  CAST(chs*1000 // wc AS BIGINT) AS mwl_milli,
+       |  CAST(stop_hits AS BIGINT) AS stop_hits,
+       |  CAST(topc*1000 // wc AS BIGINT) AS top_frac_milli,
+       |  CAST(dw*1000 // wc AS BIGINT) AS distinct_frac_milli,
+       |  wc >= 30 AS r1_wc,
+       |  chs*1000 // wc BETWEEN 3200 AND 4300 AS r2_mwl,
+       |  stop_hits >= 2 AS r3_stop,
+       |  topc*1000 // wc <= 200 AS r4_top,
+       |  dw*1000 // wc >= 400 AS r5_distinct,
+       |  (wc >= 30 AND chs*1000 // wc BETWEEN 3200 AND 4300 AND stop_hits >= 2
+       |    AND topc*1000 // wc <= 200 AND dw*1000 // wc >= 400) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q223
   /** RAG sliding-window chunking (Retrieval.chunkSliding): 32-token
     * windows every 24 tokens — consecutive chunks share 8 tokens of
@@ -2538,6 +2577,7 @@ object TextAnalytics {
     "q199_more_like_this" -> (q199 _),
     "q217_langid_model" -> (q217 _),
     "q238_quality_model" -> (q238 _),
+    "q246_gopher_rules" -> (q246 _),
     "q223_chunk_sliding" -> (q223 _),
     "q143_bm25_search" -> (q143 _),
     "q148_postings_append" -> (q148 _),
@@ -2595,6 +2635,7 @@ object TextAnalytics {
     "q199_more_like_this" -> q199Sql,
     "q217_langid_model" -> q217Sql,
     "q238_quality_model" -> q238Sql,
+    "q246_gopher_rules" -> q246Sql,
     "q223_chunk_sliding" -> q223Sql,
     "q143_bm25_search" -> q143Sql,
     "q148_postings_append" -> q143Sql,
