@@ -72,4 +72,80 @@ object Packing {
       }
       .toDF("doc_id", "n_tok", "bin_id", "bin_pos", "bin_fill", "overflow")
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+    * denoising-objective example constructor: masked spans are
+    * replaced by incrementing sentinels in the INPUT, and the TARGET
+    * is the sentinel-prefixed concatenation of the masked spans. The
+    * span placement here is a DETERMINISTIC stand-in for the seeded
+    * RNG a trainer injects (position p masks iff
+    * (doc_id + p) mod 7 < 3 — 3-token spans at ~43% density, merged
+    * runs impossible by period): the CONSTRUCTION — span grouping,
+    * sentinel numbering, input/target assembly — is the operator; the
+    * q247 oracle replays every step. Map-only (higher-order array
+    * expressions over each doc's own token array), no shuffle, no UDF.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      // 0-based positions where a masked span STARTS (mod == 0; the
+      // rule masks mods 0,1,2, so starts are exactly the mod-0 hits)
+      .withColumn("starts",
+        filter(sequence(lit(0), col("n") - 1),
+          p => pmod(col(idCol) + p, lit(7)) === 0))
+      .withColumn("input_text",
+        array_join(
+          filter(
+            transform(sequence(lit(0), col("n") - 1), p => {
+              val m = pmod(col(idCol) + p, lit(7))
+              when(m === 0,
+                concat(lit("<extra_id_"),
+                  (size(filter(col("starts"), x => x <= p)) - 1).cast("string"),
+                  lit(">")))
+                .when(m < 3, lit(null).cast("string"))
+                .otherwise(element_at(col("toks"), p + 1))
+            }),
+            x => x.isNotNull),
+          " "))
+      .withColumn("target_text",
+        array_join(
+          transform(col("starts"), (s, k) =>
+            concat(lit("<extra_id_"), k.cast("string"), lit("> "),
+              array_join(
+                transform(sequence(s, least(s + 2, col("n") - 1)),
+                  p => element_at(col("toks"), p + 1)),
+                " "))),
+          " "))
+      .select(col(idCol), col("n").cast("long").as("n_tok"),
+        size(col("starts")).cast("long").as("n_spans"),
+        col("input_text"), col("target_text"))
+  }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022) — the
+    * code-model pretraining rewrite: each document splits at the
+    * n/3 and 2n/3 token boundaries (deterministic stand-ins for the
+    * sampled split points) and is re-serialized in PSM order
+    * (<PRE> prefix <SUF> suffix <MID> middle) and SPM order. Map-only.
+    */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      .withColumn("c1", expr("n div 3"))
+      .withColumn("c2", expr("(2 * n) div 3"))
+      .withColumn("pre", array_join(slice(col("toks"), lit(1), col("c1")), " "))
+      .withColumn("mid",
+        array_join(slice(col("toks"), col("c1") + 1, col("c2") - col("c1")), " "))
+      .withColumn("suf",
+        array_join(slice(col("toks"), col("c2") + 1, col("n") - col("c2")), " "))
+      .select(col(idCol),
+        col("n").cast("long").as("n_tok"),
+        concat(lit("<PRE> "), col("pre"), lit(" <SUF> "), col("suf"),
+          lit(" <MID> "), col("mid")).as("psm"),
+        concat(lit("<SUF> "), col("suf"), lit(" <PRE> "), col("pre"),
+          lit(" <MID> "), col("mid")).as("spm"))
+  }
 }

@@ -182,6 +182,67 @@ object TextAnalytics {
        |FROM m
        |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q247
+  /** T5-style span corruption (Packing.spanCorrupt): the denoising
+    * example constructor — deterministic 3-token spans replaced by
+    * incrementing sentinels, targets assembled sentinel-by-sentinel.
+    * The oracle rebuilds input AND target strings per doc; a span
+    * boundary slip, a sentinel numbering bug, or a lost merged run
+    * all hash-fail.
+    */
+  private def q247(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.spanCorrupt(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q247Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+       |st AS (
+       |  SELECT doc_id, toks, n,
+       |    list_filter(range(0, n), p -> (doc_id + p) % 7 = 0) AS starts
+       |  FROM d)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       |  CAST(len(starts) AS BIGINT) AS n_spans,
+       |  array_to_string(list_filter(list_transform(range(0, n), p ->
+       |    CASE WHEN (doc_id + p) % 7 = 0
+       |           THEN '<extra_id_' || (len(list_filter(starts, x -> x <= p)) - 1) || '>'
+       |         WHEN (doc_id + p) % 7 < 3 THEN NULL
+       |         ELSE toks[CAST(p + 1 AS INTEGER)] END),
+       |    x -> x IS NOT NULL), ' ') AS input_text,
+       |  array_to_string(list_transform(range(0, len(starts)), k ->
+       |    '<extra_id_' || k || '> ' ||
+       |    array_to_string(list_transform(
+       |      range(starts[CAST(k + 1 AS INTEGER)],
+       |            least(starts[CAST(k + 1 AS INTEGER)] + 3, n)),
+       |      p -> toks[CAST(p + 1 AS INTEGER)]), ' ')), ' ') AS target_text
+       |FROM st
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- q248
+  /** Fill-in-the-middle rewrite (Packing.fimTransform): PSM and SPM
+    * serializations at deterministic n/3, 2n/3 split points — the
+    * code-model pretraining transform. Oracle rebuilds both strings.
+    */
+  private def q248(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.fimTransform(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q248Sql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |d AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+       |c AS (SELECT doc_id, toks, n, n // 3 AS c1, (2 * n) // 3 AS c2 FROM d),
+       |p AS (
+       |  SELECT doc_id, n,
+       |    array_to_string(toks[1 : CAST(c1 AS INTEGER)], ' ') AS pre,
+       |    array_to_string(toks[CAST(c1 + 1 AS INTEGER) : CAST(c2 AS INTEGER)], ' ') AS mid,
+       |    array_to_string(toks[CAST(c2 + 1 AS INTEGER) : CAST(n AS INTEGER)], ' ') AS suf
+       |  FROM c)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       |  '<PRE> ' || pre || ' <SUF> ' || suf || ' <MID> ' || mid AS psm,
+       |  '<SUF> ' || suf || ' <PRE> ' || pre || ' <MID> ' || mid AS spm
+       |FROM p
+       |ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- q223
   /** RAG sliding-window chunking (Retrieval.chunkSliding): 32-token
     * windows every 24 tokens — consecutive chunks share 8 tokens of
@@ -2606,6 +2667,8 @@ object TextAnalytics {
     "q83_quantile_filter" -> (q83 _),
     "q87_pack_sequences" -> (q87 _),
     "q234_pack_greedy" -> (q234 _),
+    "q247_span_corrupt" -> (q247 _),
+    "q248_fim_transform" -> (q248 _),
     "q88_epoch_upsample" -> (q88 _),
     "q96_chunk_documents" -> (q96 _),
     "q98_split_assign" -> (q98 _),
@@ -2664,6 +2727,8 @@ object TextAnalytics {
     "q83_quantile_filter" -> q83Sql,
     "q87_pack_sequences" -> q87Sql,
     "q234_pack_greedy" -> q234Sql,
+    "q247_span_corrupt" -> q247Sql,
+    "q248_fim_transform" -> q248Sql,
     "q88_epoch_upsample" -> q88Sql,
     "q96_chunk_documents" -> q96Sql,
     "q98_split_assign" -> q98Sql,
