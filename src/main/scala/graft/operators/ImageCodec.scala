@@ -71,7 +71,7 @@ object ImageCodec {
       (data(0) == 'P' && (data(1) == '5' || data(1) == '6')) ||
         (data(0) == 'B' && data(1) == 'M') ||
         sniffPng(data) || JpegCodec.sniff(data) || GifCodec.sniff(data) ||
-        WebpCodec.sniff(data))
+        WebpCodec.sniff(data) || TiffCodec.sniff(data))
 
   private def sniffPng(data: Array[Byte]): Boolean = {
     if (data.length < 8) return false
@@ -89,6 +89,7 @@ object ImageCodec {
     else if (JpegCodec.sniff(data)) JpegCodec.decode(data).map(_._1)
     else if (GifCodec.sniff(data)) GifCodec.decode(data).map(_._1)
     else if (WebpCodec.sniff(data)) WebpCodec.decode(data).map(_._1)
+    else if (TiffCodec.sniff(data)) TiffCodec.decode(data).map(_._1)
     else Left("image: unrecognized magic")
 
   // ------------------------------------------------------------- PNM
@@ -197,6 +198,7 @@ object ImageCodec {
     else if (JpegCodec.sniff(data)) JpegCodec.decode(data).map(t => packAHash(t._2))
     else if (GifCodec.sniff(data)) GifCodec.decode(data).map(t => packAHash(t._2))
     else if (WebpCodec.sniff(data)) WebpCodec.decode(data).map(t => packAHash(t._2))
+    else if (TiffCodec.sniff(data)) TiffCodec.decode(data).map(t => packAHash(t._2))
     else if (data.length < 2 || data(0) != 'P' || (data(1) != '5' && data(1) != '6'))
       Left("ahash: not a PNM, PNG, JPEG or GIF payload")
     else parsePnmHeader(data).flatMap { hd =>

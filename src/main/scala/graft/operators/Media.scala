@@ -677,6 +677,39 @@ object Media {
       .toDF()
   }
 
+  /** Documents -> REAL baseline TIFF payloads: the SAME raster as
+    * [[toPpm]] (a (L%8+1) x (L%6+1) RGB image of the text bytes),
+    * re-containered by [[TiffCodec.encodeTiff]] with the compression
+    * rotating doc_id % 3 through none / LZW+Predictor-2 / PackBits,
+    * 2-row strips (multi-strip on every raster taller than 2), and
+    * the byte order alternating II/MM by doc parity. Lossless, so the
+    * q249 oracle recomputes every stat from the text (q102's rule).
+    */
+  def toTiff(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(8)) + lit(1)).cast("int"))
+      .withColumn("h", (pmod(len, lit(6)) + lit(1)).cast("int"))
+      .withColumn("npx", col("w") * col("h") * lit(3))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, px) =>
+        val (compression, predictor) = (id % 3) match {
+          case 0 => (1, 1)
+          case 1 => (5, 2)
+          case _ => (32773, 1)
+        }
+        MediaRecord(id, "image", "tiff",
+          TiffCodec.encodeTiff(px, w, h, spp = 3, compression = compression,
+            predictor = predictor, rowsPerStrip = 2, littleEndian = id % 2 == 0))
+      }
+      .toDF()
+  }
+
   /** Documents -> REAL PNG payloads, deterministically: SAME pixel
     * geometry and bytes as [[toPpm]] — a (L%8+1) x (L%6+1) RGB raster
     * of the text repeated/truncated — re-containered as a genuine

@@ -201,7 +201,10 @@ object Similarity {
       .groupBy(col("pos"))
       .agg(min(col("val")).as("mn"), max(col("val")).as("mx"))
       .collect()
-    require(cal.length >= 1 && cal.length <= 4096,
+    // empty corpus: a degenerate 1-dim table no row will ever consume
+    // (quantizing zero rows yields zero rows — the empty-input rule)
+    if (cal.isEmpty) return (Seq(0.0), Seq(0.0))
+    require(cal.length <= 4096,
       s"scalarQuantize: dimension ${cal.length} outside the bounded-collect contract")
     val byPos = cal.map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     require(byPos.size == cal.length, "scalarQuantize: ragged vector widths")

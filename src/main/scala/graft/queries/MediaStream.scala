@@ -280,6 +280,34 @@ object MediaStream {
 
   private val q233Sql = q102Sql.replace("'ppm' AS codec", "'webp' AS codec")
 
+  // --------------------------------------------------------------- q249
+  /** REAL baseline-TIFF decode, hash-gated end-to-end — the scanned-
+    * document format joins the image family: documents become genuine
+    * TIFFs (Media.toTiff — both byte orders, multi-strip, compression
+    * rotating none / LZW+Predictor2 / PackBits) carrying the exact
+    * q102 raster, and TiffCodec walks them back (IFD entries,
+    * inline-vs-offset values, strip tables, early-change LZW,
+    * horizontal-differencing inversion, PackBits runs). Lossless, so
+    * the oracle recomputes every stat from the text; a byte-order
+    * slip, a wrong strip boundary, or a predictor bug all hash-fail.
+    */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toTiff(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q249Sql = q102Sql.replace("'ppm' AS codec", "'tiff' AS codec")
+
   // --------------------------------------------------------------- q226
   /** REAL PNG decode for the OTHER crawl-common shapes — 8-bit
     * PLTE-indexed, 16-bit grayscale, Adam7-interlaced RGB, and
@@ -2973,6 +3001,7 @@ object MediaStream {
     "q227_jpeg_decode" -> (q227 _),
     "q229_jpeg_progressive" -> (q229 _),
     "q230_gif_decode" -> (q230 _),
+    "q249_tiff_decode" -> (q249 _),
     "q103_audio_decode" -> (q103 _),
     "q237_flac_decode" -> (q237 _),
     "q240_mp3_meta" -> (q240 _),
@@ -3035,6 +3064,7 @@ object MediaStream {
     "q227_jpeg_decode" -> q227Sql,
     "q229_jpeg_progressive" -> q229Sql,
     "q230_gif_decode" -> q230Sql,
+    "q249_tiff_decode" -> q249Sql,
     "q103_audio_decode" -> q103Sql,
     "q237_flac_decode" -> q237Sql,
     "q240_mp3_meta" -> q240Sql,

@@ -598,7 +598,7 @@ object Pdf {
     * beyond the table (other than the next-to-assign KwKwK case) is
     * malformed → None.
     */
-  private[sources] def lzwDecode(d: Array[Byte]): Option[Array[Byte]] = {
+  private[graft] def lzwDecode(d: Array[Byte]): Option[Array[Byte]] = {
     val out = new java.io.ByteArrayOutputStream(d.length * 3 + 16)
     val table = new Array[Array[Byte]](4096)
     var nextCode = 258
@@ -1096,7 +1096,7 @@ object Pdf {
     * boundary and across mid-stream table resets — the exact class of
     * off-by-one the early-change variant is notorious for.
     */
-  private[sources] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+  private[graft] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(raw.length + 16)
     var acc = 0L
     var nbits = 0
