@@ -1010,6 +1010,44 @@ object MediaStream {
       |FROM documents WHERE length(text) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------------------- q250
+  /** Avro object-container ingest, hash-gated end-to-end: documents
+    * become genuine multi-block Avro files (sources.Avro.toAvro —
+    * metadata map, sync markers, one record per block, odd docs
+    * raw-deflate) and the reader walks them back: varint/zigzag
+    * decode, schema-ordered field decode, per-block sync
+    * verification, codec routing. Every field is a pure function of
+    * (doc_id, text) — the oracle re-derives the whole record stream
+    * with substring arithmetic; a zigzag slip, a block mis-frame, or
+    * a schema field-order bug all hash-fail.
+    */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Avro.toAvro(t(s, dir, "documents"))
+      .as[Media.MediaRecord]
+    graft.sources.Avro.listRecords(media)
+      .filter(col("err").isNull)
+      .select(col("media_id"), col("schema_name"), col("codec"),
+        col("n_blocks"), col("n_records"), col("rec_idx"),
+        col("id"), col("seq"), col("part"))
+      .orderBy(col("media_id"), col("rec_idx"))
+  }
+
+  private val q250Sql =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len
+      |           FROM documents WHERE length(text) > 0),
+      |k AS (SELECT doc_id, text, len, len % 4 + 1 AS k,
+      |        (len + (len % 4 + 1) - 1) // (len % 4 + 1) AS c FROM d),
+      |r AS (SELECT doc_id, k, c, text, unnest(range(0, k)) AS i FROM k)
+      |SELECT doc_id AS media_id, 'doc_part' AS schema_name,
+      |  CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec,
+      |  CAST(k AS INTEGER) AS n_blocks, CAST(k AS BIGINT) AS n_records,
+      |  CAST(i AS INTEGER) AS rec_idx,
+      |  CAST(doc_id AS VARCHAR) AS id, CAST(i AS VARCHAR) AS seq,
+      |  substring(text, CAST(i*c + 1 AS INTEGER), CAST(c AS INTEGER)) AS part
+      |FROM r
+      |ORDER BY media_id, rec_idx""".stripMargin
+
   // --------------------------------------------------------------- q244
   /** Composite-font PDF text extraction (/Type0 /Identity-H +
     * /ToUnicode CMap — how real-crawl PDFs actually encode text):
@@ -2990,6 +3028,7 @@ object MediaStream {
     "q220_pdf_extract" -> (q220 _),
     "q231_pdf_images" -> (q231 _),
     "q244_pdf_cid_text" -> (q244 _),
+    "q250_avro_ingest" -> (q250 _),
     "q221_mixed_crawl_extract" -> (q221 _),
     "q123_image_dedup_apply" -> (q123 _),
     "q129_audio_near_dup" -> (q129 _),
@@ -3053,6 +3092,7 @@ object MediaStream {
     "q220_pdf_extract" -> q220Sql,
     "q231_pdf_images" -> q231Sql,
     "q244_pdf_cid_text" -> q244Sql,
+    "q250_avro_ingest" -> q250Sql,
     "q221_mixed_crawl_extract" -> q221Sql,
     "q123_image_dedup_apply" -> q123Sql,
     "q129_audio_near_dup" -> q129Sql,
