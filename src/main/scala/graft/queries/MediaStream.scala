@@ -859,7 +859,7 @@ object MediaStream {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(12)) === k)
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(15)) === k)
     val mixed = Media.toPpm(bucket(0))
       .union(Media.toPng(bucket(1)))
       .union(Media.toWav(bucket(2)))
@@ -873,11 +873,16 @@ object MediaStream {
       .union(graft.sources.Pdf.toPdfsWithImages(bucket(7)))
       .union(Media.toWebp(bucket(8)))
       // r18 continuation: the census grows the lossless-audio,
-      // archive, and lossy-audio-container families (bucket 10's ids
-      // are ≡ 10 mod 12 — even — so toArchives emits ZIPs there)
+      // archive, lossy-audio-container, scanned-image, Ogg, and Avro
+      // families — 15 buckets, every decoder in ONE pass (bucket 10
+      // mixes zip/tar by doc parity, 13 opus/vorbis, 14 both Avro
+      // codecs — the format column separates them)
       .union(Media.toFlac(bucket(9)))
       .union(graft.sources.Archive.toArchives(bucket(10)))
       .union(Media.toMp3(bucket(11)))
+      .union(Media.toTiff(bucket(12)))
+      .union(Media.toOgg(bucket(13)))
+      .union(graft.sources.Avro.toAvro(bucket(14)))
       .as[Media.MediaRecord]
 
     // ONE pass: each record meets all typed decoders AND the pdf /
@@ -895,18 +900,26 @@ object MediaStream {
         graft.sources.Pdf.extractText(m.data).toOption else None
       val mp3 = if (graft.operators.Mp3Meta.sniff(m.data))
         graft.operators.Mp3Meta.decode(m.data).toOption else None
-      val arc = if (graft.sources.Archive.sniffZip(m.data))
-        graft.sources.Archive.readZip(m.data).toOption else None
+      val ogg = if (graft.operators.OggMeta.sniff(m.data))
+        graft.operators.OggMeta.decode(m.data).toOption else None
+      val arc: Option[Long] = // containers: entry/record counts
+        if (graft.sources.Archive.sniffZip(m.data))
+          graft.sources.Archive.readZip(m.data).toOption.map(_.size.toLong)
+        else if (graft.sources.Archive.sniffTar(m.data))
+          graft.sources.Archive.readTar(m.data).toOption.map(_.size.toLong)
+        else if (graft.sources.Avro.sniff(m.data))
+          graft.sources.Avro.read(m.data).toOption.map(_.nRecords)
+        else None
       (m.format,
-        img.isDefined, aud.isDefined || mp3.isDefined, vid.isDefined,
-        pdf.isDefined, arc.isDefined,
+        img.isDefined, aud.isDefined || mp3.isDefined || ogg.isDefined,
+        vid.isDefined, pdf.isDefined, arc.isDefined,
         img.isEmpty && aud.isEmpty && vid.isEmpty && pdf.isEmpty &&
-          mp3.isEmpty && arc.isEmpty,
+          mp3.isEmpty && ogg.isEmpty && arc.isEmpty,
         img.map(_.nPixels).getOrElse(0L) + pdf.map(_.imgPx).getOrElse(0L),
         aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L) +
-          mp3.map(_.durationMs).getOrElse(0L),
+          mp3.map(_.durationMs).getOrElse(0L) + ogg.map(_.durationMs).getOrElse(0L),
         img.map(_.orientation.toLong).getOrElse(0L),
-        arc.map(_.size.toLong).getOrElse(0L))
+        arc.getOrElse(0L))
     }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "r_ok", "is_err",
       "px", "ms", "ori", "ents")
     per.groupBy(col("format"))
@@ -929,13 +942,13 @@ object MediaStream {
 
   private val q219Sql =
     """SELECT format, count(*) AS n_rows,
-      |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6, 8) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
-      |  CAST(sum(CASE WHEN b IN (2, 9, 11) THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
+      |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6, 8, 12) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
+      |  CAST(sum(CASE WHEN b IN (2, 9, 11, 13) THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
       |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
       |  CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS pdf_ok,
-      |  CAST(sum(CASE WHEN b = 10 THEN 1 ELSE 0 END) AS BIGINT) AS arc_ok,
+      |  CAST(sum(CASE WHEN b IN (10, 14) THEN 1 ELSE 0 END) AS BIGINT) AS arc_ok,
       |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
-      |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8)
+      |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8, 12)
       |    THEN (len % 8 + 1) * (len % 6 + 1)
       |    WHEN b = 5 THEN (CASE WHEN doc_id % 2 = 0 THEN 64 ELSE 256 END)
       |      * (len % 3 + 1) * (len % 2 + 1)
@@ -947,15 +960,21 @@ object MediaStream {
       |    WHEN b = 3 THEN (len % 3 + 1) * 40
       |    WHEN b = 11 THEN ((len % 7 + 1) * 1152 * 1000)
       |      // ([44100,48000,32000][CAST(doc_id % 3 AS INTEGER) + 1])
+      |    WHEN b = 13 THEN (CASE WHEN doc_id % 2 = 0 THEN len
+      |      ELSE (len * 3 * 1000) // (len % 4000 + 4000) END)
       |    ELSE 0 END) AS BIGINT) AS dur_ms_sum,
-      |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8) THEN 1
+      |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8, 12) THEN 1
       |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum,
-      |  CAST(sum(CASE WHEN b = 10 THEN 2 ELSE 0 END) AS BIGINT) AS ent_sum
-      |FROM (SELECT doc_id, doc_id % 12 AS b,
-      |        CASE doc_id % 12 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |  CAST(sum(CASE WHEN b = 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
+      |    WHEN b = 14 THEN len % 4 + 1 ELSE 0 END) AS BIGINT) AS ent_sum
+      |FROM (SELECT doc_id, doc_id % 15 AS b,
+      |        CASE doc_id % 15 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
       |          WHEN 6 THEN 'gif' WHEN 7 THEN 'pdf' WHEN 8 THEN 'webp'
-      |          WHEN 9 THEN 'flac' WHEN 10 THEN 'zip' WHEN 11 THEN 'mp3'
+      |          WHEN 9 THEN 'flac' WHEN 11 THEN 'mp3' WHEN 12 THEN 'tiff'
+      |          WHEN 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END)
+      |          WHEN 13 THEN (CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END)
+      |          WHEN 14 THEN 'avro'
       |          ELSE 'bin' END AS format,
       |        length(text) AS len
       |      FROM documents WHERE length(text) > 0)
