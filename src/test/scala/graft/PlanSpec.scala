@@ -776,6 +776,36 @@ class PlanSpec extends SparkSpec {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(raw).size === 1, "more than one scan")
   }
 
+  test("q249 tiff / q240 mp3 / q243 ogg / q250 avro: codec passes are map-only before the sink sort") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plans = Seq(
+      "tiff" -> graft.operators.Media.decodeImages(
+        graft.operators.Media.toTiff(docs).as[graft.operators.Media.MediaRecord]).toDF(),
+      "mp3" -> graft.operators.Media.decodeMp3Meta(
+        graft.operators.Media.toMp3(docs).as[graft.operators.Media.MediaRecord]).toDF(),
+      "ogg" -> graft.operators.Media.decodeOggMeta(
+        graft.operators.Media.toOgg(docs).as[graft.operators.Media.MediaRecord]).toDF(),
+      "avro" -> graft.sources.Avro.listRecords(
+        graft.sources.Avro.toAvro(docs).as[graft.operators.Media.MediaRecord]))
+    for ((name, df) <- plans) {
+      val raw = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!raw.contains("Exchange"), s"$name encode+decode shuffled — must be map-only")
+      assert("\\(\\d+\\) Scan parquet".r.findAllIn(raw).size === 1, s"$name: more than one scan")
+    }
+  }
+
+  test("q241 SQ8: quantization is map-only against broadcast calibration (one scan)") {
+    val raw = graft.operators.Similarity.scalarQuantize(
+        spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // calibration already collected (a d-row literal); the remaining
+    // plan must be a single map-only scan
+    assert(!raw.contains("Exchange"), "SQ8 quantization shuffled — must be map-only")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(raw).size === 1, "more than one scan")
+  }
+
   test("q231 pdf images: build+extract is map-only before the sink sort") {
     val media = {
       val s = spark
