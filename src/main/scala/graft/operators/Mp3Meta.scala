@@ -87,6 +87,12 @@ object Mp3Meta {
           else ((d(p + 4) & 0xff) << 24) | ((d(p + 5) & 0xff) << 16) |
             ((d(p + 6) & 0xff) << 8) | (d(p + 7) & 0xff)
         val body = p + 10
+        // v2.3 sizes are plain 32-bit: a malformed tag with the top bit
+        // set reads NEGATIVE, and `p = body + fSize` would then stall
+        // (fSize = -10) or walk backward — an infinite loop on the
+        // executor instead of a Left. Reject; every surviving iteration
+        // advances p by at least the 10-byte header.
+        if (fSize < 0) return Left(s"mp3: ID3v2 frame $id has negative size $fSize")
         if (body + fSize > tagEnd) return Left(s"mp3: ID3v2 frame $id runs past the tag")
         if ((id == "TIT2" || id == "TPE1") && fSize >= 1) {
           val text = decodeText(d, body, fSize)

@@ -82,7 +82,13 @@ object Packing {
     * (doc_id + p) mod 7 < 3 — 3-token spans at ~43% density, merged
     * runs impossible by period): the CONSTRUCTION — span grouping,
     * sentinel numbering, input/target assembly — is the operator; the
-    * q247 oracle replays every step. Map-only (higher-order array
+    * q247 oracle replays every step. A span START is a masked
+    * position whose predecessor is unmasked: the mod-0 hits, PLUS
+    * position 0 when the document head lands mid-run (doc_id mod 7
+    * in {1,2}) — that head span is CLIPPED to the 3 - mod tokens the
+    * rule actually masks, so no masked token is ever dropped without
+    * a sentinel (T5's invariant: input sentinels and target spans
+    * partition the masked set). Map-only (higher-order array
     * expressions over each doc's own token array), no shuffle, no UDF.
     */
   def spanCorrupt(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -90,17 +96,20 @@ object Packing {
     docs.select(col(idCol), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("n", size(col("toks")))
-      // 0-based positions where a masked span STARTS (mod == 0; the
-      // rule masks mods 0,1,2, so starts are exactly the mod-0 hits)
+      // 0-based positions where a masked span STARTS: masked (mod < 3)
+      // with an unmasked predecessor — mod-0 hits, plus a clipped head
+      // span when position 0 itself lands mid-run (mod 1 or 2)
       .withColumn("starts",
-        filter(sequence(lit(0), col("n") - 1),
-          p => pmod(col(idCol) + p, lit(7)) === 0))
+        filter(sequence(lit(0), col("n") - 1), p => {
+          val m = pmod(col(idCol) + p, lit(7))
+          m === 0 || (p === 0 && m < 3)
+        }))
       .withColumn("input_text",
         array_join(
           filter(
             transform(sequence(lit(0), col("n") - 1), p => {
               val m = pmod(col(idCol) + p, lit(7))
-              when(m === 0,
+              when(m === 0 || (p === 0 && m < 3),
                 concat(lit("<extra_id_"),
                   (size(filter(col("starts"), x => x <= p)) - 1).cast("string"),
                   lit(">")))
@@ -109,12 +118,19 @@ object Packing {
             }),
             x => x.isNotNull),
           " "))
+      // each span covers 3 - mod(start) tokens (3 for a mod-0 start;
+      // 2 or 1 for the clipped head), clipped to the document end
       .withColumn("target_text",
         array_join(
           transform(col("starts"), (s, k) =>
             concat(lit("<extra_id_"), k.cast("string"), lit("> "),
               array_join(
-                transform(sequence(s, least(s + 2, col("n") - 1)),
+                transform(
+                  // cast back to int: pmod against the bigint id col
+                  // widens the bound, and element_at needs an INT index
+                  sequence(s,
+                    least(s + lit(2) - pmod(col(idCol) + s, lit(7)),
+                      col("n") - 1).cast("int")),
                   p => element_at(col("toks"), p + 1)),
                 " "))),
           " "))

@@ -108,6 +108,10 @@ object TiffCodec {
     if (predictor != 1 && predictor != 2)
       return Left(s"tiff: predictor $predictor out of scope")
     val rowsPerStrip = math.min(one(278, h.toLong), h.toLong).toInt
+    // RowsPerStrip = 0 (or a negative LONG read as Int) would divide by
+    // zero below — ArithmeticException is not in decode()'s catch list,
+    // so it must be a Left here, not a throw
+    if (rowsPerStrip <= 0) return Left(s"tiff: RowsPerStrip $rowsPerStrip out of range")
     val offsets = vals(273).getOrElse(throw Abort("tiff: no StripOffsets"))
     val counts = vals(279).getOrElse(throw Abort("tiff: no StripByteCounts"))
     if (offsets.length != counts.length) return Left("tiff: ragged strip tables")

@@ -186,9 +186,12 @@ object TextAnalytics {
   /** T5-style span corruption (Packing.spanCorrupt): the denoising
     * example constructor — deterministic 3-token spans replaced by
     * incrementing sentinels, targets assembled sentinel-by-sentinel.
-    * The oracle rebuilds input AND target strings per doc; a span
-    * boundary slip, a sentinel numbering bug, or a lost merged run
-    * all hash-fail.
+    * A head that lands mid-run (doc_id mod 7 in {1,2}) is a CLIPPED
+    * span start — sentinel_0 with 3 - mod tokens — so no masked token
+    * is dropped without a sentinel (r18 ADVICE). The oracle rebuilds
+    * input AND target strings per doc, including the clipped-head
+    * rule; a span boundary slip, a sentinel numbering bug, or a lost
+    * merged run all hash-fail.
     */
   private def q247(s: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.spanCorrupt(t(s, dir, "documents"), "doc_id", "text")
@@ -199,12 +202,13 @@ object TextAnalytics {
        |d AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
        |st AS (
        |  SELECT doc_id, toks, n,
-       |    list_filter(range(0, n), p -> (doc_id + p) % 7 = 0) AS starts
+       |    list_filter(range(0, n), p -> (doc_id + p) % 7 = 0
+       |      OR (p = 0 AND (doc_id + p) % 7 < 3)) AS starts
        |  FROM d)
        |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
        |  CAST(len(starts) AS BIGINT) AS n_spans,
        |  array_to_string(list_filter(list_transform(range(0, n), p ->
-       |    CASE WHEN (doc_id + p) % 7 = 0
+       |    CASE WHEN (doc_id + p) % 7 = 0 OR (p = 0 AND (doc_id + p) % 7 < 3)
        |           THEN '<extra_id_' || (len(list_filter(starts, x -> x <= p)) - 1) || '>'
        |         WHEN (doc_id + p) % 7 < 3 THEN NULL
        |         ELSE toks[CAST(p + 1 AS INTEGER)] END),
@@ -213,7 +217,8 @@ object TextAnalytics {
        |    '<extra_id_' || k || '> ' ||
        |    array_to_string(list_transform(
        |      range(starts[CAST(k + 1 AS INTEGER)],
-       |            least(starts[CAST(k + 1 AS INTEGER)] + 3, n)),
+       |            least(starts[CAST(k + 1 AS INTEGER)] + 3
+       |                    - (doc_id + starts[CAST(k + 1 AS INTEGER)]) % 7, n)),
        |      p -> toks[CAST(p + 1 AS INTEGER)]), ' ')), ' ') AS target_text
        |FROM st
        |ORDER BY doc_id""".stripMargin

@@ -77,6 +77,10 @@ object Avro {
       (acc >>> 1) ^ -(acc & 1L)
     }
     def bytes(n: Int): Array[Byte] = {
+      // a negative zigzag length (-1 encodes as varint 1) passes the
+      // pos + n > d.length bound and copyOfRange then throws
+      // IllegalArgumentException, which read() does not catch
+      if (n < 0) throw Abort(s"avro: negative length $n")
       if (pos + n > d.length) throw Abort("avro: truncated byte run")
       val r = java.util.Arrays.copyOfRange(d, pos, pos + n)
       pos += n

@@ -50,6 +50,8 @@ class ExampleConstructorsSpec extends SparkSpec {
     // doc_id 0: starts at p=0, 7, 14, ... masks p in {0,1,2, 7,8,9, ...}
     val docs = Seq(
       (0L, "a b c d e f g h i j"), // n=10: starts {0, 7}; masks 0-2, 7-9
+      (1L, "a b c d e f g h"), // head lands mid-run at mod 1: clipped 2-token head span
+      (2L, "a b c"), // head at mod 2: clipped 1-token head span
       (3L, "x y z"), // (3+p)%7<3 for p=4..6 (absent): no low mods? p=0:3,1:4,2:5 -> no spans
       (5L, "s t u")) // (5+p)%7: p=2 -> 0: start at 2, span clipped at n
       .toDF("doc_id", "text")
@@ -59,6 +61,14 @@ class ExampleConstructorsSpec extends SparkSpec {
     assert(got(0L)._2 === 2L)
     assert(got(0L)._3 === "<extra_id_0> d e f g <extra_id_1>")
     assert(got(0L)._4 === "<extra_id_0> a b c <extra_id_1> h i j")
+    // r18-ADVICE clipped-head rule: doc 1 masks p0,p1 (mods 1,2) with no
+    // preceding mod-0 start — they must surface as sentinel_0, not vanish
+    assert(got(1L)._2 === 2L)
+    assert(got(1L)._3 === "<extra_id_0> c d e f <extra_id_1>")
+    assert(got(1L)._4 === "<extra_id_0> a b <extra_id_1> g h")
+    assert(got(2L)._2 === 1L)
+    assert(got(2L)._3 === "<extra_id_0> b c")
+    assert(got(2L)._4 === "<extra_id_0> a")
     assert(got(3L)._2 === 0L)
     assert(got(3L)._3 === "x y z")
     assert(got(3L)._4 === "")

@@ -60,4 +60,15 @@ class Mp3MetaSpec extends AnyFunSuite {
     ff(p + 2) = (ff(p + 2) & 0x0f).toByte // bitrate index 0
     assert(Mp3Meta.decode(ff).left.toOption.get.contains("free-format"))
   }
+
+  test("ID3v2.3 negative frame size is a Left, not an infinite loop (r18 ADVICE)") {
+    // v2.3 frame sizes are plain 32-bit: 0xFFFFFFF6 = -10 makes
+    // p = body + fSize = p — the walk must reject, not stall
+    val d = Array[Byte](
+      'I', 'D', '3', 3, 0, 0, 0, 0, 0, 10, // header, syncsafe tagSize 10
+      'T', 'I', 'T', '2',
+      0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0xF6.toByte, // fSize = -10
+      0, 0) // frame flags
+    assert(Mp3Meta.decode(d).left.toOption.get.contains("negative"))
+  }
 }

@@ -55,9 +55,11 @@ class AvroSpec extends AnyFunSuite {
     val bad = good.clone()
     bad(good.length - 3) = (bad(good.length - 3) ^ 1).toByte
     assert(Avro.read(bad).left.toOption.get.contains("sync"))
-    // union field type: named Left
-    assert(Avro.parseSchema(
-      """{"name":"u","fields":[{"name":"x","type":["null","long"]}]}""")
-      .left.toOption.get.contains("out of scope"))
+    // a negative zigzag length (varint byte 0x01 = -1) must be a Left,
+    // not an IllegalArgumentException from copyOfRange (r18 ADVICE)
+    val neg = Avro.avroBytes(Seq((1L, 0, "x")), deflate = false, syncSeed = 3L)
+    // last 16 bytes = sync, then 'x', then its length varint
+    neg(neg.length - 18) = 0x01
+    assert(Avro.read(neg).left.toOption.get.contains("negative"))
   }
 }
