@@ -92,10 +92,13 @@ object Quality {
     *    catcher, the doc-level twin of q65's n-gram signals)
     *
     * Map-only: every measurement is a higher-order array expression
-    * over the doc's own token array (the most-common-word pass is
-    * O(tokens x distinct) INSIDE one row — no explode, no shuffle; a
-    * doc is KB-scale by upstream contract), so the gate composes into
-    * curation chains without a join back.
+    * over the doc's own token array, so the gate composes into
+    * curation chains without a join back. The most-common-word pass
+    * is a run-length fold over array_sort(toks) — O(n log n) per doc
+    * (r18 verdict: the previous array_distinct x filter form was
+    * O(distinct x n), ~10^8 expression evals on one pathological
+    * 10k-word doc at Gopher's own operating point — a per-row
+    * straggler machine at 100 TB).
     */
   def gopherRules(
       df: DataFrame,
@@ -111,8 +114,19 @@ object Quality {
     val stopSet = typedLit(Seq("the", "a", "of", "and", "to", "in"))
     val wc = size(col("toks")).cast("long")
     val charSum = aggregate(col("toks"), lit(0L), (a, t) => a + length(t))
-    val topCnt = array_max(transform(array_distinct(col("toks")),
-      w => size(filter(col("toks"), t => t === w))))
+    // longest equal-run over the SORTED tokens = max occurrence count;
+    // state: (prev word, current run, best run). Tokens are non-empty
+    // by the tokenizer contract, so "" is a safe no-previous sentinel.
+    val topCnt = aggregate(
+      array_sort(col("toks")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     // integer (not double) division: Column./ widens to double, so the
     // mille ratios ride SQL's `div` (exact, truncating — DuckDB's //)
     df.select(col(idCol), toks.as("toks"))

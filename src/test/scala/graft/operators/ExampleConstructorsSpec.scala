@@ -45,6 +45,24 @@ class ExampleConstructorsSpec extends SparkSpec {
     assert(!got(3L)._4 && !got(3L)._7, "doc 3 fails the stopword rule")
   }
 
+  test("gopherRules: a 12k-token all-distinct doc completes in bounded time") {
+    import spark.implicits._
+    // the r18-verdict pathological row: with the old O(distinct x n)
+    // top-word pass this is ~1.4e8 expression evals on ONE row; the
+    // run-length fold over array_sort makes it O(n log n)
+    val text = ("the a of " + Seq.tabulate(12000)(i => f"w$i%05d").mkString(" "))
+    val t0 = System.nanoTime()
+    val row = Quality.gopherRules(Seq((7L, text)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .select("wc", "top_frac_milli", "distinct_frac_milli")
+      .as[(Long, Long, Long)].collect().head
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(row._1 === 12003L)
+    assert(row._2 === 0L, "every word appears once: top mass 1/12003 -> 0 milli")
+    assert(row._3 === 1000L)
+    assert(sec < 60.0, s"pathological doc took $sec s — top-word pass regressed")
+  }
+
   test("spanCorrupt: hand-checked sentinels, short docs, no-span docs") {
     import spark.implicits._
     // doc_id 0: starts at p=0, 7, 14, ... masks p in {0,1,2, 7,8,9, ...}
