@@ -114,7 +114,14 @@ object Bench {
     // the memory controllers; a 256 MiB streaming sweep (beyond any
     // LLC) can. Cross-round rule: totals are comparable only between
     // sweeps whose membw numbers agree within ~15%.
-    val (membwSt, membwMt) = {
+    // Measured BEFORE AND AFTER the query loop (r18 verdict task 1):
+    // one snapshot per sweep cannot see a mid-run bandwidth burst —
+    // BENCH_r18 carried membw_mt 106 (healthy) next to a 50 s run
+    // spread, a contradiction only a second, post-loop reading can
+    // adjudicate inside the artifact itself. Disagreement between
+    // membw_mt_gbs and membw_mt_gbs_post means the box state SHIFTED
+    // mid-sweep and the per-query numbers straddle two regimes.
+    def membwSweep(): (Double, Double) = {
       val words = 1 << 25 // 256 MiB of longs
       val arr = new Array[Long](words)
       java.util.Arrays.fill(arr, 0x9E3779B97F4A7C15L)
@@ -146,6 +153,7 @@ object Bench {
       val mt = Seq(mtPass(), mtPass()).min
       (words.toLong * 8 / st / 1e9, words.toLong * 8 * 4 / mt / 1e9)
     }
+    val (membwSt, membwMt) = membwSweep()
 
     def once(name: String, dir: String,
              fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
@@ -241,6 +249,10 @@ object Bench {
       else Seq.empty
     val total = results.map(_._2.sec).sum
     val total2 = results2.map(_._2.sec).sum
+    // post-loop bandwidth reading (see membwSweep scaladoc): taken
+    // right after the LAST timed query so a mid-sweep box-state shift
+    // shows up as pre/post disagreement in this artifact
+    val (_, membwMtPost) = membwSweep()
 
     // explicit locale: f"%.3f" under a comma-decimal locale emits
     // "0,123" and the JSON stops parsing
@@ -397,8 +409,9 @@ object Bench {
     // stdout tail (see scaladoc). Remaining queries are in the detail
     // file; "queries_elided" says how many.
     // (was 1400; ann_split takes ~230 chars of the ~2000-char tail,
-    // calib_mt another ~25, the quiet-gate fields ~45)
-    val budget = 1070
+    // calib_mt another ~25, the quiet-gate fields ~45, the post-loop
+    // membw reading ~28)
+    val budget = 1040
     // one-number noise summary that survives tail-capture: total
     // excess of the slower measured run over the faster, across all
     // queries — a large value flags an unusually noisy sweep without
@@ -444,6 +457,7 @@ object Bench {
         s""""calib_sec":${r3(calib)},"calib_mt_sec":${r3(calibMt)},""" +
         s""""run_spread_sec":${r3(runSpread)},"calib_mt_ratio":${r3(mtRatio)},""" +
         s""""membw_gbs":${r3(membwSt)},"membw_mt_gbs":${r3(membwMt)},""" +
+        s""""membw_mt_gbs_post":${r3(membwMtPost)},""" +
         s""""quiet_gate":$quietGate,"tier_cold1":${results.count(_._2.coldTier)},""" +
         s""""detail":"bench_detail.json","perf_doc":"PERF.md","sf":"$sfDir"}""")
     spark.stop()

@@ -440,6 +440,74 @@ object Media {
       .toDF()
   }
 
+  /** Typed per-payload MP4/ISO-BMFF container metadata ([[Mp4Meta]])
+    * with the standard error-channel shape.
+    */
+  final case class Mp4MetaRow(
+      media_id: Long,
+      ok: Boolean,
+      err: String,
+      brand: String,
+      minor_version: Long,
+      timescale: Long,
+      duration_ms: Long,
+      n_tracks: Int,
+      width: Int,
+      height: Int,
+      video_codec: String,
+      audio_codec: String)
+
+  /** MP4 census metadata over the opaque media table — box walk only,
+    * no entropy decode (see [[Mp4Meta]]); q251 hash-gates the path.
+    */
+  def decodeMp4Meta(media: Dataset[MediaRecord]): Dataset[Mp4MetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        Mp4Meta.decode(m.data) match {
+          case Right(s) =>
+            Mp4MetaRow(m.media_id, ok = true, "", s.brand, s.minorVersion,
+              s.timescale, s.durationMs, s.nTracks, s.width, s.height,
+              s.videoCodec, s.audioCodec)
+          case Left(e) =>
+            Mp4MetaRow(m.media_id, ok = false, e, "", 0L, 0L, 0L, 0, 0, 0, "", "")
+        }
+      }
+    }
+  }
+
+  /** Documents -> REAL MP4 containers, deterministically: movie
+    * timescale (len%3+1)*1000 with duration (len%4000+40)*(len%3+1)
+    * — so duration_ms is EXACTLY len%4000+40 — one avc1/hev1 video
+    * track at (len%320+16) x (len%240+16), plus an mp4a audio track
+    * when doc_id%3 == 0; brand isom/mp42 by parity, text bytes as
+    * mdat. Every census field is a pure function of (doc_id, len) —
+    * the q240 rule. Odd durations exercise the v1 mvhd/tkhd layouts.
+    */
+  def toMp4(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val len = bytes.length
+        val scaleK = len % 3 + 1
+        val video = Mp4Meta.Mp4Track(
+          "vide", if (id % 2 == 0) "avc1" else "hev1", 1L,
+          len % 320 + 16, len % 240 + 16)
+        val tracks =
+          if (id % 3 == 0) Seq(video, Mp4Meta.Mp4Track("soun", "mp4a", 2L, 0, 0))
+          else Seq(video)
+        MediaRecord(id, "video", "mp4",
+          Mp4Meta.encodeMp4(
+            if (id % 2 == 0) "isom" else "mp42", id % 512,
+            scaleK.toLong * 1000L, (len % 4000 + 40).toLong * scaleK,
+            tracks, bytes))
+      }
+      .toDF()
+  }
+
   /** Typed per-stream stats from [[VideoCodec]]'s real Y4M decode,
     * with the same error-channel shape as [[ImageFeatures]].
     */

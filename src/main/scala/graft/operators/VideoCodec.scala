@@ -18,6 +18,17 @@ package graft.operators
   * materializing any decoded frame buffer: O(1) memory per record at
   * any clip length. Malformed input is `Left(reason)`, never an
   * exception (the [[Media.decodeVideo]] error-channel surface).
+  *
+  * The video surface splits in two deliberately (r19): THIS decoder
+  * reads uncompressed y4m sample data for real pixel statistics,
+  * while [[Mp4Meta]] reads the COMPRESSED-video container layer —
+  * duration, track geometry, codec fourccs from the ISO-BMFF box
+  * structure, never the entropy-coded samples (the same
+  * metadata-only rule [[Mp3Meta]]/[[OggMeta]] apply to compressed
+  * audio, and the same information ffprobe surfaces without a
+  * decoder). A census therefore gets durations and dimensions for
+  * the dominant crawl video format AND exact luma stats where the
+  * samples are actually decodable.
   */
 object VideoCodec {
 

@@ -695,6 +695,45 @@ object MediaStream {
       |FROM d
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q251
+  /** MP4/ISO-BMFF container metadata (Mp4Meta), hash-gated
+    * end-to-end: documents become genuine MP4 containers (Media.toMp4
+    * — ftyp, v0/v1 mvhd+tkhd alternating with duration parity, per-
+    * track hdlr/stsd, trailing mdat) and the box walk recovers brand,
+    * movie duration, track count, presentation geometry, and codec
+    * fourccs WITHOUT touching a sample (the ffprobe rule — see the
+    * VideoCodec scaladoc for the container-vs-y4m split). Every field
+    * is a pure function of (doc_id, len) so the oracle recomputes
+    * them all; a box-bound slip, a FullBox version confusion, or a
+    * 16.16 fixed-point misread all hash-fail.
+    */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toMp4(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeMp4Meta(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("brand"), col("minor_version"),
+        col("timescale"), col("duration_ms"), col("n_tracks"),
+        col("width"), col("height"), col("video_codec"), col("audio_codec"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q251Sql =
+    """WITH d AS (SELECT doc_id, length(text) AS len
+      |           FROM documents WHERE length(text) > 0)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |  CAST(doc_id % 512 AS BIGINT) AS minor_version,
+      |  CAST((len % 3 + 1) * 1000 AS BIGINT) AS timescale,
+      |  CAST(len % 4000 + 40 AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+      |  CAST(len % 320 + 16 AS INTEGER) AS width,
+      |  CAST(len % 240 + 16 AS INTEGER) AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE '' END AS audio_codec
+      |FROM d
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q111
   /** REAL video decode, hash-gated end-to-end: documents become
     * genuine YUV4MPEG2 streams (Media.toY4m — spec-exact stream
@@ -843,7 +882,7 @@ object MediaStream {
   /** Mixed-format media census — the production shape a crawl's media
     * column actually has (never one format): one table mixing real
     * PPM / PNG / JPEG / GIF / WAV / y4m / image-bearing-PDF payloads
-    * and undecodable blobs (doc_id % 8 routes each doc through one
+    * and undecodable blobs (doc_id % 16 routes each doc through one
     * adapter; blobs get a space prefix so no codec magic can fire),
     * swept by all three typed media decoders PLUS the PDF extractor
     * (r18: the pdf bucket embeds a /Subtype /Image XObject whose
@@ -859,7 +898,7 @@ object MediaStream {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(15)) === k)
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(16)) === k)
     val mixed = Media.toPpm(bucket(0))
       .union(Media.toPng(bucket(1)))
       .union(Media.toWav(bucket(2)))
@@ -874,15 +913,17 @@ object MediaStream {
       .union(Media.toWebp(bucket(8)))
       // r18 continuation: the census grows the lossless-audio,
       // archive, lossy-audio-container, scanned-image, Ogg, and Avro
-      // families — 15 buckets, every decoder in ONE pass (bucket 10
-      // mixes zip/tar by doc parity, 13 opus/vorbis, 14 both Avro
-      // codecs — the format column separates them)
+      // families; r19 adds the dominant crawl video container —
+      // 16 buckets, every decoder in ONE pass (bucket 10 mixes
+      // zip/tar by doc parity, 13 opus/vorbis, 14 both Avro codecs,
+      // 15 MP4 box-walk metadata — the format column separates them)
       .union(Media.toFlac(bucket(9)))
       .union(graft.sources.Archive.toArchives(bucket(10)))
       .union(Media.toMp3(bucket(11)))
       .union(Media.toTiff(bucket(12)))
       .union(Media.toOgg(bucket(13)))
       .union(graft.sources.Avro.toAvro(bucket(14)))
+      .union(Media.toMp4(bucket(15)))
       .as[Media.MediaRecord]
 
     // ONE pass: each record meets all typed decoders AND the pdf /
@@ -902,6 +943,8 @@ object MediaStream {
         graft.operators.Mp3Meta.decode(m.data).toOption else None
       val ogg = if (graft.operators.OggMeta.sniff(m.data))
         graft.operators.OggMeta.decode(m.data).toOption else None
+      val mp4 = if (graft.operators.Mp4Meta.sniff(m.data))
+        graft.operators.Mp4Meta.decode(m.data).toOption else None
       val arc: Option[Long] = // containers: entry/record counts
         if (graft.sources.Archive.sniffZip(m.data))
           graft.sources.Archive.readZip(m.data).toOption.map(_.size.toLong)
@@ -912,12 +955,13 @@ object MediaStream {
         else None
       (m.format,
         img.isDefined, aud.isDefined || mp3.isDefined || ogg.isDefined,
-        vid.isDefined, pdf.isDefined, arc.isDefined,
+        vid.isDefined || mp4.isDefined, pdf.isDefined, arc.isDefined,
         img.isEmpty && aud.isEmpty && vid.isEmpty && pdf.isEmpty &&
-          mp3.isEmpty && ogg.isEmpty && arc.isEmpty,
+          mp3.isEmpty && ogg.isEmpty && arc.isEmpty && mp4.isEmpty,
         img.map(_.nPixels).getOrElse(0L) + pdf.map(_.imgPx).getOrElse(0L),
         aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L) +
-          mp3.map(_.durationMs).getOrElse(0L) + ogg.map(_.durationMs).getOrElse(0L),
+          mp3.map(_.durationMs).getOrElse(0L) + ogg.map(_.durationMs).getOrElse(0L) +
+          mp4.map(_.durationMs).getOrElse(0L),
         img.map(_.orientation.toLong).getOrElse(0L),
         arc.getOrElse(0L))
     }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "r_ok", "is_err",
@@ -944,7 +988,7 @@ object MediaStream {
     """SELECT format, count(*) AS n_rows,
       |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6, 8, 12) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
       |  CAST(sum(CASE WHEN b IN (2, 9, 11, 13) THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
-      |  CAST(sum(CASE WHEN b = 3 THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
+      |  CAST(sum(CASE WHEN b IN (3, 15) THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
       |  CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS pdf_ok,
       |  CAST(sum(CASE WHEN b IN (10, 14) THEN 1 ELSE 0 END) AS BIGINT) AS arc_ok,
       |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
@@ -962,19 +1006,20 @@ object MediaStream {
       |      // ([44100,48000,32000][CAST(doc_id % 3 AS INTEGER) + 1])
       |    WHEN b = 13 THEN (CASE WHEN doc_id % 2 = 0 THEN len
       |      ELSE (len * 3 * 1000) // (len % 4000 + 4000) END)
+      |    WHEN b = 15 THEN len % 4000 + 40
       |    ELSE 0 END) AS BIGINT) AS dur_ms_sum,
       |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8, 12) THEN 1
       |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum,
       |  CAST(sum(CASE WHEN b = 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
       |    WHEN b = 14 THEN len % 4 + 1 ELSE 0 END) AS BIGINT) AS ent_sum
-      |FROM (SELECT doc_id, doc_id % 15 AS b,
-      |        CASE doc_id % 15 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |FROM (SELECT doc_id, doc_id % 16 AS b,
+      |        CASE doc_id % 16 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
       |          WHEN 6 THEN 'gif' WHEN 7 THEN 'pdf' WHEN 8 THEN 'webp'
       |          WHEN 9 THEN 'flac' WHEN 11 THEN 'mp3' WHEN 12 THEN 'tiff'
       |          WHEN 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END)
       |          WHEN 13 THEN (CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END)
-      |          WHEN 14 THEN 'avro'
+      |          WHEN 14 THEN 'avro' WHEN 15 THEN 'mp4'
       |          ELSE 'bin' END AS format,
       |        length(text) AS len
       |      FROM documents WHERE length(text) > 0)
@@ -3064,6 +3109,7 @@ object MediaStream {
     "q237_flac_decode" -> (q237 _),
     "q240_mp3_meta" -> (q240 _),
     "q243_ogg_meta" -> (q243 _),
+    "q251_mp4_meta" -> (q251 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
     "q202_silence_segments" -> (q202 _),
@@ -3128,6 +3174,7 @@ object MediaStream {
     "q237_flac_decode" -> q237Sql,
     "q240_mp3_meta" -> q240Sql,
     "q243_ogg_meta" -> q243Sql,
+    "q251_mp4_meta" -> q251Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
     "q202_silence_segments" -> q202Sql,

@@ -776,7 +776,7 @@ class PlanSpec extends SparkSpec {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(raw).size === 1, "more than one scan")
   }
 
-  test("q249 tiff / q240 mp3 / q243 ogg / q250 avro: codec passes are map-only before the sink sort") {
+  test("q249 tiff / q240 mp3 / q243 ogg / q250 avro / q251 mp4: codec passes are map-only before the sink sort") {
     val s = spark
     import s.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -788,7 +788,9 @@ class PlanSpec extends SparkSpec {
       "ogg" -> graft.operators.Media.decodeOggMeta(
         graft.operators.Media.toOgg(docs).as[graft.operators.Media.MediaRecord]).toDF(),
       "avro" -> graft.sources.Avro.listRecords(
-        graft.sources.Avro.toAvro(docs).as[graft.operators.Media.MediaRecord]))
+        graft.sources.Avro.toAvro(docs).as[graft.operators.Media.MediaRecord]),
+      "mp4" -> graft.operators.Media.decodeMp4Meta(
+        graft.operators.Media.toMp4(docs).as[graft.operators.Media.MediaRecord]).toDF())
     for ((name, df) <- plans) {
       val raw = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!raw.contains("Exchange"), s"$name encode+decode shuffled — must be map-only")
