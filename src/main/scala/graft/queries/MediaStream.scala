@@ -1077,10 +1077,11 @@ object MediaStream {
   // --------------------------------------------------------------- q250
   /** Avro object-container ingest, hash-gated end-to-end: documents
     * become genuine multi-block Avro files (sources.Avro.toAvro —
-    * metadata map, sync markers, one record per block, odd docs
-    * raw-deflate) and the reader walks them back: varint/zigzag
-    * decode, schema-ordered field decode, per-block sync
-    * verification, codec routing. Every field is a pure function of
+    * metadata map, sync markers, one record per block, codec
+    * rotating doc_id % 3 through null / raw-deflate / snappy-with-
+    * CRC32) and the reader walks them back: varint/zigzag decode,
+    * schema-ordered field decode, per-block sync verification, codec
+    * routing incl. the dependency-free Snappy tag-stream decode. Every field is a pure function of
     * (doc_id, text) — the oracle re-derives the whole record stream
     * with substring arithmetic; a zigzag slip, a block mis-frame, or
     * a schema field-order bug all hash-fail.
@@ -1104,11 +1105,51 @@ object MediaStream {
       |        (len + (len % 4 + 1) - 1) // (len % 4 + 1) AS c FROM d),
       |r AS (SELECT doc_id, k, c, text, unnest(range(0, k)) AS i FROM k)
       |SELECT doc_id AS media_id, 'doc_part' AS schema_name,
-      |  CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec,
+      |  CASE doc_id % 3 WHEN 1 THEN 'deflate' WHEN 2 THEN 'snappy'
+      |    ELSE 'null' END AS codec,
       |  CAST(k AS INTEGER) AS n_blocks, CAST(k AS BIGINT) AS n_records,
       |  CAST(i AS INTEGER) AS rec_idx,
       |  CAST(doc_id AS VARCHAR) AS id, CAST(i AS VARCHAR) AS seq,
       |  substring(text, CAST(i*c + 1 AS INTEGER), CAST(c AS INTEGER)) AS part
+      |FROM r
+      |ORDER BY media_id, rec_idx""".stripMargin
+
+  // --------------------------------------------------------------- q252
+  /** Nullable-union + array Avro schemas (the r19 extension): the
+    * default way real warehouse exports mark optional fields is
+    * ["null", T], and repeated fields are arrays — documents become
+    * doc_rec containers (sources.Avro.toAvroNullable) whose note
+    * union FLIPS member order with doc parity (branch indexes are BY
+    * SCHEMA POSITION — a normalization bug flips every null), whose
+    * int arrays split into multi-block form on even docs, and whose
+    * codec rotates through null/deflate/snappy. The oracle re-derives
+    * every value with modular arithmetic; null notes must surface as
+    * genuine SQL NULLs.
+    */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Avro.toAvroNullable(t(s, dir, "documents"))
+      .as[Media.MediaRecord]
+    graft.sources.Avro.listDocRecords(media)
+      .filter(col("err").isNull)
+      .select(col("media_id"), col("codec"), col("rec_idx"),
+        col("id"), col("note"), col("tags"))
+      .orderBy(col("media_id"), col("rec_idx"))
+  }
+
+  private val q252Sql =
+    """WITH d AS (SELECT doc_id, length(text) AS len
+      |           FROM documents WHERE length(text) > 0),
+      |k AS (SELECT doc_id, len, len % 3 + 1 AS k FROM d),
+      |r AS (SELECT doc_id, len, unnest(range(0, k)) AS i FROM k)
+      |SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 1 THEN 'deflate' WHEN 2 THEN 'snappy'
+      |    ELSE 'null' END AS codec,
+      |  CAST(i AS INTEGER) AS rec_idx,
+      |  CAST(doc_id AS VARCHAR) AS id,
+      |  CASE WHEN (doc_id + i) % 3 = 0 THEN NULL
+      |       ELSE 'n' || (doc_id + i) END AS note,
+      |  ((len + i) % 7) || ',' || ((len + i) % 5) AS tags
       |FROM r
       |ORDER BY media_id, rec_idx""".stripMargin
 
@@ -3110,6 +3151,7 @@ object MediaStream {
     "q240_mp3_meta" -> (q240 _),
     "q243_ogg_meta" -> (q243 _),
     "q251_mp4_meta" -> (q251 _),
+    "q252_avro_nullable" -> (q252 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
     "q202_silence_segments" -> (q202 _),
@@ -3175,6 +3217,7 @@ object MediaStream {
     "q240_mp3_meta" -> q240Sql,
     "q243_ogg_meta" -> q243Sql,
     "q251_mp4_meta" -> q251Sql,
+    "q252_avro_nullable" -> q252Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
     "q202_silence_segments" -> q202Sql,

@@ -17,15 +17,23 @@ import graft.operators.Media
   *    byte-size prefix), the 16-byte sync marker, data blocks
   *    (zigzag-varint record count + byte size) with per-block sync
   *    VERIFIED against the header's
-  *  - codecs: null and deflate (raw DEFLATE via the JDK Inflater)
-  *  - record decode for FLAT record schemas of primitives — long,
-  *    int, string, boolean, float, double — field order taken from
-  *    the schema JSON's `fields` array (a scoped regex parse: the
-  *    schema here is machine-written metadata, not user content)
+  *  - codecs: null, deflate (raw DEFLATE via the JDK Inflater), and
+  *    snappy (r19 — [[Snappy]], the dependency-free raw-block
+  *    decoder; per the Avro spec each snappy block carries a 4-byte
+  *    big-endian CRC-32 of the UNCOMPRESSED data, verified here)
+  *  - record decode for record schemas of primitives — long, int,
+  *    string, boolean, float, double — plus (r19, because they are
+  *    how real warehouse exports mark optional/repeated fields)
+  *    `["null", T]` nullable unions (either member order; the
+  *    varint branch index selects) and `{"type":"array","items":T}`
+  *    arrays (multi-block with optional byte-size prefix, zero
+  *    terminator). Field order taken from the schema JSON's `fields`
+  *    array (a scoped regex parse: the schema here is
+  *    machine-written metadata, not user content)
   *
-  * OUT of scope (named Lefts): unions/nested records/arrays/maps/
-  * enums/fixed (schema evolution and nesting belong to a full Avro
-  * library), snappy/zstd codecs, and schemaless fragments.
+  * OUT of scope (named Lefts): general unions beyond ["null", T],
+  * nested records/maps/enums/fixed (schema evolution belongs to a
+  * full Avro library), zstd, and schemaless fragments.
   *
   * Scale shape: one flatMap inside the typed map boundary — no
   * shuffle, no driver collect; per-record memory is one block's
@@ -108,7 +116,7 @@ object Avro {
     val sync = r.bytes(16)
     val codec = meta.get("avro.codec")
       .map(new String(_, java.nio.charset.StandardCharsets.UTF_8)).getOrElse("null")
-    if (codec != "null" && codec != "deflate")
+    if (codec != "null" && codec != "deflate" && codec != "snappy")
       return Left(s"avro: codec $codec out of scope")
     val schemaJson = meta.get("avro.schema")
       .map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
@@ -128,35 +136,81 @@ object Avro {
       val blockSync = r.bytes(16)
       if (!java.util.Arrays.equals(blockSync, sync))
         return Left("avro: block sync marker mismatch")
-      val body = if (codec == "deflate") inflateRaw(raw) else raw
+      val body = codec match {
+        case "deflate" => inflateRaw(raw)
+        case "snappy" =>
+          // Avro spec: raw snappy block + 4-byte BE CRC32 of the
+          // UNCOMPRESSED bytes
+          if (raw.length < 4) throw Abort("avro: snappy block under CRC size")
+          val un =
+            try Snappy.decompress(java.util.Arrays.copyOfRange(raw, 0, raw.length - 4))
+            catch { case Snappy.Malformed(m) => throw Abort(s"avro: $m") }
+          val crc = new java.util.zip.CRC32()
+          crc.update(un)
+          val stored = ((raw(raw.length - 4) & 0xffL) << 24) |
+            ((raw(raw.length - 3) & 0xffL) << 16) |
+            ((raw(raw.length - 2) & 0xffL) << 8) | (raw(raw.length - 1) & 0xffL)
+          if (crc.getValue != stored) throw Abort("avro: snappy block CRC mismatch")
+          un
+        case _ => raw
+      }
       val br = new Reader(body, 0)
+      def prim(tpe: String): String = tpe match {
+        case "long" | "int" => br.varLong().toString
+        case "string" => br.str()
+        case "boolean" =>
+          val b = body(br.pos); br.pos += 1
+          if (b == 1) "true" else "false"
+        case "double" =>
+          val p = br.pos; br.pos += 8
+          if (br.pos > body.length) throw Abort("avro: truncated double")
+          var v = 0L
+          var k = 7
+          while (k >= 0) { v = (v << 8) | (body(p + k) & 0xffL); k -= 1 }
+          java.lang.Double.longBitsToDouble(v).toString
+        case "float" =>
+          val p = br.pos; br.pos += 4
+          if (br.pos > body.length) throw Abort("avro: truncated float")
+          var v = 0
+          var k = 3
+          while (k >= 0) { v = (v << 8) | (body(p + k) & 0xff); k -= 1 }
+          java.lang.Float.intBitsToFloat(v).toString
+        case t => throw Abort(s"avro: field type $t out of scope")
+      }
       var i = 0L
       while (i < cnt) {
-        val vals = fields.map { case (name, tpe) =>
-          name -> (tpe match {
-            case "long" | "int" => br.varLong().toString
-            case "string" => br.str()
-            case "boolean" =>
-              val b = body(br.pos); br.pos += 1
-              if (b == 1) "true" else "false"
-            case "double" =>
-              val p = br.pos; br.pos += 8
-              if (br.pos > body.length) throw Abort("avro: truncated double")
-              var v = 0L
-              var k = 7
-              while (k >= 0) { v = (v << 8) | (body(p + k) & 0xffL); k -= 1 }
-              java.lang.Double.longBitsToDouble(v).toString
-            case "float" =>
-              val p = br.pos; br.pos += 4
-              if (br.pos > body.length) throw Abort("avro: truncated float")
-              var v = 0
-              var k = 3
-              while (k >= 0) { v = (v << 8) | (body(p + k) & 0xff); k -= 1 }
-              java.lang.Float.intBitsToFloat(v).toString
-            case t => throw Abort(s"avro: field type $t out of scope")
-          })
+        // null-union fields are OMITTED from the map (the map's
+        // absent-key state IS the null; every surface goes through
+        // getOrElse/get so the distinction survives to the DataFrame)
+        var vals = Map.empty[String, String]
+        fields.foreach { case (name, tpe) =>
+          if (tpe.startsWith("union")) {
+            // branch index is a zigzag varint into the union BY
+            // SCHEMA POSITION; the parse encoded the null member's
+            // position as union<nullIdx>:T
+            val nullIdx = tpe.charAt(5) - '0'
+            val b = br.varLong()
+            if (b == nullIdx) ()
+            else if (b == 1 - nullIdx) vals += name -> prim(tpe.substring(7))
+            else throw Abort(s"avro: union branch $b out of range")
+          } else if (tpe.startsWith("array:")) {
+            val item = tpe.stripPrefix("array:")
+            val sb = new StringBuilder
+            var c = br.varLong()
+            while (c != 0) {
+              if (c < 0) { c = -c; br.varLong() } // block byte size: skip
+              var k = 0L
+              while (k < c) {
+                if (sb.nonEmpty) sb.append(',')
+                sb.append(prim(item))
+                k += 1
+              }
+              c = br.varLong()
+            }
+            vals += name -> sb.toString
+          } else vals += name -> prim(tpe)
         }
-        records += AvroRecord(nRecords.toInt + i.toInt, vals.toMap)
+        records += AvroRecord(nRecords.toInt + i.toInt, vals)
         i += 1
       }
       if (br.pos != body.length)
@@ -167,25 +221,42 @@ object Avro {
     Right(AvroFile(schemaName, codec, nBlocks, nRecords, records.result()))
   }
 
-  /** Scoped schema parse: flat record, primitive field types. The
-    * schema string is writer-generated metadata with a fixed shape;
-    * a full JSON parser buys nothing here and unions/nesting are
-    * out-of-scope Lefts anyway.
+  /** Scoped schema parse: record of primitives, ["null", T] unions
+    * (either member order — stored as "union<nullPos>:T" so the
+    * decoder matches branch indexes BY SCHEMA POSITION, the Avro
+    * union rule), and flat primitive arrays
+    * ("array:T"). The schema string is writer-generated metadata with
+    * a fixed shape; a full JSON parser buys nothing here and deeper
+    * nesting is an out-of-scope Left anyway.
     */
   private[sources] def parseSchema(json: String): Either[String, (String, Seq[(String, String)])] = {
     val name = "\"name\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(return Left("avro: schema has no name"))
     val fieldsBlock = "\"fields\"\\s*:\\s*\\[(.*)\\]".r.findFirstMatchIn(json)
       .map(_.group(1)).getOrElse(return Left("avro: schema has no fields array"))
-    val fields = "\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"type\"\\s*:\\s*(\"([^\"]+)\"|[\\[{])".r
+    val prims = Set("long", "int", "string", "boolean", "double", "float")
+    val union = ("\\[\\s*\"(null|[a-z]+)\"\\s*,\\s*\"(null|[a-z]+)\"\\s*\\]").r
+    val array = ("\\{\\s*\"type\"\\s*:\\s*\"array\"\\s*,\\s*" +
+      "\"items\"\\s*:\\s*\"([a-z]+)\"\\s*\\}").r
+    val fields = ("\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"type\"\\s*:\\s*" +
+      "(\"[^\"]+\"|\\[[^\\]]*\\]|\\{[^}]*\\})").r
       .findAllMatchIn(fieldsBlock).map { m =>
-        val t = Option(m.group(3)).getOrElse(
-          return Left("avro: union/nested field types are out of scope"))
+        val raw = m.group(2)
+        val t =
+          if (raw.startsWith("\"")) raw.substring(1, raw.length - 1)
+          else raw match {
+            case union(a, b) if a == "null" && prims.contains(b) => s"union0:$b"
+            case union(a, b) if b == "null" && prims.contains(a) => s"union1:$a"
+            case array(item) if prims.contains(item) => s"array:$item"
+            case _ =>
+              return Left("avro: only [\"null\", T] unions and primitive arrays are in scope")
+          }
         m.group(1) -> t
       }.toSeq
     if (fields.isEmpty) return Left("avro: no fields parsed from the schema")
-    fields.find(f => !Set("long", "int", "string", "boolean", "double", "float")
-      .contains(f._2)).foreach(f => return Left(s"avro: field type ${f._2} out of scope"))
+    fields.find(f => !prims.contains(f._2) && !f._2.startsWith("union") &&
+      !f._2.startsWith("array:"))
+      .foreach(f => return Left(s"avro: field type ${f._2} out of scope"))
     Right((name, fields))
   }
 
@@ -208,89 +279,144 @@ object Avro {
 
   // ------------------------------------------------------------ encode
 
-  /** Build an Avro object container of flat (long id, int seq,
-    * string part) records, one record per block (multi-block framing
-    * on every file), null or raw-deflate codec, deterministic sync
-    * marker. The `toAvro` adapter / fixture substrate.
+  /** Zigzag-varint writer shared by the builders. */
+  private def zz(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var u = (v << 1) ^ (v >> 63)
+    var more = true
+    while (more) {
+      val b = (u & 0x7f).toInt
+      u >>>= 7
+      more = u != 0
+      out.write(if (more) b | 0x80 else b)
+    }
+  }
+
+  private def zstr(out: java.io.ByteArrayOutputStream, v: String): Unit = {
+    val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    zz(out, b.length.toLong)
+    out.write(b, 0, b.length)
+  }
+
+  private def deflateRaw(rec: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      defl.setInput(rec)
+      defl.finish()
+      val bufOut = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      while (!defl.finished()) bufOut.write(chunk, 0, defl.deflate(chunk))
+      bufOut.toByteArray
+    } finally defl.end()
+  }
+
+  private def snappyBlock(rec: Array[Byte]): Array[Byte] = {
+    // Avro spec: raw snappy + 4-byte BE CRC32 of the UNCOMPRESSED data
+    val crc = new java.util.zip.CRC32()
+    crc.update(rec)
+    val c = crc.getValue
+    Snappy.compressLiteral(rec) ++ Array[Byte](
+      (c >>> 24).toByte, (c >>> 16).toByte, (c >>> 8).toByte, c.toByte)
+  }
+
+  /** Shared container writer: header (schema + codec metadata map,
+    * seeded sync marker) + one data block PER RECORD (multi-block
+    * framing on every file), codec-encoded bodies.
     */
-  def avroBytes(
-      records: Seq[(Long, Int, String)], deflate: Boolean,
+  private def container(
+      schema: String, codec: String, recs: Seq[Array[Byte]],
       syncSeed: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    def vint(v: Long): Unit = { // zigzag varint
-      var u = (v << 1) ^ (v >> 63)
-      var more = true
-      while (more) {
-        val b = (u & 0x7f).toInt
-        u >>>= 7
-        more = u != 0
-        out.write(if (more) b | 0x80 else b)
-      }
-    }
-    def wstr(s: String): Unit = {
-      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      vint(b.length.toLong)
-      out.write(b)
-    }
     out.write("Obj".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     out.write(1)
-    val schema = """{"type":"record","name":"doc_part","fields":[""" +
-      """{"name":"id","type":"long"},{"name":"seq","type":"int"},""" +
-      """{"name":"part","type":"string"}]}"""
-    vint(2L)
-    wstr("avro.schema"); wstr(schema)
-    wstr("avro.codec"); wstr(if (deflate) "deflate" else "null")
-    vint(0L)
+    zz(out, 2L)
+    zstr(out, "avro.schema"); zstr(out, schema)
+    zstr(out, "avro.codec"); zstr(out, codec)
+    zz(out, 0L)
     val sync = new Array[Byte](16)
     var s = syncSeed
     for (k <- 0 until 16) { s = s * 6364136223846793005L + 1442695040888963407L; sync(k) = (s >>> 56).toByte }
-    out.write(sync)
-    records.foreach { case (id, seq, part) =>
-      val b = new java.io.ByteArrayOutputStream()
-      def v2(v: Long): Unit = {
-        var u = (v << 1) ^ (v >> 63)
-        var more = true
-        while (more) {
-          val x = (u & 0x7f).toInt
-          u >>>= 7
-          more = u != 0
-          b.write(if (more) x | 0x80 else x)
-        }
+    out.write(sync, 0, 16)
+    recs.foreach { rec =>
+      val stored = codec match {
+        case "deflate" => deflateRaw(rec)
+        case "snappy" => snappyBlock(rec)
+        case _ => rec
       }
-      v2(id)
-      v2(seq.toLong)
-      val pb = part.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      v2(pb.length.toLong)
-      b.write(pb)
-      val rec = b.toByteArray
-      val stored =
-        if (!deflate) rec
-        else {
-          val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-          try {
-            defl.setInput(rec)
-            defl.finish()
-            val bufOut = new java.io.ByteArrayOutputStream()
-            val chunk = new Array[Byte](4096)
-            while (!defl.finished()) bufOut.write(chunk, 0, defl.deflate(chunk))
-            bufOut.toByteArray
-          } finally defl.end()
-        }
-      vint(1L) // one record per block: multi-block framing everywhere
-      vint(stored.length.toLong)
-      out.write(stored)
-      out.write(sync)
+      zz(out, 1L)
+      zz(out, stored.length.toLong)
+      out.write(stored, 0, stored.length)
+      out.write(sync, 0, 16)
     }
     out.toByteArray
+  }
+
+  /** Build an Avro object container of flat (long id, int seq,
+    * string part) records, one record per block, any of the three
+    * in-scope codecs, deterministic sync marker. The `toAvro`
+    * adapter / fixture substrate.
+    */
+  def avroBytes(
+      records: Seq[(Long, Int, String)], codec: String,
+      syncSeed: Long): Array[Byte] = {
+    val schema = """{"type":"record","name":"doc_part","fields":[""" +
+      """{"name":"id","type":"long"},{"name":"seq","type":"int"},""" +
+      """{"name":"part","type":"string"}]}"""
+    val recs = records.map { case (id, seq, part) =>
+      val b = new java.io.ByteArrayOutputStream()
+      zz(b, id)
+      zz(b, seq.toLong)
+      zstr(b, part)
+      b.toByteArray
+    }
+    container(schema, codec, recs, syncSeed)
+  }
+
+  /** One nullable/array record for [[avroDocBytes]]: note None =
+    * the union's null branch; tag groups become array blocks
+    * (one block per group — a two-group write exercises multi-block
+    * array framing).
+    */
+  final case class DocRec(id: Long, note: Option[String], tagGroups: Seq[Seq[Int]])
+
+  /** Build an Avro container whose schema carries the r19 shapes —
+    * a ["null","string"] union (member order FLIPS with noteNullFirst
+    * so both branch layouts exist in the corpus) and an int array —
+    * one record per block. The `toAvroNullable` / q252 substrate.
+    */
+  def avroDocBytes(
+      records: Seq[DocRec], noteNullFirst: Boolean, codec: String,
+      syncSeed: Long): Array[Byte] = {
+    val noteType = if (noteNullFirst) """["null","string"]""" else """["string","null"]"""
+    val nullBranch = if (noteNullFirst) 0L else 1L
+    val schema = """{"type":"record","name":"doc_rec","fields":[""" +
+      """{"name":"id","type":"long"},""" +
+      s"""{"name":"note","type":$noteType},""" +
+      """{"name":"tags","type":{"type":"array","items":"int"}}]}"""
+    val recs = records.map { r =>
+      val b = new java.io.ByteArrayOutputStream()
+      zz(b, r.id)
+      r.note match {
+        case None => zz(b, nullBranch)
+        case Some(n) => zz(b, 1L - nullBranch); zstr(b, n)
+      }
+      r.tagGroups.filter(_.nonEmpty).foreach { g =>
+        zz(b, g.length.toLong)
+        g.foreach(v => zz(b, v.toLong))
+      }
+      zz(b, 0L) // array terminator
+      b.toByteArray
+    }
+    container(schema, codec, recs, syncSeed)
   }
 
   // ------------------------------------------------- DataFrame surface
 
   /** Documents -> REAL Avro containers: the text split into
     * k = len%4+1 equal ceil(len/k) chunks, one (id, seq, part) record
-    * per BLOCK; odd docs deflate-coded. Every field is a pure
-    * function of (doc_id, text), so the q250 oracle re-derives the
-    * whole record stream with substring arithmetic.
+    * per BLOCK; codec rotates doc_id % 3 through null / deflate /
+    * snappy (r19: the census avro bucket now spans all three). Every
+    * field is a pure function of (doc_id, text), so the q250 oracle
+    * re-derives the whole record stream with substring arithmetic.
     */
   def toAvro(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -303,7 +429,12 @@ object Avro {
         val c = (text.length + k - 1) / k
         val recs = (0 until k).map(i =>
           (id, i, text.substring(i * c, math.min((i + 1) * c, text.length))))
-        Media.MediaRecord(id, "doc", "avro", avroBytes(recs, deflate = id % 2 == 1, syncSeed = id))
+        val codec = (id % 3) match {
+          case 1 => "deflate"
+          case 2 => "snappy"
+          case _ => "null"
+        }
+        Media.MediaRecord(id, "doc", "avro", avroBytes(recs, codec, syncSeed = id))
       }
       .toDF()
   }
@@ -328,5 +459,64 @@ object Avro {
       }
     }.toDF("media_id", "schema_name", "codec", "n_blocks", "n_records",
       "rec_idx", "id", "seq", "part", "err")
+  }
+
+  /** Documents -> Avro containers exercising the r19 schema shapes,
+    * deterministically: k = len%3+1 doc_rec records per file; record
+    * i carries note = null when (doc_id+i)%3 == 0 else "n"+(doc_id+i)
+    * (union member order flips with doc parity so BOTH branch
+    * layouts exist), tags = [(len+i)%7, (len+i)%5] written as TWO
+    * single-item array blocks for even docs (multi-block framing) and
+    * one two-item block for odd; codec rotates doc_id % 3. Every
+    * field is a pure function of (doc_id, len) — the q252 oracle
+    * re-derives the stream with modular arithmetic.
+    */
+  def toAvroNullable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")))
+      .as[(Long, Int)]
+      .map { case (id, len) =>
+        val k = len % 3 + 1
+        val recs = (0 until k).map { i =>
+          val note = if ((id + i) % 3 == 0) None else Some(s"n${id + i}")
+          val tags =
+            if (id % 2 == 0) Seq(Seq((len + i) % 7), Seq((len + i) % 5))
+            else Seq(Seq((len + i) % 7, (len + i) % 5))
+          DocRec(id, note, tags)
+        }
+        val codec = (id % 3) match {
+          case 1 => "deflate"
+          case 2 => "snappy"
+          case _ => "null"
+        }
+        Media.MediaRecord(id, "doc", "avro",
+          avroDocBytes(recs, noteNullFirst = id % 2 == 0, codec, syncSeed = id))
+      }
+      .toDF()
+  }
+
+  /** Per-record extraction over [[toAvroNullable]] payloads — note's
+    * ABSENCE from the field map (the union's null branch) surfaces as
+    * a genuine SQL NULL, tags as the comma-joined array.
+    */
+  def listDocRecords(media: Dataset[Media.MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      read(m.data) match {
+        case Right(f) => f.records.map { rec =>
+          (m.media_id, f.codec, rec.rec_idx,
+            rec.fields.getOrElse("id", ""),
+            rec.fields.get("note").orNull,
+            rec.fields.getOrElse("tags", ""),
+            null.asInstanceOf[String])
+        }
+        case Left(e) =>
+          Seq((m.media_id, null.asInstanceOf[String], 0,
+            null.asInstanceOf[String], null.asInstanceOf[String],
+            null.asInstanceOf[String], e))
+      }
+    }.toDF("media_id", "codec", "rec_idx", "id", "note", "tags", "err")
   }
 }

@@ -790,7 +790,9 @@ class PlanSpec extends SparkSpec {
       "avro" -> graft.sources.Avro.listRecords(
         graft.sources.Avro.toAvro(docs).as[graft.operators.Media.MediaRecord]),
       "mp4" -> graft.operators.Media.decodeMp4Meta(
-        graft.operators.Media.toMp4(docs).as[graft.operators.Media.MediaRecord]).toDF())
+        graft.operators.Media.toMp4(docs).as[graft.operators.Media.MediaRecord]).toDF(),
+      "avro_nullable" -> graft.sources.Avro.listDocRecords(
+        graft.sources.Avro.toAvroNullable(docs).as[graft.operators.Media.MediaRecord]))
     for ((name, df) <- plans) {
       val raw = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!raw.contains("Exchange"), s"$name encode+decode shuffled — must be map-only")

@@ -3,10 +3,12 @@ package graft.sources
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Avro container reader pinned two ways: Scala round trips through
-  * [[Avro.avroBytes]] (an independent write path) and the committed
-  * python fixture (5 primitive types, deflate, a NEGATIVE-count
-  * metadata map block, multi-record blocks). Plus the malformed-input
-  * discipline and the named out-of-scope Lefts.
+  * [[Avro.avroBytes]]/[[Avro.avroDocBytes]] (independent write
+  * paths) and the committed python fixtures (5 primitive types,
+  * deflate, a NEGATIVE-count metadata map block, multi-record
+  * blocks; r19: snappy with literal AND overlapping-copy tags,
+  * ["string","null"] union order, multi-block int arrays). Plus the
+  * malformed-input discipline and the named out-of-scope Lefts.
   */
 class AvroSpec extends AnyFunSuite {
 
@@ -16,17 +18,56 @@ class AvroSpec extends AnyFunSuite {
     finally in.close()
   }
 
-  test("round trip: multi-block, both codecs, zigzag edge values") {
-    for (deflate <- Seq(false, true)) {
+  test("round trip: multi-block, all three codecs, zigzag edge values") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
       val recs = Seq((0L, 0, ""), (-1L, -64, "neg zigzag"),
         (Long.MaxValue, Int.MaxValue, "big"), (42L, 7, "plain text"))
-      val f = Avro.read(Avro.avroBytes(recs, deflate, syncSeed = 9L)).toOption.get
+      val f = Avro.read(Avro.avroBytes(recs, codec, syncSeed = 9L)).toOption.get
       assert(f.schemaName === "doc_part")
-      assert(f.codec === (if (deflate) "deflate" else "null"))
+      assert(f.codec === codec)
       assert((f.nBlocks, f.nRecords) === ((4, 4L)))
       assert(f.records.map(r => (r.fields("id"), r.fields("seq"), r.fields("part"))) ===
         recs.map(r => (r._1.toString, r._2.toString, r._3)))
     }
+  }
+
+  test("nullable unions + arrays round trip in BOTH member orders") {
+    for (nullFirst <- Seq(true, false); codec <- Seq("null", "snappy")) {
+      val recs = Seq(
+        Avro.DocRec(1L, Some("note one"), Seq(Seq(3, 4))),
+        Avro.DocRec(2L, None, Seq(Seq(5), Seq(6))), // multi-block array
+        Avro.DocRec(3L, Some(""), Seq())) // empty string != null; empty array
+      val f = Avro.read(Avro.avroDocBytes(recs, nullFirst, codec, syncSeed = 4L))
+        .toOption.get
+      assert(f.schemaName === "doc_rec")
+      val got = f.records.map(r =>
+        (r.fields("id"), r.fields.get("note"), r.fields("tags")))
+      assert(got === Seq(
+        ("1", Some("note one"), "3,4"),
+        ("2", None, "5,6"),
+        ("3", Some(""), "")), s"nullFirst=$nullFirst codec=$codec")
+    }
+  }
+
+  test("python fixture: snappy literal+copy tags, [string,null] union, int array") {
+    val f = Avro.read(fixture("sample_nullable.avro")).toOption.get
+    assert((f.schemaName, f.codec, f.nBlocks, f.nRecords) ===
+      (("doc_rec", "snappy", 2, 3L)))
+    val got = f.records.map(r =>
+      (r.fields("id"), r.fields.get("note"), r.fields("tags")))
+    assert(got === Seq(
+      ("10", Some("hello"), "3,4"),
+      ("11", None, "5"),
+      ("12", Some("hehehe"), "")))
+  }
+
+  test("snappy CRC tamper is a Left") {
+    val good = Avro.avroBytes(Seq((1L, 0, "payload")), "snappy", syncSeed = 5L)
+    val bad = good.clone()
+    // flip a byte inside the block's CRC suffix (4 bytes before the
+    // final 16-byte sync)
+    bad(good.length - 18) = (bad(good.length - 18) ^ 0x40).toByte
+    assert(Avro.read(bad).left.toOption.get.contains("CRC"))
   }
 
   test("python fixture: 5 primitive types, negative-count metadata, deflate") {
@@ -41,7 +82,7 @@ class AvroSpec extends AnyFunSuite {
   }
 
   test("malformed input is a Left, never a throw; out-of-scope named") {
-    val good = Avro.avroBytes(Seq((1L, 0, "x"), (2L, 1, "y")), deflate = true, syncSeed = 3L)
+    val good = Avro.avroBytes(Seq((1L, 0, "x"), (2L, 1, "y")), "deflate", syncSeed = 3L)
     // a cut at a block boundary is a valid shorter container — every
     // other cut must be a Left
     for (cut <- 0 until good.length)
@@ -57,7 +98,7 @@ class AvroSpec extends AnyFunSuite {
     assert(Avro.read(bad).left.toOption.get.contains("sync"))
     // a negative zigzag length (varint byte 0x01 = -1) must be a Left,
     // not an IllegalArgumentException from copyOfRange (r18 ADVICE)
-    val neg = Avro.avroBytes(Seq((1L, 0, "x")), deflate = false, syncSeed = 3L)
+    val neg = Avro.avroBytes(Seq((1L, 0, "x")), "null", syncSeed = 3L)
     // last 16 bytes = sync, then 'x', then its length varint
     neg(neg.length - 18) = 0x01
     assert(Avro.read(neg).left.toOption.get.contains("negative"))
