@@ -3056,8 +3056,9 @@ object MediaStream {
   // --------------------------------------------------------------- q235
   /** REAL archive ingest, hash-gated end-to-end: documents become
     * genuine ZIP (even docs — the text carried BOTH stored and
-    * DEFLATEd, so one walk covers both methods) and ustar TAR (odd
-    * docs) payloads, and [[graft.sources.Archive.listEntries]] walks
+    * DEFLATEd, so one walk covers both methods; every other zip in
+    * Zip64 framing with masked EOCD + 0x0001 extras, r19) and ustar
+    * TAR (odd docs) payloads, and [[graft.sources.Archive.listEntries]] walks
     * them back by magic — EOCD discovery, central-directory offsets,
     * raw-DEFLATE inflate, CRC-32, tar header checksums. The oracle
     * never parses an archive: it recovers entry names, sizes, and the
@@ -3081,12 +3082,14 @@ object MediaStream {
     """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0)
       |SELECT media_id, archive, entry_name, method, uncomp_size, crc_ok, text
       |FROM (
-      |  SELECT doc_id AS media_id, 'zip' AS archive,
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 4 = 0 THEN 'zip64' ELSE 'zip' END AS archive,
       |    'doc_' || doc_id || '_d.txt' AS entry_name, 'deflate' AS method,
       |    CAST(length(text) AS BIGINT) AS uncomp_size, TRUE AS crc_ok, text
       |  FROM d WHERE doc_id % 2 = 0
       |  UNION ALL
-      |  SELECT doc_id, 'zip', 'doc_' || doc_id || '_s.txt', 'stored',
+      |  SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN 'zip64' ELSE 'zip' END,
+      |    'doc_' || doc_id || '_s.txt', 'stored',
       |    CAST(length(text) AS BIGINT), TRUE, text
       |  FROM d WHERE doc_id % 2 = 0
       |  UNION ALL

@@ -25,11 +25,19 @@ import graft.operators.Media
   *  - directory entries (name ends in '/') are skipped — rows are
   *    regular files only
   *
+  *  - Zip64 (r19 — modern data drops routinely exceed 4 GiB or 65k
+  *    entries): masked EOCD fields (0xFFFF / 0xFFFFFFFF) resolve
+  *    through the Zip64 EOCD locator + record, and masked per-entry
+  *    sizes/offsets resolve through the 0x0001 extra field (present-
+  *    if-masked ordering per APPNOTE 4.5.3). Entries above the 2 GiB
+  *    row-cell bound are a named Left — archive cells are row-sized
+  *    by the WARC rule, and a byte array cannot hold more anyway.
+  *
   * ZIP, OUT of scope (documented, Left or skip — never an exception):
-  * Zip64 (entry counts/sizes/offsets of 0xFFFF/0xFFFFFFFF abort with
-  * a Left naming the feature), encryption (general-purpose bit 0),
-  * and methods beyond stored/DEFLATE (bzip2, LZMA, zstd) — each a
-  * per-archive Left, the decodeImages error-channel discipline.
+  * encryption (general-purpose bit 0), multi-disk archives (disk
+  * fields != 0), and methods beyond stored/DEFLATE (bzip2, LZMA,
+  * zstd) — each a per-archive Left, the decodeImages error-channel
+  * discipline.
   *
   * TAR (ustar), IN scope: 512-byte headers (name, octal size, header
   * checksum verified with the checksum field blanked per spec),
@@ -77,7 +85,14 @@ object Archive {
   // --------------------------------------------------------------- ZIP
 
   /** Extract all regular-file entries of a ZIP archive. */
-  def readZip(d: Array[Byte]): Either[String, Seq[EntryRec]] = {
+  def readZip(d: Array[Byte]): Either[String, Seq[EntryRec]] =
+    readZipDetailed(d).map(_._2)
+
+  /** [[readZip]] plus whether the archive used Zip64 framing (a
+    * masked EOCD resolved through the EOCD64 record) — surfaced so
+    * census rows can split the format family.
+    */
+  def readZipDetailed(d: Array[Byte]): Either[String, (Boolean, Seq[EntryRec])] = {
     try Right(readZipInner(d))
     catch {
       case Abort(m) => Left(m)
@@ -86,11 +101,12 @@ object Archive {
     }
   }
 
-  private def readZipInner(d: Array[Byte]): Seq[EntryRec] = {
+  private def readZipInner(d: Array[Byte]): (Boolean, Seq[EntryRec]) = {
     def u16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
     def u32(o: Int): Long =
       (d(o) & 0xffL) | ((d(o + 1) & 0xffL) << 8) |
         ((d(o + 2) & 0xffL) << 16) | ((d(o + 3) & 0xffL) << 24)
+    def u64(o: Int): Long = u32(o) | (u32(o + 4) << 32)
 
     // EOCD: backward scan over the comment window (<= 64 KiB + 22)
     val lo = math.max(0, d.length - 65557)
@@ -102,28 +118,71 @@ object Archive {
       p -= 1
     }
     if (eocd < 0) throw Abort("zip: no end-of-central-directory record")
-    val nEntries = u16(eocd + 10)
-    val cdOff = u32(eocd + 16)
-    if (nEntries == 0xffff || cdOff == 0xffffffffL)
-      throw Abort("zip: Zip64 archives are out of scope")
+    var nEntries: Long = u16(eocd + 10)
+    var cdOff: Long = u32(eocd + 16)
+    val zip64 = nEntries == 0xffffL || cdOff == 0xffffffffL
+    if (zip64) {
+      // Zip64 EOCD locator sits immediately before the EOCD record
+      val loc = eocd - 20
+      if (loc < 0 || u32(loc) != 0x07064b50L)
+        throw Abort("zip: masked EOCD without a Zip64 locator")
+      if (u32(loc + 4) != 0L || u32(loc + 16) != 1L)
+        throw Abort("zip: multi-disk Zip64 archives are out of scope")
+      val z64 = u64(loc + 8)
+      if (z64 < 0 || z64 + 56 > loc) throw Abort("zip: Zip64 EOCD offset out of range")
+      val z = z64.toInt
+      if (u32(z) != 0x06064b50L) throw Abort("zip: bad Zip64 EOCD signature")
+      nEntries = u64(z + 32) // total entries, all disks
+      cdOff = u64(z + 48)
+      if (cdOff < 0 || cdOff > d.length) throw Abort("zip: Zip64 directory offset out of range")
+    }
 
     val out = Vector.newBuilder[EntryRec]
     var c = cdOff.toInt
-    var i = 0
+    var i = 0L
     while (i < nEntries) {
       if (u32(c) != 0x02014b50L) throw Abort("zip: bad central-directory signature")
       val flags = u16(c + 8)
       if ((flags & 1) != 0) throw Abort("zip: encrypted entries are out of scope")
       val method = u16(c + 10)
       val crc = u32(c + 16)
-      val compSize = u32(c + 20)
-      val uncompSize = u32(c + 24)
-      if (compSize == 0xffffffffL || uncompSize == 0xffffffffL)
-        throw Abort("zip: Zip64 entry sizes are out of scope")
+      var compSize = u32(c + 20)
+      var uncompSize = u32(c + 24)
       val nameLen = u16(c + 28)
       val extraLen = u16(c + 30)
       val commentLen = u16(c + 32)
-      val localOff = u32(c + 42)
+      var localOff = u32(c + 42)
+      if (compSize == 0xffffffffL || uncompSize == 0xffffffffL ||
+        localOff == 0xffffffffL) {
+        // Zip64 extended-information extra (id 0x0001): only the
+        // MASKED fields appear, in uncomp/comp/offset order
+        var e = c + 46 + nameLen
+        val extraEnd = e + extraLen
+        var found = false
+        while (e + 4 <= extraEnd && !found) {
+          val id = u16(e)
+          val sz = u16(e + 2)
+          if (id == 1) {
+            var q = e + 4
+            val fieldEnd = e + 4 + sz
+            def take64(): Long = {
+              if (q + 8 > fieldEnd) throw Abort("zip: Zip64 extra too short")
+              val v = u64(q); q += 8; v
+            }
+            if (uncompSize == 0xffffffffL) uncompSize = take64()
+            if (compSize == 0xffffffffL) compSize = take64()
+            if (localOff == 0xffffffffL) localOff = take64()
+            found = true
+          } else e += 4 + sz
+        }
+        if (!found) throw Abort("zip: masked entry without a Zip64 extra")
+        // extraction materializes a byte array: entries beyond the
+        // 2 GiB row-cell bound are a named Left, not an allocation
+        if (compSize > Int.MaxValue || uncompSize > Int.MaxValue)
+          throw Abort("zip: Zip64 entry exceeds the 2 GiB row-cell bound")
+        if (localOff > Int.MaxValue || localOff < 0)
+          throw Abort("zip: Zip64 local offset out of range")
+      }
       val name = new String(d, c + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
       c += 46 + nameLen + extraLen + commentLen
       i += 1
@@ -146,7 +205,7 @@ object Archive {
         out += EntryRec(name, methodName, compSize, uncompSize, check.getValue == crc, bytes)
       }
     }
-    out.result()
+    (zip64, out.result())
   }
 
   private def inflateRaw(raw: Array[Byte], expect: Int): Array[Byte] = {
@@ -168,11 +227,17 @@ object Archive {
   }
 
   /** Build a ZIP archive: local headers with up-front sizes, raw
-    * DEFLATE or stored per entry, central directory + EOCD. The
+    * DEFLATE or stored per entry, central directory + EOCD. With
+    * `zip64 = true` (r19) the central records mask sizes/offsets to
+    * 0xFFFFFFFF with 0x0001 extras and the EOCD masks through a
+    * Zip64 EOCD record + locator — spec-valid regardless of actual
+    * sizes (APPNOTE makes masking the trigger, not the values), so
+    * small fixtures exercise the exact walk a 4 GiB drop needs. The
     * `Media.toArchives` adapter / fixture substrate (decode path is
     * the independent python `zipfile` fixture's job).
     */
-  def zipBytes(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+  def zipBytes(entries: Seq[(String, Array[Byte], Boolean)],
+      zip64: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     def u32(v: Long): Unit = {
@@ -206,19 +271,39 @@ object Archive {
       out.write(nameB); out.write(stored)
       Central(nameB, if (deflate) 8 else 0, crc.getValue, stored.length, data.length, off)
     }
+    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32(v >>> 32) }
     val cdStart = out.size()
     centrals.foreach { ce =>
-      u32(0x02014b50L); u16(20); u16(20); u16(0); u16(ce.method)
+      u32(0x02014b50L); u16(if (zip64) 45 else 20); u16(if (zip64) 45 else 20)
+      u16(0); u16(ce.method)
       u16(0); u16(0)
-      u32(ce.crc); u32(ce.comp.toLong); u32(ce.uncomp.toLong)
-      u16(ce.name.length); u16(0); u16(0); u16(0); u16(0)
-      u32(0L); u32(ce.off.toLong)
+      u32(ce.crc)
+      if (zip64) { u32(0xffffffffL); u32(0xffffffffL) }
+      else { u32(ce.comp.toLong); u32(ce.uncomp.toLong) }
+      u16(ce.name.length); u16(if (zip64) 28 else 0); u16(0); u16(0); u16(0)
+      u32(0L); u32(if (zip64) 0xffffffffL else ce.off.toLong)
       out.write(ce.name)
+      if (zip64) { // 0x0001 extra: uncomp, comp, offset (all masked)
+        u16(1); u16(24)
+        u64(ce.uncomp.toLong); u64(ce.comp.toLong); u64(ce.off.toLong)
+      }
     }
     val cdSize = out.size() - cdStart
-    u32(0x06054b50L); u16(0); u16(0)
-    u16(centrals.size); u16(centrals.size)
-    u32(cdSize.toLong); u32(cdStart.toLong); u16(0)
+    if (zip64) {
+      val z64At = out.size()
+      u32(0x06064b50L); u64(44L) // record size after this field
+      u16(45); u16(45); u32(0L); u32(0L)
+      u64(centrals.size.toLong); u64(centrals.size.toLong)
+      u64(cdSize.toLong); u64(cdStart.toLong)
+      u32(0x07064b50L); u32(0L); u64(z64At.toLong); u32(1L) // locator
+      u32(0x06054b50L); u16(0); u16(0)
+      u16(0xffff); u16(0xffff)
+      u32(0xffffffffL); u32(0xffffffffL); u16(0)
+    } else {
+      u32(0x06054b50L); u16(0); u16(0)
+      u16(centrals.size); u16(centrals.size)
+      u32(cdSize.toLong); u32(cdStart.toLong); u16(0)
+    }
     out.toByteArray
   }
 
@@ -341,9 +426,12 @@ object Archive {
       .map { case (id, text) =>
         val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         if (id % 2 == 0)
-          Media.MediaRecord(id, "archive", "zip", zipBytes(Seq(
-            (s"doc_${id}_d.txt", bytes, true),
-            (s"doc_${id}_s.txt", bytes, false))))
+          // r19: every other zip rides Zip64 framing (masked EOCD +
+          // 0x0001 extras) — same entries, the modern-drop walk
+          Media.MediaRecord(id, "archive", if (id % 4 == 0) "zip64" else "zip",
+            zipBytes(Seq(
+              (s"doc_${id}_d.txt", bytes, true),
+              (s"doc_${id}_s.txt", bytes, false)), zip64 = id % 4 == 0))
         else
           Media.MediaRecord(id, "archive", "tar", tarBytes(Seq((s"doc_$id.txt", bytes))))
       }
@@ -359,7 +447,10 @@ object Archive {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val parsed: Either[String, (String, Seq[EntryRec])] =
-        if (sniffZip(m.data)) readZip(m.data).map(("zip", _))
+        if (sniffZip(m.data))
+          readZipDetailed(m.data).map { case (z64, es) =>
+            (if (z64) "zip64" else "zip", es)
+          }
         else if (sniffTar(m.data)) readTar(m.data).map(("tar", _))
         else Left("archive: unrecognized container magic")
       parsed match {

@@ -39,6 +39,37 @@ class ArchiveSpec extends AnyFunSuite {
     assert(entries(0).comp_size < entries(0).uncomp_size)
   }
 
+  test("zip64 round trip: masked central records + EOCD64 resolve identically") {
+    val entries = Seq(
+      ("a.txt", alpha, true),
+      ("b/stored.bin", gamma.getBytes("US-ASCII"), false))
+    val classic = Archive.readZipDetailed(Archive.zipBytes(entries)).toOption.get
+    val z64 = Archive.readZipDetailed(Archive.zipBytes(entries, zip64 = true)).toOption.get
+    assert(!classic._1 && z64._1, "zip64 flag must reflect the framing")
+    // same extracted entries through both framings
+    assert(z64._2.map(e => (e.entry_name, e.method, e.uncomp_size, e.crc_ok)) ===
+      classic._2.map(e => (e.entry_name, e.method, e.uncomp_size, e.crc_ok)))
+    assert(z64._2(0).data.toSeq === alpha.toSeq)
+    // malformed zip64: masked EOCD with the locator cut away
+    val raw = Archive.zipBytes(entries, zip64 = true)
+    val noLoc = raw.take(raw.length - 42) ++ raw.takeRight(22) // drop the locator
+    assert(Archive.readZip(noLoc).left.toOption.get.contains("locator"))
+    // every truncation point is a Left, never a throw
+    for (cut <- 0 until raw.length)
+      assert(Archive.readZip(raw.take(cut)).isLeft, s"zip64 cut=$cut")
+  }
+
+  test("python zip64 fixture: skipped 0x5455 extra, 0x0001 resolution, EOCD64") {
+    val (z64, entries) = Archive.readZipDetailed(fixture("sample64.zip")).toOption.get
+    assert(z64)
+    assert(entries.map(_.entry_name) === Seq("a_stored.txt", "b_deflate.txt"))
+    assert(entries.map(_.method) === Seq("stored", "deflate"))
+    assert(new String(entries(0).data, "US-ASCII") === "stored entry payload")
+    assert(new String(entries(1).data, "US-ASCII") ===
+      "deflated entry payload, deflated entry payload")
+    assert(entries.forall(_.crc_ok))
+  }
+
   test("tar round trip: names, sizes, header checksums, block padding") {
     val data = Archive.tarBytes(Seq(
       ("alpha.txt", alpha),
