@@ -942,21 +942,31 @@ object Media {
         // every record carries an Exif APP1 orientation tag (r18):
         // the value rotates doc_id % 7 + 1 so the census gates the
         // APP1/TIFF parse; pixel stats are orientation-invariant, so
-        // every stats oracle is untouched
+        // every stats oracle is untouched. Every THIRD record's APP1
+        // also carries a GPS IFD (r19 — deterministic D-M-S
+        // coordinates, see ExifGps) so the census gates the
+        // media-layer PII surface too.
         val ori = (id % 7 + 1).toInt
-        if (id % 2 == 0) {
-          val g = raster(8)
-          MediaRecord(id, "image", "jpeg", JpegCodec.withExifOrientation(
+        val base =
+          if (id % 2 == 0) {
+            val g = raster(8)
             if (progressive) JpegCodec.encodeJpegProgressiveGray(g, 8 * tw, 8 * th)
             else JpegCodec.encodeJpegGray(g, 8 * tw, 8 * th,
-              restartInterval = if (id % 4 == 0) 2 else 0), ori))
-        } else {
-          val rgb = raster(16).flatMap(v => Array(v, v, v))
-          MediaRecord(id, "image", "jpeg", JpegCodec.withExifOrientation(
+              restartInterval = if (id % 4 == 0) 2 else 0)
+          } else {
+            val rgb = raster(16).flatMap(v => Array(v, v, v))
             if (progressive)
               JpegCodec.encodeJpegProgressive(rgb, 16 * tw, 16 * th, subsample = true)
-            else JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true), ori))
-        }
+            else JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true)
+          }
+        val tagged =
+          if (id % 3 == 0)
+            ExifGps.withExifGps(base, ori,
+              if (id % 2 == 0) "N" else "S",
+              if ((id / 2) % 2 == 0) "E" else "W",
+              id % 324000, (id * 7) % 648000)
+          else JpegCodec.withExifOrientation(base, ori)
+        MediaRecord(id, "image", "jpeg", tagged)
       }
       .toDF()
   }

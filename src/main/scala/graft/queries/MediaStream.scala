@@ -734,6 +734,56 @@ object MediaStream {
       |FROM d
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q253
+  /** Media-layer PII: EXIF GPS surfacing + in-place redaction
+    * (operators.ExifGps) — Quality.piiRedact's image sibling. Every
+    * third jpeg carries a GPS IFD (deterministic D-M-S rationals);
+    * the query extracts the coordinates (integer arcseconds), strips
+    * them, and PROVES the redaction: gps_after_strip must read false
+    * while the orientation tag in the SAME APP1 segment survives —
+    * in-place zeroing, not a segment drop. Every field is a pure
+    * function of doc_id, so the oracle recomputes coordinates, refs,
+    * and the post-strip state.
+    */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.ExifGps
+    Media.toJpeg(t(s, dir, "documents")).as[Media.MediaRecord]
+      .map { m =>
+        val before = ExifGps.extract(m.data)
+        val (scrubbed, stripped) = ExifGps.strip(m.data)
+        val after = ExifGps.extract(scrubbed)
+        val ori = graft.operators.ImageCodec.decode(scrubbed)
+          .toOption.map(_.orientation).getOrElse(0)
+        (m.media_id, before.isDefined,
+          before.map(_.latRef).getOrElse(""), before.map(_.lonRef).getOrElse(""),
+          before.map(_.latArcsec).getOrElse(0L), before.map(_.lonArcsec).getOrElse(0L),
+          stripped, after.isDefined, ori)
+      }
+      .toDF("media_id", "has_gps", "lat_ref", "lon_ref", "lat_arcsec",
+        "lon_arcsec", "stripped", "gps_after_strip", "ori_after_strip")
+      .orderBy(col("media_id"))
+  }
+
+  private val q253Sql =
+    """SELECT doc_id AS media_id,
+      |  doc_id % 3 = 0 AS has_gps,
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN (CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END)
+      |    ELSE '' END AS lat_ref,
+      |  CASE WHEN doc_id % 3 = 0
+      |    THEN (CASE WHEN (doc_id // 2) % 2 = 0 THEN 'E' ELSE 'W' END)
+      |    ELSE '' END AS lon_ref,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 324000 ELSE 0 END
+      |    AS BIGINT) AS lat_arcsec,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7) % 648000 ELSE 0 END
+      |    AS BIGINT) AS lon_arcsec,
+      |  doc_id % 3 = 0 AS stripped,
+      |  FALSE AS gps_after_strip,
+      |  CAST(doc_id % 7 + 1 AS INTEGER) AS ori_after_strip
+      |FROM documents WHERE length(text) > 0
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q111
   /** REAL video decode, hash-gated end-to-end: documents become
     * genuine YUV4MPEG2 streams (Media.toY4m — spec-exact stream
@@ -945,6 +995,7 @@ object MediaStream {
         graft.operators.OggMeta.decode(m.data).toOption else None
       val mp4 = if (graft.operators.Mp4Meta.sniff(m.data))
         graft.operators.Mp4Meta.decode(m.data).toOption else None
+      val gps = graft.operators.ExifGps.hasGps(m.data)
       val arc: Option[Long] = // containers: entry/record counts
         if (graft.sources.Archive.sniffZip(m.data))
           graft.sources.Archive.readZip(m.data).toOption.map(_.size.toLong)
@@ -963,9 +1014,9 @@ object MediaStream {
           mp3.map(_.durationMs).getOrElse(0L) + ogg.map(_.durationMs).getOrElse(0L) +
           mp4.map(_.durationMs).getOrElse(0L),
         img.map(_.orientation.toLong).getOrElse(0L),
-        arc.getOrElse(0L))
+        arc.getOrElse(0L), gps)
     }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "r_ok", "is_err",
-      "px", "ms", "ori", "ents")
+      "px", "ms", "ori", "ents", "gps")
     per.groupBy(col("format"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("i_ok"), 1L).otherwise(0L)).as("img_ok"),
@@ -980,7 +1031,10 @@ object MediaStream {
         // doc_id-rotated APP1 tag; everything else decodes upright (1
         // per accepted image, 0 where no image decoder fired)
         sum(col("ori")).as("ori_sum"),
-        sum(col("ents")).as("ent_sum"))
+        sum(col("ents")).as("ent_sum"),
+        // media-layer PII (r19): jpeg rows with a GPS IFD — the
+        // column a scrub stage gates on before bytes ship
+        sum(when(col("gps"), 1L).otherwise(0L)).as("n_gps"))
       .orderBy(col("format"))
   }
 
@@ -1011,7 +1065,8 @@ object MediaStream {
       |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8, 12) THEN 1
       |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum,
       |  CAST(sum(CASE WHEN b = 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
-      |    WHEN b = 14 THEN len % 4 + 1 ELSE 0 END) AS BIGINT) AS ent_sum
+      |    WHEN b = 14 THEN len % 4 + 1 ELSE 0 END) AS BIGINT) AS ent_sum,
+      |  CAST(sum(CASE WHEN b = 5 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gps
       |FROM (SELECT doc_id, doc_id % 16 AS b,
       |        CASE doc_id % 16 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
@@ -3155,6 +3210,7 @@ object MediaStream {
     "q243_ogg_meta" -> (q243 _),
     "q251_mp4_meta" -> (q251 _),
     "q252_avro_nullable" -> (q252 _),
+    "q253_exif_gps" -> (q253 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
     "q202_silence_segments" -> (q202 _),
@@ -3221,6 +3277,7 @@ object MediaStream {
     "q243_ogg_meta" -> q243Sql,
     "q251_mp4_meta" -> q251Sql,
     "q252_avro_nullable" -> q252Sql,
+    "q253_exif_gps" -> q253Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
     "q202_silence_segments" -> q202Sql,
