@@ -771,9 +771,57 @@ object Media {
           case 1 => (5, 2)
           case _ => (32773, 1)
         }
+        // r19: every fourth record rides the TILED layout (same
+        // pixels, so the q249 text-derived oracle is untouched while
+        // the tile walk gets hash-gated; predictor stays 1 there)
         MediaRecord(id, "image", "tiff",
-          TiffCodec.encodeTiff(px, w, h, spp = 3, compression = compression,
-            predictor = predictor, rowsPerStrip = 2, littleEndian = id % 2 == 0))
+          if (id % 4 == 3)
+            TiffCodec.encodeTiffTiled(px, w, h, spp = 3,
+              compression = compression, littleEndian = id % 2 == 0)
+          else
+            TiffCodec.encodeTiff(px, w, h, spp = 3, compression = compression,
+              predictor = predictor, rowsPerStrip = 2, littleEndian = id % 2 == 0))
+      }
+      .toDF()
+  }
+
+  /** Documents -> REAL tiled palette-color TIFFs (r19),
+    * deterministically: a (L%40+17) x (L%24+17) photometric-3 raster
+    * — multiple 16x16 tiles with padded edges — whose INDICES are the
+    * text bytes repeated/truncated, under the IDENTITY colormap
+    * (entry i = (i,i,i) x257), so every decoded channel equals the
+    * source byte and the q254 oracle recomputes all three means,
+    * min/max, and the dims from the text alone. Even docs strip-
+    * layout palette (single strip), odd docs tiled; compression
+    * rotates doc_id % 3; byte order alternates (doc_id/2) % 2.
+    */
+  def toTiffPalette(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(40)) + lit(17)).cast("int"))
+      .withColumn("h", (pmod(len, lit(24)) + lit(17)).cast("int"))
+      .withColumn("npx", col("w") * col("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, px) =>
+        val identity = Array.tabulate(768)(i => i % 256)
+        val compression = (id % 3) match {
+          case 1 => 5
+          case 2 => 32773
+          case _ => 1
+        }
+        val le = (id / 2) % 2 == 0
+        MediaRecord(id, "image", "tiff",
+          if (id % 2 == 1)
+            TiffCodec.encodeTiffTiled(px, w, h, spp = 1, colormap = identity,
+              compression = compression, littleEndian = le)
+          else
+            TiffCodec.encodeTiffStripPalette(px, w, h, identity,
+              compression = compression, rowsPerStrip = 5, littleEndian = le))
       }
       .toDF()
   }

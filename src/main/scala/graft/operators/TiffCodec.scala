@@ -11,18 +11,26 @@ package graft.operators
   *    types; inline values are left-justified per spec §2)
   *  - 8-bit samples, 1 (gray) or 3 (RGB) samples per pixel, chunky
   *    planar config; PhotometricInterpretation 0 (WhiteIsZero —
-  *    samples inverted for stats), 1, and 2
+  *    samples inverted for stats), 1, 2, and 3 (r19 — palette color,
+  *    the archival-scan staple: 3x256 16-bit ColorMap planes mapped
+  *    to 8-bit via /257, indices resolved per pixel, stats over the
+  *    mapped RGB — the PNG-palette precedent)
   *  - multi-strip rasters (RowsPerStrip + StripOffsets/ByteCounts,
   *    partial last strip), decoded strip by strip in O(strip) memory
+  *  - TILED rasters (r19, spec SS15 — how archival scanners actually
+  *    lay out big pages): TileWidth/TileLength (16-multiples) +
+  *    TileOffsets/ByteCounts, edge tiles padded to full size per
+  *    spec, decoded tile by tile in O(tile) memory — the strip walk
+  *    in 2D, through the same region-emit pass
   *  - Compression 1 (none), 32773 (PackBits), and 5 (TIFF LZW —
   *    MSB-first with EARLY CHANGE, the exact algorithm PDF's
   *    /LZWDecode borrowed, so the decoder is shared with
   *    [[graft.sources.Pdf]]); Predictor 2 (horizontal differencing)
   *
   * OUT of scope (named Lefts): other bit depths, planar config 2,
-  * palette color (photometric 3), CCITT/JPEG-in-TIFF compressions,
-  * tiled TIFFs, and multi-page files beyond the FIRST IFD (the GIF
-  * first-frame rule: census stats want one raster).
+  * CCITT/JPEG-in-TIFF compressions, and multi-page files beyond the
+  * FIRST IFD (the GIF first-frame rule: census stats want one
+  * raster).
   *
   * Malformed input is a Left, never an exception. The independent
   * python fixture (scripts/gen_tiff_fixture.py) pins the decoder.
@@ -101,92 +109,153 @@ object TiffCodec {
     if (compression != 1 && compression != 5 && compression != 32773)
       return Left(s"tiff: compression $compression out of scope")
     val photometric = one(262, 1L).toInt
-    if (photometric > 2 || (photometric == 2) != (spp == 3))
+    if (photometric > 3 ||
+      (photometric == 2) != (spp == 3) || (photometric == 3 && spp != 1))
       return Left(s"tiff: photometric $photometric with $spp samples out of scope")
     if (one(284, 1L) != 1L) return Left("tiff: planar configuration 2 out of scope")
     val predictor = one(317, 1L).toInt
     if (predictor != 1 && predictor != 2)
       return Left(s"tiff: predictor $predictor out of scope")
-    val rowsPerStrip = math.min(one(278, h.toLong), h.toLong).toInt
-    // RowsPerStrip = 0 (or a negative LONG read as Int) would divide by
-    // zero below — ArithmeticException is not in decode()'s catch list,
-    // so it must be a Left here, not a throw
-    if (rowsPerStrip <= 0) return Left(s"tiff: RowsPerStrip $rowsPerStrip out of range")
-    val offsets = vals(273).getOrElse(throw Abort("tiff: no StripOffsets"))
-    val counts = vals(279).getOrElse(throw Abort("tiff: no StripByteCounts"))
-    if (offsets.length != counts.length) return Left("tiff: ragged strip tables")
-    val expectStrips = (h + rowsPerStrip - 1) / rowsPerStrip
-    if (offsets.length != expectStrips)
-      return Left(s"tiff: ${offsets.length} strips for $expectStrips expected")
+    // palette color (r19, the PNG-palette precedent): ColorMap is
+    // 3x256 16-bit planes (all R, all G, all B); entries map to 8-bit
+    // via /257 (0xFFFF -> 255, the round-trip-exact convention)
+    val palette: Array[Array[Int]] =
+      if (photometric != 3) null
+      else {
+        val cm = vals(320).getOrElse(throw Abort("tiff: palette image without a ColorMap"))
+        if (cm.length != 3 * 256) throw Abort(s"tiff: ColorMap carries ${cm.length} of 768 entries")
+        Array.tabulate(3, 256)((c, i) => (cm(c * 256 + i) / 257L).toInt)
+      }
 
-    val rowBytes = w * spp
     val gridX = Array.tabulate(64)(g => (g % 8) * w / 8)
     val gridY = Array.tabulate(64)(g => (g / 8) * h / 8)
     val grays = new Array[Int](64)
     val sums = new Array[Long](3)
     var mn = Int.MaxValue
     var mx = Int.MinValue
-    var y = 0
 
-    for (s <- offsets.indices) {
-      val off = offsets(s).toInt
-      val len = counts(s).toInt
-      if (off + len > d.length) throw Abort("tiff: strip runs past EOF")
-      val raw = java.util.Arrays.copyOfRange(d, off, off + len)
-      val rowsHere = math.min(rowsPerStrip, h - y)
-      val strip = compression match {
-        case 1 => raw
-        case 32773 => packBitsDecode(raw, rowsHere * rowBytes)
-        case _ => graft.sources.Pdf.lzwDecode(raw)
-          .getOrElse(throw Abort("tiff: malformed LZW strip"))
-      }
-      if (strip.length != rowsHere * rowBytes)
-        throw Abort(s"tiff: strip $s decoded ${strip.length} of ${rowsHere * rowBytes} bytes")
+    // one decoded REGION (a strip: full-width rows at x0 = 0; or a
+    // tile: a tw x th block, edge tiles padded to full size per spec)
+    // feeds the same single-pass stats - O(region) memory either way
+    def emitRegion(data: Array[Byte], x0: Int, y0: Int,
+        dataRowBytes: Int, visW: Int, visH: Int): Unit = {
       var r = 0
-      while (r < rowsHere) {
-        val base = r * rowBytes
+      while (r < visH) {
+        val base = r * dataRowBytes
         if (predictor == 2) { // horizontal differencing, per channel
           var x = spp
-          while (x < rowBytes) {
-            strip(base + x) = (strip(base + x) + strip(base + x - spp)).toByte
+          while (x < dataRowBytes) {
+            data(base + x) = (data(base + x) + data(base + x - spp)).toByte
             x += 1
           }
         }
+        val y = y0 + r
+        // channel triple at column x of this row (post-predictor)
+        def c012(x: Int): (Int, Int, Int) = {
+          val px = base + x * spp
+          if (palette != null) {
+            val idx = data(px) & 0xff
+            (palette(0)(idx), palette(1)(idx), palette(2)(idx))
+          } else if (spp == 1) {
+            val v0 = data(px) & 0xff
+            val v = if (photometric == 0) 255 - v0 else v0
+            (v, v, v)
+          } else {
+            def ch(i: Int) = {
+              val rv = data(px + i) & 0xff
+              if (photometric == 0) 255 - rv else rv
+            }
+            (ch(0), ch(1), ch(2))
+          }
+        }
         var x = 0
-        while (x < rowBytes) {
-          val raw0 = strip(base + x) & 0xff
-          val v = if (photometric == 0) 255 - raw0 else raw0
-          sums(x % spp % 3) += v
-          if (spp == 1) { sums(1) += 0; sums(2) += 0 } // gray: single channel
-          if (v < mn) mn = v
-          if (v > mx) mx = v
+        while (x < visW) {
+          val (c0, c1, c2) = c012(x)
+          if (palette != null || spp == 3) {
+            sums(0) += c0; sums(1) += c1; sums(2) += c2
+            if (c0 < mn) mn = c0; if (c1 < mn) mn = c1; if (c2 < mn) mn = c2
+            if (c0 > mx) mx = c0; if (c1 > mx) mx = c1; if (c2 > mx) mx = c2
+          } else {
+            sums(0) += c0
+            if (c0 < mn) mn = c0
+            if (c0 > mx) mx = c0
+          }
           x += 1
         }
+        // grid samples: one 64-way pass PER ROW (not per pixel)
         var g = 0
         while (g < 64) {
-          if (gridY(g) == y) {
-            val px = base + gridX(g) * spp
-            grays(g) =
-              if (spp == 1) {
-                val v = if (photometric == 0) 255 - (strip(px) & 0xff) else strip(px) & 0xff
-                3 * v
-              } else {
-                def ch(i: Int) = {
-                  val rv = strip(px + i) & 0xff
-                  if (photometric == 0) 255 - rv else rv
-                }
-                ch(0) + ch(1) + ch(2)
-              }
+          if (gridY(g) == y && gridX(g) >= x0 && gridX(g) < x0 + visW) {
+            val (c0, c1, c2) = c012(gridX(g) - x0)
+            grays(g) = c0 + c1 + c2
           }
           g += 1
         }
-        y += 1
         r += 1
       }
     }
+
+    def decodeRegion(off: Int, len: Int, expect: Int, what: String): Array[Byte] = {
+      if (off + len > d.length) throw Abort(s"tiff: $what runs past EOF")
+      val raw = java.util.Arrays.copyOfRange(d, off, off + len)
+      val out = compression match {
+        case 1 => raw
+        case 32773 => packBitsDecode(raw, expect)
+        case _ => graft.sources.Pdf.lzwDecode(raw)
+          .getOrElse(throw Abort(s"tiff: malformed LZW $what"))
+      }
+      if (out.length != expect)
+        throw Abort(s"tiff: $what decoded ${out.length} of $expect bytes")
+      out
+    }
+
+    if (entries.contains(322)) {
+      // tiled layout (r19): TileWidth/TileLength must be multiples of
+      // 16 per spec SS15; tile data is ALWAYS full-size (edge tiles
+      // padded), decoded tile by tile in O(tile) memory
+      val tw = one(322, 0L).toInt
+      val th = one(323, throw Abort("tiff: tiled image without TileLength")).toInt
+      if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0)
+        return Left(s"tiff: tile geometry ${tw}x$th out of range")
+      val tOffsets = vals(324).getOrElse(throw Abort("tiff: no TileOffsets"))
+      val tCounts = vals(325).getOrElse(throw Abort("tiff: no TileByteCounts"))
+      if (tOffsets.length != tCounts.length) return Left("tiff: ragged tile tables")
+      val across = (w + tw - 1) / tw
+      val down = (h + th - 1) / th
+      if (tOffsets.length != across * down)
+        return Left(s"tiff: ${tOffsets.length} tiles for ${across * down} expected")
+      val tileRowBytes = tw * spp
+      for (ty <- 0 until down; tx <- 0 until across) {
+        val i = ty * across + tx
+        val tile = decodeRegion(tOffsets(i).toInt, tCounts(i).toInt,
+          tileRowBytes * th, s"tile $i")
+        emitRegion(tile, tx * tw, ty * th, tileRowBytes,
+          math.min(tw, w - tx * tw), math.min(th, h - ty * th))
+      }
+    } else {
+      val rowsPerStrip = math.min(one(278, h.toLong), h.toLong).toInt
+      // RowsPerStrip = 0 (or a negative LONG read as Int) would divide
+      // by zero below — ArithmeticException is not in decode()'s catch
+      // list, so it must be a Left here, not a throw
+      if (rowsPerStrip <= 0) return Left(s"tiff: RowsPerStrip $rowsPerStrip out of range")
+      val offsets = vals(273).getOrElse(throw Abort("tiff: no StripOffsets"))
+      val counts = vals(279).getOrElse(throw Abort("tiff: no StripByteCounts"))
+      if (offsets.length != counts.length) return Left("tiff: ragged strip tables")
+      val expectStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+      if (offsets.length != expectStrips)
+        return Left(s"tiff: ${offsets.length} strips for $expectStrips expected")
+      val rowBytes = w * spp
+      for (s <- offsets.indices) {
+        val rowsHere = math.min(rowsPerStrip, h - s * rowsPerStrip)
+        val strip = decodeRegion(offsets(s).toInt, counts(s).toInt,
+          rowsHere * rowBytes, s"strip $s")
+        emitRegion(strip, 0, s * rowsPerStrip, rowBytes, w, rowsHere)
+      }
+    }
+
     val nPx = w.toLong * h
     val stats =
-      if (spp == 1) {
+      if (spp == 1 && palette == null) {
         val m = sums(0).toDouble / nPx
         ImageStats("tiff", w, h, 1, 255, nPx, m, m, m, mn, mx)
       } else ImageStats("tiff", w, h, 3, 255, nPx,
@@ -357,6 +426,202 @@ object TiffCodec {
         // SHORT inline: left-justified in the 4-byte cell
         w16(e.value.toInt); w16(0)
       } else w32(e.value)
+    }
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** STRIP-layout palette-color encoder (r19): the classic
+    * RowsPerStrip walk with photometric 3 and a ColorMap — pairs with
+    * [[encodeTiffTiled]]'s palette mode so both layouts cover the
+    * palette path. Indices are spp = 1 bytes; colormap entries 0..255
+    * stored x257.
+    */
+  def encodeTiffStripPalette(
+      indices: Array[Byte], w: Int, h: Int, colormap: Array[Int],
+      compression: Int = 1, rowsPerStrip: Int = 2,
+      littleEndian: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeTiffStripPalette: bad dimensions ${w}x$h")
+    require(colormap.length == 768, "encodeTiffStripPalette: colormap needs 256 RGB triples")
+    require(indices.length == w * h, "encodeTiffStripPalette: raster length mismatch")
+    require(Set(1, 5, 32773).contains(compression),
+      s"encodeTiffStripPalette: compression $compression")
+
+    val rowBytes = w
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { st =>
+      val rows = math.min(rowsPerStrip, h - st * rowsPerStrip)
+      val raw = java.util.Arrays.copyOfRange(
+        indices, st * rowsPerStrip * rowBytes, (st * rowsPerStrip + rows) * rowBytes)
+      compression match {
+        case 1 => raw
+        case 32773 =>
+          val o = new java.io.ByteArrayOutputStream()
+          var r = 0
+          while (r < rows) {
+            o.write(packBitsEncode(java.util.Arrays.copyOfRange(
+              raw, r * rowBytes, (r + 1) * rowBytes)))
+            r += 1
+          }
+          o.toByteArray
+        case _ => graft.sources.Pdf.lzwEncode(raw)
+      }
+    }
+
+    val out = new java.io.ByteArrayOutputStream(indices.length + 2048)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (littleEndian) { b(v); b(v >> 8) } else { b(v >> 8); b(v) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { b(v.toInt); b((v >> 8).toInt); b((v >> 16).toInt); b((v >> 24).toInt) }
+      else { b((v >> 24).toInt); b((v >> 16).toInt); b((v >> 8).toInt); b(v.toInt) }
+
+    if (littleEndian) { b('I'); b('I'); b(42); b(0) } else { b('M'); b('M'); b(0); b(42) }
+    val dataStart = 8
+    val stripOffs = strips.scanLeft(dataStart)(_ + _.length).init
+    val afterData = dataStart + strips.map(_.length).sum
+    val needTables = nStrips > 1
+    val offTable = afterData
+    val cntTable = offTable + (if (needTables) 4 * nStrips else 0)
+    val cmTable = cntTable + (if (needTables) 4 * nStrips else 0)
+    val ifdStart = cmTable + 1536
+    w32(ifdStart.toLong)
+    strips.foreach(out.write)
+    if (needTables) {
+      stripOffs.foreach(o => w32(o.toLong))
+      strips.foreach(st => w32(st.length.toLong))
+    }
+    colormap.foreach(v => w16(v * 257))
+
+    case class Entry(tag: Int, tpe: Int, count: Int, value: Long)
+    val entries = Seq(
+      Entry(256, 4, 1, w.toLong),
+      Entry(257, 4, 1, h.toLong),
+      Entry(258, 3, 1, 8L),
+      Entry(259, 3, 1, compression.toLong),
+      Entry(262, 3, 1, 3L),
+      if (needTables) Entry(273, 4, nStrips, offTable.toLong)
+      else Entry(273, 4, 1, stripOffs.head.toLong),
+      Entry(277, 3, 1, 1L),
+      Entry(278, 4, 1, rowsPerStrip.toLong),
+      if (needTables) Entry(279, 4, nStrips, cntTable.toLong)
+      else Entry(279, 4, 1, strips.head.length.toLong),
+      Entry(320, 3, 768, cmTable.toLong))
+
+    w16(entries.length)
+    entries.foreach { e =>
+      w16(e.tag); w16(e.tpe); w32(e.count.toLong)
+      if (e.tpe == 3 && e.count == 1) { w16(e.value.toInt); w16(0) }
+      else w32(e.value)
+    }
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** Deterministic TILED-tiff encoder (r19), optionally palette-color:
+    * `colormap` (256 RGB triples, 0..255, stored x257 as 16-bit
+    * planes) switches photometric to 3 with `pixels` as indices
+    * (spp = 1). Tile dims must be 16-multiples per spec SS15; edge
+    * tiles are padded with zero bytes to full size, as the spec
+    * requires. PackBits restarts per tile ROW; LZW codes each tile
+    * whole. The fixture / `Media.toTiffPalette` substrate.
+    */
+  def encodeTiffTiled(
+      pixels: Array[Byte], w: Int, h: Int, spp: Int,
+      colormap: Array[Int] = null,
+      tileW: Int = 16, tileH: Int = 16,
+      compression: Int = 1, littleEndian: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeTiffTiled: bad dimensions ${w}x$h")
+    require(spp == 1 || spp == 3, s"encodeTiffTiled: bad samples/pixel $spp")
+    require(colormap == null || (spp == 1 && colormap.length == 768),
+      "encodeTiffTiled: colormap needs spp 1 and 256 RGB triples")
+    require(pixels.length == w * h * spp, "encodeTiffTiled: raster length mismatch")
+    require(tileW > 0 && tileH > 0 && tileW % 16 == 0 && tileH % 16 == 0,
+      s"encodeTiffTiled: tile dims ${tileW}x$tileH must be 16-multiples")
+    require(Set(1, 5, 32773).contains(compression), s"encodeTiffTiled: compression $compression")
+
+    val across = (w + tileW - 1) / tileW
+    val down = (h + tileH - 1) / tileH
+    val tileRowBytes = tileW * spp
+    val tiles = (for (ty <- 0 until down; tx <- 0 until across) yield {
+      val raw = new Array[Byte](tileRowBytes * tileH) // zero padding per spec
+      var r = 0
+      while (r < tileH) {
+        val y = ty * tileH + r
+        if (y < h) {
+          val visW = math.min(tileW, w - tx * tileW)
+          System.arraycopy(pixels, (y * w + tx * tileW) * spp,
+            raw, r * tileRowBytes, visW * spp)
+        }
+        r += 1
+      }
+      compression match {
+        case 1 => raw
+        case 32773 =>
+          val o = new java.io.ByteArrayOutputStream()
+          var r2 = 0
+          while (r2 < tileH) {
+            o.write(packBitsEncode(java.util.Arrays.copyOfRange(
+              raw, r2 * tileRowBytes, (r2 + 1) * tileRowBytes)))
+            r2 += 1
+          }
+          o.toByteArray
+        case _ => graft.sources.Pdf.lzwEncode(raw)
+      }
+    }).toIndexedSeq
+
+    val out = new java.io.ByteArrayOutputStream(pixels.length + 2048)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (littleEndian) { b(v); b(v >> 8) } else { b(v >> 8); b(v) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { b(v.toInt); b((v >> 8).toInt); b((v >> 16).toInt); b((v >> 24).toInt) }
+      else { b((v >> 24).toInt); b((v >> 16).toInt); b((v >> 8).toInt); b(v.toInt) }
+
+    if (littleEndian) { b('I'); b('I'); b(42); b(0) } else { b('M'); b('M'); b(0); b(42) }
+    // layout: header(8) | tile data | [tile tables] | [bps] | [colormap] | IFD
+    val nTiles = tiles.length
+    val dataStart = 8
+    val tileOffs = tiles.scanLeft(dataStart)(_ + _.length).init
+    val afterData = dataStart + tiles.map(_.length).sum
+    val needTables = nTiles > 1
+    val offTable = afterData
+    val cntTable = offTable + (if (needTables) 4 * nTiles else 0)
+    val bpsTable = cntTable + (if (needTables) 4 * nTiles else 0)
+    val cmTable = bpsTable + (if (spp == 3) 6 else 0)
+    val ifdStart = cmTable + (if (colormap != null) 1536 else 0)
+    w32(ifdStart.toLong)
+    tiles.foreach(out.write)
+    if (needTables) {
+      tileOffs.foreach(o => w32(o.toLong))
+      tiles.foreach(t => w32(t.length.toLong))
+    }
+    if (spp == 3) { w16(8); w16(8); w16(8) }
+    if (colormap != null) colormap.foreach(v => w16(v * 257))
+
+    case class Entry(tag: Int, tpe: Int, count: Int, value: Long)
+    val photometric = if (colormap != null) 3L else if (spp == 3) 2L else 1L
+    val entries = Seq(
+      Entry(256, 4, 1, w.toLong),
+      Entry(257, 4, 1, h.toLong),
+      if (spp == 3) Entry(258, 3, 3, bpsTable.toLong) else Entry(258, 3, 1, 8L),
+      Entry(259, 3, 1, compression.toLong),
+      Entry(262, 3, 1, photometric),
+      Entry(277, 3, 1, spp.toLong)) ++
+      (if (colormap != null) Seq(Entry(320, 3, 768, cmTable.toLong)) else Nil) ++
+      Seq(
+        Entry(322, 4, 1, tileW.toLong),
+        Entry(323, 4, 1, tileH.toLong),
+        if (needTables) Entry(324, 4, nTiles, offTable.toLong)
+        else Entry(324, 4, 1, tileOffs.head.toLong),
+        if (needTables) Entry(325, 4, nTiles, cntTable.toLong)
+        else Entry(325, 4, 1, tiles.head.length.toLong))
+
+    w16(entries.length)
+    entries.foreach { e =>
+      w16(e.tag); w16(e.tpe); w32(e.count.toLong)
+      if (e.tpe == 3 && e.count == 1) { w16(e.value.toInt); w16(0) }
+      else w32(e.value)
     }
     w32(0L) // no next IFD
     out.toByteArray

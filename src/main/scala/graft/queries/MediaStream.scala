@@ -1169,6 +1169,56 @@ object MediaStream {
       |FROM r
       |ORDER BY media_id, rec_idx""".stripMargin
 
+  // --------------------------------------------------------------- q254
+  /** Tiled + palette-color TIFF (the r19 TiffCodec extensions),
+    * hash-gated end-to-end: documents become photometric-3 rasters —
+    * odd docs TILED (16x16 grid, zero-padded edges), even docs the
+    * classic strip walk, all three compressions, both byte orders —
+    * whose indices are the text bytes under the IDENTITY colormap, so
+    * the oracle recomputes every stat from the text alone (decoded
+    * channel == source byte). A tile-origin slip, a padded-edge leak
+    * into the stats, or a colormap plane mix-up all hash-fail.
+    */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toTiffPalette(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"), trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"), col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q254Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 40 + 17 AS INTEGER) AS w,
+      |    CAST(length(text) % 24 + 17 AS INTEGER) AS h
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT doc_id, w, h, w*h AS npx,
+      |    substring(repeat(text, CAST(ceil(CAST(w*h AS DOUBLE) / len) AS INTEGER)),
+      |              1, w*h) AS px
+      |  FROM d),
+      |b AS (
+      |  SELECT doc_id, w, h, npx,
+      |    list_transform(range(1, npx + 1),
+      |      i -> unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)])) AS bytes
+      |  FROM p)
+      |SELECT doc_id AS media_id, 'tiff' AS codec, w AS width, h AS height,
+      |  CAST(3 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+      |  CAST(npx AS BIGINT) AS n_pixels,
+      |  floor(list_avg(bytes) * 1e6) / 1e6 AS r_mean,
+      |  floor(list_avg(bytes) * 1e6) / 1e6 AS g_mean,
+      |  floor(list_avg(bytes) * 1e6) / 1e6 AS b_mean,
+      |  CAST(list_min(bytes) AS INTEGER) AS px_min,
+      |  CAST(list_max(bytes) AS INTEGER) AS px_max
+      |FROM b
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q252
   /** Nullable-union + array Avro schemas (the r19 extension): the
     * default way real warehouse exports mark optional fields is
@@ -3211,6 +3261,7 @@ object MediaStream {
     "q251_mp4_meta" -> (q251 _),
     "q252_avro_nullable" -> (q252 _),
     "q253_exif_gps" -> (q253 _),
+    "q254_tiff_palette" -> (q254 _),
     "q111_video_decode" -> (q111 _),
     "q201_scene_cuts" -> (q201 _),
     "q202_silence_segments" -> (q202 _),
@@ -3278,6 +3329,7 @@ object MediaStream {
     "q251_mp4_meta" -> q251Sql,
     "q252_avro_nullable" -> q252Sql,
     "q253_exif_gps" -> q253Sql,
+    "q254_tiff_palette" -> q254Sql,
     "q111_video_decode" -> q111Sql,
     "q201_scene_cuts" -> q201Sql,
     "q202_silence_segments" -> q202Sql,

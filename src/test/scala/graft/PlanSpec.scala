@@ -792,7 +792,9 @@ class PlanSpec extends SparkSpec {
       "mp4" -> graft.operators.Media.decodeMp4Meta(
         graft.operators.Media.toMp4(docs).as[graft.operators.Media.MediaRecord]).toDF(),
       "avro_nullable" -> graft.sources.Avro.listDocRecords(
-        graft.sources.Avro.toAvroNullable(docs).as[graft.operators.Media.MediaRecord]))
+        graft.sources.Avro.toAvroNullable(docs).as[graft.operators.Media.MediaRecord]),
+      "tiff_palette" -> graft.operators.Media.decodeImages(
+        graft.operators.Media.toTiffPalette(docs).as[graft.operators.Media.MediaRecord]).toDF())
     for ((name, df) <- plans) {
       val raw = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!raw.contains("Exchange"), s"$name encode+decode shuffled — must be map-only")
