@@ -676,6 +676,42 @@ object Pipeline {
       keepHistory, absorbBatchId = Some(batchId))
   }
 
+  /** [[absorbAnnBatch]] at CHUNK granularity (r19, the q232 lifecycle
+    * driven by the streaming loop): the batch of DOCUMENTS is sliding-
+    * window chunked ([[graft.operators.Retrieval.chunkSliding]]),
+    * chunk vids composed by the canonical
+    * [[graft.operators.Retrieval.chunkVid]] rule, chunks encoded
+    * through the FROZEN model boundary, and the result absorbed as
+    * one O(batch) delta segment, batch-id-idempotently. This is the
+    * exact per-micro-batch body of
+    * [[graft.streaming.EventStreams.chunkAnnIngestStream]] — query
+    * gates over this function gate the stream's absorb path too.
+    * Returns the live pair dir (unchanged on a replayed batch id or
+    * an empty chunk set).
+    */
+  def absorbChunkAnnBatch(
+      spark: SparkSession,
+      publishDir: String,
+      batchId: Long,
+      docsBatch: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      encoder: graft.operators.Encode.BatchEncoder,
+      winTokens: Int,
+      stride: Int,
+      keepHistory: Int = 5): String = {
+    val chunks = graft.operators.Retrieval
+      .chunkSliding(docsBatch, idCol, textCol, winTokens, stride)
+      .select(graft.operators.Retrieval.chunkVid(idCol).as("vid"), col("chunk"))
+    if (chunks.limit(1).isEmpty)
+      readCurrentAnn(publishDir).getOrElse(throw new IllegalStateException(
+        s"absorbChunkAnnBatch: no current ANN pair under $publishDir — publishAnn must run first"))
+    else {
+      val vecs = graft.operators.Encode.encodeWithModel(chunks, "vid", "chunk", encoder)
+      absorbAnnBatch(spark, publishDir, batchId, vecs, "vid", "embedding", keepHistory)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Segmented POSTINGS index lifecycle — the retrieval analog of the
   // ANN pair protocol above, for the inverted index Retrieval.postings

@@ -85,6 +85,16 @@ object Retrieval {
     * (chunk → embedding) and the postings builders (chunk-level
     * retrieval) directly, partitioning preserved.
     */
+  /** Canonical chunk vector id over [[chunkSliding]] output:
+    * 1000000 + doc_id * 1000 + chunk_id — disjoint from doc-id space
+    * and stable across batch AND streaming builds (q224/q232/q255 and
+    * [[graft.streaming.EventStreams.chunkAnnIngestStream]] must all
+    * compose it identically or stream-fed and batch-built chunk
+    * indexes silently diverge).
+    */
+  def chunkVid(idCol: String): org.apache.spark.sql.Column =
+    lit(1000000L) + col(idCol) * 1000 + col("chunk_id")
+
   def chunkSliding(
       df: DataFrame,
       idCol: String,

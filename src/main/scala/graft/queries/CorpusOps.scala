@@ -2704,8 +2704,7 @@ object CorpusOps {
     val enc = new graft.operators.Encode.HashingTrickEncoder(dims = 16)
     val chunks = graft.operators.Retrieval
       .chunkSliding(docs, "doc_id", "text", winTokens = 32, stride = 24)
-      .select((lit(1000000L) + col("doc_id") * 1000 + col("chunk_id")).as("vid"),
-        col("chunk"))
+      .select(graft.operators.Retrieval.chunkVid("doc_id").as("vid"), col("chunk"))
     val corpus = graft.operators.Encode.encodeWithModel(chunks, "vid", "chunk", enc)
     // query side filtered BEFORE the boundary (the q131 rewrite rule)
     val queries = graft.operators.Encode.encodeWithModel(
@@ -2781,8 +2780,7 @@ object CorpusOps {
     val enc = new graft.operators.Encode.HashingTrickEncoder(dims = 16)
     val chunks = graft.operators.Retrieval
       .chunkSliding(docs, "doc_id", "text", winTokens = 32, stride = 24)
-      .select((lit(1000000L) + col("doc_id") * 1000 + col("chunk_id")).as("vid"),
-        col("chunk"))
+      .select(graft.operators.Retrieval.chunkVid("doc_id").as("vid"), col("chunk"))
     // the chunk corpus feeds three consumers (codebook collect, probe
     // index, exact truth) — checkpoint once, never re-encode
     val corpus = graft.operators.Encode.encodeWithModel(chunks, "vid", "chunk", enc)
@@ -2929,8 +2927,7 @@ object CorpusOps {
     val enc = new graft.operators.Encode.HashingTrickEncoder(dims = 16)
     val chunks = graft.operators.Retrieval
       .chunkSliding(docs, "doc_id", "text", winTokens = 32, stride = 24)
-      .select((lit(1000000L) + col("doc_id") * 1000 + col("chunk_id")).as("vid"),
-        col("chunk"))
+      .select(graft.operators.Retrieval.chunkVid("doc_id").as("vid"), col("chunk"))
     val corpus = graft.operators.Encode.encodeWithModel(chunks, "vid", "chunk", enc)
       .localCheckpoint(true)
     val queries = graft.operators.Encode.encodeWithModel(
@@ -3070,6 +3067,100 @@ object CorpusOps {
        |  UNION ALL SELECT 'compact' AS stage, * FROM ranked_live
        |  UNION ALL SELECT 'live' AS stage, * FROM ranked_live)
        |ORDER BY stage, query_id, rank""".stripMargin
+  }
+
+  // --------------------------------------------------------------- q255
+  /** Chunk-level ANN STREAMING ABSORB (r19, verdict #8): q232's
+    * lifecycle driven through the stream's own per-batch body —
+    * day-1 even-doc chunks publish the pair (frozen coarse + PQ
+    * model), then day-2 odd docs arrive as TWO document micro-
+    * batches absorbed via Pipeline.absorbChunkAnnBatch (chunking,
+    * canonical chunk vids, frozen-model encode, one O(batch) delta
+    * segment each — EXACTLY what EventStreams.chunkAnnIngestStream
+    * runs per micro-batch; ChunkAnnIngestStreamSpec pins stream ≡
+    * this sequence), with batch 1 REPLAYED in-query — the
+    * idempotence skip must hold or the live index double-counts and
+    * the hash gate fails. The post-absorb probe must equal q232's
+    * live stage: the oracle recomputes chunking, vectors, frozen
+    * codebooks, probe selection and ADC sums from the documents
+    * table alone.
+    */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val enc = new graft.operators.Encode.HashingTrickEncoder(dims = 16)
+    val day1Docs = docs.filter(col("doc_id") % 2 === 0)
+    val chunks1 = graft.operators.Retrieval
+      .chunkSliding(day1Docs, "doc_id", "text", winTokens = 32, stride = 24)
+      .select(graft.operators.Retrieval.chunkVid("doc_id").as("vid"), col("chunk"))
+    val day1 = graft.operators.Encode.encodeWithModel(chunks1, "vid", "chunk", enc)
+      .localCheckpoint(true)
+    val queries = graft.operators.Encode.encodeWithModel(
+        docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("vid"), col("text")), "vid", "text", enc)
+      .localCheckpoint(true)
+    if (day1.limit(1).isEmpty) {
+      val r = Similarity.emptyAnnResult(queries, "vid")
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("approx_d2"))
+      graft.Checkpoints.release(day1)
+      graft.Checkpoints.release(queries)
+      return r
+    }
+    def firstVecs(n: Int): Array[Array[Double]] =
+      day1.orderBy(col("vid")).limit(n)
+        .select(Similarity.asDoubleVec(col("embedding")))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val coarse = firstVecs(8)
+    val sample = firstVecs(16)
+    val subDim = sample(0).length / 4
+    val codebooks = Array.tabulate(4)(m =>
+      sample.map(_.slice(m * subDim, (m + 1) * subDim)))
+    val publishDir = java.nio.file.Files.createTempDirectory("q255-ann").toString
+    graft.changesets.Pipeline.publishAnn(
+      s, publishDir, "chunks-day1",
+      Similarity.ivfPqIndex(day1, "vid", "embedding", coarse, codebooks),
+      coarse, codebooks)
+    // day 2 as two DOCUMENT micro-batches through the stream's body
+    def absorb(batchId: Long, m: Int): String =
+      graft.changesets.Pipeline.absorbChunkAnnBatch(
+        s, publishDir, batchId, docs.filter(col("doc_id") % 4 === m),
+        "doc_id", "text", enc, winTokens = 32, stride = 24)
+    absorb(0L, 1)
+    val cur = absorb(1L, 3)
+    // at-least-once replay: the committed batch id must skip
+    val replayed = absorb(1L, 3)
+    require(replayed == cur,
+      "q255 precondition: replaying an absorbed batch id must be a no-op")
+    val model = graft.operators.AnnModel.load(
+      s, graft.changesets.Pipeline.annModelDir(cur))
+    val liveIdx = graft.changesets.Pipeline.readAnnIndex(s, cur).localCheckpoint(true)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(publishDir))
+    val out = Similarity.ivfPqProbe(queries, liveIdx, "vid", "embedding", k = 5,
+        coarse = model.coarse, codebooks = model.codebooks, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("approx_d2"))
+      .orderBy(col("query_id"), col("rank"))
+      .localCheckpoint(true)
+    Seq(day1, queries, liveIdx).foreach(graft.Checkpoints.release)
+    out
+  }
+
+  /** q232's oracle restricted to the live stage (the post-absorb
+    * index covers the full chunk corpus; same frozen-model CTEs).
+    */
+  private val q255Sql = {
+    val replaced = q232Sql.replace(
+      """SELECT stage, query_id, neighbor_id, rank, round(approx, 9) AS approx_d2 FROM (
+        |  SELECT 'asof' AS stage, * FROM ranked_asof
+        |  UNION ALL SELECT 'compact' AS stage, * FROM ranked_live
+        |  UNION ALL SELECT 'live' AS stage, * FROM ranked_live)
+        |ORDER BY stage, query_id, rank""".stripMargin,
+      """SELECT query_id, neighbor_id, rank, round(approx, 9) AS approx_d2
+        |FROM ranked_live
+        |ORDER BY query_id, rank""".stripMargin)
+    require(replaced != q232Sql, "q255Sql: q232Sql tail changed — update the replace")
+    replaced
   }
 
   // --------------------------------------------------------------- q132
@@ -3524,6 +3615,7 @@ object CorpusOps {
     "q224_rag_chunk_retrieval" -> (q224 _),
     "q228_rag_ann_recall" -> (q228 _),
     "q232_chunk_ann_lifecycle" -> (q232 _),
+    "q255_chunk_ann_absorb" -> (q255 _),
     "q49_dedup_clusters" -> (q49 _),
     "q41_ann_ivf" -> (q41 _),
     "q27_dedup_exact" -> (q27 _),
@@ -3597,6 +3689,7 @@ object CorpusOps {
     "q224_rag_chunk_retrieval" -> q224Sql,
     "q228_rag_ann_recall" -> q228Sql,
     "q232_chunk_ann_lifecycle" -> q232Sql,
+    "q255_chunk_ann_absorb" -> q255Sql,
     "q49_dedup_clusters" -> q49Sql,
     "q41_ann_ivf" -> q41Sql,
     "q27_dedup_exact" -> q27Sql,

@@ -432,6 +432,39 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming CHUNK-level ANN ingest (r19, verdict #8) — the q232
+    * chunk-index lifecycle driven by the same daily-drop loop the
+    * doc-level index rides: each micro-batch of documents is sliding-
+    * window CHUNKED, encoded through the frozen model boundary, and
+    * absorbed as one O(batch) delta segment
+    * ([[graft.changesets.Pipeline.absorbChunkAnnBatch]] — the shared
+    * per-batch body, so the q255 query gate and this stream exercise
+    * one code path; [[graft.operators.Retrieval.chunkVid]] keeps the
+    * vid rule identical to every batch build). Delivery and
+    * bootstrap semantics are [[annIngestStream]]'s: at-least-once
+    * replay absorbs a batch once, publishAnn must have published the
+    * day-1 pair.
+    */
+  def chunkAnnIngestStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      encoder: graft.operators.Encode.BatchEncoder,
+      winTokens: Int,
+      stride: Int,
+      publishDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.changesets.Pipeline.absorbChunkAnnBatch(
+            batch.sparkSession, publishDir, batchId, batch.toDF(), idCol, textCol,
+            encoder, winTokens, stride): Unit
+        }
+      }
+      .start()
+
   /** Streaming retrieval-index ingest — the postings twin of
     * [[annIngestStream]]: each micro-batch of documents tokenizes into
     * one O(batch) delta segment absorbed batch-id-idempotently into
