@@ -508,6 +508,79 @@ object Media {
       .toDF()
   }
 
+  /** Typed per-payload WebM/Matroska container metadata
+    * ([[WebmMeta]]) with the standard error-channel shape.
+    */
+  final case class WebmMetaRow(
+      media_id: Long,
+      ok: Boolean,
+      err: String,
+      doc_type: String,
+      timestamp_scale: Long,
+      duration_ms: Long,
+      n_tracks: Int,
+      width: Int,
+      height: Int,
+      video_codec: String,
+      audio_codec: String,
+      audio_hz: Int,
+      audio_channels: Int)
+
+  /** WebM census metadata over the opaque media table — EBML walk
+    * only, no entropy decode (see [[WebmMeta]]); q256 hash-gates the
+    * path.
+    */
+  def decodeWebmMeta(media: Dataset[MediaRecord]): Dataset[WebmMetaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        WebmMeta.decode(m.data) match {
+          case Right(s) =>
+            WebmMetaRow(m.media_id, ok = true, "", s.docType, s.timestampScale,
+              s.durationMs, s.nTracks, s.width, s.height, s.videoCodec,
+              s.audioCodec, s.audioHz, s.audioChannels)
+          case Left(e) =>
+            WebmMetaRow(m.media_id, ok = false, e, "", 0L, 0L, 0, 0, 0, "", "", 0, 0)
+        }
+      }
+    }
+  }
+
+  /** Documents -> REAL WebM containers, deterministically: timestamp
+    * scale alternates 1 ms / 0.5 ms ticks with len parity (duration
+    * ticks scaled so duration_ms is EXACTLY len%4000+40 either way),
+    * a V_VP9/V_VP8 video track at (len%640+16) x (len%360+16), an
+    * A_OPUS 48 kHz track when doc_id%3 == 0, the streaming-muxer
+    * unknown Segment size on every fifth record, text bytes as the
+    * Cluster. Every census field is a pure function of
+    * (doc_id, len) — the q240 rule.
+    */
+  def toWebm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val len = bytes.length
+        val scale = (len % 2 + 1) * 500000L // 0.5 ms or 1 ms ticks
+        val durMs = (len % 4000 + 40).toLong
+        val ticks = durMs * 1000000.0 / scale
+        val video = WebmMeta.WebmTrack(1,
+          if (id % 2 == 0) "V_VP9" else "V_VP8",
+          width = len % 640 + 16, height = len % 360 + 16)
+        val tracks =
+          if (id % 3 == 0)
+            Seq(video, WebmMeta.WebmTrack(2, "A_OPUS", hz = 48000,
+              channels = (id % 2 + 1).toInt))
+          else Seq(video)
+        MediaRecord(id, "video", "webm",
+          WebmMeta.encodeWebm(scale, ticks, tracks, bytes,
+            unknownSegmentSize = id % 5 == 0))
+      }
+      .toDF()
+  }
+
   /** Typed per-stream stats from [[VideoCodec]]'s real Y4M decode,
     * with the same error-channel shape as [[ImageFeatures]].
     */

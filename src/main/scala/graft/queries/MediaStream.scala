@@ -932,7 +932,7 @@ object MediaStream {
   /** Mixed-format media census — the production shape a crawl's media
     * column actually has (never one format): one table mixing real
     * PPM / PNG / JPEG / GIF / WAV / y4m / image-bearing-PDF payloads
-    * and undecodable blobs (doc_id % 16 routes each doc through one
+    * and undecodable blobs (doc_id % 17 routes each doc through one
     * adapter; blobs get a space prefix so no codec magic can fire),
     * swept by all three typed media decoders PLUS the PDF extractor
     * (r18: the pdf bucket embeds a /Subtype /Image XObject whose
@@ -948,7 +948,7 @@ object MediaStream {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(16)) === k)
+    def bucket(k: Int) = docs.filter(pmod(col("doc_id"), lit(17)) === k)
     val mixed = Media.toPpm(bucket(0))
       .union(Media.toPng(bucket(1)))
       .union(Media.toWav(bucket(2)))
@@ -964,9 +964,10 @@ object MediaStream {
       // r18 continuation: the census grows the lossless-audio,
       // archive, lossy-audio-container, scanned-image, Ogg, and Avro
       // families; r19 adds the dominant crawl video container —
-      // 16 buckets, every decoder in ONE pass (bucket 10 mixes
-      // zip/tar by doc parity, 13 opus/vorbis, 14 both Avro codecs,
-      // 15 MP4 box-walk metadata — the format column separates them)
+      // 17 buckets, every decoder in ONE pass (bucket 10 mixes
+      // zip/tar by doc parity, 13 opus/vorbis, 14 all three Avro
+      // codecs, 15 MP4 and 16 WebM box/EBML-walk metadata — the
+      // format column separates them)
       .union(Media.toFlac(bucket(9)))
       .union(graft.sources.Archive.toArchives(bucket(10)))
       .union(Media.toMp3(bucket(11)))
@@ -974,6 +975,7 @@ object MediaStream {
       .union(Media.toOgg(bucket(13)))
       .union(graft.sources.Avro.toAvro(bucket(14)))
       .union(Media.toMp4(bucket(15)))
+      .union(Media.toWebm(bucket(16)))
       .as[Media.MediaRecord]
 
     // ONE pass: each record meets all typed decoders AND the pdf /
@@ -995,6 +997,8 @@ object MediaStream {
         graft.operators.OggMeta.decode(m.data).toOption else None
       val mp4 = if (graft.operators.Mp4Meta.sniff(m.data))
         graft.operators.Mp4Meta.decode(m.data).toOption else None
+      val webm = if (graft.operators.WebmMeta.sniff(m.data))
+        graft.operators.WebmMeta.decode(m.data).toOption else None
       val gps = graft.operators.ExifGps.hasGps(m.data)
       val arc: Option[Long] = // containers: entry/record counts
         if (graft.sources.Archive.sniffZip(m.data))
@@ -1006,13 +1010,15 @@ object MediaStream {
         else None
       (m.format,
         img.isDefined, aud.isDefined || mp3.isDefined || ogg.isDefined,
-        vid.isDefined || mp4.isDefined, pdf.isDefined, arc.isDefined,
+        vid.isDefined || mp4.isDefined || webm.isDefined,
+        pdf.isDefined, arc.isDefined,
         img.isEmpty && aud.isEmpty && vid.isEmpty && pdf.isEmpty &&
-          mp3.isEmpty && ogg.isEmpty && arc.isEmpty && mp4.isEmpty,
+          mp3.isEmpty && ogg.isEmpty && arc.isEmpty && mp4.isEmpty &&
+          webm.isEmpty,
         img.map(_.nPixels).getOrElse(0L) + pdf.map(_.imgPx).getOrElse(0L),
         aud.map(_.durationMs).getOrElse(0L) + vid.map(_.durationMs).getOrElse(0L) +
           mp3.map(_.durationMs).getOrElse(0L) + ogg.map(_.durationMs).getOrElse(0L) +
-          mp4.map(_.durationMs).getOrElse(0L),
+          mp4.map(_.durationMs).getOrElse(0L) + webm.map(_.durationMs).getOrElse(0L),
         img.map(_.orientation.toLong).getOrElse(0L),
         arc.getOrElse(0L), gps)
     }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "r_ok", "is_err",
@@ -1042,7 +1048,7 @@ object MediaStream {
     """SELECT format, count(*) AS n_rows,
       |  CAST(sum(CASE WHEN b IN (0, 1, 5, 6, 8, 12) THEN 1 ELSE 0 END) AS BIGINT) AS img_ok,
       |  CAST(sum(CASE WHEN b IN (2, 9, 11, 13) THEN 1 ELSE 0 END) AS BIGINT) AS aud_ok,
-      |  CAST(sum(CASE WHEN b IN (3, 15) THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
+      |  CAST(sum(CASE WHEN b IN (3, 15, 16) THEN 1 ELSE 0 END) AS BIGINT) AS vid_ok,
       |  CAST(sum(CASE WHEN b = 7 THEN 1 ELSE 0 END) AS BIGINT) AS pdf_ok,
       |  CAST(sum(CASE WHEN b IN (10, 14) THEN 1 ELSE 0 END) AS BIGINT) AS arc_ok,
       |  CAST(sum(CASE WHEN b = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
@@ -1060,21 +1066,22 @@ object MediaStream {
       |      // ([44100,48000,32000][CAST(doc_id % 3 AS INTEGER) + 1])
       |    WHEN b = 13 THEN (CASE WHEN doc_id % 2 = 0 THEN len
       |      ELSE (len * 3 * 1000) // (len % 4000 + 4000) END)
-      |    WHEN b = 15 THEN len % 4000 + 40
+      |    WHEN b IN (15, 16) THEN len % 4000 + 40
       |    ELSE 0 END) AS BIGINT) AS dur_ms_sum,
       |  CAST(sum(CASE WHEN b IN (0, 1, 6, 8, 12) THEN 1
       |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum,
       |  CAST(sum(CASE WHEN b = 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
       |    WHEN b = 14 THEN len % 4 + 1 ELSE 0 END) AS BIGINT) AS ent_sum,
       |  CAST(sum(CASE WHEN b = 5 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gps
-      |FROM (SELECT doc_id, doc_id % 16 AS b,
-      |        CASE doc_id % 16 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
+      |FROM (SELECT doc_id, doc_id % 17 AS b,
+      |        CASE doc_id % 17 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
       |          WHEN 6 THEN 'gif' WHEN 7 THEN 'pdf' WHEN 8 THEN 'webp'
       |          WHEN 9 THEN 'flac' WHEN 11 THEN 'mp3' WHEN 12 THEN 'tiff'
-      |          WHEN 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END)
+      |          WHEN 10 THEN (CASE WHEN doc_id % 4 = 0 THEN 'zip64'
+      |            WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END)
       |          WHEN 13 THEN (CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END)
-      |          WHEN 14 THEN 'avro' WHEN 15 THEN 'mp4'
+      |          WHEN 14 THEN 'avro' WHEN 15 THEN 'mp4' WHEN 16 THEN 'webm'
       |          ELSE 'bin' END AS format,
       |        length(text) AS len
       |      FROM documents WHERE length(text) > 0)
@@ -1168,6 +1175,49 @@ object MediaStream {
       |  substring(text, CAST(i*c + 1 AS INTEGER), CAST(c AS INTEGER)) AS part
       |FROM r
       |ORDER BY media_id, rec_idx""".stripMargin
+
+  // --------------------------------------------------------------- q256
+  /** WebM/Matroska container metadata (WebmMeta), hash-gated
+    * end-to-end: documents become genuine EBML containers (Media.
+    * toWebm — DocType header, Info with TimestampScale at 1 ms or
+    * 0.5 ms ticks and an 8-byte-float Duration, per-track
+    * Type/CodecID/Video/Audio children, every fifth record with the
+    * streaming-muxer UNKNOWN Segment size) and the walk recovers
+    * doc type, exact duration, track count/geometry, and codec IDs
+    * WITHOUT touching a Cluster — Mp4Meta's discipline for the other
+    * crawl video container. Every field is a pure function of
+    * (doc_id, len) so the oracle recomputes them all; a varint-
+    * marker slip, a scale misread, or an unknown-size mishandling
+    * all hash-fail.
+    */
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toWebm(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeWebmMeta(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("doc_type"), col("timestamp_scale"),
+        col("duration_ms"), col("n_tracks"), col("width"), col("height"),
+        col("video_codec"), col("audio_codec"), col("audio_hz"),
+        col("audio_channels"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q256Sql =
+    """WITH d AS (SELECT doc_id, length(text) AS len
+      |           FROM documents WHERE length(text) > 0)
+      |SELECT doc_id AS media_id, 'webm' AS doc_type,
+      |  CAST((len % 2 + 1) * 500000 AS BIGINT) AS timestamp_scale,
+      |  CAST(len % 4000 + 40 AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+      |  CAST(len % 640 + 16 AS INTEGER) AS width,
+      |  CAST(len % 360 + 16 AS INTEGER) AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END AS video_codec,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'A_OPUS' ELSE '' END AS audio_codec,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 48000 ELSE 0 END AS INTEGER) AS audio_hz,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 2 + 1 ELSE 0 END
+      |    AS INTEGER) AS audio_channels
+      |FROM d
+      |ORDER BY media_id""".stripMargin
 
   // --------------------------------------------------------------- q254
   /** Tiled + palette-color TIFF (the r19 TiffCodec extensions),
@@ -3259,6 +3309,7 @@ object MediaStream {
     "q240_mp3_meta" -> (q240 _),
     "q243_ogg_meta" -> (q243 _),
     "q251_mp4_meta" -> (q251 _),
+    "q256_webm_meta" -> (q256 _),
     "q252_avro_nullable" -> (q252 _),
     "q253_exif_gps" -> (q253 _),
     "q254_tiff_palette" -> (q254 _),
@@ -3327,6 +3378,7 @@ object MediaStream {
     "q240_mp3_meta" -> q240Sql,
     "q243_ogg_meta" -> q243Sql,
     "q251_mp4_meta" -> q251Sql,
+    "q256_webm_meta" -> q256Sql,
     "q252_avro_nullable" -> q252Sql,
     "q253_exif_gps" -> q253Sql,
     "q254_tiff_palette" -> q254Sql,
