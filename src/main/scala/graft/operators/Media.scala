@@ -440,6 +440,36 @@ object Media {
       .toDF()
   }
 
+  /** Documents -> REAL CCITT G4 fax TIFFs (r19), deterministically:
+    * a (L%100+30) x (L%40+10) BILEVEL page whose black flags are the
+    * parity of the text bytes repeated/truncated (black iff odd
+    * codepoint), photometric 0 (MinIsWhite), strips of 8 rows —
+    * independent T.6 streams with a partial last strip. The q257
+    * oracle recomputes the white fraction, min/max, and dims from
+    * the text alone (decoded luminance = 255 for even codepoints,
+    * 0 for odd).
+    */
+  def toTiffG4(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(100)) + lit(30)).cast("int"))
+      .withColumn("h", (pmod(len, lit(40)) + lit(10)).cast("int"))
+      .withColumn("npx", col("w") * col("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, px) =>
+        val bits = px.map(b => ((b & 0xff) % 2).toByte)
+        MediaRecord(id, "image", "tiff",
+          TiffCodec.encodeTiffG4(bits, w, h, rowsPerStrip = 8,
+            littleEndian = id % 2 == 0))
+      }
+      .toDF()
+  }
+
   /** Typed per-payload MP4/ISO-BMFF container metadata ([[Mp4Meta]])
     * with the standard error-channel shape.
     */

@@ -26,11 +26,16 @@ package graft.operators
   *    MSB-first with EARLY CHANGE, the exact algorithm PDF's
   *    /LZWDecode borrowed, so the decoder is shared with
   *    [[graft.sources.Pdf]]); Predictor 2 (horizontal differencing)
+  *  - Compression 4 (r19 — CCITT Group 4 via [[CcittG4]], the fax
+  *    codec archival scans actually use): bilevel 1-bit strips, each
+  *    an independent T.6 stream, expanded to 8-bit through the
+  *    photometric (0 = MinIsWhite, the fax default) into the same
+  *    stats pass
   *
   * OUT of scope (named Lefts): other bit depths, planar config 2,
-  * CCITT/JPEG-in-TIFF compressions, and multi-page files beyond the
-  * FIRST IFD (the GIF first-frame rule: census stats want one
-  * raster).
+  * G3/JPEG-in-TIFF compressions, tiled G4, and multi-page files
+  * beyond the FIRST IFD (the GIF first-frame rule: census stats want
+  * one raster).
   *
   * Malformed input is a Left, never an exception. The independent
   * python fixture (scripts/gen_tiff_fixture.py) pins the decoder.
@@ -101,17 +106,25 @@ object TiffCodec {
     if (w <= 0 || h <= 0) return Left(s"tiff: bad dimensions ${w}x$h")
     val spp = one(277, 1L).toInt
     if (spp != 1 && spp != 3) return Left(s"tiff: $spp samples/pixel out of scope")
-    val bps = vals(258).getOrElse(Seq.fill(spp)(1L))
-    if (vals(258).isDefined && bps.exists(_ != 8L))
-      return Left("tiff: only 8-bit samples are in scope")
-    if (vals(258).isEmpty) return Left("tiff: no BitsPerSample")
     val compression = one(259, 1L).toInt
-    if (compression != 1 && compression != 5 && compression != 32773)
+    if (compression != 1 && compression != 4 && compression != 5 && compression != 32773)
       return Left(s"tiff: compression $compression out of scope")
+    val isG4 = compression == 4
+    val bps = vals(258).getOrElse(Seq.fill(spp)(1L))
+    if (vals(258).isEmpty) return Left("tiff: no BitsPerSample")
+    // G4 is a BILEVEL codec: 1-bit samples, one sample per pixel
+    // (expanded to 8-bit for the shared stats pass); everything else
+    // in scope is 8-bit
+    if (isG4 && (spp != 1 || bps.exists(_ != 1L)))
+      return Left("tiff: G4 requires bilevel 1-bit single-sample data")
+    if (!isG4 && bps.exists(_ != 8L))
+      return Left("tiff: only 8-bit samples are in scope")
     val photometric = one(262, 1L).toInt
     if (photometric > 3 ||
       (photometric == 2) != (spp == 3) || (photometric == 3 && spp != 1))
       return Left(s"tiff: photometric $photometric with $spp samples out of scope")
+    if (isG4 && photometric > 1)
+      return Left(s"tiff: photometric $photometric with G4 out of scope")
     if (one(284, 1L) != 1L) return Left("tiff: planar configuration 2 out of scope")
     val predictor = one(317, 1L).toInt
     if (predictor != 1 && predictor != 2)
@@ -210,6 +223,7 @@ object TiffCodec {
     }
 
     if (entries.contains(322)) {
+      if (isG4) return Left("tiff: tiled G4 out of scope")
       // tiled layout (r19): TileWidth/TileLength must be multiples of
       // 16 per spec SS15; tile data is ALWAYS full-size (edge tiles
       // padded), decoded tile by tile in O(tile) memory
@@ -247,8 +261,32 @@ object TiffCodec {
       val rowBytes = w * spp
       for (s <- offsets.indices) {
         val rowsHere = math.min(rowsPerStrip, h - s * rowsPerStrip)
-        val strip = decodeRegion(offsets(s).toInt, counts(s).toInt,
-          rowsHere * rowBytes, s"strip $s")
+        val strip =
+          if (isG4) {
+            // each strip is an independent T.6 stream (fresh all-white
+            // reference line); bilevel bits expand to the 8-bit values
+            // the photometric implies so the shared stats pass applies
+            val off = offsets(s).toInt
+            val len = counts(s).toInt
+            if (off + len > d.length) throw Abort(s"tiff: strip $s runs past EOF")
+            val raw = java.util.Arrays.copyOfRange(d, off, off + len)
+            val bits =
+              try CcittG4.decode(raw, w, rowsHere)
+              catch { case CcittG4.Malformed(m) => throw Abort(s"tiff: $m") }
+            val out = new Array[Byte](rowsHere * rowBytes)
+            var i = 0
+            while (i < out.length) {
+              val black = bits(i) == 1
+              // photometric 0 (MinIsWhite, the fax default): black =
+              // sample 1 -> expanded 255, and emitRegion's inversion
+              // maps it to luminance 0; photometric 1 is direct
+              out(i) = (if (photometric == 0) (if (black) 255 else 0)
+                        else (if (black) 0 else 255)).toByte
+              i += 1
+            }
+            out
+          } else decodeRegion(offsets(s).toInt, counts(s).toInt,
+            rowsHere * rowBytes, s"strip $s")
         emitRegion(strip, 0, s * rowsPerStrip, rowBytes, w, rowsHere)
       }
     }
@@ -507,6 +545,72 @@ object TiffCodec {
       if (needTables) Entry(279, 4, nStrips, cntTable.toLong)
       else Entry(279, 4, 1, strips.head.length.toLong),
       Entry(320, 3, 768, cmTable.toLong))
+
+    w16(entries.length)
+    entries.foreach { e =>
+      w16(e.tag); w16(e.tpe); w32(e.count.toLong)
+      if (e.tpe == 3 && e.count == 1) { w16(e.value.toInt); w16(0) }
+      else w32(e.value)
+    }
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** Bilevel CCITT G4 encoder (r19): photometric 0 (MinIsWhite, the
+    * fax default), BitsPerSample 1, Compression 4, each strip an
+    * independent T.6 stream over the 0/1 black-flag raster. The
+    * fixture / `Media.toTiffG4` substrate.
+    */
+  def encodeTiffG4(
+      blackBits: Array[Byte], w: Int, h: Int,
+      rowsPerStrip: Int = 8, littleEndian: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeTiffG4: bad dimensions ${w}x$h")
+    require(blackBits.length == w * h, "encodeTiffG4: raster length mismatch")
+    require(rowsPerStrip > 0, "encodeTiffG4: rowsPerStrip must be positive")
+
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { st =>
+      val rows = math.min(rowsPerStrip, h - st * rowsPerStrip)
+      CcittG4.encode(java.util.Arrays.copyOfRange(
+        blackBits, st * rowsPerStrip * w, (st * rowsPerStrip + rows) * w), w, rows)
+    }
+
+    val out = new java.io.ByteArrayOutputStream(blackBits.length / 4 + 512)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (littleEndian) { b(v); b(v >> 8) } else { b(v >> 8); b(v) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { b(v.toInt); b((v >> 8).toInt); b((v >> 16).toInt); b((v >> 24).toInt) }
+      else { b((v >> 24).toInt); b((v >> 16).toInt); b((v >> 8).toInt); b(v.toInt) }
+
+    if (littleEndian) { b('I'); b('I'); b(42); b(0) } else { b('M'); b('M'); b(0); b(42) }
+    val dataStart = 8
+    val stripOffs = strips.scanLeft(dataStart)(_ + _.length).init
+    val afterData = dataStart + strips.map(_.length).sum
+    val needTables = nStrips > 1
+    val offTable = afterData
+    val cntTable = offTable + (if (needTables) 4 * nStrips else 0)
+    val ifdStart = cntTable + (if (needTables) 4 * nStrips else 0)
+    w32(ifdStart.toLong)
+    strips.foreach(out.write)
+    if (needTables) {
+      stripOffs.foreach(o => w32(o.toLong))
+      strips.foreach(st => w32(st.length.toLong))
+    }
+
+    case class Entry(tag: Int, tpe: Int, count: Int, value: Long)
+    val entries = Seq(
+      Entry(256, 4, 1, w.toLong),
+      Entry(257, 4, 1, h.toLong),
+      Entry(258, 3, 1, 1L),
+      Entry(259, 3, 1, 4L),
+      Entry(262, 3, 1, 0L), // MinIsWhite
+      if (needTables) Entry(273, 4, nStrips, offTable.toLong)
+      else Entry(273, 4, 1, stripOffs.head.toLong),
+      Entry(277, 3, 1, 1L),
+      Entry(278, 4, 1, rowsPerStrip.toLong),
+      if (needTables) Entry(279, 4, nStrips, cntTable.toLong)
+      else Entry(279, 4, 1, strips.head.length.toLong))
 
     w16(entries.length)
     entries.foreach { e =>

@@ -1176,6 +1176,56 @@ object MediaStream {
       |FROM r
       |ORDER BY media_id, rec_idx""".stripMargin
 
+  // --------------------------------------------------------------- q257
+  /** CCITT Group 4 fax TIFF (the r19 CcittG4 codec), hash-gated
+    * end-to-end: documents become bilevel MinIsWhite fax pages whose
+    * black flags are text-byte parity, G4-coded in 8-row strips
+    * (independent T.6 streams, partial last strip, both byte orders)
+    * and decoded through the full 2D walk — vertical/horizontal/pass
+    * modes, MH run tables, per-strip reference-line restart. The
+    * oracle recomputes every stat from the text alone (luminance 255
+    * for even codepoints, 0 for odd); a mode desync, a table slip,
+    * or a reference-line carry across strips all hash-fail. An
+    * INDEPENDENT python G4 coder pins the bitstream separately in
+    * TiffCodecSpec.
+    */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toTiffG4(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"), col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q257Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 100 + 30 AS INTEGER) AS w,
+      |    CAST(length(text) % 40 + 10 AS INTEGER) AS h
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT doc_id, w, h, w*h AS npx,
+      |    substring(repeat(text, CAST(ceil(CAST(w*h AS DOUBLE) / len) AS INTEGER)),
+      |              1, w*h) AS px
+      |  FROM d),
+      |b AS (
+      |  SELECT doc_id, w, h, npx,
+      |    list_transform(range(1, npx + 1),
+      |      i -> 255 * (1 - unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)]) % 2)) AS vals
+      |  FROM p)
+      |SELECT doc_id AS media_id, 'tiff' AS codec, w AS width, h AS height,
+      |  CAST(1 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+      |  CAST(npx AS BIGINT) AS n_pixels,
+      |  floor(list_avg(vals) * 1e6) / 1e6 AS r_mean,
+      |  CAST(list_min(vals) AS INTEGER) AS px_min,
+      |  CAST(list_max(vals) AS INTEGER) AS px_max
+      |FROM b
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q256
   /** WebM/Matroska container metadata (WebmMeta), hash-gated
     * end-to-end: documents become genuine EBML containers (Media.
@@ -3310,6 +3360,7 @@ object MediaStream {
     "q243_ogg_meta" -> (q243 _),
     "q251_mp4_meta" -> (q251 _),
     "q256_webm_meta" -> (q256 _),
+    "q257_tiff_g4" -> (q257 _),
     "q252_avro_nullable" -> (q252 _),
     "q253_exif_gps" -> (q253 _),
     "q254_tiff_palette" -> (q254 _),
@@ -3379,6 +3430,7 @@ object MediaStream {
     "q243_ogg_meta" -> q243Sql,
     "q251_mp4_meta" -> q251Sql,
     "q256_webm_meta" -> q256Sql,
+    "q257_tiff_g4" -> q257Sql,
     "q252_avro_nullable" -> q252Sql,
     "q253_exif_gps" -> q253Sql,
     "q254_tiff_palette" -> q254Sql,

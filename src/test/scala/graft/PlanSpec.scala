@@ -796,7 +796,9 @@ class PlanSpec extends SparkSpec {
       "tiff_palette" -> graft.operators.Media.decodeImages(
         graft.operators.Media.toTiffPalette(docs).as[graft.operators.Media.MediaRecord]).toDF(),
       "webm" -> graft.operators.Media.decodeWebmMeta(
-        graft.operators.Media.toWebm(docs).as[graft.operators.Media.MediaRecord]).toDF())
+        graft.operators.Media.toWebm(docs).as[graft.operators.Media.MediaRecord]).toDF(),
+      "tiff_g4" -> graft.operators.Media.decodeImages(
+        graft.operators.Media.toTiffG4(docs).as[graft.operators.Media.MediaRecord]).toDF())
     for ((name, df) <- plans) {
       val raw = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!raw.contains("Exchange"), s"$name encode+decode shuffled — must be map-only")
