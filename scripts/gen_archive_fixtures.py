@@ -65,3 +65,29 @@ if __name__ == "__main__":
     gen_zip()
     gen_tar()
     print("wrote sample.zip, sample.tar")
+
+
+def gen_longname_tar():
+    """GNU long-name fixture (r19): a >100-char path stored through an
+    'L' record, followed by a short-named entry — the reader must
+    apply the long name to the first entry only."""
+    import io
+    buf = io.BytesIO()
+    long_name = "deeply/" + ("n" * 120) + "/payload_with_a_very_long_gnu_path.txt"
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.GNU_FORMAT) as tf:
+        data = b"long-name payload body"
+        ti = tarfile.TarInfo(long_name)
+        ti.size = len(data)
+        ti.mtime = 0
+        tf.addfile(ti, io.BytesIO(data))
+        data2 = b"short name after"
+        ti2 = tarfile.TarInfo("short.txt")
+        ti2.size = len(data2)
+        ti2.mtime = 0
+        tf.addfile(ti2, io.BytesIO(data2))
+    with open(os.path.join(FIX, "sample_longname.tar"), "wb") as f:
+        f.write(buf.getvalue())
+    print("sample_longname.tar: GNU L record + short entry")
+
+
+gen_longname_tar()

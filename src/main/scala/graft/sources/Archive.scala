@@ -44,11 +44,13 @@ import graft.operators.Media
   * regular-file typeflags ('0' and NUL), ustar `prefix` field joined
   * to the name, data rounded to 512-byte blocks, end at two zero
   * blocks (or EOF after a zero block — tolerated, GNU tar emits it).
-  * OUT of scope: GNU long-name ('L'/'K') and pax ('x'/'g') extension
-  * records are SKIPPED like any non-file entry (their payload is
-  * metadata for the following entry; the following entry still
-  * extracts under its header-local name), sparse files, and base-256
-  * (binary) size fields — size bytes with the high bit set Left.
+  * GNU long-name ('L') records APPLY (r19): the payload becomes the
+  * following regular entry's name, so >100-char paths extract under
+  * their real names. OUT of scope: 'K' link-name and pax ('x'/'g')
+  * extension records are skipped (clearing any pending long name —
+  * it binds only to the immediate next entry), sparse files, and
+  * base-256 (binary) size fields — size bytes with the high bit set
+  * Left.
   *
   * Scale shape: archives are opaque binary cells; [[listEntries]] is
   * one `flatMap` inside a `mapPartitions`-equivalent typed map — no
@@ -322,6 +324,10 @@ object Archive {
     val out = Vector.newBuilder[EntryRec]
     var p = 0
     var zeros = 0
+    // GNU 'L' long-name payload, pending application to the NEXT
+    // regular entry (r19 — tars with >100-char paths used to extract
+    // under their truncated header-local names)
+    var pendingLongName: String = null
     while (p + 512 <= d.length && zeros < 2) {
       var allZero = true
       var i = p
@@ -363,8 +369,21 @@ object Archive {
         if (dataStart + size > d.length) throw Abort(s"tar: $name data runs past EOF")
         if (typeflag == '0' || typeflag == 0) {
           val bytes = java.util.Arrays.copyOfRange(d, dataStart, dataStart + size.toInt)
-          out += EntryRec(name, "ustar", size, size, sum == stated, bytes)
-        } // dirs, links, pax/GNU metadata records: skipped
+          val effName = if (pendingLongName != null) pendingLongName else name
+          pendingLongName = null
+          out += EntryRec(effName, "ustar", size, size, sum == stated, bytes)
+        } else if (typeflag == 'L') {
+          // GNU long name: the data block is the NUL-terminated path
+          // of the entry that follows
+          var e = dataStart
+          val lim = dataStart + size.toInt
+          while (e < lim && d(e) != 0) e += 1
+          pendingLongName = new String(d, dataStart, e - dataStart,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } else pendingLongName = null
+        // dirs, links, pax metadata records: skipped (and they clear
+        // any pending long name, which applies only to the immediate
+        // next entry)
         p = dataStart + blocks * 512
       }
     }

@@ -83,6 +83,15 @@ class ArchiveSpec extends AnyFunSuite {
     assert(entries(0).data.toSeq === alpha.toSeq)
   }
 
+  test("GNU long-name tar: the L record applies to the NEXT entry only (r19)") {
+    val entries = Archive.readTar(fixture("sample_longname.tar")).toOption.get
+    assert(entries.map(_.entry_name) === Seq(
+      "deeply/" + ("n" * 120) + "/payload_with_a_very_long_gnu_path.txt",
+      "short.txt"))
+    assert(new String(entries(0).data, "US-ASCII") === "long-name payload body")
+    assert(new String(entries(1).data, "US-ASCII") === "short name after")
+  }
+
   test("python zipfile fixture: deflate + stored + subdirectory + archive comment") {
     // the comment shifts EOCD off its no-comment offset: the backward
     // scan (not a fixed -22 read) must find it
