@@ -99,7 +99,10 @@ object TiffCodec {
       }
     }
     def one(tag: Int, default: => Long): Long =
-      vals(tag).map(_.head).getOrElse(default)
+      // flatMap over headOption: a malformed entry with count 0 gives
+      // an EMPTY value list — fall to the default (which for required
+      // tags is an Abort), never a NoSuchElementException
+      vals(tag).flatMap(_.headOption).getOrElse(default)
 
     val w = one(256, throw Abort("tiff: no ImageWidth")).toInt
     val h = one(257, throw Abort("tiff: no ImageLength")).toInt
@@ -209,6 +212,10 @@ object TiffCodec {
     }
 
     def decodeRegion(off: Int, len: Int, expect: Int, what: String): Array[Byte] = {
+      // u32 offsets/counts read as Int can wrap NEGATIVE on malformed
+      // input — copyOfRange would throw IllegalArgumentException,
+      // which the decode() catch list does not (and should not) cover
+      if (off < 0 || len < 0) throw Abort(s"tiff: $what offset/size out of range")
       if (off + len > d.length) throw Abort(s"tiff: $what runs past EOF")
       val raw = java.util.Arrays.copyOfRange(d, off, off + len)
       val out = compression match {
@@ -268,6 +275,7 @@ object TiffCodec {
             // the photometric implies so the shared stats pass applies
             val off = offsets(s).toInt
             val len = counts(s).toInt
+            if (off < 0 || len < 0) throw Abort(s"tiff: strip $s offset/size out of range")
             if (off + len > d.length) throw Abort(s"tiff: strip $s runs past EOF")
             val raw = java.util.Arrays.copyOfRange(d, off, off + len)
             val bits =
