@@ -185,6 +185,11 @@ object Archive {
         if (localOff > Int.MaxValue || localOff < 0)
           throw Abort("zip: Zip64 local offset out of range")
       }
+      // bound the variable-length tail BEFORE the String copy: a
+      // corrupt nameLen reaches the String constructor as an uncaught
+      // StringIndexOutOfBoundsException otherwise (fuzz-caught, r19)
+      if (c + 46 + nameLen + extraLen + commentLen > d.length)
+        throw Abort("zip: central record runs past EOF")
       val name = new String(d, c + 46, nameLen, java.nio.charset.StandardCharsets.UTF_8)
       c += 46 + nameLen + extraLen + commentLen
       i += 1
