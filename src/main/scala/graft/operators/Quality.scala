@@ -401,6 +401,17 @@ object Quality {
     * ones; [[decontaminateWithIndex]] reads the result. Scheme-stamped
     * ([[graft.operators.ArtifactStamp]]): bits built under different
     * gram order, geometry, or base hash refuse to compose.
+    *
+    * Scale contract (r18 verdict note): each increment REWRITES the
+    * full bits file — an O(numBits), not O(delta), step. That is
+    * free at the default 2^20 bits (128 KiB: one single-row collect,
+    * one tiny parquet write) and stays cheap to ~2^30 bits (128 MiB
+    * driver round-trip per absorb). A 100 TB decontamination bloom
+    * sized for BILLIONS of grams (>= 2^33 bits, GBs wide) crosses the
+    * line: at that geometry, shard the bits column into K fixed
+    * ranges (bits_0..bits_{K-1} rows, OR-merged per shard, only
+    * DIRTY shards rewritten) before reaching for this path — the
+    * merged bits ARE the state, so the rewrite cost is the floor.
     */
   def decontaminationIndexIncrement(
       benchBatch: DataFrame,
