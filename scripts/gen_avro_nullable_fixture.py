@@ -154,5 +154,42 @@ def main():
           "[string,null] union, multi-int array, 3 records")
 
 
+def gen_nested():
+    """Nested-record fixture (r19): doc_nested{id, meta{lang, score},
+    note union} — the flattened dotted-name walk must recover
+    meta.lang / meta.score in writer order."""
+    schema = ('{"type":"record","name":"doc_nested","fields":['
+              '{"name":"id","type":"long"},'
+              '{"name":"meta","type":{"type":"record","name":"meta_rec",'
+              '"fields":[{"name":"lang","type":"string"},'
+              '{"name":"score","type":"int"}]}},'
+              '{"name":"note","type":["null","string"]}]}')
+    sync = bytes(range(50, 66))
+
+    def rec(id_, lang, score, note):
+        b = vint(id_) + wstr(lang) + vint(score)
+        if note is None:
+            b += vint(0)
+        else:
+            b += vint(1) + wstr(note)
+        return b
+
+    def block(recs):
+        body = b"".join(recs)
+        z = zlib.compressobj(wbits=-15)
+        comp = z.compress(body) + z.flush()
+        return vint(len(recs)) + vint(len(comp)) + comp + sync
+
+    meta = vint(2) + wstr("avro.schema") + wstr(schema) + \
+        wstr("avro.codec") + wstr("deflate") + vint(0)
+    out = b"Obj\x01" + meta + sync + \
+        block([rec(7, "en", 950, "hello"), rec(8, "de", 13, None)]) + \
+        block([rec(9, "fr", 0, "x")])
+    with open(os.path.join(FIX, "sample_nested.avro"), "wb") as f:
+        f.write(out)
+    print("sample_nested.avro: 2 blocks, 3 nested records, deflate")
+
+
 if __name__ == "__main__":
     main()
+    gen_nested()

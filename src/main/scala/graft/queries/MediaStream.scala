@@ -1358,6 +1358,45 @@ object MediaStream {
       |FROM r
       |ORDER BY media_id, rec_idx""".stripMargin
 
+  // --------------------------------------------------------------- q258
+  /** NESTED Avro record schemas (r19): the default warehouse-export
+    * shape — a record-typed field whose value serializes as exactly
+    * its sub-fields in writer order, surfaced here as flattened
+    * dotted columns (meta.lang, meta.score) through the real-JSON
+    * schema parse. Codec rotates doc_id % 3, the nullable note rides
+    * the union path, and the oracle re-derives every flattened value
+    * with modular arithmetic — a field-order slip in the nested walk
+    * desyncs the whole record stream and hash-fails.
+    */
+  private def q258(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Avro.toAvroNested(t(s, dir, "documents"))
+      .as[Media.MediaRecord]
+    graft.sources.Avro.listNestedRecords(media)
+      .filter(col("err").isNull)
+      .select(col("media_id"), col("schema_name"), col("codec"),
+        col("rec_idx"), col("id"), col("meta_lang"), col("meta_score"),
+        col("note"))
+      .orderBy(col("media_id"), col("rec_idx"))
+  }
+
+  private val q258Sql =
+    """WITH d AS (SELECT doc_id, length(text) AS len
+      |           FROM documents WHERE length(text) > 0),
+      |k AS (SELECT doc_id, len, len % 3 + 1 AS k FROM d),
+      |r AS (SELECT doc_id, len, unnest(range(0, k)) AS i FROM k)
+      |SELECT doc_id AS media_id, 'doc_nested' AS schema_name,
+      |  CASE doc_id % 3 WHEN 1 THEN 'deflate' WHEN 2 THEN 'snappy'
+      |    ELSE 'null' END AS codec,
+      |  CAST(i AS INTEGER) AS rec_idx,
+      |  CAST(doc_id AS VARCHAR) AS id,
+      |  ['en', 'de', 'fr'][CAST((doc_id + i) % 3 + 1 AS INTEGER)] AS meta_lang,
+      |  CAST((len + i) % 1000 AS VARCHAR) AS meta_score,
+      |  CASE WHEN (doc_id + i) % 4 = 0 THEN NULL
+      |       ELSE 'n' || (doc_id + i) END AS note
+      |FROM r
+      |ORDER BY media_id, rec_idx""".stripMargin
+
   // --------------------------------------------------------------- q244
   /** Composite-font PDF text extraction (/Type0 /Identity-H +
     * /ToUnicode CMap — how real-crawl PDFs actually encode text):
@@ -3362,6 +3401,7 @@ object MediaStream {
     "q256_webm_meta" -> (q256 _),
     "q257_tiff_g4" -> (q257 _),
     "q252_avro_nullable" -> (q252 _),
+    "q258_avro_nested" -> (q258 _),
     "q253_exif_gps" -> (q253 _),
     "q254_tiff_palette" -> (q254 _),
     "q111_video_decode" -> (q111 _),
@@ -3432,6 +3472,7 @@ object MediaStream {
     "q256_webm_meta" -> q256Sql,
     "q257_tiff_g4" -> q257Sql,
     "q252_avro_nullable" -> q252Sql,
+    "q258_avro_nested" -> q258Sql,
     "q253_exif_gps" -> q253Sql,
     "q254_tiff_palette" -> q254Sql,
     "q111_video_decode" -> q111Sql,

@@ -221,43 +221,175 @@ object Avro {
     Right(AvroFile(schemaName, codec, nBlocks, nRecords, records.result()))
   }
 
-  /** Scoped schema parse: record of primitives, ["null", T] unions
-    * (either member order — stored as "union<nullPos>:T" so the
-    * decoder matches branch indexes BY SCHEMA POSITION, the Avro
-    * union rule), and flat primitive arrays
-    * ("array:T"). The schema string is writer-generated metadata with
-    * a fixed shape; a full JSON parser buys nothing here and deeper
-    * nesting is an out-of-scope Left anyway.
+  /** Minimal order-preserving JSON reader for the schema metadata
+    * (r19): object fields keep WRITER ORDER (a Vector of pairs, not a
+    * map — Avro field order IS the wire order), strings handle the
+    * escapes schema text actually carries. Machine-written input; a
+    * parse failure aborts to the schema Left.
+    */
+  private sealed trait Jv
+  private final case class Js(v: String) extends Jv
+  private final case class Jn(v: Double) extends Jv
+  private final case class Jb(v: Boolean) extends Jv
+  private case object Jnull extends Jv
+  private final case class Ja(items: Vector[Jv]) extends Jv
+  private final case class Jo(fields: Vector[(String, Jv)]) extends Jv
+
+  private def parseJson(text: String): Jv = {
+    var i = 0
+    def fail(msg: String): Nothing = throw Abort(s"avro: schema JSON $msg at $i")
+    def ws(): Unit = while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = {
+      ws()
+      if (i >= text.length || text.charAt(i) != c) fail(s"expected '$c'")
+      i += 1
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (i < text.length && text.charAt(i) != '"') {
+        val c = text.charAt(i)
+        if (c == '\\') {
+          i += 1
+          if (i >= text.length) fail("dangling escape")
+          text.charAt(i) match {
+            case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case '/' => sb.append('/')
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' =>
+              if (i + 4 >= text.length) fail("short unicode escape")
+              val hex = text.substring(i + 1, i + 5)
+              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                fail("bad unicode escape")
+              sb.append(Integer.parseInt(hex, 16).toChar)
+              i += 4
+            case e => fail(s"unknown escape \\$e")
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      expect('"')
+      sb.toString
+    }
+    def value(): Jv = {
+      ws()
+      if (i >= text.length) fail("ran out of input")
+      text.charAt(i) match {
+        case '"' => Js(str())
+        case '{' =>
+          i += 1
+          val out = Vector.newBuilder[(String, Jv)]
+          ws()
+          if (i < text.length && text.charAt(i) == '}') { i += 1; return Jo(out.result()) }
+          var more = true
+          while (more) {
+            ws()
+            val k = str()
+            expect(':')
+            out += k -> value()
+            ws()
+            if (i < text.length && text.charAt(i) == ',') i += 1
+            else { expect('}'); more = false }
+          }
+          Jo(out.result())
+        case '[' =>
+          i += 1
+          val out = Vector.newBuilder[Jv]
+          ws()
+          if (i < text.length && text.charAt(i) == ']') { i += 1; return Ja(out.result()) }
+          var more = true
+          while (more) {
+            out += value()
+            ws()
+            if (i < text.length && text.charAt(i) == ',') i += 1
+            else { expect(']'); more = false }
+          }
+          Ja(out.result())
+        case 't' if text.startsWith("true", i) => i += 4; Jb(true)
+        case 'f' if text.startsWith("false", i) => i += 5; Jb(false)
+        case 'n' if text.startsWith("null", i) => i += 4; Jnull
+        case c if c == '-' || (c >= '0' && c <= '9') =>
+          val start = i
+          while (i < text.length && "+-.eE0123456789".indexOf(text.charAt(i)) >= 0) i += 1
+          val lit = text.substring(start, i)
+          try Jn(lit.toDouble)
+          catch { case _: NumberFormatException => fail(s"bad number '$lit'") }
+        case _ => fail("unexpected character")
+      }
+    }
+    val v = value()
+    ws()
+    if (i != text.length) fail("trailing content")
+    v
+  }
+
+  /** Schema parse over a real (minimal) JSON tree: records of
+    * primitives, ["null", T] unions (either member order — stored as
+    * "union<nullPos>:T" so the decoder matches branch indexes BY
+    * SCHEMA POSITION, the Avro union rule), flat primitive arrays
+    * ("array:T"), and — r19 — NESTED RECORDS flattened to dotted
+    * field names in writer order: a nested record value serializes as
+    * exactly its fields in order, so flattening preserves the wire
+    * walk byte-for-byte while surfacing "meta.lang"-style columns.
+    * Out of scope (named Lefts): unions beyond ["null", primitive],
+    * non-primitive array items, maps/enums/fixed, and recursive
+    * record references.
     */
   private[sources] def parseSchema(json: String): Either[String, (String, Seq[(String, String)])] = {
-    val name = "\"name\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse(return Left("avro: schema has no name"))
-    val fieldsBlock = "\"fields\"\\s*:\\s*\\[(.*)\\]".r.findFirstMatchIn(json)
-      .map(_.group(1)).getOrElse(return Left("avro: schema has no fields array"))
     val prims = Set("long", "int", "string", "boolean", "double", "float")
-    val union = ("\\[\\s*\"(null|[a-z]+)\"\\s*,\\s*\"(null|[a-z]+)\"\\s*\\]").r
-    val array = ("\\{\\s*\"type\"\\s*:\\s*\"array\"\\s*,\\s*" +
-      "\"items\"\\s*:\\s*\"([a-z]+)\"\\s*\\}").r
-    val fields = ("\\{\\s*\"name\"\\s*:\\s*\"([^\"]+)\"\\s*,\\s*\"type\"\\s*:\\s*" +
-      "(\"[^\"]+\"|\\[[^\\]]*\\]|\\{[^}]*\\})").r
-      .findAllMatchIn(fieldsBlock).map { m =>
-        val raw = m.group(2)
-        val t =
-          if (raw.startsWith("\"")) raw.substring(1, raw.length - 1)
-          else raw match {
-            case union(a, b) if a == "null" && prims.contains(b) => s"union0:$b"
-            case union(a, b) if b == "null" && prims.contains(a) => s"union1:$a"
-            case array(item) if prims.contains(item) => s"array:$item"
-            case _ =>
-              return Left("avro: only [\"null\", T] unions and primitive arrays are in scope")
-          }
-        m.group(1) -> t
-      }.toSeq
-    if (fields.isEmpty) return Left("avro: no fields parsed from the schema")
-    fields.find(f => !prims.contains(f._2) && !f._2.startsWith("union") &&
-      !f._2.startsWith("array:"))
-      .foreach(f => return Left(s"avro: field type ${f._2} out of scope"))
-    Right((name, fields))
+    try {
+      val root = parseJson(json) match {
+        case o: Jo => o
+        case _ => return Left("avro: schema root is not an object")
+      }
+      def get(o: Jo, k: String): Option[Jv] = o.fields.find(_._1 == k).map(_._2)
+      val name = get(root, "name") match {
+        case Some(Js(n)) => n
+        case _ => return Left("avro: schema has no name")
+      }
+      def fieldsOf(rec: Jo, prefix: String, depth: Int): Seq[(String, String)] = {
+        if (depth > 8) throw Abort("avro: record nesting deeper than 8 out of scope")
+        val fs = get(rec, "fields") match {
+          case Some(Ja(items)) => items
+          case _ => throw Abort("avro: record without a fields array")
+        }
+        fs.flatMap {
+          case fo: Jo =>
+            val fname = get(fo, "name") match {
+              case Some(Js(n)) => prefix + n
+              case _ => throw Abort("avro: field without a name")
+            }
+            get(fo, "type") match {
+              case Some(Js(t)) if prims.contains(t) => Seq(fname -> t)
+              case Some(Ja(Vector(Js("null"), Js(t)))) if prims.contains(t) =>
+                Seq(fname -> s"union0:$t")
+              case Some(Ja(Vector(Js(t), Js("null")))) if prims.contains(t) =>
+                Seq(fname -> s"union1:$t")
+              case Some(inner: Jo) =>
+                (get(inner, "type"), get(inner, "items")) match {
+                  case (Some(Js("array")), Some(Js(it))) if prims.contains(it) =>
+                    Seq(fname -> s"array:$it")
+                  case (Some(Js("record")), _) =>
+                    fieldsOf(inner, fname + ".", depth + 1)
+                  case _ =>
+                    throw Abort(s"avro: field type of $fname out of scope")
+                }
+              case _ => throw Abort(s"avro: field type of $fname out of scope")
+            }
+          case _ => throw Abort("avro: fields array carries a non-object")
+        }
+      }
+      val fields = fieldsOf(root, "", 0)
+      if (fields.isEmpty) return Left("avro: no fields parsed from the schema")
+      Right((name, fields))
+    } catch {
+      case Abort(m) => Left(m)
+    }
   }
 
   private def inflateRaw(raw: Array[Byte]): Array[Byte] = {
@@ -409,6 +541,35 @@ object Avro {
     container(schema, codec, recs, syncSeed)
   }
 
+  /** One nested record for [[avroNestedBytes]]. */
+  final case class NestedRec(id: Long, lang: String, score: Int, note: Option[String])
+
+  /** Build an Avro container with a NESTED record schema (r19):
+    * doc_nested{id long, meta record{lang string, score int},
+    * note ["null","string"]} — the warehouse-export shape the
+    * flattened dotted-name walk exists for. One record per block.
+    */
+  def avroNestedBytes(
+      records: Seq[NestedRec], codec: String, syncSeed: Long): Array[Byte] = {
+    val schema = """{"type":"record","name":"doc_nested","fields":[""" +
+      """{"name":"id","type":"long"},""" +
+      """{"name":"meta","type":{"type":"record","name":"meta_rec","fields":[""" +
+      """{"name":"lang","type":"string"},{"name":"score","type":"int"}]}},""" +
+      """{"name":"note","type":["null","string"]}]}"""
+    val recs = records.map { r =>
+      val b = new java.io.ByteArrayOutputStream()
+      zz(b, r.id)
+      zstr(b, r.lang) // nested record: just its fields, in order
+      zz(b, r.score.toLong)
+      r.note match {
+        case None => zz(b, 0L)
+        case Some(n) => zz(b, 1L); zstr(b, n)
+      }
+      b.toByteArray
+    }
+    container(schema, codec, recs, syncSeed)
+  }
+
   // ------------------------------------------------- DataFrame surface
 
   /** Documents -> REAL Avro containers: the text split into
@@ -518,5 +679,60 @@ object Avro {
             null.asInstanceOf[String], e))
       }
     }.toDF("media_id", "codec", "rec_idx", "id", "note", "tags", "err")
+  }
+
+  /** Documents -> nested-schema Avro containers, deterministically:
+    * k = len%3+1 doc_nested records per file; record i carries
+    * meta.lang cycling en/de/fr by (doc_id+i)%3, meta.score
+    * (len+i)%1000, note null when (doc_id+i)%4 == 0 else
+    * "n"+(doc_id+i); codec rotates doc_id % 3. The q258 oracle
+    * re-derives the flattened columns with modular arithmetic.
+    */
+  def toAvroNested(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")))
+      .as[(Long, Int)]
+      .map { case (id, len) =>
+        val k = len % 3 + 1
+        val langs = Array("en", "de", "fr")
+        val recs = (0 until k).map { i =>
+          NestedRec(id, langs(((id + i) % 3).toInt), (len + i) % 1000,
+            if ((id + i) % 4 == 0) None else Some(s"n${id + i}"))
+        }
+        val codec = (id % 3) match {
+          case 1 => "deflate"
+          case 2 => "snappy"
+          case _ => "null"
+        }
+        Media.MediaRecord(id, "doc", "avro",
+          avroNestedBytes(recs, codec, syncSeed = id))
+      }
+      .toDF()
+  }
+
+  /** Per-record extraction over [[toAvroNested]] payloads — the
+    * DOTTED flattened columns prove the nested walk.
+    */
+  def listNestedRecords(media: Dataset[Media.MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      read(m.data) match {
+        case Right(f) => f.records.map { rec =>
+          (m.media_id, f.schemaName, f.codec, rec.rec_idx,
+            rec.fields.getOrElse("id", ""),
+            rec.fields.getOrElse("meta.lang", ""),
+            rec.fields.getOrElse("meta.score", ""),
+            rec.fields.get("note").orNull,
+            null.asInstanceOf[String])
+        }
+        case Left(e) =>
+          Seq((m.media_id, null.asInstanceOf[String], null.asInstanceOf[String],
+            0, null.asInstanceOf[String], null.asInstanceOf[String],
+            null.asInstanceOf[String], null.asInstanceOf[String], e))
+      }
+    }.toDF("media_id", "schema_name", "codec", "rec_idx",
+      "id", "meta_lang", "meta_score", "note", "err")
   }
 }

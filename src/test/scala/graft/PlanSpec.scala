@@ -798,7 +798,9 @@ class PlanSpec extends SparkSpec {
       "webm" -> graft.operators.Media.decodeWebmMeta(
         graft.operators.Media.toWebm(docs).as[graft.operators.Media.MediaRecord]).toDF(),
       "tiff_g4" -> graft.operators.Media.decodeImages(
-        graft.operators.Media.toTiffG4(docs).as[graft.operators.Media.MediaRecord]).toDF())
+        graft.operators.Media.toTiffG4(docs).as[graft.operators.Media.MediaRecord]).toDF(),
+      "avro_nested" -> graft.sources.Avro.listNestedRecords(
+        graft.sources.Avro.toAvroNested(docs).as[graft.operators.Media.MediaRecord]))
     for ((name, df) <- plans) {
       val raw = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       assert(!raw.contains("Exchange"), s"$name encode+decode shuffled — must be map-only")

@@ -61,6 +61,49 @@ class AvroSpec extends AnyFunSuite {
       ("12", Some("hehehe"), "")))
   }
 
+  test("nested records flatten to dotted names in writer order (r19)") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val recs = Seq(
+        Avro.NestedRec(1L, "en", 500, Some("a")),
+        Avro.NestedRec(2L, "de", 0, None))
+      val f = Avro.read(Avro.avroNestedBytes(recs, codec, syncSeed = 6L)).toOption.get
+      assert(f.schemaName === "doc_nested")
+      val got = f.records.map(r => (r.fields("id"), r.fields("meta.lang"),
+        r.fields("meta.score"), r.fields.get("note")))
+      assert(got === Seq(("1", "en", "500", Some("a")), ("2", "de", "0", None)),
+        s"codec=$codec")
+    }
+  }
+
+  test("python fixture: nested record schema, dotted flattened walk") {
+    val f = Avro.read(fixture("sample_nested.avro")).toOption.get
+    assert((f.schemaName, f.codec, f.nBlocks, f.nRecords) ===
+      (("doc_nested", "deflate", 2, 3L)))
+    val got = f.records.map(r => (r.fields("id"), r.fields("meta.lang"),
+      r.fields("meta.score"), r.fields.get("note")))
+    assert(got === Seq(
+      ("7", "en", "950", Some("hello")),
+      ("8", "de", "13", None),
+      ("9", "fr", "0", Some("x"))))
+  }
+
+  test("out-of-scope schema shapes are named Lefts through the JSON parse") {
+    // map type
+    assert(Avro.parseSchema(
+      """{"name":"m","fields":[{"name":"x","type":{"type":"map","values":"long"}}]}""")
+      .left.toOption.get.contains("out of scope"))
+    // general (non-null) union
+    assert(Avro.parseSchema(
+      """{"name":"u","fields":[{"name":"x","type":["string","long"]}]}""")
+      .left.toOption.get.contains("out of scope"))
+    // array of records
+    assert(Avro.parseSchema(
+      """{"name":"a","fields":[{"name":"x","type":{"type":"array","items":{"type":"record"}}}]}""")
+      .isLeft)
+    // broken JSON never throws
+    assert(Avro.parseSchema("""{"name": "x", "fields": [{{{""").isLeft)
+  }
+
   test("snappy CRC tamper is a Left") {
     val good = Avro.avroBytes(Seq((1L, 0, "payload")), "snappy", syncSeed = 5L)
     val bad = good.clone()
