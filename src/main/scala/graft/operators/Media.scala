@@ -485,10 +485,13 @@ object Media {
       width: Int,
       height: Int,
       video_codec: String,
-      audio_codec: String)
+      audio_codec: String,
+      fragmented: Boolean,
+      n_fragments: Int)
 
   /** MP4 census metadata over the opaque media table — box walk only,
-    * no entropy decode (see [[Mp4Meta]]); q251 hash-gates the path.
+    * no entropy decode (see [[Mp4Meta]]); q251 hash-gates the plain
+    * path, q259 the fragmented (moof/traf) one.
     */
   def decodeMp4Meta(media: Dataset[MediaRecord]): Dataset[Mp4MetaRow] = {
     import media.sparkSession.implicits._
@@ -498,9 +501,10 @@ object Media {
           case Right(s) =>
             Mp4MetaRow(m.media_id, ok = true, "", s.brand, s.minorVersion,
               s.timescale, s.durationMs, s.nTracks, s.width, s.height,
-              s.videoCodec, s.audioCodec)
+              s.videoCodec, s.audioCodec, s.fragmented, s.nFragments)
           case Left(e) =>
-            Mp4MetaRow(m.media_id, ok = false, e, "", 0L, 0L, 0L, 0, 0, 0, "", "")
+            Mp4MetaRow(m.media_id, ok = false, e, "", 0L, 0L, 0L, 0, 0, 0, "", "",
+              fragmented = false, 0)
         }
       }
     }
@@ -534,6 +538,65 @@ object Media {
             if (id % 2 == 0) "isom" else "mp42", id % 512,
             scaleK.toLong * 1000L, (len % 4000 + 40).toLong * scaleK,
             tracks, bytes))
+      }
+      .toDF()
+  }
+
+  /** Documents -> REAL FRAGMENTED MP4s (r20 — the DASH/CMAF layout
+    * modern streaming origins actually serve), deterministically:
+    * movie == media timescale (len%3+1)*1000, total duration ticks
+    * (len%4000+40)*(len%3+1) — so duration_ms is EXACTLY len%4000+40
+    * — split across len%3+2 moof/mdat fragments (base-size fragments,
+    * remainder in the last). All three duration sources are
+    * exercised: odd docs carry PER-SAMPLE trun durations (len%4+1
+    * samples per fragment, flag 0x100), even docs the count x default
+    * layout with tfhd defaults — except the LAST fragment, which
+    * omits tfhd so the trex default must resolve it — and doc_id%4==0
+    * adds mvex/mehd (which then wins). One avc1/hev1 video track at
+    * (len%320+16) x (len%240+16), an mp4a audio track (init-segment
+    * only, no fragments) when doc_id%3 == 0, text bytes split across
+    * the mdats. Every census field is a pure function of
+    * (doc_id, len) — the q240 rule.
+    */
+  def toMp4Fragmented(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val len = bytes.length
+        val scaleK = len % 3 + 1
+        val ts = scaleK.toLong * 1000L
+        val totalTicks = (len % 4000 + 40).toLong * scaleK
+        val nFrags = len % 3 + 2
+        val base = totalTicks / nFrags
+        val fragTicks = Seq.tabulate(nFrags)(i =>
+          if (i < nFrags - 1) base else totalTicks - base * (nFrags - 1))
+        val perSample = id % 2 == 1
+        val frags = fragTicks.zipWithIndex.map { case (t, i) =>
+          val mdat = java.util.Arrays.copyOfRange(bytes,
+            i * len / nFrags, (i + 1) * len / nFrags)
+          if (perSample) {
+            val cnt = len % 4 + 1
+            val durs = Seq.tabulate(cnt)(j => t / cnt + (if (j < t % cnt) 1L else 0L))
+            Mp4Meta.Mp4Frag(1L, durs, perSample = true, tfhdDefault = false, mdat)
+          } else Mp4Meta.Mp4Frag(1L, Seq(t), perSample = false,
+            tfhdDefault = i < nFrags - 1, mdat)
+        }
+        val video = Mp4Meta.Mp4Track(
+          "vide", if (id % 2 == 0) "avc1" else "hev1", 1L,
+          len % 320 + 16, len % 240 + 16)
+        val tracks =
+          if (id % 3 == 0) Seq(video, Mp4Meta.Mp4Track("soun", "mp4a", 2L, 0, 0))
+          else Seq(video)
+        MediaRecord(id, "video", "mp4",
+          Mp4Meta.encodeMp4Fragmented(
+            if (id % 2 == 0) "dash" else "iso6", id % 256, ts, tracks,
+            mediaTimescale = ts,
+            trexDefaults = Map(1L -> fragTicks.last, 2L -> 0L),
+            mehdDuration = if (id % 4 == 0) Some(totalTicks) else None,
+            frags))
       }
       .toDF()
   }

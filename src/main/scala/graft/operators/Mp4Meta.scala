@@ -16,16 +16,30 @@ package graft.operators
   *  - moov/mvhd versions 0 and 1: movie timescale + duration;
   *    duration_ms = duration * 1000 / timescale, truncating
   *  - per-trak: tkhd v0/v1 (track id, 16.16 fixed-point presentation
-  *    width/height — integer part surfaced), mdia/hdlr handler type
-  *    (vide / soun), mdia/minf/stbl/stsd first-entry sample format
-  *    (the codec fourcc: avc1, hev1, mp4a, ...)
+  *    width/height — integer part surfaced), mdia/mdhd media
+  *    timescale, mdia/hdlr handler type (vide / soun),
+  *    mdia/minf/stbl/stsd first-entry sample format (the codec
+  *    fourcc: avc1, hev1, mp4a, ...)
   *  - first video track and first audio track surfaced; every track
   *    counted
+  *  - FRAGMENTED movies (r20 — DASH/CMAF segments, the dominant
+  *    modern streaming-origin layout): moov/mvex/trex default sample
+  *    durations and the optional mvex/mehd fragment_duration; each
+  *    top-level moof counted and its traf walked — tfhd (track id +
+  *    optional default-sample-duration override, flag 0x08) and trun
+  *    in BOTH layouts (per-sample durations, flag 0x100, or
+  *    count x default). When mvhd duration is 0/absent (the
+  *    fragmented convention), duration_ms comes from mehd when
+  *    present, else the max over tracks of summed trun ticks at that
+  *    track's mdhd timescale. `fragmented`/`n_fragments` surface so a
+  *    census can split the family. A trun with no duration source
+  *    (no per-sample durations, no tfhd default, no PRECEDING trex —
+  *    moov-before-moof is the spec's own ordering) is a named Left.
   *
-  * OUT of scope (named Lefts): fragmented movies (moof/mvex —
-  * durations live in segment indexes there), mvhd/tkhd versions > 1,
-  * encrypted boxes, and files whose first box is not ftyp. The
-  * actual sample data (mdat) is never touched.
+  * OUT of scope (named Lefts): mvhd/tkhd versions > 1, encrypted
+  * boxes, and files whose first box is not ftyp. The actual sample
+  * data (mdat) is never touched — fragment durations ride the moof
+  * box walk, never an entropy decode.
   *
   * Malformed input is a Left, never an exception. The independent
   * python fixture (scripts/gen_mp4_fixture.py) pins the walk.
@@ -41,7 +55,9 @@ object Mp4Meta {
       width: Int, // first vide track, integer part of 16.16
       height: Int,
       videoCodec: String, // "" when no vide track
-      audioCodec: String) // "" when no soun track
+      audioCodec: String, // "" when no soun track
+      fragmented: Boolean, // any moof box present (r20)
+      nFragments: Int) // number of top-level moof boxes
 
   def sniff(d: Array[Byte]): Boolean =
     d.length >= 12 && d(4) == 'f' && d(5) == 't' && d(6) == 'y' && d(7) == 'p'
@@ -58,10 +74,12 @@ object Mp4Meta {
   }
 
   private final class TrackCtx {
+    var trackId = -1L
     var handler = ""
     var codec = ""
     var w = 0
     var h = 0
+    var mediaTimescale = -1L // mdhd; needed only on the fragmented path
   }
 
   private def decodeInner(d: Array[Byte]): Either[String, Mp4Stats] = {
@@ -77,10 +95,18 @@ object Mp4Meta {
     var timescale = -1L
     var duration = -1L
     val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackCtx]
+    // fragmented-movie state (r20): trex defaults, mehd duration,
+    // summed trun ticks per track, per-traf overrides
+    var trexDefault = Map.empty[Long, Long]
+    var mehdDuration = -1L
+    var fragTicks = Map.empty[Long, Long]
+    var nFrags = 0
+    var trafTrack = -1L
+    var trafDefaultDur = -1L
 
     // containers whose children this profile walks; everything else
     // is skipped whole (mdat especially — never touched)
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl", "mvex")
 
     def walk(from: Int, until: Int, topLevel: Boolean, ctx: TrackCtx): Unit = {
       var pos = from
@@ -111,8 +137,77 @@ object Mp4Meta {
             if (body + 8 > end) throw Abort("mp4: ftyp too short")
             brand = fourcc(body)
             minorVersion = u32(body + 4)
-          case "moof" | "mvex" =>
-            throw Abort("mp4: fragmented movies are out of scope")
+          case "moof" =>
+            nFrags += 1
+            walk(body, end, topLevel = false, null)
+          case "traf" =>
+            // per-traf overrides reset; tfhd (mandatory first child
+            // per spec) re-establishes them
+            trafTrack = -1L
+            trafDefaultDur = -1L
+            walk(body, end, topLevel = false, null)
+          case "tfhd" =>
+            if (body + 8 > end) throw Abort("mp4: tfhd too short")
+            val flags = u32(body) & 0xffffffL
+            trafTrack = u32(body + 4)
+            // optional fields in spec order: base-data-offset (8,
+            // 0x01), sample-description-index (4, 0x02),
+            // default-sample-duration (4, 0x08)
+            var o = body + 8
+            if ((flags & 0x01L) != 0) o += 8
+            if ((flags & 0x02L) != 0) o += 4
+            if ((flags & 0x08L) != 0) {
+              if (o + 4 > end) throw Abort("mp4: tfhd too short for its flags")
+              trafDefaultDur = u32(o)
+            }
+          case "trun" =>
+            if (trafTrack < 0) throw Abort("mp4: trun outside a traf with tfhd")
+            if (body + 8 > end) throw Abort("mp4: trun too short")
+            val flags = u32(body) & 0xffffffL
+            val sampleCount = u32(body + 4)
+            var o = body + 8
+            if ((flags & 0x001L) != 0) o += 4 // data-offset
+            if ((flags & 0x004L) != 0) o += 4 // first-sample-flags
+            val perSample = Seq(0x100L, 0x200L, 0x400L, 0x800L)
+              .map(f => if ((flags & f) != 0) 4 else 0)
+            val stride = perSample.sum
+            val ticks =
+              if ((flags & 0x100L) != 0) {
+                if (o + stride * sampleCount > end)
+                  throw Abort("mp4: trun sample table runs past its box")
+                var acc = 0L
+                var i = 0L
+                while (i < sampleCount) {
+                  acc += u32(o + (stride * i).toInt) // duration is field 0
+                  i += 1
+                }
+                acc
+              } else {
+                val dflt =
+                  if (trafDefaultDur >= 0) trafDefaultDur
+                  else trexDefault.getOrElse(trafTrack,
+                    throw Abort("mp4: trun with no sample duration source (tfhd/trex)"))
+                sampleCount * dflt
+              }
+            fragTicks = fragTicks.updated(trafTrack,
+              fragTicks.getOrElse(trafTrack, 0L) + ticks)
+          case "trex" =>
+            if (body + 24 > end) throw Abort("mp4: trex too short")
+            trexDefault = trexDefault.updated(u32(body + 4), u32(body + 12))
+          case "mehd" =>
+            val ver = d(body) & 0xff
+            if (ver > 1) throw Abort(s"mp4: mehd version $ver out of scope")
+            if (body + 4 + (if (ver == 1) 8 else 4) > end)
+              throw Abort("mp4: mehd too short")
+            mehdDuration = if (ver == 1) u64(body + 4) else u32(body + 4)
+          case "mdhd" =>
+            if (ctx != null) {
+              val ver = d(body) & 0xff
+              if (ver > 1) throw Abort(s"mp4: mdhd version $ver out of scope")
+              val o = body + 4 + (if (ver == 1) 16 else 8)
+              if (o + 4 > end) throw Abort("mp4: mdhd too short")
+              ctx.mediaTimescale = u32(o)
+            }
           case "mvhd" =>
             val ver = d(body) & 0xff
             if (ver > 1) throw Abort(s"mp4: mvhd version $ver out of scope")
@@ -131,6 +226,7 @@ object Mp4Meta {
             if (ctx == null) throw Abort("mp4: tkhd outside trak")
             val ver = d(body) & 0xff
             if (ver > 1) throw Abort(s"mp4: tkhd version $ver out of scope")
+            ctx.trackId = u32(body + 4 + (if (ver == 1) 16 else 8))
             // after FullBox hdr: v0 creation 4 + modification 4 +
             // track_ID 4 + reserved 4 + duration 4 = 20 (v1: 32), then
             // reserved 8, layer/alt/volume/reserved 8, matrix 36
@@ -165,13 +261,36 @@ object Mp4Meta {
     if (timescale < 0) return Left("mp4: no moov/mvhd box")
     val vide = tracks.find(_.handler == "vide")
     val soun = tracks.find(_.handler == "soun")
+    // duration: mvhd when it carries one; fragmented files write 0
+    // there, so fall to mehd (movie timescale), else the max over
+    // tracks of summed trun ticks at the track's OWN mdhd timescale
+    val durationMs =
+      if (duration > 0 || nFrags == 0) duration * 1000L / timescale
+      else if (mehdDuration >= 0) mehdDuration * 1000L / timescale
+      else fragTicks.foldLeft(0L) { case (best, (tid, ticks)) =>
+        val mts = tracks.find(_.trackId == tid).map(_.mediaTimescale).getOrElse(-1L)
+        if (mts <= 0) throw Abort(s"mp4: fragments on track $tid without an mdhd timescale")
+        math.max(best, ticks * 1000L / mts)
+      }
     Right(Mp4Stats(brand, minorVersion, timescale,
-      duration * 1000L / timescale, tracks.size,
+      durationMs, tracks.size,
       vide.map(_.w).getOrElse(0), vide.map(_.h).getOrElse(0),
-      vide.map(_.codec).getOrElse(""), soun.map(_.codec).getOrElse("")))
+      vide.map(_.codec).getOrElse(""), soun.map(_.codec).getOrElse(""),
+      nFrags > 0, nFrags))
   }
 
   // ------------------------------------------------------------ encode
+
+  // shared big-endian writers for both deterministic encoders
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+  private def cc(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val payload = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+    be32(8L + payload.length) ++ cc(typ) ++ payload
+  }
 
   final case class Mp4Track(
       handler: String, // vide | soun
@@ -191,15 +310,6 @@ object Mp4Meta {
       tracks: Seq[Mp4Track], mdat: Array[Byte]): Array[Byte] = {
     require(brand.length == 4, s"encodeMp4: brand '$brand' not a fourcc")
     require(timescale > 0, "encodeMp4: timescale must be positive")
-    def be32(v: Long): Array[Byte] = Array(
-      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
-    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
-    def cc(s: String): Array[Byte] =
-      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
-      val payload = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
-      be32(8L + payload.length) ++ cc(typ) ++ payload
-    }
     val v1 = duration % 2 == 1 // exercise both FullBox layouts
     val mvhd =
       if (v1) box("mvhd", Array[Byte](1, 0, 0, 0), be64(0), be64(0),
@@ -231,5 +341,88 @@ object Mp4Meta {
     val moov = box("moov", (mvhd +: traks): _*)
     val ftyp = box("ftyp", cc(brand), be32(minorVersion), cc("isom"))
     ftyp ++ moov ++ box("mdat", mdat)
+  }
+
+  /** One movie fragment for [[encodeMp4Fragmented]]: `perSample`
+    * emits the per-sample-duration trun layout (flag 0x100, one
+    * duration per sample); otherwise the trun carries only a sample
+    * count and the duration rides tfhd's default (flag 0x08) when
+    * `tfhdDefault`, else falls through to the track's trex default —
+    * the three duration sources a DASH walk must cover.
+    */
+  final case class Mp4Frag(
+      trackId: Long,
+      sampleDurations: Seq[Long],
+      perSample: Boolean,
+      tfhdDefault: Boolean,
+      mdat: Array[Byte])
+
+  /** Deterministic FRAGMENTED ISO-BMFF encoder (r20) — the
+    * `Media.toMp4Fragmented` adapter / fixture substrate: an init
+    * segment (ftyp + moov with mvhd duration 0, per-trak mdhd
+    * carrying the MEDIA timescale, and mvex with one trex per track +
+    * optional mehd) followed by one moof/mdat pair per fragment
+    * (mfhd sequence numbers from 1, traf{tfhd, trun}). The
+    * uniform-duration fragments may omit tfhd's default to exercise
+    * the trex fallback; `mehdDuration` (movie-timescale ticks) adds
+    * the third duration source.
+    */
+  def encodeMp4Fragmented(
+      brand: String, minorVersion: Long, timescale: Long,
+      tracks: Seq[Mp4Track], mediaTimescale: Long,
+      trexDefaults: Map[Long, Long], mehdDuration: Option[Long],
+      frags: Seq[Mp4Frag]): Array[Byte] = {
+    require(brand.length == 4, s"encodeMp4Fragmented: brand '$brand' not a fourcc")
+    require(timescale > 0 && mediaTimescale > 0,
+      "encodeMp4Fragmented: timescales must be positive")
+    require(frags.forall(f => f.perSample || f.sampleDurations.distinct.size <= 1),
+      "encodeMp4Fragmented: count x default layout needs uniform durations")
+
+    val fullbox0 = Array[Byte](0, 0, 0, 0)
+    val mvhd = box("mvhd", fullbox0, be32(0), be32(0),
+      be32(timescale), be32(0), // duration 0: the fragmented convention
+      be32(0x00010000L), be32(0), new Array[Byte](76))
+    val traks = tracks.map { t =>
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7), be32(0), be32(0),
+        be32(t.trackId), be32(0), be32(0), new Array[Byte](16),
+        new Array[Byte](36),
+        be32(t.width.toLong << 16), be32(t.height.toLong << 16))
+      val mdhd = box("mdhd", fullbox0, be32(0), be32(0),
+        be32(mediaTimescale), be32(0), be32(0x55c40000L)) // language 'und'
+      val hdlr = box("hdlr", fullbox0, be32(0),
+        cc(t.handler), new Array[Byte](12), Array[Byte](0))
+      val entry = box(t.codec, new Array[Byte](8))
+      val stsd = box("stsd", fullbox0, be32(1), entry)
+      box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", box("stbl", stsd))))
+    }
+    val trexes = tracks.map { t =>
+      box("trex", fullbox0, be32(t.trackId), be32(1),
+        be32(trexDefaults.getOrElse(t.trackId, 0L)), be32(0), be32(0))
+    }
+    val mvex = box("mvex",
+      (mehdDuration.map(d => box("mehd", fullbox0, be32(d))).toSeq ++ trexes): _*)
+    val moov = box("moov", (mvhd +: traks) :+ mvex: _*)
+    val ftyp = box("ftyp", cc(brand), be32(minorVersion), cc("iso6"))
+
+    val fragBoxes = frags.zipWithIndex.flatMap { case (f, i) =>
+      val mfhd = box("mfhd", fullbox0, be32(i + 1L))
+      // tfhd flags: default-base-is-moof (0x020000) + optional
+      // default-sample-duration (0x08)
+      val tfFlags = 0x020000L | (if (f.tfhdDefault) 0x08L else 0L)
+      val tfhdParts =
+        Array[Byte](0, ((tfFlags >> 16) & 0xff).toByte,
+          ((tfFlags >> 8) & 0xff).toByte, (tfFlags & 0xff).toByte) +:
+          be32(f.trackId) +:
+          (if (f.tfhdDefault) Seq(be32(f.sampleDurations.head)) else Nil)
+      val tfhd = box("tfhd", tfhdParts: _*)
+      val trFlags = if (f.perSample) 0x100L else 0L
+      val trunParts =
+        Array[Byte](0, 0, ((trFlags >> 8) & 0xff).toByte, (trFlags & 0xff).toByte) +:
+          be32(f.sampleDurations.size.toLong) +:
+          (if (f.perSample) f.sampleDurations.map(be32) else Nil)
+      val trun = box("trun", trunParts: _*)
+      Seq(box("moof", mfhd, box("traf", tfhd, trun)), box("mdat", f.mdat))
+    }
+    (Seq(ftyp, moov) ++ fragBoxes).foldLeft(Array.emptyByteArray)(_ ++ _)
   }
 }

@@ -734,6 +734,49 @@ object MediaStream {
       |FROM d
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q259
+  /** FRAGMENTED MP4 metadata (r20 — the DASH/CMAF moof/traf walk),
+    * hash-gated end-to-end: documents become genuine fragmented
+    * movies (Media.toMp4Fragmented — init segment with mvhd duration
+    * 0, mdhd media timescale, mvex/trex defaults + optional mehd,
+    * then len%3+2 moof/mdat pairs) and the box walk recovers the
+    * duration from all three spec sources — per-sample trun durations
+    * on odd docs, tfhd/trex count x default on even, mehd winning on
+    * doc_id%4==0 — plus the fragment count and the fragmented flag.
+    * Every field is a pure function of (doc_id, len) so the oracle
+    * recomputes them all; a tfhd optional-field stride slip, a trex
+    * fallback miss, or a trun sample-table misread all hash-fail.
+    */
+  private def q259(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toMp4Fragmented(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeMp4Meta(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("brand"), col("minor_version"),
+        col("timescale"), col("duration_ms"), col("n_tracks"),
+        col("width"), col("height"), col("video_codec"), col("audio_codec"),
+        col("fragmented"), col("n_fragments"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q259Sql =
+    """WITH d AS (SELECT doc_id, length(text) AS len
+      |           FROM documents WHERE length(text) > 0)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'dash' ELSE 'iso6' END AS brand,
+      |  CAST(doc_id % 256 AS BIGINT) AS minor_version,
+      |  CAST((len % 3 + 1) * 1000 AS BIGINT) AS timescale,
+      |  CAST(len % 4000 + 40 AS BIGINT) AS duration_ms,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_tracks,
+      |  CAST(len % 320 + 16 AS INTEGER) AS width,
+      |  CAST(len % 240 + 16 AS INTEGER) AS height,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'mp4a' ELSE '' END AS audio_codec,
+      |  TRUE AS fragmented,
+      |  CAST(len % 3 + 2 AS INTEGER) AS n_fragments
+      |FROM d
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q253
   /** Media-layer PII: EXIF GPS surfacing + in-place redaction
     * (operators.ExifGps) — Quality.piiRedact's image sibling. Every
@@ -974,7 +1017,12 @@ object MediaStream {
       .union(Media.toTiff(bucket(12)))
       .union(Media.toOgg(bucket(13)))
       .union(graft.sources.Avro.toAvro(bucket(14)))
-      .union(Media.toMp4(bucket(15)))
+      // r20: the mp4 bucket now mixes layouts — every fifth doc is a
+      // FRAGMENTED (DASH/CMAF moof/traf) movie with the same surfaced
+      // duration, so the census video bucket accepts both and the
+      // n_frag column splits the family
+      .union(Media.toMp4(bucket(15).filter(pmod(col("doc_id"), lit(5)) =!= 0)))
+      .union(Media.toMp4Fragmented(bucket(15).filter(pmod(col("doc_id"), lit(5)) === 0)))
       .union(Media.toWebm(bucket(16)))
       .as[Media.MediaRecord]
 
@@ -1020,9 +1068,9 @@ object MediaStream {
           mp3.map(_.durationMs).getOrElse(0L) + ogg.map(_.durationMs).getOrElse(0L) +
           mp4.map(_.durationMs).getOrElse(0L) + webm.map(_.durationMs).getOrElse(0L),
         img.map(_.orientation.toLong).getOrElse(0L),
-        arc.getOrElse(0L), gps)
+        arc.getOrElse(0L), gps, mp4.exists(_.fragmented))
     }.toDF("format", "i_ok", "a_ok", "v_ok", "p_ok", "r_ok", "is_err",
-      "px", "ms", "ori", "ents", "gps")
+      "px", "ms", "ori", "ents", "gps", "frag")
     per.groupBy(col("format"))
       .agg(count(lit(1)).as("n_rows"),
         sum(when(col("i_ok"), 1L).otherwise(0L)).as("img_ok"),
@@ -1040,7 +1088,10 @@ object MediaStream {
         sum(col("ents")).as("ent_sum"),
         // media-layer PII (r19): jpeg rows with a GPS IFD — the
         // column a scrub stage gates on before bytes ship
-        sum(when(col("gps"), 1L).otherwise(0L)).as("n_gps"))
+        sum(when(col("gps"), 1L).otherwise(0L)).as("n_gps"),
+        // fragmented containers (r20): the DASH/CMAF slice of the
+        // video bucket — the column a segment-aware pipeline splits on
+        sum(when(col("frag"), 1L).otherwise(0L)).as("n_frag"))
       .orderBy(col("format"))
   }
 
@@ -1072,7 +1123,8 @@ object MediaStream {
       |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum,
       |  CAST(sum(CASE WHEN b = 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
       |    WHEN b = 14 THEN len % 4 + 1 ELSE 0 END) AS BIGINT) AS ent_sum,
-      |  CAST(sum(CASE WHEN b = 5 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gps
+      |  CAST(sum(CASE WHEN b = 5 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gps,
+      |  CAST(sum(CASE WHEN b = 15 AND doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frag
       |FROM (SELECT doc_id, doc_id % 17 AS b,
       |        CASE doc_id % 17 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'
       |          WHEN 2 THEN 'wav' WHEN 3 THEN 'y4m' WHEN 5 THEN 'jpeg'
@@ -3398,6 +3450,7 @@ object MediaStream {
     "q240_mp3_meta" -> (q240 _),
     "q243_ogg_meta" -> (q243 _),
     "q251_mp4_meta" -> (q251 _),
+    "q259_mp4_fragmented" -> (q259 _),
     "q256_webm_meta" -> (q256 _),
     "q257_tiff_g4" -> (q257 _),
     "q252_avro_nullable" -> (q252 _),
@@ -3469,6 +3522,7 @@ object MediaStream {
     "q240_mp3_meta" -> q240Sql,
     "q243_ogg_meta" -> q243Sql,
     "q251_mp4_meta" -> q251Sql,
+    "q259_mp4_fragmented" -> q259Sql,
     "q256_webm_meta" -> q256Sql,
     "q257_tiff_g4" -> q257Sql,
     "q252_avro_nullable" -> q252Sql,

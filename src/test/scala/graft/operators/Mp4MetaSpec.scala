@@ -3,9 +3,11 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 
 /** [[Mp4Meta]]: round trips over track layouts and both FullBox
-  * versions, the committed INDEPENDENT python fixture (spec-exact box
-  * sizes, free box, v0+v1 tkhd mix, size-0 trailing mdat), and the
-  * malformed-input discipline incl. the fragmented-movie Left.
+  * versions, FRAGMENTED movies across all three duration sources
+  * (per-sample trun, tfhd default, trex fallback, plus mehd winning),
+  * the committed INDEPENDENT python fixtures (spec-exact box sizes,
+  * free box, v0+v1 tkhd mix, size-0 trailing mdat, hand-rolled
+  * moof/traf segments), and the malformed-input discipline.
   */
 class Mp4MetaSpec extends AnyFunSuite {
 
@@ -45,7 +47,60 @@ class Mp4MetaSpec extends AnyFunSuite {
     }
   }
 
-  test("malformed input is a Left, never a throw; fragmented named") {
+  test("fragmented: all three duration sources, both trun layouts") {
+    val v = Mp4Meta.Mp4Track("vide", "avc1", 1L, 320, 240)
+    // per-sample trun durations
+    val ps = Mp4Meta.decode(Mp4Meta.encodeMp4Fragmented(
+      "dash", 9L, 1000L, Seq(v), mediaTimescale = 1000L,
+      trexDefaults = Map(1L -> 7L), mehdDuration = None,
+      frags = Seq(
+        Mp4Meta.Mp4Frag(1L, Seq(100L, 150L, 250L), perSample = true, tfhdDefault = false,
+          "f1".getBytes("US-ASCII")),
+        Mp4Meta.Mp4Frag(1L, Seq(300L, 200L), perSample = true, tfhdDefault = false,
+          "f2".getBytes("US-ASCII"))))).toOption.get
+    assert((ps.fragmented, ps.nFragments) === ((true, 2)))
+    assert(ps.durationMs === 1000L) // 500 + 500 ticks @ 1000
+    assert((ps.brand, ps.width, ps.videoCodec) === (("dash", 320, "avc1")))
+    // tfhd default (frag 1) + trex fallback (frag 2), media timescale
+    // differing from the movie's
+    val df = Mp4Meta.decode(Mp4Meta.encodeMp4Fragmented(
+      "iso6", 0L, 1000L, Seq(v), mediaTimescale = 2000L,
+      trexDefaults = Map(1L -> 250L), mehdDuration = None,
+      frags = Seq(
+        Mp4Meta.Mp4Frag(1L, Seq(100L, 100L, 100L), perSample = false, tfhdDefault = true,
+          Array.emptyByteArray),
+        Mp4Meta.Mp4Frag(1L, Seq(250L, 250L), perSample = false, tfhdDefault = false,
+          Array.emptyByteArray)))).toOption.get
+    assert(df.durationMs === (300L + 500L) * 1000L / 2000L)
+    // mehd wins over the trun sums (movie timescale)
+    val me = Mp4Meta.decode(Mp4Meta.encodeMp4Fragmented(
+      "dash", 0L, 1000L, Seq(v), mediaTimescale = 2000L,
+      trexDefaults = Map(1L -> 250L), mehdDuration = Some(4000L),
+      frags = Seq(Mp4Meta.Mp4Frag(1L, Seq(250L), perSample = false,
+        tfhdDefault = false, Array.emptyByteArray)))).toOption.get
+    assert(me.durationMs === 4000L)
+    // a trun with NO duration source anywhere — a traf for a track
+    // the moov never declared (so no trex), no tfhd default, no
+    // per-sample durations — is a named Left
+    val orphan = Mp4Meta.decode(Mp4Meta.encodeMp4Fragmented(
+      "dash", 0L, 1000L, Seq(v), mediaTimescale = 1000L,
+      trexDefaults = Map.empty, mehdDuration = None,
+      frags = Seq(Mp4Meta.Mp4Frag(9L, Seq(5L, 5L), perSample = false,
+        tfhdDefault = false, Array.emptyByteArray))))
+    assert(orphan.left.toOption.get.contains("duration source"))
+  }
+
+  test("python fragmented fixtures: moof walk + mehd precedence") {
+    val st = Mp4Meta.decode(fixture("sample_frag.mp4")).toOption.get
+    assert((st.fragmented, st.nFragments) === ((true, 3)))
+    assert((st.brand, st.timescale, st.durationMs) === (("iso6", 90000L, 300L)))
+    assert((st.nTracks, st.width, st.height, st.videoCodec) ===
+      ((1, 640, 360, "avc1")))
+    val me = Mp4Meta.decode(fixture("sample_frag_mehd.mp4")).toOption.get
+    assert((me.fragmented, me.nFragments, me.durationMs) === ((true, 3, 500L)))
+  }
+
+  test("malformed input is a Left, never a throw") {
     val good = Mp4Meta.encodeMp4("isom", 1L, 1000L, 2000L,
       Seq(Mp4Meta.Mp4Track("vide", "avc1", 1L, 64, 48)), fill)
     // a cut landing exactly after moov but before/inside mdat still
@@ -59,9 +114,11 @@ class Mp4MetaSpec extends AnyFunSuite {
       }
     assert(Mp4Meta.decode("notamp4file".getBytes("US-ASCII")).isLeft)
     assert(Mp4Meta.decode(Array.emptyByteArray).isLeft)
-    // moof: fragmented movies are a named Left
+    // a trailing empty moof still decodes (r20) — it only flips the
+    // fragmented flag; the mvhd duration keeps winning
     val frag = good ++ Array[Byte](0, 0, 0, 8) ++ "moof".getBytes("US-ASCII")
-    assert(Mp4Meta.decode(frag).left.toOption.get.contains("fragmented"))
+    val fs = Mp4Meta.decode(frag).toOption.get
+    assert((fs.fragmented, fs.nFragments, fs.durationMs) === ((true, 1, 2000L)))
     // a child box lying about its size: named Left
     val bad = good.clone()
     // ftyp size is the first u32; shrink it below header size
