@@ -3389,7 +3389,11 @@ object MediaStream {
       |    CAST(length(text) AS BIGINT), TRUE, text
       |  FROM d WHERE doc_id % 2 = 0
       |  UNION ALL
-      |  SELECT doc_id, 'tar', 'doc_' || doc_id || '.txt', 'ustar',
+      |  SELECT doc_id, 'tar',
+      |    CASE WHEN doc_id % 6 = 3
+      |      THEN 'pax/' || repeat('p', 110) || '/doc_' || doc_id || '.txt'
+      |      ELSE 'doc_' || doc_id || '.txt' END,
+      |    CASE WHEN doc_id % 6 = 3 THEN 'pax' ELSE 'ustar' END,
       |    CAST(length(text) AS BIGINT), TRUE, text
       |  FROM d WHERE doc_id % 2 = 1)
       |ORDER BY media_id, entry_name""".stripMargin

@@ -46,11 +46,18 @@ import graft.operators.Media
   * blocks (or EOF after a zero block — tolerated, GNU tar emits it).
   * GNU long-name ('L') records APPLY (r19): the payload becomes the
   * following regular entry's name, so >100-char paths extract under
-  * their real names. OUT of scope: 'K' link-name and pax ('x'/'g')
-  * extension records are skipped (clearing any pending long name —
-  * it binds only to the immediate next entry), sparse files, and
-  * base-256 (binary) size fields — size bytes with the high bit set
-  * Left.
+  * their real names. POSIX pax ('x'/'g') extended headers APPLY
+  * (r20 — pax is the DEFAULT output format of modern GNU/BSD tar, so
+  * fresh archives carry long paths and large sizes as pax records):
+  * "%d key=value\n" records are parsed, `path` and `size` override
+  * the following entry's header fields ('x' binds to the immediate
+  * next entry and wins over a GNU 'L' name and over 'g'; 'g' globals
+  * apply to every following entry until overridden), other keys are
+  * carried but ignored; entries that consumed an 'x' record surface
+  * method "pax". OUT of scope: 'K' link-name records are skipped
+  * (clearing any pending long name / 'x' map — both bind only to the
+  * immediate next entry), sparse files, and base-256 (binary) size
+  * fields — size bytes with the high bit set Left.
   *
   * Scale shape: archives are opaque binary cells; [[listEntries]] is
   * one `flatMap` inside a `mapPartitions`-equivalent typed map — no
@@ -325,6 +332,36 @@ object Archive {
     }
   }
 
+  /** Parse a pax extended-header payload: "%d key=value\n" records
+    * where the decimal length counts the WHOLE record including the
+    * length digits, the space, and the trailing newline (POSIX
+    * pax(1) §Extended Header). Malformed framing aborts.
+    */
+  private def parsePaxRecords(d: Array[Byte], from: Int, until: Int): Map[String, String] = {
+    var m = Map.empty[String, String]
+    var p = from
+    while (p < until) {
+      var q = p
+      var len = 0
+      while (q < until && d(q) != ' ') {
+        val ch = d(q) & 0xff
+        if (ch < '0' || ch > '9') throw Abort("tar: bad pax record length")
+        len = len * 10 + (ch - '0')
+        if (len > until - from) throw Abort("tar: pax record length overrun")
+        q += 1
+      }
+      if (q >= until || len < q - p + 2 || p + len > until || d(p + len - 1) != '\n')
+        throw Abort("tar: pax record framing")
+      val body = new String(d, q + 1, p + len - 1 - (q + 1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val eq = body.indexOf('=')
+      if (eq < 0) throw Abort("tar: pax record without '='")
+      m += body.substring(0, eq) -> body.substring(eq + 1)
+      p += len
+    }
+    m
+  }
+
   private def readTarInner(d: Array[Byte]): Seq[EntryRec] = {
     val out = Vector.newBuilder[EntryRec]
     var p = 0
@@ -333,6 +370,10 @@ object Archive {
     // regular entry (r19 — tars with >100-char paths used to extract
     // under their truncated header-local names)
     var pendingLongName: String = null
+    // pax state (r20): 'x' records bind to the immediate next entry,
+    // 'g' globals apply to everything that follows
+    var paxNext: Map[String, String] = null
+    var paxGlobal = Map.empty[String, String]
     while (p + 512 <= d.length && zeros < 2) {
       var allZero = true
       var i = p
@@ -357,7 +398,7 @@ object Archive {
           }
           v
         }
-        val size = octal(124, 12)
+        val headerSize = octal(124, 12)
         val stated = octal(148, 8)
         // checksum: header bytes with the checksum field read as spaces
         var sum = 0L
@@ -370,13 +411,34 @@ object Archive {
         val prefix = str(345, 155)
         val name = if (prefix.isEmpty) str(0, 100) else prefix + "/" + str(0, 100)
         val dataStart = p + 512
+        // pax size override governs the DATA BLOCKS of the entry it
+        // binds to (the header octal may read 0 there — GNU tar's own
+        // convention past 8 GiB); metadata records use their header size
+        def paxVal(key: String): Option[String] =
+          Option(paxNext).flatMap(_.get(key)).orElse(paxGlobal.get(key))
+        val size =
+          if (typeflag == '0' || typeflag == 0)
+            paxVal("size").map { s =>
+              if (!s.forall(_.isDigit) || s.isEmpty) throw Abort("tar: bad pax size value")
+              s.toLong
+            }.getOrElse(headerSize)
+          else headerSize
         val blocks = ((size + 511) / 512).toInt
         if (dataStart + size > d.length) throw Abort(s"tar: $name data runs past EOF")
         if (typeflag == '0' || typeflag == 0) {
           val bytes = java.util.Arrays.copyOfRange(d, dataStart, dataStart + size.toInt)
-          val effName = if (pendingLongName != null) pendingLongName else name
+          // name precedence: pax 'x' path > GNU 'L' > pax 'g' path >
+          // the header's own (prefix-joined) name
+          val effName = paxVal("path") match {
+            case Some(px) if paxNext != null && paxNext.contains("path") => px
+            case _ if pendingLongName != null => pendingLongName
+            case Some(pg) => pg
+            case None => name
+          }
+          val method = if (paxNext != null) "pax" else "ustar"
           pendingLongName = null
-          out += EntryRec(effName, "ustar", size, size, sum == stated, bytes)
+          paxNext = null
+          out += EntryRec(effName, method, size, size, sum == stated, bytes)
         } else if (typeflag == 'L') {
           // GNU long name: the data block is the NUL-terminated path
           // of the entry that follows
@@ -385,10 +447,19 @@ object Archive {
           while (e < lim && d(e) != 0) e += 1
           pendingLongName = new String(d, dataStart, e - dataStart,
             java.nio.charset.StandardCharsets.UTF_8)
-        } else pendingLongName = null
-        // dirs, links, pax metadata records: skipped (and they clear
-        // any pending long name, which applies only to the immediate
-        // next entry)
+        } else if (typeflag == 'x') {
+          // pax per-file extended header: binds to the next entry
+          paxNext = parsePaxRecords(d, dataStart, dataStart + size.toInt)
+        } else if (typeflag == 'g') {
+          // pax global header: applies to all following entries
+          paxGlobal ++= parsePaxRecords(d, dataStart, dataStart + size.toInt)
+        } else {
+          // dirs, links, other metadata: skipped (and they consume any
+          // pending long name / 'x' map, which bind only to the
+          // immediate next entry)
+          pendingLongName = null
+          paxNext = null
+        }
         p = dataStart + blocks * 512
       }
     }
@@ -430,16 +501,90 @@ object Archive {
     out.toByteArray
   }
 
+  /** One 512-byte ustar header block (zeroed mtime/uid/gid, checksum
+    * computed with the field read as spaces) — shared by the pax
+    * writer; [[tarBytes]] keeps its original inline form so its
+    * artifact bytes stay stable.
+    */
+  private def tarHeader(name: String, size: Long, typeflag: Char): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name.take(100))
+    put(100, "0000644")
+    put(108, "0000000")
+    put(116, "0000000")
+    put(124, f"$size%011o")
+    put(136, "00000000000")
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    h(156) = typeflag.toByte
+    put(257, "ustar")
+    h(263) = '0'; h(264) = '0'
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o")
+    h(154) = 0; h(155) = ' '
+    h
+  }
+
+  private def paxRecord(key: String, value: String): Array[Byte] = {
+    val kv = s" $key=$value\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // length counts its own decimal digits: fix-point over the width
+    var len = kv.length + 1
+    while (len.toString.length + kv.length != len) len = len.toString.length + kv.length
+    len.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ kv
+  }
+
+  /** Build a POSIX pax TAR (r20): optional 'g' global header first,
+    * then per entry an 'x' extended header carrying `path` (the REAL
+    * name) and `size`, followed by the ustar data entry whose header
+    * name is truncated and whose size field reads 0 — so extraction
+    * under the real name with the right byte count PROVES the pax
+    * overrides applied (the GNU >8 GiB convention writes 0 there
+    * too). Deterministic like [[tarBytes]]; ends in two zero blocks.
+    */
+  def tarBytesPax(entries: Seq[(String, Array[Byte])],
+      global: Map[String, String] = Map.empty): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def writeData(data: Array[Byte]): Unit = {
+      out.write(data)
+      out.write(new Array[Byte]((512 - data.length % 512) % 512))
+    }
+    if (global.nonEmpty) {
+      val recs = global.toSeq.sortBy(_._1)
+        .map { case (k, v) => paxRecord(k, v) }
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      out.write(tarHeader("pax_global_header", recs.length.toLong, 'g'))
+      writeData(recs)
+    }
+    entries.foreach { case (name, data) =>
+      val recs = paxRecord("path", name) ++ paxRecord("size", data.length.toString)
+      out.write(tarHeader("PaxHeaders/" + name.take(88), recs.length.toLong, 'x'))
+      writeData(recs)
+      out.write(tarHeader(name.take(100), 0L, '0'))
+      writeData(data)
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
   // ------------------------------------------------- DataFrame surface
 
   /** Documents -> REAL archive payloads, deterministically: even docs
     * become a ZIP carrying the text twice (`doc_<id>_d.txt` DEFLATEd,
     * `doc_<id>_s.txt` stored — both methods on every archive walk),
-    * odd docs a ustar TAR carrying it once. The corpus is all-ASCII
-    * (the q35/q44 gate assertion), so the q235 oracle recovers every
-    * extracted byte straight from the text — a wrong data offset, a
-    * misfed raw-DEFLATE window, or a broken header checksum all
-    * hash-fail.
+    * odd docs a ustar TAR carrying it once — and every THIRD odd doc
+    * (doc_id%6 == 3, r20) a POSIX pax TAR whose >100-char real path
+    * and true size arrive ONLY as 'x' records (ustar header name
+    * truncated, size field 0) behind a 'g' global the reader must
+    * carry but ignore. The corpus is all-ASCII (the q35/q44 gate
+    * assertion), so the q235 oracle recovers every extracted byte
+    * straight from the text — a wrong data offset, a misfed
+    * raw-DEFLATE window, a broken header checksum, or an unapplied
+    * pax override all hash-fail.
     */
   def toArchives(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -456,6 +601,10 @@ object Archive {
             zipBytes(Seq(
               (s"doc_${id}_d.txt", bytes, true),
               (s"doc_${id}_s.txt", bytes, false)), zip64 = id % 4 == 0))
+        else if (id % 6 == 3)
+          Media.MediaRecord(id, "archive", "tar",
+            tarBytesPax(Seq((s"pax/${"p" * 110}/doc_$id.txt", bytes)),
+              global = Map("graft.round" -> "20")))
         else
           Media.MediaRecord(id, "archive", "tar", tarBytes(Seq((s"doc_$id.txt", bytes))))
       }

@@ -92,6 +92,38 @@ class ArchiveSpec extends AnyFunSuite {
     assert(new String(entries(1).data, "US-ASCII") === "short name after")
   }
 
+  test("pax tar round trip: 'x' path/size overrides + 'g' global (r20)") {
+    val longName = "pax/" + ("p" * 110) + "/payload.txt"
+    val data = Archive.tarBytesPax(
+      Seq((longName, alpha), ("second.txt", Array[Byte](66, 67))),
+      global = Map("graft.round" -> "20"))
+    assert(Archive.sniffTar(data))
+    val entries = Archive.readTar(data).toOption.get
+    assert(entries.map(_.entry_name) === Seq(longName, "second.txt"))
+    assert(entries.map(_.method) === Seq("pax", "pax"))
+    // the ustar size fields read 0 — the sizes came from pax records
+    assert(entries.map(_.uncomp_size) === Seq(alpha.length.toLong, 2L))
+    assert(entries(0).data.toSeq === alpha.toSeq)
+    assert(entries.forall(_.crc_ok))
+  }
+
+  test("python tarfile PAX fixture: long path, forced size, 'x' consumed (r20)") {
+    val entries = Archive.readTar(fixture("sample_pax.tar")).toOption.get
+    assert(entries.map(_.entry_name) === Seq(
+      "paxdir/" + ("q" * 115) + "/long.txt", "forced.txt", "plain.txt"))
+    // forced.txt's ustar size field was hand-patched to 0 in the
+    // fixture: only the pax `size` record recovers the 34 bytes
+    assert(entries.map(_.uncomp_size) === Seq(21L, 34L, 18L))
+    assert(new String(entries(1).data, "US-ASCII") ===
+      "forced-size payload via pax record")
+    assert(new String(entries(2).data, "US-ASCII") === "plain ustar member")
+    // the leading members consumed their 'x' records; whether
+    // plain.txt reads pax or ustar depends on whether python emitted
+    // an 'x' for it — pin what the committed fixture actually carries
+    assert(entries.take(2).map(_.method) === Seq("pax", "pax"))
+    assert(entries.forall(_.crc_ok))
+  }
+
   test("python zipfile fixture: deflate + stored + subdirectory + archive comment") {
     // the comment shifts EOCD off its no-comment offset: the backward
     // scan (not a fixed -22 read) must find it
