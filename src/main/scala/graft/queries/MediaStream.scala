@@ -1449,6 +1449,44 @@ object MediaStream {
       |FROM r
       |ORDER BY media_id, rec_idx""".stripMargin
 
+  // --------------------------------------------------------------- q260
+  /** Avro map/enum/fixed schemas (r20 — the remaining warehouse-export
+    * types): documents become doc_rich containers
+    * (sources.Avro.toAvroRich) whose map<string,int> splits into
+    * multi-block form on even docs, whose enum resolves varint
+    * indexes to symbols by schema position, and whose fixed(4) digest
+    * surfaces as lowercase hex; codec rotates null/deflate/snappy.
+    * The oracle re-derives every value with modular arithmetic — a
+    * map-block framing slip, an enum off-by-one, or a fixed-width
+    * misread all hash-fail.
+    */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Avro.toAvroRich(t(s, dir, "documents"))
+      .as[Media.MediaRecord]
+    graft.sources.Avro.listRichRecords(media)
+      .filter(col("err").isNull)
+      .select(col("media_id"), col("schema_name"), col("codec"),
+        col("rec_idx"), col("id"), col("attrs"), col("color"), col("sig"))
+      .orderBy(col("media_id"), col("rec_idx"))
+  }
+
+  private val q260Sql =
+    """WITH d AS (SELECT doc_id, length(text) AS len
+      |           FROM documents WHERE length(text) > 0),
+      |k AS (SELECT doc_id, len, len % 3 + 1 AS k FROM d),
+      |r AS (SELECT doc_id, len, unnest(range(0, k)) AS i FROM k)
+      |SELECT doc_id AS media_id, 'doc_rich' AS schema_name,
+      |  CASE doc_id % 3 WHEN 1 THEN 'deflate' WHEN 2 THEN 'snappy'
+      |    ELSE 'null' END AS codec,
+      |  CAST(i AS INTEGER) AS rec_idx,
+      |  CAST(doc_id AS VARCHAR) AS id,
+      |  'a=' || ((len + i) % 7) || ',b=' || ((len + i) % 5) AS attrs,
+      |  ['red', 'green', 'blue'][CAST((doc_id + i) % 3 + 1 AS INTEGER)] AS color,
+      |  lpad(lower(to_hex((doc_id * 31 + i) % 65536)), 8, '0') AS sig
+      |FROM r
+      |ORDER BY media_id, rec_idx""".stripMargin
+
   // --------------------------------------------------------------- q244
   /** Composite-font PDF text extraction (/Type0 /Identity-H +
     * /ToUnicode CMap — how real-crawl PDFs actually encode text):
@@ -3459,6 +3497,7 @@ object MediaStream {
     "q257_tiff_g4" -> (q257 _),
     "q252_avro_nullable" -> (q252 _),
     "q258_avro_nested" -> (q258 _),
+    "q260_avro_map_enum_fixed" -> (q260 _),
     "q253_exif_gps" -> (q253 _),
     "q254_tiff_palette" -> (q254 _),
     "q111_video_decode" -> (q111 _),
@@ -3531,6 +3570,7 @@ object MediaStream {
     "q257_tiff_g4" -> q257Sql,
     "q252_avro_nullable" -> q252Sql,
     "q258_avro_nested" -> q258Sql,
+    "q260_avro_map_enum_fixed" -> q260Sql,
     "q253_exif_gps" -> q253Sql,
     "q254_tiff_palette" -> q254Sql,
     "q111_video_decode" -> q111Sql,

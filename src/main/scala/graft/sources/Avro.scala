@@ -25,15 +25,24 @@ import graft.operators.Media
   *    string, boolean, float, double — plus (r19, because they are
   *    how real warehouse exports mark optional/repeated fields)
   *    `["null", T]` nullable unions (either member order; the
-  *    varint branch index selects) and `{"type":"array","items":T}`
+  *    varint branch index selects), `{"type":"array","items":T}`
   *    arrays (multi-block with optional byte-size prefix, zero
-  *    terminator). Field order taken from the schema JSON's `fields`
-  *    array (a scoped regex parse: the schema here is
-  *    machine-written metadata, not user content)
+  *    terminator), and NESTED records flattened to dotted field
+  *    names in writer order (depth <= 8; a nested value serializes
+  *    as exactly its fields in order, so the flattening preserves
+  *    the wire walk). r20 rounds out the warehouse-export types:
+  *    `{"type":"map","values":T}` maps (block-framed like arrays,
+  *    string keys, surfaced as "k=v,..." in wire order),
+  *    `{"type":"enum","symbols":[...]}` (varint index -> symbol,
+  *    bounds-checked) and `{"type":"fixed","size":N}` (N raw bytes,
+  *    surfaced as lowercase hex; N <= 1024 — fixed is for digests,
+  *    not blobs). Field order taken from the schema JSON's `fields`
+  *    array through the minimal order-preserving JSON parse below.
   *
   * OUT of scope (named Lefts): general unions beyond ["null", T],
-  * nested records/maps/enums/fixed (schema evolution belongs to a
-  * full Avro library), zstd, and schemaless fragments.
+  * non-primitive array items / map values, recursive record
+  * references, record nesting deeper than 8, zstd, and schemaless
+  * fragments.
   *
   * Scale shape: one flatMap inside the typed map boundary — no
   * shuffle, no driver collect; per-record memory is one block's
@@ -208,6 +217,33 @@ object Avro {
               c = br.varLong()
             }
             vals += name -> sb.toString
+          } else if (tpe.startsWith("map:")) {
+            // maps share the array's block framing: count (negative =
+            // byte-size-prefixed), key string + primitive value pairs,
+            // zero terminator; surfaced in WIRE order as "k=v,..."
+            val vt = tpe.stripPrefix("map:")
+            val sb = new StringBuilder
+            var c = br.varLong()
+            while (c != 0) {
+              if (c < 0) { c = -c; br.varLong() }
+              var k = 0L
+              while (k < c) {
+                if (sb.nonEmpty) sb.append(',')
+                sb.append(br.str()).append('=').append(prim(vt))
+                k += 1
+              }
+              c = br.varLong()
+            }
+            vals += name -> sb.toString
+          } else if (tpe.startsWith("enum:")) {
+            val syms = tpe.stripPrefix("enum:").split('|')
+            val idx = br.varLong()
+            if (idx < 0 || idx >= syms.length)
+              throw Abort(s"avro: enum index $idx out of range for $name")
+            vals += name -> syms(idx.toInt)
+          } else if (tpe.startsWith("fixed:")) {
+            val n = tpe.stripPrefix("fixed:").toInt
+            vals += name -> br.bytes(n).map(x => f"${x & 0xff}%02x").mkString
           } else vals += name -> prim(tpe)
         }
         records += AvroRecord(nRecords.toInt + i.toInt, vals)
@@ -371,11 +407,29 @@ object Avro {
               case Some(Ja(Vector(Js(t), Js("null")))) if prims.contains(t) =>
                 Seq(fname -> s"union1:$t")
               case Some(inner: Jo) =>
-                (get(inner, "type"), get(inner, "items")) match {
-                  case (Some(Js("array")), Some(Js(it))) if prims.contains(it) =>
-                    Seq(fname -> s"array:$it")
-                  case (Some(Js("record")), _) =>
+                get(inner, "type") match {
+                  case Some(Js("array")) => get(inner, "items") match {
+                    case Some(Js(it)) if prims.contains(it) => Seq(fname -> s"array:$it")
+                    case _ => throw Abort(s"avro: array items of $fname out of scope")
+                  }
+                  case Some(Js("record")) =>
                     fieldsOf(inner, fname + ".", depth + 1)
+                  case Some(Js("map")) => get(inner, "values") match {
+                    case Some(Js(vt)) if prims.contains(vt) => Seq(fname -> s"map:$vt")
+                    case _ => throw Abort(s"avro: map values of $fname out of scope")
+                  }
+                  case Some(Js("enum")) => get(inner, "symbols") match {
+                    case Some(Ja(items)) if items.nonEmpty &&
+                      items.forall { case Js(s) => !s.contains('|'); case _ => false } =>
+                      Seq(fname -> ("enum:" +
+                        items.map { case Js(s) => s; case _ => "" }.mkString("|")))
+                    case _ => throw Abort(s"avro: enum symbols of $fname out of scope")
+                  }
+                  case Some(Js("fixed")) => get(inner, "size") match {
+                    case Some(Jn(n)) if n >= 1 && n <= 1024 && n == n.toInt =>
+                      Seq(fname -> s"fixed:${n.toInt}")
+                    case _ => throw Abort(s"avro: fixed size of $fname out of range")
+                  }
                   case _ =>
                     throw Abort(s"avro: field type of $fname out of scope")
                 }
@@ -570,6 +624,43 @@ object Avro {
     container(schema, codec, recs, syncSeed)
   }
 
+  /** One map/enum/fixed record for [[avroRichBytes]]: attr groups
+    * become map blocks (two single-entry groups exercise multi-block
+    * map framing).
+    */
+  final case class RichRec(
+      id: Long, attrGroups: Seq[Seq[(String, Int)]], colorIdx: Int,
+      sig: Array[Byte])
+
+  /** Build an Avro container whose schema carries the r20 types —
+    * a map<string,int> (block-framed like arrays), an enum
+    * {red,green,blue}, and a fixed(4) digest — one record per block.
+    * The `toAvroRich` / q260 substrate.
+    */
+  def avroRichBytes(
+      records: Seq[RichRec], codec: String, syncSeed: Long): Array[Byte] = {
+    val schema = """{"type":"record","name":"doc_rich","fields":[""" +
+      """{"name":"id","type":"long"},""" +
+      """{"name":"attrs","type":{"type":"map","values":"int"}},""" +
+      """{"name":"color","type":{"type":"enum","name":"color_e",""" +
+      """"symbols":["red","green","blue"]}},""" +
+      """{"name":"sig","type":{"type":"fixed","name":"sig_f","size":4}}]}"""
+    val recs = records.map { r =>
+      require(r.sig.length == 4, "avroRichBytes: sig must be fixed(4)")
+      val b = new java.io.ByteArrayOutputStream()
+      zz(b, r.id)
+      r.attrGroups.filter(_.nonEmpty).foreach { g =>
+        zz(b, g.length.toLong)
+        g.foreach { case (k, v) => zstr(b, k); zz(b, v.toLong) }
+      }
+      zz(b, 0L) // map terminator
+      zz(b, r.colorIdx.toLong)
+      b.write(r.sig, 0, 4)
+      b.toByteArray
+    }
+    container(schema, codec, recs, syncSeed)
+  }
+
   // ------------------------------------------------- DataFrame surface
 
   /** Documents -> REAL Avro containers: the text split into
@@ -710,6 +801,68 @@ object Avro {
           avroNestedBytes(recs, codec, syncSeed = id))
       }
       .toDF()
+  }
+
+  /** Documents -> map/enum/fixed Avro containers (r20),
+    * deterministically: k = len%3+1 doc_rich records per file; record
+    * i carries attrs {a: (len+i)%7, b: (len+i)%5} — written as TWO
+    * single-entry map blocks on even docs (multi-block framing) and
+    * one two-entry block on odd — color = [red,green,blue][(id+i)%3],
+    * and sig = the 4 big-endian bytes of (id*31+i)%65536; codec
+    * rotates doc_id % 3. Every field is a pure function of
+    * (doc_id, len) — the q260 oracle re-derives the stream with
+    * modular arithmetic and a hex lpad.
+    */
+  def toAvroRich(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")))
+      .as[(Long, Int)]
+      .map { case (id, len) =>
+        val k = len % 3 + 1
+        val colors = Array("red", "green", "blue")
+        val recs = (0 until k).map { i =>
+          val a = "a" -> (len + i) % 7
+          val b = "b" -> (len + i) % 5
+          val groups = if (id % 2 == 0) Seq(Seq(a), Seq(b)) else Seq(Seq(a, b))
+          val v = (id * 31 + i) % 65536
+          RichRec(id, groups, ((id + i) % 3).toInt, Array(
+            (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte))
+        }
+        val codec = (id % 3) match {
+          case 1 => "deflate"
+          case 2 => "snappy"
+          case _ => "null"
+        }
+        Media.MediaRecord(id, "doc", "avro", avroRichBytes(recs, codec, syncSeed = id))
+      }
+      .toDF()
+  }
+
+  /** Per-record extraction over [[toAvroRich]] payloads — map wire
+    * order, enum symbol resolution, and the fixed digest's hex form
+    * prove the three r20 type walks.
+    */
+  def listRichRecords(media: Dataset[Media.MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      read(m.data) match {
+        case Right(f) => f.records.map { rec =>
+          (m.media_id, f.schemaName, f.codec, rec.rec_idx,
+            rec.fields.getOrElse("id", ""),
+            rec.fields.getOrElse("attrs", ""),
+            rec.fields.getOrElse("color", ""),
+            rec.fields.getOrElse("sig", ""),
+            null.asInstanceOf[String])
+        }
+        case Left(e) =>
+          Seq((m.media_id, null.asInstanceOf[String], null.asInstanceOf[String],
+            0, null.asInstanceOf[String], null.asInstanceOf[String],
+            null.asInstanceOf[String], null.asInstanceOf[String], e))
+      }
+    }.toDF("media_id", "schema_name", "codec", "rec_idx",
+      "id", "attrs", "color", "sig", "err")
   }
 
   /** Per-record extraction over [[toAvroNested]] payloads — the

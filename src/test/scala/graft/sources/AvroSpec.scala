@@ -87,11 +87,50 @@ class AvroSpec extends AnyFunSuite {
       ("9", "fr", "0", Some("x"))))
   }
 
+  test("map/enum/fixed round trip: multi-block maps, all codecs (r20)") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val recs = Seq(
+        Avro.RichRec(5L, Seq(Seq("x" -> 7), Seq("y" -> 3)), 2,
+          Array[Byte](1, 2, 3, 4)),
+        Avro.RichRec(6L, Seq(Seq("a" -> 1, "b" -> 2)), 0,
+          Array[Byte](-1, 0, 127, -128)),
+        Avro.RichRec(7L, Seq.empty, 1, Array[Byte](0, 0, 0, 0)))
+      val f = Avro.read(Avro.avroRichBytes(recs, codec, syncSeed = 3L)).toOption.get
+      assert(f.schemaName === "doc_rich")
+      assert(f.records.map(_.fields("attrs")) === Seq("x=7,y=3", "a=1,b=2", ""))
+      assert(f.records.map(_.fields("color")) === Seq("blue", "red", "green"))
+      assert(f.records.map(_.fields("sig")) ===
+        Seq("01020304", "ff007f80", "00000000"))
+    }
+    // an enum index past the symbol table is a named Left
+    val bad = Avro.avroRichBytes(Seq(
+      Avro.RichRec(1L, Seq.empty, 9, Array[Byte](0, 0, 0, 0))), "null", 1L)
+    assert(Avro.read(bad).left.toOption.get.contains("enum index"))
+  }
+
+  test("python fixture: map blocks incl. negative-count form, enum, fixed (r20)") {
+    val f = Avro.read(fixture("sample_rich.avro")).toOption.get
+    assert((f.schemaName, f.codec, f.nRecords) === (("rich_rec", "deflate", 3L)))
+    assert(f.records.map(_.fields("id")) === Seq("20", "21", "22"))
+    assert(f.records.map(_.fields("attrs")) === Seq("x=7,y=-3", "a=1,b=2", ""))
+    assert(f.records.map(_.fields("color")) === Seq("blue", "red", "green"))
+    assert(f.records.map(_.fields("sig")) ===
+      Seq("010203040506", "aabbcc0011ff", "000000000000"))
+  }
+
   test("out-of-scope schema shapes are named Lefts through the JSON parse") {
-    // map type
+    // map of non-primitive values (maps of primitives are IN since r20)
     assert(Avro.parseSchema(
-      """{"name":"m","fields":[{"name":"x","type":{"type":"map","values":"long"}}]}""")
+      """{"name":"m","fields":[{"name":"x","type":{"type":"map","values":{"type":"map","values":"long"}}}]}""")
       .left.toOption.get.contains("out of scope"))
+    // fixed size out of range
+    assert(Avro.parseSchema(
+      """{"name":"f","fields":[{"name":"x","type":{"type":"fixed","name":"g","size":4096}}]}""")
+      .left.toOption.get.contains("out of range"))
+    // enum symbols carrying the reserved separator
+    assert(Avro.parseSchema(
+      """{"name":"e","fields":[{"name":"x","type":{"type":"enum","name":"c","symbols":["a|b"]}}]}""")
+      .isLeft)
     // general (non-null) union
     assert(Avro.parseSchema(
       """{"name":"u","fields":[{"name":"x","type":["string","long"]}]}""")
