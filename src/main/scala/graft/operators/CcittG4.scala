@@ -105,7 +105,7 @@ object CcittG4 {
 
   // -------------------------------------------------------- bit stream
 
-  private final class Reader(d: Array[Byte]) {
+  private[operators] final class Reader(d: Array[Byte]) {
     var pos = 0 // bit position
     def bit(): Int = {
       if (pos >= d.length * 8) throw Malformed("g4: bit stream exhausted")
@@ -115,7 +115,7 @@ object CcittG4 {
     }
   }
 
-  private final class Writer {
+  private[operators] final class Writer {
     private val out = new java.io.ByteArrayOutputStream()
     private var acc = 0
     private var n = 0
@@ -132,10 +132,14 @@ object CcittG4 {
       if (n > 0) { out.write(acc << (8 - n)); acc = 0; n = 0 }
       out.toByteArray
     }
+    /** Pad to the next byte boundary with zero bits (Compression 2's
+      * per-row alignment; a no-op when already aligned).
+      */
+    def align(): Unit = if (n > 0) { out.write(acc << (8 - n)); acc = 0; n = 0 }
   }
 
   /** One MH run of `color` (0 white, 1 black): makeup chain + term. */
-  private def readRun(r: Reader, color: Int): Int = {
+  private[operators] def readRun(r: Reader, color: Int): Int = {
     val map = if (color == 0) WhiteMap else BlackMap
     var total = 0
     var done = false
@@ -155,7 +159,7 @@ object CcittG4 {
     total
   }
 
-  private def writeRun(w: Writer, run0: Int, color: Int): Unit = {
+  private[operators] def writeRun(w: Writer, run0: Int, color: Int): Unit = {
     val (term, makeup) = if (color == 0) (WhiteTerm, WhiteMakeup) else (BlackTerm, BlackMakeup)
     var run = run0
     while (run >= 2624) { // largest ext makeup 2560 + largest term 63
@@ -179,7 +183,7 @@ object CcittG4 {
     * color differs from the previous pixel (imaginary white at -1),
     * terminated by two sentinels at `w`.
     */
-  private def changes(row: Array[Byte], off: Int, w: Int): Array[Int] = {
+  private[operators] def changes(row: Array[Byte], off: Int, w: Int): Array[Int] = {
     val out = new Array[Int](w + 2)
     var n = 0
     var prev = 0
@@ -197,10 +201,74 @@ object CcittG4 {
     * a0 whose transition parity matches the current color (a white
     * current color needs a white->black transition = even index).
     */
-  private def indexOfB1(ref: Array[Int], a0: Int, color: Int): Int = {
+  private[operators] def indexOfB1(ref: Array[Int], a0: Int, color: Int): Int = {
     var i = 0
     while (i < ref.length && (ref(i) <= a0 || (i & 1) != color)) i += 1
     i
+  }
+
+  /** Decode ONE 2D-coded line against `ref` (the previous line's
+    * changing elements) into out[off, off+w) — the T.6 line coder,
+    * shared verbatim by T.4's 2D lines ([[CcittG3]]): the mode code
+    * table is identical; only the line framing differs.
+    */
+  private[operators] def decode2DLine(
+      r: Reader, ref: Array[Int], out: Array[Byte], off: Int, w: Int): Unit = {
+    var a0 = -1
+    var color = 0
+    while (a0 < w) {
+      val i1 = indexOfB1(ref, a0, color)
+      val b1 = if (i1 < ref.length) ref(i1) else w
+      val b2 = if (i1 + 1 < ref.length) ref(i1 + 1) else w
+      // mode decision tree per T.6 code table
+      if (r.bit() == 1) {
+        // V0
+        fill(out, off, a0, b1, color, w); a0 = b1; color ^= 1
+      } else if (r.bit() == 1) {
+        // 01x: VL1 (010) / VR1 (011)
+        val a1 = if (r.bit() == 1) b1 + 1 else b1 - 1
+        fill(out, off, a0, a1, color, w); a0 = a1; color ^= 1
+      } else if (r.bit() == 1) {
+        // 001: horizontal — two MH runs from runStart
+        val s = if (a0 < 0) 0 else a0
+        val r1 = readRun(r, color)
+        val r2 = readRun(r, color ^ 1)
+        if (s + r1 + r2 > w) throw Malformed("g4: horizontal runs overrun the row")
+        fillRun(out, off, s, r1, color)
+        fillRun(out, off, s + r1, r2, color ^ 1)
+        a0 = s + r1 + r2
+      } else if (r.bit() == 1) {
+        // 0001: pass — color continues through b2
+        fill(out, off, a0, b2, color, w); a0 = b2
+      } else {
+        // 00001x / 000001x: VR2/VL2, VR3/VL3 — or EOFB garbage
+        if (r.bit() == 1) {
+          val a1 = if (r.bit() == 1) b1 + 2 else b1 - 2
+          fill(out, off, a0, a1, color, w); a0 = a1; color ^= 1
+        } else if (r.bit() == 1) {
+          val a1 = if (r.bit() == 1) b1 + 3 else b1 - 3
+          fill(out, off, a0, a1, color, w); a0 = a1; color ^= 1
+        } else throw Malformed("g4: unknown 2D mode code")
+      }
+      if (a0 > w) throw Malformed("g4: coding ran past the row end")
+    }
+  }
+
+  /** Decode ONE 1D (pure MH) line: alternating white/black runs from
+    * an imaginary white start, summing to exactly `w` — T.4 §2.1.
+    * Shared by [[CcittG3]]'s Compression-2 and 1D-G3 paths.
+    */
+  private[operators] def decode1DLine(
+      r: Reader, out: Array[Byte], off: Int, w: Int): Unit = {
+    var x = 0
+    var color = 0
+    while (x < w) {
+      val run = readRun(r, color)
+      if (x + run > w) throw Malformed("g3: 1D run past the row end")
+      fillRun(out, off, x, run, color)
+      x += run
+      color ^= 1
+    }
   }
 
   /** Decode `rows` lines of width `w`; returns w*rows bytes, 1 = black. */
@@ -212,51 +280,14 @@ object CcittG4 {
     var y = 0
     while (y < rows) {
       val off = y * w
-      var a0 = -1
-      var color = 0
-      while (a0 < w) {
-        val i1 = indexOfB1(ref, a0, color)
-        val b1 = if (i1 < ref.length) ref(i1) else w
-        val b2 = if (i1 + 1 < ref.length) ref(i1 + 1) else w
-        // mode decision tree per T.6 code table
-        if (r.bit() == 1) {
-          // V0
-          fill(out, off, a0, b1, color, w); a0 = b1; color ^= 1
-        } else if (r.bit() == 1) {
-          // 01x: VL1 (010) / VR1 (011)
-          val a1 = if (r.bit() == 1) b1 + 1 else b1 - 1
-          fill(out, off, a0, a1, color, w); a0 = a1; color ^= 1
-        } else if (r.bit() == 1) {
-          // 001: horizontal — two MH runs from runStart
-          val s = if (a0 < 0) 0 else a0
-          val r1 = readRun(r, color)
-          val r2 = readRun(r, color ^ 1)
-          if (s + r1 + r2 > w) throw Malformed("g4: horizontal runs overrun the row")
-          fillRun(out, off, s, r1, color)
-          fillRun(out, off, s + r1, r2, color ^ 1)
-          a0 = s + r1 + r2
-        } else if (r.bit() == 1) {
-          // 0001: pass — color continues through b2
-          fill(out, off, a0, b2, color, w); a0 = b2
-        } else {
-          // 00001x / 000001x: VR2/VL2, VR3/VL3 — or EOFB garbage
-          if (r.bit() == 1) {
-            val a1 = if (r.bit() == 1) b1 + 2 else b1 - 2
-            fill(out, off, a0, a1, color, w); a0 = a1; color ^= 1
-          } else if (r.bit() == 1) {
-            val a1 = if (r.bit() == 1) b1 + 3 else b1 - 3
-            fill(out, off, a0, a1, color, w); a0 = a1; color ^= 1
-          } else throw Malformed("g4: unknown 2D mode code")
-        }
-        if (a0 > w) throw Malformed("g4: coding ran past the row end")
-      }
+      decode2DLine(r, ref, out, off, w)
       ref = changes(out, off, w)
       y += 1
     }
     out
   }
 
-  private def fill(out: Array[Byte], off: Int, a0: Int, a1: Int, color: Int,
+  private[operators] def fill(out: Array[Byte], off: Int, a0: Int, a1: Int, color: Int,
       w: Int): Unit = {
     val s = if (a0 < 0) 0 else a0
     if (a1 < s) throw Malformed("g4: negative run (a1 left of a0)")
@@ -264,9 +295,71 @@ object CcittG4 {
     fillRun(out, off, s, a1 - s, color)
   }
 
-  private def fillRun(out: Array[Byte], off: Int, from: Int, len: Int, color: Int): Unit = {
+  private[operators] def fillRun(out: Array[Byte], off: Int, from: Int, len: Int, color: Int): Unit = {
     if (color == 1) java.util.Arrays.fill(out, off + from, off + from + len, 1.toByte)
     // white: the array is zero-initialized
+  }
+
+  /** Encode ONE 2D line (coding-line changes `cur` against reference
+    * `ref`) — shared by [[CcittG3]]'s 2D lines.
+    */
+  private[operators] def encode2DLine(
+      wr: Writer, cur: Array[Int], ref: Array[Int], w: Int): Unit = {
+    var a0 = -1
+    var color = 0
+    while (a0 < w) {
+      // a1: first change in the coding line strictly right of a0
+      // (it flips the CURRENT color by construction)
+      var ci = 0
+      while (ci < cur.length && cur(ci) <= a0) ci += 1
+      val a1 = if (ci < cur.length) cur(ci) else w
+      val i1 = indexOfB1(ref, a0, color)
+      val b1 = if (i1 < ref.length) ref(i1) else w
+      val b2 = if (i1 + 1 < ref.length) ref(i1 + 1) else w
+      if (b2 < a1) {
+        wr.put(Integer.parseInt("0001", 2), 4) // pass
+        a0 = b2
+      } else if (math.abs(a1 - b1) <= 3) {
+        val d = a1 - b1
+        val (c, l) = d match {
+          case 0 => (1, 1)
+          case 1 => (Integer.parseInt("011", 2), 3)
+          case -1 => (Integer.parseInt("010", 2), 3)
+          case 2 => (Integer.parseInt("000011", 2), 6)
+          case -2 => (Integer.parseInt("000010", 2), 6)
+          case 3 => (Integer.parseInt("0000011", 2), 7)
+          case _ => (Integer.parseInt("0000010", 2), 7)
+        }
+        wr.put(c, l)
+        a0 = a1; color ^= 1
+      } else {
+        // horizontal: runs a1-a0 of color, a2-a1 of opposite
+        var cj = ci + 1
+        val a2 = if (cj < cur.length) cur(cj) else w
+        val s = if (a0 < 0) 0 else a0
+        wr.put(Integer.parseInt("001", 2), 3)
+        writeRun(wr, a1 - s, color)
+        writeRun(wr, a2 - a1, color ^ 1)
+        a0 = a2
+      }
+    }
+  }
+
+  /** Encode ONE 1D (pure MH) line — alternating runs from white. */
+  private[operators] def encode1DLine(
+      wr: Writer, bits: Array[Byte], off: Int, w: Int): Unit = {
+    var x = 0
+    var color = 0
+    while (x < w) {
+      var e = x
+      while (e < w && (bits(off + e) & 1) == color) e += 1
+      writeRun(wr, e - x, color)
+      x = e
+      color ^= 1
+    }
+    // T.4: a line STARTING black still leads with a zero-length white
+    // run — handled naturally: bits(off) black => first loop pass
+    // emits writeRun(0, white)
   }
 
   /** Encode `rows` lines of width `w` from 0/1 bytes (1 = black). */
@@ -278,44 +371,7 @@ object CcittG4 {
     while (y < rows) {
       val off = y * w
       val cur = changes(bits, off, w)
-      var a0 = -1
-      var color = 0
-      while (a0 < w) {
-        // a1: first change in the coding line strictly right of a0
-        // (it flips the CURRENT color by construction)
-        var ci = 0
-        while (ci < cur.length && cur(ci) <= a0) ci += 1
-        val a1 = if (ci < cur.length) cur(ci) else w
-        val i1 = indexOfB1(ref, a0, color)
-        val b1 = if (i1 < ref.length) ref(i1) else w
-        val b2 = if (i1 + 1 < ref.length) ref(i1 + 1) else w
-        if (b2 < a1) {
-          wr.put(Integer.parseInt("0001", 2), 4) // pass
-          a0 = b2
-        } else if (math.abs(a1 - b1) <= 3) {
-          val d = a1 - b1
-          val (c, l) = d match {
-            case 0 => (1, 1)
-            case 1 => (Integer.parseInt("011", 2), 3)
-            case -1 => (Integer.parseInt("010", 2), 3)
-            case 2 => (Integer.parseInt("000011", 2), 6)
-            case -2 => (Integer.parseInt("000010", 2), 6)
-            case 3 => (Integer.parseInt("0000011", 2), 7)
-            case _ => (Integer.parseInt("0000010", 2), 7)
-          }
-          wr.put(c, l)
-          a0 = a1; color ^= 1
-        } else {
-          // horizontal: runs a1-a0 of color, a2-a1 of opposite
-          var cj = ci + 1
-          val a2 = if (cj < cur.length) cur(cj) else w
-          val s = if (a0 < 0) 0 else a0
-          wr.put(Integer.parseInt("001", 2), 3)
-          writeRun(wr, a1 - s, color)
-          writeRun(wr, a2 - a1, color ^ 1)
-          a0 = a2
-        }
-      }
+      encode2DLine(wr, cur, ref, w)
       ref = cur
       y += 1
     }

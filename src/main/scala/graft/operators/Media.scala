@@ -470,6 +470,39 @@ object Media {
       .toDF()
   }
 
+  /** Documents -> REAL G3-family fax TIFFs (r20), deterministically:
+    * a (L%80+25) x (L%30+12) BILEVEL page, black iff odd codepoint
+    * (the toTiffG4 raster rule), photometric 0, strips of 7 rows —
+    * compression rotating doc_id%3 through MH (2), T.4 1D (3), and
+    * T.4 2D (3 with T4Options bit 0), byte order by parity. The q261
+    * oracle recomputes every stat from the text alone.
+    */
+  def toTiffG3(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("w", (pmod(len, lit(80)) + lit(25)).cast("int"))
+      .withColumn("h", (pmod(len, lit(30)) + lit(12)).cast("int"))
+      .withColumn("npx", col("w") * col("h"))
+      .select(col("doc_id"), col("w"), col("h"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(npx as double) / length(text)) as int)), 1, npx)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, w, h, px) =>
+        val bits = px.map(b => ((b & 0xff) % 2).toByte)
+        val (compression, twoD) = (id % 3) match {
+          case 0 => (2, false)
+          case 1 => (3, false)
+          case _ => (3, true)
+        }
+        MediaRecord(id, "image", "tiff",
+          TiffCodec.encodeTiffG3(bits, w, h, compression, twoD,
+            rowsPerStrip = 7, littleEndian = id % 2 == 0))
+      }
+      .toDF()
+  }
+
   /** Typed per-payload MP4/ISO-BMFF container metadata ([[Mp4Meta]])
     * with the standard error-channel shape.
     */

@@ -31,11 +31,16 @@ package graft.operators
   *    an independent T.6 stream, expanded to 8-bit through the
   *    photometric (0 = MinIsWhite, the fax default) into the same
   *    stats pass
+  *  - Compressions 2 and 3 (r20 — the OLDER fax codecs via
+  *    [[CcittG3]], closing the family): 2 = Modified Huffman with
+  *    byte-aligned rows; 3 = T.4 proper with EOL framing, fill bits,
+  *    and 1D/2D line switching per T4Options bit 0 — same bilevel
+  *    strip expansion as G4
   *
   * OUT of scope (named Lefts): other bit depths, planar config 2,
-  * G3/JPEG-in-TIFF compressions, tiled G4, and multi-page files
-  * beyond the FIRST IFD (the GIF first-frame rule: census stats want
-  * one raster).
+  * JPEG-in-TIFF, T.4 uncompressed mode (T4Options bit 1), tiled fax
+  * compressions, and multi-page files beyond the FIRST IFD (the GIF
+  * first-frame rule: census stats want one raster).
   *
   * Malformed input is a Left, never an exception. The independent
   * python fixture (scripts/gen_tiff_fixture.py) pins the decoder.
@@ -110,24 +115,33 @@ object TiffCodec {
     val spp = one(277, 1L).toInt
     if (spp != 1 && spp != 3) return Left(s"tiff: $spp samples/pixel out of scope")
     val compression = one(259, 1L).toInt
-    if (compression != 1 && compression != 4 && compression != 5 && compression != 32773)
+    if (compression != 1 && compression != 2 && compression != 3 &&
+      compression != 4 && compression != 5 && compression != 32773)
       return Left(s"tiff: compression $compression out of scope")
-    val isG4 = compression == 4
+    // the fax family (r19 G4; r20 MH + G3): bilevel codecs sharing
+    // one strip-expansion path
+    val isFax = compression == 2 || compression == 3 || compression == 4
+    // T4Options (tag 292, Compression 3 only): bit 0 = 2D lines,
+    // bit 1 = uncompressed mode (out of scope), bit 2 = fill bits
+    // (handled either way by the EOL scan)
+    val t4Options = one(292, 0L)
+    if (compression == 3 && (t4Options & 2L) != 0)
+      return Left("tiff: T.4 uncompressed mode out of scope")
     val bps = vals(258).getOrElse(Seq.fill(spp)(1L))
     if (vals(258).isEmpty) return Left("tiff: no BitsPerSample")
-    // G4 is a BILEVEL codec: 1-bit samples, one sample per pixel
+    // the fax codecs are BILEVEL: 1-bit samples, one sample per pixel
     // (expanded to 8-bit for the shared stats pass); everything else
     // in scope is 8-bit
-    if (isG4 && (spp != 1 || bps.exists(_ != 1L)))
-      return Left("tiff: G4 requires bilevel 1-bit single-sample data")
-    if (!isG4 && bps.exists(_ != 8L))
+    if (isFax && (spp != 1 || bps.exists(_ != 1L)))
+      return Left("tiff: fax compressions require bilevel 1-bit single-sample data")
+    if (!isFax && bps.exists(_ != 8L))
       return Left("tiff: only 8-bit samples are in scope")
     val photometric = one(262, 1L).toInt
     if (photometric > 3 ||
       (photometric == 2) != (spp == 3) || (photometric == 3 && spp != 1))
       return Left(s"tiff: photometric $photometric with $spp samples out of scope")
-    if (isG4 && photometric > 1)
-      return Left(s"tiff: photometric $photometric with G4 out of scope")
+    if (isFax && photometric > 1)
+      return Left(s"tiff: photometric $photometric with a fax compression out of scope")
     if (one(284, 1L) != 1L) return Left("tiff: planar configuration 2 out of scope")
     val predictor = one(317, 1L).toInt
     if (predictor != 1 && predictor != 2)
@@ -230,7 +244,7 @@ object TiffCodec {
     }
 
     if (entries.contains(322)) {
-      if (isG4) return Left("tiff: tiled G4 out of scope")
+      if (isFax) return Left("tiff: tiled fax compressions out of scope")
       // tiled layout (r19): TileWidth/TileLength must be multiples of
       // 16 per spec SS15; tile data is ALWAYS full-size (edge tiles
       // padded), decoded tile by tile in O(tile) memory
@@ -269,8 +283,8 @@ object TiffCodec {
       for (s <- offsets.indices) {
         val rowsHere = math.min(rowsPerStrip, h - s * rowsPerStrip)
         val strip =
-          if (isG4) {
-            // each strip is an independent T.6 stream (fresh all-white
+          if (isFax) {
+            // each strip is an independent fax stream (fresh all-white
             // reference line); bilevel bits expand to the 8-bit values
             // the photometric implies so the shared stats pass applies
             val off = offsets(s).toInt
@@ -279,7 +293,11 @@ object TiffCodec {
             if (off + len > d.length) throw Abort(s"tiff: strip $s runs past EOF")
             val raw = java.util.Arrays.copyOfRange(d, off, off + len)
             val bits =
-              try CcittG4.decode(raw, w, rowsHere)
+              try compression match {
+                case 2 => CcittG3.decodeMH(raw, w, rowsHere)
+                case 3 => CcittG3.decodeG3(raw, w, rowsHere, (t4Options & 1L) != 0)
+                case _ => CcittG4.decode(raw, w, rowsHere)
+              }
               catch { case CcittG4.Malformed(m) => throw Abort(s"tiff: $m") }
             val out = new Array[Byte](rowsHere * rowBytes)
             var i = 0
@@ -619,6 +637,79 @@ object TiffCodec {
       Entry(278, 4, 1, rowsPerStrip.toLong),
       if (needTables) Entry(279, 4, nStrips, cntTable.toLong)
       else Entry(279, 4, 1, strips.head.length.toLong))
+
+    w16(entries.length)
+    entries.foreach { e =>
+      w16(e.tag); w16(e.tpe); w32(e.count.toLong)
+      if (e.tpe == 3 && e.count == 1) { w16(e.value.toInt); w16(0) }
+      else w32(e.value)
+    }
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** Bilevel G3-family encoder (r20): Compression 2 (MH,
+    * byte-aligned rows) or 3 (T.4 with EOLs; `twoD` switches the
+    * K=2 1D/2D cadence and writes T4Options bit 0), photometric 0,
+    * BitsPerSample 1, each strip an independent stream. The fixture /
+    * `Media.toTiffG3` substrate.
+    */
+  def encodeTiffG3(
+      blackBits: Array[Byte], w: Int, h: Int, compression: Int,
+      twoD: Boolean = false, rowsPerStrip: Int = 8,
+      littleEndian: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeTiffG3: bad dimensions ${w}x$h")
+    require(blackBits.length == w * h, "encodeTiffG3: raster length mismatch")
+    require(compression == 2 || compression == 3, s"encodeTiffG3: compression $compression")
+    require(!twoD || compression == 3, "encodeTiffG3: 2D lines need Compression 3")
+    require(rowsPerStrip > 0, "encodeTiffG3: rowsPerStrip must be positive")
+
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { st =>
+      val rows = math.min(rowsPerStrip, h - st * rowsPerStrip)
+      val slice = java.util.Arrays.copyOfRange(
+        blackBits, st * rowsPerStrip * w, (st * rowsPerStrip + rows) * w)
+      if (compression == 2) CcittG3.encodeMH(slice, w, rows)
+      else CcittG3.encodeG3(slice, w, rows, twoD)
+    }
+
+    val out = new java.io.ByteArrayOutputStream(blackBits.length / 4 + 512)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (littleEndian) { b(v); b(v >> 8) } else { b(v >> 8); b(v) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { b(v.toInt); b((v >> 8).toInt); b((v >> 16).toInt); b((v >> 24).toInt) }
+      else { b((v >> 24).toInt); b((v >> 16).toInt); b((v >> 8).toInt); b(v.toInt) }
+
+    if (littleEndian) { b('I'); b('I'); b(42); b(0) } else { b('M'); b('M'); b(0); b(42) }
+    val dataStart = 8
+    val stripOffs = strips.scanLeft(dataStart)(_ + _.length).init
+    val afterData = dataStart + strips.map(_.length).sum
+    val needTables = nStrips > 1
+    val offTable = afterData
+    val cntTable = offTable + (if (needTables) 4 * nStrips else 0)
+    val ifdStart = cntTable + (if (needTables) 4 * nStrips else 0)
+    w32(ifdStart.toLong)
+    strips.foreach(out.write)
+    if (needTables) {
+      stripOffs.foreach(o => w32(o.toLong))
+      strips.foreach(st => w32(st.length.toLong))
+    }
+
+    case class Entry(tag: Int, tpe: Int, count: Int, value: Long)
+    val entries = Seq(
+      Entry(256, 4, 1, w.toLong),
+      Entry(257, 4, 1, h.toLong),
+      Entry(258, 3, 1, 1L),
+      Entry(259, 3, 1, compression.toLong),
+      Entry(262, 3, 1, 0L), // MinIsWhite
+      if (needTables) Entry(273, 4, nStrips, offTable.toLong)
+      else Entry(273, 4, 1, stripOffs.head.toLong),
+      Entry(277, 3, 1, 1L),
+      Entry(278, 4, 1, rowsPerStrip.toLong),
+      if (needTables) Entry(279, 4, nStrips, cntTable.toLong)
+      else Entry(279, 4, 1, strips.head.length.toLong)) ++
+      (if (compression == 3) Seq(Entry(292, 4, 1, if (twoD) 1L else 0L)) else Nil)
 
     w16(entries.length)
     entries.foreach { e =>

@@ -1278,6 +1278,55 @@ object MediaStream {
       |FROM b
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q261
+  /** CCITT G3-family fax TIFF (the r20 CcittG3 codec), hash-gated
+    * end-to-end: documents become bilevel MinIsWhite pages rotating
+    * doc_id%3 through Modified Huffman (Compression 2, byte-aligned
+    * rows), T.4 1D (Compression 3, EOL-framed), and T.4 2D
+    * (T4Options bit 0, K=2 tag-bit cadence over the SAME 2D line
+    * coder G4 uses) — 7-row strips, both byte orders. q257's oracle
+    * shape with G3 dims: the oracle recomputes every stat from the
+    * text alone, so an EOL misread, a tag-bit flip, a byte-alignment
+    * slip, or a 1D run desync all hash-fail. An INDEPENDENT python
+    * G3 coder pins the bitstreams separately in TiffCodecSpec.
+    */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toTiffG3(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"), col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q261Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 80 + 25 AS INTEGER) AS w,
+      |    CAST(length(text) % 30 + 12 AS INTEGER) AS h
+      |  FROM documents WHERE length(text) > 0),
+      |p AS (
+      |  SELECT doc_id, w, h, w*h AS npx,
+      |    substring(repeat(text, CAST(ceil(CAST(w*h AS DOUBLE) / len) AS INTEGER)),
+      |              1, w*h) AS px
+      |  FROM d),
+      |b AS (
+      |  SELECT doc_id, w, h, npx,
+      |    list_transform(range(1, npx + 1),
+      |      i -> 255 * (1 - unicode(px[CAST(i AS INTEGER):CAST(i AS INTEGER)]) % 2)) AS vals
+      |  FROM p)
+      |SELECT doc_id AS media_id, 'tiff' AS codec, w AS width, h AS height,
+      |  CAST(1 AS INTEGER) AS channels, CAST(255 AS INTEGER) AS maxval,
+      |  CAST(npx AS BIGINT) AS n_pixels,
+      |  floor(list_avg(vals) * 1e6) / 1e6 AS r_mean,
+      |  CAST(list_min(vals) AS INTEGER) AS px_min,
+      |  CAST(list_max(vals) AS INTEGER) AS px_max
+      |FROM b
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q256
   /** WebM/Matroska container metadata (WebmMeta), hash-gated
     * end-to-end: documents become genuine EBML containers (Media.
@@ -3495,6 +3544,7 @@ object MediaStream {
     "q259_mp4_fragmented" -> (q259 _),
     "q256_webm_meta" -> (q256 _),
     "q257_tiff_g4" -> (q257 _),
+    "q261_tiff_g3" -> (q261 _),
     "q252_avro_nullable" -> (q252 _),
     "q258_avro_nested" -> (q258 _),
     "q260_avro_map_enum_fixed" -> (q260 _),
@@ -3568,6 +3618,7 @@ object MediaStream {
     "q259_mp4_fragmented" -> q259Sql,
     "q256_webm_meta" -> q256Sql,
     "q257_tiff_g4" -> q257Sql,
+    "q261_tiff_g3" -> q261Sql,
     "q252_avro_nullable" -> q252Sql,
     "q258_avro_nested" -> q258Sql,
     "q260_avro_map_enum_fixed" -> q260Sql,
