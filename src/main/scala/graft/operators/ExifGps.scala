@@ -4,10 +4,12 @@ package graft.operators
   * (`Quality.piiRedact` covers text; training pipelines must also
   * scrub location metadata from images before the bytes ship). Walks
   * a JPEG's APP1/Exif TIFF structure — the same IFD0 walk the
-  * [[JpegCodec]] orientation path does — follows the GPS IFD pointer
-  * (tag 0x8825), and reads the GPSLatitudeRef/GPSLatitude/
-  * GPSLongitudeRef/GPSLongitude tags (1/2/3/4; D-M-S RATIONAL
-  * triplets).
+  * [[JpegCodec]] orientation path does — OR (r20) a bare TIFF file's
+  * own IFD0 (scanners write the identical GPS IFD pointer into .tif
+  * pages, so the PII matrix must cover both carriers), follows the
+  * GPS IFD pointer (tag 0x8825), and reads the GPSLatitudeRef/
+  * GPSLatitude/GPSLongitudeRef/GPSLongitude tags (1/2/3/4; D-M-S
+  * RATIONAL triplets).
   *
   * Coordinates surface as integer ARCSECONDS (deg*3600 + min*60 +
   * sec, each component's rational resolved with truncating division
@@ -64,10 +66,20 @@ object ExifGps {
     }
   }
 
-  /** Locate the Exif APP1 payload's TIFF header + IFD0 in a JPEG.
+  /** Locate the TIFF view + IFD0 for either carrier: a JPEG's Exif
+    * APP1 payload, or (r20) a bare TIFF file's own structure.
     * Returns (tiff, ifd0 offset) or None.
     */
   private def exifIfd0(d: Array[Byte]): Option[(Tiff, Int)] = {
+    if (d.length >= 8 &&
+      ((d(0) == 'I' && d(1) == 'I' && d(2) == 42 && d(3) == 0) ||
+        (d(0) == 'M' && d(1) == 'M' && d(2) == 0 && d(3) == 42))) {
+      // bare TIFF: the file IS the TIFF structure (t = 0)
+      val tiff = new Tiff(d, 0, d.length, d(0) == 'I')
+      val ifdOff = tiff.u32(4)
+      if (ifdOff < 0) return None
+      return Some((tiff, ifdOff.toInt))
+    }
     if (d.length < 4 || (d(0) & 0xff) != 0xff || (d(1) & 0xff) != 0xd8) return None
     var pos = 2
     while (pos + 4 <= d.length && (d(pos) & 0xff) == 0xff) {
@@ -265,5 +277,80 @@ object ExifGps {
     System.arraycopy(payload, 0, out, 6, payload.length)
     System.arraycopy(jpeg, 2, out, 6 + payload.length, jpeg.length - 2)
     out
+  }
+
+  /** Graft a GPS IFD into a BARE TIFF (r20): the original IFD0 is
+    * re-emitted at EOF with one extra entry — the 0x8825 pointer,
+    * appended last, which keeps the spec's ascending-tag order since
+    * every baseline tag is smaller — followed by the GPS IFD and its
+    * D-M-S den=1 rational blocks; the header's IFD offset is patched.
+    * The original IFD bytes become dead padding, so every existing
+    * strip/tile offset stays valid and the raster decode is
+    * byte-identical. Honors the file's own byte order. The
+    * `Media.toTiff` adapter / fixture substrate.
+    */
+  def tiffWithGps(
+      tiff: Array[Byte], latRef: String, lonRef: String,
+      latArcsec: Long, lonArcsec: Long): Array[Byte] = {
+    require(latRef == "N" || latRef == "S", s"bad latRef $latRef")
+    require(lonRef == "E" || lonRef == "W", s"bad lonRef $lonRef")
+    require(latArcsec >= 0 && lonArcsec >= 0, "arcseconds are unsigned; sign is the ref")
+    require(tiff.length >= 8 &&
+      ((tiff(0) == 'I' && tiff(1) == 'I') || (tiff(0) == 'M' && tiff(1) == 'M')),
+      "tiffWithGps: not a TIFF payload")
+    val little = tiff(0) == 'I'
+    val v = new Tiff(tiff, 0, tiff.length, little)
+    val ifd0 = v.u32(4).toInt
+    val n = v.u16(ifd0)
+    require(n > 0 && ifd0 + 2 + 12 * n + 4 <= tiff.length, "tiffWithGps: broken IFD0")
+    require(v.find(ifd0, 0x8825) < 0, "tiffWithGps: GPS IFD already present")
+
+    val out = new java.io.ByteArrayOutputStream(tiff.length + 256)
+    out.write(tiff, 0, tiff.length)
+    def w8(x: Int): Unit = out.write(x & 0xff)
+    def w16(x: Int): Unit =
+      if (little) { w8(x); w8(x >> 8) } else { w8(x >> 8); w8(x) }
+    def w32(x: Long): Unit =
+      if (little) { w8(x.toInt); w8((x >> 8).toInt); w8((x >> 16).toInt); w8((x >> 24).toInt) }
+      else { w8((x >> 24).toInt); w8((x >> 16).toInt); w8((x >> 8).toInt); w8(x.toInt) }
+    def entry(tag: Int, tpe: Int, cnt: Long, value: Long): Unit = {
+      w16(tag); w16(tpe); w32(cnt)
+      if (tpe == 3 && cnt == 1) { w16(value.toInt); w16(0) } // SHORT inline
+      else w32(value)
+    }
+
+    val newIfd0 = tiff.length
+    val gpsIfdOff = newIfd0 + 2 + 12 * (n + 1) + 4
+    val latOff = gpsIfdOff + 2 + 12 * 4 + 4
+    val lonOff = latOff + 24
+    // IFD0 copy + the GPS pointer (0x8825 > every baseline tag)
+    w16(n + 1)
+    out.write(tiff, ifd0 + 2, 12 * n)
+    entry(0x8825, 4, 1L, gpsIfdOff.toLong)
+    w32(0L) // next IFD: none (single-page contract)
+    // GPS IFD
+    w16(4)
+    entry(1, 2, 2L, latRef.charAt(0).toLong << (if (little) 0 else 24))
+    entry(2, 5, 3L, latOff.toLong)
+    entry(3, 2, 2L, lonRef.charAt(0).toLong << (if (little) 0 else 24))
+    entry(4, 5, 3L, lonOff.toLong)
+    w32(0L)
+    def dms(arcsec: Long): Unit = {
+      w32(arcsec / 3600); w32(1L)
+      w32(arcsec % 3600 / 60); w32(1L)
+      w32(arcsec % 60); w32(1L)
+    }
+    dms(latArcsec)
+    dms(lonArcsec)
+    val res = out.toByteArray
+    // patch the header's IFD offset to the appended copy
+    if (little) {
+      res(4) = newIfd0.toByte; res(5) = (newIfd0 >> 8).toByte
+      res(6) = (newIfd0 >> 16).toByte; res(7) = (newIfd0 >> 24).toByte
+    } else {
+      res(4) = (newIfd0 >> 24).toByte; res(5) = (newIfd0 >> 16).toByte
+      res(6) = (newIfd0 >> 8).toByte; res(7) = newIfd0.toByte
+    }
+    res
   }
 }

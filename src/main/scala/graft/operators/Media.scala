@@ -951,6 +951,10 @@ object Media {
     * 2-row strips (multi-strip on every raster taller than 2), and
     * the byte order alternating II/MM by doc parity. Lossless, so the
     * q249 oracle recomputes every stat from the text (q102's rule).
+    * Every third record (r20) carries a GPS IFD in its OWN IFD0 —
+    * [[ExifGps.tiffWithGps]], the jpeg adapter's coordinate rule —
+    * completing the media-PII matrix's tiff row; the appended-IFD
+    * graft leaves the raster bytes and stats untouched.
     */
   def toTiff(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -973,13 +977,20 @@ object Media {
         // r19: every fourth record rides the TILED layout (same
         // pixels, so the q249 text-derived oracle is untouched while
         // the tile walk gets hash-gated; predictor stays 1 there)
-        MediaRecord(id, "image", "tiff",
+        val base =
           if (id % 4 == 3)
             TiffCodec.encodeTiffTiled(px, w, h, spp = 3,
               compression = compression, littleEndian = id % 2 == 0)
           else
             TiffCodec.encodeTiff(px, w, h, spp = 3, compression = compression,
-              predictor = predictor, rowsPerStrip = 2, littleEndian = id % 2 == 0))
+              predictor = predictor, rowsPerStrip = 2, littleEndian = id % 2 == 0)
+        MediaRecord(id, "image", "tiff",
+          if (id % 3 == 0)
+            ExifGps.tiffWithGps(base,
+              if (id % 2 == 0) "N" else "S",
+              if ((id / 2) % 2 == 0) "E" else "W",
+              id % 324000, (id * 7) % 648000)
+          else base)
       }
       .toDF()
   }

@@ -779,37 +779,46 @@ object MediaStream {
 
   // --------------------------------------------------------------- q253
   /** Media-layer PII: EXIF GPS surfacing + in-place redaction
-    * (operators.ExifGps) — Quality.piiRedact's image sibling. Every
-    * third jpeg carries a GPS IFD (deterministic D-M-S rationals);
-    * the query extracts the coordinates (integer arcseconds), strips
-    * them, and PROVES the redaction: gps_after_strip must read false
-    * while the orientation tag in the SAME APP1 segment survives —
-    * in-place zeroing, not a segment drop. Every field is a pure
-    * function of doc_id, so the oracle recomputes coordinates, refs,
-    * and the post-strip state.
+    * (operators.ExifGps) — Quality.piiRedact's image sibling, over
+    * BOTH carriers since r20: even docs are JPEGs (GPS in the Exif
+    * APP1 TIFF structure), odd docs bare TIFFs (the same GPS IFD
+    * pointer in the file's own IFD0). Every third doc carries the
+    * deterministic D-M-S rationals; the query extracts the
+    * coordinates (integer arcseconds), strips them, and PROVES the
+    * redaction: gps_after_strip must read false while the SAME
+    * payload still decodes — the jpeg's rotated orientation tag and
+    * both carriers' pixel counts survive the zeroing untouched.
+    * Every field is a pure function of (doc_id, len), so the oracle
+    * recomputes coordinates, refs, and the post-strip state.
     */
   private def q253(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.ExifGps
-    Media.toJpeg(t(s, dir, "documents")).as[Media.MediaRecord]
-      .map { m =>
+    val docs = t(s, dir, "documents")
+    val media = Media.toJpeg(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      .union(Media.toTiff(docs.filter(pmod(col("doc_id"), lit(2)) === 1)))
+      .as[Media.MediaRecord]
+    media.map { m =>
         val before = ExifGps.extract(m.data)
         val (scrubbed, stripped) = ExifGps.strip(m.data)
         val after = ExifGps.extract(scrubbed)
-        val ori = graft.operators.ImageCodec.decode(scrubbed)
-          .toOption.map(_.orientation).getOrElse(0)
-        (m.media_id, before.isDefined,
+        val img = graft.operators.ImageCodec.decode(scrubbed).toOption
+        (m.media_id, m.format, before.isDefined,
           before.map(_.latRef).getOrElse(""), before.map(_.lonRef).getOrElse(""),
           before.map(_.latArcsec).getOrElse(0L), before.map(_.lonArcsec).getOrElse(0L),
-          stripped, after.isDefined, ori)
+          stripped, after.isDefined,
+          img.map(_.nPixels).getOrElse(0L),
+          img.map(_.orientation).getOrElse(0))
       }
-      .toDF("media_id", "has_gps", "lat_ref", "lon_ref", "lat_arcsec",
-        "lon_arcsec", "stripped", "gps_after_strip", "ori_after_strip")
+      .toDF("media_id", "container", "has_gps", "lat_ref", "lon_ref",
+        "lat_arcsec", "lon_arcsec", "stripped", "gps_after_strip",
+        "px_after_strip", "ori_after_strip")
       .orderBy(col("media_id"))
   }
 
   private val q253Sql =
     """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'tiff' END AS container,
       |  doc_id % 3 = 0 AS has_gps,
       |  CASE WHEN doc_id % 3 = 0
       |    THEN (CASE WHEN doc_id % 2 = 0 THEN 'N' ELSE 'S' END)
@@ -823,7 +832,12 @@ object MediaStream {
       |    AS BIGINT) AS lon_arcsec,
       |  doc_id % 3 = 0 AS stripped,
       |  FALSE AS gps_after_strip,
-      |  CAST(doc_id % 7 + 1 AS INTEGER) AS ori_after_strip
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 64 * (length(text) % 3 + 1) * (length(text) % 2 + 1)
+      |    ELSE (length(text) % 8 + 1) * (length(text) % 6 + 1) END
+      |    AS BIGINT) AS px_after_strip,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 7 + 1 ELSE 1 END
+      |    AS INTEGER) AS ori_after_strip
       |FROM documents WHERE length(text) > 0
       |ORDER BY media_id""".stripMargin
 
@@ -1086,8 +1100,9 @@ object MediaStream {
         // per accepted image, 0 where no image decoder fired)
         sum(col("ori")).as("ori_sum"),
         sum(col("ents")).as("ent_sum"),
-        // media-layer PII (r19): jpeg rows with a GPS IFD — the
-        // column a scrub stage gates on before bytes ship
+        // media-layer PII (r19; r20 adds the bare-TIFF carrier):
+        // jpeg/tiff rows with a GPS IFD — the column a scrub stage
+        // gates on before bytes ship
         sum(when(col("gps"), 1L).otherwise(0L)).as("n_gps"),
         // fragmented containers (r20): the DASH/CMAF slice of the
         // video bucket — the column a segment-aware pipeline splits on
@@ -1123,7 +1138,7 @@ object MediaStream {
       |    WHEN b = 5 THEN doc_id % 7 + 1 ELSE 0 END) AS BIGINT) AS ori_sum,
       |  CAST(sum(CASE WHEN b = 10 THEN (CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END)
       |    WHEN b = 14 THEN len % 4 + 1 ELSE 0 END) AS BIGINT) AS ent_sum,
-      |  CAST(sum(CASE WHEN b = 5 AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gps,
+      |  CAST(sum(CASE WHEN b IN (5, 12) AND doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gps,
       |  CAST(sum(CASE WHEN b = 15 AND doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_frag
       |FROM (SELECT doc_id, doc_id % 17 AS b,
       |        CASE doc_id % 17 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png'

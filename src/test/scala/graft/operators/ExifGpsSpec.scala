@@ -62,6 +62,52 @@ class ExifGpsSpec extends AnyFunSuite {
     assert(same eq plain)
   }
 
+  test("bare TIFF: graft + extract + strip, both byte orders (r20)") {
+    val px = Array.tabulate(5 * 4 * 3)(i => (i * 7).toByte)
+    for (le <- Seq(true, false)) {
+      val base = TiffCodec.encodeTiff(px, 5, 4, 3, littleEndian = le)
+      val tagged = ExifGps.tiffWithGps(base, "S", "E", 123456L, 7L)
+      val g = ExifGps.extract(tagged).get
+      assert((g.latRef, g.lonRef, g.latArcsec, g.lonArcsec) ===
+        (("S", "E", 123456L, 7L)), s"le=$le")
+      assert(ExifGps.hasGps(tagged) && !ExifGps.hasGps(base), s"le=$le")
+      // the appended-IFD graft must not disturb the raster
+      val before = TiffCodec.decode(base).toOption.get
+      val taggedDec = TiffCodec.decode(tagged).toOption.get
+      assert(taggedDec._1 === before._1, s"le=$le")
+      assert(taggedDec._2.toSeq === before._2.toSeq, s"le=$le")
+      // strip: GPS bytes zeroed IN PLACE (same size), stats unchanged
+      val (scrubbed, stripped) = ExifGps.strip(tagged)
+      assert(stripped && scrubbed.length === tagged.length, s"le=$le")
+      assert(ExifGps.extract(scrubbed).isEmpty && !ExifGps.hasGps(scrubbed), s"le=$le")
+      val after = TiffCodec.decode(scrubbed).toOption.get
+      assert(after._1 === before._1, s"le=$le")
+      assert(after._2.toSeq === before._2.toSeq, s"le=$le")
+      // the coordinate rationals are GONE from the byte stream: the
+      // only difference region must read zero
+      val diff = tagged.indices.filter(i => tagged(i) != scrubbed(i))
+      assert(diff.nonEmpty && diff.forall(i => scrubbed(i) == 0), s"le=$le")
+    }
+    // double-graft guard + non-TIFF guard
+    val base = TiffCodec.encodeTiff(px, 5, 4, 3)
+    val once = ExifGps.tiffWithGps(base, "N", "E", 1L, 2L)
+    assertThrows[IllegalArgumentException](ExifGps.tiffWithGps(once, "N", "E", 1L, 2L))
+    assertThrows[IllegalArgumentException](
+      ExifGps.tiffWithGps("nope".getBytes("US-ASCII"), "N", "E", 1L, 2L))
+  }
+
+  test("python fixture: bare big-endian TIFF with a GPS IFD (r20)") {
+    val d = fixture("sample_gps.tif")
+    val g = ExifGps.extract(d).get
+    assert((g.latRef, g.lonRef) === (("N", "W")))
+    assert(g.latArcsec === 37207L, "15/2 seconds must truncate to 7")
+    assert(g.lonArcsec === 356405L)
+    val (scrubbed, stripped) = ExifGps.strip(d)
+    assert(stripped && ExifGps.extract(scrubbed).isEmpty)
+    assert(TiffCodec.decode(scrubbed).toOption.get._1 ===
+      TiffCodec.decode(d).toOption.get._1)
+  }
+
   test("malformed inputs never throw") {
     assert(ExifGps.extract(Array.emptyByteArray).isEmpty)
     assert(ExifGps.extract("not a jpeg at all".getBytes("US-ASCII")).isEmpty)
