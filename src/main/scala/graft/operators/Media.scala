@@ -678,8 +678,12 @@ object Media {
     * a V_VP9/V_VP8 video track at (len%640+16) x (len%360+16), an
     * A_OPUS 48 kHz track when doc_id%3 == 0, the streaming-muxer
     * unknown Segment size on every fifth record, text bytes as the
-    * Cluster. Every census field is a pure function of
-    * (doc_id, len) — the q240 rule.
+    * Cluster. Every SEVENTH record (r20) is live-muxed: no
+    * Info/Duration, the Cluster carrying a Timestamp of ticks-3 and
+    * SimpleBlocks at +1/+3 — so the last-cluster fallback recovers
+    * EXACTLY the same duration_ms and the q256 oracle is untouched.
+    * Every census field is a pure function of (doc_id, len) — the
+    * q240 rule.
     */
   def toWebm(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -700,9 +704,14 @@ object Media {
             Seq(video, WebmMeta.WebmTrack(2, "A_OPUS", hz = 48000,
               channels = (id % 2 + 1).toInt))
           else Seq(video)
+        val live = id % 7 == 0
+        val ticksL = durMs * 1000000L / scale // exact: scale divides 1e6
         MediaRecord(id, "video", "webm",
           WebmMeta.encodeWebm(scale, ticks, tracks, bytes,
-            unknownSegmentSize = id % 5 == 0))
+            unknownSegmentSize = id % 5 == 0,
+            omitDuration = live,
+            clusterTimestamp = if (live) ticksL - 3 else 0L,
+            blockRelTimes = if (live) Seq(1, 3) else Nil))
       }
       .toDF()
   }

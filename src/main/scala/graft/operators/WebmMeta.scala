@@ -19,11 +19,19 @@ package graft.operators
   *  - duration_ms = Duration x TimestampScale / 1e6, truncating (the
   *    default scale 1000000 makes Duration milliseconds directly)
   *  - first video and first audio track surfaced; every track counted
-  *  - Clusters (the sample data) skipped whole
+  *  - Clusters (the sample data) skipped whole — EXCEPT (r20) when
+  *    Info carries no Duration, the live/streaming-muxer case: then
+  *    the cluster HEADERS are walked (Timestamp + each SimpleBlock's
+  *    track varint and signed 16-bit relative time — never the frame
+  *    bytes) and duration_ms falls back to the last Cluster Timestamp
+  *    plus the last SimpleBlock's relative time, in ticks
   *
   * OUT of scope (named Lefts): unknown-size elements anywhere but
   * Segment/Cluster, EBMLMaxIDLength/SizeLength beyond 4/8, chained
   * segments, and files whose first element is not an EBML header.
+  * BlockGroup-wrapped Blocks don't feed the fallback (SimpleBlock is
+  * what live muxers emit); a Duration-less file with no clusters
+  * reads duration 0, as before.
   *
   * Malformed input is a Left, never an exception. The independent
   * python fixture (scripts/gen_webm_fixture.py) pins the walk.
@@ -113,6 +121,10 @@ object WebmMeta {
     var docType = ""
     var scale = 1000000L // Matroska default: 1 ms ticks
     var durationTicks = -1.0
+    // live-mux fallback state (r20): last Cluster Timestamp + last
+    // SimpleBlock relative time, consulted only when Duration is absent
+    var lastClusterTs = -1L
+    var lastRel = 0L
     val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackCtx]
 
     // returns the element's end offset; size None only legal where noted
@@ -173,6 +185,25 @@ object WebmMeta {
             track.hz = floatAt(pos, end - pos).toInt
           case 0x9fL if inside == "audio" =>
             track.ch = uintAt(pos, end - pos).toInt
+          case 0x1f43b675L if (inside == "segment" || inside == "cluster") &&
+            durationTicks < 0 =>
+            // Duration-less file: walk cluster HEADERS for the
+            // fallback (files WITH a Duration keep the skip-whole
+            // path). An UNKNOWN-SIZE cluster swallows its successors
+            // as pseudo-children (its end is the parent's), so a
+            // cluster id inside a cluster re-enters the same walk.
+            walk(end, "cluster", null)
+          case 0xe7L if inside == "cluster" => // Cluster Timestamp
+            lastClusterTs = uintAt(pos, end - pos)
+            lastRel = 0L // relative times restart with their cluster
+          case 0xa3L if inside == "cluster" => // SimpleBlock header only
+            // track number: EBML varint (marker stripped, like sizes),
+            // then a SIGNED 16-bit big-endian relative timestamp
+            val b0 = d(pos) & 0xff
+            if (b0 == 0) throw Abort("webm: zero SimpleBlock track varint")
+            val n = Integer.numberOfLeadingZeros(b0) - 24 + 1
+            if (pos + n + 2 > end) throw Abort("webm: truncated SimpleBlock header")
+            lastRel = (((d(pos + n) & 0xff) << 8) | (d(pos + n + 1) & 0xff)).toShort.toLong
           case _ => () // Cluster / SeekHead / Cues / unknown: skip whole
         }
         pos = end
@@ -186,8 +217,10 @@ object WebmMeta {
     val video = tracks.find(_.trackType == 1)
     val audio = tracks.find(_.trackType == 2)
     val durMs =
-      if (durationTicks < 0) 0L
-      else (durationTicks * scale).toLong / 1000000L
+      if (durationTicks >= 0) (durationTicks * scale).toLong / 1000000L
+      else if (lastClusterTs >= 0) // live-mux fallback (r20)
+        math.max(0L, (lastClusterTs + lastRel) * scale / 1000000L)
+      else 0L
     Right(WebmStats(docType, scale, durMs, tracks.size,
       video.map(_.w).getOrElse(0), video.map(_.h).getOrElse(0),
       video.map(_.codec).getOrElse(""), audio.map(_.codec).getOrElse(""),
@@ -208,11 +241,17 @@ object WebmMeta {
     * fixture substrate: EBML header (DocType webm) + Segment{Info
     * (TimestampScale + 8-byte-float Duration), Tracks, one Cluster
     * carrying the filler bytes}. `unknownSegmentSize` emits the
-    * streaming-muxer all-ones Segment size.
+    * streaming-muxer all-ones Segment size. `omitDuration` (r20)
+    * drops Info/Duration — the live-mux layout — and
+    * `clusterTimestamp`/`blockRelTimes` then put real SimpleBlocks
+    * in the Cluster so the fallback has something to read (defaults
+    * keep every pre-r20 artifact byte-identical).
     */
   def encodeWebm(
       timestampScale: Long, durationTicks: Double, tracks: Seq[WebmTrack],
-      cluster: Array[Byte], unknownSegmentSize: Boolean = false): Array[Byte] = {
+      cluster: Array[Byte], unknownSegmentSize: Boolean = false,
+      omitDuration: Boolean = false, clusterTimestamp: Long = 0L,
+      blockRelTimes: Seq[Int] = Nil): Array[Byte] = {
     require(timestampScale > 0, "encodeWebm: timestampScale must be positive")
     def id(v: Long): Array[Byte] = {
       // IDs serialize with their marker retained: emit minimal bytes
@@ -252,9 +291,11 @@ object WebmMeta {
       el(0x4282L, ascii("webm")),
       el(0x4287L, uint(4L)), // DocTypeVersion
       el(0x4285L, uint(2L))) // DocTypeReadVersion
-    val info = el(0x1549a966L,
-      el(0x2ad7b1L, uint(timestampScale)),
-      el(0x4489L, f64(durationTicks)))
+    val info =
+      if (omitDuration) el(0x1549a966L, el(0x2ad7b1L, uint(timestampScale)))
+      else el(0x1549a966L,
+        el(0x2ad7b1L, uint(timestampScale)),
+        el(0x4489L, f64(durationTicks)))
     val trackEls = tracks.zipWithIndex.map { case (t, i) =>
       val media =
         if (t.trackType == 1)
@@ -269,7 +310,21 @@ object WebmMeta {
         media)
     }
     val trks = el(0x1654ae6bL, trackEls: _*)
-    val clu = el(0x1f43b675L, el(0xe7L, uint(0L)), cluster)
+    // with SimpleBlocks present, the filler bytes ride INSIDE the
+    // last block's frame — a Duration-less decode walks the cluster's
+    // children, so everything there must be element-framed; the
+    // blockless form keeps the raw trailing filler (and its exact
+    // pre-r20 bytes), which only the skip-whole path ever sees
+    val blocks = blockRelTimes.zipWithIndex.map { case (rel, i) =>
+      // SimpleBlock: track-1 varint (0x81), s16 BE relative time,
+      // keyframe flag, then the frame bytes
+      val frame = if (i == blockRelTimes.size - 1) cluster else Array(0x2a.toByte)
+      el(0xa3L, Array(0x81.toByte, ((rel >> 8) & 0xff).toByte,
+        (rel & 0xff).toByte, 0x80.toByte) ++ frame)
+    }
+    val clu =
+      if (blocks.isEmpty) el(0x1f43b675L, el(0xe7L, uint(clusterTimestamp)), cluster)
+      else el(0x1f43b675L, (el(0xe7L, uint(clusterTimestamp)) +: blocks): _*)
     val segPayload = info ++ trks ++ clu
     val seg =
       if (unknownSegmentSize)

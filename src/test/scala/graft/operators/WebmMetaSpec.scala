@@ -47,6 +47,40 @@ class WebmMetaSpec extends AnyFunSuite {
       (("V_VP9", "A_OPUS", 48000, 2)))
   }
 
+  test("live-mux duration fallback: last cluster + last SimpleBlock (r20)") {
+    val v = WebmMeta.WebmTrack(1, "V_VP9", width = 64, height = 48)
+    // no Duration element: ticks come from the cluster walk
+    val live = WebmMeta.decode(WebmMeta.encodeWebm(
+      1000000L, 0.0, Seq(v), "clu".getBytes("US-ASCII"),
+      omitDuration = true, clusterTimestamp = 4000L,
+      blockRelTimes = Seq(2, 37))).toOption.get
+    assert(live.durationMs === 4037L)
+    assert((live.nTracks, live.videoCodec) === ((1, "V_VP9")))
+    // negative relative time (B-frame reordering) subtracts
+    val neg = WebmMeta.decode(WebmMeta.encodeWebm(
+      2000000L, 0.0, Seq(v), Array.emptyByteArray,
+      omitDuration = true, clusterTimestamp = 500L,
+      blockRelTimes = Seq(-20))).toOption.get
+    assert(neg.durationMs === 480L * 2L) // 480 ticks at 2 ms each
+    // Duration present: clusters are NOT walked, the float wins
+    val timed = WebmMeta.decode(WebmMeta.encodeWebm(
+      1000000L, 777.0, Seq(v), Array.emptyByteArray,
+      clusterTimestamp = 4000L, blockRelTimes = Seq(50))).toOption.get
+    assert(timed.durationMs === 777L)
+    // no Duration and only a zero-timestamped blockless cluster: 0
+    val bare = WebmMeta.decode(WebmMeta.encodeWebm(
+      1000000L, 0.0, Seq(v), Array.emptyByteArray,
+      omitDuration = true)).toOption.get
+    assert(bare.durationMs === 0L)
+  }
+
+  test("python live fixture: two clusters, unknown-size tail, 2-byte varint (r20)") {
+    val st = WebmMeta.decode(fixture("sample_live.webm")).toOption.get
+    assert(st.durationMs === 2034L)
+    assert((st.docType, st.timestampScale) === (("webm", 1000000L)))
+    assert((st.width, st.height, st.videoCodec) === ((320, 180, "V_VP9")))
+  }
+
   test("malformed input is a Left, never a throw; out-of-scope named") {
     val good = WebmMeta.encodeWebm(1000000L, 100.0,
       Seq(WebmMeta.WebmTrack(1, "V_VP8", width = 16, height = 16)), fill)
