@@ -470,6 +470,51 @@ object Media {
       .toDF()
   }
 
+  /** Documents -> REAL JPEG-in-TIFF payloads (r20, Compression 7 —
+    * the scanner-output staple), deterministically: the SAME
+    * flat-tile rasters as [[toJpeg]] (exactly invertible through the
+    * lossy codec, the q227 rule) wrapped as single-strip TIFFs —
+    * even docs grayscale 8x tiles / photometric 1, odd docs 4:2:0
+    * color 16x tiles / photometric 6 — with doc_id%4 >= 2 records in
+    * the TIFF/EP shared-tables form (DQT/DHT moved to tag 347, the
+    * strip abbreviated); byte order alternates (doc_id/2)%2. The
+    * q262 oracle is q227's with the codec renamed.
+    */
+  def toTiffJpeg(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val len = length(col("text"))
+    docs.filter(len > 0)
+      .withColumn("tw", (pmod(len, lit(3)) + lit(1)).cast("int"))
+      .withColumn("th", (pmod(len, lit(2)) + lit(1)).cast("int"))
+      .withColumn("nt", col("tw") * col("th"))
+      .select(col("doc_id"), col("tw"), col("th"),
+        encode(expr("substring(repeat(text, cast(ceil(cast(nt as double) / length(text)) as int)), 1, nt)"),
+          "UTF-8").as("px"))
+      .as[(Long, Int, Int, Array[Byte])]
+      .map { case (id, tw, th, vals) =>
+        def raster(tile: Int): Array[Byte] = {
+          val w = tw * tile
+          Array.tabulate(w * th * tile) { k =>
+            vals(((k / w) / tile) * tw + (k % w) / tile)
+          }
+        }
+        val le = (id / 2) % 2 == 0
+        val withTables = id % 4 >= 2
+        val bytes =
+          if (id % 2 == 0) {
+            val jpeg = JpegCodec.encodeJpegGray(raster(8), 8 * tw, 8 * th)
+            TiffCodec.encodeTiffJpeg(jpeg, 8 * tw, 8 * th, 1, withTables, le)
+          } else {
+            val rgb = raster(16).flatMap(v => Array(v, v, v))
+            val jpeg = JpegCodec.encodeJpeg(rgb, 16 * tw, 16 * th, subsample = true)
+            TiffCodec.encodeTiffJpeg(jpeg, 16 * tw, 16 * th, 3, withTables, le)
+          }
+        MediaRecord(id, "image", "tiff", bytes)
+      }
+      .toDF()
+  }
+
   /** Documents -> REAL G3-family fax TIFFs (r20), deterministically:
     * a (L%80+25) x (L%30+12) BILEVEL page, black iff odd codepoint
     * (the toTiffG4 raster rule), photometric 0, strips of 7 rows —

@@ -36,11 +36,19 @@ package graft.operators
   *    byte-aligned rows; 3 = T.4 proper with EOL framing, fill bits,
   *    and 1D/2D line switching per T4Options bit 0 — same bilevel
   *    strip expansion as G4
+  *  - Compression 7 (r20 — new-style JPEG-in-TIFF, the scanner-
+  *    output staple): a SINGLE strip that IS a JPEG stream, decoded
+  *    by [[JpegCodec]] (gray photometric 1 / YCbCr photometric 6),
+  *    with the TIFF/EP shared-tables form honored — tag 347
+  *    JPEGTables (SOI + DQT/DHT + EOI) spliced into the abbreviated
+  *    strip after its SOI
   *
   * OUT of scope (named Lefts): other bit depths, planar config 2,
-  * JPEG-in-TIFF, T.4 uncompressed mode (T4Options bit 1), tiled fax
-  * compressions, and multi-page files beyond the FIRST IFD (the GIF
-  * first-frame rule: census stats want one raster).
+  * multi-strip or tiled JPEG-in-TIFF (JpegCodec surfaces stats, not
+  * pixel rows — independent per-strip streams cannot merge),
+  * old-style Compression 6, T.4 uncompressed mode (T4Options bit 1),
+  * tiled fax compressions, and multi-page files beyond the FIRST IFD
+  * (the GIF first-frame rule: census stats want one raster).
   *
   * Malformed input is a Left, never an exception. The independent
   * python fixture (scripts/gen_tiff_fixture.py) pins the decoder.
@@ -91,7 +99,7 @@ object TiffCodec {
       val unit = tpe match {
         case 3 => 2 // SHORT
         case 4 => 4 // LONG
-        case 1 => 1 // BYTE
+        case 1 | 7 => 1 // BYTE / UNDEFINED (tag 347 JPEGTables)
         case t => throw Abort(s"tiff: unsupported field type $t for tag $tag")
       }
       val base = if (unit * count <= 4) cell else u32(cell).toInt
@@ -116,8 +124,12 @@ object TiffCodec {
     if (spp != 1 && spp != 3) return Left(s"tiff: $spp samples/pixel out of scope")
     val compression = one(259, 1L).toInt
     if (compression != 1 && compression != 2 && compression != 3 &&
-      compression != 4 && compression != 5 && compression != 32773)
+      compression != 4 && compression != 5 && compression != 7 &&
+      compression != 32773)
       return Left(s"tiff: compression $compression out of scope")
+    // new-style JPEG-in-TIFF (r20): the strip IS a JPEG stream,
+    // decoded by [[JpegCodec]]; optional shared tables via tag 347
+    val isJpeg = compression == 7
     // the fax family (r19 G4; r20 MH + G3): bilevel codecs sharing
     // one strip-expansion path
     val isFax = compression == 2 || compression == 3 || compression == 4
@@ -137,12 +149,47 @@ object TiffCodec {
     if (!isFax && bps.exists(_ != 8L))
       return Left("tiff: only 8-bit samples are in scope")
     val photometric = one(262, 1L).toInt
-    if (photometric > 3 ||
-      (photometric == 2) != (spp == 3) || (photometric == 3 && spp != 1))
+    // JPEG strips carry their own color model: gray (photometric 1,
+    // spp 1) or YCbCr (photometric 6, spp 3) — the JFIF defaults
+    if (isJpeg && !((photometric == 1 && spp == 1) || (photometric == 6 && spp == 3)))
+      return Left(s"tiff: photometric $photometric with $spp samples out of scope for JPEG-in-TIFF")
+    if (!isJpeg && (photometric > 3 ||
+      (photometric == 2) != (spp == 3) || (photometric == 3 && spp != 1)))
       return Left(s"tiff: photometric $photometric with $spp samples out of scope")
     if (isFax && photometric > 1)
       return Left(s"tiff: photometric $photometric with a fax compression out of scope")
     if (one(284, 1L) != 1L) return Left("tiff: planar configuration 2 out of scope")
+
+    if (isJpeg) {
+      if (entries.contains(322)) return Left("tiff: tiled JPEG-in-TIFF out of scope")
+      val offsets = vals(273).getOrElse(throw Abort("tiff: no StripOffsets"))
+      val counts = vals(279).getOrElse(throw Abort("tiff: no StripByteCounts"))
+      // JpegCodec surfaces stats, not pixel rows, so multi-strip
+      // JPEG files (independent streams whose stats cannot merge)
+      // are a named Left — real scanner output is single-strip
+      if (offsets.length != 1 || counts.length != 1)
+        return Left("tiff: multi-strip JPEG-in-TIFF out of scope")
+      val off = offsets.head.toInt
+      val len = counts.head.toInt
+      if (off < 0 || len < 0) return Left("tiff: JPEG strip offset/size out of range")
+      if (off + len > d.length) return Left("tiff: JPEG strip runs past EOF")
+      val strip = java.util.Arrays.copyOfRange(d, off, off + len)
+      // tag 347 JPEGTables: SOI + DQT/DHT segments + EOI, spliced
+      // after the abbreviated strip's SOI per TIFF/EP
+      val merged = vals(347) match {
+        case Some(tb) => spliceJpegTables(tb.map(_.toByte).toArray, strip)
+        case None => strip
+      }
+      return JpegCodec.decode(merged) match {
+        case Right((st, grid)) =>
+          if (st.width != w || st.height != h)
+            Left(s"tiff: JPEG strip is ${st.width}x${st.height} for a ${w}x$h IFD")
+          else if ((st.channels == 3) != (spp == 3))
+            Left(s"tiff: JPEG strip carries ${st.channels} channels for $spp samples/pixel")
+          else Right((st.copy(codec = "tiff", orientation = 1), grid))
+        case Left(e) => Left(s"tiff: JPEG strip: $e")
+      }
+    }
     val predictor = one(317, 1L).toInt
     if (predictor != 1 && predictor != 2)
       return Left(s"tiff: predictor $predictor out of scope")
@@ -637,6 +684,118 @@ object TiffCodec {
       Entry(278, 4, 1, rowsPerStrip.toLong),
       if (needTables) Entry(279, 4, nStrips, cntTable.toLong)
       else Entry(279, 4, 1, strips.head.length.toLong))
+
+    w16(entries.length)
+    entries.foreach { e =>
+      w16(e.tag); w16(e.tpe); w32(e.count.toLong)
+      if (e.tpe == 3 && e.count == 1) { w16(e.value.toInt); w16(0) }
+      else w32(e.value)
+    }
+    w32(0L) // no next IFD
+    out.toByteArray
+  }
+
+  /** Splice a JPEGTables stream (tag 347: SOI + DQT/DHT + EOI) into
+    * an abbreviated strip stream after its SOI (TIFF/EP's shared-
+    * tables form) — the result is a self-contained JPEG for
+    * [[JpegCodec]].
+    */
+  private def spliceJpegTables(tables: Array[Byte], strip: Array[Byte]): Array[Byte] = {
+    def soi(a: Array[Byte]) =
+      a.length >= 2 && (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xd8
+    if (!soi(tables) || tables.length < 4 ||
+      (tables(tables.length - 2) & 0xff) != 0xff ||
+      (tables(tables.length - 1) & 0xff) != 0xd9)
+      throw Abort("tiff: JPEGTables is not an SOI..EOI stream")
+    if (!soi(strip)) throw Abort("tiff: JPEG strip missing SOI")
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      java.util.Arrays.copyOfRange(tables, 2, tables.length - 2) ++
+      java.util.Arrays.copyOfRange(strip, 2, strip.length)
+  }
+
+  /** Split a self-contained JPEG into (tables, abbreviated): DQT and
+    * DHT segments move to an SOI..EOI tables stream, everything else
+    * stays — the writer-side dual of [[spliceJpegTables]] and the
+    * `Media.toTiffJpeg` / fixture substrate for the tag-347 form.
+    */
+  def splitJpegTables(jpeg: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    require(jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "splitJpegTables: not a JPEG stream")
+    val tables = new java.io.ByteArrayOutputStream()
+    val rest = new java.io.ByteArrayOutputStream()
+    tables.write(0xff); tables.write(0xd8)
+    rest.write(0xff); rest.write(0xd8)
+    var p = 2
+    var done = false
+    while (!done && p + 2 <= jpeg.length) {
+      require((jpeg(p) & 0xff) == 0xff, s"splitJpegTables: lost marker sync at $p")
+      val m = jpeg(p + 1) & 0xff
+      if (m == 0xd9) { // EOI
+        rest.write(0xff); rest.write(0xd9)
+        done = true
+      } else if (m == 0xda) { // SOS: entropy data follows to EOI
+        rest.write(jpeg, p, jpeg.length - p)
+        done = true
+      } else {
+        val segLen = ((jpeg(p + 2) & 0xff) << 8) | (jpeg(p + 3) & 0xff)
+        require(p + 2 + segLen <= jpeg.length, "splitJpegTables: truncated segment")
+        val sink = if (m == 0xdb || m == 0xc4) tables else rest
+        sink.write(jpeg, p, 2 + segLen) // marker + length-inclusive payload
+        p += 2 + segLen
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    (tables.toByteArray, rest.toByteArray)
+  }
+
+  /** New-style JPEG-in-TIFF encoder (r20): wraps a self-contained
+    * JPEG stream (from [[JpegCodec]]'s encoders) as a single-strip
+    * Compression-7 file — photometric 1 (gray, spp 1) or 6 (YCbCr,
+    * spp 3) — optionally in the TIFF/EP shared-tables form
+    * (`withTables`: DQT/DHT move to a tag-347 JPEGTables stream and
+    * the strip becomes abbreviated). The `Media.toTiffJpeg` / fixture
+    * substrate.
+    */
+  def encodeTiffJpeg(
+      jpeg: Array[Byte], w: Int, h: Int, channels: Int,
+      withTables: Boolean = false, littleEndian: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0, s"encodeTiffJpeg: bad dimensions ${w}x$h")
+    require(channels == 1 || channels == 3, s"encodeTiffJpeg: bad channels $channels")
+    val (tables, strip) =
+      if (withTables) splitJpegTables(jpeg)
+      else (Array.emptyByteArray, jpeg)
+
+    val out = new java.io.ByteArrayOutputStream(jpeg.length + 512)
+    def b(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (littleEndian) { b(v); b(v >> 8) } else { b(v >> 8); b(v) }
+    def w32(v: Long): Unit =
+      if (littleEndian) { b(v.toInt); b((v >> 8).toInt); b((v >> 16).toInt); b((v >> 24).toInt) }
+      else { b((v >> 24).toInt); b((v >> 16).toInt); b((v >> 8).toInt); b(v.toInt) }
+
+    if (littleEndian) { b('I'); b('I'); b(42); b(0) } else { b('M'); b('M'); b(0); b(42) }
+    // layout: header(8) | strip | [bps] | [tables] | IFD
+    val dataStart = 8
+    val bpsTable = dataStart + strip.length
+    val tblTable = bpsTable + (if (channels == 3) 6 else 0)
+    val ifdStart = tblTable + tables.length
+    w32(ifdStart.toLong)
+    out.write(strip)
+    if (channels == 3) { w16(8); w16(8); w16(8) }
+    out.write(tables)
+
+    case class Entry(tag: Int, tpe: Int, count: Int, value: Long)
+    val entries = Seq(
+      Entry(256, 4, 1, w.toLong),
+      Entry(257, 4, 1, h.toLong),
+      if (channels == 3) Entry(258, 3, 3, bpsTable.toLong) else Entry(258, 3, 1, 8L),
+      Entry(259, 3, 1, 7L),
+      Entry(262, 3, 1, if (channels == 3) 6L else 1L),
+      Entry(273, 4, 1, dataStart.toLong),
+      Entry(277, 3, 1, channels.toLong),
+      Entry(278, 4, 1, h.toLong),
+      Entry(279, 4, 1, strip.length.toLong)) ++
+      (if (withTables) Seq(Entry(347, 7, tables.length, tblTable.toLong)) else Nil)
 
     w16(entries.length)
     entries.foreach { e =>

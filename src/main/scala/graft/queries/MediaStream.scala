@@ -1293,6 +1293,34 @@ object MediaStream {
       |FROM b
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q262
+  /** New-style JPEG-in-TIFF (r20, Compression 7 — what scanners
+    * actually emit), hash-gated end-to-end: documents become
+    * single-strip TIFFs whose strip IS a JPEG stream (q227's
+    * exactly-invertible flat-tile rasters, both SOF color models —
+    * gray photometric 1 and 4:2:0 YCbCr photometric 6), half of them
+    * in the TIFF/EP shared-tables form where DQT/DHT live in a
+    * tag-347 JPEGTables stream spliced back at decode. The oracle is
+    * q227's with the codec renamed — a broken splice, a dropped
+    * table segment, or a photometric/channel mismatch all hash-fail.
+    */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def trunc6(c: org.apache.spark.sql.Column) = floor(c * lit(1e6)) / lit(1e6)
+    val media = Media.toTiffJpeg(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeImages(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("codec"), col("width"), col("height"),
+        col("channels"), col("maxval"), col("n_pixels"),
+        trunc6(col("r_mean")).as("r_mean"),
+        trunc6(col("g_mean")).as("g_mean"),
+        trunc6(col("b_mean")).as("b_mean"),
+        col("px_min"), col("px_max"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q262Sql = q227Sql.replace("'jpeg' AS codec", "'tiff' AS codec")
+
   // --------------------------------------------------------------- q261
   /** CCITT G3-family fax TIFF (the r20 CcittG3 codec), hash-gated
     * end-to-end: documents become bilevel MinIsWhite pages rotating
@@ -3560,6 +3588,7 @@ object MediaStream {
     "q256_webm_meta" -> (q256 _),
     "q257_tiff_g4" -> (q257 _),
     "q261_tiff_g3" -> (q261 _),
+    "q262_tiff_jpeg" -> (q262 _),
     "q252_avro_nullable" -> (q252 _),
     "q258_avro_nested" -> (q258 _),
     "q260_avro_map_enum_fixed" -> (q260 _),
@@ -3634,6 +3663,7 @@ object MediaStream {
     "q256_webm_meta" -> q256Sql,
     "q257_tiff_g4" -> q257Sql,
     "q261_tiff_g3" -> q261Sql,
+    "q262_tiff_jpeg" -> q262Sql,
     "q252_avro_nullable" -> q252Sql,
     "q258_avro_nested" -> q258Sql,
     "q260_avro_map_enum_fixed" -> q260Sql,
