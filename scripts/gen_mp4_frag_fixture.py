@@ -109,6 +109,23 @@ def build(with_mehd):
     return ftyp + moov + frags
 
 
+def sidx(timescale, durations):
+    p = full(0, 0) + struct.pack(">III", 1, timescale, 0) + struct.pack(">I", 0)
+    p += struct.pack(">HH", 0, len(durations))
+    for d in durations:
+        p += struct.pack(">III", 0, d, 0)
+    return box(b"sidx", p)
+
+
+def build_segment():
+    styp = box(b"styp", b"msdh" + struct.pack(">I", 0) + b"msdhmsix")
+    # two references summing 120000 ticks @ 48000 -> 2500 ms
+    idx = sidx(48000, [72000, 48000])
+    frags = (moof(1, 1, 1500, None, 48) + box(b"mdat", b"s" * 16)
+             + moof(2, 1, None, [24000, 24000], None) + box(b"mdat", b"t" * 8))
+    return styp + idx + frags
+
+
 def main():
     with open(os.path.join(FIX, "sample_frag.mp4"), "wb") as f:
         f.write(build(False))
@@ -117,6 +134,10 @@ def main():
     with open(os.path.join(FIX, "sample_frag_mehd.mp4"), "wb") as f:
         f.write(build(True))
     print("sample_frag_mehd.mp4: mehd 45000 wins -> duration_ms=500")
+    with open(os.path.join(FIX, "sample_segment.m4s"), "wb") as f:
+        f.write(build_segment())
+    print("sample_segment.m4s: moov-less styp+sidx segment -> brand=msdh "
+          "timescale=48000 duration_ms=2500 n_fragments=2 n_tracks=0")
 
 
 if __name__ == "__main__":

@@ -679,6 +679,50 @@ object Media {
       .toDF()
   }
 
+  /** Documents -> STANDALONE DASH media segments (r20 — the shape a
+    * DASH origin serves in volume: styp + sidx + moof/mdat pairs,
+    * NO moov), deterministically: sidx timescale (len%3+1)*1000 with
+    * summed reference durations (len%4000+40)*(len%3+1) — so
+    * duration_ms is EXACTLY len%4000+40 — split across len%3+2
+    * fragments; even docs the tfhd count x default trun layout, odd
+    * docs per-sample durations (no trex exists — the init segment
+    * isn't here, which is the POINT); brand msdh/msix by parity,
+    * text bytes split across the mdats. Every field is a pure
+    * function of (doc_id, len) — the q240 rule.
+    */
+  def toMp4Segment(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("px"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val len = bytes.length
+        val scaleK = len % 3 + 1
+        val ts = scaleK.toLong * 1000L
+        val totalTicks = (len % 4000 + 40).toLong * scaleK
+        val nFrags = len % 3 + 2
+        val base = totalTicks / nFrags
+        val fragTicks = Seq.tabulate(nFrags)(i =>
+          if (i < nFrags - 1) base else totalTicks - base * (nFrags - 1))
+        val perSample = id % 2 == 1
+        val frags = fragTicks.zipWithIndex.map { case (t, i) =>
+          val mdat = java.util.Arrays.copyOfRange(bytes,
+            i * len / nFrags, (i + 1) * len / nFrags)
+          if (perSample) {
+            val cnt = len % 4 + 1
+            val durs = Seq.tabulate(cnt)(j => t / cnt + (if (j < t % cnt) 1L else 0L))
+            Mp4Meta.Mp4Frag(1L, durs, perSample = true, tfhdDefault = false, mdat)
+          } else Mp4Meta.Mp4Frag(1L, Seq(t), perSample = false,
+            tfhdDefault = true, mdat)
+        }
+        MediaRecord(id, "video", "mp4",
+          Mp4Meta.encodeMp4Segment(
+            if (id % 2 == 0) "msdh" else "msix", id % 64, ts, fragTicks, frags))
+      }
+      .toDF()
+  }
+
   /** Typed per-payload WebM/Matroska container metadata
     * ([[WebmMeta]]) with the standard error-channel shape.
     */

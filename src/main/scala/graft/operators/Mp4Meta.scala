@@ -29,17 +29,25 @@ package graft.operators
   *    optional default-sample-duration override, flag 0x08) and trun
   *    in BOTH layouts (per-sample durations, flag 0x100, or
   *    count x default). When mvhd duration is 0/absent (the
-  *    fragmented convention), duration_ms comes from mehd when
-  *    present, else the max over tracks of summed trun ticks at that
-  *    track's mdhd timescale. `fragmented`/`n_fragments` surface so a
-  *    census can split the family. A trun with no duration source
-  *    (no per-sample durations, no tfhd default, no PRECEDING trex —
+  *    fragmented convention), duration_ms falls mehd -> sidx (summed
+  *    subsegment_durations at the sidx's own timescale) -> the max
+  *    over tracks of summed trun ticks at that track's mdhd
+  *    timescale. `fragmented`/`n_fragments` surface so a census can
+  *    split the family. A trun with no duration source (no
+  *    per-sample durations, no tfhd default, no PRECEDING trex —
   *    moov-before-moof is the spec's own ordering) is a named Left.
+  *  - STANDALONE media segments (r20 — what a DASH origin actually
+  *    serves in volume: one init segment, thousands of media
+  *    segments): files leading with `styp` and carrying NO moov are
+  *    accepted when a `sidx` provides the timescale + duration;
+  *    brand comes from styp, track fields read empty/zero (they
+  *    live in the init segment). A moov-less file without a sidx is
+  *    a named Left (no timescale source).
   *
   * OUT of scope (named Lefts): mvhd/tkhd versions > 1, encrypted
-  * boxes, and files whose first box is not ftyp. The actual sample
-  * data (mdat) is never touched — fragment durations ride the moof
-  * box walk, never an entropy decode.
+  * boxes, and files whose first box is neither ftyp nor styp. The
+  * actual sample data (mdat) is never touched — fragment durations
+  * ride the moof/sidx box walk, never an entropy decode.
   *
   * Malformed input is a Left, never an exception. The independent
   * python fixture (scripts/gen_mp4_fixture.py) pins the walk.
@@ -60,12 +68,13 @@ object Mp4Meta {
       nFragments: Int) // number of top-level moof boxes
 
   def sniff(d: Array[Byte]): Boolean =
-    d.length >= 12 && d(4) == 'f' && d(5) == 't' && d(6) == 'y' && d(7) == 'p'
+    d.length >= 12 && ((d(4) == 'f' && d(5) == 't') || (d(4) == 's' && d(5) == 't')) &&
+      d(6) == 'y' && d(7) == 'p'
 
   private final case class Abort(msg: String) extends RuntimeException(msg)
 
   def decode(d: Array[Byte]): Either[String, Mp4Stats] = {
-    if (!sniff(d)) return Left("mp4: first box is not ftyp")
+    if (!sniff(d)) return Left("mp4: first box is neither ftyp nor styp")
     try decodeInner(d)
     catch {
       case Abort(m) => Left(m)
@@ -103,6 +112,14 @@ object Mp4Meta {
     var nFrags = 0
     var trafTrack = -1L
     var trafDefaultDur = -1L
+    // segment-index state (r20): sidx timescale + summed reference
+    // subsegment durations — the moov-less media-segment source
+    var sidxTimescale = -1L
+    var sidxTicks = 0L
+    // a trun with no in-file duration source is only fatal when the
+    // summed-trun fallback is actually NEEDED (a sidx-bearing
+    // standalone segment legitimately lacks trex)
+    var trunNoSource = false
 
     // containers whose children this profile walks; everything else
     // is skipped whole (mdat especially — never touched)
@@ -133,10 +150,29 @@ object Mp4Meta {
             (pos + 8, e.toInt)
           }
         typ match {
-          case "ftyp" =>
+          case "ftyp" | "styp" => // styp: the media-segment twin
             if (body + 8 > end) throw Abort("mp4: ftyp too short")
             brand = fourcc(body)
             minorVersion = u32(body + 4)
+          case "sidx" =>
+            val ver = d(body) & 0xff
+            if (ver > 1) throw Abort(s"mp4: sidx version $ver out of scope")
+            if (body + 12 > end) throw Abort("mp4: sidx too short")
+            sidxTimescale = u32(body + 8)
+            if (sidxTimescale <= 0) throw Abort("mp4: sidx timescale is zero")
+            // after earliest_presentation_time + first_offset
+            // (4+4 in v0, 8+8 in v1): reserved(2) + reference_count(2)
+            val o = body + 12 + (if (ver == 1) 16 else 8)
+            if (o + 4 > end) throw Abort("mp4: sidx too short for its version")
+            val cnt = (u32(o) & 0xffffL).toInt
+            if (o + 4 + 12L * cnt > end) throw Abort("mp4: sidx reference table overrun")
+            var i = 0
+            while (i < cnt) {
+              // each reference: type+size(4), subsegment_duration(4),
+              // SAP fields(4)
+              sidxTicks += u32(o + 4 + 12 * i + 4)
+              i += 1
+            }
           case "moof" =>
             nFrags += 1
             walk(body, end, topLevel = false, null)
@@ -185,9 +221,9 @@ object Mp4Meta {
               } else {
                 val dflt =
                   if (trafDefaultDur >= 0) trafDefaultDur
-                  else trexDefault.getOrElse(trafTrack,
-                    throw Abort("mp4: trun with no sample duration source (tfhd/trex)"))
-                sampleCount * dflt
+                  else trexDefault.getOrElse(trafTrack, -1L)
+                if (dflt < 0) { trunNoSource = true; 0L }
+                else sampleCount * dflt
               }
             fragTicks = fragTicks.updated(trafTrack,
               fragTicks.getOrElse(trafTrack, 0L) + ticks)
@@ -258,19 +294,32 @@ object Mp4Meta {
     }
 
     walk(0, d.length, topLevel = true, null)
-    if (timescale < 0) return Left("mp4: no moov/mvhd box")
+    if (timescale < 0) {
+      // moov-less STANDALONE media segment (r20): legal only when a
+      // sidx provides the timescale + duration
+      if (nFrags == 0 || sidxTimescale <= 0) return Left("mp4: no moov/mvhd box")
+      return Right(Mp4Stats(brand, minorVersion, sidxTimescale,
+        sidxTicks * 1000L / sidxTimescale, 0, 0, 0, "", "",
+        fragmented = true, nFrags))
+    }
     val vide = tracks.find(_.handler == "vide")
     val soun = tracks.find(_.handler == "soun")
     // duration: mvhd when it carries one; fragmented files write 0
-    // there, so fall to mehd (movie timescale), else the max over
-    // tracks of summed trun ticks at the track's OWN mdhd timescale
+    // there, so fall mehd (movie timescale) -> sidx (its own
+    // timescale) -> the max over tracks of summed trun ticks at the
+    // track's OWN mdhd timescale
     val durationMs =
       if (duration > 0 || nFrags == 0) duration * 1000L / timescale
       else if (mehdDuration >= 0) mehdDuration * 1000L / timescale
-      else fragTicks.foldLeft(0L) { case (best, (tid, ticks)) =>
-        val mts = tracks.find(_.trackId == tid).map(_.mediaTimescale).getOrElse(-1L)
-        if (mts <= 0) throw Abort(s"mp4: fragments on track $tid without an mdhd timescale")
-        math.max(best, ticks * 1000L / mts)
+      else if (sidxTimescale > 0) sidxTicks * 1000L / sidxTimescale
+      else {
+        if (trunNoSource)
+          throw Abort("mp4: trun with no sample duration source (tfhd/trex/sidx)")
+        fragTicks.foldLeft(0L) { case (best, (tid, ticks)) =>
+          val mts = tracks.find(_.trackId == tid).map(_.mediaTimescale).getOrElse(-1L)
+          if (mts <= 0) throw Abort(s"mp4: fragments on track $tid without an mdhd timescale")
+          math.max(best, ticks * 1000L / mts)
+        }
       }
     Right(Mp4Stats(brand, minorVersion, timescale,
       durationMs, tracks.size,
@@ -404,7 +453,16 @@ object Mp4Meta {
     val moov = box("moov", (mvhd +: traks) :+ mvex: _*)
     val ftyp = box("ftyp", cc(brand), be32(minorVersion), cc("iso6"))
 
-    val fragBoxes = frags.zipWithIndex.flatMap { case (f, i) =>
+    (Seq(ftyp, moov) ++ moofMdat(frags)).foldLeft(Array.emptyByteArray)(_ ++ _)
+  }
+
+  /** The moof/mdat pair stream shared by [[encodeMp4Fragmented]] and
+    * [[encodeMp4Segment]]: mfhd sequence numbers from 1,
+    * traf{tfhd, trun} per fragment.
+    */
+  private def moofMdat(frags: Seq[Mp4Frag]): Seq[Array[Byte]] = {
+    val fullbox0 = Array[Byte](0, 0, 0, 0)
+    frags.zipWithIndex.flatMap { case (f, i) =>
       val mfhd = box("mfhd", fullbox0, be32(i + 1L))
       // tfhd flags: default-base-is-moof (0x020000) + optional
       // default-sample-duration (0x08)
@@ -423,6 +481,25 @@ object Mp4Meta {
       val trun = box("trun", trunParts: _*)
       Seq(box("moof", mfhd, box("traf", tfhd, trun)), box("mdat", f.mdat))
     }
-    (Seq(ftyp, moov) ++ fragBoxes).foldLeft(Array.emptyByteArray)(_ ++ _)
+  }
+
+  /** Deterministic STANDALONE DASH media segment (r20): styp + a v0
+    * sidx (reference_ID 1, the given timescale, one reference per
+    * entry of `refDurations`) + one moof/mdat pair per fragment —
+    * NO moov; the decode must take brand from styp and duration from
+    * the sidx. The `Media.toMp4Segment` adapter / fixture substrate.
+    */
+  def encodeMp4Segment(
+      brand: String, minorVersion: Long, sidxTimescale: Long,
+      refDurations: Seq[Long], frags: Seq[Mp4Frag]): Array[Byte] = {
+    require(brand.length == 4, s"encodeMp4Segment: brand '$brand' not a fourcc")
+    require(sidxTimescale > 0, "encodeMp4Segment: timescale must be positive")
+    val fullbox0 = Array[Byte](0, 0, 0, 0)
+    val styp = box("styp", cc(brand), be32(minorVersion), cc(brand))
+    val refs = refDurations.flatMap(dur =>
+      Seq(be32(0L), be32(dur), be32(0L))) // type+size, duration, SAP
+    val sidx = box("sidx", (Seq(fullbox0, be32(1L), be32(sidxTimescale),
+      be32(0L), be32(0L), be32(refDurations.size.toLong)) ++ refs): _*)
+    (Seq(styp, sidx) ++ moofMdat(frags)).foldLeft(Array.emptyByteArray)(_ ++ _)
   }
 }

@@ -777,6 +777,44 @@ object MediaStream {
       |FROM d
       |ORDER BY media_id""".stripMargin
 
+  // --------------------------------------------------------------- q263
+  /** STANDALONE DASH media segments (r20 — q259's sibling for the
+    * files an origin actually serves in volume): documents become
+    * moov-LESS styp + sidx + moof/mdat segments and the walk must
+    * take the brand from styp and the duration from the sidx's
+    * summed reference subsegment_durations at the sidx's own
+    * timescale — track fields read empty (they live in the init
+    * segment). Both trun layouts appear, and the even-doc
+    * count x default form deliberately has NO trex anywhere: a
+    * decoder that still insists on the trun-sum path (or on moov)
+    * fails every row. Every field is a pure function of
+    * (doc_id, len); the oracle recomputes them all.
+    */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Media.toMp4Segment(t(s, dir, "documents")).as[Media.MediaRecord]
+    Media.decodeMp4Meta(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id"), col("brand"), col("minor_version"),
+        col("timescale"), col("duration_ms"), col("n_tracks"),
+        col("fragmented"), col("n_fragments"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q263Sql =
+    """WITH d AS (SELECT doc_id, length(text) AS len
+      |           FROM documents WHERE length(text) > 0)
+      |SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'msdh' ELSE 'msix' END AS brand,
+      |  CAST(doc_id % 64 AS BIGINT) AS minor_version,
+      |  CAST((len % 3 + 1) * 1000 AS BIGINT) AS timescale,
+      |  CAST(len % 4000 + 40 AS BIGINT) AS duration_ms,
+      |  CAST(0 AS INTEGER) AS n_tracks,
+      |  TRUE AS fragmented,
+      |  CAST(len % 3 + 2 AS INTEGER) AS n_fragments
+      |FROM d
+      |ORDER BY media_id""".stripMargin
+
   // --------------------------------------------------------------- q253
   /** Media-layer PII: EXIF GPS surfacing + in-place redaction
     * (operators.ExifGps) — Quality.piiRedact's image sibling, over
@@ -3585,6 +3623,7 @@ object MediaStream {
     "q243_ogg_meta" -> (q243 _),
     "q251_mp4_meta" -> (q251 _),
     "q259_mp4_fragmented" -> (q259 _),
+    "q263_mp4_segment" -> (q263 _),
     "q256_webm_meta" -> (q256 _),
     "q257_tiff_g4" -> (q257 _),
     "q261_tiff_g3" -> (q261 _),
@@ -3660,6 +3699,7 @@ object MediaStream {
     "q243_ogg_meta" -> q243Sql,
     "q251_mp4_meta" -> q251Sql,
     "q259_mp4_fragmented" -> q259Sql,
+    "q263_mp4_segment" -> q263Sql,
     "q256_webm_meta" -> q256Sql,
     "q257_tiff_g4" -> q257Sql,
     "q261_tiff_g3" -> q261Sql,

@@ -100,6 +100,42 @@ class Mp4MetaSpec extends AnyFunSuite {
     assert((me.fragmented, me.nFragments, me.durationMs) === ((true, 3, 500L)))
   }
 
+  test("standalone DASH segment: styp + sidx, no moov (r20)") {
+    // count x default via tfhd (no trex exists) + per-sample layout
+    val seg = Mp4Meta.decode(Mp4Meta.encodeMp4Segment(
+      "msdh", 3L, 50000L,
+      refDurations = Seq(60000L, 40000L),
+      frags = Seq(
+        Mp4Meta.Mp4Frag(1L, Seq(30000L, 30000L), perSample = false,
+          tfhdDefault = true, "a".getBytes("US-ASCII")),
+        Mp4Meta.Mp4Frag(1L, Seq(15000L, 25000L), perSample = true,
+          tfhdDefault = false, "b".getBytes("US-ASCII"))))).toOption.get
+    assert((seg.brand, seg.minorVersion, seg.timescale) === (("msdh", 3L, 50000L)))
+    assert(seg.durationMs === 100000L * 1000L / 50000L)
+    assert((seg.nTracks, seg.fragmented, seg.nFragments) === ((0, true, 2)))
+    assert((seg.width, seg.videoCodec, seg.audioCodec) === ((0, "", "")))
+    // moov-less AND sidx-less: named Left (no timescale source)
+    val noSidx = Mp4Meta.encodeMp4Segment("msdh", 0L, 1000L, Seq(10L),
+      Seq(Mp4Meta.Mp4Frag(1L, Seq(10L), perSample = true, tfhdDefault = false,
+        Array.emptyByteArray)))
+    // strip the sidx box: it sits right after styp (whose size is
+    // the stream's first u32)
+    def u32(a: Array[Byte], o: Int) = ((a(o) & 0xff) << 24) | ((a(o + 1) & 0xff) << 16) |
+      ((a(o + 2) & 0xff) << 8) | (a(o + 3) & 0xff)
+    val stypLen = u32(noSidx, 0)
+    val sidxLen = u32(noSidx, stypLen)
+    val bare = noSidx.take(stypLen) ++ noSidx.drop(stypLen + sidxLen)
+    assert(Mp4Meta.decode(bare).left.toOption.get.contains("no moov"))
+    // a sidx-bearing FULL movie: sidx outranks the trun sums but not
+    // mvhd/mehd — pinned via the fragmented fixture in the next test
+  }
+
+  test("python segment fixture: moov-less sidx walk") {
+    val st = Mp4Meta.decode(fixture("sample_segment.m4s")).toOption.get
+    assert((st.brand, st.timescale, st.durationMs) === (("msdh", 48000L, 2500L)))
+    assert((st.nTracks, st.fragmented, st.nFragments) === ((0, true, 2)))
+  }
+
   test("malformed input is a Left, never a throw") {
     val good = Mp4Meta.encodeMp4("isom", 1L, 1000L, 2000L,
       Seq(Mp4Meta.Mp4Track("vide", "avc1", 1L, 64, 48)), fill)
