@@ -67,6 +67,26 @@ def main():
     print("sample_pax.tar: global 'g' + pax long path + forced pax size"
           f" (ustar field 0) + plain member; long name = {len(LONG_NAME)} chars")
 
+    # sample_base256.tar: a plain ustar archive whose size field is
+    # hand-rewritten to the GNU base-256 binary form (0x80 flag +
+    # big-endian bytes) — the non-pax >8 GiB convention, here carrying
+    # a small size so the data is real
+    buf2 = io.BytesIO()
+    with tarfile.open(fileobj=buf2, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        member(t, "binary.txt", b"base-256 sized payload")
+    raw2 = bytearray(buf2.getvalue())
+    n = len(b"base-256 sized payload")
+    field = bytearray(12)
+    field[0] = 0x80
+    field[4:12] = n.to_bytes(8, "big")
+    raw2[124:136] = field
+    chk = sum(raw2[i] if not (148 <= i < 156) else 0x20 for i in range(512))
+    raw2[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    with open(os.path.join(FIX, "sample_base256.tar"), "wb") as f:
+        f.write(bytes(raw2))
+    print(f"sample_base256.tar: binary size field for {n} bytes")
+
 
 if __name__ == "__main__":
     main()

@@ -54,10 +54,13 @@ import graft.operators.Media
   * next entry and wins over a GNU 'L' name and over 'g'; 'g' globals
   * apply to every following entry until overridden), other keys are
   * carried but ignored; entries that consumed an 'x' record surface
-  * method "pax". OUT of scope: 'K' link-name records are skipped
-  * (clearing any pending long name / 'x' map — both bind only to the
-  * immediate next entry), sparse files, and base-256 (binary) size
-  * fields — size bytes with the high bit set Left.
+  * method "pax". GNU base-256 numeric fields APPLY (r20): a first
+  * byte with the 0x80 flag marks the rest a big-endian binary
+  * number — the non-pax >8 GiB convention (overflow past Long is a
+  * named Left; a size past the payload Lefts at the EOF bound).
+  * OUT of scope: 'K' link-name records are skipped (clearing any
+  * pending long name / 'x' map — both bind only to the immediate
+  * next entry) and sparse files.
   *
   * Scale shape: archives are opaque binary cells; [[listEntries]] is
   * one `flatMap` inside a `mapPartitions`-equivalent typed map — no
@@ -389,7 +392,19 @@ object Archive {
         def octal(off: Int, len: Int): Long = {
           var v = 0L
           var i = off
-          if ((d(p + off) & 0x80) != 0) throw Abort("tar: base-256 size fields are out of scope")
+          if ((d(p + off) & 0x80) != 0) {
+            // GNU base-256 (r20): flag bit on the first byte, the
+            // rest a big-endian binary number — how >8 GiB sizes
+            // arrive in non-pax GNU archives
+            v = (d(p + off) & 0x7fL)
+            i = off + 1
+            while (i < off + len) {
+              if (v > (Long.MaxValue >> 8)) throw Abort("tar: base-256 field overflows")
+              v = (v << 8) | (d(p + i) & 0xffL)
+              i += 1
+            }
+            return v
+          }
           while (i < off + len) {
             val ch = d(p + i) & 0xff
             if (ch >= '0' && ch <= '7') v = v * 8 + (ch - '0')
