@@ -28,28 +28,33 @@ object CcittG3 {
 
   import CcittG4.{Malformed, Reader, Writer}
 
-  /** Decode `rows` byte-aligned MH lines (Compression 2); 1 = black. */
-  def decodeMH(d: Array[Byte], w: Int, rows: Int): Array[Byte] = {
+  /** Decode `rows` MH lines (Compression 2; PDF's CCITTFaxDecode
+    * K = 0 uses the same 1D stream with `byteAlign` following its
+    * /EncodedByteAlign — false packs lines back to back); 1 = black.
+    */
+  def decodeMH(d: Array[Byte], w: Int, rows: Int,
+      byteAlign: Boolean = true): Array[Byte] = {
     require(w > 0 && rows > 0, s"mh decode: bad geometry ${w}x$rows")
     val r = new Reader(d)
     val out = new Array[Byte](w * rows)
     var y = 0
     while (y < rows) {
       CcittG4.decode1DLine(r, out, y * w, w)
-      r.pos = (r.pos + 7) & ~7 // rows restart byte-aligned
+      if (byteAlign) r.pos = (r.pos + 7) & ~7 // rows restart byte-aligned
       y += 1
     }
     out
   }
 
-  /** Encode `rows` byte-aligned MH lines (Compression 2). */
-  def encodeMH(bits: Array[Byte], w: Int, rows: Int): Array[Byte] = {
+  /** Encode `rows` MH lines (Compression 2 / CCITTFaxDecode K = 0). */
+  def encodeMH(bits: Array[Byte], w: Int, rows: Int,
+      byteAlign: Boolean = true): Array[Byte] = {
     require(bits.length == w * rows, "mh encode: raster length mismatch")
     val wr = new Writer
     var y = 0
     while (y < rows) {
       CcittG4.encode1DLine(wr, bits, y * w, w)
-      wr.align()
+      if (byteAlign) wr.align()
       y += 1
     }
     wr.result()

@@ -1684,6 +1684,48 @@ object MediaStream {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------------------- q264
+  /** CCITT-fax images INSIDE PDFs (r20 — the scanned-PDF shape, and
+    * the round's fax codecs composing with the PDF walk): documents
+    * become PDFs embedding one /CCITTFaxDecode XObject rotating all
+    * three in-scope framings (G4, 1D MH aligned/unaligned, EOL-framed
+    * 2D) while the content stream keeps its six-mode rotation. The
+    * oracle never parses a PDF or a fax stream: img_px and the visual
+    * byte sum (255 x even-codepoint count over the repeated text) are
+    * pure text arithmetic, and the extracted TEXT must still equal
+    * the q220 ground truth — a /K misroute, a byte-align slip, or a
+    * raster leak into the shows channel all hash-fail.
+    */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.sources.Pdf.toPdfsCcitt(t(s, dir, "documents"))
+      .as[Media.MediaRecord]
+    graft.sources.Pdf.extractRows(media).toDF()
+      .filter(col("ok"))
+      .select(col("media_id").as("doc_id"),
+        col("n_images"), col("n_image_skipped"), col("img_px"),
+        round(col("img_mean_sum") * col("img_px")).cast("long").as("img_byte_sum"),
+        col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q264Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |    CAST(length(text) % 40 + 12 AS INTEGER) AS w,
+      |    CAST(length(text) % 20 + 6 AS INTEGER) AS h
+      |  FROM documents WHERE length(text) > 0)
+      |SELECT doc_id, CAST(1 AS INTEGER) AS n_images,
+      |  CAST(0 AS INTEGER) AS n_image_skipped,
+      |  CAST(w * h AS BIGINT) AS img_px,
+      |  CAST(list_sum(list_transform(range(1, w * h + 1),
+      |    i -> 255 * (1 - unicode(substring(text,
+      |           CAST((i - 1) % len + 1 AS INTEGER), 1)) % 2))) AS BIGINT)
+      |    AS img_byte_sum,
+      |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   private val q231Sql =
     """WITH d AS (
       |  SELECT doc_id, text, length(text) AS len
@@ -3603,6 +3645,7 @@ object MediaStream {
     "q219_mixed_media_census" -> (q219 _),
     "q220_pdf_extract" -> (q220 _),
     "q231_pdf_images" -> (q231 _),
+    "q264_pdf_ccitt" -> (q264 _),
     "q244_pdf_cid_text" -> (q244 _),
     "q250_avro_ingest" -> (q250 _),
     "q221_mixed_crawl_extract" -> (q221 _),
@@ -3679,6 +3722,7 @@ object MediaStream {
     "q219_mixed_media_census" -> q219Sql,
     "q220_pdf_extract" -> q220Sql,
     "q231_pdf_images" -> q231Sql,
+    "q264_pdf_ccitt" -> q264Sql,
     "q244_pdf_cid_text" -> q244Sql,
     "q250_avro_ingest" -> q250Sql,
     "q221_mixed_crawl_extract" -> q221Sql,

@@ -293,11 +293,17 @@ object Pdf {
     *  - a filter chain ENDING in /DCTDecode (any standard transport
     *    stages before it) → the in-house baseline/progressive JPEG
     *    decoder ([[graft.operators.JpegCodec]])
+    *  - a chain ending in /CCITTFaxDecode (r20 — scanned PDFs): G4
+    *    (/K < 0), pure-1D MH (/K = 0, /EncodedByteAlign honored), and
+    *    EOL-framed 2D (/K > 0 with /EndOfLine) through the
+    *    [[graft.operators.CcittG4]]/[[graft.operators.CcittG3]] fax
+    *    codecs; bilevel bits expand to a visual gray raster
     *  - raw or standard-filter rasters with /BitsPerComponent 8 and
     *    /ColorSpace /DeviceRGB or /DeviceGray → framed as P6/P5 and
     *    folded by the shared PNM stats path (one copy, O(raster))
-    * OUT of scope → None, counted `n_image_skipped`: CCITT/JBIG2/JPX
-    * filters, /Predictor rows, sub-8-bit or 16-bit samples, palette /
+    * OUT of scope → None, counted `n_image_skipped`: JBIG2/JPX
+    * filters, /K > 0 without /EndOfLine (no EOL = no 2D tag bit),
+    * /Predictor rows, sub-8-bit or 16-bit non-CCITT samples, palette /
     * ICC / CMYK color spaces, short payloads. Never silent garbage.
     */
   /** Apply a standard transport-filter chain in array order (spec
@@ -327,14 +333,59 @@ object Pdf {
     cur
   }
 
+  /** CCITTFaxDecode (r20 — the fax codecs landed, so scanned-PDF
+    * images decode too): /K < 0 -> G4 (T.6), /K = 0 -> pure 1D MH
+    * with /EncodedByteAlign honored; /K > 0 needs /EndOfLine true
+    * (without EOLs the 2D tag bit has nowhere to live — skip, never
+    * misdecode). /BlackIs1 only flips SAMPLE polarity, not the runs;
+    * stats are over the VISUAL raster (black 0 / white 255), the
+    * pairing every writer keeps via /Decode. Returns None (counted
+    * n_image_skipped) on any malformed stream.
+    */
+  private def decodeCcittImage(dict: String,
+      bytes: Array[Byte]): Option[graft.operators.ImageCodec.ImageStats] = {
+    import graft.operators.{CcittG3, CcittG4, ImageCodec}
+    def num(k: String): Option[Int] =
+      (k + "\\s+(-?\\d+)").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+    def flag(k: String): Boolean =
+      (k + "\\s+true").r.findFirstIn(dict).isDefined
+    val k = num("/K").getOrElse(0)
+    val w = num("/Columns").getOrElse(1728)
+    val rows = num("/Rows").orElse(num("/Height")).getOrElse(0)
+    if (w <= 0 || rows <= 0 || w.toLong * rows > (64L << 20)) return None
+    val bits =
+      try {
+        if (k < 0) Some(CcittG4.decode(bytes, w, rows))
+        else if (k == 0)
+          Some(CcittG3.decodeMH(bytes, w, rows, byteAlign = flag("/EncodedByteAlign")))
+        else if (flag("/EndOfLine")) Some(CcittG3.decodeG3(bytes, w, rows, twoD = true))
+        else None
+      } catch { case CcittG4.Malformed(_) => None }
+    bits.flatMap { b =>
+      val hdr = s"P5\n$w $rows\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      val pnm = new Array[Byte](hdr.length + b.length)
+      System.arraycopy(hdr, 0, pnm, 0, hdr.length)
+      var i = 0
+      while (i < b.length) {
+        pnm(hdr.length + i) = (if (b(i) == 1) 0 else 255).toByte
+        i += 1
+      }
+      ImageCodec.decode(pnm).toOption
+    }
+  }
+
   private def decodeImageXObject(dict: String, data: Array[Byte],
       ds: Int, de: Int): Option[graft.operators.ImageCodec.ImageStats] = {
     val filters = filtersOf(dict)
     val isDct = filters.nonEmpty &&
       (filters.last == "DCTDecode" || filters.last == "DCT")
-    val transport = if (isDct) filters.dropRight(1) else filters
+    val isCcitt = filters.nonEmpty &&
+      (filters.last == "CCITTFaxDecode" || filters.last == "CCF")
+    val transport = if (isDct || isCcitt) filters.dropRight(1) else filters
     applyFilters(dict, transport, data, ds, de).flatMap { bytes =>
       if (isDct) graft.operators.ImageCodec.decode(bytes).toOption
+      else if (isCcitt) decodeCcittImage(dict, bytes)
       else {
         def num(k: String): Option[Int] =
           (k + "\\s+(\\d+)").r.findFirstMatchIn(dict).map(_.group(1).toInt)
@@ -998,6 +1049,46 @@ object Pdf {
       .toDF("media_id", "kind", "format", "data")
   }
 
+  /** Documents -> PDFs each embedding one CCITTFaxDecode image
+    * XObject (r20, the scanned-PDF shape): a (L%40+12) x (L%20+6)
+    * bilevel page (black iff odd codepoint, the toTiffG4 raster
+    * rule), fax-coded by doc_id%4 — 0: G4 (/K -1), 1: 1D unaligned
+    * (/K 0), 2: 1D byte-aligned (/K 0 /EncodedByteAlign true),
+    * 3: EOL-framed 2D (/K 2 /EndOfLine true) — content-stream mode
+    * rotating doc_id%6 as everywhere. The q264 oracle recomputes the
+    * pixel count and the visual byte sum (255 x even-codepoint
+    * count) from the text alone.
+    */
+  def toPdfsCcitt(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val modes = Array("raw", "flate", "hex", "a85flate", "rle", "lzw")
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val L = t.length
+        val w = L % 40 + 12
+        val h = L % 20 + 6
+        val bits = Array.tabulate(w * h)(i => (t(i % L).toInt % 2).toByte)
+        val (body, parms) = (id % 4) match {
+          case 0 => (graft.operators.CcittG4.encode(bits, w, h),
+            s"/K -1 /Columns $w /Rows $h")
+          case 1 => (graft.operators.CcittG3.encodeMH(bits, w, h, byteAlign = false),
+            s"/K 0 /Columns $w /Rows $h")
+          case 2 => (graft.operators.CcittG3.encodeMH(bits, w, h),
+            s"/K 0 /Columns $w /Rows $h /EncodedByteAlign true")
+          case _ => (graft.operators.CcittG3.encodeG3(bits, w, h, twoD = true),
+            s"/K 2 /Columns $w /Rows $h /EndOfLine true")
+        }
+        val img = PdfImage(w, h, gray = true, " /Filter /CCITTFaxDecode",
+          body, bpc = 1, extraDict = s" /DecodeParms << $parms >>")
+        (id, "doc", "pdf",
+          buildPdfWithImage(s"Doc $id|", t, modes((id % 6).toInt), img))
+      }
+      .toDF("media_id", "kind", "format", "data")
+  }
+
   private def esc(t: String): String =
     t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
@@ -1175,7 +1266,9 @@ object Pdf {
     */
   final case class PdfImage(
       width: Int, height: Int, gray: Boolean, filter: String,
-      body: Array[Byte])
+      body: Array[Byte],
+      bpc: Int = 8, // 1 for the CCITT bilevel rasters (r20)
+      extraDict: String = "") // e.g. a /DecodeParms fragment
 
   /** [[buildPdf]] plus one embedded `/Subtype /Image` XObject, painted
     * by the page content (`cm` + `Do` — both non-show operators, so
@@ -1317,7 +1410,8 @@ object Pdf {
       obj(6) {
         w(s"6 0 obj\n<< /Type /XObject /Subtype /Image /Width ${im.width} " +
           s"/Height ${im.height} /ColorSpace /${if (im.gray) "DeviceGray" else "DeviceRGB"} " +
-          s"/BitsPerComponent 8${im.filter} /Length ${im.body.length} >>\nstream\n")
+          s"/BitsPerComponent ${im.bpc}${im.filter}${im.extraDict} " +
+          s"/Length ${im.body.length} >>\nstream\n")
         out.write(im.body)
         w("\nendstream\nendobj\n")
       }
