@@ -5,11 +5,12 @@ no mkv lib): EBML header, UNKNOWN-size Segment, Info WITHOUT a
 Duration element (the streaming-muxer layout), a V_VP9 320x180 track,
 then TWO clusters — the first known-size (Timestamp 1000, SimpleBlocks
 at +5/+10), the second UNKNOWN-size (Timestamp 2000, one SimpleBlock
-at +34 with a 2-byte track varint, then junk frame bytes). Expected
-duration_ms = 2000 + 34 = 2034 at the default 1 ms scale; the walk
-must take the LAST cluster/block, reset relative times per cluster,
-and strip the wider 2-byte track varint; the unknown-size SECOND
-cluster runs to EOF.
+at +34 with a 2-byte track varint, then a BlockGroup-wrapped Block
+at +47, then junk frame bytes). Expected duration_ms = 2000 + 47 =
+2047 at the default 1 ms scale; the walk must take the LAST
+cluster/block (incl. the BlockGroup form), reset relative times per
+cluster, and strip the wider 2-byte track varint; the unknown-size
+SECOND cluster runs to EOF.
 """
 import os
 import struct
@@ -45,6 +46,11 @@ def simple_block(track_varint, rel, frame):
     return el(0xA3, track_varint + struct.pack(">h", rel) + b"\x80" + frame)
 
 
+def block_group(track_varint, rel, frame):
+    return el(0xA0, el(0xA1, track_varint + struct.pack(">h", rel)
+                       + b"\x00" + frame))
+
+
 def main():
     header = el(0x1A45DFA3,
                 el(0x4286, uint(1)) + el(0x42F7, uint(1)) +
@@ -64,14 +70,16 @@ def main():
     # second cluster: UNKNOWN size, runs to EOF; 2-byte track varint
     # (0x4001 = track 1 in the wider form the reader must also strip)
     clu2_payload = (el(0xE7, uint(2000)) +
-                    simple_block(b"\x40\x01", 34, b"\xde\xad\xbe\xef"))
+                    simple_block(b"\x40\x01", 34, b"\xde\xad\xbe\xef") +
+                    block_group(b"\x81", 47, b"\x99\x88"))
     clu2 = ebml_id(0x1F43B675) + b"\x01" + b"\xff" * 7 + clu2_payload
     seg_payload = info + tracks + clu1 + clu2
     segment = ebml_id(0x18538067) + b"\x01" + b"\xff" * 7 + seg_payload
     with open(os.path.join(FIX, "sample_live.webm"), "wb") as f:
         f.write(header + segment)
     print("sample_live.webm: no Duration, clusters at 1000(+5,+10) and "
-          "2000(+34, unknown size) -> expect duration_ms 2034")
+          "2000(+34 simple, +47 BlockGroup; unknown size) -> "
+          "expect duration_ms 2047")
 
 
 if __name__ == "__main__":

@@ -24,14 +24,15 @@ package graft.operators
   *    the cluster HEADERS are walked (Timestamp + each SimpleBlock's
   *    track varint and signed 16-bit relative time — never the frame
   *    bytes) and duration_ms falls back to the last Cluster Timestamp
-  *    plus the last SimpleBlock's relative time, in ticks
+  *    plus the last block's relative time, in ticks. BlockGroup-
+  *    wrapped Blocks feed the same fallback (identical header
+  *    layout — some muxers wrap key frames that way)
   *
   * OUT of scope (named Lefts): unknown-size elements anywhere but
   * Segment/Cluster, EBMLMaxIDLength/SizeLength beyond 4/8, chained
   * segments, and files whose first element is not an EBML header.
-  * BlockGroup-wrapped Blocks don't feed the fallback (SimpleBlock is
-  * what live muxers emit); a Duration-less file with no clusters
-  * reads duration 0, as before.
+  * A Duration-less file with no clusters reads duration 0, as
+  * before.
   *
   * Malformed input is a Left, never an exception. The independent
   * python fixture (scripts/gen_webm_fixture.py) pins the walk.
@@ -203,6 +204,16 @@ object WebmMeta {
             if (b0 == 0) throw Abort("webm: zero SimpleBlock track varint")
             val n = Integer.numberOfLeadingZeros(b0) - 24 + 1
             if (pos + n + 2 > end) throw Abort("webm: truncated SimpleBlock header")
+            lastRel = (((d(pos + n) & 0xff) << 8) | (d(pos + n + 1) & 0xff)).toShort.toLong
+          case 0xa0L if inside == "cluster" => // BlockGroup (r20)
+            walk(end, "blockgroup", null)
+          case 0xa1L if inside == "blockgroup" =>
+            // Block: the same header layout as SimpleBlock (the
+            // flags byte differs — never read here)
+            val b0 = d(pos) & 0xff
+            if (b0 == 0) throw Abort("webm: zero Block track varint")
+            val n = Integer.numberOfLeadingZeros(b0) - 24 + 1
+            if (pos + n + 2 > end) throw Abort("webm: truncated Block header")
             lastRel = (((d(pos + n) & 0xff) << 8) | (d(pos + n + 1) & 0xff)).toShort.toLong
           case _ => () // Cluster / SeekHead / Cues / unknown: skip whole
         }

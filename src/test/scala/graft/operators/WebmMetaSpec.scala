@@ -74,9 +74,9 @@ class WebmMetaSpec extends AnyFunSuite {
     assert(bare.durationMs === 0L)
   }
 
-  test("python live fixture: two clusters, unknown-size tail, 2-byte varint (r20)") {
+  test("python live fixture: two clusters, unknown-size tail, 2-byte varint, BlockGroup (r20)") {
     val st = WebmMeta.decode(fixture("sample_live.webm")).toOption.get
-    assert(st.durationMs === 2034L)
+    assert(st.durationMs === 2047L)
     assert((st.docType, st.timestampScale) === (("webm", 1000000L)))
     assert((st.width, st.height, st.videoCodec) === ((320, 180, "V_VP9")))
   }
