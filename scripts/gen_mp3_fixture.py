@@ -53,5 +53,46 @@ def main():
     print("sample.mp3 written")
 
 
+
+def unsync(body):
+    """ID3v2.3 whole-tag unsynchronisation: insert 0x00 after every
+    0xFF that precedes 0x00 or a 111xxxxx byte."""
+    out = bytearray()
+    for i, b in enumerate(body):
+        out.append(b)
+        if b == 0xFF and i + 1 < len(body) and (
+                body[i + 1] == 0 or (body[i + 1] & 0xE0) == 0xE0):
+            out.append(0)
+    return bytes(out)
+
+
+def v23_text_frame(fid, payload):
+    n = len(payload)
+    return (fid.encode() + bytes([(n >> 24) & 0xFF, (n >> 16) & 0xFF,
+                                  (n >> 8) & 0xFF, n & 0xFF])
+            + b"\x00\x00" + payload)
+
+
+def main_unsync():
+    # sample_unsync.mp3 (r20): a v2.3 tag whose title carries literal
+    # 0xFF bytes ("y\xffy" in ISO-8859-1) AND a UTF-16 artist would —
+    # keep it ISO so the ONLY FF bytes are the deliberate ones; the
+    # whole tag is then unsynchronised (flag 0x80) with real escapes.
+    tit2 = v23_text_frame("TIT2", b"\x00y\xff\xe5y")
+    tpe1 = v23_text_frame("TPE1", b"\x00unsync artist")
+    body = unsync(tit2 + tpe1)
+    assert b"\xff\x00" in body, "fixture must carry a real escape"
+    tag = b"ID3\x03\x00\x80" + syncsafe(len(body)) + body
+    frames = b"".join([
+        frame(9, 0, 0, False, b"abc"),
+        frame(9, 0, 0, False, b"def"),
+    ])
+    with open(os.path.join(FIX, "sample_unsync.mp3"), "wb") as f:
+        f.write(tag + frames)
+    print("sample_unsync.mp3: title y\\xff\\xe5y artist 'unsync artist', "
+          "2 mono frames, real FF 00 escapes in the tag")
+
+
 if __name__ == "__main__":
     main()
+    main_unsync()

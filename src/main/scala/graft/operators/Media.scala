@@ -372,7 +372,10 @@ object Media {
           Mp3Meta.encodeMp3(s"doc $id", s"src ${id % 7}",
             nFrames = bytes.length % 7 + 1,
             bitrateIdx = (id % 14).toInt + 1, rateIdx = (id % 3).toInt,
-            mono = true, fill = bytes))
+            mono = true, fill = bytes,
+            // r20: every fifth tag rides the v2.3 unsynchronisation
+            // flag — same surfaced fields, so no oracle churn
+            unsync = id % 5 == 0))
       }
       .toDF()
   }

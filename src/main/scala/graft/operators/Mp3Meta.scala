@@ -14,7 +14,9 @@ package graft.operators
   *  - ID3v2.3 and v2.4 headers (syncsafe tag size; v2.4 syncsafe
   *    frame sizes vs v2.3 plain 32-bit), text frames in ISO-8859-1,
   *    UTF-16 (BOM'd), UTF-16BE, and UTF-8 encodings; TIT2/TPE1
-  *    surfaced
+  *    surfaced; UNSYNCHRONISED tags (r20, flag bit 7 — the classic
+  *    v2.3 whole-tag form): the 0x00 escape after every 0xFF drops
+  *    out before the frame walk
   *  - MPEG1 Layer III frames: bitrate/sample-rate tables, padding
   *    bit, channel mode, frame length 144000*kbps/rate + pad,
   *    1152 samples/frame; VBR detected as >1 distinct bitrate index
@@ -22,8 +24,7 @@ package graft.operators
   *
   * OUT of scope (named Lefts): MPEG2/2.5 and Layers I/II (different
   * length/sample tables — a census wants the dominant format exact,
-  * not every 1990s profile), free-format bitrate (index 0), and
-  * unsynchronised ID3v2 tags (flag bit 7).
+  * not every 1990s profile) and free-format bitrate (index 0).
   *
   * Malformed input is a Left, never an exception.
   */
@@ -68,24 +69,40 @@ object Mp3Meta {
     if (d.length >= 10 && d(0) == 'I' && d(1) == 'D' && d(2) == '3') {
       val verMajor = d(3) & 0xff
       val flags = d(5) & 0xff
-      if ((flags & 0x80) != 0) return Left("mp3: unsynchronised ID3v2 is out of scope")
-      def syncsafe(o: Int): Int =
-        ((d(o) & 0x7f) << 21) | ((d(o + 1) & 0x7f) << 14) | ((d(o + 2) & 0x7f) << 7) | (d(o + 3) & 0x7f)
-      val tagSize = syncsafe(6)
+      def syncsafe(a: Array[Byte], o: Int): Int =
+        ((a(o) & 0x7f) << 21) | ((a(o + 1) & 0x7f) << 14) | ((a(o + 2) & 0x7f) << 7) | (a(o + 3) & 0x7f)
+      val tagSize = syncsafe(d, 6)
       val tagEnd = 10 + tagSize
       if (tagEnd > d.length) return Left("mp3: ID3v2 tag runs past EOF")
-      var p = 10
+      // unsynchronisation (r20 — flag bit 7, the classic v2.3
+      // whole-tag form): every 0x00 that FOLLOWS a 0xFF inside the
+      // stored tag is an escape byte and drops out; frame sizes refer
+      // to the de-unsynced data, so the walk runs over the restored
+      // bytes. The audio data after the tag is untouched.
+      val (t, tStart, tEnd) =
+        if ((flags & 0x80) != 0) {
+          val out = new java.io.ByteArrayOutputStream(tagSize)
+          var i = 10
+          while (i < tagEnd) {
+            out.write(d(i))
+            if ((d(i) & 0xff) == 0xff && i + 1 < tagEnd && d(i + 1) == 0) i += 2
+            else i += 1
+          }
+          val a = out.toByteArray
+          (a, 0, a.length)
+        } else (d, 10, tagEnd)
+      var p = tStart
       if ((flags & 0x40) != 0) { // extended header: skip by its own size
-        p += (if (verMajor >= 4) syncsafe(p)
-              else ((d(p) & 0xff) << 24) | ((d(p + 1) & 0xff) << 16) |
-                ((d(p + 2) & 0xff) << 8) | (d(p + 3) & 0xff)) + (if (verMajor >= 4) 0 else 4)
+        p += (if (verMajor >= 4) syncsafe(t, p)
+              else ((t(p) & 0xff) << 24) | ((t(p + 1) & 0xff) << 16) |
+                ((t(p + 2) & 0xff) << 8) | (t(p + 3) & 0xff)) + (if (verMajor >= 4) 0 else 4)
       }
-      while (p + 10 <= tagEnd && d(p) != 0) {
-        val id = new String(d, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      while (p + 10 <= tEnd && t(p) != 0) {
+        val id = new String(t, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val fSize =
-          if (verMajor >= 4) syncsafe(p + 4)
-          else ((d(p + 4) & 0xff) << 24) | ((d(p + 5) & 0xff) << 16) |
-            ((d(p + 6) & 0xff) << 8) | (d(p + 7) & 0xff)
+          if (verMajor >= 4) syncsafe(t, p + 4)
+          else ((t(p + 4) & 0xff) << 24) | ((t(p + 5) & 0xff) << 16) |
+            ((t(p + 6) & 0xff) << 8) | (t(p + 7) & 0xff)
         val body = p + 10
         // v2.3 sizes are plain 32-bit: a malformed tag with the top bit
         // set reads NEGATIVE, and `p = body + fSize` would then stall
@@ -93,9 +110,9 @@ object Mp3Meta {
         // executor instead of a Left. Reject; every surviving iteration
         // advances p by at least the 10-byte header.
         if (fSize < 0) return Left(s"mp3: ID3v2 frame $id has negative size $fSize")
-        if (body + fSize > tagEnd) return Left(s"mp3: ID3v2 frame $id runs past the tag")
+        if (body + fSize > tEnd) return Left(s"mp3: ID3v2 frame $id runs past the tag")
         if ((id == "TIT2" || id == "TPE1") && fSize >= 1) {
-          val text = decodeText(d, body, fSize)
+          val text = decodeText(t, body, fSize)
           if (id == "TIT2") title = text else artist = text
         }
         p = body + fSize
@@ -175,7 +192,8 @@ object Mp3Meta {
     */
   def encodeMp3(
       title: String, artist: String, nFrames: Int,
-      bitrateIdx: Int, rateIdx: Int, mono: Boolean, fill: Array[Byte]): Array[Byte] = {
+      bitrateIdx: Int, rateIdx: Int, mono: Boolean, fill: Array[Byte],
+      unsync: Boolean = false): Array[Byte] = {
     require(nFrames >= 1, s"encodeMp3: need at least one frame, got $nFrames")
     require(bitrateIdx >= 1 && bitrateIdx <= 14, s"encodeMp3: bad bitrate index $bitrateIdx")
     require(rateIdx >= 0 && rateIdx <= 2, s"encodeMp3: bad rate index $rateIdx")
@@ -193,12 +211,28 @@ object Mp3Meta {
     }
     textFrame("TIT2", title)
     textFrame("TPE1", artist)
-    val tagBody = tag.toByteArray
+    // v2.3 unsynchronisation (r20): FF followed by 00 or 111xxxxx
+    // gets a 00 escape inserted — the decoder must drop it
+    val tagBody = {
+      val plain = tag.toByteArray
+      if (!unsync) plain
+      else {
+        val u = new java.io.ByteArrayOutputStream(plain.length + 8)
+        var i = 0
+        while (i < plain.length) {
+          u.write(plain(i))
+          if ((plain(i) & 0xff) == 0xff && i + 1 < plain.length &&
+            (plain(i + 1) == 0 || (plain(i + 1) & 0xe0) == 0xe0)) u.write(0)
+          i += 1
+        }
+        u.toByteArray
+      }
+    }
     val frames = new java.io.ByteArrayOutputStream()
     val full = new java.io.ByteArrayOutputStream()
     full.write('I'); full.write('D'); full.write('3')
     full.write(3); full.write(0) // v2.3.0
-    full.write(0) // flags
+    full.write(if (unsync) 0x80 else 0) // flags
     val ts = tagBody.length
     full.write((ts >> 21) & 0x7f); full.write((ts >> 14) & 0x7f)
     full.write((ts >> 7) & 0x7f); full.write(ts & 0x7f)

@@ -40,6 +40,35 @@ class Mp3MetaSpec extends AnyFunSuite {
     assert((st.title, st.artist) === (("Pinned Title", "pinned artist")))
   }
 
+  test("unsynchronised ID3v2.3 tags: escapes dropped, text intact (r20)") {
+    // 'ÿ' is 0xFF in ISO-8859-1: the unsync pass must insert (and the
+    // decoder drop) a 0x00 escape inside the title bytes themselves
+    val title = "ÿÿloudÿ"
+    val st = Mp3Meta.decode(Mp3Meta.encodeMp3(
+      title, "aÿb", nFrames = 3, bitrateIdx = 9, rateIdx = 0,
+      mono = true, fill = "pay".getBytes("ISO-8859-1"),
+      unsync = true)).toOption.get
+    assert((st.title, st.artist) === ((title, "aÿb")))
+    assert((st.nFrames, st.bitrateKbps, st.sampleRate) === ((3L, 128, 44100)))
+    // the escaped tag is LONGER than the plain one (escapes exist)
+    val plain = Mp3Meta.encodeMp3(title, "aÿb", 3, 9, 0, mono = true,
+      fill = "pay".getBytes("ISO-8859-1"))
+    val unsynced = Mp3Meta.encodeMp3(title, "aÿb", 3, 9, 0, mono = true,
+      fill = "pay".getBytes("ISO-8859-1"), unsync = true)
+    assert(unsynced.length > plain.length)
+    // flag-only (no FF bytes anywhere): identical fields either way
+    val noFf = Mp3Meta.decode(Mp3Meta.encodeMp3("plain", "tag", 2, 5, 1,
+      mono = true, fill = Array[Byte](1, 2, 3), unsync = true)).toOption.get
+    assert((noFf.title, noFf.artist, noFf.nFrames) === (("plain", "tag", 2L)))
+  }
+
+  test("python fixture: unsynchronised v2.3 tag with real escapes (r20)") {
+    val st = Mp3Meta.decode(fixture("sample_unsync.mp3")).toOption.get
+    assert(st.title === "yÿåy")
+    assert(st.artist === "unsync artist")
+    assert((st.nFrames, st.vbr) === ((2L, false)))
+  }
+
   test("malformed input is a Left, never a throw") {
     val good = Mp3Meta.encodeMp3("t", "a", 2, 9, 0, mono = false,
       "x".getBytes("US-ASCII"))
