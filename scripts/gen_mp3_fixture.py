@@ -93,6 +93,36 @@ def main_unsync():
           "2 mono frames, real FF 00 escapes in the tag")
 
 
+
+def v22_text_frame(fid, payload):
+    n = len(payload)
+    return (fid.encode()
+            + bytes([(n >> 16) & 0xFF, (n >> 8) & 0xFF, n & 0xFF])
+            + payload)
+
+
+def main_v22():
+    # sample_v22.mp3 (r20): the pre-1999 ID3v2.2 layout — 6-byte frame
+    # headers, 3-char IDs (TT2/TP1), 3-byte sizes — with a UTF-16
+    # BOM'd title (encoding byte 1 existed in v2.2 too) and an
+    # ISO-8859-1 artist, then 3 stereo frames.
+    tt2 = v22_text_frame("TT2", b"\x01\xff\xfe"
+                         + "Old Title".encode("utf-16-le"))
+    tp1 = v22_text_frame("TP1", b"\x00v22 artist")
+    body = tt2 + tp1
+    tag = b"ID3\x02\x00\x00" + syncsafe(len(body)) + body
+    frames = b"".join([
+        frame(9, 1, 0, True, b"one"),
+        frame(9, 1, 1, True, b"two"),
+        frame(9, 1, 0, True, b"tri"),
+    ])
+    with open(os.path.join(FIX, "sample_v22.mp3"), "wb") as f:
+        f.write(tag + frames)
+    print("sample_v22.mp3: ID3v2.2 TT2 'Old Title' / TP1 'v22 artist', "
+          "3 stereo frames at 48 kHz")
+
+
 if __name__ == "__main__":
     main()
     main_unsync()
+    main_v22()

@@ -11,8 +11,10 @@ package graft.operators
   * environment by the [[Media]] compressed-codec rule).
   *
   * IN scope:
-  *  - ID3v2.3 and v2.4 headers (syncsafe tag size; v2.4 syncsafe
-  *    frame sizes vs v2.3 plain 32-bit), text frames in ISO-8859-1,
+  *  - ID3v2.2, v2.3, and v2.4 headers (syncsafe tag size; v2.4
+  *    syncsafe frame sizes vs v2.3 plain 32-bit vs v2.2's 6-byte
+  *    frames with 3-char IDs — TT2/TP1 surface as title/artist),
+  *    text frames in ISO-8859-1,
   *    UTF-16 (BOM'd), UTF-16BE, and UTF-8 encodings; TIT2/TPE1
   *    surfaced; UNSYNCHRONISED tags (r20, flag bit 7 — the classic
   *    v2.3 whole-tag form): the 0x00 escape after every 0xFF drops
@@ -24,7 +26,9 @@ package graft.operators
   *
   * OUT of scope (named Lefts): MPEG2/2.5 and Layers I/II (different
   * length/sample tables — a census wants the dominant format exact,
-  * not every 1990s profile) and free-format bitrate (index 0).
+  * not every 1990s profile), free-format bitrate (index 0), and
+  * compressed ID3v2.2 tags (flag bit 6 — an undefined scheme the
+  * spec itself says to skip).
   *
   * Malformed input is a Left, never an exception.
   */
@@ -92,28 +96,41 @@ object Mp3Meta {
           (a, 0, a.length)
         } else (d, 10, tagEnd)
       var p = tStart
-      if ((flags & 0x40) != 0) { // extended header: skip by its own size
+      // v2.2's bit 6 means the whole tag is COMPRESSED (an undefined
+      // scheme the spec itself says to skip) — not an extended header
+      if (verMajor == 2 && (flags & 0x40) != 0)
+        return Left("mp3: compressed ID3v2.2 tags are out of scope")
+      if (verMajor != 2 && (flags & 0x40) != 0) { // extended header: skip by its own size
         p += (if (verMajor >= 4) syncsafe(t, p)
               else ((t(p) & 0xff) << 24) | ((t(p + 1) & 0xff) << 16) |
                 ((t(p + 2) & 0xff) << 8) | (t(p + 3) & 0xff)) + (if (verMajor >= 4) 0 else 4)
       }
-      while (p + 10 <= tEnd && t(p) != 0) {
-        val id = new String(t, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // ID3v2.2 (r20): 6-byte frame headers — 3-char IDs (TT2/TP1
+      // are TIT2/TPE1's ancestors), 3-byte big-endian sizes, no
+      // flags. v2.3/v2.4 keep their 10-byte form.
+      val hdrLen = if (verMajor == 2) 6 else 10
+      while (p + hdrLen <= tEnd && t(p) != 0) {
+        val id = new String(t, p, if (verMajor == 2) 3 else 4,
+          java.nio.charset.StandardCharsets.US_ASCII)
         val fSize =
-          if (verMajor >= 4) syncsafe(t, p + 4)
+          if (verMajor == 2)
+            ((t(p + 3) & 0xff) << 16) | ((t(p + 4) & 0xff) << 8) | (t(p + 5) & 0xff)
+          else if (verMajor >= 4) syncsafe(t, p + 4)
           else ((t(p + 4) & 0xff) << 24) | ((t(p + 5) & 0xff) << 16) |
             ((t(p + 6) & 0xff) << 8) | (t(p + 7) & 0xff)
-        val body = p + 10
+        val body = p + hdrLen
         // v2.3 sizes are plain 32-bit: a malformed tag with the top bit
         // set reads NEGATIVE, and `p = body + fSize` would then stall
         // (fSize = -10) or walk backward — an infinite loop on the
         // executor instead of a Left. Reject; every surviving iteration
-        // advances p by at least the 10-byte header.
+        // advances p by at least the header length.
         if (fSize < 0) return Left(s"mp3: ID3v2 frame $id has negative size $fSize")
         if (body + fSize > tEnd) return Left(s"mp3: ID3v2 frame $id runs past the tag")
-        if ((id == "TIT2" || id == "TPE1") && fSize >= 1) {
+        val isTitle = id == "TIT2" || id == "TT2"
+        val isArtist = id == "TPE1" || id == "TP1"
+        if ((isTitle || isArtist) && fSize >= 1) {
           val text = decodeText(t, body, fSize)
-          if (id == "TIT2") title = text else artist = text
+          if (isTitle) title = text else artist = text
         }
         p = body + fSize
       }

@@ -69,6 +69,17 @@ class Mp3MetaSpec extends AnyFunSuite {
     assert((st.nFrames, st.vbr) === ((2L, false)))
   }
 
+  test("python fixture: ID3v2.2 — 6-byte frames, TT2/TP1, UTF-16 title (r20)") {
+    val st = Mp3Meta.decode(fixture("sample_v22.mp3")).toOption.get
+    assert((st.title, st.artist) === (("Old Title", "v22 artist")))
+    assert((st.nFrames, st.sampleRate, st.channels) === ((3L, 48000, 2)))
+    assert(st.durationMs === 3L * 1152 * 1000 / 48000)
+    // a compressed v2.2 tag (flag bit 6) is a named Left
+    val c = fixture("sample_v22.mp3").clone()
+    c(5) = 0x40.toByte
+    assert(Mp3Meta.decode(c).left.toOption.get.contains("compressed"))
+  }
+
   test("malformed input is a Left, never a throw") {
     val good = Mp3Meta.encodeMp3("t", "a", 2, 9, 0, mono = false,
       "x".getBytes("US-ASCII"))
