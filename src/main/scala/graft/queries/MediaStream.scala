@@ -1655,7 +1655,9 @@ object MediaStream {
     * DeviceRGB raster (toPpm geometry), odd docs a /DCTDecode
     * grayscale flat-tile JPEG (toJpeg geometry, DC-only unit-quant →
     * bit-exact), every third additionally behind an /ASCIIHexDecode
-    * transport stage. The oracle never parses a PDF OR an image: the
+    * transport stage — and doc_id%6==4 rows (r20) an /Indexed
+    * palette image whose inline hex lookup maps i -> ((i*3)%256)x3,
+    * so the palette resolution itself is text arithmetic. The oracle never parses a PDF OR an image: the
     * pixel count and the decoded gray mean are pure text arithmetic
     * (the toPpm/toJpeg trick), and the extracted TEXT must still
     * equal the q220 ground truth — proving the raster never leaks
@@ -1675,7 +1677,8 @@ object MediaStream {
     graft.sources.Pdf.extractRows(media).toDF()
       .filter(col("ok"))
       .withColumn("nb",
-        when(pmod(col("media_id"), lit(2)) === 0, col("img_px") * 3)
+        when(pmod(col("media_id"), lit(6)) === 4, col("img_px")) // indexed: w*h indices
+          .when(pmod(col("media_id"), lit(2)) === 0, col("img_px") * 3)
           .otherwise(col("img_px") / 64))
       .select(col("media_id").as("doc_id"),
         col("n_images"), col("n_image_skipped"), col("img_px"),
@@ -1732,7 +1735,9 @@ object MediaStream {
       |  FROM documents WHERE length(text) > 0),
       |geo AS (
       |  SELECT doc_id, text, len,
-      |    CASE WHEN doc_id % 2 = 0
+      |    CASE WHEN doc_id % 6 = 4
+      |      THEN (len % 8 + 1) * (len % 6 + 1)            -- palette indices
+      |      WHEN doc_id % 2 = 0
       |      THEN 3 * (len % 8 + 1) * (len % 6 + 1)        -- rgb raster bytes
       |      ELSE (len % 3 + 1) * (len % 2 + 1) END AS nb, -- gray tile values
       |    CASE WHEN doc_id % 2 = 0
@@ -1742,8 +1747,11 @@ object MediaStream {
       |SELECT doc_id, CAST(1 AS INTEGER) AS n_images,
       |  CAST(0 AS INTEGER) AS n_image_skipped, img_px,
       |  CAST(list_sum(list_transform(range(1, nb + 1),
-      |    i -> unicode(substring(text,
-      |           CAST((i - 1) % len + 1 AS INTEGER), 1)))) AS BIGINT)
+      |    i -> CASE WHEN doc_id % 6 = 4
+      |           THEN (unicode(substring(text,
+      |                  CAST((i - 1) % len + 1 AS INTEGER), 1)) * 3) % 256
+      |           ELSE unicode(substring(text,
+      |                  CAST((i - 1) % len + 1 AS INTEGER), 1)) END)) AS BIGINT)
       |    AS img_byte_sum,
       |  'Doc ' || doc_id || '|' || text || '~fin.' AS text
       |FROM geo

@@ -301,10 +301,15 @@ object Pdf {
     *  - raw or standard-filter rasters with /BitsPerComponent 8 and
     *    /ColorSpace /DeviceRGB or /DeviceGray → framed as P6/P5 and
     *    folded by the shared PNM stats path (one copy, O(raster))
+    *  - /Indexed palette color spaces (r20) over either base family
+    *    with an INLINE hex lookup table: 8-bit indices resolve
+    *    through the palette (out-of-range index = skip) into the
+    *    same PNM stats path — the PNG/GIF/TIFF-palette precedent
     * OUT of scope → None, counted `n_image_skipped`: JBIG2/JPX
     * filters, /K > 0 without /EndOfLine (no EOL = no 2D tag bit),
-    * /Predictor rows, sub-8-bit or 16-bit non-CCITT samples, palette /
-    * ICC / CMYK color spaces, short payloads. Never silent garbage.
+    * /Predictor rows, stream-referenced /Indexed lookup tables,
+    * sub-8-bit or 16-bit non-CCITT samples, ICC / CMYK color spaces,
+    * short payloads. Never silent garbage.
     */
   /** Apply a standard transport-filter chain in array order (spec
     * 7.4). Any unknown or failing stage, or a /Predictor on the dict
@@ -389,24 +394,64 @@ object Pdf {
       else {
         def num(k: String): Option[Int] =
           (k + "\\s+(\\d+)").r.findFirstMatchIn(dict).map(_.group(1).toInt)
+        // /Indexed palette color space (r20 — the scanned-PDF palette
+        // shape, the PNG/GIF/TIFF-palette precedent): base family +
+        // hival + an INLINE hex-string lookup table; stream-ref
+        // lookups stay out of scope (skip)
+        val indexed = ("/ColorSpace\\s*\\[\\s*/Indexed\\s*/(DeviceRGB|DeviceGray)" +
+          "\\s+(\\d+)\\s*<([0-9A-Fa-f\\s]*)>\\s*\\]").r.findFirstMatchIn(dict)
         val cs = "/ColorSpace\\s*/([A-Za-z0-9]+)".r
           .findFirstMatchIn(dict).map(_.group(1))
-        (num("/Width"), num("/Height"), num("/BitsPerComponent"), cs) match {
-          case (Some(w), Some(h), Some(8), Some(space))
-              if w > 0 && h > 0 &&
-                (space == "DeviceRGB" || space == "DeviceGray") =>
-            val ch = if (space == "DeviceGray") 1 else 3
-            val need = w.toLong * h * ch
-            if (need > bytes.length || need > Int.MaxValue - 32) None
+        (num("/Width"), num("/Height"), num("/BitsPerComponent"), indexed) match {
+          case (Some(w), Some(h), Some(8), Some(m)) if w > 0 && h > 0 =>
+            val baseCh = if (m.group(1) == "DeviceGray") 1 else 3
+            val hival = m.group(2).toInt
+            val hex = m.group(3).filterNot(_.isWhitespace)
+            val need = w.toLong * h
+            if (hival < 0 || hival > 255 || need > bytes.length ||
+              need > Int.MaxValue - 32 ||
+              hex.length < 2 * (hival + 1) * baseCh) None
             else {
-              val hdr = s"P${if (ch == 1) 5 else 6}\n$w $h\n255\n"
+              val pal = Array.tabulate((hival + 1) * baseCh)(i =>
+                Integer.parseInt(hex.substring(2 * i, 2 * i + 2), 16).toByte)
+              val hdr = s"P${if (baseCh == 1) 5 else 6}\n$w $h\n255\n"
                 .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-              val pnm = new Array[Byte](hdr.length + need.toInt)
+              val pnm = new Array[Byte](hdr.length + need.toInt * baseCh)
               System.arraycopy(hdr, 0, pnm, 0, hdr.length)
-              System.arraycopy(bytes, 0, pnm, hdr.length, need.toInt)
-              graft.operators.ImageCodec.decode(pnm).toOption
+              var i = 0
+              var bad = false
+              while (i < need.toInt && !bad) {
+                val idx = bytes(i) & 0xff
+                if (idx > hival) bad = true // out-of-range index: skip
+                else {
+                  var c = 0
+                  while (c < baseCh) {
+                    pnm(hdr.length + i * baseCh + c) = pal(idx * baseCh + c)
+                    c += 1
+                  }
+                }
+                i += 1
+              }
+              if (bad) None
+              else graft.operators.ImageCodec.decode(pnm).toOption
             }
-          case _ => None
+          case _ => (num("/Width"), num("/Height"), num("/BitsPerComponent"), cs) match {
+            case (Some(w), Some(h), Some(8), Some(space))
+                if w > 0 && h > 0 &&
+                  (space == "DeviceRGB" || space == "DeviceGray") =>
+              val ch = if (space == "DeviceGray") 1 else 3
+              val need = w.toLong * h * ch
+              if (need > bytes.length || need > Int.MaxValue - 32) None
+              else {
+                val hdr = s"P${if (ch == 1) 5 else 6}\n$w $h\n255\n"
+                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+                val pnm = new Array[Byte](hdr.length + need.toInt)
+                System.arraycopy(hdr, 0, pnm, 0, hdr.length)
+                System.arraycopy(bytes, 0, pnm, hdr.length, need.toInt)
+                graft.operators.ImageCodec.decode(pnm).toOption
+              }
+            case _ => None
+          }
         }
       }
     }
@@ -1020,7 +1065,20 @@ object Pdf {
         val L = t.length
         val hexed = id % 3 == 0
         val img =
-          if (id % 2 == 0) {
+          if (id % 6 == 4) {
+            // r20: the /Indexed palette shape — indices are the text
+            // bytes, the inline hex lookup maps i -> ((i*3)%256)x3,
+            // so the decoded mean is text arithmetic for the oracle
+            val w = L % 8 + 1
+            val h = L % 6 + 1
+            val indices = Array.tabulate(w * h)(i => t(i % L).toByte)
+            val hex = (0 until 256).map { i =>
+              val v = f"${i * 3 % 256}%02x"; v * 3
+            }.mkString
+            PdfImage(w, h, gray = false, " /Filter /FlateDecode",
+              deflateBytes(indices),
+              colorSpace = s"[/Indexed /DeviceRGB 255 <$hex>]")
+          } else if (id % 2 == 0) {
             val w = L % 8 + 1
             val h = L % 6 + 1
             val raster = Array.tabulate(3 * w * h)(i => t((i % L)).toByte)
@@ -1268,7 +1326,8 @@ object Pdf {
       width: Int, height: Int, gray: Boolean, filter: String,
       body: Array[Byte],
       bpc: Int = 8, // 1 for the CCITT bilevel rasters (r20)
-      extraDict: String = "") // e.g. a /DecodeParms fragment
+      extraDict: String = "", // e.g. a /DecodeParms fragment
+      colorSpace: String = "") // override, e.g. "[/Indexed /DeviceRGB 255 <...>]"
 
   /** [[buildPdf]] plus one embedded `/Subtype /Image` XObject, painted
     * by the page content (`cm` + `Do` — both non-show operators, so
@@ -1408,8 +1467,11 @@ object Pdf {
     obj(5)(w("5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n"))
     img.foreach { im =>
       obj(6) {
+        val cs =
+          if (im.colorSpace.nonEmpty) im.colorSpace
+          else if (im.gray) "/DeviceGray" else "/DeviceRGB"
         w(s"6 0 obj\n<< /Type /XObject /Subtype /Image /Width ${im.width} " +
-          s"/Height ${im.height} /ColorSpace /${if (im.gray) "DeviceGray" else "DeviceRGB"} " +
+          s"/Height ${im.height} /ColorSpace $cs " +
           s"/BitsPerComponent ${im.bpc}${im.filter}${im.extraDict} " +
           s"/Length ${im.body.length} >>\nstream\n")
         out.write(im.body)
