@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.NfcNormalize.fnName),
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, graft.functions.NfcNormalize.fnName),
       (children: Seq[Expression]) => graft.functions.NfcNormalize(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.Tokens.fnName),
+      new ExpressionInfo(classOf[graft.functions.Tokens].getName, graft.functions.Tokens.fnName),
+      (children: Seq[Expression]) => graft.functions.Tokens(children.head)))
   }
 }

@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased alphanumeric word tokens, empties removed. */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= lit(""))
+  /** Lowercased alphanumeric word tokens, empties removed — the native
+    * single-pass [[Tokens]] expression (r21: the composed
+    * filter/split/lower form carried an interpreted HigherOrderFunction
+    * in the hot loop of every tokenizing operator; see Tokens scaladoc
+    * for the exact-equivalence contract).
+    */
+  def tokens(text: Column): Column = call_function(Tokens.fnName, text)
 
   /** Deterministic 60-bit positive hash of a string: first 15 hex chars
     * of md5 parsed base-16. DuckDB mirror:

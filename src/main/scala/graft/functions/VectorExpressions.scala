@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, Cast, LambdaFunction, NamedLambdaVariable}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for the vector hot path.
   *
@@ -104,12 +104,21 @@ case class VecDot(left: Expression, right: Expression)
 }
 
 /** Merge-count of common elements between two SORTED ascending
-  * `array<bigint>` columns (distinct elements each). The set-similarity
-  * hot loop: pairwise Jaccard over hashed n-gram sets spent ~84 s at
-  * sf0.1 in `array_intersect`'s boxed hash-set build per pair; the
-  * merge scan is primitive-long compares with zero allocation.
-  * Callers must pre-sort with `array_sort` (cheap, once per row —
-  * not per pair).
+  * `array<bigint>` or `array<string>` columns (distinct elements
+  * each; both sides the same type). The set-similarity hot loop:
+  * pairwise Jaccard over hashed n-gram sets spent ~84 s at sf0.1 in
+  * `array_intersect`'s boxed hash-set build per pair; the merge scan
+  * is primitive-long (or UTF8String binary) compares with zero
+  * hash-set allocation. Callers must pre-sort with `array_sort`
+  * (cheap, once per row — not per pair); `array_sort`'s string order
+  * IS `UTF8String.compareTo`, the compare used here.
+  *
+  * The string form (r21) serves the shingle-Jaccard verifies, where
+  * the set elements must stay EXACT strings (the oracles intersect
+  * raw shingles, so hashing first would change semantics on a
+  * collision): for distinct sorted sets,
+  * |A ∪ B| = |A| + |B| − |A ∩ B|, so one merge scan replaces
+  * array_intersect + array_union (two hash-set builds per pair).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -117,15 +126,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
       case ArrayType(LongType, _) => true
+      case ArrayType(StringType, _) => true
       case _ => false
-    })
+    }) && left.dataType.asInstanceOf[ArrayType].elementType ==
+      right.dataType.asInstanceOf[ArrayType].elementType
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> arguments, " +
+      s"$prettyName requires two array<bigint> or two array<string> arguments, " +
         s"got (${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
+
+  private def isString: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == StringType
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -135,12 +149,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
-    while (i < nx && j < ny) {
-      val xv = x.getLong(i)
-      val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+    if (isString) {
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i)
+        val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -150,18 +173,31 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |int $i = 0; int $j = 0; int $c = 0;
-         |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
+      if (isString) {
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+           |  if ($cmp == 0) { $c++; $i++; $j++; }
+           |  else if ($cmp < 0) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      } else {
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  long $xv = $a.getLong($i);
+           |  long $yv = $b.getLong($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildrenInternal(
@@ -225,5 +261,9 @@ object VectorExpressions {
       FunctionIdentifier(NfcNormalize.fnName),
       new ExpressionInfo(classOf[NfcNormalize].getName, NfcNormalize.fnName),
       (children: Seq[Expression]) => NfcNormalize(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(Tokens.fnName),
+      new ExpressionInfo(classOf[Tokens].getName, Tokens.fnName),
+      (children: Seq[Expression]) => Tokens(children.head))
   }
 }

@@ -156,12 +156,30 @@ object Dedup {
         coalesce(col("text"), lit("")).as("text"))
   }
 
-  /** doc -> distinct shingle set (tokens materialized first — see
-    * shinglesFromToks).
+  /** doc -> distinct shingle set, SORTED ascending (tokens
+    * materialized first — see shinglesFromToks). Sorted so the
+    * pair-verify Jaccard runs as one SortedIntersectCount merge scan
+    * (r21: array_intersect + array_union built two boxed hash sets
+    * per PAIR; the sort is once per ROW). Every consumer reduces `sh`
+    * to set sizes, so element order is output-invariant.
     */
-  private def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def shingled(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    VectorExpressions.register(df.sparkSession) // sorted_intersect_count below
     df.select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc"), shinglesFromToks(col("toks")).as("sh"))
+      .select(col("doc"), array_sort(shinglesFromToks(col("toks"))).as("sh"))
+  }
+
+  /** Exact shingle-set Jaccard |a∩b| / |a∪b| over SORTED DISTINCT
+    * string arrays, as one merge scan: for sets,
+    * |a∪b| = |a|+|b|−|a∩b|, and the counts are the same integers
+    * array_intersect/array_union produce, so the cast-double ratio is
+    * bit-identical to the composed form the oracles mirror.
+    */
+  private def sortedJaccard(a: Column, isect: Column, b: Column): Column =
+    isect.cast("double") / (size(a) + size(b) - isect).cast("double")
+
+  private def isectCount(a: Column, b: Column): Column =
+    call_function(graft.functions.VectorExpressions.isectFnName, a, b)
 
   /** MinHash + banded LSH near-duplicate pairs.
     *
@@ -206,9 +224,8 @@ object Dedup {
       // power-of-two unions land the double exactly on a .5 at the cut
       // digit, where Spark's and DuckDB's round() tie-break differently
       // (see q24 scaladoc). floor has no tie.
-      .withColumn("jr",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("isect", isectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jr", sortedJaccard(col("sh_a"), col("isect"), col("sh_b")))
       .filter(col("jr") >= threshold)
       .select(col("doc_a"), col("doc_b"),
         (floor(col("jr") * lit(1e6)) / lit(1e6)).as("jaccard"))
@@ -243,9 +260,8 @@ object Dedup {
     val truth = sh.select(col("doc").as("doc_a"), col("sh").as("sh_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("sh_b")),
         col("doc_a") < col("doc_b"))
-      .filter(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= threshold)
+      .withColumn("isect", isectCount(col("sh_a"), col("sh_b")))
+      .filter(sortedJaccard(col("sh_a"), col("isect"), col("sh_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(true)
     // sh's only consumer (truth) is eagerly materialized above, and sh
@@ -275,15 +291,28 @@ object Dedup {
     * inline mirror that could drift.
     */
   private[graft] def minhashSigs(
-      base: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame =
+      base: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
+    VectorExpressions.register(base.sparkSession)
+    // shingle stream via the native explode_ngrams Generator (r21):
+    // explode(transform(...)) materialized the full shingle array per
+    // doc under an interpreted higher-order lambda; the generator
+    // streams grams with O(1) state. The < 3-token whole-doc fallback
+    // rides the SAME generator as a (joined, NULL, NULL) 3-array —
+    // concat_ws skips nulls, so its one gram is exactly the joined doc
+    // (shinglesMultiFromToks semantics, incl. the 0-token "" shingle).
+    val gramSrc = when(size(col("toks")) >= 3, col("toks"))
+      .otherwise(array(concat_ws(" ", col("toks")),
+        lit(null).cast("string"), lit(null).cast("string")))
     base
       .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col("doc"), explode(shinglesMultiFromToks(col("toks"))).as("x"))
+      .select(col("doc"),
+        call_function(VectorExpressions.ngramsFnName, gramSrc, lit(3)).as("x"))
       .withColumn("h", TextFunctions.polyHash(col("x")))
       .groupBy(col("doc"))
       .agg(min(pmod(col("h") * hashA(0) + hashB(0), lit(P))).as("sig_0"),
         (1 until numHashes).map(k =>
           min(pmod(col("h") * hashA(k) + hashB(k), lit(P))).as(s"sig_$k")): _*)
+  }
 
   /** Sub-stage 2: band each signature into (doc, band, bh) keys. */
   private[graft] def minhashBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -499,8 +528,8 @@ object Dedup {
     def dropsFrom(cand: DataFrame, shOld: DataFrame): DataFrame =
       cand.join(shN.select(col("doc").as("new_doc"), col("sh").as("sh_n")), Seq("new_doc"))
         .join(shOld.select(col("doc").as("old_doc"), col("sh").as("sh_o")), Seq("old_doc"))
-        .filter(size(array_intersect(col("sh_n"), col("sh_o"))).cast("double") /
-          size(array_union(col("sh_n"), col("sh_o"))).cast("double") >= threshold)
+        .withColumn("isect", isectCount(col("sh_n"), col("sh_o")))
+        .filter(sortedJaccard(col("sh_n"), col("isect"), col("sh_o")) >= threshold)
         .select(col("new_doc"))
     // drops has TWO consumers in the WithIndex variant (survivors
     // left-anti + indexDelta left-anti) — materialize once or the

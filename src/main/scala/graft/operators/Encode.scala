@@ -47,22 +47,38 @@ object Encode {
     * non-alphanumerics).
     */
   final class HashingTrickEncoder(val dims: Int = 16) extends BatchEncoder {
-    private def hash60(s: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s.getBytes("UTF-8"))
-        .map(b => f"${b & 0xff}%02x").mkString
-      java.lang.Long.parseLong(hex.take(15), 16)
+    // r21 hot-path rewrite, value-identical: the first 15 hex chars of
+    // an md5 are exactly the top 60 bits of its first 8 bytes, so the
+    // hex render + parseLong round-trip is pure constant cost; and
+    // MessageDigest.getInstance per TOKEN (provider lookup each call)
+    // amortizes to one instance per batch (digest() resets it). The
+    // chunk-ANN lifecycle queries hash every token of every
+    // overlapping chunk through here.
+    private def hash60(md: java.security.MessageDigest, s: String): Long = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+        ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
     }
-    override def encodeBatch(texts: Seq[String]): Seq[Array[Double]] =
+    override def encodeBatch(texts: Seq[String]): Seq[Array[Double]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
       texts.map { t =>
         val v = new Array[Double](dims)
-        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).foreach { tok =>
-          val h = hash60(s"enc|$tok")
-          val b = (h % dims).toInt
-          v(b) += (if ((h / dims) % 2 == 0) 1.0 else -1.0)
+        HashingTrickEncoder.Sep.split(t.toLowerCase).foreach { tok =>
+          if (tok.nonEmpty) {
+            val h = hash60(md, "enc|" + tok)
+            val b = (h % dims).toInt
+            v(b) += (if ((h / dims) % 2 == 0) 1.0 else -1.0)
+          }
         }
         v
       }
+    }
+  }
+
+  private object HashingTrickEncoder {
+    // precompiled: String.split(regex) re-compiles the pattern per call
+    private val Sep = java.util.regex.Pattern.compile("[^a-z0-9]+")
   }
 
   /** Attach an `embedding` column computed through the batched

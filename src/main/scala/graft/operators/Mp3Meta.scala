@@ -83,8 +83,12 @@ object Mp3Meta {
       // stored tag is an escape byte and drops out; frame sizes refer
       // to the de-unsynced data, so the walk runs over the restored
       // bytes. The audio data after the tag is untouched.
+      // v2.4 ONLY flags per-frame unsync here (frame sizes count the
+      // STORED bytes) — the whole-tag transform would shrink frame
+      // bodies under stored-size offsets and misalign the walk, so
+      // v2.4 walks the stored tag and de-unsyncs each frame body.
       val (t, tStart, tEnd) =
-        if ((flags & 0x80) != 0) {
+        if ((flags & 0x80) != 0 && verMajor <= 3) {
           val out = new java.io.ByteArrayOutputStream(tagSize)
           var i = 10
           while (i < tagEnd) {
@@ -129,7 +133,25 @@ object Mp3Meta {
         val isTitle = id == "TIT2" || id == "TT2"
         val isArtist = id == "TPE1" || id == "TP1"
         if ((isTitle || isArtist) && fSize >= 1) {
-          val text = decodeText(t, body, fSize)
+          // v2.4 per-frame unsync: tag-header flag = every frame, or
+          // the frame's own format flag bit 0x02; the stored body is
+          // restored before decoding (sizes stay stored-size, so the
+          // walk itself is untouched)
+          val frameUnsync = verMajor >= 4 &&
+            ((flags & 0x80) != 0 || (t(p + 9) & 0x02) != 0)
+          val text =
+            if (frameUnsync) {
+              val out = new java.io.ByteArrayOutputStream(fSize)
+              var i = body
+              val lim = body + fSize
+              while (i < lim) {
+                out.write(t(i))
+                if ((t(i) & 0xff) == 0xff && i + 1 < lim && t(i + 1) == 0) i += 2
+                else i += 1
+              }
+              val a = out.toByteArray
+              decodeText(a, 0, a.length)
+            } else decodeText(t, body, fSize)
           if (isTitle) title = text else artist = text
         }
         p = body + fSize

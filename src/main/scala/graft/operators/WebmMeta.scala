@@ -200,6 +200,7 @@ object WebmMeta {
           case 0xa3L if inside == "cluster" => // SimpleBlock header only
             // track number: EBML varint (marker stripped, like sizes),
             // then a SIGNED 16-bit big-endian relative timestamp
+            if (pos >= end) throw Abort("webm: empty SimpleBlock")
             val b0 = d(pos) & 0xff
             if (b0 == 0) throw Abort("webm: zero SimpleBlock track varint")
             val n = Integer.numberOfLeadingZeros(b0) - 24 + 1
@@ -210,6 +211,7 @@ object WebmMeta {
           case 0xa1L if inside == "blockgroup" =>
             // Block: the same header layout as SimpleBlock (the
             // flags byte differs — never read here)
+            if (pos >= end) throw Abort("webm: empty Block")
             val b0 = d(pos) & 0xff
             if (b0 == 0) throw Abort("webm: zero Block track varint")
             val n = Integer.numberOfLeadingZeros(b0) - 24 + 1

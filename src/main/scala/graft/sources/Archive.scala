@@ -434,7 +434,13 @@ object Archive {
         val size =
           if (typeflag == '0' || typeflag == 0)
             paxVal("size").map { s =>
-              if (!s.forall(_.isDigit) || s.isEmpty) throw Abort("tar: bad pax size value")
+              // ASCII digits only (Character.isDigit admits Unicode
+              // digits) and <= 18 chars: 19-digit values overflow
+              // toLong into NumberFormatException, and a parseable
+              // near-Long.MaxValue size overflows dataStart + size
+              // negative, bypassing the EOF check below
+              if (s.isEmpty || s.length > 18 || !s.forall(c => c >= '0' && c <= '9'))
+                throw Abort("tar: bad pax size value")
               s.toLong
             }.getOrElse(headerSize)
           else headerSize

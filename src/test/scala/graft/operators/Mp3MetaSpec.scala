@@ -111,4 +111,37 @@ class Mp3MetaSpec extends AnyFunSuite {
       0, 0) // frame flags
     assert(Mp3Meta.decode(d).left.toOption.get.contains("negative"))
   }
+
+  test("ID3v2.4 unsync: per-frame de-unsync under stored-size offsets (r21 advice)") {
+    // v2.4 frame sizes count the STORED (still-unsynced) bytes; a
+    // whole-tag de-unsync would shrink the first body and land the
+    // walk mid-frame, losing TPE1. Two frames, each with an FF 00
+    // escape inside the body, exercise exactly that alignment.
+    def ss(v: Int) = Array[Byte](((v >> 21) & 0x7f).toByte,
+      ((v >> 14) & 0x7f).toByte, ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    val base = Mp3Meta.encodeMp3("t", "a", nFrames = 3, bitrateIdx = 9,
+      rateIdx = 0, mono = true, fill = "pay".getBytes("ISO-8859-1"))
+    val audioStart = 10 + (((base(6) & 0x7f) << 21) | ((base(7) & 0x7f) << 14) |
+      ((base(8) & 0x7f) << 7) | (base(9) & 0x7f))
+    val audio = base.drop(audioStart)
+    def frame(id: String, flags: Array[Byte]): Array[Byte] = {
+      // stored body: ISO-8859-1 enc byte, unsynced 0xFF (escape 0x00
+      // follows), then a plain char — logical text is "ÿ" + char
+      val tail = if (id == "TIT2") 'x' else 'z'
+      val body = Array[Byte](0, 0xFF.toByte, 0, tail.toByte)
+      id.getBytes("US-ASCII") ++ ss(body.length) ++ flags ++ body
+    }
+    // tag-level unsync flag (0x80): every frame de-unsyncs
+    val tagBody = frame("TIT2", Array[Byte](0, 0)) ++ frame("TPE1", Array[Byte](0, 0))
+    val tagged = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0x80.toByte) ++ ss(tagBody.length) ++ tagBody ++ audio
+    val st = Mp3Meta.decode(tagged).toOption.get
+    assert((st.title, st.artist) === (("ÿx", "ÿz")))
+    // frame-level unsync flag (format byte bit 0x02), no tag flag
+    val fBody = frame("TIT2", Array[Byte](0, 0x02)) ++ frame("TPE1", Array[Byte](0, 0x02))
+    val framed = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0) ++ ss(fBody.length) ++ fBody ++ audio
+    val st2 = Mp3Meta.decode(framed).toOption.get
+    assert((st2.title, st2.artist) === (("ÿx", "ÿz")))
+  }
 }

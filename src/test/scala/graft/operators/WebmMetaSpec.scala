@@ -108,4 +108,17 @@ class WebmMetaSpec extends AnyFunSuite {
     mk(dt + 3) = 'x'.toByte // "webm" -> "xebm"
     assert(WebmMeta.decode(mk).left.toOption.get.contains("out of scope"))
   }
+
+  test("zero-size SimpleBlock in the duration fallback is a Left (r21 advice)") {
+    val v = WebmMeta.WebmTrack(1, "V_VP9", width = 64, height = 48)
+    // duration-less: the cluster walk parses block headers
+    val d = WebmMeta.encodeWebm(1000000L, 0.0, Seq(v), Array.emptyByteArray,
+      omitDuration = true, clusterTimestamp = 100L, blockRelTimes = Seq(7)).clone()
+    // the one SimpleBlock: id 0xA3, size varint 0x84 (4-byte payload)
+    val at = d.indices.indexWhere(i => (d(i) & 0xff) == 0xa3 &&
+      i + 1 < d.length && (d(i + 1) & 0xff) == 0x84)
+    assert(at >= 0)
+    d(at + 1) = 0x80.toByte // size -> 0: header read would hit the sibling
+    assert(WebmMeta.decode(d).left.toOption.get.contains("empty"))
+  }
 }

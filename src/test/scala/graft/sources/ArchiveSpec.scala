@@ -197,4 +197,50 @@ class ArchiveSpec extends AnyFunSuite {
     enc(i + 8) = (enc(i + 8) | 1).toByte
     assert(Archive.readZip(enc).left.toOption.get.contains("encrypted"))
   }
+
+  test("pax size record: overflow-range and non-ASCII-digit values are a Left (r21 advice)") {
+    // hand-built tar (checksum validity is recorded, not enforced, so
+    // a minimal header suffices): one pax 'x' header carrying only a
+    // size record, then a 5-byte regular entry it binds to
+    def rawHeader(name: String, size: Long, typeflag: Char): Array[Byte] = {
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("US-ASCII")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      val sz = ("%011o".format(size) + " ").getBytes("US-ASCII")
+      System.arraycopy(sz, 0, h, 124, sz.length)
+      h(156) = typeflag.toByte
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var s = 0L; h.foreach(b => s += b & 0xff)
+      val cs = ("%06o".format(s) + "  ").getBytes("US-ASCII")
+      System.arraycopy(cs, 0, h, 148, cs.length)
+      h
+    }
+    def paxTar(sizeVal: String): Array[Byte] = {
+      val tail = s" size=$sizeVal\n".getBytes("UTF-8")
+      var l = tail.length + 1
+      while (l.toString.length + tail.length != l)
+        l = l.toString.length + tail.length
+      val rec = l.toString.getBytes("US-ASCII") ++ tail
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(rawHeader("pax_hdr", rec.length.toLong, 'x'))
+      out.write(rec)
+      out.write(new Array[Byte]((512 - rec.length % 512) % 512))
+      val body = "hello".getBytes("US-ASCII")
+      out.write(rawHeader("victim.txt", body.length.toLong, '0'))
+      out.write(body)
+      out.write(new Array[Byte](512 - body.length + 1024))
+      out.toByteArray
+    }
+    // near-Long.MaxValue (dataStart + size used to overflow negative
+    // past the EOF check) and >19-digit (toLong used to throw
+    // NumberFormatException out of readTar): both named Lefts now
+    assert(Archive.readTar(paxTar("9223372036854775807")).isLeft)
+    assert(Archive.readTar(paxTar("999999999999999999999")).isLeft)
+    // Unicode digits (Character.isDigit admits them; toLong throws)
+    assert(Archive.readTar(paxTar("١٢٣")).isLeft)
+    // a sane same-as-header override still round-trips
+    val ok = Archive.readTar(paxTar("5")).toOption.get
+    assert(new String(ok.head.data, "US-ASCII") === "hello")
+    assert(ok.head.method === "pax")
+  }
 }
