@@ -46,5 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.Tokens.fnName),
       new ExpressionInfo(classOf[graft.functions.Tokens].getName, graft.functions.Tokens.fnName),
       (children: Seq[Expression]) => graft.functions.Tokens(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.Hash60Md5.fnName),
+      new ExpressionInfo(classOf[graft.functions.Hash60Md5].getName, graft.functions.Hash60Md5.fnName),
+      (children: Seq[Expression]) => graft.functions.Hash60Md5(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.Md5Bin.fnName),
+      new ExpressionInfo(classOf[graft.functions.Md5Bin].getName, graft.functions.Md5Bin.fnName),
+      (children: Seq[Expression]) => graft.functions.Md5Bin(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.GramHashes.fnName),
+      new ExpressionInfo(classOf[graft.functions.GramHashes].getName, graft.functions.GramHashes.fnName),
+      (children: Seq[Expression]) => graft.functions.GramHashes(children.head)))
   }
 }

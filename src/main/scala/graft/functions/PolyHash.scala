@@ -74,10 +74,18 @@ object PolyHash {
     * the same for interpreted and generated code. (Valid UTF-8 never
     * takes that branch, so the DuckDB code-point mirror is unaffected.)
     */
-  def hash(s: UTF8String): Long = {
-    val n = s.numBytes()
+  def hash(s: UTF8String): Long = hashRange(s, 0, s.numBytes())
+
+  /** [[hash]] over the byte range [from, until) of `s` — bit-identical
+    * to hashing the copied `s.substring` slice (the decode loop sees
+    * the same bytes and the same truncation boundary), without the
+    * per-window UTF8String allocation. Serves [[GramHashes]]' window
+    * scan (r21).
+    */
+  def hashRange(s: UTF8String, from: Int, until: Int): Long = {
+    val n = until
     var h = 0L
-    var i = 0
+    var i = from
     while (i < n) {
       val b0 = s.getByte(i) & 0xff
       var cp = 0

@@ -30,11 +30,13 @@ object TextFunctions {
   def tokens(text: Column): Column = call_function(Tokens.fnName, text)
 
   /** Deterministic 60-bit positive hash of a string: first 15 hex chars
-    * of md5 parsed base-16. DuckDB mirror:
+    * of md5 parsed base-16 — natively, via [[Hash60Md5]] (r21:
+    * value-identical to `conv(substring(md5(s),1,15),16,10)` but
+    * without the per-row hex render + re-parse and the per-row
+    * MessageDigest lookup). DuckDB mirror unchanged:
     * `CAST(concat('0x', substring(md5(s),1,15)) AS BIGINT)`.
     */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def hash60(s: Column): Column = call_function(Hash60Md5.fnName, s)
 
   /** Seeded variant for minhash families: hash of "<seed>|<s>". */
   def hash60(s: Column, seed: Int): Column =

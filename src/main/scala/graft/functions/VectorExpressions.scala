@@ -265,5 +265,17 @@ object VectorExpressions {
       FunctionIdentifier(Tokens.fnName),
       new ExpressionInfo(classOf[Tokens].getName, Tokens.fnName),
       (children: Seq[Expression]) => Tokens(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(Hash60Md5.fnName),
+      new ExpressionInfo(classOf[Hash60Md5].getName, Hash60Md5.fnName),
+      (children: Seq[Expression]) => Hash60Md5(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(Md5Bin.fnName),
+      new ExpressionInfo(classOf[Md5Bin].getName, Md5Bin.fnName),
+      (children: Seq[Expression]) => Md5Bin(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(GramHashes.fnName),
+      new ExpressionInfo(classOf[GramHashes].getName, GramHashes.fnName),
+      (children: Seq[Expression]) => GramHashes(children.head))
   }
 }

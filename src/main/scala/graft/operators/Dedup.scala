@@ -1199,6 +1199,13 @@ object Dedup {
       textCol: String,
       maxLen: Int): DataFrame = {
     require(maxLen >= 2, "maxLen must be >= 2")
+    VectorExpressions.register(df.sparkSession) // md5_bin below
+    // md5_bin(x) ≡ unhex(md5(x)) (r21): the identity digests are the
+    // operator's dominant per-position cost (one per position per
+    // doubling level); the native form skips the per-row 32-char hex
+    // render + unhex re-parse and the per-row MessageDigest lookup.
+    def md5bin(c: Column): Column =
+      call_function(graft.functions.Md5Bin.fnName, c)
     val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
     val byDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
     // one token row per position, pre-partitioned by doc so every
@@ -1206,7 +1213,7 @@ object Dedup {
     var cur = df.repartition(fanout, col(idCol))
       .select(col(idCol).as("doc"), posexplode(TextFunctions.tokens(col(textCol)))
         .as(Seq("p0", "tok")))
-      .select(col("doc"), (col("p0") + 1L).as("pos"), unhex(md5(col("tok"))).as("r_1"))
+      .select(col("doc"), (col("p0") + 1L).as("pos"), md5bin(col("tok")).as("r_1"))
       .drop("tok")
     // doubling levels: r_h defined iff the h-window at pos fits the doc
     val levels = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxLen).toSeq
@@ -1216,7 +1223,7 @@ object Dedup {
         .withColumn("sh", lead(col(s"r_$half"), half).over(byDoc))
         .withColumn(s"r_$h",
           when(col(s"r_$half").isNotNull && col("sh").isNotNull,
-            unhex(md5(concat(col(s"r_$half"), col("sh"))))))
+            md5bin(concat(col(s"r_$half"), col("sh")))))
         .drop("sh")
     }
     cur
@@ -1315,6 +1322,7 @@ object Dedup {
     */
   private def windowHashes(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    VectorExpressions.register(df.sparkSession) // md5_bin below
     val fanout = df.sparkSession.sessionState.conf.numShufflePartitions
     // toks materialized as an attribute first — the lambda-capture rule
     // (see shinglesFromToks): a captured non-attribute subtree would
@@ -1322,10 +1330,14 @@ object Dedup {
     val toks = df.repartition(fanout, col(idCol))
       .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= k)
+    // wh is an internal equality key only (never output): md5_bin
+    // (r21) keeps the exact md5 identity semantics — same collisions,
+    // shared with the oracle — at half the shuffle width and none of
+    // the per-window hex-render cost
     toks.select(col("doc"),
         explode(transform(sequence(lit(1L), size(col("toks")).cast("long") - lit(k - 1L)),
           i => struct(i.as("pos"),
-            md5(concat_ws(" ",
+            call_function(graft.functions.Md5Bin.fnName, concat_ws(" ",
               (0 until k).map(j => element_at(col("toks"), (i + lit(j.toLong)).cast("int"))): _*))
               .as("wh")))).as("w"))
       .select(col("doc"), col("w.pos").as("pos"), col("w.wh").as("wh"))
@@ -1386,27 +1398,19 @@ object Dedup {
       blockCol: String,
       threshold: Double): DataFrame = {
     VectorExpressions.register(df.sparkSession)
-    // lc materialized first: substring(lc, i, 3) inside the transform
-    // lambda must capture an attribute, not re-lower the whole document
-    // per gram (see shinglesFromToks)
-    val gramStrings = expr(
-      """case when length(lc) >= 3 then
-        |  array_distinct(transform(sequence(1, length(lc) - 2),
-        |    i -> substring(lc, i, 3)))
-        |else array(lc) end""".stripMargin)
-    // sorted distinct hashed grams: sort once per ROW so the per-PAIR
-    // intersection is a primitive merge scan (SortedIntersectCount).
-    // poly_hash since r12: at sf0.1 this lambda evaluates ~10M times
-    // (every char-3-gram of every doc) and the md5+hex+conv chain was
-    // the sweep's largest remaining md5 sink; the code-point fold is
-    // allocation-free and mirrors DuckDB exactly on any input. No
-    // min-selection happens over these hashes (sets are compared by
-    // intersection size), so the short-string bias that keeps minhash
-    // on md5 is irrelevant here.
-    val grams = array_sort(array_distinct(transform(gramStrings, x => TextFunctions.polyHash(x))))
+    // sorted distinct hashed char-3-grams in ONE native pass (r21):
+    // gram_hashes replaces the composed case-when + two interpreted
+    // transform lambdas + string array_distinct + array_sort chain —
+    // see GramHashes' scaladoc for the exact-equivalence contract.
+    // poly_hash family since r12: at sf0.1 this evaluates ~10M grams
+    // and the md5+hex+conv chain was the sweep's largest remaining md5
+    // sink. No min-selection happens over these hashes (sets are
+    // compared by intersection size), so the short-string bias that
+    // keeps minhash on md5 is irrelevant here.
     val g = df
-      .select(col(blockCol).as("blk"), col(idCol).as("doc"), lower(col(textCol)).as("lc"))
-      .select(col("blk"), col("doc"), grams.as("g"))
+      .select(col(blockCol).as("blk"), col(idCol).as("doc"),
+        call_function(graft.functions.GramHashes.fnName,
+          lower(col(textCol))).as("g"))
       .withColumn("n", size(col("g")))
     // docs->grams materialized once; re-read by the df count, the
     // prefix build, and the verify re-attach below

@@ -539,13 +539,25 @@ object Retrieval {
     require(fbDocs >= 1, s"fbDocs must be >= 1: $fbDocs")
     require(expTerms >= 1, s"expTerms must be >= 1: $expTerms")
     val post = postings(corpus, idCol, textCol).localCheckpoint(true)
+    // dfx and nd each feed THREE scoring passes (pass 1, expansion
+    // mining, pass 2) — checkpoint once (r21) or each pass re-runs the
+    // full-postings aggregate: 3 exchanges + 3 scans become 1 each.
+    // Both ride the result plan, so the caller's Checkpoints.release
+    // frees them with post.
+    // the checkpointed frames carry no size estimate (LogicalRDD), so
+    // the joins keep their strategy via explicit hints: dfx was
+    // estimate-broadcast before the checkpoint (plans/r21 before
+    // plans), and un-hinted it would fall to sort-merge — slower than
+    // the recompute it saves
     val dfx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(true)
     val nd = post.agg(count_distinct(col("doc")).as("nd"))
+      .localCheckpoint(true)
     val qTerms = queries.select(col(idCol).as("qid"),
       explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
     def score(ts: DataFrame): DataFrame =
       post.join(broadcast(ts), Seq("term"))
-        .join(dfx, Seq("term"))
+        .join(broadcast(dfx), Seq("term"))
         .crossJoin(broadcast(nd))
         .groupBy(col("qid"), col("doc"))
         .agg(sum(col("tf") * expr("(nd * 1000000) div df")).as("score"))
@@ -553,7 +565,7 @@ object Retrieval {
       .agg(TopKAggregator.topK(fbDocs)(col("score").cast("double"), col("doc")).as("top"))
       .select(col("qid"), explode(col("top.top_ids")).as("doc"))
     val cand = post.join(broadcast(fb), Seq("doc"))
-      .join(dfx, Seq("term"))
+      .join(broadcast(dfx), Seq("term"))
       .crossJoin(broadcast(nd))
       .groupBy(col("qid"), col("term"))
       .agg(sum(col("tf") * expr("(nd * 1000000) div df")).as("ts"))
