@@ -58,5 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(graft.functions.GramHashes.fnName),
       new ExpressionInfo(classOf[graft.functions.GramHashes].getName, graft.functions.GramHashes.fnName),
       (children: Seq[Expression]) => graft.functions.GramHashes(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier(graft.functions.StopwordHits.fnName),
+      new ExpressionInfo(classOf[graft.functions.StopwordHits].getName, graft.functions.StopwordHits.fnName),
+      (children: Seq[Expression]) => graft.functions.StopwordHits(children.head, children(1))))
   }
 }

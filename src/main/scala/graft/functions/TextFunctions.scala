@@ -91,8 +91,14 @@ object TextFunctions {
     */
   val langOrder: Seq[String] = Seq("en", "es", "de", "fr")
 
+  /** Stopword occurrence count — the native one-pass [[StopwordHits]]
+    * (r21: the composed `size(filter(toks, array_contains(...)))`
+    * carried an interpreted HigherOrderFunction per token per language;
+    * langId pays it four times per document). Value- and type-identical
+    * to the composed form.
+    */
   def stopwordHits(toks: Column, lang: String): Column =
-    size(filter(toks, t => array_contains(lit(stopwords(lang).toArray), t)))
+    call_function(StopwordHits.fnName, toks, lit(lang))
 
   /** Best-scoring language, "und" (undetermined) when no stopword hits.
     * Evaluated as a strictly-greater chain in `langOrder` order so the
@@ -116,8 +122,7 @@ object TextFunctions {
 
   def stopwordRatio(text: Column): Column = {
     val toks = tokens(text)
-    val en = stopwords("en")
-    size(filter(toks, t => array_contains(lit(en.toArray), t))).cast("double") /
+    stopwordHits(toks, "en").cast("double") /
       greatest(size(toks), lit(1)).cast("double")
   }
 

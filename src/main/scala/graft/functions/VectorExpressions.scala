@@ -277,5 +277,9 @@ object VectorExpressions {
       FunctionIdentifier(GramHashes.fnName),
       new ExpressionInfo(classOf[GramHashes].getName, GramHashes.fnName),
       (children: Seq[Expression]) => GramHashes(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(StopwordHits.fnName),
+      new ExpressionInfo(classOf[StopwordHits].getName, StopwordHits.fnName),
+      (children: Seq[Expression]) => StopwordHits(children.head, children(1)))
   }
 }

@@ -66,17 +66,24 @@ object NgramLm {
   val AlphaNum = 2L
   val AlphaDen = 5L
 
-  private def grams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j =>
-          element_at(toks, (i + lit(j)).cast("int"))): _*)))
-      .otherwise(array().cast("array<string>"))
+  /** Space-joined order-n gram rows off a `toks` column, streamed
+    * through the native explode_ngrams Generator (r21): the composed
+    * `explode(transform(sequence(...), concat_ws(element_at...)))`
+    * materialized the full gram array per document under an
+    * interpreted lambda; the generator emits the SAME rows (same
+    * grams, same ascending-position order, nothing for docs shorter
+    * than n — the `when(...).otherwise(empty)` guard folded in) with
+    * O(1) state.
+    */
+  private def gramRows(toks: Column, n: Int): Column = {
+    import graft.functions.VectorExpressions
+    call_function(VectorExpressions.ngramsFnName, toks, lit(n))
+  }
 
   /** Corpus count table for order-n grams: (gram, cnt). */
   def ngramCounts(docs: DataFrame, textCol: String, n: Int): DataFrame =
     docs.select(TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(explode(grams(col("toks"), n)).as("gram"))
+      .select(gramRows(col("toks"), n).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
 
   /** Per-doc + corpus count table for order-n grams over `base`
@@ -86,8 +93,9 @@ object NgramLm {
     */
   private def dualCounts(base: DataFrame, n: Int): DataFrame = {
     val perDoc = base
-      .select(col("doc"), explode(
-        if (n == 1) col("toks") else grams(col("toks"), n)).as("gram"))
+      .select(col("doc"),
+        (if (n == 1) explode(col("toks"))
+         else gramRows(col("toks"), n)).as("gram"))
       .groupBy(col("doc"), col("gram")).agg(count(lit(1)).as("dcnt"))
     val corpus = perDoc.groupBy(col("gram")).agg(sum(col("dcnt")).as("cnt"))
     perDoc.join(corpus, Seq("gram"))

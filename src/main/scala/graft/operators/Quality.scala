@@ -204,13 +204,26 @@ object Quality {
     * the two paths see byte-identical gram sets).
     */
   private def wordGrams(
-      df: DataFrame, idCol: String, idAs: String, textCol: String, n: Int): DataFrame =
+      df: DataFrame, idCol: String, idAs: String, textCol: String, n: Int): DataFrame = {
+    // gram stream via the native explode_ngrams Generator (r21): the
+    // composed explode(array_distinct(transform(...))) materialized
+    // the gram array AND a per-doc string dedup set under an
+    // interpreted lambda. The generator emits every gram (WITH
+    // duplicates) in O(1) state; dropping the per-doc distinct is
+    // output-invariant because every consumer is dedup-insensitive —
+    // decontaminate aggregates count_distinct/min, sharedGramPairs
+    // ends in .distinct(), and the bloom path is bit-OR + semi/anti
+    // joins. The < n-token whole-doc fallback rides the SAME generator
+    // as a (joined, NULL x n-1) n-array — concat_ws skips nulls, so
+    // its one gram is exactly the joined doc.
+    val gramSrc = when(size(col("toks")) >= n, col("toks"))
+      .otherwise(array(concat_ws(" ", col("toks")) +:
+        Seq.fill(n - 1)(lit(null).cast("string")): _*))
     df.select(col(idCol).as(idAs), TextFunctions.tokens(col(textCol)).as("toks"))
-      .select(col(idAs), explode(array_distinct(
-        when(size(col("toks")) >= n,
-          transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-            i => concat_ws(" ", slice(col("toks"), i, lit(n)))))
-          .otherwise(array(concat_ws(" ", col("toks")))))).as("gram"))
+      .select(col(idAs),
+        call_function(graft.functions.VectorExpressions.ngramsFnName,
+          gramSrc, lit(n)).as("gram"))
+  }
 
   /** Distinct (left_id, right_id) pairs sharing at least one word
     * n-gram — the pair-level form of [[decontaminate]]'s per-doc

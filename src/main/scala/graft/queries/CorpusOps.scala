@@ -3332,11 +3332,10 @@ object CorpusOps {
     val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("doc").as("doc_id"), lit(1L).as("dup"))
     val toks = graft.functions.TextFunctions.tokens(col("text"))
-    val en = graft.functions.TextFunctions.stopwords("en")
     val scored = docs.select(col("doc_id"), col("text"), toks.as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(filter(col("toks"),
-        t => t.isInCollection(en))).cast("long"))
+      .withColumn("n_stop", graft.functions.TextFunctions
+        .stopwordHits(col("toks"), "en").cast("long"))
       .withColumn("n_alpha",
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
       .withColumn("q_ppm", expr(
@@ -3365,11 +3364,10 @@ object CorpusOps {
   private def q198(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val toks = graft.functions.TextFunctions.tokens(col("text"))
-    val en = graft.functions.TextFunctions.stopwords("en")
     val scored = docs.select(col("source"), col("text"), toks.as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(filter(col("toks"),
-        t => t.isInCollection(en))).cast("long"))
+      .withColumn("n_stop", graft.functions.TextFunctions
+        .stopwordHits(col("toks"), "en").cast("long"))
       .withColumn("n_alpha",
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
       .withColumn("q_ppm", expr(
@@ -3421,12 +3419,11 @@ object CorpusOps {
     val comps = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .select(col("doc").as("doc_id"), lit(1L).as("dup"))
     val toks = graft.functions.TextFunctions.tokens(col("text"))
-    val en = graft.functions.TextFunctions.stopwords("en")
     val scored = docs.select(col("doc_id"), col("source"), col("lang"),
         col("text"), toks.as("toks"))
       .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("n_stop", size(filter(col("toks"),
-        t => t.isInCollection(en))).cast("long"))
+      .withColumn("n_stop", graft.functions.TextFunctions
+        .stopwordHits(col("toks"), "en").cast("long"))
       .withColumn("n_alpha",
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
       .withColumn("q_ppm", expr(
