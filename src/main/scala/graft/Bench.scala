@@ -411,7 +411,8 @@ object Bench {
     // (was 1400; ann_split takes ~230 chars of the ~2000-char tail,
     // calib_mt another ~25, the quiet-gate fields ~45, the post-loop
     // membw reading ~28)
-    val budget = 1040
+    // (1040 until r22; "window_ok":false is ~19 chars of new tail)
+    val budget = 1020
     // one-number noise summary that survives tail-capture: total
     // excess of the slower measured run over the faster, across all
     // queries — a large value flags an unusually noisy sweep without
@@ -439,7 +440,17 @@ object Bench {
     // artifact in PERF.md's reference series.
     val calibMedian = calibSamples.sorted.apply(calibSamples.size / 2)
     val mtRatio = calibMt / calibMedian
-    val quietGate = mtRatio <= 1.15 && runSpread <= 0.15 * total
+    // window comparability (r22, verdict item 4): the r20 AND r21
+    // driver sweeps both passed the quiet gate while memory bandwidth
+    // slid ~40% mid-sweep (128.0 -> 77.1 GB/s in BENCH_r21) — the
+    // calibration-ratio check cannot see a bandwidth regime shift that
+    // happens DURING the query loop. PERF.md's own comparability rule
+    // (membw pre ≈ post within ~15%) is now enforced in the gate and
+    // carried as its own field so cross-round PERF comparisons can
+    // filter on it without re-deriving the rule from the two readings.
+    val windowOk =
+      math.abs(membwMt - membwMtPost) <= 0.15 * math.max(membwMt, membwMtPost)
+    val quietGate = mtRatio <= 1.15 && runSpread <= 0.15 * total && windowOk
     val ordered = results.map { case (k, q) => (k, q.sec) }.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
@@ -457,7 +468,7 @@ object Bench {
         s""""calib_sec":${r3(calib)},"calib_mt_sec":${r3(calibMt)},""" +
         s""""run_spread_sec":${r3(runSpread)},"calib_mt_ratio":${r3(mtRatio)},""" +
         s""""membw_gbs":${r3(membwSt)},"membw_mt_gbs":${r3(membwMt)},""" +
-        s""""membw_mt_gbs_post":${r3(membwMtPost)},""" +
+        s""""membw_mt_gbs_post":${r3(membwMtPost)},"window_ok":$windowOk,""" +
         s""""quiet_gate":$quietGate,"tier_cold1":${results.count(_._2.coldTier)},""" +
         s""""detail":"bench_detail.json","perf_doc":"PERF.md","sf":"$sfDir"}""")
     spark.stop()
