@@ -482,18 +482,26 @@ object Pipeline {
         "immutable segment would corrupt every version built on it. " +
         "Use a fresh version token per append.")
     val model = graft.operators.AnnModel.load(spark, s"$publishDir/$modelRef")
+    // the delta's IDS feed the dup check and the tombstone resurrection
+    // below, but [[Similarity.ivfPqIndex]] is a pure per-row select
+    // (neighbor_id IS idCol verbatim, one output row per vector), so
+    // those ids come straight off the BATCH (r22) — the encode+PQ pass
+    // runs exactly once, inside the segment write, with no checkpoint
+    // materialization job (r21 recomputed the encode per consumer; the
+    // first r22 form checkpointed it — one whole extra pass over the
+    // batch whose only purpose was feeding two ids-only joins).
+    val newIds = newVecs.select(col(idCol).as("neighbor_id")).distinct()
     val delta = graft.operators.Similarity.ivfPqIndex(
       newVecs, idCol, vecCol, model.coarse, model.codebooks)
     val curIndex = readAnnIndex(spark, cur)
-      .select(delta.columns.map(col): _*) // normalize column order
     // Disjoint-batch contract, CHECKED: a re-append of an already-
     // appended batch would silently duplicate neighbor_ids (plain
     // union, no dedup — dedup here would mask real upstream id
-    // collisions). One broadcast semi-join count against the delta's
+    // collisions). One broadcast semi-join count against the batch's
     // ids; the publish chain is already an action, this adds one cheap
     // ids-only pass over the live index.
     val dup = curIndex.join(
-      broadcast(delta.select("neighbor_id").distinct()), Seq("neighbor_id"), "left_semi").count()
+      broadcast(newIds), Seq("neighbor_id"), "left_semi").count()
     require(dup == 0L,
       s"appendAnn: $dup id(s) in the new batch already exist in the live index " +
         s"at $cur — batches must be disjoint (re-running an already-appended " +
@@ -513,7 +521,6 @@ object Pipeline {
       else {
         val deleted = oldTombs.map(r => spark.read.parquet(s"$publishDir/$r"))
           .reduce(_.unionByName(_)).select(col("neighbor_id")).distinct()
-        val newIds = delta.select(col("neighbor_id")).distinct()
         if (deleted.join(broadcast(newIds), Seq("neighbor_id"), "left_semi").isEmpty)
           oldTombs
         else {
@@ -861,7 +868,10 @@ object Pipeline {
     require(!postingsReferencedRefs(publishDir).contains(segRef),
       s"appendPostings: sourceVersion '$sourceVersion' resolves to segment '$segRef', " +
         "which a retained manifest already references. Use a fresh version token.")
+    // two consumers (dup check, segment write) — materialize the
+    // O(batch) delta once instead of tokenizing the new docs twice (r22)
     val delta = graft.operators.Retrieval.postings(newDocs, idCol, textCol)
+      .localCheckpoint(true)
     val dup = readPostingsIndex(spark, cur).select(col("doc")).distinct()
       .join(broadcast(delta.select(col("doc")).distinct()), Seq("doc"), "left_semi").count()
     require(dup == 0L,
@@ -903,6 +913,7 @@ object Pipeline {
       tombstones = tombRefs)
     flipPostingsPointer(publishDir, s"post-$v", sourceVersion)
     applyPostingsRetention(publishDir, keepHistory, protect = readCurrentPostings(publishDir))
+    graft.Checkpoints.release(delta) // both consumers above have run
     dir
   }
 

@@ -2,11 +2,19 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.Path
+import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{DOUBLE, INT32}
+
+import org.apache.spark.sql.SparkSession
 
 /** Persistence for the ANN model ARTIFACT — the coarse centroids and
   * PQ codebooks that [[Similarity.ivfPqIndex]]/[[Similarity.ivfPqProbe]]
@@ -29,6 +37,16 @@ import org.apache.spark.sql.types._
   * tiny JSON manifest with the shape for fail-fast validation. No
   * custom binary format: any Spark/DuckDB/pandas session can read the
   * model for inspection.
+  *
+  * I/O path (r22, guide §5 — the driver should do almost no data
+  * work): these are KB-sized DRIVER-state tables, so save/load go
+  * through parquet-hadoop directly (standard 3-level LIST schema, one
+  * file per table) instead of launching four Spark jobs per lifecycle
+  * step for a handful of rows — each publish/append/probe chain paid
+  * ~1 s of pure job-scheduling overhead here at any corpus size. The
+  * bytes stay ordinary parquet; [[load]] also accepts a Spark-written
+  * DIRECTORY per table (the pre-r22 layout and any externally
+  * rewritten model), reading every part file.
   */
 object AnnModel {
 
@@ -40,17 +58,77 @@ object AnnModel {
       coarse: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]])
 
-  private val coarseSchema = StructType(Seq(
-    StructField("cluster_id", IntegerType, nullable = false),
-    StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)))
-  private val cbSchema = StructType(Seq(
-    StructField("sub", IntegerType, nullable = false),
-    StructField("cluster", IntegerType, nullable = false),
-    StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  private def vecField(name: String) =
+    Types.requiredGroup().as(LogicalTypeAnnotation.listType())
+      .addField(Types.repeatedGroup()
+        .addField(Types.required(DOUBLE).named("element")).named("list"))
+      .named(name)
+
+  private val coarseSchema: MessageType = Types.buildMessage()
+    .addField(Types.required(INT32).named("cluster_id"))
+    .addField(vecField("centroid"))
+    .named("spark_schema")
+  private val cbSchema: MessageType = Types.buildMessage()
+    .addField(Types.required(INT32).named("sub"))
+    .addField(Types.required(INT32).named("cluster"))
+    .addField(vecField("centroid"))
+    .named("spark_schema")
+
+  private def addVec(g: Group, name: String, v: Array[Double]): Unit = {
+    val list = g.addGroup(name)
+    v.foreach(x => list.addGroup("list").add("element", x))
+  }
+
+  private def readVec(g: Group, name: String): Array[Double] = {
+    val list = g.getGroup(name, 0)
+    Array.tabulate(list.getFieldRepetitionCount("list"))(i =>
+      list.getGroup("list", i).getDouble("element", 0))
+  }
+
+  private def writeGroups(
+      spark: SparkSession, path: Path, schema: MessageType,
+      rows: Iterator[Group => Unit]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = path.getFileSystem(conf)
+    // Spark's directory write was mode(overwrite); mirror it
+    if (fs.exists(path)) fs.delete(path, true)
+    val factory = new SimpleGroupFactory(schema)
+    val w = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(path, conf))
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try rows.foreach { fill =>
+      val g = factory.newGroup(); fill(g); w.write(g)
+    } finally w.close()
+  }
+
+  /** Every row group of `path` — a single parquet file, or a
+    * Spark-written DIRECTORY of part files (pre-r22 models and
+    * externally rewritten artifacts; AnnModelSpec rewrites one).
+    */
+  private def readGroups(spark: SparkSession, path: Path): Seq[Group] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = path.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+          .sortBy(_.getName).toSeq
+      else Seq(path)
+    val out = ArrayBuffer.empty[Group]
+    files.foreach { f =>
+      val r = ParquetReader.builder(new GroupReadSupport(), f).withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) { out += g; g = r.read() }
+      } finally r.close()
+    }
+    out.toSeq
+  }
 
   /** Writes `modelDir/coarse.parquet`, `modelDir/codebooks.parquet`,
-    * `modelDir/manifest.json`. Tiny frames — coalesce(1) keeps the
-    * artifact a single file per table.
+    * `modelDir/manifest.json`. Tiny frames — one parquet file per
+    * table, written directly (no Spark jobs).
     */
   def save(
       spark: SparkSession,
@@ -60,15 +138,17 @@ object AnnModel {
     require(coarse.nonEmpty, "AnnModel.save: empty coarse quantizer")
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "AnnModel.save: empty codebooks")
-    val coarseRows = coarse.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }
+    writeGroups(spark, new Path(modelDir, "coarse.parquet"), coarseSchema,
+      coarse.iterator.zipWithIndex.map { case (c, i) =>
+        (g: Group) => { g.add("cluster_id", i); addVec(g, "centroid", c) }
+      })
     val cbRows = for {
-      (cents, m) <- codebooks.zipWithIndex.toSeq
-      (cv, c) <- cents.zipWithIndex
-    } yield Row(m, c, cv.toSeq)
-    spark.createDataFrame(spark.sparkContext.parallelize(coarseRows.toSeq, 1), coarseSchema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/coarse.parquet")
-    spark.createDataFrame(spark.sparkContext.parallelize(cbRows, 1), cbSchema)
-      .coalesce(1).write.mode("overwrite").parquet(s"$modelDir/codebooks.parquet")
+      (cents, m) <- codebooks.iterator.zipWithIndex
+      (cv, c) <- cents.iterator.zipWithIndex
+    } yield (g: Group) => {
+      g.add("sub", m); g.add("cluster", c); addVec(g, "centroid", cv)
+    }
+    writeGroups(spark, new Path(modelDir, "codebooks.parquet"), cbSchema, cbRows)
     val manifest =
       s"""{
          |  "format": "graft-ann-model",
@@ -90,9 +170,10 @@ object AnnModel {
     try out.write(manifest.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Reads a model dir written by [[save]], validating shape against
-    * the manifest so a truncated copy fails loudly instead of probing
-    * with a silently-wrong quantizer.
+  /** Reads a model dir written by [[save]] (or its pre-r22 Spark
+    * directory-per-table form), validating shape against the manifest
+    * so a truncated copy fails loudly instead of probing with a
+    * silently-wrong quantizer.
     */
   def load(spark: SparkSession, modelDir: String): IvfPq = {
     val manifestPath = new Path(modelDir, "manifest.json")
@@ -107,18 +188,18 @@ object AnnModel {
     }
     val (nlist, nsub, cbSize) = (field("nlist"), field("num_subspaces"), field("codebook_size"))
     val (dims, subDim) = (field("dims"), field("sub_dim"))
-    val coarse = spark.read.parquet(s"$modelDir/coarse.parquet")
-      .orderBy(col("cluster_id"))
-      .select(col("cluster_id"), col("centroid"))
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-    require(coarse.length == nlist && coarse.map(_._1).toSeq == (0 until nlist),
+    val coarse = readGroups(spark, new Path(modelDir, "coarse.parquet"))
+      .map(g => (g.getInteger("cluster_id", 0), readVec(g, "centroid")))
+      .sortBy(_._1)
+    require(coarse.length == nlist && coarse.map(_._1) == (0 until nlist),
       s"AnnModel.load: coarse table disagrees with manifest (nlist=$nlist, " +
         s"got ${coarse.length} rows) in $modelDir")
     require(coarse.forall(_._2.length == dims),
       s"AnnModel.load: coarse centroid width != manifest dims=$dims in $modelDir")
-    val cb = spark.read.parquet(s"$modelDir/codebooks.parquet")
-      .orderBy(col("sub"), col("cluster"))
-      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cb = readGroups(spark, new Path(modelDir, "codebooks.parquet"))
+      .map(g => (g.getInteger("sub", 0), g.getInteger("cluster", 0),
+        readVec(g, "centroid")))
+      .sortBy(t => (t._1, t._2))
     require(cb.length == nsub * cbSize,
       s"AnnModel.load: codebook table disagrees with manifest " +
         s"(${nsub}x$cbSize, got ${cb.length} rows) in $modelDir")
@@ -126,10 +207,10 @@ object AnnModel {
       s"AnnModel.load: codebook centroid width != manifest sub_dim=$subDim in $modelDir")
     val codebooks = Array.tabulate(nsub) { m =>
       val rows = cb.filter(_._1 == m)
-      require(rows.map(_._2).toSeq == (0 until cbSize),
+      require(rows.map(_._2) == (0 until cbSize),
         s"AnnModel.load: subspace $m cluster ids not dense in $modelDir")
-      rows.map(_._3)
+      rows.map(_._3).toArray
     }
-    IvfPq(coarse.map(_._2), codebooks)
+    IvfPq(coarse.map(_._2).toArray, codebooks)
   }
 }

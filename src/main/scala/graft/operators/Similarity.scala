@@ -1232,58 +1232,99 @@ object Similarity {
       k: Int,
       coarse: Array[Array[Double]],
       codebooks: Array[Array[Array[Double]]],
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfPqProbe(queries, index, idCol, vecCol, k, coarse, codebooks, nprobe,
+      probeClusterPrune(queries, idCol, vecCol, coarse, nprobe))
+
+  /** The nprobe-nearest-lists expression shared by the probe plan and
+    * the static prune: per query the lexicographic struct sort
+    * (distance, then cluster id — deterministic), sliced to nprobe.
+    */
+  private def probesCol(
+      vec: Column, coarse: Array[Array[Double]], nprobe: Int): Column =
+    slice(
+      array_sort(zip_with(
+        coarseRelCol(vec, coarse),
+        sequence(lit(0), lit(coarse.length - 1)),
+        (d, i) => struct(d.as("d"), i.as("cl")))),
+      1, nprobe)
+
+  /** Static partition pruning set for [[ivfPqProbe]] — computed ONCE.
+    *
+    * The equi-join on `cluster` alone does NOT emit a partition
+    * filter, so a probe over a cluster-PARTITIONED published index
+    * (Pipeline.publishAnn's layout) would scan every file. The
+    * probe-cluster set is ≤ nlist rows (distinct cluster ids), and the
+    * query batch is small by the same contract that lets the probe's
+    * query side broadcast — collect it (one tiny job, no LUT
+    * evaluation) and filter the index scan explicitly.
+    * Semantics-preserving (the join already restricts to these
+    * clusters); at fleet scale this is the difference between reading
+    * nprobe partitions and the whole index. BucketingSpec pins the
+    * file-count effect on the REAL probe path.
+    *
+    * The collect runs at plan-CONSTRUCTION time, so its driver job
+    * must stay cheap even when a caller violates the small-batch
+    * contract: a bounded head() probe (reads partitions only until
+    * the cap is hit, never the full frame) checks the contract first,
+    * and an oversized batch falls back to the plain join (None) —
+    * correct either way, just without static pruning (a batch that
+    * big can't broadcast-probe efficiently regardless).
+    *
+    * Split out of ivfPqProbe in r22 so callers probing SEVERAL index
+    * reads with the SAME query batch and frozen model (the q232
+    * asof/compact/live lifecycle) pay the head() check and the
+    * cluster collect once, not once per probe.
+    */
+  def probeClusterPrune(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      nprobe: Int): Option[Seq[Int]] = {
+    val smallBatch = queries.select(col(idCol))
+      .head(MaxPruneQueryBatch + 1).length <= MaxPruneQueryBatch
+    if (!smallBatch) None
+    else Some(queries
+      .select(explode(probesCol(col(vecCol), coarse, nprobe)).as("probe"))
+      .select(col("probe.cl")).distinct()
+      .collect().map(_.getInt(0)).toSeq)
+  }
+
+  /** [[ivfPqProbe]] with an explicit (pre-computed) prune set — see
+    * [[probeClusterPrune]]. None = no static pruning.
+    */
+  def ivfPqProbe(
+      queries: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int,
+      pruneClusters: Option[Seq[Int]]): DataFrame = {
     val nlist = coarse.length
     val numSubspaces = codebooks.length
     require(nprobe >= 1 && nprobe <= nlist, "nprobe must be in [1, nlist]")
     VectorExpressions.register(queries.sparkSession)
     val subDim = codebooks(0)(0).length
 
-    // per query: the nprobe nearest lists (lexicographic struct sort =
-    // by distance, then cluster id — deterministic) + the ADC LUT
+    // per query: the nprobe nearest lists + the ADC LUT
     val lut = array(codebooks.zipWithIndex.map { case (cents, m) =>
       val qv = slice(asDoubleVec(col(vecCol)), m * subDim + 1, subDim)
       array(cents.map(c => d2ToCentroid(qv, c)): _*)
     }: _*)
-    val probes = slice(
-      array_sort(zip_with(
-        coarseRelCol(col(vecCol), coarse),
-        sequence(lit(0), lit(nlist - 1)),
-        (d, i) => struct(d.as("d"), i.as("cl")))),
-      1, nprobe)
+    val probes = probesCol(col(vecCol), coarse, nprobe)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), lut.as("lut"),
           explode(probes).as("probe"))
         .select(col("query_id"), col("lut"), col("probe.cl").as("cluster")))
 
-    // Static partition pruning: the equi-join on `cluster` alone does
-    // NOT emit a partition filter, so a probe over a cluster-PARTITIONED
-    // published index (Pipeline.publishAnn's layout) would scan every
-    // file. The probe-cluster set is ≤ nlist rows (distinct cluster
-    // ids), and the query batch is small by the same contract that lets
-    // `q` broadcast — collect it (one tiny job, no LUT evaluation) and
-    // filter the index scan explicitly. Semantics-preserving (the join
-    // already restricts to these clusters); at fleet scale this is the
-    // difference between reading nprobe partitions and the whole index.
-    // BucketingSpec pins the file-count effect on the REAL probe path.
-    //
-    // The collect runs at plan-CONSTRUCTION time, so its driver job
-    // must stay cheap even when a caller violates the small-batch
-    // contract: a bounded head() probe (reads partitions only until
-    // the cap is hit, never the full frame) checks the contract first,
-    // and an oversized batch falls back to the plain join — correct
-    // either way, just without static pruning (a batch that big can't
-    // broadcast-probe efficiently regardless).
-    val smallBatch = queries.select(col(idCol))
-      .head(MaxPruneQueryBatch + 1).length <= MaxPruneQueryBatch
-    val prunedIndex =
-      if (smallBatch) {
-        val probeClusters = queries
-          .select(explode(probes).as("probe"))
-          .select(col("probe.cl")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        index.filter(col("cluster").isin(probeClusters: _*))
-      } else index
+    val prunedIndex = pruneClusters match {
+      case Some(cs) => index.filter(col("cluster").isin(cs: _*))
+      case None => index
+    }
     val scored = prunedIndex.join(q, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("approx_d2",

@@ -61,6 +61,14 @@ object Export {
     require(rowsPerShard >= 1, s"rowsPerShard must be >= 1: $rowsPerShard")
     val sharded = shufflePositions(docs, idCol, seed)
       .withColumn("shard", expr(s"(position - 1) div $rowsPerShard"))
+    // hash repartition, NOT repartitionByRange (measured r22, verdict
+    // item 6): the file layout is identical either way (partitionBy
+    // splits by shard value — one file per shard as long as a shard
+    // lives in one task, which both give), but repartitionByRange's
+    // range-boundary SAMPLING pass re-executes the whole
+    // shufflePositions pipeline a second time (no shuffle boundary
+    // below it to reuse) — q218 2.70 s -> 3.71 s, q222 3.79 s -> 5.18 s
+    // in one window. Hash partitioning needs no sample.
     sharded
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("position"))
