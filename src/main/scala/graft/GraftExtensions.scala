@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ExplodeNGrams].getName, VectorExpressions.ngramsFnName),
       (children: Seq[Expression]) => graft.functions.ExplodeNGrams(children.head, children(1))))
     ext.injectFunction((
+      FunctionIdentifier(VectorExpressions.triFnName),
+      new ExpressionInfo(classOf[graft.functions.ExplodeTriContexts].getName, VectorExpressions.triFnName),
+      (children: Seq[Expression]) => graft.functions.ExplodeTriContexts(children.head)))
+    ext.injectFunction((
       FunctionIdentifier(graft.functions.PolyHash.fnName),
       new ExpressionInfo(classOf[graft.functions.PolyHash].getName, graft.functions.PolyHash.fnName),
       (children: Seq[Expression]) => graft.functions.PolyHash(children.head)))

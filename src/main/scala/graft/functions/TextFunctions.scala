@@ -156,9 +156,16 @@ object TextFunctions {
   /** Order-insensitive content fingerprint: md5 over the sorted distinct
     * token set (the classic "bag fingerprint" for exact-after-
     * normalization dedup).
+    *
+    * sort_array, not array_sort (r22): on a containsNull=false string
+    * array the two are value-identical (both ascending; they differ
+    * only in null placement, and tokens() never emits nulls), but
+    * array_sort's comparator lambda is an interpreted
+    * HigherOrderFunction in the generated code while sort_array is
+    * whole-stage codegen. FingerprintSpec pins the equality.
     */
   def contentFingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    md5(concat_ws(" ", sort_array(array_distinct(tokens(text)))))
 
   /** Order-sensitive positional rolling fingerprint: sum over tokens of
     * `(hash60(token) * (i+1)) mod 2^31-1`. Each term < 2^31 and docs are

@@ -141,6 +141,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   private def isString: Boolean =
     left.dataType.asInstanceOf[ArrayType].elementType == StringType
 
+  /** Whether the STRING form must guard null elements (r22, advisory):
+    * a nullable-typed string array would NPE the task in the r21 loop
+    * (`getUTF8String(i).compareTo`). Decided statically from the
+    * schema so the hot loops below stay branch-free for the
+    * containsNull=false arrays every current call site passes; a
+    * nullable-typed array takes the null-aware loop (nulls sort LAST,
+    * equal to each other — array_sort's ascending placement). The LONG
+    * form is deliberately NOT widened: it is already deterministic on
+    * nulls (getLong reads 0 — gram_hashes' [NULL] null-input singleton
+    * is the only producer and never meets a real hash in practice),
+    * and q30's verify merge is the hottest loop this expression owns.
+    */
+  private lazy val nullAware: Boolean = isString && Seq(left, right).exists(
+    _.dataType.asInstanceOf[ArrayType].containsNull)
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -149,7 +164,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0
     var j = 0
     var c = 0
-    if (isString) {
+    if (nullAware) {
+      // nulls-last merge: null == null counts once, null > any value
+      def cmpAt(): Int = {
+        val xn = x.isNullAt(i); val yn = y.isNullAt(j)
+        if (xn && yn) 0
+        else if (xn) 1
+        else if (yn) -1
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      }
+      while (i < nx && j < ny) {
+        val cmp = cmpAt()
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    } else if (isString) {
       while (i < nx && j < ny) {
         val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
         if (cmp == 0) { c += 1; i += 1; j += 1 }
@@ -173,7 +203,23 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val c = ctx.freshName("c")
-      if (isString) {
+      if (nullAware) {
+        val cmp = ctx.freshName("cmp")
+        val xn = ctx.freshName("xn")
+        val yn = ctx.freshName("yn")
+        val valueCmp = s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
+        s"""
+           |int $i = 0; int $j = 0; int $c = 0;
+           |while ($i < $a.numElements() && $j < $b.numElements()) {
+           |  boolean $xn = $a.isNullAt($i);
+           |  boolean $yn = $b.isNullAt($j);
+           |  int $cmp = ($xn && $yn) ? 0 : $xn ? 1 : $yn ? -1 : ($valueCmp);
+           |  if ($cmp == 0) { $c++; $i++; $j++; }
+           |  else if ($cmp < 0) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      } else if (isString) {
         val cmp = ctx.freshName("cmp")
         s"""
            |int $i = 0; int $j = 0; int $c = 0;
@@ -233,12 +279,15 @@ object VectorExpressions {
   val fnName = "vec_dot"
   val isectFnName = "sorted_intersect_count"
   val ngramsFnName = "explode_ngrams"
+  val triFnName = "explode_tri_contexts"
 
   private val info = new ExpressionInfo(classOf[VecDot].getName, fnName)
   private val isectInfo =
     new ExpressionInfo(classOf[SortedIntersectCount].getName, isectFnName)
   private val ngramsInfo =
     new ExpressionInfo(classOf[ExplodeNGrams].getName, ngramsFnName)
+  private val triInfo =
+    new ExpressionInfo(classOf[ExplodeTriContexts].getName, triFnName)
 
   /** Idempotent session registration; callers that only have a
     * DataFrame can self-register through its sparkSession.
@@ -253,6 +302,9 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(ngramsFnName), ngramsInfo,
       (children: Seq[Expression]) => ExplodeNGrams(children.head, children(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(triFnName), triInfo,
+      (children: Seq[Expression]) => ExplodeTriContexts(children.head))
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(PolyHash.fnName),
       new ExpressionInfo(classOf[PolyHash].getName, PolyHash.fnName),

@@ -114,16 +114,21 @@ object NgramLm {
     */
   private def scoredPositions(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.VectorExpressions
+    VectorExpressions.register(docs.sparkSession)
     val base = docs
       .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("toks"))
     val toks = base.filter(size(col("toks")) >= 3)
+    // position rows stream through the native explode_tri_contexts
+    // Generator (r22, the gramRows precedent at order 3 with separate
+    // context fields): the composed explode(transform(sequence(...)))
+    // materialized a full per-doc struct array under an interpreted
+    // lambda — three boxed element_at calls per position — before the
+    // explode copied it back out. Same rows, same ascending-position
+    // order, O(1) state.
     val pos = toks.select(col("doc"), size(col("toks")).cast("long").as("doclen"),
-        explode(transform(sequence(lit(3), size(col("toks"))),
-          i => struct(
-            element_at(col("toks"), (i - 2).cast("int")).as("w1"),
-            element_at(col("toks"), (i - 1).cast("int")).as("w2"),
-            element_at(col("toks"), i.cast("int")).as("w")))).as("p"))
-      .select(col("doc"), col("doclen"), col("p.w1"), col("p.w2"), col("p.w"))
+        call_function(VectorExpressions.triFnName, col("toks")))
+      .select(col("doc"), col("doclen"), col("w1"), col("w2"), col("w"))
     val c1 = dualCounts(base, 1)
     val c2 = dualCounts(base, 2)
     val c3 = dualCounts(base, 3)

@@ -190,7 +190,13 @@ object Quality {
       textCol: String,
       n: Int = 5): DataFrame = {
     val t = wordGrams(train, idCol, "train_id", textCol, n)
-    val b = wordGrams(bench, idCol, "bench_id", textCol, n)
+    // per-(bench_id, gram) distinct before the broadcast (r22, advisory):
+    // wordGrams emits duplicate grams since r21, and duplicates on the
+    // BROADCAST side multiply join fan-out t_dups x b_dups — the
+    // count_distinct/min aggregate absorbs them either way, but the
+    // broadcast size and the joined row count should not grow with
+    // bench-side repetition
+    val b = wordGrams(bench, idCol, "bench_id", textCol, n).distinct()
     t.join(broadcast(b), Seq("gram"))
       .groupBy(col("train_id"))
       .agg(count_distinct(col("gram")).as("n_shared_grams"),
@@ -198,10 +204,14 @@ object Quality {
         min(col("bench_id")).as("min_bench_id"))
   }
 
-  /** Distinct word n-grams per document, id aliased to `idAs`; docs
-    * shorter than n tokens contribute their whole sequence as one gram
-    * (shared by [[decontaminate]] and [[decontaminateBloomKeep]] so
-    * the two paths see byte-identical gram sets).
+  /** Word n-grams per document WITH duplicates (the r21 generator
+    * rewrite dropped the per-doc distinct — every consumer is
+    * dedup-insensitive, see the body comment; callers that broadcast
+    * or join on the gram apply their own .distinct() to bound
+    * fan-out), id aliased to `idAs`; docs shorter than n tokens
+    * contribute their whole sequence as one gram (shared by
+    * [[decontaminate]] and [[decontaminateBloomKeep]] so the two
+    * paths see byte-identical gram sets).
     */
   private def wordGrams(
       df: DataFrame, idCol: String, idAs: String, textCol: String, n: Int): DataFrame = {
@@ -238,7 +248,10 @@ object Quality {
       textCol: String,
       n: Int = 5): DataFrame =
     wordGrams(left, idCol, "left_id", textCol, n)
-      .join(broadcast(wordGrams(right, idCol, "right_id", textCol, n)), Seq("gram"))
+      // broadcast-side distinct bounds the join fan-out (see
+      // decontaminate); the result is .distinct() anyway
+      .join(broadcast(wordGrams(right, idCol, "right_id", textCol, n).distinct()),
+        Seq("gram"))
       .select(col("left_id"), col("right_id")).distinct()
 
   /** Bloom-prefiltered decontamination, APPLY form: return the training

@@ -416,13 +416,15 @@ object Retrieval {
     * query by construction, so every scoring query emits exactly one
     * row: (query_id, doc_id, term, hit_pos 0-based, snippet).
     *
-    * Plan shape: the BM25 search reuses [[bm25OverPostings]]'s plan;
-    * everything after it joins tiny per-query frames (top-1 docs,
-    * candidate terms) against the postings — AQE broadcasts the query
-    * side, so the corpus-sized inputs (postings, positional postings,
-    * one tokens re-scan for the snippet cut) are each touched once
-    * with no corpus shuffle. In production the positional postings are
-    * the stored q139 index, not a re-tokenize.
+    * Plan shape (r22, verdict item 3): the corpus is TOKENIZED EXACTLY
+    * ONCE — one (doc_id, toks) projection is checkpointed and the tf
+    * postings, the positional postings (one posexplode), and the
+    * snippet cut all derive from it (the r21 form scanned and
+    * re-tokenized the corpus three times — three parquet scans at
+    * 100 TB for one query). Everything after the postings joins tiny
+    * per-query frames (top-1 docs, candidate terms) against the
+    * checkpointed tables with no corpus shuffle. In production the
+    * positional postings are the stored q139 index, not a re-tokenize.
     */
   def snippets(
       queries: DataFrame,
@@ -433,7 +435,13 @@ object Retrieval {
       k1Ppm: Long = 1200000L,
       bPpm: Long = 750000L): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
-    val post = postings(corpus, idCol, textCol).localCheckpoint(true)
+    // the ONE corpus tokenize; every downstream table derives from it
+    val toks = corpus.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(true)
+    val post = toks.select(col("doc_id").as("doc"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val top1 = bm25OverPostings(queries, post, idCol, textCol, 1, k1Ppm, bPpm)
       .select(col("query_id"), col("doc_id"))
     val dfx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -446,11 +454,12 @@ object Retrieval {
     val rare = cand.join(mdf, Seq("query_id"))
       .filter(col("df") === col("mdf"))
       .groupBy(col("query_id"), col("doc_id")).agg(min(col("term")).as("term"))
-    val hit = rare.join(positionalPostings(corpus, idCol, textCol), Seq("doc_id", "term"))
+    // positional postings off the checkpoint, not a second tokenize
+    val ppost = toks.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "term")))
+    val hit = rare.join(ppost, Seq("doc_id", "term"))
       .groupBy(col("query_id"), col("doc_id"), col("term"))
       .agg(min(col("pos")).cast("long").as("hit_pos"))
-    val toks = corpus.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("toks"))
     hit.join(toks, Seq("doc_id"))
       .withColumn("first", greatest(col("hit_pos") - window, lit(0L)).cast("int"))
       .withColumn("last", least(col("hit_pos") + window, size(col("toks")) - 1).cast("int"))

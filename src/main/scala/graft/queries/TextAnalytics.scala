@@ -917,10 +917,36 @@ object TextAnalytics {
   private def q115(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    val en = docs.filter(langId($"text") === "en")
-    val qual = en.filter(floor(qualityScore($"text") * 1e6) / 1e6 >= 0.5)
+    // r22 hoist (verdict item 5c): generated Filter predicates get no
+    // subexpression elimination, so `filter(langId(text) === "en")`
+    // evaluated tokens(text) once per stopword_hits reference and each
+    // hits count twice per language per row (plans/r21 q115 before-
+    // plan). One projection computes the token array and the four hit
+    // counts ONCE; the language pick, the quality score, and the
+    // fingerprint below reference the hoisted columns — the expression
+    // TREES (and therefore IEEE evaluation order and every integer
+    // rounding point) are unchanged, only the shared subtrees are
+    // named. Oracle-identical by re-run.
+    val withHits = graft.functions.TextFunctions.langOrder
+      .foldLeft(docs.withColumn("__toks", tokens($"text")))((d, l) =>
+        d.withColumn(s"__s_$l", stopwordHits($"__toks", l)))
+    val scores = graft.functions.TextFunctions.langOrder.map(l => l -> col(s"__s_$l"))
+    val best = scores.tail.foldLeft(scores.head._2)((acc, sc) => greatest(acc, sc._2))
+    val ld = scores.foldRight(lit("und"): org.apache.spark.sql.Column) {
+      case ((l, sc), els) => when(sc === best && best > 0, lit(l)).otherwise(els)
+    }
+    val en = withHits.filter(ld === "en")
+    val nTok = size($"__toks").cast("double")
+    val quality = lit(0.4) * least(nTok / lit(100.0), lit(1.0)) +
+      lit(0.3) * ($"__s_en".cast("double") /
+        greatest(size($"__toks"), lit(1)).cast("double")) +
+      lit(0.3) * graft.functions.TextFunctions.alphaRatio($"text")
+    val qual = en.filter(floor(quality * 1e6) / 1e6 >= 0.5)
     // keep-canonical exact dedup: min doc_id per content fingerprint
-    val withFp = qual.withColumn("fp", contentFingerprint($"text"))
+    // (contentFingerprint's body over the hoisted token column)
+    val withFp = qual
+      .withColumn("fp", md5(concat_ws(" ", sort_array(array_distinct($"__toks")))))
+      .drop("__toks", "__s_en", "__s_es", "__s_de", "__s_fr")
     val canon = withFp.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
     val deduped = withFp.join(canon, Seq("fp"))
       .filter($"doc_id" === $"keep_id").drop("fp", "keep_id")
@@ -1363,7 +1389,13 @@ object TextAnalytics {
     val qs = v2.filter(col("doc_id") % 97 === 0) // queries drawn from v2
     val pub = java.nio.file.Files.createTempDirectory("q186-postings").toString
     Pipeline.publishPostings(s, pub, "v1", corpus1, "doc_id", "t")
+    // the diff feeds TWO lifecycle consumers (the tombstone write and
+    // the append's postings build) — materialize the non-unchanged
+    // rows once (r22; O(delta) state) or each consumer re-runs the
+    // full md5-both-corpora outer join
     val delta = Quality.snapshotDiff(corpus1, corpus2, "doc_id", "t")
+      .filter(col("status") =!= "unchanged")
+      .localCheckpoint(true)
     val gone = delta.filter(col("status").isin("removed", "changed"))
       .select(col("id").as("doc_id"))
     val fresh = corpus2.join(
@@ -1383,6 +1415,7 @@ object TextAnalytics {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
     }
     rm(new java.io.File(pub))
+    graft.Checkpoints.release(delta)
     out
   }
 
