@@ -133,26 +133,40 @@ object Mp3Meta {
         val isTitle = id == "TIT2" || id == "TT2"
         val isArtist = id == "TPE1" || id == "TP1"
         if ((isTitle || isArtist) && fSize >= 1) {
+          // v2.4 data-length-indicator format flag (0x01, r22
+          // advisory): a 4-byte SYNCHSAFE stored-vs-restored length
+          // prefixes the body — commonly set alongside unsync. It is
+          // synchsafe (never itself unsynced), so it strips BEFORE the
+          // de-unsync; without the skip its bytes were read as the
+          // encoding byte + text, silently corrupting title/artist.
+          val dli = verMajor >= 4 && (t(p + 9) & 0x01) != 0
+          if (dli && fSize < 4)
+            return Left(s"mp3: ID3v2.4 frame $id declares a data length " +
+              "indicator but is shorter than 4 bytes")
+          val bodyOff = if (dli) body + 4 else body
+          val bodyLen = if (dli) fSize - 4 else fSize
           // v2.4 per-frame unsync: tag-header flag = every frame, or
           // the frame's own format flag bit 0x02; the stored body is
           // restored before decoding (sizes stay stored-size, so the
           // walk itself is untouched)
           val frameUnsync = verMajor >= 4 &&
             ((flags & 0x80) != 0 || (t(p + 9) & 0x02) != 0)
-          val text =
-            if (frameUnsync) {
-              val out = new java.io.ByteArrayOutputStream(fSize)
-              var i = body
-              val lim = body + fSize
-              while (i < lim) {
-                out.write(t(i))
-                if ((t(i) & 0xff) == 0xff && i + 1 < lim && t(i + 1) == 0) i += 2
-                else i += 1
-              }
-              val a = out.toByteArray
-              decodeText(a, 0, a.length)
-            } else decodeText(t, body, fSize)
-          if (isTitle) title = text else artist = text
+          if (bodyLen >= 1) {
+            val text =
+              if (frameUnsync) {
+                val out = new java.io.ByteArrayOutputStream(bodyLen)
+                var i = bodyOff
+                val lim = bodyOff + bodyLen
+                while (i < lim) {
+                  out.write(t(i))
+                  if ((t(i) & 0xff) == 0xff && i + 1 < lim && t(i + 1) == 0) i += 2
+                  else i += 1
+                }
+                val a = out.toByteArray
+                decodeText(a, 0, a.length)
+              } else decodeText(t, bodyOff, bodyLen)
+            if (isTitle) title = text else artist = text
+          }
         }
         p = body + fSize
       }

@@ -144,4 +144,43 @@ class Mp3MetaSpec extends AnyFunSuite {
     val st2 = Mp3Meta.decode(framed).toOption.get
     assert((st2.title, st2.artist) === (("ÿx", "ÿz")))
   }
+
+  test("ID3v2.4 data length indicator (format flag 0x01) skips before decode (r22 advice)") {
+    def ss(v: Int) = Array[Byte](((v >> 21) & 0x7f).toByte,
+      ((v >> 14) & 0x7f).toByte, ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+    val base = Mp3Meta.encodeMp3("t", "a", nFrames = 3, bitrateIdx = 9,
+      rateIdx = 0, mono = true, fill = "pay".getBytes("ISO-8859-1"))
+    val audioStart = 10 + (((base(6) & 0x7f) << 21) | ((base(7) & 0x7f) << 14) |
+      ((base(8) & 0x7f) << 7) | (base(9) & 0x7f))
+    val audio = base.drop(audioStart)
+    // DLI alone: stored body = 4-byte synchsafe restored-size prefix,
+    // then enc byte + text — the prefix must not be read as text
+    def dliFrame(id: String, fmtFlags: Int, data: Array[Byte]): Array[Byte] = {
+      val body = ss(data.length) ++ data
+      id.getBytes("US-ASCII") ++ ss(body.length) ++
+        Array[Byte](0, fmtFlags.toByte) ++ body
+    }
+    val plainData = Array[Byte](0) ++ "hi".getBytes("ISO-8859-1")
+    val tagBody = dliFrame("TIT2", 0x01, plainData) ++
+      dliFrame("TPE1", 0x01, plainData)
+    val tagged = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0) ++ ss(tagBody.length) ++ tagBody ++ audio
+    val st = Mp3Meta.decode(tagged).toOption.get
+    assert((st.title, st.artist) === (("hi", "hi")))
+    // DLI + frame unsync together (the common encoder combination):
+    // the synchsafe prefix strips first, the remaining body de-unsyncs
+    val unsyncData = Array[Byte](0, 0xFF.toByte, 0, 'q'.toByte) // "ÿq"
+    val uBody = dliFrame("TIT2", 0x03, unsyncData) ++
+      dliFrame("TPE1", 0x03, unsyncData)
+    val utag = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0) ++ ss(uBody.length) ++ uBody ++ audio
+    val st2 = Mp3Meta.decode(utag).toOption.get
+    assert((st2.title, st2.artist) === (("ÿq", "ÿq")))
+    // a DLI frame too short to hold its own prefix is a named Left
+    val short = "TIT2".getBytes("US-ASCII") ++ ss(2) ++
+      Array[Byte](0, 0x01, 0, 0)
+    val stag = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0) ++ ss(short.length) ++ short ++ audio
+    assert(Mp3Meta.decode(stag).left.toOption.get.contains("data length"))
+  }
 }
