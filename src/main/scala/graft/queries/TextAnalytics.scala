@@ -917,36 +917,26 @@ object TextAnalytics {
   private def q115(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = t(s, dir, "documents")
-    // r22 hoist (verdict item 5c): generated Filter predicates get no
-    // subexpression elimination, so `filter(langId(text) === "en")`
-    // evaluated tokens(text) once per stopword_hits reference and each
-    // hits count twice per language per row (plans/r21 q115 before-
-    // plan). One projection computes the token array and the four hit
-    // counts ONCE; the language pick, the quality score, and the
-    // fingerprint below reference the hoisted columns — the expression
-    // TREES (and therefore IEEE evaluation order and every integer
-    // rounding point) are unchanged, only the shared subtrees are
-    // named. Oracle-identical by re-run.
-    val withHits = graft.functions.TextFunctions.langOrder
-      .foldLeft(docs.withColumn("__toks", tokens($"text")))((d, l) =>
-        d.withColumn(s"__s_$l", stopwordHits($"__toks", l)))
-    val scores = graft.functions.TextFunctions.langOrder.map(l => l -> col(s"__s_$l"))
-    val best = scores.tail.foldLeft(scores.head._2)((acc, sc) => greatest(acc, sc._2))
-    val ld = scores.foldRight(lit("und"): org.apache.spark.sql.Column) {
-      case ((l, sc), els) => when(sc === best && best > 0, lit(l)).otherwise(els)
-    }
-    val en = withHits.filter(ld === "en")
-    val nTok = size($"__toks").cast("double")
-    val quality = lit(0.4) * least(nTok / lit(100.0), lit(1.0)) +
-      lit(0.3) * ($"__s_en".cast("double") /
-        greatest(size($"__toks"), lit(1)).cast("double")) +
-      lit(0.3) * graft.functions.TextFunctions.alphaRatio($"text")
-    val qual = en.filter(floor(quality * 1e6) / 1e6 >= 0.5)
+    // r22, verdict item 5c, ADJUDICATED: a Project hoist of
+    // tokens/stopword_hits does NOT survive optimization — Catalyst
+    // collapses any adjacent Project back into the Filter condition
+    // (predicate-through-project inlining; verified on the plan), so
+    // the duplicate evaluation can only be cut by making the PREDICATE
+    // itself smaller. `langId(text) === "en"` is provably the
+    // conjunction below: langId picks the FIRST langOrder language
+    // achieving the positive max, en IS first, so en wins iff its hit
+    // count is >= every other language's and > 0 (integer comparisons,
+    // no ties to break, null text drops the row either way). 4
+    // stopword_hits / 5 tokens evaluations per row instead of 10/13
+    // (s_en appears twice — one vs-the-rest comparison + the
+    // positivity check — the others once each).
+    val toksE = tokens($"text")
+    def sh(l: String) = stopwordHits(toksE, l)
+    val en = docs.filter(
+      sh("en") >= greatest(sh("es"), sh("de"), sh("fr")) && sh("en") > 0)
+    val qual = en.filter(floor(qualityScore($"text") * 1e6) / 1e6 >= 0.5)
     // keep-canonical exact dedup: min doc_id per content fingerprint
-    // (contentFingerprint's body over the hoisted token column)
-    val withFp = qual
-      .withColumn("fp", md5(concat_ws(" ", sort_array(array_distinct($"__toks")))))
-      .drop("__toks", "__s_en", "__s_es", "__s_de", "__s_fr")
+    val withFp = qual.withColumn("fp", contentFingerprint($"text"))
     val canon = withFp.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
     val deduped = withFp.join(canon, Seq("fp"))
       .filter($"doc_id" === $"keep_id").drop("fp", "keep_id")
