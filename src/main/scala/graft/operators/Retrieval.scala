@@ -244,12 +244,27 @@ object Retrieval {
       k1Ppm: Long = 1200000L,
       bPpm: Long = 750000L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    val qTerms = queries.select(col(idCol).as("qid"),
+      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    bm25OverQueryTerms(qTerms, post, k, k1Ppm, bPpm)
+  }
+
+  /** [[bm25OverPostings]] with the (qid, term) pairs already derived —
+    * for callers that reuse one query-side tokenize across several
+    * scoring passes ([[snippets]]). Same plan tail, bit-identical
+    * scores.
+    */
+  def bm25OverQueryTerms(
+      qTerms: DataFrame,
+      post: DataFrame,
+      k: Int,
+      k1Ppm: Long = 1200000L,
+      bPpm: Long = 750000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
     val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val dl = post.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("nd"),
       expr("(sum(dl) * 1000000) div count(1)").as("avgdl_ppm"))
-    val qTerms = queries.select(col(idCol).as("qid"),
-      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
     val scored = post.join(broadcast(qTerms), Seq("term"))
       .join(df, Seq("term"))
       .join(dl, Seq("doc"))
@@ -442,11 +457,18 @@ object Retrieval {
     val post = toks.select(col("doc_id").as("doc"), explode(col("toks")).as("term"))
       .groupBy(col("term"), col("doc")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val top1 = bm25OverPostings(queries, post, idCol, textCol, 1, k1Ppm, bPpm)
+    // the ONE query-side tokenize (r22): the BM25 scoring pass and the
+    // candidate-term join each re-derived (query_id, term) from the
+    // queries frame, so the query SOURCE scanned once per consumer —
+    // per-query-batch state is tiny by contract, the source scans are
+    // corpus-priced
+    val qDistinct = queries.select(col(idCol).as("qid"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+      .localCheckpoint(true)
+    val top1 = bm25OverQueryTerms(qDistinct, post, 1, k1Ppm, bPpm)
       .select(col("query_id"), col("doc_id"))
     val dfx = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val qTerms = queries.select(col(idCol).as("query_id"),
-      explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    val qTerms = qDistinct.select(col("qid").as("query_id"), col("term"))
     val cand = top1.join(qTerms, Seq("query_id"))
       .join(post.withColumnRenamed("doc", "doc_id"), Seq("doc_id", "term"))
       .join(dfx, Seq("term"))
